@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one or more operators from
+SURVEY.md §2 through the mondrian_rest_spark engine; ``oracle_sql()``
+holds the equivalent DuckDB SQL over the same parquet tables.  Column
+aliases match exactly on both sides (the driver hash-compares after
+sorting columns by name).
+
+Determinism conventions (so Spark and DuckDB hash-match):
+- money-style sums go through DECIMAL(25,6) (exact, order-independent)
+  and cast back to double — ``DEC()`` below mirrors the engine's
+  Measure.result_cast convention;
+- float ratios are rounded to 6 decimals on both sides;
+- every ordered/limited query has a deterministic tie-break on keys.
 """
 
 from __future__ import annotations
@@ -12,27 +19,475 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from mondrian_rest_spark import members as MB
+from mondrian_rest_spark import tpch
+from mondrian_rest_spark.operators import dedup, similarity, textstats, windows
+from mondrian_rest_spark.planner import aggregate
+from mondrian_rest_spark.query import QueryModel
+from mondrian_rest_spark.sources.registry import load_table
+
+CAT = tpch.CATALOG
+
+
+def _agg(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    return aggregate(spark, sf_dir, CAT, QueryModel(**kw))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: 3-dim crossjoin rollup
+    (region x return flag x year) with an expression measure."""
+    return _agg(spark, "/root/testdata/sf0.001", cube="Sales",
+                measures=["Revenue", "Line Count"],
+                drilldown=["Customer.Region", "Return Flag", "Time.Year"])
 
+
+# --------------------------------------------------------------------------
+# oracle SQL helpers
+# --------------------------------------------------------------------------
+
+def DEC(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+REVENUE = DEC("l_extendedprice * (1 - l_discount)")
+J_CUST = ("lineitem JOIN orders ON l_orderkey = o_orderkey "
+          "JOIN customer ON o_custkey = c_custkey "
+          "JOIN nation ON c_nationkey = n_nationkey "
+          "JOIN region ON n_regionkey = r_regionkey")
+J_SUPP = ("lineitem JOIN supplier ON l_suppkey = s_suppkey "
+          "JOIN nation ON s_nationkey = n_nationkey "
+          "JOIN region ON n_regionkey = r_regionkey")
+J_PART = "lineitem JOIN part ON l_partkey = p_partkey"
+J_ORD_CUST = ("orders JOIN customer ON o_custkey = c_custkey "
+              "JOIN nation ON c_nationkey = n_nationkey "
+              "JOIN region ON n_regionkey = r_regionkey")
+TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- core OLAP surface (SURVEY §2.2-§2.7) ----
+    # avg computed from the exact decimal sum so both engines divide the
+    # *same* operands (a float avg is partition-order dependent)
+    q["q01_totals"] = lambda s, d: _agg(
+        s, d, cube="Sales",
+        measures=["Quantity", "Extended Price", "Line Count", "Customer Count",
+                  "Revenue", "Max Quantity", "Discount Sum"],
+    ).withColumn("avg_disc", F.round(F.col("sum_disc") / F.col("line_count"), 6)
+    ).drop("sum_disc")
 
+    q["q02_region_revenue"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Revenue"], drilldown=["Customer.Region"])
+
+    q["q03_crossjoin_3d"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Revenue", "Line Count"],
+        drilldown=["Customer.Region", "Return Flag", "Time.Year"])
+
+    q["q04_cut_member"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Quantity", "Line Count", "Customer Count"],
+        drilldown=["Customer.Nation"], cut=["[Customer].[Region].[&2]"])
+
+    q["q05_cut_set"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Revenue"], drilldown=["Time.Year"],
+        cut=["{[Customer].[Region].[AMERICA],[Customer].[Region].[EUROPE]}"])
+
+    q["q06_cut_range"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Revenue"], drilldown=["Time.Month"],
+        cut=["([Time].[Year].[1996]:[Time].[Year].[1998])"], parents=True)
+
+    q["q07_tuple_slicer"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Revenue"], drilldown=["Part.Brand"],
+        cut=["[Customer].[Region].[ASIA]", "[Return Flag].[R]"])
+
+    q["q08_descendants_union"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Revenue"], drilldown=["Customer.Customer"],
+        cut=["{[Customer].[Region].[&2],[Customer].[Region].[&3]}"])
+
+    q["q09_having"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Revenue", "Line Count"],
+        drilldown=["Customer.Nation"], filter=["Revenue > 20000000"])
+
+    q["q10_order_limit"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Revenue"], drilldown=["Part.Brand"],
+        order="Revenue", order_desc=True, offset=2, limit=5)
+
+    q["q11_order_property"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Quantity"], drilldown=["Supplier.Supplier"],
+        properties=["Supplier.Supplier.Account Balance"],
+        order="Supplier.Supplier.Account Balance", order_desc=True, limit=5)
+
+    q["q12_distinct_count"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Customer Count", "Line Count"],
+        drilldown=["Supplier.Nation"])
+
+    q["q13_year_revenue"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Revenue"], drilldown=["Time.Year"])
+
+    q["q14_calc_member"] = lambda s, d: _agg(
+        s, d, cube="Sales",
+        measures=["Extended Price", "Line Count", "Avg Price"],
+        drilldown=["Part.Brand"])
+
+    q["q15_lag_prev_period"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Revenue", "Revenue Prev Period"],
+        drilldown=["Customer.Region", "Time.Year"])
+
+    q["q16_named_set_topcount"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Revenue", "Quantity"],
+        drilldown=["Customer.Customer"], cut=["[Top5 Customers]"])
+
+    q["q17_dense_axes"] = lambda s, d: _agg(
+        s, d, cube="Orders", measures=["Total Price", "Order Count"],
+        drilldown=["Customer.Region", "Order Status"], nonempty=False)
+
+    q["q18_virtual_cube"] = lambda s, d: _agg(
+        s, d, cube="Orders and Sales",
+        measures=["Revenue", "Total Price", "Order Count"],
+        drilldown=["Customer.Nation"])
+
+    q["q19_weekly_hierarchy"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Revenue"],
+        drilldown=["Time.Weekly.Week"], parents=True)
+
+    q["q20_properties"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Revenue"], drilldown=["Customer.Customer"],
+        properties=["Customer.Customer.Market Segment",
+                    "Customer.Customer.Account Balance"],
+        cut=["[Customer].[Region].[&2]"])
+
+    q["q21_caption_substitution"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Quantity"], drilldown=["Part.Part"],
+        caption=["Part.Part.Type"])
+
+    q["q22_level_members"] = lambda s, d: MB.level_members(
+        s, d, CAT, "Sales", "Customer", "Nation")
+
+    q["q23_member_children"] = lambda s, d: MB.member_children(
+        s, d, CAT, "Sales", "Customer", "Region", 2)
+
+    q["q24_orders_totals"] = lambda s, d: _agg(
+        s, d, cube="Orders",
+        measures=["Total Price", "Order Count", "Ordering Customers",
+                  "Avg Order Value"])
+
+    q["q25_sparse_skip"] = lambda s, d: _agg(
+        s, d, cube="Orders", measures=["Total Price", "Order Count"],
+        drilldown=["Customer.Region", "Order Status"], nonempty=False,
+        sparse=True)
+
+    # ---- event-time windows (extension; SURVEY §2.11/§7.3 step 10) ----
+    q["w01_tumbling_day"] = lambda s, d: windows.tumbling(
+        load_table(s, d, "events"), "1 day")
+    q["w02_sliding_2d_1d"] = lambda s, d: windows.sliding(
+        load_table(s, d, "events"), "2 days", "1 day")
+    q["w03_session_30m"] = lambda s, d: windows.sessionized(
+        load_table(s, d, "events"), "30 minutes")
+
+    # ---- dedup suite ----
+    q["d01_exact_dups"] = lambda s, d: dedup.exact_duplicate_groups(
+        load_table(s, d, "documents"))
+    q["d02_neardup_brute"] = lambda s, d: dedup.neardup_bruteforce(
+        load_table(s, d, "documents"), threshold=0.5)
+    q["d03_neardup_minhash_lsh"] = lambda s, d: dedup.neardup_minhash_lsh(
+        load_table(s, d, "documents"), threshold=0.5)
+    q["d04_neardup_simhash"] = lambda s, d: dedup.neardup_simhash(
+        load_table(s, d, "documents"), max_hamming=3)
+    q["d05_embedding_neardup"] = lambda s, d: similarity.embedding_neardup(
+        load_table(s, d, "embeddings"), threshold=0.4)
+
+    # ---- similarity search ----
+    q["s01_cosine_topk"] = lambda s, d: similarity.cosine_topk(
+        load_table(s, d, "embeddings"), query_vec_id=7, k=10)
+    q["s02_ann_lsh_topk"] = lambda s, d: similarity.ann_topk_lsh(
+        load_table(s, d, "embeddings"), query_vec_id=7, k=10)
+
+    # ---- text analysis ----
+    q["t01_token_stats"] = lambda s, d: textstats.token_stats(
+        load_table(s, d, "documents"))
+    q["t02_language_id"] = lambda s, d: textstats.language_id(
+        load_table(s, d, "documents"))
+    q["t03_quality_score"] = lambda s, d: textstats.quality_score(
+        load_table(s, d, "documents"))
+    q["t04_fingerprint"] = lambda s, d: textstats.fingerprint(
+        load_table(s, d, "documents"))
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = lambda lang: ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang])
+    shingles = (
+        "SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+        "for i in range(1, len(w) - 1)]) AS s "
+        f"FROM (SELECT doc_id, {TOKENS} AS w FROM documents) "
+        "WHERE len(w) >= 3")
+    neardup = f"""
+        WITH sh AS ({shingles})
+        SELECT a_id, b_id, jaccard FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 round(len(list_intersect(a.s, b.s)) * 1.0 /
+                       len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.5"""
+
+    return {
+        "q01_totals": f"""
+            SELECT {DEC('l_quantity')} AS sum_qty,
+                   {DEC('l_extendedprice')} AS sum_price,
+                   COUNT(l_linenumber) AS line_count,
+                   COUNT(DISTINCT o_custkey) AS customer_count,
+                   {REVENUE} AS revenue,
+                   MAX(l_quantity) AS max_qty,
+                   ROUND({DEC('l_discount')} / COUNT(l_linenumber), 6) AS avg_disc
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+        "q02_region_revenue": f"""
+            SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                   {REVENUE} AS revenue
+            FROM {J_CUST} GROUP BY 1, 2""",
+        "q03_crossjoin_3d": f"""
+            SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                   l_returnflag,
+                   CAST(year(l_shipdate) AS INTEGER) AS "year",
+                   {REVENUE} AS revenue, COUNT(l_linenumber) AS line_count
+            FROM {J_CUST} GROUP BY 1, 2, 3, 4""",
+        "q04_cut_member": f"""
+            SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   {DEC('l_quantity')} AS sum_qty,
+                   COUNT(l_linenumber) AS line_count,
+                   COUNT(DISTINCT o_custkey) AS customer_count
+            FROM {J_CUST} WHERE r_regionkey = 2 GROUP BY 1, 2""",
+        "q05_cut_set": f"""
+            SELECT CAST(year(l_shipdate) AS INTEGER) AS "year", {REVENUE} AS revenue
+            FROM {J_CUST} WHERE r_name IN ('AMERICA', 'EUROPE') GROUP BY 1""",
+        "q06_cut_range": f"""
+            SELECT CAST(year(l_shipdate) AS INTEGER) AS "year",
+                   CAST(quarter(l_shipdate) AS INTEGER) AS "quarter",
+                   CAST(month(l_shipdate) AS INTEGER) AS "month",
+                   {REVENUE} AS revenue
+            FROM lineitem WHERE year(l_shipdate) BETWEEN 1996 AND 1998
+            GROUP BY 1, 2, 3""",
+        "q07_tuple_slicer": f"""
+            SELECT p_brand, {REVENUE} AS revenue
+            FROM {J_CUST} JOIN part ON l_partkey = p_partkey
+            WHERE r_name = 'ASIA' AND l_returnflag = 'R' GROUP BY 1""",
+        "q08_descendants_union": f"""
+            SELECT c_custkey, c_name, {REVENUE} AS revenue
+            FROM {J_CUST} WHERE r_regionkey IN (2, 3) GROUP BY 1, 2""",
+        "q09_having": f"""
+            SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   {REVENUE} AS revenue, COUNT(l_linenumber) AS line_count
+            FROM {J_CUST} GROUP BY 1, 2
+            HAVING {REVENUE} > 20000000""",
+        "q10_order_limit": f"""
+            SELECT p_brand, {REVENUE} AS revenue
+            FROM {J_PART} GROUP BY 1
+            ORDER BY revenue DESC, p_brand LIMIT 5 OFFSET 2""",
+        "q11_order_property": f"""
+            SELECT s_suppkey, s_name, s_acctbal, {DEC('l_quantity')} AS sum_qty
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1, 2, 3 ORDER BY s_acctbal DESC, s_suppkey LIMIT 5""",
+        "q12_distinct_count": f"""
+            SELECT n_nationkey AS supp_nation_key, n_name AS supp_nation,
+                   COUNT(DISTINCT o_custkey) AS customer_count,
+                   COUNT(l_linenumber) AS line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2""",
+        "q13_year_revenue": f"""
+            SELECT CAST(year(l_shipdate) AS INTEGER) AS "year", {REVENUE} AS revenue
+            FROM lineitem GROUP BY 1""",
+        "q14_calc_member": f"""
+            SELECT p_brand, sum_price, line_count,
+                   sum_price / line_count AS avg_price
+            FROM (SELECT p_brand, {DEC('l_extendedprice')} AS sum_price,
+                         COUNT(l_linenumber) AS line_count
+                  FROM {J_PART} GROUP BY 1)""",
+        "q15_lag_prev_period": f"""
+            WITH agg AS (
+              SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                     CAST(year(l_shipdate) AS INTEGER) AS "year",
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2, 3)
+            SELECT cust_region_key, cust_region, "year", revenue,
+                   lag(revenue) OVER (PARTITION BY cust_region_key
+                                      ORDER BY "year") AS revenue_prev
+            FROM agg""",
+        "q16_named_set_topcount": f"""
+            WITH top5 AS (
+              SELECT o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_custkey
+              ORDER BY {REVENUE} DESC, o_custkey LIMIT 5)
+            SELECT c_custkey, c_name, {REVENUE} AS revenue,
+                   {DEC('l_quantity')} AS sum_qty
+            FROM {J_CUST}
+            WHERE o_custkey IN (SELECT o_custkey FROM top5)
+            GROUP BY 1, 2""",
+        "q17_dense_axes": f"""
+            WITH regions AS (
+              SELECT DISTINCT r_regionkey AS cust_region_key, r_name AS cust_region
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey),
+            sts AS (SELECT DISTINCT o_orderstatus FROM orders),
+            agg AS (
+              SELECT r_regionkey AS k, o_orderstatus AS st,
+                     {DEC('o_totalprice')} AS total_price,
+                     COUNT(o_orderkey) AS order_count
+              FROM {J_ORD_CUST} GROUP BY 1, 2)
+            SELECT r.cust_region_key, r.cust_region, s.o_orderstatus,
+                   a.total_price, a.order_count
+            FROM regions r CROSS JOIN sts s
+            LEFT JOIN agg a ON a.k = r.cust_region_key AND a.st = s.o_orderstatus""",
+        "q18_virtual_cube": f"""
+            SELECT cust_nation_key, cust_nation, revenue, total_price, order_count
+            FROM (SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                         {REVENUE} AS revenue
+                  FROM {J_CUST} GROUP BY 1, 2) sales
+            FULL JOIN (SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                              {DEC('o_totalprice')} AS total_price,
+                              COUNT(o_orderkey) AS order_count
+                       FROM {J_ORD_CUST} GROUP BY 1, 2) ords
+            USING (cust_nation_key, cust_nation)""",
+        "q19_weekly_hierarchy": f"""
+            SELECT CAST(year(l_shipdate) AS INTEGER) AS "year",
+                   CAST(weekofyear(l_shipdate) AS INTEGER) AS "week",
+                   {REVENUE} AS revenue
+            FROM lineitem GROUP BY 1, 2""",
+        "q20_properties": f"""
+            SELECT c_custkey, c_name, c_mktsegment, c_acctbal, {REVENUE} AS revenue
+            FROM {J_CUST} WHERE r_regionkey = 2 GROUP BY 1, 2, 3, 4""",
+        "q21_caption_substitution": f"""
+            SELECT p_partkey, p_type AS p_name, {DEC('l_quantity')} AS sum_qty
+            FROM {J_PART} GROUP BY 1, 2""",
+        "q22_level_members": """
+            SELECT DISTINCT n_nationkey AS cust_nation_key, n_name AS cust_nation
+            FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+        "q23_member_children": """
+            SELECT DISTINCT n_nationkey AS cust_nation_key, n_name AS cust_nation
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_regionkey = 2""",
+        "q24_orders_totals": f"""
+            SELECT total_price, order_count, order_customers,
+                   total_price / order_count AS avg_order_value
+            FROM (SELECT {DEC('o_totalprice')} AS total_price,
+                         COUNT(o_orderkey) AS order_count,
+                         COUNT(DISTINCT o_custkey) AS order_customers
+                  FROM orders)""",
+        "q25_sparse_skip": f"""
+            SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                   o_orderstatus, {DEC('o_totalprice')} AS total_price,
+                   COUNT(o_orderkey) AS order_count
+            FROM {J_ORD_CUST} GROUP BY 1, 2, 3""",
+        "w01_tumbling_day": f"""
+            SELECT date_trunc('day', ts) AS win_start,
+                   {DEC('value')} AS sum_value,
+                   COUNT(event_id) AS event_count,
+                   COUNT(DISTINCT user_id) AS user_count
+            FROM events GROUP BY 1""",
+        "w02_sliding_2d_1d": f"""
+            SELECT ws AS win_start, {DEC('value')} AS sum_value,
+                   COUNT(event_id) AS event_count,
+                   COUNT(DISTINCT user_id) AS user_count
+            FROM (SELECT e.*, date_trunc('day', ts) - i.i * INTERVAL 1 DAY AS ws
+                  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) i)
+            GROUP BY ws""",
+        "w03_session_30m": f"""
+            WITH marked AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT user_id, MIN(ts) AS session_start,
+                   {DEC('value')} AS sum_value,
+                   COUNT(event_id) AS event_count
+            FROM sess GROUP BY user_id, sid""",
+        "d01_exact_dups": """
+            SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+                   COUNT(*) AS dup_count
+            FROM documents GROUP BY 1""",
+        "d02_neardup_brute": neardup,
+        "d03_neardup_minhash_lsh": neardup,
+        "d05_embedding_neardup": """
+            SELECT a_id, b_id, cosine FROM (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     round(list_cosine_similarity(
+                         a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE cosine >= 0.4""",
+        "s01_cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7)),
+                     6) AS cosine
+            FROM embeddings WHERE vec_id <> 7
+            ORDER BY cosine DESC, vec_id LIMIT 10""",
+        "t01_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({TOKENS}) AS INTEGER) AS n_tokens,
+                   CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                        x -> x <> '')) AS INTEGER) AS n_subword_pieces,
+                   CAST(length(text) AS INTEGER) AS n_chars_measured,
+                   round(length(text) * 1.0 / len({TOKENS}), 6) AS chars_per_token
+            FROM documents""",
+        "t02_language_id": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(len(list_intersect({TOKENS}, [{sw('en')}])) AS INTEGER) AS en_hits,
+                     CAST(len(list_intersect({TOKENS}, [{sw('de')}])) AS INTEGER) AS de_hits,
+                     CAST(len(list_intersect({TOKENS}, [{sw('fr')}])) AS INTEGER) AS fr_hits,
+                     CAST(len(list_intersect({TOKENS}, [{sw('es')}])) AS INTEGER) AS es_hits
+              FROM documents)
+            SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+                   CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0
+                        THEN 'unknown'
+                        WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                        THEN 'en'
+                        WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                        THEN 'de'
+                        WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                        THEN 'fr'
+                        ELSE 'es' END AS predicted_lang
+            FROM h""",
+        "t03_quality_score": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len({TOKENS}) AS INTEGER) AS n_tokens,
+                     round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 /
+                           greatest(length(text), 1), 6) AS punct_ratio,
+                     round(len(list_filter({TOKENS},
+                           t -> list_contains([{sw('en')}], t))) * 1.0 /
+                           greatest(len({TOKENS}), 1), 6) AS stopword_ratio,
+                     round(list_sum(list_transform({TOKENS}, t -> length(t))) * 1.0 /
+                           greatest(len({TOKENS}), 1), 6) AS mean_word_len
+              FROM documents)
+            SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_word_len,
+                   round((CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END) +
+                         (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END) +
+                         (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END) +
+                         (CASE WHEN stopword_ratio >= 0.02 THEN 0.25 ELSE 0.0 END),
+                         2) AS quality
+            FROM t""",
+        "t04_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents""",
+        # d04 (simhash) and s02 (ANN) are engine-hash-dependent /
+        # approximate by construction -> rows-only checks.
+    }

@@ -1,0 +1,282 @@
+"""Cube catalog: the logical data model of the engine.
+
+Replaces the reference's Mondrian XML catalog (reference:
+spec/fixtures/foodmart.xml:1-819, webshop.xml:1-54; serialized by
+lib/mondrian_rest/mondrian_ext.rb:35-152) with plain Python dataclasses.
+Physical binding is Parquet tables read as DataFrames; snowflake
+dimension chains (reference foodmart.xml:71-75 `<Join>`) are
+pre-flattened into one denormalized dimension frame at attach time so
+every downstream operation is a single equi-join against the fact.
+
+Scale notes (100 TB design):
+- Dimension frames are built lazily and joined with the fact via plain
+  equi-joins.  Truly bounded dims (region/nation-sized) carry
+  ``broadcastable=True`` and get an explicit ``F.broadcast`` hint;
+  unbounded dims (customer/part at TPC-H sf100k) are left to AQE, which
+  converts to broadcast at runtime only when the build side is small.
+- Bridge joins (fact->orders to reach customer from lineitem) scale with
+  the fact, so they are never broadcast; co-locate them with bucketing
+  on the join key in a real deployment (see sources/registry.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Property:
+    """A typed member property (reference: foodmart.xml:23-30, Level
+    `<Property>`; listed via mondrian_ext.rb:148-152)."""
+
+    name: str     # public name, e.g. "Market Segment"
+    column: str   # physical column (or SQL expr) in the dimension frame
+    alias: str    # stable output column name
+
+
+@dataclass(frozen=True)
+class Level:
+    """One level of a hierarchy (reference: mondrian_ext.rb:125-146).
+
+    ``key`` / ``caption`` / ``ordinal`` are SQL expressions over the
+    dimension frame (table dims) or the fact frame (degenerate /
+    derived-time dims, reference foodmart.xml:418-433).
+    """
+
+    name: str
+    key: str
+    key_alias: str
+    caption: str | None = None
+    caption_alias: str | None = None
+    ordinal: str | None = None          # sort expr; defaults to key
+    properties: tuple[Property, ...] = ()
+
+    @property
+    def ordinal_expr(self) -> str:
+        return self.ordinal or self.key
+
+    def out_cols(self) -> list[tuple[str, str]]:
+        """(expr, alias) pairs this level contributes to a result row."""
+        cols = [(self.key, self.key_alias)]
+        if self.caption and self.caption_alias and self.caption_alias != self.key_alias:
+            cols.append((self.caption, self.caption_alias))
+        return cols
+
+    def find_property(self, name: str) -> Property:
+        for p in self.properties:
+            if p.name.lower() == name.lower() or p.alias == name:
+                return p
+        raise KeyError(f"property {name!r} not found on level {self.name!r}")
+
+
+@dataclass(frozen=True)
+class Hierarchy:
+    """Ordered levels root->leaf (reference: mondrian_ext.rb:87-105;
+    hasAll flag foodmart.xml:169)."""
+
+    name: str
+    levels: tuple[Level, ...]
+    has_all: bool = True
+    all_member_name: str | None = None
+
+    def level(self, name: str) -> Level:
+        for lv in self.levels:
+            if lv.name.lower() == name.lower():
+                return lv
+        raise KeyError(f"level {name!r} not in hierarchy {self.name!r}")
+
+    def level_index(self, name: str) -> int:
+        for i, lv in enumerate(self.levels):
+            if lv.name.lower() == name.lower():
+                return i
+        raise KeyError(name)
+
+
+@dataclass(frozen=True)
+class Dimension:
+    """A dimension and its physical binding.
+
+    - Table dim: ``tables`` is a snowflake chain
+      ``((table, None, None), (table2, left_key, right_key), ...)``
+      flattened into one frame keyed by ``dim_pk``; joined to the fact
+      on ``fact_fk == dim_pk`` (reference: DimensionUsage foreignKey,
+      webshop.xml:45-48; snowflake Join foodmart.xml:71-75).
+    - Degenerate / derived dim: ``tables`` empty; level exprs evaluate
+      directly over fact columns (reference: foodmart.xml:413-433).
+    - ``bridge``: name of the cube bridge that must be joined first for
+      ``fact_fk`` to exist (e.g. lineitem->orders to reach o_custkey).
+    """
+
+    name: str
+    hierarchies: tuple[Hierarchy, ...]
+    tables: tuple[tuple[str, str | None, str | None], ...] = ()
+    fact_fk: str | None = None
+    dim_pk: str | None = None
+    bridge: str | None = None
+    broadcastable: bool = False   # force broadcast hint (bounded-size dims only)
+    time_dimension: bool = False  # analog of type="TimeDimension"
+
+    @property
+    def is_degenerate(self) -> bool:
+        return not self.tables
+
+    def default_hierarchy(self) -> Hierarchy:
+        return self.hierarchies[0]
+
+    def hierarchy(self, name: str) -> Hierarchy:
+        for h in self.hierarchies:
+            if h.name.lower() == name.lower():
+                return h
+        raise KeyError(f"hierarchy {name!r} not in dimension {self.name!r}")
+
+
+@dataclass(frozen=True)
+class Measure:
+    """Aggregator over a fact expression (reference: foodmart.xml:295-344;
+    aggregators sum/count/distinct-count + SQL MeasureExpression)."""
+
+    name: str
+    alias: str
+    agg: str            # sum | count | count_distinct | avg | min | max
+    expr: str           # SQL expr over fact(+bridge) columns
+    bridge: str | None = None
+    format_string: str | None = None
+    # Cast applied to the aggregated result.  Money-style sums use
+    # DECIMAL input exprs (exact, order-independent — a float sum is
+    # partition-order dependent at scale) and cast back to double here.
+    result_cast: str | None = None
+
+    VALID_AGGS = ("sum", "count", "count_distinct", "avg", "min", "max")
+
+    def __post_init__(self) -> None:
+        if self.agg not in self.VALID_AGGS:
+            raise ValueError(f"bad aggregator {self.agg!r} for measure {self.name!r}")
+
+
+@dataclass(frozen=True)
+class CalculatedMember:
+    """Post-aggregation formula over measure aliases (reference:
+    foodmart.xml:345-366 Profit / Profit last Period with PREVMEMBER).
+
+    Either ``expr`` (plain arithmetic over earlier aliases) or
+    ``lag_of``+``lag_dim`` (PREVMEMBER: value of ``lag_of`` at the
+    previous member of ``lag_dim``'s drilldown levels, computed with a
+    window ``lag`` partitioned by the non-time axis keys).
+    """
+
+    name: str
+    alias: str
+    expr: str | None = None
+    lag_of: str | None = None
+    lag_dim: str | None = None
+
+
+@dataclass(frozen=True)
+class NamedSet:
+    """Stored TopCount set (reference: foodmart.xml:405-410
+    `TopCount([Warehouse].[Warehouse Name].MEMBERS, 5, ...)`)."""
+
+    name: str
+    dimension: str
+    level: str
+    top_by: str          # measure name/alias ranked by
+    k: int
+    ascending: bool = False
+
+
+@dataclass(frozen=True)
+class Bridge:
+    """An intermediate fact-side join that exposes extra columns on the
+    fact (e.g. lineitem ⋈ orders exposes o_custkey).  Scales with the
+    fact — never broadcast; bucket both sides on the key at scale."""
+
+    name: str
+    table: str
+    fact_key: str
+    bridge_key: str
+    provides: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Cube:
+    """Fact table + dimensions + measures (reference: mondrian_ext.rb:35-82
+    Cube#to_h; fact binding foodmart.xml:117-128)."""
+
+    name: str
+    fact: str
+    dimensions: tuple[Dimension, ...]
+    measures: tuple[Measure, ...]
+    bridges: tuple[Bridge, ...] = ()
+    calc_members: tuple[CalculatedMember, ...] = ()
+    named_sets: tuple[NamedSet, ...] = ()
+    annotations: dict = field(default_factory=dict)
+
+    def dimension(self, name: str) -> Dimension:
+        for d in self.dimensions:
+            if d.name.lower() == name.lower():
+                return d
+        raise KeyError(f"dimension {name!r} not in cube {self.name!r}")
+
+    def measure(self, name: str) -> Measure:
+        for m in self.measures:
+            if m.name.lower() == name.lower() or m.alias == name:
+                return m
+        raise KeyError(f"measure {name!r} not in cube {self.name!r}")
+
+    def calc_member(self, name: str) -> CalculatedMember | None:
+        for c in self.calc_members:
+            if c.name.lower() == name.lower() or c.alias == name:
+                return c
+        return None
+
+    def named_set(self, name: str) -> NamedSet | None:
+        for s in self.named_sets:
+            if s.name.lower() == name.lower():
+                return s
+        return None
+
+    def bridge(self, name: str) -> Bridge:
+        for b in self.bridges:
+            if b.name == name:
+                return b
+        raise KeyError(f"bridge {name!r} not in cube {self.name!r}")
+
+    @property
+    def default_measure(self) -> Measure:
+        return self.measures[0]
+
+
+@dataclass(frozen=True)
+class VirtualCube:
+    """Drill-across union of two cubes over conformed dimensions
+    (reference: foodmart.xml:758-790 'Warehouse and Sales').
+
+    Conformed dims must use identical level aliases in both base cubes
+    so the per-cube aggregates full-outer-join on the alias columns.
+    """
+
+    name: str
+    cube_names: tuple[str, str]
+    conformed_dimensions: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Catalog:
+    """Named set of cubes (reference: schema element foodmart.xml:2;
+    listing api.rb:76-80)."""
+
+    name: str
+    cubes: tuple[Cube, ...]
+    virtual_cubes: tuple[VirtualCube, ...] = ()
+
+    def cube(self, name: str) -> Cube:
+        for c in self.cubes:
+            if c.name.lower() == name.lower():
+                return c
+        raise KeyError(f"cube {name!r} not in catalog {self.name!r}")
+
+    def virtual_cube(self, name: str) -> VirtualCube | None:
+        for v in self.virtual_cubes:
+            if v.name.lower() == name.lower():
+                return v
+        return None

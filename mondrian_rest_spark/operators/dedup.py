@@ -1,0 +1,154 @@
+"""Deduplication operators over a documents table.
+
+Everything here is pure DataFrame API — shingling, MinHash, SimHash and
+banding are all Spark SQL higher-order functions (transform/aggregate),
+so the hot path never leaves the JVM and whole-stage codegen applies.
+
+Scale design:
+- Exact dedup: one hash-groupBy shuffle on a 128-bit content hash.
+- MinHash-LSH: O(n) signature computation, then a band-bucket
+  self-join — shuffle is on (band_idx, band_signature), so only
+  near-duplicate candidates ever meet; no O(n^2) anywhere.  With
+  num_hashes=32 / bands=16 (r=2), a pair at jaccard 0.8 is missed with
+  probability (1-0.8^2)^16 ≈ 8e-8 — effectively exact for the
+  verify-threshold regime, and false positives are removed by an exact
+  jaccard verification on the candidate pairs only.
+- SimHash: 64-bit signature; candidates via 4x16-bit chunk banding
+  (pigeonhole: hamming distance <= 3 implies an equal chunk).
+- Brute-force variants exist as correctness oracles only — quadratic,
+  never the scale path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  out_col: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingles per document (JVM-side)."""
+    shingle_expr = (
+        f"array_distinct(transform(sequence(1, greatest(size(split({text_col}, "
+        f"'\\\\s+')) - {n - 1}, 0)), i -> "
+        f"concat_ws(' ', " +
+        ", ".join(f"element_at(split({text_col}, '\\\\s+'), i + {k})" for k in range(n)) +
+        ")))"
+    )
+    return df.withColumn(out_col, F.expr(shingle_expr))
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one hash-groupBy.  Returns one row
+    per distinct content with the canonical keeper (min id) and the
+    duplicate count."""
+    return (df
+            .groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def deduplicate_exact(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct content (min id wins): semi-join the
+    keeper set back — no wide row shuffles beyond the group keys."""
+    keep = exact_duplicate_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def _jaccard(a: str, b: str):
+    return (F.size(F.array_intersect(F.col(a), F.col(b))) /
+            F.size(F.array_union(F.col(a), F.col(b))))
+
+
+def neardup_bruteforce(df: DataFrame, threshold: float = 0.5,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 3) -> DataFrame:
+    """O(n^2) shingle-jaccard pairs — the correctness oracle for the LSH
+    path.  Quadratic: never use beyond ~10^4 docs."""
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col), F.col("shingles")).filter(F.size("shingles") > 0)
+    a = sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("sb"))
+    pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    return (pairs
+            .withColumn("jaccard", F.round(_jaccard("sa", "sb"), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard"))
+
+
+def neardup_minhash_lsh(df: DataFrame, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, num_hashes: int = 32,
+                        bands: int = 16) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, verified with exact
+    jaccard on candidates only.  Signature/banding entirely in Spark SQL
+    higher-order functions; the only shuffles are the band-bucket join
+    and the final candidate verification join."""
+    rows = num_hashes // bands
+    sh = (with_shingles(df, text_col, n)
+          .select(F.col(id_col), F.col("shingles"))
+          .filter(F.size("shingles") > 0))
+    # 32 minhashes: per salt j, min over shingles of xxhash64(shingle, j)
+    mh = sh.withColumn("minhashes", F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"j -> array_min(transform(shingles, x -> xxhash64(x, j))))"))
+    # band signature = hash of the band's slice of the signature
+    bands_df = mh.select(
+        F.col(id_col), F.col("shingles"),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> xxhash64(concat_ws(',', slice(minhashes, b * {rows} + 1, {rows})), b))"
+        )).alias("band_idx", "band_sig"))
+    left = bands_df.select(F.col(id_col).alias("a_id"), "band_idx", "band_sig",
+                           F.col("shingles").alias("sa"))
+    right = bands_df.select(F.col(id_col).alias("b_id"), "band_idx", "band_sig",
+                            F.col("shingles").alias("sb"))
+    cand = (left.join(right, on=["band_idx", "band_sig"], how="inner")
+                .filter(F.col("a_id") < F.col("b_id"))
+                .select("a_id", "b_id", "sa", "sb")
+                .dropDuplicates(["a_id", "b_id"]))
+    return (cand
+            .withColumn("jaccard", F.round(_jaccard("sa", "sb"), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard"))
+
+
+def with_simhash(df: DataFrame, text_col: str = "text",
+                 out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash from token xxhash64 values — bit votes computed
+    with nested transform/aggregate, no Python in the loop."""
+    return df.withColumn("__tok_hashes", F.expr(
+        f"transform(array_distinct(split({text_col}, '\\\\s+')), t -> xxhash64(t))"
+    )).withColumn(out_col, F.expr(
+        "aggregate(transform(sequence(0, 63), i -> "
+        "  case when aggregate(__tok_hashes, 0, (acc, h) -> "
+        "    acc + case when ((h >> i) & 1) = 1 then 1 else -1 end) > 0 "
+        "  then 1L else 0L end), "
+        "0L, (acc, bit) -> (acc << 1) | bit)"  # shiftleft wraps (ANSI-safe)
+    )).drop("__tok_hashes")
+
+
+def neardup_simhash(df: DataFrame, max_hamming: int = 3,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup pairs: 4x16-bit chunk banding (pigeonhole
+    guarantees recall for hamming <= 3), then exact hamming verify via
+    bit_count(xor) on candidates only."""
+    sh = with_simhash(df, text_col).select(id_col, "simhash")
+    chunks = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.expr(
+            "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"
+        )).alias("chunk_idx", "chunk_val"))
+    left = chunks.select(F.col(id_col).alias("a_id"), "chunk_idx", "chunk_val",
+                         F.col("simhash").alias("ha"))
+    right = chunks.select(F.col(id_col).alias("b_id"), "chunk_idx", "chunk_val",
+                          F.col("simhash").alias("hb"))
+    return (left.join(right, on=["chunk_idx", "chunk_val"], how="inner")
+                .filter(F.col("a_id") < F.col("b_id"))
+                .dropDuplicates(["a_id", "b_id"])
+                .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+                .filter(F.col("hamming") <= max_hamming)
+                .select("a_id", "b_id", "hamming"))

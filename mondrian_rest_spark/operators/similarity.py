@@ -1,0 +1,99 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is
+random-hyperplane LSH bucketing (sign-bit signatures) so the probe only
+scans one bucket.  Dot products use zip_with/aggregate over
+double-cast arrays — sequential left-fold, so results are bit-stable
+and reproducible across engines.
+
+At 100 TB: bucket the corpus by signature (write partitioned/bucketed
+parquet), broadcast the query vector(s), and scan only matching
+buckets; for batched query sets, join on signature instead.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _as_double(col: str) -> str:
+    return f"transform({col}, x -> cast(x as double))"
+
+
+def with_cosine(df: DataFrame, query_col: str, vec_col: str = "embedding",
+                out_col: str = "cosine") -> DataFrame:
+    """cosine(vec_col, query_col) via JVM higher-order functions."""
+    dot = (f"aggregate(zip_with({_as_double(vec_col)}, {_as_double(query_col)}, "
+           f"(x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    na = (f"sqrt(aggregate({_as_double(vec_col)}, 0D, (acc, x) -> acc + x * x))")
+    nb = (f"sqrt(aggregate({_as_double(query_col)}, 0D, (acc, x) -> acc + x * x))")
+    return df.withColumn(out_col, F.expr(f"({dot}) / (({na}) * ({nb}))"))
+
+
+def cosine_topk(df: DataFrame, query_vec_id: int, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force exact top-k by cosine against one stored vector.
+    The single-row query side is broadcast; orderBy+limit lets Spark run
+    a TakeOrdered (no full sort).  Deterministic tie-break on id."""
+    q = df.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__query_vec"))
+    scored = (df.filter(F.col(id_col) != query_vec_id)
+                .crossJoin(F.broadcast(q)))
+    scored = with_cosine(scored, "__query_vec", vec_col)
+    return (scored
+            .select(id_col, F.round(F.col("cosine"), 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k))
+
+
+def with_lsh_signature(df: DataFrame, vec_col: str = "embedding",
+                       num_planes: int = 8, dim: int = 64,
+                       out_col: str = "bucket") -> DataFrame:
+    """Random-hyperplane LSH signature: sign bits of dot products with
+    ``num_planes`` pseudo-random hyperplanes.  Plane components are
+    derived deterministically from xxhash64 so the signature is stable
+    across runs/engines — no RNG state to ship to executors."""
+    plane = (lambda p: f"transform(sequence(0, {dim - 1}), "
+             f"i -> cast(xxhash64(concat('plane{p}_', i)) as double) / 9.3e18)")
+    bits = ", ".join(
+        f"case when aggregate(zip_with({_as_double(vec_col)}, {plane(p)}, "
+        f"(x, y) -> x * y), 0D, (acc, v) -> acc + v) > 0 then 1L else 0L end"
+        for p in range(num_planes))
+    return df.withColumn(out_col, F.expr(
+        f"aggregate(array({bits}), 0L, (acc, b) -> acc * 2 + b)"))
+
+
+def ann_topk_lsh(df: DataFrame, query_vec_id: int, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 num_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Approximate top-k: restrict the scan to the query's LSH bucket,
+    then exact cosine within it.  Recall < 1 by construction (that is
+    the approximation); at scale the bucket is a partition-pruned read
+    instead of a full scan."""
+    sig = with_lsh_signature(df, vec_col, num_planes, dim)
+    qrow = sig.filter(F.col(id_col) == query_vec_id).select(
+        F.col("bucket").alias("__qbucket"), F.col(vec_col).alias("__query_vec"))
+    cand = (sig.crossJoin(F.broadcast(qrow))
+               .filter((F.col("bucket") == F.col("__qbucket")) &
+                       (F.col(id_col) != query_vec_id)))
+    cand = with_cosine(cand, "__query_vec", vec_col)
+    return (cand
+            .select(id_col, F.round(F.col("cosine"), 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k))
+
+
+def embedding_neardup(df: DataFrame, threshold: float = 0.45,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All pairs above a cosine threshold.  Brute force (oracle /
+    small-n); the scale path reuses the LSH buckets: self-join on
+    bucket, verify cosine within."""
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    pairs = with_cosine(pairs, "vb", "va")
+    return (pairs
+            .withColumn("cosine", F.round(F.col("cosine"), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("a_id", "b_id", "cosine"))

@@ -1,0 +1,98 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language ID (n-gram/stopword heuristic), and document
+fingerprinting.  All built-in Spark SQL functions — no Python UDFs —
+so they run inside whole-stage codegen and scale linearly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# Tiny per-language stopword lists for the heuristic language ID.
+# Deliberately simple + deterministic (SQL-replicable for the oracle).
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ich", "ein", "zu", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "que", "por", "para"),
+}
+
+TOKEN_SPLIT = r"\s+"
+
+
+def with_tokens(df: DataFrame, text_col: str = "text",
+                out_col: str = "__tokens") -> DataFrame:
+    return df.withColumn(out_col, F.split(F.trim(F.col(text_col)), TOKEN_SPLIT))
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: whitespace token count, a BPE-ish
+    subword estimate (word-piece regex), char count, mean token length."""
+    d = with_tokens(df, text_col)
+    return d.select(
+        F.col(id_col),
+        F.size("__tokens").alias("n_tokens"),
+        # BPE-ish proxy: alpha runs + digit runs + punctuation are
+        # separate pieces (cheap deterministic stand-in for a real BPE)
+        F.size(F.expr(
+            f"filter(split({text_col}, '[^A-Za-z0-9]+'), x -> x <> '')"
+        )).alias("n_subword_pieces"),
+        F.length(text_col).alias("n_chars_measured"),
+        F.round(F.length(text_col) / F.size("__tokens"), 6).alias("chars_per_token"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Composite quality heuristics: length, punctuation density,
+    stopword ratio, mean word length — the classic cheap pre-filters in
+    a training-data pipeline."""
+    d = with_tokens(df, text_col)
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    d = (d
+         .withColumn("n_tokens", F.size("__tokens"))
+         .withColumn("punct_ratio", F.round(
+             F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", "")) /
+             F.greatest(F.length(text_col), F.lit(1)), 6))
+         .withColumn("stopword_ratio", F.round(
+             F.expr(f"size(filter(__tokens, t -> t in ({en})))") /
+             F.greatest(F.size("__tokens"), F.lit(1)), 6))
+         .withColumn("mean_word_len", F.round(
+             F.expr("aggregate(__tokens, 0L, (acc, t) -> acc + length(t))") /
+             F.greatest(F.size("__tokens"), F.lit(1)), 6)))
+    score = (F.when(F.col("n_tokens") >= 10, F.lit(0.25)).otherwise(F.lit(0.0)) +
+             F.when(F.col("punct_ratio") <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0)) +
+             F.when(F.col("mean_word_len").between(3, 12), F.lit(0.25)).otherwise(F.lit(0.0)) +
+             F.when(F.col("stopword_ratio") >= 0.02, F.lit(0.25)).otherwise(F.lit(0.0)))
+    return d.select(id_col, "n_tokens", "punct_ratio", "stopword_ratio",
+                    "mean_word_len", F.round(score, 2).alias("quality"))
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: count distinct stopword hits per language,
+    argmax with a fixed priority order (en > de > fr > es > unknown).
+    Deterministic and SQL-replicable; a real pipeline would swap in a
+    fastText-style model behind the same column contract."""
+    d = with_tokens(df, text_col)
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        d = d.withColumn(f"{lang}_hits", F.expr(
+            f"size(array_intersect(__tokens, array({lst})))"))
+    best = F.greatest(*[F.col(f"{l}_hits") for l in STOPWORDS])
+    pred = (F.when(best == 0, F.lit("unknown")))
+    for lang in STOPWORDS:  # fixed priority order resolves ties
+        pred = pred.when(F.col(f"{lang}_hits") == best, F.lit(lang))
+    return d.select(id_col, *[f"{l}_hits" for l in STOPWORDS],
+                    pred.alias("predicted_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized, lowercased
+    text — stable across engines (md5 is standardized), used as the
+    exact-dedup key and as a cheap content id."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select(id_col, F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,606 @@
+"""QueryModel -> DataFrame plan builder: the engine core.
+
+Analog of the reference's build_query (query_helper.rb:190-316), which
+compiles REST params to MDX for Mondrian to turn into SQL.  Here the
+same logical query compiles directly to a Spark DataFrame plan:
+
+    fact ⋈ bridges ⋈ dims  →  cut filters  →  groupBy(levels).agg(measures)
+         →  [dense cross-join]  →  calc members  →  HAVING  →  order
+         →  offset/limit  →  final projection
+
+Everything is declarative DataFrame API so Catalyst gets predicate
+pushdown, column pruning, join reordering and AQE for free (SURVEY §4).
+
+Scale design notes:
+- Dim snowflake tails (nation/region-sized) are broadcast explicitly;
+  the dim->fact join is left to AQE so unbounded dims (customer at
+  TPC-H sf100k) fall back to shuffle hash join instead of OOMing the
+  driver with a forced broadcast.
+- Aggregation is a plain groupBy => partial (map-side) + final hash
+  aggregate; distinct-count is computed from base facts (non-additive,
+  SURVEY §7.5.3).
+- Cut predicates are applied on dimension attribute columns *before*
+  aggregation; Catalyst pushes them below the join onto the dim scan,
+  so only matching dim rows reach the join.
+- Dense axes (reference default, webshop_1.csv golden) cross-join
+  per-dimension member frames — combinatorial by design; our default is
+  nonempty=True and dense is opt-in (SURVEY §7.5.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .catalog import Catalog, Cube, Dimension, Hierarchy, Level, Measure
+from .parser import (
+    Cut,
+    DrilldownSpec,
+    MemberRef,
+    ParseError,
+    PropertyRef,
+    parse_cut,
+    parse_drilldown,
+    parse_measure_filter,
+    parse_property,
+)
+from .query import QueryModel
+from .sources.registry import load_table
+
+
+# ---------------------------------------------------------------------------
+# resolution
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ResolvedDrill:
+    dimension: Dimension
+    hierarchy: Hierarchy
+    level: Level
+    group_levels: list[Level]       # [level] or root..level when parents=True
+
+    @property
+    def key_aliases(self) -> list[str]:
+        return [lv.key_alias for lv in self.group_levels]
+
+
+@dataclass
+class ResolvedCut:
+    dimension: Dimension
+    hierarchy: Hierarchy
+    level: Level | None
+    cut: Cut
+
+
+def _resolve_level(cube: Cube, dim_name: str, hier_name: str | None,
+                   level_name: str | None) -> tuple[Dimension, Hierarchy, Level]:
+    dim = cube.dimension(dim_name)
+    if hier_name is not None:
+        hier = dim.hierarchy(hier_name)
+        level = hier.level(level_name) if level_name else hier.levels[0]
+        return dim, hier, level
+    hier = dim.default_hierarchy()
+    if level_name is None:
+        # default = first (non-all) level, reference query_helper.rb:119
+        return dim, hier, hier.levels[0]
+    try:
+        return dim, hier, hier.level(level_name)
+    except KeyError:
+        # 2-segment form may name a non-default hierarchy
+        hier = dim.hierarchy(level_name)
+        return dim, hier, hier.levels[0]
+
+
+def _resolve_drill(cube: Cube, spec: DrilldownSpec, parents: bool) -> ResolvedDrill:
+    dim, hier, level = _resolve_level(cube, spec.dimension, spec.hierarchy, spec.level)
+    idx = hier.level_index(level.name)
+    group_levels = list(hier.levels[: idx + 1]) if parents else [level]
+    return ResolvedDrill(dim, hier, level, group_levels)
+
+
+def _resolve_cut(cube: Cube, cut: Cut) -> ResolvedCut:
+    if cut.kind == "named_set":
+        ns = cube.named_set(cut.named_set)
+        if ns is None:
+            raise ParseError(f"unknown named set {cut.named_set!r}")
+        dim, hier, level = _resolve_level(cube, ns.dimension, None, ns.level)
+        return ResolvedCut(dim, hier, level, cut)
+    path = cut.path
+    if len(path) == 1:
+        dim, hier, level = _resolve_level(cube, path[0], None, None)
+    elif len(path) == 2:
+        dim, hier, level = _resolve_level(cube, path[0], None, path[1])
+    else:
+        dim, hier, level = _resolve_level(cube, path[0], path[1], path[2])
+    return ResolvedCut(dim, hier, level, cut)
+
+
+def _coerce(value: str):
+    try:
+        return int(value)
+    except ValueError:
+        pass
+    try:
+        return float(value)
+    except ValueError:
+        return value
+
+
+def _cut_predicate(rc: ResolvedCut):
+    """Cut -> Spark boolean Column over the level's alias columns.
+
+    member/set/range cuts (reference query_helper.rb:44-72); applied
+    pre-aggregation so Catalyst pushes them onto the dim-side scan.
+    """
+    level = rc.level
+    cut = rc.cut
+    members = cut.members
+
+    def col_for(ref: MemberRef):
+        if ref.by_key or not (level.caption and level.caption_alias):
+            return F.col(level.key_alias)
+        return F.col(level.caption_alias)
+
+    if cut.kind == "member":
+        return col_for(members[0]) == F.lit(_coerce(members[0].value))
+    if cut.kind == "set":
+        return col_for(members[0]).isin([_coerce(m.value) for m in members])
+    if cut.kind == "range":
+        lo, hi = members
+        return col_for(lo).between(F.lit(_coerce(lo.value)), F.lit(_coerce(hi.value)))
+    raise ParseError(f"unsupported cut kind {cut.kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# physical attach
+# ---------------------------------------------------------------------------
+
+def _dim_frame(spark: SparkSession, sf_dir: str, dim: Dimension) -> DataFrame:
+    """Denormalized snowflake frame (reference <Join> chains,
+    foodmart.xml:71-75) — chain tails are coarser-grain lookup tables,
+    always broadcast."""
+    head, *rest = dim.tables
+    df = load_table(spark, sf_dir, head[0])
+    for table, left_key, right_key in rest:
+        t = load_table(spark, sf_dir, table)
+        df = df.join(F.broadcast(t), F.col(left_key) == F.col(right_key), "inner")
+    return df
+
+
+def _dim_select(spark: SparkSession, sf_dir: str, dim: Dimension,
+                levels: list[Level], props: list[Property_or_str] = None,
+                caption_overrides: dict | None = None) -> DataFrame:
+    """Project the denormalized dim frame down to pk + aliased level
+    columns, pre-pruned so only needed columns cross the join."""
+    frame = _dim_frame(spark, sf_dir, dim)
+    exprs = {dim.dim_pk: F.col(dim.dim_pk)}
+    for lv in levels:
+        caption_overrides = caption_overrides or {}
+        exprs[lv.key_alias] = F.expr(lv.key)
+        if lv.caption and lv.caption_alias and lv.caption_alias != lv.key_alias:
+            cap_expr = caption_overrides.get((dim.name, lv.name), lv.caption)
+            exprs[lv.caption_alias] = F.expr(cap_expr)
+        for p in lv.properties:
+            pass  # properties added on demand below
+    for p in props or []:
+        exprs[p.alias] = F.expr(p.column)
+    return frame.select(*[c.alias(a) for a, c in exprs.items()])
+
+
+Property_or_str = object  # typing placeholder (kept runtime-light)
+
+
+# ---------------------------------------------------------------------------
+# the planner
+# ---------------------------------------------------------------------------
+
+def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel) -> DataFrame:
+    """Execute a QueryModel against the catalog -> aggregated DataFrame.
+
+    The full analog of the reference aggregate endpoint
+    (api.rb:115-158 -> query_helper.rb:190-316 -> Mondrian -> SQL).
+    """
+    if cat.virtual_cube(qm.cube) is not None:
+        return _aggregate_virtual(spark, sf_dir, cat, qm)
+    cube = cat.cube(qm.cube)
+    return _aggregate_cube(spark, sf_dir, cube, qm)
+
+
+def _split_measures(cube: Cube, names: list[str]):
+    """Requested names -> (base measures needed, calc members, final aliases)."""
+    if not names:
+        names = [cube.default_measure.name]
+    final_aliases: list[str] = []
+    calcs: list = []
+    base: dict[str, Measure] = {}
+    for n in names:
+        c = cube.calc_member(n)
+        if c is not None:
+            calcs.append(c)
+            final_aliases.append(c.alias)
+        else:
+            m = cube.measure(n)
+            base[m.alias] = m
+            final_aliases.append(m.alias)
+    # dependency closure: calc exprs / lag refs pull in base measures
+    for c in calcs:
+        if c.lag_of:
+            m = cube.measure(c.lag_of)
+            base.setdefault(m.alias, m)
+        if c.expr:
+            for m in cube.measures:
+                if m.alias in c.expr:
+                    base.setdefault(m.alias, m)
+    # keep cube calc order (dependencies between calcs evaluate in order)
+    calcs = [c for c in cube.calc_members if c in calcs]
+    return list(base.values()), calcs, final_aliases
+
+
+def _agg_expr(m: Measure):
+    e = F.expr(m.expr)
+    fn = {
+        "sum": F.sum, "count": F.count, "avg": F.avg,
+        "min": F.min, "max": F.max,
+        "count_distinct": lambda c: F.countDistinct(c),
+    }[m.agg]
+    col = fn(e)
+    if m.result_cast:
+        col = col.cast(m.result_cast)
+    return col.alias(m.alias)
+
+
+def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel) -> DataFrame:
+    ns_names = {s.name for s in cube.named_sets}
+
+    # --- resolve drilldowns (named-set shortcut => drill + implicit cut) ---
+    drills: list[ResolvedDrill] = []
+    implicit_ns_cuts: list[str] = []
+    for d in qm.drilldown:
+        parsed = parse_drilldown(d, ns_names)
+        if isinstance(parsed, str):
+            ns = cube.named_set(parsed)
+            dim, hier, level = _resolve_level(cube, ns.dimension, None, ns.level)
+            idx = hier.level_index(level.name)
+            gl = list(hier.levels[: idx + 1]) if qm.parents else [level]
+            drills.append(ResolvedDrill(dim, hier, level, gl))
+            implicit_ns_cuts.append(parsed)
+        else:
+            drills.append(_resolve_drill(cube, parsed, qm.parents))
+
+    # --- resolve cuts ---
+    cuts = [_resolve_cut(cube, parse_cut(c, ns_names)) for c in qm.cut]
+    for name in implicit_ns_cuts:
+        cuts.append(_resolve_cut(cube, Cut(kind="named_set", named_set=name)))
+
+    # drilling on an ascendant of a cut member is a client error
+    # (reference api_spec.rb:154-157; query_helper.rb:242-245)
+    for rd in drills:
+        for rc in cuts:
+            if rc.cut.kind == "named_set" or rc.dimension.name != rd.dimension.name:
+                continue
+            if rc.hierarchy.name != rd.hierarchy.name:
+                continue
+            if rc.hierarchy.level_index(rc.level.name) > rd.hierarchy.level_index(rd.level.name):
+                raise ParseError(
+                    f"drilldown on {rd.level.name!r} is an ascendant of cut level {rc.level.name!r}")
+
+    # --- properties / caption substitution ---
+    prop_refs = [parse_property(p) for p in qm.properties]
+    caption_overrides: dict = {}
+    for c in qm.caption:
+        ref = parse_property(c)
+        caption_overrides[(ref.dimension, ref.level)] = _find_prop(cube, ref).column
+
+    base_measures, calcs, final_aliases = _split_measures(cube, list(qm.measures))
+
+    # --- needed levels per dimension ---
+    needed: dict[str, dict[str, Level]] = {}
+    dim_objs: dict[str, Dimension] = {}
+    for rd in drills:
+        dim_objs[rd.dimension.name] = rd.dimension
+        lvls = needed.setdefault(rd.dimension.name, {})
+        for lv in rd.group_levels:
+            lvls[lv.name] = lv
+    for rc in cuts:
+        if rc.cut.kind == "named_set":
+            continue
+        dim_objs[rc.dimension.name] = rc.dimension
+        needed.setdefault(rc.dimension.name, {})[rc.level.name] = rc.level
+    needed_props: dict[str, list] = {}
+    for ref in prop_refs:
+        dim, hier, level = _resolve_level(cube, ref.dimension, None, ref.level)
+        dim_objs[dim.name] = dim
+        needed.setdefault(dim.name, {})[level.name] = level
+        needed_props.setdefault(dim.name, []).append(level.find_property(ref.prop))
+
+    # --- bridges required (dims + measures) ---
+    bridge_names: set[str] = set()
+    for dname, dim in dim_objs.items():
+        if dim.bridge:
+            bridge_names.add(dim.bridge)
+    for m in base_measures:
+        if m.bridge:
+            bridge_names.add(m.bridge)
+
+    # --- build base frame: fact ⋈ bridges ⋈ dims ---
+    base = load_table(spark, sf_dir, cube.fact)
+    for bname in sorted(bridge_names):
+        b = cube.bridge(bname)
+        bt = load_table(spark, sf_dir, b.table).select(b.bridge_key, *b.provides)
+        # fact-grain join: never broadcast; bucket both sides on the key at scale
+        base = base.join(bt, F.col(b.fact_key) == F.col(b.bridge_key), "inner")
+
+    for dname, lvls in needed.items():
+        dim = dim_objs[dname]
+        level_list = _hier_ordered(dim, lvls)
+        if dim.is_degenerate:
+            for lv in level_list:
+                base = _with_level_cols(base, lv, caption_overrides.get((dname, lv.name)))
+            for p in needed_props.get(dname, []):
+                base = base.withColumn(p.alias, F.expr(p.column))
+        else:
+            dsel = _dim_select(spark, sf_dir, dim, level_list,
+                               needed_props.get(dname, []), caption_overrides)
+            if dim.broadcastable:
+                dsel = F.broadcast(dsel)
+            base = base.join(dsel, F.col(dim.fact_fk) == F.col(dim.dim_pk), "inner")
+            if dim.dim_pk not in _all_aliases(level_list):
+                base = base.drop(dim.dim_pk)
+
+    # --- cuts: predicates + named-set semi-joins (pre-aggregation) ---
+    pred_cuts = [rc for rc in cuts if rc.cut.kind != "named_set"]
+    ns_cuts = [rc for rc in cuts if rc.cut.kind == "named_set"]
+    for rc in pred_cuts:
+        base = base.filter(_cut_predicate(rc))
+    for rc in ns_cuts:
+        ns = cube.named_set(rc.cut.named_set)
+        keys = named_set_frame(spark, sf_dir, cube, ns)
+        base = base.join(keys, on=rc.level.key_alias, how="left_semi")
+
+    # --- group + aggregate (partial+final hash agg; map-side combine) ---
+    group_cols: list[str] = []
+    for rd in drills:
+        for lv in rd.group_levels:
+            for _, alias in lv.out_cols():
+                group_cols.append(alias)
+    for dname, plist in needed_props.items():
+        for p in plist:
+            if p.alias not in group_cols:
+                group_cols.append(p.alias)
+
+    aggs = [_agg_expr(m) for m in base_measures]
+    if not aggs:  # pure axis enumeration still needs an aggregate context
+        aggs = [_agg_expr(cube.default_measure)]
+    if group_cols:
+        out = base.groupBy(*group_cols).agg(*aggs)
+    else:
+        out = base.agg(*aggs)
+
+    # --- dense axes (reference default; webshop_1.csv golden) ---
+    if not qm.nonempty and drills:
+        out = _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts,
+                       needed_props, caption_overrides, out, group_cols,
+                       [m.alias for m in base_measures])
+
+    # --- calculated members (post-agg, reference foodmart.xml:345-366) ---
+    for c in calcs:
+        if c.expr:
+            out = out.withColumn(c.alias, F.expr(c.expr))
+        else:
+            time_keys = [a for rd in drills if rd.dimension.name == c.lag_dim
+                         for a in rd.key_aliases]
+            if not time_keys:
+                raise ParseError(
+                    f"calculated member {c.name!r} needs a {c.lag_dim} drilldown")
+            others = [a for rd in drills if rd.dimension.name != c.lag_dim
+                      for a in rd.key_aliases]
+            w = Window.partitionBy(*[F.col(a) for a in others]).orderBy(
+                *[F.col(a) for a in time_keys])
+            out = out.withColumn(c.alias, F.lag(F.col(c.lag_of)).over(w))
+
+    # --- HAVING (reference query_helper.rb:278-282 FILTER) ---
+    for fs in qm.filter:
+        mf = parse_measure_filter(fs)
+        alias = _measure_alias(cube, mf.measure)
+        out = out.filter(F.expr(f"{alias} {mf.op} {mf.value!r}"))
+
+    # --- sparse: drop all-null-measure rows (reference api.rb:138) ---
+    if qm.sparse:
+        out = out.na.drop(how="all", subset=final_aliases)
+
+    if qm.distinct and group_cols:
+        out = out.dropDuplicates(group_cols)
+
+    # --- ORDER / SUBSET (reference query_helper.rb:283-296) ---
+    key_aliases = [a for rd in drills for lv in rd.group_levels
+                   for a in [lv.key_alias]]
+    if qm.order:
+        ocol = _order_column(cube, qm.order, group_cols)
+        primary = F.desc(ocol) if qm.order_desc else F.asc(ocol)
+        out = out.orderBy(primary, *[F.asc(a) for a in key_aliases if a != ocol])
+    elif qm.offset is not None or qm.limit is not None:
+        # pagination needs a total order: hierarchical member order
+        out = out.orderBy(*[F.asc(a) for a in key_aliases])
+    if qm.offset:
+        out = out.offset(qm.offset)
+    if qm.limit is not None:
+        out = out.limit(qm.limit)
+
+    return out.select(*group_cols, *final_aliases)
+
+
+def _with_level_cols(df: DataFrame, lv: Level, caption_override: str | None = None) -> DataFrame:
+    df = df.withColumn(lv.key_alias, F.expr(lv.key))
+    if lv.caption and lv.caption_alias and lv.caption_alias != lv.key_alias:
+        df = df.withColumn(lv.caption_alias, F.expr(caption_override or lv.caption))
+    return df
+
+
+def _hier_ordered(dim: Dimension, lvls: dict[str, Level]) -> list[Level]:
+    ordered: list[Level] = []
+    for h in dim.hierarchies:
+        for lv in h.levels:
+            if lv.name in lvls and lvls[lv.name] is lv and lv not in ordered:
+                ordered.append(lv)
+    # levels resolved from non-default hierarchies may share names; keep extras
+    for lv in lvls.values():
+        if lv not in ordered:
+            ordered.append(lv)
+    return ordered
+
+
+def _all_aliases(levels: list[Level]) -> set[str]:
+    out = set()
+    for lv in levels:
+        for _, a in lv.out_cols():
+            out.add(a)
+    return out
+
+
+def _find_prop(cube: Cube, ref: PropertyRef):
+    _, _, level = _resolve_level(cube, ref.dimension, None, ref.level)
+    return level.find_property(ref.prop)
+
+
+def _measure_alias(cube: Cube, name: str) -> str:
+    c = cube.calc_member(name)
+    if c is not None:
+        return c.alias
+    return cube.measure(name).alias
+
+
+def _order_column(cube: Cube, order: str, group_cols: list[str]) -> str:
+    try:
+        return _measure_alias(cube, order)
+    except KeyError:
+        pass
+    if order in group_cols:
+        return order
+    ref = parse_property(order) if order.count(".") >= 2 else None
+    if ref is not None:
+        return _find_prop(cube, ref).alias
+    raise ParseError(f"cannot resolve order key {order!r}")
+
+
+def members_frame(spark: SparkSession, sf_dir: str, cube: Cube, rd: ResolvedDrill,
+                  props: list | None = None,
+                  caption_overrides: dict | None = None) -> DataFrame:
+    """Distinct member tuples of a drill's group levels — the axis member
+    set used for dense axes and the members metadata endpoints
+    (reference mondrian_ext.rb:125-146; SELECT DISTINCT over dim table)."""
+    dim = rd.dimension
+    if dim.is_degenerate:
+        base = load_table(spark, sf_dir, cube.fact)
+        for b in ([cube.bridge(dim.bridge)] if dim.bridge else []):
+            bt = load_table(spark, sf_dir, b.table).select(b.bridge_key, *b.provides)
+            base = base.join(bt, F.col(b.fact_key) == F.col(b.bridge_key), "inner")
+        for lv in rd.group_levels:
+            base = _with_level_cols(base, lv,
+                                    (caption_overrides or {}).get((dim.name, lv.name)))
+        cols = [a for lv in rd.group_levels for _, a in lv.out_cols()]
+        cols += [p.alias for p in props or []]
+        return base.select(*cols).distinct()
+    dsel = _dim_select(spark, sf_dir, dim, rd.group_levels, props or [],
+                       caption_overrides or {})
+    return dsel.drop(dim.dim_pk).distinct() if dim.dim_pk not in _all_aliases(
+        rd.group_levels) else dsel.distinct()
+
+
+def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
+             caption_overrides, agg, group_cols, measure_aliases) -> DataFrame:
+    """Dense axes: cross-join each drill's member frame, left-join the
+    aggregate; empty cells stay null (reference webshop_1.csv golden,
+    SURVEY §7.5.1).  Combinatorial by design — opt-in."""
+    axis_frames = []
+    join_keys: list[str] = []
+    for rd in drills:
+        mf = members_frame(spark, sf_dir, cube, rd,
+                           needed_props.get(rd.dimension.name, []), caption_overrides)
+        for rc in pred_cuts:
+            if rc.dimension.name == rd.dimension.name and \
+                    rc.level.key_alias in mf.columns:
+                mf = mf.filter(_cut_predicate(rc))
+        for rc in ns_cuts:
+            if rc.dimension.name == rd.dimension.name:
+                ns = cube.named_set(rc.cut.named_set)
+                keys = named_set_frame(spark, sf_dir, cube, ns)
+                mf = mf.join(keys, on=rc.level.key_alias, how="left_semi")
+        axis_frames.append(mf)
+        join_keys += [lv.key_alias for lv in rd.group_levels]
+    dense = reduce(lambda a, b: a.crossJoin(b), axis_frames)
+    agg_slim = agg.select(*join_keys, *measure_aliases)
+    out = dense.join(agg_slim, on=join_keys, how="left")
+    return out.select(*group_cols, *measure_aliases)
+
+
+def named_set_frame(spark: SparkSession, sf_dir: str, cube: Cube, ns) -> DataFrame:
+    """Materialize a TopCount named set (reference foodmart.xml:405-410)
+    as a one-column frame of member keys: aggregate the cube at the
+    set's level, rank by the measure, keep k.  Deterministic tie-break
+    on the member key so results are stable across engines."""
+    dim, hier, level = _resolve_level(cube, ns.dimension, None, ns.level)
+    sub = QueryModel(cube=cube.name, measures=[ns.top_by],
+                     drilldown=[f"{ns.dimension}.{ns.level}"], nonempty=True)
+    agg = _aggregate_cube(spark, sf_dir, cube, sub)
+    alias = _measure_alias(cube, ns.top_by)
+    direction = F.asc(alias) if ns.ascending else F.desc(alias)
+    return (agg.orderBy(direction, F.asc(level.key_alias))
+               .limit(ns.k)
+               .select(level.key_alias))
+
+
+def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
+                       qm: QueryModel) -> DataFrame:
+    """Drill-across: aggregate each base cube over the conformed dims,
+    full-outer join on the shared level aliases (reference virtual cube,
+    foodmart.xml:758-790; SURVEY J6)."""
+    vc = cat.virtual_cube(qm.cube)
+    cubes = [cat.cube(n) for n in vc.cube_names]
+    for d in qm.drilldown:
+        parsed = parse_drilldown(d)
+        if isinstance(parsed, DrilldownSpec) and \
+                parsed.dimension not in vc.conformed_dimensions:
+            raise ParseError(
+                f"virtual cube {vc.name!r} only exposes conformed dims "
+                f"{vc.conformed_dimensions}")
+    measures = list(qm.measures)
+    if not measures:
+        measures = [cubes[0].default_measure.name]
+    parts: list[tuple[DataFrame, list[str]]] = []
+    group_cols: list[str] | None = None
+    for cube in cubes:
+        own = []
+        for m in measures:
+            try:
+                own.append(_measure_alias(cube, m))
+                _ = m
+            except KeyError:
+                continue
+        own_names = [m for m in measures
+                     if _has_measure(cube, m)]
+        if not own_names:
+            continue
+        sub = QueryModel(cube=cube.name, measures=own_names,
+                         drilldown=list(qm.drilldown), cut=list(qm.cut),
+                         nonempty=True, parents=qm.parents)
+        df = _aggregate_cube(spark, sf_dir, cube, sub)
+        maliases = [_measure_alias(cube, m) for m in own_names]
+        gcols = [c for c in df.columns if c not in maliases]
+        group_cols = gcols if group_cols is None else group_cols
+        parts.append((df, maliases))
+    out, all_aliases = parts[0][0], list(parts[0][1])
+    for df, maliases in parts[1:]:
+        out = out.join(df, on=group_cols, how="full_outer")
+        all_aliases += maliases
+    return out.select(*group_cols, *all_aliases)
+
+
+def _has_measure(cube: Cube, name: str) -> bool:
+    try:
+        _measure_alias(cube, name)
+        return True
+    except KeyError:
+        return False

@@ -1,0 +1,37 @@
+"""QueryModel — the validated logical query.
+
+Analog of the reference's REST parameter surface
+(api.rb:115-158 declared params) and the inputs to build_query
+(query_helper.rb:190-316).  A QueryModel fully determines the
+DataFrame plan produced by planner.aggregate().
+
+NOTE on ``nonempty``: the reference *defaults to dense* axes (every
+member combination, nulls for empty cells — the webshop_1.csv golden).
+At 100 TB a dense cross-join of axis member sets is an anti-pattern, so
+our default is nonempty=True (the natural groupBy result) and dense is
+opt-in per query, implemented faithfully when requested.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class QueryModel:
+    cube: str
+    measures: list[str] = field(default_factory=list)   # names or aliases; [] -> default measure
+    drilldown: list[str] = field(default_factory=list)  # "Dim.Level" / "Dim.Hier.Level" / named set
+    cut: list[str] = field(default_factory=list)
+    nonempty: bool = True
+    distinct: bool = False
+    sparse: bool = False          # drop rows where all measures null (api.rb:138 as documented)
+    filter: list[str] = field(default_factory=list)     # "Revenue > 1000" (HAVING)
+    order: str | None = None      # measure name/alias or Dim.Level[.Prop]
+    order_desc: bool = False
+    offset: int | None = None
+    limit: int | None = None
+    properties: list[str] = field(default_factory=list)  # "Dim.Level.Prop"
+    caption: list[str] = field(default_factory=list)     # caption substitution refs
+    parents: bool = False         # include ancestor level columns (tidy parents=true)
+    debug: bool = False

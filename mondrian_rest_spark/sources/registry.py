@@ -1,0 +1,76 @@
+"""Table sources (reference: JDBC scans, spec_helper.rb:41-47/:76-84;
+our primary physical layer is Parquet — a strict upgrade: columnar,
+min/max pruned, predicate-pushdown-friendly).
+
+At 100 TB the fact tables should be written partitioned (e.g. by ship
+month) and/or bucketed on the dominant join key so fact⋈bridge joins
+co-locate without a shuffle; `register_catalog` documents that path by
+registering the frames as temp views (a managed deployment would use
+`saveAsTable` with `bucketBy`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table.  Supports a single parquet file or a
+    partitioned directory of the same name.
+
+    Nanosecond-timestamp columns (which the vectorized Spark reader
+    rejects) are read as long nanos via the legacy conf and converted
+    to microsecond timestamps — same truncation DuckDB applies."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nano_cols = _nano_timestamp_cols(path)
+    if not nano_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        # integer division: nano values exceed double precision (2^53)
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def _nano_timestamp_cols(path: str) -> list[str]:
+    try:
+        import pyarrow.parquet as pq
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    import pyarrow as pa
+    return [f.name for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+
+
+def register_catalog(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() queries and
+    the metadata surface can address them by name."""
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def build_session(app_name: str = "mondrian-rest-spark",
+                  master: str | None = None,
+                  shuffle_partitions: int = 32) -> SparkSession:
+    """Session defaults tuned for the engine: AQE on (runtime broadcast
+    conversion + skew-join splitting), UTC so date-part derivations are
+    deterministic, and a shuffle-partition count sized for local runs
+    (a real cluster raises it to ~2-3x total cores)."""
+    b = (SparkSession.builder.appName(app_name)
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions)))
+    if master:
+        b = b.master(master)
+    return b.getOrCreate()
