@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Query set: the operator-diverse subset of __spark_entry__.queries()
+covering joins+rollup, distinct-count, window lag, TopCount, dense
+axes, virtual cube, session windows, MinHash-LSH dedup, ANN, and text
+stats.  Brute-force O(n^2) oracles are deliberately excluded — they
+are correctness baselines, not the scale path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry  # noqa: E402
+from mondrian_rest_spark.sources.registry import build_session  # noqa: E402
+
+BENCH_QUERIES = [
+    "q01_totals",
+    "q03_crossjoin_3d",
+    "q08_descendants_union",
+    "q12_distinct_count",
+    "q15_lag_prev_period",
+    "q16_named_set_topcount",
+    "q17_dense_axes",
+    "q18_virtual_cube",
+    "q20_properties",
+    "w03_session_30m",
+    "d01_exact_dups",
+    "d03_neardup_minhash_lsh",
+    "d04_neardup_simhash",
+    "s01_cosine_topk",
+    "t03_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(app_name="mondrian-rest-spark-bench",
+                          master=f"local[{cpus}]",
+                          shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    # warm the JVM + parquet footers with one tiny action
+    qs["q02_region_revenue"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        _ = len(n)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": f"total_wall_sec_{len(BENCH_QUERIES)}_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""HTTP surface: Flask routes mirroring the reference REST API
+(lib/mondrian_rest/api.rb:21-235).
+
+Route map (reference api.rb line refs):
+    GET  /cubes                                   :72-80
+    GET  /cubes/<cube>                            :82-91
+    GET  /cubes/<cube>/dimensions/<dim>           :168-172
+    GET  .../levels/<level>/members               :174-205
+    GET  .../hierarchies/<h>/levels/<l>/members   :174-205
+    GET  /cubes/<cube>/members?full_name=         :93-113
+    GET|POST /cubes/<cube>/aggregate[.csv|.jsonrecords|.xls]  :115-158
+    GET  /flush?secret=                           :52-70
+
+Execution is one shared SparkSession (the reference's connection
+singleton, api_helpers.rb:7-16); aggregate results are collected on
+the driver (they are grouped rollups — small by construction).
+"""
+
+from __future__ import annotations
+
+import os
+
+from flask import Flask, Response, jsonify, request
+
+from . import formats, members, result
+from .catalog import Catalog
+from .parser import ParseError, parse_segments
+from .planner import aggregate
+from .query import QueryModel
+from .sources.registry import build_session
+
+
+def _bool(v, default=False) -> bool:
+    if v is None:
+        return default
+    return str(v).lower() in ("1", "true", "yes", "on")
+
+
+def query_model_from_params(cube: str, params) -> QueryModel:
+    """REST params -> QueryModel (reference api.rb:115-158 declared
+    params + build_query defaults query_helper.rb:192-203)."""
+    getlist = params.getlist if hasattr(params, "getlist") else \
+        (lambda k: params.get(k, []))
+    return QueryModel(
+        cube=cube,
+        measures=getlist("measures[]") or getlist("measures"),
+        drilldown=getlist("drilldown[]") or getlist("drilldown"),
+        cut=getlist("cut[]") or getlist("cut"),
+        nonempty=_bool(params.get("nonempty"), False),
+        distinct=_bool(params.get("distinct"), False),
+        sparse=_bool(params.get("sparse"), False),
+        filter=getlist("filter[]") or getlist("filter"),
+        order=params.get("order"),
+        order_desc=_bool(params.get("order_desc"), False),
+        offset=int(params["offset"]) if params.get("offset") else None,
+        limit=int(params["limit"]) if params.get("limit") else None,
+        properties=getlist("properties[]") or getlist("properties"),
+        caption=getlist("caption[]") or getlist("caption"),
+        parents=_bool(params.get("parents"), False),
+        debug=_bool(params.get("debug"), False),
+    )
+
+
+def create_app(cat: Catalog, sf_dir: str, spark=None,
+               flush_secret: str | None = None) -> Flask:
+    app = Flask("mondrian_rest_spark")
+    state = {"spark": spark}
+
+    def get_spark():
+        if state["spark"] is None:
+            state["spark"] = build_session(master="local[*]")
+        return state["spark"]
+
+    @app.errorhandler(ParseError)
+    def bad_request(e):  # reference 400 paths (api.rb error!)
+        return jsonify({"error": str(e)}), 400
+
+    @app.errorhandler(KeyError)
+    def not_found(e):  # reference 404 helper (api_helpers.rb:36-40)
+        return jsonify({"error": str(e)}), 404
+
+    @app.get("/cubes")
+    def cubes():
+        return jsonify({"cubes": [members.cube_metadata(cat, n)
+                                  for n in members.cube_names(cat)
+                                  if cat.virtual_cube(n) is None]})
+
+    @app.get("/cubes/<cube>")
+    def cube(cube):
+        return jsonify(members.cube_metadata(cat, cube))
+
+    @app.get("/cubes/<cube>/dimensions/<dim>")
+    def dimension(cube, dim):
+        meta = members.cube_metadata(cat, cube)
+        for d in meta["dimensions"]:
+            if d["name"].lower() == dim.lower():
+                return jsonify(d)
+        raise KeyError(f"dimension {dim!r} not found")
+
+    def _members_payload(cube, dim, level, hierarchy=None):
+        df = members.level_members(get_spark(), sf_dir, cat, cube, dim,
+                                   level, hierarchy)
+        return jsonify({"members": [r.asDict() for r in df.collect()]})
+
+    @app.get("/cubes/<cube>/dimensions/<dim>/levels/<level>/members")
+    def level_members(cube, dim, level):
+        return _members_payload(cube, dim, level)
+
+    @app.get("/cubes/<cube>/dimensions/<dim>/hierarchies/<hier>/levels/<level>/members")
+    def hier_level_members(cube, dim, hier, level):
+        return _members_payload(cube, dim, level, hier)
+
+    @app.get("/cubes/<cube>/members")
+    def member_by_full_name(cube, full_name: str | None = None):
+        full_name = request.args.get("full_name")
+        if not full_name:
+            raise ParseError("full_name required")
+        segs = parse_segments(full_name)
+        if len(segs) < 3:
+            raise ParseError(f"full_name needs [Dim].[Level].[Key]: {full_name!r}")
+        df = members.member_lookup(get_spark(), sf_dir, cat, cube,
+                                   segs[0], segs[-2], segs[-1].lstrip("&"))
+        rows = [r.asDict() for r in df.collect()]
+        if not rows:
+            raise KeyError(f"member {full_name!r} not found")
+        return jsonify(rows[0])
+
+    @app.route("/cubes/<cube>/aggregate", methods=["GET", "POST"])
+    @app.route("/cubes/<cube>/aggregate.<fmt>", methods=["GET", "POST"])
+    def agg(cube, fmt="json"):
+        params = request.values
+        qm = query_model_from_params(cube, params)
+        df = aggregate(get_spark(), sf_dir, cat, qm)
+        rows = df.collect()
+        if fmt == "json":
+            res = result.to_aggregation_result(cat, qm, rows)
+            if qm.debug:  # reference mdx echo (api_spec.rb:183-203)
+                res["query"] = qm.__dict__
+            return Response(formats.to_aggregation_json(res),
+                            mimetype="application/json")
+        header = result.tidy_header(cat, qm)
+        tidy = result.tidy_rows(rows, header)
+        if fmt == "csv":
+            return Response(formats.to_csv(header, tidy), mimetype="text/csv")
+        if fmt == "jsonrecords":
+            as_array = params.get("format") == "array"
+            return Response(formats.to_jsonrecords(header, tidy, as_array),
+                            mimetype="application/x-jsonrecords")
+        if fmt == "xls":
+            return Response(formats.to_xls(header, tidy),
+                            mimetype="application/vnd.ms-excel")
+        raise ParseError(f"unknown format {fmt!r}")
+
+    @app.get("/flush")
+    def flush():
+        # reference api.rb:52-70: secret-gated cache invalidation
+        if flush_secret is None or request.args.get("secret") != flush_secret:
+            return jsonify({"error": "forbidden"}), 403
+        get_spark().catalog.clearCache()
+        return jsonify({"status": "ok"})
+
+    return app

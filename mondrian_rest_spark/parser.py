@@ -37,7 +37,7 @@ def parse_segments(s: str) -> list[str]:
     while i < n:
         if s[i] == "[":
             j = s.index("]", i) if "]" in s[i:] else -1
-            if j < 0:
+            if j < 0 or "[" in s[i + 1:j]:
                 raise ParseError(f"unbalanced bracket in {s!r}")
             segs.append(s[i + 1:j])
             i = j + 1
@@ -180,6 +180,8 @@ def parse_measure_filter(s: str) -> MeasureFilter:
     if not m:
         raise ParseError(f"bad measure filter: {s!r}")
     name, op, val = m.group(1), m.group(2), float(m.group(3))
+    if any(ch in name for ch in "<>="):  # lazy .+? must not eat an operator
+        raise ParseError(f"bad measure filter: {s!r}")
     return MeasureFilter(measure=name.strip().strip("[]"), op=_OP_MAP[op], value=val)
 
 

@@ -1,0 +1,127 @@
+"""HTTP surface tests via the Flask test client — the analog of the
+reference's Rack::Test end-to-end specs (api_spec.rb, webshop_spec.rb)."""
+
+import csv
+import io
+import json
+
+import pytest
+
+from mondrian_rest_spark import tpch
+from mondrian_rest_spark.api import create_app
+
+
+@pytest.fixture(scope="module")
+def client(spark, sf_dir):
+    app = create_app(tpch.CATALOG, sf_dir, spark=spark, flush_secret="s3cr3t")
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+def test_list_cubes(client):
+    r = client.get("/cubes")
+    assert r.status_code == 200
+    names = {c["name"] for c in r.get_json()["cubes"]}
+    assert {"Sales", "Orders", "Events"} <= names
+
+
+def test_cube_404(client):
+    assert client.get("/cubes/Nope").status_code == 404
+
+
+def test_dimension_metadata(client):
+    r = client.get("/cubes/Sales/dimensions/Customer")
+    assert r.status_code == 200
+    levels = [lv["name"] for lv in r.get_json()["hierarchies"][0]["levels"]]
+    assert levels == ["Region", "Nation", "Customer"]
+
+
+def test_level_members(client):
+    r = client.get("/cubes/Sales/dimensions/Customer/levels/Region/members")
+    assert r.status_code == 200
+    ms = r.get_json()["members"]
+    assert len(ms) == 5
+    assert {m["cust_region"] for m in ms} == \
+        {"AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"}
+
+
+def test_member_by_full_name(client):
+    r = client.get("/cubes/Sales/members",
+                   query_string={"full_name": "[Customer].[Region].[&2]"})
+    assert r.status_code == 200
+    assert r.get_json()["cust_region"] == "ASIA"
+
+
+def test_member_404(client):
+    r = client.get("/cubes/Sales/members",
+                   query_string={"full_name": "[Customer].[Region].[&99]"})
+    assert r.status_code == 404
+
+
+def test_aggregate_json(client):
+    r = client.get("/cubes/Sales/aggregate", query_string=[
+        ("measures[]", "Revenue"), ("drilldown[]", "Customer.Region"),
+        ("nonempty", "true")])
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["axes"][0]["members"][0]["name"] == "Revenue"
+    assert len(body["values"]) == 5
+
+
+def test_aggregate_csv_header(client):
+    r = client.get("/cubes/Sales/aggregate.csv", query_string=[
+        ("measures[]", "Revenue"), ("drilldown[]", "Customer.Region"),
+        ("nonempty", "true")])
+    assert r.status_code == 200
+    rows = list(csv.reader(io.StringIO(r.get_data(as_text=True))))
+    # reference golden header layout (api_spec.rb:208)
+    assert rows[0] == ["ID Region", "Region", "Revenue"]
+    assert len(rows) == 6
+
+
+def test_aggregate_csv_parents_header(client):
+    r = client.get("/cubes/Sales/aggregate.csv", query_string=[
+        ("measures[]", "Revenue"), ("drilldown[]", "Customer.Nation"),
+        ("parents", "true"), ("nonempty", "true")])
+    rows = list(csv.reader(io.StringIO(r.get_data(as_text=True))))
+    # parents=true prepends ancestor levels (api_spec.rb:214)
+    assert rows[0] == ["ID Region", "Region", "ID Nation", "Nation", "Revenue"]
+
+
+def test_aggregate_jsonrecords(client):
+    r = client.get("/cubes/Sales/aggregate.jsonrecords", query_string=[
+        ("measures[]", "Revenue"), ("drilldown[]", "Customer.Region"),
+        ("nonempty", "true")])
+    data = json.loads(r.get_data(as_text=True))["data"]
+    assert len(data) == 5 and "Revenue" in data[0]
+
+
+def test_aggregate_xls_content_type(client):
+    r = client.get("/cubes/Sales/aggregate.xls", query_string=[
+        ("measures[]", "Revenue"), ("drilldown[]", "Customer.Region"),
+        ("nonempty", "true")])
+    # reference webshop_spec.rb:57-61
+    assert r.content_type.startswith("application/vnd.ms-excel")
+    assert b"Workbook" in r.data
+
+
+def test_aggregate_get_post_equivalent(client):
+    qs = [("measures[]", "Revenue"), ("drilldown[]", "Customer.Region"),
+          ("nonempty", "true")]
+    g = client.get("/cubes/Sales/aggregate", query_string=qs).get_json()
+    p = client.post("/cubes/Sales/aggregate", data={
+        "measures[]": "Revenue", "drilldown[]": "Customer.Region",
+        "nonempty": "true"}).get_json()
+    # reference api_spec.rb:274-282 GET≡POST
+    assert g["values"] == p["values"]
+
+
+def test_bad_cut_400(client):
+    r = client.get("/cubes/Sales/aggregate", query_string=[
+        ("measures[]", "Revenue"), ("cut[]", "[Customer].[Region")])
+    assert r.status_code == 400
+
+
+def test_flush_secret(client):
+    assert client.get("/flush").status_code == 403
+    assert client.get("/flush", query_string={"secret": "s3cr3t"}).status_code == 200

@@ -1,0 +1,157 @@
+"""Planner semantics tests against the DuckDB oracle and the
+reference's documented behaviors (error paths api_spec.rb:117-169,
+dense axes webshop_1.csv, pagination :404-425)."""
+
+import pytest
+
+from mondrian_rest_spark import tpch
+from mondrian_rest_spark.parser import ParseError
+from mondrian_rest_spark.planner import aggregate
+from mondrian_rest_spark.query import QueryModel
+
+CAT = tpch.CATALOG
+
+
+def agg(spark, sf_dir, **kw):
+    return aggregate(spark, sf_dir, CAT, QueryModel(**kw))
+
+
+def test_grand_total_matches_duck(spark, sf_dir, duck):
+    row = agg(spark, sf_dir, cube="Sales",
+              measures=["Revenue", "Line Count"]).collect()[0]
+    exp = duck.execute(
+        "SELECT CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6)))"
+        " AS DOUBLE), COUNT(*) FROM lineitem").fetchone()
+    assert row.revenue == exp[0]
+    assert row.line_count == exp[1]
+
+
+def test_rollup_group_count(spark, sf_dir, duck):
+    rows = agg(spark, sf_dir, cube="Sales", measures=["Quantity"],
+               drilldown=["Customer.Nation"]).collect()
+    n = duck.execute("SELECT COUNT(DISTINCT c_nationkey) FROM customer "
+                     "JOIN orders ON o_custkey=c_custkey "
+                     "JOIN lineitem ON l_orderkey=o_orderkey").fetchone()[0]
+    assert len(rows) == n
+
+
+def test_cut_restricts(spark, sf_dir):
+    base = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+               drilldown=["Customer.Nation"]).collect()
+    cut = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+              drilldown=["Customer.Nation"],
+              cut=["[Customer].[Region].[&2]"]).collect()
+    assert 0 < len(cut) < len(base)
+
+
+def test_dense_axes_have_null_cells(spark, sf_dir):
+    """Dense (nonempty=false) must emit every member combination with
+    nulls for empty cells — the reference default (webshop_1.csv
+    385 dense rows vs 101 nonempty)."""
+    dense = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+                drilldown=["Customer.Customer", "Part.Brand"],
+                nonempty=False).collect()
+    nonempty = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+                   drilldown=["Customer.Customer", "Part.Brand"],
+                   nonempty=True).collect()
+    n_cust = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+                 drilldown=["Customer.Customer"], nonempty=False).count()
+    n_brand = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+                  drilldown=["Part.Brand"], nonempty=False).count()
+    assert len(dense) == n_cust * n_brand
+    assert len(nonempty) < len(dense)
+    assert any(r.revenue is None for r in dense)
+    assert all(r.revenue is not None for r in nonempty)
+
+
+def test_ascendant_drill_rejected(spark, sf_dir):
+    # reference api_spec.rb:154-157
+    with pytest.raises(ParseError):
+        agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+            drilldown=["Customer.Region"], cut=["[Customer].[Nation].[&3]"])
+
+
+def test_offset_beyond_rowcount_empty(spark, sf_dir):
+    # reference api_spec.rb:404-425
+    rows = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+               drilldown=["Customer.Region"], offset=100, limit=5).collect()
+    assert rows == []
+
+
+def test_limit_is_prefix_of_unlimited(spark, sf_dir):
+    # reference asserts offset/limit vs unlimited prefix (api_spec.rb:404-425)
+    full = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+               drilldown=["Part.Brand"], order="Revenue",
+               order_desc=True).collect()
+    page = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+               drilldown=["Part.Brand"], order="Revenue", order_desc=True,
+               offset=3, limit=4).collect()
+    assert page == full[3:7]
+
+
+def test_ordering_sorted(spark, sf_dir):
+    # reference asserts sortedness predicates (api_spec.rb:312-361)
+    rows = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+               drilldown=["Customer.Nation"], order="Revenue",
+               order_desc=True).collect()
+    vals = [r.revenue for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_having_filter(spark, sf_dir):
+    rows = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+               drilldown=["Customer.Nation"],
+               filter=["Revenue > 2000000"]).collect()
+    assert rows and all(r.revenue > 2_000_000 for r in rows)
+
+
+def test_calc_member_avg(spark, sf_dir):
+    rows = agg(spark, sf_dir, cube="Sales",
+               measures=["Extended Price", "Line Count", "Avg Price"],
+               drilldown=["Part.Brand"]).collect()
+    for r in rows:
+        assert r.avg_price == pytest.approx(r.sum_price / r.line_count)
+
+
+def test_lag_calc_member(spark, sf_dir):
+    rows = agg(spark, sf_dir, cube="Sales",
+               measures=["Revenue", "Revenue Prev Period"],
+               drilldown=["Time.Year"]).collect()
+    by_year = {r.year: r for r in rows}
+    years = sorted(by_year)
+    assert by_year[years[0]].revenue_prev is None
+    for prev, cur in zip(years, years[1:]):
+        assert by_year[cur].revenue_prev == by_year[prev].revenue
+
+
+def test_named_set_drilldown_and_cut(spark, sf_dir):
+    via_cut = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+                  drilldown=["Customer.Customer"],
+                  cut=["[Top5 Customers]"]).collect()
+    via_drill = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+                    drilldown=["[Top5 Customers]"]).collect()
+    assert len(via_cut) == 5 and len(via_drill) == 5
+    assert {r.c_custkey for r in via_cut} == {r.c_custkey for r in via_drill}
+
+
+def test_virtual_cube_full_outer(spark, sf_dir):
+    rows = agg(spark, sf_dir, cube="Orders and Sales",
+               measures=["Revenue", "Total Price"],
+               drilldown=["Customer.Nation"]).collect()
+    assert len(rows) == 25
+    with pytest.raises(ParseError):
+        agg(spark, sf_dir, cube="Orders and Sales", measures=["Revenue"],
+            drilldown=["Part.Brand"])  # non-conformed dim
+
+
+def test_distinct_count_non_additive(spark, sf_dir, duck):
+    rows = agg(spark, sf_dir, cube="Sales", measures=["Customer Count"],
+               drilldown=["Customer.Region"]).collect()
+    total = agg(spark, sf_dir, cube="Sales",
+                measures=["Customer Count"]).collect()[0].customer_count
+    # distinct-count must NOT be the sum of its parts in general, and
+    # the grand total must match the oracle
+    exp = duck.execute("SELECT COUNT(DISTINCT o_custkey) FROM lineitem "
+                       "JOIN orders ON l_orderkey=o_orderkey").fetchone()[0]
+    assert total == exp
+    assert sum(r.customer_count for r in rows) >= total
