@@ -182,6 +182,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         drilldown=["Customer.Region", "Order Status"], nonempty=False,
         sparse=True)
 
+    q["q26_mdx_passthrough"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY CROSSJOIN([Customer].[Region].Members, "
+        "[Line Status].[Line Status].Members) ON ROWS FROM [Sales]")
+
     # ---- event-time windows (extension; SURVEY §2.11/§7.3 step 10) ----
     q["w01_tumbling_day"] = lambda s, d: windows.tumbling(
         load_table(s, d, "events"), "1 day")
@@ -389,6 +396,10 @@ def oracle_sql() -> dict[str, str]:
                    o_orderstatus, {DEC('o_totalprice')} AS total_price,
                    COUNT(o_orderkey) AS order_count
             FROM {J_ORD_CUST} GROUP BY 1, 2, 3""",
+        "q26_mdx_passthrough": f"""
+            SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                   l_linestatus, {REVENUE} AS revenue
+            FROM {J_CUST} GROUP BY 1, 2, 3""",
         "w01_tumbling_day": f"""
             SELECT date_trunc('day', ts) AS win_start,
                    {DEC('value')} AS sum_value,

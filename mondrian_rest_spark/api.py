@@ -151,6 +151,17 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
                             mimetype="application/vnd.ms-excel")
         raise ParseError(f"unknown format {fmt!r}")
 
+    @app.post("/mdx")
+    def mdx_route():
+        # reference api.rb:21-50 raw-MDX passthrough, scoped to the
+        # generated-MDX subset (SURVEY §2.10 Q6)
+        from .mdx import compile_mdx
+        qm = compile_mdx(request.get_data(as_text=True))
+        df = aggregate(get_spark(), sf_dir, cat, qm)
+        res = result.to_aggregation_result(cat, qm, df.collect())
+        return Response(formats.to_aggregation_json(res),
+                        mimetype="application/json")
+
     @app.get("/flush")
     def flush():
         # reference api.rb:52-70: secret-gated cache invalidation

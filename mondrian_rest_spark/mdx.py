@@ -1,0 +1,313 @@
+"""MDX-subset compiler: the grammar the reference *generates*
+(query_helper.rb:190-316) parsed back into a QueryModel and executed
+as the same DataFrame plans.
+
+Analog of the reference's POST /mdx passthrough (api.rb:21-50), scoped
+per SURVEY §2.10 Q6: arbitrary MDX is out of scope (that would mean
+reimplementing Mondrian); the supported surface is exactly what
+build_query emits, which covers every query the REST layer can express:
+
+    SELECT {[Measures].[X], ...} ON COLUMNS,
+           <axis> ON ROWS
+    FROM [Cube]
+    [WHERE (<slicer> [* <slicer>]...)]
+
+    axis := [NON EMPTY] axis'
+    axis' := DISTINCT(axis') | SUBSET(axis', o[, l])
+           | ORDER(axis', [Measures].[M], BASC|BDESC)
+           | FILTER(axis', <cond> [AND <cond>]...)
+           | TOPCOUNT(axis', n, [Measures].[M])
+           | CROSSJOIN(axis', axis') | {set} | <path>.Members
+           | DESCENDANTS(<member>, <level path>) | [Named Set]
+    slicer := <member> | {<member>,...} | [Named Set]
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import Catalog
+from .parser import ParseError
+from .planner import aggregate
+from .query import QueryModel
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<bracket>\[[^\]\[]*\])
+      | (?P<num>-?\d+(?:\.\d+)?)
+      | (?P<op><>|>=|<=|[><=])
+      | (?P<punct>[{}(),.*:])
+      | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
+    )""", re.VERBOSE)
+
+
+def tokenize(s: str) -> list[str]:
+    out, i = [], 0
+    while i < len(s):
+        if s[i].isspace():
+            i += 1
+            continue
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise ParseError(f"bad MDX at position {i}: {s[i:i+20]!r}")
+        out.append(m.group().strip())
+        i = m.end()
+    return out
+
+
+@dataclass
+class _P:
+    toks: list[str]
+    pos: int = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise ParseError("unexpected end of MDX")
+        self.pos += 1
+        return t
+
+    def expect(self, tok: str) -> None:
+        t = self.next()
+        if t.upper() != tok.upper():
+            raise ParseError(f"expected {tok!r}, got {t!r}")
+
+    def peek_upper(self) -> str:
+        t = self.peek()
+        return t.upper() if t else ""
+
+
+def _path(p: _P) -> list[str]:
+    """[A].[B].[C] (bracketed segments joined by dots)."""
+    segs = []
+    while True:
+        t = p.peek()
+        if t is None or not t.startswith("["):
+            if not segs:
+                raise ParseError(f"expected member path, got {t!r}")
+            return segs
+        segs.append(p.next()[1:-1])
+        if p.peek() == ".":
+            nxt = p.toks[p.pos + 1] if p.pos + 1 < len(p.toks) else ""
+            if nxt.startswith("["):
+                p.next()  # consume '.'
+                continue
+        return segs
+
+
+def _path_str(segs: list[str]) -> str:
+    return ".".join(f"[{s}]" for s in segs)
+
+
+class MdxQuery:
+    """Accumulates QueryModel fields while walking the axis tree."""
+
+    def __init__(self) -> None:
+        self.qm_kwargs: dict = dict(measures=[], drilldown=[], cut=[],
+                                    filter=[], nonempty=False)
+
+
+def _axis(p: _P, q: MdxQuery) -> None:
+    t = p.peek_upper()
+    if t == "NON":
+        p.next()
+        p.expect("EMPTY")
+        q.qm_kwargs["nonempty"] = True
+        _axis(p, q)
+        return
+    _axis_expr(p, q)
+
+
+def _measure_ref(p: _P) -> str:
+    segs = _path(p)
+    if len(segs) != 2 or segs[0].lower() != "measures":
+        raise ParseError(f"expected [Measures].[X], got {_path_str(segs)}")
+    return segs[1]
+
+
+def _axis_expr(p: _P, q: MdxQuery) -> None:
+    t = p.peek_upper()
+    if t in ("DISTINCT", "SUBSET", "ORDER", "FILTER", "TOPCOUNT", "CROSSJOIN"):
+        p.next()
+        p.expect("(")
+        if t == "DISTINCT":
+            _axis_expr(p, q)
+            q.qm_kwargs["distinct"] = True
+        elif t == "SUBSET":
+            _axis_expr(p, q)
+            p.expect(",")
+            q.qm_kwargs["offset"] = int(p.next())
+            if p.peek() == ",":
+                p.next()
+                q.qm_kwargs["limit"] = int(p.next())
+        elif t == "ORDER":
+            _axis_expr(p, q)
+            p.expect(",")
+            q.qm_kwargs["order"] = _measure_ref(p)
+            if p.peek() == ",":
+                p.next()
+                q.qm_kwargs["order_desc"] = p.next().upper() == "BDESC"
+        elif t == "FILTER":
+            _axis_expr(p, q)
+            p.expect(",")
+            while True:
+                m = _measure_ref(p)
+                op = p.next()
+                val = p.next()
+                q.qm_kwargs["filter"].append(f"{m} {op} {val}")
+                if p.peek_upper() == "AND":
+                    p.next()
+                    continue
+                break
+        elif t == "TOPCOUNT":
+            _axis_expr(p, q)
+            p.expect(",")
+            n = int(p.next())
+            p.expect(",")
+            q.qm_kwargs["order"] = _measure_ref(p)
+            q.qm_kwargs["order_desc"] = True
+            q.qm_kwargs["limit"] = n
+        elif t == "CROSSJOIN":
+            _axis_expr(p, q)
+            p.expect(",")
+            _axis_expr(p, q)
+        p.expect(")")
+        return
+    if t == "DESCENDANTS":
+        q.qm_kwargs["drilldown"].append(_descendants(p, q))
+        return
+    if t == "{":
+        _set_expr(p, q)
+        return
+    # member path: Level.Members or bare [Named Set]
+    segs = _path(p)
+    if p.peek() == "." :
+        p.next()
+        p.expect("MEMBERS")
+        q.qm_kwargs["drilldown"].append(".".join(segs))
+        return
+    if len(segs) == 1:
+        q.qm_kwargs["drilldown"].append(segs[0])  # named set shortcut
+        return
+    raise ParseError(f"expected .Members after {_path_str(segs)}")
+
+
+def _descendants(p: _P, q: MdxQuery) -> str:
+    """DESCENDANTS([member path], [level path]) -> drilldown at the
+    level + member cut (reference query_helper.rb:242-252)."""
+    p.expect("DESCENDANTS")
+    p.expect("(")
+    member = _path(p)
+    p.expect(",")
+    level = _path(p)
+    p.expect(")")
+    q.qm_kwargs["cut"].append(_path_str(member))
+    return ".".join(level)
+
+
+def _set_expr(p: _P, q: MdxQuery) -> None:
+    """{m1, m2, ...} — member set (drill at the shared level + set
+    cut), or union of DESCENDANTS (query_helper.rb:253-256)."""
+    p.expect("{")
+    if p.peek_upper() == "DESCENDANTS":
+        levels, members = [], []
+        while True:
+            sub = MdxQuery()
+            levels.append(_descendants(p, sub))
+            members.append(sub.qm_kwargs["cut"][0])
+            if p.peek() == ",":
+                p.next()
+                continue
+            break
+        p.expect("}")
+        if len(set(levels)) != 1:
+            raise ParseError("DESCENDANTS union must target one level")
+        q.qm_kwargs["drilldown"].append(levels[0])
+        q.qm_kwargs["cut"].append("{" + ",".join(members) + "}")
+        return
+    members = []
+    while True:
+        members.append(_path(p))
+        if p.peek() == ",":
+            p.next()
+            continue
+        break
+    p.expect("}")
+    # drill at the members' level, cut to the set
+    level_path = members[0][:-1]
+    q.qm_kwargs["drilldown"].append(".".join(level_path))
+    q.qm_kwargs["cut"].append(
+        "{" + ",".join(_path_str(m) for m in members) + "}")
+
+
+def _slicer(p: _P, q: MdxQuery) -> None:
+    """WHERE (<cut> [* <cut>]...) — tuple slicer
+    (query_helper.rb:305-314)."""
+    p.expect("(")
+    while True:
+        t = p.peek()
+        if t == "{":
+            p.expect("{")
+            members = []
+            while True:
+                members.append(_path(p))
+                if p.peek() == ",":
+                    p.next()
+                    continue
+                break
+            p.expect("}")
+            q.qm_kwargs["cut"].append(
+                "{" + ",".join(_path_str(m) for m in members) + "}")
+        else:
+            segs = _path(p)
+            q.qm_kwargs["cut"].append(
+                segs[0] if len(segs) == 1 else _path_str(segs))
+        if p.peek() == "*":
+            p.next()
+            continue
+        break
+    p.expect(")")
+
+
+def compile_mdx(mdx: str, cube_hint: str | None = None) -> QueryModel:
+    """MDX string -> QueryModel.  Raises ParseError outside the
+    supported subset (reference behavior: Mondrian errors -> 400,
+    api_helpers.rb:42-54)."""
+    p = _P(tokenize(mdx))
+    q = MdxQuery()
+    p.expect("SELECT")
+    # axis 0: measures
+    p.expect("{")
+    while True:
+        q.qm_kwargs["measures"].append(_measure_ref(p))
+        if p.peek() == ",":
+            p.next()
+            continue
+        break
+    p.expect("}")
+    p.expect("ON")
+    p.expect("COLUMNS")
+    if p.peek() == ",":
+        p.next()
+        _axis(p, q)
+        p.expect("ON")
+        p.expect("ROWS")
+    p.expect("FROM")
+    cube = _path(p)[0]
+    if p.peek_upper() == "WHERE":
+        p.next()
+        _slicer(p, q)
+    if p.peek() is not None:
+        raise ParseError(f"trailing MDX tokens at {p.peek()!r}")
+    return QueryModel(cube=cube, **q.qm_kwargs)
+
+
+def execute_mdx(spark: SparkSession, sf_dir: str, cat: Catalog,
+                mdx: str) -> DataFrame:
+    return aggregate(spark, sf_dir, cat, compile_mdx(mdx))

@@ -29,6 +29,7 @@ Scale design notes:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from functools import reduce
 
@@ -158,11 +159,38 @@ def _cut_predicate(rc: ResolvedCut):
 # physical attach
 # ---------------------------------------------------------------------------
 
-def _dim_frame(spark: SparkSession, sf_dir: str, dim: Dimension) -> DataFrame:
+_TABLE_COLS_CACHE: dict = {}
+
+
+def _table_columns(spark: SparkSession, sf_dir: str, table: str) -> list[str]:
+    key = (sf_dir, table)
+    if key not in _TABLE_COLS_CACHE:
+        _TABLE_COLS_CACHE[key] = load_table(spark, sf_dir, table).columns
+    return _TABLE_COLS_CACHE[key]
+
+
+def _dim_frame(spark: SparkSession, sf_dir: str, dim: Dimension,
+               needed_exprs: list[str] | None = None) -> DataFrame:
     """Denormalized snowflake frame (reference <Join> chains,
     foodmart.xml:71-75) — chain tails are coarser-grain lookup tables,
-    always broadcast."""
-    head, *rest = dim.tables
+    always broadcast.
+
+    Chain pruning: the chain is linear (head holds the pk), so only the
+    prefix up to the furthest table whose columns are actually
+    referenced needs to be joined — a leaf-level-only query on a
+    3-table snowflake joins 1 table, not 3.  (Catalyst cannot prune
+    these joins itself: dropping an inner join is only safe under FK
+    integrity, which the catalog asserts and Spark cannot.)"""
+    tables = list(dim.tables)
+    if needed_exprs:
+        last = 0
+        for i, (table, _, _) in enumerate(tables):
+            cols = _table_columns(spark, sf_dir, table)
+            pat = re.compile(r"\b(" + "|".join(map(re.escape, cols)) + r")\b")
+            if any(pat.search(e) for e in needed_exprs):
+                last = i
+        tables = tables[: last + 1]
+    head, *rest = tables
     df = load_table(spark, sf_dir, head[0])
     for table, left_key, right_key in rest:
         t = load_table(spark, sf_dir, table)
@@ -171,26 +199,21 @@ def _dim_frame(spark: SparkSession, sf_dir: str, dim: Dimension) -> DataFrame:
 
 
 def _dim_select(spark: SparkSession, sf_dir: str, dim: Dimension,
-                levels: list[Level], props: list[Property_or_str] = None,
+                levels: list[Level], props: list | None = None,
                 caption_overrides: dict | None = None) -> DataFrame:
     """Project the denormalized dim frame down to pk + aliased level
     columns, pre-pruned so only needed columns cross the join."""
-    frame = _dim_frame(spark, sf_dir, dim)
-    exprs = {dim.dim_pk: F.col(dim.dim_pk)}
+    caption_overrides = caption_overrides or {}
+    exprs = {dim.dim_pk: dim.dim_pk}
     for lv in levels:
-        caption_overrides = caption_overrides or {}
-        exprs[lv.key_alias] = F.expr(lv.key)
+        exprs[lv.key_alias] = lv.key
         if lv.caption and lv.caption_alias and lv.caption_alias != lv.key_alias:
             cap_expr = caption_overrides.get((dim.name, lv.name), lv.caption)
-            exprs[lv.caption_alias] = F.expr(cap_expr)
-        for p in lv.properties:
-            pass  # properties added on demand below
+            exprs[lv.caption_alias] = cap_expr
     for p in props or []:
-        exprs[p.alias] = F.expr(p.column)
-    return frame.select(*[c.alias(a) for a, c in exprs.items()])
-
-
-Property_or_str = object  # typing placeholder (kept runtime-light)
+        exprs[p.alias] = p.column
+    frame = _dim_frame(spark, sf_dir, dim, needed_exprs=list(exprs.values()))
+    return frame.select(*[F.expr(e).alias(a) for a, e in exprs.items()])
 
 
 # ---------------------------------------------------------------------------

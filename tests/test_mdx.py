@@ -1,0 +1,94 @@
+"""MDX-subset compiler tests — the reverse of the reference's golden
+MDX strings (query_builder_spec.rb): the MDX build_query would emit
+must compile back to the equivalent QueryModel and produce identical
+results to the REST path."""
+
+import pytest
+
+from mondrian_rest_spark import tpch
+from mondrian_rest_spark.mdx import compile_mdx, execute_mdx
+from mondrian_rest_spark.parser import ParseError
+from mondrian_rest_spark.planner import aggregate
+from mondrian_rest_spark.query import QueryModel
+
+
+def test_compile_simple_members_axis():
+    # mirror of query_builder_spec.rb:58-71 drilldown golden MDX
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Region].Members ON ROWS FROM [Sales]")
+    assert qm.cube == "Sales"
+    assert qm.measures == ["Revenue"]
+    assert qm.drilldown == ["Customer.Region"]
+    assert qm.nonempty is False  # MDX default is dense
+
+
+def test_compile_non_empty_crossjoin():
+    # mirror of query_builder_spec MDX with Crossjoin (api_spec.rb:192)
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue], [Measures].[Quantity]} ON COLUMNS, "
+        "NON EMPTY CROSSJOIN([Customer].[Region].Members, "
+        "[Time].[Year].Members) ON ROWS FROM [Sales]")
+    assert qm.nonempty is True
+    assert qm.drilldown == ["Customer.Region", "Time.Year"]
+    assert qm.measures == ["Revenue", "Quantity"]
+
+
+def test_compile_where_slicer():
+    # mirror of query_builder_spec.rb:73-110 cut golden MDX
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Nation].Members ON ROWS FROM [Sales] "
+        "WHERE ([Customer].[Region].[&2] * [Return Flag].[Return Flag].[R])")
+    assert qm.cut == ["[Customer].[Region].[&2]",
+                      "[Return Flag].[Return Flag].[R]"]
+
+
+def test_compile_descendants():
+    # mirror of query_builder_spec.rb:112-121
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "DESCENDANTS([Customer].[Region].[&2], [Customer].[Customer]) "
+        "ON ROWS FROM [Sales]")
+    assert qm.drilldown == ["Customer.Customer"]
+    assert qm.cut == ["[Customer].[Region].[&2]"]
+
+
+def test_compile_filter_order_subset():
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "SUBSET(ORDER(FILTER([Customer].[Nation].Members, "
+        "[Measures].[Revenue] > 1000 AND [Measures].[Revenue] < 99999999), "
+        "[Measures].[Revenue], BDESC), 1, 3) ON ROWS FROM [Sales]")
+    assert qm.filter == ["Revenue > 1000", "Revenue < 99999999"]
+    assert qm.order == "Revenue" and qm.order_desc is True
+    assert (qm.offset, qm.limit) == (1, 3)
+
+
+def test_compile_topcount():
+    # mirror of api_spec.rb:284-296 raw-MDX TOPCOUNT
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "TOPCOUNT([Part].[Brand].Members, 4, [Measures].[Revenue]) "
+        "ON ROWS FROM [Sales]")
+    assert qm.limit == 4 and qm.order == "Revenue" and qm.order_desc
+
+
+def test_compile_rejects_garbage():
+    with pytest.raises(ParseError):
+        compile_mdx("DROP TABLE lineitem")
+    with pytest.raises(ParseError):
+        compile_mdx("SELECT {[Measures].[Revenue]} ON COLUMNS FROM [Sales] EXTRA")
+
+
+def test_mdx_execution_matches_rest_path(spark, sf_dir):
+    mdx = ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+           "NON EMPTY CROSSJOIN([Customer].[Region].Members, "
+           "[Time].[Year].Members) ON ROWS FROM [Sales] "
+           "WHERE ([Customer].[Region].[&2])")
+    via_mdx = execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
+    via_rest = aggregate(spark, sf_dir, tpch.CATALOG, QueryModel(
+        cube="Sales", measures=["Revenue"],
+        drilldown=["Customer.Region", "Time.Year"],
+        cut=["[Customer].[Region].[&2]"], nonempty=True)).collect()
+    assert sorted(map(tuple, via_mdx)) == sorted(map(tuple, via_rest))
