@@ -1,0 +1,74 @@
+"""Parent-child hierarchy support via transitive-closure tables.
+
+Analog of the reference's employee/supervisor hierarchy
+(foodmart.xml:529-547: `<ParentExpression>` + `<Closure>` over
+employee_closure).  Mondrian expects a *precomputed* closure table;
+here we can both consume one and build one distributedly.
+
+Scale notes: closure construction is iterative self-join doubling
+(log2(depth) joins, each a shuffle on the frontier's ancestor key) —
+an org chart of depth 20 needs 5 iterations.  The subtree rollup is
+then a single fact ⋈ closure join + groupBy(ancestor): each fact row
+fans out to its ancestor count (bounded by hierarchy depth), which is
+the same cost Mondrian's SQL pays.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def build_closure(edges: DataFrame, id_col: str, parent_col: str,
+                  max_depth: int = 64) -> DataFrame:
+    """(id, parent) self-reference -> closure (ancestor_id,
+    descendant_id, depth), including self-rows at depth 0.
+
+    Iterative doubling: closure_{2k} = closure_k ⋈ closure_k, so the
+    number of shuffles is logarithmic in hierarchy depth.  Stops when a
+    pass adds no new pairs (or max_depth as a runaway guard).
+    """
+    self_rows = edges.select(
+        F.col(id_col).alias("ancestor_id"),
+        F.col(id_col).alias("descendant_id"),
+        F.lit(0).alias("depth"))
+    direct = (edges.filter(F.col(parent_col).isNotNull())
+              .select(F.col(parent_col).alias("ancestor_id"),
+                      F.col(id_col).alias("descendant_id"),
+                      F.lit(1).alias("depth")))
+    closure = self_rows.unionByName(direct)
+    hops = direct
+    depth = 1
+    while depth < max_depth:
+        # extend the frontier by joining it with the direct edges
+        nxt = (hops.alias("h")
+               .join(direct.alias("d"),
+                     F.col("h.ancestor_id") == F.col("d.descendant_id"))
+               .select(F.col("d.ancestor_id").alias("ancestor_id"),
+                       F.col("h.descendant_id").alias("descendant_id"),
+                       (F.col("h.depth") + 1).alias("depth")))
+        new = nxt.join(closure,
+                       on=["ancestor_id", "descendant_id"], how="left_anti")
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new)
+        hops = new
+        depth += 1
+    return closure
+
+
+def subtree_rollup(fact: DataFrame, closure: DataFrame, members: DataFrame,
+                   fact_key: str, member_key: str, agg_exprs: list,
+                   include_self: bool = True) -> DataFrame:
+    """Aggregate a fact at every member *including its whole subtree*
+    (the Mondrian parent-child semantics: a supervisor's cell contains
+    their own facts plus all transitive reports').
+
+    fact ⋈ closure(descendant) -> groupBy(ancestor) ⋈ members.
+    """
+    cl = closure if include_self else closure.filter(F.col("depth") > 0)
+    joined = fact.join(cl, F.col(fact_key) == F.col("descendant_id"), "inner")
+    agg = joined.groupBy(F.col("ancestor_id")).agg(*agg_exprs)
+    return (agg.join(members,
+                     agg["ancestor_id"] == members[member_key], "inner")
+               .drop("ancestor_id"))

@@ -1,0 +1,96 @@
+"""Parent-child closure hierarchies (SURVEY J4) and aggregate-table
+routing (SURVEY A9) — reference foodmart.xml:529-547 and :128-160."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from mondrian_rest_spark import tpch
+from mondrian_rest_spark.operators.closure import build_closure, subtree_rollup
+from mondrian_rest_spark.planner import aggregate
+from mondrian_rest_spark.plans.rollup import RollupManager
+from mondrian_rest_spark.query import QueryModel
+
+
+@pytest.fixture(scope="module")
+def org(spark):
+    #        1
+    #      /   \
+    #     2     3
+    #    / \     \
+    #   4   5     6
+    #  /
+    # 7
+    return spark.createDataFrame(
+        [(1, None, "ceo"), (2, 1, "vp-a"), (3, 1, "vp-b"),
+         (4, 2, "mgr"), (5, 2, "ic1"), (6, 3, "ic2"), (7, 4, "ic3")],
+        ["emp_id", "parent_id", "emp_name"])
+
+
+def test_build_closure(org):
+    cl = build_closure(org, "emp_id", "parent_id")
+    pairs = {(r.ancestor_id, r.descendant_id): r.depth for r in cl.collect()}
+    assert pairs[(1, 1)] == 0
+    assert pairs[(1, 7)] == 3          # ceo -> mgr chain bottom
+    assert pairs[(2, 7)] == 2
+    assert pairs[(4, 7)] == 1
+    assert (3, 7) not in pairs          # different subtree
+    # total rows: 7 self + transitive pairs
+    assert len(pairs) == 7 + 6 + 4 + 1  # depth0 + d1 + d2 + d3
+
+
+def test_subtree_rollup(spark, org):
+    fact = spark.createDataFrame(
+        [(i, float(10 ** (i - 1))) for i in range(1, 8)],
+        ["emp_id_f", "salary"])
+    cl = build_closure(org, "emp_id", "parent_id")
+    out = subtree_rollup(fact, cl, org, "emp_id_f", "emp_id",
+                         [F.sum("salary").alias("total_salary")])
+    got = {r.emp_name: r.total_salary for r in out.collect()}
+    assert got["ceo"] == sum(10 ** i for i in range(7))
+    assert got["vp-a"] == 10 + 1000 + 10000 + 1000000   # 2,4,5,7
+    assert got["mgr"] == 1000 + 1000000                 # 4,7
+    assert got["ic3"] == 1000000
+
+
+def test_rollup_routing_matches_base(spark, sf_dir):
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("nation_year", ("Customer.Nation", "Time.Year"))
+
+    qm = QueryModel(cube="Sales", measures=["Revenue", "Line Count"],
+                    drilldown=["Customer.Nation"],
+                    cut=["([Time].[Year].[1996]:[Time].[Year].[1998])"])
+    routed, source = mgr.route(qm)
+    assert source == "nation_year"
+    base = aggregate(spark, sf_dir, tpch.CATALOG, qm)
+    assert sorted(map(tuple, routed.collect())) == \
+        sorted(map(tuple, base.collect()))
+
+
+def test_rollup_refuses_distinct_count(spark, sf_dir):
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("nation_year", ("Customer.Nation", "Time.Year"))
+    # distinct-count is non-additive -> must fall back to base facts
+    qm = QueryModel(cube="Sales", measures=["Customer Count"],
+                    drilldown=["Customer.Nation"])
+    _, source = mgr.route(qm)
+    assert source == "base"
+    # finer grain than the rollup -> base
+    qm2 = QueryModel(cube="Sales", measures=["Revenue"],
+                     drilldown=["Customer.Customer"])
+    _, source2 = mgr.route(qm2)
+    assert source2 == "base"
+
+
+def test_rollup_scans_cache_not_parquet(spark, sf_dir):
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("nation_year", ("Customer.Nation", "Time.Year"))
+    qm = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Customer.Nation"])
+    routed, source = mgr.route(qm)
+    assert source == "nation_year"
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan  # served from the cached rollup
+    # nothing above the cache boundary scans parquet (the cached
+    # relation's printed lineage below it legitimately mentions the
+    # fact it was built from)
+    assert "parquet" not in plan.split("InMemoryRelation")[0]
