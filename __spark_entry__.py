@@ -23,7 +23,8 @@ import pyspark.sql.functions as F
 
 from mondrian_rest_spark import members as MB
 from mondrian_rest_spark import tpch
-from mondrian_rest_spark.operators import dedup, similarity, textstats, windows
+from mondrian_rest_spark.operators import (closure, dedup, multimodal,
+                                           similarity, textstats, windows)
 from mondrian_rest_spark.planner import aggregate
 from mondrian_rest_spark.query import QueryModel
 from mondrian_rest_spark.sources.registry import load_table
@@ -64,6 +65,58 @@ J_ORD_CUST = ("orders JOIN customer ON o_custkey = c_custkey "
               "JOIN nation ON c_nationkey = n_nationkey "
               "JOIN region ON n_regionkey = r_regionkey")
 TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _geo_closure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-child hierarchy rollup (SURVEY J4; reference
+    foodmart.xml:529-547): a region -> nation -> customer parent-child
+    graph built from the dim tables, its transitive closure built
+    distributedly, then orders aggregated at every node *including its
+    whole subtree* (a region's cell = all its nations' customers)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    node = lambda tag, key: F.concat(F.lit(tag), F.col(key).cast("string"))
+    edges = (
+        region.select(node("R", "r_regionkey").alias("node_id"),
+                      F.lit(None).cast("string").alias("parent_id"),
+                      F.col("r_name").alias("node_name"))
+        .unionByName(nation.select(
+            node("N", "n_nationkey").alias("node_id"),
+            node("R", "n_regionkey").alias("parent_id"),
+            F.col("n_name").alias("node_name")))
+        .unionByName(customer.select(
+            node("C", "c_custkey").alias("node_id"),
+            node("N", "c_nationkey").alias("parent_id"),
+            F.col("c_name").alias("node_name"))))
+    cl = closure.build_closure(edges, "node_id", "parent_id", known_depth=2)
+    fact = orders.select(node("C", "o_custkey").alias("cust_node"),
+                         "o_totalprice", "o_orderkey")
+    out = closure.subtree_rollup(
+        fact, cl, edges.select("node_id", "node_name"),
+        "cust_node", "node_id",
+        [F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double")
+           .alias("total_price"),
+         F.count("o_orderkey").alias("order_count")])
+    return out.select("node_id", "node_name", "total_price", "order_count")
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents' text re-encoded as an
+    opaque binary payload column, then Arrow-batched mapInPandas feature
+    extraction (operators/multimodal.py).  Width/height come from the
+    stubbed decoder so only the decode-independent features are compared
+    against the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"))
+    return (multimodal.extract_features(media)
+            .select("media_id", "kind", "n_bytes", "checksum"))
 
 
 # --------------------------------------------------------------------------
@@ -189,6 +242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY CROSSJOIN([Customer].[Region].Members, "
         "[Line Status].[Line Status].Members) ON ROWS FROM [Sales]")
 
+    q["q27_parent_child_closure"] = lambda s, d: _geo_closure_rollup(s, d)
+
     # ---- event-time windows (extension; SURVEY §2.11/§7.3 step 10) ----
     q["w01_tumbling_day"] = lambda s, d: windows.tumbling(
         load_table(s, d, "events"), "1 day")
@@ -214,6 +269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings"), query_vec_id=7, k=10)
     q["s02_ann_lsh_topk"] = lambda s, d: similarity.ann_topk_lsh(
         load_table(s, d, "embeddings"), query_vec_id=7, k=10)
+
+    # ---- multimodal plumbing (binary payload -> mapInPandas features) ----
+    q["m01_media_features"] = lambda s, d: _media_features(s, d)
 
     # ---- text analysis ----
     q["t01_token_stats"] = lambda s, d: textstats.token_stats(
@@ -400,6 +458,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
                    l_linestatus, {REVENUE} AS revenue
             FROM {J_CUST} GROUP BY 1, 2, 3""",
+        "q27_parent_child_closure": f"""
+            WITH oc AS (
+              SELECT c_custkey, c_name, c_nationkey, o_totalprice, o_orderkey
+              FROM orders JOIN customer ON o_custkey = c_custkey)
+            SELECT 'C' || c_custkey AS node_id, c_name AS node_name,
+                   {DEC('o_totalprice')} AS total_price,
+                   COUNT(o_orderkey) AS order_count
+            FROM oc GROUP BY 1, 2
+            UNION ALL
+            SELECT 'N' || n_nationkey, n_name, {DEC('o_totalprice')},
+                   COUNT(o_orderkey)
+            FROM oc JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2
+            UNION ALL
+            SELECT 'R' || r_regionkey, r_name, {DEC('o_totalprice')},
+                   COUNT(o_orderkey)
+            FROM oc JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2""",
+        "m01_media_features": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   md5(text) AS checksum
+            FROM documents""",
         "w01_tumbling_day": f"""
             SELECT date_trunc('day', ts) AS win_start,
                    {DEC('value')} AS sum_value,

@@ -20,13 +20,22 @@ from pyspark.sql import DataFrame
 
 
 def build_closure(edges: DataFrame, id_col: str, parent_col: str,
-                  max_depth: int = 64) -> DataFrame:
+                  max_depth: int = 64,
+                  known_depth: int | None = None) -> DataFrame:
     """(id, parent) self-reference -> closure (ancestor_id,
     descendant_id, depth), including self-rows at depth 0.
 
-    Iterative doubling: closure_{2k} = closure_k ⋈ closure_k, so the
-    number of shuffles is logarithmic in hierarchy depth.  Stops when a
-    pass adds no new pairs (or max_depth as a runaway guard).
+    Frontier-extension loop: each pass joins the current frontier with
+    the direct edges, so pass k adds all depth-(k+1) pairs.  The
+    frontier is persisted per pass (it is re-read by the join, the
+    convergence check, and the union) and unpersisted as soon as the
+    next frontier materializes — lineage stays one pass deep instead of
+    compounding, which is what makes the loop viable on a cluster.
+
+    ``known_depth`` (e.g. 2 for a region->nation->customer tree) skips
+    the convergence ``isEmpty`` action entirely; otherwise the loop
+    stops when a pass adds no new pairs (``max_depth`` is a runaway
+    guard against cycles in dirty data).
     """
     self_rows = edges.select(
         F.col(id_col).alias("ancestor_id"),
@@ -36,25 +45,34 @@ def build_closure(edges: DataFrame, id_col: str, parent_col: str,
               .select(F.col(parent_col).alias("ancestor_id"),
                       F.col(id_col).alias("descendant_id"),
                       F.lit(1).alias("depth")))
-    closure = self_rows.unionByName(direct)
+    parts = [self_rows, direct]
     hops = direct
     depth = 1
-    while depth < max_depth:
-        # extend the frontier by joining it with the direct edges
+    limit = known_depth if known_depth is not None else max_depth
+    while depth < limit:
+        # extend the frontier by joining it with the direct edges; a
+        # node has one parent, so extension cannot create duplicate
+        # (ancestor, descendant) pairs and no anti-join dedup is needed
         nxt = (hops.alias("h")
                .join(direct.alias("d"),
                      F.col("h.ancestor_id") == F.col("d.descendant_id"))
                .select(F.col("d.ancestor_id").alias("ancestor_id"),
                        F.col("h.descendant_id").alias("descendant_id"),
                        (F.col("h.depth") + 1).alias("depth")))
-        new = nxt.join(closure,
-                       on=["ancestor_id", "descendant_id"], how="left_anti")
-        if new.isEmpty():
-            break
-        closure = closure.unionByName(new)
-        hops = new
+        if known_depth is None:
+            # persist: the frontier feeds both the convergence check
+            # and the final union — without it each isEmpty() replays
+            # every prior pass and lineage compounds quadratically
+            nxt = nxt.persist()
+            if nxt.isEmpty():
+                break
+        parts.append(nxt)
+        hops = nxt
         depth += 1
-    return closure
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def subtree_rollup(fact: DataFrame, closure: DataFrame, members: DataFrame,
