@@ -50,6 +50,17 @@ class Level:
     caption_alias: str | None = None
     ordinal: str | None = None          # sort expr; defaults to key
     properties: tuple[Property, ...] = ()
+    # Ragged hierarchies (reference foodmart.xml:565-603 Sales Ragged,
+    # hideMemberIf=): "if_blank_name" hides members with a null/empty
+    # caption, "if_parents_name" hides members whose caption repeats
+    # their parent's.  Hidden members are dropped from member listings;
+    # their facts still aggregate into the surrounding levels.
+    hide_member_if: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.hide_member_if not in (None, "if_blank_name", "if_parents_name"):
+            raise ValueError(
+                f"bad hide_member_if {self.hide_member_if!r} on level {self.name!r}")
 
     @property
     def ordinal_expr(self) -> str:

@@ -69,16 +69,44 @@ def _drill_for(cube: Cube, dim_name: str, level_name: str | None,
     return ResolvedDrill(dim, hier, level, levels)
 
 
+def _ragged_visible(df: DataFrame, rd: ResolvedDrill) -> DataFrame:
+    """Drop members a ragged hierarchy hides (reference
+    foodmart.xml:565-603: hideMemberIf= on Sales Ragged levels).  The
+    frame must already carry the parent level's columns when the rule is
+    if_parents_name (ensured by the callers)."""
+    lv = rd.level
+    cap = F.col(lv.caption_alias or lv.key_alias)
+    if lv.hide_member_if == "if_blank_name":
+        return df.filter(cap.isNotNull() & (F.trim(cap) != ""))
+    if lv.hide_member_if == "if_parents_name":
+        idx = rd.hierarchy.level_index(lv.name)
+        if idx == 0:
+            return df
+        parent = rd.hierarchy.levels[idx - 1]
+        pcap = F.col(parent.caption_alias or parent.key_alias)
+        return df.filter(cap.isNull() | pcap.isNull() | (cap != pcap))
+    return df
+
+
 def level_members(spark: SparkSession, sf_dir: str, cat: Catalog, cube_name: str,
                   dim_name: str, level_name: str | None = None,
                   hierarchy: str | None = None,
                   with_ancestors: bool = False) -> DataFrame:
     """GET .../levels/:l/members (reference api.rb:174-205) — distinct
-    member tuples, deduped by key (mondrian_ext.rb:139)."""
+    member tuples, deduped by key (mondrian_ext.rb:139); ragged levels
+    (hideMemberIf) have their hidden members filtered out."""
     cube = cat.cube(cube_name)
     rd = _drill_for(cube, dim_name, level_name, hierarchy, with_ancestors)
-    return members_frame(spark, sf_dir, cube, rd).dropDuplicates(
+    need_parent = (rd.level.hide_member_if == "if_parents_name"
+                   and not with_ancestors)
+    if need_parent:
+        rd = _drill_for(cube, dim_name, level_name, hierarchy, True)
+    out = _ragged_visible(
+        members_frame(spark, sf_dir, cube, rd), rd).dropDuplicates(
         [lv.key_alias for lv in rd.group_levels])
+    if need_parent:
+        return out.select(*[a for _, a in rd.level.out_cols()])
+    return out
 
 
 def member_children(spark: SparkSession, sf_dir: str, cat: Catalog, cube_name: str,
@@ -93,7 +121,7 @@ def member_children(spark: SparkSession, sf_dir: str, cat: Catalog, cube_name: s
         raise KeyError(f"level {parent_level!r} has no child level")
     child = hier.levels[pidx + 1]
     rd = ResolvedDrill(dim, hier, child, [plevel, child])
-    mf = members_frame(spark, sf_dir, cube, rd)
+    mf = _ragged_visible(members_frame(spark, sf_dir, cube, rd), rd)
     out = mf.filter(F.col(plevel.key_alias) == F.lit(parent_key))
     child_cols = [a for _, a in child.out_cols()]
     return out.select(*child_cols).dropDuplicates([child.key_alias])
