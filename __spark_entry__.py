@@ -102,6 +102,24 @@ def _geo_closure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node_id", "node_name", "total_price", "order_count")
 
 
+def _routed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-table routing (SURVEY A9; reference foodmart.xml:128-160
+    AggName): materialize a nation x year rollup, then answer a
+    nation-grain query with a year cut FROM the rollup — the query never
+    touches the base fact (asserted; see also
+    tests/test_closure_rollup.py plan checks)."""
+    from mondrian_rest_spark.plans.rollup import RollupManager
+
+    mgr = RollupManager(spark, sf_dir, CAT, "Sales")
+    mgr.register("nation_year", ("Customer.Nation", "Time.Year"))
+    qm = QueryModel(cube="Sales", measures=["Revenue", "Line Count"],
+                    drilldown=["Customer.Nation"],
+                    cut=["([Time].[Year].[1996]:[Time].[Year].[1998])"])
+    out, source = mgr.route(qm)
+    assert source == "nation_year", f"expected rollup routing, got {source}"
+    return out
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents' text re-encoded as an
     opaque binary payload column, then Arrow-batched mapInPandas feature
@@ -244,6 +262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q27_parent_child_closure"] = lambda s, d: _geo_closure_rollup(s, d)
 
+    q["q28_rollup_routed"] = lambda s, d: _routed_rollup(s, d)
+
     # ---- event-time windows (extension; SURVEY §2.11/§7.3 step 10) ----
     q["w01_tumbling_day"] = lambda s, d: windows.tumbling(
         load_table(s, d, "events"), "1 day")
@@ -268,6 +288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["s01_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         load_table(s, d, "embeddings"), query_vec_id=7, k=10)
     q["s02_ann_lsh_topk"] = lambda s, d: similarity.ann_topk_lsh(
+        load_table(s, d, "embeddings"), query_vec_id=7, k=10)
+    q["s03_ann_ivf_topk"] = lambda s, d: similarity.ann_topk_ivf(
         load_table(s, d, "embeddings"), query_vec_id=7, k=10)
 
     # ---- multimodal plumbing (binary payload -> mapInPandas features) ----
@@ -475,6 +497,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(o_orderkey)
             FROM oc JOIN nation ON c_nationkey = n_nationkey
                     JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2""",
+        "q28_rollup_routed": f"""
+            SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   {REVENUE} AS revenue, COUNT(l_linenumber) AS line_count
+            FROM {J_CUST} WHERE year(l_shipdate) BETWEEN 1996 AND 1998
+            GROUP BY 1, 2""",
         "m01_media_features": """
             SELECT doc_id AS media_id,
                    CASE CAST(doc_id % 3 AS INTEGER)
@@ -582,6 +609,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents""",
-        # d04 (simhash) and s02 (ANN) are engine-hash-dependent /
+        # d04 (simhash) and s02/s03 (ANN) are engine-hash-dependent /
         # approximate by construction -> rows-only checks.
     }

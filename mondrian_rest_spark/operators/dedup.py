@@ -22,7 +22,7 @@ Scale design:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
@@ -83,38 +83,65 @@ def neardup_bruteforce(df: DataFrame, threshold: float = 0.5,
             .select("a_id", "b_id", "jaccard"))
 
 
+def shingle_hash_rows(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct (id, shingle_hash) rows — the long-format shingle set.
+
+    Built with posexplode + window lead instead of array higher-order
+    functions: array lambdas are interpreted per element (measured 3.5x
+    slower at sf0.1), while explode/window/hash stay JVM-side.  The
+    window, the dedup, and every downstream per-doc aggregate all
+    cluster on ``id_col``, so Spark reuses one shuffle for the chain.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("__pos", "__tok"))
+    # hash tokens to longs BEFORE the window so the partition sort moves
+    # (id, pos, int64) instead of strings; the shingle identity is the
+    # hash of the n token hashes (same set semantics, modulo xxhash64
+    # collisions)
+    ex = ex.select(F.col(id_col), F.col("__pos"),
+                   F.xxhash64("__tok").alias("__th"))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__th")] + [F.lead("__th", k).over(w) for k in range(1, n)]
+    return (ex.select(F.col(id_col), F.xxhash64(*parts).alias("__h"),
+                      parts[-1].isNotNull().alias("__full"))
+            .filter("__full")
+            .drop("__full")
+            .dropDuplicates([id_col, "__h"]))
+
+
 def neardup_minhash_lsh(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, num_hashes: int = 32,
                         bands: int = 16) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, verified with exact
-    jaccard on candidates only.  Signature/banding entirely in Spark SQL
-    higher-order functions; the only shuffles are the band-bucket join
-    and the final candidate verification join."""
+    jaccard on candidates only.
+
+    Long-format throughout — shingle sets live as (id, hash64) rows,
+    never as arrays:
+    - signatures: one groupBy(id) computing |set| and the k salted
+      minhashes (min over duplicate occurrences is the same min, so no
+      pre-dedup pass is needed beyond the shared one);
+    - candidates: band-bucket self-join moving only (id, band, sig);
+    - verification: candidate ⋈ shingle-rows ⋈ shingle-rows hash-equi
+      join counts the intersection, |A∪B| = |A|+|B|-|A∩B| — exact
+      jaccard with no array_intersect over wide payloads.
+    Jaccard over 64-bit shingle hashes equals string jaccard up to hash
+    collisions (~1e-9 at 10^6 distinct shingles).
+    """
     rows = num_hashes // bands
-    sh = (with_shingles(df, text_col, n)
-          .select(F.col(id_col), F.col("shingles"))
-          .filter(F.size("shingles") > 0))
-    # Signature via explode + hash-groupBy instead of nested
-    # higher-order functions: array lambdas are interpreted per
-    # element, while explode + min() aggregates stay inside
-    # whole-stage codegen (measured ~5x faster at sf0.1).  Each
-    # shingle string is hashed to a long once; the k hash families
-    # re-hash that long with salt j.
-    ex = sh.select(F.col(id_col),
-                   F.explode("shingles").alias("__s")).select(
-        F.col(id_col), F.xxhash64("__s").alias("__h"))
-    sig = ex.groupBy(id_col).agg(
+    # consumed three times (signature + both verify sides): persist the
+    # narrow (id, hash) projection, ~16 bytes/shingle
+    ex = shingle_hash_rows(df, text_col, id_col, n).persist()
+    stats = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__sz"),
         *[F.min(F.xxhash64("__h", F.lit(j))).alias(f"mh{j}")
           for j in range(num_hashes)])
-    # band signature = one xxhash64 over the band's minhash columns.
-    # The bucket join moves only (id, band, sig); shingle arrays are
-    # re-attached per candidate pair afterwards, so the wide payload
-    # never rides the bucket shuffle.
     band_sigs = F.array(*[
         F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)], F.lit(b))
         for b in range(bands)])
-    bands_df = sig.select(
+    bands_df = stats.select(
         F.col(id_col),
         F.posexplode(band_sigs).alias("band_idx", "band_sig"))
     left = bands_df.select(F.col(id_col).alias("a_id"), "band_idx", "band_sig")
@@ -123,11 +150,18 @@ def neardup_minhash_lsh(df: DataFrame, threshold: float = 0.5,
                 .filter(F.col("a_id") < F.col("b_id"))
                 .select("a_id", "b_id")
                 .dropDuplicates(["a_id", "b_id"]))
-    sa = sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("sa"))
-    sb = sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("sb"))
-    verified = cand.join(sa, "a_id").join(sb, "b_id")
-    return (verified
-            .withColumn("jaccard", F.round(_jaccard("sa", "sb"), 6))
+    ea = ex.select(F.col(id_col).alias("a_id"), "__h")
+    eb = ex.select(F.col(id_col).alias("b_id"), "__h")
+    inter = (cand.join(ea, "a_id").join(eb, ["b_id", "__h"])
+                 .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("__i")))
+    sizes = stats.select(F.col(id_col), F.col("__sz"))
+    return (inter
+            .join(sizes.select(F.col(id_col).alias("a_id"),
+                               F.col("__sz").alias("__sa")), "a_id")
+            .join(sizes.select(F.col(id_col).alias("b_id"),
+                               F.col("__sz").alias("__sb")), "b_id")
+            .withColumn("jaccard", F.round(
+                F.col("__i") / (F.col("__sa") + F.col("__sb") - F.col("__i")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("a_id", "b_id", "jaccard"))
 

@@ -84,6 +84,53 @@ def ann_topk_lsh(df: DataFrame, query_vec_id: int, k: int = 10,
             .limit(k))
 
 
+def ann_topk_ivf(df: DataFrame, query_vec_id: int, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is assigned to
+    coarse centroid cells; a probe scans only the ``n_probe`` cells
+    whose centroids are nearest the query, then ranks by exact cosine.
+
+    Centroids here are a deterministic sample — the ``n_cells`` vectors
+    with the smallest id hashes stand in for a k-means train step (no
+    RNG state, stable across engines).  At scale: centroids come from a
+    periodic training job, the corpus is written partitioned by
+    ``cell_id``, and a probe becomes a partition-pruned read of
+    n_probe/n_cells of the data instead of a full scan.
+    """
+    from pyspark.sql import Window
+
+    cents = (df.orderBy(F.xxhash64(F.col(id_col).cast("string")))
+               .limit(n_cells)
+               .select(F.row_number().over(
+                   Window.orderBy(id_col)).alias("cell_id"),
+                   F.col(vec_col).alias("__cvec")))
+    # assign every vector to its nearest centroid (argmax cosine)
+    scored = with_cosine(df.crossJoin(F.broadcast(cents)), "__cvec", vec_col,
+                         out_col="__ccos")
+    assigned = (scored
+                .withColumn("__rn", F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.desc("__ccos"), F.asc("cell_id"))))
+                .filter(F.col("__rn") == 1)
+                .select(id_col, vec_col, "cell_id"))
+    qrow = df.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__query_vec"))
+    probe_cells = (with_cosine(cents.crossJoin(F.broadcast(qrow)),
+                               "__query_vec", "__cvec", out_col="__qcos")
+                   .orderBy(F.desc("__qcos"), F.asc("cell_id"))
+                   .limit(n_probe)
+                   .select("cell_id"))
+    cand = (assigned.join(F.broadcast(probe_cells), "cell_id")
+                    .filter(F.col(id_col) != query_vec_id)
+                    .crossJoin(F.broadcast(qrow)))
+    cand = with_cosine(cand, "__query_vec", vec_col)
+    return (cand
+            .select(id_col, F.round(F.col("cosine"), 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k))
+
+
 def embedding_neardup(df: DataFrame, threshold: float = 0.45,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """All pairs above a cosine threshold.  Brute force (oracle /

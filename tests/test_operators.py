@@ -74,6 +74,19 @@ def test_ann_lsh_bucket_recall_self(spark, sf_dir):
     assert vals == sorted(vals, reverse=True)
 
 
+def test_ann_ivf_probe_recall(spark, sf_dir):
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = [r.vec_id for r in
+             similarity.cosine_topk(emb, query_vec_id=7, k=10).collect()]
+    approx = similarity.ann_topk_ivf(emb, query_vec_id=7, k=10).collect()
+    vals = [r.cosine for r in approx]
+    assert vals == sorted(vals, reverse=True)   # genuinely ranked
+    # probing 4/16 cells must still recover a useful share of the
+    # exact top-10 (deterministic centroids -> stable assertion)
+    assert len(set(r.vec_id for r in approx) & set(exact)) >= 3
+
+
 def test_embedding_neardup_threshold(spark):
     rows = [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0])]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
