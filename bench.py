@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "q17_dense_axes",
     "q18_virtual_cube",
     "q20_properties",
+    "q27_parent_child_closure",
+    "q28_rollup_routed",
+    "m01_media_features",
     "w03_session_30m",
     "d01_exact_dups",
     "d03_neardup_minhash_lsh",

@@ -178,12 +178,22 @@ def with_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("__t"))
     ex = ex.select(F.col(id_col), F.xxhash64("__t").alias("__h"))
-    votes = ex.groupBy(id_col).agg(*[
-        F.sum(F.when(F.expr(f"((__h >> {i}) & 1) = 1"), 1).otherwise(-1))
-         .alias(f"__b{i}") for i in range(64)])
-    packed = " | ".join(
-        f"(case when __b{i} > 0 then shiftleft(1L, {i}) else 0L end)"
-        for i in range(64))
+    # Bit-vote counting packed 4 lanes/long: long j accumulates the
+    # ones-counts of bits 4j..4j+3 in four 16-bit lanes, so the group
+    # aggregate is 16 plain sums + a count instead of 64 conditional
+    # sums (the 64-agg buffer blew past codegen method limits and fell
+    # back to interpreted eval — measured 4x slower at sf0.1).  16-bit
+    # lanes cap a document at 65,535 *distinct* tokens; beyond that,
+    # shard the token stream and OR the per-shard simhashes.
+    lane = lambda j, l: f"(((__h >> {4 * j + l}) & 1) << {16 * l})"
+    votes = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.expr(" | ".join(lane(j, l) for l in range(4))))
+           .alias(f"__s{j}") for j in range(16)])
+    # bit i=4j+l set iff ones > zeros: 2 * lane_count > n
+    bit = lambda j, l: (f"(case when 2 * ((__s{j} >> {16 * l}) & 65535) > __n "
+                        f"then shiftleft(1L, {4 * j + l}) else 0L end)")
+    packed = " | ".join(bit(j, l) for j in range(16) for l in range(4))
     return votes.select(F.col(id_col), F.expr(packed).alias(out_col))
 
 
