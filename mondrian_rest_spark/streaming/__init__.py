@@ -1,1 +1,2 @@
-from .events import stream_events, streaming_tumbling  # noqa: F401
+from .events import (stream_events, streaming_sessionize,  # noqa: F401
+                     streaming_tumbling)

@@ -61,12 +61,90 @@ def streaming_tumbling(events: DataFrame, duration: str = "1 day",
                     "sum_value", "event_count", "approx_users"))
 
 
-def run_available_now(stream_df: DataFrame, query_name: str = "events_agg"):
+def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with
+    an inactivity gap, via ``applyInPandasWithState`` (Arrow-batched
+    Python state machine — the escape hatch for semantics
+    ``session_window`` can't express, e.g. per-session derived stats).
+
+    Semantics match the batch ``operators.windows.sessionized``: a
+    session closes when ``gap`` passes with no event.  Emission is
+    append-mode: a closed session emits when a later event of the same
+    user arrives past the gap, or when the event-time timeout fires
+    (watermark passes last_ts + gap); open sessions at stream end stay
+    in state unemitted — the price of correct late-data handling.
+
+    State per user is O(1) (start, last, sum, count), bounded overall
+    by the number of active users inside the watermark horizon.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = _interval_micros(gap)
+    out_schema = ("user_id bigint, session_start timestamp, "
+                  "sum_value double, event_count bigint")
+    state_schema = "start long, last long, s double, c long"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start, last, sval, cnt = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "sum_value": [sval], "event_count": [cnt]})
+            return
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values("ts")
+        start = last = None
+        sval, cnt = 0.0, 0
+        if state.exists:
+            start, last, sval, cnt = state.get
+        closed = []
+        for ts, value in zip(rows["ts"], rows["value"]):
+            t_us = ts.value // 1000  # pandas ns -> us
+            if last is not None and t_us - last > gap_us:
+                closed.append((start, sval, cnt))
+                start, sval, cnt = t_us, 0.0, 0
+            if start is None:
+                start = t_us
+            last = t_us
+            sval += float(value)
+            cnt += 1
+        state.update((start, last, sval, cnt))
+        state.setTimeoutTimestamp((last + gap_us) // 1000)  # millis
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "sum_value": [s for _, s, _ in closed],
+                "event_count": [c for _, _, c in closed]})
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.EventTimeTimeout))
+
+
+def _interval_micros(interval: str) -> int:
+    n, unit = interval.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return int(n) * mult * 1_000_000
+
+
+def run_available_now(stream_df: DataFrame, query_name: str = "events_agg",
+                      output_mode: str = "complete"):
     """Drain the stream with Trigger.availableNow into a memory sink;
-    returns the StreamingQuery (caller awaits + reads the table)."""
+    returns the StreamingQuery (caller awaits + reads the table).
+    ``output_mode='append'`` for watermark-append operators
+    (streaming_sessionize)."""
     return (stream_df.writeStream
             .format("memory")
             .queryName(query_name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start())
