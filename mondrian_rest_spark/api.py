@@ -110,6 +110,17 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
     def hier_level_members(cube, dim, hier, level):
         return _members_payload(cube, dim, level, hier)
 
+    @app.get("/cubes/<cube>/dimensions/<dim>/levels/<level>/members/<key>")
+    def member_by_key(cube, dim, level, key):
+        # reference api.rb:207-230 — lookup by MEMBER_KEY (the reference
+        # does a linear scan; this is an indexed filter on the dim frame)
+        df = members.member_lookup(get_spark(), sf_dir, cat, cube,
+                                   dim, level, key.lstrip("&"))
+        rows = [r.asDict() for r in df.collect()]
+        if not rows:
+            raise KeyError(f"member {key!r} not found in {dim}.{level}")
+        return jsonify(rows[0])
+
     @app.get("/cubes/<cube>/members")
     def member_by_full_name(cube, full_name: str | None = None):
         full_name = request.args.get("full_name")

@@ -52,6 +52,15 @@ def test_member_by_full_name(client):
     assert r.get_json()["cust_region"] == "ASIA"
 
 
+def test_member_by_key_route(client):
+    # reference api.rb:207-230 GET .../levels/:l/members/:key
+    r = client.get("/cubes/Sales/dimensions/Customer/levels/Region/members/2")
+    assert r.status_code == 200
+    assert r.get_json()["cust_region"] == "ASIA"
+    r = client.get("/cubes/Sales/dimensions/Customer/levels/Region/members/99")
+    assert r.status_code == 404
+
+
 def test_member_404(client):
     r = client.get("/cubes/Sales/members",
                    query_string={"full_name": "[Customer].[Region].[&99]"})
