@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), max_hamming=3)
     q["d05_embedding_neardup"] = lambda s, d: similarity.embedding_neardup(
         load_table(s, d, "embeddings"), threshold=0.4)
+    q["d06_embedding_neardup_lsh"] = lambda s, d: similarity.embedding_neardup_lsh(
+        load_table(s, d, "embeddings"), threshold=0.4)
 
     # ---- similarity search ----
     q["s01_cosine_topk"] = lambda s, d: similarity.cosine_topk(
@@ -609,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents""",
-        # d04 (simhash) and s02/s03 (ANN) are engine-hash-dependent /
-        # approximate by construction -> rows-only checks.
+        # d04 (simhash), d06 (LSH near-dup) and s02/s03 (ANN) are
+        # engine-hash-dependent / approximate by construction ->
+        # rows-only checks; recall is asserted in tests/test_operators.py.
     }

@@ -131,11 +131,53 @@ def ann_topk_ivf(df: DataFrame, query_vec_id: int, k: int = 10,
             .limit(k))
 
 
+def embedding_neardup_lsh(df: DataFrame, threshold: float = 0.45,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          num_planes: int = 3, num_tables: int = 8,
+                          dim: int = 64) -> DataFrame:
+    """Scale path for embedding near-dup: candidates from ``num_tables``
+    independent hyperplane-LSH tables (a pair collides in table t if all
+    ``num_planes`` sign bits match), exact cosine verified on candidates
+    only.  The self-join shuffles on (table, bucket) so only colliding
+    vectors ever meet — no O(n²) stage.
+
+    Per-plane collision prob for a pair at angle θ is 1-θ/π, so recall
+    ≈ 1-(1-p^planes)^tables.  Defaults (3x8) give ~0.9 recall down to
+    cosine ≈ 0.4; tighten with MORE planes (sharper buckets, fewer
+    candidates) when the threshold is high, e.g. 8x4 for cosine ≥ 0.9."""
+    planes = ", ".join(
+        f"cast(aggregate(zip_with({_as_double(vec_col)}, "
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> cast(xxhash64(concat('t', {t}, '_p', {p}, '_', i)) as double) "
+        f"/ 9.3e18), (x, y) -> x * y), 0D, (acc, v) -> acc + v) > 0 as int)"
+        for t in range(num_tables) for p in range(num_planes))
+    n_sig = num_tables
+    sigs = df.withColumn("__bits", F.expr(f"array({planes})"))
+    buckets = sigs.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {n_sig - 1}), t -> "
+            f"aggregate(slice(__bits, t * {num_planes} + 1, {num_planes}), "
+            f"0L, (acc, b) -> acc * 2 + b))")).alias("__table", "__bucket"))
+    a = buckets.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"),
+                       "__table", "__bucket")
+    b = buckets.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"),
+                       "__table", "__bucket")
+    cand = (a.join(b, ["__table", "__bucket"])
+             .filter(F.col("a_id") < F.col("b_id"))
+             .dropDuplicates(["a_id", "b_id"]))
+    cand = with_cosine(cand, "vb", "va")
+    return (cand
+            .withColumn("cosine", F.round(F.col("cosine"), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("a_id", "b_id", "cosine"))
+
+
 def embedding_neardup(df: DataFrame, threshold: float = 0.45,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """All pairs above a cosine threshold.  Brute force (oracle /
-    small-n); the scale path reuses the LSH buckets: self-join on
-    bucket, verify cosine within."""
+    """All pairs above a cosine threshold.  Brute force (the correctness
+    oracle / small-n path); ``embedding_neardup_lsh`` is the scale
+    path."""
     a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
     pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))

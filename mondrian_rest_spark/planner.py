@@ -51,6 +51,9 @@ from .parser import (
 from .query import QueryModel
 from .sources.registry import load_table
 
+# dense-axis (nonempty=false) cell-count ceiling — see _densify
+MAX_DENSE_CELLS = 10_000_000
+
 
 # ---------------------------------------------------------------------------
 # resolution
@@ -553,6 +556,19 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
                 mf = mf.join(keys, on=rc.level.key_alias, how="left_semi")
         axis_frames.append(mf)
         join_keys += [lv.key_alias for lv in rd.group_levels]
+    if len(axis_frames) > 1:
+        # combinatorial guard (SURVEY §7.5.1): the dense tuple count is
+        # the product of axis cardinalities — refuse plans that would
+        # materialize more cells than any client could consume, with a
+        # clear 400 instead of an executor OOM.  Axis member frames are
+        # dim-sized, so counting them is cheap relative to the query.
+        cells = 1
+        for mf in axis_frames:
+            cells *= mf.count()
+            if cells > MAX_DENSE_CELLS:
+                raise ParseError(
+                    f"dense axes would materialize >{MAX_DENSE_CELLS:,} "
+                    "cells; add cuts or use nonempty=true")
     dense = reduce(lambda a, b: a.crossJoin(b), axis_frames)
     agg_slim = agg.select(*join_keys, *measure_aliases)
     out = dense.join(agg_slim, on=join_keys, how="left")

@@ -87,6 +87,31 @@ def test_ann_ivf_probe_recall(spark, sf_dir):
     assert len(set(r.vec_id for r in approx) & set(exact)) >= 3
 
 
+def test_embedding_neardup_lsh_recall(spark, sf_dir):
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.a_id, r.b_id): r.cosine for r in
+             similarity.embedding_neardup(emb, threshold=0.4).collect()}
+    approx = {(r.a_id, r.b_id): r.cosine for r in
+              similarity.embedding_neardup_lsh(emb, threshold=0.4).collect()}
+    assert set(approx) <= set(exact)            # no false positives
+    for k, v in approx.items():
+        assert v == exact[k]                    # exact cosine on survivors
+    assert len(approx) >= 0.5 * max(len(exact), 1)   # useful recall
+
+
+def test_dense_axes_cell_guard(spark, sf_dir, monkeypatch):
+    from mondrian_rest_spark import planner, tpch
+    from mondrian_rest_spark.parser import ParseError
+    from mondrian_rest_spark.query import QueryModel
+    monkeypatch.setattr(planner, "MAX_DENSE_CELLS", 10)
+    qm = QueryModel(cube="Orders", measures=["Order Count"],
+                    drilldown=["Customer.Region", "Order Status"],
+                    nonempty=False)
+    with pytest.raises(ParseError, match="dense axes"):
+        planner.aggregate(spark, sf_dir, tpch.CATALOG, qm).collect()
+
+
 def test_embedding_neardup_threshold(spark):
     rows = [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0])]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
