@@ -21,13 +21,23 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one star-schema table.  Supports a single parquet file or a
-    partitioned directory of the same name.
+    """Read one star-schema table.  Parquet is the primary format
+    (single file or partitioned directory); `{name}.csv`, `{name}.json`
+    (JSONL) and `{name}.orc` are accepted as fallbacks so a catalog can
+    bind to whatever the lake holds — format resolution is by file
+    presence, parquet first.
 
     Nanosecond-timestamp columns (which the vectorized Spark reader
     rejects) are read as long nanos via the legacy conf and converted
     to microsecond timestamps — same truncation DuckDB applies."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        for ext, reader in (("csv", _read_csv), ("json", _read_json),
+                            ("orc", lambda s, p: s.read.orc(p))):
+            alt = os.path.join(sf_dir, f"{name}.{ext}")
+            if os.path.exists(alt):
+                return reader(spark, alt)
+        raise FileNotFoundError(f"no table file for {name!r} in {sf_dir}")
     nano_cols = _nano_timestamp_cols(path)
     if not nano_cols:
         return spark.read.parquet(path)
@@ -37,6 +47,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division: nano values exceed double precision (2^53)
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     return df
+
+
+def _read_csv(spark: SparkSession, path: str) -> DataFrame:
+    # header + schema inference: fine for dim-sized tables; a 100 TB
+    # fact should be parquet (columnar, pruned) — CSV is an ingest
+    # format, not a serving format
+    return (spark.read.option("header", "true")
+            .option("inferSchema", "true")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+            .csv(path))
+
+
+def _read_json(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.json(path)
+
+
+def load_table_jdbc(spark: SparkSession, url: str, table: str,
+                    partition_column: str | None = None,
+                    num_partitions: int = 8, **options) -> DataFrame:
+    """JDBC scan — the reference's native physical layer
+    (spec_helper.rb:41-47 SQLite / :76-84 Derby).  Needs the driver jar
+    on the Spark classpath; ``partition_column`` (+ bounds in options)
+    turns the read into ``num_partitions`` parallel range scans instead
+    of one connection."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column:
+        r = (r.option("partitionColumn", partition_column)
+              .option("numPartitions", str(num_partitions)))
+    for k, v in options.items():
+        r = r.option(k, str(v))
+    return r.load()
 
 
 def _nano_timestamp_cols(path: str) -> list[str]:

@@ -1,0 +1,67 @@
+"""Source format fallbacks: the catalog binds to whatever the lake
+holds — parquet primary, CSV/JSON accepted (reference reads JDBC
+row stores; SURVEY §2.1 S1)."""
+
+import pytest
+
+from mondrian_rest_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def multi_fmt_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fmts")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)],
+        ["id", "name", "score"])
+    df.coalesce(1).write.option("header", "true").csv(str(d / "t_csv.csv"))
+    df.coalesce(1).write.json(str(d / "t_json.json"))
+    df.write.parquet(str(d / "t_parquet.parquet"))
+    return str(d)
+
+
+def test_parquet_primary(spark, multi_fmt_dir):
+    assert load_table(spark, multi_fmt_dir, "t_parquet").count() == 3
+
+
+def test_csv_fallback_with_schema_inference(spark, multi_fmt_dir):
+    df = load_table(spark, multi_fmt_dir, "t_csv")
+    assert df.count() == 3
+    types = dict(df.dtypes)
+    assert types["id"] == "int"
+    assert types["score"] == "double"
+
+
+def test_json_fallback(spark, multi_fmt_dir):
+    df = load_table(spark, multi_fmt_dir, "t_json")
+    assert df.count() == 3
+    assert {r.name for r in df.collect()} == {"a", "b", "c"}
+
+
+def test_missing_table_clear_error(spark, multi_fmt_dir):
+    with pytest.raises(FileNotFoundError, match="no table file"):
+        load_table(spark, multi_fmt_dir, "nope")
+
+
+def test_engine_runs_on_csv_tables(spark, tmp_path_factory):
+    """A whole cube over CSV-backed tables: the planner is
+    format-agnostic end to end."""
+    import pyspark.sql.functions as F
+
+    from mondrian_rest_spark import tpch
+    from mondrian_rest_spark.planner import aggregate
+    from mondrian_rest_spark.query import QueryModel
+
+    d = tmp_path_factory.mktemp("csv_engine")
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "orders"):
+        (load_table(spark, src, t).coalesce(1).write
+         .option("header", "true")
+         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+         .csv(str(d / f"{t}.csv")))
+    qm = QueryModel(cube="Orders", measures=["Order Count"],
+                    drilldown=["Customer.Region"])
+    got = {r.cust_region: r.order_count
+           for r in aggregate(spark, str(d), tpch.CATALOG, qm).collect()}
+    exp = {r.cust_region: r.order_count
+           for r in aggregate(spark, src, tpch.CATALOG, qm).collect()}
+    assert got == exp
