@@ -120,6 +120,28 @@ def _routed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS extension (beyond reference parity — SURVEY §2.4
+    'Absent': the reference computes one granularity per query).  One
+    scan produces every prefix granularity of region x status via
+    Spark's native rollup (Expand operator: partial aggregation still
+    applies, no N-pass re-scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = (orders
+         .join(customer, orders.o_custkey == customer.c_custkey)
+         .join(nation, customer.c_nationkey == nation.n_nationkey)
+         .join(region, nation.n_regionkey == region.r_regionkey))
+    return (j.rollup(F.col("r_name").alias("cust_region"),
+                     F.col("o_orderstatus"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                    .cast("double").alias("total_price"),
+                  F.count("o_orderkey").alias("order_count"),
+                  F.grouping_id().alias("gid")))
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents' text re-encoded as an
     opaque binary payload column, then Arrow-batched mapInPandas feature
@@ -263,6 +285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q27_parent_child_closure"] = lambda s, d: _geo_closure_rollup(s, d)
 
     q["q28_rollup_routed"] = lambda s, d: _routed_rollup(s, d)
+
+    q["q29_grouping_rollup"] = lambda s, d: _grouping_rollup(s, d)
 
     # ---- event-time windows (extension; SURVEY §2.11/§7.3 step 10) ----
     q["w01_tumbling_day"] = lambda s, d: windows.tumbling(
@@ -504,6 +528,13 @@ def oracle_sql() -> dict[str, str]:
                    {REVENUE} AS revenue, COUNT(l_linenumber) AS line_count
             FROM {J_CUST} WHERE year(l_shipdate) BETWEEN 1996 AND 1998
             GROUP BY 1, 2""",
+        "q29_grouping_rollup": f"""
+            SELECT r_name AS cust_region, o_orderstatus,
+                   {DEC('o_totalprice')} AS total_price,
+                   COUNT(o_orderkey) AS order_count,
+                   GROUPING(r_name, o_orderstatus) AS gid
+            FROM {J_ORD_CUST}
+            GROUP BY ROLLUP(r_name, o_orderstatus)""",
         "m01_media_features": """
             SELECT doc_id AS media_id,
                    CASE CAST(doc_id % 3 AS INTEGER)
