@@ -157,7 +157,8 @@ class Measure:
     # partition-order dependent at scale) and cast back to double here.
     result_cast: str | None = None
 
-    VALID_AGGS = ("sum", "count", "count_distinct", "avg", "min", "max")
+    VALID_AGGS = ("sum", "count", "count_distinct", "approx_count_distinct",
+                  "avg", "min", "max")
 
     def __post_init__(self) -> None:
         if self.agg not in self.VALID_AGGS:

@@ -271,6 +271,10 @@ def _agg_expr(m: Measure):
         "sum": F.sum, "count": F.count, "avg": F.avg,
         "min": F.min, "max": F.max,
         "count_distinct": lambda c: F.countDistinct(c),
+        # the scale path for non-additive distinct counts (SURVEY
+        # §7.5.3): HyperLogLog++ sketch, single partial+final pass, no
+        # Expand; exact count_distinct stays the correctness oracle
+        "approx_count_distinct": lambda c: F.approx_count_distinct(c, 0.01),
     }[m.agg]
     col = fn(e)
     if m.result_cast:

@@ -148,6 +148,9 @@ SALES = Cube(
         Measure("Line Count", "line_count", "count", "l_linenumber"),
         Measure("Customer Count", "customer_count", "count_distinct",
                 "o_custkey", bridge="orders"),
+        # HLL++ scale path for the non-additive distinct count above
+        Measure("Approx Customer Count", "approx_customer_count",
+                "approx_count_distinct", "o_custkey", bridge="orders"),
         # SQL expression measure (reference: foodmart.xml:305-344 MeasureExpression)
         Measure("Revenue", "revenue", "sum",
                 "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))",

@@ -100,6 +100,21 @@ def test_embedding_neardup_lsh_recall(spark, sf_dir):
     assert len(approx) >= 0.5 * max(len(exact), 1)   # useful recall
 
 
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (HLL++, rsd=0.01) must track the exact
+    distinct count within a loose 5% on every nation group."""
+    from mondrian_rest_spark import tpch
+    from mondrian_rest_spark.planner import aggregate
+    from mondrian_rest_spark.query import QueryModel
+
+    qm = QueryModel(cube="Sales",
+                    measures=["Customer Count", "Approx Customer Count"],
+                    drilldown=["Customer.Nation"])
+    for r in aggregate(spark, sf_dir, tpch.CATALOG, qm).collect():
+        assert abs(r.approx_customer_count - r.customer_count) <= \
+            max(2, 0.05 * r.customer_count), r
+
+
 def test_dense_axes_cell_guard(spark, sf_dir, monkeypatch):
     from mondrian_rest_spark import planner, tpch
     from mondrian_rest_spark.parser import ParseError
