@@ -451,8 +451,15 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel
         ocol = _order_column(cube, qm.order, group_cols)
         primary = F.desc(ocol) if qm.order_desc else F.asc(ocol)
         out = out.orderBy(primary, *[F.asc(a) for a in key_aliases if a != ocol])
-    elif qm.offset is not None or qm.limit is not None:
-        # pagination needs a total order: hierarchical member order
+    elif key_aliases:
+        # default = hierarchical member order, root level outermost
+        # (reference golden CSV ordering, SURVEY §7.5.2: Mondrian
+        # orders axis tuples by member ordinal along the ancestor
+        # chain; our level keys are the ordinals — a level with a
+        # separate ordinalColumn would carry it through the groupBy).
+        # The sort runs on the post-aggregation frame (axis-sized),
+        # not the fact, so it is O(result), and it doubles as the
+        # total order pagination needs.
         out = out.orderBy(*[F.asc(a) for a in key_aliases])
     if qm.offset:
         out = out.offset(qm.offset)

@@ -98,6 +98,16 @@ def test_ordering_sorted(spark, sf_dir):
     assert vals == sorted(vals, reverse=True)
 
 
+def test_default_hierarchical_order(spark, sf_dir):
+    """No explicit order => hierarchical member order, root level
+    outermost (reference golden CSV ordering; SURVEY §7.5.2)."""
+    rows = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+               drilldown=["Customer.Nation", "Time.Year"],
+               parents=True).collect()
+    keys = [(r.cust_region_key, r.cust_nation_key, r.year) for r in rows]
+    assert keys == sorted(keys)
+
+
 def test_having_filter(spark, sf_dir):
     rows = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
                drilldown=["Customer.Nation"],
