@@ -110,6 +110,20 @@ def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list) -> dict[str,
             return cells if len(aliases) > 1 else cells[0]
         return [nest(prefix + (tup,)) for tup in axis_captions[ai]]
 
+    # cell_keys (mondrian_ext.rb:277-283): one entry per axis-tuple
+    # combination in the same enumeration order as `values`, holding
+    # the MEMBER_KEY of each drilldown's leaf-level member
+    leaf_key_idx = []
+    for rd in drills:
+        pos = 0
+        for lv in rd.group_levels[:-1]:
+            pos += len(lv.out_cols())
+        leaf_key_idx.append(pos)
+    from itertools import product
+    cell_keys = [
+        [tups[ai][leaf_key_idx[ai]] for ai in range(len(drills))]
+        for tups in product(*axis_captions)] if drills else []
+
     axes = [{"members": [
         {"name": cube.measure(m).name if cube.calc_member(m) is None else m,
          "caption": m} for m in (qm.measures or [cube.default_measure.name])]}]
@@ -124,6 +138,7 @@ def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list) -> dict[str,
         })
     return {
         "axes": axes,
+        "cell_keys": cell_keys,
         "values": nest(()),
         "measure_aliases": aliases,
     }

@@ -75,6 +75,21 @@ def test_aggregate_json(client):
     body = r.get_json()
     assert body["axes"][0]["members"][0]["name"] == "Revenue"
     assert len(body["values"]) == 5
+    # cell_keys: one entry per axis tuple, MEMBER_KEY per drilldown
+    # (reference mondrian_ext.rb:277-283), same order as values
+    assert body["cell_keys"] == [[0], [1], [2], [3], [4]]
+
+
+def test_aggregate_json_cell_keys_2d(client):
+    r = client.get("/cubes/Sales/aggregate", query_string=[
+        ("measures[]", "Revenue"), ("drilldown[]", "Customer.Region"),
+        ("drilldown[]", "Return Flag"), ("nonempty", "true")])
+    body = r.get_json()
+    keys = body["cell_keys"]
+    assert len(keys) == 15                      # 5 regions x 3 flags
+    assert keys[0] == [0, "A"]
+    # enumeration aligns with the values nesting (region-major)
+    assert [k for k, _ in (kk for kk in keys)][:3] == [0, 0, 0]
 
 
 def test_aggregate_csv_header(client):
