@@ -309,6 +309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings"), threshold=0.4)
     q["d06_embedding_neardup_lsh"] = lambda s, d: similarity.embedding_neardup_lsh(
         load_table(s, d, "embeddings"), threshold=0.4)
+    q["d07_neardup_clusters"] = lambda s, d: (lambda docs: dedup.neardup_clusters(
+        docs, dedup.neardup_minhash_lsh(docs, threshold=0.5)))(
+        load_table(s, d, "documents"))
 
     # ---- similarity search ----
     q["s01_cosine_topk"] = lambda s, d: similarity.cosine_topk(
@@ -578,6 +581,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1""",
         "d02_neardup_brute": neardup,
         "d03_neardup_minhash_lsh": neardup,
+        "d07_neardup_clusters": f"""
+            WITH RECURSIVE
+            sh AS ({shingles}),
+            p AS (
+              SELECT a_id, b_id FROM (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       len(list_intersect(a.s, b.s)) * 1.0 /
+                       len(list_distinct(list_concat(a.s, b.s))) AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+              WHERE j >= 0.5),
+            e AS (SELECT a_id AS x, b_id AS y FROM p
+                  UNION SELECT b_id, a_id FROM p),
+            reach(s, t) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.s, e.y FROM reach r JOIN e ON r.t = e.x)
+            SELECT s AS doc_id, MIN(t) AS cluster FROM reach GROUP BY s""",
         "d05_embedding_neardup": """
             SELECT a_id, b_id, cosine FROM (
               SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -197,6 +197,53 @@ def with_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return votes.select(F.col(id_col), F.expr(packed).alias(out_col))
 
 
+def neardup_clusters(df: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Connected components over a near-dup pair graph -> (id, cluster)
+    where cluster = the minimum id reachable from the node (singletons
+    label themselves).  This is the keep/drop decision a dedup pipeline
+    actually needs: keep ``id == cluster``, drop the rest.
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors'; rounds needed = component diameter
+    (near-dup clusters are dense, almost always <= 3).  Each round is
+    one join + one groupBy shuffle on the node id; labels are persisted
+    per round and convergence is detected with a single checksum
+    aggregate, so lineage and state stay O(1) across rounds.
+    """
+    edges = (pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+             .unionByName(pairs.select(F.col("b_id").alias("src"),
+                                       F.col("a_id").alias("dst"))))
+    labels = df.select(F.col(id_col).alias("id"),
+                       F.col(id_col).alias("cluster")).persist()
+    prev_sum = None
+    for _ in range(32):  # diameter guard; real clusters converge in <5
+        neigh = (labels.join(edges, labels.id == edges.src)
+                 .select(F.col("dst").alias("id"), "cluster"))
+        nxt = (labels.unionByName(neigh)
+               .groupBy("id").agg(F.min("cluster").alias("cluster"))
+               .persist())
+        # bit_xor: order-independent and overflow-free (ANSI-safe)
+        chk = nxt.agg(F.expr("bit_xor(xxhash64(id, cluster))")).collect()[0][0]
+        labels.unpersist()
+        labels = nxt
+        if chk == prev_sum:
+            break
+        prev_sum = chk
+    return labels.select(F.col("id").alias(id_col), "cluster")
+
+
+def deduplicate_neardup(df: DataFrame, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3) -> DataFrame:
+    """Keep one document per near-duplicate cluster (min id wins):
+    MinHash-LSH pairs -> connected components -> left-semi keep set."""
+    pairs = neardup_minhash_lsh(df, threshold, text_col, id_col, n)
+    clusters = neardup_clusters(df, pairs, id_col)
+    keep = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")
+
+
 def neardup_simhash(df: DataFrame, max_hamming: int = 3,
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash near-dup pairs: 4x16-bit chunk banding (pigeonhole

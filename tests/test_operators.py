@@ -46,6 +46,20 @@ def test_minhash_lsh_matches_bruteforce(docs):
     assert lsh == brute
 
 
+def test_neardup_clusters_and_keep_one(spark, docs):
+    # crafted graph: chain 1-2, 2-3 (one component), 4-5, 6 singleton
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["a_id", "b_id"])
+    got = {r.doc_id: r.cluster
+           for r in dedup.neardup_clusters(ids, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+    kept = {r.doc_id
+            for r in dedup.deduplicate_neardup(docs).select("doc_id").collect()}
+    # docs 1/2/3 are one near-dup cluster -> min id 1 survives
+    assert 1 in kept and 2 not in kept and 3 not in kept
+
+
 def test_simhash_identical_and_banding(docs):
     pairs = {(r.a_id, r.b_id): r.hamming
              for r in dedup.neardup_simhash(docs, max_hamming=3).collect()}
