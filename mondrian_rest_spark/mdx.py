@@ -132,6 +132,29 @@ def _measure_ref(p: _P) -> str:
 
 
 def _axis_expr(p: _P, q: MdxQuery) -> None:
+    """axis' ( '*' axis' )* — the infix crossjoin form the reference
+    exercises in raw MDX (api_spec.rb:284-296).  Function-wrapped
+    operands (TOPCOUNT/ORDER/SUBSET/...) are rejected in infix position:
+    our QueryModel applies order/limit to the whole axis, so compiling
+    `TOPCOUNT(x, n, m) * y` here would silently truncate the crossjoin
+    instead of the inner set — a clear 400 beats a wrong answer."""
+    fn = _axis_term(p, q)
+    infix = False
+    while p.peek() == "*":
+        p.next()
+        infix = True
+        fn = _axis_term(p, q) or fn
+    if infix and fn:
+        raise ParseError(
+            "set functions cannot be crossjoined with * in this MDX "
+            "subset (order/limit would apply to the whole axis, not "
+            "the inner set); wrap the crossjoin inside the function "
+            "(e.g. TOPCOUNT(CROSSJOIN(a, b), n, m)) instead")
+
+
+def _axis_term(p: _P, q: MdxQuery) -> bool:
+    """Parse one axis term; returns True when it was a set function
+    (which imposes axis-global order/limit/filter semantics)."""
     t = p.peek_upper()
     if t in ("DISTINCT", "SUBSET", "ORDER", "FILTER", "TOPCOUNT", "CROSSJOIN"):
         p.next()
@@ -178,23 +201,25 @@ def _axis_expr(p: _P, q: MdxQuery) -> None:
             p.expect(",")
             _axis_expr(p, q)
         p.expect(")")
-        return
+        # DISTINCT/CROSSJOIN are axis-shape-neutral; the rest impose
+        # axis-global order/limit/filter semantics
+        return t in ("SUBSET", "ORDER", "FILTER", "TOPCOUNT")
     if t == "DESCENDANTS":
         q.qm_kwargs["drilldown"].append(_descendants(p, q))
-        return
+        return False
     if t == "{":
         _set_expr(p, q)
-        return
+        return False
     # member path: Level.Members or bare [Named Set]
     segs = _path(p)
     if p.peek() == "." :
         p.next()
         p.expect("MEMBERS")
         q.qm_kwargs["drilldown"].append(".".join(segs))
-        return
+        return False
     if len(segs) == 1:
         q.qm_kwargs["drilldown"].append(segs[0])  # named set shortcut
-        return
+        return False
     raise ParseError(f"expected .Members after {_path_str(segs)}")
 
 

@@ -74,6 +74,25 @@ def test_compile_topcount():
     assert qm.limit == 4 and qm.order == "Revenue" and qm.order_desc
 
 
+def test_compile_infix_crossjoin():
+    # the reference exercises `set * set` in raw MDX (api_spec.rb:284-296)
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Region].Members * [Return Flag].[Return Flag].Members "
+        "ON ROWS FROM [Sales]")
+    assert qm.drilldown == ["Customer.Region", "Return Flag.Return Flag"]
+
+
+def test_compile_infix_rejects_set_functions():
+    # TOPCOUNT(x) * y would silently truncate the whole crossjoin in
+    # our QueryModel compilation -> must be a clear 400
+    with pytest.raises(ParseError, match="crossjoined"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "TOPCOUNT([Part].[Brand].Members, 5, [Measures].[Revenue]) * "
+            "[Customer].[Region].Members ON ROWS FROM [Sales]")
+
+
 def test_compile_rejects_garbage():
     with pytest.raises(ParseError):
         compile_mdx("DROP TABLE lineitem")
