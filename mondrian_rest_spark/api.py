@@ -141,8 +141,16 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
     def agg(cube, fmt="json"):
         params = request.values
         qm = query_model_from_params(cube, params)
-        df = aggregate(get_spark(), sf_dir, cat, qm)
-        rows = df.collect()
+        if cat.virtual_cube(cube) is None:
+            cat.cube(cube)   # unknown cube stays a 404
+        try:
+            df = aggregate(get_spark(), sf_dir, cat, qm)
+            rows = df.collect()
+        except KeyError as e:
+            # unknown measure/dimension/level inside a valid cube is a
+            # parameter error (reference 400, query_helper.rb:206-210),
+            # not a missing resource
+            raise ParseError(str(e)) from e
         if fmt == "json":
             res = result.to_aggregation_result(cat, qm, rows)
             if qm.debug:  # reference mdx echo (api_spec.rb:183-203)

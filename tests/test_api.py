@@ -52,6 +52,20 @@ def test_member_by_full_name(client):
     assert r.get_json()["cust_region"] == "ASIA"
 
 
+def test_bad_params_400_vs_unknown_cube_404(client):
+    # reference: invalid measure/drilldown -> 400 (query_helper.rb:206-210);
+    # unknown cube -> 404 (api_helpers.rb:36-40)
+    r = client.get("/cubes/Sales/aggregate", query_string=[
+        ("measures[]", "Nope"), ("drilldown[]", "Customer.Region")])
+    assert r.status_code == 400
+    r = client.get("/cubes/Sales/aggregate", query_string=[
+        ("measures[]", "Revenue"), ("drilldown[]", "Customer.Bogus")])
+    assert r.status_code == 400
+    r = client.get("/cubes/NoSuchCube/aggregate", query_string=[
+        ("measures[]", "Revenue")])
+    assert r.status_code == 404
+
+
 def test_member_by_key_route(client):
     # reference api.rb:207-230 GET .../levels/:l/members/:key
     r = client.get("/cubes/Sales/dimensions/Customer/levels/Region/members/2")
