@@ -87,6 +87,45 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(_resize, schema=df.schema)
 
 
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_payload", BinaryType()),
+    StructField("frame_offset", IntegerType()),
+])
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Sample ``n_frames`` evenly spaced frames per media item as a
+    one-to-many mapInPandas (one output row per frame).
+
+    The frame *extraction* is a STUB — a real implementation would
+    ffmpeg-seek per timestamp; here a frame is a deterministic byte
+    window of the payload so tests pin the exact plumbing: schema,
+    fan-out row counts, Arrow batch boundaries.  At scale this is the
+    shape that matters: frames explode row counts n_frames x, so
+    repartition AFTER sampling, never before, and keep frame payloads
+    in their own column so downstream column pruning drops them.
+    """
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_payload": [],
+                    "frame_offset": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = payload or b""
+                step = max(len(data) // max(n_frames, 1), 1)
+                for i in range(n_frames):
+                    off = min(i * step, max(len(data) - 1, 0))
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    # STUB: byte window in lieu of a decoded frame
+                    rows["frame_payload"].append(data[off:off + step])
+                    rows["frame_offset"].append(off)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (no codec needed)."""
     rows = [(i, ("image", "audio", "video")[i % 3],

@@ -219,6 +219,21 @@ def test_multimodal_feature_extraction(spark):
     assert all(again[r.media_id] == r.checksum for r in rows)
 
 
+def test_multimodal_frame_sample(spark):
+    media = multimodal.synthetic_media(spark, n=6)
+    frames = multimodal.frame_sample(media, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 6 * 4                       # exact fan-out
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, fr in by_media.items():
+        assert sorted(f.frame_idx for f in fr) == [0, 1, 2, 3]
+        offsets = [f.frame_offset for f in sorted(fr, key=lambda x: x.frame_idx)]
+        assert offsets == sorted(offsets)           # evenly forward-spaced
+        assert all(isinstance(f.frame_payload, (bytes, bytearray)) for f in fr)
+
+
 def test_multimodal_resize_is_stubbed(spark):
     media = multimodal.synthetic_media(spark, n=2)
     with pytest.raises(Exception) as exc_info:
