@@ -1,0 +1,87 @@
+"""Bucketed fact-table materialization: the co-located-join scale path.
+
+The reference's only physical-layout performance mechanism is aggregate
+tables (reference: spec/fixtures/foodmart.xml:128-160 AggName); the
+layout question "how do two fact-grain tables join without moving
+100 TB?" never arises there because Mondrian pushes one SQL statement
+into a single database.  On Spark it is THE question: every plan in
+PLANS.md shows exactly one sort-merge join — lineitem⋈orders on
+orderkey — and at 100 TB that join's two shuffles (re-hash both
+children across the cluster) dominate the query.
+
+Bucketing removes them.  Writing both tables with `bucketBy(N, key)`
++ `sortBy(key)` pins row placement by `hash(key) % N` at WRITE time,
+so at READ time Spark proves both sides' partitioning matches the join
+keys and plans a zero-shuffle (and with sortBy, zero-sort) merge join.
+The cost is paid once at ingest, amortized over every query.
+
+Cluster sizing guidance (100 TB lineitem ≈ 600 G rows):
+  - buckets ≈ table_bytes / target_partition_bytes (~256 MB compressed)
+    → ~4096 buckets; keep one bucket count across all fact-grain tables
+    so every pair co-locates.
+  - bucket column = the dominant join key (orderkey), which is also
+    near-uniform — bucketing by a skewed key recreates the skew problem
+    at write time (see operators/skew.py for that case).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import load_table
+
+# fact-grain tables and their dominant join key
+BUCKET_SPECS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+}
+
+
+def materialize_bucketed(spark: SparkSession, sf_dir: str,
+                         database: str = "bucketed",
+                         n_buckets: int = 8) -> None:
+    """One-time ingest: write each fact-grain table bucketed+sorted on
+    its join key as a managed table `{database}.{name}`.
+
+    `n_buckets` must be IDENTICAL across tables that join each other —
+    Spark only elides the shuffle when both sides hash into the same
+    bucket count.  8 suits the local test scale; see module docstring
+    for 100 TB sizing.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for name, key in BUCKET_SPECS.items():
+        df = load_table(spark, sf_dir, name)
+        (df.write
+           .bucketBy(n_buckets, key)
+           .sortBy(key)
+           .mode("overwrite")
+           .format("parquet")
+           .saveAsTable(f"{database}.{name}"))
+
+
+def load_bucketed(spark: SparkSession, name: str,
+                  database: str = "bucketed") -> DataFrame:
+    """Read a previously materialized bucketed table.  The bucketing
+    metadata lives in the catalog, so this MUST go through
+    `spark.table` — `spark.read.parquet` on the same files would lose
+    the layout and reintroduce the shuffle."""
+    return spark.table(f"{database}.{name}")
+
+
+def bucketed_available(spark: SparkSession, name: str,
+                       database: str = "bucketed") -> bool:
+    return (spark.catalog.databaseExists(database)
+            and spark.catalog.tableExists(f"{database}.{name}"))
+
+
+def load_table_preferring_bucketed(spark: SparkSession, sf_dir: str,
+                                   name: str,
+                                   database: str = "bucketed") -> DataFrame:
+    """Registry-compatible loader that routes fact-grain reads to the
+    bucketed copy when one has been materialized (the AggName-style
+    routing decision, applied to layout instead of grain)."""
+    if name in BUCKET_SPECS and bucketed_available(spark, name, database):
+        return load_bucketed(spark, name, database)
+    return load_table(spark, sf_dir, name)

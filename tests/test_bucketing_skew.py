@@ -1,0 +1,136 @@
+"""Scale-path operators: bucketed co-located joins and skew salting.
+
+These verify the *physical* claims, not just results: the bucketed
+fact join must plan with zero Exchange, and salted aggregation must be
+bit-identical to the plain groupBy it replaces.
+"""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from mondrian_rest_spark.operators import skew
+from mondrian_rest_spark.sources import bucketing
+from mondrian_rest_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_db(spark, sf_dir, tmp_path_factory):
+    db = "bucketed_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    bucketing.materialize_bucketed(spark, sf_dir, database=db, n_buckets=4)
+    yield db
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    local = wh.removeprefix("file:")
+    if local and os.path.isdir(os.path.join(local, f"{db}.db")):
+        shutil.rmtree(os.path.join(local, f"{db}.db"), ignore_errors=True)
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    # at test scale AQE would broadcast the orders side, which is itself
+    # an Exchange; disable so the plan is the one a 100 TB fact pair gets
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_db, no_broadcast):
+    li = bucketing.load_bucketed(spark, "lineitem", bucketed_db)
+    orders = bucketing.load_bucketed(spark, "orders", bucketed_db)
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("qty")))
+    plan = _physical_plan(j)
+    # join reads co-located buckets: no shuffle anywhere before the agg
+    # (the groupBy key == bucket key, so even the agg reuses the layout)
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_unbucketed_same_join_does_exchange(spark, sf_dir, no_broadcast):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    # sanity: the thing bucketing removes is actually there without it
+    assert "Exchange" in _physical_plan(j)
+
+
+def test_bucketed_results_match_plain(spark, sf_dir, bucketed_db):
+    li_b = bucketing.load_bucketed(spark, "lineitem", bucketed_db)
+    o_b = bucketing.load_bucketed(spark, "orders", bucketed_db)
+    got = (li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+                     .alias("q")).collect()[0])
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    want = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+                    .alias("q")).collect()[0])
+    assert got["n"] == want["n"] and got["q"] == want["q"]
+
+
+def test_loader_prefers_bucketed(spark, sf_dir, bucketed_db):
+    df = bucketing.load_table_preferring_bucketed(
+        spark, sf_dir, "lineitem", database=bucketed_db)
+    # catalog-backed read: logical plan names the table, not raw files
+    assert "lineitem" in df._jdf.queryExecution().logical().toString()
+    # non-fact tables fall through to the plain loader
+    region = bucketing.load_table_preferring_bucketed(
+        spark, sf_dir, "region", database=bucketed_db)
+    assert region.count() == load_table(spark, sf_dir, "region").count()
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = {
+        "qty": ("sum", F.col("l_quantity").cast("decimal(25,6)")),
+        "n": ("count", F.lit(1)),
+        "mn": ("min", F.col("l_extendedprice")),
+        "mx": ("max", F.col("l_extendedprice")),
+    }
+    got = {r["l_returnflag"]: r for r in
+           skew.salted_agg(li, ["l_returnflag"], aggs, salt=8).collect()}
+    plain = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    want = {r["l_returnflag"]: r for r in
+            li.groupBy("l_returnflag")
+              .agg(*[plain[fn](c).alias(k)
+                     for k, (fn, c) in aggs.items()]).collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert (g["qty"], g["n"], g["mn"], g["mx"]) == \
+               (w["qty"], w["n"], w["mn"], w["mx"])
+
+
+def test_salted_agg_rejects_count_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError, match="not salting-re-aggregable"):
+        skew.salted_agg(li, ["l_returnflag"],
+                        {"d": ("count_distinct", F.col("l_orderkey"))})
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus")
+    got = (skew.salted_join(li, orders, "l_orderkey", "o_orderkey", salt=4)
+           .groupBy("o_orderstatus")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .collect())
+    want = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .groupBy("o_orderstatus")
+              .agg(F.count(F.lit(1)).alias("n")).collect())
+    assert {r["o_orderstatus"]: r["n"] for r in got} == \
+           {r["o_orderstatus"]: r["n"] for r in want}
