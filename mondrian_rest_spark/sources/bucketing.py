@@ -85,3 +85,40 @@ def load_table_preferring_bucketed(spark: SparkSession, sf_dir: str,
     if name in BUCKET_SPECS and bucketed_available(spark, name, database):
         return load_bucketed(spark, name, database)
     return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Time-partitioned layout: partition pruning for time-dimension cuts
+# ---------------------------------------------------------------------------
+
+def materialize_time_partitioned(spark: SparkSession, sf_dir: str,
+                                 out_path: str, table: str = "lineitem",
+                                 ts_col: str = "l_shipdate") -> None:
+    """One-time ingest: write a fact table hive-partitioned by derived
+    (year, month) of its time column.
+
+    Every time-dimension cut in this engine reduces to a predicate on
+    year/month/... derivations of the fact timestamp (tpch._time_dim),
+    so with this layout a `WHERE ([Time].[1995])` cut prunes to 12 of
+    ~84 month directories before a single byte is read — the dominant
+    cost saver at 100 TB, where a typical query touches one year of a
+    seven-year table.  Directory count stays bounded (years x 12), well
+    under the small-files cliff; do NOT partition by day at this row
+    width (~2,500 dirs and tiny files).
+
+    Bucketing (above) and time-partitioning compose: partitionBy for
+    pruning + bucketBy for co-located joins on the same writer.
+    """
+    import pyspark.sql.functions as F
+    df = load_table(spark, sf_dir, table)
+    (df.withColumn("p_year", F.year(ts_col))
+       .withColumn("p_month", F.month(ts_col))
+       .write.partitionBy("p_year", "p_month")
+       .mode("overwrite").parquet(out_path))
+
+
+def load_time_partitioned(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read the partitioned copy; p_year/p_month surface as ordinary
+    columns, and filters on them become PartitionFilters (directory
+    pruning), not data filters."""
+    return spark.read.parquet(out_path)

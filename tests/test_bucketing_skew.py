@@ -134,3 +134,18 @@ def test_salted_join_matches_plain(spark, sf_dir):
               .agg(F.count(F.lit(1)).alias("n")).collect())
     assert {r["o_orderstatus"]: r["n"] for r in got} == \
            {r["o_orderstatus"]: r["n"] for r in want}
+
+
+def test_time_partitioned_prunes(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "li_by_month")
+    bucketing.materialize_time_partitioned(spark, sf_dir, out)
+    df = bucketing.load_time_partitioned(spark, out)
+    pruned = df.filter(F.col("p_year") == 1995)
+    plan = _physical_plan(pruned)
+    # the year cut is a directory-level PartitionFilter, not a row filter
+    assert "PartitionFilters" in plan
+    assert "p_year" in plan.split("PartitionFilters")[1].split("]")[0]
+    # and results match the un-partitioned derivation exactly
+    li = load_table(spark, sf_dir, "lineitem")
+    want = li.filter(F.year("l_shipdate") == 1995).count()
+    assert pruned.count() == want
