@@ -288,6 +288,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q29_grouping_rollup"] = lambda s, d: _grouping_rollup(s, d)
 
+    # median: exact non-additive percentile measure (never rollup-routed,
+    # like distinct-count; approx_percentile is the sketch path at scale)
+    q["q30_median_price"] = lambda s, d: _agg(
+        s, d, cube="Sales", measures=["Median Price", "Max Quantity"],
+        drilldown=["Return Flag"])
+
     # ---- event-time windows (extension; SURVEY §2.11/§7.3 step 10) ----
     q["w01_tumbling_day"] = lambda s, d: windows.tumbling(
         load_table(s, d, "events"), "1 day")
@@ -531,6 +537,10 @@ def oracle_sql() -> dict[str, str]:
                    {REVENUE} AS revenue, COUNT(l_linenumber) AS line_count
             FROM {J_CUST} WHERE year(l_shipdate) BETWEEN 1996 AND 1998
             GROUP BY 1, 2""",
+        "q30_median_price": """
+            SELECT l_returnflag, median(l_extendedprice) AS median_price,
+                   MAX(l_quantity) AS max_qty
+            FROM lineitem GROUP BY 1""",
         "q29_grouping_rollup": f"""
             SELECT r_name AS cust_region, o_orderstatus,
                    {DEC('o_totalprice')} AS total_price,

@@ -275,6 +275,10 @@ def _agg_expr(m: Measure):
         # §7.5.3): HyperLogLog++ sketch, single partial+final pass, no
         # Expand; exact count_distinct stays the correctness oracle
         "approx_count_distinct": lambda c: F.approx_count_distinct(c, 0.01),
+        # exact interpolated percentile; like count_distinct it is
+        # non-additive (full sort per group) — never rollup-routed.
+        # The at-scale variant is approx_percentile (KLL-style sketch)
+        "median": F.median,
     }[m.agg]
     col = fn(e)
     if m.result_cast:

@@ -156,6 +156,7 @@ SALES = Cube(
                 "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))",
                 result_cast="double"),
         Measure("Max Quantity", "max_qty", "max", "l_quantity"),
+        Measure("Median Price", "median_price", "median", "l_extendedprice"),
         Measure("Avg Discount", "avg_disc", "avg", "l_discount"),
         Measure("Discount Sum", "sum_disc", "sum",
                 "CAST(l_discount AS DECIMAL(25,6))", result_cast="double"),

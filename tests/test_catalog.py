@@ -24,7 +24,7 @@ def test_measure_lookup_by_name_and_alias():
 
 def test_bad_aggregator_rejected():
     with pytest.raises(ValueError):
-        Measure("X", "x", "median", "col")
+        Measure("X", "x", "mode", "col")
 
 
 def test_virtual_cube():
