@@ -50,3 +50,68 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir):
     assert not mismatches, f"{len(mismatches)} sessions disagree with batch"
     # in-batch closures alone must recover the vast majority of sessions
     assert len(got) >= 0.6 * len(exp)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """The scale contract of the watermark: state is bounded because a
+    window finalizes once the watermark passes it, and events arriving
+    later than the horizon are DROPPED from the stream result (batch
+    over the same files still sees them — the documented divergence)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * 10**6 for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        })
+        p = str(d / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    day = 86400
+    # the watermark a batch filters with is computed from data seen
+    # through the PREVIOUS batch, so the late file must trail the
+    # watermark-advancing file by a full batch:
+    # batch 0: on-time day-0 events
+    write("a.parquet", [(1, 0, 1, 1.0), (2, 3600, 1, 2.0)], mtime=1_000_000)
+    # batch 1: day-9 event -> advances the event-time high mark
+    write("b.parquet", [(3, 9 * day, 1, 4.0)], mtime=1_000_100)
+    # batch 2: spacer; since Spark 3.4 the LATE-event filter uses the
+    # previous batch's watermark (eviction uses the current one), so
+    # the day-8 watermark only filters input from batch 3 on — and the
+    # day-0 window's state is evicted+emitted at the end of this batch
+    write("c.parquet", [(5, 9 * day + 60, 1, 16.0)], mtime=1_000_200)
+    # batch 3: a LATE day-0 event, far behind the day-8 watermark
+    write("d.parquet", [(4, 7200, 1, 8.0)], mtime=1_000_300)
+
+    from mondrian_rest_spark.streaming.events import (run_available_now,
+                                                      streaming_tumbling)
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d)))
+    # append mode is where watermark semantics live: complete mode keeps
+    # all state forever and would absorb the late row
+    q = run_available_now(streaming_tumbling(stream, "1 day", "1 day"),
+                          "t_late_agg", output_mode="append")
+    q.awaitTermination(120)
+    by_win = {str(r.win_start): r for r in
+              spark.table("t_late_agg").collect()}
+    day0 = next(v for k, v in by_win.items() if k.startswith("1970-01-01"))
+    # finalized day-0 window holds only the two on-time events
+    assert day0.event_count == 2 and day0.sum_value == 3.0
+    # batch over the same directory sees the late event — 3 events
+    batch = (spark.read.parquet(str(d))
+             .filter(F.col("ts") < F.lit("1970-01-02"))
+             .agg(F.count("*").alias("n")).collect()[0])
+    assert batch["n"] == 3
