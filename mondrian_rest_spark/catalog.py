@@ -158,7 +158,7 @@ class Measure:
     result_cast: str | None = None
 
     VALID_AGGS = ("sum", "count", "count_distinct", "approx_count_distinct",
-                  "avg", "min", "max", "median")
+                  "avg", "min", "max", "median", "approx_median")
 
     def __post_init__(self) -> None:
         if self.agg not in self.VALID_AGGS:

@@ -276,9 +276,12 @@ def _agg_expr(m: Measure):
         # Expand; exact count_distinct stays the correctness oracle
         "approx_count_distinct": lambda c: F.approx_count_distinct(c, 0.01),
         # exact interpolated percentile; like count_distinct it is
-        # non-additive (full sort per group) — never rollup-routed.
-        # The at-scale variant is approx_percentile (KLL-style sketch)
+        # non-additive (full sort per group) — never rollup-routed
         "median": F.median,
+        # the sketch path for percentiles at scale: bounded-memory
+        # mergeable summaries, single partial+final pass, no sort
+        # (accuracy 10000 ~= 0.01% rank error)
+        "approx_median": lambda col: F.approx_percentile(col, 0.5, 10000),
     }[m.agg]
     col = fn(e)
     if m.result_cast:

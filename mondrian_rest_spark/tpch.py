@@ -157,6 +157,9 @@ SALES = Cube(
                 result_cast="double"),
         Measure("Max Quantity", "max_qty", "max", "l_quantity"),
         Measure("Median Price", "median_price", "median", "l_extendedprice"),
+        # sketch path for the exact median above (percentile summaries merge)
+        Measure("Approx Median Price", "approx_median_price",
+                "approx_median", "l_extendedprice"),
         Measure("Avg Discount", "avg_disc", "avg", "l_discount"),
         Measure("Discount Sum", "sum_disc", "sum",
                 "CAST(l_discount AS DECIMAL(25,6))", result_cast="double"),

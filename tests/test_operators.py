@@ -240,3 +240,17 @@ def test_multimodal_resize_is_stubbed(spark):
         multimodal.resize_images(media, 32, 32).collect()
     assert "NotImplementedError" in str(exc_info.value) or \
            isinstance(exc_info.value, NotImplementedError)
+
+
+def test_approx_median_within_tolerance(spark, sf_dir):
+    """approx_percentile sketch path vs the exact median measure: rank
+    error at accuracy=10000 keeps the value within 1% at this scale."""
+    from mondrian_rest_spark.planner import aggregate
+    from mondrian_rest_spark.query import QueryModel
+    from mondrian_rest_spark.tpch import CATALOG
+    df = aggregate(spark, sf_dir, CATALOG, QueryModel(
+        cube="Sales", measures=["Median Price", "Approx Median Price"],
+        drilldown=["Return Flag"]))
+    for r in df.collect():
+        assert abs(r["approx_median_price"] - r["median_price"]) \
+            <= 0.01 * abs(r["median_price"])
