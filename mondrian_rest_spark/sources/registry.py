@@ -30,6 +30,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Nanosecond-timestamp columns (which the vectorized Spark reader
     rejects) are read as long nanos via the legacy conf and converted
     to microsecond timestamps — same truncation DuckDB applies."""
+    # layout routing: when MRS_BUCKETED_DB names a database holding a
+    # bucketed copy (sources/bucketing.py materialize_bucketed), serve
+    # the catalog table — its bucket metadata is what lets Catalyst
+    # plan fact-grain joins without an Exchange.  Opt-in by env var so
+    # the parquet path stays the default for driver-contract runs.
+    bucketed_db = os.environ.get("MRS_BUCKETED_DB")
+    if bucketed_db and spark.catalog.tableExists(f"{bucketed_db}.{name}"):
+        return spark.table(f"{bucketed_db}.{name}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         for ext, reader in (("csv", _read_csv), ("json", _read_json),

@@ -149,3 +149,26 @@ def test_time_partitioned_prunes(spark, sf_dir, tmp_path):
     li = load_table(spark, sf_dir, "lineitem")
     want = li.filter(F.year("l_shipdate") == 1995).count()
     assert pruned.count() == want
+
+
+def test_env_routes_engine_loads_to_bucketed(spark, sf_dir, bucketed_db,
+                                             monkeypatch):
+    """The engine-wide switch: with MRS_BUCKETED_DB set, every
+    load_table of a fact-grain table serves the bucketed catalog copy,
+    so whole planner queries inherit the zero-shuffle join layout —
+    and results are unchanged."""
+    from mondrian_rest_spark.planner import aggregate
+    from mondrian_rest_spark.query import QueryModel
+    from mondrian_rest_spark.tpch import CATALOG
+
+    qm = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Customer.Nation"])
+    plain = {r["cust_nation"]: r["revenue"]
+             for r in aggregate(spark, sf_dir, CATALOG, qm).collect()}
+
+    monkeypatch.setenv("MRS_BUCKETED_DB", bucketed_db)
+    df = load_table(spark, sf_dir, "lineitem")
+    assert "lineitem" in df._jdf.queryExecution().logical().toString()
+    routed = {r["cust_nation"]: r["revenue"]
+              for r in aggregate(spark, sf_dir, CATALOG, qm).collect()}
+    assert routed == plain
