@@ -288,6 +288,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q29_grouping_rollup"] = lambda s, d: _grouping_rollup(s, d)
 
+    # skew path: salted two-phase groupBy must be value-identical to a
+    # plain GROUP BY (operators/skew.py; decimal sums, count via re-sum)
+    def _salted(s, d):
+        from mondrian_rest_spark.operators import skew
+        li = load_table(s, d, "lineitem")
+        return skew.salted_agg(li, ["l_returnflag"], {
+            "sum_qty": ("sum", F.col("l_quantity").cast("decimal(25,6)")),
+            "line_count": ("count", F.lit(1)),
+        }, salt=16).withColumn("sum_qty",
+                               F.col("sum_qty").cast("double"))
+    q["q31_salted_skew_agg"] = _salted
+
     # median: exact non-additive percentile measure (never rollup-routed,
     # like distinct-count; approx_percentile is the sketch path at scale)
     q["q30_median_price"] = lambda s, d: _agg(
@@ -537,6 +549,10 @@ def oracle_sql() -> dict[str, str]:
                    {REVENUE} AS revenue, COUNT(l_linenumber) AS line_count
             FROM {J_CUST} WHERE year(l_shipdate) BETWEEN 1996 AND 1998
             GROUP BY 1, 2""",
+        "q31_salted_skew_agg": f"""
+            SELECT l_returnflag, {DEC('l_quantity')} AS sum_qty,
+                   COUNT(*) AS line_count
+            FROM lineitem GROUP BY 1""",
         "q30_median_price": """
             SELECT l_returnflag, median(l_extendedprice) AS median_price,
                    MAX(l_quantity) AS max_qty
