@@ -66,6 +66,31 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
     app = Flask("mondrian_rest_spark")
     state = {"spark": spark}
 
+    # Driver-side aggregate-result cache — the analog of Mondrian's
+    # segment/cell cache (reference api.rb:52-70 exists to flush it).
+    # Aggregate results are small by construction (grouped rollups),
+    # so an LRU of collected rows keyed on the canonical QueryModel
+    # turns a repeated dashboard query into a dict hit instead of a
+    # Spark job.  Invalidated by /flush alongside Spark's table cache.
+    from collections import OrderedDict
+    RESULT_CACHE_MAX = 128
+    result_cache: OrderedDict[str, list] = OrderedDict()
+    cache_stats = {"hits": 0, "misses": 0}
+    app.extensions["mrs_result_cache"] = (result_cache, cache_stats)
+
+    def cached_rows(qm):
+        key = repr(sorted(qm.__dict__.items(), key=lambda kv: kv[0]))
+        if key in result_cache:
+            result_cache.move_to_end(key)
+            cache_stats["hits"] += 1
+            return result_cache[key]
+        cache_stats["misses"] += 1
+        rows = aggregate(get_spark(), sf_dir, cat, qm).collect()
+        result_cache[key] = rows
+        if len(result_cache) > RESULT_CACHE_MAX:
+            result_cache.popitem(last=False)
+        return rows
+
     def get_spark():
         if state["spark"] is None:
             state["spark"] = build_session(master="local[*]")
@@ -144,8 +169,7 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         if cat.virtual_cube(cube) is None:
             cat.cube(cube)   # unknown cube stays a 404
         try:
-            df = aggregate(get_spark(), sf_dir, cat, qm)
-            rows = df.collect()
+            rows = cached_rows(qm)
         except KeyError as e:
             # unknown measure/dimension/level inside a valid cube is a
             # parameter error (reference 400, query_helper.rb:206-210),
@@ -187,6 +211,7 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         if flush_secret is None or request.args.get("secret") != flush_secret:
             return jsonify({"error": "forbidden"}), 403
         get_spark().catalog.clearCache()
+        result_cache.clear()
         return jsonify({"status": "ok"})
 
     return app

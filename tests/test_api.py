@@ -163,3 +163,20 @@ def test_bad_cut_400(client):
 def test_flush_secret(client):
     assert client.get("/flush").status_code == 403
     assert client.get("/flush", query_string={"secret": "s3cr3t"}).status_code == 200
+
+
+def test_aggregate_result_cache_and_flush(client):
+    """Mondrian segment-cache analog: a repeated aggregate request is a
+    cache hit; /flush invalidates (reference api.rb:52-70)."""
+    app = client.application
+    cache, stats = app.extensions["mrs_result_cache"]
+    cache.clear()
+    h0, m0 = stats["hits"], stats["misses"]
+    url = "/cubes/Sales/aggregate?measures[]=Quantity&drilldown[]=Customer.Region"
+    r1 = client.get(url)
+    r2 = client.get(url)
+    assert r1.status_code == r2.status_code == 200
+    assert r1.get_json() == r2.get_json()
+    assert stats["misses"] == m0 + 1 and stats["hits"] == h0 + 1
+    client.get("/flush?secret=s3cr3t")
+    assert not cache
