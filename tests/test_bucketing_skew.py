@@ -172,3 +172,26 @@ def test_env_routes_engine_loads_to_bucketed(spark, sf_dir, bucketed_db,
     routed = {r["cust_nation"]: r["revenue"]
               for r in aggregate(spark, sf_dir, CATALOG, qm).collect()}
     assert routed == plain
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """With the time-partitioned layout, a filter that only exists on a
+    joined dimension (so static pruning can't see it) still prunes the
+    fact's partition directories at RUNTIME via Catalyst's dynamic
+    partition pruning — the 100 TB behavior where 'filter the date dim'
+    skips years of fact data without any engine code."""
+    out = str(tmp_path / "li_dpp")
+    bucketing.materialize_time_partitioned(spark, sf_dir, out)
+    fact = bucketing.load_time_partitioned(spark, out)
+    years = (fact.select("p_year").distinct()
+             .withColumn("decade", (F.col("p_year") / 10).cast("int") * 10))
+    dim = years.filter(F.col("decade") == 1990)
+    j = fact.join(dim, "p_year").agg(
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("qty"))
+    plan = _physical_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result equals the statically-filtered equivalent
+    want = (fact.filter((F.col("p_year") >= 1990) & (F.col("p_year") < 2000))
+            .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+                 .alias("qty")).collect()[0]["qty"])
+    assert j.collect()[0]["qty"] == want
