@@ -195,3 +195,15 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
             .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)"))
                  .alias("qty")).collect()[0]["qty"])
     assert j.collect()[0]["qty"] == want
+
+
+def test_salted_join_left_outer_preserves_unmatched(spark):
+    """Left-outer through the salted join: an unmatched skewed-side row
+    must survive exactly once (not once per salt replica)."""
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (99, "orphan")], "k int, v string")
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "rk int, rv string")
+    got = skew.salted_join(left, right, "k", "rk", salt=4, how="left")
+    rows = sorted((r["k"], r["v"], r["rv"]) for r in got.collect())
+    assert rows == [(1, "a", "x"), (1, "b", "x"), (2, "c", "y"),
+                    (99, "orphan", None)]
