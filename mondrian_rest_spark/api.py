@@ -36,6 +36,18 @@ def _bool(v, default=False) -> bool:
     return str(v).lower() in ("1", "true", "yes", "on")
 
 
+def _int(params, key) -> int | None:
+    v = params.get(key)
+    if v is None or v == "":
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        # malformed param -> 400, matching the reference's Grape
+        # coercion failure (api.rb declared Integer params)
+        raise ParseError(f"{key} must be an integer, got {v!r}") from None
+
+
 def query_model_from_params(cube: str, params) -> QueryModel:
     """REST params -> QueryModel (reference api.rb:115-158 declared
     params + build_query defaults query_helper.rb:192-203)."""
@@ -52,8 +64,8 @@ def query_model_from_params(cube: str, params) -> QueryModel:
         filter=getlist("filter[]") or getlist("filter"),
         order=params.get("order"),
         order_desc=_bool(params.get("order_desc"), False),
-        offset=int(params["offset"]) if params.get("offset") else None,
-        limit=int(params["limit"]) if params.get("limit") else None,
+        offset=_int(params, "offset"),
+        limit=_int(params, "limit"),
         properties=getlist("properties[]") or getlist("properties"),
         caption=getlist("caption[]") or getlist("caption"),
         parents=_bool(params.get("parents"), False),
@@ -72,23 +84,42 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
     # so an LRU of collected rows keyed on the canonical QueryModel
     # turns a repeated dashboard query into a dict hit instead of a
     # Spark job.  Invalidated by /flush alongside Spark's table cache.
+    # Bounded by total CELLS, not entry count: one 10M-cell dense
+    # result would otherwise pin as much driver memory as 10M tiny
+    # ones.  Guarded by a lock — Flask commonly runs threaded, and an
+    # unlocked OrderedDict corrupts under concurrent move_to_end.
+    import threading
     from collections import OrderedDict
-    RESULT_CACHE_MAX = 128
+    RESULT_CACHE_MAX_CELLS = 2_000_000
     result_cache: OrderedDict[str, list] = OrderedDict()
-    cache_stats = {"hits": 0, "misses": 0}
+    cache_stats = {"hits": 0, "misses": 0, "cells": 0}
+    cache_lock = threading.Lock()
     app.extensions["mrs_result_cache"] = (result_cache, cache_stats)
+
+    def _cells(rows: list) -> int:
+        return len(rows) * len(rows[0]) if rows else 1
 
     def cached_rows(qm):
         key = repr(sorted(qm.__dict__.items(), key=lambda kv: kv[0]))
-        if key in result_cache:
-            result_cache.move_to_end(key)
-            cache_stats["hits"] += 1
-            return result_cache[key]
-        cache_stats["misses"] += 1
+        with cache_lock:
+            if key in result_cache:
+                result_cache.move_to_end(key)
+                cache_stats["hits"] += 1
+                return result_cache[key]
+            cache_stats["misses"] += 1
+        # run the Spark job outside the lock: concurrent distinct
+        # queries must not serialize on the cache
         rows = aggregate(get_spark(), sf_dir, cat, qm).collect()
-        result_cache[key] = rows
-        if len(result_cache) > RESULT_CACHE_MAX:
-            result_cache.popitem(last=False)
+        n = _cells(rows)
+        if n > RESULT_CACHE_MAX_CELLS:
+            return rows  # oversized result: serve it, never pin it
+        with cache_lock:
+            if key not in result_cache:
+                result_cache[key] = rows
+                cache_stats["cells"] += n
+            while cache_stats["cells"] > RESULT_CACHE_MAX_CELLS and result_cache:
+                _, old = result_cache.popitem(last=False)
+                cache_stats["cells"] -= _cells(old)
         return rows
 
     def get_spark():
@@ -211,7 +242,9 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         if flush_secret is None or request.args.get("secret") != flush_secret:
             return jsonify({"error": "forbidden"}), 403
         get_spark().catalog.clearCache()
-        result_cache.clear()
+        with cache_lock:
+            result_cache.clear()
+            cache_stats["cells"] = 0
         return jsonify({"status": "ok"})
 
     return app

@@ -187,15 +187,21 @@ def parse_measure_filter(s: str) -> MeasureFilter:
 
 @dataclass(frozen=True)
 class PropertyRef:
-    """Dim.Level.PropName (reference: api_helpers.rb:110-132)."""
+    """Dim[.Hierarchy].Level.PropName (reference: api_helpers.rb:110-132;
+    the 4-segment Dimension.Hierarchy.Level.Property form is exercised by
+    api_spec.rb 'with format Dimension.Hierarchy.Level.Property')."""
 
     dimension: str
     level: str
     prop: str
+    hierarchy: str | None = None
 
 
 def parse_property(s: str) -> PropertyRef:
     segs = parse_segments(s)
-    if len(segs) != 3:
-        raise ParseError(f"property ref needs Dim.Level.Prop: {s!r}")
-    return PropertyRef(*segs)
+    if len(segs) == 3:
+        return PropertyRef(*segs)
+    if len(segs) == 4:
+        return PropertyRef(dimension=segs[0], hierarchy=segs[1],
+                           level=segs[2], prop=segs[3])
+    raise ParseError(f"property ref needs Dim[.Hierarchy].Level.Prop: {s!r}")

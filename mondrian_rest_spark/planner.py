@@ -325,11 +325,13 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel
                     f"drilldown on {rd.level.name!r} is an ascendant of cut level {rc.level.name!r}")
 
     # --- properties / caption substitution ---
-    prop_refs = [parse_property(p) for p in qm.properties]
     caption_overrides: dict = {}
     for c in qm.caption:
         ref = parse_property(c)
-        caption_overrides[(ref.dimension, ref.level)] = _find_prop(cube, ref).column
+        dim, _, level = _resolve_level(cube, ref.dimension, ref.hierarchy,
+                                       ref.level)
+        caption_overrides[(dim.name, level.name)] = \
+            level.find_property(ref.prop).column
 
     base_measures, calcs, final_aliases = _split_measures(cube, list(qm.measures))
 
@@ -346,12 +348,12 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel
             continue
         dim_objs[rc.dimension.name] = rc.dimension
         needed.setdefault(rc.dimension.name, {})[rc.level.name] = rc.level
-    needed_props: dict[str, list] = {}
-    for ref in prop_refs:
-        dim, hier, level = _resolve_level(cube, ref.dimension, None, ref.level)
+    needed_props = resolved_props(cube, qm.properties)
+    for ref in (parse_property(p) for p in qm.properties):
+        dim, hier, level = _resolve_level(cube, ref.dimension, ref.hierarchy,
+                                          ref.level)
         dim_objs[dim.name] = dim
         needed.setdefault(dim.name, {})[level.name] = level
-        needed_props.setdefault(dim.name, []).append(level.find_property(ref.prop))
 
     # --- bridges required (dims + measures) ---
     bridge_names: set[str] = set()
@@ -403,10 +405,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel
         for lv in rd.group_levels:
             for _, alias in lv.out_cols():
                 group_cols.append(alias)
-    for dname, plist in needed_props.items():
-        for p in plist:
-            if p.alias not in group_cols:
-                group_cols.append(p.alias)
+    group_cols += prop_group_aliases(drills, needed_props)
 
     aggs = [_agg_expr(m) for m in base_measures]
     if not aggs:  # pure axis enumeration still needs an aggregate context
@@ -505,8 +504,34 @@ def _all_aliases(levels: list[Level]) -> set[str]:
 
 
 def _find_prop(cube: Cube, ref: PropertyRef):
-    _, _, level = _resolve_level(cube, ref.dimension, None, ref.level)
+    _, _, level = _resolve_level(cube, ref.dimension, ref.hierarchy, ref.level)
     return level.find_property(ref.prop)
+
+
+def resolved_props(cube: Cube, properties: list[str]) -> dict[str, list]:
+    """Property refs -> per-dimension Property lists in planner order
+    (dimension of first appearance, then request order).  Shared with
+    result shaping so column offsets always agree with the plan."""
+    needed_props: dict[str, list] = {}
+    for p in properties:
+        ref = parse_property(p)
+        dim, _, level = _resolve_level(cube, ref.dimension, ref.hierarchy, ref.level)
+        needed_props.setdefault(dim.name, []).append(level.find_property(ref.prop))
+    return needed_props
+
+
+def prop_group_aliases(drills: list[ResolvedDrill],
+                       needed_props: dict[str, list]) -> list[str]:
+    """The property columns that actually reach the output, mirroring the
+    dedup in _aggregate_cube (a property whose alias already appears as a
+    drill/caption column contributes no extra column)."""
+    group = [a for rd in drills for lv in rd.group_levels for _, a in lv.out_cols()]
+    out: list[str] = []
+    for plist in needed_props.values():
+        for p in plist:
+            if p.alias not in group and p.alias not in out:
+                out.append(p.alias)
+    return out
 
 
 def _measure_alias(cube: Cube, name: str) -> str:
@@ -574,19 +599,20 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
                 mf = mf.join(keys, on=rc.level.key_alias, how="left_semi")
         axis_frames.append(mf)
         join_keys += [lv.key_alias for lv in rd.group_levels]
-    if len(axis_frames) > 1:
-        # combinatorial guard (SURVEY §7.5.1): the dense tuple count is
-        # the product of axis cardinalities — refuse plans that would
-        # materialize more cells than any client could consume, with a
-        # clear 400 instead of an executor OOM.  Axis member frames are
-        # dim-sized, so counting them is cheap relative to the query.
-        cells = 1
-        for mf in axis_frames:
-            cells *= mf.count()
-            if cells > MAX_DENSE_CELLS:
-                raise ParseError(
-                    f"dense axes would materialize >{MAX_DENSE_CELLS:,} "
-                    "cells; add cuts or use nonempty=true")
+    # combinatorial guard (SURVEY §7.5.1): the dense tuple count is
+    # the product of axis cardinalities — refuse plans that would
+    # materialize more cells than any client could consume, with a
+    # clear 400 instead of an executor OOM.  Axis member frames are
+    # dim-sized, so counting them is cheap relative to the query.
+    # Applies to a single large axis too (an uncut leaf-level drill
+    # with nonempty=false is just as unbounded as a crossjoin).
+    cells = 1
+    for mf in axis_frames:
+        cells *= mf.count()
+        if cells > MAX_DENSE_CELLS:
+            raise ParseError(
+                f"dense axes would materialize >{MAX_DENSE_CELLS:,} "
+                "cells; add cuts or use nonempty=true")
     dense = reduce(lambda a, b: a.crossJoin(b), axis_frames)
     agg_slim = agg.select(*join_keys, *measure_aliases)
     out = dense.join(agg_slim, on=join_keys, how="left")
@@ -626,23 +652,28 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
     measures = list(qm.measures)
     if not measures:
         measures = [cubes[0].default_measure.name]
+    unresolved = [m for m in measures
+                  if not any(_has_measure(c, m) for c in cubes)]
+    if unresolved:
+        raise ParseError(
+            f"measures {unresolved} do not exist in any base cube of "
+            f"virtual cube {vc.name!r}")
     parts: list[tuple[DataFrame, list[str]]] = []
     group_cols: list[str] | None = None
     for cube in cubes:
-        own = []
-        for m in measures:
-            try:
-                own.append(_measure_alias(cube, m))
-                _ = m
-            except KeyError:
-                continue
-        own_names = [m for m in measures
-                     if _has_measure(cube, m)]
+        own_names = [m for m in measures if _has_measure(cube, m)]
         if not own_names:
             continue
+        # order/limit/filter/sparse are axis-global: they must see the
+        # joined drill-across frame, so only the aggregation-shaping
+        # params are forwarded to the per-cube sub-queries and the rest
+        # apply post-join below (ADVICE r1: forwarding them per-cube
+        # would order/limit each part independently — wrong answer).
         sub = QueryModel(cube=cube.name, measures=own_names,
                          drilldown=list(qm.drilldown), cut=list(qm.cut),
-                         nonempty=True, parents=qm.parents)
+                         nonempty=True, parents=qm.parents,
+                         properties=list(qm.properties),
+                         caption=list(qm.caption))
         df = _aggregate_cube(spark, sf_dir, cube, sub)
         maliases = [_measure_alias(cube, m) for m in own_names]
         gcols = [c for c in df.columns if c not in maliases]
@@ -652,6 +683,38 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
     for df, maliases in parts[1:]:
         out = out.join(df, on=group_cols, how="full_outer")
         all_aliases += maliases
+
+    def _valias(name: str) -> str:
+        for cube in cubes:
+            try:
+                return _measure_alias(cube, name)
+            except KeyError:
+                continue
+        raise ParseError(f"cannot resolve measure {name!r} in {vc.name!r}")
+
+    for fs in qm.filter:
+        mf = parse_measure_filter(fs)
+        out = out.filter(F.expr(f"{_valias(mf.measure)} {mf.op} {mf.value!r}"))
+    if qm.sparse:
+        out = out.na.drop(how="all", subset=all_aliases)
+    if qm.distinct and group_cols:
+        out = out.dropDuplicates(group_cols)
+    if qm.order:
+        try:
+            ocol = _valias(qm.order)
+        except ParseError:
+            if qm.order not in group_cols:
+                raise
+            ocol = qm.order
+        primary = F.desc(ocol) if qm.order_desc else F.asc(ocol)
+        out = out.orderBy(primary,
+                          *[F.asc(c) for c in group_cols if c != ocol])
+    elif group_cols:
+        out = out.orderBy(*[F.asc(c) for c in group_cols])
+    if qm.offset:
+        out = out.offset(qm.offset)
+    if qm.limit is not None:
+        out = out.limit(qm.limit)
     return out.select(*group_cols, *all_aliases)
 
 

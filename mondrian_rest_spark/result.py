@@ -14,8 +14,9 @@ from __future__ import annotations
 from typing import Any
 
 from .catalog import Catalog, Cube
-from .parser import parse_drilldown, parse_property
-from .planner import ResolvedDrill, _resolve_drill, _split_measures
+from .parser import parse_drilldown
+from .planner import (ResolvedDrill, _resolve_drill, _split_measures,
+                      prop_group_aliases, resolved_props)
 from .query import QueryModel
 
 
@@ -43,13 +44,19 @@ def tidy_header(cat: Catalog, qm: QueryModel) -> list[str]:
     display names."""
     cube = cat.cube(qm.cube)
     header: list[str] = []
-    for rd in resolved_drills(cube, qm):
+    drills = resolved_drills(cube, qm)
+    for rd in drills:
         for lv in rd.group_levels:
             header.append(f"ID {lv.name}")
             if lv.caption_alias and lv.caption_alias != lv.key_alias:
                 header.append(lv.name)
-    for p in qm.properties:
-        header.append(parse_property(p).prop)
+    needed_props = resolved_props(cube, qm.properties)
+    kept = set(prop_group_aliases(drills, needed_props))
+    for plist in needed_props.values():
+        for p in plist:
+            if p.alias in kept:
+                header.append(p.name)
+                kept.discard(p.alias)  # planner emits each column once
     _, _, aliases = _split_measures(cube, list(qm.measures))
     alias_to_name = {m.alias: m.name for m in cube.measures}
     alias_to_name.update({c.alias: c.name for c in cube.calc_members})
