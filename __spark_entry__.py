@@ -334,8 +334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- similarity search ----
     q["s01_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         load_table(s, d, "embeddings"), query_vec_id=7, k=10)
+    # 6 planes -> 64 buckets: ~n/64 candidates per probe at any corpus
+    # size with this synthetic distribution (8 planes left the probe
+    # bucket empty at sf0.01 — a vacuous result set)
     q["s02_ann_lsh_topk"] = lambda s, d: similarity.ann_topk_lsh(
-        load_table(s, d, "embeddings"), query_vec_id=7, k=10)
+        load_table(s, d, "embeddings"), query_vec_id=7, k=10, num_planes=6)
     q["s03_ann_ivf_topk"] = lambda s, d: similarity.ann_topk_ivf(
         load_table(s, d, "embeddings"), query_vec_id=7, k=10)
 
@@ -358,6 +361,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracles
 # --------------------------------------------------------------------------
+
+# -- approximate-operator oracle builders ----------------------------------
+# The LSH / IVF / SimHash operators are *engine-portable by design*
+# (integer quantization + literal hyperplanes + md5-digit token hashes —
+# see operators/similarity.py module docstring), so DuckDB can replay
+# the exact candidate generation and the driver hash-checks them like
+# any exact query.  The plane literals below are derived from the same
+# seeded generator the Spark plans use.
+
+_QV = ("list_transform(embedding::DOUBLE[], "
+       "x -> CAST(floor(x * 1000000) AS BIGINT))")
+
+
+def _duck_idot(qcol: str, plane: list[int]) -> str:
+    lit = "[" + ",".join(str(p) for p in plane) + "]"
+    return (f"list_sum(list_transform(range(1, {len(plane) + 1}), "
+            f"i -> {qcol}[i] * ({lit})[i]))")
+
+
+def _duck_bucket(qcol: str, planes: list[list[int]]) -> str:
+    n = len(planes)
+    terms = " + ".join(
+        f"(CASE WHEN {_duck_idot(qcol, pl)} > 0 "
+        f"THEN {1 << (n - 1 - i)} ELSE 0 END)"
+        for i, pl in enumerate(planes))
+    return f"({terms})"
+
+
+def _oracle_ann_lsh(query_vec_id: int = 7, k: int = 10,
+                    num_planes: int = 6) -> str:
+    planes = similarity.hyperplanes(num_planes, 64, similarity.LSH_SEED)
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev, {_QV} AS qv
+                     FROM embeddings),
+        sig AS (SELECT vec_id, ev, {_duck_bucket('qv', planes)} AS bucket
+                FROM emb)
+        SELECT s.vec_id, round(list_cosine_similarity(s.ev, q.ev), 6) AS cosine
+        FROM sig s JOIN sig q
+          ON q.vec_id = {query_vec_id} AND s.bucket = q.bucket
+         AND s.vec_id <> {query_vec_id}
+        ORDER BY cosine DESC, s.vec_id LIMIT {k}"""
+
+
+def _oracle_neardup_lsh(threshold: float = 0.4) -> str:
+    planes = similarity.hyperplanes(24, 64, similarity.NEARDUP_SEED)
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{_duck_bucket('qv', planes[t * 3:(t + 1) * 3])} AS bucket FROM emb"
+        for t in range(8))
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev, {_QV} AS qv
+                     FROM embeddings),
+        b AS ({per_table}),
+        cand AS (SELECT DISTINCT a.vec_id AS a_id, bb.vec_id AS b_id
+                 FROM b a JOIN b bb
+                   ON a.tbl = bb.tbl AND a.bucket = bb.bucket
+                  AND a.vec_id < bb.vec_id)
+        SELECT a_id, b_id, cosine FROM (
+          SELECT a_id, b_id,
+                 round(list_cosine_similarity(ea.ev, eb.ev), 6) AS cosine
+          FROM cand JOIN emb ea ON ea.vec_id = cand.a_id
+               JOIN emb eb ON eb.vec_id = cand.b_id)
+        WHERE cosine >= {threshold}"""
+
+
+def _oracle_ann_ivf(query_vec_id: int = 7, k: int = 10,
+                    n_cells: int = 16, n_probe: int = 4) -> str:
+    d2 = ("list_sum(list_transform(range(1, 65), "
+          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev, {_QV} AS qv
+                     FROM embeddings),
+        cents AS (SELECT vec_id AS cell_id, qv AS cq FROM emb
+                  ORDER BY (vec_id::BIGINT * 2654435761) % 4294967296, vec_id
+                  LIMIT {n_cells}),
+        assigned AS (
+          SELECT vec_id, ev, cell_id FROM (
+            SELECT e.vec_id, e.ev, c.cell_id,
+                   {d2.format(a='e.qv', b='c.cq')} AS d2
+            FROM emb e CROSS JOIN cents c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cell_id) = 1),
+        probe AS (
+          SELECT c.cell_id, {d2.format(a='c.cq', b='q.qv')} AS d2
+          FROM cents c JOIN emb q ON q.vec_id = {query_vec_id}
+          ORDER BY d2, c.cell_id LIMIT {n_probe})
+        SELECT a.vec_id, round(list_cosine_similarity(a.ev, q.ev), 6) AS cosine
+        FROM assigned a JOIN probe p ON a.cell_id = p.cell_id
+             JOIN emb q ON q.vec_id = {query_vec_id}
+        WHERE a.vec_id <> {query_vec_id}
+        ORDER BY cosine DESC, a.vec_id LIMIT {k}"""
+
+
+def _oracle_simhash(max_hamming: int = 3) -> str:
+    dig = ("list_reduce(list_transform(range(1, 16), "
+           "i -> CAST(strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1 "
+           "AS BIGINT)), (x, y) -> x * 16 + y)")
+    sums = ", ".join(
+        f"SUM((h >> {i}) & 1) AS s{i}" for i in range(60))
+    bits = " + ".join(
+        f"(CASE WHEN 2 * s{i} > n THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(60))
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+          FROM documents),
+        th AS (SELECT doc_id, {dig} AS h FROM tok WHERE t <> ''),
+        votes AS (SELECT doc_id, COUNT(*) AS n, {sums} FROM th GROUP BY doc_id),
+        sh AS (SELECT doc_id, {bits} AS simhash FROM votes),
+        ch AS (SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS v
+               FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) cc),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                        a.simhash AS ha, b.simhash AS hb
+                 FROM ch a JOIN ch b
+                   ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
+
 
 def oracle_sql() -> dict[str, str]:
     sw = lambda lang: ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang])
@@ -688,7 +810,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents""",
-        # d04 (simhash), d06 (LSH near-dup) and s02/s03 (ANN) are
-        # engine-hash-dependent / approximate by construction ->
-        # rows-only checks; recall is asserted in tests/test_operators.py.
+        # approximate operators: candidate generation is integer-exact
+        # and engine-portable, so DuckDB replays it bit-for-bit (recall
+        # vs the exact counterparts is additionally asserted in
+        # tests/test_operators.py)
+        "d04_neardup_simhash": _oracle_simhash(max_hamming=3),
+        "d06_embedding_neardup_lsh": _oracle_neardup_lsh(threshold=0.4),
+        "s02_ann_lsh_topk": _oracle_ann_lsh(query_vec_id=7, k=10),
+        "s03_ann_ivf_topk": _oracle_ann_ivf(query_vec_id=7, k=10),
     }

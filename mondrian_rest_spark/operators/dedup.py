@@ -13,8 +13,10 @@ Scale design:
   probability (1-0.8^2)^16 ≈ 8e-8 — effectively exact for the
   verify-threshold regime, and false positives are removed by an exact
   jaccard verification on the candidate pairs only.
-- SimHash: 64-bit signature; candidates via 4x16-bit chunk banding
-  (pigeonhole: hamming distance <= 3 implies an equal chunk).
+- SimHash: 60-bit signature from engine-portable md5-digit token
+  hashes (so the DuckDB oracle replays it exactly); candidates via
+  4x15-bit chunk banding (pigeonhole: hamming distance <= 3 implies an
+  equal chunk).
 - Brute-force variants exist as correctness oracles only — quadratic,
   never the scale path.
 """
@@ -166,22 +168,40 @@ def neardup_minhash_lsh(df: DataFrame, threshold: float = 0.5,
             .select("a_id", "b_id", "jaccard"))
 
 
+#: SimHash width: 60 bits — every bit comes from one hex digit slice of
+#: md5(token), so an independent engine (the DuckDB oracle) can re-derive
+#: the identical signature with plain integer arithmetic; xxhash64 would
+#: be Spark-only.  md5 is a JVM built-in inside codegen, and the hash is
+#: computed once per *distinct* token per doc.
+SIMHASH_BITS = 60
+SIMHASH_CHUNK_BITS = 15  # 4 banding chunks of 15 bits
+
+
+def _portable_token_hash(col: str) -> F.Column:
+    """60-bit integer from the first 15 hex digits of md5(token) —
+    engine-portable (any SQL engine can fold hex digits) and well below
+    BIGINT overflow (16^15 = 2^60), so ANSI-safe."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def with_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash from token xxhash64 values.
+    """60-bit SimHash from portable md5-derived token hashes.
 
-    Computed as explode -> 64 per-bit vote aggregates -> bitwise OR
+    Computed as explode -> 60 per-bit vote aggregates -> bitwise OR
     pack.  Array-lambda formulations are interpreted per element;
     this stays in whole-stage codegen end to end (~6x faster at
     sf0.1).  Returns one row per id: (id_col, simhash)."""
     ex = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("__t"))
-    ex = ex.select(F.col(id_col), F.xxhash64("__t").alias("__h"))
+        F.explode(F.array_distinct(
+            F.split(F.trim(F.col(text_col)), r"\s+"))).alias("__t"))
+    ex = (ex.filter(F.col("__t") != "")
+            .select(F.col(id_col), _portable_token_hash("__t").alias("__h")))
     # Bit-vote counting packed 4 lanes/long: long j accumulates the
     # ones-counts of bits 4j..4j+3 in four 16-bit lanes, so the group
-    # aggregate is 16 plain sums + a count instead of 64 conditional
-    # sums (the 64-agg buffer blew past codegen method limits and fell
+    # aggregate is 15 plain sums + a count instead of 60 conditional
+    # sums (the 60-agg buffer blew past codegen method limits and fell
     # back to interpreted eval — measured 4x slower at sf0.1).  16-bit
     # lanes cap a document at 65,535 *distinct* tokens; beyond that,
     # shard the token stream and OR the per-shard simhashes.
@@ -189,11 +209,12 @@ def with_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     votes = ex.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),
         *[F.sum(F.expr(" | ".join(lane(j, l) for l in range(4))))
-           .alias(f"__s{j}") for j in range(16)])
+           .alias(f"__s{j}") for j in range(SIMHASH_BITS // 4)])
     # bit i=4j+l set iff ones > zeros: 2 * lane_count > n
     bit = lambda j, l: (f"(case when 2 * ((__s{j} >> {16 * l}) & 65535) > __n "
                         f"then shiftleft(1L, {4 * j + l}) else 0L end)")
-    packed = " | ".join(bit(j, l) for j in range(16) for l in range(4))
+    packed = " | ".join(
+        bit(j, l) for j in range(SIMHASH_BITS // 4) for l in range(4))
     return votes.select(F.col(id_col), F.expr(packed).alias(out_col))
 
 
@@ -246,14 +267,16 @@ def deduplicate_neardup(df: DataFrame, threshold: float = 0.5,
 
 def neardup_simhash(df: DataFrame, max_hamming: int = 3,
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """SimHash near-dup pairs: 4x16-bit chunk banding (pigeonhole
+    """SimHash near-dup pairs: 4x15-bit chunk banding (pigeonhole
     guarantees recall for hamming <= 3), then exact hamming verify via
     bit_count(xor) on candidates only."""
     sh = with_simhash(df, text_col, id_col)
     chunks = sh.select(
         F.col(id_col), F.col("simhash"),
         F.posexplode(F.expr(
-            "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"
+            f"transform(sequence(0, 3), c -> "
+            f"(simhash >> (c * {SIMHASH_CHUNK_BITS})) & "
+            f"{(1 << SIMHASH_CHUNK_BITS) - 1})"
         )).alias("chunk_idx", "chunk_val"))
     left = chunks.select(F.col(id_col).alias("a_id"), "chunk_idx", "chunk_val",
                          F.col("simhash").alias("ha"))
@@ -262,6 +285,6 @@ def neardup_simhash(df: DataFrame, max_hamming: int = 3,
     return (left.join(right, on=["chunk_idx", "chunk_val"], how="inner")
                 .filter(F.col("a_id") < F.col("b_id"))
                 .dropDuplicates(["a_id", "b_id"])
-                .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+                .withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("int"))
                 .filter(F.col("hamming") <= max_hamming)
                 .select("a_id", "b_id", "hamming"))

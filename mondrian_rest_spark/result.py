@@ -85,7 +85,11 @@ def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list) -> dict[str,
     drills = resolved_drills(cube, qm)
     _, _, aliases = _split_measures(cube, list(qm.measures))
     n_group_cols = sum(len(lv.out_cols()) for rd in drills for lv in rd.group_levels)
-    n_props = len(qm.properties)
+    # Count the property columns the planner actually EMITS (dedup of
+    # aliases colliding with drill/caption columns or duplicate
+    # requests) — len(qm.properties) over-counts in those cases and
+    # shifts every measure in the values matrix (ADVICE r2).
+    n_props = len(prop_group_aliases(drills, resolved_props(cube, qm.properties)))
 
     # per-axis distinct member tuples, ordered hierarchically by member
     # key (Mondrian orders axis tuples by member ordinal — SURVEY

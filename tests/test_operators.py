@@ -101,6 +101,39 @@ def test_ann_ivf_probe_recall(spark, sf_dir):
     assert len(set(r.vec_id for r in approx) & set(exact)) >= 3
 
 
+def test_ann_ivf_plan_has_no_window(spark, sf_dir):
+    """IVF cell assignment must be one hash aggregate (min_by), never a
+    row_number window over the whole corpus (full shuffle + per-id sort
+    — the r1/r2 scale-killer)."""
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (similarity.ann_topk_ivf(emb, query_vec_id=7, k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan, plan
+
+
+def test_approx_operators_duckdb_parity(spark, sf_dir, duck):
+    """The approximate operators are engine-portable by design (integer
+    quantization + literal hyperplanes + md5-digit token hashes): the
+    DuckDB oracle must reproduce them EXACTLY, not just statistically.
+    Mirrors the driver's sf0.01 gate at sf0.001."""
+    import __spark_entry__ as entry
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    for name in ("d04_neardup_simhash", "d06_embedding_neardup_lsh",
+                 "s02_ann_lsh_topk", "s03_ann_ivf_topk"):
+        sdf = qs[name](spark, sf_dir).toPandas()
+        ddf = duck.execute(oracles[name]).fetchdf()
+        cols = sorted(sdf.columns)
+        assert cols == sorted(ddf.columns), name
+        a = sdf[cols].sort_values(cols, ignore_index=True)
+        b = ddf[cols].sort_values(cols, ignore_index=True)
+        assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+        for c in cols:
+            assert (a[c].astype(float) - b[c].astype(float)).abs().max() \
+                <= 1e-12, f"{name}.{c}"
+
+
 def test_embedding_neardup_lsh_recall(spark, sf_dir):
     from mondrian_rest_spark.sources.registry import load_table
     emb = load_table(spark, sf_dir, "embeddings")
