@@ -137,9 +137,10 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
 
     @app.get("/cubes")
     def cubes():
+        # virtual cubes are first-class (reference api_spec.rb:23-35
+        # lists 'Warehouse and Sales' alongside the base cubes)
         return jsonify({"cubes": [members.cube_metadata(cat, n)
-                                  for n in members.cube_names(cat)
-                                  if cat.virtual_cube(n) is None]})
+                                  for n in members.cube_names(cat)]})
 
     @app.get("/cubes/<cube>")
     def cube(cube):
@@ -153,10 +154,26 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
                 return jsonify(d)
         raise KeyError(f"dimension {dim!r} not found")
 
+    def _member_params(params):
+        """Shared member-route params (reference api.rb:180-182, :198-200,
+        :212-214): member_properties[], caption, children."""
+        getlist = params.getlist if hasattr(params, "getlist") else \
+            (lambda k: params.get(k, []))
+        return {
+            "member_properties": (getlist("member_properties[]") or
+                                  getlist("member_properties")),
+            "caption": params.get("caption") or None,
+            "children": _bool(params.get("children"), False),
+        }
+
     def _members_payload(cube, dim, level, hierarchy=None):
-        df = members.level_members(get_spark(), sf_dir, cat, cube, dim,
-                                   level, hierarchy)
-        return jsonify({"members": [r.asDict() for r in df.collect()]})
+        # reference get_members (api_helpers.rb:65-90): the level's
+        # Level#to_h(get_members: true) envelope
+        env = members.level_envelope(cat, cube, dim, level, hierarchy)
+        env["members"] = members.member_payloads(
+            get_spark(), sf_dir, cat, cube, dim, level, hierarchy,
+            **_member_params(request.args))
+        return jsonify(env)
 
     @app.get("/cubes/<cube>/dimensions/<dim>/levels/<level>/members")
     def level_members(cube, dim, level):
@@ -169,13 +186,15 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
     @app.get("/cubes/<cube>/dimensions/<dim>/levels/<level>/members/<key>")
     def member_by_key(cube, dim, level, key):
         # reference api.rb:207-230 — lookup by MEMBER_KEY (the reference
-        # does a linear scan; this is an indexed filter on the dim frame)
-        df = members.member_lookup(get_spark(), sf_dir, cat, cube,
-                                   dim, level, key.lstrip("&"))
-        rows = [r.asDict() for r in df.collect()]
-        if not rows:
+        # does a linear scan; this is an indexed filter on the dim frame);
+        # response is Member#to_h + ancestors (mondrian_ext.rb:168-188)
+        hashes = members.member_payloads(
+            get_spark(), sf_dir, cat, cube, dim, level,
+            key=key.lstrip("&"), with_num_children=True,
+            **_member_params(request.args))
+        if not hashes:
             raise KeyError(f"member {key!r} not found in {dim}.{level}")
-        return jsonify(rows[0])
+        return jsonify(hashes[0])
 
     @app.get("/cubes/<cube>/members")
     def member_by_full_name(cube, full_name: str | None = None):
@@ -185,12 +204,17 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         segs = parse_segments(full_name)
         if len(segs) < 3:
             raise ParseError(f"full_name needs [Dim].[Level].[Key]: {full_name!r}")
-        df = members.member_lookup(get_spark(), sf_dir, cat, cube,
-                                   segs[0], segs[-2], segs[-1].lstrip("&"))
-        rows = [r.asDict() for r in df.collect()]
-        if not rows:
+        hashes = members.member_payloads(
+            get_spark(), sf_dir, cat, cube, segs[0], segs[-2],
+            key=segs[-1].lstrip("&"), with_num_children=True,
+            **_member_params(request.args))
+        if not hashes:
             raise KeyError(f"member {full_name!r} not found")
-        return jsonify(rows[0])
+        out = hashes[0]
+        # full-name lookups additionally carry dimension_info
+        # (mondrian_ext.rb:198-210; golden api_spec.rb:104-108)
+        out["dimension"] = members.dimension_info(cat, cube, segs[0], segs[-2])
+        return jsonify(out)
 
     @app.route("/cubes/<cube>/aggregate", methods=["GET", "POST"])
     @app.route("/cubes/<cube>/aggregate.<fmt>", methods=["GET", "POST"])

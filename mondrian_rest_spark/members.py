@@ -22,10 +22,37 @@ def cube_names(cat: Catalog) -> list[str]:
 
 
 def cube_metadata(cat: Catalog, cube_name: str) -> dict:
-    """GET /cubes/:name (reference api.rb:82-91; mondrian_ext.rb:35-82)."""
+    """GET /cubes/:name (reference api.rb:82-91; mondrian_ext.rb:35-82).
+
+    Virtual cubes are first-class here, as in the reference schema
+    (foodmart.xml:758-790 'Warehouse and Sales' appears in /cubes like
+    any other cube, api_spec.rb:23-35): their metadata is synthesized
+    from the base cubes — conformed dimensions (first definition wins)
+    and the union of both cubes' measures."""
+    v = cat.virtual_cube(cube_name)
+    if v is not None:
+        base_metas = [cube_metadata(cat, n) for n in v.cube_names]
+        dims, seen = [], set()
+        for bm in base_metas:
+            for d in bm["dimensions"]:
+                if d["name"] in v.conformed_dimensions and d["name"] not in seen:
+                    seen.add(d["name"])  # conformed: first definition wins
+                    dims.append(d)
+        return {
+            "name": v.name,
+            "type": "virtual",
+            "cubes": list(v.cube_names),
+            "fact": None,
+            "dimensions": dims,
+            "measures": [m for bm in base_metas for m in bm["measures"]],
+            "calculated_members": [c for bm in base_metas
+                                   for c in bm["calculated_members"]],
+            "named_sets": [],
+        }
     cube = cat.cube(cube_name)
     return {
         "name": cube.name,
+        "type": "cube",
         "fact": cube.fact,
         "dimensions": [
             {
@@ -125,6 +152,150 @@ def member_children(spark: SparkSession, sf_dir: str, cat: Catalog, cube_name: s
     out = mf.filter(F.col(plevel.key_alias) == F.lit(parent_key))
     child_cols = [a for _, a in child.out_cols()]
     return out.select(*child_cols).dropDuplicates([child.key_alias])
+
+
+# --------------------------------------------------------------------------
+# reference-shaped member hashes (mondrian_ext.rb:168-217)
+# --------------------------------------------------------------------------
+
+def _full_name(dim_name: str, names: list[str]) -> str:
+    """Reference member full_name: '[Dim].[name1].[name2]' — the member
+    *names* along the path, not keys (api_spec.rb:104-108 golden)."""
+    return ".".join(f"[{s}]" for s in [dim_name] + names)
+
+
+def _all_member_full_name(dim, hier) -> str:
+    return f"[{dim.name}].[{hier.all_member_name or 'All ' + dim.name + 's'}]"
+
+
+def member_payloads(spark: SparkSession, sf_dir: str, cat: Catalog,
+                    cube_name: str, dim_name: str, level_name: str | None = None,
+                    hierarchy: str | None = None,
+                    member_properties: list[str] | None = None,
+                    caption: str | None = None, children: bool = False,
+                    key=None, with_num_children: bool = False) -> list[dict]:
+    """Reference-shaped member hashes (Member#to_h, mondrian_ext.rb:
+    168-188): name/full_name/caption/all_member?/drillable?/depth/key/
+    num_children/parent_name/level_name/children, plus `ancestors` from
+    the same denormalized row (getAncestorMembers analog, :213-217) and
+    a `properties` map when ``member_properties`` are requested
+    (api_spec.rb:61-64).  ``caption`` replaces the member caption with a
+    property value (api_spec.rb:73-78); ``children`` attaches the next
+    level's members under each parent (api_spec.rb:80-85).
+
+    One distinct-select over the denormalized dim frame (+ one for the
+    child level when requested) — driver-side shaping only touches the
+    collected member list, which is small by construction.
+    """
+    cube = cat.cube(cube_name)
+    dim, hier, level = _resolve_level(cube, dim_name, hierarchy, level_name)
+    idx = hier.level_index(level.name)
+    rd = _drill_for(cube, dim_name, level.name, hierarchy, with_ancestors=True)
+
+    prop_objs, prop_names = [], []
+    for pname in member_properties or []:
+        p = level.find_property(pname)
+        if p.alias not in [q.alias for q in prop_objs]:
+            prop_objs.append(p)
+        prop_names.append((pname, p.alias))
+    cap_prop = level.find_property(caption) if caption else None
+    if cap_prop is not None and cap_prop.alias not in [q.alias for q in prop_objs]:
+        prop_objs.append(cap_prop)
+
+    mf = _ragged_visible(
+        members_frame(spark, sf_dir, cube, rd, prop_objs), rd)
+    if key is not None:
+        mf = mf.filter(F.col(level.key_alias).cast("string") == str(key))
+    path_keys = [lv.key_alias for lv in rd.group_levels]
+    rows = (mf.dropDuplicates([level.key_alias])
+              .orderBy(*path_keys).collect())
+
+    # child members / counts: one extra distinct-select, grouped on the
+    # driver (member lists are small by construction)
+    child_rows: dict = {}
+    child_level = hier.levels[idx + 1] if idx + 1 < len(hier.levels) else None
+    if (children or with_num_children) and child_level is not None and rows:
+        crd = _drill_for(cube, dim_name, child_level.name, hierarchy, True)
+        cmf = _ragged_visible(members_frame(spark, sf_dir, cube, crd), crd)
+        parent_keys = [r[level.key_alias] for r in rows]
+        if key is not None or len(parent_keys) <= 1000:
+            cmf = cmf.filter(F.col(level.key_alias).isin(parent_keys))
+        for cr in (cmf.dropDuplicates([level.key_alias, child_level.key_alias])
+                      .orderBy(level.key_alias, child_level.key_alias)
+                      .collect()):
+            child_rows.setdefault(cr[level.key_alias], []).append(cr)
+
+    def level_hash(row, li: int, cap_alias: str | None = None,
+                   props: list | None = None) -> dict:
+        lv = hier.levels[li]
+        cap_col = lv.caption_alias or lv.key_alias
+        names = [str(row[hier.levels[i].caption_alias or
+                         hier.levels[i].key_alias]) for i in range(li + 1)]
+        h = {
+            "name": str(row[cap_col]),
+            "full_name": _full_name(dim.name, names),
+            "caption": row[cap_alias] if cap_alias else row[cap_col],
+            "all_member?": False,
+            "drillable?": li + 1 < len(hier.levels),
+            "depth": li + (1 if hier.has_all else 0),
+            "key": row[lv.key_alias],
+            "num_children": None,
+            "parent_name": (_full_name(dim.name, names[:-1]) if li > 0
+                            else (_all_member_full_name(dim, hier)
+                                  if hier.has_all else None)),
+            "level_name": lv.name,
+            "children": [],
+        }
+        if props:
+            h["properties"] = {pname: row[alias] for pname, alias in props}
+        return h
+
+    out = []
+    for row in rows:
+        h = level_hash(row, idx,
+                       cap_alias=cap_prop.alias if cap_prop else None,
+                       props=prop_names if prop_names else None)
+        if children or with_num_children:
+            kids = child_rows.get(row[level.key_alias], [])
+            h["num_children"] = len(kids)
+            if children:
+                h["children"] = [level_hash(cr, idx + 1) for cr in kids]
+        h["ancestors"] = [level_hash(row, li) for li in range(idx - 1, -1, -1)]
+        out.append(h)
+    return out
+
+
+def dimension_info(cat: Catalog, cube_name: str, dim_name: str,
+                   level_name: str | None = None,
+                   hierarchy: str | None = None) -> dict:
+    """Member#dimension_info (mondrian_ext.rb:198-210)."""
+    cube = cat.cube(cube_name)
+    dim, hier, level = _resolve_level(cube, dim_name, hierarchy, level_name)
+    return {
+        "name": dim.name,
+        "caption": dim.name,
+        "type": "time" if dim.time_dimension else "standard",
+        "level": level.name,
+        "level_depth": hier.level_index(level.name) + (1 if hier.has_all else 0),
+        "hierarchy": hier.name,
+    }
+
+
+def level_envelope(cat: Catalog, cube_name: str, dim_name: str,
+                   level_name: str | None = None,
+                   hierarchy: str | None = None) -> dict:
+    """Level#to_h sans members (mondrian_ext.rb:125-146): the envelope
+    the members route wraps the member list in."""
+    cube = cat.cube(cube_name)
+    dim, hier, level = _resolve_level(cube, dim_name, hierarchy, level_name)
+    return {
+        "name": level.name,
+        "full_name": f"[{dim.name}].[{hier.name}].[{level.name}]",
+        "depth": hier.level_index(level.name) + (1 if hier.has_all else 0),
+        "caption": level.name,
+        "annotations": {},
+        "properties": [p.name for p in level.properties],
+    }
 
 
 def member_lookup(spark: SparkSession, sf_dir: str, cat: Catalog, cube_name: str,

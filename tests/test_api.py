@@ -21,8 +21,25 @@ def client(spark, sf_dir):
 def test_list_cubes(client):
     r = client.get("/cubes")
     assert r.status_code == 200
-    names = {c["name"] for c in r.get_json()["cubes"]}
-    assert {"Sales", "Orders", "Events"} <= names
+    cubes = {c["name"]: c for c in r.get_json()["cubes"]}
+    assert {"Sales", "Orders", "Events"} <= set(cubes)
+    # virtual cubes are first-class (reference api_spec.rb:23-35)
+    assert "Orders and Sales" in cubes
+    assert cubes["Orders and Sales"]["type"] == "virtual"
+    assert cubes["Sales"]["type"] == "cube"
+
+
+def test_virtual_cube_metadata(client):
+    r = client.get("/cubes/Orders and Sales")
+    assert r.status_code == 200
+    meta = r.get_json()
+    assert meta["type"] == "virtual"
+    assert set(meta["cubes"]) == {"Orders", "Sales"}
+    dim_names = [d["name"] for d in meta["dimensions"]]
+    assert "Customer" in dim_names
+    assert len(dim_names) == len(set(dim_names))     # conformed: no dups
+    measure_names = {m["name"] for m in meta["measures"]}
+    assert {"Revenue", "Total Price", "Order Count"} <= measure_names
 
 
 def test_cube_404(client):
@@ -39,17 +56,81 @@ def test_dimension_metadata(client):
 def test_level_members(client):
     r = client.get("/cubes/Sales/dimensions/Customer/levels/Region/members")
     assert r.status_code == 200
-    ms = r.get_json()["members"]
+    body = r.get_json()
+    # Level#to_h envelope (mondrian_ext.rb:125-146)
+    assert body["name"] == "Region"
+    assert body["full_name"] == "[Customer].[Customer].[Region]"
+    ms = body["members"]
     assert len(ms) == 5
-    assert {m["cust_region"] for m in ms} == \
+    assert {m["caption"] for m in ms} == \
         {"AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"}
+    # reference member-hash shape (mondrian_ext.rb:168-188)
+    for m in ms:
+        assert {"name", "full_name", "caption", "all_member?", "drillable?",
+                "depth", "key", "num_children", "parent_name", "level_name",
+                "children", "ancestors"} <= set(m)
+    asia = next(m for m in ms if m["caption"] == "ASIA")
+    assert asia["full_name"] == "[Customer].[ASIA]"
+    assert asia["key"] == 2 and asia["level_name"] == "Region"
+    assert asia["depth"] == 1 and asia["drillable?"] is True
+
+
+def test_level_members_with_properties_and_caption(client):
+    # api_spec.rb:61-64 (properties map) and :73-78 (caption replacement)
+    r = client.get(
+        "/cubes/Sales/dimensions/Customer/levels/Customer/members",
+        query_string=[("member_properties[]", "Market Segment"),
+                      ("member_properties[]", "Account Balance"),
+                      ("caption", "Market Segment")])
+    assert r.status_code == 200
+    ms = r.get_json()["members"]
+    assert ms
+    for m in ms:
+        assert "Market Segment" in m["properties"]
+        assert "Account Balance" in m["properties"]
+        assert m["caption"] == m["properties"]["Market Segment"]
+        assert m["name"] != m["caption"]     # name stays the member name
+
+
+def test_level_members_with_children(client):
+    # api_spec.rb:80-85 children=true
+    r = client.get("/cubes/Sales/dimensions/Customer/levels/Region/members",
+                   query_string={"children": "true"})
+    ms = r.get_json()["members"]
+    asia = next(m for m in ms if m["caption"] == "ASIA")
+    assert asia["num_children"] == 5         # 5 nations per region
+    kids = asia["children"]
+    assert len(kids) == 5
+    assert all(k["level_name"] == "Nation" for k in kids)
+    assert all(k["parent_name"] == "[Customer].[ASIA]" for k in kids)
 
 
 def test_member_by_full_name(client):
     r = client.get("/cubes/Sales/members",
                    query_string={"full_name": "[Customer].[Region].[&2]"})
     assert r.status_code == 200
-    assert r.get_json()["cust_region"] == "ASIA"
+    m = r.get_json()
+    # reference golden shape (api_spec.rb:104-108)
+    assert m["caption"] == "ASIA" and m["name"] == "ASIA"
+    assert m["full_name"] == "[Customer].[ASIA]"
+    assert m["parent_name"] == "[Customer].[All Customers]"
+    assert m["num_children"] == 5
+    assert m["ancestors"] == []
+    assert m["dimension"] == {
+        "name": "Customer", "caption": "Customer", "type": "standard",
+        "level": "Region", "level_depth": 1, "hierarchy": "Customer"}
+
+
+def test_member_by_full_name_has_ancestors(client):
+    r = client.get("/cubes/Sales/members",
+                   query_string={"full_name": "[Customer].[Nation].[&8]"})
+    assert r.status_code == 200
+    m = r.get_json()
+    assert m["level_name"] == "Nation" and m["depth"] == 2
+    assert len(m["ancestors"]) == 1
+    anc = m["ancestors"][0]
+    assert anc["level_name"] == "Region"
+    assert m["parent_name"] == anc["full_name"]
 
 
 def test_bad_params_400_vs_unknown_cube_404(client):
@@ -70,9 +151,23 @@ def test_member_by_key_route(client):
     # reference api.rb:207-230 GET .../levels/:l/members/:key
     r = client.get("/cubes/Sales/dimensions/Customer/levels/Region/members/2")
     assert r.status_code == 200
-    assert r.get_json()["cust_region"] == "ASIA"
+    m = r.get_json()
+    assert m["caption"] == "ASIA" and m["key"] == 2
+    assert m["num_children"] == 5
     r = client.get("/cubes/Sales/dimensions/Customer/levels/Region/members/99")
     assert r.status_code == 404
+
+
+def test_member_by_key_with_properties_and_caption(client):
+    # api_spec.rb:95-101: member by key + properties + caption replacement
+    r = client.get(
+        "/cubes/Sales/dimensions/Supplier/levels/Supplier/members/3",
+        query_string=[("member_properties[]", "Account Balance"),
+                      ("caption", "Account Balance")])
+    assert r.status_code == 200
+    m = r.get_json()
+    assert "Account Balance" in m["properties"]
+    assert m["caption"] == m["properties"]["Account Balance"]
 
 
 def test_member_404(client):
