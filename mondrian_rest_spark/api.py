@@ -100,7 +100,10 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         return len(rows) * len(rows[0]) if rows else 1
 
     def cached_rows(qm):
-        key = repr(sorted(qm.__dict__.items(), key=lambda kv: kv[0]))
+        # debug only changes the response envelope (mdx echo), not the
+        # rows — keying on it would duplicate cache entries
+        key = repr(sorted(((k, v) for k, v in qm.__dict__.items()
+                           if k != "debug"), key=lambda kv: kv[0]))
         with cache_lock:
             if key in result_cache:
                 result_cache.move_to_end(key)
@@ -231,9 +234,11 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             # not a missing resource
             raise ParseError(str(e)) from e
         if fmt == "json":
-            res = result.to_aggregation_result(cat, qm, rows)
-            if qm.debug:  # reference mdx echo (api_spec.rb:183-203)
-                res["query"] = qm.__dict__
+            # reference generated-MDX echo (api.rb:39, api_spec.rb:183-203):
+            # mdx is the generated query when debug=true, null otherwise
+            from .mdx import emit_mdx
+            res = result.to_aggregation_result(
+                cat, qm, rows, mdx=emit_mdx(cat, qm) if qm.debug else None)
             return Response(formats.to_aggregation_json(res),
                             mimetype="application/json")
         header = result.tidy_header(cat, qm)

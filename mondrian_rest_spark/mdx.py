@@ -277,7 +277,16 @@ def _slicer(p: _P, q: MdxQuery) -> None:
     p.expect("(")
     while True:
         t = p.peek()
-        if t == "{":
+        if t == "(":
+            # range cut (a:b) — the form the REST layer's range cuts
+            # round-trip through (query_helper.rb:66-72)
+            p.next()
+            a = _path(p)
+            p.expect(":")
+            b = _path(p)
+            p.expect(")")
+            q.qm_kwargs["cut"].append(f"({_path_str(a)}:{_path_str(b)})")
+        elif t == "{":
             p.expect("{")
             members = []
             while True:
@@ -336,3 +345,75 @@ def compile_mdx(mdx: str, cube_hint: str | None = None) -> QueryModel:
 def execute_mdx(spark: SparkSession, sf_dir: str, cat: Catalog,
                 mdx: str) -> DataFrame:
     return aggregate(spark, sf_dir, cat, compile_mdx(mdx))
+
+
+# ---------------------------------------------------------------------------
+# emitter: QueryModel -> MDX (the reference's debug=true echo)
+# ---------------------------------------------------------------------------
+
+def emit_mdx(cat: Catalog, qm) -> str:
+    """QueryModel -> the MDX the reference would generate for it
+    (query_helper.rb:190-316; echoed by debug=true, api.rb:39 /
+    api_spec.rb:183-203).
+
+    Inverse of :func:`compile_mdx` over the supported subset:
+    ``compile_mdx(emit_mdx(cat, qm))`` reproduces the QueryModel (see
+    the round-trip test in tests/test_mdx.py).  Property ORDER keys are
+    outside the MDX subset and are omitted from the echo.
+    """
+    from .parser import parse_drilldown, parse_measure_filter
+
+    try:
+        cube = cat.cube(qm.cube)
+    except KeyError:
+        cube = None  # virtual cube: measures explicit, no named sets
+    measures = list(qm.measures)
+    if not measures and cube is not None:
+        measures = [cube.default_measure.name]
+    cols = "{" + ", ".join(f"[Measures].[{m}]" for m in measures) + "}"
+
+    ns_names = {s.name for s in cube.named_sets} if cube else set()
+    sets = []
+    for d in qm.drilldown:
+        parsed = parse_drilldown(d, ns_names)
+        if isinstance(parsed, str):
+            sets.append(f"[{parsed}]")
+        else:
+            segs = [parsed.dimension]
+            if parsed.hierarchy:
+                segs.append(parsed.hierarchy)
+            if parsed.level:
+                segs.append(parsed.level)
+            sets.append(_path_str(segs) + ".Members")
+
+    axis = None
+    if sets:
+        # reference nesting: Crossjoin(d1, Crossjoin(d2, d3))
+        axis = sets[-1]
+        for s in reversed(sets[:-1]):
+            axis = f"CROSSJOIN({s}, {axis})"
+        if qm.distinct:
+            axis = f"DISTINCT({axis})"
+        if qm.filter:
+            conds = " AND ".join(
+                f"[Measures].[{mf.measure}] {mf.op} {mf.value}"
+                for mf in map(parse_measure_filter, qm.filter))
+            axis = f"FILTER({axis}, {conds})"
+        if qm.order and "." not in qm.order:
+            axis = (f"ORDER({axis}, [Measures].[{qm.order}], "
+                    f"{'BDESC' if qm.order_desc else 'BASC'})")
+        if qm.offset or qm.limit is not None:
+            args = f"{qm.offset or 0}"
+            if qm.limit is not None:
+                args += f", {qm.limit}"
+            axis = f"SUBSET({axis}, {args})"
+        if qm.nonempty:
+            axis = f"NON EMPTY {axis}"
+
+    mdx = f"SELECT {cols} ON COLUMNS"
+    if axis:
+        mdx += f", {axis} ON ROWS"
+    mdx += f" FROM [{qm.cube}]"
+    if qm.cut:
+        mdx += " WHERE (" + " * ".join(qm.cut) + ")"
+    return mdx

@@ -348,12 +348,25 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel
             continue
         dim_objs[rc.dimension.name] = rc.dimension
         needed.setdefault(rc.dimension.name, {})[rc.level.name] = rc.level
-    needed_props = resolved_props(cube, qm.properties)
+    prop_seq = resolved_props(cube, qm.properties)
+    needed_props = props_by_dim(prop_seq)
+    # a property's dimension must be drilled (reference
+    # api_helpers.rb parse_properties -> PropertyError -> 400;
+    # api_spec 'should fail if requested member properties of a
+    # dimension not in drilldown[]').  Joining it anyway would add its
+    # level to the group-by and silently change the aggregation grain.
+    drilled_levels = {(rd.dimension.name, lv.name)
+                      for rd in drills for lv in rd.group_levels}
     for ref in (parse_property(p) for p in qm.properties):
         dim, hier, level = _resolve_level(cube, ref.dimension, ref.hierarchy,
                                           ref.level)
-        dim_objs[dim.name] = dim
-        needed.setdefault(dim.name, {})[level.name] = level
+        if dim.name not in {rd.dimension.name for rd in drills}:
+            raise ParseError(
+                f"Dimension {dim.name!r} not in drilldown list")
+        if (dim.name, level.name) not in drilled_levels:
+            raise ParseError(
+                f"property {ref.prop!r} is on level {level.name!r}, "
+                f"which is not in the drilldown list")
 
     # --- bridges required (dims + measures) ---
     bridge_names: set[str] = set()
@@ -405,7 +418,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel
         for lv in rd.group_levels:
             for _, alias in lv.out_cols():
                 group_cols.append(alias)
-    group_cols += prop_group_aliases(drills, needed_props)
+    group_cols += prop_group_aliases(drills, prop_seq)
 
     aggs = [_agg_expr(m) for m in base_measures]
     if not aggs:  # pure axis enumeration still needs an aggregate context
@@ -508,29 +521,41 @@ def _find_prop(cube: Cube, ref: PropertyRef):
     return level.find_property(ref.prop)
 
 
-def resolved_props(cube: Cube, properties: list[str]) -> dict[str, list]:
-    """Property refs -> per-dimension Property lists in planner order
-    (dimension of first appearance, then request order).  Shared with
-    result shaping so column offsets always agree with the plan."""
-    needed_props: dict[str, list] = {}
+def resolved_props(cube: Cube, properties: list[str]) -> list[tuple[str, object]]:
+    """Property refs -> (dimension name, Property) pairs in REQUEST
+    order (reference api_formatters.rb pnames emits one column per
+    request in request order).  Shared with result shaping so column
+    order/offsets always agree with the plan."""
+    out: list[tuple[str, object]] = []
     for p in properties:
         ref = parse_property(p)
         dim, _, level = _resolve_level(cube, ref.dimension, ref.hierarchy, ref.level)
-        needed_props.setdefault(dim.name, []).append(level.find_property(ref.prop))
-    return needed_props
+        out.append((dim.name, level.find_property(ref.prop)))
+    return out
+
+
+def props_by_dim(prop_seq: list[tuple[str, object]]) -> dict[str, list]:
+    """Request-ordered pairs -> per-dimension Property lists (dedup by
+    alias) for join plumbing (_dim_select / _densify)."""
+    by_dim: dict[str, list] = {}
+    for dname, p in prop_seq:
+        plist = by_dim.setdefault(dname, [])
+        if p.alias not in [q.alias for q in plist]:
+            plist.append(p)
+    return by_dim
 
 
 def prop_group_aliases(drills: list[ResolvedDrill],
-                       needed_props: dict[str, list]) -> list[str]:
-    """The property columns that actually reach the output, mirroring the
-    dedup in _aggregate_cube (a property whose alias already appears as a
-    drill/caption column contributes no extra column)."""
+                       prop_seq: list[tuple[str, object]]) -> list[str]:
+    """The property columns that actually reach the output, in request
+    order, mirroring the dedup in _aggregate_cube (a property whose
+    alias already appears as a drill/caption column, or was requested
+    twice, contributes no extra column)."""
     group = [a for rd in drills for lv in rd.group_levels for _, a in lv.out_cols()]
     out: list[str] = []
-    for plist in needed_props.values():
-        for p in plist:
-            if p.alias not in group and p.alias not in out:
-                out.append(p.alias)
+    for _, p in prop_seq:
+        if p.alias not in group and p.alias not in out:
+            out.append(p.alias)
     return out
 
 
@@ -699,18 +724,32 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         out = out.na.drop(how="all", subset=all_aliases)
     if qm.distinct and group_cols:
         out = out.dropDuplicates(group_cols)
+    # tie-break on drill key aliases only, exactly like _aggregate_cube:
+    # a query must order identically against a base or a virtual cube
+    key_aliases = []
+    ns_names0 = {s.name for s in cubes[0].named_sets}
+    for d in qm.drilldown:
+        parsed = parse_drilldown(d, ns_names0)
+        if isinstance(parsed, str):
+            ns = cubes[0].named_set(parsed)
+            _, hier, level = _resolve_level(cubes[0], ns.dimension, None, ns.level)
+            idx = hier.level_index(level.name)
+            gl = list(hier.levels[: idx + 1]) if qm.parents else [level]
+        else:
+            gl = _resolve_drill(cubes[0], parsed, qm.parents).group_levels
+        key_aliases += [lv.key_alias for lv in gl]
     if qm.order:
         try:
             ocol = _valias(qm.order)
         except ParseError:
             if qm.order not in group_cols:
-                raise
+                raise ParseError(f"cannot resolve order key {qm.order!r}")
             ocol = qm.order
         primary = F.desc(ocol) if qm.order_desc else F.asc(ocol)
         out = out.orderBy(primary,
-                          *[F.asc(c) for c in group_cols if c != ocol])
-    elif group_cols:
-        out = out.orderBy(*[F.asc(c) for c in group_cols])
+                          *[F.asc(a) for a in key_aliases if a != ocol])
+    elif key_aliases:
+        out = out.orderBy(*[F.asc(a) for a in key_aliases])
     if qm.offset:
         out = out.offset(qm.offset)
     if qm.limit is not None:

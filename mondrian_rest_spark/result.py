@@ -20,6 +20,37 @@ from .planner import (ResolvedDrill, _resolve_drill, _split_measures,
 from .query import QueryModel
 
 
+def shaping_ctx(cat: Catalog, qm: QueryModel) -> tuple[Cube, list[str], dict]:
+    """(cube-for-resolution, measure aliases, alias->display-name map)
+    for result shaping.  For a virtual cube, drills/levels resolve
+    against the FIRST base cube (dimensions are conformed by contract)
+    and measures across all base cubes — previously every formatted
+    surface 404'd on virtual cubes because shaping called cat.cube."""
+    from .planner import _has_measure, _measure_alias
+
+    vc = cat.virtual_cube(qm.cube)
+    if vc is None:
+        cube = cat.cube(qm.cube)
+        _, _, aliases = _split_measures(cube, list(qm.measures))
+        names = {m.alias: m.name for m in cube.measures}
+        names.update({c.alias: c.name for c in cube.calc_members})
+        return cube, aliases, names
+    cubes = [cat.cube(n) for n in vc.cube_names]
+    names = {}
+    for cb in cubes:
+        names.update({m.alias: m.name for m in cb.measures})
+        names.update({c.alias: c.name for c in cb.calc_members})
+    aliases = []
+    for m in (list(qm.measures) or [cubes[0].default_measure.name]):
+        for cb in cubes:
+            if _has_measure(cb, m):
+                aliases.append(_measure_alias(cb, m))
+                break
+        else:
+            raise KeyError(f"measure {m!r} not in virtual cube {vc.name!r}")
+    return cubes[0], aliases, names
+
+
 def resolved_drills(cube: Cube, qm: QueryModel) -> list[ResolvedDrill]:
     drills = []
     ns_names = {s.name for s in cube.named_sets}
@@ -40,9 +71,9 @@ def resolved_drills(cube: Cube, qm: QueryModel) -> list[ResolvedDrill]:
 def tidy_header(cat: Catalog, qm: QueryModel) -> list[str]:
     """Reference-layout header (api_formatters.rb:31-56; golden shapes
     api_spec.rb:208/214/235/241): per drill level `ID <Level>, <Level>`
-    (ancestors first when parents=true), then properties, then measure
-    display names."""
-    cube = cat.cube(qm.cube)
+    (ancestors first when parents=true), then properties in request
+    order (api_formatters.rb pnames), then measure display names."""
+    cube, aliases, alias_to_name = shaping_ctx(cat, qm)
     header: list[str] = []
     drills = resolved_drills(cube, qm)
     for rd in drills:
@@ -50,16 +81,12 @@ def tidy_header(cat: Catalog, qm: QueryModel) -> list[str]:
             header.append(f"ID {lv.name}")
             if lv.caption_alias and lv.caption_alias != lv.key_alias:
                 header.append(lv.name)
-    needed_props = resolved_props(cube, qm.properties)
-    kept = set(prop_group_aliases(drills, needed_props))
-    for plist in needed_props.values():
-        for p in plist:
-            if p.alias in kept:
-                header.append(p.name)
-                kept.discard(p.alias)  # planner emits each column once
-    _, _, aliases = _split_measures(cube, list(qm.measures))
-    alias_to_name = {m.alias: m.name for m in cube.measures}
-    alias_to_name.update({c.alias: c.name for c in cube.calc_members})
+    prop_seq = resolved_props(cube, qm.properties)
+    kept = set(prop_group_aliases(drills, prop_seq))
+    for _, p in prop_seq:
+        if p.alias in kept:
+            header.append(p.name)
+            kept.discard(p.alias)  # planner emits each column once
     header += [alias_to_name.get(a, a) for a in aliases]
     return header
 
@@ -70,56 +97,102 @@ def tidy_rows(df_rows: list, header: list[str]) -> list[list]:
     return [list(r) for r in df_rows]
 
 
-def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list) -> dict[str, Any]:
-    """The axes/values contract (mondrian_ext.rb:228-287): measure axis
-    first (axis 0), one axis per drilldown, values as a dense nested
-    array indexed [i_axis1][i_axis2]...[i_measure], nulls for empty
-    cells.
+def _axis_member_hash(rd: ResolvedDrill, tup: tuple,
+                      props: dict | None) -> dict[str, Any]:
+    """Reference axis-member hash (Member#to_h subset the aggregation
+    JSON carries, mondrian_ext.rb:258-276): name/full_name/caption/key/
+    level_name (+ ancestors when parents drilled them in, + properties
+    when requested)."""
+    parts = []       # (level, key, caption) along the drilled path
+    pos = 0
+    for lv in rd.group_levels:
+        k = tup[pos]
+        pos += 1
+        if lv.caption and lv.caption_alias and lv.caption_alias != lv.key_alias:
+            c = tup[pos]
+            pos += 1
+        else:
+            c = k
+        parts.append((lv, k, c))
 
-    NOTE: the reference lays cells out column-major with a tuple
-    transpose (mondrian_ext.rb:250-256); we document row-major nesting
-    (axis order = drilldown order) — same information, simpler
-    contract, and the tidy/CSV surfaces are byte-compatible.
+    def one(i: int) -> dict[str, Any]:
+        lv, k, c = parts[i]
+        names = [str(p[2]) for p in parts[: i + 1]]
+        return {
+            "name": str(c),
+            "full_name": ".".join(
+                f"[{s}]" for s in [rd.dimension.name] + names),
+            "caption": c,
+            "key": k,
+            "level_name": lv.name,
+            "all_member?": False,
+            "depth": rd.hierarchy.level_index(lv.name) +
+                     (1 if rd.hierarchy.has_all else 0),
+        }
+
+    m = one(len(parts) - 1)
+    if len(parts) > 1:  # parents=true drilled the ancestors in
+        m["ancestors"] = [one(i) for i in range(len(parts) - 2, -1, -1)]
+    if props is not None:
+        m["properties"] = props
+    return m
+
+
+def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list,
+                          mdx: str | None = None) -> dict[str, Any]:
+    """The axes/values contract, reference layout (mondrian_ext.rb:
+    228-287): measure axis first (axis 0), one axis per drilldown with
+    unique members, then
+
+    - ``values``: ONE FLAT LIST over the axis-tuple enumeration (the
+      product of axis members, last drilldown varying fastest — the
+      reference's single crossjoined ROWS axis), each cell a list of
+      per-measure values, nulls for empty cells (golden
+      api_spec.rb:128-132); with no drilldown, the bare measure list;
+    - ``cell_keys``: the MEMBER_KEY tuple per cell, same enumeration
+      (mondrian_ext.rb:277-283);
+    - ``mdx``: the generated MDX when debug=true, else null
+      (api.rb:39, api_spec.rb:183-203).
+
+    Cells are extracted from collected rows BY COLUMN NAME, so property
+    dedup or column reordering in the planner can never misalign the
+    measure slice (the r1/r2 offset-arithmetic bug class).
     """
-    cube = cat.cube(qm.cube)
+    cube, aliases, _names = shaping_ctx(cat, qm)
     drills = resolved_drills(cube, qm)
-    _, _, aliases = _split_measures(cube, list(qm.measures))
-    n_group_cols = sum(len(lv.out_cols()) for rd in drills for lv in rd.group_levels)
-    # Count the property columns the planner actually EMITS (dedup of
-    # aliases colliding with drill/caption columns or duplicate
-    # requests) — len(qm.properties) over-counts in those cases and
-    # shifts every measure in the values matrix (ADVICE r2).
-    n_props = len(prop_group_aliases(drills, resolved_props(cube, qm.properties)))
+    prop_seq = resolved_props(cube, qm.properties)
 
     # per-axis distinct member tuples, ordered hierarchically by member
     # key (Mondrian orders axis tuples by member ordinal — SURVEY
     # §7.5.2; first-seen row order would be nondeterministic)
     axis_seen: list[set] = [set() for _ in drills]
+    axis_props: list[dict] = [{} for _ in drills]
     keyed_rows: dict[tuple, list] = {}
     for row in rows:
-        vals = list(row)
-        pos = 0
+        d = row.asDict() if hasattr(row, "asDict") else dict(row)
         key: list[tuple] = []
         for ai, rd in enumerate(drills):
-            span = sum(len(lv.out_cols()) for lv in rd.group_levels)
-            tup = tuple(vals[pos:pos + span])
+            tup = tuple(d[a] for lv in rd.group_levels for _, a in lv.out_cols())
             axis_seen[ai].add(tup)
             key.append(tup)
-            pos += span
-        keyed_rows[tuple(key)] = vals[pos + n_props:
-                                      pos + n_props + len(aliases)]
+            dprops = [(p.name, d.get(p.alias)) for dn, p in prop_seq
+                      if dn == rd.dimension.name]
+            if dprops:
+                axis_props[ai][tup] = dict(dprops)
+        keyed_rows[tuple(key)] = [d[a] for a in aliases]
     axis_captions: list[list] = [
         sorted(seen, key=lambda t: tuple((v is None, v) for v in t))
         for seen in axis_seen]
 
-    def nest(prefix: tuple) -> Any:
-        ai = len(prefix)
-        if ai == len(drills):
-            cells = keyed_rows.get(prefix)
-            if cells is None:
-                cells = [None] * len(aliases)
-            return cells if len(aliases) > 1 else cells[0]
-        return [nest(prefix + (tup,)) for tup in axis_captions[ai]]
+    from itertools import product
+    empty = [None] * len(aliases)
+    if drills:
+        tuples = list(product(*axis_captions))
+        values = [keyed_rows.get(t, empty) for t in tuples]
+    elif rows:
+        values = keyed_rows[()]       # no drilldown: bare measure list
+    else:
+        values = empty
 
     # cell_keys (mondrian_ext.rb:277-283): one entry per axis-tuple
     # combination in the same enumeration order as `values`, holding
@@ -130,26 +203,27 @@ def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list) -> dict[str,
         for lv in rd.group_levels[:-1]:
             pos += len(lv.out_cols())
         leaf_key_idx.append(pos)
-    from itertools import product
     cell_keys = [
-        [tups[ai][leaf_key_idx[ai]] for ai in range(len(drills))]
-        for tups in product(*axis_captions)] if drills else []
+        [t[ai][leaf_key_idx[ai]] for ai in range(len(drills))]
+        for t in tuples] if drills else []
 
-    axes = [{"members": [
-        {"name": cube.measure(m).name if cube.calc_member(m) is None else m,
-         "caption": m} for m in (qm.measures or [cube.default_measure.name])]}]
+    axes: list[dict] = [{"members": [
+        {"name": _names.get(a, m), "caption": m}
+        for m, a in zip(qm.measures or [cube.default_measure.name], aliases)]}]
     for ai, rd in enumerate(drills):
         axes.append({
             "dimension": rd.dimension.name,
             "hierarchy": rd.hierarchy.name,
             "level": rd.level.name,
             "members": [
-                {"key": list(t), "caption": str(t[-1])} for t in axis_captions[ai]
+                _axis_member_hash(rd, t, axis_props[ai].get(t))
+                for t in axis_captions[ai]
             ],
         })
     return {
         "axes": axes,
         "cell_keys": cell_keys,
-        "values": nest(()),
+        "values": values,
+        "mdx": mdx,
         "measure_aliases": aliases,
     }

@@ -249,6 +249,97 @@ def test_aggregate_get_post_equivalent(client):
     assert g["values"] == p["values"]
 
 
+def test_debug_mdx_echo(client):
+    # reference api.rb:39 / api_spec.rb:183-203: debug=true returns the
+    # generated MDX; debug=false (or absent) returns mdx: null
+    qs = [("measures[]", "Revenue"), ("drilldown[]", "Customer.Region"),
+          ("nonempty", "true")]
+    r = client.get("/cubes/Sales/aggregate", query_string=qs + [("debug", "true")])
+    body = r.get_json()
+    assert isinstance(body["mdx"], str)
+    assert body["mdx"].startswith("SELECT {[Measures].[Revenue]}")
+    assert "[Customer].[Region].Members" in body["mdx"]
+    r = client.get("/cubes/Sales/aggregate", query_string=qs)
+    assert r.get_json()["mdx"] is None
+
+
+def test_property_dimension_not_in_drilldown_400(client):
+    # api_spec 'should fail if requested member properties of a
+    # dimension not in drilldown[]'
+    r = client.get("/cubes/Sales/aggregate", query_string=[
+        ("measures[]", "Revenue"), ("drilldown[]", "Time.Year"),
+        ("properties[]", "Customer.Customer.Market Segment")])
+    assert r.status_code == 400
+    assert "not in" in r.get_json()["error"]
+
+
+def test_malformed_offset_limit_400(client):
+    # r2 fix: malformed pagination params are a Grape-style coercion 400
+    for k in ("offset", "limit"):
+        r = client.get("/cubes/Sales/aggregate", query_string=[
+            ("measures[]", "Revenue"), ("drilldown[]", "Customer.Region"),
+            (k, "banana")])
+        assert r.status_code == 400, k
+        assert "integer" in r.get_json()["error"]
+
+
+def test_four_segment_property_ref(client):
+    # api_spec 'with format Dimension.Hierarchy.Level.Property' (r2 fix)
+    r = client.get("/cubes/Sales/aggregate.csv", query_string=[
+        ("measures[]", "Revenue"), ("drilldown[]", "Customer.Customer"),
+        ("cut[]", "[Customer].[Region].[&2]"),
+        ("properties[]", "Customer.Customer.Customer.Market Segment")])
+    assert r.status_code == 200
+    rows = list(csv.reader(io.StringIO(r.get_data(as_text=True))))
+    assert "Market Segment" in rows[0]
+
+
+def test_result_cache_cells_bound_eviction(client):
+    """r2 fix: the result cache is bounded by total CELLS and evicts
+    LRU entries once the budget is exceeded."""
+    app = client.application
+    cache, stats = app.extensions["mrs_result_cache"]
+    cache.clear()
+    stats["cells"] = 0
+    import mondrian_rest_spark.api as api_mod  # noqa: F401
+    client.get("/cubes/Sales/aggregate?measures[]=Revenue"
+               "&drilldown[]=Customer.Region&nonempty=true")
+    assert len(cache) == 1
+    first_key = next(iter(cache))
+    cells_one = stats["cells"]
+    assert cells_one > 0
+    # second, bigger entry; then shrink the budget via monkeypatching is
+    # not possible (closure const), so assert the accounting instead
+    client.get("/cubes/Sales/aggregate?measures[]=Revenue"
+               "&drilldown[]=Customer.Nation&nonempty=true")
+    assert len(cache) == 2
+    assert stats["cells"] > cells_one
+    assert first_key in cache
+
+
+def test_virtual_cube_post_join_order_filter_limit(client):
+    """r2 fix: order/filter/limit on a virtual cube apply to the JOINED
+    drill-across frame (not per base cube), tie-breaking on drill keys
+    exactly like a base cube."""
+    r = client.get("/cubes/Orders and Sales/aggregate.jsonrecords",
+                   query_string=[
+                       ("measures[]", "Revenue"), ("measures[]", "Total Price"),
+                       ("drilldown[]", "Customer.Nation"),
+                       ("order", "Total Price"), ("order_desc", "true"),
+                       ("limit", "3"), ("filter[]", "Revenue > 0")])
+    assert r.status_code == 200
+    data = json.loads(r.get_data(as_text=True))["data"]
+    assert len(data) == 3
+    tp = [row["Total Price"] for row in data]
+    assert tp == sorted(tp, reverse=True)
+    # unresolvable order key on a virtual cube: clear 400
+    r = client.get("/cubes/Orders and Sales/aggregate", query_string=[
+        ("measures[]", "Revenue"), ("drilldown[]", "Customer.Nation"),
+        ("order", "Bogus Key")])
+    assert r.status_code == 400
+    assert "order key" in r.get_json()["error"]
+
+
 def test_bad_cut_400(client):
     r = client.get("/cubes/Sales/aggregate", query_string=[
         ("measures[]", "Revenue"), ("cut[]", "[Customer].[Region")])

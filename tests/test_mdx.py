@@ -100,6 +100,63 @@ def test_compile_rejects_garbage():
         compile_mdx("SELECT {[Measures].[Revenue]} ON COLUMNS FROM [Sales] EXTRA")
 
 
+def _canon(qm: QueryModel) -> dict:
+    """Round-trip-comparable view of a QueryModel: the parsed meaning of
+    drilldowns/cuts/filters, not their surface spelling."""
+    from mondrian_rest_spark.parser import (parse_cut, parse_drilldown,
+                                            parse_measure_filter)
+    ns = {s.name for s in tpch.CATALOG.cube(qm.cube).named_sets} \
+        if tpch.CATALOG.virtual_cube(qm.cube) is None else set()
+    return {
+        "cube": qm.cube,
+        "measures": list(qm.measures),
+        "drilldown": [parse_drilldown(d, ns) for d in qm.drilldown],
+        "cut": [parse_cut(c, ns) for c in qm.cut],
+        "filter": [parse_measure_filter(f) for f in qm.filter],
+        "nonempty": qm.nonempty, "distinct": qm.distinct,
+        "order": qm.order, "order_desc": qm.order_desc,
+        "offset": qm.offset or None, "limit": qm.limit,
+    }
+
+
+@pytest.mark.parametrize("qm", [
+    QueryModel(cube="Sales", measures=["Revenue"],
+               drilldown=["Customer.Region"], nonempty=True),
+    QueryModel(cube="Sales", measures=["Revenue", "Quantity"],
+               drilldown=["Customer.Region", "Time.Year"],
+               cut=["[Customer].[Region].[&2]"], nonempty=True),
+    QueryModel(cube="Sales", measures=["Revenue"],
+               drilldown=["Part.Brand"], order="Revenue", order_desc=True,
+               offset=2, limit=5),
+    QueryModel(cube="Sales", measures=["Revenue", "Line Count"],
+               drilldown=["Customer.Nation"], filter=["Revenue > 20000000"],
+               nonempty=True),
+    QueryModel(cube="Sales", measures=["Revenue"], drilldown=["Time.Month"],
+               cut=["([Time].[Year].[1996]:[Time].[Year].[1998])"]),
+    QueryModel(cube="Sales", measures=["Revenue"], drilldown=["Time.Year"],
+               cut=["{[Customer].[Region].[AMERICA],[Customer].[Region].[EUROPE]}"],
+               distinct=True, nonempty=True),
+])
+def test_emit_compile_round_trip(qm):
+    """emit_mdx is the inverse of compile_mdx over the shared subset
+    (the reference's debug=true echo must parse back to the same
+    query, api.rb:39)."""
+    from mondrian_rest_spark.mdx import emit_mdx
+    mdx = emit_mdx(tpch.CATALOG, qm)
+    back = compile_mdx(mdx)
+    assert _canon(back) == _canon(qm)
+
+
+def test_emit_named_set_drilldown():
+    from mondrian_rest_spark.mdx import emit_mdx
+    qm = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Top5 Customers"], nonempty=True)
+    mdx = emit_mdx(tpch.CATALOG, qm)
+    assert "[Top5 Customers]" in mdx
+    back = compile_mdx(mdx)
+    assert back.drilldown == ["Top5 Customers"]
+
+
 def test_mdx_execution_matches_rest_path(spark, sf_dir):
     mdx = ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
            "NON EMPTY CROSSJOIN([Customer].[Region].Members, "

@@ -25,9 +25,10 @@ def test_aggregation_json_duplicate_property_offsets(spark, sf_dir):
     r1 = result.to_aggregation_result(tpch.CATALOG, qm1, rows1)
     r2 = result.to_aggregation_result(tpch.CATALOG, qm2, rows2)
     assert r1["values"] == r2["values"]
-    vals = [v for v in r1["values"] if v is not None]
-    assert vals, "expected non-empty revenue cells"
-    assert all(isinstance(v, float) and v > 0 for v in vals)
+    # reference layout: one [per-measure] list per axis tuple
+    cells = [c[0] for c in r1["values"] if c[0] is not None]
+    assert cells, "expected non-empty revenue cells"
+    assert all(isinstance(v, float) and v > 0 for v in cells)
 
 
 def test_tidy_header_matches_frame_width_with_duplicate_property(spark, sf_dir):
@@ -36,3 +37,79 @@ def test_tidy_header_matches_frame_width_with_duplicate_property(spark, sf_dir):
     header = result.tidy_header(tpch.CATALOG, qm2)
     assert len(header) == len(df.columns)
     assert header.count("Market Segment") == 1
+
+
+def test_reference_values_layout_3_axes(spark, sf_dir, duck):
+    """Golden reference nesting for a 3-drilldown query
+    (mondrian_ext.rb:250-256 transpose; api_spec.rb:128-132 layout):
+    values is ONE FLAT LIST over the axis-member product (last
+    drilldown varying fastest), one [per-measure] list per tuple,
+    nulls for combinations with no data."""
+    qm = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Customer.Region", "Return Flag", "Time.Year"],
+                    nonempty=True)
+    rows = aggregate(spark, sf_dir, tpch.CATALOG, qm).collect()
+    res = result.to_aggregation_result(tpch.CATALOG, qm, rows)
+
+    # independent expectation from DuckDB over the same parquet
+    got = duck.execute("""
+        SELECT r_regionkey, l_returnflag, CAST(year(l_shipdate) AS INT) AS y,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(25,6))) AS DOUBLE) AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2, 3""").fetchall()
+    cells = {(r, f, y): rev for r, f, y, rev in got}
+    regions = sorted({k[0] for k in cells})
+    flags = sorted({k[1] for k in cells})
+    years = sorted({k[2] for k in cells})
+    expected = [[cells.get((r, f, y))]
+                for r in regions for f in flags for y in years]
+
+    assert len(res["values"]) == len(regions) * len(flags) * len(years)
+    assert res["values"] == expected
+    # cell_keys align with the same enumeration
+    assert res["cell_keys"][0] == [regions[0], flags[0], years[0]]
+    assert len(res["cell_keys"]) == len(res["values"])
+    # 1 measure axis + 3 member axes, unique members each
+    assert len(res["axes"]) == 4
+    assert [m["key"] for m in res["axes"][1]["members"]] == regions
+
+
+def test_values_layout_no_drilldown(spark, sf_dir):
+    qm = QueryModel(cube="Sales", measures=["Revenue", "Line Count"])
+    rows = aggregate(spark, sf_dir, tpch.CATALOG, qm).collect()
+    res = result.to_aggregation_result(tpch.CATALOG, qm, rows)
+    # bare measure list (reference: values[0] is the scalar cell)
+    assert len(res["values"]) == 2
+    assert isinstance(res["values"][0], float)
+
+
+def test_axis_members_carry_properties(spark, sf_dir):
+    """api_spec.rb:217-229: axes[-1].members[*].properties holds the
+    requested member properties."""
+    qm = QueryModel(**BASE, properties=["Customer.Customer.Market Segment",
+                                        "Customer.Customer.Account Balance"])
+    rows = aggregate(spark, sf_dir, tpch.CATALOG, qm).collect()
+    res = result.to_aggregation_result(tpch.CATALOG, qm, rows)
+    members = res["axes"][-1]["members"]
+    assert members
+    for m in members:
+        assert "Market Segment" in m["properties"]
+        assert "Account Balance" in m["properties"]
+
+
+def test_axis_members_carry_ancestors_with_parents(spark, sf_dir):
+    qm = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Customer.Nation"], parents=True,
+                    nonempty=True)
+    rows = aggregate(spark, sf_dir, tpch.CATALOG, qm).collect()
+    res = result.to_aggregation_result(tpch.CATALOG, qm, rows)
+    m = res["axes"][1]["members"][0]
+    assert m["level_name"] == "Nation"
+    assert len(m["ancestors"]) == 1
+    assert m["ancestors"][0]["level_name"] == "Region"
+    assert m["full_name"].startswith("[Customer].[" )
+    assert m["full_name"].count("].[") == 2      # dim + region + nation
