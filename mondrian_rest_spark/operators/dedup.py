@@ -120,6 +120,27 @@ def neardup_minhash_lsh(df: DataFrame, threshold: float = 0.5,
     """MinHash + banded LSH near-duplicate pairs, verified with exact
     jaccard on candidates only.
 
+    Decision boundary (the banding S-curve): with the default
+    num_hashes=32 / bands=16 (r=2 rows/band), a pair at jaccard s
+    becomes a candidate with probability 1-(1-s^2)^16; the exact-verify
+    pass then removes every false positive, so the only error mode is a
+    *miss*:
+
+        s     P(miss) = (1-s^2)^16
+        0.50  1.0e-2
+        0.60  7.9e-4
+        0.70  2.1e-5
+        0.80  7.9e-8
+        0.90  2.8e-12
+
+    i.e. at the default threshold 0.5 the curve's steep section sits
+    just below the threshold: borderline pairs (s in [0.5, 0.6)) can be
+    missed with up to ~1% probability, anything >= threshold+0.1 is
+    effectively never missed (pinned by the S-curve property test).
+    Raise ``bands`` (more, narrower bands) to push recall up at the
+    cost of more candidate pairs, or raise ``num_hashes`` with
+    ``rows`` >= 3 for high thresholds.
+
     Long-format throughout — shingle sets live as (id, hash64) rows,
     never as arrays:
     - signatures: one groupBy(id) computing |set| and the k salted

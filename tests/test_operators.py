@@ -60,6 +60,31 @@ def test_neardup_clusters_and_keep_one(spark, docs):
     assert 1 in kept and 2 not in kept and 3 not in kept
 
 
+def test_minhash_s_curve_no_misses_above_margin(spark):
+    """Decision-boundary pin (dedup.py S-curve table): every pair with
+    exact jaccard >= threshold+0.1 MUST appear in the LSH output — at
+    32 hashes / 16 bands the analytic miss probability there is
+    <= 7.9e-4, and the pipeline is fully deterministic (fixed hash
+    seeds), so this either always passes or flags a real regression."""
+    words = [f"w{i:03d}" for i in range(200)]
+    rows, did = [], 0
+    for frac in range(50, 100, 5):       # 50%..95% token overlap pairs
+        n = 100
+        shared = (n * frac) // 100
+        a = words[:n]
+        b = words[:shared] + [f"x{frac}u{i}" for i in range(n - shared)]
+        rows += [(did, " ".join(a)), (did + 1, " ".join(b))]
+        did += 2
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    brute = {(r.a_id, r.b_id): r.jaccard
+             for r in dedup.neardup_bruteforce(df, threshold=0.5).collect()}
+    lsh = {(r.a_id, r.b_id)
+           for r in dedup.neardup_minhash_lsh(df, threshold=0.5).collect()}
+    must_find = {k for k, j in brute.items() if j >= 0.6}
+    assert must_find, "corpus must contain pairs above the margin"
+    assert must_find <= lsh, f"missed: {must_find - lsh}"
+
+
 def test_simhash_identical_and_banding(docs):
     pairs = {(r.a_id, r.b_id): r.hamming
              for r in dedup.neardup_simhash(docs, max_hamming=3).collect()}
