@@ -60,7 +60,11 @@ def query_model_from_params(cube: str, params) -> QueryModel:
         cut=getlist("cut[]") or getlist("cut"),
         nonempty=_bool(params.get("nonempty"), False),
         distinct=_bool(params.get("distinct"), False),
-        sparse=_bool(params.get("sparse"), False),
+        # reference api.rb:138: the sparse default is deployment-
+        # configurable (-Dmondrian-rest.sparseDefault); env-var analog
+        sparse=_bool(params.get("sparse"),
+                     os.environ.get("MONDRIAN_REST_SPARSE_DEFAULT")
+                     is not None),
         filter=getlist("filter[]") or getlist("filter"),
         order=params.get("order"),
         order_desc=_bool(params.get("order_desc"), False),
@@ -151,11 +155,10 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
 
     @app.get("/cubes/<cube>/dimensions/<dim>")
     def dimension(cube, dim):
-        meta = members.cube_metadata(cat, cube)
-        for d in meta["dimensions"]:
-            if d["name"].lower() == dim.lower():
-                return jsonify(d)
-        raise KeyError(f"dimension {dim!r} not found")
+        # reference api.rb:166-171: dimension.to_h(get_members: true) —
+        # every level carries its member list
+        return jsonify(members.dimension_payload(
+            get_spark(), sf_dir, cat, cube, dim, get_members=True))
 
     def _member_params(params):
         """Shared member-route params (reference api.rb:180-182, :198-200,
@@ -252,6 +255,9 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         if fmt == "xls":
             return Response(formats.to_xls(header, tidy),
                             mimetype="application/vnd.ms-excel")
+        if fmt == "xlsx":
+            return Response(formats.to_xlsx(header, tidy),
+                            mimetype=formats.XLSX_MIME)
         raise ParseError(f"unknown format {fmt!r}")
 
     @app.post("/mdx")

@@ -265,6 +265,39 @@ def member_payloads(spark: SparkSession, sf_dir: str, cat: Catalog,
     return out
 
 
+def dimension_payload(spark: SparkSession, sf_dir: str, cat: Catalog,
+                      cube_name: str, dim_name: str,
+                      get_members: bool = False) -> dict:
+    """Dimension#to_h (mondrian_ext.rb:87-105): the GET
+    /cubes/:cube/dimensions/:dim response — hierarchies -> levels, each
+    level carrying its members when ``get_members`` (the reference
+    route always passes get_members: true, api.rb:166-171)."""
+    cube = cat.cube(cube_name)
+    dim = cube.dimension(dim_name)
+    out = {
+        "name": dim.name,
+        "caption": dim.name,
+        "type": "time" if dim.time_dimension else "standard",
+        "annotations": {},
+        "hierarchies": [],
+    }
+    for h in dim.hierarchies:
+        hh = {
+            "name": h.name,
+            "has_all": h.has_all,
+            "all_member_name": h.all_member_name,
+            "levels": [],
+        }
+        for lv in h.levels:
+            lh = level_envelope(cat, cube_name, dim_name, lv.name, h.name)
+            if get_members:
+                lh["members"] = member_payloads(
+                    spark, sf_dir, cat, cube_name, dim_name, lv.name, h.name)
+            hh["levels"].append(lh)
+        out["hierarchies"].append(hh)
+    return out
+
+
 def dimension_info(cat: Catalog, cube_name: str, dim_name: str,
                    level_name: str | None = None,
                    hierarchy: str | None = None) -> dict:

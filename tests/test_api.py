@@ -238,6 +238,52 @@ def test_aggregate_xls_content_type(client):
     assert b"Workbook" in r.data
 
 
+def test_aggregate_xlsx_is_real_zip_package(client):
+    """S6 upgrade: .xlsx is a genuine OOXML binary package readable by
+    Excel — a zip with workbook + worksheet parts carrying the tidy
+    rows (reference excel.rb writes binary spreadsheets too)."""
+    import zipfile
+
+    r = client.get("/cubes/Sales/aggregate.xlsx", query_string=[
+        ("measures[]", "Revenue"), ("drilldown[]", "Customer.Region"),
+        ("nonempty", "true")])
+    assert r.status_code == 200
+    assert r.content_type.startswith(
+        "application/vnd.openxmlformats-officedocument")
+    assert r.data[:2] == b"PK"                      # zip magic
+    z = zipfile.ZipFile(io.BytesIO(r.data))
+    assert set(z.namelist()) >= {"[Content_Types].xml", "xl/workbook.xml",
+                                 "xl/worksheets/sheet1.xml"}
+    sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "Revenue" in sheet and sheet.count("<row") == 6  # header + 5
+
+
+def test_dimension_route_carries_members(client):
+    # reference api.rb:166-171: dimension.to_h(get_members: true)
+    r = client.get("/cubes/Sales/dimensions/Customer")
+    assert r.status_code == 200
+    d = r.get_json()
+    assert d["name"] == "Customer" and d["type"] == "standard"
+    h = d["hierarchies"][0]
+    assert h["has_all"] is True
+    region = h["levels"][0]
+    assert region["name"] == "Region"
+    assert {m["caption"] for m in region["members"]} == \
+        {"AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"}
+
+
+def test_sparse_default_env_knob(spark, sf_dir, monkeypatch):
+    # reference api.rb:138: -Dmondrian-rest.sparseDefault analog
+    from mondrian_rest_spark.api import query_model_from_params
+    from werkzeug.datastructures import MultiDict
+    p = MultiDict([("measures[]", "Revenue")])
+    assert query_model_from_params("Sales", p).sparse is False
+    monkeypatch.setenv("MONDRIAN_REST_SPARSE_DEFAULT", "1")
+    assert query_model_from_params("Sales", p).sparse is True
+    assert query_model_from_params(
+        "Sales", MultiDict([("sparse", "false")])).sparse is False
+
+
 def test_aggregate_get_post_equivalent(client):
     qs = [("measures[]", "Revenue"), ("drilldown[]", "Customer.Region"),
           ("nonempty", "true")]
