@@ -103,6 +103,7 @@ def _geo_closure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ROLLUP_MGRS: dict = {}
+_IVF_LAYOUTS: dict = {}
 
 
 def _routed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,6 +353,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings"), query_vec_id=7, k=10, num_planes=6)
     q["s03_ann_ivf_topk"] = lambda s, d: similarity.ann_topk_ivf(
         load_table(s, d, "embeddings"), query_vec_id=7, k=10)
+
+    # the 100 TB serving path: corpus written partitioned by IVF cell,
+    # probe = partition-pruned read (PartitionFilters; plan asserted in
+    # tests/test_operators.py) — must return exactly what s03 returns,
+    # so it shares s03's oracle
+    def _ivf_layout(s, d):
+        import tempfile
+        key = (id(s), d)
+        path = _IVF_LAYOUTS.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="ivf_layout_") + "/emb"
+            similarity.materialize_ivf(load_table(s, d, "embeddings"), path)
+            _IVF_LAYOUTS[key] = path
+        emb = load_table(s, d, "embeddings")
+        qvec = list(emb.filter(F.col("vec_id") == 7)
+                    .select("embedding").first()[0])
+        return similarity.ann_topk_ivf_from_layout(
+            s, path, qvec, k=10, exclude_id=7)
+    q["s04_ann_ivf_layout"] = _ivf_layout
 
     # ---- multimodal plumbing (binary payload -> mapInPandas features) ----
     q["m01_media_features"] = lambda s, d: _media_features(s, d)
@@ -829,4 +849,7 @@ def oracle_sql() -> dict[str, str]:
         "d06_embedding_neardup_lsh": _oracle_neardup_lsh(threshold=0.4),
         "s02_ann_lsh_topk": _oracle_ann_lsh(query_vec_id=7, k=10),
         "s03_ann_ivf_topk": _oracle_ann_ivf(query_vec_id=7, k=10),
+        # the partition-pruned layout path must be value-identical to
+        # the inline IVF plan, so it shares the same oracle
+        "s04_ann_ivf_layout": _oracle_ann_ivf(query_vec_id=7, k=10),
     }

@@ -159,6 +159,29 @@ def test_approx_operators_duckdb_parity(spark, sf_dir, duck):
                 <= 1e-12, f"{name}.{c}"
 
 
+def test_ivf_layout_partition_pruned_probe(spark, sf_dir, tmp_path):
+    """The 100 TB ANN path: materialize_ivf writes the corpus
+    partitioned by cell_id; a probe scans only the n_probe chosen
+    partitions (PartitionFilters in the scan, no per-query assignment
+    stage) and returns exactly what the inline IVF path returns."""
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_layout")
+    similarity.materialize_ivf(emb, path)
+    qvec = [r.embedding for r in
+            emb.filter(F.col("vec_id") == 7).collect()][0]
+    out = similarity.ann_topk_ivf_from_layout(spark, path, list(qvec), k=11)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan, plan
+    assert "Window" not in plan
+    # same candidates as the inline path (query vec id 7 included here,
+    # excluded there -> compare on the rest)
+    inline = {(r.vec_id, r.cosine) for r in
+              similarity.ann_topk_ivf(emb, query_vec_id=7, k=10).collect()}
+    layout = {(r.vec_id, r.cosine) for r in out.collect() if r.vec_id != 7}
+    assert layout == inline
+
+
 def test_embedding_neardup_lsh_recall(spark, sf_dir):
     from mondrian_rest_spark.sources.registry import load_table
     emb = load_table(spark, sf_dir, "embeddings")
