@@ -236,12 +236,15 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             # parameter error (reference 400, query_helper.rb:206-210),
             # not a missing resource
             raise ParseError(str(e)) from e
+        # reference generated-MDX echo (api.rb:39, api_spec.rb:183-203)
+        from .mdx import emit_mdx
+        return _render(qm, fmt, rows,
+                       mdx_echo=emit_mdx(cat, qm) if qm.debug else None,
+                       as_array=params.get("format") == "array")
+
+    def _render(qm, fmt, rows, mdx_echo=None, as_array=False):
         if fmt == "json":
-            # reference generated-MDX echo (api.rb:39, api_spec.rb:183-203):
-            # mdx is the generated query when debug=true, null otherwise
-            from .mdx import emit_mdx
-            res = result.to_aggregation_result(
-                cat, qm, rows, mdx=emit_mdx(cat, qm) if qm.debug else None)
+            res = result.to_aggregation_result(cat, qm, rows, mdx=mdx_echo)
             return Response(formats.to_aggregation_json(res),
                             mimetype="application/json")
         header = result.tidy_header(cat, qm)
@@ -249,7 +252,6 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         if fmt == "csv":
             return Response(formats.to_csv(header, tidy), mimetype="text/csv")
         if fmt == "jsonrecords":
-            as_array = params.get("format") == "array"
             return Response(formats.to_jsonrecords(header, tidy, as_array),
                             mimetype="application/x-jsonrecords")
         if fmt == "xls":
@@ -260,16 +262,27 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
                             mimetype=formats.XLSX_MIME)
         raise ParseError(f"unknown format {fmt!r}")
 
-    @app.post("/mdx")
-    def mdx_route():
+    @app.route("/mdx", methods=["POST"])
+    @app.route("/mdx.<fmt>", methods=["POST"])
+    def mdx_route(fmt="json"):
         # reference api.rb:21-50 raw-MDX passthrough, scoped to the
-        # generated-MDX subset (SURVEY §2.10 Q6)
+        # generated-MDX subset (SURVEY §2.10 Q6); same formatter set and
+        # params (parents/debug/properties/caption, api.rb:37-42) as the
+        # aggregate resource
         from .mdx import compile_mdx
-        qm = compile_mdx(request.get_data(as_text=True))
+        raw = request.get_data(as_text=True)
+        qm = compile_mdx(raw)
+        p = request.args
+        getlist = p.getlist
+        qm.parents = _bool(p.get("parents"), False)
+        qm.debug = _bool(p.get("debug"), False)
+        qm.properties = getlist("properties[]") or getlist("properties")
+        qm.caption = getlist("caption[]") or getlist("caption")
         df = aggregate(get_spark(), sf_dir, cat, qm)
-        res = result.to_aggregation_result(cat, qm, df.collect())
-        return Response(formats.to_aggregation_json(res),
-                        mimetype="application/json")
+        # reference echoes the SUBMITTED query for debug on this route
+        return _render(qm, fmt, df.collect(),
+                       mdx_echo=raw if qm.debug else None,
+                       as_array=p.get("format") == "array")
 
     @app.get("/flush")
     def flush():

@@ -88,6 +88,30 @@ def cube_metadata(cat: Catalog, cube_name: str) -> dict:
     }
 
 
+def resolve_cube(cat: Catalog, cube_name: str, dim_name: str | None = None) -> Cube:
+    """Cube for member/dimension metadata resolution.  Virtual cubes
+    delegate to the first base cube carrying the dimension (conformed
+    by contract), restricted to the conformed set — so the members
+    surface works for virtual cube names exactly like /aggregate."""
+    v = cat.virtual_cube(cube_name)
+    if v is None:
+        return cat.cube(cube_name)
+    if dim_name is not None and not any(
+            d.lower() == dim_name.lower() for d in v.conformed_dimensions):
+        raise KeyError(
+            f"dimension {dim_name!r} not conformed in virtual cube {cube_name!r}")
+    for n in v.cube_names:
+        c = cat.cube(n)
+        if dim_name is None:
+            return c
+        try:
+            c.dimension(dim_name)
+            return c
+        except KeyError:
+            continue
+    raise KeyError(f"dimension {dim_name!r} not in virtual cube {cube_name!r}")
+
+
 def _drill_for(cube: Cube, dim_name: str, level_name: str | None,
                hierarchy: str | None = None, with_ancestors: bool = False) -> ResolvedDrill:
     dim, hier, level = _resolve_level(cube, dim_name, hierarchy, level_name)
@@ -122,7 +146,7 @@ def level_members(spark: SparkSession, sf_dir: str, cat: Catalog, cube_name: str
     """GET .../levels/:l/members (reference api.rb:174-205) — distinct
     member tuples, deduped by key (mondrian_ext.rb:139); ragged levels
     (hideMemberIf) have their hidden members filtered out."""
-    cube = cat.cube(cube_name)
+    cube = resolve_cube(cat, cube_name, dim_name)
     rd = _drill_for(cube, dim_name, level_name, hierarchy, with_ancestors)
     need_parent = (rd.level.hide_member_if == "if_parents_name"
                    and not with_ancestors)
@@ -141,7 +165,7 @@ def member_children(spark: SparkSession, sf_dir: str, cat: Catalog, cube_name: s
                     hierarchy: str | None = None) -> DataFrame:
     """children=true (reference mondrian_ext.rb:178; api_spec.rb:80-85):
     distinct members of the next level below, under the given parent."""
-    cube = cat.cube(cube_name)
+    cube = resolve_cube(cat, cube_name, dim_name)
     dim, hier, plevel = _resolve_level(cube, dim_name, hierarchy, parent_level)
     pidx = hier.level_index(plevel.name)
     if pidx + 1 >= len(hier.levels):
@@ -187,7 +211,7 @@ def member_payloads(spark: SparkSession, sf_dir: str, cat: Catalog,
     child level when requested) — driver-side shaping only touches the
     collected member list, which is small by construction.
     """
-    cube = cat.cube(cube_name)
+    cube = resolve_cube(cat, cube_name, dim_name)
     dim, hier, level = _resolve_level(cube, dim_name, hierarchy, level_name)
     idx = hier.level_index(level.name)
     rd = _drill_for(cube, dim_name, level.name, hierarchy, with_ancestors=True)
@@ -272,7 +296,7 @@ def dimension_payload(spark: SparkSession, sf_dir: str, cat: Catalog,
     /cubes/:cube/dimensions/:dim response — hierarchies -> levels, each
     level carrying its members when ``get_members`` (the reference
     route always passes get_members: true, api.rb:166-171)."""
-    cube = cat.cube(cube_name)
+    cube = resolve_cube(cat, cube_name, dim_name)
     dim = cube.dimension(dim_name)
     out = {
         "name": dim.name,
@@ -302,7 +326,7 @@ def dimension_info(cat: Catalog, cube_name: str, dim_name: str,
                    level_name: str | None = None,
                    hierarchy: str | None = None) -> dict:
     """Member#dimension_info (mondrian_ext.rb:198-210)."""
-    cube = cat.cube(cube_name)
+    cube = resolve_cube(cat, cube_name, dim_name)
     dim, hier, level = _resolve_level(cube, dim_name, hierarchy, level_name)
     return {
         "name": dim.name,
@@ -319,7 +343,7 @@ def level_envelope(cat: Catalog, cube_name: str, dim_name: str,
                    hierarchy: str | None = None) -> dict:
     """Level#to_h sans members (mondrian_ext.rb:125-146): the envelope
     the members route wraps the member list in."""
-    cube = cat.cube(cube_name)
+    cube = resolve_cube(cat, cube_name, dim_name)
     dim, hier, level = _resolve_level(cube, dim_name, hierarchy, level_name)
     return {
         "name": level.name,
@@ -337,7 +361,7 @@ def member_lookup(spark: SparkSession, sf_dir: str, cat: Catalog, cube_name: str
     """GET .../members/:key (reference api.rb:207-230 — which does a
     linear scan; here it is an indexed filter on the dim frame) with
     ancestors from the same denormalized row."""
-    cube = cat.cube(cube_name)
+    cube = resolve_cube(cat, cube_name, dim_name)
     rd = _drill_for(cube, dim_name, level_name, hierarchy, with_ancestors=True)
     mf = members_frame(spark, sf_dir, cube, rd)
     return mf.filter(F.col(rd.level.key_alias) == F.lit(key)).dropDuplicates(

@@ -392,6 +392,45 @@ def test_bad_cut_400(client):
     assert r.status_code == 400
 
 
+def test_mdx_route_formats_and_params(client):
+    # reference api.rb:21-50: the mdx resource shares the formatter set
+    # (csv/jsonrecords/xls) and the parents/debug params
+    mdx = ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+           "NON EMPTY [Customer].[Region].Members ON ROWS FROM [Sales]")
+    r = client.post("/mdx", data=mdx)
+    assert r.status_code == 200
+    assert len(r.get_json()["values"]) == 5
+    assert r.get_json()["mdx"] is None
+    r = client.post("/mdx?debug=true", data=mdx)
+    assert r.get_json()["mdx"] == mdx              # submitted query echoed
+    r = client.post("/mdx.csv", data=mdx)
+    rows = list(csv.reader(io.StringIO(r.get_data(as_text=True))))
+    assert rows[0] == ["ID Region", "Region", "Revenue"]
+    assert len(rows) == 6
+    r = client.post("/mdx.csv?parents=true", data=(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].Members ON ROWS FROM [Sales]"))
+    rows = list(csv.reader(io.StringIO(r.get_data(as_text=True))))
+    assert rows[0] == ["ID Region", "Region", "ID Nation", "Nation", "Revenue"]
+
+
+def test_virtual_cube_members_surface(client):
+    # conformed dims of a virtual cube expose the full members surface,
+    # like the reference's first-class virtual cubes
+    r = client.get("/cubes/Orders and Sales/dimensions/Customer/levels/"
+                   "Region/members")
+    assert r.status_code == 200
+    assert len(r.get_json()["members"]) == 5
+    r = client.get("/cubes/Orders and Sales/dimensions/Customer/levels/"
+                   "Region/members/2")
+    assert r.status_code == 200
+    assert r.get_json()["caption"] == "ASIA"
+    # non-conformed dim -> 404
+    r = client.get("/cubes/Orders and Sales/dimensions/Part/levels/"
+                   "Brand/members")
+    assert r.status_code == 404
+
+
 def test_flush_secret(client):
     assert client.get("/flush").status_code == 403
     assert client.get("/flush", query_string={"secret": "s3cr3t"}).status_code == 200
