@@ -129,6 +129,31 @@ def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
                                     GroupStateTimeout.EventTimeTimeout))
 
 
+def streaming_dedup(stream: DataFrame, keys: list[str] | None = None,
+                    content_col: str | None = None, ts_col: str = "ts",
+                    watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup — the ingest-time analog of
+    ``operators.dedup.deduplicate_exact`` for a training-data pipeline
+    (drop re-crawled/replayed duplicates as they arrive).
+
+    Uses ``dropDuplicatesWithinWatermark``: the dedup state for a key
+    is evicted once the watermark passes its event time, so state is
+    bounded by the watermark horizon × arrival rate — a plain
+    streaming ``dropDuplicates`` would grow state forever at 100 TB.
+    Dedup by explicit ``keys`` or by a 128-bit content hash of
+    ``content_col`` (exact-dedup semantics).
+    """
+    if content_col is not None:
+        stream = stream.withColumn("__content_hash", F.md5(F.col(content_col)))
+        keys = ["__content_hash"]
+    if not keys:
+        raise ValueError("streaming_dedup needs keys or content_col")
+    out = (stream
+           .withWatermark(ts_col, watermark)
+           .dropDuplicatesWithinWatermark(keys))
+    return out.drop("__content_hash") if content_col is not None else out
+
+
 def _interval_micros(interval: str) -> int:
     n, unit = interval.split()
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,

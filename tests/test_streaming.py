@@ -115,3 +115,50 @@ def test_watermark_drops_late_data(spark, tmp_path):
              .filter(F.col("ts") < F.lit("1970-01-02"))
              .agg(F.count("*").alias("n")).collect()[0])
     assert batch["n"] == 3
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """Ingest-time exact dedup (training-data pipeline): duplicate
+    content arriving within the watermark horizon is dropped; the
+    surviving row set matches a batch dropDuplicates on the content
+    hash; state is watermark-bounded by construction
+    (dropDuplicatesWithinWatermark)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mondrian_rest_spark.streaming.events import (run_available_now,
+                                                      streaming_dedup)
+
+    d = tmp_path / "docs.parquet"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * 10**6 for r in rows], pa.timestamp("us")),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+        p = str(d / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    hour = 3600
+    write("a.parquet", [(1, 1 * hour, "alpha"), (2, 2 * hour, "beta")], 1000)
+    write("b.parquet", [(3, 3 * hour, "alpha"),          # dup of doc 1
+                        (4, 4 * hour, "gamma")], 2000)
+    write("c.parquet", [(5, 5 * hour, "beta"),           # dup of doc 2
+                        (6, 6 * hour, "alpha")], 3000)   # dup again
+    stream = (spark.readStream
+              .schema("doc_id bigint, ts timestamp, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d)))
+    q = run_available_now(
+        streaming_dedup(stream, content_col="text", watermark="1 day"),
+        "t_dedup", output_mode="append")
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.table("t_dedup").collect())
+    assert got == [1, 2, 4]            # one survivor per distinct content
+    assert "text" in spark.table("t_dedup").columns
+    assert "__content_hash" not in spark.table("t_dedup").columns
