@@ -54,20 +54,25 @@ def cube_metadata(cat: Catalog, cube_name: str) -> dict:
         "name": cube.name,
         "type": "cube",
         "fact": cube.fact,
+        "annotations": {},
         "dimensions": [
             {
                 "name": d.name,
+                "caption": d.name,
                 "type": "time" if d.time_dimension else "standard",
+                "annotations": {},
                 "hierarchies": [
                     {
                         "name": h.name,
                         "has_all": h.has_all,
+                        "all_member_name": h.all_member_name,
                         "levels": [
                             {
                                 "name": lv.name,
                                 "key": lv.key_alias,
                                 "caption": lv.caption_alias or lv.key_alias,
                                 "full_name": f"[{d.name}].[{h.name}].[{lv.name}]",
+                                "annotations": {},
                                 "properties": [p.name for p in lv.properties],
                             }
                             for lv in h.levels
@@ -78,13 +83,22 @@ def cube_metadata(cat: Catalog, cube_name: str) -> dict:
             }
             for d in cube.dimensions
         ],
+        # reference measure hash (mondrian_ext.rb:66-81): name/caption/
+        # annotations/full_name/aggregator (+our stable column alias)
         "measures": [
-            {"name": m.name, "alias": m.alias,
+            {"name": m.name, "caption": m.name, "annotations": {},
+             "full_name": f"[Measures].[{m.name}]", "alias": m.alias,
              "aggregator": m.agg.upper().replace("COUNT_DISTINCT", "DISTINCT_COUNT")}
             for m in cube.measures
         ],
         "calculated_members": [c.name for c in cube.calc_members],
-        "named_sets": [s.name for s in cube.named_sets],
+        # reference named-set hash (mondrian_ext.rb:36-57)
+        "named_sets": [
+            {"name": s.name, "dimension": s.dimension,
+             "hierarchy": cube.dimension(s.dimension).default_hierarchy().name,
+             "level": s.level, "annotations": {}}
+            for s in cube.named_sets
+        ],
     }
 
 

@@ -44,5 +44,10 @@ def test_metadata_shape():
     assert {"Customer", "Supplier", "Part", "Time", "Return Flag"} <= names
     aggs = {m["aggregator"] for m in meta["measures"]}
     assert {"SUM", "COUNT", "DISTINCT_COUNT", "MAX", "AVG"} <= aggs
-    assert "Top5 Customers" in meta["named_sets"]
+    ns = {n["name"]: n for n in meta["named_sets"]}
+    assert "Top5 Customers" in ns       # reference named-set hash shape
+    assert ns["Top5 Customers"]["dimension"] == "Customer"
+    assert ns["Top5 Customers"]["level"] == "Customer"
+    m = next(x for x in meta["measures"] if x["name"] == "Revenue")
+    assert m["full_name"] == "[Measures].[Revenue]" and m["caption"] == "Revenue"
     assert "Orders and Sales" in cube_names(tpch.CATALOG)
