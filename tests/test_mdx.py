@@ -114,7 +114,8 @@ def _canon(qm: QueryModel) -> dict:
         "cut": [parse_cut(c, ns) for c in qm.cut],
         "filter": [parse_measure_filter(f) for f in qm.filter],
         "nonempty": qm.nonempty, "distinct": qm.distinct,
-        "order": qm.order, "order_desc": qm.order_desc,
+        # order_desc is meaningless without an order key
+        "order": qm.order, "order_desc": bool(qm.order) and qm.order_desc,
         "offset": qm.offset or None, "limit": qm.limit,
     }
 
@@ -168,3 +169,44 @@ def test_mdx_execution_matches_rest_path(spark, sf_dir):
         drilldown=["Customer.Region", "Time.Year"],
         cut=["[Customer].[Region].[&2]"], nonempty=True)).collect()
     assert sorted(map(tuple, via_mdx)) == sorted(map(tuple, via_rest))
+
+
+# ---- property-based round trip (hypothesis) --------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_MEASURES = st.lists(st.sampled_from(
+    ["Revenue", "Quantity", "Line Count", "Extended Price"]),
+    min_size=1, max_size=3, unique=True)
+_DRILLS = st.lists(st.sampled_from(
+    ["Customer.Region", "Customer.Nation", "Time.Year", "Part.Brand",
+     "Return Flag", "Time.Weekly.Week"]),
+    min_size=0, max_size=3, unique=True)
+_CUTS = st.lists(st.sampled_from(
+    ["[Customer].[Region].[&2]",
+     "{[Customer].[Region].[AMERICA],[Customer].[Region].[EUROPE]}",
+     "([Time].[Year].[1996]:[Time].[Year].[1998])",
+     "[Return Flag].[R]"]),
+    min_size=0, max_size=2, unique=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(measures=_MEASURES, drills=_DRILLS, cuts=_CUTS,
+       nonempty=st.booleans(), distinct=st.booleans(),
+       order=st.sampled_from([None, "Revenue"]), desc=st.booleans(),
+       offset=st.sampled_from([None, 2]), limit=st.sampled_from([None, 5]))
+def test_emit_compile_round_trip_property(measures, drills, cuts, nonempty,
+                                          distinct, order, desc, offset,
+                                          limit):
+    """Any QueryModel in the emitter's domain survives emit->compile
+    with identical parsed meaning (the debug echo is never a lie)."""
+    from mondrian_rest_spark.mdx import emit_mdx
+    qm = QueryModel(cube="Sales", measures=measures, drilldown=drills,
+                    cut=cuts, nonempty=nonempty and bool(drills),
+                    distinct=distinct and bool(drills),
+                    order=order if drills else None, order_desc=desc,
+                    offset=offset if drills else None,
+                    limit=limit if drills else None)
+    back = compile_mdx(emit_mdx(tpch.CATALOG, qm))
+    assert _canon(back) == _canon(qm)
