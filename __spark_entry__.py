@@ -376,6 +376,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- multimodal plumbing (binary payload -> mapInPandas features) ----
     q["m01_media_features"] = lambda s, d: _media_features(s, d)
 
+    # ---- composed cleaning pipeline (the end-to-end use case) ----
+    def _clean(s, d):
+        from mondrian_rest_spark.operators import pipeline
+        return pipeline.clean_corpus(load_table(s, d, "documents"))
+    q["c01_clean_corpus"] = _clean
+
     # ---- text analysis ----
     q["t01_token_stats"] = lambda s, d: textstats.token_stats(
         load_table(s, d, "documents"))
@@ -510,6 +516,82 @@ def _oracle_simhash(max_hamming: int = 3) -> str:
                    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
         SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
         FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
+
+
+def _oracle_clean_corpus(threshold: float = 0.5, min_quality: float = 0.75,
+                         languages: tuple[str, ...] = ("en",)) -> str:
+    """Replays operators/pipeline.clean_corpus: exact dedup -> near-dup
+    components keep-one -> quality gate -> language gate.  Built from
+    the proven d01/d07/t02/t03 oracle fragments, scoped to the kept
+    set at each stage."""
+    sw = lambda lang: ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang])
+    langs = ", ".join(f"'{l}'" for l in languages)
+    return f"""
+        WITH RECURSIVE
+        k1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        d AS (SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM k1)),
+        sh AS (
+          SELECT doc_id, list_distinct(
+              [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+               for i in range(1, len(w) - 1)]) AS s
+          FROM (SELECT doc_id, {TOKENS} AS w FROM d) WHERE len(w) >= 3),
+        p AS (
+          SELECT a_id, b_id FROM (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   len(list_intersect(a.s, b.s)) * 1.0 /
+                   len(list_distinct(list_concat(a.s, b.s))) AS j
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE j >= {threshold}),
+        e AS (SELECT a_id AS x, b_id AS y FROM p
+              UNION SELECT b_id, a_id FROM p),
+        reach(s2, t2) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT r.s2, e.y FROM reach r JOIN e ON r.t2 = e.x),
+        cl AS (SELECT s2 AS doc_id, MIN(t2) AS cluster FROM reach GROUP BY s2),
+        kept AS (SELECT d.doc_id, d.text FROM d
+                 JOIN cl ON d.doc_id = cl.doc_id AND d.doc_id = cl.cluster),
+        q AS (
+          SELECT doc_id,
+                 round((CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END) +
+                       (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END) +
+                       (CASE WHEN mean_word_len BETWEEN 3 AND 12
+                             THEN 0.25 ELSE 0.0 END) +
+                       (CASE WHEN stopword_ratio >= 0.02
+                             THEN 0.25 ELSE 0.0 END), 2) AS quality
+          FROM (
+            SELECT doc_id,
+                   CAST(len({TOKENS}) AS INTEGER) AS n_tokens,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_filter({TOKENS},
+                         t -> list_contains([{sw('en')}], t))) * 1.0 /
+                         greatest(len({TOKENS}), 1), 6) AS stopword_ratio,
+                   round(list_sum(list_transform({TOKENS}, t -> length(t)))
+                         * 1.0 / greatest(len({TOKENS}), 1), 6) AS mean_word_len
+            FROM kept)),
+        l AS (
+          SELECT doc_id,
+                 CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0
+                      THEN 'unknown'
+                      WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                      THEN 'en'
+                      WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                      THEN 'de'
+                      WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                      THEN 'fr'
+                      ELSE 'es' END AS predicted_lang
+          FROM (
+            SELECT doc_id,
+                   CAST(len(list_intersect({TOKENS}, [{sw('en')}])) AS INTEGER) AS en_hits,
+                   CAST(len(list_intersect({TOKENS}, [{sw('de')}])) AS INTEGER) AS de_hits,
+                   CAST(len(list_intersect({TOKENS}, [{sw('fr')}])) AS INTEGER) AS fr_hits,
+                   CAST(len(list_intersect({TOKENS}, [{sw('es')}])) AS INTEGER) AS es_hits
+            FROM kept))
+        SELECT kept.doc_id, q.quality, l.predicted_lang
+        FROM kept JOIN q USING (doc_id) JOIN l USING (doc_id)
+        WHERE q.quality >= {min_quality} AND l.predicted_lang IN ({langs})"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -852,4 +934,5 @@ def oracle_sql() -> dict[str, str]:
         # the partition-pruned layout path must be value-identical to
         # the inline IVF plan, so it shares the same oracle
         "s04_ann_ivf_layout": _oracle_ann_ivf(query_vec_id=7, k=10),
+        "c01_clean_corpus": _oracle_clean_corpus(),
     }

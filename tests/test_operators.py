@@ -91,6 +91,30 @@ def test_simhash_identical_and_banding(docs):
     assert pairs[(1, 2)] == 0       # identical text -> identical simhash
 
 
+def test_clean_corpus_pipeline(spark):
+    """Composed cleaning pipeline: exact dup removed, near-dup cluster
+    keeps min id, then quality and language gates filter the rest."""
+    from mondrian_rest_spark.operators import pipeline
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks into the house with all of them today again") * 2
+    rows = [
+        (1, good),
+        (2, good),                                  # exact dup -> dropped
+        (3, good + " and some more words to share here"),  # near dup -> dropped
+        (4, "der hund und die katze ist nicht da oder doch "
+            "aber dann war es die maus im haus von dem mann " * 3),  # german
+        (5, "x! y? z. a, b; c: d! e? f."),          # junk punctuation
+        (6, "completely different english text about the spark engine "
+            "and the data it processes with all of those documents "
+            "running through the pipeline for a while longer today"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {r.doc_id: (r.quality, r.predicted_lang)
+            for r in pipeline.clean_corpus(docs).collect()}
+    assert set(kept) == {1, 6}
+    assert all(q >= 0.75 and lang == "en" for q, lang in kept.values())
+
+
 def test_cosine_topk(spark):
     rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]),
             (2, [0.0, 1.0, 0.0]), (3, [0.8, 0.6, 0.0]),
