@@ -391,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"))
     q["t04_fingerprint"] = lambda s, d: textstats.fingerprint(
         load_table(s, d, "documents"))
+    q["t05_corpus_stats"] = lambda s, d: textstats.corpus_stats(
+        load_table(s, d, "documents"))
 
     return q
 
@@ -935,4 +937,54 @@ def oracle_sql() -> dict[str, str]:
         # the inline IVF plan, so it shares the same oracle
         "s04_ann_ivf_layout": _oracle_ann_ivf(query_vec_id=7, k=10),
         "c01_clean_corpus": _oracle_clean_corpus(),
+        "t05_corpus_stats": f"""
+            WITH t AS (SELECT doc_id, CAST(len({TOKENS}) AS INTEGER) AS n_tokens
+                       FROM documents),
+            q AS (
+              SELECT doc_id,
+                     round((CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END) +
+                           (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END) +
+                           (CASE WHEN mean_word_len BETWEEN 3 AND 12
+                                 THEN 0.25 ELSE 0.0 END) +
+                           (CASE WHEN stopword_ratio >= 0.02
+                                 THEN 0.25 ELSE 0.0 END), 2) AS quality
+              FROM (
+                SELECT doc_id,
+                       CAST(len({TOKENS}) AS INTEGER) AS n_tokens,
+                       round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                             * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(len(list_filter({TOKENS},
+                             t -> list_contains([{sw('en')}], t))) * 1.0 /
+                             greatest(len({TOKENS}), 1), 6) AS stopword_ratio,
+                       round(list_sum(list_transform({TOKENS}, t -> length(t)))
+                             * 1.0 / greatest(len({TOKENS}), 1), 6) AS mean_word_len
+                FROM documents)),
+            l AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0
+                          THEN 'unknown'
+                          WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                          THEN 'en'
+                          WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                          THEN 'de'
+                          WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                          THEN 'fr'
+                          ELSE 'es' END AS predicted_lang
+              FROM (
+                SELECT doc_id,
+                       CAST(len(list_intersect({TOKENS}, [{sw('en')}])) AS INTEGER) AS en_hits,
+                       CAST(len(list_intersect({TOKENS}, [{sw('de')}])) AS INTEGER) AS de_hits,
+                       CAST(len(list_intersect({TOKENS}, [{sw('fr')}])) AS INTEGER) AS fr_hits,
+                       CAST(len(list_intersect({TOKENS}, [{sw('es')}])) AS INTEGER) AS es_hits
+                FROM documents))
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+                   ROUND(CAST(SUM(CAST(q.quality AS DECIMAL(25,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS mean_quality,
+                   CAST(SUM(CASE WHEN predicted_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                   CAST(SUM(CASE WHEN predicted_lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+                   CAST(SUM(CASE WHEN predicted_lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+                   CAST(SUM(CASE WHEN predicted_lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+                   CAST(SUM(CASE WHEN predicted_lang = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown
+            FROM t JOIN q USING (doc_id) JOIN l USING (doc_id)""",
     }

@@ -96,3 +96,28 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     exact-dedup key and as a cheap content id."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.select(id_col, F.md5(norm).alias("fingerprint"))
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """One-row corpus report (the dashboard query a training-data
+    pipeline runs after every ingest): document count, total token
+    count, mean quality and per-language document counts — one shared
+    scan, one final aggregate (per-doc score frames join on id before
+    the global agg; at scale these are co-partitioned by the id and
+    the final agg is a single partial+final pass).
+
+    The quality mean goes through DECIMAL so it is partition-order
+    independent (hash-matches the DuckDB oracle)."""
+    ts = token_stats(df, text_col, id_col).select(id_col, "n_tokens")
+    qs = quality_score(df, text_col, id_col).select(id_col, "quality")
+    ls = language_id(df, text_col, id_col).select(id_col, "predicted_lang")
+    j = ts.join(qs, id_col).join(ls, id_col)
+    return j.agg(
+        F.count(id_col).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum(F.col("quality").cast("decimal(25,6)")).cast("double") /
+                F.count(id_col), 6).alias("mean_quality"),
+        *[F.sum(F.when(F.col("predicted_lang") == lang, 1).otherwise(0))
+            .alias(f"n_{lang}")
+          for lang in (*STOPWORDS, "unknown")])

@@ -359,3 +359,16 @@ def test_approx_median_within_tolerance(spark, sf_dir):
     for r in df.collect():
         assert abs(r["approx_median_price"] - r["median_price"]) \
             <= 0.01 * abs(r["median_price"])
+
+
+def test_corpus_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house sat on all of them here"),
+         (2, "der hund und die katze ist nicht da oder doch von dem mann"),
+         (3, "zz qq")],
+        ["doc_id", "text"])
+    r = textstats.corpus_stats(df).collect()[0]
+    assert r.n_docs == 3
+    assert r.total_tokens == 14 + 13 + 2
+    assert (r.n_en, r.n_de, r.n_unknown) == (1, 1, 1)
+    assert 0.0 <= r.mean_quality <= 1.0
