@@ -176,9 +176,11 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         # reference get_members (api_helpers.rb:65-90): the level's
         # Level#to_h(get_members: true) envelope
         env = members.level_envelope(cat, cube, dim, level, hierarchy)
+        # num_children is part of the reference member hash
+        # (CHILDREN_CARDINALITY) on listings too, not just lookups
         env["members"] = members.member_payloads(
             get_spark(), sf_dir, cat, cube, dim, level, hierarchy,
-            **_member_params(request.args))
+            with_num_children=True, **_member_params(request.args))
         return jsonify(env)
 
     @app.get("/cubes/<cube>/dimensions/<dim>/levels/<level>/members")

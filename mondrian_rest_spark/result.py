@@ -98,11 +98,15 @@ def tidy_rows(df_rows: list, header: list[str]) -> list[list]:
 
 
 def _axis_member_hash(rd: ResolvedDrill, tup: tuple,
-                      props: dict | None) -> dict[str, Any]:
+                      prop_vals: dict | None,
+                      level_props: dict | None) -> dict[str, Any]:
     """Reference axis-member hash (Member#to_h subset the aggregation
     JSON carries, mondrian_ext.rb:258-276): name/full_name/caption/key/
     level_name (+ ancestors when parents drilled them in, + properties
-    when requested)."""
+    when requested).  Properties attach to the hash of the LEVEL they
+    belong to — an ancestor-level property appears inside that
+    ancestor's hash, exactly like the reference walks
+    ``member.ancestors`` in api_formatters.rb get_props."""
     parts = []       # (level, key, caption) along the drilled path
     pos = 0
     for lv in rd.group_levels:
@@ -118,7 +122,7 @@ def _axis_member_hash(rd: ResolvedDrill, tup: tuple,
     def one(i: int) -> dict[str, Any]:
         lv, k, c = parts[i]
         names = [str(p[2]) for p in parts[: i + 1]]
-        return {
+        h = {
             "name": str(c),
             "full_name": ".".join(
                 f"[{s}]" for s in [rd.dimension.name] + names),
@@ -129,12 +133,15 @@ def _axis_member_hash(rd: ResolvedDrill, tup: tuple,
             "depth": rd.hierarchy.level_index(lv.name) +
                      (1 if rd.hierarchy.has_all else 0),
         }
+        own = (level_props or {}).get(lv.name)
+        if own and prop_vals is not None:
+            h["properties"] = {name: prop_vals.get(alias)
+                               for name, alias in own}
+        return h
 
     m = one(len(parts) - 1)
     if len(parts) > 1:  # parents=true drilled the ancestors in
         m["ancestors"] = [one(i) for i in range(len(parts) - 2, -1, -1)]
-    if props is not None:
-        m["properties"] = props
     return m
 
 
@@ -160,7 +167,21 @@ def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list,
     """
     cube, aliases, _names = shaping_ctx(cat, qm)
     drills = resolved_drills(cube, qm)
-    prop_seq = resolved_props(cube, qm.properties)
+    # (dimension, level) -> [(display name, column alias)]: properties
+    # attach to the member hash of THEIR level (leaf or ancestor)
+    from .parser import parse_property
+    from .planner import _resolve_level as _rl
+    prop_by_level: dict = {}
+    dim_prop_aliases: dict = {}
+    for p_str in qm.properties:
+        ref = parse_property(p_str)
+        dimx, _, levelx = _rl(cube, ref.dimension, ref.hierarchy, ref.level)
+        pr = levelx.find_property(ref.prop)
+        lst = prop_by_level.setdefault(dimx.name, {}).setdefault(
+            levelx.name, [])
+        if (pr.name, pr.alias) not in lst:
+            lst.append((pr.name, pr.alias))
+        dim_prop_aliases.setdefault(dimx.name, set()).add(pr.alias)
 
     # per-axis distinct member tuples, ordered hierarchically by member
     # key (Mondrian orders axis tuples by member ordinal — SURVEY
@@ -175,10 +196,9 @@ def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list,
             tup = tuple(d[a] for lv in rd.group_levels for _, a in lv.out_cols())
             axis_seen[ai].add(tup)
             key.append(tup)
-            dprops = [(p.name, d.get(p.alias)) for dn, p in prop_seq
-                      if dn == rd.dimension.name]
-            if dprops:
-                axis_props[ai][tup] = dict(dprops)
+            aliases_here = dim_prop_aliases.get(rd.dimension.name)
+            if aliases_here:
+                axis_props[ai][tup] = {a: d.get(a) for a in aliases_here}
         keyed_rows[tuple(key)] = [d[a] for a in aliases]
     axis_captions: list[list] = [
         sorted(seen, key=lambda t: tuple((v is None, v) for v in t))
@@ -216,7 +236,8 @@ def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list,
             "hierarchy": rd.hierarchy.name,
             "level": rd.level.name,
             "members": [
-                _axis_member_hash(rd, t, axis_props[ai].get(t))
+                _axis_member_hash(rd, t, axis_props[ai].get(t),
+                                  prop_by_level.get(rd.dimension.name))
                 for t in axis_captions[ai]
             ],
         })

@@ -101,6 +101,23 @@ def test_axis_members_carry_properties(spark, sf_dir):
         assert "Account Balance" in m["properties"]
 
 
+def test_ancestor_level_properties_attach_to_ancestor_hash(spark, sf_dir):
+    """Reference get_props (api_formatters.rb): a property of an
+    ancestor level lands in that ancestor's hash inside `ancestors`,
+    not in the leaf member's properties."""
+    qm = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Supplier.Supplier"], parents=True,
+                    properties=["Supplier.Supplier.Account Balance"],
+                    cut=["[Supplier].[Region].[&1]"], nonempty=True)
+    rows = aggregate(spark, sf_dir, tpch.CATALOG, qm).collect()
+    res = result.to_aggregation_result(tpch.CATALOG, qm, rows)
+    m = res["axes"][1]["members"][0]
+    # leaf-level property on the leaf hash
+    assert "Account Balance" in m["properties"]
+    # ancestors (Region, Nation) carry no leaf-level property map
+    assert all("properties" not in a for a in m["ancestors"])
+
+
 def test_axis_members_carry_ancestors_with_parents(spark, sf_dir):
     qm = QueryModel(cube="Sales", measures=["Revenue"],
                     drilldown=["Customer.Nation"], parents=True,
