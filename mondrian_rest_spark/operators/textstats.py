@@ -102,17 +102,17 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """One-row corpus report (the dashboard query a training-data
     pipeline runs after every ingest): document count, total token
-    count, mean quality and per-language document counts — one shared
-    scan, one final aggregate (per-doc score frames join on id before
-    the global agg; at scale these are co-partitioned by the id and
-    the final agg is a single partial+final pass).
+    count, mean quality and per-language document counts.
 
-    The quality mean goes through DECIMAL so it is partition-order
-    independent (hash-matches the DuckDB oracle)."""
-    ts = token_stats(df, text_col, id_col).select(id_col, "n_tokens")
-    qs = quality_score(df, text_col, id_col).select(id_col, "quality")
+    Two scans of the (id, text) projection — quality_score already
+    carries n_tokens so the token_stats pass is skipped — joined on the
+    id, then a single partial+final global aggregate.  The quality mean
+    goes through DECIMAL so it is partition-order independent
+    (hash-matches the DuckDB oracle)."""
+    qs = quality_score(df, text_col, id_col).select(
+        id_col, "n_tokens", "quality")
     ls = language_id(df, text_col, id_col).select(id_col, "predicted_lang")
-    j = ts.join(qs, id_col).join(ls, id_col)
+    j = qs.join(ls, id_col)
     return j.agg(
         F.count(id_col).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
