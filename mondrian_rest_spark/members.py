@@ -15,6 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from .catalog import Catalog, Cube
 from .planner import ResolvedDrill, _resolve_level, members_frame
 
+#: member-listing collect ceiling (analog of planner.MAX_DENSE_CELLS):
+#: a metadata endpoint must never OOM the driver enumerating a
+#: fact-scale level
+MAX_MEMBER_LIST = 500_000
+
 
 def cube_names(cat: Catalog) -> list[str]:
     """GET /cubes (reference api.rb:72-80)."""
@@ -245,8 +250,19 @@ def member_payloads(spark: SparkSession, sf_dir: str, cat: Catalog,
     if key is not None:
         mf = mf.filter(F.col(level.key_alias).cast("string") == str(key))
     path_keys = [lv.key_alias for lv in rd.group_levels]
-    rows = (mf.dropDuplicates([level.key_alias])
-              .orderBy(*path_keys).collect())
+    dedup = mf.dropDuplicates([level.key_alias])
+    if key is None:
+        # member listings collect to the driver (reference behavior);
+        # refuse absurd cardinalities with a clear 400 instead of a
+        # driver OOM — same philosophy as planner.MAX_DENSE_CELLS
+        n = dedup.count()
+        if n > MAX_MEMBER_LIST:
+            from .parser import ParseError
+            raise ParseError(
+                f"level {level.name!r} has {n:,} members "
+                f"(> {MAX_MEMBER_LIST:,}); use cuts/aggregate queries "
+                "instead of enumerating it")
+    rows = dedup.orderBy(*path_keys).collect()
 
     # child members / counts: one extra distinct-select, grouped on the
     # driver (member lists are small by construction)

@@ -451,3 +451,16 @@ def test_aggregate_result_cache_and_flush(client):
     assert stats["misses"] == m0 + 1 and stats["hits"] == h0 + 1
     client.get("/flush?secret=s3cr3t")
     assert not cache
+
+
+def test_member_listing_cardinality_guard(client, monkeypatch):
+    """A metadata endpoint must 400 on absurd member cardinalities, not
+    OOM the driver (analog of the dense-axes cell guard)."""
+    from mondrian_rest_spark import members as mb
+    monkeypatch.setattr(mb, "MAX_MEMBER_LIST", 3)
+    r = client.get("/cubes/Sales/dimensions/Customer/levels/Region/members")
+    assert r.status_code == 400
+    assert "members" in r.get_json()["error"]
+    # single-member lookups bypass the guard
+    r = client.get("/cubes/Sales/dimensions/Customer/levels/Region/members/2")
+    assert r.status_code == 200
