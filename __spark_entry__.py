@@ -394,6 +394,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t05_corpus_stats"] = lambda s, d: textstats.corpus_stats(
         load_table(s, d, "documents"))
 
+    # reproducible hash-based train/val/test split (training pipeline
+    # staple; engine-portable md5 bucketing, so DuckDB replays it)
+    def _split(s, d):
+        from mondrian_rest_spark.operators import sampling
+        return sampling.split_counts(load_table(s, d, "documents"),
+                                     val_frac=0.1, test_frac=0.05)
+    q["x01_train_val_split"] = _split
+
     return q
 
 
@@ -987,4 +995,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN predicted_lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
                    CAST(SUM(CASE WHEN predicted_lang = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown
             FROM t JOIN q USING (doc_id) JOIN l USING (doc_id)""",
+        # split bucket = first 8 md5 hex digits of 'salt:id' mod 10000
+        # (32-bit value; digit-fold replays Spark's conv(...,16,10))
+        "x01_train_val_split": """
+            WITH b AS (
+              SELECT doc_id,
+                     list_reduce(list_transform(range(1, 9),
+                       i -> CAST(strpos('0123456789abcdef',
+                                 substring(md5('split-v1:' || doc_id), i, 1))
+                            - 1 AS BIGINT)),
+                       (x, y) -> x * 16 + y) % 10000 AS bucket
+              FROM documents),
+            s AS (SELECT doc_id,
+                         CASE WHEN bucket < 1000 THEN 'val'
+                              WHEN bucket < 1500 THEN 'test'
+                              ELSE 'train' END AS split
+                  FROM b)
+            SELECT split, COUNT(doc_id) AS n_docs,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+            FROM s GROUP BY split""",
     }

@@ -1,0 +1,60 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Splits must be REPRODUCIBLE (same doc -> same split on every run,
+every engine, any partitioning) and ORDER-FREE (no global sort or
+row_number).  Both come from hashing the stable document id with a
+named salt: bucket = first 8 md5 hex digits of "<salt>:<id>" mod
+10_000.  md5-hex arithmetic is the same engine-portable trick the
+SimHash operator uses, so the DuckDB oracle replays splits exactly.
+
+At 100 TB: a pure per-row projection — no shuffle, no state; split
+assignment composes with any downstream write (e.g.
+``.write.partitionBy("split")`` for physically separated train/val).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: bucket resolution: fractions are exact multiples of 0.01%
+SPLIT_BUCKETS = 10_000
+
+
+def _bucket(id_col: str, salt: str) -> F.Column:
+    """Deterministic bucket in [0, SPLIT_BUCKETS): 32-bit value from
+    the md5 of salt:id, reduced mod SPLIT_BUCKETS.  conv() parses 8 hex
+    digits (32 bits — no BIGINT overflow, ANSI-safe)."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % SPLIT_BUCKETS)
+
+
+def with_split(df: DataFrame, id_col: str = "doc_id",
+               val_frac: float = 0.1, test_frac: float = 0.0,
+               salt: str = "split-v1") -> DataFrame:
+    """Assign each row a reproducible 'train' / 'val' / 'test' label.
+
+    Fractions are approximate (hash buckets), exact in expectation;
+    changing ``salt`` re-draws the split, changing fractions only
+    moves the boundaries (a doc can move between val and train, but
+    two runs with identical params always agree)."""
+    val_b = int(round(val_frac * SPLIT_BUCKETS))
+    test_b = int(round(test_frac * SPLIT_BUCKETS))
+    b = _bucket(id_col, salt)
+    split = (F.when(b < val_b, F.lit("val"))
+              .when(b < val_b + test_b, F.lit("test"))
+              .otherwise(F.lit("train")))
+    return df.withColumn("split", split)
+
+
+def split_counts(df: DataFrame, id_col: str = "doc_id",
+                 val_frac: float = 0.1, test_frac: float = 0.0,
+                 salt: str = "split-v1") -> DataFrame:
+    """Per-split document counts — the sanity report run after every
+    re-split (one narrow aggregate)."""
+    return (with_split(df, id_col, val_frac, test_frac, salt)
+            .groupBy("split")
+            .agg(F.count(id_col).alias("n_docs"),
+                 F.min(id_col).alias("min_id"),
+                 F.max(id_col).alias("max_id")))

@@ -372,3 +372,27 @@ def test_corpus_stats(spark):
     assert r.total_tokens == 14 + 13 + 2
     assert (r.n_en, r.n_de, r.n_unknown) == (1, 1, 1)
     assert 0.0 <= r.mean_quality <= 1.0
+
+
+def test_deterministic_split(spark):
+    from mondrian_rest_spark.operators import sampling
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(2000)],
+                               ["doc_id", "text"])
+    a = {r.doc_id: r.split for r in
+         sampling.with_split(df, val_frac=0.2).collect()}
+    b = {r.doc_id: r.split for r in
+         sampling.with_split(df.repartition(7), val_frac=0.2).collect()}
+    assert a == b                       # partitioning-independent
+    frac_val = sum(1 for s in a.values() if s == "val") / len(a)
+    assert 0.15 < frac_val < 0.25       # ~20% in expectation
+    # a different salt re-draws the split
+    c = {r.doc_id: r.split for r in
+         sampling.with_split(df, val_frac=0.2, salt="other").collect()}
+    assert c != a
+    # fractions move boundaries, never swap train<->val arbitrarily:
+    # every 10%-val doc is still a val doc at 20%
+    d10 = {r.doc_id for r in sampling.with_split(df, val_frac=0.1).collect()
+           if r.split == "val"}
+    d20 = {r.doc_id for r in sampling.with_split(df, val_frac=0.2).collect()
+           if r.split == "val"}
+    assert d10 <= d20
