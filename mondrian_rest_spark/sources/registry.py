@@ -48,12 +48,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise FileNotFoundError(f"no table file for {name!r} in {sf_dir}")
     nano_cols = _nano_timestamp_cols(path)
     if not nano_cols:
-        return spark.read.parquet(path)
+        return _ntz_to_ltz(spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nano_cols:
         # integer division: nano values exceed double precision (2^53)
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return _ntz_to_ltz(df)
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns (pyspark>=3.4 parquet inference
+    of isAdjustedToUTC=false) to TIMESTAMP (LTZ): Structured Streaming
+    watermarks reject NTZ event time, and sharing ONE event-time type
+    between batch and streaming keeps window boundaries identical on
+    both paths.  The cast reinterprets the wall clock in the session
+    timezone — build_session pins that to UTC, making the conversion
+    value-preserving and deterministic."""
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -43,6 +43,11 @@ def stream_events(spark: SparkSession, sf_dir: str,
               .parquet(path))
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # withWatermark rejects NTZ event time; mirror the batch path's
+        # NTZ->LTZ normalization (registry._ntz_to_ltz, UTC session) so
+        # batch and streaming window boundaries stay identical
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream.select(*batch.columns)
 
 
