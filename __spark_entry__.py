@@ -373,6 +373,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, path, qvec, k=10, exclude_id=7)
     q["s04_ann_ivf_layout"] = _ivf_layout
 
+    # batched query-set serving: N queries answered in ONE job via a
+    # bucket/cell equi-join (no per-query driver loop) — the shape a
+    # 100 TB serving tier actually runs
+    def _query_set(s, d):
+        emb = load_table(s, d, "embeddings")
+        return (emb.filter(F.col("vec_id").isin(list(_BATCH_QUERY_IDS)))
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("query_vec")))
+    q["s05_ann_batch_lsh"] = lambda s, d: similarity.ann_batch_topk_lsh(
+        load_table(s, d, "embeddings"), _query_set(s, d), k=5, num_planes=6)
+    q["s06_ann_batch_ivf"] = lambda s, d: similarity.ann_batch_topk_ivf(
+        load_table(s, d, "embeddings"), _query_set(s, d), k=5)
+
     # ---- multimodal plumbing (binary payload -> mapInPandas features) ----
     q["m01_media_features"] = lambda s, d: _media_features(s, d)
 
@@ -499,6 +512,64 @@ def _oracle_ann_ivf(query_vec_id: int = 7, k: int = 10,
              JOIN emb q ON q.vec_id = {query_vec_id}
         WHERE a.vec_id <> {query_vec_id}
         ORDER BY cosine DESC, a.vec_id LIMIT {k}"""
+
+
+#: query-set for the batched ANN entries (corpus members by id, the
+#: same query-by-member convention as s01-s04)
+_BATCH_QUERY_IDS = (3, 7, 11, 19, 23)
+
+
+def _oracle_ann_batch_lsh(query_ids=_BATCH_QUERY_IDS, k: int = 5,
+                          num_planes: int = 6) -> str:
+    planes = similarity.hyperplanes(num_planes, 64, similarity.LSH_SEED)
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev, {_QV} AS qv
+                     FROM embeddings),
+        sig AS (SELECT vec_id, ev, {_duck_bucket('qv', planes)} AS bucket
+                FROM emb)
+        SELECT query_id, vec_id, cosine FROM (
+          SELECT q.vec_id AS query_id, s.vec_id,
+                 round(list_cosine_similarity(s.ev, q.ev), 6) AS cosine
+          FROM sig s JOIN sig q ON s.bucket = q.bucket
+          WHERE q.vec_id IN ({ids}) AND s.vec_id <> q.vec_id)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) <= {k}"""
+
+
+def _oracle_ann_batch_ivf(query_ids=_BATCH_QUERY_IDS, k: int = 5,
+                          n_cells: int = 16, n_probe: int = 4) -> str:
+    d2 = ("list_sum(list_transform(range(1, 65), "
+          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev, {_QV} AS qv
+                     FROM embeddings),
+        cents AS (SELECT vec_id AS cell_id, qv AS cq FROM emb
+                  ORDER BY (vec_id::BIGINT * 2654435761) % 4294967296, vec_id
+                  LIMIT {n_cells}),
+        assigned AS (
+          SELECT vec_id, ev, cell_id FROM (
+            SELECT e.vec_id, e.ev, c.cell_id,
+                   {d2.format(a='e.qv', b='c.cq')} AS d2
+            FROM emb e CROSS JOIN cents c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cell_id) = 1),
+        probe AS (
+          SELECT query_id, cell_id FROM (
+            SELECT q.vec_id AS query_id, c.cell_id,
+                   {d2.format(a='c.cq', b='q.qv')} AS pd2
+            FROM cents c CROSS JOIN emb q WHERE q.vec_id IN ({ids}))
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY pd2, cell_id) <= {n_probe})
+        SELECT query_id, vec_id, cosine FROM (
+          SELECT p.query_id, a.vec_id,
+                 round(list_cosine_similarity(a.ev, q.ev), 6) AS cosine
+          FROM assigned a JOIN probe p ON a.cell_id = p.cell_id
+               JOIN emb q ON q.vec_id = p.query_id
+          WHERE a.vec_id <> p.query_id)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) <= {k}"""
 
 
 def _oracle_simhash(max_hamming: int = 3) -> str:
@@ -944,6 +1015,8 @@ def oracle_sql() -> dict[str, str]:
         # the partition-pruned layout path must be value-identical to
         # the inline IVF plan, so it shares the same oracle
         "s04_ann_ivf_layout": _oracle_ann_ivf(query_vec_id=7, k=10),
+        "s05_ann_batch_lsh": _oracle_ann_batch_lsh(),
+        "s06_ann_batch_ivf": _oracle_ann_batch_ivf(),
         "c01_clean_corpus": _oracle_clean_corpus(),
         "t05_corpus_stats": f"""
             WITH t AS (SELECT doc_id, CAST(len({TOKENS}) AS INTEGER) AS n_tokens

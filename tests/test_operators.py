@@ -161,6 +161,55 @@ def test_ann_ivf_plan_has_no_window(spark, sf_dir):
     assert "Window" not in plan, plan
 
 
+def _query_set(emb, ids):
+    import pyspark.sql.functions as F
+    return (emb.filter(F.col("vec_id").isin(ids))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+def test_ann_batch_lsh_matches_single_query(spark, sf_dir):
+    """Batched query-set serving must return, per query id, exactly the
+    single-query ann_topk_lsh result — same buckets, same ranking."""
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = [3, 7, 23]
+    batch = similarity.ann_batch_topk_lsh(
+        emb, _query_set(emb, ids), k=5, num_planes=6).collect()
+    for qid in ids:
+        single = similarity.ann_topk_lsh(
+            emb, query_vec_id=qid, k=5, num_planes=6).collect()
+        got = [(r.vec_id, r.cosine) for r in batch if r.query_id == qid]
+        assert got == [(r.vec_id, r.cosine) for r in single]
+
+
+def test_ann_batch_ivf_matches_single_query(spark, sf_dir):
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = [3, 7, 23]
+    batch = similarity.ann_batch_topk_ivf(
+        emb, _query_set(emb, ids), k=5).collect()
+    for qid in ids:
+        single = similarity.ann_topk_ivf(emb, query_vec_id=qid, k=5).collect()
+        got = [(r.vec_id, r.cosine) for r in batch if r.query_id == qid]
+        assert got == [(r.vec_id, r.cosine) for r in single]
+
+
+def test_ann_batch_lsh_plan_is_one_bucket_join(spark, sf_dir):
+    """The whole query set must be served by ONE equi-join keyed on the
+    bucket id — no per-query jobs, no cartesian candidate stage."""
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (similarity.ann_batch_topk_lsh(
+                emb, _query_set(emb, [3, 7, 23]), k=5, num_planes=6)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan, plan
+    assert "bucket" in plan
+    # joins in the plan: the bucket equi-join (+ broadcast of the tiny
+    # query side at most) — nothing per-query
+    assert plan.count("Join") <= 2, plan
+
+
 def test_approx_operators_duckdb_parity(spark, sf_dir, duck):
     """The approximate operators are engine-portable by design (integer
     quantization + literal hyperplanes + md5-digit token hashes): the
