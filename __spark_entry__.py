@@ -294,6 +294,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY CROSSJOIN([Customer].[Region].Members, "
         "[Line Status].[Line Status].Members) ON ROWS FROM [Sales]")
 
+    # WITH MEMBER inline calculated member in posted MDX (reference
+    # api.rb:21-50 accepts it via Mondrian; planner._inline_calcs)
+    q["q32_mdx_with_member"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH MEMBER [Measures].[Discount Rate] AS "
+        "[Measures].[Discount Sum] / [Measures].[Extended Price] "
+        "SELECT {[Measures].[Revenue], [Measures].[Discount Rate]} ON COLUMNS, "
+        "[Customer].[Region].Members ON ROWS FROM [Sales]")
+
     q["q27_parent_child_closure"] = lambda s, d: _geo_closure_rollup(s, d)
 
     q["q28_rollup_routed"] = lambda s, d: _routed_rollup(s, d)
@@ -843,6 +853,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
                    l_linestatus, {REVENUE} AS revenue
             FROM {J_CUST} GROUP BY 1, 2, 3""",
+
+        "q32_mdx_with_member": f"""
+            SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                   {REVENUE} AS revenue,
+                   {DEC('l_discount')} / {DEC('l_extendedprice')}
+                     AS discount_rate
+            FROM {J_CUST} GROUP BY 1, 2""",
         "q27_parent_child_closure": f"""
             WITH oc AS (
               SELECT c_custkey, c_name, c_nationkey, o_totalprice, o_orderkey

@@ -7,6 +7,7 @@ per SURVEY §2.10 Q6: arbitrary MDX is out of scope (that would mean
 reimplementing Mondrian); the supported surface is exactly what
 build_query emits, which covers every query the REST layer can express:
 
+    [WITH MEMBER [Measures].[X] AS <arith over [Measures] refs> ...]
     SELECT {[Measures].[X], ...} ON COLUMNS,
            <axis> ON ROWS
     FROM [Cube]
@@ -37,9 +38,11 @@ from .query import QueryModel
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<bracket>\[[^\]\[]*\])
+      | (?P<str>'[^']*')
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<op><>|>=|<=|[><=])
-      | (?P<punct>[{}(),.*:])
+      | (?P<arith>[+/])
+      | (?P<punct>[{}(),.*:\-])
       | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
     )""", re.VERBOSE)
 
@@ -309,12 +312,78 @@ def _slicer(p: _P, q: MdxQuery) -> None:
     p.expect(")")
 
 
+def _calc_expr(p: _P) -> str:
+    """WITH MEMBER formula -> expr template: arithmetic over
+    ``[Measures].[X]`` refs (emitted as ``{m:X}`` placeholders — the
+    planner resolves them to post-agg aliases), numeric literals, and
+    ``+ - * /`` with parentheses.  Mondrian's quoted form
+    (``AS '...'``) is accepted by re-tokenizing the string body.
+    Binary minus needs surrounding spaces (``a - b``): ``-5`` lexes as
+    a negative literal."""
+    t = p.peek()
+    if t is not None and t.startswith("'"):
+        inner = _P(tokenize(p.next()[1:-1]))
+        out = _calc_tokens(inner, stop_words=())
+        if inner.peek() is not None:
+            raise ParseError(
+                f"trailing tokens in WITH MEMBER formula at {inner.peek()!r}")
+        return out
+    return _calc_tokens(p, stop_words=("MEMBER", "SELECT", "SET"))
+
+
+def _calc_tokens(p: _P, stop_words: tuple) -> str:
+    parts: list[str] = []
+    depth = 0
+    while True:
+        t = p.peek()
+        if t is None:
+            break
+        u = t.upper()
+        if depth == 0 and u in stop_words:
+            break
+        if t == "(":
+            depth += 1
+            parts.append(p.next())
+        elif t == ")":
+            if depth == 0:
+                break
+            depth -= 1
+            parts.append(p.next())
+        elif t in ("+", "-", "*", "/"):
+            parts.append(p.next())
+        elif t.startswith("["):
+            parts.append("{m:" + _measure_ref(p) + "}")
+        elif re.fullmatch(r"-?\d+(?:\.\d+)?", t):
+            parts.append(p.next())
+        else:
+            raise ParseError(
+                f"unsupported token {t!r} in WITH MEMBER formula (this "
+                "MDX subset supports arithmetic over [Measures] refs)")
+    if depth != 0:
+        raise ParseError("unbalanced parentheses in WITH MEMBER formula")
+    if not parts:
+        raise ParseError("empty WITH MEMBER formula")
+    return " ".join(parts)
+
+
 def compile_mdx(mdx: str, cube_hint: str | None = None) -> QueryModel:
     """MDX string -> QueryModel.  Raises ParseError outside the
     supported subset (reference behavior: Mondrian errors -> 400,
     api_helpers.rb:42-54)."""
     p = _P(tokenize(mdx))
     q = MdxQuery()
+    with_members: list = []
+    if p.peek_upper() == "WITH":
+        p.next()
+        while p.peek_upper() == "MEMBER":
+            p.next()
+            name = _measure_ref(p)
+            p.expect("AS")
+            with_members.append((name, _calc_expr(p)))
+        if not with_members:
+            raise ParseError("WITH must introduce at least one MEMBER "
+                             "(named SETs are not in this MDX subset)")
+    q.qm_kwargs["with_members"] = with_members
     p.expect("SELECT")
     # axis 0: measures
     p.expect("{")
@@ -410,7 +479,15 @@ def emit_mdx(cat: Catalog, qm) -> str:
         if qm.nonempty:
             axis = f"NON EMPTY {axis}"
 
-    mdx = f"SELECT {cols} ON COLUMNS"
+    mdx = ""
+    if getattr(qm, "with_members", None):
+        defs = " ".join(
+            f"MEMBER [Measures].[{n}] AS " +
+            re.sub(r"\{m:([^}]+)\}",
+                   lambda m: f"[Measures].[{m.group(1)}]", tmpl)
+            for n, tmpl in qm.with_members)
+        mdx = f"WITH {defs} "
+    mdx += f"SELECT {cols} ON COLUMNS"
     if axis:
         mdx += f", {axis} ON ROWS"
     mdx += f" FROM [{qm.cube}]"

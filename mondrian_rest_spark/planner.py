@@ -230,9 +230,51 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel) ->
     (api.rb:115-158 -> query_helper.rb:190-316 -> Mondrian -> SQL).
     """
     if cat.virtual_cube(qm.cube) is not None:
+        if qm.with_members:
+            raise ParseError("WITH MEMBER is not supported on virtual cubes")
         return _aggregate_virtual(spark, sf_dir, cat, qm)
     cube = cat.cube(qm.cube)
+    if qm.with_members:
+        cube = _inline_calcs(cube, qm.with_members)
     return _aggregate_cube(spark, sf_dir, cube, qm)
+
+
+def _inline_calcs(cube: Cube, with_members) -> Cube:
+    """Query-scoped WITH MEMBER calc members (reference api.rb:21-50:
+    posted MDX may define inline members, which Mondrian evaluates
+    post-aggregation like schema calc members).  ``{m:Name}`` measure
+    placeholders resolve to the cube's post-agg aliases; the members are
+    appended to a per-query copy of the cube, so the schema cube is
+    never mutated."""
+    import dataclasses
+
+    from .catalog import CalculatedMember
+
+    new = []
+    taken = ({m.alias for m in cube.measures} |
+             {c.alias for c in cube.calc_members})
+
+    def resolve(match):
+        ref = match.group(1)
+        c = cube.calc_member(ref)
+        if c is not None:
+            return c.alias
+        try:
+            return cube.measure(ref).alias
+        except KeyError:
+            raise ParseError(f"WITH MEMBER references unknown measure {ref!r}")
+
+    for name, tmpl in with_members:
+        expr = re.sub(r"\{m:([^}]+)\}", resolve, tmpl)
+        alias = re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
+        if not alias or alias in taken:
+            raise ParseError(
+                f"WITH MEMBER name {name!r} is empty or collides with an "
+                "existing measure")
+        taken.add(alias)
+        new.append(CalculatedMember(name, alias, expr=expr))
+    return dataclasses.replace(
+        cube, calc_members=cube.calc_members + tuple(new))
 
 
 def _split_measures(cube: Cube, names: list[str]):
@@ -252,7 +294,10 @@ def _split_measures(cube: Cube, names: list[str]):
             base[m.alias] = m
             final_aliases.append(m.alias)
     # dependency closure: calc exprs / lag refs pull in base measures
-    for c in calcs:
+    # and other calc members (WITH MEMBER may reference schema calcs)
+    pending = list(calcs)
+    while pending:
+        c = pending.pop()
         if c.lag_of:
             m = cube.measure(c.lag_of)
             base.setdefault(m.alias, m)
@@ -260,6 +305,10 @@ def _split_measures(cube: Cube, names: list[str]):
             for m in cube.measures:
                 if m.alias in c.expr:
                     base.setdefault(m.alias, m)
+            for other in cube.calc_members:
+                if other not in calcs and other.alias in c.expr:
+                    calcs.append(other)
+                    pending.append(other)
     # keep cube calc order (dependencies between calcs evaluate in order)
     calcs = [c for c in cube.calc_members if c in calcs]
     return list(base.values()), calcs, final_aliases

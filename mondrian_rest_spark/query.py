@@ -35,3 +35,7 @@ class QueryModel:
     caption: list[str] = field(default_factory=list)     # caption substitution refs
     parents: bool = False         # include ancestor level columns (tidy parents=true)
     debug: bool = False
+    # inline WITH MEMBER calc members from raw MDX (api.rb:21-50): list
+    # of (name, expr_template) where the template holds {m:Name}
+    # measure placeholders, resolved to aliases at plan time
+    with_members: list = field(default_factory=list)

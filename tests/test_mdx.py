@@ -117,6 +117,7 @@ def _canon(qm: QueryModel) -> dict:
         # order_desc is meaningless without an order key
         "order": qm.order, "order_desc": bool(qm.order) and qm.order_desc,
         "offset": qm.offset or None, "limit": qm.limit,
+        "with_members": list(qm.with_members),
     }
 
 
@@ -146,6 +147,78 @@ def test_emit_compile_round_trip(qm):
     mdx = emit_mdx(tpch.CATALOG, qm)
     back = compile_mdx(mdx)
     assert _canon(back) == _canon(qm)
+
+
+def test_compile_with_member():
+    qm = compile_mdx(
+        "WITH MEMBER [Measures].[Disc Rate] AS "
+        "[Measures].[Discount Sum] / [Measures].[Extended Price] "
+        "SELECT {[Measures].[Revenue], [Measures].[Disc Rate]} ON COLUMNS, "
+        "[Customer].[Region].Members ON ROWS FROM [Sales]")
+    assert qm.with_members == [
+        ("Disc Rate", "{m:Discount Sum} / {m:Extended Price}")]
+    assert qm.measures == ["Revenue", "Disc Rate"]
+
+
+def test_compile_with_member_quoted_and_arith():
+    qm = compile_mdx(
+        "WITH MEMBER [Measures].[X] AS "
+        "'( [Measures].[Revenue] - [Measures].[Discount Sum] ) / 100' "
+        "SELECT {[Measures].[X]} ON COLUMNS FROM [Sales]")
+    assert qm.with_members == [
+        ("X", "( {m:Revenue} - {m:Discount Sum} ) / 100")]
+
+
+def test_with_member_rejects_bad_formulas():
+    with pytest.raises(ParseError):   # WITH SET is outside the subset
+        compile_mdx("WITH SET [S] AS [Customer].[Region].Members "
+                    "SELECT {[Measures].[Revenue]} ON COLUMNS FROM [Sales]")
+    with pytest.raises(ParseError):   # non-arithmetic formula content
+        compile_mdx("WITH MEMBER [Measures].[X] AS "
+                    "SUM([Customer].[Region].Members) "
+                    "SELECT {[Measures].[X]} ON COLUMNS FROM [Sales]")
+    with pytest.raises(ParseError):   # empty formula
+        compile_mdx("WITH MEMBER [Measures].[X] AS "
+                    "SELECT {[Measures].[X]} ON COLUMNS FROM [Sales]")
+
+
+def test_with_member_unknown_ref_is_400(spark, sf_dir):
+    mdx = ("WITH MEMBER [Measures].[X] AS [Measures].[No Such] + 1 "
+           "SELECT {[Measures].[X]} ON COLUMNS FROM [Sales]")
+    with pytest.raises(ParseError):
+        execute_mdx(spark, sf_dir, tpch.CATALOG, mdx)
+
+
+def test_with_member_execution_matches_manual(spark, sf_dir):
+    """The inline member must equal the same arithmetic applied to the
+    separately-aggregated base measures."""
+    mdx = ("WITH MEMBER [Measures].[Disc Rate] AS "
+           "[Measures].[Discount Sum] / [Measures].[Extended Price] "
+           "SELECT {[Measures].[Disc Rate]} ON COLUMNS, "
+           "[Customer].[Region].Members ON ROWS FROM [Sales]")
+    got = {r.cust_region: r.disc_rate for r in
+           execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()}
+    base = aggregate(spark, sf_dir, tpch.CATALOG, QueryModel(
+        cube="Sales", measures=["Discount Sum", "Extended Price"],
+        drilldown=["Customer.Region"])).collect()
+    exp = {r.cust_region: r.sum_disc / r.sum_price for r in base}
+    assert got == exp
+
+
+def test_with_member_can_reference_schema_calc(spark, sf_dir):
+    """Inline members may build on schema calc members (avg_price) —
+    the dependency closure must pull them in."""
+    mdx = ("WITH MEMBER [Measures].[Double Avg] AS "
+           "[Measures].[Avg Price] * 2 "
+           "SELECT {[Measures].[Double Avg]} ON COLUMNS, "
+           "[Customer].[Region].Members ON ROWS FROM [Sales]")
+    got = {r.cust_region: r.double_avg for r in
+           execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()}
+    base = aggregate(spark, sf_dir, tpch.CATALOG, QueryModel(
+        cube="Sales", measures=["Avg Price"],
+        drilldown=["Customer.Region"])).collect()
+    exp = {r.cust_region: r.avg_price * 2 for r in base}
+    assert got == exp
 
 
 def test_emit_named_set_drilldown():
@@ -191,14 +264,22 @@ _CUTS = st.lists(st.sampled_from(
     min_size=0, max_size=2, unique=True)
 
 
+_WITH_MEMBERS = st.sampled_from([
+    [],
+    [("Disc Rate", "{m:Discount Sum} / {m:Extended Price}")],
+    [("A", "{m:Revenue} * 2"), ("B", "( {m:Revenue} - {m:Discount Sum} ) / 10")],
+])
+
+
 @settings(max_examples=60, deadline=None)
 @given(measures=_MEASURES, drills=_DRILLS, cuts=_CUTS,
        nonempty=st.booleans(), distinct=st.booleans(),
        order=st.sampled_from([None, "Revenue"]), desc=st.booleans(),
-       offset=st.sampled_from([None, 2]), limit=st.sampled_from([None, 5]))
+       offset=st.sampled_from([None, 2]), limit=st.sampled_from([None, 5]),
+       wm=_WITH_MEMBERS)
 def test_emit_compile_round_trip_property(measures, drills, cuts, nonempty,
                                           distinct, order, desc, offset,
-                                          limit):
+                                          limit, wm):
     """Any QueryModel in the emitter's domain survives emit->compile
     with identical parsed meaning (the debug echo is never a lie)."""
     from mondrian_rest_spark.mdx import emit_mdx
@@ -207,6 +288,7 @@ def test_emit_compile_round_trip_property(measures, drills, cuts, nonempty,
                     distinct=distinct and bool(drills),
                     order=order if drills else None, order_desc=desc,
                     offset=offset if drills else None,
-                    limit=limit if drills else None)
+                    limit=limit if drills else None,
+                    with_members=wm)
     back = compile_mdx(emit_mdx(tpch.CATALOG, qm))
     assert _canon(back) == _canon(qm)
