@@ -56,6 +56,8 @@ class Level:
     # their parent's.  Hidden members are dropped from member listings;
     # their facts still aggregate into the surrounding levels.
     hide_member_if: str | None = None
+    # schema annotations passthrough (reference mondrian_ext.rb:46-52)
+    annotations: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if self.hide_member_if not in (None, "if_blank_name", "if_parents_name"):
@@ -126,6 +128,7 @@ class Dimension:
     bridge: str | None = None
     broadcastable: bool = False   # force broadcast hint (bounded-size dims only)
     time_dimension: bool = False  # analog of type="TimeDimension"
+    annotations: dict = field(default_factory=dict)
 
     @property
     def is_degenerate(self) -> bool:
@@ -156,6 +159,7 @@ class Measure:
     # DECIMAL input exprs (exact, order-independent — a float sum is
     # partition-order dependent at scale) and cast back to double here.
     result_cast: str | None = None
+    annotations: dict = field(default_factory=dict)
 
     VALID_AGGS = ("sum", "count", "count_distinct", "approx_count_distinct",
                   "avg", "min", "max", "median", "approx_median")
@@ -194,6 +198,7 @@ class NamedSet:
     top_by: str          # measure name/alias ranked by
     k: int
     ascending: bool = False
+    annotations: dict = field(default_factory=dict)
 
 
 @dataclass(frozen=True)

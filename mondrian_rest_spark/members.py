@@ -59,13 +59,13 @@ def cube_metadata(cat: Catalog, cube_name: str) -> dict:
         "name": cube.name,
         "type": "cube",
         "fact": cube.fact,
-        "annotations": {},
+        "annotations": dict(cube.annotations),
         "dimensions": [
             {
                 "name": d.name,
                 "caption": d.name,
                 "type": "time" if d.time_dimension else "standard",
-                "annotations": {},
+                "annotations": dict(d.annotations),
                 "hierarchies": [
                     {
                         "name": h.name,
@@ -77,7 +77,7 @@ def cube_metadata(cat: Catalog, cube_name: str) -> dict:
                                 "key": lv.key_alias,
                                 "caption": lv.caption_alias or lv.key_alias,
                                 "full_name": f"[{d.name}].[{h.name}].[{lv.name}]",
-                                "annotations": {},
+                                "annotations": dict(lv.annotations),
                                 "properties": [p.name for p in lv.properties],
                             }
                             for lv in h.levels
@@ -91,8 +91,10 @@ def cube_metadata(cat: Catalog, cube_name: str) -> dict:
         # reference measure hash (mondrian_ext.rb:66-81): name/caption/
         # annotations/full_name/aggregator (+our stable column alias)
         "measures": [
-            {"name": m.name, "caption": m.name, "annotations": {},
+            {"name": m.name, "caption": m.name,
+             "annotations": dict(m.annotations),
              "full_name": f"[Measures].[{m.name}]", "alias": m.alias,
+             "format_string": m.format_string,
              "aggregator": m.agg.upper().replace("COUNT_DISTINCT", "DISTINCT_COUNT")}
             for m in cube.measures
         ],
@@ -101,7 +103,7 @@ def cube_metadata(cat: Catalog, cube_name: str) -> dict:
         "named_sets": [
             {"name": s.name, "dimension": s.dimension,
              "hierarchy": cube.dimension(s.dimension).default_hierarchy().name,
-             "level": s.level, "annotations": {}}
+             "level": s.level, "annotations": dict(s.annotations)}
             for s in cube.named_sets
         ],
     }
@@ -332,7 +334,7 @@ def dimension_payload(spark: SparkSession, sf_dir: str, cat: Catalog,
         "name": dim.name,
         "caption": dim.name,
         "type": "time" if dim.time_dimension else "standard",
-        "annotations": {},
+        "annotations": dict(dim.annotations),
         "hierarchies": [],
     }
     for h in dim.hierarchies:
@@ -380,7 +382,7 @@ def level_envelope(cat: Catalog, cube_name: str, dim_name: str,
         "full_name": f"[{dim.name}].[{hier.name}].[{level.name}]",
         "depth": hier.level_index(level.name) + (1 if hier.has_all else 0),
         "caption": level.name,
-        "annotations": {},
+        "annotations": dict(level.annotations),
         "properties": [p.name for p in level.properties],
     }
 

@@ -83,6 +83,9 @@ def _time_dim(ts_col: str, date_alias: str) -> Dimension:
 SALES = Cube(
     name="Sales",
     fact="lineitem",
+    # annotations passthrough (reference mondrian_ext.rb:46-52; the
+    # foodmart schema annotates cubes/dims for client hints)
+    annotations={"caption": "Lineitem Sales", "source": "tpch.lineitem"},
     bridges=(
         Bridge("orders", table="orders", fact_key="l_orderkey",
                bridge_key="o_orderkey", provides=("o_custkey", "o_orderdate")),
@@ -142,7 +145,8 @@ SALES = Cube(
     measures=(
         # DECIMAL-input sums: exact and order-independent (see Measure.result_cast)
         Measure("Quantity", "sum_qty", "sum",
-                "CAST(l_quantity AS DECIMAL(25,6))", result_cast="double"),
+                "CAST(l_quantity AS DECIMAL(25,6))", result_cast="double",
+                format_string="Standard"),
         Measure("Extended Price", "sum_price", "sum",
                 "CAST(l_extendedprice AS DECIMAL(25,6))", result_cast="double"),
         Measure("Line Count", "line_count", "count", "l_linenumber"),
@@ -154,7 +158,8 @@ SALES = Cube(
         # SQL expression measure (reference: foodmart.xml:305-344 MeasureExpression)
         Measure("Revenue", "revenue", "sum",
                 "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))",
-                result_cast="double"),
+                result_cast="double", format_string="#,###.00",
+                annotations={"description": "discounted extended price"}),
         Measure("Max Quantity", "max_qty", "max", "l_quantity"),
         Measure("Median Price", "median_price", "median", "l_extendedprice"),
         # sketch path for the exact median above (percentile summaries merge)

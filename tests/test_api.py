@@ -46,6 +46,28 @@ def test_cube_404(client):
     assert client.get("/cubes/Nope").status_code == 404
 
 
+def test_annotations_and_format_string_passthrough(client):
+    """Schema annotations and measure formatString surface in cube
+    metadata (reference mondrian_ext.rb:46-52 annotations;
+    foodmart.xml:296-304 formatString)."""
+    meta = client.get("/cubes/Sales").get_json()
+    assert meta["annotations"] == {"caption": "Lineitem Sales",
+                                   "source": "tpch.lineitem"}
+    measures = {m["name"]: m for m in meta["measures"]}
+    assert measures["Revenue"]["format_string"] == "#,###.00"
+    assert measures["Revenue"]["annotations"] == {
+        "description": "discounted extended price"}
+    assert measures["Quantity"]["format_string"] == "Standard"
+    # un-annotated elements keep the empty-dict shape the reference
+    # serializes (never null/missing)
+    assert measures["Line Count"]["annotations"] == {}
+    assert measures["Line Count"]["format_string"] is None
+    dim = client.get("/cubes/Sales/dimensions/Customer").get_json()
+    assert dim["annotations"] == {}
+    assert all(lv["annotations"] == {}
+               for lv in dim["hierarchies"][0]["levels"])
+
+
 def test_dimension_metadata(client):
     r = client.get("/cubes/Sales/dimensions/Customer")
     assert r.status_code == 200
