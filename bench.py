@@ -61,18 +61,28 @@ def main() -> None:
     # routed READ, not the rollup build (the manager is memoized)
     qs["q28_rollup_routed"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
-        _ = len(n)
+    # median-of-3 per query: single-run numbers on a shared box swing
+    # up to ~2x with zero code change (BENCH_r03 vs r04 measured it on
+    # byte-identical code), so the reported estimator must be robust to
+    # outside load.  Runs interleave round-robin (A B C A B C ...) so a
+    # transient stall hits at most one sample of each query.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    for _ in range(runs):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            rows = qs[name](spark, sf_dir).collect()
+            samples[name].append(time.time() - t0)
+            _ = len(rows)
+    timings = {n: round(sorted(ts)[len(ts) // 2], 3)
+               for n, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": f"total_wall_sec_{len(BENCH_QUERIES)}_headline_queries",
         "value": total,
         "unit": "sec",
+        "estimator": f"per-query median of {runs} interleaved runs",
         "queries": timings,
         "sf": sf,
     }))
