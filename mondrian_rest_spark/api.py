@@ -292,6 +292,8 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         if flush_secret is None or request.args.get("secret") != flush_secret:
             return jsonify({"error": "forbidden"}), 403
         get_spark().catalog.clearCache()
+        from .planner import clear_named_set_cache
+        clear_named_set_cache()
         with cache_lock:
             result_cache.clear()
             cache_stats["cells"] = 0

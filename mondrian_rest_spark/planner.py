@@ -458,8 +458,8 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel
         base = base.filter(_cut_predicate(rc))
     for rc in ns_cuts:
         ns = cube.named_set(rc.cut.named_set)
-        keys = named_set_frame(spark, sf_dir, cube, ns)
-        base = base.join(keys, on=rc.level.key_alias, how="left_semi")
+        keys = named_set_keys(spark, sf_dir, cube, ns)
+        base = base.filter(F.col(rc.level.key_alias).isin(keys))
 
     # --- group + aggregate (partial+final hash agg; map-side combine) ---
     group_cols: list[str] = []
@@ -669,8 +669,8 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
         for rc in ns_cuts:
             if rc.dimension.name == rd.dimension.name:
                 ns = cube.named_set(rc.cut.named_set)
-                keys = named_set_frame(spark, sf_dir, cube, ns)
-                mf = mf.join(keys, on=rc.level.key_alias, how="left_semi")
+                keys = named_set_keys(spark, sf_dir, cube, ns)
+                mf = mf.filter(F.col(rc.level.key_alias).isin(keys))
         axis_frames.append(mf)
         join_keys += [lv.key_alias for lv in rd.group_levels]
     # combinatorial guard (SURVEY §7.5.1): the dense tuple count is
@@ -680,9 +680,16 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
     # dim-sized, so counting them is cheap relative to the query.
     # Applies to a single large axis too (an uncut leaf-level drill
     # with nonempty=false is just as unbounded as a crossjoin).
+    # one guard job, not one .count() action per axis: union the
+    # single-row count aggregates so all axis cardinalities come back
+    # in a single collect (the branches scan dim-sized frames in
+    # parallel)
+    counts = reduce(lambda a, b: a.unionAll(b),
+                    [mf.agg(F.count(F.lit(1)).alias("__c"))
+                     for mf in axis_frames]).collect()
     cells = 1
-    for mf in axis_frames:
-        cells *= mf.count()
+    for r in counts:
+        cells *= r["__c"]
         if cells > MAX_DENSE_CELLS:
             raise ParseError(
                 f"dense axes would materialize >{MAX_DENSE_CELLS:,} "
@@ -691,6 +698,30 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
     agg_slim = agg.select(*join_keys, *measure_aliases)
     out = dense.join(agg_slim, on=join_keys, how="left")
     return out.select(*group_cols, *measure_aliases)
+
+
+#: memoized named-set member keys: a TopCount set is k rows by
+#: definition, so the materialized keys become an IN-literal predicate
+#: (pushed to the fact scan — better than any join) and the ranking
+#: aggregation runs ONCE per (session, data dir, set definition), not
+#: once per query.  /flush clears it (api.py), like the result cache.
+_NAMED_SET_KEYS: dict = {}
+
+
+def clear_named_set_cache() -> None:
+    _NAMED_SET_KEYS.clear()
+
+
+def named_set_keys(spark: SparkSession, sf_dir: str, cube: Cube, ns) -> list:
+    """Collected member keys of a named set, memoized."""
+    key = (spark.sparkContext.applicationId, sf_dir, cube.name, ns.name,
+           ns.dimension, ns.level, ns.top_by, ns.k, ns.ascending)
+    vals = _NAMED_SET_KEYS.get(key)
+    if vals is None:
+        vals = [r[0] for r in
+                named_set_frame(spark, sf_dir, cube, ns).collect()]
+        _NAMED_SET_KEYS[key] = vals
+    return vals
 
 
 def named_set_frame(spark: SparkSession, sf_dir: str, cube: Cube, ns) -> DataFrame:

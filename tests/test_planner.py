@@ -144,6 +144,29 @@ def test_named_set_drilldown_and_cut(spark, sf_dir):
     assert {r.c_custkey for r in via_cut} == {r.c_custkey for r in via_drill}
 
 
+def test_named_set_query_plan_single_fact_scan(spark, sf_dir):
+    """The named set's ranking aggregation is memoized as an IN-literal
+    of member keys (planner.named_set_keys), so the TopCount query
+    itself scans the fact exactly once — no second aggregate-and-rank
+    subplan inside the query (r3 advice: q16 used two fact scans)."""
+    df = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+             drilldown=["[Top5 Customers]"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_flush_clears_named_set_cache(spark, sf_dir):
+    from mondrian_rest_spark import planner as pl
+    from mondrian_rest_spark.tpch import CATALOG
+    cube = CATALOG.cube("Sales")
+    ns = cube.named_set("Top5 Customers")
+    keys = pl.named_set_keys(spark, sf_dir, cube, ns)
+    assert len(keys) == 5
+    assert pl._NAMED_SET_KEYS          # populated
+    pl.clear_named_set_cache()
+    assert not pl._NAMED_SET_KEYS
+
+
 def test_virtual_cube_full_outer(spark, sf_dir):
     rows = agg(spark, sf_dir, cube="Orders and Sales",
                measures=["Revenue", "Total Price"],
