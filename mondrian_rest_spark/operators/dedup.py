@@ -113,6 +113,89 @@ def shingle_hash_rows(df: DataFrame, text_col: str = "text",
             .dropDuplicates([id_col, "__h"]))
 
 
+def minhash_signature_frames(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", n: int = 3,
+                             num_hashes: int = 32, bands: int = 16):
+    """The shared MinHash signature stage: returns
+    ``(shingle_rows, stats, band_rows)`` where shingle_rows is the
+    long-format (id, __h) shingle set, stats carries per-doc set size
+    ``__sz`` plus the ``num_hashes`` salted minhashes, and band_rows is
+    (id, band_idx, band_sig).  Used by the self-join pair finder
+    (:func:`neardup_minhash_lsh`), the cross-corpus finder
+    (:func:`neardup_pairs_against`) and the streaming ingest index —
+    all three MUST share these exact expressions or signatures won't
+    collide across them."""
+    rows = num_hashes // bands
+    ex = shingle_hash_rows(df, text_col, id_col, n)
+    stats = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__sz"),
+        *[F.min(F.xxhash64("__h", F.lit(j))).alias(f"mh{j}")
+          for j in range(num_hashes)])
+    band_sigs = F.array(*[
+        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)], F.lit(b))
+        for b in range(bands)])
+    bands_df = stats.select(
+        F.col(id_col),
+        F.posexplode(band_sigs).alias("band_idx", "band_sig"))
+    return ex, stats, bands_df
+
+
+def build_neardup_index(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        num_hashes: int = 32, bands: int = 16):
+    """Historical signature index for ingest-time near-dup filtering:
+    ``(bands, shingles, sizes)`` DataFrames keyed by the corpus doc id.
+
+    In a 100 TB deployment these are parquet tables maintained by the
+    ingest job itself (accepted docs append their rows), with ``bands``
+    bucketed on (band_idx, band_sig) so the per-batch candidate lookup
+    is a co-located join; here they are returned as frames the caller
+    persists."""
+    ex, stats, bands_df = minhash_signature_frames(
+        df, text_col, id_col, n, num_hashes, bands)
+    return (bands_df,
+            ex,
+            stats.select(F.col(id_col), F.col("__sz")))
+
+
+def neardup_pairs_against(new_docs: DataFrame, index_bands: DataFrame,
+                          index_shingles: DataFrame,
+                          index_sizes: DataFrame,
+                          threshold: float = 0.5,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n: int = 3, num_hashes: int = 32,
+                          bands: int = 16) -> DataFrame:
+    """Cross-corpus near-dup pairs: (new_id, hist_id, jaccard) between a
+    new document batch and a historical index built by
+    :func:`build_neardup_index` — the ingest-time analog of
+    :func:`neardup_minhash_lsh` (same S-curve, same exact-jaccard
+    verify, but candidates come from a band join AGAINST THE INDEX
+    instead of a self-join, so the batch never meets itself)."""
+    ex_new, stats_new, bands_new = minhash_signature_frames(
+        new_docs, text_col, id_col, n, num_hashes, bands)
+    cand = (bands_new.select(F.col(id_col).alias("new_id"),
+                             "band_idx", "band_sig")
+            .join(index_bands.select(F.col(id_col).alias("hist_id"),
+                                     "band_idx", "band_sig"),
+                  on=["band_idx", "band_sig"], how="inner")
+            .select("new_id", "hist_id")
+            .dropDuplicates(["new_id", "hist_id"]))
+    ea = ex_new.select(F.col(id_col).alias("new_id"), "__h")
+    eb = index_shingles.select(F.col(id_col).alias("hist_id"), "__h")
+    inter = (cand.join(ea, "new_id").join(eb, ["hist_id", "__h"])
+                 .groupBy("new_id", "hist_id")
+                 .agg(F.count(F.lit(1)).alias("__i")))
+    return (inter
+            .join(stats_new.select(F.col(id_col).alias("new_id"),
+                                   F.col("__sz").alias("__sa")), "new_id")
+            .join(index_sizes.select(F.col(id_col).alias("hist_id"),
+                                     F.col("__sz").alias("__sb")), "hist_id")
+            .withColumn("jaccard", F.round(
+                F.col("__i") / (F.col("__sa") + F.col("__sb") - F.col("__i")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("new_id", "hist_id", "jaccard"))
+
+
 def neardup_minhash_lsh(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, num_hashes: int = 32,
@@ -153,20 +236,11 @@ def neardup_minhash_lsh(df: DataFrame, threshold: float = 0.5,
     Jaccard over 64-bit shingle hashes equals string jaccard up to hash
     collisions (~1e-9 at 10^6 distinct shingles).
     """
-    rows = num_hashes // bands
+    ex, stats, bands_df = minhash_signature_frames(
+        df, text_col, id_col, n, num_hashes, bands)
     # consumed three times (signature + both verify sides): persist the
     # narrow (id, hash) projection, ~16 bytes/shingle
-    ex = shingle_hash_rows(df, text_col, id_col, n).persist()
-    stats = ex.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__sz"),
-        *[F.min(F.xxhash64("__h", F.lit(j))).alias(f"mh{j}")
-          for j in range(num_hashes)])
-    band_sigs = F.array(*[
-        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)], F.lit(b))
-        for b in range(bands)])
-    bands_df = stats.select(
-        F.col(id_col),
-        F.posexplode(band_sigs).alias("band_idx", "band_sig"))
+    ex = ex.persist()
     left = bands_df.select(F.col(id_col).alias("a_id"), "band_idx", "band_sig")
     right = bands_df.select(F.col(id_col).alias("b_id"), "band_idx", "band_sig")
     cand = (left.join(right, on=["band_idx", "band_sig"], how="inner")

@@ -159,6 +159,59 @@ def streaming_dedup(stream: DataFrame, keys: list[str] | None = None,
     return out.drop("__content_hash") if content_col is not None else out
 
 
+def streaming_neardup_ingest(stream: DataFrame, index,
+                             threshold: float = 0.5,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             n: int = 3, num_hashes: int = 32,
+                             bands: int = 16,
+                             on_batch=None):
+    """Ingest-time NEAR-duplicate filter — the streaming analog of the
+    batch MinHash-LSH dedup (operators/dedup.neardup_minhash_lsh, d03):
+    arriving documents whose exact shingle jaccard against the
+    historical corpus is >= ``threshold`` are dropped; survivors are
+    handed to ``on_batch(survivors_df, batch_id)``.
+
+    Runs inside ``foreachBatch`` — the idiomatic Spark shape for this:
+    each micro-batch is a plain DataFrame, so the window-based shingle
+    hashing and the candidate band join against the static index reuse
+    the BATCH operators verbatim (signature parity is structural, not
+    re-implemented).  Candidates come from an equi-join on
+    (band_idx, band_sig) against the index — never a scan of the
+    corpus — and false positives are removed by the exact-jaccard
+    verify before anything is dropped, so the only error mode is the
+    documented S-curve miss.
+
+    ``index`` is the (bands, shingles, sizes) triple from
+    operators/dedup.build_neardup_index; persist its frames.  At
+    100 TB the index lives as parquet bucketed on (band_idx,
+    band_sig), and ``on_batch`` appends the survivors' signature rows
+    back to it, making the filter incremental.
+
+    Within-batch duplicates are NOT collapsed here (batch-vs-index
+    only); compose with ``streaming_dedup`` for exact within-stream
+    dups, or run the batch near-dup job over the accepted corpus
+    periodically.
+    """
+    from ..operators.dedup import neardup_pairs_against
+
+    index_bands, index_shingles, index_sizes = index
+
+    def _process(batch_df, batch_id):
+        dups = (neardup_pairs_against(
+                    batch_df, index_bands, index_shingles, index_sizes,
+                    threshold, text_col, id_col, n, num_hashes, bands)
+                .select(F.col("new_id").alias(id_col))
+                .dropDuplicates([id_col]))
+        keep = batch_df.join(dups, on=id_col, how="left_anti")
+        if on_batch is not None:
+            on_batch(keep, batch_id)
+
+    return (stream.writeStream
+            .foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start())
+
+
 def _interval_micros(interval: str) -> int:
     n, unit = interval.split()
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,

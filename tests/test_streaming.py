@@ -117,6 +117,81 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert batch["n"] == 3
 
 
+def test_streaming_neardup_ingest_matches_batch(spark, tmp_path):
+    """Ingest-time MinHash-LSH filtering: streaming survivors must
+    equal the batch computation (same signature expressions via
+    minhash_signature_frames), and the dropped set must equal the
+    brute-force cross-corpus jaccard ground truth."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mondrian_rest_spark.operators import dedup
+    from mondrian_rest_spark.streaming.events import streaming_neardup_ingest
+
+    hist_rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "machine learning pipelines need careful data deduplication"),
+        (3, "spark structured streaming handles late data with watermarks"),
+        (4, "completely unrelated historical text about mountain weather"),
+    ]
+    arriving = [
+        # near-dup of 1 (one word changed)
+        (101, "the quick brown fox jumps over the lazy cat near the river"),
+        # exact copy of 2
+        (102, "machine learning pipelines need careful data deduplication"),
+        # novel
+        (103, "a fresh document with entirely new content and vocabulary"),
+        # near-dup of 3 (one word changed)
+        (104, "spark structured streaming handles late data with checkpoints"),
+        # novel
+        (105, "another genuinely novel arrival about cooking pasta properly"),
+    ]
+    hist = spark.createDataFrame(hist_rows, ["doc_id", "text"])
+    arr = spark.createDataFrame(arriving, ["doc_id", "text"])
+
+    index = dedup.build_neardup_index(hist)
+    for f in index:
+        f.persist().count()
+
+    # ground truth: brute-force cross-corpus jaccard
+    sa = dedup.with_shingles(arr).select(
+        F.col("doc_id").alias("new_id"), F.col("shingles").alias("sa"))
+    sb = dedup.with_shingles(hist).select(
+        F.col("doc_id").alias("hist_id"), F.col("shingles").alias("sb"))
+    brute = (sa.crossJoin(sb)
+             .withColumn("j", F.size(F.array_intersect("sa", "sb")) /
+                              F.size(F.array_union("sa", "sb")))
+             .filter(F.col("j") >= 0.5))
+    exp_dropped = {r.new_id for r in brute.collect()}
+    assert exp_dropped == {101, 102, 104}
+
+    # batch path
+    batch_pairs = dedup.neardup_pairs_against(arr, *index, threshold=0.5)
+    assert {r.new_id for r in batch_pairs.collect()} == exp_dropped
+
+    # streaming path over one-file-per-trigger micro-batches
+    d = tmp_path / "arrivals.parquet"
+    d.mkdir()
+    for i, row in enumerate(arriving):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([row[0]], pa.int64()),
+            "text": pa.array([row[1]], pa.string())}),
+            str(d / f"f{i}.parquet"))
+    stream = (spark.readStream
+              .schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d)))
+    survived: list = []
+    q = streaming_neardup_ingest(
+        stream, index, threshold=0.5,
+        on_batch=lambda df, _bid: survived.extend(
+            r.doc_id for r in df.collect()))
+    q.awaitTermination(180)
+    assert sorted(survived) == [103, 105]
+    for f in index:
+        f.unpersist()
+
+
 def test_streaming_dedup_bounded_state(spark, tmp_path):
     """Ingest-time exact dedup (training-data pipeline): duplicate
     content arriving within the watermark horizon is dropped; the
