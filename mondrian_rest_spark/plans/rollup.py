@@ -40,6 +40,7 @@ class Rollup:
     frame: DataFrame = None
     key_cols: list[str] = field(default_factory=list)
     measures: list[Measure] = field(default_factory=list)
+    rows: int = 0                     # materialized cardinality (cost key)
 
 
 class RollupManager:
@@ -72,7 +73,11 @@ class RollupManager:
             frame = frame.persist()
         key_cols = [c for c in frame.columns
                     if c not in {m.alias for m in measures}]
-        r = Rollup(name, grain, frame, key_cols, measures)
+        # row count doubles as the materialization action (the persist
+        # fills here) and the routing cost key — Mondrian AggName picks
+        # the smallest covering aggregate the same way
+        r = Rollup(name, grain, frame, key_cols, measures,
+                   rows=frame.count())
         self.rollups.append(r)
         return r
 
@@ -106,10 +111,13 @@ class RollupManager:
                 need.add(rc.level.key_alias)
         except Exception:
             return None
-        for r in self.rollups:
-            if need <= set(r.key_cols):
-                return r
-        return None
+        # among all covering rollups, route to the SMALLEST one (fewest
+        # materialized rows): at 100 TB the delta between a per-day and
+        # a per-year rollup is orders of magnitude of scan
+        covering = [r for r in self.rollups if need <= set(r.key_cols)]
+        if not covering:
+            return None
+        return min(covering, key=lambda r: (r.rows, len(r.key_cols)))
 
     def _reaggregate(self, r: Rollup, qm: QueryModel) -> DataFrame:
         base_measures, _, aliases = _split_measures(self.cube, list(qm.measures))

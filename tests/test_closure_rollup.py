@@ -81,6 +81,31 @@ def test_rollup_refuses_distinct_count(spark, sf_dir):
     assert source2 == "base"
 
 
+def test_rollup_picks_cheapest_covering(spark, sf_dir):
+    """With several covering aggregates, the router must pick the
+    smallest one (Mondrian AggName behavior with multiple AggTables,
+    foodmart.xml:128-160) — regardless of registration order."""
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    fine = mgr.register("region_nation_year",
+                        ("Customer.Region", "Customer.Nation", "Time.Year"))
+    coarse = mgr.register("region_only", ("Customer.Region",))
+    assert coarse.rows < fine.rows
+    # region grain is covered by BOTH -> the smaller one wins
+    qm = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Customer.Region"])
+    routed, source = mgr.route(qm)
+    assert source == "region_only"
+    # nation grain is only covered by the finer rollup
+    qm2 = QueryModel(cube="Sales", measures=["Revenue"],
+                     drilldown=["Customer.Nation"])
+    _, source2 = mgr.route(qm2)
+    assert source2 == "region_nation_year"
+    # and the routed result still matches base
+    base = aggregate(spark, sf_dir, tpch.CATALOG, qm)
+    assert sorted(map(tuple, routed.collect())) == \
+        sorted(map(tuple, base.collect()))
+
+
 def test_rollup_scans_cache_not_parquet(spark, sf_dir):
     mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
     mgr.register("nation_year", ("Customer.Nation", "Time.Year"))
