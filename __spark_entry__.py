@@ -304,6 +304,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT {[Measures].[Revenue], [Measures].[Discount Rate]} ON COLUMNS, "
         "[Customer].[Region].Members ON ROWS FROM [Sales]")
 
+    # PARALLELPERIOD tuple in posted MDX -> lag calc member
+    q["q33_mdx_parallelperiod"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH MEMBER [Measures].[Prev Year Revenue] AS "
+        "([Measures].[Revenue], PARALLELPERIOD([Time].[Year], 1)) "
+        "SELECT {[Measures].[Revenue], [Measures].[Prev Year Revenue]} "
+        "ON COLUMNS, [Time].[Year].Members ON ROWS FROM [Sales]")
+
     q["q27_parent_child_closure"] = lambda s, d: _geo_closure_rollup(s, d)
 
     q["q28_rollup_routed"] = lambda s, d: _routed_rollup(s, d)
@@ -853,6 +862,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
                    l_linestatus, {REVENUE} AS revenue
             FROM {J_CUST} GROUP BY 1, 2, 3""",
+
+        "q33_mdx_parallelperiod": f"""
+            WITH agg AS (
+              SELECT CAST(year(l_shipdate) AS INTEGER) AS "year",
+                     {REVENUE} AS revenue
+              FROM lineitem GROUP BY 1)
+            SELECT "year", revenue,
+                   lag(revenue) OVER (ORDER BY "year")
+                     AS prev_year_revenue
+            FROM agg""",
 
         "q32_mdx_with_member": f"""
             SELECT r_regionkey AS cust_region_key, r_name AS cust_region,

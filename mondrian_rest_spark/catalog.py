@@ -185,6 +185,12 @@ class CalculatedMember:
     expr: str | None = None
     lag_of: str | None = None
     lag_dim: str | None = None
+    # PARALLELPERIOD shape: shift by lag_n members; when lag_level is
+    # set the query MUST drill the lag dimension at exactly that level
+    # (a coarser/finer drill would silently change the shift meaning,
+    # so it is a 400 instead)
+    lag_n: int = 1
+    lag_level: str | None = None
 
 
 @dataclass(frozen=True)

@@ -7,7 +7,8 @@ per SURVEY §2.10 Q6: arbitrary MDX is out of scope (that would mean
 reimplementing Mondrian); the supported surface is exactly what
 build_query emits, which covers every query the REST layer can express:
 
-    [WITH MEMBER [Measures].[X] AS <arith over [Measures] refs> ...]
+    [WITH MEMBER [Measures].[X] AS <arith over [Measures] refs>
+                                  | ([Measures].[M], PARALLELPERIOD([D].[L][, n])) ...]
     SELECT {[Measures].[X], ...} ON COLUMNS,
            <axis> ON ROWS
     FROM [Cube]
@@ -323,12 +324,41 @@ def _calc_expr(p: _P) -> str:
     t = p.peek()
     if t is not None and t.startswith("'"):
         inner = _P(tokenize(p.next()[1:-1]))
-        out = _calc_tokens(inner, stop_words=())
+        out = _calc_body(inner, stop_words=())
         if inner.peek() is not None:
             raise ParseError(
                 f"trailing tokens in WITH MEMBER formula at {inner.peek()!r}")
         return out
-    return _calc_tokens(p, stop_words=("MEMBER", "SELECT", "SET"))
+    return _calc_body(p, stop_words=("MEMBER", "SELECT", "SET"))
+
+
+def _calc_body(p: _P, stop_words: tuple) -> str:
+    # tuple form first: ([Measures].[M], PARALLELPERIOD([Dim].[Lvl][, n]))
+    # -> a lag template the planner maps onto the PREVMEMBER machinery
+    save = p.pos
+    try:
+        return _parallelperiod_tuple(p)
+    except ParseError:
+        p.pos = save
+    return _calc_tokens(p, stop_words)
+
+
+def _parallelperiod_tuple(p: _P) -> str:
+    p.expect("(")
+    name = _measure_ref(p)
+    p.expect(",")
+    p.expect("PARALLELPERIOD")
+    p.expect("(")
+    path = _path(p)
+    lag_n = 1
+    if p.peek() == ",":
+        p.next()
+        lag_n = int(p.next())
+        if lag_n < 1:
+            raise ParseError("PARALLELPERIOD shift must be >= 1")
+    p.expect(")")
+    p.expect(")")
+    return "{lag:" + name + ":" + ".".join(path) + ":" + str(lag_n) + "}"
 
 
 def _calc_tokens(p: _P, stop_words: tuple) -> str:
@@ -420,6 +450,16 @@ def execute_mdx(spark: SparkSession, sf_dir: str, cat: Catalog,
 # emitter: QueryModel -> MDX (the reference's debug=true echo)
 # ---------------------------------------------------------------------------
 
+def _emit_formula(tmpl: str) -> str:
+    """Inverse of _calc_expr: expr template -> MDX formula text."""
+    lag = re.fullmatch(r"\{lag:([^:}]+):([^:}]+):(\d+)\}", tmpl)
+    if lag:
+        name, lvl, n = lag.groups()
+        lvlb = ".".join(f"[{s}]" for s in lvl.split("."))
+        return f"([Measures].[{name}], PARALLELPERIOD({lvlb}, {n}))"
+    return re.sub(r"\{m:([^}]+)\}",
+                  lambda m: f"[Measures].[{m.group(1)}]", tmpl)
+
 def emit_mdx(cat: Catalog, qm) -> str:
     """QueryModel -> the MDX the reference would generate for it
     (query_helper.rb:190-316; echoed by debug=true, api.rb:39 /
@@ -482,9 +522,7 @@ def emit_mdx(cat: Catalog, qm) -> str:
     mdx = ""
     if getattr(qm, "with_members", None):
         defs = " ".join(
-            f"MEMBER [Measures].[{n}] AS " +
-            re.sub(r"\{m:([^}]+)\}",
-                   lambda m: f"[Measures].[{m.group(1)}]", tmpl)
+            f"MEMBER [Measures].[{n}] AS {_emit_formula(tmpl)}"
             for n, tmpl in qm.with_members)
         mdx = f"WITH {defs} "
     mdx += f"SELECT {cols} ON COLUMNS"

@@ -254,8 +254,7 @@ def _inline_calcs(cube: Cube, with_members) -> Cube:
     taken = ({m.alias for m in cube.measures} |
              {c.alias for c in cube.calc_members})
 
-    def resolve(match):
-        ref = match.group(1)
+    def measure_alias(ref):
         c = cube.calc_member(ref)
         if c is not None:
             return c.alias
@@ -264,14 +263,33 @@ def _inline_calcs(cube: Cube, with_members) -> Cube:
         except KeyError:
             raise ParseError(f"WITH MEMBER references unknown measure {ref!r}")
 
+    def resolve(match):
+        return measure_alias(match.group(1))
+
     for name, tmpl in with_members:
-        expr = re.sub(r"\{m:([^}]+)\}", resolve, tmpl)
         alias = re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
         if not alias or alias in taken:
             raise ParseError(
                 f"WITH MEMBER name {name!r} is empty or collides with an "
                 "existing measure")
         taken.add(alias)
+        lag = re.fullmatch(r"\{lag:([^:}]+):([^:}]+):(\d+)\}", tmpl)
+        if lag:
+            # PARALLELPERIOD tuple: shift the measure lag_n members at
+            # the named level of the named dimension
+            ref, lvl_path, lag_n = lag.groups()
+            segs = lvl_path.split(".")
+            try:
+                dim = cube.dimension(segs[0])
+            except KeyError:
+                raise ParseError(
+                    f"PARALLELPERIOD references unknown dimension {segs[0]!r}")
+            lag_level = segs[-1] if len(segs) > 1 else None
+            new.append(CalculatedMember(
+                name, alias, lag_of=measure_alias(ref), lag_dim=dim.name,
+                lag_n=int(lag_n), lag_level=lag_level))
+            continue
+        expr = re.sub(r"\{m:([^}]+)\}", resolve, tmpl)
         new.append(CalculatedMember(name, alias, expr=expr))
     return dataclasses.replace(
         cube, calc_members=cube.calc_members + tuple(new))
@@ -299,8 +317,18 @@ def _split_measures(cube: Cube, names: list[str]):
     while pending:
         c = pending.pop()
         if c.lag_of:
-            m = cube.measure(c.lag_of)
-            base.setdefault(m.alias, m)
+            try:
+                m = cube.measure(c.lag_of)
+                base.setdefault(m.alias, m)
+            except KeyError:
+                # lag over another calc member (e.g. WITH MEMBER
+                # PARALLELPERIOD of a schema calc)
+                other = cube.calc_member(c.lag_of)
+                if other is None:
+                    raise
+                if other not in calcs:
+                    calcs.append(other)
+                    pending.append(other)
         if c.expr:
             for m in cube.measures:
                 if m.alias in c.expr:
@@ -488,16 +516,25 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel
         if c.expr:
             out = out.withColumn(c.alias, F.expr(c.expr))
         else:
-            time_keys = [a for rd in drills if rd.dimension.name == c.lag_dim
-                         for a in rd.key_aliases]
+            lag_drills = [rd for rd in drills
+                          if rd.dimension.name == c.lag_dim]
+            time_keys = [a for rd in lag_drills for a in rd.key_aliases]
             if not time_keys:
                 raise ParseError(
                     f"calculated member {c.name!r} needs a {c.lag_dim} drilldown")
+            if c.lag_level is not None and not any(
+                    rd.level.name.lower() == c.lag_level.lower()
+                    for rd in lag_drills):
+                raise ParseError(
+                    f"calculated member {c.name!r} shifts at level "
+                    f"{c.lag_level!r}; drill {c.lag_dim} at that level "
+                    "(a different grain would change the shift meaning)")
             others = [a for rd in drills if rd.dimension.name != c.lag_dim
                       for a in rd.key_aliases]
             w = Window.partitionBy(*[F.col(a) for a in others]).orderBy(
                 *[F.col(a) for a in time_keys])
-            out = out.withColumn(c.alias, F.lag(F.col(c.lag_of)).over(w))
+            out = out.withColumn(c.alias,
+                                 F.lag(F.col(c.lag_of), c.lag_n).over(w))
 
     # --- HAVING (reference query_helper.rb:278-282 FILTER) ---
     for fs in qm.filter:

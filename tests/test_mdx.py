@@ -221,6 +221,62 @@ def test_with_member_can_reference_schema_calc(spark, sf_dir):
     assert got == exp
 
 
+def test_compile_parallelperiod_tuple():
+    qm = compile_mdx(
+        "WITH MEMBER [Measures].[PY] AS "
+        "([Measures].[Revenue], PARALLELPERIOD([Time].[Year], 1)) "
+        "SELECT {[Measures].[PY]} ON COLUMNS, "
+        "[Time].[Year].Members ON ROWS FROM [Sales]")
+    assert qm.with_members == [("PY", "{lag:Revenue:Time.Year:1}")]
+    # default shift is 1
+    qm2 = compile_mdx(
+        "WITH MEMBER [Measures].[PY] AS "
+        "([Measures].[Revenue], PARALLELPERIOD([Time].[Year])) "
+        "SELECT {[Measures].[PY]} ON COLUMNS, "
+        "[Time].[Year].Members ON ROWS FROM [Sales]")
+    assert qm2.with_members == [("PY", "{lag:Revenue:Time.Year:1}")]
+
+
+def test_parallelperiod_matches_schema_lag_member(spark, sf_dir):
+    """The inline PARALLELPERIOD member must equal the schema-declared
+    PREVMEMBER calc member (Revenue Prev Period) at the same grain."""
+    mdx = ("WITH MEMBER [Measures].[PY] AS "
+           "([Measures].[Revenue], PARALLELPERIOD([Time].[Year], 1)) "
+           "SELECT {[Measures].[PY]} ON COLUMNS, "
+           "CROSSJOIN([Customer].[Region].Members, [Time].[Year].Members) "
+           "ON ROWS FROM [Sales]")
+    got = {(r.cust_region, r.year): r.py for r in
+           execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()}
+    base = aggregate(spark, sf_dir, tpch.CATALOG, QueryModel(
+        cube="Sales", measures=["Revenue Prev Period"],
+        drilldown=["Customer.Region", "Time.Year"])).collect()
+    exp = {(r.cust_region, r.year): r.revenue_prev for r in base}
+    assert got == exp
+
+
+def test_parallelperiod_level_mismatch_is_400(spark, sf_dir):
+    mdx = ("WITH MEMBER [Measures].[PY] AS "
+           "([Measures].[Revenue], PARALLELPERIOD([Time].[Year], 1)) "
+           "SELECT {[Measures].[PY]} ON COLUMNS, "
+           "[Time].[Month].Members ON ROWS FROM [Sales]")
+    with pytest.raises(ParseError):
+        execute_mdx(spark, sf_dir, tpch.CATALOG, mdx)
+
+
+def test_parallelperiod_lag2(spark, sf_dir):
+    mdx = ("WITH MEMBER [Measures].[R2] AS "
+           "([Measures].[Revenue], PARALLELPERIOD([Time].[Year], 2)) "
+           "SELECT {[Measures].[Revenue], [Measures].[R2]} ON COLUMNS, "
+           "[Time].[Year].Members ON ROWS FROM [Sales]")
+    rows = sorted(execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect(),
+                  key=lambda r: r.year)
+    by_year = {r.year: r for r in rows}
+    years = sorted(by_year)
+    for i, y in enumerate(years):
+        exp = by_year[years[i - 2]].revenue if i >= 2 else None
+        assert by_year[y].r2 == exp
+
+
 def test_emit_named_set_drilldown():
     from mondrian_rest_spark.mdx import emit_mdx
     qm = QueryModel(cube="Sales", measures=["Revenue"],
@@ -268,6 +324,7 @@ _WITH_MEMBERS = st.sampled_from([
     [],
     [("Disc Rate", "{m:Discount Sum} / {m:Extended Price}")],
     [("A", "{m:Revenue} * 2"), ("B", "( {m:Revenue} - {m:Discount Sum} ) / 10")],
+    [("PY", "{lag:Revenue:Time.Year:1}")],
 ])
 
 
