@@ -405,6 +405,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["s06_ann_batch_ivf"] = lambda s, d: similarity.ann_batch_topk_ivf(
         load_table(s, d, "embeddings"), _query_set(s, d), k=5)
 
+    # batched serving from the cell-partitioned layout (s04's batched
+    # analog); must return exactly what s06 returns, so it shares s06's
+    # oracle
+    def _batch_layout(s, d):
+        import tempfile
+        key = (id(s), d)
+        path = _IVF_LAYOUTS.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="ivf_layout_") + "/emb"
+            similarity.materialize_ivf(load_table(s, d, "embeddings"), path)
+            _IVF_LAYOUTS[key] = path
+        return similarity.ann_batch_topk_from_layout(
+            s, path, _query_set(s, d), k=5)
+    q["s07_ann_batch_layout"] = _batch_layout
+
     # ---- multimodal plumbing (binary payload -> mapInPandas features) ----
     q["m01_media_features"] = lambda s, d: _media_features(s, d)
 
@@ -1053,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
         "s04_ann_ivf_layout": _oracle_ann_ivf(query_vec_id=7, k=10),
         "s05_ann_batch_lsh": _oracle_ann_batch_lsh(),
         "s06_ann_batch_ivf": _oracle_ann_batch_ivf(),
+        "s07_ann_batch_layout": _oracle_ann_batch_ivf(),
         "c01_clean_corpus": _oracle_clean_corpus(),
         "t05_corpus_stats": f"""
             WITH t AS (SELECT doc_id, CAST(len({TOKENS}) AS INTEGER) AS n_tokens

@@ -210,6 +210,27 @@ def test_ann_batch_lsh_plan_is_one_bucket_join(spark, sf_dir):
     assert plan.count("Join") <= 2, plan
 
 
+def test_ann_batch_layout_matches_in_plan_and_values(spark, sf_dir, tmp_path):
+    """Batched serving from the cell-partitioned layout must return
+    exactly what the in-plan batched IVF returns, and the corpus scan
+    must be dynamically partition-pruned by the probe list (the whole
+    point of the layout: scan n_probe/n_cells of the data)."""
+    import pyspark.sql.functions as F
+
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "emb")
+    similarity.materialize_ivf(emb, path)
+    qs = _query_set(emb, [3, 7, 23])
+    from_layout = similarity.ann_batch_topk_from_layout(
+        spark, path, qs, k=5)
+    in_plan = similarity.ann_batch_topk_ivf(emb, qs, k=5).collect()
+    assert sorted(map(tuple, from_layout.collect())) == \
+        sorted(map(tuple, in_plan))
+    plan = from_layout._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_approx_operators_duckdb_parity(spark, sf_dir, duck):
     """The approximate operators are engine-portable by design (integer
     quantization + literal hyperplanes + md5-digit token hashes): the
