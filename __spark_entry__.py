@@ -313,6 +313,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT {[Measures].[Revenue], [Measures].[Prev Year Revenue]} "
         "ON COLUMNS, [Time].[Year].Members ON ROWS FROM [Sales]")
 
+    # WITH SET inline named set (TOPCOUNT) in posted MDX
+    q["q34_mdx_with_set"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH SET [Top3 Nations] AS "
+        "TOPCOUNT([Customer].[Nation].Members, 3, [Measures].[Revenue]) "
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Top3 Nations] ON ROWS FROM [Sales]")
+
     q["q27_parent_child_closure"] = lambda s, d: _geo_closure_rollup(s, d)
 
     q["q28_rollup_routed"] = lambda s, d: _routed_rollup(s, d)
@@ -877,6 +886,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
                    l_linestatus, {REVENUE} AS revenue
             FROM {J_CUST} GROUP BY 1, 2, 3""",
+
+        "q34_mdx_with_set": f"""
+            WITH agg AS (
+              SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2)
+            SELECT cust_nation_key, cust_nation, revenue
+            FROM agg ORDER BY revenue DESC, cust_nation_key LIMIT 3""",
 
         "q33_mdx_parallelperiod": f"""
             WITH agg AS (

@@ -7,8 +7,10 @@ per SURVEY §2.10 Q6: arbitrary MDX is out of scope (that would mean
 reimplementing Mondrian); the supported surface is exactly what
 build_query emits, which covers every query the REST layer can express:
 
-    [WITH MEMBER [Measures].[X] AS <arith over [Measures] refs>
-                                  | ([Measures].[M], PARALLELPERIOD([D].[L][, n])) ...]
+    [WITH [MEMBER [Measures].[X] AS <arith over [Measures] refs>
+                                   | ([Measures].[M], PARALLELPERIOD([D].[L][, n]))]
+          [SET [Name] AS TOPCOUNT|BOTTOMCOUNT([D].[L].Members, n,
+                                              [Measures].[M])] ...]
     SELECT {[Measures].[X], ...} ON COLUMNS,
            <axis> ON ROWS
     FROM [Cube]
@@ -343,6 +345,37 @@ def _calc_body(p: _P, stop_words: tuple) -> str:
     return _calc_tokens(p, stop_words)
 
 
+def _with_set_body(p: _P) -> tuple:
+    """WITH SET formula: TOPCOUNT/BOTTOMCOUNT(<level>.Members, n,
+    [Measures].[M]) — the stored-named-set shape
+    (foodmart.xml:405-410), here defined inline per query.  Returns
+    (level_path, k, top_by, ascending).  Accepts Mondrian's quoted
+    form too."""
+    t = p.peek()
+    if t is not None and t.startswith("'"):
+        inner = _P(tokenize(p.next()[1:-1]))
+        out = _with_set_body(inner)
+        if inner.peek() is not None:
+            raise ParseError(
+                f"trailing tokens in WITH SET formula at {inner.peek()!r}")
+        return out
+    fn = p.next().upper()
+    if fn not in ("TOPCOUNT", "BOTTOMCOUNT"):
+        raise ParseError(
+            "WITH SET supports TOPCOUNT/BOTTOMCOUNT(<level>.Members, "
+            f"n, [Measures].[M]) in this MDX subset; got {fn!r}")
+    p.expect("(")
+    path = _path(p)
+    p.expect(".")
+    p.expect("MEMBERS")
+    p.expect(",")
+    k = int(p.next())
+    p.expect(",")
+    top_by = _measure_ref(p)
+    p.expect(")")
+    return (".".join(path), k, top_by, fn == "BOTTOMCOUNT")
+
+
 def _parallelperiod_tuple(p: _P) -> str:
     p.expect("(")
     name = _measure_ref(p)
@@ -403,17 +436,28 @@ def compile_mdx(mdx: str, cube_hint: str | None = None) -> QueryModel:
     p = _P(tokenize(mdx))
     q = MdxQuery()
     with_members: list = []
+    with_sets: list = []
     if p.peek_upper() == "WITH":
         p.next()
-        while p.peek_upper() == "MEMBER":
-            p.next()
-            name = _measure_ref(p)
-            p.expect("AS")
-            with_members.append((name, _calc_expr(p)))
-        if not with_members:
+        while p.peek_upper() in ("MEMBER", "SET"):
+            kind = p.next().upper()
+            if kind == "MEMBER":
+                name = _measure_ref(p)
+                p.expect("AS")
+                with_members.append((name, _calc_expr(p)))
+            else:
+                segs = _path(p)
+                if len(segs) != 1:
+                    raise ParseError(
+                        f"WITH SET name must be a single bracketed "
+                        f"segment, got {_path_str(segs)}")
+                p.expect("AS")
+                with_sets.append((segs[0],) + _with_set_body(p))
+        if not with_members and not with_sets:
             raise ParseError("WITH must introduce at least one MEMBER "
-                             "(named SETs are not in this MDX subset)")
+                             "or SET")
     q.qm_kwargs["with_members"] = with_members
+    q.qm_kwargs["with_sets"] = with_sets
     p.expect("SELECT")
     # axis 0: measures
     p.expect("{")
@@ -482,6 +526,7 @@ def emit_mdx(cat: Catalog, qm) -> str:
     cols = "{" + ", ".join(f"[Measures].[{m}]" for m in measures) + "}"
 
     ns_names = {s.name for s in cube.named_sets} if cube else set()
+    ns_names |= {ws[0] for ws in getattr(qm, "with_sets", [])}
     sets = []
     for d in qm.drilldown:
         parsed = parse_drilldown(d, ns_names)
@@ -520,15 +565,22 @@ def emit_mdx(cat: Catalog, qm) -> str:
             axis = f"NON EMPTY {axis}"
 
     mdx = ""
-    if getattr(qm, "with_members", None):
-        defs = " ".join(
-            f"MEMBER [Measures].[{n}] AS {_emit_formula(tmpl)}"
-            for n, tmpl in qm.with_members)
-        mdx = f"WITH {defs} "
+    defs = [f"MEMBER [Measures].[{n}] AS {_emit_formula(tmpl)}"
+            for n, tmpl in getattr(qm, "with_members", [])]
+    for name, level_path, k, top_by, asc in getattr(qm, "with_sets", []):
+        lvlb = ".".join(f"[{s}]" for s in level_path.split("."))
+        fn = "BOTTOMCOUNT" if asc else "TOPCOUNT"
+        defs.append(f"SET [{name}] AS {fn}({lvlb}.Members, {k}, "
+                    f"[Measures].[{top_by}])")
+    if defs:
+        mdx = f"WITH {' '.join(defs)} "
     mdx += f"SELECT {cols} ON COLUMNS"
     if axis:
         mdx += f", {axis} ON ROWS"
     mdx += f" FROM [{qm.cube}]"
     if qm.cut:
-        mdx += " WHERE (" + " * ".join(qm.cut) + ")"
+        # bare named-set cuts need brackets to re-tokenize
+        cuts = [f"[{c}]" if not c.startswith(("[", "{", "(")) else c
+                for c in qm.cut]
+        mdx += " WHERE (" + " * ".join(cuts) + ")"
     return mdx

@@ -230,13 +230,55 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel) ->
     (api.rb:115-158 -> query_helper.rb:190-316 -> Mondrian -> SQL).
     """
     if cat.virtual_cube(qm.cube) is not None:
-        if qm.with_members:
-            raise ParseError("WITH MEMBER is not supported on virtual cubes")
+        if qm.with_members or qm.with_sets:
+            raise ParseError(
+                "WITH MEMBER/SET is not supported on virtual cubes")
         return _aggregate_virtual(spark, sf_dir, cat, qm)
     cube = cat.cube(qm.cube)
     if qm.with_members:
         cube = _inline_calcs(cube, qm.with_members)
+    if qm.with_sets:
+        cube = _inline_sets(cube, qm.with_sets)
     return _aggregate_cube(spark, sf_dir, cube, qm)
+
+
+def _inline_sets(cube: Cube, with_sets) -> Cube:
+    """Query-scoped WITH SET named sets (TOPCOUNT/BOTTOMCOUNT form):
+    validated against the cube and appended to a per-query copy, after
+    which they behave exactly like schema named sets — usable as axis
+    or cut, memoized by named_set_keys (the cache key includes the full
+    set definition, so inline sets cache safely too)."""
+    import dataclasses
+
+    from .catalog import NamedSet
+
+    new = []
+    taken = {s.name.lower() for s in cube.named_sets}
+    for name, level_path, k, top_by, ascending in with_sets:
+        if name.lower() in taken:
+            raise ParseError(
+                f"WITH SET name {name!r} collides with an existing set")
+        taken.add(name.lower())
+        segs = level_path.split(".")
+        try:
+            dim = cube.dimension(segs[0])
+            hier = (dim.hierarchy(segs[1]) if len(segs) == 3
+                    else dim.default_hierarchy())
+            level = hier.level(segs[-1])
+            if cube.calc_member(top_by) is None:
+                cube.measure(top_by)  # validate the ranking measure
+        except KeyError as e:
+            raise ParseError(f"WITH SET {name!r}: {e}")
+        if len(segs) == 3 and hier is not dim.default_hierarchy():
+            raise ParseError(
+                f"WITH SET {name!r}: named sets rank over the default "
+                f"hierarchy; got {segs[1]!r}")
+        if k < 1:
+            raise ParseError(f"WITH SET {name!r}: count must be >= 1")
+        new.append(NamedSet(name, dimension=dim.name, level=level.name,
+                            top_by=top_by, k=k, ascending=ascending))
+    return dataclasses.replace(
+        cube, named_sets=cube.named_sets + tuple(new))
 
 
 def _inline_calcs(cube: Cube, with_members) -> Cube:
@@ -421,8 +463,9 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel
         for lv in rd.group_levels:
             lvls[lv.name] = lv
     for rc in cuts:
-        if rc.cut.kind == "named_set":
-            continue
+        # named-set cuts need their level's key column in the base
+        # frame too (the IN-literal predicate filters on it), e.g. a
+        # region-level set slicing a nation-level drilldown
         dim_objs[rc.dimension.name] = rc.dimension
         needed.setdefault(rc.dimension.name, {})[rc.level.name] = rc.level
     prop_seq = resolved_props(cube, qm.properties)
@@ -704,7 +747,12 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
                     rc.level.key_alias in mf.columns:
                 mf = mf.filter(_cut_predicate(rc))
         for rc in ns_cuts:
-            if rc.dimension.name == rd.dimension.name:
+            # same column-presence guard as pred cuts above: a set at
+            # a non-axis level constrains the FACTS (filtered in the
+            # base frame); the dense axis itself stays full and shows
+            # null cells for excluded members
+            if rc.dimension.name == rd.dimension.name and \
+                    rc.level.key_alias in mf.columns:
                 ns = cube.named_set(rc.cut.named_set)
                 keys = named_set_keys(spark, sf_dir, cube, ns)
                 mf = mf.filter(F.col(rc.level.key_alias).isin(keys))

@@ -39,3 +39,6 @@ class QueryModel:
     # of (name, expr_template) where the template holds {m:Name}
     # measure placeholders, resolved to aliases at plan time
     with_members: list = field(default_factory=list)
+    # inline WITH SET named sets from raw MDX: list of
+    # (name, level_path, k, top_by_measure, ascending)
+    with_sets: list = field(default_factory=list)

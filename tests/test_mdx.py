@@ -107,6 +107,7 @@ def _canon(qm: QueryModel) -> dict:
                                             parse_measure_filter)
     ns = {s.name for s in tpch.CATALOG.cube(qm.cube).named_sets} \
         if tpch.CATALOG.virtual_cube(qm.cube) is None else set()
+    ns |= {ws[0] for ws in getattr(qm, "with_sets", [])}
     return {
         "cube": qm.cube,
         "measures": list(qm.measures),
@@ -118,6 +119,7 @@ def _canon(qm: QueryModel) -> dict:
         "order": qm.order, "order_desc": bool(qm.order) and qm.order_desc,
         "offset": qm.offset or None, "limit": qm.limit,
         "with_members": list(qm.with_members),
+        "with_sets": list(getattr(qm, "with_sets", [])),
     }
 
 
@@ -277,6 +279,71 @@ def test_parallelperiod_lag2(spark, sf_dir):
         assert by_year[y].r2 == exp
 
 
+def test_compile_with_set():
+    qm = compile_mdx(
+        "WITH SET [Top3 Nations] AS "
+        "TOPCOUNT([Customer].[Nation].Members, 3, [Measures].[Revenue]) "
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Top3 Nations] ON ROWS FROM [Sales]")
+    assert qm.with_sets == [
+        ("Top3 Nations", "Customer.Nation", 3, "Revenue", False)]
+    assert qm.drilldown == ["Top3 Nations"]
+    # quoted + BOTTOMCOUNT form
+    qm2 = compile_mdx(
+        "WITH SET [B] AS "
+        "'BOTTOMCOUNT([Customer].[Region].Members, 2, [Measures].[Revenue])' "
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, [B] ON ROWS FROM [Sales]")
+    assert qm2.with_sets == [("B", "Customer.Region", 2, "Revenue", True)]
+
+
+def test_with_set_rejects_bad_formulas():
+    with pytest.raises(ParseError):   # only TOPCOUNT/BOTTOMCOUNT
+        compile_mdx("WITH SET [S] AS [Customer].[Region].Members "
+                    "SELECT {[Measures].[Revenue]} ON COLUMNS FROM [Sales]")
+    with pytest.raises(ParseError):   # set name must be one segment
+        compile_mdx("WITH SET [A].[B] AS "
+                    "TOPCOUNT([Customer].[Region].Members, 2, "
+                    "[Measures].[Revenue]) "
+                    "SELECT {[Measures].[Revenue]} ON COLUMNS FROM [Sales]")
+
+
+def test_with_set_matches_schema_named_set(spark, sf_dir):
+    """An inline WITH SET defined identically to the schema's Top5
+    Customers must return the same rows through the same plan path."""
+    mdx = ("WITH SET [My Top5] AS "
+           "TOPCOUNT([Customer].[Customer].Members, 5, [Measures].[Revenue]) "
+           "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+           "NON EMPTY [My Top5] ON ROWS FROM [Sales]")
+    got = sorted(map(tuple, execute_mdx(
+        spark, sf_dir, tpch.CATALOG, mdx).collect()))
+    exp = sorted(map(tuple, aggregate(spark, sf_dir, tpch.CATALOG, QueryModel(
+        cube="Sales", measures=["Revenue"],
+        drilldown=["[Top5 Customers]"])).collect()))
+    assert got == exp
+
+
+def test_with_set_slicer_at_non_drilled_level(spark, sf_dir):
+    """A set at Region level slicing a Nation drilldown: the nation
+    rows must be exactly those whose region survives the BOTTOMCOUNT."""
+    mdx = ("WITH SET [Bottom2] AS "
+           "BOTTOMCOUNT([Customer].[Region].Members, 2, [Measures].[Revenue]) "
+           "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+           "NON EMPTY [Customer].[Nation].Members ON ROWS FROM [Sales] "
+           "WHERE ([Bottom2])")
+    got = {r.cust_nation_key for r in
+           execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()}
+    regions = aggregate(spark, sf_dir, tpch.CATALOG, QueryModel(
+        cube="Sales", measures=["Revenue"],
+        drilldown=["Customer.Region"])).collect()
+    bottom2 = {r.cust_region_key for r in
+               sorted(regions, key=lambda r: (r.revenue, r.cust_region_key))[:2]}
+    nations = aggregate(spark, sf_dir, tpch.CATALOG, QueryModel(
+        cube="Sales", measures=["Revenue"],
+        drilldown=["Customer.Region", "Customer.Nation"])).collect()
+    exp = {r.cust_nation_key for r in nations if r.cust_region_key in bottom2}
+    assert got == exp
+
+
 def test_emit_named_set_drilldown():
     from mondrian_rest_spark.mdx import emit_mdx
     qm = QueryModel(cube="Sales", measures=["Revenue"],
@@ -328,15 +395,22 @@ _WITH_MEMBERS = st.sampled_from([
 ])
 
 
+_WITH_SETS = st.sampled_from([
+    [],
+    [("T3", "Customer.Nation", 3, "Revenue", False)],
+    [("B2", "Customer.Region", 2, "Revenue", True)],
+])
+
+
 @settings(max_examples=60, deadline=None)
 @given(measures=_MEASURES, drills=_DRILLS, cuts=_CUTS,
        nonempty=st.booleans(), distinct=st.booleans(),
        order=st.sampled_from([None, "Revenue"]), desc=st.booleans(),
        offset=st.sampled_from([None, 2]), limit=st.sampled_from([None, 5]),
-       wm=_WITH_MEMBERS)
+       wm=_WITH_MEMBERS, ws=_WITH_SETS)
 def test_emit_compile_round_trip_property(measures, drills, cuts, nonempty,
                                           distinct, order, desc, offset,
-                                          limit, wm):
+                                          limit, wm, ws):
     """Any QueryModel in the emitter's domain survives emit->compile
     with identical parsed meaning (the debug echo is never a lie)."""
     from mondrian_rest_spark.mdx import emit_mdx
@@ -346,6 +420,6 @@ def test_emit_compile_round_trip_property(measures, drills, cuts, nonempty,
                     order=order if drills else None, order_desc=desc,
                     offset=offset if drills else None,
                     limit=limit if drills else None,
-                    with_members=wm)
+                    with_members=wm, with_sets=ws)
     back = compile_mdx(emit_mdx(tpch.CATALOG, qm))
     assert _canon(back) == _canon(qm)
