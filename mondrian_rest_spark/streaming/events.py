@@ -212,6 +212,95 @@ def streaming_neardup_ingest(stream: DataFrame, index,
             .start())
 
 
+def init_neardup_index(spark, index_path: str, docs: DataFrame | None = None,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 3, num_hashes: int = 32,
+                       bands: int = 16) -> str:
+    """Seed a parquet-backed near-dup signature index at ``index_path``
+    (subdirs bands/ shingles/ sizes/) from an optional historical
+    corpus.  The incremental ingest below appends to it."""
+    from ..operators.dedup import minhash_signature_frames
+
+    if docs is None:   # cold start: empty index, correct schemas
+        docs = spark.createDataFrame(
+            [], f"{id_col} bigint, {text_col} string")
+    ex, stats, bands_df = minhash_signature_frames(
+        docs, text_col, id_col, n, num_hashes, bands)
+    bands_df.write.mode("overwrite").parquet(f"{index_path}/bands")
+    ex.write.mode("overwrite").parquet(f"{index_path}/shingles")
+    stats.select(F.col(id_col), F.col("__sz")).write.mode(
+        "overwrite").parquet(f"{index_path}/sizes")
+    return index_path
+
+
+def streaming_neardup_ingest_incremental(stream: DataFrame, spark,
+                                         index_path: str,
+                                         threshold: float = 0.5,
+                                         text_col: str = "text",
+                                         id_col: str = "doc_id",
+                                         n: int = 3, num_hashes: int = 32,
+                                         bands: int = 16,
+                                         within_batch: bool = True,
+                                         on_batch=None):
+    """Fully incremental ingest-time near-dup filter: like
+    :func:`streaming_neardup_ingest`, but the index lives as parquet
+    under ``index_path`` (seeded by :func:`init_neardup_index`) and
+    every batch's SURVIVORS append their signature rows back to it —
+    so a document that near-dups an earlier *accepted arrival* (not
+    just the seed corpus) is dropped too.  ``within_batch=True``
+    additionally collapses near-dup clusters inside each micro-batch
+    (min-id survivor), making the accepted corpus near-dup-free at
+    every point in time.
+
+    foreachBatch runs batches sequentially, so the read-then-append on
+    the index is race-free; at 100 TB the appends would go to a
+    bucketed table and the candidate join stays band-key-narrow either
+    way.  Exactly-once caveat: a batch replayed after a crash between
+    sink write and index append would re-append signature rows;
+    dedup-by-(id, band) on compaction — or writing survivors and
+    signatures in one transactional commit (e.g. a lakehouse table
+    format) — restores idempotence.
+    """
+    from ..operators.dedup import (deduplicate_neardup,
+                                   minhash_signature_frames,
+                                   neardup_pairs_against)
+
+    def _process(batch_df, batch_id):
+        bands_ix = spark.read.parquet(f"{index_path}/bands")
+        shingles_ix = spark.read.parquet(f"{index_path}/shingles")
+        sizes_ix = spark.read.parquet(f"{index_path}/sizes")
+        dups = (neardup_pairs_against(
+                    batch_df, bands_ix, shingles_ix, sizes_ix,
+                    threshold, text_col, id_col, n, num_hashes, bands)
+                .select(F.col("new_id").alias(id_col))
+                .dropDuplicates([id_col]))
+        keep = batch_df.join(dups, on=id_col, how="left_anti")
+        if within_batch:
+            keep = deduplicate_neardup(keep, threshold, text_col, id_col, n)
+        # PIN the survivor set before appending to the index: keep's
+        # lineage READS the index parquet, so any re-evaluation after
+        # the append would meet the batch's own signatures and drop
+        # every row as a self-dup (persist() is not a reliable pin
+        # inside foreachBatch — micro-batch plans re-evaluate).  A
+        # micro-batch is driver-sized by definition, so an eager
+        # localize is the honest shape here; at larger batch sizes,
+        # checkpoint/write-to-staging replaces the collect.
+        keep = spark.createDataFrame(keep.collect(), batch_df.schema)
+        ex, stats, bands_df = minhash_signature_frames(
+            keep, text_col, id_col, n, num_hashes, bands)
+        bands_df.write.mode("append").parquet(f"{index_path}/bands")
+        ex.write.mode("append").parquet(f"{index_path}/shingles")
+        stats.select(F.col(id_col), F.col("__sz")).write.mode(
+            "append").parquet(f"{index_path}/sizes")
+        if on_batch is not None:
+            on_batch(keep, batch_id)
+
+    return (stream.writeStream
+            .foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start())
+
+
 def _interval_micros(interval: str) -> int:
     n, unit = interval.split()
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,

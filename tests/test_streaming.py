@@ -192,6 +192,59 @@ def test_streaming_neardup_ingest_matches_batch(spark, tmp_path):
         f.unpersist()
 
 
+def test_streaming_neardup_incremental_index(spark, tmp_path):
+    """Incremental ingest: a doc near-dupping an earlier ACCEPTED
+    arrival (not in the seed corpus) is dropped, within-batch clusters
+    collapse to the min id, and the parquet index grows with each
+    batch's survivors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mondrian_rest_spark.streaming.events import (
+        init_neardup_index, streaming_neardup_ingest_incremental)
+
+    seed = spark.createDataFrame(
+        [(1, "historical baseline text about harvesting wheat in autumn")],
+        ["doc_id", "text"])
+    idx = str(tmp_path / "ndidx")
+    init_neardup_index(spark, idx, seed)
+
+    batches = [
+        # batch 0: novel + its within-batch near-dup (202 collapses)
+        [(201, "streaming pipelines accept only genuinely novel documents"),
+         (202, "streaming pipelines accept only genuinely novel texts")],
+        # batch 1: near-dup of ACCEPTED 201 (jaccard 4/6) -> dropped
+        # via the updated index
+        [(203, "streaming pipelines accept only genuinely novel stories")],
+        # batch 2: near-dup of the SEED -> dropped; plus a novel doc
+        [(204, "historical baseline text about harvesting wheat in summer"),
+         (205, "completely different content on deep sea navigation")],
+    ]
+    d = tmp_path / "arrivals.parquet"
+    d.mkdir()
+    import os
+    for i, rows in enumerate(batches):
+        p = str(d / f"f{i}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string())}), p)
+        os.utime(p, (1000 + i, 1000 + i))
+    stream = (spark.readStream
+              .schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d)))
+    survived: list = []
+    q = streaming_neardup_ingest_incremental(
+        stream, spark, idx, threshold=0.5,
+        on_batch=lambda df, _b: survived.extend(
+            r.doc_id for r in df.collect()))
+    q.awaitTermination(240)
+    assert sorted(survived) == [201, 205]
+    # index grew beyond the seed: survivors' ids are present
+    sizes = spark.read.parquet(f"{idx}/sizes")
+    assert {r.doc_id for r in sizes.collect()} == {1, 201, 205}
+
+
 def test_streaming_dedup_bounded_state(spark, tmp_path):
     """Ingest-time exact dedup (training-data pipeline): duplicate
     content arriving within the watermark horizon is dropped; the
