@@ -137,6 +137,32 @@ def _measure_ref(p: _P) -> str:
     return segs[1]
 
 
+def _order_key(p: _P) -> str:
+    """ORDER key: [Measures].[X], or a member method / property
+    (reference query_helper.rb:166-188, methods query_helper.rb:8):
+    <level>.CurrentMember.{Caption|Key|Name} or
+    <level>.CurrentMember.Properties('P').  Encoded as the REST order
+    string ('Dim[.Hier].Level.<Method|P>')."""
+    segs = _path(p)
+    if len(segs) == 2 and segs[0].lower() == "measures":
+        return segs[1]
+    p.expect(".")
+    p.expect("CURRENTMEMBER")
+    p.expect(".")
+    w = p.next()
+    if w.upper() == "PROPERTIES":
+        p.expect("(")
+        prop = p.next()
+        if not prop.startswith("'"):
+            raise ParseError("Properties() takes a quoted property name")
+        p.expect(")")
+        return ".".join(segs) + "." + prop[1:-1]
+    if w.upper() not in ("CAPTION", "KEY", "NAME", "UNIQUENAME"):
+        raise ParseError(f"unknown member order method {w!r}")
+    return ".".join(segs) + "." + w.capitalize().replace(
+        "Uniquename", "UniqueName")
+
+
 def _axis_expr(p: _P, q: MdxQuery) -> None:
     """axis' ( '*' axis' )* — the infix crossjoin form the reference
     exercises in raw MDX (api_spec.rb:284-296).  Function-wrapped
@@ -178,7 +204,7 @@ def _axis_term(p: _P, q: MdxQuery) -> bool:
         elif t == "ORDER":
             _axis_expr(p, q)
             p.expect(",")
-            q.qm_kwargs["order"] = _measure_ref(p)
+            q.qm_kwargs["order"] = _order_key(p)
             if p.peek() == ",":
                 p.next()
                 q.qm_kwargs["order_desc"] = p.next().upper() == "BDESC"
@@ -511,8 +537,7 @@ def emit_mdx(cat: Catalog, qm) -> str:
 
     Inverse of :func:`compile_mdx` over the supported subset:
     ``compile_mdx(emit_mdx(cat, qm))`` reproduces the QueryModel (see
-    the round-trip test in tests/test_mdx.py).  Property ORDER keys are
-    outside the MDX subset and are omitted from the echo.
+    the round-trip test in tests/test_mdx.py).
     """
     from .parser import parse_drilldown, parse_measure_filter
 
@@ -553,8 +578,17 @@ def emit_mdx(cat: Catalog, qm) -> str:
                 f"[Measures].[{mf.measure}] {mf.op} {mf.value}"
                 for mf in map(parse_measure_filter, qm.filter))
             axis = f"FILTER({axis}, {conds})"
-        if qm.order and "." not in qm.order:
-            axis = (f"ORDER({axis}, [Measures].[{qm.order}], "
+        if qm.order:
+            if "." not in qm.order:
+                okey = f"[Measures].[{qm.order}]"
+            else:
+                head, last = qm.order.rsplit(".", 1)
+                lvl = ".".join(f"[{s}]" for s in head.split("."))
+                if last.lower() in ("caption", "key", "name"):
+                    okey = f"{lvl}.CurrentMember.{last.capitalize()}"
+                else:
+                    okey = f"{lvl}.CurrentMember.Properties('{last}')"
+            axis = (f"ORDER({axis}, {okey}, "
                     f"{'BDESC' if qm.order_desc else 'BASC'})")
         if qm.offset or qm.limit is not None:
             args = f"{qm.offset or 0}"

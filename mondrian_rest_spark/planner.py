@@ -597,6 +597,11 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel
                    for a in [lv.key_alias]]
     if qm.order:
         ocol = _order_column(cube, qm.order, group_cols)
+        if ocol not in out.columns:
+            raise ParseError(
+                f"order key {qm.order!r} resolves to column {ocol!r}, "
+                "which is not in the result — drill its level (and "
+                "request the property via properties[]) first")
         primary = F.desc(ocol) if qm.order_desc else F.asc(ocol)
         out = out.orderBy(primary, *[F.asc(a) for a in key_aliases if a != ocol])
     elif key_aliases:
@@ -695,6 +700,12 @@ def _measure_alias(cube: Cube, name: str) -> str:
     return cube.measure(name).alias
 
 
+#: member order methods (reference query_helper.rb:8 VALID_ORDER_METHODS
+#: minus UniqueName — full-name string order has no stable column here,
+#: so it 400s instead of silently approximating)
+_ORDER_METHODS = {"caption", "key", "name"}
+
+
 def _order_column(cube: Cube, order: str, group_cols: list[str]) -> str:
     try:
         return _measure_alias(cube, order)
@@ -702,8 +713,22 @@ def _order_column(cube: Cube, order: str, group_cols: list[str]) -> str:
         pass
     if order in group_cols:
         return order
-    ref = parse_property(order) if order.count(".") >= 2 else None
-    if ref is not None:
+    if order.count(".") >= 2:
+        head, last = order.rsplit(".", 1)
+        # method has priority over a same-named property, mirroring the
+        # reference's order parsing (query_helper.rb:166-188)
+        if last.lower() in _ORDER_METHODS:
+            segs = head.split(".")
+            _, _, level = _resolve_level(
+                cube, segs[0], segs[1] if len(segs) == 3 else None, segs[-1])
+            if last.lower() == "key":
+                return level.key_alias
+            return level.caption_alias or level.key_alias
+        if last.lower() == "uniquename":
+            raise ParseError(
+                "ordering by UniqueName is not supported; use Key, "
+                "Caption, Name or a member property")
+        ref = parse_property(order)
         return _find_prop(cube, ref).alias
     raise ParseError(f"cannot resolve order key {order!r}")
 

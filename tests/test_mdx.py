@@ -344,6 +344,60 @@ def test_with_set_slicer_at_non_drilled_level(spark, sf_dir):
     assert got == exp
 
 
+def test_order_by_member_method_and_property(spark, sf_dir):
+    """ORDER keys beyond measures (query_helper.rb:166-188): member
+    Caption/Key methods and Properties('P')."""
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "ORDER([Customer].[Nation].Members, "
+        "[Customer].[Nation].CurrentMember.Caption, BDESC) ON ROWS "
+        "FROM [Sales]")
+    assert qm.order == "Customer.Nation.Caption" and qm.order_desc
+    rows = aggregate(spark, sf_dir, tpch.CATALOG, qm).collect()
+    caps = [r.cust_nation for r in rows]
+    assert caps == sorted(caps, reverse=True)
+    # property order via MDX mirrors the REST property-order path (q11)
+    qm2 = compile_mdx(
+        "SELECT {[Measures].[Quantity]} ON COLUMNS, "
+        "ORDER([Supplier].[Supplier].Members, "
+        "[Supplier].[Supplier].CurrentMember.Properties('Account Balance')"
+        ", BASC) ON ROWS FROM [Sales]")
+    assert qm2.order == "Supplier.Supplier.Account Balance"
+    qm2.properties = ["Supplier.Supplier.Account Balance"]
+    qm2.limit = 5
+    rows2 = aggregate(spark, sf_dir, tpch.CATALOG, qm2).collect()
+    bals = [r.s_acctbal for r in rows2]
+    assert bals == sorted(bals)
+    # round-trips through the echo
+    for q in (qm, qm2):
+        assert _canon(compile_mdx(emit_mdx_local(q))) == _canon(q)
+
+
+def emit_mdx_local(qm):
+    from mondrian_rest_spark.mdx import emit_mdx
+    return emit_mdx(tpch.CATALOG, qm)
+
+
+def test_order_uniquename_is_400(spark, sf_dir):
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "ORDER([Customer].[Nation].Members, "
+        "[Customer].[Nation].CurrentMember.UniqueName, BASC) ON ROWS "
+        "FROM [Sales]")
+    with pytest.raises(ParseError):
+        aggregate(spark, sf_dir, tpch.CATALOG, qm).collect()
+
+
+def test_order_property_not_requested_is_400(spark, sf_dir):
+    qm = compile_mdx(
+        "SELECT {[Measures].[Quantity]} ON COLUMNS, "
+        "ORDER([Supplier].[Supplier].Members, "
+        "[Supplier].[Supplier].CurrentMember.Properties('Account Balance')"
+        ", BASC) ON ROWS FROM [Sales]")
+    with pytest.raises(ParseError):
+        aggregate(spark, sf_dir, tpch.CATALOG, qm).collect()
+
+
 def test_emit_named_set_drilldown():
     from mondrian_rest_spark.mdx import emit_mdx
     qm = QueryModel(cube="Sales", measures=["Revenue"],
