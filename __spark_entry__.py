@@ -322,6 +322,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT {[Measures].[Revenue]} ON COLUMNS, "
         "NON EMPTY [Top3 Nations] ON ROWS FROM [Sales]")
 
+    # WITH MEMBER over a virtual cube: cross-cube ratio computed
+    # post-drill-across (planner._aggregate_virtual inline path)
+    q["q35_mdx_virtual_with_member"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH MEMBER [Measures].[Rev To Orders] AS "
+        "[Measures].[Revenue] / [Measures].[Total Price] "
+        "SELECT {[Measures].[Revenue], [Measures].[Rev To Orders]} "
+        "ON COLUMNS, [Customer].[Region].Members ON ROWS "
+        "FROM [Orders and Sales]")
+
     q["q27_parent_child_closure"] = lambda s, d: _geo_closure_rollup(s, d)
 
     q["q28_rollup_routed"] = lambda s, d: _routed_rollup(s, d)
@@ -886,6 +897,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
                    l_linestatus, {REVENUE} AS revenue
             FROM {J_CUST} GROUP BY 1, 2, 3""",
+
+        "q35_mdx_virtual_with_member": f"""
+            SELECT cust_region_key, cust_region, revenue,
+                   revenue / total_price AS rev_to_orders
+            FROM (SELECT r_regionkey AS cust_region_key,
+                         r_name AS cust_region, {REVENUE} AS revenue
+                  FROM {J_CUST} GROUP BY 1, 2) sales
+            FULL JOIN (SELECT r_regionkey AS cust_region_key,
+                              r_name AS cust_region,
+                              {DEC('o_totalprice')} AS total_price
+                       FROM {J_ORD_CUST} GROUP BY 1, 2) ords
+            USING (cust_region_key, cust_region)""",
 
         "q34_mdx_with_set": f"""
             WITH agg AS (

@@ -230,9 +230,8 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel) ->
     (api.rb:115-158 -> query_helper.rb:190-316 -> Mondrian -> SQL).
     """
     if cat.virtual_cube(qm.cube) is not None:
-        if qm.with_members or qm.with_sets:
-            raise ParseError(
-                "WITH MEMBER/SET is not supported on virtual cubes")
+        if qm.with_sets:
+            raise ParseError("WITH SET is not supported on virtual cubes")
         return _aggregate_virtual(spark, sf_dir, cat, qm)
     cube = cat.cube(qm.cube)
     if qm.with_members:
@@ -867,12 +866,44 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
     measures = list(qm.measures)
     if not measures:
         measures = [cubes[0].default_measure.name]
-    unresolved = [m for m in measures
+    # inline WITH MEMBER on a virtual cube: arithmetic over measures of
+    # ANY base cube, computed post-join (drill-across is exactly where
+    # cross-cube ratios like Revenue/Total Price live).  PARALLELPERIOD
+    # tuples stay base-cube-only.
+    inline: dict[str, str] = {}
+    inline_alias: dict[str, str] = {}
+    for name, tmpl in qm.with_members:
+        if re.fullmatch(r"\{lag:[^}]*\}", tmpl):
+            raise ParseError(
+                "PARALLELPERIOD WITH MEMBER is not supported on "
+                "virtual cubes")
+        inline[name] = tmpl
+        alias = re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
+        if not alias:
+            raise ParseError(f"WITH MEMBER name {name!r} is empty")
+        inline_alias[name] = alias
+    base_requested = [m for m in measures if m not in inline]
+    unresolved = [m for m in base_requested
                   if not any(_has_measure(c, m) for c in cubes)]
     if unresolved:
         raise ParseError(
             f"measures {unresolved} do not exist in any base cube of "
             f"virtual cube {vc.name!r}")
+    # base measures the inline formulas reference must be aggregated
+    # even when not requested themselves (dropped from the final select)
+    refs = {m.group(1) for tmpl in inline.values()
+            for m in re.finditer(r"\{m:([^}]+)\}", tmpl)}
+    for r in sorted(refs):
+        if r in inline:
+            raise ParseError(
+                f"WITH MEMBER {r!r} cannot be referenced by another "
+                "inline member on a virtual cube")
+        if not any(_has_measure(c, r) for c in cubes):
+            raise ParseError(
+                f"WITH MEMBER references unknown measure {r!r}")
+        if r not in base_requested:
+            base_requested.append(r)
+    measures = base_requested
     parts: list[tuple[DataFrame, list[str]]] = []
     group_cols: list[str] | None = None
     for cube in cubes:
@@ -900,12 +931,25 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         all_aliases += maliases
 
     def _valias(name: str) -> str:
+        if name in inline_alias:
+            return inline_alias[name]
         for cube in cubes:
             try:
                 return _measure_alias(cube, name)
             except KeyError:
                 continue
         raise ParseError(f"cannot resolve measure {name!r} in {vc.name!r}")
+
+    taken = {a for _, maliases in parts for a in maliases}
+    for name, tmpl in inline.items():
+        if inline_alias[name] in taken:
+            raise ParseError(
+                f"WITH MEMBER name {name!r} collides with an existing "
+                "measure")
+        taken.add(inline_alias[name])
+        expr = re.sub(r"\{m:([^}]+)\}",
+                      lambda m: _valias(m.group(1)), tmpl)
+        out = out.withColumn(inline_alias[name], F.expr(expr))
 
     for fs in qm.filter:
         mf = parse_measure_filter(fs)
@@ -944,7 +988,8 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         out = out.offset(qm.offset)
     if qm.limit is not None:
         out = out.limit(qm.limit)
-    return out.select(*group_cols, *all_aliases)
+    requested = list(qm.measures) or [cubes[0].default_measure.name]
+    return out.select(*group_cols, *[_valias(m) for m in requested])
 
 
 def _has_measure(cube: Cube, name: str) -> bool:

@@ -398,6 +398,43 @@ def test_order_property_not_requested_is_400(spark, sf_dir):
         aggregate(spark, sf_dir, tpch.CATALOG, qm).collect()
 
 
+def test_virtual_cube_with_member(spark, sf_dir):
+    """Cross-cube inline ratio on a drill-across query; referenced base
+    measures (Total Price) are aggregated but dropped from output."""
+    mdx = ("WITH MEMBER [Measures].[Rev To Orders] AS "
+           "[Measures].[Revenue] / [Measures].[Total Price] "
+           "SELECT {[Measures].[Revenue], [Measures].[Rev To Orders]} "
+           "ON COLUMNS, [Customer].[Region].Members ON ROWS "
+           "FROM [Orders and Sales]")
+    rows = execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
+    assert rows and set(rows[0].asDict()) == {
+        "cust_region_key", "cust_region", "revenue", "rev_to_orders"}
+    base = aggregate(spark, sf_dir, tpch.CATALOG, QueryModel(
+        cube="Orders and Sales", measures=["Revenue", "Total Price"],
+        drilldown=["Customer.Region"])).collect()
+    exp = {r.cust_region: r.revenue / r.total_price for r in base}
+    assert {r.cust_region: r.rev_to_orders for r in rows} == exp
+
+
+def test_virtual_cube_with_member_errors(spark, sf_dir):
+    with pytest.raises(ParseError):   # PARALLELPERIOD stays base-only
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+            "WITH MEMBER [Measures].[X] AS "
+            "([Measures].[Revenue], PARALLELPERIOD([Time].[Year], 1)) "
+            "SELECT {[Measures].[X]} ON COLUMNS, [Time].[Year].Members "
+            "ON ROWS FROM [Orders and Sales]")
+    with pytest.raises(ParseError):   # WITH SET unsupported on virtual
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+            "WITH SET [S] AS TOPCOUNT([Customer].[Region].Members, 2, "
+            "[Measures].[Revenue]) "
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, [S] ON ROWS "
+            "FROM [Orders and Sales]")
+    with pytest.raises(ParseError):   # unknown ref
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+            "WITH MEMBER [Measures].[X] AS [Measures].[No Such] + 1 "
+            "SELECT {[Measures].[X]} ON COLUMNS FROM [Orders and Sales]")
+
+
 def test_emit_named_set_drilldown():
     from mondrian_rest_spark.mdx import emit_mdx
     qm = QueryModel(cube="Sales", measures=["Revenue"],
