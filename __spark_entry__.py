@@ -469,6 +469,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      val_frac=0.1, test_frac=0.05)
     q["x01_train_val_split"] = _split
 
+    # deterministic stratified downsampling by predicted language:
+    # per-stratum md5-bucket keep rates (partitioning-independent,
+    # unlike DataFrame.sampleBy's rand), so DuckDB replays the exact
+    # kept set
+    def _stratified(s, d):
+        from mondrian_rest_spark.operators import sampling
+        docs = load_table(s, d, "documents")
+        langs = textstats.language_id(docs).select("doc_id",
+                                                   "predicted_lang")
+        out = sampling.stratified_sample(
+            docs.join(langs, "doc_id"), "predicted_lang",
+            {"en": 0.5, "unknown": 0.05}, default_frac=0.2)
+        return out.select("doc_id", "predicted_lang")
+    q["x02_stratified_sample"] = _stratified
+
     return q
 
 
@@ -1162,6 +1177,41 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN q USING (doc_id) JOIN l USING (doc_id)""",
         # split bucket = first 8 md5 hex digits of 'salt:id' mod 10000
         # (32-bit value; digit-fold replays Spark's conv(...,16,10))
+        "x02_stratified_sample": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(len(list_intersect({TOKENS}, [{sw('en')}])) AS INTEGER) AS en_hits,
+                     CAST(len(list_intersect({TOKENS}, [{sw('de')}])) AS INTEGER) AS de_hits,
+                     CAST(len(list_intersect({TOKENS}, [{sw('fr')}])) AS INTEGER) AS fr_hits,
+                     CAST(len(list_intersect({TOKENS}, [{sw('es')}])) AS INTEGER) AS es_hits
+              FROM documents),
+            lang AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0
+                          THEN 'unknown'
+                          WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                          THEN 'en'
+                          WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                          THEN 'de'
+                          WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                          THEN 'fr'
+                          ELSE 'es' END AS predicted_lang
+              FROM h),
+            b AS (
+              SELECT doc_id,
+                     list_reduce(list_transform(range(1, 9),
+                       i -> CAST(strpos('0123456789abcdef',
+                                 substring(md5('sample-v1:' || doc_id), i, 1))
+                            - 1 AS BIGINT)),
+                       (x, y) -> x * 16 + y) % 10000 AS bucket
+              FROM documents)
+            SELECT lang.doc_id, lang.predicted_lang
+            FROM lang JOIN b USING (doc_id)
+            WHERE b.bucket < CASE lang.predicted_lang
+                               WHEN 'en' THEN 5000
+                               WHEN 'unknown' THEN 500
+                               ELSE 2000 END""",
+
         "x01_train_val_split": """
             WITH b AS (
               SELECT doc_id,

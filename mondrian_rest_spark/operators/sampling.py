@@ -48,6 +48,28 @@ def with_split(df: DataFrame, id_col: str = "doc_id",
     return df.withColumn("split", split)
 
 
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, default_frac: float = 0.0,
+                      id_col: str = "doc_id",
+                      salt: str = "sample-v1") -> DataFrame:
+    """Deterministic stratified sampling: keep a per-stratum fraction
+    of rows, chosen by the same salted md5 bucket as ``with_split`` —
+    so unlike ``DataFrame.sampleBy`` (partition-order-dependent rand),
+    the same row is kept on every run, engine, and partitioning, and
+    the DuckDB oracle replays it exactly.
+
+    The training-pipeline use case: downsample over-represented strata
+    (e.g. languages or sources) to a target mix — a pure per-row
+    projection + filter, no shuffle, composable with any downstream
+    write."""
+    b = _bucket(id_col, salt)
+    keep = F.lit(int(round(default_frac * SPLIT_BUCKETS)))
+    for value, frac in sorted(fractions.items()):
+        keep = F.when(F.col(strata_col) == value,
+                      F.lit(int(round(frac * SPLIT_BUCKETS)))).otherwise(keep)
+    return df.filter(b < keep)
+
+
 def split_counts(df: DataFrame, id_col: str = "doc_id",
                  val_frac: float = 0.1, test_frac: float = 0.0,
                  salt: str = "split-v1") -> DataFrame:

@@ -444,6 +444,26 @@ def test_corpus_stats(spark):
     assert 0.0 <= r.mean_quality <= 1.0
 
 
+def test_stratified_sample_deterministic_and_rated(spark):
+    """Per-stratum keep rates hold in expectation AND the kept set is
+    identical across runs/partitionings (unlike sampleBy)."""
+    from mondrian_rest_spark.operators import sampling
+    rows = [(i, "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out1 = {r.doc_id for r in sampling.stratified_sample(
+        df, "lang", {"a": 0.5, "b": 0.1}).collect()}
+    out2 = {r.doc_id for r in sampling.stratified_sample(
+        df.repartition(7), "lang", {"a": 0.5, "b": 0.1}).collect()}
+    assert out1 == out2                       # partitioning-independent
+    a = sum(1 for i in out1 if i % 2)
+    b = len(out1) - a
+    assert 400 <= a <= 600                    # ~50% of 1000
+    assert 50 <= b <= 160                     # ~10% of 1000
+    # default_frac keeps nothing unless raised
+    none = sampling.stratified_sample(df, "lang", {}, default_frac=0.0)
+    assert none.count() == 0
+
+
 def test_deterministic_split(spark):
     from mondrian_rest_spark.operators import sampling
     df = spark.createDataFrame([(i, f"doc {i}") for i in range(2000)],
