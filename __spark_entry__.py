@@ -460,6 +460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"))
     q["t05_corpus_stats"] = lambda s, d: textstats.corpus_stats(
         load_table(s, d, "documents"))
+    q["t06_top_tokens"] = lambda s, d: textstats.top_tokens(
+        load_table(s, d, "documents"), k=20)
+    q["t07_length_histogram"] = lambda s, d: textstats.length_histogram(
+        load_table(s, d, "documents"), bucket_tokens=50)
 
     # reproducible hash-based train/val/test split (training pipeline
     # staple; engine-portable md5 bucketing, so DuckDB replays it)
@@ -1177,6 +1181,18 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN q USING (doc_id) JOIN l USING (doc_id)""",
         # split bucket = first 8 md5 hex digits of 'salt:id' mod 10000
         # (32-bit value; digit-fold replays Spark's conv(...,16,10))
+        "t06_top_tokens": f"""
+            SELECT token, COUNT(*) AS occurrences
+            FROM (SELECT unnest({TOKENS}) AS token FROM documents)
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY occurrences DESC, token LIMIT 20""",
+
+        "t07_length_histogram": f"""
+            SELECT (len({TOKENS}) // 50) * 50 AS bucket_lo,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY 1""",
+
         "x02_stratified_sample": f"""
             WITH h AS (
               SELECT doc_id,

@@ -98,6 +98,35 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     return df.select(id_col, F.md5(norm).alias("fingerprint"))
 
 
+def top_tokens(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k tokens by occurrence count (vocabulary head
+    inspection — the first thing to look at before training a
+    tokenizer).  explode -> hash-agg -> TakeOrdered: the shuffle moves
+    one row per distinct token, and orderBy+limit never sorts the full
+    vocabulary.  Deterministic tie-break on the token string."""
+    ex = (df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                    .alias("token"))
+            .filter(F.col("token") != ""))
+    return (ex.groupBy("token")
+              .agg(F.count(F.lit(1)).alias("occurrences"))
+              .orderBy(F.desc("occurrences"), F.asc("token"))
+              .limit(k))
+
+
+def length_histogram(df: DataFrame, bucket_tokens: int = 50,
+                     text_col: str = "text") -> DataFrame:
+    """Document-length histogram in fixed-width token buckets
+    (corpus shape report: truncation/padding decisions come from
+    this).  One projection + one hash-agg; bucket_lo is the bucket's
+    inclusive lower bound in tokens."""
+    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    lo = (F.floor(n / bucket_tokens) * bucket_tokens).cast("long")
+    return (df.select(lo.alias("bucket_lo"))
+              .groupBy("bucket_lo")
+              .agg(F.count(F.lit(1)).alias("n_docs"))
+              .orderBy("bucket_lo"))
+
+
 def corpus_stats(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """One-row corpus report (the dashboard query a training-data

@@ -431,6 +431,16 @@ def test_approx_median_within_tolerance(spark, sf_dir):
             <= 0.01 * abs(r["median_price"])
 
 
+def test_top_tokens_and_length_histogram(spark):
+    from mondrian_rest_spark.operators import textstats
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b"), (3, "  a  ")], ["doc_id", "text"])
+    top = textstats.top_tokens(df, k=2).collect()
+    assert [(r.token, r.occurrences) for r in top] == [("a", 4), ("b", 2)]
+    hist = textstats.length_histogram(df, bucket_tokens=2).collect()
+    assert {(r.bucket_lo, r.n_docs) for r in hist} == {(0, 1), (2, 1), (4, 1)}
+
+
 def test_corpus_stats(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog of the house sat on all of them here"),
