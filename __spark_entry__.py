@@ -333,6 +333,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ON COLUMNS, [Customer].[Region].Members ON ROWS "
         "FROM [Orders and Sales]")
 
+    # TOPCOUNT as an infix-crossjoin operand (reference
+    # api_spec.rb:284-296 `TOPCOUNT(...) * set`): compiled to an
+    # inline named set, so the top-n restricts only its own axis set
+    q["q36_mdx_topcount_crossjoin"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPCOUNT([Customer].[Nation].Members, 3, "
+        "[Measures].[Revenue]) * [Line Status].[Line Status].Members "
+        "ON ROWS FROM [Sales]")
+
     q["q27_parent_child_closure"] = lambda s, d: _geo_closure_rollup(s, d)
 
     q["q28_rollup_routed"] = lambda s, d: _routed_rollup(s, d)
@@ -928,6 +939,16 @@ def oracle_sql() -> dict[str, str]:
                               {DEC('o_totalprice')} AS total_price
                        FROM {J_ORD_CUST} GROUP BY 1, 2) ords
             USING (cust_region_key, cust_region)""",
+
+        "q36_mdx_topcount_crossjoin": f"""
+            WITH top3 AS (
+              SELECT n_nationkey FROM {J_CUST}
+              GROUP BY 1 ORDER BY {REVENUE} DESC, n_nationkey LIMIT 3)
+            SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   l_linestatus, {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE n_nationkey IN (SELECT n_nationkey FROM top3)
+            GROUP BY 1, 2, 3""",
 
         "q34_mdx_with_set": f"""
             WITH agg AS (

@@ -116,7 +116,19 @@ class MdxQuery:
 
     def __init__(self) -> None:
         self.qm_kwargs: dict = dict(measures=[], drilldown=[], cut=[],
-                                    filter=[], nonempty=False)
+                                    filter=[], nonempty=False,
+                                    with_members=[], with_sets=[])
+
+
+def _merge_sub(q: MdxQuery, sub: MdxQuery) -> None:
+    """Fold a sub-expression's accumulated fields into the parent."""
+    for k, v in sub.qm_kwargs.items():
+        if isinstance(v, list):
+            q.qm_kwargs[k] = q.qm_kwargs.get(k, []) + v
+        elif isinstance(v, bool):
+            q.qm_kwargs[k] = q.qm_kwargs.get(k, False) or v
+        else:
+            q.qm_kwargs[k] = v
 
 
 def _axis(p: _P, q: MdxQuery) -> None:
@@ -170,12 +182,12 @@ def _axis_expr(p: _P, q: MdxQuery) -> None:
     our QueryModel applies order/limit to the whole axis, so compiling
     `TOPCOUNT(x, n, m) * y` here would silently truncate the crossjoin
     instead of the inner set — a clear 400 beats a wrong answer."""
-    fn = _axis_term(p, q)
+    fn = _axis_term(p, q, infix_hint=False)
     infix = False
     while p.peek() == "*":
         p.next()
         infix = True
-        fn = _axis_term(p, q) or fn
+        fn = _axis_term(p, q, infix_hint=True) or fn
     if infix and fn:
         raise ParseError(
             "set functions cannot be crossjoined with * in this MDX "
@@ -184,9 +196,11 @@ def _axis_expr(p: _P, q: MdxQuery) -> None:
             "(e.g. TOPCOUNT(CROSSJOIN(a, b), n, m)) instead")
 
 
-def _axis_term(p: _P, q: MdxQuery) -> bool:
+def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
     """Parse one axis term; returns True when it was a set function
-    (which imposes axis-global order/limit/filter semantics)."""
+    (which imposes axis-global order/limit/filter semantics).
+    ``infix_hint`` marks a term appearing to the right of ``*`` —
+    a simple TOPCOUNT there compiles to an inline named set instead."""
     t = p.peek_upper()
     if t in ("DISTINCT", "SUBSET", "ORDER", "FILTER", "TOPCOUNT", "CROSSJOIN"):
         p.next()
@@ -221,13 +235,34 @@ def _axis_term(p: _P, q: MdxQuery) -> bool:
                     continue
                 break
         elif t == "TOPCOUNT":
-            _axis_expr(p, q)
+            sub = MdxQuery()
+            _axis_expr(p, sub)
             p.expect(",")
             n = int(p.next())
             p.expect(",")
-            q.qm_kwargs["order"] = _measure_ref(p)
+            top_by = _measure_ref(p)
+            p.expect(")")
+            sk = sub.qm_kwargs
+            simple = (len(sk["drilldown"]) == 1 and "." in sk["drilldown"][0]
+                      and not sk["cut"] and not sk["filter"]
+                      and not sk["with_sets"] and "order" not in sk
+                      and "limit" not in sk)
+            if simple and (infix_hint or p.peek() == "*"):
+                # TOPCOUNT as an infix-crossjoin operand (reference
+                # api_spec.rb:284-296 `TOPCOUNT(...) * set`): Mondrian
+                # semantics are "the top-n SET, crossjoined" — exactly
+                # an inline named set, so no axis-global order/limit
+                name = f"TopCount Set {len(q.qm_kwargs['with_sets']) + 1}"
+                q.qm_kwargs["with_sets"].append(
+                    (name, sk["drilldown"][0], n, top_by, False))
+                q.qm_kwargs["drilldown"].append(name)
+                return False
+            # whole-axis TOPCOUNT: rank + truncate the axis itself
+            _merge_sub(q, sub)
+            q.qm_kwargs["order"] = top_by
             q.qm_kwargs["order_desc"] = True
             q.qm_kwargs["limit"] = n
+            return True
         elif t == "CROSSJOIN":
             _axis_expr(p, q)
             p.expect(",")

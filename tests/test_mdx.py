@@ -83,13 +83,61 @@ def test_compile_infix_crossjoin():
     assert qm.drilldown == ["Customer.Region", "Return Flag.Return Flag"]
 
 
-def test_compile_infix_rejects_set_functions():
-    # TOPCOUNT(x) * y would silently truncate the whole crossjoin in
-    # our QueryModel compilation -> must be a clear 400
+def test_topcount_infix_compiles_to_named_set(spark, sf_dir):
+    """TOPCOUNT(...) * set (reference api_spec.rb:284-296): the top-n
+    restricts only its own axis set — no axis-global order/limit — and
+    the result equals the explicit WITH SET formulation."""
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPCOUNT([Customer].[Nation].Members, 3, "
+        "[Measures].[Revenue]) * [Line Status].[Line Status].Members "
+        "ON ROWS FROM [Sales]")
+    assert qm.with_sets == [
+        ("TopCount Set 1", "Customer.Nation", 3, "Revenue", False)]
+    assert qm.order is None and qm.limit is None
+    got = sorted(map(tuple, aggregate(
+        spark, sf_dir, tpch.CATALOG, qm).collect()))
+    exp = sorted(map(tuple, execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH SET [T] AS TOPCOUNT([Customer].[Nation].Members, 3, "
+        "[Measures].[Revenue]) "
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [T] * [Line Status].[Line Status].Members ON ROWS "
+        "FROM [Sales]").collect()))
+    assert got == exp
+    # right-operand position works too
+    qm2 = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Line Status].[Line Status].Members * "
+        "TOPCOUNT([Customer].[Nation].Members, 3, [Measures].[Revenue]) "
+        "ON ROWS FROM [Sales]")
+    assert len(qm2.with_sets) == 1 and qm2.limit is None
+
+
+def test_whole_axis_topcount_still_ranks():
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "TOPCOUNT([Customer].[Nation].Members, 5, [Measures].[Revenue]) "
+        "ON ROWS FROM [Sales]")
+    assert qm.with_sets == [] and qm.order == "Revenue" and qm.limit == 5
+
+
+def test_compile_infix_rejects_complex_set_functions():
+    # simple TOPCOUNT(level.Members) * y is supported (named-set
+    # compilation), but a set function whose semantics are axis-global
+    # (ORDER/SUBSET, or TOPCOUNT over a crossjoin) still cannot sit in
+    # infix position -> clear 400 instead of silently truncating the
+    # whole crossjoin
     with pytest.raises(ParseError, match="crossjoined"):
         compile_mdx(
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
-            "TOPCOUNT([Part].[Brand].Members, 5, [Measures].[Revenue]) * "
+            "TOPCOUNT(CROSSJOIN([Part].[Brand].Members, "
+            "[Return Flag].[Return Flag].Members), 5, [Measures].[Revenue])"
+            " * [Customer].[Region].Members ON ROWS FROM [Sales]")
+    with pytest.raises(ParseError, match="crossjoined"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "ORDER([Part].[Brand].Members, [Measures].[Revenue], BDESC) * "
             "[Customer].[Region].Members ON ROWS FROM [Sales]")
 
 
