@@ -224,9 +224,31 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         out["dimension"] = members.dimension_info(cat, cube, segs[0], segs[-2])
         return jsonify(out)
 
+    # Accept-header negotiation (reference Grape content_type
+    # registrations, api.rb:22-32; webshop_spec.rb drives formats via
+    # `header 'Accept', 'application/x-jsonrecords'`).  An explicit
+    # URL extension wins; the header applies when none is given.
+    _ACCEPT_FMTS = {
+        "application/x-jsonrecords": "jsonrecords",
+        "text/csv": "csv",
+        "application/vnd.ms-excel": "xls",
+        "application/vnd.openxmlformats-officedocument."
+        "spreadsheetml.sheet": "xlsx",
+    }
+
+    def _negotiate(fmt: str) -> str:
+        if fmt != "json":
+            return fmt
+        accept = request.headers.get("Accept", "")
+        for mime, f in _ACCEPT_FMTS.items():
+            if mime in accept:
+                return f
+        return fmt
+
     @app.route("/cubes/<cube>/aggregate", methods=["GET", "POST"])
     @app.route("/cubes/<cube>/aggregate.<fmt>", methods=["GET", "POST"])
     def agg(cube, fmt="json"):
+        fmt = _negotiate(fmt)
         params = request.values
         qm = query_model_from_params(cube, params)
         if cat.virtual_cube(cube) is None:
@@ -267,6 +289,7 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
     @app.route("/mdx", methods=["POST"])
     @app.route("/mdx.<fmt>", methods=["POST"])
     def mdx_route(fmt="json"):
+        fmt = _negotiate(fmt)
         # reference api.rb:21-50 raw-MDX passthrough, scoped to the
         # generated-MDX subset (SURVEY §2.10 Q6); same formatter set and
         # params (parents/debug/properties/caption, api.rb:37-42) as the

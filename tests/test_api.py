@@ -243,6 +243,24 @@ def test_aggregate_csv_parents_header(client):
     assert rows[0] == ["ID Region", "Region", "ID Nation", "Nation", "Revenue"]
 
 
+def test_accept_header_negotiation(client):
+    """Formats via Accept header, no URL extension (reference Grape
+    content types, driven by webshop_spec.rb's `header 'Accept', ...`)."""
+    q = [("measures[]", "Revenue"), ("drilldown[]", "Customer.Region")]
+    r = client.get("/cubes/Sales/aggregate", query_string=q,
+                   headers={"Accept": "application/x-jsonrecords"})
+    assert r.status_code == 200
+    assert "data" in json.loads(r.get_data(as_text=True))
+    r2 = client.get("/cubes/Sales/aggregate", query_string=q,
+                    headers={"Accept": "text/csv"})
+    assert r2.status_code == 200
+    assert r2.get_data(as_text=True).splitlines()[0].startswith("ID Region")
+    # explicit extension wins over the header
+    r3 = client.get("/cubes/Sales/aggregate.csv", query_string=q,
+                    headers={"Accept": "application/x-jsonrecords"})
+    assert r3.get_data(as_text=True).splitlines()[0].startswith("ID Region")
+
+
 def test_aggregate_jsonrecords(client):
     r = client.get("/cubes/Sales/aggregate.jsonrecords", query_string=[
         ("measures[]", "Revenue"), ("drilldown[]", "Customer.Region"),
