@@ -460,6 +460,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pipeline.clean_corpus(load_table(s, d, "documents"))
     q["c01_clean_corpus"] = _clean
 
+    # curation: best-k docs per language, and greedy per-language
+    # token-budget packing (how a fixed-size training mix is filled)
+    def _top_docs(s, d):
+        from mondrian_rest_spark.operators import pipeline
+        return pipeline.top_docs_per_stratum(
+            load_table(s, d, "documents"), k=50)
+    q["c02_top_docs_per_lang"] = _top_docs
+
+    def _pack(s, d):
+        from mondrian_rest_spark.operators import pipeline
+        return pipeline.pack_token_budget(
+            load_table(s, d, "documents"), budget_tokens=5000)
+    q["x03_token_budget_pack"] = _pack
+
     # ---- text analysis ----
     q["t01_token_stats"] = lambda s, d: textstats.token_stats(
         load_table(s, d, "documents"))
@@ -1202,6 +1216,106 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN q USING (doc_id) JOIN l USING (doc_id)""",
         # split bucket = first 8 md5 hex digits of 'salt:id' mod 10000
         # (32-bit value; digit-fold replays Spark's conv(...,16,10))
+        "c02_top_docs_per_lang": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len({TOKENS}) AS INTEGER) AS n_tokens,
+                     round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 /
+                           greatest(length(text), 1), 6) AS punct_ratio,
+                     round(len(list_filter({TOKENS},
+                           t -> list_contains([{sw('en')}], t))) * 1.0 /
+                           greatest(len({TOKENS}), 1), 6) AS stopword_ratio,
+                     round(list_sum(list_transform({TOKENS}, t -> length(t))) * 1.0 /
+                           greatest(len({TOKENS}), 1), 6) AS mean_word_len
+              FROM documents),
+            qual AS (
+              SELECT doc_id,
+                   round((CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END) +
+                         (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END) +
+                         (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END) +
+                         (CASE WHEN stopword_ratio >= 0.02 THEN 0.25 ELSE 0.0 END),
+                         2) AS quality
+              FROM t),
+            h AS (
+              SELECT doc_id,
+                     CAST(len(list_intersect({TOKENS}, [{sw('en')}])) AS INTEGER) AS en_hits,
+                     CAST(len(list_intersect({TOKENS}, [{sw('de')}])) AS INTEGER) AS de_hits,
+                     CAST(len(list_intersect({TOKENS}, [{sw('fr')}])) AS INTEGER) AS fr_hits,
+                     CAST(len(list_intersect({TOKENS}, [{sw('es')}])) AS INTEGER) AS es_hits
+              FROM documents),
+            lang AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0
+                          THEN 'unknown'
+                          WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                          THEN 'en'
+                          WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                          THEN 'de'
+                          WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                          THEN 'fr'
+                          ELSE 'es' END AS predicted_lang
+              FROM h)
+            SELECT doc_id, predicted_lang, quality,
+                   CAST(lang_rank AS INTEGER) AS lang_rank
+            FROM (
+              SELECT qual.doc_id, lang.predicted_lang, qual.quality,
+                     row_number() OVER (PARTITION BY lang.predicted_lang
+                                        ORDER BY qual.quality DESC,
+                                                 qual.doc_id) AS lang_rank
+              FROM qual JOIN lang USING (doc_id))
+            WHERE lang_rank <= 50""",
+
+        "x03_token_budget_pack": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len({TOKENS}) AS INTEGER) AS n_tokens,
+                     round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 /
+                           greatest(length(text), 1), 6) AS punct_ratio,
+                     round(len(list_filter({TOKENS},
+                           t -> list_contains([{sw('en')}], t))) * 1.0 /
+                           greatest(len({TOKENS}), 1), 6) AS stopword_ratio,
+                     round(list_sum(list_transform({TOKENS}, t -> length(t))) * 1.0 /
+                           greatest(len({TOKENS}), 1), 6) AS mean_word_len
+              FROM documents),
+            qual AS (
+              SELECT doc_id, n_tokens,
+                   round((CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END) +
+                         (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END) +
+                         (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END) +
+                         (CASE WHEN stopword_ratio >= 0.02 THEN 0.25 ELSE 0.0 END),
+                         2) AS quality
+              FROM t),
+            h AS (
+              SELECT doc_id,
+                     CAST(len(list_intersect({TOKENS}, [{sw('en')}])) AS INTEGER) AS en_hits,
+                     CAST(len(list_intersect({TOKENS}, [{sw('de')}])) AS INTEGER) AS de_hits,
+                     CAST(len(list_intersect({TOKENS}, [{sw('fr')}])) AS INTEGER) AS fr_hits,
+                     CAST(len(list_intersect({TOKENS}, [{sw('es')}])) AS INTEGER) AS es_hits
+              FROM documents),
+            lang AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0
+                          THEN 'unknown'
+                          WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                          THEN 'en'
+                          WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                          THEN 'de'
+                          WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                          THEN 'fr'
+                          ELSE 'es' END AS predicted_lang
+              FROM h)
+            SELECT doc_id, predicted_lang, quality, n_tokens, cum_tokens
+            FROM (
+              SELECT qual.doc_id, lang.predicted_lang, qual.quality,
+                     qual.n_tokens,
+                     CAST(SUM(qual.n_tokens) OVER (
+                            PARTITION BY lang.predicted_lang
+                            ORDER BY qual.quality DESC, qual.doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_tokens
+              FROM qual JOIN lang USING (doc_id))
+            WHERE cum_tokens - n_tokens < 5000""",
+
         "t06_top_tokens": f"""
             SELECT token, COUNT(*) AS occurrences
             FROM (SELECT unnest({TOKENS}) AS token FROM documents)

@@ -20,6 +20,55 @@ from pyspark.sql import DataFrame
 from . import dedup, textstats
 
 
+def top_docs_per_stratum(docs: DataFrame, k: int = 50,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-language top-k documents by quality score — the curation
+    step that picks the best examples from each stratum for a training
+    mix.  One shuffle on the language key, then a bounded per-group
+    sort (k rows survive per group, never a global sort).
+    Deterministic tie-break on the doc id."""
+    from pyspark.sql import Window
+    quality = textstats.quality_score(docs).select(id_col, "quality")
+    lang = textstats.language_id(docs).select(id_col, "predicted_lang")
+    scored = quality.join(lang, id_col)
+    w = (Window.partitionBy("predicted_lang")
+         .orderBy(F.desc("quality"), F.asc(id_col)))
+    return (scored
+            .withColumn("lang_rank", F.row_number().over(w))
+            .filter(F.col("lang_rank") <= k)
+            .select(id_col, "predicted_lang", "quality", "lang_rank"))
+
+
+def pack_token_budget(docs: DataFrame, budget_tokens: int,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Fill a per-language token budget with the best documents first:
+    rank by quality within each language, take documents while the
+    running token total stays under ``budget_tokens`` (the first doc
+    that crosses the budget is included, so the budget is always
+    reached when enough data exists — the standard greedy mix fill).
+
+    This is how a "N-billion-token training mix" is actually
+    assembled; the cumulative sum is a bounded per-language window,
+    not a global sort, and the whole thing is deterministic so the
+    DuckDB oracle replays the exact selected set."""
+    from pyspark.sql import Window
+    quality = textstats.quality_score(docs).select(
+        id_col, "n_tokens", "quality")
+    lang = textstats.language_id(docs).select(id_col, "predicted_lang")
+    scored = quality.join(lang, id_col)
+    w = (Window.partitionBy("predicted_lang")
+         .orderBy(F.desc("quality"), F.asc(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (scored
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") - F.col("n_tokens")
+                    < budget_tokens)
+            .select(id_col, "predicted_lang", "quality", "n_tokens",
+                    "cum_tokens"))
+
+
 def clean_corpus(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", neardup_threshold: float = 0.5,
                  min_quality: float = 0.75,

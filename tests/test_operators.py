@@ -441,7 +441,20 @@ def test_top_tokens_and_length_histogram(spark):
     assert {(r.bucket_lo, r.n_docs) for r in hist} == {(0, 1), (2, 1), (4, 1)}
 
 
-def test_corpus_stats(spark):
+def test_top_docs_and_token_budget_pack(spark):
+    from mondrian_rest_spark.operators import pipeline
+    rows = [(i, ("the and is of to " * 4) + f"doc{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    top = pipeline.top_docs_per_stratum(df, k=5).collect()
+    assert len(top) == 5                      # one stratum (all en)
+    assert [r.lang_rank for r in
+            sorted(top, key=lambda r: r.doc_id)] == [1, 2, 3, 4, 5]
+    packed = pipeline.pack_token_budget(df, budget_tokens=50).collect()
+    # 21 tokens per doc; budget 50 -> docs while cum-21 < 50 -> 3 docs
+    assert len(packed) == 3
+    assert max(r.cum_tokens for r in packed) == 63
+    # budget is always reached when data exists (last doc crosses it)
+    assert max(r.cum_tokens for r in packed) >= 50
     df = spark.createDataFrame(
         [(1, "the cat and the dog of the house sat on all of them here"),
          (2, "der hund und die katze ist nicht da oder doch von dem mann"),
