@@ -141,6 +141,21 @@ def test_compile_infix_rejects_complex_set_functions():
             "[Customer].[Region].Members ON ROWS FROM [Sales]")
 
 
+def test_compile_non_default_hierarchy_members(spark, sf_dir):
+    """[Time].[Weekly].[Week].Members — a 3-segment path over a
+    non-default hierarchy — must compile and match the REST path."""
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Time].[Weekly].[Week].Members ON ROWS FROM [Sales]")
+    assert qm.drilldown == ["Time.Weekly.Week"]
+    got = sorted(map(tuple, aggregate(
+        spark, sf_dir, tpch.CATALOG, qm).collect()))
+    exp = sorted(map(tuple, aggregate(spark, sf_dir, tpch.CATALOG,
+        QueryModel(cube="Sales", measures=["Revenue"],
+                   drilldown=["Time.Weekly.Week"])).collect()))
+    assert got == exp
+
+
 def test_compile_rejects_garbage():
     with pytest.raises(ParseError):
         compile_mdx("DROP TABLE lineitem")
@@ -544,7 +559,10 @@ _WITH_SETS = st.sampled_from([
 @settings(max_examples=60, deadline=None)
 @given(measures=_MEASURES, drills=_DRILLS, cuts=_CUTS,
        nonempty=st.booleans(), distinct=st.booleans(),
-       order=st.sampled_from([None, "Revenue"]), desc=st.booleans(),
+       order=st.sampled_from([None, "Revenue", "Customer.Nation.Caption",
+                              "Customer.Nation.Key",
+                              "Supplier.Supplier.Account Balance"]),
+       desc=st.booleans(),
        offset=st.sampled_from([None, 2]), limit=st.sampled_from([None, 5]),
        wm=_WITH_MEMBERS, ws=_WITH_SETS)
 def test_emit_compile_round_trip_property(measures, drills, cuts, nonempty,
