@@ -231,6 +231,30 @@ def test_ann_batch_layout_matches_in_plan_and_values(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
 
 
+def test_ivf_append_serves_new_vectors(spark, sf_dir, tmp_path):
+    """Incremental layout maintenance: vectors appended against the
+    stored centroids are complete (each appears exactly once) and
+    immediately retrievable — a probe with an appended vector's own
+    embedding returns it at cosine 1."""
+    import pyspark.sql.functions as F
+
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    extra = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "emb")
+    similarity.materialize_ivf(base, path)
+    n = similarity.append_to_ivf(spark, path, extra)
+    assert n == extra.count()
+    ids = [r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()]
+    assert len(ids) == emb.count() and len(set(ids)) == len(ids)
+    probe_vec = list(extra.select("embedding").first()[0])
+    probe_id = extra.select("vec_id").first()[0]
+    top = similarity.ann_topk_ivf_from_layout(
+        spark, path, probe_vec, k=1).collect()
+    assert top[0].vec_id == probe_id and top[0].cosine == 1.0
+
+
 def test_approx_operators_duckdb_parity(spark, sf_dir, duck):
     """The approximate operators are engine-portable by design (integer
     quantization + literal hyperplanes + md5-digit token hashes): the
