@@ -393,6 +393,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs, dedup.neardup_minhash_lsh(docs, threshold=0.5)))(
         load_table(s, d, "documents"))
 
+    # benchmark decontamination: training docs (source != src0) that
+    # near-dup the held-out eval set (source == src0)
+    def _decontam(s, d):
+        docs = load_table(s, d, "documents")
+        return dedup.contamination_pairs(
+            docs.filter(F.col("source") != "src0"),
+            docs.filter(F.col("source") == "src0"), threshold=0.5)
+    q["d08_decontamination"] = _decontam
+
     # ---- similarity search ----
     q["s01_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         load_table(s, d, "embeddings"), query_vec_id=7, k=10)
@@ -1068,6 +1077,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1""",
         "d02_neardup_brute": neardup,
         "d03_neardup_minhash_lsh": neardup,
+        "d08_decontamination": f"""
+            WITH sh AS (
+              SELECT doc_id, source,
+                     list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    for i in range(1, len(w) - 1)]) AS s
+              FROM (SELECT doc_id, source, {TOKENS} AS w FROM documents)
+              WHERE len(w) >= 3)
+            SELECT train_id, eval_id, jaccard FROM (
+              SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+                     round(len(list_intersect(a.s, b.s)) * 1.0 /
+                           len(list_distinct(list_concat(a.s, b.s))), 6)
+                       AS jaccard
+              FROM sh a JOIN sh b
+                ON a.source <> 'src0' AND b.source = 'src0')
+            WHERE jaccard >= 0.5""",
         "d07_neardup_clusters": f"""
             WITH RECURSIVE
             sh AS ({shingles}),

@@ -196,6 +196,39 @@ def neardup_pairs_against(new_docs: DataFrame, index_bands: DataFrame,
             .select("new_id", "hist_id", "jaccard"))
 
 
+def contamination_pairs(train: DataFrame, eval_docs: DataFrame,
+                        threshold: float = 0.5, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        num_hashes: int = 32, bands: int = 16) -> DataFrame:
+    """Benchmark-decontamination report: (train_id, eval_id, jaccard)
+    for every training document that near-duplicates an eval-set
+    document — the check every training pipeline runs before shipping
+    a mix.  Candidates come from the band join against the eval-set
+    signature index (eval sets are small, so the index side is tiny),
+    verified with exact jaccard; never an all-pairs scan."""
+    bands_ix, shingles_ix, sizes_ix = build_neardup_index(
+        eval_docs, text_col, id_col, n, num_hashes, bands)
+    return (neardup_pairs_against(train, bands_ix, shingles_ix, sizes_ix,
+                                  threshold, text_col, id_col, n,
+                                  num_hashes, bands)
+            .select(F.col("new_id").alias("train_id"),
+                    F.col("hist_id").alias("eval_id"), "jaccard"))
+
+
+def decontaminate(train: DataFrame, eval_docs: DataFrame,
+                  threshold: float = 0.5, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3,
+                  num_hashes: int = 32, bands: int = 16) -> DataFrame:
+    """Drop training documents contaminated by the eval set (any
+    near-dup hit above ``threshold``); returns the clean training
+    rows."""
+    hits = (contamination_pairs(train, eval_docs, threshold, text_col,
+                                id_col, n, num_hashes, bands)
+            .select(F.col("train_id").alias(id_col))
+            .dropDuplicates([id_col]))
+    return train.join(hits, on=id_col, how="left_anti")
+
+
 def neardup_minhash_lsh(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, num_hashes: int = 32,

@@ -38,6 +38,21 @@ def test_neardup_bruteforce(docs):
     assert (1, 4) not in pairs
 
 
+def test_decontaminate_drops_eval_neardups(spark):
+    ev = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy cat today"),  # dup
+         (11, "a completely unrelated training document about math"),
+         (12, "the quick brown fox jumps over the lazy dog today")],  # exact
+        ["doc_id", "text"])
+    pairs = dedup.contamination_pairs(train, ev, threshold=0.5).collect()
+    assert {(r.train_id, r.eval_id) for r in pairs} == {(10, 1), (12, 1)}
+    clean = dedup.decontaminate(train, ev, threshold=0.5)
+    assert [r.doc_id for r in clean.collect()] == [11]
+
+
 def test_minhash_lsh_matches_bruteforce(docs):
     brute = {(r.a_id, r.b_id) for r in
              dedup.neardup_bruteforce(docs, threshold=0.5).collect()}
