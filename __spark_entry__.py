@@ -498,6 +498,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), k=20)
     q["t07_length_histogram"] = lambda s, d: textstats.length_histogram(
         load_table(s, d, "documents"), bucket_tokens=50)
+    q["t08_source_stats"] = lambda s, d: textstats.source_stats(
+        load_table(s, d, "documents"))
+    q["t09_language_confusion"] = lambda s, d: textstats.language_confusion(
+        load_table(s, d, "documents"))
 
     # reproducible hash-based train/val/test split (training pipeline
     # staple; engine-portable md5 bucketing, so DuckDB replays it)
@@ -1339,6 +1343,53 @@ def oracle_sql() -> dict[str, str]:
                        AS cum_tokens
               FROM qual JOIN lang USING (doc_id))
             WHERE cum_tokens - n_tokens < 5000""",
+
+        "t08_source_stats": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len({TOKENS}) AS INTEGER) AS n_tokens,
+                     round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 /
+                           greatest(length(text), 1), 6) AS punct_ratio,
+                     round(len(list_filter({TOKENS},
+                           t -> list_contains([{sw('en')}], t))) * 1.0 /
+                           greatest(len({TOKENS}), 1), 6) AS stopword_ratio,
+                     round(list_sum(list_transform({TOKENS}, t -> length(t))) * 1.0 /
+                           greatest(len({TOKENS}), 1), 6) AS mean_word_len
+              FROM documents),
+            qual AS (
+              SELECT doc_id, source, n_tokens,
+                   round((CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END) +
+                         (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END) +
+                         (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END) +
+                         (CASE WHEN stopword_ratio >= 0.02 THEN 0.25 ELSE 0.0 END),
+                         2) AS quality
+              FROM t)
+            SELECT source, COUNT(doc_id) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   round(CAST(SUM(CAST(quality AS DECIMAL(25,6))) AS DOUBLE)
+                         / COUNT(doc_id), 6) AS mean_quality
+            FROM qual GROUP BY source""",
+
+        "t09_language_confusion": f"""
+            WITH h AS (
+              SELECT doc_id, lang AS true_lang,
+                     CAST(len(list_intersect({TOKENS}, [{sw('en')}])) AS INTEGER) AS en_hits,
+                     CAST(len(list_intersect({TOKENS}, [{sw('de')}])) AS INTEGER) AS de_hits,
+                     CAST(len(list_intersect({TOKENS}, [{sw('fr')}])) AS INTEGER) AS fr_hits,
+                     CAST(len(list_intersect({TOKENS}, [{sw('es')}])) AS INTEGER) AS es_hits
+              FROM documents)
+            SELECT true_lang,
+                   CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0
+                        THEN 'unknown'
+                        WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                        THEN 'en'
+                        WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                        THEN 'de'
+                        WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                        THEN 'fr'
+                        ELSE 'es' END AS predicted_lang,
+                   COUNT(doc_id) AS n_docs
+            FROM h GROUP BY 1, 2""",
 
         "t06_top_tokens": f"""
             SELECT token, COUNT(*) AS occurrences

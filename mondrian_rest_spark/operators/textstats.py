@@ -127,6 +127,41 @@ def length_histogram(df: DataFrame, bucket_tokens: int = 50,
               .orderBy("bucket_lo"))
 
 
+def source_stats(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 source_col: str = "source") -> DataFrame:
+    """Per-source corpus report: doc count, token volume, mean quality
+    — the table that decides which sources to up/down-weight in a mix.
+    One quality pass joined to the source column, one hash-agg."""
+    qs = quality_score(df, text_col, id_col).select(
+        id_col, "n_tokens", "quality")
+    src = df.select(id_col, source_col)
+    return (qs.join(src, id_col)
+            .groupBy(source_col)
+            .agg(F.count(id_col).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.sum(F.col("quality").cast("decimal(25,6)"))
+                          .cast("double") / F.count(id_col), 6)
+                  .alias("mean_quality"))
+            .orderBy(source_col))
+
+
+def language_confusion(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       truth_col: str = "lang") -> DataFrame:
+    """Confusion counts (true lang, predicted lang, n_docs) for the
+    heuristic language classifier against the table's ground-truth
+    column — the evaluation every heuristic gate needs before it is
+    trusted to filter a corpus."""
+    pred = language_id(df, text_col, id_col).select(
+        id_col, "predicted_lang")
+    truth = df.select(id_col, F.col(truth_col).alias("true_lang"))
+    return (truth.join(pred, id_col)
+            .groupBy("true_lang", "predicted_lang")
+            .agg(F.count(id_col).alias("n_docs"))
+            .orderBy("true_lang", "predicted_lang"))
+
+
 def corpus_stats(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """One-row corpus report (the dashboard query a training-data
