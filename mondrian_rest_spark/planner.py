@@ -451,7 +451,28 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel
         caption_overrides[(dim.name, level.name)] = \
             level.find_property(ref.prop).column
 
-    base_measures, calcs, final_aliases = _split_measures(cube, list(qm.measures))
+    # HAVING/ORDER may reference measures that are not requested for
+    # display (Mondrian evaluates them in query context): aggregate
+    # them too, but keep the final projection to the requested list
+    requested = list(qm.measures) or [cube.default_measure.name]
+    extra_names: list[str] = []
+    for fs in qm.filter:
+        try:
+            mname = parse_measure_filter(fs).measure
+            _measure_alias(cube, mname)
+        except (ParseError, KeyError):
+            continue   # malformed filters error in the HAVING step
+        if mname not in requested and mname not in extra_names:
+            extra_names.append(mname)
+    if qm.order and "." not in qm.order and qm.order not in requested:
+        try:
+            _measure_alias(cube, qm.order)
+            extra_names.append(qm.order)
+        except KeyError:
+            pass
+    base_measures, calcs, final_aliases = _split_measures(
+        cube, requested + extra_names)
+    final_aliases = final_aliases[:len(requested)]
 
     # --- needed levels per dimension ---
     needed: dict[str, dict[str, Level]] = {}

@@ -144,6 +144,32 @@ def test_named_set_drilldown_and_cut(spark, sf_dir):
     assert {r.c_custkey for r in via_cut} == {r.c_custkey for r in via_drill}
 
 
+def test_having_and_order_on_unrequested_measure(spark, sf_dir):
+    """HAVING/ORDER may reference measures outside the display list
+    (Mondrian evaluates them in context); they aggregate but do not
+    appear in the output."""
+    rows = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+               drilldown=["Customer.Nation"],
+               filter=["Quantity > 6000"]).collect()
+    assert rows and len(rows) < 25
+    assert "sum_qty" not in rows[0].asDict()
+    both = {r.cust_nation_key for r in
+            agg(spark, sf_dir, cube="Sales",
+                measures=["Revenue", "Quantity"],
+                drilldown=["Customer.Nation"],
+                filter=["Quantity > 6000"]).collect()}
+    assert {r.cust_nation_key for r in rows} == both
+    ordered = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+                  drilldown=["Customer.Nation"], order="Quantity",
+                  order_desc=True, limit=3).collect()
+    assert len(ordered) == 3 and "sum_qty" not in ordered[0].asDict()
+    # HAVING on a calc member not displayed works too
+    calc = agg(spark, sf_dir, cube="Sales", measures=["Revenue"],
+               drilldown=["Customer.Nation"],
+               filter=["Avg Price > 50000"]).collect()
+    assert calc and "avg_price" not in calc[0].asDict()
+
+
 def test_named_set_query_plan_single_fact_scan(spark, sf_dir):
     """The named set's ranking aggregation is memoized as an IN-literal
     of member keys (planner.named_set_keys), so the TopCount query
