@@ -315,6 +315,22 @@ def test_ivf_layout_partition_pruned_probe(spark, sf_dir, tmp_path):
     assert layout == inline
 
 
+def test_recommended_lsh_config():
+    """Plane count grows with corpus size (candidate volume bound);
+    tables compensate recall; tiny corpora keep the demo floor."""
+    import math
+    p_small, t_small = similarity.recommended_lsh_config(500, threshold=0.9)
+    p_big, t_big = similarity.recommended_lsh_config(10**9, threshold=0.9)
+    assert p_small >= 3 and p_big > p_small
+    assert 2 ** p_big >= 10**9 / 16          # candidates stay ~linear
+    # achieved recall meets the target for the returned config
+    p = 1.0 - math.acos(0.9) / math.pi
+    assert 1 - (1 - p ** p_big) ** t_big >= 0.9
+    # lower threshold -> lower per-table collision prob -> more tables
+    _, t_low = similarity.recommended_lsh_config(10**9, threshold=0.5)
+    assert t_low > t_big
+
+
 def test_embedding_neardup_lsh_recall(spark, sf_dir):
     from mondrian_rest_spark.sources.registry import load_table
     emb = load_table(spark, sf_dir, "embeddings")
