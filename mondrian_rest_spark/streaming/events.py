@@ -218,7 +218,10 @@ def init_neardup_index(spark, index_path: str, docs: DataFrame | None = None,
                        bands: int = 16) -> str:
     """Seed a parquet-backed near-dup signature index at ``index_path``
     (subdirs bands/ shingles/ sizes/) from an optional historical
-    corpus.  The incremental ingest below appends to it."""
+    corpus.  Each component is laid out as ``batch=<label>`` partition
+    directories (the seed is ``batch=seed``); the incremental ingest
+    below commits one partition per micro-batch, which is what makes
+    its index append idempotent under batch replay."""
     from ..operators.dedup import minhash_signature_frames
 
     if docs is None:   # cold start: empty index, correct schemas
@@ -226,10 +229,10 @@ def init_neardup_index(spark, index_path: str, docs: DataFrame | None = None,
             [], f"{id_col} bigint, {text_col} string")
     ex, stats, bands_df = minhash_signature_frames(
         docs, text_col, id_col, n, num_hashes, bands)
-    bands_df.write.mode("overwrite").parquet(f"{index_path}/bands")
-    ex.write.mode("overwrite").parquet(f"{index_path}/shingles")
+    bands_df.write.mode("overwrite").parquet(f"{index_path}/bands/batch=seed")
+    ex.write.mode("overwrite").parquet(f"{index_path}/shingles/batch=seed")
     stats.select(F.col(id_col), F.col("__sz")).write.mode(
-        "overwrite").parquet(f"{index_path}/sizes")
+        "overwrite").parquet(f"{index_path}/sizes/batch=seed")
     return index_path
 
 
@@ -255,20 +258,41 @@ def streaming_neardup_ingest_incremental(stream: DataFrame, spark,
     foreachBatch runs batches sequentially, so the read-then-append on
     the index is race-free; at 100 TB the appends would go to a
     bucketed table and the candidate join stays band-key-narrow either
-    way.  Exactly-once caveat: a batch replayed after a crash between
-    sink write and index append would re-append signature rows;
-    dedup-by-(id, band) on compaction — or writing survivors and
-    signatures in one transactional commit (e.g. a lakehouse table
-    format) — restores idempotence.
+    way.
+
+    Exactly-once + scale posture (per-batch partition commit):
+
+    * The index read excludes the CURRENT batch's own ``batch=b<id>``
+      partition (a partition-pruned filter), and every index write is a
+      ``mode("overwrite")`` of exactly that partition directory — so a
+      batch replayed after a crash between sink write and index append
+      recomputes the same survivor set against the same prior index
+      state and overwrites its own partitions in place: index row
+      counts are unchanged by replay (idempotent append).
+    * The survivor set is PINNED by writing it to a staging partition
+      and re-reading it (``keep``'s lineage reads the index parquet it
+      is about to grow, and micro-batch plans re-evaluate, so without a
+      pin the post-append re-evaluation would meet the batch's own
+      signatures and drop every row as a self-dup).  The staging write
+      is a distributed parquet write — no driver-side collect, so a
+      micro-batch larger than driver memory (availableNow over a
+      backlog) is fine.
     """
     from ..operators.dedup import (deduplicate_neardup,
                                    minhash_signature_frames,
                                    neardup_pairs_against)
 
+    def _read_ix(component: str, own: str):
+        # partition column `batch` (string) is discovery-only metadata;
+        # the != filter prunes the current batch's directory on replay
+        return (spark.read.parquet(f"{index_path}/{component}")
+                .filter(F.col("batch") != own).drop("batch"))
+
     def _process(batch_df, batch_id):
-        bands_ix = spark.read.parquet(f"{index_path}/bands")
-        shingles_ix = spark.read.parquet(f"{index_path}/shingles")
-        sizes_ix = spark.read.parquet(f"{index_path}/sizes")
+        own = f"b{batch_id}"
+        bands_ix = _read_ix("bands", own)
+        shingles_ix = _read_ix("shingles", own)
+        sizes_ix = _read_ix("sizes", own)
         dups = (neardup_pairs_against(
                     batch_df, bands_ix, shingles_ix, sizes_ix,
                     threshold, text_col, id_col, n, num_hashes, bands)
@@ -277,21 +301,20 @@ def streaming_neardup_ingest_incremental(stream: DataFrame, spark,
         keep = batch_df.join(dups, on=id_col, how="left_anti")
         if within_batch:
             keep = deduplicate_neardup(keep, threshold, text_col, id_col, n)
-        # PIN the survivor set before appending to the index: keep's
-        # lineage READS the index parquet, so any re-evaluation after
-        # the append would meet the batch's own signatures and drop
-        # every row as a self-dup (persist() is not a reliable pin
-        # inside foreachBatch — micro-batch plans re-evaluate).  A
-        # micro-batch is driver-sized by definition, so an eager
-        # localize is the honest shape here; at larger batch sizes,
-        # checkpoint/write-to-staging replaces the collect.
-        keep = spark.createDataFrame(keep.collect(), batch_df.schema)
+        # pin survivors: distributed staging write + re-read (see
+        # docstring); overwrite makes the replayed batch land in the
+        # same directory instead of duplicating
+        staging = f"{index_path}/staging/batch={own}"
+        keep.write.mode("overwrite").parquet(staging)
+        keep = spark.read.schema(batch_df.schema).parquet(staging)
         ex, stats, bands_df = minhash_signature_frames(
             keep, text_col, id_col, n, num_hashes, bands)
-        bands_df.write.mode("append").parquet(f"{index_path}/bands")
-        ex.write.mode("append").parquet(f"{index_path}/shingles")
+        bands_df.write.mode("overwrite").parquet(
+            f"{index_path}/bands/batch={own}")
+        ex.write.mode("overwrite").parquet(
+            f"{index_path}/shingles/batch={own}")
         stats.select(F.col(id_col), F.col("__sz")).write.mode(
-            "append").parquet(f"{index_path}/sizes")
+            "overwrite").parquet(f"{index_path}/sizes/batch={own}")
         if on_batch is not None:
             on_batch(keep, batch_id)
 

@@ -245,6 +245,123 @@ def test_streaming_neardup_incremental_index(spark, tmp_path):
     assert {r.doc_id for r in sizes.collect()} == {1, 201, 205}
 
 
+def test_streaming_neardup_incremental_no_driver_collect():
+    """Scale guard: the incremental ingest batch path must not localize
+    micro-batches through the driver — the survivor pin is a staging
+    write + re-read, not a .collect()."""
+    import inspect
+
+    from mondrian_rest_spark.streaming import events
+
+    src = inspect.getsource(events.streaming_neardup_ingest_incremental)
+    assert ".collect()" not in src
+
+
+def _capture_process(ingest_fn, *args, **kwargs):
+    """Extract the foreachBatch closure from an ingest builder without
+    starting a real StreamingQuery (tests drive it with explicit
+    batch_ids — exactly how the streaming runtime calls it)."""
+    captured = {}
+
+    class _FakeWriter:
+        def foreachBatch(self, fn):
+            captured["fn"] = fn
+            return self
+
+        def trigger(self, **kw):
+            return self
+
+        def start(self):
+            return None
+
+    class _FakeStream:
+        writeStream = _FakeWriter()
+
+    ingest_fn(_FakeStream(), *args, **kwargs)
+    return captured["fn"]
+
+
+def test_streaming_neardup_incremental_replay_idempotent(spark, tmp_path):
+    """Exactly-once index append: replaying a micro-batch (same
+    batch_id, e.g. after a crash between sink write and index append)
+    must leave the index row counts unchanged — each batch commits its
+    signatures by overwriting its own batch= partition, and the
+    candidate read excludes that partition."""
+    from mondrian_rest_spark.streaming.events import (
+        init_neardup_index, streaming_neardup_ingest_incremental)
+
+    seed = spark.createDataFrame(
+        [(1, "historical baseline text about harvesting wheat in autumn")],
+        ["doc_id", "text"])
+    idx = str(tmp_path / "ndidx")
+    init_neardup_index(spark, idx, seed)
+
+    batch = spark.createDataFrame(
+        [(301, "replayed batches must not duplicate index rows"),
+         (302, "a second novel doc rides along in the same batch")],
+        ["doc_id", "text"])
+    survived: list = []
+    # capture _process (the exact fn foreachBatch would invoke) so we
+    # can drive it twice with the SAME batch_id — a crash replay
+    process = _capture_process(
+        streaming_neardup_ingest_incremental, spark, idx, threshold=0.5,
+        on_batch=lambda df, _b: survived.extend(
+            r.doc_id for r in df.collect()))
+
+    def counts():
+        return tuple(spark.read.parquet(f"{idx}/{c}").count()
+                     for c in ("bands", "shingles", "sizes"))
+
+    process(batch, 7)
+    first = counts()
+    assert sorted(survived) == [301, 302]
+    assert spark.read.parquet(f"{idx}/sizes").count() == 3  # seed + 2
+
+    survived.clear()
+    process(batch, 7)       # replay: same batch_id
+    assert counts() == first, "replay changed index row counts"
+    assert sorted(survived) == [301, 302], \
+        "replay must re-accept the same survivors"
+
+
+def test_streaming_neardup_incremental_large_batch(spark, tmp_path):
+    """A micro-batch far larger than a trivial driver round-trip flows
+    through the staging pin: 5k docs (mostly novel, with a planted
+    near-dup pair) filter and index-append correctly."""
+    import pyspark.sql.functions as F
+
+    from mondrian_rest_spark.streaming.events import (
+        init_neardup_index, streaming_neardup_ingest_incremental)
+
+    idx = str(tmp_path / "ndidx_big")
+    init_neardup_index(spark, idx)   # cold start
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "theta", "kappa", "sigma", "omega"]
+    base = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.element_at(F.array(*[F.lit(w) for w in words]),
+                           ((F.col("id") * (i + 3) + i * 7) % 10 + 1)
+                           .cast("int"))
+              for i in range(8)],
+            F.col("id").cast("string")).alias("text"))
+    out = {}
+    process = _capture_process(
+        streaming_neardup_ingest_incremental, spark, idx,
+        threshold=0.5, within_batch=False,
+        on_batch=lambda df, b: out.update(n=df.count()))
+    process(base, 0)
+    assert out["n"] == 5000          # all novel vs empty seed
+    assert spark.read.parquet(f"{idx}/sizes").count() == 5000
+    # second batch: exact replicas of first-batch docs -> all dropped
+    # against the index grown by batch 0
+    process(base.withColumn("doc_id", F.col("doc_id") + 10000), 1)
+    assert out["n"] == 0
+    assert spark.read.parquet(f"{idx}/sizes").count() == 5000
+
+
 def test_streaming_dedup_bounded_state(spark, tmp_path):
     """Ingest-time exact dedup (training-data pipeline): duplicate
     content arriving within the watermark horizon is dropped; the
