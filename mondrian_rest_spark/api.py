@@ -236,18 +236,20 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         "spreadsheetml.sheet": "xlsx",
     }
 
-    def _negotiate(fmt: str) -> str:
-        if fmt != "json":
+    def _negotiate(fmt: str | None) -> str:
+        # fmt is None only on the extensionless route: an explicit URL
+        # extension (including .json) always wins over the Accept header
+        if fmt is not None:
             return fmt
         accept = request.headers.get("Accept", "")
         for mime, f in _ACCEPT_FMTS.items():
             if mime in accept:
                 return f
-        return fmt
+        return "json"
 
     @app.route("/cubes/<cube>/aggregate", methods=["GET", "POST"])
     @app.route("/cubes/<cube>/aggregate.<fmt>", methods=["GET", "POST"])
-    def agg(cube, fmt="json"):
+    def agg(cube, fmt=None):
         fmt = _negotiate(fmt)
         params = request.values
         qm = query_model_from_params(cube, params)
@@ -288,7 +290,7 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
 
     @app.route("/mdx", methods=["POST"])
     @app.route("/mdx.<fmt>", methods=["POST"])
-    def mdx_route(fmt="json"):
+    def mdx_route(fmt=None):
         fmt = _negotiate(fmt)
         # reference api.rb:21-50 raw-MDX passthrough, scoped to the
         # generated-MDX subset (SURVEY §2.10 Q6); same formatter set and

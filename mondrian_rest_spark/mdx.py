@@ -142,6 +142,16 @@ def _axis(p: _P, q: MdxQuery) -> None:
     _axis_expr(p, q)
 
 
+def _int(p: _P, what: str) -> int:
+    """Consume an integer token; malformed MDX is a 400 (ParseError),
+    never a bare ValueError (which would surface as a 500)."""
+    tok = p.next()
+    try:
+        return int(tok)
+    except ValueError:
+        raise ParseError(f"{what} must be an integer, got {tok!r}")
+
+
 def _measure_ref(p: _P) -> str:
     segs = _path(p)
     if len(segs) != 2 or segs[0].lower() != "measures":
@@ -196,6 +206,27 @@ def _axis_expr(p: _P, q: MdxQuery) -> None:
             "(e.g. TOPCOUNT(CROSSJOIN(a, b), n, m)) instead")
 
 
+def _crossjoin_operand(p: _P, q: MdxQuery) -> None:
+    """An operand of function-form CROSSJOIN(a, b): every term is in
+    crossjoin position, so a simple TOPCOUNT compiles to an inline
+    named set (same path as the infix `TOPCOUNT(...) * set` form) and
+    other set functions are rejected — compiling them here would apply
+    order/limit to the WHOLE axis and silently truncate the crossjoin
+    to the inner set's n rows (the wrong-answer mode the infix path
+    already guards against)."""
+    while True:
+        if _axis_term(p, q, infix_hint=True):
+            raise ParseError(
+                "set functions cannot be crossjoin operands in this MDX "
+                "subset (order/limit would apply to the whole axis, not "
+                "the inner set); wrap the crossjoin inside the function "
+                "(e.g. TOPCOUNT(CROSSJOIN(a, b), n, m)) instead")
+        if p.peek() == "*":
+            p.next()
+            continue
+        break
+
+
 def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
     """Parse one axis term; returns True when it was a set function
     (which imposes axis-global order/limit/filter semantics).
@@ -211,10 +242,10 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
         elif t == "SUBSET":
             _axis_expr(p, q)
             p.expect(",")
-            q.qm_kwargs["offset"] = int(p.next())
+            q.qm_kwargs["offset"] = _int(p, "SUBSET offset")
             if p.peek() == ",":
                 p.next()
-                q.qm_kwargs["limit"] = int(p.next())
+                q.qm_kwargs["limit"] = _int(p, "SUBSET count")
         elif t == "ORDER":
             _axis_expr(p, q)
             p.expect(",")
@@ -238,7 +269,7 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             sub = MdxQuery()
             _axis_expr(p, sub)
             p.expect(",")
-            n = int(p.next())
+            n = _int(p, "TOPCOUNT count")
             p.expect(",")
             top_by = _measure_ref(p)
             p.expect(")")
@@ -264,9 +295,9 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             q.qm_kwargs["limit"] = n
             return True
         elif t == "CROSSJOIN":
-            _axis_expr(p, q)
+            _crossjoin_operand(p, q)
             p.expect(",")
-            _axis_expr(p, q)
+            _crossjoin_operand(p, q)
         p.expect(")")
         # DISTINCT/CROSSJOIN are axis-shape-neutral; the rest impose
         # axis-global order/limit/filter semantics
@@ -430,7 +461,7 @@ def _with_set_body(p: _P) -> tuple:
     p.expect(".")
     p.expect("MEMBERS")
     p.expect(",")
-    k = int(p.next())
+    k = _int(p, "WITH SET count")
     p.expect(",")
     top_by = _measure_ref(p)
     p.expect(")")
@@ -447,7 +478,7 @@ def _parallelperiod_tuple(p: _P) -> str:
     lag_n = 1
     if p.peek() == ",":
         p.next()
-        lag_n = int(p.next())
+        lag_n = _int(p, "PARALLELPERIOD lag")
         if lag_n < 1:
             raise ParseError("PARALLELPERIOD shift must be >= 1")
     p.expect(")")

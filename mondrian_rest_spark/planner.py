@@ -560,6 +560,17 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel
                 group_cols.append(alias)
     group_cols += prop_group_aliases(drills, prop_seq)
 
+    # a calc member whose alias matches an axis column would silently
+    # overwrite it via withColumn below — a wrong answer, not a 400
+    # (ADVICE r5: WITH MEMBER [Measures].[Cust Region] while drilling
+    # Customer.Region).  Schema calcs hit this too if a query drills a
+    # level whose alias collides.
+    for c in calcs:
+        if c.alias in group_cols:
+            raise ParseError(
+                f"measure {c.name!r} (alias {c.alias!r}) collides with a "
+                "drilled axis column — rename the calculated member")
+
     aggs = [_agg_expr(m) for m in base_measures]
     if not aggs:  # pure axis enumeration still needs an aggregate context
         aggs = [_agg_expr(cube.default_measure)]
@@ -924,6 +935,22 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                 f"WITH MEMBER references unknown measure {r!r}")
         if r not in base_requested:
             base_requested.append(r)
+    # HAVING/ORDER may reference measures outside the display list
+    # (mirrors _aggregate_cube's extra_names; Mondrian evaluates them
+    # in query context) — aggregate them too; the final projection at
+    # the bottom selects only the requested list
+    for fs in qm.filter:
+        try:
+            mname = parse_measure_filter(fs).measure
+        except ParseError:
+            continue   # malformed filters error in the HAVING step
+        if (mname not in inline and mname not in base_requested
+                and any(_has_measure(c, mname) for c in cubes)):
+            base_requested.append(mname)
+    if (qm.order and "." not in qm.order and qm.order not in inline
+            and qm.order not in base_requested
+            and any(_has_measure(c, qm.order) for c in cubes)):
+        base_requested.append(qm.order)
     measures = base_requested
     parts: list[tuple[DataFrame, list[str]]] = []
     group_cols: list[str] | None = None
@@ -961,12 +988,15 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                 continue
         raise ParseError(f"cannot resolve measure {name!r} in {vc.name!r}")
 
-    taken = {a for _, maliases in parts for a in maliases}
+    # axis (group) columns count as taken too: withColumn would
+    # silently overwrite a drilled column (same guard as _aggregate_cube)
+    taken = ({a for _, maliases in parts for a in maliases}
+             | set(group_cols or []))
     for name, tmpl in inline.items():
         if inline_alias[name] in taken:
             raise ParseError(
                 f"WITH MEMBER name {name!r} collides with an existing "
-                "measure")
+                "measure or axis column")
         taken.add(inline_alias[name])
         expr = re.sub(r"\{m:([^}]+)\}",
                       lambda m: _valias(m.group(1)), tmpl)

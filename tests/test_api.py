@@ -259,6 +259,12 @@ def test_accept_header_negotiation(client):
     r3 = client.get("/cubes/Sales/aggregate.csv", query_string=q,
                     headers={"Accept": "application/x-jsonrecords"})
     assert r3.get_data(as_text=True).splitlines()[0].startswith("ID Region")
+    # ... including an explicit .json extension (ADVICE r5: the
+    # extension must not be overridden by Accept)
+    r4 = client.get("/cubes/Sales/aggregate.json", query_string=q,
+                    headers={"Accept": "text/csv"})
+    assert r4.mimetype == "application/json"
+    assert "axes" in json.loads(r4.get_data(as_text=True))
 
 
 def test_aggregate_jsonrecords(client):

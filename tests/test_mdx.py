@@ -141,6 +141,51 @@ def test_compile_infix_rejects_complex_set_functions():
             "[Customer].[Region].Members ON ROWS FROM [Sales]")
 
 
+def test_function_crossjoin_topcount_operand_named_set():
+    """CROSSJOIN(TOPCOUNT(set, n, m), other) — a simple TOPCOUNT in
+    function-form crossjoin position routes through the same inline
+    named set as the infix form (ADVICE r5: it previously compiled to
+    axis-global order/limit, truncating the whole crossjoin)."""
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "CROSSJOIN(TOPCOUNT([Customer].[Nation].Members, 3, "
+        "[Measures].[Revenue]), [Line Status].[Line Status].Members) "
+        "ON ROWS FROM [Sales]")
+    assert qm.with_sets == [
+        ("TopCount Set 1", "Customer.Nation", 3, "Revenue", False)]
+    assert qm.order is None and qm.limit is None
+    # non-simple set functions as crossjoin operands stay a clear 400
+    with pytest.raises(ParseError, match="crossjoin operand"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "CROSSJOIN(ORDER([Part].[Brand].Members, [Measures].[Revenue],"
+            " BDESC), [Customer].[Region].Members) ON ROWS FROM [Sales]")
+
+
+def test_malformed_counts_are_parse_errors():
+    """Non-numeric count tokens (TOPCOUNT n, SUBSET offset/count,
+    PARALLELPERIOD lag, WITH SET k) are 400s, not ValueErrors/500s."""
+    for bad in [
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "TOPCOUNT([Customer].[Nation].Members, MANY, [Measures].[Revenue])"
+        " ON ROWS FROM [Sales]",
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "SUBSET([Customer].[Nation].Members, x) ON ROWS FROM [Sales]",
+        "WITH SET [S] AS TOPCOUNT([Customer].[Nation].Members, n, "
+        "[Measures].[Revenue]) SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[S] ON ROWS FROM [Sales]",
+    ]:
+        with pytest.raises(ParseError, match="integer"):
+            compile_mdx(bad)
+    # a non-numeric PARALLELPERIOD lag falls off the tuple grammar into
+    # the arithmetic-formula path — still a ParseError (400), not a 500
+    with pytest.raises(ParseError):
+        compile_mdx(
+            "WITH MEMBER [Measures].[P] AS ([Measures].[Revenue], "
+            "PARALLELPERIOD([Time].[Year], two)) SELECT {[Measures].[P]} "
+            "ON COLUMNS, [Time].[Year].Members ON ROWS FROM [Sales]")
+
+
 def test_compile_non_default_hierarchy_members(spark, sf_dir):
     """[Time].[Weekly].[Week].Members — a 3-segment path over a
     non-default hierarchy — must compile and match the REST path."""

@@ -203,6 +203,47 @@ def test_virtual_cube_full_outer(spark, sf_dir):
             drilldown=["Part.Brand"])  # non-conformed dim
 
 
+def test_with_member_alias_axis_collision_400(spark, sf_dir):
+    """A WITH MEMBER whose slug equals a drilled axis column alias must
+    400, not silently overwrite the axis column (ADVICE r5): alias of
+    member 'Year' is 'year', the Time.Year drill's key alias."""
+    with pytest.raises(ParseError, match="collides"):
+        agg(spark, sf_dir, cube="Sales", measures=["Revenue", "Year"],
+            drilldown=["Time.Year"],
+            with_members=[("Year", "{m:Revenue} * 2")]).collect()
+
+
+def test_virtual_with_member_alias_axis_collision_400(spark, sf_dir):
+    """Same guard on the virtual-cube inline path."""
+    with pytest.raises(ParseError, match="collides"):
+        agg(spark, sf_dir, cube="Orders and Sales",
+            measures=["Revenue", "Cust Nation Key"],
+            drilldown=["Customer.Nation"],
+            with_members=[("Cust Nation Key", "{m:Revenue} * 2")]).collect()
+
+
+def test_virtual_cube_having_order_undisplayed_measure(spark, sf_dir):
+    """HAVING/ORDER on a virtual cube may reference measures outside
+    the display list (ADVICE r5; Mondrian evaluates them in query
+    context) — previously an unhandled AnalysisException (500)."""
+    rows = agg(spark, sf_dir, cube="Orders and Sales",
+               measures=["Revenue"], drilldown=["Customer.Nation"],
+               filter=["Order Count > 1"]).collect()
+    assert rows and all(len(r) == 3 for r in rows)   # nation cols + Revenue
+    ordered = agg(spark, sf_dir, cube="Orders and Sales",
+                  measures=["Revenue"], drilldown=["Customer.Nation"],
+                  order="Total Price", order_desc=True, limit=3).collect()
+    assert len(ordered) == 3
+    assert "total_price" not in ordered[0].asDict()
+    # the ordering actually followed Total Price: recompute with it shown
+    shown = agg(spark, sf_dir, cube="Orders and Sales",
+                measures=["Revenue", "Total Price"],
+                drilldown=["Customer.Nation"],
+                order="Total Price", order_desc=True, limit=3).collect()
+    assert [r.cust_nation_key for r in ordered] == \
+        [r.cust_nation_key for r in shown]
+
+
 def test_distinct_count_non_additive(spark, sf_dir, duck):
     rows = agg(spark, sf_dir, cube="Sales", measures=["Customer Count"],
                drilldown=["Customer.Region"]).collect()
