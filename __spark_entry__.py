@@ -526,6 +526,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "predicted_lang")
     q["x02_stratified_sample"] = _stratified
 
+    # ---- declarative JSON catalog (catalogs/corpus.json; reference
+    # ---- binds schemas from XML files, api_helpers.rb:10-16) ----
+    def _json_catalog(s, d):
+        from mondrian_rest_spark.catalog_json import catalog_from_json
+        from mondrian_rest_spark.planner import aggregate as agg2
+        from mondrian_rest_spark.query import QueryModel
+        cat = catalog_from_json("/root/repo/catalogs/corpus.json")
+        return agg2(s, d, cat, QueryModel(
+            cube="Documents",
+            measures=["Doc Count", "Total Chars", "Chars per Doc"],
+            drilldown=["Language", "Source"], nonempty=True))
+    q["j01_json_catalog_agg"] = _json_catalog
+
     return q
 
 
@@ -1455,4 +1468,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, COUNT(doc_id) AS n_docs,
                    MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
             FROM s GROUP BY split""",
+
+        "j01_json_catalog_agg": """
+            SELECT lang, source,
+                   COUNT(doc_id) AS doc_count,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE)
+                     AS total_chars,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE)
+                     / COUNT(doc_id) AS chars_per_doc
+            FROM documents GROUP BY lang, source""",
     }

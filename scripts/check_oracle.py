@@ -4,7 +4,12 @@ query AND its DuckDB oracle, compare row count / schema / values
 (order-insensitive).  Usage:
 
     python scripts/check_oracle.py [sf_dir] [query ...]
-"""
+    python scripts/check_oracle.py --json CORRECTNESS_local_r06.json [sf_dir]
+
+--json writes a durable per-query record in the driver's
+CORRECTNESS_r{N}.json row schema, covering ALL registered queries
+(the driver's own list has been frozen at 50 rows since round 3;
+this artifact is the per-round record for the rest)."""
 
 from __future__ import annotations
 
@@ -65,8 +70,13 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     spark = build_session(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -75,18 +85,28 @@ def main() -> int:
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failed = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        records[name] = rec
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failed.append(name)
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            rec["err"] = f"spark error: {type(e).__name__}: {e}"
+            print(f"FAIL {name}: {rec['err']}")
             continue
         spark_t = time.time() - t0
+        rec["spark_rows"] = len(sdf)
         if name not in oracles:
+            # driver's weaker rows-only check: ran + returned a frame
+            rec.update(rows_match=True, schema_match=True, hash_match=None,
+                       rows_only=True)
             print(f"ok?  {name}: rows={len(sdf)} ({spark_t:.1f}s) [rows-only, no oracle]")
             continue
         t0 = time.time()
@@ -94,15 +114,26 @@ def main() -> int:
             ddf = duck_frame(con, oracles[name])
         except Exception as e:
             failed.append(name)
-            print(f"FAIL {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb error: {e}"
+            print(f"FAIL {name}: {rec['err']}")
             continue
+        rec["oracle_rows"] = len(ddf)
         issues = compare(name, sdf, ddf)
+        rec["rows_match"] = len(sdf) == len(ddf)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
+        rec["hash_match"] = not issues
         if issues:
             failed.append(name)
-            print(f"FAIL {name}: rows={len(sdf)}  " + " | ".join(issues))
+            rec["err"] = " | ".join(issues)
+            print(f"FAIL {name}: rows={len(sdf)}  " + rec["err"])
         else:
             print(f"PASS {name}: rows={len(sdf)} "
                   f"(spark {spark_t:.1f}s, duck {time.time() - t0:.1f}s)")
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {json_out} ({len(records)} queries)")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
 
