@@ -294,6 +294,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY CROSSJOIN([Customer].[Region].Members, "
         "[Line Status].[Line Status].Members) ON ROWS FROM [Sales]")
 
+    # <member>.Children + HIERARCHIZE axis idioms in posted MDX
+    # (Mondrian accepts both via reference api.rb:21-50; children of
+    # region &2 = its nations, hierarchize = default member order)
+    q["q37_mdx_children_hierarchize"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Line Count]} ON COLUMNS, "
+        "NON EMPTY HIERARCHIZE([Customer].[Region].[&2].Children) "
+        "ON ROWS FROM [Sales]")
+
     # WITH MEMBER inline calculated member in posted MDX (reference
     # api.rb:21-50 accepts it via Mondrian; planner._inline_calcs)
     q["q32_mdx_with_member"] = lambda s, d: __import__(
@@ -967,6 +977,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
                    l_linestatus, {REVENUE} AS revenue
             FROM {J_CUST} GROUP BY 1, 2, 3""",
+
+        "q37_mdx_children_hierarchize": f"""
+            SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   {REVENUE} AS revenue, COUNT(l_linenumber) AS line_count
+            FROM {J_CUST} WHERE r_regionkey = 2
+            GROUP BY 1, 2""",
 
         "q35_mdx_virtual_with_member": f"""
             SELECT cust_region_key, cust_region, revenue,

@@ -22,6 +22,7 @@ build_query emits, which covers every query the REST layer can express:
            | FILTER(axis', <cond> [AND <cond>]...)
            | TOPCOUNT(axis', n, [Measures].[M])
            | CROSSJOIN(axis', axis') | {set} | <path>.Members
+           | <member>.Children | HIERARCHIZE(axis')
            | DESCENDANTS(<member>, <level path>) | [Named Set]
     slicer := <member> | {<member>,...} | [Named Set]
 """
@@ -117,7 +118,8 @@ class MdxQuery:
     def __init__(self) -> None:
         self.qm_kwargs: dict = dict(measures=[], drilldown=[], cut=[],
                                     filter=[], nonempty=False,
-                                    with_members=[], with_sets=[])
+                                    with_members=[], with_sets=[],
+                                    children_of=[])
 
 
 def _merge_sub(q: MdxQuery, sub: MdxQuery) -> None:
@@ -305,16 +307,44 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
     if t == "DESCENDANTS":
         q.qm_kwargs["drilldown"].append(_descendants(p, q))
         return False
+    if t == "HIERARCHIZE":
+        # HIERARCHIZE(set): hierarchical member order — which is this
+        # engine's DEFAULT axis order (root-level keys outermost, asc;
+        # planner orderBy key_aliases), so the wrapper parses its set
+        # and asserts no conflicting explicit ORDER was imposed
+        p.next()
+        p.expect("(")
+        _crossjoin_operand(p, q)
+        p.expect(")")
+        if "order" in q.qm_kwargs:
+            raise ParseError(
+                "HIERARCHIZE cannot wrap an ORDER'd set in this MDX "
+                "subset (hierarchical order would override it)")
+        return False
     if t == "{":
         _set_expr(p, q)
         return False
-    # member path: Level.Members or bare [Named Set]
+    # member path: Level.Members, <member>.Children, or bare [Named Set]
     segs = _path(p)
     if p.peek() == "." :
         p.next()
-        p.expect("MEMBERS")
-        q.qm_kwargs["drilldown"].append(".".join(segs))
-        return False
+        w = p.next().upper()
+        if w == "MEMBERS":
+            q.qm_kwargs["drilldown"].append(".".join(segs))
+            return False
+        if w == "CHILDREN":
+            # Mondrian axis idiom: the member's children = drill the
+            # child level + implicit member slice (resolved against
+            # the catalog at plan time — QueryModel.children_of)
+            if len(segs) < 3:
+                raise ParseError(
+                    f".Children needs [Dim].[Level].[member], got "
+                    f"{_path_str(segs)}")
+            q.qm_kwargs["children_of"].append(_path_str(segs))
+            return False
+        raise ParseError(
+            f"expected .Members or .Children after {_path_str(segs)}, "
+            f"got .{w}")
     if len(segs) == 1:
         q.qm_kwargs["drilldown"].append(segs[0])  # named set shortcut
         return False
@@ -630,6 +660,9 @@ def emit_mdx(cat: Catalog, qm) -> str:
             if parsed.level:
                 segs.append(parsed.level)
             sets.append(_path_str(segs) + ".Members")
+    for ch in getattr(qm, "children_of", []):
+        from .parser import parse_segments
+        sets.append(_path_str(parse_segments(ch)) + ".Children")
 
     axis = None
     if sets:

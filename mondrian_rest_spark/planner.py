@@ -47,6 +47,7 @@ from .parser import (
     parse_drilldown,
     parse_measure_filter,
     parse_property,
+    parse_segments,
 )
 from .query import QueryModel
 from .sources.registry import load_table
@@ -232,6 +233,9 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel) ->
     if cat.virtual_cube(qm.cube) is not None:
         if qm.with_sets:
             raise ParseError("WITH SET is not supported on virtual cubes")
+        if qm.children_of:
+            raise ParseError(
+                ".Children axis sets are not supported on virtual cubes")
         return _aggregate_virtual(spark, sf_dir, cat, qm)
     cube = cat.cube(qm.cube)
     if qm.with_members:
@@ -429,6 +433,26 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel
     cuts = [_resolve_cut(cube, parse_cut(c, ns_names)) for c in qm.cut]
     for name in implicit_ns_cuts:
         cuts.append(_resolve_cut(cube, Cut(kind="named_set", named_set=name)))
+
+    # --- <member>.Children (raw-MDX axis idiom; Mondrian accepts via
+    # --- reference api.rb:21-50): drill the member's CHILD level,
+    # --- sliced to the member — catalog-aware, hence resolved here ---
+    for ch in qm.children_of:
+        segs = parse_segments(ch)
+        if len(segs) < 3:
+            raise ParseError(
+                f".Children needs [Dim].[Level].[member], got {ch!r}")
+        hier_name = segs[1] if len(segs) == 4 else None
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        idx = hier.level_index(level.name)
+        if idx + 1 >= len(hier.levels):
+            raise ParseError(
+                f"{ch!r}.Children: {level.name!r} is the leaf level of "
+                f"hierarchy {hier.name!r}")
+        child = hier.levels[idx + 1]
+        gl = list(hier.levels[: idx + 2]) if qm.parents else [child]
+        drills.append(ResolvedDrill(dim, hier, child, gl))
+        cuts.append(_resolve_cut(cube, parse_cut(ch, ns_names)))
 
     # drilling on an ascendant of a cut member is a client error
     # (reference api_spec.rb:154-157; query_helper.rb:242-245)

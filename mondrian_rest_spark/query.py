@@ -42,3 +42,8 @@ class QueryModel:
     # inline WITH SET named sets from raw MDX: list of
     # (name, level_path, k, top_by_measure, ascending)
     with_sets: list = field(default_factory=list)
+    # <member>.Children axis sets from raw MDX (Mondrian idiom,
+    # accepted by reference api.rb:21-50): member full-path strings;
+    # each resolves to a drilldown at the member's CHILD level plus an
+    # implicit member cut — catalog-aware, so resolved at plan time
+    children_of: list = field(default_factory=list)

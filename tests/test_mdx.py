@@ -186,6 +186,72 @@ def test_malformed_counts_are_parse_errors():
             "ON COLUMNS, [Time].[Year].Members ON ROWS FROM [Sales]")
 
 
+def test_children_axis_matches_descendants(spark, sf_dir):
+    """<member>.Children == DESCENDANTS(member, child level): children
+    of region &2 are its nations, sliced to that region."""
+    got = sorted(map(tuple, execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].[&2].Children ON ROWS "
+        "FROM [Sales]").collect()))
+    exp = sorted(map(tuple, execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY DESCENDANTS([Customer].[Region].[&2], "
+        "[Customer].[Nation]) ON ROWS FROM [Sales]").collect()))
+    assert got and got == exp
+
+
+def test_children_in_crossjoin(spark, sf_dir):
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "CROSSJOIN([Customer].[Region].[&2].Children, "
+        "[Line Status].[Line Status].Members) ON ROWS FROM [Sales]")
+    assert qm.children_of == ["[Customer].[Region].[&2]"]
+    rows = aggregate(spark, sf_dir, tpch.CATALOG, qm).collect()
+    assert rows and {"cust_nation_key", "l_linestatus"} <= set(
+        rows[0].asDict())
+
+
+def test_children_error_paths(spark, sf_dir):
+    # leaf level has no children -> 400 naming the level
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Customer].[&1].Children ON ROWS FROM [Sales]")
+    with pytest.raises(ParseError, match="leaf level"):
+        aggregate(spark, sf_dir, tpch.CATALOG, qm)
+    # too-short member path is a parse-time 400
+    with pytest.raises(ParseError, match="Children"):
+        compile_mdx("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "[Customer].Children ON ROWS FROM [Sales]")
+    # unknown member methods stay a clear 400
+    with pytest.raises(ParseError, match="Members or .Children"):
+        compile_mdx("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "[Customer].[Region].[&2].Parent ON ROWS FROM [Sales]")
+
+
+def test_hierarchize_is_default_order(spark, sf_dir):
+    """HIERARCHIZE(set) == the engine's default hierarchical axis
+    order, so wrapped and unwrapped axes return identical frames."""
+    raw = ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+           "NON EMPTY HIERARCHIZE(CROSSJOIN([Customer].[Region].Members, "
+           "[Return Flag].[Return Flag].Members)) ON ROWS FROM [Sales]")
+    plain = ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+             "NON EMPTY CROSSJOIN([Customer].[Region].Members, "
+             "[Return Flag].[Return Flag].Members) ON ROWS FROM [Sales]")
+    got = [tuple(r) for r in execute_mdx(
+        spark, sf_dir, tpch.CATALOG, raw).collect()]
+    exp = [tuple(r) for r in execute_mdx(
+        spark, sf_dir, tpch.CATALOG, plain).collect()]
+    assert got == exp   # including row order
+    # ORDER inside HIERARCHIZE would be overridden -> clear 400
+    with pytest.raises(ParseError, match="HIERARCHIZE|crossjoin operand"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "HIERARCHIZE(ORDER([Customer].[Region].Members, "
+            "[Measures].[Revenue], BDESC)) ON ROWS FROM [Sales]")
+
+
 def test_compile_non_default_hierarchy_members(spark, sf_dir):
     """[Time].[Weekly].[Week].Members — a 3-segment path over a
     non-default hierarchy — must compile and match the REST path."""
