@@ -470,6 +470,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, path, _query_set(s, d), k=5)
     q["s07_ann_batch_layout"] = _batch_layout
 
+    # k-means-trained IVF layout (similarity.train_ivf_centroids —
+    # Lloyd iterations as DataFrame ops).  Iterative, so no single
+    # DuckDB statement replays it: registered WITHOUT an oracle_sql
+    # entry on purpose (driver records the weaker rows-only check);
+    # the strong checks — objective monotonicity, determinism, recall
+    # >= hash-picked — live in tests/test_operators.py.
+    def _ivf_trained(s, d):
+        import tempfile
+        key = (id(s), d, "trained")
+        path = _IVF_LAYOUTS.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="ivf_trained_") + "/emb"
+            similarity.materialize_ivf(load_table(s, d, "embeddings"), path,
+                                       train_iters=3)
+            _IVF_LAYOUTS[key] = path
+        emb = load_table(s, d, "embeddings")
+        qvec = list(emb.filter(F.col("vec_id") == 7)
+                    .select("embedding").first()[0])
+        return similarity.ann_topk_ivf_from_layout(
+            s, path, qvec, k=10, exclude_id=7)
+    q["s08_ann_ivf_trained"] = _ivf_trained
+
     # ---- multimodal plumbing (binary payload -> mapInPandas features) ----
     q["m01_media_features"] = lambda s, d: _media_features(s, d)
 

@@ -564,3 +564,41 @@ def test_deterministic_split(spark):
     d20 = {r.doc_id for r in sampling.with_split(df, val_frac=0.2).collect()
            if r.split == "val"}
     assert d10 <= d20
+
+
+def test_ivf_kmeans_trained_centroids(spark, sf_dir, tmp_path):
+    """Optional k-means centroid training (VERDICT r5 item 7): Lloyd
+    iterations in pure DataFrame ops must (a) monotonically reduce the
+    quantization objective — a k-means guarantee, (b) be deterministic
+    across runs (integer math, no RNG state), and (c) serve through the
+    unchanged IVF layout with recall >= the hash-picked default at the
+    same n_probe (measured on the fixed testdata embeddings: 30 vs 26
+    of 50 at build time, asserted as >=)."""
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    init = similarity.train_ivf_centroids(emb, iters=0)   # hash init
+    trained = similarity.train_ivf_centroids(emb, iters=3)
+    c0 = similarity.ivf_quantization_cost(emb, init)
+    c3 = similarity.ivf_quantization_cost(emb, trained)
+    assert c3 < c0
+    assert trained == similarity.train_ivf_centroids(emb, iters=3)
+
+    qids = [3, 7, 23, 41, 55]
+    exact = {q: {r.vec_id for r in
+                 similarity.cosine_topk(emb, q, k=10).collect()}
+             for q in qids}
+
+    def recall(iters):
+        path = str(tmp_path / f"ivf_t{iters}")
+        similarity.materialize_ivf(emb, path, train_iters=iters)
+        hits = 0
+        for q in qids:
+            vec = list(emb.filter(F.col("vec_id") == q)
+                       .select("embedding").first()[0])
+            got = {r.vec_id for r in similarity.ann_topk_ivf_from_layout(
+                spark, path, vec, k=10, exclude_id=q).collect()}
+            hits += len(got & exact[q])
+        return hits
+
+    assert recall(3) >= recall(0)
