@@ -224,11 +224,17 @@ def _dim_select(spark: SparkSession, sf_dir: str, dim: Dimension,
 # the planner
 # ---------------------------------------------------------------------------
 
-def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel) -> DataFrame:
+def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
+              fact_df: DataFrame | None = None) -> DataFrame:
     """Execute a QueryModel against the catalog -> aggregated DataFrame.
 
     The full analog of the reference aggregate endpoint
     (api.rb:115-158 -> query_helper.rb:190-316 -> Mondrian -> SQL).
+
+    ``fact_df`` substitutes the cube's fact scan (dims still come from
+    ``sf_dir``) — the hook incremental rollup maintenance uses to
+    aggregate ONLY an appended batch of fact rows at a rollup's grain,
+    never rescanning the base fact (plans/rollup.py).
     """
     if cat.virtual_cube(qm.cube) is not None:
         if qm.with_sets:
@@ -242,7 +248,7 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel) ->
         cube = _inline_calcs(cube, qm.with_members)
     if qm.with_sets:
         cube = _inline_sets(cube, qm.with_sets)
-    return _aggregate_cube(spark, sf_dir, cube, qm)
+    return _aggregate_cube(spark, sf_dir, cube, qm, fact_df=fact_df)
 
 
 def _inline_sets(cube: Cube, with_sets) -> Cube:
@@ -411,7 +417,8 @@ def _agg_expr(m: Measure):
     return col.alias(m.alias)
 
 
-def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel) -> DataFrame:
+def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
+                    qm: QueryModel, fact_df: DataFrame | None = None) -> DataFrame:
     ns_names = {s.name for s in cube.named_sets}
 
     # --- resolve drilldowns (named-set shortcut => drill + implicit cut) ---
@@ -542,7 +549,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube, qm: QueryModel
             bridge_names.add(m.bridge)
 
     # --- build base frame: fact ⋈ bridges ⋈ dims ---
-    base = load_table(spark, sf_dir, cube.fact)
+    base = fact_df if fact_df is not None else load_table(spark, sf_dir, cube.fact)
     for bname in sorted(bridge_names):
         b = cube.bridge(bname)
         bt = load_table(spark, sf_dir, b.table).select(b.bridge_key, *b.provides)
