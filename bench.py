@@ -45,7 +45,34 @@ BENCH_QUERIES = [
 ]
 
 
+def _parse_gate(argv: list[str]):
+    """`--assert-within FACTOR BASELINE_JSON`: after benching, exit
+    nonzero if this run's total exceeds FACTOR x the baseline total —
+    the in-repo regression gate (VERDICT r5 item 9), e.g.
+
+        python bench.py --assert-within 1.25 BENCH_r05.json
+
+    Accepts either a driver BENCH_r{N}.json (reads parsed.value) or a
+    raw bench.py output line (reads value)."""
+    if "--assert-within" not in argv:
+        return None
+    i = argv.index("--assert-within")
+    try:
+        factor, path = float(argv[i + 1]), argv[i + 2]
+    except (IndexError, ValueError):
+        sys.stderr.write("usage: bench.py --assert-within FACTOR BASELINE_JSON\n")
+        sys.exit(2)
+    with open(path) as f:
+        base = json.load(f)
+    base_total = base.get("parsed", base).get("value")
+    if base_total is None:
+        sys.stderr.write(f"{path}: no total value found\n")
+        sys.exit(2)
+    return factor, float(base_total), path
+
+
 def main() -> None:
+    gate = _parse_gate(sys.argv[1:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = build_session(app_name="mondrian-rest-spark-bench",
@@ -86,6 +113,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }))
+    if gate is not None:
+        factor, base_total, path = gate
+        if total > factor * base_total:
+            sys.stderr.write(
+                f"REGRESSION: total {total}s > {factor} x baseline "
+                f"{base_total}s ({path})\n")
+            sys.exit(1)
+        sys.stderr.write(
+            f"ok: total {total}s <= {factor} x baseline {base_total}s\n")
 
 
 if __name__ == "__main__":
