@@ -354,6 +354,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "[Measures].[Revenue]) * [Line Status].[Line Status].Members "
         "ON ROWS FROM [Sales]")
 
+    # LASTPERIODS(n, member): the n periods ending at the member,
+    # compiled to an IN-literal cut pushed to the scan (mdx.py)
+    q["q39_mdx_lastperiods"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY LASTPERIODS(3, [Time].[Year].[1997]) ON ROWS "
+        "FROM [Sales]")
+
+    # <member>.Parent axis set: drill the parent level sliced to the
+    # member's parent (dim-side key lookup, mdx.py/planner.py)
+    q["q38_mdx_member_parent"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].[NATION_5].Parent ON ROWS "
+        "FROM [Sales]")
+
+    # IIF conditional inside a WITH MEMBER formula (Mondrian scalar fn;
+    # compiles to SQL if(cond, a, b) — mdx.py _calc_tokens)
+    q["q40_mdx_iif_member"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH MEMBER [Measures].[Yield Over Floor] AS "
+        "IIF([Measures].[Revenue] / [Measures].[Line Count] > 50250, "
+        "[Measures].[Revenue] / [Measures].[Line Count], 0) "
+        "SELECT {[Measures].[Revenue], [Measures].[Yield Over Floor]} "
+        "ON COLUMNS, NON EMPTY [Customer].[Nation].Members ON ROWS "
+        "FROM [Sales]")
+
     q["q27_parent_child_closure"] = lambda s, d: _geo_closure_rollup(s, d)
 
     q["q28_rollup_routed"] = lambda s, d: _routed_rollup(s, d)
@@ -1027,6 +1057,35 @@ def oracle_sql() -> dict[str, str]:
             FROM {J_CUST}
             WHERE n_nationkey IN (SELECT n_nationkey FROM top3)
             GROUP BY 1, 2, 3""",
+
+        "q39_mdx_lastperiods": f"""
+            WITH yrs AS (
+              SELECT DISTINCT year(l_shipdate) AS y FROM lineitem
+              WHERE year(l_shipdate) <= 1997 ORDER BY y DESC LIMIT 3)
+            SELECT CAST(year(l_shipdate) AS INTEGER) AS "year",
+                   {REVENUE} AS revenue
+            FROM lineitem
+            WHERE year(l_shipdate) IN (SELECT y FROM yrs)
+            GROUP BY 1""",
+
+        "q38_mdx_member_parent": f"""
+            SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                   {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE r_regionkey = (SELECT n_regionkey FROM nation
+                                 WHERE n_name = 'NATION_5')
+            GROUP BY 1, 2""",
+
+        "q40_mdx_iif_member": f"""
+            WITH agg AS (
+              SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                     {REVENUE} AS revenue, COUNT(l_linenumber) AS line_count
+              FROM {J_CUST} GROUP BY 1, 2)
+            SELECT cust_nation_key, cust_nation, revenue,
+                   CASE WHEN revenue / line_count > 50250
+                        THEN revenue / line_count ELSE 0 END
+                     AS yield_over_floor
+            FROM agg""",
 
         "q34_mdx_with_set": f"""
             WITH agg AS (

@@ -22,7 +22,8 @@ build_query emits, which covers every query the REST layer can express:
            | FILTER(axis', <cond> [AND <cond>]...)
            | TOPCOUNT(axis', n, [Measures].[M])
            | CROSSJOIN(axis', axis') | {set} | <path>.Members
-           | <member>.Children | HIERARCHIZE(axis')
+           | <member>.Children | <member>.Parent | HIERARCHIZE(axis')
+           | LASTPERIODS(n, <member>)
            | DESCENDANTS(<member>, <level path>) | [Named Set]
     slicer := <member> | {<member>,...} | [Named Set]
 """
@@ -119,7 +120,8 @@ class MdxQuery:
         self.qm_kwargs: dict = dict(measures=[], drilldown=[], cut=[],
                                     filter=[], nonempty=False,
                                     with_members=[], with_sets=[],
-                                    children_of=[])
+                                    children_of=[], parent_of=[],
+                                    lastperiods=[])
 
 
 def _merge_sub(q: MdxQuery, sub: MdxQuery) -> None:
@@ -307,6 +309,22 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
     if t == "DESCENDANTS":
         q.qm_kwargs["drilldown"].append(_descendants(p, q))
         return False
+    if t == "LASTPERIODS":
+        # LASTPERIODS(n, <member>): the n periods ending at the member
+        # (Mondrian idiom on time levels; resolved against the catalog
+        # at plan time — QueryModel.lastperiods)
+        p.next()
+        p.expect("(")
+        n = _int(p, "LASTPERIODS count")
+        p.expect(",")
+        segs = _path(p)
+        if len(segs) < 3:
+            raise ParseError(
+                f"LASTPERIODS needs [Dim].[Level].[member], got "
+                f"{_path_str(segs)}")
+        p.expect(")")
+        q.qm_kwargs["lastperiods"].append((_path_str(segs), n))
+        return False
     if t == "HIERARCHIZE":
         # HIERARCHIZE(set): hierarchical member order — which is this
         # engine's DEFAULT axis order (root-level keys outermost, asc;
@@ -342,9 +360,19 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
                     f"{_path_str(segs)}")
             q.qm_kwargs["children_of"].append(_path_str(segs))
             return False
+        if w == "PARENT":
+            # Mondrian axis idiom: the member's parent = drill the
+            # parent level + slice to the parent member (looked up
+            # against the catalog at plan time — QueryModel.parent_of)
+            if len(segs) < 3:
+                raise ParseError(
+                    f".Parent needs [Dim].[Level].[member], got "
+                    f"{_path_str(segs)}")
+            q.qm_kwargs["parent_of"].append(_path_str(segs))
+            return False
         raise ParseError(
-            f"expected .Members or .Children after {_path_str(segs)}, "
-            f"got .{w}")
+            f"expected .Members, .Children or .Parent after "
+            f"{_path_str(segs)}, got .{w}")
     if len(segs) == 1:
         q.qm_kwargs["drilldown"].append(segs[0])  # named set shortcut
         return False
@@ -518,23 +546,37 @@ def _parallelperiod_tuple(p: _P) -> str:
 
 def _calc_tokens(p: _P, stop_words: tuple) -> str:
     parts: list[str] = []
-    depth = 0
+    # paren stack: True = an IIF argument list (commas legal inside)
+    stack: list[bool] = []
+    pending_fn = False
     while True:
         t = p.peek()
         if t is None:
             break
         u = t.upper()
-        if depth == 0 and u in stop_words:
+        if not stack and u in stop_words:
             break
         if t == "(":
-            depth += 1
+            stack.append(pending_fn)
+            pending_fn = False
             parts.append(p.next())
         elif t == ")":
-            if depth == 0:
+            if not stack:
                 break
-            depth -= 1
+            stack.pop()
             parts.append(p.next())
         elif t in ("+", "-", "*", "/"):
+            parts.append(p.next())
+        elif u == "IIF":
+            # IIF(cond, a, b) -> SQL if(cond, a, b)
+            p.next()
+            if p.peek() != "(":
+                raise ParseError("IIF needs a parenthesized argument list")
+            pending_fn = True
+            parts.append("if")
+        elif t in (">", "<", ">=", "<=", "=", "<>"):
+            parts.append("!=" if p.next() == "<>" else t)
+        elif t == "," and stack and stack[-1]:
             parts.append(p.next())
         elif t.startswith("["):
             parts.append("{m:" + _measure_ref(p) + "}")
@@ -543,8 +585,9 @@ def _calc_tokens(p: _P, stop_words: tuple) -> str:
         else:
             raise ParseError(
                 f"unsupported token {t!r} in WITH MEMBER formula (this "
-                "MDX subset supports arithmetic over [Measures] refs)")
-    if depth != 0:
+                "MDX subset supports arithmetic, comparisons and "
+                "IIF(cond, a, b) over [Measures] refs)")
+    if stack:
         raise ParseError("unbalanced parentheses in WITH MEMBER formula")
     if not parts:
         raise ParseError("empty WITH MEMBER formula")
@@ -623,8 +666,10 @@ def _emit_formula(tmpl: str) -> str:
         name, lvl, n = lag.groups()
         lvlb = ".".join(f"[{s}]" for s in lvl.split("."))
         return f"([Measures].[{name}], PARALLELPERIOD({lvlb}, {n}))"
-    return re.sub(r"\{m:([^}]+)\}",
-                  lambda m: f"[Measures].[{m.group(1)}]", tmpl)
+    out = re.sub(r"\{m:([^}]+)\}",
+                 lambda m: f"[Measures].[{m.group(1)}]", tmpl)
+    # SQL spellings back to their MDX forms (inverse of _calc_tokens)
+    return re.sub(r"\bif\b(?=\s*\()", "IIF", out).replace("!=", "<>")
 
 def emit_mdx(cat: Catalog, qm) -> str:
     """QueryModel -> the MDX the reference would generate for it
@@ -663,6 +708,12 @@ def emit_mdx(cat: Catalog, qm) -> str:
     for ch in getattr(qm, "children_of", []):
         from .parser import parse_segments
         sets.append(_path_str(parse_segments(ch)) + ".Children")
+    for pp in getattr(qm, "parent_of", []):
+        from .parser import parse_segments
+        sets.append(_path_str(parse_segments(pp)) + ".Parent")
+    for lp_path, n in getattr(qm, "lastperiods", []):
+        from .parser import parse_segments
+        sets.append(f"LASTPERIODS({n}, {_path_str(parse_segments(lp_path))})")
 
     axis = None
     if sets:

@@ -242,6 +242,12 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
         if qm.children_of:
             raise ParseError(
                 ".Children axis sets are not supported on virtual cubes")
+        if qm.parent_of:
+            raise ParseError(
+                ".Parent axis sets are not supported on virtual cubes")
+        if qm.lastperiods:
+            raise ParseError(
+                "LASTPERIODS is not supported on virtual cubes")
         return _aggregate_virtual(spark, sf_dir, cat, qm)
     cube = cat.cube(qm.cube)
     if qm.with_members:
@@ -460,6 +466,102 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         gl = list(hier.levels[: idx + 2]) if qm.parents else [child]
         drills.append(ResolvedDrill(dim, hier, child, gl))
         cuts.append(_resolve_cut(cube, parse_cut(ch, ns_names)))
+
+    # --- <member>.Parent (raw-MDX axis idiom): drill the PARENT level
+    # --- sliced to the member's parent, looked up on the DIM side
+    # --- (bounded: <=2 rows collected; never touches the fact) ---
+    for pp in qm.parent_of:
+        segs = parse_segments(pp)
+        if len(segs) < 3:
+            raise ParseError(
+                f".Parent needs [Dim].[Level].[member], got {pp!r}")
+        hier_name = segs[1] if len(segs) == 4 else None
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        idx = hier.level_index(level.name)
+        if idx == 0:
+            raise ParseError(
+                f"{pp!r}.Parent: {level.name!r} is the top level of "
+                f"hierarchy {hier.name!r}")
+        if dim.is_degenerate:
+            # this catalog's degenerate time levels have per-parent
+            # repeating keys (quarter 1-4 every year), so 'the parent
+            # of [Quarter].[2]' is not a single member
+            raise ParseError(
+                f"{pp!r}.Parent: not supported on degenerate dimension "
+                f"{dim.name!r} (member keys repeat per parent)")
+        parent = hier.levels[idx - 1]
+        raw = segs[-1]
+        # member value semantics match REST cuts: caption unless [&key]
+        use_caption = (not raw.startswith("&") and level.caption
+                       and level.caption_alias
+                       and level.caption_alias != level.key_alias)
+        match_col = level.caption_alias if use_caption else level.key_alias
+        rows = (_dim_select(spark, sf_dir, dim, [parent, level])
+                .filter(F.col(match_col) == F.lit(_coerce(raw.lstrip("&"))))
+                .select(parent.key_alias).distinct().limit(2).collect())
+        if len(rows) != 1:
+            raise ParseError(
+                f"{pp!r}: member not found"
+                if not rows else f"{pp!r}: parent is ambiguous")
+        gl = list(hier.levels[:idx]) if qm.parents else [parent]
+        drills.append(ResolvedDrill(dim, hier, parent, gl))
+        cut_str = ".".join(f"[{s}]" for s in
+                           segs[:-2] + [parent.name, f"&{rows[0][0]}"])
+        cuts.append(_resolve_cut(cube, parse_cut(cut_str, ns_names)))
+
+    # --- LASTPERIODS(n, <member>) (raw-MDX axis idiom): the n level
+    # --- keys ending at the member, as an IN-literal cut pushed to the
+    # --- scans (same shape as named-set memoization).  Keys order by
+    # --- the level's global key order — right for Year/Day calendar
+    # --- units and any totally-keyed level; sub-year time levels
+    # --- (quarter/month keys repeating per year) have no total order
+    # --- in this catalog and get their cyclic key order ---
+    for lp_path, n_periods in qm.lastperiods:
+        if n_periods < 1:
+            raise ParseError("LASTPERIODS count must be >= 1")
+        segs = parse_segments(lp_path)
+        if len(segs) < 3:
+            raise ParseError(
+                f"LASTPERIODS needs [Dim].[Level].[member], got {lp_path!r}")
+        hier_name = segs[1] if len(segs) == 4 else None
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        raw = segs[-1]
+        val = _coerce(raw.lstrip("&"))
+        use_caption = (not raw.startswith("&") and level.caption
+                       and level.caption_alias
+                       and level.caption_alias != level.key_alias)
+        if dim.is_degenerate:
+            exprs = {level.key_alias: level.key}
+            if use_caption:
+                exprs[level.caption_alias] = level.caption
+            keys_src = load_table(spark, sf_dir, cube.fact).select(
+                *[F.expr(e).alias(a) for a, e in exprs.items()])
+        else:
+            keys_src = _dim_select(spark, sf_dir, dim, [level])
+        if use_caption:
+            trows = (keys_src
+                     .filter(F.col(level.caption_alias) == F.lit(val))
+                     .select(level.key_alias).distinct().limit(2).collect())
+            if len(trows) != 1:
+                raise ParseError(f"{lp_path!r}: member not found")
+            target = trows[0][0]
+        else:
+            target = val
+        keys = [r[0] for r in
+                (keys_src.select(level.key_alias).distinct()
+                 .filter(F.col(level.key_alias) <= F.lit(target))
+                 .orderBy(F.col(level.key_alias).desc())
+                 .limit(n_periods).collect())]
+        if not keys or keys[0] != target:
+            raise ParseError(f"{lp_path!r}: member not found")
+        idx = hier.level_index(level.name)
+        gl = list(hier.levels[: idx + 1]) if qm.parents else [level]
+        drills.append(ResolvedDrill(dim, hier, level, gl))
+        prefix = segs[:-1]
+        cut_str = "{" + ",".join(
+            ".".join(f"[{s}]" for s in prefix + [f"&{k}"])
+            for k in keys) + "}"
+        cuts.append(_resolve_cut(cube, parse_cut(cut_str, ns_names)))
 
     # drilling on an ascendant of a cut member is a client error
     # (reference api_spec.rb:154-157; query_helper.rb:242-245)

@@ -188,6 +188,12 @@ class RollupManager:
     def _choose(self, qm: QueryModel) -> Rollup | None:
         if qm.parents or qm.properties or qm.caption or not qm.nonempty:
             return None
+        # axis idioms resolved inside _aggregate_cube add drills/cuts
+        # the grain check below cannot see; query-scoped WITH forms
+        # rewrite the cube — all route to base
+        if (qm.children_of or qm.parent_of or qm.lastperiods
+                or qm.with_members or qm.with_sets):
+            return None
         base_measures, calcs, _ = _split_measures(self.cube, list(qm.measures))
         if calcs or any(m.agg not in _REAGG for m in base_measures):
             return None  # distinct-count / avg / calc members -> base facts

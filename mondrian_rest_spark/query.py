@@ -47,3 +47,11 @@ class QueryModel:
     # each resolves to a drilldown at the member's CHILD level plus an
     # implicit member cut — catalog-aware, so resolved at plan time
     children_of: list = field(default_factory=list)
+    # <member>.Parent axis sets from raw MDX: member full-path strings;
+    # each resolves to a drilldown at the PARENT level plus a cut to
+    # the member's parent key (looked up dim-side at plan time)
+    parent_of: list = field(default_factory=list)
+    # LASTPERIODS(n, <member>) axis sets from raw MDX: list of
+    # (member_path, n); each resolves to a drilldown at the member's
+    # level plus an IN-cut of the n level keys ending at the member
+    lastperiods: list = field(default_factory=list)

@@ -133,6 +133,14 @@ def build_session(app_name: str = "mondrian-rest-spark",
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.session.timeZone", "UTC")
+         # local-mode driver == the whole cluster: the 1g default heap
+         # OOMs after a few hundred queries in one JVM (broadcast relics
+         # + listener state accumulate); a real deployment sizes
+         # spark.driver.memory/spark.executor.memory via spark-submit.
+         # Only effective before the JVM launches (first session in the
+         # process) — getOrCreate ignores it afterwards, harmlessly.
+         .config("spark.driver.memory",
+                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions)))
     if master:
         b = b.master(master)

@@ -224,10 +224,11 @@ def test_children_error_paths(spark, sf_dir):
     with pytest.raises(ParseError, match="Children"):
         compile_mdx("SELECT {[Measures].[Revenue]} ON COLUMNS, "
                     "[Customer].Children ON ROWS FROM [Sales]")
-    # unknown member methods stay a clear 400
-    with pytest.raises(ParseError, match="Members or .Children"):
+    # unknown member methods stay a clear 400 (.Parent is supported
+    # since r6 — see test_mdx_member_parent_axis)
+    with pytest.raises(ParseError, match="Members, .Children or .Parent"):
         compile_mdx("SELECT {[Measures].[Revenue]} ON COLUMNS, "
-                    "[Customer].[Region].[&2].Parent ON ROWS FROM [Sales]")
+                    "[Customer].[Region].[&2].Sibling ON ROWS FROM [Sales]")
 
 
 def test_hierarchize_is_default_order(spark, sf_dir):
@@ -691,3 +692,120 @@ def test_emit_compile_round_trip_property(measures, drills, cuts, nonempty,
                     with_members=wm, with_sets=ws)
     back = compile_mdx(emit_mdx(tpch.CATALOG, qm))
     assert _canon(back) == _canon(qm)
+
+
+def test_mdx_lastperiods_axis(spark, sf_dir):
+    """LASTPERIODS(n, member): the n periods ending at the member,
+    compiled to a drilldown + IN-literal key cut (Mondrian idiom the
+    reference accepts via api.rb:21-50)."""
+    out = execute_mdx(spark, sf_dir, tpch.CATALOG, """
+        SELECT {[Measures].[Line Count]} ON COLUMNS,
+               NON EMPTY LASTPERIODS(3, [Time].[Year].[1997]) ON ROWS
+        FROM [Sales]""").collect()
+    assert [r["year"] for r in out] == [1995, 1996, 1997]
+    expected = {r["year"]: r.line_count for r in aggregate(
+        spark, sf_dir, tpch.CATALOG,
+        QueryModel(cube="Sales", measures=["Line Count"],
+                   drilldown=["Time.Year"],
+                   cut=["{[Time].[Year].[&1995],[Time].[Year].[&1996],"
+                        "[Time].[Year].[&1997]}"])).collect()}
+    assert {r["year"]: r.line_count for r in out} == expected
+
+
+def test_mdx_member_parent_axis(spark, sf_dir):
+    """<member>.Parent: drills the PARENT level sliced to the member's
+    parent (full parent aggregate, not just the child's share) —
+    caption and [&key] member forms both resolve."""
+    by_caption = execute_mdx(spark, sf_dir, tpch.CATALOG, """
+        SELECT {[Measures].[Revenue]} ON COLUMNS,
+               NON EMPTY [Customer].[Nation].[NATION_5].Parent ON ROWS
+        FROM [Sales]""").collect()
+    by_key = execute_mdx(spark, sf_dir, tpch.CATALOG, """
+        SELECT {[Measures].[Revenue]} ON COLUMNS,
+               NON EMPTY [Customer].[Nation].[&5].Parent ON ROWS
+        FROM [Sales]""").collect()
+    assert [tuple(r) for r in by_caption] == [tuple(r) for r in by_key]
+    assert len(by_caption) == 1
+    region_key = by_caption[0].cust_region_key
+    # the row is the REGION's full aggregate (every nation in it)
+    full = {r.cust_region_key: r.revenue for r in aggregate(
+        spark, sf_dir, tpch.CATALOG,
+        QueryModel(cube="Sales", measures=["Revenue"],
+                   drilldown=["Customer.Region"])).collect()}
+    assert by_caption[0].revenue == full[region_key]
+
+
+def test_mdx_parent_lastperiods_rejections(spark, sf_dir):
+    """Malformed or out-of-domain .Parent / LASTPERIODS -> 400."""
+    cases = [
+        # top level has no parent
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Region].[AFRICA].Parent ON ROWS FROM [Sales]",
+        # degenerate time levels: keys repeat per parent
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Time].[Quarter].[2].Parent ON ROWS FROM [Sales]",
+        # unknown members
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Nation].[NOPE].Parent ON ROWS FROM [Sales]",
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "LASTPERIODS(2, [Time].[Year].[1902]) ON ROWS FROM [Sales]",
+        # malformed counts -> 400, not ValueError/500
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "LASTPERIODS(x, [Time].[Year].[1997]) ON ROWS FROM [Sales]",
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "LASTPERIODS(0, [Time].[Year].[1997]) ON ROWS FROM [Sales]",
+        # unknown member method stays a clear 400
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Nation].[&5].Sibling ON ROWS FROM [Sales]",
+    ]
+    for mdx in cases:
+        with pytest.raises(ParseError):
+            execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
+
+
+def test_mdx_parent_lastperiods_round_trip():
+    """emit_mdx echoes the new axis forms; compile(emit(qm)) == qm."""
+    from mondrian_rest_spark.mdx import emit_mdx
+    qm = QueryModel(cube="Sales", measures=["Revenue"], nonempty=True,
+                    parent_of=["[Customer].[Nation].[&5]"],
+                    lastperiods=[("[Time].[Year].[1997]", 3)])
+    back = compile_mdx(emit_mdx(tpch.CATALOG, qm))
+    assert back.parent_of == qm.parent_of
+    assert back.lastperiods == qm.lastperiods
+
+
+def test_mdx_iif_formula(spark, sf_dir):
+    """IIF(cond, a, b) inside WITH MEMBER compiles to SQL if() and
+    evaluates post-aggregation; comparisons supported; commas only
+    legal inside an IIF argument list."""
+    out = execute_mdx(spark, sf_dir, tpch.CATALOG, """
+        WITH MEMBER [Measures].[Flagged] AS
+             IIF([Measures].[Revenue] > 0, [Measures].[Revenue], 0)
+        SELECT {[Measures].[Revenue], [Measures].[Flagged]} ON COLUMNS,
+               NON EMPTY [Customer].[Region].Members ON ROWS
+        FROM [Sales]""").collect()
+    assert out and all(r.flagged == r.revenue for r in out)
+
+    # <> spelling, and emit/compile round-trip of the template
+    from mondrian_rest_spark.mdx import emit_mdx
+    qm = compile_mdx(
+        "WITH MEMBER [Measures].[NZ] AS "
+        "IIF([Measures].[Line Count] <> 0, "
+        "[Measures].[Revenue] / [Measures].[Line Count], 0) "
+        "SELECT {[Measures].[NZ]} ON COLUMNS, "
+        "[Customer].[Region].Members ON ROWS FROM [Sales]")
+    assert "if" in qm.with_members[0][1]
+    back = compile_mdx(emit_mdx(tpch.CATALOG, qm))
+    assert back.with_members == qm.with_members
+
+    # malformed forms are clean 400s
+    for bad in [
+        # IIF without parens
+        "WITH MEMBER [Measures].[X] AS IIF [Measures].[Revenue] "
+        "SELECT {[Measures].[X]} ON COLUMNS FROM [Sales]",
+        # comma outside an IIF argument list
+        "WITH MEMBER [Measures].[X] AS ([Measures].[Revenue], 2) "
+        "SELECT {[Measures].[X]} ON COLUMNS FROM [Sales]",
+    ]:
+        with pytest.raises(ParseError):
+            compile_mdx(bad)
