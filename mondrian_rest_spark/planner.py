@@ -547,11 +547,19 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             target = trows[0][0]
         else:
             target = val
-        keys = [r[0] for r in
-                (keys_src.select(level.key_alias).distinct()
-                 .filter(F.col(level.key_alias) <= F.lit(target))
-                 .orderBy(F.col(level.key_alias).desc())
-                 .limit(n_periods).collect())]
+        # memoized like named-set keys: for degenerate time dims the
+        # lookup scans the fact's date column, which must not repeat
+        # per query (the member set only changes when data is loaded)
+        ck = (spark.sparkContext.applicationId, sf_dir, cube.name,
+              dim.name, level.name, repr(target), n_periods)
+        keys = _LASTPERIODS_KEYS.get(ck)
+        if keys is None:
+            keys = [r[0] for r in
+                    (keys_src.select(level.key_alias).distinct()
+                     .filter(F.col(level.key_alias) <= F.lit(target))
+                     .orderBy(F.col(level.key_alias).desc())
+                     .limit(n_periods).collect())]
+            _LASTPERIODS_KEYS[ck] = keys
         if not keys or keys[0] != target:
             raise ParseError(f"{lp_path!r}: member not found")
         idx = hier.level_index(level.name)
@@ -980,10 +988,12 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
 #: aggregation runs ONCE per (session, data dir, set definition), not
 #: once per query.  /flush clears it (api.py), like the result cache.
 _NAMED_SET_KEYS: dict = {}
+_LASTPERIODS_KEYS: dict = {}
 
 
 def clear_named_set_cache() -> None:
     _NAMED_SET_KEYS.clear()
+    _LASTPERIODS_KEYS.clear()
 
 
 def named_set_keys(spark: SparkSession, sf_dir: str, cube: Cube, ns) -> list:

@@ -324,6 +324,46 @@ def streaming_neardup_ingest_incremental(stream: DataFrame, spark,
             .start())
 
 
+def streaming_rollup_ingest(stream: DataFrame, manager,
+                            marker_dir: str | None = None,
+                            on_batch=None):
+    """Streaming fact ingest that keeps materialized rollups fresh:
+    every micro-batch of appended fact rows folds into each registered
+    rollup via ``RollupManager.append`` (plans/rollup.py) — the batch
+    aggregated at each rollup's grain, merged by dynamic overwrite of
+    ONLY the partitions the batch touches.  Cost per batch is
+    O(batch + affected rollup partitions), never a base-fact rescan:
+    the streaming analog of Mondrian's periodic aggregate-table refresh
+    jobs, at micro-batch latency.
+
+    foreachBatch runs batches sequentially, so rollup merges are
+    race-free.  The merge is additive, hence NOT replay-idempotent by
+    itself; ``marker_dir`` (a local/DBFS-visible directory) records one
+    marker per applied batch_id, and a replayed batch_id is skipped —
+    the same commit discipline as the near-dup index's per-batch
+    partitions.  A crash BETWEEN the merge and the marker write can
+    still double-apply that one batch; closing that window needs an
+    atomically-committing table format for the rollup (Delta/Iceberg),
+    which is exactly what production would use for the rollup sink.
+    """
+    def _process(batch_df, batch_id):
+        marker = (os.path.join(marker_dir, f"b{batch_id}")
+                  if marker_dir else None)
+        if marker and os.path.exists(marker):
+            return                     # replayed batch: already applied
+        manager.append(batch_df)
+        if marker:
+            os.makedirs(marker_dir, exist_ok=True)
+            open(marker, "w").close()
+        if on_batch is not None:
+            on_batch(batch_df, batch_id)
+
+    return (stream.writeStream
+            .foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start())
+
+
 def _interval_micros(interval: str) -> int:
     n, unit = interval.split()
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,

@@ -407,3 +407,77 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     assert got == [1, 2, 4]            # one survivor per distinct content
     assert "text" in spark.table("t_dedup").columns
     assert "__content_hash" not in spark.table("t_dedup").columns
+
+
+def test_streaming_rollup_maintenance(spark, sf_dir, tmp_path):
+    """Streaming fact ingest keeps a time-partitioned rollup fresh:
+    each micro-batch folds in via RollupManager.append (delta at the
+    rollup grain, dynamic overwrite of only the touched partitions),
+    routed queries then reflect every ingested row, and a replayed
+    batch_id is a no-op (marker-dir commit discipline)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from mondrian_rest_spark import tpch
+    from mondrian_rest_spark.planner import aggregate
+    from mondrian_rest_spark.plans.rollup import RollupManager
+    from mondrian_rest_spark.query import QueryModel
+    from mondrian_rest_spark.sources.registry import load_table
+    from mondrian_rest_spark.streaming.events import streaming_rollup_ingest
+
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("nation_year", ("Customer.Nation", "Time.Year"),
+                 persist_path=str(tmp_path / "nation_year"),
+                 partition_col="year")
+    qm = QueryModel(cube="Sales", measures=["Revenue", "Line Count"],
+                    drilldown=["Time.Year"])
+
+    # two micro-batches of appended fact rows (real lineitem rows
+    # shifted 40/50 years out -> distinct brand-new partitions), staged
+    # as one parquet file each so maxFilesPerTrigger=1 -> one batch each
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    stage = tmp_path / "incoming"
+    batches = []
+    for i, shift in enumerate((40, 50)):
+        b = li.withColumn(
+            "l_shipdate", F.col("l_shipdate") + F.expr(f"INTERVAL {shift} YEARS"))
+        b.coalesce(1).write.mode("overwrite").parquet(str(stage / f"b{i}"))
+        batches.append(spark.read.parquet(str(stage / f"b{i}")))
+    incoming = tmp_path / "stream_src"
+    incoming.mkdir()
+    import glob
+    import shutil
+    for i in range(2):
+        src = glob.glob(str(stage / f"b{i}" / "*.parquet"))[0]
+        shutil.copy(src, str(incoming / f"batch{i}.parquet"))
+
+    stream = (spark.readStream
+              .schema(batches[0].schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(incoming)))
+    markers = str(tmp_path / "applied")
+    q = streaming_rollup_ingest(stream, mgr, marker_dir=markers)
+    q.awaitTermination(120)
+
+    routed, src = mgr.route(qm)
+    assert src == "nation_year"
+    got = {r["year"]: (float(r.revenue), r.line_count)
+           for r in routed.collect()}
+    expected = {r["year"]: (float(r.revenue), r.line_count)
+                for r in aggregate(spark, sf_dir, tpch.CATALOG, qm).collect()}
+    for b in batches:
+        for r in aggregate(spark, sf_dir, tpch.CATALOG, qm,
+                           fact_df=b).collect():
+            assert r["year"] not in expected
+            expected[r["year"]] = (float(r.revenue), r.line_count)
+    assert set(got) == set(expected)
+    for y, (rev, cnt) in expected.items():
+        assert got[y][0] == pytest.approx(rev, rel=1e-9) and got[y][1] == cnt
+
+    # replaying an applied batch_id is a no-op (marker commit)
+    process = _capture_process(streaming_rollup_ingest, mgr,
+                               marker_dir=markers)
+    before = {r["year"]: tuple(r[1:]) for r in mgr.route(qm)[0].collect()}
+    process(batches[0], 0)         # batch_id 0 was already applied
+    after = {r["year"]: tuple(r[1:]) for r in mgr.route(qm)[0].collect()}
+    assert after == before
