@@ -565,6 +565,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t09_language_confusion"] = lambda s, d: textstats.language_confusion(
         load_table(s, d, "documents"))
 
+    # within-document n-gram repetition (boilerplate/keyword-stuffing
+    # quality signal) — one projection, higher-order functions only
+    q["t10_repetition_ratio"] = lambda s, d: textstats.repetition_ratio(
+        load_table(s, d, "documents"))
+
+    # PII scrubbing pass with per-doc audit counts — codegen
+    # regexp_replace over shared Java/RE2-safe patterns
+    q["t11_pii_redaction"] = lambda s, d: textstats.redact_pii(
+        load_table(s, d, "documents"))
+
     # reproducible hash-based train/val/test split (training pipeline
     # staple; engine-portable md5 bucketing, so DuckDB replays it)
     def _split(s, d):
@@ -1479,6 +1489,46 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(CAST(quality AS DECIMAL(25,6))) AS DOUBLE)
                          / COUNT(doc_id), 6) AS mean_quality
             FROM qual GROUP BY source""",
+
+        "t10_repetition_ratio": f"""
+            WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(toks) >= 3 THEN
+                           list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+2], ' '))
+                         ELSE [] END AS grams FROM t)
+            SELECT doc_id,
+                   CAST(len(grams) AS INTEGER) AS total_ngrams,
+                   CAST(len(list_distinct(grams)) AS INTEGER)
+                     AS distinct_ngrams,
+                   round(CASE WHEN len(grams) > 0
+                              THEN 1 - len(list_distinct(grams)) * 1.0
+                                   / len(grams)
+                              ELSE 0 END, 6) AS repetition_ratio
+            FROM g""",
+
+        "t11_pii_redaction": f"""
+            WITH s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                       '{textstats.PII_EMAIL}')) AS INTEGER) AS n_emails,
+                     regexp_replace(text, '{textstats.PII_EMAIL}',
+                                    '<EMAIL>', 'g') AS t1
+              FROM documents),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     CAST(len(regexp_extract_all(t1,
+                       '{textstats.PII_IPV4}')) AS INTEGER) AS n_ips,
+                     regexp_replace(t1, '{textstats.PII_IPV4}',
+                                    '<IP>', 'g') AS t2
+              FROM s1)
+            SELECT doc_id,
+                   regexp_replace(t2, '{textstats.PII_PHONE}',
+                                  '<PHONE>', 'g') AS clean_text,
+                   n_emails, n_ips,
+                   CAST(len(regexp_extract_all(t2,
+                     '{textstats.PII_PHONE}')) AS INTEGER) AS n_phones
+            FROM s2""",
 
         "t09_language_confusion": f"""
             WITH h AS (

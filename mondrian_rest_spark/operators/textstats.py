@@ -185,3 +185,58 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
         *[F.sum(F.when(F.col("predicted_lang") == lang, 1).otherwise(0))
             .alias(f"n_{lang}")
           for lang in (*STOPWORDS, "unknown")])
+
+
+def repetition_ratio(df: DataFrame, n: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Within-document n-gram repetition: 1 - distinct/total n-grams —
+    the classic boilerplate/spam signal (repeated headers, keyword
+    stuffing) a corpus-quality filter thresholds on.  Pure higher-order
+    functions over the token array (one projection, no shuffle, no
+    UDF); docs shorter than n tokens score 0."""
+    d = with_tokens(df, text_col)
+    # sequence(1, 0) would DESCEND ([1, 0]) — short docs need the guard
+    grams = (f"case when size(__tokens) >= {n} then "
+             f"transform(sequence(1, size(__tokens) - {n - 1}), "
+             f"i -> concat_ws(' ', slice(__tokens, i, {n}))) "
+             f"else array() end")
+    return (d.withColumn("__grams", F.expr(grams))
+             .select(
+                 id_col,
+                 F.size("__grams").alias("total_ngrams"),
+                 F.size(F.array_distinct("__grams")).alias("distinct_ngrams"),
+                 F.round(F.when(F.size("__grams") > 0,
+                                1 - F.size(F.array_distinct("__grams")) /
+                                F.size("__grams")).otherwise(F.lit(0.0)),
+                         6).alias("repetition_ratio")))
+
+
+#: PII patterns shared with the DuckDB oracle: plain character classes
+#: only (no lookaround/backrefs), so Java regex (Spark) and RE2
+#: (DuckDB) match identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing pass (training-data hygiene): emails, phone-like
+    digit runs and IPv4 literals are replaced with typed placeholder
+    tokens, with per-document redaction counts for audit.  Order
+    matters (emails first — their local parts can contain digits);
+    whole-stage-codegen regexp_replace, no UDFs."""
+    c = F.col(text_col)
+    step1 = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    step2 = F.regexp_replace(step1, PII_IPV4, "<IP>")
+    return (df
+            .withColumn("n_emails",
+                        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0))))
+            .withColumn("n_ips",
+                        F.size(F.regexp_extract_all(step1, F.lit(PII_IPV4), F.lit(0))))
+            .withColumn("__t2", step2)
+            .withColumn("n_phones", F.size(F.regexp_extract_all(
+                F.col("__t2"), F.lit(PII_PHONE), F.lit(0))))
+            .withColumn("clean_text",
+                        F.regexp_replace(F.col("__t2"), PII_PHONE, "<PHONE>"))
+            .select(id_col, "clean_text", "n_emails", "n_ips", "n_phones"))

@@ -602,3 +602,35 @@ def test_ivf_kmeans_trained_centroids(spark, sf_dir, tmp_path):
         return hits
 
     assert recall(3) >= recall(0)
+
+
+def test_repetition_ratio(spark):
+    """Within-doc n-gram repetition: duplicated trigram runs score > 0,
+    all-unique and shorter-than-n docs score 0."""
+    df = spark.createDataFrame([
+        (1, "the cat sat on the mat the cat sat on the mat"),
+        (2, "all unique words here today my friend indeed truly"),
+        (3, "short doc"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in textstats.repetition_ratio(df).collect()}
+    assert out[1].total_ngrams == 10 and out[1].distinct_ngrams == 6
+    assert out[1].repetition_ratio == pytest.approx(0.4)
+    assert out[2].repetition_ratio == 0.0
+    assert out[3].total_ngrams == 0 and out[3].repetition_ratio == 0.0
+
+
+def test_redact_pii(spark):
+    """PII scrubbing: emails, IPv4 literals and phone-like digit runs
+    become typed placeholders with audit counts; clean text untouched."""
+    df = spark.createDataFrame([
+        (1, "mail bob.smith+x@example.co.uk or call +1 (555) 123-4567"),
+        (2, "server at 192.168.0.1 logged 3 hits"),
+        (3, "no pii here at all, just words"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in textstats.redact_pii(df).collect()}
+    assert out[1].clean_text == "mail <EMAIL> or call <PHONE>"
+    assert (out[1].n_emails, out[1].n_phones) == (1, 1)
+    assert out[2].clean_text == "server at <IP> logged 3 hits"
+    assert out[2].n_ips == 1
+    assert out[3].clean_text == "no pii here at all, just words"
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 0)
