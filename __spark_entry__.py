@@ -522,6 +522,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, path, qvec, k=10, exclude_id=7)
     q["s08_ann_ivf_trained"] = _ivf_trained
 
+    # IVF-PQ compressed serving (similarity.train_pq/pq_topk): codes
+    # are 8 bytes/vector, probes ADC-score code columns only, exact
+    # cosine re-ranks the top candidates.  Iterative training -> no
+    # single-statement oracle (rows-only check); recall/determinism
+    # asserted in tests/test_operators.py::test_pq_compressed_ann.
+    def _pq(s, d):
+        key = (id(s), d, "pq")
+        cached = _IVF_LAYOUTS.get(key)
+        if cached is None:
+            emb = load_table(s, d, "embeddings")
+            cb = similarity.train_pq(emb, iters=2)
+            codes = similarity.pq_encode(emb, cb).persist()
+            codes.count()
+            cached = (cb, codes)
+            _IVF_LAYOUTS[key] = cached
+        cb, codes = cached
+        emb = load_table(s, d, "embeddings")
+        qvec = list(emb.filter(F.col("vec_id") == 7)
+                    .select("embedding").first()[0])
+        return similarity.pq_topk(codes, cb, qvec, k=10, rerank=50,
+                                  vectors=emb, exclude_id=7)
+    q["s09_ann_pq_rerank"] = _pq
+
     # ---- multimodal plumbing (binary payload -> mapInPandas features) ----
     q["m01_media_features"] = lambda s, d: _media_features(s, d)
 

