@@ -372,6 +372,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY [Customer].[Nation].[NATION_5].Parent ON ROWS "
         "FROM [Sales]")
 
+    # <member>.Lag(n) axis set: the member n positions earlier along
+    # the level's key order (mdx.py/planner.py member_lags)
+    q["q41_mdx_member_lag"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Time].[Year].[1997].Lag(2) ON ROWS FROM [Sales]")
+
     # IIF conditional inside a WITH MEMBER formula (Mondrian scalar fn;
     # compiles to SQL if(cond, a, b) — mdx.py _calc_tokens)
     q["q40_mdx_iif_member"] = lambda s, d: __import__(
@@ -1108,6 +1116,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_regionkey = (SELECT n_regionkey FROM nation
                                  WHERE n_name = 'NATION_5')
             GROUP BY 1, 2""",
+
+        "q41_mdx_member_lag": f"""
+            WITH yrs AS (
+              SELECT DISTINCT year(l_shipdate) AS y FROM lineitem
+              WHERE year(l_shipdate) <= 1997 ORDER BY y DESC LIMIT 3)
+            SELECT CAST(year(l_shipdate) AS INTEGER) AS "year",
+                   {REVENUE} AS revenue
+            FROM lineitem
+            WHERE year(l_shipdate) = (SELECT min(y) FROM yrs)
+            GROUP BY 1""",
 
         "q40_mdx_iif_member": f"""
             WITH agg AS (

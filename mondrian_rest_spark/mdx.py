@@ -23,7 +23,7 @@ build_query emits, which covers every query the REST layer can express:
            | TOPCOUNT(axis', n, [Measures].[M])
            | CROSSJOIN(axis', axis') | {set} | <path>.Members
            | <member>.Children | <member>.Parent | HIERARCHIZE(axis')
-           | LASTPERIODS(n, <member>)
+           | <member>.Lag(n) | <member>.Lead(n) | LASTPERIODS(n, <member>)
            | DESCENDANTS(<member>, <level path>) | [Named Set]
     slicer := <member> | {<member>,...} | [Named Set]
 """
@@ -121,7 +121,7 @@ class MdxQuery:
                                     filter=[], nonempty=False,
                                     with_members=[], with_sets=[],
                                     children_of=[], parent_of=[],
-                                    lastperiods=[])
+                                    lastperiods=[], member_lags=[])
 
 
 def _merge_sub(q: MdxQuery, sub: MdxQuery) -> None:
@@ -370,9 +370,30 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
                     f"{_path_str(segs)}")
             q.qm_kwargs["parent_of"].append(_path_str(segs))
             return False
+        if w in ("LAG", "LEAD"):
+            # <member>.Lag(n)/.Lead(n): the member shifted n positions
+            # along the level's member order (QueryModel.member_lags;
+            # positive = Lag).  Mondrian's Lag(-n) == Lead(n) holds.
+            if len(segs) < 3:
+                raise ParseError(
+                    f".{w.capitalize()} needs [Dim].[Level].[member], "
+                    f"got {_path_str(segs)}")
+            p.expect("(")
+            neg = False
+            if p.peek() == "-":
+                p.next()
+                neg = True
+            n = _int(p, f".{w.capitalize()} shift")
+            if neg:
+                n = -n
+            p.expect(")")
+            if w == "LEAD":
+                n = -n
+            q.qm_kwargs["member_lags"].append((_path_str(segs), n))
+            return False
         raise ParseError(
-            f"expected .Members, .Children or .Parent after "
-            f"{_path_str(segs)}, got .{w}")
+            f"expected .Members, .Children, .Parent, .Lag or .Lead "
+            f"after {_path_str(segs)}, got .{w}")
     if len(segs) == 1:
         q.qm_kwargs["drilldown"].append(segs[0])  # named set shortcut
         return False
@@ -714,6 +735,10 @@ def emit_mdx(cat: Catalog, qm) -> str:
     for lp_path, n in getattr(qm, "lastperiods", []):
         from .parser import parse_segments
         sets.append(f"LASTPERIODS({n}, {_path_str(parse_segments(lp_path))})")
+    for lg_path, n in getattr(qm, "member_lags", []):
+        from .parser import parse_segments
+        sets.append(_path_str(parse_segments(lg_path)) +
+                    (f".Lag({n})" if n >= 0 else f".Lead({-n})"))
 
     axis = None
     if sets:

@@ -248,6 +248,9 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
         if qm.lastperiods:
             raise ParseError(
                 "LASTPERIODS is not supported on virtual cubes")
+        if qm.member_lags:
+            raise ParseError(
+                ".Lag/.Lead axis sets are not supported on virtual cubes")
         return _aggregate_virtual(spark, sf_dir, cat, qm)
     cube = cat.cube(qm.cube)
     if qm.with_members:
@@ -569,6 +572,71 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         cut_str = "{" + ",".join(
             ".".join(f"[{s}]" for s in prefix + [f"&{k}"])
             for k in keys) + "}"
+        cuts.append(_resolve_cut(cube, parse_cut(cut_str, ns_names)))
+
+    # --- <member>.Lag(n) / .Lead(n) (raw-MDX axis idiom): the single
+    # --- member n positions earlier/later along the level's key order,
+    # --- as a drilldown + member-key cut.  Same key-order boundary as
+    # --- LASTPERIODS; out-of-range shifts are a 400 (Mondrian yields a
+    # --- null member there — an empty axis; a clear error beats a
+    # --- silently empty result in a REST API) ---
+    for lg_path, shift in qm.member_lags:
+        segs = parse_segments(lg_path)
+        if len(segs) < 3:
+            raise ParseError(
+                f".Lag/.Lead needs [Dim].[Level].[member], got {lg_path!r}")
+        hier_name = segs[1] if len(segs) == 4 else None
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        raw = segs[-1]
+        val = _coerce(raw.lstrip("&"))
+        use_caption = (not raw.startswith("&") and level.caption
+                       and level.caption_alias
+                       and level.caption_alias != level.key_alias)
+        if dim.is_degenerate:
+            exprs = {level.key_alias: level.key}
+            if use_caption:
+                exprs[level.caption_alias] = level.caption
+            keys_src = load_table(spark, sf_dir, cube.fact).select(
+                *[F.expr(e).alias(a) for a, e in exprs.items()])
+        else:
+            keys_src = _dim_select(spark, sf_dir, dim, [level])
+        if use_caption:
+            trows = (keys_src
+                     .filter(F.col(level.caption_alias) == F.lit(val))
+                     .select(level.key_alias).distinct().limit(2).collect())
+            if len(trows) != 1:
+                raise ParseError(f"{lg_path!r}: member not found")
+            target = trows[0][0]
+        else:
+            target = val
+        n_abs = abs(shift)
+        ck = (spark.sparkContext.applicationId, sf_dir, cube.name,
+              dim.name, level.name, repr(target), shift, "lag")
+        keys = _LASTPERIODS_KEYS.get(ck)
+        if keys is None:
+            base_keys = keys_src.select(level.key_alias).distinct()
+            if shift >= 0:       # Lag: walk EARLIER members, desc
+                walk = (base_keys
+                        .filter(F.col(level.key_alias) <= F.lit(target))
+                        .orderBy(F.col(level.key_alias).desc()))
+            else:                # Lead: walk LATER members, asc
+                walk = (base_keys
+                        .filter(F.col(level.key_alias) >= F.lit(target))
+                        .orderBy(F.col(level.key_alias).asc()))
+            keys = [r[0] for r in walk.limit(n_abs + 1).collect()]
+            _LASTPERIODS_KEYS[ck] = keys
+        if not keys or keys[0] != target:
+            raise ParseError(f"{lg_path!r}: member not found")
+        if len(keys) <= n_abs:
+            raise ParseError(
+                f"{lg_path!r}: .{'Lag' if shift >= 0 else 'Lead'}"
+                f"({n_abs}) runs past the {'first' if shift >= 0 else 'last'}"
+                f" member of level {level.name!r}")
+        idx = hier.level_index(level.name)
+        gl = list(hier.levels[: idx + 1]) if qm.parents else [level]
+        drills.append(ResolvedDrill(dim, hier, level, gl))
+        cut_str = ".".join(f"[{s}]" for s in
+                           segs[:-1] + [f"&{keys[n_abs]}"])
         cuts.append(_resolve_cut(cube, parse_cut(cut_str, ns_names)))
 
     # drilling on an ascendant of a cut member is a client error

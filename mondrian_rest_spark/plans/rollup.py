@@ -192,7 +192,7 @@ class RollupManager:
         # the grain check below cannot see; query-scoped WITH forms
         # rewrite the cube — all route to base
         if (qm.children_of or qm.parent_of or qm.lastperiods
-                or qm.with_members or qm.with_sets):
+                or qm.member_lags or qm.with_members or qm.with_sets):
             return None
         base_measures, calcs, _ = _split_measures(self.cube, list(qm.measures))
         if calcs or any(m.agg not in _REAGG for m in base_measures):

@@ -55,3 +55,8 @@ class QueryModel:
     # (member_path, n); each resolves to a drilldown at the member's
     # level plus an IN-cut of the n level keys ending at the member
     lastperiods: list = field(default_factory=list)
+    # <member>.Lag(n) / .Lead(n) axis sets from raw MDX: list of
+    # (member_path, n) with positive n = Lag (earlier member along the
+    # level's key order), negative n = Lead; resolves to a drilldown at
+    # the member's level plus a cut to the shifted member's key
+    member_lags: list = field(default_factory=list)

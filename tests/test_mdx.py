@@ -809,3 +809,41 @@ def test_mdx_iif_formula(spark, sf_dir):
     ]:
         with pytest.raises(ParseError):
             compile_mdx(bad)
+
+
+def test_mdx_member_lag_lead(spark, sf_dir):
+    """<member>.Lag(n)/.Lead(n): the single member shifted n positions
+    along the level's key order; Lag(-n) == Lead(n); Lag(0) == self;
+    out-of-range and malformed shifts are 400s."""
+    def run(mdx):
+        return [tuple(r) for r in
+                execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()]
+
+    lag2 = run("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+               "NON EMPTY [Time].[Year].[1997].Lag(2) ON ROWS FROM [Sales]")
+    assert len(lag2) == 1 and lag2[0][0] == 1995
+    assert lag2 == run(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Time].[Year].[1995].Lag(0) ON ROWS FROM [Sales]")
+    assert run("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+               "NON EMPTY [Time].[Year].[1997].Lag(-2) ON ROWS "
+               "FROM [Sales]") == \
+        run("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY [Time].[Year].[1997].Lead(2) ON ROWS FROM [Sales]")
+
+    from mondrian_rest_spark.mdx import emit_mdx
+    qm = compile_mdx("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                     "[Time].[Year].[1997].Lead(1) ON ROWS FROM [Sales]")
+    assert qm.member_lags == [("[Time].[Year].[1997]", -1)]
+    assert compile_mdx(emit_mdx(tpch.CATALOG, qm)) == qm
+
+    for bad in [
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Time].[Year].[1995].Lag(40) ON ROWS FROM [Sales]",
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Time].[Year].[1997].Lag(x) ON ROWS FROM [Sales]",
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Time].[Year].[1902].Lag(1) ON ROWS FROM [Sales]",
+    ]:
+        with pytest.raises(ParseError):
+            execute_mdx(spark, sf_dir, tpch.CATALOG, bad).collect()
