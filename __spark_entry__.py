@@ -421,6 +421,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "events"), "1 day")
     q["w02_sliding_2d_1d"] = lambda s, d: windows.sliding(
         load_table(s, d, "events"), "2 days", "1 day")
+    # weekly retention cohorts (classic event-analytics rollup)
+    q["w04_retention_cohorts"] = lambda s, d: windows.retention_cohorts(
+        load_table(s, d, "events"))
+
+    # per-doc corpus-boilerplate exposure (cross-document analog of t10)
+    q["t12_boilerplate_fraction"] = lambda s, d: \
+        textstats.with_boilerplate_fraction(load_table(s, d, "documents"))
+
     q["w03_session_30m"] = lambda s, d: windows.sessionized(
         load_table(s, d, "events"), "30 minutes")
 
@@ -1220,6 +1228,38 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT e.*, date_trunc('day', ts) - i.i * INTERVAL 1 DAY AS ws
                   FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) i)
             GROUP BY ws""",
+        "w04_retention_cohorts": """
+            WITH f AS (SELECT user_id, MIN(date_trunc('week', ts))
+                              AS cohort_week
+                       FROM events GROUP BY 1),
+            a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                  FROM events)
+            SELECT cohort_week,
+                   CAST(floor(date_diff('day', cohort_week, wk) / 7)
+                        AS BIGINT) AS week_offset,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2""",
+
+        "t12_boilerplate_fraction": f"""
+            WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(CASE WHEN len(toks) >= 3 THEN
+                           list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+2], ' '))
+                         ELSE [] END) AS grams FROM t),
+            e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            b AS (SELECT gram FROM e GROUP BY 1 HAVING COUNT(*) >= 5),
+            c AS (SELECT e.doc_id, COUNT(*) AS n_boiler
+                  FROM e JOIN b USING (gram) GROUP BY 1)
+            SELECT g.doc_id,
+                   CAST(len(grams) AS INTEGER) AS n_distinct_grams,
+                   CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boilerplate,
+                   round(CASE WHEN len(grams) > 0
+                              THEN COALESCE(n_boiler, 0) * 1.0 / len(grams)
+                              ELSE 0 END, 6) AS boilerplate_frac
+            FROM g LEFT JOIN c USING (doc_id)""",
+
         "w03_session_30m": f"""
             WITH marked AS (
               SELECT user_id, ts, value, event_id,

@@ -240,3 +240,56 @@ def redact_pii(df: DataFrame, text_col: str = "text",
             .withColumn("clean_text",
                         F.regexp_replace(F.col("__t2"), PII_PHONE, "<PHONE>"))
             .select(id_col, "clean_text", "n_emails", "n_ips", "n_phones"))
+
+
+def _distinct_ngrams_expr(n: int) -> str:
+    """Distinct n-grams of the __tokens column (see repetition_ratio
+    for the short-doc guard)."""
+    return (f"array_distinct(case when size(__tokens) >= {n} then "
+            f"transform(sequence(1, size(__tokens) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(__tokens, i, {n}))) "
+            f"else array() end)")
+
+
+def boilerplate_ngrams(df: DataFrame, n: int = 3, min_docs: int = 5,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level boilerplate n-grams: phrases appearing in at least
+    ``min_docs`` DISTINCT documents (repeated headers/footers/templates
+    — the cross-document analog of repetition_ratio).  One explode +
+    hash aggregate shuffled on the gram key; per-doc grams are
+    pre-deduped so a gram counts each document once."""
+    d = with_tokens(df, text_col)
+    return (d.select(F.explode(F.expr(_distinct_ngrams_expr(n)))
+                     .alias("gram"))
+             .groupBy("gram")
+             .agg(F.count(F.lit(1)).alias("n_docs"))
+             .filter(F.col("n_docs") >= min_docs))
+
+
+def with_boilerplate_fraction(df: DataFrame, n: int = 3, min_docs: int = 5,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Per-document boilerplate exposure: the fraction of a doc's
+    distinct n-grams that are corpus boilerplate (boilerplate_ngrams) —
+    the score a cleaning pipeline thresholds to drop template-heavy
+    docs.  Gram-key join (narrow: id + gram only), then one count per
+    doc; docs with no grams score 0."""
+    d = (with_tokens(df, text_col)
+         .select(F.col(id_col), F.expr(_distinct_ngrams_expr(n))
+                 .alias("__grams")))
+    boiler = boilerplate_ngrams(df, n, min_docs, text_col, id_col)
+    exploded = d.select(id_col, F.explode("__grams").alias("gram"))
+    hits = (exploded.join(boiler.select("gram"), "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_boilerplate")))
+    return (d.select(id_col, F.size("__grams").alias("n_distinct_grams"))
+            .join(hits, id_col, "left")
+            .select(
+                id_col, "n_distinct_grams",
+                F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"),
+                F.round(F.when(
+                    F.col("n_distinct_grams") > 0,
+                    F.coalesce("n_boilerplate", F.lit(0)) /
+                    F.col("n_distinct_grams")).otherwise(F.lit(0.0)),
+                    6).alias("boilerplate_frac")))

@@ -56,3 +56,22 @@ def sessionized(df: DataFrame, gap: str = "30 minutes",
               .select(user_col,
                       F.col("win.start").alias("session_start"),
                       "sum_value", "event_count"))
+
+
+def retention_cohorts(events: DataFrame, ts_col: str = "ts",
+                      user_col: str = "user_id") -> DataFrame:
+    """Weekly retention cohorts (the classic event-analytics rollup):
+    cohort = the Monday-truncated week of a user's FIRST activity;
+    n_users = distinct users from that cohort active week_offset weeks
+    later.  Two hash aggregates + one join, all keyed on user_id — at
+    scale both aggregates combine map-side and the join co-locates if
+    events are bucketed by user."""
+    wk = F.date_trunc("week", F.col(ts_col))
+    firsts = (events.groupBy(user_col)
+              .agg(F.min(wk).alias("cohort_week")))
+    active = events.select(F.col(user_col), wk.alias("__wk")).distinct()
+    return (active.join(firsts, user_col)
+            .groupBy("cohort_week",
+                     F.floor(F.datediff(F.col("__wk"), F.col("cohort_week"))
+                             / 7).alias("week_offset"))
+            .agg(F.count_distinct(F.col(user_col)).alias("n_users")))

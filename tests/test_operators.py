@@ -693,3 +693,47 @@ def test_pq_compressed_ann(spark, sf_dir, tmp_path):
         vectors=emb, exclude_id=7)
     assert sorted(map(tuple, out.collect())) == \
         sorted(map(tuple, direct.collect()))
+
+
+def test_boilerplate_fraction(spark):
+    """Cross-document boilerplate: a trigram shared by >= min_docs docs
+    marks those docs; unique docs score 0."""
+    footer = "copyright acme corp all rights reserved"
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} body text {footer}") for i in range(5)] +
+        [(99, "a totally unique document with no shared phrasing here")],
+        ["doc_id", "text"])
+    boiler = {r.gram for r in
+              textstats.boilerplate_ngrams(df, min_docs=5).collect()}
+    assert "copyright acme corp" in boiler
+    assert all("doc number" not in g for g in boiler)   # doc-specific
+    out = {r.doc_id: r for r in
+           textstats.with_boilerplate_fraction(df, min_docs=5).collect()}
+    assert out[99].n_boilerplate == 0 and out[99].boilerplate_frac == 0.0
+    for i in range(5):
+        assert out[i].n_boilerplate >= 4        # footer trigrams
+        assert 0 < out[i].boilerplate_frac < 1
+
+
+def test_retention_cohorts(spark):
+    """Weekly retention: users cohort at their first active week and
+    count into every later active week's offset bucket."""
+    from datetime import datetime
+
+    from mondrian_rest_spark.operators.windows import retention_cohorts
+    rows = [
+        # user 1: first week 0, active weeks 0 and 1
+        (1, datetime(2024, 1, 1, 10)), (1, datetime(2024, 1, 9, 10)),
+        # user 2: same cohort, active week 0 only (twice -> one count)
+        (2, datetime(2024, 1, 2, 9)), (2, datetime(2024, 1, 3, 9)),
+        # user 3: cohort week 1, active weeks 1 and 3
+        (3, datetime(2024, 1, 8, 8)), (3, datetime(2024, 1, 22, 8)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(str(r.cohort_week)[:10], r.week_offset): r.n_users
+           for r in retention_cohorts(ev).collect()}
+    assert out[("2024-01-01", 0)] == 2      # users 1+2
+    assert out[("2024-01-01", 1)] == 1      # user 1 retained
+    assert out[("2024-01-08", 0)] == 1      # user 3 cohort
+    assert out[("2024-01-08", 2)] == 1      # user 3 back after 2 weeks
+    assert len(out) == 4
