@@ -226,7 +226,7 @@ def test_children_error_paths(spark, sf_dir):
                     "[Customer].Children ON ROWS FROM [Sales]")
     # unknown member methods stay a clear 400 (.Parent is supported
     # since r6 — see test_mdx_member_parent_axis)
-    with pytest.raises(ParseError, match="Members, .Children or .Parent"):
+    with pytest.raises(ParseError, match=r"Members, .Children, .Parent"):
         compile_mdx("SELECT {[Measures].[Revenue]} ON COLUMNS, "
                     "[Customer].[Region].[&2].Sibling ON ROWS FROM [Sales]")
 

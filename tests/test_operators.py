@@ -737,3 +737,33 @@ def test_retention_cohorts(spark):
     assert out[("2024-01-08", 0)] == 1      # user 3 cohort
     assert out[("2024-01-08", 2)] == 1      # user 3 back after 2 weeks
     assert len(out) == 4
+
+
+def test_pq_append_serves_new_vectors(spark, sf_dir, tmp_path):
+    """Incremental IVF-PQ maintenance: vectors appended against the
+    stored codebook + centroids are complete, encoded identically to
+    a from-scratch encode, and immediately retrievable — a probe with
+    an appended vector's own embedding re-ranks it to cosine 1."""
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    extra = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "pq")
+    cb = similarity.materialize_pq(base, path, iters=2)
+    assert similarity.load_pq_codebook(path) == cb
+    n = similarity.append_to_pq(spark, path, extra)
+    assert n == extra.count()
+    stored = spark.read.parquet(path)
+    ids = [r.vec_id for r in stored.select("vec_id").collect()]
+    assert len(ids) == emb.count() and len(set(ids)) == len(ids)
+    # appended codes == from-scratch encode with the same codebook
+    direct = {r.vec_id: r.codes for r in
+              similarity.pq_encode(extra, cb).collect()}
+    for r in stored.join(extra.select("vec_id"), "vec_id").collect():
+        assert list(r.codes) == list(direct[r.vec_id])
+    probe_id = extra.select("vec_id").first()[0]
+    probe_vec = list(extra.filter(F.col("vec_id") == probe_id)
+                     .select("embedding").first()[0])
+    top = similarity.pq_topk_from_layout(
+        spark, path, None, probe_vec, k=1, n_probe=16, rerank=20).collect()
+    assert top[0].vec_id == probe_id and top[0].cosine == 1.0
