@@ -364,6 +364,51 @@ def streaming_rollup_ingest(stream: DataFrame, manager,
             .start())
 
 
+def streaming_ann_ingest(stream: DataFrame, spark, path: str,
+                         kind: str = "ivf",
+                         marker_dir: str | None = None,
+                         on_batch=None,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding", dim: int = 64):
+    """Streaming ANN-layout maintenance: each micro-batch of new
+    vectors appends to a materialized IVF (:func:`append_to_ivf`) or
+    IVF-PQ (:func:`append_to_pq`) serving layout — assignment/encoding
+    always against the layout's STORED centroids/codebook, so vectors
+    become searchable at micro-batch latency without a retrain (the
+    standard index-serving split: queries hit the last published
+    layout while this ingest keeps it fresh).
+
+    Same commit discipline as :func:`streaming_rollup_ingest`:
+    parquet append is not replay-idempotent, so ``marker_dir`` records
+    applied batch_ids and replays skip; the crash window between
+    append and marker needs a transactional table format to close.
+    """
+    from ..operators.similarity import append_to_ivf, append_to_pq
+
+    if kind not in ("ivf", "pq"):
+        raise ValueError(f"kind must be 'ivf' or 'pq', got {kind!r}")
+
+    def _process(batch_df, batch_id):
+        marker = (os.path.join(marker_dir, f"b{batch_id}")
+                  if marker_dir else None)
+        if marker and os.path.exists(marker):
+            return
+        if kind == "ivf":
+            n = append_to_ivf(spark, path, batch_df, id_col, vec_col, dim)
+        else:
+            n = append_to_pq(spark, path, batch_df, id_col, vec_col, dim)
+        if marker:
+            os.makedirs(marker_dir, exist_ok=True)
+            open(marker, "w").close()
+        if on_batch is not None:
+            on_batch(n, batch_id)
+
+    return (stream.writeStream
+            .foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start())
+
+
 def _interval_micros(interval: str) -> int:
     n, unit = interval.split()
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,

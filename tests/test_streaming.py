@@ -481,3 +481,62 @@ def test_streaming_rollup_maintenance(spark, sf_dir, tmp_path):
     process(batches[0], 0)         # batch_id 0 was already applied
     after = {r["year"]: tuple(r[1:]) for r in mgr.route(qm)[0].collect()}
     assert after == before
+
+
+def test_streaming_ann_ingest(spark, sf_dir, tmp_path):
+    """Streaming IVF-PQ maintenance: micro-batches of new vectors
+    append to the serving layout (stored codebook + centroids), become
+    immediately retrievable, and a replayed batch_id is a no-op."""
+    import glob
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from mondrian_rest_spark.operators import similarity
+    from mondrian_rest_spark.sources.registry import load_table
+    from mondrian_rest_spark.streaming.events import streaming_ann_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    path = str(tmp_path / "pq")
+    similarity.materialize_pq(base, path, iters=1)
+
+    incoming = tmp_path / "vec_src"
+    incoming.mkdir()
+    stage = tmp_path / "vec_stage"
+    batches = [emb.filter(F.col("vec_id") % 5 == 0)
+                  .filter((F.col("vec_id") % 2 == i)) for i in range(2)]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(str(stage / f"b{i}"))
+        shutil.copy(glob.glob(str(stage / f"b{i}" / "*.parquet"))[0],
+                    str(incoming / f"batch{i}.parquet"))
+
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(incoming)))
+    markers = str(tmp_path / "applied")
+    counts: list = []
+    q = streaming_ann_ingest(stream, spark, path, kind="pq",
+                             marker_dir=markers,
+                             on_batch=lambda n, b: counts.append(n))
+    q.awaitTermination(120)
+    assert sum(counts) == emb.filter(F.col("vec_id") % 5 == 0).count()
+
+    stored = spark.read.parquet(path)
+    ids = [r.vec_id for r in stored.select("vec_id").collect()]
+    assert len(ids) == emb.count() and len(set(ids)) == len(ids)
+
+    # an appended vector is retrievable at cosine 1
+    probe_id = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id").first()[0]
+    vec = list(emb.filter(F.col("vec_id") == probe_id)
+               .select("embedding").first()[0])
+    top = similarity.pq_topk_from_layout(
+        spark, path, None, vec, k=1, n_probe=16, rerank=20).collect()
+    assert top[0].vec_id == probe_id and top[0].cosine == 1.0
+
+    # replaying an applied batch_id is a no-op
+    before = spark.read.parquet(path).count()
+    process = _capture_process(streaming_ann_ingest, spark, path,
+                               kind="pq", marker_dir=markers)
+    process(batches[0], 0)
+    assert spark.read.parquet(path).count() == before
