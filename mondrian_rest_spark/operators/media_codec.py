@@ -1,0 +1,176 @@
+"""Real (pure-stdlib) media codecs for the multimodal operators.
+
+Earlier rounds stubbed the decode kernels because PIL/ffmpeg are not in
+this container.  This module removes the stub for the two formats a
+test environment can handle with the standard library alone:
+
+* **PNG** — full spec-correct decode of 8-bit greyscale/RGB/RGBA,
+  non-interlaced images: chunk walk, IDAT zlib inflate, and ALL FIVE
+  scanline filters (None/Sub/Up/Average/Paeth) reconstructed per the
+  PNG spec §9.  The matching encoder writes filter-0 scanlines with
+  correct CRCs, so encode→decode round-trips bit-exactly and any
+  external PNG reader accepts our output.
+* **WAV** — RIFF/fmt/data chunk walk for 16-bit PCM, returning sample
+  rate, channel count and the raw samples.
+
+These are REAL decoders: the pixel bytes come out of the inflate +
+unfilter pipeline, not from header fields, so a feature like the mean
+pixel value genuinely proves the decompression path (and is
+value-checked against a SQL oracle in m02).  The per-scanline filter
+reconstruction is plain Python — fine for the thumbnail-scale payloads
+tests and metadata extraction use; a production pipeline would swap in
+a vectorized codec (PIL/libvips) behind the same function signature,
+which is exactly the swap-point `extract_features` documents.
+
+No reference analog: mondrian-rest has no media path; this extends the
+engine for multimodal training-data pipelines per the build brief.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}   # colortype -> channels
+
+
+def png_encode(pixels: bytes, width: int, height: int,
+               channels: int = 3) -> bytes:
+    """Encode raw 8-bit pixels (row-major, ``width*height*channels``
+    bytes) as a minimal valid PNG (filter 0 per scanline)."""
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"need {width * height * channels} bytes, got {len(pixels)}")
+    stride = width * channels
+    raw = b"".join(b"\x00" + pixels[y * stride:(y + 1) * stride]
+                   for y in range(height))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG to ``(width, height, channels, pixels)``.
+
+    Supports the formats :func:`png_encode` and common tools emit:
+    8-bit depth, colortypes 0/2/4/6, interlace 0.  Implements the full
+    filter reconstruction (spec §9): every scanline's filter byte is
+    honored, so inputs from ANY conformant encoder decode correctly,
+    not just our own filter-0 output."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length                      # skip CRC
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, ilace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ctype not in _PNG_CHANNELS or ilace != 0:
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} colortype={ctype} "
+                    f"interlace={ilace}")
+            channels = _PNG_CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(height * stride)
+    prev = bytearray(stride)                    # zero row above row 0
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:                          # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:                        # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:                        # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:                        # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+def wav_encode(samples, sample_rate: int = 16000,
+               channels: int = 1) -> bytes:
+    """Encode 16-bit PCM samples (iterable of ints, interleaved if
+    multi-channel) as a minimal RIFF/WAVE file."""
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode a 16-bit PCM WAV to ``(sample_rate, channels, samples)``
+    via the RIFF chunk walk (tolerates extra chunks before data)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 8 + length + (length & 1)        # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_code != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: format={fmt_code} bits={bits}")
+        elif tag == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    n = len(data) // 2
+    return rate, channels, list(struct.unpack(f"<{n}h", data[:n * 2]))
+
+
+def sniff(payload: bytes) -> str:
+    """Cheap magic-byte format sniff: 'png' | 'wav' | 'unknown'."""
+    if payload is None:
+        return "unknown"
+    if payload[:8] == PNG_SIG:
+        return "png"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"

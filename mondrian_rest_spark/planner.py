@@ -516,9 +516,10 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # --- keys ending at the member, as an IN-literal cut pushed to the
     # --- scans (same shape as named-set memoization).  Keys order by
     # --- the level's global key order — right for Year/Day calendar
-    # --- units and any totally-keyed level; sub-year time levels
-    # --- (quarter/month keys repeating per year) have no total order
-    # --- in this catalog and get their cyclic key order ---
+    # --- units and any totally-keyed level; degenerate levels whose
+    # --- keys repeat per parent (quarter 1-4 every year) are rejected
+    # --- with a 400 like .Parent, since key-order steps there would
+    # --- silently cross parents (_degenerate_keys_repeat) ---
     for lp_path, n_periods in qm.lastperiods:
         if n_periods < 1:
             raise ParseError("LASTPERIODS count must be >= 1")
@@ -528,6 +529,12 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 f"LASTPERIODS needs [Dim].[Level].[member], got {lp_path!r}")
         hier_name = segs[1] if len(segs) == 4 else None
         dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        if dim.is_degenerate and _degenerate_keys_repeat(
+                spark, sf_dir, cube, dim, hier, level):
+            raise ParseError(
+                f"LASTPERIODS: not supported on level {level.name!r} of "
+                f"degenerate dimension {dim.name!r} (member keys repeat "
+                f"per parent, so key-order navigation would cross parents)")
         raw = segs[-1]
         val = _coerce(raw.lstrip("&"))
         use_caption = (not raw.startswith("&") and level.caption
@@ -563,7 +570,10 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                      .orderBy(F.col(level.key_alias).desc())
                      .limit(n_periods).collect())]
             _LASTPERIODS_KEYS[ck] = keys
-        if not keys or keys[0] != target:
+        # str() fallback: date-keyed levels collect datetime.date while
+        # the parsed member stays a string — same member, two reprs
+        if not keys or (keys[0] != target
+                        and str(keys[0]) != str(target)):
             raise ParseError(f"{lp_path!r}: member not found")
         idx = hier.level_index(level.name)
         gl = list(hier.levels[: idx + 1]) if qm.parents else [level]
@@ -587,6 +597,12 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 f".Lag/.Lead needs [Dim].[Level].[member], got {lg_path!r}")
         hier_name = segs[1] if len(segs) == 4 else None
         dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        if dim.is_degenerate and _degenerate_keys_repeat(
+                spark, sf_dir, cube, dim, hier, level):
+            raise ParseError(
+                f".Lag/.Lead: not supported on level {level.name!r} of "
+                f"degenerate dimension {dim.name!r} (member keys repeat "
+                f"per parent, so key-order navigation would cross parents)")
         raw = segs[-1]
         val = _coerce(raw.lstrip("&"))
         use_caption = (not raw.startswith("&") and level.caption
@@ -625,7 +641,8 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                         .orderBy(F.col(level.key_alias).asc()))
             keys = [r[0] for r in walk.limit(n_abs + 1).collect()]
             _LASTPERIODS_KEYS[ck] = keys
-        if not keys or keys[0] != target:
+        if not keys or (keys[0] != target
+                        and str(keys[0]) != str(target)):
             raise ParseError(f"{lg_path!r}: member not found")
         if len(keys) <= n_abs:
             raise ParseError(
@@ -1057,11 +1074,52 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
 #: once per query.  /flush clears it (api.py), like the result cache.
 _NAMED_SET_KEYS: dict = {}
 _LASTPERIODS_KEYS: dict = {}
+_LEVEL_REPEATS: dict = {}
 
 
 def clear_named_set_cache() -> None:
     _NAMED_SET_KEYS.clear()
     _LASTPERIODS_KEYS.clear()
+    _LEVEL_REPEATS.clear()
+
+
+def _degenerate_keys_repeat(spark: SparkSession, sf_dir: str, cube: Cube,
+                            dim, hier, level) -> bool:
+    """True when a degenerate level's member keys repeat under multiple
+    parents (quarter keys 1-4 recur every year).  Key-order member
+    navigation (LASTPERIODS / .Lag / .Lead) is only sound on totally
+    keyed levels — walking Quarter's 4 global keys would silently
+    aggregate each step across every year, diverging from Mondrian's
+    hierarchy walk — so such levels are rejected like .Parent rejects
+    them, rather than answering wrong.
+
+    Decided from the data — countDistinct(key) vs countDistinct(ALL
+    ancestor keys, key) in one fact-scan aggregate (the full ancestor
+    prefix, not just the immediate parent: Month is unique within its
+    Quarter-of-any-year yet still repeats across years) — not from
+    naming conventions, and memoized for the app lifetime alongside
+    the member-key windows it guards; clear_named_set_cache() drops
+    both together."""
+    idx = hier.level_index(level.name)
+    if idx == 0:          # top level: keys are globally unique by def
+        return False
+    ancestors = hier.levels[:idx]
+    ck = (spark.sparkContext.applicationId, sf_dir, cube.name,
+          dim.name, hier.name, level.name)
+    hit = _LEVEL_REPEATS.get(ck)
+    if hit is None:
+        anc_cols = [F.expr(a.key).alias(f"__p{i}")
+                    for i, a in enumerate(ancestors)]
+        row = (load_table(spark, sf_dir, cube.fact)
+               .select(F.expr(level.key).alias("__k"), *anc_cols)
+               .agg(F.countDistinct("__k").alias("nk"),
+                    F.countDistinct(*[f"__p{i}" for i in
+                                      range(len(ancestors))],
+                                    "__k").alias("npk"))
+               .collect()[0])
+        hit = row["npk"] > row["nk"]
+        _LEVEL_REPEATS[ck] = hit
+    return hit
 
 
 def named_set_keys(spark: SparkSession, sf_dir: str, cube: Cube, ns) -> list:

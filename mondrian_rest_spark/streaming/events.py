@@ -324,9 +324,7 @@ def streaming_neardup_ingest_incremental(stream: DataFrame, spark,
             .start())
 
 
-def streaming_rollup_ingest(stream: DataFrame, manager,
-                            marker_dir: str | None = None,
-                            on_batch=None):
+def streaming_rollup_ingest(stream: DataFrame, manager, on_batch=None):
     """Streaming fact ingest that keeps materialized rollups fresh:
     every micro-batch of appended fact rows folds into each registered
     rollup via ``RollupManager.append`` (plans/rollup.py) — the batch
@@ -337,24 +335,16 @@ def streaming_rollup_ingest(stream: DataFrame, manager,
     jobs, at micro-batch latency.
 
     foreachBatch runs batches sequentially, so rollup merges are
-    race-free.  The merge is additive, hence NOT replay-idempotent by
-    itself; ``marker_dir`` (a local/DBFS-visible directory) records one
-    marker per applied batch_id, and a replayed batch_id is skipped —
-    the same commit discipline as the near-dup index's per-batch
-    partitions.  A crash BETWEEN the merge and the marker write can
-    still double-apply that one batch; closing that window needs an
-    atomically-committing table format for the rollup (Delta/Iceberg),
-    which is exactly what production would use for the rollup sink.
+    race-free.  Exactly-once: the batch_id is passed through as
+    ``RollupManager.append``'s ``batch_tag``, which commits each
+    rollup's merge via a write-ahead staged copy + atomic marker (see
+    its docstring) — a batch replayed after a crash at ANY point
+    (before, during, or after the layout overwrite) lands idempotent.
+    This closed the r6 crash window (merge-then-marker double-apply)
+    without a transactional table format.
     """
     def _process(batch_df, batch_id):
-        marker = (os.path.join(marker_dir, f"b{batch_id}")
-                  if marker_dir else None)
-        if marker and os.path.exists(marker):
-            return                     # replayed batch: already applied
-        manager.append(batch_df)
-        if marker:
-            os.makedirs(marker_dir, exist_ok=True)
-            open(marker, "w").close()
+        manager.append(batch_df, batch_tag=f"b{batch_id}")
         if on_batch is not None:
             on_batch(batch_df, batch_id)
 
@@ -366,7 +356,6 @@ def streaming_rollup_ingest(stream: DataFrame, manager,
 
 def streaming_ann_ingest(stream: DataFrame, spark, path: str,
                          kind: str = "ivf",
-                         marker_dir: str | None = None,
                          on_batch=None,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding", dim: int = 64):
@@ -378,10 +367,13 @@ def streaming_ann_ingest(stream: DataFrame, spark, path: str,
     standard index-serving split: queries hit the last published
     layout while this ingest keeps it fresh).
 
-    Same commit discipline as :func:`streaming_rollup_ingest`:
-    parquet append is not replay-idempotent, so ``marker_dir`` records
-    applied batch_ids and replays skip; the crash window between
-    append and marker needs a transactional table format to close.
+    Exactly-once without markers (closed the r6 crash window): each
+    batch lands in its cells' ``batch=b<id>`` sub-partitions via
+    dynamic partition overwrite, so a replayed batch — including one
+    that crashed mid-write — recomputes the same deterministic
+    assignment and overwrites exactly its own directories: layout row
+    counts are invariant under replay, the same discipline as the
+    near-dup index's per-batch partitions.
     """
     from ..operators.similarity import append_to_ivf, append_to_pq
 
@@ -389,17 +381,9 @@ def streaming_ann_ingest(stream: DataFrame, spark, path: str,
         raise ValueError(f"kind must be 'ivf' or 'pq', got {kind!r}")
 
     def _process(batch_df, batch_id):
-        marker = (os.path.join(marker_dir, f"b{batch_id}")
-                  if marker_dir else None)
-        if marker and os.path.exists(marker):
-            return
-        if kind == "ivf":
-            n = append_to_ivf(spark, path, batch_df, id_col, vec_col, dim)
-        else:
-            n = append_to_pq(spark, path, batch_df, id_col, vec_col, dim)
-        if marker:
-            os.makedirs(marker_dir, exist_ok=True)
-            open(marker, "w").close()
+        fn = append_to_ivf if kind == "ivf" else append_to_pq
+        n = fn(spark, path, batch_df, id_col, vec_col, dim,
+               batch_tag=f"b{batch_id}")
         if on_batch is not None:
             on_batch(n, batch_id)
 

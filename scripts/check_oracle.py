@@ -9,10 +9,15 @@ query AND its DuckDB oracle, compare row count / schema / values
 --json writes a durable per-query record in the driver's
 CORRECTNESS_r{N}.json row schema, covering ALL registered queries
 (the driver's own list has been frozen at 50 rows since round 3;
-this artifact is the per-round record for the rest)."""
+this artifact is the per-round record for the rest).
+
+Queries with no oracle_sql entry are value-compared against committed
+golden parquet (tests/golden/, scripts/make_golden.py) when one
+exists, else fall back to the driver's weaker rows-only check."""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -104,6 +109,28 @@ def main() -> int:
         spark_t = time.time() - t0
         rec["spark_rows"] = len(sdf)
         if name not in oracles:
+            # no SQL oracle (iterative training) — but the paths are
+            # deterministic integer math, so a committed golden result
+            # (scripts/make_golden.py) gives a full value check
+            from make_golden import golden_path
+            gp = golden_path(name, sf_dir)
+            if os.path.exists(gp):
+                gdf = pd.read_parquet(gp)
+                rec["oracle_rows"] = len(gdf)
+                issues = compare(name, sdf, gdf)
+                rec["rows_match"] = len(sdf) == len(gdf)
+                rec["schema_match"] = (sorted(sdf.columns)
+                                       == sorted(gdf.columns))
+                rec["hash_match"] = not issues
+                rec["golden"] = True
+                if issues:
+                    failed.append(name)
+                    rec["err"] = " | ".join(issues)
+                    print(f"FAIL {name}: rows={len(sdf)}  " + rec["err"])
+                else:
+                    print(f"PASS {name}: rows={len(sdf)} "
+                          f"({spark_t:.1f}s) [golden]")
+                continue
             # driver's weaker rows-only check: ran + returned a frame
             rec.update(rows_match=True, schema_match=True, hash_match=None,
                        rows_only=True)

@@ -195,3 +195,36 @@ def test_rollup_incremental_append(spark, sf_dir, tmp_path):
         assert after2[k][1] == 2 * row[4]
     for k in before:                       # untouched partitions intact
         assert after2[k] == after[k] == before[k]
+
+
+def test_rollup_append_null_partition_key(spark, sf_dir, tmp_path):
+    """isin()-based slice selection is null-hostile (NULL IN (...) is
+    never true — r6 ADVICE): a batch whose rows aggregate to a NULL
+    grain key must MERGE with the existing null-partition totals, not
+    silently replace them with delta-only values."""
+    from mondrian_rest_spark.sources.registry import load_table
+
+    path = str(tmp_path / "year_roll")
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("year_roll", ("Time.Year",),
+                 persist_path=path, partition_col="year")
+    qm = QueryModel(cube="Sales", measures=["Revenue", "Line Count"],
+                    drilldown=["Time.Year"])
+
+    # rows with no ship date -> year(null) = null grain key
+    batch = (load_table(spark, sf_dir, "lineitem")
+             .filter(F.col("l_orderkey") < 100)
+             .withColumn("l_shipdate", F.lit(None).cast("date")))
+    mgr.append(batch)                      # creates the null partition
+    one = {row[0]: (float(row[1]), row[2])
+           for row in mgr.route(qm)[0].collect()}
+    assert None in one and one[None][1] > 0
+
+    mgr.append(batch)                      # must COMBINE, not replace
+    two = {row[0]: (float(row[1]), row[2])
+           for row in mgr.route(qm)[0].collect()}
+    assert two[None][0] == pytest.approx(2 * one[None][0], rel=1e-9)
+    assert two[None][1] == 2 * one[None][1]
+    for y in one:                          # non-null years untouched
+        if y is not None:
+            assert two[y] == one[y]

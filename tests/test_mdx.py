@@ -757,10 +757,32 @@ def test_mdx_parent_lastperiods_rejections(spark, sf_dir):
         # unknown member method stays a clear 400
         "SELECT {[Measures].[Revenue]} ON COLUMNS, "
         "[Customer].[Nation].[&5].Sibling ON ROWS FROM [Sales]",
+        # key-order navigation on repeating-key degenerate levels
+        # (quarter 1-4 recurs every year) would silently cross
+        # parents -> rejected like .Parent (r6 ADVICE, medium)
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "LASTPERIODS(2, [Time].[Quarter].[&2]) ON ROWS FROM [Sales]",
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Time].[Month].[&6].Lag(1) ON ROWS FROM [Sales]",
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Time].[Quarter].[&2].Lead(1) ON ROWS FROM [Sales]",
     ]
     for mdx in cases:
         with pytest.raises(ParseError):
             execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
+
+    # the guard is data-driven, not name-driven: Day keys are full
+    # dates (globally unique even though nested under Month), so
+    # key-order navigation there stays legal
+    from mondrian_rest_spark.sources.registry import load_table
+    day = (load_table(spark, sf_dir, "lineitem")
+           .selectExpr("max(to_date(l_shipdate)) d").first()["d"])
+    out = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        f"NON EMPTY LASTPERIODS(2, [Time].[Day].[&{day}]) ON ROWS "
+        "FROM [Sales]").collect()
+    assert 1 <= len(out) <= 2
 
 
 def test_mdx_parent_lastperiods_round_trip():

@@ -414,7 +414,8 @@ def test_streaming_rollup_maintenance(spark, sf_dir, tmp_path):
     each micro-batch folds in via RollupManager.append (delta at the
     rollup grain, dynamic overwrite of only the touched partitions),
     routed queries then reflect every ingested row, and a replayed
-    batch_id is a no-op (marker-dir commit discipline)."""
+    batch_id is a no-op at EVERY crash point (write-ahead staged merge
+    + atomic marker — r6 VERDICT item 1)."""
     import pyspark.sql.functions as F
     import pytest
 
@@ -455,8 +456,7 @@ def test_streaming_rollup_maintenance(spark, sf_dir, tmp_path):
               .schema(batches[0].schema)
               .option("maxFilesPerTrigger", 1)
               .parquet(str(incoming)))
-    markers = str(tmp_path / "applied")
-    q = streaming_rollup_ingest(stream, mgr, marker_dir=markers)
+    q = streaming_rollup_ingest(stream, mgr)
     q.awaitTermination(120)
 
     routed, src = mgr.route(qm)
@@ -474,13 +474,33 @@ def test_streaming_rollup_maintenance(spark, sf_dir, tmp_path):
     for y, (rev, cnt) in expected.items():
         assert got[y][0] == pytest.approx(rev, rel=1e-9) and got[y][1] == cnt
 
-    # replaying an applied batch_id is a no-op (marker commit)
-    process = _capture_process(streaming_rollup_ingest, mgr,
-                               marker_dir=markers)
+    # replaying an applied batch_id is a no-op (marker short-circuit)
+    process = _capture_process(streaming_rollup_ingest, mgr)
     before = {r["year"]: tuple(r[1:]) for r in mgr.route(qm)[0].collect()}
     process(batches[0], 0)         # batch_id 0 was already applied
     after = {r["year"]: tuple(r[1:]) for r in mgr.route(qm)[0].collect()}
     assert after == before
+
+    # crash window: kill between merge and commit — simulate by
+    # deleting the marker AFTER a full apply (the layout already holds
+    # the merged values, the staged write-ahead copy still exists) and
+    # replaying the same batch_id.  The replay must re-apply the SAME
+    # staged values (overwrite), never re-merge the delta on top.
+    layout = str(tmp_path / "nation_year")
+    marker = layout + "__applied_b0"
+    staged = layout + "__batch_b0"
+    import os
+    assert os.path.exists(marker) and os.path.exists(staged)
+    os.remove(marker)
+    process(batches[0], 0)
+    assert os.path.exists(marker)  # recommitted
+    after2 = {r["year"]: tuple(r[1:]) for r in mgr.route(qm)[0].collect()}
+    assert after2 == before        # values unchanged: no double-apply
+
+    # gc reclaims staged copies only once their marker is durable
+    assert mgr.gc_staging() == 2   # batches b0, b1
+    assert not os.path.exists(staged) and os.path.exists(marker)
+    assert mgr.gc_staging() == 0
 
 
 def test_streaming_ann_ingest(spark, sf_dir, tmp_path):
@@ -513,10 +533,8 @@ def test_streaming_ann_ingest(spark, sf_dir, tmp_path):
 
     stream = (spark.readStream.schema(emb.schema)
               .option("maxFilesPerTrigger", 1).parquet(str(incoming)))
-    markers = str(tmp_path / "applied")
     counts: list = []
     q = streaming_ann_ingest(stream, spark, path, kind="pq",
-                             marker_dir=markers,
                              on_batch=lambda n, b: counts.append(n))
     q.awaitTermination(120)
     assert sum(counts) == emb.filter(F.col("vec_id") % 5 == 0).count()
@@ -534,9 +552,16 @@ def test_streaming_ann_ingest(spark, sf_dir, tmp_path):
         spark, path, None, vec, k=1, n_probe=16, rerank=20).collect()
     assert top[0].vec_id == probe_id and top[0].cosine == 1.0
 
-    # replaying an applied batch_id is a no-op
-    before = spark.read.parquet(path).count()
+    # replaying an applied batch_id is a no-op — there is NO marker to
+    # race with: the batch's rows live in its own batch=b0
+    # sub-partitions and the replayed dynamic overwrite replaces
+    # exactly those directories with identical content (r6 VERDICT
+    # item 1: crash-at-any-point idempotence)
+    before = sorted(r.vec_id for r in
+                    spark.read.parquet(path).select("vec_id").collect())
     process = _capture_process(streaming_ann_ingest, spark, path,
-                               kind="pq", marker_dir=markers)
+                               kind="pq")
     process(batches[0], 0)
-    assert spark.read.parquet(path).count() == before
+    after = sorted(r.vec_id for r in
+                   spark.read.parquet(path).select("vec_id").collect())
+    assert after == before
