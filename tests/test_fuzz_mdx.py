@@ -1,0 +1,421 @@
+"""Property-based MDX→oracle fuzzing (round-7 advice item 5).
+
+test_fuzz_oracle.py fuzzes REST QueryModels; this file fuzzes the
+POSTed-MDX surface itself: hypothesis composes random MDX *text* from
+the supported grammar (mdx.py module docstring) — axis atoms
+(.Members / {set} / DESCENDANTS / .Children / .Lag / .Lead /
+LASTPERIODS / WITH SET named sets) × axis wrappers (FILTER / ORDER /
+SUBSET / TOPCOUNT) × WITH MEMBER formulas × WHERE slicer tuples — and
+every case is value-compared against an independently generated
+DuckDB SQL oracle over the same star schema (reference analog: the
+raw-MDX specs in api_spec.rb:284-296, which hand-pick a few strings;
+here the grammar itself is the generator).
+
+The oracle mirrors the engine's documented semantics:
+- axis atoms contribute GROUP BY columns and (for member-anchored
+  atoms) WHERE predicates;
+- WITH SET named sets are computed over the UNCUT cube with an
+  ascending-key tie-break (planner.named_set_frame);
+- FILTER→HAVING, ORDER→ORDER BY (+ remaining axis keys as
+  tie-breakers, mirroring the planner's deterministic total order),
+  SUBSET/TOPCOUNT→LIMIT/OFFSET;
+- .Lag/.Lead/LASTPERIODS resolve against the fact's distinct Year
+  keys, which are contiguous in this data, so plain year arithmetic
+  is exact.
+
+derandomize=True keeps the corpus stable run-to-run; bump
+max_examples locally to hunt.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mondrian_rest_spark import tpch
+from mondrian_rest_spark.mdx import execute_mdx
+
+from test_fuzz_oracle import MEASURES, STAR, canon
+
+# --- axis atoms ------------------------------------------------------------
+# each atom: the MDX set text + its oracle contribution
+# (select exprs, output aliases, key alias, WHERE predicate or None)
+
+NATION_SEL = ["cn.n_nationkey AS cust_nation_key", "cn.n_name AS cust_nation"]
+NATION_OUT = ["cust_nation_key", "cust_nation"]
+
+ATOMS = {
+    "m_cust_region": dict(
+        dim="Customer", lvl=0, kind="members",
+        mdx="[Customer].[Region].Members",
+        sel=["cr.r_regionkey AS cust_region_key", "cr.r_name AS cust_region"],
+        out=["cust_region_key", "cust_region"], key="cust_region_key",
+        pred=None),
+    "m_cust_nation": dict(
+        dim="Customer", lvl=1, kind="members",
+        mdx="[Customer].[Nation].Members",
+        sel=NATION_SEL, out=NATION_OUT, key="cust_nation_key", pred=None),
+    "m_supp_region": dict(
+        dim="Supplier", lvl=0, kind="members",
+        mdx="[Supplier].[Region].Members",
+        sel=["sr.r_regionkey AS supp_region_key", "sr.r_name AS supp_region"],
+        out=["supp_region_key", "supp_region"], key="supp_region_key",
+        pred=None),
+    "m_brand": dict(
+        dim="Part", lvl=0, kind="members", mdx="[Part].[Brand].Members",
+        sel=["p.p_brand AS p_brand"], out=["p_brand"], key="p_brand",
+        pred=None),
+    "m_year": dict(
+        dim="Time", lvl=0, kind="members", mdx="[Time].[Year].Members",
+        sel=["year(l.l_shipdate) AS year"], out=["year"], key="year",
+        pred=None),
+    "m_month": dict(
+        dim="Time", lvl=2, kind="members", mdx="[Time].[Month].Members",
+        sel=["month(l.l_shipdate) AS month"], out=["month"], key="month",
+        pred=None),
+    "m_rflag": dict(
+        dim="Return Flag", lvl=0, kind="members",
+        mdx="[Return Flag].[Return Flag].Members",
+        sel=["l.l_returnflag AS l_returnflag"], out=["l_returnflag"],
+        key="l_returnflag", pred=None),
+    "m_lstatus": dict(
+        dim="Line Status", lvl=0, kind="members",
+        mdx="[Line Status].[Line Status].Members",
+        sel=["l.l_linestatus AS l_linestatus"], out=["l_linestatus"],
+        key="l_linestatus", pred=None),
+    "set_nation": dict(
+        dim="Customer", lvl=1, kind="set",
+        mdx="{[Customer].[Nation].[&3], [Customer].[Nation].[&7], "
+            "[Customer].[Nation].[&21]}",
+        sel=NATION_SEL, out=NATION_OUT, key="cust_nation_key",
+        pred="cn.n_nationkey IN (3, 7, 21)"),
+    "desc_nation": dict(
+        dim="Customer", lvl=1, kind="desc",
+        mdx="DESCENDANTS([Customer].[Region].[&2], [Customer].[Nation])",
+        sel=NATION_SEL, out=NATION_OUT, key="cust_nation_key",
+        pred="cr.r_regionkey = 2"),
+    "child_supp": dict(
+        dim="Supplier", lvl=1, kind="children",
+        mdx="[Supplier].[Region].[&1].Children",
+        sel=["sn.n_nationkey AS supp_nation_key",
+             "sn.n_name AS supp_nation"],
+        out=["supp_nation_key", "supp_nation"], key="supp_nation_key",
+        pred="sr.r_regionkey = 1"),
+    "child_cust": dict(
+        dim="Customer", lvl=1, kind="children",
+        mdx="[Customer].[Region].[&0].Children",
+        sel=NATION_SEL, out=NATION_OUT, key="cust_nation_key",
+        pred="cr.r_regionkey = 0"),
+    # testdata shipdate years are 1995-2001 (contiguous), so member
+    # arithmetic below is exact against the planner's key-order walk
+    "lag_year": dict(
+        dim="Time", lvl=0, kind="lag",
+        mdx="[Time].[Year].[1998].Lag(2)",
+        sel=["year(l.l_shipdate) AS year"], out=["year"], key="year",
+        pred="year(l.l_shipdate) = 1996"),
+    "lead_year": dict(
+        dim="Time", lvl=0, kind="lag",
+        mdx="[Time].[Year].[1996].Lead(1)",
+        sel=["year(l.l_shipdate) AS year"], out=["year"], key="year",
+        pred="year(l.l_shipdate) = 1997"),
+    "lastp_year": dict(
+        dim="Time", lvl=0, kind="lastp",
+        mdx="LASTPERIODS(3, [Time].[Year].[1998])",
+        sel=["year(l.l_shipdate) AS year"], out=["year"], key="year",
+        pred="year(l.l_shipdate) BETWEEN 1996 AND 1998"),
+}
+
+#: planner drill resolution order (planner.py _aggregate_cube): plain
+#: drilldowns in textual order, then .Children, then LASTPERIODS, then
+#: .Lag/.Lead — the axis key order that drives ORDER BY tie-breaks
+_KIND_RANK = {"members": 0, "set": 0, "desc": 0, "children": 1,
+              "lastp": 2, "lag": 3}
+
+# --- WITH SET named sets (computed over the UNCUT cube) --------------------
+
+WITH_SETS = {
+    "Customer.Nation": dict(
+        mdx_level="[Customer].[Nation]", keyexpr="cn.n_nationkey",
+        dim="Customer", sel=NATION_SEL, out=NATION_OUT,
+        key="cust_nation_key"),
+    "Part.Brand": dict(
+        mdx_level="[Part].[Brand]", keyexpr="p.p_brand",
+        dim="Part", sel=["p.p_brand AS p_brand"], out=["p_brand"],
+        key="p_brand"),
+    "Supplier.Region": dict(
+        mdx_level="[Supplier].[Region]", keyexpr="sr.r_regionkey",
+        dim="Supplier",
+        sel=["sr.r_regionkey AS supp_region_key",
+             "sr.r_name AS supp_region"],
+        out=["supp_region_key", "supp_region"], key="supp_region_key"),
+}
+
+# --- slicer cuts -----------------------------------------------------------
+# cut -> (mdx slicer text, SQL predicate, dimension, level index)
+
+SLICERS = {
+    "cust_region": ("[Customer].[Region].[&2]", "cr.r_regionkey = 2",
+                    "Customer", 0),
+    "cust_nations": ("{[Customer].[Nation].[&3], [Customer].[Nation].[&7], "
+                     "[Customer].[Nation].[&21]}",
+                     "cn.n_nationkey IN (3, 7, 21)", "Customer", 1),
+    "year_range": ("([Time].[Year].[1996]:[Time].[Year].[1998])",
+                   "year(l.l_shipdate) BETWEEN 1996 AND 1998", "Time", 0),
+    "rflag": ("[Return Flag].[Return Flag].[&R]", "l.l_returnflag = 'R'",
+              "Return Flag", 0),
+    "lstatus": ("[Line Status].[Line Status].[&F]", "l.l_linestatus = 'F'",
+                "Line Status", 0),
+    "supp_region": ("[Supplier].[Region].[&1]", "sr.r_regionkey = 1",
+                    "Supplier", 0),
+}
+
+# --- WITH MEMBER formulas ("Calc Measure" -> alias calc_measure) -----------
+# name -> (MDX formula, oracle SQL expression builder over measure SQL)
+
+REV = MEASURES["Revenue"][1]
+CNT = MEASURES["Line Count"][1]
+PRICE = MEASURES["Quantity"][1]  # placeholder; real price SQL below
+EXT = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)"
+
+CALCS = {
+    "ratio": ("[Measures].[Revenue] / [Measures].[Line Count]",
+              f"({REV}) / ({CNT})"),
+    "sumratio": ("([Measures].[Revenue] + [Measures].[Extended Price]) "
+                 "/ [Measures].[Line Count]",
+                 f"(({REV}) + ({EXT})) / ({CNT})"),
+    "scaled": ("[Measures].[Revenue] * 2 + 1", f"({REV}) * 2 + 1"),
+    "iif": ("IIF([Measures].[Revenue] / [Measures].[Line Count] > 50250, "
+            "[Measures].[Revenue] / [Measures].[Line Count], 0)",
+            f"CASE WHEN ({REV}) / ({CNT}) > 50250 "
+            f"THEN ({REV}) / ({CNT}) ELSE 0 END"),
+}
+
+# measures usable in FILTER/ORDER/TOPCOUNT/WITH SET rankings
+RANK_MEASURES = ["Revenue", "Quantity", "Line Count", "Max Quantity"]
+FILTER_VALUES = [0, 100, 10_000, 5_000_000]
+
+
+@st.composite
+def mdx_specs(draw):
+    atoms = draw(st.lists(st.sampled_from(sorted(ATOMS)),
+                          min_size=0, max_size=3, unique=True))
+    # one atom per dimension (two sets on one hierarchy is a 400)
+    seen = set()
+    atoms = [a for a in atoms
+             if not (ATOMS[a]["dim"] in seen or seen.add(ATOMS[a]["dim"]))]
+
+    with_set = None
+    if draw(st.booleans()):
+        lvl = draw(st.sampled_from(sorted(WITH_SETS)))
+        if WITH_SETS[lvl]["dim"] not in seen:
+            seen.add(WITH_SETS[lvl]["dim"])
+            with_set = (lvl, draw(st.sampled_from([2, 3, 5])),
+                        draw(st.sampled_from(RANK_MEASURES)),
+                        draw(st.booleans()))  # True = BOTTOMCOUNT
+
+    measures = draw(st.lists(
+        st.sampled_from(["Revenue", "Quantity", "Line Count",
+                         "Max Quantity", "Avg Discount", "Customer Count"]),
+        min_size=1, max_size=3, unique=True))
+    calc = draw(st.sampled_from([None] + sorted(CALCS)))
+
+    has_axis = bool(atoms) or with_set is not None
+    # axis wrappers: FILTER -> ORDER -> SUBSET chain, or a whole-axis
+    # TOPCOUNT (which imposes its own order+limit)
+    topcount = filt = order = subset = None
+    if has_axis:
+        if draw(st.booleans()):
+            topcount = (draw(st.sampled_from([1, 3, 10])),
+                        draw(st.sampled_from(RANK_MEASURES)))
+        else:
+            if draw(st.booleans()):
+                filt = draw(st.lists(
+                    st.tuples(st.sampled_from(RANK_MEASURES),
+                              st.sampled_from([">", ">=", "<", "<="]),
+                              st.sampled_from(FILTER_VALUES)),
+                    min_size=1, max_size=2))
+            if draw(st.booleans()):
+                # order by a measure, or by a drilled member's Key
+                keys = [("measure", m) for m in RANK_MEASURES]
+                keys += [("member", a) for a in atoms
+                         if ATOMS[a]["kind"] == "members"]
+                order = (draw(st.sampled_from(keys)), draw(st.booleans()))
+            if draw(st.booleans()):
+                subset = (draw(st.sampled_from([0, 2])),
+                          draw(st.sampled_from([1, 3, 10])))
+
+    cuts = draw(st.lists(st.sampled_from(sorted(SLICERS)),
+                         min_size=0, max_size=2, unique=True))
+    # a slicer may share a dimension only with a plain .Members atom
+    # drilled at-or-below the cut level (ascendant drill is a 400;
+    # member-anchored atoms carry their own implicit cut)
+    def cut_ok(c):
+        _, _, cdim, clvl = SLICERS[c]
+        if with_set and WITH_SETS[with_set[0]]["dim"] == cdim:
+            return False
+        for a in atoms:
+            if ATOMS[a]["dim"] != cdim:
+                continue
+            if ATOMS[a]["kind"] != "members" or ATOMS[a]["lvl"] < clvl:
+                return False
+        return True
+    cuts = [c for c in cuts if cut_ok(c)]
+    seen_cd = set()
+    cuts = [c for c in cuts
+            if not (SLICERS[c][2] in seen_cd or seen_cd.add(SLICERS[c][2]))]
+
+    return dict(atoms=atoms, with_set=with_set, measures=measures,
+                calc=calc, topcount=topcount, filt=filt, order=order,
+                subset=subset, cuts=cuts)
+
+
+def build_mdx(spec) -> str:
+    defs = []
+    if spec["calc"]:
+        defs.append("MEMBER [Measures].[Calc Measure] AS "
+                    + CALCS[spec["calc"]][0])
+    if spec["with_set"]:
+        lvl, k, by, bottom = spec["with_set"]
+        fn = "BOTTOMCOUNT" if bottom else "TOPCOUNT"
+        defs.append(f"SET [Fuzz Set] AS {fn}("
+                    f"{WITH_SETS[lvl]['mdx_level']}.Members, {k}, "
+                    f"[Measures].[{by}])")
+    mdx = f"WITH {' '.join(defs)} " if defs else ""
+
+    ms = list(spec["measures"]) + (["Calc Measure"] if spec["calc"] else [])
+    mdx += ("SELECT {" + ", ".join(f"[Measures].[{m}]" for m in ms)
+            + "} ON COLUMNS")
+
+    sets = [ATOMS[a]["mdx"] for a in spec["atoms"]]
+    if spec["with_set"]:
+        sets.append("[Fuzz Set]")
+    if sets:
+        axis = " * ".join(sets)
+        if spec["topcount"]:
+            n, by = spec["topcount"]
+            axis = f"TOPCOUNT({axis}, {n}, [Measures].[{by}])"
+        else:
+            if spec["filt"]:
+                conds = " AND ".join(f"[Measures].[{m}] {op} {v}"
+                                     for m, op, v in spec["filt"])
+                axis = f"FILTER({axis}, {conds})"
+            if spec["order"]:
+                (okind, oref), desc = spec["order"]
+                if okind == "measure":
+                    okey = f"[Measures].[{oref}]"
+                else:
+                    a = ATOMS[oref]
+                    lvl_path = a["mdx"].rsplit(".Members", 1)[0]
+                    okey = f"{lvl_path}.CurrentMember.Key"
+                axis = f"ORDER({axis}, {okey}, {'BDESC' if desc else 'BASC'})"
+            if spec["subset"]:
+                off, n = spec["subset"]
+                axis = f"SUBSET({axis}, {off}, {n})"
+        mdx += f", NON EMPTY {axis} ON ROWS"
+    mdx += " FROM [Sales]"
+    if spec["cuts"]:
+        mdx += (" WHERE ("
+                + " * ".join(SLICERS[c][0] for c in spec["cuts"]) + ")")
+    return mdx
+
+
+def build_oracle_sql(spec) -> str:
+    sel, aliases, key_aliases, preds = [], [], [], []
+    # key order must mirror the planner's drill resolution order, not
+    # the MDX textual order (see _KIND_RANK).  [Fuzz Set] is a plain
+    # drilldown — rank 0, textually after the other atoms.
+    entries = [(_KIND_RANK[ATOMS[a]["kind"]], i, ATOMS[a])
+               for i, a in enumerate(spec["atoms"])]
+    if spec["with_set"]:
+        lvl, k, by, bottom = spec["with_set"]
+        ws = WITH_SETS[lvl]
+        direction = "ASC" if bottom else "DESC"
+        entries.append((0, len(spec["atoms"]), dict(
+            sel=ws["sel"], out=ws["out"], key=ws["key"],
+            pred=f"{ws['keyexpr']} IN (SELECT __k FROM ("
+                 f"SELECT {ws['keyexpr']} AS __k, {MEASURES[by][1]} AS __v "
+                 f"{STAR} GROUP BY 1 ORDER BY __v {direction}, __k "
+                 f"LIMIT {k}))")))
+    for _, _, atom in sorted(entries, key=lambda e: (e[0], e[1])):
+        sel += atom["sel"]
+        aliases += atom["out"]
+        key_aliases.append(atom["key"])
+        if atom["pred"]:
+            preds.append(atom["pred"])
+    for c in spec["cuts"]:
+        preds.append(SLICERS[c][1])
+
+    msel = [f"{MEASURES[m][1]} AS {MEASURES[m][0]}"
+            for m in spec["measures"]]
+    if spec["calc"]:
+        msel.append(f"{CALCS[spec['calc']][1]} AS calc_measure")
+
+    sql = "SELECT " + ", ".join(sel + msel) + STAR
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    if sel:
+        sql += " GROUP BY " + ", ".join(aliases)
+
+    order_terms, limit = [], None
+    if spec["topcount"]:
+        n, by = spec["topcount"]
+        order_terms = [f"{MEASURES[by][1]} DESC"] + list(key_aliases)
+        limit = (0, n)
+    else:
+        if spec["filt"]:
+            sql += " HAVING " + " AND ".join(
+                f"{MEASURES[m][1]} {op} {v}" for m, op, v in spec["filt"])
+        if spec["order"]:
+            (okind, oref), desc = spec["order"]
+            if okind == "measure":
+                expr, skip = MEASURES[oref][1], MEASURES[oref][0]
+            else:
+                expr, skip = ATOMS[oref]["key"], ATOMS[oref]["key"]
+            order_terms = ([expr + (" DESC" if desc else "")]
+                           + [a for a in key_aliases if a != skip])
+        elif key_aliases:
+            order_terms = list(key_aliases)
+        if spec["subset"]:
+            off, n = spec["subset"]
+            limit = (off, n)
+    if order_terms:
+        sql += " ORDER BY " + ", ".join(order_terms)
+    if limit:
+        sql += f" LIMIT {limit[1]} OFFSET {limit[0]}"
+    return sql
+
+
+@settings(max_examples=150, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.filter_too_much])
+@given(spec=mdx_specs())
+def test_random_mdx_matches_generated_oracle(spark, sf_dir, duck, spec):
+    mdx = build_mdx(spec)
+    got = execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).toPandas()
+    exp = duck.execute(build_oracle_sql(spec)).fetchdf()
+    assert sorted(got.columns) == sorted(exp.columns), \
+        f"columns {sorted(got.columns)} != {sorted(exp.columns)}\n{mdx}"
+    assert len(got) == len(exp), \
+        f"rows {len(got)} != {len(exp)}\n{mdx}\n{build_oracle_sql(spec)}"
+    a, b = canon(got), canon(exp)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            ok = ((av.isna() & bv.isna()) |
+                  ((av - bv).abs() <= 1e-9 + 1e-9 * bv.abs()))
+        else:
+            ok = (av.isna() & bv.isna()) | (av.astype(object) ==
+                                            bv.astype(object))
+        assert bool(ok.all()), (
+            f"col {c} mismatch at row {int((~ok).idxmax())}: "
+            f"spark={av[(~ok).idxmax()]!r} duck={bv[(~ok).idxmax()]!r}\n"
+            f"{mdx}\n{build_oracle_sql(spec)}")
+
+
+def test_mdx_fuzz_corpus_is_large_enough():
+    """The advice's done-bar: 100+ generated MDX cases; settings pin
+    max_examples=150 (derandomized), so the corpus size is explicit."""
+    s = (test_random_mdx_matches_generated_oracle
+         ._hypothesis_internal_use_settings)
+    assert s.max_examples >= 100
