@@ -78,7 +78,14 @@ def query_model_from_params(cube: str, params) -> QueryModel:
 
 
 def create_app(cat: Catalog, sf_dir: str, spark=None,
-               flush_secret: str | None = None) -> Flask:
+               flush_secret: str | None = None,
+               rollup_manager=None) -> Flask:
+    """``rollup_manager``: an optional plans.rollup.RollupManager; when
+    given, every aggregate-producing route (REST /aggregate AND posted
+    /mdx — compile_mdx yields the same QueryModel) consults it and is
+    served from the smallest covering rollup, falling back to base
+    facts (reference analog: Mondrian AggName routing is transparent
+    to the REST layer).  debug=true surfaces the chosen source."""
     app = Flask("mondrian_rest_spark")
     state = {"spark": spark}
 
@@ -103,9 +110,16 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
     def _cells(rows: list) -> int:
         return len(rows) * len(rows[0]) if rows else 1
 
+    def run_query(qm):
+        """(DataFrame, source) for a QueryModel: through the rollup
+        router when one is registered, else the planner directly."""
+        if rollup_manager is not None:
+            return rollup_manager.route(qm)
+        return aggregate(get_spark(), sf_dir, cat, qm), "base"
+
     def cached_rows(qm):
-        # debug only changes the response envelope (mdx echo), not the
-        # rows — keying on it would duplicate cache entries
+        # debug only changes the response envelope (mdx echo / source),
+        # not the rows — keying on it would duplicate cache entries
         key = repr(sorted(((k, v) for k, v in qm.__dict__.items()
                            if k != "debug"), key=lambda kv: kv[0]))
         with cache_lock:
@@ -116,18 +130,28 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             cache_stats["misses"] += 1
         # run the Spark job outside the lock: concurrent distinct
         # queries must not serialize on the cache
-        rows = aggregate(get_spark(), sf_dir, cat, qm).collect()
+        df, source = run_query(qm)
+        rows = df.collect()
         n = _cells(rows)
         if n > RESULT_CACHE_MAX_CELLS:
-            return rows  # oversized result: serve it, never pin it
+            return rows, source  # oversized result: serve it, never pin it
         with cache_lock:
             if key not in result_cache:
-                result_cache[key] = rows
+                result_cache[key] = (rows, source)
                 cache_stats["cells"] += n
             while cache_stats["cells"] > RESULT_CACHE_MAX_CELLS and result_cache:
-                _, old = result_cache.popitem(last=False)
+                _, (old, _src) = result_cache.popitem(last=False)
                 cache_stats["cells"] -= _cells(old)
-        return rows
+        return rows, source
+
+    if rollup_manager is not None:
+        # appended facts change answers: drop cached driver-side rows
+        # alongside the planner's member-key caches
+        def _invalidate():
+            with cache_lock:
+                result_cache.clear()
+                cache_stats["cells"] = 0
+        rollup_manager.invalidation_hooks.append(_invalidate)
 
     def get_spark():
         if state["spark"] is None:
@@ -256,7 +280,7 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         if cat.virtual_cube(cube) is None:
             cat.cube(cube)   # unknown cube stays a 404
         try:
-            rows = cached_rows(qm)
+            rows, source = cached_rows(qm)
         except KeyError as e:
             # unknown measure/dimension/level inside a valid cube is a
             # parameter error (reference 400, query_helper.rb:206-210),
@@ -266,11 +290,14 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         from .mdx import emit_mdx
         return _render(qm, fmt, rows,
                        mdx_echo=emit_mdx(cat, qm) if qm.debug else None,
-                       as_array=params.get("format") == "array")
+                       as_array=params.get("format") == "array",
+                       source=source if qm.debug and rollup_manager
+                       is not None else None)
 
-    def _render(qm, fmt, rows, mdx_echo=None, as_array=False):
+    def _render(qm, fmt, rows, mdx_echo=None, as_array=False, source=None):
         if fmt == "json":
-            res = result.to_aggregation_result(cat, qm, rows, mdx=mdx_echo)
+            res = result.to_aggregation_result(cat, qm, rows, mdx=mdx_echo,
+                                               source=source)
             return Response(formats.to_aggregation_json(res),
                             mimetype="application/json")
         header = result.tidy_header(cat, qm)
@@ -305,11 +332,16 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         qm.debug = _bool(p.get("debug"), False)
         qm.properties = getlist("properties[]") or getlist("properties")
         qm.caption = getlist("caption[]") or getlist("caption")
-        df = aggregate(get_spark(), sf_dir, cat, qm)
+        # posted MDX consults the rollup router too: compile_mdx yields
+        # the same QueryModel the REST layer builds, so a covering
+        # rollup serves hand-written MDX identically (VERDICT r6 item 8)
+        df, source = run_query(qm)
         # reference echoes the SUBMITTED query for debug on this route
         return _render(qm, fmt, df.collect(),
                        mdx_echo=raw if qm.debug else None,
-                       as_array=p.get("format") == "array")
+                       as_array=p.get("format") == "array",
+                       source=source if qm.debug and rollup_manager
+                       is not None else None)
 
     @app.get("/flush")
     def flush():

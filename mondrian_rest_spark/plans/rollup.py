@@ -27,9 +27,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import Catalog, Cube, Measure
-from ..parser import parse_cut, parse_drilldown
-from ..planner import (_resolve_cut, _resolve_drill, _split_measures,
-                       aggregate, clear_named_set_cache)
+from ..parser import ParseError, parse_cut, parse_drilldown, parse_measure_filter
+from ..planner import (_measure_alias, _order_column, _resolve_cut,
+                       _resolve_drill, _split_measures, aggregate,
+                       clear_named_set_cache)
 from ..query import QueryModel
 
 _REAGG = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
@@ -85,6 +86,10 @@ class RollupManager:
         self.cat = cat
         self.cube: Cube = cat.cube(cube_name)
         self.rollups: list[Rollup] = []
+        #: callbacks run after every append() — the HTTP layer hangs
+        #: its result-cache invalidation here so a routed app never
+        #: serves pre-append aggregates from its driver cache
+        self.invalidation_hooks: list = []
 
     def register(self, name: str, grain: tuple[str, ...],
                  persist_path: str | None = None,
@@ -263,6 +268,8 @@ class RollupManager:
         # from fact scans for degenerate dims) are stale from here on —
         # drop them like /flush does instead of serving old windows
         clear_named_set_cache()
+        for hook in self.invalidation_hooks:
+            hook()
         return out
 
     def gc_staging(self) -> int:
@@ -309,7 +316,31 @@ class RollupManager:
             return aggregate(self.spark, self.sf_dir, self.cat, qm), "base"
         return self._reaggregate(chosen, qm), chosen.name
 
+    def _measure_names(self, qm: QueryModel) -> list[str]:
+        """Display measures + the hidden measures HAVING/ORDER pull in
+        (mirrors the planner's extra_names logic so routed queries
+        aggregate exactly what the base path would)."""
+        requested = list(qm.measures) or [self.cube.default_measure.name]
+        extras: list[str] = []
+        for fs in qm.filter:
+            try:
+                mname = parse_measure_filter(fs).measure
+                _measure_alias(self.cube, mname)
+            except (ParseError, KeyError):
+                continue
+            if mname not in requested and mname not in extras:
+                extras.append(mname)
+        if qm.order and "." not in qm.order and qm.order not in requested:
+            try:
+                _measure_alias(self.cube, qm.order)
+                extras.append(qm.order)
+            except KeyError:
+                pass
+        return requested + extras
+
     def _choose(self, qm: QueryModel) -> Rollup | None:
+        if qm.cube != self.cube.name:
+            return None  # a manager routes exactly one cube
         if qm.parents or qm.properties or qm.caption or not qm.nonempty:
             return None
         # axis idioms resolved inside _aggregate_cube add drills/cuts
@@ -318,7 +349,11 @@ class RollupManager:
         if (qm.children_of or qm.parent_of or qm.lastperiods
                 or qm.member_lags or qm.with_members or qm.with_sets):
             return None
-        base_measures, calcs, _ = _split_measures(self.cube, list(qm.measures))
+        try:
+            names = self._measure_names(qm)
+        except KeyError:
+            return None  # unknown measure: let the base path 400 it
+        base_measures, calcs, _ = _split_measures(self.cube, names)
         if calcs or any(m.agg not in _REAGG for m in base_measures):
             return None  # distinct-count / avg / calc members -> base facts
         try:
@@ -344,16 +379,24 @@ class RollupManager:
         return min(covering, key=lambda r: (r.rows, len(r.key_cols)))
 
     def _reaggregate(self, r: Rollup, qm: QueryModel) -> DataFrame:
-        base_measures, _, aliases = _split_measures(self.cube, list(qm.measures))
+        """Answer the query from the rollup with full post-aggregation
+        parity: HAVING / sparse / distinct / ORDER (+ key tie-breaks) /
+        OFFSET / LIMIT behave exactly as the planner's base path, so a
+        routed query is indistinguishable from an unrouted one."""
+        requested = list(qm.measures) or [self.cube.default_measure.name]
+        base_measures, _, final_aliases = _split_measures(
+            self.cube, self._measure_names(qm))
+        display = final_aliases[:len(requested)]
         df = r.frame
         for c in qm.cut:
             rc = _resolve_cut(self.cube, parse_cut(c))
             from ..planner import _cut_predicate
             df = df.filter(_cut_predicate(rc))
-        group_cols = []
+        group_cols, key_aliases = [], []
         for d in qm.drilldown:
             rd = _resolve_drill(self.cube, parse_drilldown(d), False)
             for lv in rd.group_levels:
+                key_aliases.append(lv.key_alias)
                 for _, a in lv.out_cols():
                     group_cols.append(a)
         aggs = []
@@ -364,4 +407,27 @@ class RollupManager:
                 col = F.sum(F.col(m.alias).cast("decimal(25,6)")).cast(m.result_cast)
             aggs.append(col.alias(m.alias))
         out = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
-        return out.select(*group_cols, *aliases)
+        for fs in qm.filter:
+            mf = parse_measure_filter(fs)
+            alias = _measure_alias(self.cube, mf.measure)
+            out = out.filter(F.expr(f"{alias} {mf.op} {mf.value!r}"))
+        if qm.sparse:
+            out = out.na.drop(how="all", subset=display)
+        if qm.distinct and group_cols:
+            out = out.dropDuplicates(group_cols)
+        if qm.order:
+            ocol = _order_column(self.cube, qm.order, group_cols)
+            if ocol not in out.columns:
+                raise ParseError(
+                    f"order key {qm.order!r} resolves to column {ocol!r}, "
+                    "which is not in the result — drill its level first")
+            primary = F.desc(ocol) if qm.order_desc else F.asc(ocol)
+            out = out.orderBy(primary,
+                              *[F.asc(a) for a in key_aliases if a != ocol])
+        elif key_aliases:
+            out = out.orderBy(*[F.asc(a) for a in key_aliases])
+        if qm.offset:
+            out = out.offset(qm.offset)
+        if qm.limit is not None:
+            out = out.limit(qm.limit)
+        return out.select(*group_cols, *display)

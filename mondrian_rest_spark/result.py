@@ -146,7 +146,8 @@ def _axis_member_hash(rd: ResolvedDrill, tup: tuple,
 
 
 def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list,
-                          mdx: str | None = None) -> dict[str, Any]:
+                          mdx: str | None = None,
+                          source: str | None = None) -> dict[str, Any]:
     """The axes/values contract, reference layout (mondrian_ext.rb:
     228-287): measure axis first (axis 0), one axis per drilldown with
     unique members, then
@@ -241,10 +242,16 @@ def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list,
                 for t in axis_captions[ai]
             ],
         })
-    return {
+    out = {
         "axes": axes,
         "cell_keys": cell_keys,
         "values": values,
         "mdx": mdx,
         "measure_aliases": aliases,
     }
+    if source is not None:
+        # debug=true with a rollup router: which materialization served
+        # the query ('base' or a rollup name) — absent otherwise so the
+        # envelope stays byte-identical for unrouted apps
+        out["source"] = source
+    return out

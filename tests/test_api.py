@@ -510,3 +510,80 @@ def test_member_listing_cardinality_guard(client, monkeypatch):
     # single-member lookups bypass the guard
     r = client.get("/cubes/Sales/dimensions/Customer/levels/Region/members/2")
     assert r.status_code == 200
+
+
+# --- rollup-routed app (VERDICT r6 item 8) ---------------------------------
+
+@pytest.fixture(scope="module")
+def routed(spark, sf_dir):
+    from mondrian_rest_spark.plans.rollup import RollupManager
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("per_year", ("Time.Year",))
+    app = create_app(tpch.CATALOG, sf_dir, spark=spark, rollup_manager=mgr)
+    app.config["TESTING"] = True
+    return app, app.test_client(), mgr
+
+
+def test_mdx_route_served_from_rollup(routed, spark, sf_dir):
+    """A registered per-Year rollup serves a POSTed [Time].[Year].Members
+    MDX query: debug=true surfaces source != 'base' and the values are
+    identical to the base planner's (q28 oracle shape)."""
+    from mondrian_rest_spark.planner import aggregate
+    from mondrian_rest_spark.query import QueryModel
+
+    _, client, _ = routed
+    mdx = ("SELECT {[Measures].[Revenue], [Measures].[Line Count]} "
+           "ON COLUMNS, NON EMPTY [Time].[Year].Members ON ROWS "
+           "FROM [Sales]")
+    r = client.post("/mdx?debug=true", data=mdx)
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["source"] == "per_year"
+    assert body["mdx"] == mdx            # this route echoes the input
+    base = aggregate(spark, sf_dir, tpch.CATALOG,
+                     QueryModel(cube="Sales",
+                                measures=["Revenue", "Line Count"],
+                                drilldown=["Time.Year"]))
+    expect = [[float(r[1]), r[2]] for r in base.collect()]
+    got = [[float(v[0]), v[1]] for v in body["values"]]
+    assert got == expect
+
+
+def test_aggregate_route_debug_source(routed):
+    _, client, _ = routed
+    r = client.get("/cubes/Sales/aggregate?drilldown[]=Time.Year"
+                   "&measures[]=Revenue&nonempty=true&debug=true")
+    assert r.status_code == 200
+    assert r.get_json()["source"] == "per_year"
+    # uncovered grain falls back to base (Customer.Nation not in grain)
+    r2 = client.get("/cubes/Sales/aggregate?drilldown[]=Customer.Nation"
+                    "&measures[]=Revenue&nonempty=true&debug=true")
+    assert r2.get_json()["source"] == "base"
+    # dense axes (the REST default) need the dim-member frames the
+    # rollup doesn't hold -> base
+    r4 = client.get("/cubes/Sales/aggregate?drilldown[]=Time.Year"
+                    "&measures[]=Revenue&debug=true")
+    assert r4.get_json()["source"] == "base"
+    # without debug the envelope key is absent (byte-stable contract)
+    r3 = client.get("/cubes/Sales/aggregate?drilldown[]=Time.Year"
+                    "&measures[]=Revenue&nonempty=true")
+    assert "source" not in r3.get_json()
+
+
+def test_rollup_append_invalidates_result_cache(routed, spark, sf_dir):
+    """RollupManager.append must flush the app's driver-side result
+    cache — a routed app serving pre-append rows from its LRU would
+    undo the routing's freshness guarantee."""
+    import pyspark.sql.functions as F
+
+    from mondrian_rest_spark.sources.registry import load_table
+
+    app, client, mgr = routed
+    cache, stats = app.extensions["mrs_result_cache"]
+    client.get("/cubes/Sales/aggregate?drilldown[]=Time.Year"
+               "&measures[]=Revenue")
+    assert len(cache) > 0
+    batch = (load_table(spark, sf_dir, "lineitem")
+             .filter(F.col("l_orderkey") < 50))
+    mgr.append(batch)
+    assert len(cache) == 0 and stats["cells"] == 0
