@@ -380,6 +380,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT {[Measures].[Revenue]} ON COLUMNS, "
         "NON EMPTY [Time].[Year].[1997].Lag(2) ON ROWS FROM [Sales]")
 
+    # axis member range a:b + UNION of member sets (Mondrian idioms;
+    # both compile to level drill + pushed cut — mdx.py round 7)
+    q["q42_mdx_range_union"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Time].[Year].[1996]:[Time].[Year].[1998] * "
+        "UNION({[Customer].[Nation].[&3], [Customer].[Nation].[&7]}, "
+        "{[Customer].[Nation].[&21]}) ON ROWS FROM [Sales]")
+
+    # TAIL(set, n): last n tuples of the axis total order (HEAD is the
+    # SUBSET fast path; TAIL = reverse-order limit + forward re-sort)
+    q["q43_mdx_tail"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TAIL([Customer].[Nation].Members, 5) ON ROWS "
+        "FROM [Sales]")
+
+    # <member>.LastChild: the member's edge child in key order (child
+    # level + dim-side min/max lookup), crossjoined with a degenerate
+    q["q44_mdx_last_child"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].[&1].LastChild * "
+        "[Line Status].[Line Status].Members ON ROWS FROM [Sales]")
+
     # IIF conditional inside a WITH MEMBER formula (Mondrian scalar fn;
     # compiles to SQL if(cond, a, b) — mdx.py _calc_tokens)
     q["q40_mdx_iif_member"] = lambda s, d: __import__(
@@ -1166,6 +1194,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE year(l_shipdate) = (SELECT min(y) FROM yrs)
             GROUP BY 1""",
+
+        "q42_mdx_range_union": f"""
+            SELECT CAST(year(l_shipdate) AS INTEGER) AS "year",
+                   n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE year(l_shipdate) BETWEEN 1996 AND 1998
+              AND n_nationkey IN (3, 7, 21)
+            GROUP BY 1, 2, 3""",
+
+        "q43_mdx_tail": f"""
+            WITH agg AS (
+              SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2)
+            SELECT cust_nation_key, cust_nation, revenue
+            FROM agg ORDER BY cust_nation_key DESC LIMIT 5""",
+
+        "q44_mdx_last_child": f"""
+            SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   l_linestatus, {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE n_nationkey = (SELECT max(n_nationkey) FROM nation
+                                 WHERE n_regionkey = 1)
+            GROUP BY 1, 2, 3""",
 
         "q40_mdx_iif_member": f"""
             WITH agg AS (

@@ -18,14 +18,22 @@ build_query emits, which covers every query the REST layer can express:
 
     axis := [NON EMPTY] axis'
     axis' := DISTINCT(axis') | SUBSET(axis', o[, l])
+           | HEAD(axis'[, n]) | TAIL(axis'[, n])
            | ORDER(axis', [Measures].[M], BASC|BDESC)
            | FILTER(axis', <cond> [AND <cond>]...)
            | TOPCOUNT(axis', n, [Measures].[M])
-           | CROSSJOIN(axis', axis') | {set} | <path>.Members
+           | CROSSJOIN(axis', axis') | NONEMPTYCROSSJOIN(axis', axis')
+           | {set} | <member>:<member>
+           | UNION|EXCEPT|INTERSECT(mset, mset)
+           | <path>.Members
            | <member>.Children | <member>.Parent | HIERARCHIZE(axis')
+           | <member>.FirstChild | <member>.LastChild
            | <member>.Lag(n) | <member>.Lead(n) | LASTPERIODS(n, <member>)
            | DESCENDANTS(<member>, <level path>) | [Named Set]
-    slicer := <member> | {<member>,...} | [Named Set]
+    mset := {<member>,...} | <member>
+          | UNION|EXCEPT|INTERSECT(mset, mset)
+    slicer := <member> | {<member>,...} | (<member>:<member>)
+            | UNION|EXCEPT|INTERSECT(mset, mset) | [Named Set]
 """
 
 from __future__ import annotations
@@ -121,7 +129,8 @@ class MdxQuery:
                                     filter=[], nonempty=False,
                                     with_members=[], with_sets=[],
                                     children_of=[], parent_of=[],
-                                    lastperiods=[], member_lags=[])
+                                    lastperiods=[], member_lags=[],
+                                    edge_child_of=[])
 
 
 def _merge_sub(q: MdxQuery, sub: MdxQuery) -> None:
@@ -237,7 +246,8 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
     ``infix_hint`` marks a term appearing to the right of ``*`` —
     a simple TOPCOUNT there compiles to an inline named set instead."""
     t = p.peek_upper()
-    if t in ("DISTINCT", "SUBSET", "ORDER", "FILTER", "TOPCOUNT", "CROSSJOIN"):
+    if t in ("DISTINCT", "SUBSET", "ORDER", "FILTER", "TOPCOUNT", "CROSSJOIN",
+             "HEAD", "TAIL", "NONEMPTYCROSSJOIN"):
         p.next()
         p.expect("(")
         if t == "DISTINCT":
@@ -250,6 +260,21 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             if p.peek() == ",":
                 p.next()
                 q.qm_kwargs["limit"] = _int(p, "SUBSET count")
+        elif t in ("HEAD", "TAIL"):
+            # HEAD = first n of the axis total order (offset 0 limit n);
+            # TAIL = last n (QueryModel.tail — reverse-order limit +
+            # forward re-sort in the planner).  Mondrian defaults n=1.
+            _axis_expr(p, q)
+            n = 1
+            if p.peek() == ",":
+                p.next()
+                n = _int(p, f"{t} count")
+            if n < 0:
+                raise ParseError(f"{t} count must be >= 0")
+            if t == "HEAD":
+                q.qm_kwargs["limit"] = n
+            else:
+                q.qm_kwargs["tail"] = n
         elif t == "ORDER":
             _axis_expr(p, q)
             p.expect(",")
@@ -298,14 +323,18 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             q.qm_kwargs["order_desc"] = True
             q.qm_kwargs["limit"] = n
             return True
-        elif t == "CROSSJOIN":
+        elif t in ("CROSSJOIN", "NONEMPTYCROSSJOIN"):
             _crossjoin_operand(p, q)
             p.expect(",")
             _crossjoin_operand(p, q)
+            if t == "NONEMPTYCROSSJOIN":
+                # Mondrian's NonEmptyCrossJoin = crossjoin restricted
+                # to tuples with data — exactly our nonempty axis
+                q.qm_kwargs["nonempty"] = True
         p.expect(")")
         # DISTINCT/CROSSJOIN are axis-shape-neutral; the rest impose
         # axis-global order/limit/filter semantics
-        return t in ("SUBSET", "ORDER", "FILTER", "TOPCOUNT")
+        return t in ("SUBSET", "ORDER", "FILTER", "TOPCOUNT", "HEAD", "TAIL")
     if t == "DESCENDANTS":
         q.qm_kwargs["drilldown"].append(_descendants(p, q))
         return False
@@ -339,11 +368,31 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
                 "HIERARCHIZE cannot wrap an ORDER'd set in this MDX "
                 "subset (hierarchical order would override it)")
         return False
+    if t in ("UNION", "EXCEPT", "INTERSECT"):
+        level_path, members = _member_set_operand(p)
+        q.qm_kwargs["drilldown"].append(".".join(level_path))
+        q.qm_kwargs["cut"].append(
+            "{" + ",".join(_path_str(m) for m in members) + "}")
+        return False
     if t == "{":
         _set_expr(p, q)
         return False
-    # member path: Level.Members, <member>.Children, or bare [Named Set]
+    # member path: Level.Members, <member>.Children, a member range
+    # a:b, or bare [Named Set]
     segs = _path(p)
+    if p.peek() == ":":
+        # axis member range [A].[L].[a]:[A].[L].[b] — drill the level,
+        # cut to the range (same compile as the REST range cut)
+        p.next()
+        segs_b = _path(p)
+        if len(segs) < 3 or segs[:-1] != segs_b[:-1]:
+            raise ParseError(
+                f"member range endpoints must share a level: "
+                f"{_path_str(segs)} : {_path_str(segs_b)}")
+        q.qm_kwargs["drilldown"].append(".".join(segs[:-1]))
+        q.qm_kwargs["cut"].append(
+            f"({_path_str(segs)}:{_path_str(segs_b)})")
+        return False
     if p.peek() == "." :
         p.next()
         w = p.next().upper()
@@ -370,6 +419,18 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
                     f"{_path_str(segs)}")
             q.qm_kwargs["parent_of"].append(_path_str(segs))
             return False
+        if w in ("FIRSTCHILD", "LASTCHILD"):
+            # Mondrian member navigation: the member's first/last child
+            # in level key order = drill the child level + cut to the
+            # edge child's key (dim-side lookup at plan time)
+            label = "FirstChild" if w == "FIRSTCHILD" else "LastChild"
+            if len(segs) < 3:
+                raise ParseError(
+                    f".{label} needs [Dim].[Level].[member], got "
+                    f"{_path_str(segs)}")
+            q.qm_kwargs["edge_child_of"].append(
+                (_path_str(segs), w == "LASTCHILD"))
+            return False
         if w in ("LAG", "LEAD"):
             # <member>.Lag(n)/.Lead(n): the member shifted n positions
             # along the level's member order (QueryModel.member_lags;
@@ -392,12 +453,68 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             q.qm_kwargs["member_lags"].append((_path_str(segs), n))
             return False
         raise ParseError(
-            f"expected .Members, .Children, .Parent, .Lag or .Lead "
-            f"after {_path_str(segs)}, got .{w}")
+            f"expected .Members, .Children, .Parent, .FirstChild, "
+            f".LastChild, .Lag or .Lead after {_path_str(segs)}, got .{w}")
     if len(segs) == 1:
         q.qm_kwargs["drilldown"].append(segs[0])  # named set shortcut
         return False
     raise ParseError(f"expected .Members after {_path_str(segs)}")
+
+
+def _member_set_operand(p: _P) -> tuple[list[str], list[list[str]]]:
+    """One operand of UNION/EXCEPT/INTERSECT(mset, mset): a brace
+    member set, a single member, or a nested combinator — all members
+    on ONE shared level.  Returns (level path segs, [member path
+    segs]).  Set arithmetic happens at PARSE time on the member
+    literals, compiling to a single set cut (cuts AND together, so two
+    separate cuts could never express a union)."""
+    t = p.peek_upper()
+    if t in ("UNION", "EXCEPT", "INTERSECT"):
+        p.next()
+        p.expect("(")
+        level_a, mem_a = _member_set_operand(p)
+        p.expect(",")
+        level_b, mem_b = _member_set_operand(p)
+        p.expect(")")
+        if level_a != level_b:
+            raise ParseError(
+                f"{t} operands must share a level in this MDX subset; "
+                f"got {'.'.join(level_a)} and {'.'.join(level_b)}")
+        if t == "UNION":
+            merged = list(mem_a)
+            for m in mem_b:
+                if m not in merged:  # UNION dedups (Mondrian ALL keeps)
+                    merged.append(m)
+        elif t == "EXCEPT":
+            merged = [m for m in mem_a if m not in mem_b]
+        else:
+            merged = [m for m in mem_a if m in mem_b]
+        if not merged:
+            raise ParseError(
+                f"{t} produced an empty member set")
+        return level_a, merged
+    members: list[list[str]] = []
+    if t == "{":
+        p.next()
+        while True:
+            members.append(_path(p))
+            if p.peek() == ",":
+                p.next()
+                continue
+            break
+        p.expect("}")
+    else:
+        members.append(_path(p))
+    for m in members:
+        if len(m) < 3:
+            raise ParseError(
+                f"UNION members need [Dim].[Level].[member], got "
+                f"{_path_str(m)}")
+        if m[:-1] != members[0][:-1]:
+            raise ParseError(
+                "UNION operands must share a level in this MDX subset; "
+                f"got {_path_str(members[0])} and {_path_str(m)}")
+    return members[0][:-1], members
 
 
 def _descendants(p: _P, q: MdxQuery) -> str:
@@ -454,7 +571,11 @@ def _slicer(p: _P, q: MdxQuery) -> None:
     p.expect("(")
     while True:
         t = p.peek()
-        if t == "(":
+        if t is not None and t.upper() in ("UNION", "EXCEPT", "INTERSECT"):
+            level_path, members = _member_set_operand(p)
+            q.qm_kwargs["cut"].append(
+                "{" + ",".join(_path_str(m) for m in members) + "}")
+        elif t == "(":
             # range cut (a:b) — the form the REST layer's range cuts
             # round-trip through (query_helper.rb:66-72)
             p.next()
@@ -739,6 +860,10 @@ def emit_mdx(cat: Catalog, qm) -> str:
         from .parser import parse_segments
         sets.append(_path_str(parse_segments(lg_path)) +
                     (f".Lag({n})" if n >= 0 else f".Lead({-n})"))
+    for ec_path, last in getattr(qm, "edge_child_of", []):
+        from .parser import parse_segments
+        sets.append(_path_str(parse_segments(ec_path)) +
+                    (".LastChild" if last else ".FirstChild"))
 
     axis = None
     if sets:
@@ -770,6 +895,8 @@ def emit_mdx(cat: Catalog, qm) -> str:
             if qm.limit is not None:
                 args += f", {qm.limit}"
             axis = f"SUBSET({axis}, {args})"
+        if getattr(qm, "tail", None) is not None:
+            axis = f"TAIL({axis}, {qm.tail})"
         if qm.nonempty:
             axis = f"NON EMPTY {axis}"
 

@@ -229,10 +229,49 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame,
     return train.join(hits, on=id_col, how="left_anti")
 
 
+def recommended_minhash_config(threshold: float = 0.5,
+                               target_recall: float = 0.95,
+                               max_hashes: int = 256) -> tuple[int, int]:
+    """Size (num_hashes, bands) for :func:`neardup_minhash_lsh` from
+    the similarity threshold — the MinHash analog of
+    ``similarity.recommended_lsh_config``.
+
+    For r rows/band and b bands, recall at similarity s is
+    1-(1-s^r)^b.  The helper picks the LARGEST r whose minimal-b
+    configuration (b = smallest integer meeting ``target_recall`` at
+    ``threshold``) fits ``max_hashes`` = r·b: larger r sharpens the
+    S-curve (fewer false candidates — candidate volume is what rows
+    buy, bands buy recall back, exactly the planes/tables split of the
+    hyperplane path), and higher thresholds afford much larger r
+    (s^r decays slower), e.g. 0.5 → r=2, 0.9 → r=8 at the default
+    budget.  Returns (num_hashes, bands) with num_hashes divisible by
+    bands, as the signature stage requires."""
+    import math
+    if not 0 < threshold < 1 or not 0 < target_recall < 1:
+        raise ValueError("threshold and target_recall must be in (0, 1)")
+    best = None
+    for r in range(1, 65):
+        p = threshold ** r
+        if p <= 0.0:
+            break
+        b = max(1, math.ceil(math.log(1.0 - target_recall) /
+                             math.log(1.0 - p)))
+        if r * b <= max_hashes:
+            best = (r * b, b)       # feasible: keep the largest r
+        elif best is not None:
+            break                   # b only grows from here
+    if best is None:
+        raise ValueError(
+            f"no (rows, bands) meets recall {target_recall} at "
+            f"threshold {threshold} within {max_hashes} hashes")
+    return best
+
+
 def neardup_minhash_lsh(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, num_hashes: int = 32,
-                        bands: int = 16) -> DataFrame:
+                        bands: int = 16, auto: bool = False,
+                        target_recall: float = 0.95) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, verified with exact
     jaccard on candidates only.
 
@@ -268,7 +307,15 @@ def neardup_minhash_lsh(df: DataFrame, threshold: float = 0.5,
       jaccard with no array_intersect over wide payloads.
     Jaccard over 64-bit shingle hashes equals string jaccard up to hash
     collisions (~1e-9 at 10^6 distinct shingles).
+
+    ``auto=True`` sizes num_hashes/bands from the threshold via
+    :func:`recommended_minhash_config` (ignoring the explicit args);
+    the registered d03 query keeps explicit params so its oracle
+    replays bit-for-bit.
     """
+    if auto:
+        num_hashes, bands = recommended_minhash_config(
+            threshold, target_recall=target_recall)
     ex, stats, bands_df = minhash_signature_frames(
         df, text_col, id_col, n, num_hashes, bands)
     # consumed three times (signature + both verify sides): persist the

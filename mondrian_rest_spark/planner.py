@@ -470,6 +470,51 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         drills.append(ResolvedDrill(dim, hier, child, gl))
         cuts.append(_resolve_cut(cube, parse_cut(ch, ns_names)))
 
+    # --- <member>.FirstChild / .LastChild (raw-MDX member navigation):
+    # --- drill the CHILD level sliced to the member AND the edge child
+    # --- key (min/max under the member — one dim-sized aggregate,
+    # --- bounded 1-row collect; never touches the fact) ---
+    for ec_path, want_last in qm.edge_child_of:
+        label = ".LastChild" if want_last else ".FirstChild"
+        segs = parse_segments(ec_path)
+        if len(segs) < 3:
+            raise ParseError(
+                f"{label} needs [Dim].[Level].[member], got {ec_path!r}")
+        hier_name = segs[1] if len(segs) == 4 else None
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        idx = hier.level_index(level.name)
+        if idx + 1 >= len(hier.levels):
+            raise ParseError(
+                f"{ec_path!r}{label}: {level.name!r} is the leaf level "
+                f"of hierarchy {hier.name!r}")
+        if dim.is_degenerate:
+            # consistent with .Parent: degenerate child keys live on
+            # the fact, so the lookup would be a fact scan
+            raise ParseError(
+                f"{ec_path!r}{label}: not supported on degenerate "
+                f"dimension {dim.name!r}")
+        child = hier.levels[idx + 1]
+        raw = segs[-1]
+        use_caption = (not raw.startswith("&") and level.caption
+                       and level.caption_alias
+                       and level.caption_alias != level.key_alias)
+        match_col = level.caption_alias if use_caption else level.key_alias
+        agg_fn = F.max if want_last else F.min
+        rows = (_dim_select(spark, sf_dir, dim, [level, child])
+                .filter(F.col(match_col) == F.lit(_coerce(raw.lstrip("&"))))
+                .agg(agg_fn(F.col(child.key_alias))).collect())
+        if not rows or rows[0][0] is None:
+            raise ParseError(f"{ec_path!r}{label}: member not found "
+                             "or has no children")
+        gl = list(hier.levels[: idx + 2]) if qm.parents else [child]
+        drills.append(ResolvedDrill(dim, hier, child, gl))
+        # cut to the member (like .Children) AND the edge child's key —
+        # the pair stays correct even when child keys repeat per parent
+        cuts.append(_resolve_cut(cube, parse_cut(ec_path, ns_names)))
+        cut_str = ".".join(f"[{s}]" for s in
+                           segs[:-2] + [child.name, f"&{rows[0][0]}"])
+        cuts.append(_resolve_cut(cube, parse_cut(cut_str, ns_names)))
+
     # --- <member>.Parent (raw-MDX axis idiom): drill the PARENT level
     # --- sliced to the member's parent, looked up on the DIM side
     # --- (bounded: <=2 rows collected; never touches the fact) ---
@@ -875,6 +920,22 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         out = out.offset(qm.offset)
     if qm.limit is not None:
         out = out.limit(qm.limit)
+    if qm.tail is not None:
+        # TAIL(set, n): the LAST n tuples of the axis total order —
+        # invert the sort, limit, re-sort forward.  Runs on the
+        # axis-sized post-aggregation frame like ORDER/SUBSET, and
+        # composes after offset/limit (the TAIL(SUBSET(...)) nesting).
+        if qm.order:
+            rev = [F.asc(ocol) if qm.order_desc else F.desc(ocol)]
+            rev += [F.desc(a) for a in key_aliases if a != ocol]
+            fwd = [primary, *[F.asc(a) for a in key_aliases if a != ocol]]
+        else:
+            rev = [F.desc(a) for a in key_aliases]
+            fwd = [F.asc(a) for a in key_aliases]
+        if rev:
+            out = out.orderBy(*rev).limit(qm.tail).orderBy(*fwd)
+        else:
+            out = out.limit(qm.tail)   # no axis: at most one total row
 
     return out.select(*group_cols, *final_aliases)
 

@@ -347,7 +347,8 @@ class RollupManager:
         # the grain check below cannot see; query-scoped WITH forms
         # rewrite the cube — all route to base
         if (qm.children_of or qm.parent_of or qm.lastperiods
-                or qm.member_lags or qm.with_members or qm.with_sets):
+                or qm.member_lags or qm.with_members or qm.with_sets
+                or qm.edge_child_of or qm.tail is not None):
             return None
         try:
             names = self._measure_names(qm)

@@ -60,3 +60,11 @@ class QueryModel:
     # level's key order), negative n = Lead; resolves to a drilldown at
     # the member's level plus a cut to the shifted member's key
     member_lags: list = field(default_factory=list)
+    # TAIL(set, n) from raw MDX: keep the LAST n tuples of the axis in
+    # its total order (HEAD is just limit).  Applied after
+    # offset/limit, matching the TAIL(SUBSET(...), n) nesting.
+    tail: int | None = None
+    # <member>.FirstChild / .LastChild axis sets from raw MDX: list of
+    # (member_path, last) — drilldown at the member's CHILD level plus
+    # a cut to the edge child's key (dim-side bounded lookup)
+    edge_child_of: list = field(default_factory=list)

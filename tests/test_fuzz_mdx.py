@@ -124,13 +124,47 @@ ATOMS = {
         mdx="LASTPERIODS(3, [Time].[Year].[1998])",
         sel=["year(l.l_shipdate) AS year"], out=["year"], key="year",
         pred="year(l.l_shipdate) BETWEEN 1996 AND 1998"),
+    "range_year": dict(
+        dim="Time", lvl=0, kind="range",
+        mdx="[Time].[Year].[1997]:[Time].[Year].[1999]",
+        sel=["year(l.l_shipdate) AS year"], out=["year"], key="year",
+        pred="year(l.l_shipdate) BETWEEN 1997 AND 1999"),
+    "union_nation": dict(
+        dim="Customer", lvl=1, kind="union",
+        mdx="UNION({[Customer].[Nation].[&3], [Customer].[Nation].[&7]}, "
+            "UNION([Customer].[Nation].[&9], {[Customer].[Nation].[&21]}))",
+        sel=NATION_SEL, out=NATION_OUT, key="cust_nation_key",
+        pred="cn.n_nationkey IN (3, 7, 9, 21)"),
+    # edge-child lookups resolve through the DIM SNOWFLAKE CHAIN
+    # (members of Supplier.Nation are nations with suppliers), so the
+    # oracle subquery joins the chain's root table too
+    "first_child": dict(
+        dim="Customer", lvl=1, kind="edgechild",
+        mdx="[Customer].[Region].[&2].FirstChild",
+        sel=NATION_SEL, out=NATION_OUT, key="cust_nation_key",
+        pred="cn.n_nationkey = (SELECT min(n2.n_nationkey) "
+             "FROM customer c2 JOIN nation n2 "
+             "ON c2.c_nationkey = n2.n_nationkey "
+             "WHERE n2.n_regionkey = 2)"),
+    "last_child_supp": dict(
+        dim="Supplier", lvl=1, kind="edgechild",
+        mdx="[Supplier].[Region].[&3].LastChild",
+        sel=["sn.n_nationkey AS supp_nation_key",
+             "sn.n_name AS supp_nation"],
+        out=["supp_nation_key", "supp_nation"], key="supp_nation_key",
+        pred="sn.n_nationkey = (SELECT max(n2.n_nationkey) "
+             "FROM supplier s2 JOIN nation n2 "
+             "ON s2.s_nationkey = n2.n_nationkey "
+             "WHERE n2.n_regionkey = 3)"),
 }
 
 #: planner drill resolution order (planner.py _aggregate_cube): plain
-#: drilldowns in textual order, then .Children, then LASTPERIODS, then
-#: .Lag/.Lead — the axis key order that drives ORDER BY tie-breaks
-_KIND_RANK = {"members": 0, "set": 0, "desc": 0, "children": 1,
-              "lastp": 2, "lag": 3}
+#: drilldowns (incl. ranges/unions — they compile to drill+cut) in
+#: textual order, then .Children, then .FirstChild/.LastChild, then
+#: LASTPERIODS, then .Lag/.Lead — the axis key order that drives
+#: ORDER BY tie-breaks
+_KIND_RANK = {"members": 0, "set": 0, "desc": 0, "range": 0, "union": 0,
+              "children": 1, "edgechild": 2, "lastp": 3, "lag": 4}
 
 # --- WITH SET named sets (computed over the UNCUT cube) --------------------
 
@@ -241,9 +275,12 @@ def mdx_specs(draw):
                 keys += [("member", a) for a in atoms
                          if ATOMS[a]["kind"] == "members"]
                 order = (draw(st.sampled_from(keys)), draw(st.booleans()))
-            if draw(st.booleans()):
-                subset = (draw(st.sampled_from([0, 2])),
-                          draw(st.sampled_from([1, 3, 10])))
+            # at most one pagination wrapper: SUBSET, HEAD or TAIL
+            subset = draw(st.sampled_from(
+                [None,
+                 ("subset", 0, 3), ("subset", 2, 10), ("subset", 0, 1),
+                 ("head", 1), ("head", 4),
+                 ("tail", 1), ("tail", 4)]))
 
     cuts = draw(st.lists(st.sampled_from(sorted(SLICERS)),
                          min_size=0, max_size=2, unique=True))
@@ -310,8 +347,12 @@ def build_mdx(spec) -> str:
                     okey = f"{lvl_path}.CurrentMember.Key"
                 axis = f"ORDER({axis}, {okey}, {'BDESC' if desc else 'BASC'})"
             if spec["subset"]:
-                off, n = spec["subset"]
-                axis = f"SUBSET({axis}, {off}, {n})"
+                if spec["subset"][0] == "subset":
+                    _, off, n = spec["subset"]
+                    axis = f"SUBSET({axis}, {off}, {n})"
+                else:
+                    fn, n = spec["subset"]
+                    axis = f"{fn.upper()}({axis}, {n})"
         mdx += f", NON EMPTY {axis} ON ROWS"
     mdx += " FROM [Sales]"
     if spec["cuts"]:
@@ -377,8 +418,16 @@ def build_oracle_sql(spec) -> str:
         elif key_aliases:
             order_terms = list(key_aliases)
         if spec["subset"]:
-            off, n = spec["subset"]
-            limit = (off, n)
+            kind = spec["subset"][0]
+            if kind == "subset":
+                _, off, n = spec["subset"]
+                limit = (off, n)
+            elif kind == "head":
+                limit = (0, spec["subset"][1])
+            else:   # tail = last n of the total order: reverse + limit
+                order_terms = [t[:-5] if t.endswith(" DESC")
+                               else t + " DESC" for t in order_terms]
+                limit = (0, spec["subset"][1])
     if order_terms:
         sql += " ORDER BY " + ", ".join(order_terms)
     if limit:

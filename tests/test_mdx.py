@@ -869,3 +869,193 @@ def test_mdx_member_lag_lead(spark, sf_dir):
     ]:
         with pytest.raises(ParseError):
             execute_mdx(spark, sf_dir, tpch.CATALOG, bad).collect()
+
+
+# --- round-7 MDX surface: ranges, UNION, HEAD/TAIL, edge children ----------
+
+def test_mdx_axis_member_range(spark, sf_dir):
+    """a:b on an axis = drill the level cut to the range — identical to
+    the REST range-cut path (Mondrian member range idiom)."""
+    got = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Time].[Year].[1996]:[Time].[Year].[1998] ON ROWS "
+        "FROM [Sales]").collect()
+    rest = aggregate(spark, sf_dir, tpch.CATALOG, QueryModel(
+        cube="Sales", measures=["Revenue"], drilldown=["Time.Year"],
+        cut=["([Time].[Year].[1996]:[Time].[Year].[1998])"])).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in rest]
+    assert [r[0] for r in got] == [1996, 1997, 1998]
+    with pytest.raises(ParseError, match="share a level"):
+        compile_mdx("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "[Time].[Year].[1996]:[Time].[Month].[3] ON ROWS "
+                    "FROM [Sales]")
+
+
+def test_mdx_union_member_sets(spark, sf_dir):
+    """UNION folds brace sets / members / nested UNIONs on one level
+    into a single set cut, deduplicated."""
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY UNION({[Customer].[Nation].[&3],[Customer].[Nation].[&7]}, "
+        "UNION([Customer].[Nation].[&9], "
+        "{[Customer].[Nation].[&7],[Customer].[Nation].[&21]})) ON ROWS "
+        "FROM [Sales]")
+    assert qm.drilldown == ["Customer.Nation"]
+    assert qm.cut == ["{[Customer].[Nation].[&3],[Customer].[Nation].[&7],"
+                      "[Customer].[Nation].[&9],[Customer].[Nation].[&21]}"]
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY UNION({[Customer].[Nation].[&3],[Customer].[Nation].[&7]}, "
+        "{[Customer].[Nation].[&21]}) ON ROWS FROM [Sales]").collect()
+    assert [r[0] for r in rows] == [3, 7, 21]
+    with pytest.raises(ParseError, match="share a level"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "UNION({[Customer].[Nation].[&3]}, {[Customer].[Region].[&1]}) "
+            "ON ROWS FROM [Sales]")
+
+
+def test_mdx_head_tail(spark, sf_dir):
+    """HEAD = first n of the axis total order; TAIL = last n, returned
+    in forward order.  Both compose with crossjoins."""
+    head = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY HEAD([Customer].[Nation].Members, 4) ON ROWS "
+        "FROM [Sales]").collect()
+    assert [r[0] for r in head] == [0, 1, 2, 3]
+    tail = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TAIL([Customer].[Nation].Members, 4) ON ROWS "
+        "FROM [Sales]").collect()
+    assert [r[0] for r in tail] == [21, 22, 23, 24]
+    # Mondrian default count = 1
+    tail1 = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TAIL([Customer].[Nation].Members) ON ROWS "
+        "FROM [Sales]").collect()
+    assert [r[0] for r in tail1] == [24]
+    # TAIL of a crossjoin: last n of the hierarchical tuple order
+    tj = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TAIL([Time].[Year].[1996]:[Time].[Year].[1999] * "
+        "[Line Status].[Line Status].Members, 3) ON ROWS FROM [Sales]"
+        ).collect()
+    assert [(r[0], r[1]) for r in tj] == [(1998, "O"), (1999, "F"),
+                                          (1999, "O")]
+
+
+def test_mdx_nonemptycrossjoin(spark, sf_dir):
+    """NONEMPTYCROSSJOIN(a, b) = NON EMPTY CROSSJOIN(a, b)."""
+    a = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NONEMPTYCROSSJOIN([Customer].[Region].Members, "
+        "[Line Status].[Line Status].Members) ON ROWS FROM [Sales]")
+    b = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY CROSSJOIN([Customer].[Region].Members, "
+        "[Line Status].[Line Status].Members) ON ROWS FROM [Sales]")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_mdx_first_last_child(spark, sf_dir):
+    """<member>.FirstChild/.LastChild = the child level sliced to the
+    min/max child key under the member (dim-side bounded lookup)."""
+    first = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].[&1].FirstChild ON ROWS "
+        "FROM [Sales]").collect()
+    last = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].[&1].LastChild ON ROWS "
+        "FROM [Sales]").collect()
+    # oracle: nations of region 1, min/max key
+    import duckdb
+    keys = [r[0] for r in duckdb.sql(
+        f"SELECT n_nationkey FROM '{sf_dir}/nation.parquet' "
+        "WHERE n_regionkey = 1 ORDER BY 1").fetchall()]
+    assert len(first) == 1 and first[0][0] == keys[0]
+    assert len(last) == 1 and last[0][0] == keys[-1]
+    # leaf level / missing member are clear 400s
+    with pytest.raises(ParseError, match="leaf level"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "[Customer].[Customer].[&1].FirstChild ON ROWS "
+                    "FROM [Sales]").collect()
+    with pytest.raises(ParseError, match="not found"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "[Customer].[Region].[&99].FirstChild ON ROWS "
+                    "FROM [Sales]").collect()
+    # degenerate dims reject like .Parent (single-level degenerates
+    # hit the leaf-level 400 first — also correct)
+    with pytest.raises(ParseError, match="degenerate"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "[Time].[Year].[1996].FirstChild ON ROWS "
+                    "FROM [Sales]").collect()
+
+
+def test_mdx_new_forms_round_trip():
+    """emit_mdx inverts compile_mdx for the round-7 forms too."""
+    from mondrian_rest_spark.mdx import emit_mdx
+    qm = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Customer.Nation"], nonempty=True,
+                    tail=4, edge_child_of=[("[Customer].[Region].[&1]",
+                                            False)])
+    qm2 = compile_mdx(emit_mdx(tpch.CATALOG, qm))
+    assert qm2.tail == 4
+    assert qm2.edge_child_of == [("[Customer].[Region].[&1]", False)]
+    assert qm2.drilldown == qm.drilldown
+
+
+def test_mdx_except_intersect(spark, sf_dir):
+    """EXCEPT/INTERSECT fold member-set literals at parse time into a
+    single set cut, on an axis or in the slicer."""
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "EXCEPT({[Customer].[Nation].[&3],[Customer].[Nation].[&7],"
+        "[Customer].[Nation].[&9]}, {[Customer].[Nation].[&7]}) ON ROWS "
+        "FROM [Sales]")
+    assert qm.cut == ["{[Customer].[Nation].[&3],[Customer].[Nation].[&9]}"]
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "INTERSECT(UNION({[Customer].[Nation].[&3]}, "
+        "{[Customer].[Nation].[&7],[Customer].[Nation].[&9]}), "
+        "{[Customer].[Nation].[&7],[Customer].[Nation].[&21]}) ON ROWS "
+        "FROM [Sales]")
+    assert qm.cut == ["{[Customer].[Nation].[&7]}"]
+    # slicer position: combinators restrict without drilling
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Line Status].[Line Status].Members ON ROWS "
+        "FROM [Sales] WHERE (EXCEPT({[Customer].[Nation].[&3],"
+        "[Customer].[Nation].[&7]}, {[Customer].[Nation].[&7]}))"
+        ).collect()
+    only3 = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Line Status].[Line Status].Members ON ROWS "
+        "FROM [Sales] WHERE ([Customer].[Nation].[&3])").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in only3]
+    # empty results are a clear 400, not a silent empty axis
+    with pytest.raises(ParseError, match="empty member set"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "EXCEPT({[Customer].[Nation].[&3]}, {[Customer].[Nation].[&3]}) "
+            "ON ROWS FROM [Sales]")
+    with pytest.raises(ParseError, match="share a level"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "EXCEPT({[Customer].[Nation].[&3]}, {[Customer].[Region].[&1]}) "
+            "ON ROWS FROM [Sales]")

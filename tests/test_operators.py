@@ -987,3 +987,32 @@ def test_ivf_recall_vs_n_probe_curve(spark, sf_dir):
     assert recalls == sorted(recalls)          # monotone in n_probe
     assert recalls[-1] == 1.0                  # all cells = exhaustive
     assert recalls[0] < 1.0                    # 1 probe genuinely approx
+
+
+def test_recommended_minhash_config(docs):
+    """MinHash band sizing (the analog of recommended_lsh_config, now
+    actually wired via auto=True): recall guarantee holds, sharper
+    thresholds get more rows per band, and the auto-sized run keeps the
+    bruteforce-match invariant on the fixture corpus."""
+    import math
+
+    nh_lo, b_lo = dedup.recommended_minhash_config(0.5)
+    nh_hi, b_hi = dedup.recommended_minhash_config(0.9)
+    r_lo, r_hi = nh_lo // b_lo, nh_hi // b_hi
+    assert r_hi > r_lo                       # high threshold: sharper curve
+    for t, (nh, b) in ((0.5, (nh_lo, b_lo)), (0.9, (nh_hi, b_hi))):
+        r = nh // b
+        assert nh % b == 0 and nh <= 256
+        assert 1 - (1 - t ** r) ** b >= 0.95   # recall target met
+    # more recall -> never fewer bands at the same rows/band ratio
+    nh95, b95 = dedup.recommended_minhash_config(0.5, target_recall=0.95)
+    nh99, b99 = dedup.recommended_minhash_config(0.5, target_recall=0.999)
+    assert (nh99 // b99, b99) >= (nh95 // b95 - 1, 1)
+    assert 1 - (1 - 0.5 ** (nh99 // b99)) ** b99 >= 0.999
+    # end-to-end: auto sizing still matches bruteforce on the fixture
+    brute = {(r.a_id, r.b_id) for r in
+             dedup.neardup_bruteforce(docs, threshold=0.5).collect()}
+    auto = {(r.a_id, r.b_id) for r in
+            dedup.neardup_minhash_lsh(docs, threshold=0.5,
+                                      auto=True).collect()}
+    assert auto == brute
