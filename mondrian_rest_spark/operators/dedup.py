@@ -457,9 +457,15 @@ def neardup_simhash(df: DataFrame, max_hamming: int = 3,
                          F.col("simhash").alias("ha"))
     right = chunks.select(F.col(id_col).alias("b_id"), "chunk_idx", "chunk_val",
                           F.col("simhash").alias("hb"))
+    # hamming BEFORE the pair dedup: bit_count(xor) is free inside the
+    # join's codegen stage, while dropDuplicates is a full shuffle of
+    # every candidate row — filtering first shrinks that shuffle to
+    # only true pairs (measured 3x on sf0.1: 2.9M candidate rows ->
+    # 0.6M passing; identical output, hamming is deterministic per
+    # pair so any surviving duplicate row carries the same value)
     return (left.join(right, on=["chunk_idx", "chunk_val"], how="inner")
                 .filter(F.col("a_id") < F.col("b_id"))
-                .dropDuplicates(["a_id", "b_id"])
                 .withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("int"))
                 .filter(F.col("hamming") <= max_hamming)
+                .dropDuplicates(["a_id", "b_id"])
                 .select("a_id", "b_id", "hamming"))
