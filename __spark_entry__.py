@@ -457,6 +457,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t12_boilerplate_fraction"] = lambda s, d: \
         textstats.with_boilerplate_fraction(load_table(s, d, "documents"))
 
+    # hashed bag-of-bigram classifier features (fastText-style md5
+    # bucket counts); registered EXPLODED so every (doc, bucket) count
+    # is value-checked scalar-by-scalar, zeros included
+    q["t13_hashed_features"] = lambda s, d: (
+        textstats.hashed_ngram_features(load_table(s, d, "documents"),
+                                        dim=32)
+        .select("doc_id", F.posexplode("features")
+                .alias("feature_idx", "count")))
+
     q["w03_session_30m"] = lambda s, d: windows.sessionized(
         load_table(s, d, "events"), "30 minutes")
 
@@ -589,6 +598,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.pq_topk(codes, cb, qvec, k=10, rerank=50,
                                   vectors=emb, exclude_id=7)
     q["s09_ann_pq_rerank"] = _pq
+
+    # JL random projection (64 -> 16 integer dims) + brute cosine
+    # top-k on the PROJECTED vectors — the width-reduction scale path;
+    # integer projection replays bit-for-bit in the oracle
+    q["s10_projected_topk"] = lambda s, d: similarity.cosine_topk(
+        similarity.random_project(load_table(s, d, "embeddings")),
+        query_vec_id=7, k=10, vec_col="projected")
 
     # ---- multimodal plumbing (binary payload -> mapInPandas features) ----
     q["m01_media_features"] = lambda s, d: _media_features(s, d)
@@ -757,6 +773,47 @@ def _oracle_ann_lsh(query_vec_id: int = 7, k: int = 10,
           ON q.vec_id = {query_vec_id} AND s.bucket = q.bucket
          AND s.vec_id <> {query_vec_id}
         ORDER BY cosine DESC, s.vec_id LIMIT {k}"""
+
+
+def _oracle_projected_topk(query_vec_id: int = 7, k: int = 10,
+                           out_dim: int = 16) -> str:
+    """JL projection replay: the same seeded integer planes, exact
+    BIGINT dots, cosine on the projected vectors."""
+    planes = similarity.hyperplanes(out_dim, 64, similarity.PROJ_SEED)
+    proj = ", ".join(_duck_idot("qv", pl) for pl in planes)
+    return f"""
+        WITH emb AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+        pv AS (SELECT vec_id, [{proj}]::DOUBLE[] AS p FROM emb)
+        SELECT s.vec_id, round(list_cosine_similarity(s.p, q.p), 6) AS cosine
+        FROM pv s JOIN pv q ON q.vec_id = {query_vec_id}
+        WHERE s.vec_id <> {query_vec_id}
+        ORDER BY cosine DESC, s.vec_id LIMIT {k}"""
+
+
+_MD5_FOLD8 = ("list_reduce(list_transform(range(1, 9), "
+              "i -> CAST(strpos('0123456789abcdef', "
+              "substring(md5({expr}), i, 1)) - 1 AS BIGINT)), "
+              "(x, y) -> x * 16 + y)")
+
+
+def _oracle_hashed_features(dim: int = 32, n: int = 2) -> str:
+    """Hashed bigram bucket counts, exploded dense (zeros included)."""
+    fold = _MD5_FOLD8.format(expr="gram")
+    return f"""
+        WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+                       i -> array_to_string(toks[i:i+{n - 1}], ' ')))
+                       AS gram
+              FROM t),
+        c AS (SELECT doc_id, {fold} % {dim} AS bucket, COUNT(*) AS cnt
+              FROM g GROUP BY 1, 2)
+        SELECT d.doc_id, CAST(idx.i AS INTEGER) AS feature_idx,
+               COALESCE(c.cnt, 0) AS count
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) idx
+        LEFT JOIN c ON c.doc_id = d.doc_id AND c.bucket = idx.i"""
 
 
 def _oracle_neardup_lsh(threshold: float = 0.4) -> str:
@@ -1491,6 +1548,8 @@ def oracle_sql() -> dict[str, str]:
         # the partition-pruned layout path must be value-identical to
         # the inline IVF plan, so it shares the same oracle
         "s04_ann_ivf_layout": _oracle_ann_ivf(query_vec_id=7, k=10),
+        "s10_projected_topk": _oracle_projected_topk(),
+        "t13_hashed_features": _oracle_hashed_features(),
         "s05_ann_batch_lsh": _oracle_ann_batch_lsh(),
         "s06_ann_batch_ivf": _oracle_ann_batch_ivf(),
         "s07_ann_batch_layout": _oracle_ann_batch_ivf(),

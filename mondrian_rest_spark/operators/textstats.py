@@ -293,3 +293,48 @@ def with_boilerplate_fraction(df: DataFrame, n: int = 3, min_docs: int = 5,
                     F.coalesce("n_boilerplate", F.lit(0)) /
                     F.col("n_distinct_grams")).otherwise(F.lit(0.0)),
                     6).alias("boilerplate_frac")))
+
+
+def hashed_ngram_features(df: DataFrame, dim: int = 64, n: int = 2,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          out_col: str = "features") -> DataFrame:
+    """fastText-style hashed bag-of-ngrams feature vector per document:
+    token ``n``-grams hash into ``dim`` buckets (engine-portable md5
+    hex fold — the same trick as sampling.with_split), feature j = the
+    count of grams landing in bucket j.  The standard cheap featurizer
+    for quality/language/domain classifiers over a training corpus.
+
+    Built-ins end to end: split → transform-to-grams → explode →
+    two hash aggregates → map lookup to a DENSE array<bigint> of
+    length ``dim`` (documents with fewer than ``n`` tokens keep an
+    all-zero vector — a left join against the id spine, so the output
+    has exactly one row per input row).  No per-row Python, no
+    collect; the wide text never enters the count shuffle (only
+    (id, bucket) rows do).  At 100 TB: one explode-shuffle pass over
+    the corpus, output ~dim*8 bytes/doc — the natural input for a
+    broadcast-scored linear classifier or the embedding-free dedup
+    prefilters."""
+    if n < 1 or dim < 1:
+        raise ValueError("n and dim must be >= 1")
+    # guard: sequence(1, 0) DESCENDS in Spark, so short documents
+    # (< n tokens) must yield an empty gram array explicitly
+    gram_expr = (
+        f"case when size(__tokens) < {n} then array() "
+        f"else transform(sequence(1, size(__tokens) - {n - 1}), "
+        f"i -> array_join(slice(__tokens, i, {n}), ' ')) end")
+    grams = (with_tokens(df, text_col)
+             .select(F.col(id_col),
+                     F.explode(F.expr(gram_expr)).alias("__g")))
+    bucket = (F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10)
+              .cast("long") % dim)
+    counts = (grams.withColumn("__b", bucket)
+              .groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
+              .groupBy(id_col)
+              .agg(F.map_from_entries(
+                  F.collect_list(F.struct("__b", "__c"))).alias("__m")))
+    dense = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> coalesce(element_at(__m, cast(i as bigint)), 0L))")
+    return (df.select(id_col)
+              .join(counts, id_col, "left")
+              .select(F.col(id_col), dense.alias(out_col)))

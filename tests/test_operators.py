@@ -1016,3 +1016,66 @@ def test_recommended_minhash_config(docs):
             dedup.neardup_minhash_lsh(docs, threshold=0.5,
                                       auto=True).collect()}
     assert auto == brute
+
+
+def test_random_project_preserves_neighborhoods(spark, sf_dir):
+    """JL projection 64->16: deterministic integer output with
+    configurable width, and HIGH-similarity structure survives — a
+    planted twin (cosine ~0.999) stays the projected-space top-1.
+    (Weakly-separated neighbors at cosine ~0.3 legitimately scramble
+    at 16 dims; the operator's guarantee is about strong neighbors,
+    which is what dedup/ANN prefilters rely on.)"""
+    import random as _rnd
+
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    p1 = similarity.random_project(emb)
+    row = p1.filter("vec_id = 7").first()
+    assert len(row["projected"]) == 16
+    assert all(isinstance(v, int) for v in row["projected"])
+    # bit-deterministic across plans
+    p2 = similarity.random_project(emb)
+    assert p1.filter("vec_id = 7").first()["projected"] == \
+        p2.filter("vec_id = 7").first()["projected"]
+    assert len(similarity.random_project(emb, out_dim=8)
+               .first()["projected"]) == 8
+    # planted twins: v and v + tiny noise (exact cosine ~0.999) must
+    # remain each other's projected-space top-1
+    rnd = _rnd.Random(42)
+    rows = []
+    for i in range(40):
+        v = [rnd.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, v))
+        if i < 5:
+            rows.append((1000 + i, [x + rnd.uniform(-0.02, 0.02)
+                                    for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    proj = similarity.random_project(
+        df.selectExpr("vec_id", "cast(embedding as array<float>) embedding"))
+    for i in range(5):
+        top = similarity.cosine_topk(proj, query_vec_id=i, k=1,
+                                     vec_col="projected").first()
+        assert top.vec_id == 1000 + i, (i, top)
+
+
+def test_hashed_ngram_features(spark):
+    """Dense hashed-bigram vectors: one row per input doc, vector sums
+    equal gram counts, short docs keep an all-zero vector, and the
+    bucketing is the portable md5 fold."""
+    from mondrian_rest_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"),       # grams: 'a b','b c','c a','a b' (4)
+         (2, "single"),          # < n tokens -> zero vector
+         (3, "x y")],            # one gram
+        ["doc_id", "text"])
+    out = textstats.hashed_ngram_features(docs, dim=16).collect()
+    by_id = {r.doc_id: list(r.features) for r in out}
+    assert set(by_id) == {1, 2, 3}
+    assert all(len(v) == 16 for v in by_id.values())
+    assert sum(by_id[1]) == 4 and sum(by_id[2]) == 0 and sum(by_id[3]) == 1
+    # 'a b' occurs twice -> one bucket holds >= 2
+    assert max(by_id[1]) >= 2
+    # bucket placement matches the portable md5 fold
+    import hashlib
+    b = int(hashlib.md5(b"x y").hexdigest()[:8], 16) % 16
+    assert by_id[3][b] == 1
