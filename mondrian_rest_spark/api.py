@@ -332,10 +332,19 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         qm.debug = _bool(p.get("debug"), False)
         qm.properties = getlist("properties[]") or getlist("properties")
         qm.caption = getlist("caption[]") or getlist("caption")
+        # unknown cube stays a 404 (resource); any unknown NAME inside
+        # a valid cube is a parameter error -> 400, mirroring the
+        # aggregate route (reference api_helpers.rb:42-54 maps Mondrian
+        # parse/validation errors on posted MDX to 400)
+        if cat.virtual_cube(qm.cube) is None:
+            cat.cube(qm.cube)
         # posted MDX consults the rollup router too: compile_mdx yields
         # the same QueryModel the REST layer builds, so a covering
         # rollup serves hand-written MDX identically (VERDICT r6 item 8)
-        df, source = run_query(qm)
+        try:
+            df, source = run_query(qm)
+        except KeyError as e:
+            raise ParseError(str(e)) from e
         # reference echoes the SUBMITTED query for debug on this route
         return _render(qm, fmt, df.collect(),
                        mdx_echo=raw if qm.debug else None,

@@ -355,6 +355,23 @@ def _inline_calcs(cube: Cube, with_members) -> Cube:
         cube, calc_members=cube.calc_members + tuple(new))
 
 
+def _with_user_col(df: DataFrame, alias: str, expr: str, what: str) -> DataFrame:
+    """``withColumn`` over a USER-supplied formula (WITH MEMBER
+    template, or a catalog calc member).  The MDX tokenizer admits only
+    known token KINDS, not token ORDER, so a degenerate sequence like
+    ``/ line_count`` reaches Spark's SQL parser — whose ParseException
+    (raised at withColumn time; F.expr itself is lazy in Spark 4) must
+    surface as a client 400, never a 500 (found by the MDX mutation
+    fuzz)."""
+    try:
+        return df.withColumn(alias, F.expr(expr))
+    except ParseError:
+        raise
+    except Exception as e:
+        raise ParseError(
+            f"invalid calculated-member formula for {what!r}: {e}") from e
+
+
 def _split_measures(cube: Cube, names: list[str]):
     """Requested names -> (base measures needed, calc members, final aliases)."""
     if not names:
@@ -859,7 +876,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # --- calculated members (post-agg, reference foodmart.xml:345-366) ---
     for c in calcs:
         if c.expr:
-            out = out.withColumn(c.alias, F.expr(c.expr))
+            out = _with_user_col(out, c.alias, c.expr, c.name)
         else:
             lag_drills = [rd for rd in drills
                           if rd.dimension.name == c.lag_dim]
@@ -1330,7 +1347,7 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         taken.add(inline_alias[name])
         expr = re.sub(r"\{m:([^}]+)\}",
                       lambda m: _valias(m.group(1)), tmpl)
-        out = out.withColumn(inline_alias[name], F.expr(expr))
+        out = _with_user_col(out, inline_alias[name], expr, name)
 
     for fs in qm.filter:
         mf = parse_measure_filter(fs)

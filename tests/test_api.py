@@ -587,3 +587,21 @@ def test_rollup_append_invalidates_result_cache(routed, spark, sf_dir):
              .filter(F.col("l_orderkey") < 50))
     mgr.append(batch)
     assert len(cache) == 0 and stats["cells"] == 0
+
+
+def test_mdx_unknown_names_are_400_unknown_cube_404(client):
+    """Posted MDX: an unknown cube is a missing resource (404); any
+    unknown name INSIDE a valid cube is a parameter error (400),
+    mirroring the aggregate route (reference api_helpers.rb:42-54
+    maps Mondrian validation errors on posted MDX to 400)."""
+    assert client.post(
+        "/mdx", data="SELECT {[Measures].[Revenue]} ON COLUMNS "
+        "FROM [NoCube]").status_code == 404
+    for mdx in [
+        "SELECT {[Measures].[Nope]} ON COLUMNS FROM [Sales]",
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Nope].Members ON ROWS FROM [Sales]",
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Nowhere].[X].Members ON ROWS FROM [Sales]",
+    ]:
+        assert client.post("/mdx", data=mdx).status_code == 400, mdx

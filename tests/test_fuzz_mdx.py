@@ -468,3 +468,42 @@ def test_mdx_fuzz_corpus_is_large_enough():
     s = (test_random_mdx_matches_generated_oracle
          ._hypothesis_internal_use_settings)
     assert s.max_examples >= 100
+
+
+# --- mutation fuzz: no 500s -----------------------------------------------
+# The HTTP layer maps ParseError -> 400 and KeyError -> 404/400; ANY
+# other exception from a posted-MDX plan is a 500.  Mutating valid MDX
+# (delete/duplicate/swap a token) must therefore either still execute
+# or fail with exactly those types.
+
+from mondrian_rest_spark.parser import ParseError  # noqa: E402
+
+
+@st.composite
+def mutated_mdx(draw):
+    spec = draw(mdx_specs())
+    mdx = build_mdx(spec)
+    toks = mdx.replace("(", " ( ").replace(")", " ) ").replace(
+        ",", " , ").split()
+    op = draw(st.sampled_from(["del", "dup", "swap", "noop"]))
+    if toks and op != "noop":
+        i = draw(st.integers(0, len(toks) - 1))
+        if op == "del":
+            del toks[i]
+        elif op == "dup":
+            toks.insert(i, toks[i])
+        elif op == "swap" and len(toks) > 1:
+            j = draw(st.integers(0, len(toks) - 1))
+            toks[i], toks[j] = toks[j], toks[i]
+    return " ".join(toks)
+
+
+@settings(max_examples=120, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.filter_too_much])
+@given(mdx=mutated_mdx())
+def test_mutated_mdx_never_500s(spark, sf_dir, mdx):
+    try:
+        execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
+    except (ParseError, KeyError):
+        pass     # 400 / 404 — the documented client-error surface
