@@ -237,3 +237,144 @@ def test_fuzz_corpus_is_large_enough():
     max_examples=200 (derandomized), so the corpus size is explicit."""
     s = test_random_query_matches_generated_oracle._hypothesis_internal_use_settings
     assert s.max_examples >= 200
+
+
+# --- dense-axes fuzz (nonempty=false; the densify path) --------------------
+# Fixed q17/q25 were the only dense coverage; this fuzzes member-frame
+# cross-joins x cuts x sparse against a generated oracle.  Semantics
+# mirrored (planner._densify): a cut at a DRILLED level restricts both
+# the axis member frame and the facts; a cut on a non-drilled dim
+# restricts facts only (the axis stays full, cells go null); sparse
+# drops rows where every measure is null.
+
+D_REGION_MEMBERS = ("SELECT DISTINCT r_regionkey AS {k}, r_name AS {c} "
+                    "FROM {root} JOIN nation ON {fk} = n_nationkey "
+                    "JOIN region ON n_regionkey = r_regionkey")
+
+DENSE_ATOMS = {
+    "cust_region": dict(
+        dim="Customer", drill="Customer.Region",
+        members=D_REGION_MEMBERS.format(
+            k="cust_region_key", c="cust_region", root="customer",
+            fk="c_nationkey"),
+        sel="cr.r_regionkey AS cust_region_key",
+        out=["cust_region_key", "cust_region"], key="cust_region_key"),
+    "supp_region": dict(
+        dim="Supplier", drill="Supplier.Region",
+        members=D_REGION_MEMBERS.format(
+            k="supp_region_key", c="supp_region", root="supplier",
+            fk="s_nationkey"),
+        sel="sr.r_regionkey AS supp_region_key",
+        out=["supp_region_key", "supp_region"], key="supp_region_key"),
+    "lstatus": dict(
+        dim="Line Status", drill="Line Status",
+        members="SELECT DISTINCT l_linestatus FROM lineitem",
+        sel="l.l_linestatus AS l_linestatus",
+        out=["l_linestatus"], key="l_linestatus"),
+    "rflag": dict(
+        dim="Return Flag", drill="Return Flag",
+        members="SELECT DISTINCT l_returnflag FROM lineitem",
+        sel="l.l_returnflag AS l_returnflag",
+        out=["l_returnflag"], key="l_returnflag"),
+    "year": dict(
+        dim="Time", drill="Time.Year",
+        members="SELECT DISTINCT year(l_shipdate) AS year FROM lineitem",
+        sel="year(l.l_shipdate) AS year",
+        out=["year"], key="year"),
+}
+
+# cut -> (REST cut string, SQL pred on the star, dim, member-frame pred)
+DENSE_CUTS = {
+    "cust_region2": ("[Customer].[Region].[&2]", "cr.r_regionkey = 2",
+                     "Customer", "cust_region_key = 2"),
+    "rflag_R": ("[Return Flag].[Return Flag].[&R]", "l.l_returnflag = 'R'",
+                "Return Flag", "l_returnflag = 'R'"),
+    "year_range": ("([Time].[Year].[1996]:[Time].[Year].[1998])",
+                   "year(l.l_shipdate) BETWEEN 1996 AND 1998", "Time",
+                   "year BETWEEN 1996 AND 1998"),
+}
+
+DENSE_MEASURES = ["Revenue", "Line Count", "Max Quantity"]
+
+
+@st.composite
+def dense_specs(draw):
+    atoms = draw(st.lists(st.sampled_from(sorted(DENSE_ATOMS)),
+                          min_size=1, max_size=2, unique=True))
+    seen = set()
+    atoms = [a for a in atoms
+             if not (DENSE_ATOMS[a]["dim"] in seen
+                     or seen.add(DENSE_ATOMS[a]["dim"]))]
+    cuts = draw(st.lists(st.sampled_from(sorted(DENSE_CUTS)),
+                         min_size=0, max_size=2, unique=True))
+    seen_c = set()
+    cuts = [c for c in cuts
+            if not (DENSE_CUTS[c][2] in seen_c
+                    or seen_c.add(DENSE_CUTS[c][2]))]
+    measures = draw(st.lists(st.sampled_from(DENSE_MEASURES),
+                             min_size=1, max_size=2, unique=True))
+    return dict(atoms=atoms, cuts=cuts, measures=measures,
+                sparse=draw(st.booleans()))
+
+
+def dense_oracle_sql(spec) -> str:
+    frames, out_cols, key_cols = [], [], []
+    for i, a in enumerate(spec["atoms"]):
+        atom = DENSE_ATOMS[a]
+        mf = atom["members"]
+        for c in spec["cuts"]:
+            _, _, cdim, mpred = DENSE_CUTS[c]
+            if cdim == atom["dim"]:
+                mf = f"SELECT * FROM ({mf}) WHERE {mpred}"
+        frames.append(f"m{i} AS ({mf})")
+        out_cols += [f"m{i}.{c}" for c in atom["out"]]
+        key_cols.append((f"m{i}.{atom['key']}", atom["key"]))
+    msel = [f"{MEASURES[m][1]} AS {MEASURES[m][0]}"
+            for m in spec["measures"]]
+    sels = ", ".join(DENSE_ATOMS[a]["sel"] for a in spec["atoms"])
+    keys = ", ".join(DENSE_ATOMS[a]["key"] for a in spec["atoms"])
+    agg = ("SELECT " + sels + ", " + ", ".join(msel) + STAR
+           + (" WHERE " + " AND ".join(DENSE_CUTS[c][1]
+                                       for c in spec["cuts"])
+              if spec["cuts"] else "")
+           + " GROUP BY " + keys)
+    cross = " CROSS JOIN ".join(f"m{i}" for i in range(len(frames)))
+    on = " AND ".join(f"a.{k} = {mk}" for mk, k in key_cols)
+    maliases = [MEASURES[m][0] for m in spec["measures"]]
+    sql = (f"WITH {', '.join(frames)}, agg AS ({agg}) "
+           f"SELECT {', '.join(out_cols)}, "
+           f"{', '.join('a.' + m for m in maliases)} "
+           f"FROM {cross} LEFT JOIN agg a ON {on}")
+    if spec["sparse"]:
+        sql = (f"SELECT * FROM ({sql}) WHERE NOT ("
+               + " AND ".join(f"{m} IS NULL" for m in maliases) + ")")
+    return sql
+
+
+@settings(max_examples=100, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.filter_too_much])
+@given(spec=dense_specs())
+def test_dense_axes_match_generated_oracle(spark, sf_dir, duck, spec):
+    qm = QueryModel(cube="Sales", measures=list(spec["measures"]),
+                    drilldown=[DENSE_ATOMS[a]["drill"]
+                               for a in spec["atoms"]],
+                    cut=[DENSE_CUTS[c][0] for c in spec["cuts"]],
+                    nonempty=False, sparse=spec["sparse"])
+    got = aggregate(spark, sf_dir, tpch.CATALOG, qm).toPandas()
+    exp = duck.execute(dense_oracle_sql(spec)).fetchdf()
+    assert sorted(got.columns) == sorted(exp.columns), \
+        f"columns {sorted(got.columns)} != {sorted(exp.columns)}\n{spec}"
+    assert len(got) == len(exp), \
+        f"rows {len(got)} != {len(exp)}\n{spec}\n{dense_oracle_sql(spec)}"
+    a, b = canon(got), canon(exp)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            ok = ((av.isna() & bv.isna()) |
+                  ((av - bv).abs() <= 1e-9 + 1e-9 * bv.abs()))
+        else:
+            ok = (av.isna() & bv.isna()) | (av.astype(object) ==
+                                            bv.astype(object))
+        assert bool(ok.all()), (
+            f"col {c} mismatch: {spec}\n{dense_oracle_sql(spec)}")
