@@ -380,6 +380,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT {[Measures].[Revenue]} ON COLUMNS, "
         "NON EMPTY [Time].[Year].[1997].Lag(2) ON ROWS FROM [Sales]")
 
+    # member-anchored idioms on a VIRTUAL cube: .Children resolves
+    # against the conformed dim once, then drill-across applies the
+    # rewritten drill+cut per base cube (planner._virtualize_idioms)
+    q["q45_mdx_virtual_children"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY [Customer].[Region].[&2].Children "
+        "ON ROWS FROM [Orders and Sales]")
+
     # axis member range a:b + UNION of member sets (Mondrian idioms;
     # both compile to level drill + pushed cut — mdx.py round 7)
     q["q42_mdx_range_union"] = lambda s, d: __import__(
@@ -1251,6 +1261,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE year(l_shipdate) = (SELECT min(y) FROM yrs)
             GROUP BY 1""",
+
+        "q45_mdx_virtual_children": f"""
+            SELECT cust_nation_key, cust_nation, revenue, total_price
+            FROM (SELECT n_nationkey AS cust_nation_key,
+                         n_name AS cust_nation, {REVENUE} AS revenue
+                  FROM {J_CUST} WHERE r_regionkey = 2 GROUP BY 1, 2) sales
+            FULL JOIN (SELECT n_nationkey AS cust_nation_key,
+                              n_name AS cust_nation,
+                              {DEC('o_totalprice')} AS total_price
+                       FROM {J_ORD_CUST} WHERE r_regionkey = 2
+                       GROUP BY 1, 2) ords
+            USING (cust_nation_key, cust_nation)""",
 
         "q42_mdx_range_union": f"""
             SELECT CAST(year(l_shipdate) AS INTEGER) AS "year",

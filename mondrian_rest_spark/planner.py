@@ -239,18 +239,17 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
     if cat.virtual_cube(qm.cube) is not None:
         if qm.with_sets:
             raise ParseError("WITH SET is not supported on virtual cubes")
-        if qm.children_of:
-            raise ParseError(
-                ".Children axis sets are not supported on virtual cubes")
-        if qm.parent_of:
-            raise ParseError(
-                ".Parent axis sets are not supported on virtual cubes")
         if qm.lastperiods:
             raise ParseError(
-                "LASTPERIODS is not supported on virtual cubes")
+                "LASTPERIODS is not supported on virtual cubes "
+                "(degenerate-time member windows are fact-dependent, so "
+                "the walk is ambiguous across the drilled-across cubes)")
         if qm.member_lags:
             raise ParseError(
-                ".Lag/.Lead axis sets are not supported on virtual cubes")
+                ".Lag/.Lead axis sets are not supported on virtual cubes "
+                "(member key windows are fact-dependent; see LASTPERIODS)")
+        if qm.children_of or qm.parent_of or qm.edge_child_of:
+            qm = _virtualize_idioms(spark, sf_dir, cat, qm)
         return _aggregate_virtual(spark, sf_dir, cat, qm)
     cube = cat.cube(qm.cube)
     if qm.with_members:
@@ -1226,6 +1225,115 @@ def named_set_frame(spark: SparkSession, sf_dir: str, cube: Cube, ns) -> DataFra
     return (agg.orderBy(direction, F.asc(level.key_alias))
                .limit(ns.k)
                .select(level.key_alias))
+
+
+def _virtualize_idioms(spark: SparkSession, sf_dir: str, cat: Catalog,
+                       qm: QueryModel) -> QueryModel:
+    """Rewrite member-anchored axis idioms on a VIRTUAL cube —
+    ``.Children`` / ``.Parent`` / ``.FirstChild`` / ``.LastChild`` —
+    into plain drilldown + cut strings before drill-across.  These
+    idioms resolve against the catalog and the shared (conformed)
+    DIMENSION tables only, never a fact table, so resolving once
+    against any base cube owning the dimension is exact for every
+    drilled-across cube.  Degenerate dims (whose member keys live on
+    each cube's fact) stay a 400 like LASTPERIODS/.Lag.
+    """
+    import dataclasses
+
+    vc = cat.virtual_cube(qm.cube)
+    cubes = [cat.cube(n) for n in vc.cube_names]
+
+    def owning(dim_name: str) -> Cube:
+        for c in cubes:
+            try:
+                c.dimension(dim_name)
+                return c
+            except KeyError:
+                continue
+        raise ParseError(f"unknown dimension {dim_name!r} on virtual "
+                         f"cube {vc.name!r}")
+
+    drilldown = list(qm.drilldown)
+    cut = list(qm.cut)
+
+    for ch in qm.children_of:
+        segs = parse_segments(ch)
+        if len(segs) < 3:
+            raise ParseError(
+                f".Children needs [Dim].[Level].[member], got {ch!r}")
+        hier_name = segs[1] if len(segs) == 4 else None
+        cube = owning(segs[0])
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        idx = hier.level_index(level.name)
+        if idx + 1 >= len(hier.levels):
+            raise ParseError(
+                f"{ch!r}.Children: {level.name!r} is the leaf level of "
+                f"hierarchy {hier.name!r}")
+        parts = [segs[0]] + ([hier_name] if hier_name else []) + \
+            [hier.levels[idx + 1].name]
+        drilldown.append(".".join(parts))
+        cut.append(ch)
+
+    for pp, ec_like in ([(p, None) for p in qm.parent_of]
+                        + [(p, last) for p, last in qm.edge_child_of]):
+        label = (".Parent" if ec_like is None
+                 else (".LastChild" if ec_like else ".FirstChild"))
+        segs = parse_segments(pp)
+        if len(segs) < 3:
+            raise ParseError(
+                f"{label} needs [Dim].[Level].[member], got {pp!r}")
+        hier_name = segs[1] if len(segs) == 4 else None
+        cube = owning(segs[0])
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        if dim.is_degenerate:
+            raise ParseError(
+                f"{pp!r}{label}: not supported on degenerate dimension "
+                f"{dim.name!r} (member keys live on each cube's fact)")
+        idx = hier.level_index(level.name)
+        if ec_like is None:
+            if idx == 0:
+                raise ParseError(
+                    f"{pp!r}.Parent: {level.name!r} is the top level of "
+                    f"hierarchy {hier.name!r}")
+            target = hier.levels[idx - 1]
+        else:
+            if idx + 1 >= len(hier.levels):
+                raise ParseError(
+                    f"{pp!r}{label}: {level.name!r} is the leaf level of "
+                    f"hierarchy {hier.name!r}")
+            target = hier.levels[idx + 1]
+        raw = segs[-1]
+        use_caption = (not raw.startswith("&") and level.caption
+                       and level.caption_alias
+                       and level.caption_alias != level.key_alias)
+        match_col = level.caption_alias if use_caption else level.key_alias
+        sel = (_dim_select(spark, sf_dir, dim, [target, level])
+               .filter(F.col(match_col) == F.lit(_coerce(raw.lstrip("&")))))
+        if ec_like is None:
+            rows = (sel.select(target.key_alias).distinct()
+                    .limit(2).collect())
+            if len(rows) != 1:
+                raise ParseError(
+                    f"{pp!r}: member not found"
+                    if not rows else f"{pp!r}: parent is ambiguous")
+            key = rows[0][0]
+        else:
+            agg_fn = F.max if ec_like else F.min
+            rows = sel.agg(agg_fn(F.col(target.key_alias))).collect()
+            if not rows or rows[0][0] is None:
+                raise ParseError(f"{pp!r}{label}: member not found "
+                                 "or has no children")
+            key = rows[0][0]
+            cut.append(pp)   # the member slice, like the base-cube path
+        drill_parts = [segs[0]] + ([hier_name] if hier_name else []) + \
+            [target.name]
+        drilldown.append(".".join(drill_parts))
+        cut.append(".".join(f"[{s}]" for s in
+                            segs[:-2] + [target.name, f"&{key}"]))
+
+    return dataclasses.replace(qm, drilldown=drilldown, cut=cut,
+                               children_of=[], parent_of=[],
+                               edge_child_of=[])
 
 
 def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,

@@ -1059,3 +1059,48 @@ def test_mdx_except_intersect(spark, sf_dir):
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
             "EXCEPT({[Customer].[Nation].[&3]}, {[Customer].[Region].[&1]}) "
             "ON ROWS FROM [Sales]")
+
+
+def test_mdx_virtual_cube_member_idioms(spark, sf_dir):
+    """.Children/.Parent/.FirstChild/.LastChild on a virtual cube:
+    resolved once against the conformed dimension, then applied as
+    plain drill+cut per drilled-across base cube.  Fact-dependent
+    walks (LASTPERIODS/.Lag) stay clear 400s."""
+    kids = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY [Customer].[Region].[&2].Children "
+        "ON ROWS FROM [Orders and Sales]").collect()
+    base = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].[&2].Children ON ROWS "
+        "FROM [Sales]").collect()
+    assert [r[0] for r in kids] == [r[0] for r in base]    # same nations
+    assert all(len(r) == 4 for r in kids)                  # both measures
+    for vr, br in zip(kids, base):
+        assert vr[2] == br[2]                              # same revenue
+    parent = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Order Count]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].[NATION_5].Parent ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    assert len(parent) == 1 and parent[0][1] == "AFRICA"
+    # catalog-only .Children works even on the degenerate Time dim
+    qtrs = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Time].[Year].[1996].Children ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    assert [r[0] for r in qtrs] == [1, 2, 3, 4]
+    # fact-dependent walks remain rejected
+    with pytest.raises(ParseError, match="virtual cubes"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "[Time].[Year].[1997].Lag(1) ON ROWS "
+                    "FROM [Orders and Sales]").collect()
+    with pytest.raises(ParseError, match="degenerate"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "[Time].[Year].[1996].FirstChild ON ROWS "
+                    "FROM [Orders and Sales]").collect()
