@@ -380,6 +380,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT {[Measures].[Revenue]} ON COLUMNS, "
         "NON EMPTY [Time].[Year].[1997].Lag(2) ON ROWS FROM [Sales]")
 
+    # SUM(YTD(), m): Mondrian's year-to-date running total — a
+    # cumulative window within the outermost drilled time level
+    # (planner CalculatedMember.run_of; axis-sized window, never fact)
+    q["q46_mdx_ytd"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH MEMBER [Measures].[YTD Revenue] AS "
+        "SUM(YTD(), [Measures].[Revenue]) "
+        "SELECT {[Measures].[Revenue], [Measures].[YTD Revenue]} "
+        "ON COLUMNS, NON EMPTY [Time].[Year].Members * "
+        "[Time].[Month].Members ON ROWS FROM [Sales]")
+
     # member-anchored idioms on a VIRTUAL cube: .Children resolves
     # against the conformed dim once, then drill-across applies the
     # rewritten drill+cut per base cube (planner._virtualize_idioms)
@@ -1261,6 +1273,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE year(l_shipdate) = (SELECT min(y) FROM yrs)
             GROUP BY 1""",
+
+        "q46_mdx_ytd": f"""
+            WITH agg AS (
+              SELECT CAST(year(l_shipdate) AS INTEGER) AS "year",
+                     CAST(month(l_shipdate) AS INTEGER) AS "month",
+                     {REVENUE} AS revenue
+              FROM lineitem GROUP BY 1, 2)
+            SELECT "year", "month", revenue,
+                   SUM(revenue) OVER (PARTITION BY "year" ORDER BY "month"
+                                      ROWS UNBOUNDED PRECEDING)
+                     AS ytd_revenue
+            FROM agg""",
 
         "q45_mdx_virtual_children": f"""
             SELECT cust_nation_key, cust_nation, revenue, total_price

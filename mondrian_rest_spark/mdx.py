@@ -8,7 +8,8 @@ reimplementing Mondrian); the supported surface is exactly what
 build_query emits, which covers every query the REST layer can express:
 
     [WITH [MEMBER [Measures].[X] AS <arith over [Measures] refs>
-                                   | ([Measures].[M], PARALLELPERIOD([D].[L][, n]))]
+                                   | ([Measures].[M], PARALLELPERIOD([D].[L][, n]))
+                                   | SUM(YTD(), [Measures].[M])]
           [SET [Name] AS TOPCOUNT|BOTTOMCOUNT([D].[L].Members, n,
                                               [Measures].[M])] ...]
     SELECT {[Measures].[X], ...} ON COLUMNS,
@@ -628,10 +629,15 @@ def _calc_expr(p: _P) -> str:
 
 def _calc_body(p: _P, stop_words: tuple) -> str:
     # tuple form first: ([Measures].[M], PARALLELPERIOD([Dim].[Lvl][, n]))
-    # -> a lag template the planner maps onto the PREVMEMBER machinery
+    # -> a lag template the planner maps onto the PREVMEMBER machinery;
+    # then SUM(YTD(), [Measures].[M]) -> a running-total template
     save = p.pos
     try:
         return _parallelperiod_tuple(p)
+    except ParseError:
+        p.pos = save
+    try:
+        return _ytd_call(p)
     except ParseError:
         p.pos = save
     return _calc_tokens(p, stop_words)
@@ -684,6 +690,22 @@ def _parallelperiod_tuple(p: _P) -> str:
     p.expect(")")
     p.expect(")")
     return "{lag:" + name + ":" + ".".join(path) + ":" + str(lag_n) + "}"
+
+
+def _ytd_call(p: _P) -> str:
+    """SUM(YTD(), [Measures].[M]) — Mondrian's year-to-date running
+    total (the classic time-intelligence idiom).  Compiles to a
+    ``{ytd:M}`` template the planner maps onto a cumulative window
+    within the outermost drilled time level."""
+    p.expect("SUM")
+    p.expect("(")
+    p.expect("YTD")
+    p.expect("(")
+    p.expect(")")
+    p.expect(",")
+    name = _measure_ref(p)
+    p.expect(")")
+    return "{ytd:" + name + "}"
 
 
 def _calc_tokens(p: _P, stop_words: tuple) -> str:
@@ -808,6 +830,9 @@ def _emit_formula(tmpl: str) -> str:
         name, lvl, n = lag.groups()
         lvlb = ".".join(f"[{s}]" for s in lvl.split("."))
         return f"([Measures].[{name}], PARALLELPERIOD({lvlb}, {n}))"
+    ytd = re.fullmatch(r"\{ytd:([^}]+)\}", tmpl)
+    if ytd:
+        return f"SUM(YTD(), [Measures].[{ytd.group(1)}])"
     out = re.sub(r"\{m:([^}]+)\}",
                  lambda m: f"[Measures].[{m.group(1)}]", tmpl)
     # SQL spellings back to their MDX forms (inverse of _calc_tokens)

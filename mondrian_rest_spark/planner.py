@@ -348,6 +348,20 @@ def _inline_calcs(cube: Cube, with_members) -> Cube:
                 name, alias, lag_of=measure_alias(ref), lag_dim=dim.name,
                 lag_n=int(lag_n), lag_level=lag_level))
             continue
+        ytd = re.fullmatch(r"\{ytd:([^}]+)\}", tmpl)
+        if ytd:
+            # SUM(YTD(), m): running total along the cube's time
+            # dimension (reference analog: Mondrian's Ytd() over the
+            # TimeDimension, foodmart.xml:49 type="TimeDimension")
+            tdims = [d for d in cube.dimensions if d.time_dimension]
+            if not tdims:
+                raise ParseError(
+                    f"WITH MEMBER {name!r}: SUM(YTD(), ...) needs a "
+                    f"time dimension on cube {cube.name!r}")
+            new.append(CalculatedMember(
+                name, alias, run_of=measure_alias(ytd.group(1)),
+                run_dim=tdims[0].name))
+            continue
         expr = re.sub(r"\{m:([^}]+)\}", resolve, tmpl)
         new.append(CalculatedMember(name, alias, expr=expr))
     return dataclasses.replace(
@@ -392,6 +406,17 @@ def _split_measures(cube: Cube, names: list[str]):
     pending = list(calcs)
     while pending:
         c = pending.pop()
+        if c.run_of:
+            try:
+                m = cube.measure(c.run_of)
+                base.setdefault(m.alias, m)
+            except KeyError:
+                other = cube.calc_member(c.run_of)
+                if other is None:
+                    raise
+                if other not in calcs:
+                    calcs.append(other)
+                    pending.append(other)
         if c.lag_of:
             try:
                 m = cube.measure(c.lag_of)
@@ -876,6 +901,37 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     for c in calcs:
         if c.expr:
             out = _with_user_col(out, c.alias, c.expr, c.name)
+        elif c.run_of:
+            # YTD running total: cumulative sum within the OUTERMOST
+            # drilled time level (the year), ordered along the finer
+            # drilled time levels; at the outermost grain alone it
+            # equals the measure.  Axis-sized window — never the fact.
+            run_drills = [rd for rd in drills
+                          if rd.dimension.name == c.run_dim]
+            if not run_drills:
+                raise ParseError(
+                    f"calculated member {c.name!r} needs a "
+                    f"{c.run_dim} drilldown")
+            seen_keys: dict = {}
+            for rd in run_drills:
+                for lv in rd.group_levels:
+                    seen_keys.setdefault(
+                        lv.key_alias, rd.hierarchy.level_index(lv.name))
+            keyed = sorted((i, a) for a, i in seen_keys.items())
+            time_keys = [a for _, a in keyed]
+            anchor, finer = time_keys[0], time_keys[1:]
+            others = [a for rd in drills if rd.dimension.name != c.run_dim
+                      for a in rd.key_aliases]
+            if not finer:
+                out = out.withColumn(c.alias, F.col(c.run_of))
+            else:
+                w = (Window
+                     .partitionBy(*[F.col(a) for a in others + [anchor]])
+                     .orderBy(*[F.col(a) for a in finer])
+                     .rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow))
+                out = out.withColumn(c.alias,
+                                     F.sum(F.col(c.run_of)).over(w))
         else:
             lag_drills = [rd for rd in drills
                           if rd.dimension.name == c.lag_dim]
@@ -1363,6 +1419,10 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         if re.fullmatch(r"\{lag:[^}]*\}", tmpl):
             raise ParseError(
                 "PARALLELPERIOD WITH MEMBER is not supported on "
+                "virtual cubes")
+        if re.fullmatch(r"\{ytd:[^}]*\}", tmpl):
+            raise ParseError(
+                "SUM(YTD(), ...) WITH MEMBER is not supported on "
                 "virtual cubes")
         inline[name] = tmpl
         alias = re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")

@@ -1104,3 +1104,61 @@ def test_mdx_virtual_cube_member_idioms(spark, sf_dir):
                     "SELECT {[Measures].[Revenue]} ON COLUMNS, "
                     "[Time].[Year].[1996].FirstChild ON ROWS "
                     "FROM [Orders and Sales]").collect()
+
+
+def test_mdx_ytd_running_total(spark, sf_dir):
+    """SUM(YTD(), m): cumulative within the outermost drilled time
+    level, ordered along the finer levels; identity at year grain;
+    resets at each year boundary; 400 without a time drilldown."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[YTD Revenue] AS "
+        "SUM(YTD(), [Measures].[Revenue]) "
+        "SELECT {[Measures].[Revenue], [Measures].[YTD Revenue]} "
+        "ON COLUMNS, NON EMPTY [Time].[Year].Members * "
+        "[Time].[Month].Members ON ROWS FROM [Sales]").collect()
+    running, year = 0.0, None
+    for r in rows:
+        if r[0] != year:
+            year, running = r[0], 0.0      # resets at the year boundary
+        running += r[2]
+        assert r[3] == pytest.approx(running, rel=1e-12), (r[0], r[1])
+    # year-only grain: YTD == the measure itself
+    yr = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[YTD Revenue] AS "
+        "SUM(YTD(), [Measures].[Revenue]) "
+        "SELECT {[Measures].[Revenue], [Measures].[YTD Revenue]} "
+        "ON COLUMNS, NON EMPTY [Time].[Year].Members ON ROWS "
+        "FROM [Sales]").collect()
+    assert all(r[1] == r[2] for r in yr)
+    # composes with another axis dim: windows partition per member
+    mixed = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[YTD Revenue] AS "
+        "SUM(YTD(), [Measures].[Revenue]) "
+        "SELECT {[Measures].[Revenue], [Measures].[YTD Revenue]} "
+        "ON COLUMNS, NON EMPTY [Line Status].[Line Status].Members * "
+        "[Time].[Year].Members * [Time].[Month].Members ON ROWS "
+        "FROM [Sales]").collect()
+    run = {}
+    for r in mixed:
+        key = (r[0], r[1])                 # (linestatus, year)
+        run[key] = run.get(key, 0.0) + r[3]
+        assert r[4] == pytest.approx(run[key], rel=1e-12)
+    # no time drilldown -> clear 400
+    with pytest.raises(ParseError, match="needs a Time drilldown"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "WITH MEMBER [Measures].[YTD Revenue] AS "
+                    "SUM(YTD(), [Measures].[Revenue]) "
+                    "SELECT {[Measures].[YTD Revenue]} ON COLUMNS, "
+                    "NON EMPTY [Customer].[Region].Members ON ROWS "
+                    "FROM [Sales]").collect()
+    # virtual cubes reject (fact-dependent window across cubes)
+    with pytest.raises(ParseError, match="virtual cubes"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "WITH MEMBER [Measures].[YTD Revenue] AS "
+                    "SUM(YTD(), [Measures].[Revenue]) "
+                    "SELECT {[Measures].[YTD Revenue]} ON COLUMNS, "
+                    "NON EMPTY [Time].[Year].Members ON ROWS "
+                    "FROM [Orders and Sales]").collect()
