@@ -605,3 +605,49 @@ def test_mdx_unknown_names_are_400_unknown_cube_404(client):
         "[Nowhere].[X].Members ON ROWS FROM [Sales]",
     ]:
         assert client.post("/mdx", data=mdx).status_code == 400, mdx
+
+
+# --- HTTP param fuzz: no 500s ----------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_FRAGMENTS = [
+    "Revenue", "Nope", "Customer.Region", "Customer.Bogus", "Time.Year",
+    "[Customer].[Region].[&2]", "[Customer].[Region].[&99]", "[Top5 Customers]",
+    "{[Customer].[Nation].[&3],[Customer].[Nation].[&7]}",
+    "([Time].[Year].[1996]:[Time].[Year].[1998])", "(a:b", "{", "}}", "",
+    "Revenue > 1000", "Revenue >", "> 1000", "Revenue !! 1",
+    "Customer.Nation.Key", "Customer.Customer.Market Segment",
+    "';DROP TABLE--", "[&]", "..", "Time.Year.Caption",
+]
+_GARBAGE = st.one_of(
+    st.sampled_from(_FRAGMENTS),
+    st.text(alphabet="[]{}().&*:,'\"\\%Aa1 ", max_size=24))
+
+
+@st.composite
+def _rest_params(draw):
+    params = []
+    for key in ("measures[]", "drilldown[]", "cut[]", "filter[]",
+                "properties[]", "caption[]"):
+        for v in draw(st.lists(_GARBAGE, max_size=2)):
+            params.append((key, v))
+    for key in ("order", "limit", "offset", "nonempty", "sparse",
+                "distinct", "parents", "debug", "format"):
+        if draw(st.booleans()):
+            params.append((key, draw(_GARBAGE)))
+    return params
+
+
+@settings(max_examples=120, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(params=_rest_params())
+def test_random_aggregate_params_never_500(client, params):
+    """Arbitrary client input to the aggregate resource must map to
+    200/400/404 — never a 500 (the reference's Grape layer gives the
+    same guarantee via declared params + error!, api.rb:115-158)."""
+    r = client.get("/cubes/Sales/aggregate", query_string=params)
+    assert r.status_code in (200, 400, 404), \
+        (r.status_code, params, r.get_data(as_text=True)[:300])
