@@ -380,6 +380,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT {[Measures].[Revenue]} ON COLUMNS, "
         "NON EMPTY [Time].[Year].[1997].Lag(2) ON ROWS FROM [Sales]")
 
+    # TOPPERCENT: the minimal best-first member prefix reaching pct%
+    # of the axis total (two windows over the axis-sized aggregate)
+    q["q47_mdx_toppercent"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPPERCENT([Customer].[Nation].Members, 50, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]")
+
     # SUM(YTD(), m): Mondrian's year-to-date running total — a
     # cumulative window within the outermost drilled time level
     # (planner CalculatedMember.run_of; axis-sized window, never fact)
@@ -1273,6 +1282,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE year(l_shipdate) = (SELECT min(y) FROM yrs)
             GROUP BY 1""",
+
+        "q47_mdx_toppercent": f"""
+            WITH agg AS (
+              SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2),
+            r AS (
+              SELECT *,
+                     SUM(revenue) OVER (ORDER BY revenue DESC,
+                                        cust_nation_key
+                                        ROWS UNBOUNDED PRECEDING) AS run,
+                     SUM(revenue) OVER () AS tot
+              FROM agg)
+            SELECT cust_nation_key, cust_nation, revenue
+            FROM r WHERE run - revenue < 0.5 * tot""",
 
         "q46_mdx_ytd": f"""
             WITH agg AS (

@@ -191,12 +191,15 @@ class CalculatedMember:
     # so it is a 400 instead)
     lag_n: int = 1
     lag_level: str | None = None
-    # YTD / running-total shape (Mondrian SUM(YTD(), m)): cumulative
-    # sum of ``run_of`` within the outermost drilled level of
-    # ``run_dim`` (the year), ordered along the finer drilled time
-    # levels; at the outermost grain alone it equals the measure
+    # YTD/QTD running-total shape (Mondrian SUM(YTD()|QTD(), m)):
+    # cumulative sum of ``run_of`` within the drilled levels of
+    # ``run_dim`` at or above ``run_anchor`` (None = the outermost
+    # level, i.e. YTD's year; "Quarter" = QTD), ordered along the
+    # finer drilled time levels; with no finer drill it equals the
+    # measure
     run_of: str | None = None
     run_dim: str | None = None
+    run_anchor: str | None = None
 
 
 @dataclass(frozen=True)

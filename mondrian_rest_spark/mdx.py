@@ -9,7 +9,7 @@ build_query emits, which covers every query the REST layer can express:
 
     [WITH [MEMBER [Measures].[X] AS <arith over [Measures] refs>
                                    | ([Measures].[M], PARALLELPERIOD([D].[L][, n]))
-                                   | SUM(YTD(), [Measures].[M])]
+                                   | SUM(YTD()|QTD(), [Measures].[M])]
           [SET [Name] AS TOPCOUNT|BOTTOMCOUNT([D].[L].Members, n,
                                               [Measures].[M])] ...]
     SELECT {[Measures].[X], ...} ON COLUMNS,
@@ -23,6 +23,7 @@ build_query emits, which covers every query the REST layer can express:
            | ORDER(axis', [Measures].[M], BASC|BDESC)
            | FILTER(axis', <cond> [AND <cond>]...)
            | TOPCOUNT(axis', n, [Measures].[M])
+           | TOPPERCENT|BOTTOMPERCENT(axis', pct, [Measures].[M])
            | CROSSJOIN(axis', axis') | NONEMPTYCROSSJOIN(axis', axis')
            | {set} | <member>:<member>
            | UNION|EXCEPT|INTERSECT(mset, mset)
@@ -248,9 +249,27 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
     a simple TOPCOUNT there compiles to an inline named set instead."""
     t = p.peek_upper()
     if t in ("DISTINCT", "SUBSET", "ORDER", "FILTER", "TOPCOUNT", "CROSSJOIN",
-             "HEAD", "TAIL", "NONEMPTYCROSSJOIN"):
+             "HEAD", "TAIL", "NONEMPTYCROSSJOIN", "TOPPERCENT",
+             "BOTTOMPERCENT"):
         p.next()
         p.expect("(")
+        if t in ("TOPPERCENT", "BOTTOMPERCENT"):
+            # minimal best-first prefix reaching pct% of the set total
+            _axis_expr(p, q)
+            p.expect(",")
+            tok = p.next()
+            try:
+                pct = float(tok)
+            except ValueError:
+                raise ParseError(
+                    f"{t} percentage must be numeric, got {tok!r}")
+            if not 0 < pct <= 100:
+                raise ParseError(f"{t} percentage must be in (0, 100]")
+            p.expect(",")
+            q.qm_kwargs["top_percent"] = (pct, _measure_ref(p),
+                                          t == "BOTTOMPERCENT")
+            p.expect(")")
+            return True
         if t == "DISTINCT":
             _axis_expr(p, q)
             q.qm_kwargs["distinct"] = True
@@ -693,19 +712,21 @@ def _parallelperiod_tuple(p: _P) -> str:
 
 
 def _ytd_call(p: _P) -> str:
-    """SUM(YTD(), [Measures].[M]) — Mondrian's year-to-date running
-    total (the classic time-intelligence idiom).  Compiles to a
-    ``{ytd:M}`` template the planner maps onto a cumulative window
-    within the outermost drilled time level."""
+    """SUM(YTD()|QTD(), [Measures].[M]) — Mondrian's to-date running
+    totals (the classic time-intelligence idioms).  Compiles to a
+    ``{ytd:M}`` / ``{qtd:M}`` template the planner maps onto a
+    cumulative window within the anchor time level (year / quarter)."""
     p.expect("SUM")
     p.expect("(")
-    p.expect("YTD")
+    fn = p.next().upper()
+    if fn not in ("YTD", "QTD"):
+        raise ParseError(f"expected YTD() or QTD(), got {fn!r}")
     p.expect("(")
     p.expect(")")
     p.expect(",")
     name = _measure_ref(p)
     p.expect(")")
-    return "{ytd:" + name + "}"
+    return "{" + fn.lower() + ":" + name + "}"
 
 
 def _calc_tokens(p: _P, stop_words: tuple) -> str:
@@ -830,9 +851,10 @@ def _emit_formula(tmpl: str) -> str:
         name, lvl, n = lag.groups()
         lvlb = ".".join(f"[{s}]" for s in lvl.split("."))
         return f"([Measures].[{name}], PARALLELPERIOD({lvlb}, {n}))"
-    ytd = re.fullmatch(r"\{ytd:([^}]+)\}", tmpl)
+    ytd = re.fullmatch(r"\{(ytd|qtd):([^}]+)\}", tmpl)
     if ytd:
-        return f"SUM(YTD(), [Measures].[{ytd.group(1)}])"
+        return (f"SUM({ytd.group(1).upper()}(), "
+                f"[Measures].[{ytd.group(2)}])")
     out = re.sub(r"\{m:([^}]+)\}",
                  lambda m: f"[Measures].[{m.group(1)}]", tmpl)
     # SQL spellings back to their MDX forms (inverse of _calc_tokens)
@@ -903,6 +925,11 @@ def emit_mdx(cat: Catalog, qm) -> str:
                 f"[Measures].[{mf.measure}] {mf.op} {mf.value}"
                 for mf in map(parse_measure_filter, qm.filter))
             axis = f"FILTER({axis}, {conds})"
+        if getattr(qm, "top_percent", None) is not None:
+            pct, m, asc = qm.top_percent
+            fn = "BOTTOMPERCENT" if asc else "TOPPERCENT"
+            pct_s = str(int(pct)) if float(pct).is_integer() else str(pct)
+            axis = f"{fn}({axis}, {pct_s}, [Measures].[{m}])"
         if qm.order:
             if "." not in qm.order:
                 okey = f"[Measures].[{qm.order}]"

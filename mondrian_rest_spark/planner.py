@@ -348,19 +348,22 @@ def _inline_calcs(cube: Cube, with_members) -> Cube:
                 name, alias, lag_of=measure_alias(ref), lag_dim=dim.name,
                 lag_n=int(lag_n), lag_level=lag_level))
             continue
-        ytd = re.fullmatch(r"\{ytd:([^}]+)\}", tmpl)
+        ytd = re.fullmatch(r"\{(ytd|qtd):([^}]+)\}", tmpl)
         if ytd:
-            # SUM(YTD(), m): running total along the cube's time
-            # dimension (reference analog: Mondrian's Ytd() over the
-            # TimeDimension, foodmart.xml:49 type="TimeDimension")
+            # SUM(YTD()|QTD(), m): running total along the cube's time
+            # dimension (reference analog: Mondrian's Ytd()/Qtd() over
+            # the TimeDimension, foodmart.xml:49 type="TimeDimension").
+            # QTD anchors at the Quarter level by name.
             tdims = [d for d in cube.dimensions if d.time_dimension]
             if not tdims:
                 raise ParseError(
-                    f"WITH MEMBER {name!r}: SUM(YTD(), ...) needs a "
-                    f"time dimension on cube {cube.name!r}")
+                    f"WITH MEMBER {name!r}: SUM({ytd.group(1).upper()}"
+                    f"(), ...) needs a time dimension on cube "
+                    f"{cube.name!r}")
             new.append(CalculatedMember(
-                name, alias, run_of=measure_alias(ytd.group(1)),
-                run_dim=tdims[0].name))
+                name, alias, run_of=measure_alias(ytd.group(2)),
+                run_dim=tdims[0].name,
+                run_anchor="Quarter" if ytd.group(1) == "qtd" else None))
             continue
         expr = re.sub(r"\{m:([^}]+)\}", resolve, tmpl)
         new.append(CalculatedMember(name, alias, expr=expr))
@@ -782,6 +785,11 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             extra_names.append(qm.order)
         except KeyError:
             pass
+    if qm.top_percent is not None:
+        pname = qm.top_percent[1]
+        if pname not in requested and pname not in extra_names:
+            _measure_alias(cube, pname)   # unknown -> KeyError -> 400
+            extra_names.append(pname)
     base_measures, calcs, final_aliases = _split_measures(
         cube, requested + extra_names)
     final_aliases = final_aliases[:len(requested)]
@@ -902,31 +910,53 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         if c.expr:
             out = _with_user_col(out, c.alias, c.expr, c.name)
         elif c.run_of:
-            # YTD running total: cumulative sum within the OUTERMOST
-            # drilled time level (the year), ordered along the finer
-            # drilled time levels; at the outermost grain alone it
-            # equals the measure.  Axis-sized window — never the fact.
+            # YTD/QTD running total: cumulative sum within the anchor
+            # time level (YTD = the hierarchy's top level, QTD = the
+            # named anchor, e.g. Quarter), ordered along the finer
+            # drilled time levels; with no finer drill it equals the
+            # measure.  Every level at or above the anchor must be
+            # drilled — degenerate time keys repeat per parent (quarter
+            # 1-4 every year), so a partial partition would silently
+            # merge across parents.  Axis-sized window — never the fact.
             run_drills = [rd for rd in drills
                           if rd.dimension.name == c.run_dim]
             if not run_drills:
                 raise ParseError(
                     f"calculated member {c.name!r} needs a "
                     f"{c.run_dim} drilldown")
+            hier = run_drills[0].hierarchy
+            if c.run_anchor is None:
+                anchor_idx = 0
+            else:
+                try:
+                    anchor_idx = hier.level_index(c.run_anchor)
+                except (KeyError, ValueError):
+                    raise ParseError(
+                        f"calculated member {c.name!r}: hierarchy "
+                        f"{hier.name!r} has no {c.run_anchor!r} level")
             seen_keys: dict = {}
             for rd in run_drills:
                 for lv in rd.group_levels:
                     seen_keys.setdefault(
                         lv.key_alias, rd.hierarchy.level_index(lv.name))
             keyed = sorted((i, a) for a, i in seen_keys.items())
-            time_keys = [a for _, a in keyed]
-            anchor, finer = time_keys[0], time_keys[1:]
+            have = {i for i, _ in keyed}
+            missing = [hier.levels[i].name for i in range(anchor_idx + 1)
+                       if i not in have]
+            if missing:
+                raise ParseError(
+                    f"calculated member {c.name!r} needs the "
+                    f"{'/'.join(missing)} level(s) of {c.run_dim} in the "
+                    "drilldown (the to-date window anchors there)")
+            part = [a for i, a in keyed if i <= anchor_idx]
+            finer = [a for i, a in keyed if i > anchor_idx]
             others = [a for rd in drills if rd.dimension.name != c.run_dim
                       for a in rd.key_aliases]
             if not finer:
                 out = out.withColumn(c.alias, F.col(c.run_of))
             else:
                 w = (Window
-                     .partitionBy(*[F.col(a) for a in others + [anchor]])
+                     .partitionBy(*[F.col(a) for a in others + part])
                      .orderBy(*[F.col(a) for a in finer])
                      .rowsBetween(Window.unboundedPreceding,
                                   Window.currentRow))
@@ -969,6 +999,29 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # --- ORDER / SUBSET (reference query_helper.rb:283-296) ---
     key_aliases = [a for rd in drills for lv in rd.group_levels
                    for a in [lv.key_alias]]
+    if qm.top_percent is not None:
+        # TOPPERCENT/BOTTOMPERCENT (Mondrian set functions): the
+        # minimal best-first prefix whose cumulative measure reaches
+        # pct% of the set total.  Two windows over the AXIS-SIZED
+        # post-aggregation frame (single partition by design — the
+        # frame is a grouped result, never the fact): keep rows whose
+        # cumulative BEFORE them is still under the threshold, which
+        # includes exactly the crossing row.
+        pct, pname, asc = qm.top_percent
+        ocol = _measure_alias(cube, pname)
+        direction = F.asc(ocol) if asc else F.desc(ocol)
+        wseq = (Window.orderBy(direction,
+                               *[F.asc(a) for a in key_aliases])
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        running = F.sum(F.col(ocol)).over(wseq)
+        total = F.sum(F.col(ocol)).over(
+            Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing))
+        out = (out.withColumn("__tp_run", running)
+                  .withColumn("__tp_tot", total)
+                  .filter(F.col("__tp_run") - F.col(ocol)
+                          < F.lit(pct / 100.0) * F.col("__tp_tot"))
+                  .drop("__tp_run", "__tp_tot"))
     if qm.order:
         ocol = _order_column(cube, qm.order, group_cols)
         if ocol not in out.columns:
@@ -1420,9 +1473,9 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
             raise ParseError(
                 "PARALLELPERIOD WITH MEMBER is not supported on "
                 "virtual cubes")
-        if re.fullmatch(r"\{ytd:[^}]*\}", tmpl):
+        if re.fullmatch(r"\{(ytd|qtd):[^}]*\}", tmpl):
             raise ParseError(
-                "SUM(YTD(), ...) WITH MEMBER is not supported on "
+                "SUM(YTD()/QTD(), ...) WITH MEMBER is not supported on "
                 "virtual cubes")
         inline[name] = tmpl
         alias = re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")

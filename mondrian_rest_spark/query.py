@@ -64,6 +64,10 @@ class QueryModel:
     # its total order (HEAD is just limit).  Applied after
     # offset/limit, matching the TAIL(SUBSET(...), n) nesting.
     tail: int | None = None
+    # TOPPERCENT/BOTTOMPERCENT(set, pct, m) from raw MDX:
+    # (pct, measure, ascending) — the minimal best-first prefix whose
+    # cumulative measure reaches pct% of the axis total
+    top_percent: tuple | None = None
     # <member>.FirstChild / .LastChild axis sets from raw MDX: list of
     # (member_path, last) — drilldown at the member's CHILD level plus
     # a cut to the edge child's key (dim-side bounded lookup)

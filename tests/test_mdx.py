@@ -1162,3 +1162,67 @@ def test_mdx_ytd_running_total(spark, sf_dir):
                     "SELECT {[Measures].[YTD Revenue]} ON COLUMNS, "
                     "NON EMPTY [Time].[Year].Members ON ROWS "
                     "FROM [Orders and Sales]").collect()
+
+
+def test_mdx_qtd_and_toppercent(spark, sf_dir):
+    """SUM(QTD(), m) anchors at the Quarter level (resets per
+    year+quarter, 400 without the full Year/Quarter context);
+    TOPPERCENT keeps the minimal best-first prefix reaching pct% of
+    the axis total."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[QTD Revenue] AS "
+        "SUM(QTD(), [Measures].[Revenue]) "
+        "SELECT {[Measures].[Revenue], [Measures].[QTD Revenue]} "
+        "ON COLUMNS, NON EMPTY [Time].[Year].Members * "
+        "[Time].[Quarter].Members * [Time].[Month].Members ON ROWS "
+        "FROM [Sales]").collect()
+    run, key = 0.0, None
+    for r in rows:
+        if (r[0], r[1]) != key:
+            key, run = ((r[0], r[1])), 0.0   # resets per (year, quarter)
+        run += r[3]
+        assert r[4] == pytest.approx(run, rel=1e-12)
+    with pytest.raises(ParseError, match="Quarter"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "WITH MEMBER [Measures].[Q] AS "
+                    "SUM(QTD(), [Measures].[Revenue]) "
+                    "SELECT {[Measures].[Q]} ON COLUMNS, "
+                    "NON EMPTY [Time].[Year].Members * "
+                    "[Time].[Month].Members ON ROWS FROM [Sales]").collect()
+    with pytest.raises(ParseError, match="Year"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "WITH MEMBER [Measures].[Y] AS "
+                    "SUM(YTD(), [Measures].[Revenue]) "
+                    "SELECT {[Measures].[Y]} ON COLUMNS, "
+                    "NON EMPTY [Time].[Month].Members ON ROWS "
+                    "FROM [Sales]").collect()
+
+    top = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPPERCENT([Customer].[Nation].Members, 50, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]").collect()
+    full = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].Members ON ROWS "
+        "FROM [Sales]").collect()
+    total = sum(r[2] for r in full)
+    kept = sorted((r[2] for r in top), reverse=True)
+    ordered = sorted((r[2] for r in full), reverse=True)
+    assert sum(kept) >= 0.5 * total                     # reaches 50%
+    assert sum(kept) - kept[-1] < 0.5 * total           # minimal prefix
+    assert kept == ordered[:len(kept)]                  # best-first
+    # ranking by a HIDDEN measure works (extras path)
+    hid = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPPERCENT([Customer].[Nation].Members, 30, "
+        "[Measures].[Quantity]) ON ROWS FROM [Sales]").collect()
+    assert 0 < len(hid) < len(full)
+    assert all(len(r) == 3 for r in hid)   # hidden measure not displayed
+    with pytest.raises(ParseError, match="percentage"):
+        compile_mdx("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "TOPPERCENT([Customer].[Nation].Members, 0, "
+                    "[Measures].[Revenue]) ON ROWS FROM [Sales]")
