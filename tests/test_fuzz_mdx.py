@@ -259,9 +259,14 @@ def mdx_specs(draw):
     # TOPCOUNT (which imposes its own order+limit)
     topcount = filt = order = subset = None
     if has_axis:
-        if draw(st.booleans()):
-            topcount = (draw(st.sampled_from([1, 3, 10])),
+        shape = draw(st.sampled_from(["chain", "topcount", "toppercent"]))
+        if shape == "topcount":
+            topcount = ("count", draw(st.sampled_from([1, 3, 10])),
                         draw(st.sampled_from(RANK_MEASURES)))
+        elif shape == "toppercent":
+            topcount = ("pct", draw(st.sampled_from([10, 40, 75])),
+                        draw(st.sampled_from(RANK_MEASURES)),
+                        draw(st.booleans()))
         else:
             if draw(st.booleans()):
                 filt = draw(st.lists(
@@ -329,9 +334,13 @@ def build_mdx(spec) -> str:
         sets.append("[Fuzz Set]")
     if sets:
         axis = " * ".join(sets)
-        if spec["topcount"]:
-            n, by = spec["topcount"]
+        if spec["topcount"] and spec["topcount"][0] == "count":
+            _, n, by = spec["topcount"]
             axis = f"TOPCOUNT({axis}, {n}, [Measures].[{by}])"
+        elif spec["topcount"]:
+            _, pct, by, bottom = spec["topcount"]
+            fn = "BOTTOMPERCENT" if bottom else "TOPPERCENT"
+            axis = f"{fn}({axis}, {pct}, [Measures].[{by}])"
         else:
             if spec["filt"]:
                 conds = " AND ".join(f"[Measures].[{m}] {op} {v}"
@@ -399,8 +408,24 @@ def build_oracle_sql(spec) -> str:
         sql += " GROUP BY " + ", ".join(aliases)
 
     order_terms, limit = [], None
+    if spec["topcount"] and spec["topcount"][0] == "pct":
+        # TOPPERCENT: minimal best-first prefix reaching pct% of the
+        # set total — running/total windows over the grouped result,
+        # tie-broken exactly like the planner (rank, then axis keys)
+        _, pct, by, bottom = spec["topcount"]
+        direction = "ASC" if bottom else "DESC"
+        tie = "".join(f", {k}" for k in key_aliases)
+        outer_cols = ", ".join(aliases
+                               + [MEASURES[m][0] for m in spec["measures"]]
+                               + (["calc_measure"] if spec["calc"] else []))
+        return (f"SELECT {outer_cols} FROM ("
+                f"SELECT *, SUM(__rank) OVER (ORDER BY __rank {direction}"
+                f"{tie} ROWS UNBOUNDED PRECEDING) AS __run, "
+                f"SUM(__rank) OVER () AS __tot FROM ("
+                f"{sql.replace('SELECT ', 'SELECT ' + MEASURES[by][1] + ' AS __rank, ', 1)}"
+                f")) WHERE __run - __rank < {pct / 100.0} * __tot")
     if spec["topcount"]:
-        n, by = spec["topcount"]
+        _, n, by = spec["topcount"]
         order_terms = [f"{MEASURES[by][1]} DESC"] + list(key_aliases)
         limit = (0, n)
     else:
