@@ -484,6 +484,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["w04_retention_cohorts"] = lambda s, d: windows.retention_cohorts(
         load_table(s, d, "events"))
 
+    # ordered-sequence conversion funnel (first-touch anchored;
+    # user-keyed joins + one single-row count aggregate)
+    q["w05_funnel"] = lambda s, d: windows.funnel(
+        load_table(s, d, "events"))
+
     # per-doc corpus-boilerplate exposure (cross-document analog of t10)
     q["t12_boilerplate_fraction"] = lambda s, d: \
         textstats.with_boilerplate_fraction(load_table(s, d, "documents"))
@@ -1457,6 +1462,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT e.*, date_trunc('day', ts) - i.i * INTERVAL 1 DAY AS ws
                   FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) i)
             GROUP BY ws""",
+        "w05_funnel": """
+            WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                     AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                        JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1),
+            c AS (SELECT (SELECT COUNT(*) FROM s1) AS c1,
+                         (SELECT COUNT(*) FROM s2) AS c2,
+                         (SELECT COUNT(*) FROM s3) AS c3)
+            SELECT 1 AS step_idx, 'view' AS step, c1 AS users,
+                   ROUND(c1 / greatest(c1, 1), 6) AS conversion FROM c
+            UNION ALL
+            SELECT 2, 'click', c2, ROUND(c2 / greatest(c1, 1), 6) FROM c
+            UNION ALL
+            SELECT 3, 'purchase', c3, ROUND(c3 / greatest(c1, 1), 6)
+            FROM c""",
+
         "w04_retention_cohorts": """
             WITH f AS (SELECT user_id, MIN(date_trunc('week', ts))
                               AS cohort_week

@@ -75,3 +75,56 @@ def retention_cohorts(events: DataFrame, ts_col: str = "ts",
                      F.floor(F.datediff(F.col("__wk"), F.col("cohort_week"))
                              / 7).alias("week_offset"))
             .agg(F.count_distinct(F.col(user_col)).alias("n_users")))
+
+
+def funnel(df: DataFrame, steps: tuple = ("view", "click", "purchase"),
+           within: str = "7 days", ts_col: str = "ts",
+           user_col: str = "user_id",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered-sequence conversion funnel (classic event analytics the
+    reference's cube model can't express): one row per step with the
+    user count that reached it and the conversion vs step 1.
+
+    FIRST-TOUCH semantics, fully deterministic: a user's step-1 time is
+    their EARLIEST step-1 event; each later step k is the earliest
+    step-k event STRICTLY after their step k-1 time and no later than
+    ``within`` of the step-1 anchor.  (A user whose only valid
+    sequence starts at a later step-1 occurrence does not count — the
+    standard first-touch attribution choice, and what makes the
+    result replayable in plain SQL.)
+
+    Plan shape at 100 TB: one filtered scan per step, each stage a
+    user-keyed hash join + min aggregate against the (shrinking)
+    completer frame — the shuffle key is user_id throughout, so all
+    stages co-partition after the first exchange; the final count is
+    ONE single-row aggregate over the per-user frame, reshaped to
+    step rows with a literal explode (no second pass)."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    ev = df.select(F.col(user_col).alias("__u"),
+                   F.col(ts_col).alias("__ts"),
+                   F.col(type_col).alias("__t"))
+    frame = (ev.filter(F.col("__t") == steps[0])
+               .groupBy("__u").agg(F.min("__ts").alias("t1")))
+    frame = frame.withColumn(
+        "__deadline", F.col("t1") + F.expr(f"INTERVAL {within}"))
+    for k, st in enumerate(steps[1:], start=2):
+        prev = f"t{k - 1}"
+        nxt = (ev.filter(F.col("__t") == st)
+                 .join(frame.select("__u", prev, "__deadline"), "__u")
+                 .filter((F.col("__ts") > F.col(prev)) &
+                         (F.col("__ts") <= F.col("__deadline")))
+                 .groupBy("__u").agg(F.min("__ts").alias(f"t{k}")))
+        frame = frame.join(nxt, "__u", "left")
+    counts = frame.agg(*[F.count(f"t{k}").alias(f"c{k}")
+                         for k in range(1, len(steps) + 1)])
+    rows = F.array(*[
+        F.struct(F.lit(k).alias("step_idx"),
+                 F.lit(st).alias("step"),
+                 F.col(f"c{k}").alias("users"),
+                 F.round(F.col(f"c{k}") /
+                         F.greatest(F.col("c1"), F.lit(1)),
+                         6).alias("conversion"))
+        for k, st in enumerate(steps, start=1)])
+    return (counts.select(F.explode(rows).alias("r"))
+            .select("r.step_idx", "r.step", "r.users", "r.conversion"))

@@ -1079,3 +1079,46 @@ def test_hashed_ngram_features(spark):
     import hashlib
     b = int(hashlib.md5(b"x y").hexdigest()[:8], 16) % 16
     assert by_id[3][b] == 1
+
+
+def test_funnel_first_touch_semantics(spark):
+    """Crafted sequences pin the funnel contract: strictly-ordered
+    steps, the within-window anchored at the FIRST step-1 event
+    (first-touch), and per-step user counts with conversion."""
+    from datetime import datetime
+
+    from mondrian_rest_spark.operators import windows
+
+    def e(uid, t, typ):
+        return (uid * 1000 + int(t.timestamp()) % 1000, t, uid, typ, 1.0)
+    d = lambda day, h=0: datetime(2024, 1, day, h)
+    rows = [
+        # u1 completes in order: view d1, click d2, purchase d3
+        e(1, d(1), "view"), e(1, d(2), "click"), e(1, d(3), "purchase"),
+        # u2: purchase BEFORE click -> stops after click
+        e(2, d(1), "view"), e(2, d(3), "click"), e(2, d(2), "purchase"),
+        # u3: completes but purchase lands past the 7-day window
+        #     anchored at the FIRST view (d1) -> stops after click
+        e(3, d(1), "view"), e(3, d(2), "click"), e(3, d(9), "purchase"),
+        # u4: never views -> not even step 1
+        e(4, d(1), "click"), e(4, d(2), "purchase"),
+        # u5: view only
+        e(5, d(5), "view"),
+        # u6: first-touch: views d1 AND d4; purchase d8 is within 7d of
+        #     the d4 view but the anchor is d1+7=d8 NOT strict... d8 <=
+        #     d1+7d boundary is INCLUSIVE -> completes exactly on it
+        e(6, d(1), "view"), e(6, d(2), "click"), e(6, d(4), "view"),
+        e(6, d(8), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    got = {r.step: (r.users, r.conversion)
+           for r in windows.funnel(df).collect()}
+    assert got["view"] == (5, 1.0)            # u1,u2,u3,u5,u6
+    assert got["click"] == (4, 0.8)           # u1,u2,u3,u6
+    assert got["purchase"] == (2, 0.4)        # u1, u6 (boundary incl.)
+    # step order is part of the contract
+    idx = {r.step: r.step_idx for r in windows.funnel(df).collect()}
+    assert idx == {"view": 1, "click": 2, "purchase": 3}
+    with pytest.raises(ValueError, match="at least 2"):
+        windows.funnel(df, steps=("view",))
