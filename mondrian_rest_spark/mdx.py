@@ -128,7 +128,8 @@ class MdxQuery:
 
     def __init__(self) -> None:
         self.qm_kwargs: dict = dict(measures=[], drilldown=[], cut=[],
-                                    filter=[], nonempty=False,
+                                    filter=[], filter_exprs=[],
+                                    nonempty=False,
                                     with_members=[], with_sets=[],
                                     children_of=[], parent_of=[],
                                     lastperiods=[], member_lags=[],
@@ -242,6 +243,74 @@ def _crossjoin_operand(p: _P, q: MdxQuery) -> None:
         break
 
 
+def _guard_nesting(fn: str, kwargs: dict, incompatible: tuple) -> None:
+    """Set functions flatten into ONE axis-global QueryModel, so the
+    planner applies them in a fixed stage order (HAVING filter →
+    distinct → top_percent → order → offset/limit → tail) regardless
+    of how the MDX nested them.  A wrapper over an inner expression
+    that already set a kwarg the planner applies at-or-after the
+    wrapper's own stage (or a scalar kwarg the wrapper itself needs)
+    would silently apply the stages in the wrong order —
+    HEAD(TAIL(s, 5), 2) would return the first 2 rows of the whole
+    axis instead of the first 2 of the last 5.  Per this file's rule
+    (see _axis_expr), a clear 400 beats a wrong answer, mirroring the
+    HIERARCHIZE-over-ORDER guard."""
+    for key in incompatible:
+        present = bool(kwargs.get("filter")) if key == "filter" \
+            else key in kwargs
+        if present:
+            raise ParseError(
+                f"{fn} cannot wrap a set that already applies {key} in "
+                "this MDX subset (set functions flatten into one "
+                "axis-global plan, so this nesting would apply them in "
+                "the wrong order); nest the other function inside "
+                f"{fn} instead, or split the query")
+
+
+# For each outer wrapper: the inner-expression kwargs whose planner
+# stage runs at-or-after the wrapper's own stage (flattening would
+# reverse the nesting), plus the wrapper's own scalar kwargs (a second
+# assignment would silently drop the inner one).  Stage-commuting
+# combinations (e.g. ORDER over FILTER, TAIL over SUBSET, HEAD over a
+# bare SUBSET offset) stay legal.
+_NESTING_CONFLICTS = {
+    "FILTER": ("top_percent", "offset", "limit", "tail"),
+    "DISTINCT": ("top_percent", "offset", "limit", "tail"),
+    "TOPPERCENT": ("top_percent", "offset", "limit", "tail"),
+    "BOTTOMPERCENT": ("top_percent", "offset", "limit", "tail"),
+    "ORDER": ("order", "offset", "limit", "tail"),
+    "SUBSET": ("offset", "limit", "tail"),
+    "HEAD": ("limit", "tail"),
+    "TAIL": ("tail",),
+    "TOPCOUNT": ("order", "offset", "limit", "tail"),
+}
+
+
+_SIMPLE_COND_RE = re.compile(
+    r"\{m:([^}]+)\} (>=|<=|!=|>|<|=) (-?\d+(?:\.\d+)?)")
+
+
+def _filter_condition(p: _P, q: MdxQuery) -> None:
+    """One FILTER condition: any comparison over measure arithmetic
+    (the most common hand-written Mondrian idiom is
+    ``[Measures].[A] > [Measures].[B]``, reference api_helpers.rb:42-54
+    executes it via Mondrian).  The legacy measure-vs-literal form
+    keeps compiling to the REST-equivalent ``qm.filter`` string (so
+    rollup routing and the /aggregate round-trip see it unchanged);
+    everything else becomes an expression template in
+    ``qm.filter_exprs``, resolved to post-agg aliases at plan time."""
+    tmpl = _calc_tokens(p, stop_words=("AND", "ON"))
+    m = _SIMPLE_COND_RE.fullmatch(tmpl)
+    if m:
+        op = "<>" if m.group(2) == "!=" else m.group(2)
+        q.qm_kwargs["filter"].append(f"{m.group(1)} {op} {m.group(3)}")
+        return
+    if not re.search(r"(^|\s)(>=|<=|!=|>|<|=)(\s|$)", tmpl):
+        raise ParseError(
+            f"FILTER condition must be a comparison, got {tmpl!r}")
+    q.qm_kwargs["filter_exprs"].append(tmpl)
+
+
 def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
     """Parse one axis term; returns True when it was a set function
     (which imposes axis-global order/limit/filter semantics).
@@ -256,6 +325,7 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
         if t in ("TOPPERCENT", "BOTTOMPERCENT"):
             # minimal best-first prefix reaching pct% of the set total
             _axis_expr(p, q)
+            _guard_nesting(t, q.qm_kwargs, _NESTING_CONFLICTS[t])
             p.expect(",")
             tok = p.next()
             try:
@@ -272,9 +342,11 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             return True
         if t == "DISTINCT":
             _axis_expr(p, q)
+            _guard_nesting(t, q.qm_kwargs, _NESTING_CONFLICTS[t])
             q.qm_kwargs["distinct"] = True
         elif t == "SUBSET":
             _axis_expr(p, q)
+            _guard_nesting(t, q.qm_kwargs, _NESTING_CONFLICTS[t])
             p.expect(",")
             q.qm_kwargs["offset"] = _int(p, "SUBSET offset")
             if p.peek() == ",":
@@ -285,6 +357,7 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             # TAIL = last n (QueryModel.tail — reverse-order limit +
             # forward re-sort in the planner).  Mondrian defaults n=1.
             _axis_expr(p, q)
+            _guard_nesting(t, q.qm_kwargs, _NESTING_CONFLICTS[t])
             n = 1
             if p.peek() == ",":
                 p.next()
@@ -297,6 +370,7 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
                 q.qm_kwargs["tail"] = n
         elif t == "ORDER":
             _axis_expr(p, q)
+            _guard_nesting(t, q.qm_kwargs, _NESTING_CONFLICTS[t])
             p.expect(",")
             q.qm_kwargs["order"] = _order_key(p)
             if p.peek() == ",":
@@ -304,12 +378,10 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
                 q.qm_kwargs["order_desc"] = p.next().upper() == "BDESC"
         elif t == "FILTER":
             _axis_expr(p, q)
+            _guard_nesting(t, q.qm_kwargs, _NESTING_CONFLICTS[t])
             p.expect(",")
             while True:
-                m = _measure_ref(p)
-                op = p.next()
-                val = p.next()
-                q.qm_kwargs["filter"].append(f"{m} {op} {val}")
+                _filter_condition(p, q)
                 if p.peek_upper() == "AND":
                     p.next()
                     continue
@@ -338,6 +410,7 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
                 q.qm_kwargs["drilldown"].append(name)
                 return False
             # whole-axis TOPCOUNT: rank + truncate the axis itself
+            _guard_nesting(t, sub.qm_kwargs, _NESTING_CONFLICTS[t])
             _merge_sub(q, sub)
             q.qm_kwargs["order"] = top_by
             q.qm_kwargs["order_desc"] = True
@@ -391,8 +464,14 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
     if t in ("UNION", "EXCEPT", "INTERSECT"):
         level_path, members = _member_set_operand(p)
         q.qm_kwargs["drilldown"].append(".".join(level_path))
-        q.qm_kwargs["cut"].append(
-            "{" + ",".join(_path_str(m) for m in members) + "}")
+        if members:
+            q.qm_kwargs["cut"].append(
+                "{" + ",".join(_path_str(m) for m in members) + "}")
+        else:
+            # EXCEPT/INTERSECT evaluated to the empty set: a valid
+            # zero-row axis (Mondrian semantics), kept as an
+            # always-false slice so the schema still carries the level
+            q.qm_kwargs["empty_set"] = True
         return False
     if t == "{":
         _set_expr(p, q)
@@ -509,9 +588,9 @@ def _member_set_operand(p: _P) -> tuple[list[str], list[list[str]]]:
             merged = [m for m in mem_a if m not in mem_b]
         else:
             merged = [m for m in mem_a if m in mem_b]
-        if not merged:
-            raise ParseError(
-                f"{t} produced an empty member set")
+        # an empty result is VALID set algebra (Mondrian returns an
+        # empty set, not an error): callers compile it to an
+        # always-false axis/slicer, never a 400
         return level_a, merged
     members: list[list[str]] = []
     if t == "{":
@@ -593,8 +672,12 @@ def _slicer(p: _P, q: MdxQuery) -> None:
         t = p.peek()
         if t is not None and t.upper() in ("UNION", "EXCEPT", "INTERSECT"):
             level_path, members = _member_set_operand(p)
-            q.qm_kwargs["cut"].append(
-                "{" + ",".join(_path_str(m) for m in members) + "}")
+            if members:
+                q.qm_kwargs["cut"].append(
+                    "{" + ",".join(_path_str(m) for m in members) + "}")
+            else:
+                # empty slicer set: every cell aggregates over nothing
+                q.qm_kwargs["empty_set"] = True
         elif t == "(":
             # range cut (a:b) — the form the REST layer's range cuts
             # round-trip through (query_helper.rb:66-72)
@@ -657,6 +740,10 @@ def _calc_body(p: _P, stop_words: tuple) -> str:
         p.pos = save
     try:
         return _ytd_call(p)
+    except ParseError:
+        p.pos = save
+    try:
+        return _set_agg_call(p)
     except ParseError:
         p.pos = save
     return _calc_tokens(p, stop_words)
@@ -727,6 +814,73 @@ def _ytd_call(p: _P) -> str:
     name = _measure_ref(p)
     p.expect(")")
     return "{" + fn.lower() + ":" + name + "}"
+
+
+def _set_agg_call(p: _P) -> str:
+    """AGGREGATE|SUM|AVG|MIN|MAX|COUNT(<member set>, [Measures].[M]) —
+    Mondrian's set-aggregate calculated members (the other classic
+    WITH MEMBER idiom next to time intelligence; reference
+    api_helpers.rb:42-54 passes arbitrary MDX to Mondrian).  The set
+    is a member literal, a brace set, or a member range on ONE level;
+    AGGREGATE uses the measure's own aggregator, the others override
+    it.  Compiles to a ``{setagg:fn:M:<cut>}`` template the planner
+    maps onto a CONDITIONAL fact-side aggregation (same shuffle as the
+    other measures — no extra pass)."""
+    fn = p.next().upper()
+    if fn not in ("AGGREGATE", "SUM", "AVG", "MIN", "MAX", "COUNT"):
+        raise ParseError(f"expected a set-aggregate function, got {fn!r}")
+    p.expect("(")
+    cut = _set_agg_operand(p)
+    p.expect(",")
+    name = _measure_ref(p)
+    p.expect(")")
+    if ":" in name:
+        raise ParseError(f"measure name {name!r} cannot contain ':'")
+    return "{setagg:" + fn.lower() + ":" + name + ":" + cut + "}"
+
+
+def _set_agg_operand(p: _P) -> str:
+    """The member-set argument of a set aggregate -> a REST cut string
+    (the planner re-parses it with parse_cut and compiles the same
+    predicate a WHERE slicer would)."""
+    t = p.peek()
+    if t == "{":
+        p.next()
+        members = []
+        while True:
+            members.append(_path(p))
+            if p.peek() == ",":
+                p.next()
+                continue
+            break
+        p.expect("}")
+        for m in members:
+            if len(m) < 3 or m[:-1] != members[0][:-1]:
+                raise ParseError(
+                    "set-aggregate members must share one level: "
+                    f"{_path_str(m)}")
+        return "{" + ",".join(_path_str(m) for m in members) + "}"
+    if t == "(":
+        p.next()
+        a = _path(p)
+        p.expect(":")
+        b = _path(p)
+        p.expect(")")
+        if len(a) < 3 or a[:-1] != b[:-1]:
+            raise ParseError("range endpoints must share a level")
+        return f"({_path_str(a)}:{_path_str(b)})"
+    a = _path(p)
+    if p.peek() == ":":
+        p.next()
+        b = _path(p)
+        if len(a) < 3 or a[:-1] != b[:-1]:
+            raise ParseError("range endpoints must share a level")
+        return f"({_path_str(a)}:{_path_str(b)})"
+    if len(a) < 3:
+        raise ParseError(
+            f"set-aggregate member needs [Dim].[Level].[member], got "
+            f"{_path_str(a)}")
+    return _path_str(a)
 
 
 def _calc_tokens(p: _P, stop_words: tuple) -> str:
@@ -966,9 +1120,15 @@ def emit_mdx(cat: Catalog, qm) -> str:
     if axis:
         mdx += f", {axis} ON ROWS"
     mdx += f" FROM [{qm.cube}]"
-    if qm.cut:
-        # bare named-set cuts need brackets to re-tokenize
-        cuts = [f"[{c}]" if not c.startswith(("[", "{", "(")) else c
-                for c in qm.cut]
+    cuts = [f"[{c}]" if not c.startswith(("[", "{", "(")) else c
+            for c in qm.cut]   # bare named-set cuts need brackets
+    if getattr(qm, "empty_set", False):
+        # canonical empty-set echo: EXCEPT of a literal with itself is
+        # resolved at PARSE time (no catalog lookup), so any member
+        # path re-compiles to empty_set=True — a faithful round-trip
+        # of "this query slices to the empty set"
+        dummy = "{[None].[None].[&0]}"
+        cuts.append(f"EXCEPT({dummy}, {dummy})")
+    if cuts:
         mdx += " WHERE (" + " * ".join(cuts) + ")"
     return mdx

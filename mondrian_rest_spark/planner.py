@@ -248,6 +248,12 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
             raise ParseError(
                 ".Lag/.Lead axis sets are not supported on virtual cubes "
                 "(member key windows are fact-dependent; see LASTPERIODS)")
+        if qm.top_percent is not None or qm.tail is not None:
+            # the drill-across join path has no TOPPERCENT/TAIL stage;
+            # silently dropping them would be a wrong answer
+            raise ParseError(
+                "TOPPERCENT/BOTTOMPERCENT/TAIL are not supported on "
+                "virtual cubes in this MDX subset")
         if qm.children_of or qm.parent_of or qm.edge_child_of:
             qm = _virtualize_idioms(spark, sf_dir, cat, qm)
         return _aggregate_virtual(spark, sf_dir, cat, qm)
@@ -779,7 +785,8 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             continue   # malformed filters error in the HAVING step
         if mname not in requested and mname not in extra_names:
             extra_names.append(mname)
-    if qm.order and "." not in qm.order and qm.order not in requested:
+    if (qm.order and "." not in qm.order and qm.order not in requested
+            and qm.order not in extra_names):
         try:
             _measure_alias(cube, qm.order)
             extra_names.append(qm.order)
@@ -862,6 +869,12 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             if dim.dim_pk not in _all_aliases(level_list):
                 base = base.drop(dim.dim_pk)
 
+    # empty set algebra (EXCEPT/INTERSECT -> {}): zero-row axis with
+    # the full schema; Catalyst folds filter(false) to an empty
+    # relation, so no scan runs
+    if qm.empty_set:
+        base = base.filter(F.lit(False))
+
     # --- cuts: predicates + named-set semi-joins (pre-aggregation) ---
     pred_cuts = [rc for rc in cuts if rc.cut.kind != "named_set"]
     ns_cuts = [rc for rc in cuts if rc.cut.kind == "named_set"]
@@ -900,7 +913,10 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         out = base.agg(*aggs)
 
     # --- dense axes (reference default; webshop_1.csv golden) ---
-    if not qm.nonempty and drills:
+    # an EXCEPT/INTERSECT-empty axis SET has zero tuples by
+    # definition — dense fill enumerates the axis sets' members, and
+    # the empty set has none
+    if not qm.nonempty and drills and not qm.empty_set:
         out = _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts,
                        needed_props, caption_overrides, out, group_cols,
                        [m.alias for m in base_measures])
@@ -999,6 +1015,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # --- ORDER / SUBSET (reference query_helper.rb:283-296) ---
     key_aliases = [a for rd in drills for lv in rd.group_levels
                    for a in [lv.key_alias]]
+    tp_sort = None
     if qm.top_percent is not None:
         # TOPPERCENT/BOTTOMPERCENT (Mondrian set functions): the
         # minimal best-first prefix whose cumulative measure reaches
@@ -1022,6 +1039,11 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                   .filter(F.col("__tp_run") - F.col(ocol)
                           < F.lit(pct / 100.0) * F.col("__tp_tot"))
                   .drop("__tp_run", "__tp_tot"))
+        # Mondrian's TopPercent returns the set SORTED by the ranking
+        # measure (desc; asc for BottomPercent) — same convention as
+        # the TOPCOUNT path.  An explicit ORDER wrapper still wins.
+        if not qm.order:
+            tp_sort = (ocol, direction)
     if qm.order:
         ocol = _order_column(cube, qm.order, group_cols)
         if ocol not in out.columns:
@@ -1031,6 +1053,10 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 "request the property via properties[]) first")
         primary = F.desc(ocol) if qm.order_desc else F.asc(ocol)
         out = out.orderBy(primary, *[F.asc(a) for a in key_aliases if a != ocol])
+    elif tp_sort is not None:
+        ocol, direction = tp_sort
+        out = out.orderBy(direction,
+                          *[F.asc(a) for a in key_aliases if a != ocol])
     elif key_aliases:
         # default = hierarchical member order, root level outermost
         # (reference golden CSV ordering, SURVEY §7.5.2: Mondrian
@@ -1054,6 +1080,13 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             rev = [F.asc(ocol) if qm.order_desc else F.desc(ocol)]
             rev += [F.desc(a) for a in key_aliases if a != ocol]
             fwd = [primary, *[F.asc(a) for a in key_aliases if a != ocol]]
+        elif tp_sort is not None:
+            # axis total order is the TOPPERCENT measure ranking
+            ocol, direction = tp_sort
+            asc_tp = qm.top_percent[2]
+            rev = [F.desc(ocol) if asc_tp else F.asc(ocol)]
+            rev += [F.desc(a) for a in key_aliases if a != ocol]
+            fwd = [direction, *[F.asc(a) for a in key_aliases if a != ocol]]
         else:
             rev = [F.desc(a) for a in key_aliases]
             fwd = [F.asc(a) for a in key_aliases]
@@ -1535,7 +1568,8 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                          drilldown=list(qm.drilldown), cut=list(qm.cut),
                          nonempty=True, parents=qm.parents,
                          properties=list(qm.properties),
-                         caption=list(qm.caption))
+                         caption=list(qm.caption),
+                         empty_set=qm.empty_set)
         df = _aggregate_cube(spark, sf_dir, cube, sub)
         maliases = [_measure_alias(cube, m) for m in own_names]
         gcols = [c for c in df.columns if c not in maliases]

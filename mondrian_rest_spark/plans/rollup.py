@@ -330,7 +330,8 @@ class RollupManager:
                 continue
             if mname not in requested and mname not in extras:
                 extras.append(mname)
-        if qm.order and "." not in qm.order and qm.order not in requested:
+        if (qm.order and "." not in qm.order and qm.order not in requested
+                and qm.order not in extras):
             try:
                 _measure_alias(self.cube, qm.order)
                 extras.append(qm.order)
@@ -349,7 +350,7 @@ class RollupManager:
         if (qm.children_of or qm.parent_of or qm.lastperiods
                 or qm.member_lags or qm.with_members or qm.with_sets
                 or qm.edge_child_of or qm.tail is not None
-                or qm.top_percent is not None):
+                or qm.top_percent is not None or qm.empty_set):
             return None
         try:
             names = self._measure_names(qm)

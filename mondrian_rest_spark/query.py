@@ -72,3 +72,8 @@ class QueryModel:
     # (member_path, last) — drilldown at the member's CHILD level plus
     # a cut to the edge child's key (dim-side bounded lookup)
     edge_child_of: list = field(default_factory=list)
+    # EXCEPT/INTERSECT set algebra that evaluated to the EMPTY member
+    # set (valid Mondrian result, not an error): the plan keeps the
+    # axis schema but slices to zero fact rows (always-false filter,
+    # folded by Catalyst to an empty relation — no scan)
+    empty_set: bool = False

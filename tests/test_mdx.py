@@ -1048,12 +1048,13 @@ def test_mdx_except_intersect(spark, sf_dir):
         "NON EMPTY [Line Status].[Line Status].Members ON ROWS "
         "FROM [Sales] WHERE ([Customer].[Nation].[&3])").collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in only3]
-    # empty results are a clear 400, not a silent empty axis
-    with pytest.raises(ParseError, match="empty member set"):
-        compile_mdx(
-            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
-            "EXCEPT({[Customer].[Nation].[&3]}, {[Customer].[Nation].[&3]}) "
-            "ON ROWS FROM [Sales]")
+    # empty results are a VALID zero-row axis (ADVICE r7: Mondrian
+    # returns an empty set, not an error)
+    qm_empty = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "EXCEPT({[Customer].[Nation].[&3]}, {[Customer].[Nation].[&3]}) "
+        "ON ROWS FROM [Sales]")
+    assert qm_empty.empty_set
     with pytest.raises(ParseError, match="share a level"):
         compile_mdx(
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
@@ -1209,8 +1210,12 @@ def test_mdx_qtd_and_toppercent(spark, sf_dir):
         "NON EMPTY [Customer].[Nation].Members ON ROWS "
         "FROM [Sales]").collect()
     total = sum(r[2] for r in full)
-    kept = sorted((r[2] for r in top), reverse=True)
+    kept = [r[2] for r in top]
     ordered = sorted((r[2] for r in full), reverse=True)
+    # Mondrian returns TopPercent sorted desc by the measure (ADVICE
+    # r7) — the axis itself must come back best-first, not just the
+    # same membership
+    assert kept == sorted(kept, reverse=True)
     assert sum(kept) >= 0.5 * total                     # reaches 50%
     assert sum(kept) - kept[-1] < 0.5 * total           # minimal prefix
     assert kept == ordered[:len(kept)]                  # best-first
@@ -1226,3 +1231,115 @@ def test_mdx_qtd_and_toppercent(spark, sf_dir):
         compile_mdx("SELECT {[Measures].[Revenue]} ON COLUMNS, "
                     "TOPPERCENT([Customer].[Nation].Members, 0, "
                     "[Measures].[Revenue]) ON ROWS FROM [Sales]")
+
+
+# --- nested set-function conflicts (ADVICE r7, medium) ---------------------
+# Set functions flatten into ONE axis-global QueryModel; a nesting the
+# planner's fixed stage order (filter -> top_percent -> order ->
+# offset/limit -> tail) cannot represent must 400, never silently
+# reorder (HEAD(TAIL(s, 5), 2) used to return the first 2 rows of the
+# WHOLE axis instead of the first 2 of the last 5).
+
+_NEST_BASE = ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+              "NON EMPTY %s ON ROWS FROM [Sales]")
+_NEST_SET = "[Customer].[Nation].Members"
+
+
+@pytest.mark.parametrize("axis", [
+    f"HEAD(TAIL({_NEST_SET}, 5), 2)",
+    f"SUBSET(TAIL({_NEST_SET}, 5), 1, 2)",
+    f"SUBSET(HEAD({_NEST_SET}, 3), 1, 5)",
+    f"ORDER(HEAD({_NEST_SET}, 5), [Measures].[Revenue], BDESC)",
+    f"TOPPERCENT(HEAD({_NEST_SET}, 5), 50, [Measures].[Revenue])",
+    f"TOPPERCENT(TOPPERCENT({_NEST_SET}, 80, [Measures].[Revenue]), "
+    "50, [Measures].[Revenue])",
+    f"TOPCOUNT(ORDER({_NEST_SET}, [Measures].[Revenue], BASC), 3, "
+    "[Measures].[Revenue])",
+    f"TOPCOUNT(HEAD({_NEST_SET}, 5), 3, [Measures].[Revenue])",
+    f"FILTER(HEAD({_NEST_SET}, 5), [Measures].[Revenue] > 0)",
+    f"FILTER(TOPPERCENT({_NEST_SET}, 50, [Measures].[Revenue]), "
+    "[Measures].[Revenue] > 0)",
+    f"HEAD(HEAD({_NEST_SET}, 5), 2)",
+    f"TAIL(TAIL({_NEST_SET}, 5), 2)",
+    f"ORDER(ORDER({_NEST_SET}, [Measures].[Revenue], BASC), "
+    "[Measures].[Quantity], BDESC)",
+    f"DISTINCT(HEAD({_NEST_SET}, 5))",
+])
+def test_nested_set_function_conflict_is_400(axis):
+    with pytest.raises(ParseError, match="cannot wrap"):
+        compile_mdx(_NEST_BASE % axis)
+
+
+@pytest.mark.parametrize("axis", [
+    f"TAIL(SUBSET({_NEST_SET}, 1, 5), 2)",
+    f"TAIL(HEAD({_NEST_SET}, 5), 2)",
+    f"SUBSET(ORDER({_NEST_SET}, [Measures].[Revenue], BDESC), 1, 3)",
+    f"HEAD(ORDER({_NEST_SET}, [Measures].[Revenue], BDESC), 3)",
+    f"ORDER(FILTER({_NEST_SET}, [Measures].[Revenue] > 0), "
+    "[Measures].[Revenue], BASC)",
+    f"ORDER(TOPPERCENT({_NEST_SET}, 50, [Measures].[Revenue]), "
+    "[Measures].[Revenue], BASC)",
+    f"TOPPERCENT(FILTER({_NEST_SET}, [Measures].[Revenue] > 0), 50, "
+    "[Measures].[Revenue])",
+    f"DISTINCT(ORDER({_NEST_SET}, [Measures].[Revenue], BASC))",
+    f"FILTER(ORDER({_NEST_SET}, [Measures].[Revenue], BASC), "
+    "[Measures].[Revenue] > 0)",
+])
+def test_stage_compatible_nesting_still_compiles(axis):
+    compile_mdx(_NEST_BASE % axis)
+
+
+def test_tail_over_head_takes_last_of_first(spark, sf_dir):
+    """TAIL(HEAD(s, 5), 2) = rows 4-5 of the hierarchical axis order —
+    the planner applies limit before tail, matching this nesting."""
+    full = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        _NEST_BASE % _NEST_SET).collect()
+    got = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        _NEST_BASE % f"TAIL(HEAD({_NEST_SET}, 5), 2)").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in full[3:5]]
+
+
+# --- empty set algebra (ADVICE r7) -----------------------------------------
+# EXCEPT/INTERSECT that evaluates to the empty member set is a VALID
+# result (Mondrian returns a zero-row axis), never a 400.
+
+def test_empty_except_axis_returns_zero_rows(spark, sf_dir):
+    df = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "EXCEPT({[Customer].[Region].[AMERICA]}, "
+        "{[Customer].[Region].[AMERICA]}) ON ROWS FROM [Sales]")
+    assert df.count() == 0
+    # schema still carries the drilled level + the measure
+    assert any(c.startswith("cust_region") for c in df.columns)
+
+
+def test_empty_intersect_axis_returns_zero_rows(spark, sf_dir):
+    df = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "INTERSECT({[Customer].[Region].[AMERICA]}, "
+        "{[Customer].[Region].[EUROPE]}) ON ROWS FROM [Sales]")
+    assert df.count() == 0
+
+
+def test_empty_set_slicer_aggregates_over_nothing(spark, sf_dir):
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS FROM [Sales] "
+        "WHERE (EXCEPT({[Customer].[Region].[AMERICA]}, "
+        "{[Customer].[Region].[AMERICA]}))").collect()
+    assert len(rows) == 1 and rows[0][0] is None
+
+
+def test_empty_set_round_trips_through_emit():
+    from mondrian_rest_spark.mdx import emit_mdx
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "EXCEPT({[Customer].[Region].[AMERICA]}, "
+        "{[Customer].[Region].[AMERICA]}) ON ROWS FROM [Sales]")
+    assert qm.empty_set and qm.drilldown == ["Customer.Region"]
+    back = compile_mdx(emit_mdx(tpch.CATALOG, qm))
+    assert back.empty_set and back.drilldown == qm.drilldown
