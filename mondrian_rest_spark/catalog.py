@@ -58,6 +58,18 @@ class Level:
     hide_member_if: str | None = None
     # schema annotations passthrough (reference mondrian_ext.rb:46-52)
     annotations: dict = field(default_factory=dict)
+    # Catalog declaration of key-order navigability (ADVICE r7 #3):
+    # True = this level's keys are GLOBALLY unique across all ancestor
+    # contexts (year keys; a date key); False = keys repeat under
+    # multiple parents (quarter 1-4 recurs every year) so key-order
+    # member navigation (LASTPERIODS/.Lag/.Lead) would silently
+    # aggregate across parents and is rejected; None = undeclared —
+    # the planner probes the data (one memoized fact-scan aggregate).
+    # At 100 TB the declaration removes the only remaining cold-path
+    # full fact scan.  (Note: "unique within the parent" would be the
+    # wrong predicate — Quarter is unique within its year yet still
+    # repeats across years.)
+    keys_globally_unique: bool | None = None
 
     def __post_init__(self) -> None:
         if self.hide_member_if not in (None, "if_blank_name", "if_parents_name"):
@@ -161,8 +173,14 @@ class Measure:
     result_cast: str | None = None
     annotations: dict = field(default_factory=dict)
 
+    # "hll_sketch" is internal-only: a Datasketches HLL sketch column
+    # (binary) that rollup layouts persist alongside the numeric
+    # measures so approx-distinct queries can be ROUTED — sketches are
+    # mergeable (union-of-sketches == sketch-of-union), which the
+    # plain approx_count_distinct ESTIMATE is not (plans/rollup.py)
     VALID_AGGS = ("sum", "count", "count_distinct", "approx_count_distinct",
-                  "avg", "min", "max", "median", "approx_median")
+                  "avg", "min", "max", "median", "approx_median",
+                  "hll_sketch")
 
     def __post_init__(self) -> None:
         if self.agg not in self.VALID_AGGS:
@@ -200,6 +218,15 @@ class CalculatedMember:
     run_of: str | None = None
     run_dim: str | None = None
     run_anchor: str | None = None
+    # Set-aggregate shape (Mondrian AGGREGATE/SUM/AVG/MIN/MAX/COUNT
+    # (<member set>, m) in WITH MEMBER): the measure named ``set_of``
+    # aggregated over fact rows matching the member-set cut string
+    # ``set_cut`` — compiled to a CONDITIONAL aggregate in the same
+    # groupBy as the other measures (one shuffle, no extra pass).
+    # ``set_fn`` is the aggregator ('aggregate' = the measure's own).
+    set_of: str | None = None
+    set_fn: str | None = None
+    set_cut: str | None = None
 
 
 @dataclass(frozen=True)

@@ -80,7 +80,8 @@ def _property(d: dict, where: str) -> Property:
 def _level(d: dict, where: str) -> Level:
     d = _take(d, f"level in {where}", ("name", "key"),
               ("key_alias", "caption", "caption_alias", "ordinal",
-               "properties", "hide_member_if", "annotations"))
+               "properties", "hide_member_if", "annotations",
+               "keys_globally_unique"))
     caption = d.get("caption")
     return Level(
         name=d["name"], key=d["key"],
@@ -92,7 +93,8 @@ def _level(d: dict, where: str) -> Level:
         properties=tuple(_property(p, f"level {d['name']!r}")
                          for p in d.get("properties", [])),
         hide_member_if=d.get("hide_member_if"),
-        annotations=d.get("annotations", {}))
+        annotations=d.get("annotations", {}),
+        keys_globally_unique=d.get("keys_globally_unique"))
 
 
 def _hierarchy(d: dict, where: str) -> Hierarchy:

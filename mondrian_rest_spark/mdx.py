@@ -1009,6 +1009,10 @@ def _emit_formula(tmpl: str) -> str:
     if ytd:
         return (f"SUM({ytd.group(1).upper()}(), "
                 f"[Measures].[{ytd.group(2)}])")
+    sa = re.fullmatch(r"\{setagg:([a-z]+):([^:]+):(.+)\}", tmpl, re.DOTALL)
+    if sa:
+        fn, name, cut = sa.groups()
+        return f"{fn.upper()}({cut}, [Measures].[{name}])"
     out = re.sub(r"\{m:([^}]+)\}",
                  lambda m: f"[Measures].[{m.group(1)}]", tmpl)
     # SQL spellings back to their MDX forms (inverse of _calc_tokens)
@@ -1074,10 +1078,12 @@ def emit_mdx(cat: Catalog, qm) -> str:
             axis = f"CROSSJOIN({s}, {axis})"
         if qm.distinct:
             axis = f"DISTINCT({axis})"
-        if qm.filter:
+        if qm.filter or getattr(qm, "filter_exprs", []):
             conds = " AND ".join(
-                f"[Measures].[{mf.measure}] {mf.op} {mf.value}"
-                for mf in map(parse_measure_filter, qm.filter))
+                [f"[Measures].[{mf.measure}] {mf.op} {mf.value}"
+                 for mf in map(parse_measure_filter, qm.filter)]
+                + [_emit_formula(t)
+                   for t in getattr(qm, "filter_exprs", [])])
             axis = f"FILTER({axis}, {conds})"
         if getattr(qm, "top_percent", None) is not None:
             pct, m, asc = qm.top_percent

@@ -165,12 +165,68 @@ def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
     return rate, channels, list(struct.unpack(f"<{n}h", data[:n * 2]))
 
 
+# SOF markers carrying frame dimensions: C0-CF minus DHT (C4),
+# JPG-reserved (C8) and DAC (CC) — covers baseline (C0), extended
+# sequential (C1), progressive (C2), lossless and arithmetic variants
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
+    """``(width, height, components)`` from a JPEG's SOF header via a
+    pure-stdlib marker walk (VERDICT r7 #5) — no entropy decode, no
+    codec: every conformant JPEG carries its dimensions in the first
+    SOFn segment before the scan data, so this is exact for baseline
+    AND progressive files while reading only the header bytes.
+    Raises ValueError when no SOF precedes the scan/EOI."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI marker)")
+    pos, n = 2, len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker stream at byte {pos}")
+        code = payload[pos + 1]
+        while code == 0xFF and pos + 2 < n:    # fill bytes
+            pos += 1
+            code = payload[pos + 1]
+        if code == 0x01 or 0xD0 <= code <= 0xD8:   # standalone markers
+            pos += 2
+            continue
+        if code == 0xD9:                           # EOI before any SOF
+            break
+        if pos + 4 > n:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        if code in _JPEG_SOF:
+            if pos + 10 > n:
+                raise ValueError("truncated JPEG SOF segment")
+            height, width = struct.unpack(">HH", payload[pos + 5:pos + 9])
+            ncomp = payload[pos + 9]
+            return width, height, ncomp
+        if code == 0xDA:   # SOS: entropy-coded data; SOF must precede
+            break
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOF header")
+
+
+def jpeg_header(width: int, height: int, channels: int = 3) -> bytes:
+    """Minimal structurally-valid JPEG header stream (SOI + SOF0 +
+    EOI) for tests — parsed by :func:`jpeg_dimensions` and by any
+    header-walking reader; carries no scan data by design."""
+    comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(channels))
+    sof = struct.pack(">BHHB", 8, height, width, channels) + comp
+    return (b"\xff\xd8\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+            + b"\xff\xd9")
+
+
 def sniff(payload: bytes) -> str:
-    """Cheap magic-byte format sniff: 'png' | 'wav' | 'unknown'."""
+    """Cheap magic-byte format sniff:
+    'png' | 'wav' | 'jpeg' | 'unknown'."""
     if payload is None:
         return "unknown"
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "unknown"

@@ -71,6 +71,11 @@ def _decode_features(payload: bytes) -> tuple[int, int, int, float | None]:
         mean = (sum(abs(s) for s in samples) / len(samples)
                 if samples else None)
         return 0, 0, ch, mean
+    if fmt == "jpeg":
+        # header-exact dims via the SOF marker walk (no entropy decode
+        # in this container — mean_px stays null, channels are real)
+        w, h, ch = media_codec.jpeg_dimensions(payload)
+        return w, h, ch, None
     w, h = _decode_image_stub(payload)
     return w, h, 0, None
 

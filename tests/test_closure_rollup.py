@@ -274,3 +274,77 @@ def test_rollup_router_ignores_other_cubes(spark, sf_dir):
     base = aggregate(spark, sf_dir, tpch.CATALOG, qm)
     assert sorted(map(tuple, routed.collect())) == \
         sorted(map(tuple, base.collect()))
+
+
+def test_rollup_routes_approx_distinct_via_hll_sketch(spark, sf_dir):
+    """VERDICT r7 #4: approx-declared distinct measures route through
+    persisted HLL sketches (mergeable: union-of-sketches ==
+    sketch-of-union); the routed estimate stays within the declared
+    tolerance of the exact distinct count.  Exact count_distinct still
+    refuses routing."""
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    r = mgr.register("nation_year", ("Customer.Nation", "Time.Year"))
+    # the layout persisted a sketch column next to the numeric measures
+    assert "approx_customer_count__hll" in r.frame.columns
+
+    qm = QueryModel(cube="Sales",
+                    measures=["Revenue", "Approx Customer Count"],
+                    drilldown=["Customer.Nation"])
+    routed, source = mgr.route(qm)
+    assert source == "nation_year"
+    exact = aggregate(spark, sf_dir, tpch.CATALOG, QueryModel(
+        cube="Sales", measures=["Customer Count"],
+        drilldown=["Customer.Nation"]))
+    got = {tuple(row)[:2]: row[-1] for row in routed.collect()}
+    want = {tuple(row)[:2]: row[-1] for row in exact.collect()}
+    assert got.keys() == want.keys()
+    for k, est in got.items():
+        # lgConfigK=14 -> ~0.8% rsd; 5% is the declared routing bound
+        assert abs(est - want[k]) <= max(2, 0.05 * want[k]), (k, est, want[k])
+
+    # exact distinct: never routed
+    _, source2 = mgr.route(QueryModel(
+        cube="Sales", measures=["Customer Count"],
+        drilldown=["Customer.Nation"]))
+    assert source2 == "base"
+
+    # a rollup registered BEFORE the cube had sketches (simulated by a
+    # frame without the sketch column) must not cover approx queries
+    import dataclasses as _dc
+    r_nosk = mgr.rollups[0]
+    stripped = _dc.replace(
+        r_nosk, name="stripped",
+        frame=r_nosk.frame.drop("approx_customer_count__hll"))
+    mgr2 = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr2.rollups.append(stripped)
+    _, src = mgr2.route(qm)
+    assert src == "base"
+
+
+def test_rollup_hll_sketch_survives_append(spark, sf_dir, tmp_path):
+    """Incremental append merges sketches with hll_union_agg — the
+    routed estimate over old+new facts matches a fresh base estimate
+    within tolerance."""
+    from mondrian_rest_spark.sources.registry import load_table
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("year_roll", ("Time.Year",),
+                 persist_path=str(tmp_path / "year_roll"))
+    fact = load_table(spark, sf_dir, "lineitem")
+    batch = fact.limit(500)
+    mgr.append(batch, batch_tag="b1")
+    qm = QueryModel(cube="Sales", measures=["Approx Customer Count"],
+                    drilldown=["Time.Year"])
+    routed, source = mgr.route(qm)
+    assert source == "year_roll"
+    got = {row[0]: row[-1] for row in routed.collect()}
+    # oracle: exact distinct over base+batch at the same grain
+    import pyspark.sql.functions as F
+    orders = load_table(spark, sf_dir, "orders")
+    both = fact.unionByName(batch).join(
+        orders, fact.l_orderkey == orders.o_orderkey)
+    want = {row[0]: row[1] for row in
+            (both.groupBy(F.year("l_shipdate").alias("y"))
+                 .agg(F.countDistinct("o_custkey").alias("c")).collect())}
+    assert got.keys() == want.keys()
+    for k, est in got.items():
+        assert abs(est - want[k]) <= max(2, 0.05 * want[k]), (k, est, want[k])

@@ -223,7 +223,25 @@ CALCS = {
             "[Measures].[Revenue] / [Measures].[Line Count], 0)",
             f"CASE WHEN ({REV}) / ({CNT}) > 50250 "
             f"THEN ({REV}) / ({CNT}) ELSE 0 END"),
+    # set-aggregate WITH MEMBER (r8): conditional fact-side aggregate;
+    # conflicts with any Time drill/cut (the engine 400s the context
+    # replacement), so the generator drops Time atoms/cuts for these
+    "setagg_years": (
+        "AGGREGATE({[Time].[Year].[1995],[Time].[Year].[1996]}, "
+        "[Measures].[Revenue])",
+        "CAST(SUM(CASE WHEN year(l.l_shipdate) IN (1995, 1996) THEN "
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) END) "
+        "AS DOUBLE)"),
+    "setagg_range_max": (
+        "MAX(([Time].[Year].[1996]:[Time].[Year].[1998]), "
+        "[Measures].[Quantity])",
+        "MAX(CASE WHEN year(l.l_shipdate) BETWEEN 1996 AND 1998 "
+        "THEN l_quantity END)"),
 }
+
+#: calcs that restrict a dimension — the generator must not also
+#: drill or slice it (engine raises a clear 400 on the conflict)
+CALC_DIM_CONFLICT = {"setagg_years": "Time", "setagg_range_max": "Time"}
 
 # measures usable in FILTER/ORDER/TOPCOUNT/WITH SET rankings
 RANK_MEASURES = ["Revenue", "Quantity", "Line Count", "Max Quantity"]
@@ -253,6 +271,12 @@ def mdx_specs(draw):
                          "Max Quantity", "Avg Discount", "Customer Count"]),
         min_size=1, max_size=3, unique=True))
     calc = draw(st.sampled_from([None] + sorted(CALCS)))
+    if calc in CALC_DIM_CONFLICT:
+        # a set-aggregate REPLACES its dimension's context — the
+        # engine 400s when the query also drills/slices it, so drop
+        # conflicting atoms (cuts are filtered below via cut_ok)
+        atoms = [a for a in atoms
+                 if ATOMS[a]["dim"] != CALC_DIM_CONFLICT[calc]]
 
     has_axis = bool(atoms) or with_set is not None
     # axis wrappers: FILTER -> ORDER -> SUBSET chain, or a whole-axis
@@ -269,10 +293,15 @@ def mdx_specs(draw):
                         draw(st.booleans()))
         else:
             if draw(st.booleans()):
+                # value is a literal, OR (k, measure) for the r8
+                # measure-arithmetic conditions ([A] > k * [B])
                 filt = draw(st.lists(
                     st.tuples(st.sampled_from(RANK_MEASURES),
                               st.sampled_from([">", ">=", "<", "<="]),
-                              st.sampled_from(FILTER_VALUES)),
+                              st.one_of(
+                                  st.sampled_from(FILTER_VALUES),
+                                  st.tuples(st.sampled_from([2, 100, 2000]),
+                                            st.sampled_from(RANK_MEASURES)))),
                     min_size=1, max_size=2))
             if draw(st.booleans()):
                 # order by a measure, or by a drilled member's Key
@@ -303,6 +332,9 @@ def mdx_specs(draw):
                 return False
         return True
     cuts = [c for c in cuts if cut_ok(c)]
+    if calc in CALC_DIM_CONFLICT:
+        cuts = [c for c in cuts
+                if SLICERS[c][2] != CALC_DIM_CONFLICT[calc]]
     seen_cd = set()
     cuts = [c for c in cuts
             if not (SLICERS[c][2] in seen_cd or seen_cd.add(SLICERS[c][2]))]
@@ -343,8 +375,11 @@ def build_mdx(spec) -> str:
             axis = f"{fn}({axis}, {pct}, [Measures].[{by}])"
         else:
             if spec["filt"]:
-                conds = " AND ".join(f"[Measures].[{m}] {op} {v}"
-                                     for m, op, v in spec["filt"])
+                conds = " AND ".join(
+                    f"[Measures].[{m}] {op} {v[0]} * [Measures].[{v[1]}]"
+                    if isinstance(v, tuple) else
+                    f"[Measures].[{m}] {op} {v}"
+                    for m, op, v in spec["filt"])
                 axis = f"FILTER({axis}, {conds})"
             if spec["order"]:
                 (okind, oref), desc = spec["order"]
@@ -431,6 +466,8 @@ def build_oracle_sql(spec) -> str:
     else:
         if spec["filt"]:
             sql += " HAVING " + " AND ".join(
+                f"{MEASURES[m][1]} {op} {v[0]} * {MEASURES[v[1]][1]}"
+                if isinstance(v, tuple) else
                 f"{MEASURES[m][1]} {op} {v}" for m, op, v in spec["filt"])
         if spec["order"]:
             (okind, oref), desc = spec["order"]

@@ -1343,3 +1343,189 @@ def test_empty_set_round_trips_through_emit():
     assert qm.empty_set and qm.drilldown == ["Customer.Region"]
     back = compile_mdx(emit_mdx(tpch.CATALOG, qm))
     assert back.empty_set and back.drilldown == qm.drilldown
+
+
+# --- measure-expression FILTER + set-aggregate WITH MEMBER (r8) ------------
+# The raw-MDX tail the reference executes via Mondrian
+# (api_helpers.rb:42-54): FILTER conditions over measure arithmetic,
+# and AGGREGATE/SUM/AVG/... set aggregates beyond YTD/QTD.
+
+def test_filter_measure_vs_measure(spark, sf_dir):
+    got = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Quantity]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Nation].Members, "
+        "[Measures].[Revenue] > 2100 * [Measures].[Quantity]) "
+        "ON ROWS FROM [Sales]").collect()
+    full = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Quantity]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].Members ON ROWS "
+        "FROM [Sales]").collect()
+    exp = [tuple(r) for r in full if r[2] > 2100 * r[3]]
+    assert 0 < len(got) < len(full)
+    assert [tuple(r) for r in got] == exp
+
+
+def test_filter_expr_arithmetic_and_legacy_mix(spark, sf_dir):
+    """Arithmetic conditions land in filter_exprs; measure-vs-literal
+    stays on the REST-compatible qm.filter path; AND mixes both."""
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Nation].Members, "
+        "[Measures].[Revenue] > 2100 * [Measures].[Quantity] "
+        "AND [Measures].[Line Count] > 100) ON ROWS FROM [Sales]")
+    assert qm.filter == ["Line Count > 100"]
+    assert qm.filter_exprs == ["{m:Revenue} > 2100 * {m:Quantity}"]
+    # hidden measures (not displayed) feed the condition
+    got = aggregate(spark, sf_dir, tpch.CATALOG, qm)
+    assert all(len(r) == 3 for r in got.collect())
+
+
+def test_filter_expr_unknown_measure_is_400():
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Nation].Members, "
+        "[Measures].[Nope] > 2 * [Measures].[Revenue]) "
+        "ON ROWS FROM [Sales]")
+    with pytest.raises(ParseError, match="unknown measure"):
+        aggregate(None, "/nonexistent", tpch.CATALOG, qm)
+
+
+def test_filter_expr_without_comparison_is_400():
+    with pytest.raises(ParseError, match="comparison"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY FILTER([Customer].[Nation].Members, "
+            "[Measures].[Revenue] + 1) ON ROWS FROM [Sales]")
+
+
+def test_set_aggregate_matches_manual_sum(spark, sf_dir):
+    got = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[Rev 95 96] AS "
+        "AGGREGATE({[Time].[Year].[1995],[Time].[Year].[1996]}, "
+        "[Measures].[Revenue]) "
+        "SELECT {[Measures].[Rev 95 96]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].Members ON ROWS "
+        "FROM [Sales]").collect()
+    # oracle: same grain, slicer-cut to the two years
+    cut = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].Members ON ROWS FROM [Sales] "
+        "WHERE ({[Time].[Year].[1995],[Time].[Year].[1996]})").collect()
+    exp = {(r[0], r[1]): r[2] for r in cut}
+    assert len(got) == 5
+    for r in got:
+        assert r[2] == pytest.approx(exp[(r[0], r[1])], rel=1e-12)
+
+
+def test_set_aggregate_range_and_avg_override(spark, sf_dir):
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[MaxQ 95 97] AS "
+        "MAX(([Time].[Year].[1995]:[Time].[Year].[1997]), "
+        "[Measures].[Quantity]) "
+        "SELECT {[Measures].[MaxQ 95 97]} ON COLUMNS FROM [Sales] "
+        ).collect()
+    cut = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Max Quantity]} ON COLUMNS FROM [Sales] "
+        "WHERE (([Time].[Year].[1995]:[Time].[Year].[1997]))").collect()
+    assert rows[0][0] == cut[0][0]
+
+
+def test_set_aggregate_context_conflict_is_400(spark, sf_dir):
+    # drilling the set's own dimension: Mondrian would REPLACE the
+    # context; a conditional aggregate can only intersect -> 400
+    with pytest.raises(ParseError, match="drills or slices"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "WITH MEMBER [Measures].[R] AS "
+            "AGGREGATE({[Time].[Year].[1995]}, [Measures].[Revenue]) "
+            "SELECT {[Measures].[R]} ON COLUMNS, "
+            "NON EMPTY [Time].[Year].Members ON ROWS FROM [Sales]"
+            ).collect()
+    with pytest.raises(ParseError, match="drills or slices"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "WITH MEMBER [Measures].[R] AS "
+            "AGGREGATE({[Time].[Year].[1995]}, [Measures].[Revenue]) "
+            "SELECT {[Measures].[R]} ON COLUMNS FROM [Sales] "
+            "WHERE ([Time].[Year].[1996])").collect()
+
+
+def test_set_aggregate_over_calc_member_is_400(spark, sf_dir):
+    with pytest.raises(ParseError, match="calculated member"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "WITH MEMBER [Measures].[R] AS "
+            "AGGREGATE({[Time].[Year].[1995]}, [Measures].[Avg Price]) "
+            "SELECT {[Measures].[R]} ON COLUMNS FROM [Sales]").collect()
+
+
+def test_set_aggregate_on_virtual_cube_is_400(spark, sf_dir):
+    with pytest.raises(ParseError, match="virtual"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "WITH MEMBER [Measures].[R] AS "
+            "AGGREGATE({[Time].[Year].[1995]}, [Measures].[Revenue]) "
+            "SELECT {[Measures].[R]} ON COLUMNS "
+            "FROM [Orders and Sales]").collect()
+
+
+def test_filter_expr_and_set_agg_round_trip():
+    from mondrian_rest_spark.mdx import emit_mdx
+    for mdx in [
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Nation].Members, "
+        "[Measures].[Revenue] > 2 * [Measures].[Quantity]) "
+        "ON ROWS FROM [Sales]",
+        "WITH MEMBER [Measures].[R] AS "
+        "AGGREGATE({[Time].[Year].[1995],[Time].[Year].[1996]}, "
+        "[Measures].[Revenue]) "
+        "SELECT {[Measures].[R]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].Members ON ROWS FROM [Sales]",
+    ]:
+        qm = compile_mdx(mdx)
+        back = compile_mdx(emit_mdx(tpch.CATALOG, qm))
+        assert back.filter_exprs == qm.filter_exprs
+        assert back.with_members == qm.with_members
+        assert back.drilldown == qm.drilldown
+
+
+def test_keys_globally_unique_declaration_skips_fact_probe():
+    """Catalog-declared navigability (ADVICE r7 #3): with
+    keys_globally_unique set, _degenerate_keys_repeat answers without
+    ANY Spark job — proven by passing spark=None (a probe would
+    crash immediately)."""
+    from mondrian_rest_spark.planner import _degenerate_keys_repeat
+    cube = tpch.SALES
+    dim = cube.dimension("Time")
+    hier = dim.default_hierarchy()
+    assert _degenerate_keys_repeat(
+        None, "/nope", cube, dim, hier, hier.level("Quarter")) is True
+    assert _degenerate_keys_repeat(
+        None, "/nope", cube, dim, hier, hier.level("Day")) is False
+    # top level short-circuits regardless of declaration
+    assert _degenerate_keys_repeat(
+        None, "/nope", cube, dim, hier, hier.level("Year")) is False
+
+
+def test_keys_repeat_probe_fallback_for_undeclared(spark, sf_dir):
+    """Undeclared levels still use the data-derived probe."""
+    import dataclasses
+    from mondrian_rest_spark.planner import (_degenerate_keys_repeat,
+                                             clear_named_set_cache)
+    cube = tpch.SALES
+    dim = cube.dimension("Time")
+    hier = dim.default_hierarchy()
+    q = hier.level("Quarter")
+    undeclared = dataclasses.replace(q, keys_globally_unique=None)
+    hier2 = dataclasses.replace(
+        hier, levels=tuple(undeclared if lv.name == "Quarter" else lv
+                           for lv in hier.levels))
+    clear_named_set_cache()
+    assert _degenerate_keys_repeat(
+        spark, sf_dir, cube, dim, hier2, undeclared) is True
