@@ -352,6 +352,111 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
                        source=source if qm.debug and rollup_manager
                        is not None else None)
 
+    # ---- corpus pipeline routes (VERDICT r7 #9) -------------------------
+    # The d/s/t operators exposed through the same HTTP surface as the
+    # OLAP API, so the pipeline composes with the cube endpoints (no
+    # reference analog — mondrian-rest has no corpus path).  Responses
+    # are LIMIT-bounded frames: these routes are for interactive
+    # inspection and small corpora; at 100 TB the same operators run as
+    # jobs writing parquet sinks, never collected through HTTP.
+    from .sources.registry import load_table
+
+    CORPUS_MAX_LIMIT = 10_000
+
+    def _corpus_limit(params) -> int:
+        n = _int(params, "limit")
+        if n is None:
+            n = 1_000
+        if not 0 < n <= CORPUS_MAX_LIMIT:
+            raise ParseError(
+                f"limit must be in 1..{CORPUS_MAX_LIMIT}, got {n}")
+        return n
+
+    def _float(params, key, default):
+        v = params.get(key)
+        if v is None or v == "":
+            return default
+        try:
+            return float(v)
+        except ValueError:
+            raise ParseError(f"{key} must be numeric, got {v!r}") from None
+
+    def _frame_json(df, limit: int):
+        rows = df.limit(limit + 1).collect()
+        truncated = len(rows) > limit
+        rows = rows[:limit]
+        return jsonify({
+            "columns": list(df.columns),
+            "data": [[(v.isoformat() if hasattr(v, "isoformat") else v)
+                      for v in row] for row in rows],
+            "returned": len(rows),
+            "truncated": truncated,
+        })
+
+    @app.get("/corpus/stats")
+    def corpus_stats():
+        # per-document text analysis over the documents table:
+        # metric = tokens | quality | language | fingerprint
+        from .operators import textstats
+        fns = {
+            "tokens": textstats.token_stats,
+            "quality": textstats.quality_score,
+            "language": textstats.language_id,
+            "fingerprint": textstats.fingerprint,
+        }
+        metric = request.args.get("metric", "quality")
+        if metric not in fns:
+            raise ParseError(
+                f"unknown metric {metric!r} (have {sorted(fns)})")
+        docs = load_table(get_spark(), sf_dir, "documents")
+        return _frame_json(fns[metric](docs), _corpus_limit(request.args))
+
+    @app.get("/corpus/dedup")
+    def corpus_dedup():
+        # duplicate discovery: method = exact | minhash | simhash;
+        # exact returns duplicate GROUPS, the near-dup methods return
+        # candidate-verified pairs
+        from .operators import dedup
+        method = request.args.get("method", "exact")
+        docs = load_table(get_spark(), sf_dir, "documents")
+        if method == "exact":
+            df = dedup.exact_duplicate_groups(docs)
+        elif method == "minhash":
+            df = dedup.neardup_minhash_lsh(
+                docs, threshold=_float(request.args, "threshold", 0.5))
+        elif method == "simhash":
+            mh = _int(request.args, "max_hamming")
+            df = dedup.neardup_simhash(
+                docs, max_hamming=3 if mh is None else mh)
+        else:
+            raise ParseError(
+                f"unknown dedup method {method!r} "
+                "(have ['exact', 'minhash', 'simhash'])")
+        return _frame_json(df, _corpus_limit(request.args))
+
+    @app.get("/corpus/similar")
+    def corpus_similar():
+        # top-k cosine neighbors of one embedding: method = brute | lsh
+        from .operators import similarity
+        vec_id = _int(request.args, "vec_id")
+        if vec_id is None:
+            raise ParseError("vec_id required")
+        k = _int(request.args, "k")
+        k = 10 if k is None else k
+        if not 0 < k <= 1_000:
+            raise ParseError(f"k must be in 1..1000, got {k}")
+        method = request.args.get("method", "brute")
+        emb = load_table(get_spark(), sf_dir, "embeddings")
+        if method == "brute":
+            df = similarity.cosine_topk(emb, query_vec_id=vec_id, k=k)
+        elif method == "lsh":
+            df = similarity.ann_topk_lsh(emb, query_vec_id=vec_id, k=k)
+        else:
+            raise ParseError(
+                f"unknown similarity method {method!r} "
+                "(have ['brute', 'lsh'])")
+        return _frame_json(df, _corpus_limit(request.args))
+
     @app.get("/flush")
     def flush():
         # reference api.rb:52-70: secret-gated cache invalidation

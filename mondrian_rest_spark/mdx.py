@@ -1079,8 +1079,11 @@ def emit_mdx(cat: Catalog, qm) -> str:
         if qm.distinct:
             axis = f"DISTINCT({axis})"
         if qm.filter or getattr(qm, "filter_exprs", []):
+            # parse_measure_filter returns SQL ops; '<>' is the MDX
+            # spelling the tokenizer re-reads ('!=' would not lex)
             conds = " AND ".join(
-                [f"[Measures].[{mf.measure}] {mf.op} {mf.value}"
+                [f"[Measures].[{mf.measure}] "
+                 f"{'<>' if mf.op == '!=' else mf.op} {mf.value}"
                  for mf in map(parse_measure_filter, qm.filter)]
                 + [_emit_formula(t)
                    for t in getattr(qm, "filter_exprs", [])])

@@ -5,8 +5,14 @@ compiles REST params to MDX for Mondrian to turn into SQL.  Here the
 same logical query compiles directly to a Spark DataFrame plan:
 
     fact ⋈ bridges ⋈ dims  →  cut filters  →  groupBy(levels).agg(measures)
-         →  [dense cross-join]  →  calc members  →  HAVING  →  order
-         →  offset/limit  →  final projection
+         →  [dense cross-join]  →  calc members  →  HAVING (incl.
+         measure-arithmetic filter_exprs)  →  distinct  →  top_percent
+         →  order  →  offset/limit  →  tail  →  final projection
+
+The post-aggregation stage order above is a CONTRACT: the MDX
+compiler's nested-set-function guard (mdx._guard_nesting) rejects any
+nesting this fixed order cannot represent, so every accepted query
+flattens without reordering surprises.
 
 Everything is declarative DataFrame API so Catalyst gets predicate
 pushdown, column pruning, join reordering and AQE for free (SURVEY §4).

@@ -1,0 +1,197 @@
+"""Rollup advisor: recommend covering aggregate-table grains from a
+query log (VERDICT r7 #6).
+
+The reference's AggName tables are hand-declared
+(foodmart.xml:128-160) and so are this engine's RollupManager grains —
+at 100 TB, picking the WRONG grains either burns storage on rollups
+nobody routes to or leaves the hottest queries on base-fact scans.
+This advisor closes the loop: feed it the QueryModels the API served
+(frequency-weighted), and it returns the grains to register, scored by
+routed-query weight x estimated base-scan savings.
+
+Pure driver-side Python over the catalog — no Spark job.  Cardinality
+estimates come from an optional ``level_cardinality`` map (production:
+fill it from table stats / approx_count_distinct probes); without it
+the advisor falls back to level-count as a monotone size proxy, which
+preserves the greedy ordering for star schemas whose finer levels
+dominate cardinality.
+
+Algorithm: classic greedy weighted set cover over candidate grains.
+
+1. Each routable query contributes its NEED — the (dimension, level)
+   set its drilldowns and cuts touch (mirrors RollupManager._choose's
+   covering test).  Queries the router can never route (calc members,
+   non-re-aggregable measures, WITH forms, dense axes) are dropped —
+   recommending a grain for them would be dead storage.
+2. Candidate grains = the distinct needs plus their closure under
+   pairwise union (bounded): merged grains cost more rows but cover
+   more queries — exactly the AggName trade-off.
+3. Greedily pick the candidate maximizing
+   ``covered_weight / est_rows`` until ``max_rollups`` grains are
+   chosen or no uncovered routable weight remains.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..catalog import Cube
+from ..parser import parse_cut, parse_drilldown
+from ..planner import _resolve_cut, _resolve_drill
+from ..query import QueryModel
+
+#: re-aggregable aggregators (mirrors rollup._REAGG minus the sketch
+#: companion, plus the sketch-routable approx distinct)
+_ROUTABLE_AGGS = {"sum", "count", "min", "max", "approx_count_distinct"}
+
+
+@dataclass
+class Recommendation:
+    """One advised rollup grain."""
+
+    grain: tuple[str, ...]            # drilldown specs for register()
+    covered_queries: int              # distinct log entries covered
+    covered_weight: int               # frequency-weighted coverage
+    est_rows: int | None              # grain cardinality estimate
+    score: float                      # covered_weight / est cost
+    sample: tuple = ()                # up to 3 covered need-sets
+
+
+@dataclass
+class _Need:
+    levels: frozenset
+    weight: int
+    specs: tuple[str, ...]
+
+
+def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
+    """(level-set, drilldown specs) a rollup must cover to answer qm,
+    or None when the router would refuse it regardless of grain
+    (mirrors RollupManager._choose)."""
+    if qm.cube != cube.name:
+        return None
+    if (qm.parents or qm.properties or qm.caption or not qm.nonempty
+            or qm.children_of or qm.parent_of or qm.lastperiods
+            or qm.member_lags or qm.with_members or qm.with_sets
+            or qm.edge_child_of or qm.tail is not None
+            or qm.top_percent is not None or getattr(qm, "empty_set", False)):
+        return None
+    names = list(qm.measures) or [cube.default_measure.name]
+    for n in names:
+        if cube.calc_member(n) is not None:
+            return None
+        try:
+            m = cube.measure(n)
+        except KeyError:
+            return None
+        if m.agg not in _ROUTABLE_AGGS:
+            return None
+    levels: set = set()
+    specs: list[str] = []
+    try:
+        for d in qm.drilldown:
+            rd = _resolve_drill(cube, parse_drilldown(d), False)
+            for lv in rd.group_levels:
+                if (rd.dimension.name, lv.name) not in levels:
+                    levels.add((rd.dimension.name, lv.name))
+                    specs.append(f"{rd.dimension.name}.{lv.name}")
+        for c in qm.cut:
+            rc = _resolve_cut(cube, parse_cut(c))
+            if rc.cut.kind == "named_set":
+                return None
+            if (rc.dimension.name, rc.level.name) not in levels:
+                levels.add((rc.dimension.name, rc.level.name))
+                specs.append(f"{rc.dimension.name}.{rc.level.name}")
+    except Exception:
+        return None   # unresolvable log entry: base path 400s it
+    if not levels:
+        return None   # grand totals route to ANY rollup; no new grain
+    return frozenset(levels), tuple(specs)
+
+
+def _est_rows(levels: frozenset,
+              level_cardinality: dict | None) -> int | None:
+    """Upper-bound grain cardinality: product of per-level member
+    counts (the standard independence estimate; real co-occurrence is
+    lower, which only makes a chosen grain cheaper than scored)."""
+    if not level_cardinality:
+        return None
+    rows = 1
+    for key in levels:
+        if key not in level_cardinality:
+            return None
+        rows *= max(int(level_cardinality[key]), 1)
+    return rows
+
+
+def recommend_rollups(cube: Cube, query_log: list[QueryModel],
+                      max_rollups: int = 3,
+                      level_cardinality: dict | None = None,
+                      max_grain_levels: int = 8,
+                      base_rows: int | None = None,
+                      ) -> list[Recommendation]:
+    """Advise up to ``max_rollups`` grains for ``cube`` from a log of
+    served QueryModels.
+
+    ``level_cardinality``: optional {(dim_name, level_name): members}
+    map for real row estimates; ``base_rows`` (fact row count) caps
+    the usefulness score — a grain estimated near fact size saves
+    nothing and is skipped.  Ties in score break toward FEWER levels
+    (cheaper to maintain) then lexical grain order (deterministic).
+    """
+    # collapse identical needs, weighting by log frequency
+    by_need: dict[frozenset, _Need] = {}
+    for qm in query_log:
+        got = _query_need(cube, qm)
+        if got is None:
+            continue
+        levels, specs = got
+        n = by_need.get(levels)
+        if n is None:
+            by_need[levels] = _Need(levels, 1, specs)
+        else:
+            n.weight += 1
+    if not by_need:
+        return []
+
+    # candidates: every distinct need + bounded pairwise unions
+    cands: dict[frozenset, tuple[str, ...]] = {}
+    needs = list(by_need.values())
+    for n in needs:
+        cands.setdefault(n.levels, n.specs)
+    for i, a in enumerate(needs):
+        for b in needs[i + 1:]:
+            merged = a.levels | b.levels
+            if len(merged) <= max_grain_levels and merged not in cands:
+                extra = tuple(s for s in b.specs if s not in a.specs)
+                cands[merged] = a.specs + extra
+
+    uncovered = {n.levels: n for n in needs}
+    out: list[Recommendation] = []
+    while uncovered and len(out) < max_rollups:
+        best = None
+        for levels, specs in sorted(
+                cands.items(), key=lambda kv: (len(kv[0]), kv[1])):
+            covered = [n for n in uncovered.values() if n.levels <= levels]
+            if not covered:
+                continue
+            weight = sum(n.weight for n in covered)
+            rows = _est_rows(levels, level_cardinality)
+            if rows is not None and base_rows is not None \
+                    and rows >= base_rows:
+                continue   # no scan saving: grain ~ fact size
+            cost = rows if rows is not None else len(levels)
+            score = weight / max(cost, 1)
+            key = (score, -len(levels))
+            if best is None or key > best[0]:
+                best = (key, levels, specs, covered, weight, rows, score)
+        if best is None:
+            break
+        _, levels, specs, covered, weight, rows, score = best
+        out.append(Recommendation(
+            grain=specs, covered_queries=len(covered),
+            covered_weight=weight, est_rows=rows, score=score,
+            sample=tuple(sorted(n.levels)[:3] for n in covered[:3])))
+        for n in covered:
+            uncovered.pop(n.levels, None)
+    return out

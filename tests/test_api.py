@@ -651,3 +651,74 @@ def test_random_aggregate_params_never_500(client, params):
     r = client.get("/cubes/Sales/aggregate", query_string=params)
     assert r.status_code in (200, 400, 404), \
         (r.status_code, params, r.get_data(as_text=True)[:300])
+
+
+# --- corpus pipeline routes (VERDICT r7 #9) --------------------------------
+
+def test_corpus_stats_routes(client, spark, sf_dir):
+    r = client.get("/corpus/stats?metric=quality&limit=5")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["returned"] == 5 and body["truncated"] is True
+    assert "doc_id" in body["columns"] and "quality" in body["columns"]
+    # values match the library operator exactly (golden parity)
+    from mondrian_rest_spark.operators import textstats
+    from mondrian_rest_spark.sources.registry import load_table
+    lib = textstats.quality_score(
+        load_table(spark, sf_dir, "documents")).limit(5).collect()
+    assert body["data"] == [[v for v in row] for row in lib]
+
+    for metric in ("tokens", "language", "fingerprint"):
+        r = client.get(f"/corpus/stats?metric={metric}&limit=3")
+        assert r.status_code == 200, metric
+        assert r.get_json()["returned"] == 3
+
+    assert client.get("/corpus/stats?metric=nope").status_code == 400
+    assert client.get("/corpus/stats?limit=0").status_code == 400
+    assert client.get("/corpus/stats?limit=999999").status_code == 400
+    assert client.get("/corpus/stats?limit=x").status_code == 400
+
+
+def test_corpus_dedup_routes(client, spark, sf_dir):
+    r = client.get("/corpus/dedup?method=exact&limit=100")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert {"content_hash", "keep_id", "dup_count"} <= set(body["columns"])
+    from mondrian_rest_spark.operators import dedup
+    from mondrian_rest_spark.sources.registry import load_table
+    lib = dedup.exact_duplicate_groups(
+        load_table(spark, sf_dir, "documents")).count()
+    assert body["returned"] == min(lib, 100)
+
+    r2 = client.get("/corpus/dedup?method=minhash&threshold=0.5&limit=500")
+    assert r2.status_code == 200
+    lib2 = dedup.neardup_minhash_lsh(
+        load_table(spark, sf_dir, "documents"), threshold=0.5).count()
+    assert r2.get_json()["returned"] == min(lib2, 500)
+
+    r3 = client.get("/corpus/dedup?method=simhash&max_hamming=3&limit=500")
+    assert r3.status_code == 200
+
+    assert client.get("/corpus/dedup?method=nope").status_code == 400
+    assert client.get(
+        "/corpus/dedup?method=minhash&threshold=x").status_code == 400
+
+
+def test_corpus_similar_routes(client, spark, sf_dir):
+    r = client.get("/corpus/similar?vec_id=7&k=5")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["returned"] == 5
+    from mondrian_rest_spark.operators import similarity
+    from mondrian_rest_spark.sources.registry import load_table
+    lib = similarity.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), query_vec_id=7,
+        k=5).collect()
+    got_ids = [row[body["columns"].index("vec_id")] for row in body["data"]]
+    assert got_ids == [r2["vec_id"] for r2 in lib]
+
+    assert client.get("/corpus/similar?vec_id=7&method=lsh&k=5"
+                      ).status_code == 200
+    assert client.get("/corpus/similar").status_code == 400
+    assert client.get("/corpus/similar?vec_id=7&k=0").status_code == 400
+    assert client.get("/corpus/similar?vec_id=7&method=x").status_code == 400

@@ -348,3 +348,66 @@ def test_rollup_hll_sketch_survives_append(spark, sf_dir, tmp_path):
     assert got.keys() == want.keys()
     for k, est in got.items():
         assert abs(est - want[k]) <= max(2, 0.05 * want[k]), (k, est, want[k])
+
+
+def test_rollup_advisor_synthetic_log():
+    """VERDICT r7 #6: the advisor recommends covering grains from a
+    frequency-weighted query log, skips unroutable queries, and its
+    top grain actually routes the hot queries when registered."""
+    from mondrian_rest_spark.plans.advisor import recommend_rollups
+
+    hot = QueryModel(cube="Sales", measures=["Revenue"],
+                     drilldown=["Customer.Nation"],
+                     cut=["[Time].[Year].[1996]"])
+    warm = QueryModel(cube="Sales", measures=["Revenue", "Line Count"],
+                      drilldown=["Customer.Nation", "Time.Year"])
+    cold = QueryModel(cube="Sales", measures=["Quantity"],
+                      drilldown=["Part.Brand"])
+    unroutable = [
+        QueryModel(cube="Sales", measures=["Customer Count"],   # exact dc
+                   drilldown=["Customer.Nation"]),
+        QueryModel(cube="Sales", measures=["Avg Price"],        # calc
+                   drilldown=["Customer.Nation"]),
+        QueryModel(cube="Sales", measures=["Revenue"],          # dense
+                   drilldown=["Customer.Nation"], nonempty=False),
+        QueryModel(cube="Orders", measures=["Order Count"],     # other cube
+                   drilldown=["Customer.Nation"]),
+    ]
+    log = [hot] * 10 + [warm] * 4 + [cold] * 1 + unroutable * 5
+    recs = recommend_rollups(tpch.SALES, log, max_rollups=2)
+    assert recs, "advisor returned nothing"
+    # hot+warm share the (Nation, Year) need-union; it must come first
+    top = recs[0]
+    assert set(top.grain) == {"Customer.Nation", "Time.Year"}
+    assert top.covered_weight == 14
+    assert recs[1].grain == ("Part.Brand",)
+    assert recs[1].covered_weight == 1
+
+    # cardinality-aware scoring: a grain estimated at fact size is
+    # skipped entirely
+    card = {("Customer", "Nation"): 25, ("Time", "Year"): 7,
+            ("Part", "Brand"): 25}
+    recs2 = recommend_rollups(tpch.SALES, log, max_rollups=2,
+                              level_cardinality=card, base_rows=100_000)
+    assert set(recs2[0].grain) == {"Customer.Nation", "Time.Year"}
+    assert recs2[0].est_rows == 175
+    recs3 = recommend_rollups(tpch.SALES, log, level_cardinality=card,
+                              base_rows=20)   # everything ~ fact size
+    assert recs3 == []
+
+
+def test_rollup_advisor_grains_register_and_route(spark, sf_dir):
+    """End-to-end: registering the advised grain routes the hot query."""
+    from mondrian_rest_spark.plans.advisor import recommend_rollups
+
+    hot = QueryModel(cube="Sales", measures=["Revenue"],
+                     drilldown=["Customer.Nation"],
+                     cut=["[Time].[Year].[1996]"])
+    recs = recommend_rollups(tpch.SALES, [hot] * 5)
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("advised", recs[0].grain)
+    routed, source = mgr.route(hot)
+    assert source == "advised"
+    base = aggregate(spark, sf_dir, tpch.CATALOG, hot)
+    assert sorted(map(tuple, routed.collect())) == \
+        sorted(map(tuple, base.collect()))
