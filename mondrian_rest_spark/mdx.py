@@ -290,25 +290,82 @@ _SIMPLE_COND_RE = re.compile(
     r"\{m:([^}]+)\} (>=|<=|!=|>|<|=) (-?\d+(?:\.\d+)?)")
 
 
-def _filter_condition(p: _P, q: MdxQuery) -> None:
-    """One FILTER condition: any comparison over measure arithmetic
-    (the most common hand-written Mondrian idiom is
-    ``[Measures].[A] > [Measures].[B]``, reference api_helpers.rb:42-54
-    executes it via Mondrian).  The legacy measure-vs-literal form
-    keeps compiling to the REST-equivalent ``qm.filter`` string (so
-    rollup routing and the /aggregate round-trip see it unchanged);
-    everything else becomes an expression template in
-    ``qm.filter_exprs``, resolved to post-agg aliases at plan time."""
-    tmpl = _calc_tokens(p, stop_words=("AND", "ON"))
+def _filter_boolean(p: _P, q: MdxQuery) -> None:
+    """The FILTER condition: ``cmp (AND cmp)* (OR cmp (AND cmp)*)*``
+    with Mondrian's (= SQL's) AND-binds-tighter precedence.  A pure
+    conjunction splits into independent HAVING entries; any OR keeps
+    the whole disjunct chain as ONE expression template, so
+    ``A AND B OR C`` compiles as ``(A AND B) OR C``, never
+    ``A AND (B OR C)``."""
+    groups = [_and_chain(p)]
+    while p.peek_upper() == "OR":
+        p.next()
+        groups.append(_and_chain(p))
+    if len(groups) == 1:
+        for tmpl in groups[0]:
+            _classify_condition(q, tmpl)
+        return
+    disj = " or ".join(
+        "( " + " and ".join(g) + " )" if len(g) > 1 else g[0]
+        for g in groups)
+    q.qm_kwargs["filter_exprs"].append(disj)
+
+
+def _and_chain(p: _P) -> list[str]:
+    out = [_bool_primary(p)]
+    while p.peek_upper() == "AND":
+        p.next()
+        out.append(_bool_primary(p))
+    return out
+
+
+def _bool_primary(p: _P) -> str:
+    """A comparison, or a PARENTHESIZED boolean group — tried as a
+    nested AND/OR chain first so the debug echo's own output re-lexes;
+    on failure the parens are re-read as arithmetic grouping
+    (``([Measures].[A] + 1) > 2``)."""
+    if p.peek() == "(":
+        save = p.pos
+        p.next()
+        try:
+            inner = [_and_chain(p)]
+            while p.peek_upper() == "OR":
+                p.next()
+                inner.append(_and_chain(p))
+            p.expect(")")
+            if len(inner) == 1 and len(inner[0]) == 1:
+                return "( " + inner[0][0] + " )"
+            return "( " + " or ".join(
+                " and ".join(g) for g in inner) + " )"
+        except ParseError:
+            p.pos = save
+    return _one_condition(p)
+
+
+def _one_condition(p: _P) -> str:
+    """One comparison over measure arithmetic (the most common
+    hand-written Mondrian idiom is ``[Measures].[A] > [Measures].[B]``,
+    reference api_helpers.rb:42-54 executes it via Mondrian)."""
+    tmpl = _calc_tokens(p, stop_words=("AND", "OR", "ON"))
+    if not _SIMPLE_COND_RE.fullmatch(tmpl) and not re.search(
+            r"(^|\s)(>=|<=|!=|>|<|=)(\s|$)", tmpl):
+        raise ParseError(
+            f"FILTER condition must be a comparison, got {tmpl!r}")
+    return tmpl
+
+
+def _classify_condition(q: MdxQuery, tmpl: str) -> None:
+    """Legacy measure-vs-literal conditions keep compiling to the
+    REST-equivalent ``qm.filter`` string (so rollup routing and the
+    /aggregate round-trip see them unchanged); everything else becomes
+    an expression template in ``qm.filter_exprs``, resolved to
+    post-agg aliases at plan time."""
     m = _SIMPLE_COND_RE.fullmatch(tmpl)
     if m:
         op = "<>" if m.group(2) == "!=" else m.group(2)
         q.qm_kwargs["filter"].append(f"{m.group(1)} {op} {m.group(3)}")
-        return
-    if not re.search(r"(^|\s)(>=|<=|!=|>|<|=)(\s|$)", tmpl):
-        raise ParseError(
-            f"FILTER condition must be a comparison, got {tmpl!r}")
-    q.qm_kwargs["filter_exprs"].append(tmpl)
+    else:
+        q.qm_kwargs["filter_exprs"].append(tmpl)
 
 
 def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
@@ -380,12 +437,7 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             _axis_expr(p, q)
             _guard_nesting(t, q.qm_kwargs, _NESTING_CONFLICTS[t])
             p.expect(",")
-            while True:
-                _filter_condition(p, q)
-                if p.peek_upper() == "AND":
-                    p.next()
-                    continue
-                break
+            _filter_boolean(p, q)
         elif t == "TOPCOUNT":
             sub = MdxQuery()
             _axis_expr(p, sub)

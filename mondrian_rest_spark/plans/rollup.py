@@ -358,7 +358,9 @@ class RollupManager:
                 extras.append(mname)
         for tmpl in qm.filter_exprs:
             for ref in _tmpl_refs(tmpl):
-                _ref_alias(self.cube, ref)   # unknown -> KeyError-like 400
+                # unknown measure -> ParseError here; the base path
+                # raises the same 400, so routing stays transparent
+                _ref_alias(self.cube, ref)
                 if ref not in requested and ref not in extras:
                     extras.append(ref)
         if (qm.order and "." not in qm.order and qm.order not in requested

@@ -303,6 +303,10 @@ def mdx_specs(draw):
                                   st.tuples(st.sampled_from([2, 100, 2000]),
                                             st.sampled_from(RANK_MEASURES)))),
                     min_size=1, max_size=2))
+                # r8: sometimes join the two conditions with OR instead
+                # of AND (one expression template; SQL precedence)
+                if len(filt) == 2 and draw(st.booleans()):
+                    filt = ("or", filt)
             if draw(st.booleans()):
                 # order by a measure, or by a drilled member's Key
                 keys = [("measure", m) for m in RANK_MEASURES]
@@ -375,11 +379,14 @@ def build_mdx(spec) -> str:
             axis = f"{fn}({axis}, {pct}, [Measures].[{by}])"
         else:
             if spec["filt"]:
-                conds = " AND ".join(
+                filt, joiner = spec["filt"], " AND "
+                if isinstance(filt, tuple) and filt[0] == "or":
+                    filt, joiner = filt[1], " OR "
+                conds = joiner.join(
                     f"[Measures].[{m}] {op} {v[0]} * [Measures].[{v[1]}]"
                     if isinstance(v, tuple) else
                     f"[Measures].[{m}] {op} {v}"
-                    for m, op, v in spec["filt"])
+                    for m, op, v in filt)
                 axis = f"FILTER({axis}, {conds})"
             if spec["order"]:
                 (okind, oref), desc = spec["order"]
@@ -465,10 +472,13 @@ def build_oracle_sql(spec) -> str:
         limit = (0, n)
     else:
         if spec["filt"]:
-            sql += " HAVING " + " AND ".join(
+            filt, joiner = spec["filt"], " AND "
+            if isinstance(filt, tuple) and filt[0] == "or":
+                filt, joiner = filt[1], " OR "
+            sql += " HAVING " + joiner.join(
                 f"{MEASURES[m][1]} {op} {v[0]} * {MEASURES[v[1]][1]}"
                 if isinstance(v, tuple) else
-                f"{MEASURES[m][1]} {op} {v}" for m, op, v in spec["filt"])
+                f"{MEASURES[m][1]} {op} {v}" for m, op, v in filt)
         if spec["order"]:
             (okind, oref), desc = spec["order"]
             if okind == "measure":

@@ -1529,3 +1529,49 @@ def test_keys_repeat_probe_fallback_for_undeclared(spark, sf_dir):
     clear_named_set_cache()
     assert _degenerate_keys_repeat(
         spark, sf_dir, cube, dim, hier2, undeclared) is True
+
+
+def test_filter_or_precedence_and_groups(spark, sf_dir):
+    """FILTER boolean surface (r8): AND binds tighter than OR
+    (Mondrian == SQL), explicit parens regroup, and the debug echo of
+    an OR condition re-compiles to the same plan."""
+    from mondrian_rest_spark.mdx import emit_mdx
+    full = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Quantity], "
+        "[Measures].[Line Count]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].Members ON ROWS FROM [Sales]"
+        ).collect()
+
+    mdx = ("SELECT {[Measures].[Revenue], [Measures].[Quantity], "
+           "[Measures].[Line Count]} ON COLUMNS, "
+           "NON EMPTY FILTER([Customer].[Nation].Members, "
+           "[Measures].[Revenue] > 20000000 AND [Measures].[Quantity] > 1 "
+           "OR [Measures].[Line Count] < 200) ON ROWS FROM [Sales]")
+    got = execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
+    exp = [tuple(r) for r in full
+           if (r[2] > 20000000 and r[3] > 1) or r[4] < 200]
+    assert [tuple(r) for r in got] == exp
+
+    qm = compile_mdx(mdx)
+    back = compile_mdx(emit_mdx(tpch.CATALOG, qm))
+    assert back.filter_exprs == qm.filter_exprs
+
+    # explicit parens regroup: A AND (B OR C) splits A to the legacy
+    # filter path, keeps the group as one template
+    qm2 = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Nation].Members, "
+        "[Measures].[Revenue] > 20000000 AND "
+        "([Measures].[Quantity] > 35000 OR [Measures].[Line Count] < 200))"
+        " ON ROWS FROM [Sales]")
+    assert qm2.filter == ["Revenue > 20000000"]
+    assert qm2.filter_exprs == \
+        ["( {m:Quantity} > 35000 or {m:Line Count} < 200 )"]
+
+    # arithmetic parens are NOT swallowed by the boolean-group try
+    qm3 = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Nation].Members, "
+        "([Measures].[Revenue] + 1) > 2) ON ROWS FROM [Sales]")
+    assert qm3.filter_exprs == ["( {m:Revenue} + 1 ) > 2"]
