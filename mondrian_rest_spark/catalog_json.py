@@ -139,6 +139,14 @@ def _measure(d: dict, cube: str) -> Measure:
     d = _take(d, f"measure in cube {cube!r}", ("name", "agg", "expr"),
               ("alias", "bridge", "format_string", "result_cast",
                "annotations"))
+    if d.get("agg") == "hll_sketch":
+        # internal-only aggregator (rollup layouts persist it next to
+        # approx_count_distinct measures); a user-declared sketch
+        # measure would put raw binary sketches in query results
+        raise CatalogError(
+            f"measure {d.get('name')!r}: 'hll_sketch' is internal; "
+            "declare 'approx_count_distinct' and let rollup layouts "
+            "manage the sketch columns")
     try:
         return Measure(
             name=d["name"], alias=d.get("alias") or _slug(d["name"]),

@@ -9,7 +9,9 @@ build_query emits, which covers every query the REST layer can express:
 
     [WITH [MEMBER [Measures].[X] AS <arith over [Measures] refs>
                                    | ([Measures].[M], PARALLELPERIOD([D].[L][, n]))
-                                   | SUM(YTD()|QTD(), [Measures].[M])]
+                                   | SUM(YTD()|QTD(), [Measures].[M])
+                                   | AGGREGATE|SUM|AVG|MIN|MAX|COUNT(
+                                         <member|{set}|range>, [Measures].[M])]
           [SET [Name] AS TOPCOUNT|BOTTOMCOUNT([D].[L].Members, n,
                                               [Measures].[M])] ...]
     SELECT {[Measures].[X], ...} ON COLUMNS,
@@ -21,7 +23,11 @@ build_query emits, which covers every query the REST layer can express:
     axis' := DISTINCT(axis') | SUBSET(axis', o[, l])
            | HEAD(axis'[, n]) | TAIL(axis'[, n])
            | ORDER(axis', [Measures].[M], BASC|BDESC)
-           | FILTER(axis', <cond> [AND <cond>]...)
+           | FILTER(axis', <bool>)     bool := cmp | bool AND|OR bool
+                                            | (bool)   [AND > OR]
+                                       cmp  := <arith cmp over measures
+                                               and literals>, e.g.
+                                               [Measures].[A] > 2*[Measures].[B]
            | TOPCOUNT(axis', n, [Measures].[M])
            | TOPPERCENT|BOTTOMPERCENT(axis', pct, [Measures].[M])
            | CROSSJOIN(axis', axis') | NONEMPTYCROSSJOIN(axis', axis')

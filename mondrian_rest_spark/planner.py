@@ -35,6 +35,7 @@ Scale design notes:
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass
 from functools import reduce
@@ -170,6 +171,62 @@ def _cut_predicate(rc: ResolvedCut):
 # ---------------------------------------------------------------------------
 
 _TABLE_COLS_CACHE: dict = {}
+_TABLE_BYTES_CACHE: dict = {}
+
+
+def _disk_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _broadcast_threshold(spark: SparkSession) -> int:
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                             "10485760")).strip().lower()
+    m = re.fullmatch(r"(-?\d+)\s*(b|k|kb|m|mb|g|gb)?", raw)
+    if not m:
+        return 10 * 1024 * 1024
+    mult = {"k": 1024, "kb": 1024, "m": 1024**2, "mb": 1024**2,
+            "g": 1024**3, "gb": 1024**3}.get(m.group(2) or "b", 1)
+    return int(m.group(1)) * mult
+
+
+def _chain_broadcastable(spark: SparkSession, sf_dir: str, dim) -> bool:
+    """FK-integrity static broadcast hint (the q20 idle-bench finding,
+    r8): Catalyst estimates a JOINED snowflake subtree by multiplying
+    child sizes, so a chain like customer⋈nation⋈region blows past the
+    broadcast threshold and plans a sort-merge join — AQE converts it
+    back at runtime, but only AFTER the fact side has been shuffled.
+    The catalog knows what Catalyst cannot: FK integrity bounds the
+    joined frame's rows by the ROOT table, so the chain's total
+    on-disk bytes is a sound size proxy.  When that total is under the
+    session broadcast threshold, hint the broadcast statically and the
+    fact-side Exchange never exists.  Self-scaling: at 100 TB the same
+    dim's files exceed the threshold and the plan stays sort-merge.
+    File sizes are memoized; clear_named_set_cache() drops them."""
+    thr = _broadcast_threshold(spark)
+    if thr <= 0 or not dim.tables:
+        return False
+    total = 0
+    for table, _, _ in dim.tables:
+        key = (sf_dir, table)
+        if key not in _TABLE_BYTES_CACHE:
+            size = None
+            for ext in ("parquet", "csv", "json", "orc"):
+                p = os.path.join(sf_dir, f"{table}.{ext}")
+                if os.path.exists(p):
+                    size = _disk_bytes(p)
+                    break
+            _TABLE_BYTES_CACHE[key] = size
+        size = _TABLE_BYTES_CACHE[key]
+        if size is None:
+            return False   # non-local layout (e.g. bucketed db): no hint
+        total += size
+    return total < thr
 
 
 def _table_columns(spark: SparkSession, sf_dir: str, table: str) -> list[str]:
@@ -979,7 +1036,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         else:
             dsel = _dim_select(spark, sf_dir, dim, level_list,
                                needed_props.get(dname, []), caption_overrides)
-            if dim.broadcastable:
+            if dim.broadcastable or _chain_broadcastable(spark, sf_dir, dim):
                 dsel = F.broadcast(dsel)
             base = base.join(dsel, F.col(dim.fact_fk) == F.col(dim.dim_pk), "inner")
             if dim.dim_pk not in _all_aliases(level_list):
@@ -1421,6 +1478,7 @@ def clear_named_set_cache() -> None:
     _NAMED_SET_KEYS.clear()
     _LASTPERIODS_KEYS.clear()
     _LEVEL_REPEATS.clear()
+    _TABLE_BYTES_CACHE.clear()
 
 
 def _degenerate_keys_repeat(spark: SparkSession, sf_dir: str, cube: Cube,

@@ -146,3 +146,23 @@ def test_json_catalog_validation_errors(spark, sf_dir):
     bad["cubes"][0]["fact"] = "no_such_table"
     with pytest.raises(CatalogError, match="no_such_table"):
         validate_catalog(spark, sf_dir, catalog_from_json(bad))
+
+
+def test_json_catalog_rejects_internal_hll_sketch_agg():
+    """'hll_sketch' is the rollup layout's internal companion of
+    approx_count_distinct — a user-declared sketch measure would put
+    raw binary sketches in query results, so binding rejects it."""
+    import copy
+    import json
+
+    import pytest
+
+    from mondrian_rest_spark.catalog_json import CatalogError, catalog_from_json
+
+    with open("/root/repo/catalogs/corpus.json") as f:
+        doc = json.load(f)
+    bad = copy.deepcopy(doc)
+    bad["cubes"][0]["measures"].append(
+        {"name": "Sketch", "agg": "hll_sketch", "expr": "doc_id"})
+    with pytest.raises(CatalogError, match="internal"):
+        catalog_from_json(json.dumps(bad))

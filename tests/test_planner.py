@@ -255,3 +255,44 @@ def test_distinct_count_non_additive(spark, sf_dir, duck):
                        "JOIN orders ON l_orderkey=o_orderkey").fetchone()[0]
     assert total == exp
     assert sum(r.customer_count for r in rows) >= total
+
+
+def test_small_snowflake_chain_is_statically_broadcast(spark, sf_dir):
+    """FK-integrity broadcast hint (r8 idle-bench finding): Catalyst's
+    join-size estimate for customer⋈nation⋈region exceeds the
+    broadcast threshold, planning a sort-merge join whose fact-side
+    shuffle AQE cannot un-run.  The catalog knows FK integrity bounds
+    the joined frame by the root table, so when the chain's files fit
+    the threshold the broadcast is hinted STATICALLY — no SMJ, no
+    fact-side Exchange.  At 100 TB the same files exceed the threshold
+    and the hint self-disables."""
+    import dataclasses
+    from mondrian_rest_spark.planner import (_chain_broadcastable,
+                                             _TABLE_BYTES_CACHE,
+                                             clear_named_set_cache)
+    qm = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Customer.Customer"],
+                    cut=["[Customer].[Region].[&2]"],
+                    properties=["Customer.Customer.Market Segment"])
+    plan = aggregate(spark, sf_dir, tpch.CATALOG, qm)._jdf \
+        .queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    assert "SortMergeJoin" not in plan
+    # self-scaling: a tiny threshold (simulating 100 TB dim files)
+    # disables the hint
+    cube = tpch.SALES
+    dim = cube.dimension("Customer")
+    clear_named_set_cache()
+    assert _chain_broadcastable(spark, sf_dir, dim) is True
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        assert _chain_broadcastable(spark, sf_dir, dim) is False
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert _chain_broadcastable(spark, sf_dir, dim) is False
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # degenerate dims (no tables) never hint
+    assert _chain_broadcastable(
+        spark, sf_dir, cube.dimension("Return Flag")) is False
