@@ -409,6 +409,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ON COLUMNS, NON EMPTY [Customer].[Region].Members ON ROWS "
         "FROM [Sales]")
 
+    # OPENINGPERIOD/CLOSINGPERIOD (r8): first/last descendant of a
+    # member at ANY deeper level in hierarchy order — one lexicographic
+    # dim-side orderBy-limit-1 over the level-key chain (planner
+    # edge_child_of 3-tuples); generalizes .FirstChild/.LastChild
+    q["q50_mdx_openingperiod"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "OPENINGPERIOD([Customer].[Customer], [Customer].[Region].[&2]) "
+        "ON ROWS FROM [Sales]")
+
+    # <member>.Siblings (r8): children of the member's parent — drill
+    # the member's own level + parent cut resolved dim-side (planner
+    # siblings_of; top-level members -> all members of the level)
+    q["q51_mdx_siblings"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].[&3].Siblings ON ROWS "
+        "FROM [Sales]")
+
     # TOPPERCENT: the minimal best-first member prefix reaching pct%
     # of the axis total (two windows over the axis-sized aggregate)
     q["q47_mdx_toppercent"] = lambda s, d: __import__(
@@ -1351,6 +1372,25 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE year(l_shipdate) = (SELECT min(y) FROM yrs)
             GROUP BY 1""",
+
+        "q51_mdx_siblings": f"""
+            SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE r_regionkey = (SELECT n_regionkey FROM nation
+                                 WHERE n_nationkey = 3)
+            GROUP BY 1, 2""",
+
+        "q50_mdx_openingperiod": f"""
+            WITH pick AS (
+              SELECT n.n_nationkey, c.c_custkey
+              FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+              WHERE n.n_regionkey = 2
+              ORDER BY n.n_nationkey, c.c_custkey LIMIT 1)
+            SELECT c_custkey, c_name, {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE c_custkey = (SELECT c_custkey FROM pick)
+            GROUP BY 1, 2""",
 
         "q48_mdx_filter_expr": f"""
             SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,

@@ -24,7 +24,7 @@ build_query emits, which covers every query the REST layer can express:
            | HEAD(axis'[, n]) | TAIL(axis'[, n])
            | ORDER(axis', [Measures].[M], BASC|BDESC)
            | FILTER(axis', <bool>)     bool := cmp | bool AND|OR bool
-                                            | (bool)   [AND > OR]
+                                            | NOT bool | (bool) [AND > OR]
                                        cmp  := <arith cmp over measures
                                                and literals>, e.g.
                                                [Measures].[A] > 2*[Measures].[B]
@@ -37,6 +37,7 @@ build_query emits, which covers every query the REST layer can express:
            | <member>.Children | <member>.Parent | HIERARCHIZE(axis')
            | <member>.FirstChild | <member>.LastChild
            | <member>.Lag(n) | <member>.Lead(n) | LASTPERIODS(n, <member>)
+           | OPENINGPERIOD|CLOSINGPERIOD(<level path>, <member>)
            | DESCENDANTS(<member>, <level path>) | [Named Set]
     mset := {<member>,...} | <member>
           | UNION|EXCEPT|INTERSECT(mset, mset)
@@ -139,7 +140,7 @@ class MdxQuery:
                                     with_members=[], with_sets=[],
                                     children_of=[], parent_of=[],
                                     lastperiods=[], member_lags=[],
-                                    edge_child_of=[])
+                                    edge_child_of=[], siblings_of=[])
 
 
 def _merge_sub(q: MdxQuery, sub: MdxQuery) -> None:
@@ -326,10 +327,13 @@ def _and_chain(p: _P) -> list[str]:
 
 
 def _bool_primary(p: _P) -> str:
-    """A comparison, or a PARENTHESIZED boolean group — tried as a
-    nested AND/OR chain first so the debug echo's own output re-lexes;
-    on failure the parens are re-read as arithmetic grouping
-    (``([Measures].[A] + 1) > 2``)."""
+    """A comparison, an optionally NOT-prefixed term, or a
+    PARENTHESIZED boolean group — tried as a nested AND/OR chain first
+    so the debug echo's own output re-lexes; on failure the parens are
+    re-read as arithmetic grouping (``([Measures].[A] + 1) > 2``)."""
+    if p.peek_upper() == "NOT":
+        p.next()
+        return "not " + _bool_primary(p)
     if p.peek() == "(":
         save = p.pos
         p.next()
@@ -505,6 +509,34 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
         p.expect(")")
         q.qm_kwargs["lastperiods"].append((_path_str(segs), n))
         return False
+    if t in ("OPENINGPERIOD", "CLOSINGPERIOD"):
+        # OPENINGPERIOD(level, member): the FIRST descendant of the
+        # member at the level in hierarchy order (CLOSINGPERIOD = the
+        # last) — the classic Mondrian time idiom; generalizes
+        # .FirstChild/.LastChild to any descendant level, resolved as
+        # one lexicographic dim-side walk at plan time
+        # (QueryModel.edge_child_of 3-tuples)
+        p.next()
+        p.expect("(")
+        level_path = _path(p)
+        if len(level_path) < 2:
+            raise ParseError(
+                f"{t} level must be [Dim].[Level], got "
+                f"{_path_str(level_path)}")
+        p.expect(",")
+        member = _path(p)
+        p.expect(")")
+        if len(member) < 3:
+            raise ParseError(
+                f"{t} member needs [Dim].[Level].[member], got "
+                f"{_path_str(member)}")
+        if level_path[0].lower() != member[0].lower():
+            raise ParseError(
+                f"{t}: level dimension {level_path[0]!r} does not match "
+                f"member dimension {member[0]!r}")
+        q.qm_kwargs["edge_child_of"].append(
+            (_path_str(member), t == "CLOSINGPERIOD", level_path[-1]))
+        return False
     if t == "HIERARCHIZE":
         # HIERARCHIZE(set): hierarchical member order — which is this
         # engine's DEFAULT axis order (root-level keys outermost, asc;
@@ -566,6 +598,17 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
                     f"{_path_str(segs)}")
             q.qm_kwargs["children_of"].append(_path_str(segs))
             return False
+        if w == "SIBLINGS":
+            # Mondrian member navigation: children of the member's
+            # parent (incl. the member itself); a top-level member's
+            # siblings are all members of its level.  Resolved against
+            # the catalog at plan time (QueryModel.siblings_of).
+            if len(segs) < 3:
+                raise ParseError(
+                    f".Siblings needs [Dim].[Level].[member], got "
+                    f"{_path_str(segs)}")
+            q.qm_kwargs["siblings_of"].append(_path_str(segs))
+            return False
         if w == "PARENT":
             # Mondrian axis idiom: the member's parent = drill the
             # parent level + slice to the parent member (looked up
@@ -610,8 +653,9 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             q.qm_kwargs["member_lags"].append((_path_str(segs), n))
             return False
         raise ParseError(
-            f"expected .Members, .Children, .Parent, .FirstChild, "
-            f".LastChild, .Lag or .Lead after {_path_str(segs)}, got .{w}")
+            f"expected .Members, .Children, .Parent, .Siblings, "
+            f".FirstChild, .LastChild, .Lag or .Lead after "
+            f"{_path_str(segs)}, got .{w}")
     if len(segs) == 1:
         q.qm_kwargs["drilldown"].append(segs[0])  # named set shortcut
         return False
@@ -1116,6 +1160,9 @@ def emit_mdx(cat: Catalog, qm) -> str:
     for pp in getattr(qm, "parent_of", []):
         from .parser import parse_segments
         sets.append(_path_str(parse_segments(pp)) + ".Parent")
+    for sb in getattr(qm, "siblings_of", []):
+        from .parser import parse_segments
+        sets.append(_path_str(parse_segments(sb)) + ".Siblings")
     for lp_path, n in getattr(qm, "lastperiods", []):
         from .parser import parse_segments
         sets.append(f"LASTPERIODS({n}, {_path_str(parse_segments(lp_path))})")
@@ -1123,10 +1170,17 @@ def emit_mdx(cat: Catalog, qm) -> str:
         from .parser import parse_segments
         sets.append(_path_str(parse_segments(lg_path)) +
                     (f".Lag({n})" if n >= 0 else f".Lead({-n})"))
-    for ec_path, last in getattr(qm, "edge_child_of", []):
+    for ec in getattr(qm, "edge_child_of", []):
         from .parser import parse_segments
-        sets.append(_path_str(parse_segments(ec_path)) +
-                    (".LastChild" if last else ".FirstChild"))
+        ec_path, last = ec[0], ec[1]
+        target = ec[2] if len(ec) > 2 else None
+        member = _path_str(parse_segments(ec_path))
+        if target is None:
+            sets.append(member + (".LastChild" if last else ".FirstChild"))
+        else:
+            dim_seg = parse_segments(ec_path)[0]
+            fn = "CLOSINGPERIOD" if last else "OPENINGPERIOD"
+            sets.append(f"{fn}([{dim_seg}].[{target}], {member})")
 
     axis = None
     if sets:

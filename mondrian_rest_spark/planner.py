@@ -317,6 +317,10 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
             raise ParseError(
                 "TOPPERCENT/BOTTOMPERCENT/TAIL are not supported on "
                 "virtual cubes in this MDX subset")
+        if qm.siblings_of:
+            raise ParseError(
+                ".Siblings is not supported on virtual cubes in this "
+                "MDX subset; query the base cube")
         if qm.children_of or qm.parent_of or qm.edge_child_of:
             qm = _virtualize_idioms(spark, sf_dir, cat, qm)
         return _aggregate_virtual(spark, sf_dir, cat, qm)
@@ -662,12 +666,60 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         drills.append(ResolvedDrill(dim, hier, child, gl))
         cuts.append(_resolve_cut(cube, parse_cut(ch, ns_names)))
 
+    # --- <member>.Siblings (raw-MDX member navigation): children of
+    # --- the member's parent = drill the member's OWN level + cut to
+    # --- the parent member (dim-side bounded lookup, like .Parent);
+    # --- a top-level member's siblings are ALL members of its level ---
+    for sb in qm.siblings_of:
+        segs = parse_segments(sb)
+        if len(segs) < 3:
+            raise ParseError(
+                f".Siblings needs [Dim].[Level].[member], got {sb!r}")
+        hier_name = segs[1] if len(segs) == 4 else None
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        idx = hier.level_index(level.name)
+        gl = list(hier.levels[: idx + 1]) if qm.parents else [level]
+        drills.append(ResolvedDrill(dim, hier, level, gl))
+        if idx == 0:
+            continue   # root level: every member is a sibling
+        if dim.is_degenerate:
+            raise ParseError(
+                f"{sb!r}.Siblings: not supported on degenerate "
+                f"dimension {dim.name!r} (member keys repeat per parent)")
+        parent = hier.levels[idx - 1]
+        raw = segs[-1]
+        use_caption = (not raw.startswith("&") and level.caption
+                       and level.caption_alias
+                       and level.caption_alias != level.key_alias)
+        match_col = level.caption_alias if use_caption else level.key_alias
+        rows = (_dim_select(spark, sf_dir, dim, [parent, level])
+                .filter(F.col(match_col) == F.lit(_coerce(raw.lstrip("&"))))
+                .select(parent.key_alias).distinct().limit(2).collect())
+        if len(rows) != 1:
+            raise ParseError(
+                f"{sb!r}: member not found"
+                if not rows else f"{sb!r}: parent is ambiguous")
+        cut_str = ".".join(f"[{s}]" for s in
+                           segs[:-2] + [parent.name, f"&{rows[0][0]}"])
+        cuts.append(_resolve_cut(cube, parse_cut(cut_str, ns_names)))
+
     # --- <member>.FirstChild / .LastChild (raw-MDX member navigation):
     # --- drill the CHILD level sliced to the member AND the edge child
     # --- key (min/max under the member — one dim-sized aggregate,
     # --- bounded 1-row collect; never touches the fact) ---
-    for ec_path, want_last in qm.edge_child_of:
-        label = ".LastChild" if want_last else ".FirstChild"
+    for ec in qm.edge_child_of:
+        # (member_path, last) from .FirstChild/.LastChild, or
+        # (member_path, last, target_level) from OPENINGPERIOD/
+        # CLOSINGPERIOD — the generalized form walks to ANY descendant
+        # level: the opening period is the LEXICOGRAPHIC min of the
+        # level-key chain under the member (hierarchy order == key
+        # order on every level), one bounded dim-side orderBy-limit-1,
+        # never the fact
+        ec_path, want_last = ec[0], ec[1]
+        target_name = ec[2] if len(ec) > 2 else None
+        label = (".LastChild" if want_last else ".FirstChild") \
+            if target_name is None else \
+            ("CLOSINGPERIOD" if want_last else "OPENINGPERIOD")
         segs = parse_segments(ec_path)
         if len(segs) < 3:
             raise ParseError(
@@ -685,27 +737,46 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             raise ParseError(
                 f"{ec_path!r}{label}: not supported on degenerate "
                 f"dimension {dim.name!r}")
-        child = hier.levels[idx + 1]
+        if target_name is None:
+            tgt_idx = idx + 1
+        else:
+            try:
+                tgt_idx = hier.level_index(target_name)
+            except KeyError:
+                raise ParseError(
+                    f"{label}: hierarchy {hier.name!r} has no level "
+                    f"{target_name!r}")
+            if tgt_idx <= idx:
+                raise ParseError(
+                    f"{label}: level {target_name!r} must be BELOW the "
+                    f"member's level {level.name!r}")
+        chain = list(hier.levels[idx:tgt_idx + 1])
         raw = segs[-1]
         use_caption = (not raw.startswith("&") and level.caption
                        and level.caption_alias
                        and level.caption_alias != level.key_alias)
         match_col = level.caption_alias if use_caption else level.key_alias
-        agg_fn = F.max if want_last else F.min
-        rows = (_dim_select(spark, sf_dir, dim, [level, child])
+        order = [F.desc(lv.key_alias) if want_last else F.asc(lv.key_alias)
+                 for lv in chain[1:]]
+        rows = (_dim_select(spark, sf_dir, dim, chain)
                 .filter(F.col(match_col) == F.lit(_coerce(raw.lstrip("&"))))
-                .agg(agg_fn(F.col(child.key_alias))).collect())
-        if not rows or rows[0][0] is None:
+                .orderBy(*order).limit(1).collect())
+        if not rows:
             raise ParseError(f"{ec_path!r}{label}: member not found "
                              "or has no children")
-        gl = list(hier.levels[: idx + 2]) if qm.parents else [child]
-        drills.append(ResolvedDrill(dim, hier, child, gl))
-        # cut to the member (like .Children) AND the edge child's key —
-        # the pair stays correct even when child keys repeat per parent
+        row = rows[0].asDict()
+        target = hier.levels[tgt_idx]
+        gl = list(hier.levels[: tgt_idx + 1]) if qm.parents else [target]
+        drills.append(ResolvedDrill(dim, hier, target, gl))
+        # cut to the member (like .Children) AND each walked level's
+        # key — the chain stays correct even when keys repeat per
+        # parent (quarter 1-4 every year)
         cuts.append(_resolve_cut(cube, parse_cut(ec_path, ns_names)))
-        cut_str = ".".join(f"[{s}]" for s in
-                           segs[:-2] + [child.name, f"&{rows[0][0]}"])
-        cuts.append(_resolve_cut(cube, parse_cut(cut_str, ns_names)))
+        for lv in chain[1:]:
+            cut_str = ".".join(
+                f"[{s}]" for s in
+                segs[:-2] + [lv.name, f"&{row[lv.key_alias]}"])
+            cuts.append(_resolve_cut(cube, parse_cut(cut_str, ns_names)))
 
     # --- <member>.Parent (raw-MDX axis idiom): drill the PARENT level
     # --- sliced to the member's parent, looked up on the DIM side
@@ -1600,8 +1671,16 @@ def _virtualize_idioms(spark: SparkSession, sf_dir: str, cat: Catalog,
         drilldown.append(".".join(parts))
         cut.append(ch)
 
+    for ec in qm.edge_child_of:
+        if len(ec) > 2 and ec[2] is not None:
+            # OPENINGPERIOD/CLOSINGPERIOD can target deeper levels;
+            # the virtual idiom rewrite only walks one step
+            raise ParseError(
+                "OPENINGPERIOD/CLOSINGPERIOD are not supported on "
+                "virtual cubes in this MDX subset; use .FirstChild/"
+                ".LastChild or query the base cube")
     for pp, ec_like in ([(p, None) for p in qm.parent_of]
-                        + [(p, last) for p, last in qm.edge_child_of]):
+                        + [(e[0], e[1]) for e in qm.edge_child_of]):
         label = (".Parent" if ec_like is None
                  else (".LastChild" if ec_like else ".FirstChild"))
         segs = parse_segments(pp)

@@ -73,7 +73,8 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
     if (qm.parents or qm.properties or qm.caption or not qm.nonempty
             or qm.children_of or qm.parent_of or qm.lastperiods
             or qm.member_lags or qm.with_members or qm.with_sets
-            or qm.edge_child_of or qm.tail is not None
+            or qm.edge_child_of or getattr(qm, "siblings_of", [])
+            or qm.tail is not None
             or qm.top_percent is not None or getattr(qm, "empty_set", False)):
         return None
     names = list(qm.measures) or [cube.default_measure.name]

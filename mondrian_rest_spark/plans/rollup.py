@@ -382,7 +382,8 @@ class RollupManager:
         # rewrite the cube — all route to base
         if (qm.children_of or qm.parent_of or qm.lastperiods
                 or qm.member_lags or qm.with_members or qm.with_sets
-                or qm.edge_child_of or qm.tail is not None
+                or qm.edge_child_of or qm.siblings_of
+                or qm.tail is not None
                 or qm.top_percent is not None or qm.empty_set):
             return None
         try:

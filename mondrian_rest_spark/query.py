@@ -76,8 +76,15 @@ class QueryModel:
     top_percent: tuple | None = None
     # <member>.FirstChild / .LastChild axis sets from raw MDX: list of
     # (member_path, last) — drilldown at the member's CHILD level plus
-    # a cut to the edge child's key (dim-side bounded lookup)
+    # a cut to the edge child's key (dim-side bounded lookup); 3-tuples
+    # (member_path, last, target_level) carry OPENINGPERIOD/
+    # CLOSINGPERIOD's deeper target level
     edge_child_of: list = field(default_factory=list)
+    # <member>.Siblings axis sets from raw MDX: member full-path
+    # strings; each resolves to a drilldown at the member's OWN level
+    # plus a cut to its parent member (children-of-parent = siblings
+    # incl. self; top-level members -> all members of the level)
+    siblings_of: list = field(default_factory=list)
     # EXCEPT/INTERSECT set algebra that evaluated to the EMPTY member
     # set (valid Mondrian result, not an error): the plan keeps the
     # axis schema but slices to zero fact rows (always-false filter,

@@ -1575,3 +1575,152 @@ def test_filter_or_precedence_and_groups(spark, sf_dir):
         "NON EMPTY FILTER([Customer].[Nation].Members, "
         "([Measures].[Revenue] + 1) > 2) ON ROWS FROM [Sales]")
     assert qm3.filter_exprs == ["( {m:Revenue} + 1 ) > 2"]
+
+
+def test_openingperiod_closingperiod(spark, sf_dir):
+    """OPENINGPERIOD/CLOSINGPERIOD (r8): first/last descendant at ANY
+    deeper level in hierarchy order — a one-row lexicographic dim-side
+    walk over the level-key chain; one-step form equals
+    .FirstChild/.LastChild; NOT in FILTER also covered here."""
+    op1 = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "OPENINGPERIOD([Customer].[Nation], [Customer].[Region].[&2]) "
+        "ON ROWS FROM [Sales]").collect()
+    fc = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Region].[&2].FirstChild ON ROWS FROM [Sales]"
+        ).collect()
+    assert [tuple(r) for r in op1] == [tuple(r) for r in fc]
+
+    # deep walk: lexicographic (nation, customer) min/max inside region
+    from mondrian_rest_spark.sources.registry import load_table
+    import pyspark.sql.functions as F
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(load_table(spark, sf_dir, "nation"),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .filter(F.col("n_regionkey") == 2)
+            .orderBy("n_nationkey", "c_custkey"))
+    first_key = cust.first()["c_custkey"]
+    last_key = cust.orderBy(F.desc("n_nationkey"),
+                            F.desc("c_custkey")).first()["c_custkey"]
+    op = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "OPENINGPERIOD([Customer].[Customer], [Customer].[Region].[&2]) "
+        "ON ROWS FROM [Sales]").collect()
+    cl = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "CLOSINGPERIOD([Customer].[Customer], [Customer].[Region].[&2]) "
+        "ON ROWS FROM [Sales]").collect()
+    assert len(op) == 1 and op[0][0] == first_key
+    assert len(cl) == 1 and cl[0][0] == last_key
+
+    # errors: degenerate time, dim mismatch, level not below, virtual
+    with pytest.raises(ParseError, match="degenerate"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "OPENINGPERIOD([Time].[Month], [Time].[Year].[1997]) "
+                    "ON ROWS FROM [Sales]").collect()
+    with pytest.raises(ParseError, match="does not match"):
+        compile_mdx("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "OPENINGPERIOD([Part].[Part], "
+                    "[Customer].[Region].[&2]) ON ROWS FROM [Sales]")
+    with pytest.raises(ParseError, match="BELOW"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "OPENINGPERIOD([Customer].[Region], "
+                    "[Customer].[Nation].[&3]) ON ROWS FROM [Sales]"
+                    ).collect()
+    with pytest.raises(ParseError, match="virtual"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "OPENINGPERIOD([Customer].[Customer], "
+                    "[Customer].[Region].[&2]) ON ROWS "
+                    "FROM [Orders and Sales]").collect()
+
+    # round-trip through the debug echo
+    from mondrian_rest_spark.mdx import emit_mdx
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "CLOSINGPERIOD([Customer].[Customer], [Customer].[Region].[&2]) "
+        "ON ROWS FROM [Sales]")
+    assert compile_mdx(emit_mdx(tpch.CATALOG, qm)).edge_child_of == \
+        qm.edge_child_of
+
+
+def test_filter_not_condition(spark, sf_dir):
+    got = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Nation].Members, "
+        "NOT [Measures].[Revenue] > 20000000) ON ROWS FROM [Sales]"
+        ).collect()
+    full = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].Members ON ROWS FROM [Sales]"
+        ).collect()
+    exp = [tuple(r) for r in full if not r[2] > 20000000]
+    assert [tuple(r) for r in got] == exp
+    # NOT over a parenthesized group
+    got2 = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Nation].Members, "
+        "NOT ([Measures].[Revenue] > 20000000 OR "
+        "[Measures].[Revenue] < 10000000)) ON ROWS FROM [Sales]"
+        ).collect()
+    exp2 = [tuple(r) for r in full
+            if not (r[2] > 20000000 or r[2] < 10000000)]
+    assert [tuple(r) for r in got2] == exp2
+
+
+def test_siblings_navigation(spark, sf_dir):
+    """.Siblings (r8): children of the member's parent (incl. self) =
+    drill the member's own level + a dim-side parent cut; top-level
+    members' siblings are all members of the level; degenerate and
+    virtual paths stay clear 400s."""
+    sib = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].[&3].Siblings ON ROWS "
+        "FROM [Sales]").collect()
+    # oracle: descendants of nation 3's region at the Nation level
+    from mondrian_rest_spark.sources.registry import load_table
+    import pyspark.sql.functions as F
+    region = (load_table(spark, sf_dir, "nation")
+              .filter(F.col("n_nationkey") == 3)
+              .first()["n_regionkey"])
+    desc = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        f"NON EMPTY DESCENDANTS([Customer].[Region].[&{region}], "
+        "[Customer].[Nation]) ON ROWS FROM [Sales]").collect()
+    assert [tuple(r) for r in sib] == [tuple(r) for r in desc]
+    assert any(r[0] == 3 for r in sib)   # siblings include self
+
+    roots = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].[&2].Siblings ON ROWS "
+        "FROM [Sales]").collect()
+    assert len(roots) == 5               # all top-level members
+
+    with pytest.raises(ParseError, match="degenerate"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "[Time].[Quarter].[&2].Siblings ON ROWS "
+                    "FROM [Sales]").collect()
+    with pytest.raises(ParseError, match="virtual"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "[Customer].[Nation].[&3].Siblings ON ROWS "
+                    "FROM [Orders and Sales]").collect()
+    with pytest.raises(ParseError, match="not found"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                    "[Customer].[Nation].[NOPE].Siblings ON ROWS "
+                    "FROM [Sales]").collect()
