@@ -1015,6 +1015,16 @@ def _calc_tokens(p: _P, stop_words: tuple) -> str:
                 raise ParseError("IIF needs a parenthesized argument list")
             pending_fn = True
             parts.append("if")
+        elif u == "COALESCEEMPTY":
+            # COALESCEEMPTY(a, b[, ...]) -> SQL coalesce: empty cells
+            # are nulls in this engine, exactly Mondrian's semantics
+            # (reference foodmart.xml:359-366 Profit Growth)
+            p.next()
+            if p.peek() != "(":
+                raise ParseError(
+                    "COALESCEEMPTY needs a parenthesized argument list")
+            pending_fn = True
+            parts.append("coalesce")
         elif t in (">", "<", ">=", "<=", "=", "<>"):
             parts.append("!=" if p.next() == "<>" else t)
         elif t == "," and stack and stack[-1]:
@@ -1026,8 +1036,9 @@ def _calc_tokens(p: _P, stop_words: tuple) -> str:
         else:
             raise ParseError(
                 f"unsupported token {t!r} in WITH MEMBER formula (this "
-                "MDX subset supports arithmetic, comparisons and "
-                "IIF(cond, a, b) over [Measures] refs)")
+                "MDX subset supports arithmetic, comparisons, "
+                "IIF(cond, a, b) and COALESCEEMPTY(a, b) over "
+                "[Measures] refs)")
     if stack:
         raise ParseError("unbalanced parentheses in WITH MEMBER formula")
     if not parts:
@@ -1118,7 +1129,9 @@ def _emit_formula(tmpl: str) -> str:
     out = re.sub(r"\{m:([^}]+)\}",
                  lambda m: f"[Measures].[{m.group(1)}]", tmpl)
     # SQL spellings back to their MDX forms (inverse of _calc_tokens)
-    return re.sub(r"\bif\b(?=\s*\()", "IIF", out).replace("!=", "<>")
+    out = re.sub(r"\bif\b(?=\s*\()", "IIF", out)
+    out = re.sub(r"\bcoalesce\b(?=\s*\()", "COALESCEEMPTY", out)
+    return out.replace("!=", "<>")
 
 def emit_mdx(cat: Catalog, qm) -> str:
     """QueryModel -> the MDX the reference would generate for it

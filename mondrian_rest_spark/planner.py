@@ -1850,6 +1850,16 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         parts.append((df, maliases))
     out, all_aliases = parts[0][0], list(parts[0][1])
     for df, maliases in parts[1:]:
+        missing = [c for c in (group_cols or []) if c not in df.columns]
+        if missing:
+            # a drilled level whose ALIASES differ across the base
+            # cubes (e.g. Day = ship_date vs order_date) is not
+            # conformed at that grain — a clear 400, not an
+            # AnalysisException 500 from the join
+            raise ParseError(
+                f"drilldown level not conformed across the virtual "
+                f"cube's base cubes: column(s) {missing} missing on "
+                "one side (drill a level whose aliases match)")
         out = out.join(df, on=group_cols, how="full_outer")
         all_aliases += maliases
 

@@ -156,6 +156,26 @@ ATOMS = {
              "FROM supplier s2 JOIN nation n2 "
              "ON s2.s_nationkey = n2.n_nationkey "
              "WHERE n2.n_regionkey = 3)"),
+    # r8 navigation: .Siblings = children of the member's parent
+    # (testdata: nation n lives in region n % 5, so nation 7's
+    # siblings are the region-2 nations)
+    "sib_nation": dict(
+        dim="Customer", lvl=1, kind="siblings",
+        mdx="[Customer].[Nation].[&7].Siblings",
+        sel=NATION_SEL, out=NATION_OUT, key="cust_nation_key",
+        pred="cn.n_regionkey = (SELECT n_regionkey FROM nation "
+             "WHERE n_nationkey = 7)"),
+    # r8 navigation: OPENINGPERIOD one-step == FirstChild; the member
+    # set is customers-with-facts, so the walk resolves through the
+    # snowflake chain like the edge-child atoms above
+    "open_nation": dict(
+        dim="Customer", lvl=1, kind="edgechild",
+        mdx="OPENINGPERIOD([Customer].[Nation], [Customer].[Region].[&4])",
+        sel=NATION_SEL, out=NATION_OUT, key="cust_nation_key",
+        pred="cn.n_nationkey = (SELECT min(n2.n_nationkey) "
+             "FROM customer c2 JOIN nation n2 "
+             "ON c2.c_nationkey = n2.n_nationkey "
+             "WHERE n2.n_regionkey = 4)"),
 }
 
 #: planner drill resolution order (planner.py _aggregate_cube): plain
@@ -164,7 +184,8 @@ ATOMS = {
 #: LASTPERIODS, then .Lag/.Lead — the axis key order that drives
 #: ORDER BY tie-breaks
 _KIND_RANK = {"members": 0, "set": 0, "desc": 0, "range": 0, "union": 0,
-              "children": 1, "edgechild": 2, "lastp": 3, "lag": 4}
+              "children": 1, "siblings": 2, "edgechild": 3, "lastp": 4,
+              "lag": 5}
 
 # --- WITH SET named sets (computed over the UNCUT cube) --------------------
 
@@ -237,6 +258,10 @@ CALCS = {
         "[Measures].[Quantity])",
         "MAX(CASE WHEN year(l.l_shipdate) BETWEEN 1996 AND 1998 "
         "THEN l_quantity END)"),
+    # r8: COALESCEEMPTY -> SQL coalesce (empty cells are nulls)
+    "coalesce": ("COALESCEEMPTY([Measures].[Revenue] / "
+                 "[Measures].[Line Count], 0)",
+                 f"COALESCE(({REV}) / ({CNT}), 0)"),
 }
 
 #: calcs that restrict a dimension — the generator must not also

@@ -1724,3 +1724,32 @@ def test_siblings_navigation(spark, sf_dir):
                     "SELECT {[Measures].[Revenue]} ON COLUMNS, "
                     "[Customer].[Nation].[NOPE].Siblings ON ROWS "
                     "FROM [Sales]").collect()
+
+
+def test_coalesceempty_formula(spark, sf_dir):
+    """COALESCEEMPTY -> SQL coalesce (r8; reference foodmart.xml:359-366
+    Profit Growth uses it over PREVMEMBER): the lag calc's leading-
+    period null is exactly the empty cell it papers over.  Also pins
+    the virtual-cube non-conformed-level 400 this test surfaced."""
+    from mondrian_rest_spark.mdx import emit_mdx
+    mdx = ("WITH MEMBER [Measures].[Safe Prev] AS "
+           "COALESCEEMPTY([Measures].[Revenue Prev Period], 0) "
+           "SELECT {[Measures].[Revenue Prev Period], "
+           "[Measures].[Safe Prev]} ON COLUMNS, "
+           "NON EMPTY [Time].[Year].Members ON ROWS FROM [Sales]")
+    rows = execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
+    assert rows[0][1] is None and rows[0][2] == 0     # leading period
+    for r in rows[1:]:
+        assert r[2] == r[1]
+    qm = compile_mdx(mdx)
+    assert compile_mdx(emit_mdx(tpch.CATALOG, qm)).with_members == \
+        qm.with_members
+
+    # a drilled level whose aliases differ across the virtual cube's
+    # base cubes (Day = ship_date vs order_date) is a clear 400
+    with pytest.raises(ParseError, match="not conformed"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "SELECT {[Measures].[Revenue], "
+                    "[Measures].[Total Price]} ON COLUMNS, "
+                    "NON EMPTY [Time].[Day].Members ON ROWS "
+                    "FROM [Orders and Sales]").collect()
