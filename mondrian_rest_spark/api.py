@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from flask import Flask, Response, jsonify, request
 
 from . import formats, members, result
@@ -110,9 +111,19 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
     def _cells(rows: list) -> int:
         return len(rows) * len(rows[0]) if rows else 1
 
-    def run_query(qm):
+    # bounded log of served QueryModels — the rollup advisor's input
+    # (grain frequency x base-scan cost; plans/advisor.py).  Appended
+    # on every aggregate-producing request, cache hit or miss: the
+    # advisor weighs by DEMAND, not by Spark-job count.
+    from collections import deque
+    served_log: deque = deque(maxlen=10_000)
+    app.extensions["mrs_served_log"] = served_log
+
+    def run_query(qm, log=True):
         """(DataFrame, source) for a QueryModel: through the rollup
         router when one is registered, else the planner directly."""
+        if log:
+            served_log.append(qm)
         if rollup_manager is not None:
             return rollup_manager.route(qm)
         return aggregate(get_spark(), sf_dir, cat, qm), "base"
@@ -122,6 +133,7 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         # not the rows — keying on it would duplicate cache entries
         key = repr(sorted(((k, v) for k, v in qm.__dict__.items()
                            if k != "debug"), key=lambda kv: kv[0]))
+        served_log.append(qm)   # advisor demand signal, hit or miss
         with cache_lock:
             if key in result_cache:
                 result_cache.move_to_end(key)
@@ -130,7 +142,7 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             cache_stats["misses"] += 1
         # run the Spark job outside the lock: concurrent distinct
         # queries must not serialize on the cache
-        df, source = run_query(qm)
+        df, source = run_query(qm, log=False)
         rows = df.collect()
         n = _cells(rows)
         if n > RESULT_CACHE_MAX_CELLS:
@@ -456,6 +468,53 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
                 f"unknown similarity method {method!r} "
                 "(have ['brute', 'lsh'])")
         return _frame_json(df, _corpus_limit(request.args))
+
+    @app.get("/corpus/decontaminate")
+    def corpus_decontaminate():
+        # benchmark decontamination: drop training docs near-dupping
+        # the held-out source (operators/dedup.decontaminate); returns
+        # the SURVIVING training rows, LIMIT-bounded
+        from .operators import dedup
+        eval_source = request.args.get("eval_source")
+        if not eval_source:
+            raise ParseError("eval_source required")
+        docs = load_table(get_spark(), sf_dir, "documents")
+        train = docs.filter(F.col("source") != eval_source)
+        held = docs.filter(F.col("source") == eval_source)
+        out = dedup.decontaminate(
+            train, held,
+            threshold=_float(request.args, "threshold", 0.5))
+        return _frame_json(out.select("doc_id", "source"),
+                           _corpus_limit(request.args))
+
+    @app.get("/advisor/rollups")
+    def advisor_rollups():
+        # close the AggName loop operationally: recommend rollup
+        # grains from the queries THIS app actually served
+        # (plans/advisor.py; VERDICT r7 #6) — per base cube, most
+        # demanded first
+        from .plans.advisor import recommend_rollups
+        max_r = _int(request.args, "max")
+        max_r = 3 if max_r is None else max_r
+        if not 0 < max_r <= 20:
+            raise ParseError(f"max must be in 1..20, got {max_r}")
+        log = list(served_log)
+        out = []
+        for cube_obj in cat.cubes:
+            recs = recommend_rollups(
+                cube_obj, [q for q in log if q.cube == cube_obj.name],
+                max_rollups=max_r)
+            out += [{
+                "cube": cube_obj.name,
+                "grain": list(r.grain),
+                "covered_queries": r.covered_queries,
+                "covered_weight": r.covered_weight,
+                "est_rows": r.est_rows,
+                "score": r.score,
+            } for r in recs]
+        out.sort(key=lambda r: -r["covered_weight"])
+        return jsonify({"recommendations": out,
+                        "log_size": len(log)})
 
     @app.get("/flush")
     def flush():

@@ -722,3 +722,43 @@ def test_corpus_similar_routes(client, spark, sf_dir):
     assert client.get("/corpus/similar").status_code == 400
     assert client.get("/corpus/similar?vec_id=7&k=0").status_code == 400
     assert client.get("/corpus/similar?vec_id=7&method=x").status_code == 400
+
+
+def test_corpus_decontaminate_route(client, spark, sf_dir):
+    r = client.get("/corpus/decontaminate?eval_source=src0&limit=5000")
+    assert r.status_code == 200
+    body = r.get_json()
+    from mondrian_rest_spark.operators import dedup
+    from mondrian_rest_spark.sources.registry import load_table
+    import pyspark.sql.functions as F
+    docs = load_table(spark, sf_dir, "documents")
+    lib = dedup.decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"), threshold=0.5).count()
+    assert body["returned"] == min(lib, 5000)
+    assert client.get("/corpus/decontaminate").status_code == 400
+
+
+def test_advisor_rollups_route(client):
+    # the served-query log feeds the advisor: issue a repeated query,
+    # then ask for recommendations
+    for _ in range(3):
+        assert client.get("/cubes/Sales/aggregate", query_string=[
+            ("drilldown[]", "Customer.Nation"),
+            ("measures[]", "Revenue"),
+            ("cut[]", "[Time].[Year].[&1996]"),
+            ("nonempty", "true")]).status_code == 200
+    r = client.get("/advisor/rollups?max=2")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["log_size"] >= 3
+    recs = [x for x in body["recommendations"] if x["cube"] == "Sales"]
+    assert recs, body
+    # the shared module client's log holds other tests' queries too, so
+    # assert coverage, not rank: SOME advised grain must cover the
+    # repeated (Nation, Year) demand
+    covering = [x for x in recs
+                if {"Customer.Nation", "Time.Year"} <= set(x["grain"])]
+    assert covering, recs
+    assert covering[0]["covered_weight"] >= 3
+    assert client.get("/advisor/rollups?max=0").status_code == 400
