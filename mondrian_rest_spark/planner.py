@@ -385,8 +385,19 @@ def _inline_calcs(cube: Cube, with_members) -> Cube:
     new = []
     taken = ({m.alias for m in cube.measures} |
              {c.alias for c in cube.calc_members})
+    # earlier inline members are referencable by LATER ones (Mondrian
+    # allows chained WITH MEMBER definitions); resolution is strictly
+    # textual order, so cycles are impossible by construction
+    inline_aliases: dict[str, str] = {}
+
+    current = {"name": None}
 
     def measure_alias(ref):
+        if ref == current["name"]:
+            raise ParseError(
+                f"WITH MEMBER {ref!r} references itself")
+        if ref in inline_aliases:
+            return inline_aliases[ref]
         c = cube.calc_member(ref)
         if c is not None:
             return c.alias
@@ -405,6 +416,8 @@ def _inline_calcs(cube: Cube, with_members) -> Cube:
                 f"WITH MEMBER name {name!r} is empty or collides with an "
                 "existing measure")
         taken.add(alias)
+        current["name"] = name
+        inline_aliases[name] = alias
         lag = re.fullmatch(r"\{lag:([^:}]+):([^:}]+):(\d+)\}", tmpl)
         if lag:
             # PARALLELPERIOD tuple: shift the measure lag_n members at

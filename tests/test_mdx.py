@@ -1753,3 +1753,32 @@ def test_coalesceempty_formula(spark, sf_dir):
                     "[Measures].[Total Price]} ON COLUMNS, "
                     "NON EMPTY [Time].[Day].Members ON ROWS "
                     "FROM [Orders and Sales]").collect()
+
+
+def test_with_member_chains_inline_members(spark, sf_dir):
+    """A WITH MEMBER may reference an EARLIER inline member (Mondrian
+    chained definitions, r8); self-reference and forward reference
+    stay clear 400s."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[Double Rev] AS [Measures].[Revenue] * 2 "
+        "MEMBER [Measures].[Double Plus] AS "
+        "[Measures].[Double Rev] + 1 "
+        "SELECT {[Measures].[Revenue], [Measures].[Double Plus]} "
+        "ON COLUMNS, NON EMPTY [Customer].[Region].Members ON ROWS "
+        "FROM [Sales]").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r[3] == pytest.approx(r[2] * 2 + 1, rel=1e-12)
+    with pytest.raises(ParseError, match="references itself"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "WITH MEMBER [Measures].[Loop] AS "
+                    "[Measures].[Loop] + 1 "
+                    "SELECT {[Measures].[Loop]} ON COLUMNS FROM [Sales]"
+                    ).collect()
+    with pytest.raises(ParseError, match="unknown measure"):
+        execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    "WITH MEMBER [Measures].[A] AS [Measures].[B] + 1 "
+                    "MEMBER [Measures].[B] AS [Measures].[Revenue] "
+                    "SELECT {[Measures].[A]} ON COLUMNS FROM [Sales]"
+                    ).collect()
