@@ -263,9 +263,7 @@ def _guard_nesting(fn: str, kwargs: dict, incompatible: tuple) -> None:
     (see _axis_expr), a clear 400 beats a wrong answer, mirroring the
     HIERARCHIZE-over-ORDER guard."""
     for key in incompatible:
-        present = bool(kwargs.get("filter")) if key == "filter" \
-            else key in kwargs
-        if present:
+        if key in kwargs:
             raise ParseError(
                 f"{fn} cannot wrap a set that already applies {key} in "
                 "this MDX subset (set functions flatten into one "
@@ -312,9 +310,13 @@ def _filter_boolean(p: _P, q: MdxQuery) -> None:
         for tmpl in groups[0]:
             _classify_condition(q, tmpl)
         return
-    disj = " or ".join(
+    # the WHOLE disjunction gets outer parens: emit_mdx joins FILTER
+    # conditions with AND, so an unwrapped `a or b` next to another
+    # condition would re-lex with different grouping (AND binds
+    # tighter) — the echo must re-compile to the same plan
+    disj = "( " + " or ".join(
         "( " + " and ".join(g) + " )" if len(g) > 1 else g[0]
-        for g in groups)
+        for g in groups) + " )"
     q.qm_kwargs["filter_exprs"].append(disj)
 
 
@@ -459,6 +461,8 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             sk = sub.qm_kwargs
             simple = (len(sk["drilldown"]) == 1 and "." in sk["drilldown"][0]
                       and not sk["cut"] and not sk["filter"]
+                      and not sk["filter_exprs"]
+                      and not sk.get("empty_set")
                       and not sk["with_sets"] and "order" not in sk
                       and "limit" not in sk)
             if simple and (infix_hint or p.peek() == "*"):
@@ -779,7 +783,8 @@ def _slicer(p: _P, q: MdxQuery) -> None:
                     "{" + ",".join(_path_str(m) for m in members) + "}")
             else:
                 # empty slicer set: every cell aggregates over nothing
-                q.qm_kwargs["empty_set"] = True
+                # (dense axes still enumerate members, null cells)
+                q.qm_kwargs["empty_slicer"] = True
         elif t == "(":
             # range cut (a:b) — the form the REST layer's range cuts
             # round-trip through (query_helper.rb:66-72)
@@ -1195,6 +1200,17 @@ def emit_mdx(cat: Catalog, qm) -> str:
             fn = "CLOSINGPERIOD" if last else "OPENINGPERIOD"
             sets.append(f"{fn}([{dim_seg}].[{target}], {member})")
 
+    if getattr(qm, "empty_set", False):
+        # axis-empty echo: re-express ONE drilldown as EXCEPT of a
+        # dummy member with itself — parse-time set algebra, so any
+        # member path re-compiles to the same drilldown + empty_set
+        # (axis semantics preserved: zero tuples even in dense mode)
+        for i, stext in enumerate(sets):
+            if stext.endswith(".Members"):
+                m = "{" + stext[:-len(".Members")] + ".[&__none__]}"
+                sets[i] = f"EXCEPT({m}, {m})"
+                break
+
     axis = None
     if sets:
         # reference nesting: Crossjoin(d1, Crossjoin(d2, d3))
@@ -1208,7 +1224,11 @@ def emit_mdx(cat: Catalog, qm) -> str:
             # spelling the tokenizer re-reads ('!=' would not lex)
             conds = " AND ".join(
                 [f"[Measures].[{mf.measure}] "
-                 f"{'<>' if mf.op == '!=' else mf.op} {mf.value}"
+                 f"{'<>' if mf.op == '!=' else mf.op} "
+                 # integral thresholds echo without '.0' so the
+                 # re-lexed qm.filter string round-trips bit-identical
+                 + (str(int(mf.value)) if float(mf.value).is_integer()
+                    else str(mf.value))
                  for mf in map(parse_measure_filter, qm.filter)]
                 + [_emit_formula(t)
                    for t in getattr(qm, "filter_exprs", [])])
@@ -1256,11 +1276,11 @@ def emit_mdx(cat: Catalog, qm) -> str:
     mdx += f" FROM [{qm.cube}]"
     cuts = [f"[{c}]" if not c.startswith(("[", "{", "(")) else c
             for c in qm.cut]   # bare named-set cuts need brackets
-    if getattr(qm, "empty_set", False):
-        # canonical empty-set echo: EXCEPT of a literal with itself is
-        # resolved at PARSE time (no catalog lookup), so any member
-        # path re-compiles to empty_set=True — a faithful round-trip
-        # of "this query slices to the empty set"
+    if getattr(qm, "empty_slicer", False):
+        # canonical empty-slicer echo: EXCEPT of a literal with itself
+        # is resolved at PARSE time (no catalog lookup), so any member
+        # path re-compiles to empty_slicer=True — a faithful
+        # round-trip of "every cell aggregates over nothing"
         dummy = "{[None].[None].[&0]}"
         cuts.append(f"EXCEPT({dummy}, {dummy})")
     if cuts:

@@ -97,13 +97,19 @@ def funnel(df: DataFrame, steps: tuple = ("view", "click", "purchase"),
       not count — deterministic and replayable in plain SQL.
     * ``mode="any_touch"``: EVERY step-1 occurrence anchors its own
       candidate funnel; a user counts at step k when ANY anchor's
-      greedy (earliest-next-event) sequence reaches it.  Greedy is
-      optimal per fixed anchor, so this is the exact
+      greedy (earliest-next-event) walk reaches it.  With the default
+      GLOBAL window, greedy is optimal per fixed anchor (an earlier
+      choice never shrinks later feasibility), so this is the exact
       exists-any-sequence semantics (ClickHouse windowFunnel's
       strict-order mode).
     * ``per_step_window=True``: the ``within`` budget applies between
       CONSECUTIVE steps (step k within ``within`` of step k-1)
-      instead of one global budget from the anchor.
+      instead of one global budget from the anchor.  NOTE: combined
+      with either mode this keeps the GREEDY earliest-event walk — an
+      attribution choice, not exists-any-sequence (a later step-k
+      event would extend step k+1's window, which greedy min() never
+      picks); exact per-step-window reachability would need per-user
+      event-list search, not a join chain.
 
     Plan shape at 100 TB: one filtered scan per step, each stage a
     user-keyed hash join + min aggregate against the (shrinking)

@@ -662,6 +662,12 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # --- <member>.Children (raw-MDX axis idiom; Mondrian accepts via
     # --- reference api.rb:21-50): drill the member's CHILD level,
     # --- sliced to the member — catalog-aware, hence resolved here ---
+    # implicit member slices that DEFINE an idiom axis's member set
+    # (.Children/.Siblings/OPENINGPERIOD): recorded per axis index so
+    # dense mode restricts THAT axis's member frame (a WHERE cut, by
+    # contrast, constrains facts and leaves dense axes full)
+    axis_cuts: list[tuple[int, ResolvedCut]] = []
+
     for ch in qm.children_of:
         segs = parse_segments(ch)
         if len(segs) < 3:
@@ -677,7 +683,9 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         child = hier.levels[idx + 1]
         gl = list(hier.levels[: idx + 2]) if qm.parents else [child]
         drills.append(ResolvedDrill(dim, hier, child, gl))
-        cuts.append(_resolve_cut(cube, parse_cut(ch, ns_names)))
+        rc = _resolve_cut(cube, parse_cut(ch, ns_names))
+        cuts.append(rc)
+        axis_cuts.append((len(drills) - 1, rc))
 
     # --- <member>.Siblings (raw-MDX member navigation): children of
     # --- the member's parent = drill the member's OWN level + cut to
@@ -714,7 +722,9 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 if not rows else f"{sb!r}: parent is ambiguous")
         cut_str = ".".join(f"[{s}]" for s in
                            segs[:-2] + [parent.name, f"&{rows[0][0]}"])
-        cuts.append(_resolve_cut(cube, parse_cut(cut_str, ns_names)))
+        rc = _resolve_cut(cube, parse_cut(cut_str, ns_names))
+        cuts.append(rc)
+        axis_cuts.append((len(drills) - 1, rc))
 
     # --- <member>.FirstChild / .LastChild (raw-MDX member navigation):
     # --- drill the CHILD level sliced to the member AND the edge child
@@ -784,12 +794,16 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         # cut to the member (like .Children) AND each walked level's
         # key — the chain stays correct even when keys repeat per
         # parent (quarter 1-4 every year)
-        cuts.append(_resolve_cut(cube, parse_cut(ec_path, ns_names)))
+        rc = _resolve_cut(cube, parse_cut(ec_path, ns_names))
+        cuts.append(rc)
+        axis_cuts.append((len(drills) - 1, rc))
         for lv in chain[1:]:
             cut_str = ".".join(
                 f"[{s}]" for s in
                 segs[:-2] + [lv.name, f"&{row[lv.key_alias]}"])
-            cuts.append(_resolve_cut(cube, parse_cut(cut_str, ns_names)))
+            rc = _resolve_cut(cube, parse_cut(cut_str, ns_names))
+            cuts.append(rc)
+            axis_cuts.append((len(drills) - 1, rc))
 
     # --- <member>.Parent (raw-MDX axis idiom): drill the PARENT level
     # --- sliced to the member's parent, looked up on the DIM side
@@ -1126,10 +1140,11 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             if dim.dim_pk not in _all_aliases(level_list):
                 base = base.drop(dim.dim_pk)
 
-    # empty set algebra (EXCEPT/INTERSECT -> {}): zero-row axis with
-    # the full schema; Catalyst folds filter(false) to an empty
-    # relation, so no scan runs
-    if qm.empty_set:
+    # empty set algebra (EXCEPT/INTERSECT -> {}): zero fact rows;
+    # Catalyst folds filter(false) to an empty relation, so no scan
+    # runs.  An empty AXIS set also suppresses dense fill below; an
+    # empty SLICER only empties the cells.
+    if qm.empty_set or qm.empty_slicer:
         base = base.filter(F.lit(False))
 
     # --- cuts: predicates + named-set semi-joins (pre-aggregation) ---
@@ -1178,7 +1193,8 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         out = _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts,
                        needed_props, caption_overrides, out, group_cols,
                        [m.alias for m in base_measures]
-                       + [c.alias for c, _, _ in set_aggs])
+                       + [c.alias for c, _, _ in set_aggs],
+                       axis_cuts=axis_cuts)
 
     # --- calculated members (post-agg, reference foodmart.xml:345-366) ---
     for c in calcs:
@@ -1473,38 +1489,67 @@ def _order_column(cube: Cube, order: str, group_cols: list[str]) -> str:
 
 def members_frame(spark: SparkSession, sf_dir: str, cube: Cube, rd: ResolvedDrill,
                   props: list | None = None,
-                  caption_overrides: dict | None = None) -> DataFrame:
+                  caption_overrides: dict | None = None,
+                  restrict: list | None = None) -> DataFrame:
     """Distinct member tuples of a drill's group levels — the axis member
     set used for dense axes and the members metadata endpoints
-    (reference mondrian_ext.rb:125-146; SELECT DISTINCT over dim table)."""
+    (reference mondrian_ext.rb:125-146; SELECT DISTINCT over dim table).
+
+    ``restrict``: ResolvedCuts that DEFINE the member set (a
+    .Children/.Siblings/OPENINGPERIOD implicit member slice): their
+    levels join the build so the predicates apply even when coarser
+    than the drilled levels, then the frame projects back to the
+    drilled columns.  Distinct from WHERE cuts, which constrain FACTS
+    and leave a dense axis full (null cells)."""
     dim = rd.dimension
+    extra = [rc for rc in restrict or []
+             if rc.level.name not in {lv.name for lv in rd.group_levels}]
+    lvl_map = {lv.name: lv for lv in rd.group_levels}
+    for rc in extra:
+        lvl_map[rc.level.name] = rc.level
+    build_levels = _hier_ordered(dim, lvl_map)
+    out_cols = [a for lv in rd.group_levels for _, a in lv.out_cols()]
+    out_cols += [p.alias for p in props or []]
     if dim.is_degenerate:
         base = load_table(spark, sf_dir, cube.fact)
         for b in ([cube.bridge(dim.bridge)] if dim.bridge else []):
             bt = load_table(spark, sf_dir, b.table).select(b.bridge_key, *b.provides)
             base = base.join(bt, F.col(b.fact_key) == F.col(b.bridge_key), "inner")
-        for lv in rd.group_levels:
+        for lv in build_levels:
             base = _with_level_cols(base, lv,
                                     (caption_overrides or {}).get((dim.name, lv.name)))
-        cols = [a for lv in rd.group_levels for _, a in lv.out_cols()]
-        cols += [p.alias for p in props or []]
-        return base.select(*cols).distinct()
-    dsel = _dim_select(spark, sf_dir, dim, rd.group_levels, props or [],
+        for rc in restrict or []:
+            base = base.filter(_cut_predicate(rc))
+        return base.select(*out_cols).distinct()
+    dsel = _dim_select(spark, sf_dir, dim, build_levels, props or [],
                        caption_overrides or {})
+    for rc in restrict or []:
+        dsel = dsel.filter(_cut_predicate(rc))
+    if restrict:
+        return dsel.select(*out_cols).distinct()
     return dsel.drop(dim.dim_pk).distinct() if dim.dim_pk not in _all_aliases(
         rd.group_levels) else dsel.distinct()
 
 
 def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
-             caption_overrides, agg, group_cols, measure_aliases) -> DataFrame:
+             caption_overrides, agg, group_cols, measure_aliases,
+             axis_cuts=None) -> DataFrame:
     """Dense axes: cross-join each drill's member frame, left-join the
     aggregate; empty cells stay null (reference webshop_1.csv golden,
-    SURVEY §7.5.1).  Combinatorial by design — opt-in."""
+    SURVEY §7.5.1).  Combinatorial by design — opt-in.
+
+    ``axis_cuts``: [(axis index, ResolvedCut)] — implicit member
+    slices that DEFINE an idiom axis's member set (.Children/
+    .Siblings/OPENINGPERIOD): they restrict that axis's member frame
+    even at a coarser level, unlike WHERE cuts which constrain facts
+    and leave dense axes full."""
     axis_frames = []
     join_keys: list[str] = []
-    for rd in drills:
+    for ai, rd in enumerate(drills):
+        own = [rc for i, rc in (axis_cuts or []) if i == ai]
         mf = members_frame(spark, sf_dir, cube, rd,
-                           needed_props.get(rd.dimension.name, []), caption_overrides)
+                           needed_props.get(rd.dimension.name, []),
+                           caption_overrides, restrict=own or None)
         for rc in pred_cuts:
             if rc.dimension.name == rd.dimension.name and \
                     rc.level.key_alias in mf.columns:
@@ -1855,7 +1900,8 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                          nonempty=True, parents=qm.parents,
                          properties=list(qm.properties),
                          caption=list(qm.caption),
-                         empty_set=qm.empty_set)
+                         empty_set=qm.empty_set,
+                         empty_slicer=qm.empty_slicer)
         df = _aggregate_cube(spark, sf_dir, cube, sub)
         maliases = [_measure_alias(cube, m) for m in own_names]
         gcols = [c for c in df.columns if c not in maliases]

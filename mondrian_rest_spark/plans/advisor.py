@@ -75,9 +75,33 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
             or qm.member_lags or qm.with_members or qm.with_sets
             or qm.edge_child_of or getattr(qm, "siblings_of", [])
             or qm.tail is not None
-            or qm.top_percent is not None or getattr(qm, "empty_set", False)):
+            or qm.top_percent is not None or getattr(qm, "empty_set", False)
+            or getattr(qm, "empty_slicer", False)):
         return None
+    # routability must consider the HIDDEN measures HAVING/ORDER pull
+    # in too (mirrors RollupManager._measure_names): a log entry whose
+    # filter references a calc member routes to base no matter the
+    # grain, so counting it would advise dead storage
     names = list(qm.measures) or [cube.default_measure.name]
+    from ..parser import parse_measure_filter
+    from ..planner import _tmpl_refs
+    for fs in qm.filter:
+        try:
+            names.append(parse_measure_filter(fs).measure)
+        except Exception:
+            return None
+    for tmpl in getattr(qm, "filter_exprs", []):
+        names += _tmpl_refs(tmpl)
+    if qm.order and "." not in qm.order:
+        # an order key may also be an axis COLUMN (routable without
+        # aggregation); only a resolvable measure/calc joins the check
+        if cube.calc_member(qm.order) is not None:
+            return None
+        try:
+            cube.measure(qm.order)
+            names.append(qm.order)
+        except KeyError:
+            pass
     for n in names:
         if cube.calc_member(n) is not None:
             return None

@@ -384,7 +384,8 @@ class RollupManager:
                 or qm.member_lags or qm.with_members or qm.with_sets
                 or qm.edge_child_of or qm.siblings_of
                 or qm.tail is not None
-                or qm.top_percent is not None or qm.empty_set):
+                or qm.top_percent is not None or qm.empty_set
+                or qm.empty_slicer):
             return None
         try:
             names = self._measure_names(qm)
@@ -428,7 +429,13 @@ class RollupManager:
         """Answer the query from the rollup with full post-aggregation
         parity: HAVING / sparse / distinct / ORDER (+ key tie-breaks) /
         OFFSET / LIMIT behave exactly as the planner's base path, so a
-        routed query is indistinguishable from an unrouted one."""
+        routed query is indistinguishable from an unrouted one — with
+        ONE declared exception: approx_count_distinct routes through
+        the persisted Datasketches sketches, whose estimate is within
+        the same declared tolerance of the exact count but not
+        bit-identical to the base path's single-pass HLL++ estimate
+        (both are approximations by contract; exact distinct never
+        routes)."""
         requested = list(qm.measures) or [self.cube.default_measure.name]
         base_measures, _, final_aliases = _split_measures(
             self.cube, self._measure_names(qm))
@@ -448,9 +455,11 @@ class RollupManager:
         aggs = []
         for m in base_measures:
             if m.agg == "approx_count_distinct":
-                # merge the persisted partial sketches, then estimate —
-                # exactly what the base path's single-pass sketch
-                # computes, at O(rollup rows) instead of O(fact)
+                # merge the persisted partial sketches, then estimate:
+                # O(rollup rows) instead of O(fact).  Same declared
+                # tolerance as the base path's HLL++ estimate, not the
+                # same bits (different sketch families — see the
+                # _reaggregate docstring)
                 col = F.hll_sketch_estimate(
                     F.hll_union_agg(F.col(m.alias + _HLL_SUFFIX)))
                 aggs.append(col.alias(m.alias))

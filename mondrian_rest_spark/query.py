@@ -86,7 +86,11 @@ class QueryModel:
     # incl. self; top-level members -> all members of the level)
     siblings_of: list = field(default_factory=list)
     # EXCEPT/INTERSECT set algebra that evaluated to the EMPTY member
-    # set (valid Mondrian result, not an error): the plan keeps the
-    # axis schema but slices to zero fact rows (always-false filter,
-    # folded by Catalyst to an empty relation — no scan)
+    # set (valid Mondrian result, not an error).  Two DISTINCT cases:
+    # ``empty_set`` = an AXIS set is empty -> the axis has zero tuples
+    # even in dense mode; ``empty_slicer`` = a WHERE slicer set is
+    # empty -> every cell aggregates over nothing (dense axes still
+    # enumerate their members, with null cells).  Both compile to an
+    # always-false fact filter folded by Catalyst — no scan.
     empty_set: bool = False
+    empty_slicer: bool = False

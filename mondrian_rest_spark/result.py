@@ -52,19 +52,65 @@ def shaping_ctx(cat: Catalog, qm: QueryModel) -> tuple[Cube, list[str], dict]:
 
 
 def resolved_drills(cube: Cube, qm: QueryModel) -> list[ResolvedDrill]:
+    """The axis drills the PLANNER will produce — including the levels
+    the raw-MDX member idioms (.Children/.Siblings/.Parent/
+    .FirstChild/OPENINGPERIOD/LASTPERIODS/.Lag) resolve to, in the
+    planner's exact append order, so tidy headers and the aggregation
+    JSON stay aligned with the DataFrame columns for every axis form
+    (catalog-only level math; no member lookups here)."""
+    from .parser import parse_segments
+    from .planner import _resolve_level
+
     drills = []
     ns_names = {s.name for s in cube.named_sets}
     for d in qm.drilldown:
         parsed = parse_drilldown(d, ns_names)
         if isinstance(parsed, str):
             ns = cube.named_set(parsed)
-            from .planner import _resolve_level
             dim, hier, level = _resolve_level(cube, ns.dimension, None, ns.level)
             idx = hier.level_index(level.name)
             gl = list(hier.levels[: idx + 1]) if qm.parents else [level]
             drills.append(ResolvedDrill(dim, hier, level, gl))
         else:
             drills.append(_resolve_drill(cube, parsed, qm.parents))
+
+    def _member_level(path: str):
+        segs = parse_segments(path)
+        hier_name = segs[1] if len(segs) == 4 else None
+        return _resolve_level(cube, segs[0], hier_name, segs[-2])
+
+    def _append(dim, hier, level, shift: int) -> None:
+        idx = hier.level_index(level.name) + shift
+        idx = max(0, min(idx, len(hier.levels) - 1))
+        target = hier.levels[idx]
+        gl = list(hier.levels[: idx + 1]) if qm.parents else [target]
+        drills.append(ResolvedDrill(dim, hier, target, gl))
+
+    # mirror _aggregate_cube's idiom order exactly: children ->
+    # siblings -> edge-child/openingperiod -> parent -> lastperiods ->
+    # lag/lead
+    for ch in getattr(qm, "children_of", []):
+        _append(*_member_level(ch), +1)
+    for sb in getattr(qm, "siblings_of", []):
+        _append(*_member_level(sb), 0)
+    for ec in getattr(qm, "edge_child_of", []):
+        dim, hier, level = _member_level(ec[0])
+        target_name = ec[2] if len(ec) > 2 else None
+        if target_name is None:
+            _append(dim, hier, level, +1)
+        else:
+            try:
+                tgt_idx = hier.level_index(target_name)
+            except KeyError:
+                tgt_idx = hier.level_index(level.name) + 1
+            _append(dim, hier, hier.levels[min(tgt_idx,
+                                               len(hier.levels) - 1)], 0)
+    for pp in getattr(qm, "parent_of", []):
+        _append(*_member_level(pp), -1)
+    for lp_path, _n in getattr(qm, "lastperiods", []):
+        _append(*_member_level(lp_path), 0)
+    for lg_path, _n in getattr(qm, "member_lags", []):
+        _append(*_member_level(lg_path), 0)
     return drills
 
 

@@ -1782,3 +1782,114 @@ def test_with_member_chains_inline_members(spark, sf_dir):
                     "MEMBER [Measures].[B] AS [Measures].[Revenue] "
                     "SELECT {[Measures].[A]} ON COLUMNS FROM [Sales]"
                     ).collect()
+
+
+# --- r8 self-review fixes --------------------------------------------------
+
+def test_topcount_infix_rejects_or_filter_inner():
+    """The TOPCOUNT inline named-set branch must not silently drop an
+    inner OR-filter (filter_exprs) or empty_set — the 'simple'
+    disqualifier covers the r8 kwargs too."""
+    with pytest.raises(ParseError):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "TOPCOUNT(FILTER([Customer].[Nation].Members, "
+            "[Measures].[Revenue] > [Measures].[Quantity] "
+            "OR [Measures].[Line Count] < 200), 3, [Measures].[Revenue]) "
+            "* [Time].[Year].Members ON ROWS FROM [Sales]")
+    with pytest.raises(ParseError):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "TOPCOUNT(EXCEPT({[Customer].[Nation].[&1]}, "
+            "{[Customer].[Nation].[&1]}), 3, [Measures].[Revenue]) "
+            "* [Time].[Year].Members ON ROWS FROM [Sales]")
+
+
+def test_empty_slicer_keeps_dense_axis_full(spark, sf_dir):
+    """empty AXIS set vs empty SLICER set are distinct: a dense query
+    with an empty WHERE set keeps its full axis with null cells
+    (Mondrian dense default); an empty axis set has zero tuples."""
+    dense_slicer = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Region].Members ON ROWS FROM [Sales] "
+        "WHERE (EXCEPT({[Time].[Year].[1995]}, {[Time].[Year].[1995]}))"
+        ).collect()
+    assert len(dense_slicer) == 5
+    assert all(r[-1] is None for r in dense_slicer)
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Region].Members ON ROWS FROM [Sales] "
+        "WHERE (EXCEPT({[Time].[Year].[1995]}, {[Time].[Year].[1995]}))")
+    assert qm.empty_slicer and not qm.empty_set
+    # round-trips through the echo as a slicer, not an axis set
+    from mondrian_rest_spark.mdx import emit_mdx
+    back = compile_mdx(emit_mdx(tpch.CATALOG, qm))
+    assert back.empty_slicer and not back.empty_set
+
+    dense_axis_empty = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "EXCEPT({[Customer].[Region].[AMERICA]}, "
+        "{[Customer].[Region].[AMERICA]}) ON ROWS FROM [Sales]").collect()
+    assert dense_axis_empty == []
+    qm2 = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "EXCEPT({[Customer].[Region].[AMERICA]}, "
+        "{[Customer].[Region].[AMERICA]}) ON ROWS FROM [Sales]")
+    back2 = compile_mdx(emit_mdx(tpch.CATALOG, qm2))
+    assert back2.empty_set and not back2.empty_slicer
+    assert back2.drilldown == qm2.drilldown
+
+
+def test_mixed_and_or_filter_echo_keeps_grouping(spark, sf_dir):
+    """A simple AND condition next to an OR group must re-lex with the
+    SAME grouping from the debug echo (the OR template carries its own
+    parens; emit joins conditions with AND)."""
+    from mondrian_rest_spark.mdx import emit_mdx
+    mdx = ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+           "NON EMPTY FILTER(FILTER([Customer].[Nation].Members, "
+           "[Measures].[Revenue] > 1000), [Measures].[Quantity] > 35000 "
+           "OR [Measures].[Line Count] < 200) ON ROWS FROM [Sales]")
+    qm = compile_mdx(mdx)
+    back = compile_mdx(emit_mdx(tpch.CATALOG, qm))
+    assert back.filter == qm.filter
+    assert back.filter_exprs == qm.filter_exprs
+    a = execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
+    b = execute_mdx(spark, sf_dir, tpch.CATALOG,
+                    emit_mdx(tpch.CATALOG, qm)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_dense_idiom_axes_are_restricted(spark, sf_dir):
+    """Dense mode enumerates the AXIS SET's members for the member
+    idioms (.Children = 5 children, not all 25 nations), while WHERE
+    cuts keep dense axes full (reference parity) — the axis_cuts
+    restriction in _densify."""
+    kids = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Region].[&2].Children ON ROWS FROM [Sales]"
+        ).collect()
+    assert len(kids) == 5
+    sibs = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Nation].[&3].Siblings ON ROWS FROM [Sales]"
+        ).collect()
+    assert len(sibs) == 5
+    opening = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "OPENINGPERIOD([Customer].[Customer], [Customer].[Region].[&2]) "
+        "ON ROWS FROM [Sales]").collect()
+    assert len(opening) == 1
+    # WHERE cut: dense axis stays FULL with null cells (Mondrian
+    # Members enumeration is not slicer-restricted)
+    where = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Nation].Members ON ROWS FROM [Sales] "
+        "WHERE ([Customer].[Region].[&2])").collect()
+    assert len(where) == 25
+    assert sum(1 for r in where if r[-1] is None) == 20
