@@ -430,6 +430,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY [Customer].[Nation].[&3].Siblings ON ROWS "
         "FROM [Sales]")
 
+    # ANCESTOR(member, level) (r8): the member's ancestor at ANY
+    # height — .Parent generalized; one bounded dim-side lookup
+    # (planner ancestor_of), then a drill+cut at the ancestor level
+    q["q52_mdx_ancestor"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "ANCESTOR([Customer].[Customer].[&7], [Customer].[Region]) "
+        "ON ROWS FROM [Sales]")
+
+    # .LastSibling (r8): the last child of the member's parent — two
+    # bounded dim-side lookups (parent key, then max sibling key;
+    # planner edge_sibling_of)
+    q["q53_mdx_edge_sibling"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].[&7].LastSibling ON ROWS "
+        "FROM [Sales]")
+
+    # PERIODSTODATE(level, member) (r8): the member's level from the
+    # period opening through the member — ancestor-chain cuts + a
+    # key-range cut, all pushed to the parquet scan (planner
+    # periods_to_date; YTD(m) == PERIODSTODATE(Year, m))
+    q["q54_mdx_periodstodate"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY PERIODSTODATE([Time].[Year], "
+        "[Time].[Day].[&1996-02-10]) ON ROWS FROM [Sales]"
+        ).withColumn("ship_date",
+                     F.col("ship_date").cast("timestamp"))
+
+    # TOPSUM (r8): minimal best-first prefix reaching an ABSOLUTE
+    # cumulative value — same two-window axis-sized stage as
+    # TOPPERCENT with a fixed threshold
+    q["q55_mdx_topsum"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPSUM([Customer].[Nation].Members, 100000000, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]")
+
+    # SUM(MTD(), m) (r8): month-to-date running total — cumulative
+    # window partitioned at the Month anchor, ordered by the finer
+    # drilled Day level (axis-sized window, never the fact)
+    q["q56_mdx_mtd"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH MEMBER [Measures].[MTD Rev] AS "
+        "SUM(MTD(), [Measures].[Revenue]) "
+        "SELECT {[Measures].[Revenue], [Measures].[MTD Rev]} ON COLUMNS, "
+        "NON EMPTY CROSSJOIN([Time].[Year].Members, "
+        "CROSSJOIN([Time].[Quarter].Members, "
+        "CROSSJOIN([Time].[Month].Members, [Time].[Day].Members))) "
+        "ON ROWS FROM [Sales] WHERE ([Time].[Year].[1996])"
+        ).withColumn("ship_date",
+                     F.col("ship_date").cast("timestamp"))
+
     # TOPPERCENT: the minimal best-first member prefix reaching pct%
     # of the axis total (two windows over the axis-sized aggregate)
     q["q47_mdx_toppercent"] = lambda s, d: __import__(
@@ -1408,6 +1467,68 @@ def oracle_sql() -> dict[str, str]:
                      AS rev_95_96
             FROM {J_CUST}
             GROUP BY 1, 2""",
+
+        "q52_mdx_ancestor": f"""
+            SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                   {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE r_regionkey = (SELECT n2.n_regionkey FROM customer c2
+                                 JOIN nation n2
+                                 ON c2.c_nationkey = n2.n_nationkey
+                                 WHERE c2.c_custkey = 7)
+            GROUP BY 1, 2""",
+
+        "q53_mdx_edge_sibling": f"""
+            SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE n_nationkey = (
+                SELECT max(n2.n_nationkey)
+                FROM customer c2
+                JOIN nation n2 ON c2.c_nationkey = n2.n_nationkey
+                WHERE n2.n_regionkey = (SELECT n_regionkey FROM nation
+                                        WHERE n_nationkey = 7))
+            GROUP BY 1, 2""",
+
+        "q54_mdx_periodstodate": f"""
+            SELECT CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP)
+                     AS ship_date,
+                   {REVENUE} AS revenue
+            FROM lineitem
+            WHERE year(l_shipdate) = 1996
+              AND CAST(l_shipdate AS DATE) <= DATE '1996-02-10'
+            GROUP BY 1""",
+
+        "q55_mdx_topsum": f"""
+            WITH agg AS (
+              SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2),
+            r AS (
+              SELECT *,
+                     SUM(revenue) OVER (ORDER BY revenue DESC,
+                                        cust_nation_key
+                                        ROWS UNBOUNDED PRECEDING) AS run
+              FROM agg)
+            SELECT cust_nation_key, cust_nation, revenue
+            FROM r WHERE run - revenue < 100000000""",
+
+        "q56_mdx_mtd": f"""
+            WITH agg AS (
+              SELECT CAST(year(l_shipdate) AS INTEGER) AS "year",
+                     CAST(quarter(l_shipdate) AS INTEGER) AS "quarter",
+                     CAST(month(l_shipdate) AS INTEGER) AS "month",
+                     CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP)
+                       AS ship_date,
+                     {REVENUE} AS revenue
+              FROM lineitem
+              WHERE year(l_shipdate) = 1996
+              GROUP BY 1, 2, 3, 4)
+            SELECT *, SUM(revenue) OVER (
+                        PARTITION BY "year", "quarter", "month"
+                        ORDER BY ship_date
+                        ROWS UNBOUNDED PRECEDING) AS mtd_rev
+            FROM agg""",
 
         "q47_mdx_toppercent": f"""
             WITH agg AS (

@@ -9,7 +9,7 @@ build_query emits, which covers every query the REST layer can express:
 
     [WITH [MEMBER [Measures].[X] AS <arith over [Measures] refs>
                                    | ([Measures].[M], PARALLELPERIOD([D].[L][, n]))
-                                   | SUM(YTD()|QTD(), [Measures].[M])
+                                   | SUM(YTD()|QTD()|MTD()|WTD(), [Measures].[M])
                                    | AGGREGATE|SUM|AVG|MIN|MAX|COUNT(
                                          <member|{set}|range>, [Measures].[M])]
           [SET [Name] AS TOPCOUNT|BOTTOMCOUNT([D].[L].Members, n,
@@ -30,14 +30,19 @@ build_query emits, which covers every query the REST layer can express:
                                                [Measures].[A] > 2*[Measures].[B]
            | TOPCOUNT(axis', n, [Measures].[M])
            | TOPPERCENT|BOTTOMPERCENT(axis', pct, [Measures].[M])
+           | TOPSUM|BOTTOMSUM(axis', value, [Measures].[M])
            | CROSSJOIN(axis', axis') | NONEMPTYCROSSJOIN(axis', axis')
+           | NONEMPTY(axis')
            | {set} | <member>:<member>
            | UNION|EXCEPT|INTERSECT(mset, mset)
            | <path>.Members
            | <member>.Children | <member>.Parent | HIERARCHIZE(axis')
            | <member>.FirstChild | <member>.LastChild
+           | <member>.Siblings | <member>.FirstSibling | <member>.LastSibling
            | <member>.Lag(n) | <member>.Lead(n) | LASTPERIODS(n, <member>)
            | OPENINGPERIOD|CLOSINGPERIOD(<level path>, <member>)
+           | ANCESTOR(<member>, <level path>)
+           | PERIODSTODATE(<level path>, <member>)
            | DESCENDANTS(<member>, <level path>) | [Named Set]
     mset := {<member>,...} | <member>
           | UNION|EXCEPT|INTERSECT(mset, mset)
@@ -140,7 +145,9 @@ class MdxQuery:
                                     with_members=[], with_sets=[],
                                     children_of=[], parent_of=[],
                                     lastperiods=[], member_lags=[],
-                                    edge_child_of=[], siblings_of=[])
+                                    edge_child_of=[], siblings_of=[],
+                                    ancestor_of=[], edge_sibling_of=[],
+                                    periods_to_date=[])
 
 
 def _merge_sub(q: MdxQuery, sub: MdxQuery) -> None:
@@ -279,10 +286,12 @@ def _guard_nesting(fn: str, kwargs: dict, incompatible: tuple) -> None:
 # combinations (e.g. ORDER over FILTER, TAIL over SUBSET, HEAD over a
 # bare SUBSET offset) stay legal.
 _NESTING_CONFLICTS = {
-    "FILTER": ("top_percent", "offset", "limit", "tail"),
-    "DISTINCT": ("top_percent", "offset", "limit", "tail"),
-    "TOPPERCENT": ("top_percent", "offset", "limit", "tail"),
-    "BOTTOMPERCENT": ("top_percent", "offset", "limit", "tail"),
+    "FILTER": ("top_percent", "top_sum", "offset", "limit", "tail"),
+    "DISTINCT": ("top_percent", "top_sum", "offset", "limit", "tail"),
+    "TOPPERCENT": ("top_percent", "top_sum", "offset", "limit", "tail"),
+    "BOTTOMPERCENT": ("top_percent", "top_sum", "offset", "limit", "tail"),
+    "TOPSUM": ("top_percent", "top_sum", "offset", "limit", "tail"),
+    "BOTTOMSUM": ("top_percent", "top_sum", "offset", "limit", "tail"),
     "ORDER": ("order", "offset", "limit", "tail"),
     "SUBSET": ("offset", "limit", "tail"),
     "HEAD": ("limit", "tail"),
@@ -386,11 +395,38 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
     ``infix_hint`` marks a term appearing to the right of ``*`` —
     a simple TOPCOUNT there compiles to an inline named set instead."""
     t = p.peek_upper()
-    if t in ("DISTINCT", "SUBSET", "ORDER", "FILTER", "TOPCOUNT", "CROSSJOIN",
-             "HEAD", "TAIL", "NONEMPTYCROSSJOIN", "TOPPERCENT",
-             "BOTTOMPERCENT"):
+    if t == "NONEMPTY":
+        # NONEMPTY(set) function form == the NON EMPTY axis prefix:
+        # restrict the set to tuples with data (Mondrian NonEmpty with
+        # the implicit current-context measures)
         p.next()
         p.expect("(")
+        _crossjoin_operand(p, q)
+        p.expect(")")
+        q.qm_kwargs["nonempty"] = True
+        return False
+    if t in ("DISTINCT", "SUBSET", "ORDER", "FILTER", "TOPCOUNT", "CROSSJOIN",
+             "HEAD", "TAIL", "NONEMPTYCROSSJOIN", "TOPPERCENT",
+             "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM"):
+        p.next()
+        p.expect("(")
+        if t in ("TOPSUM", "BOTTOMSUM"):
+            # minimal best-first prefix whose cumulative measure
+            # reaches the ABSOLUTE value (TOPPERCENT's sibling)
+            _axis_expr(p, q)
+            _guard_nesting(t, q.qm_kwargs, _NESTING_CONFLICTS[t])
+            p.expect(",")
+            tok = p.next()
+            try:
+                val = float(tok)
+            except ValueError:
+                raise ParseError(
+                    f"{t} value must be numeric, got {tok!r}")
+            p.expect(",")
+            q.qm_kwargs["top_sum"] = (val, _measure_ref(p),
+                                      t == "BOTTOMSUM")
+            p.expect(")")
+            return True
         if t in ("TOPPERCENT", "BOTTOMPERCENT"):
             # minimal best-first prefix reaching pct% of the set total
             _axis_expr(p, q)
@@ -541,6 +577,58 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
         q.qm_kwargs["edge_child_of"].append(
             (_path_str(member), t == "CLOSINGPERIOD", level_path[-1]))
         return False
+    if t == "ANCESTOR":
+        # ANCESTOR(member, level): the member's ancestor at the level
+        # (generalizes .Parent to any height); resolved as a bounded
+        # dim-side lookup at plan time (QueryModel.ancestor_of)
+        p.next()
+        p.expect("(")
+        member = _path(p)
+        if len(member) < 3:
+            raise ParseError(
+                f"ANCESTOR member needs [Dim].[Level].[member], got "
+                f"{_path_str(member)}")
+        p.expect(",")
+        level_path = _path(p)
+        if len(level_path) < 2:
+            raise ParseError(
+                f"ANCESTOR level must be [Dim].[Level], got "
+                f"{_path_str(level_path)}")
+        p.expect(")")
+        if level_path[0].lower() != member[0].lower():
+            raise ParseError(
+                f"ANCESTOR: level dimension {level_path[0]!r} does not "
+                f"match member dimension {member[0]!r}")
+        q.qm_kwargs["ancestor_of"].append(
+            (_path_str(member), level_path[-1]))
+        return False
+    if t == "PERIODSTODATE":
+        # PERIODSTODATE(level, member): all members of the member's
+        # level from the opening of its ancestor period at the level
+        # through the member itself (YTD(m) == PERIODSTODATE(Year, m));
+        # resolved as bounded lookups + a key-range cut at plan time
+        # (QueryModel.periods_to_date)
+        p.next()
+        p.expect("(")
+        level_path = _path(p)
+        if len(level_path) < 2:
+            raise ParseError(
+                f"PERIODSTODATE level must be [Dim].[Level], got "
+                f"{_path_str(level_path)}")
+        p.expect(",")
+        member = _path(p)
+        p.expect(")")
+        if len(member) < 3:
+            raise ParseError(
+                f"PERIODSTODATE member needs [Dim].[Level].[member], "
+                f"got {_path_str(member)}")
+        if level_path[0].lower() != member[0].lower():
+            raise ParseError(
+                f"PERIODSTODATE: level dimension {level_path[0]!r} does "
+                f"not match member dimension {member[0]!r}")
+        q.qm_kwargs["periods_to_date"].append(
+            (level_path[-1], _path_str(member)))
+        return False
     if t == "HIERARCHIZE":
         # HIERARCHIZE(set): hierarchical member order — which is this
         # engine's DEFAULT axis order (root-level keys outermost, asc;
@@ -635,6 +723,19 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             q.qm_kwargs["edge_child_of"].append(
                 (_path_str(segs), w == "LASTCHILD"))
             return False
+        if w in ("FIRSTSIBLING", "LASTSIBLING"):
+            # Mondrian member navigation: the first/last child of the
+            # member's parent (a top-level member's FirstSibling is the
+            # level's first member) — dim-side bounded lookup at plan
+            # time (QueryModel.edge_sibling_of)
+            label = "FirstSibling" if w == "FIRSTSIBLING" else "LastSibling"
+            if len(segs) < 3:
+                raise ParseError(
+                    f".{label} needs [Dim].[Level].[member], got "
+                    f"{_path_str(segs)}")
+            q.qm_kwargs["edge_sibling_of"].append(
+                (_path_str(segs), w == "LASTSIBLING"))
+            return False
         if w in ("LAG", "LEAD"):
             # <member>.Lag(n)/.Lead(n): the member shifted n positions
             # along the level's member order (QueryModel.member_lags;
@@ -658,8 +759,8 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             return False
         raise ParseError(
             f"expected .Members, .Children, .Parent, .Siblings, "
-            f".FirstChild, .LastChild, .Lag or .Lead after "
-            f"{_path_str(segs)}, got .{w}")
+            f".FirstChild, .LastChild, .FirstSibling, .LastSibling, "
+            f".Lag or .Lead after {_path_str(segs)}, got .{w}")
     if len(segs) == 1:
         q.qm_kwargs["drilldown"].append(segs[0])  # named set shortcut
         return False
@@ -906,15 +1007,17 @@ def _parallelperiod_tuple(p: _P) -> str:
 
 
 def _ytd_call(p: _P) -> str:
-    """SUM(YTD()|QTD(), [Measures].[M]) — Mondrian's to-date running
-    totals (the classic time-intelligence idioms).  Compiles to a
-    ``{ytd:M}`` / ``{qtd:M}`` template the planner maps onto a
-    cumulative window within the anchor time level (year / quarter)."""
+    """SUM(YTD()|QTD()|MTD()|WTD(), [Measures].[M]) — Mondrian's
+    to-date running totals (the classic time-intelligence idioms).
+    Compiles to a ``{ytd:M}``-style template the planner maps onto a
+    cumulative window within the anchor time level (year / quarter /
+    month / week)."""
     p.expect("SUM")
     p.expect("(")
     fn = p.next().upper()
-    if fn not in ("YTD", "QTD"):
-        raise ParseError(f"expected YTD() or QTD(), got {fn!r}")
+    if fn not in ("YTD", "QTD", "MTD", "WTD"):
+        raise ParseError(f"expected YTD(), QTD(), MTD() or WTD(), "
+                         f"got {fn!r}")
     p.expect("(")
     p.expect(")")
     p.expect(",")
@@ -1123,7 +1226,7 @@ def _emit_formula(tmpl: str) -> str:
         name, lvl, n = lag.groups()
         lvlb = ".".join(f"[{s}]" for s in lvl.split("."))
         return f"([Measures].[{name}], PARALLELPERIOD({lvlb}, {n}))"
-    ytd = re.fullmatch(r"\{(ytd|qtd):([^}]+)\}", tmpl)
+    ytd = re.fullmatch(r"\{(ytd|qtd|mtd|wtd):([^}]+)\}", tmpl)
     if ytd:
         return (f"SUM({ytd.group(1).upper()}(), "
                 f"[Measures].[{ytd.group(2)}])")
@@ -1199,6 +1302,20 @@ def emit_mdx(cat: Catalog, qm) -> str:
             dim_seg = parse_segments(ec_path)[0]
             fn = "CLOSINGPERIOD" if last else "OPENINGPERIOD"
             sets.append(f"{fn}([{dim_seg}].[{target}], {member})")
+    for sb_path, last in getattr(qm, "edge_sibling_of", []):
+        from .parser import parse_segments
+        sets.append(_path_str(parse_segments(sb_path)) +
+                    (".LastSibling" if last else ".FirstSibling"))
+    for anc_path, target in getattr(qm, "ancestor_of", []):
+        from .parser import parse_segments
+        dim_seg = parse_segments(anc_path)[0]
+        member = _path_str(parse_segments(anc_path))
+        sets.append(f"ANCESTOR({member}, [{dim_seg}].[{target}])")
+    for anchor, m_path in getattr(qm, "periods_to_date", []):
+        from .parser import parse_segments
+        dim_seg = parse_segments(m_path)[0]
+        member = _path_str(parse_segments(m_path))
+        sets.append(f"PERIODSTODATE([{dim_seg}].[{anchor}], {member})")
 
     if getattr(qm, "empty_set", False):
         # axis-empty echo: re-express ONE drilldown as EXCEPT of a
@@ -1238,6 +1355,11 @@ def emit_mdx(cat: Catalog, qm) -> str:
             fn = "BOTTOMPERCENT" if asc else "TOPPERCENT"
             pct_s = str(int(pct)) if float(pct).is_integer() else str(pct)
             axis = f"{fn}({axis}, {pct_s}, [Measures].[{m}])"
+        if getattr(qm, "top_sum", None) is not None:
+            val, m, asc = qm.top_sum
+            fn = "BOTTOMSUM" if asc else "TOPSUM"
+            val_s = str(int(val)) if float(val).is_integer() else str(val)
+            axis = f"{fn}({axis}, {val_s}, [Measures].[{m}])"
         if qm.order:
             if "." not in qm.order:
                 okey = f"[Measures].[{qm.order}]"

@@ -311,16 +311,22 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
             raise ParseError(
                 ".Lag/.Lead axis sets are not supported on virtual cubes "
                 "(member key windows are fact-dependent; see LASTPERIODS)")
-        if qm.top_percent is not None or qm.tail is not None:
-            # the drill-across join path has no TOPPERCENT/TAIL stage;
-            # silently dropping them would be a wrong answer
+        if (qm.top_percent is not None or qm.top_sum is not None
+                or qm.tail is not None):
+            # the drill-across join path has no TOPPERCENT/TOPSUM/TAIL
+            # stage; silently dropping them would be a wrong answer
             raise ParseError(
-                "TOPPERCENT/BOTTOMPERCENT/TAIL are not supported on "
-                "virtual cubes in this MDX subset")
-        if qm.siblings_of:
+                "TOPPERCENT/BOTTOMPERCENT/TOPSUM/BOTTOMSUM/TAIL are "
+                "not supported on virtual cubes in this MDX subset")
+        if qm.siblings_of or qm.edge_sibling_of:
             raise ParseError(
-                ".Siblings is not supported on virtual cubes in this "
-                "MDX subset; query the base cube")
+                ".Siblings/.FirstSibling/.LastSibling are not supported "
+                "on virtual cubes in this MDX subset; query the base "
+                "cube")
+        if qm.ancestor_of or qm.periods_to_date:
+            raise ParseError(
+                "ANCESTOR/PERIODSTODATE are not supported on virtual "
+                "cubes in this MDX subset; query the base cube")
         if qm.children_of or qm.parent_of or qm.edge_child_of:
             qm = _virtualize_idioms(spark, sf_dir, cat, qm)
         return _aggregate_virtual(spark, sf_dir, cat, qm)
@@ -434,22 +440,25 @@ def _inline_calcs(cube: Cube, with_members) -> Cube:
                 name, alias, lag_of=measure_alias(ref), lag_dim=dim.name,
                 lag_n=int(lag_n), lag_level=lag_level))
             continue
-        ytd = re.fullmatch(r"\{(ytd|qtd):([^}]+)\}", tmpl)
+        ytd = re.fullmatch(r"\{(ytd|qtd|mtd|wtd):([^}]+)\}", tmpl)
         if ytd:
-            # SUM(YTD()|QTD(), m): running total along the cube's time
-            # dimension (reference analog: Mondrian's Ytd()/Qtd() over
-            # the TimeDimension, foodmart.xml:49 type="TimeDimension").
-            # QTD anchors at the Quarter level by name.
+            # SUM(YTD()|QTD()|MTD()|WTD(), m): running total along the
+            # cube's time dimension (reference analog: Mondrian's
+            # Ytd()/Qtd()/Mtd()/Wtd() over the TimeDimension,
+            # foodmart.xml:49 type="TimeDimension").  QTD/MTD/WTD
+            # anchor at the Quarter/Month/Week level by name (the
+            # anchor-level-present check happens at window build).
             tdims = [d for d in cube.dimensions if d.time_dimension]
             if not tdims:
                 raise ParseError(
                     f"WITH MEMBER {name!r}: SUM({ytd.group(1).upper()}"
                     f"(), ...) needs a time dimension on cube "
                     f"{cube.name!r}")
+            anchor = {"ytd": None, "qtd": "Quarter", "mtd": "Month",
+                      "wtd": "Week"}[ytd.group(1)]
             new.append(CalculatedMember(
                 name, alias, run_of=measure_alias(ytd.group(2)),
-                run_dim=tdims[0].name,
-                run_anchor="Quarter" if ytd.group(1) == "qtd" else None))
+                run_dim=tdims[0].name, run_anchor=anchor))
             continue
         sa = re.fullmatch(r"\{setagg:([a-z]+):([^:]+):(.+)\}", tmpl,
                           re.DOTALL)
@@ -726,6 +735,70 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         cuts.append(rc)
         axis_cuts.append((len(drills) - 1, rc))
 
+    # --- <member>.FirstSibling / .LastSibling (raw-MDX member
+    # --- navigation): the first/last child of the member's parent in
+    # --- level key order (a top-level member's FirstSibling = the
+    # --- level's first member) — drill the member's OWN level + cut to
+    # --- the edge sibling's key, via bounded dim-side lookups ---
+    for sb_path, want_last in qm.edge_sibling_of:
+        label = ".LastSibling" if want_last else ".FirstSibling"
+        segs = parse_segments(sb_path)
+        if len(segs) < 3:
+            raise ParseError(
+                f"{label} needs [Dim].[Level].[member], got {sb_path!r}")
+        hier_name = segs[1] if len(segs) == 4 else None
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        if dim.is_degenerate:
+            # consistent with .Siblings: degenerate member keys repeat
+            # per parent, so "the member's parent" is ambiguous
+            raise ParseError(
+                f"{sb_path!r}{label}: not supported on degenerate "
+                f"dimension {dim.name!r} (member keys repeat per parent)")
+        idx = hier.level_index(level.name)
+        gl = list(hier.levels[: idx + 1]) if qm.parents else [level]
+        drills.append(ResolvedDrill(dim, hier, level, gl))
+        edge_order = (F.desc(level.key_alias) if want_last
+                      else F.asc(level.key_alias))
+        if idx == 0:
+            # root level: the level's overall first/last member
+            rows = (_dim_select(spark, sf_dir, dim, [level])
+                    .select(level.key_alias).distinct()
+                    .orderBy(edge_order).limit(1).collect())
+            if not rows:
+                raise ParseError(f"{sb_path!r}{label}: level "
+                                 f"{level.name!r} has no members")
+            cut_str = ".".join(f"[{s}]" for s in
+                               segs[:-1] + [f"&{rows[0][0]}"])
+            rc = _resolve_cut(cube, parse_cut(cut_str, ns_names))
+            cuts.append(rc)
+            axis_cuts.append((len(drills) - 1, rc))
+            continue
+        parent = hier.levels[idx - 1]
+        raw = segs[-1]
+        use_caption = (not raw.startswith("&") and level.caption
+                       and level.caption_alias
+                       and level.caption_alias != level.key_alias)
+        match_col = level.caption_alias if use_caption else level.key_alias
+        prows = (_dim_select(spark, sf_dir, dim, [parent, level])
+                 .filter(F.col(match_col) == F.lit(_coerce(raw.lstrip("&"))))
+                 .select(parent.key_alias).distinct().limit(2).collect())
+        if len(prows) != 1:
+            raise ParseError(
+                f"{sb_path!r}{label}: member not found"
+                if not prows else f"{sb_path!r}{label}: parent is "
+                "ambiguous")
+        srows = (_dim_select(spark, sf_dir, dim, [parent, level])
+                 .filter(F.col(parent.key_alias) == F.lit(prows[0][0]))
+                 .select(level.key_alias).distinct()
+                 .orderBy(edge_order).limit(1).collect())
+        # the parent came from the member, so it has >=1 child
+        for lv, key in ((parent, prows[0][0]), (level, srows[0][0])):
+            cut_str = ".".join(f"[{s}]" for s in
+                               segs[:-2] + [lv.name, f"&{key}"])
+            rc = _resolve_cut(cube, parse_cut(cut_str, ns_names))
+            cuts.append(rc)
+            axis_cuts.append((len(drills) - 1, rc))
+
     # --- <member>.FirstChild / .LastChild (raw-MDX member navigation):
     # --- drill the CHILD level sliced to the member AND the edge child
     # --- key (min/max under the member — one dim-sized aggregate,
@@ -847,6 +920,84 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                            segs[:-2] + [parent.name, f"&{rows[0][0]}"])
         cuts.append(_resolve_cut(cube, parse_cut(cut_str, ns_names)))
 
+    # --- ANCESTOR(<member>, <level>) (raw-MDX axis idiom): drill the
+    # --- ANCESTOR level sliced to the member's ancestor — .Parent
+    # --- generalized to any height.  Dim-backed dims: one bounded
+    # --- dim-side lookup.  Degenerate dims: allowed when the member
+    # --- level's keys are globally unique (Day dates), where the
+    # --- fact-derived lookup is memoized like LASTPERIODS windows;
+    # --- repeating-key levels 400 (the member reference is ambiguous).
+    for anc_path, target_name in qm.ancestor_of:
+        segs = parse_segments(anc_path)
+        if len(segs) < 3:
+            raise ParseError(
+                f"ANCESTOR needs [Dim].[Level].[member], got {anc_path!r}")
+        hier_name = segs[1] if len(segs) == 4 else None
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        idx = hier.level_index(level.name)
+        try:
+            tgt_idx = hier.level_index(target_name)
+        except (KeyError, ValueError):
+            raise ParseError(
+                f"ANCESTOR: hierarchy {hier.name!r} has no level "
+                f"{target_name!r}")
+        if tgt_idx > idx:
+            raise ParseError(
+                f"ANCESTOR: level {target_name!r} must be AT or ABOVE "
+                f"the member's level {level.name!r}")
+        if tgt_idx == idx:
+            # Mondrian: Ancestor(m, m.Level) is the member itself
+            gl = list(hier.levels[: idx + 1]) if qm.parents else [level]
+            drills.append(ResolvedDrill(dim, hier, level, gl))
+            rc = _resolve_cut(cube, parse_cut(anc_path, ns_names))
+            cuts.append(rc)
+            axis_cuts.append((len(drills) - 1, rc))
+            continue
+        if dim.is_degenerate and _degenerate_keys_repeat(
+                spark, sf_dir, cube, dim, hier, level):
+            raise ParseError(
+                f"ANCESTOR: not supported on level {level.name!r} of "
+                f"degenerate dimension {dim.name!r} (member keys repeat "
+                f"per parent, so the member reference is ambiguous)")
+        target = hier.levels[tgt_idx]
+        raw = segs[-1]
+        use_caption = (not raw.startswith("&") and level.caption
+                       and level.caption_alias
+                       and level.caption_alias != level.key_alias)
+        match_col = level.caption_alias if use_caption else level.key_alias
+        ck = (spark.sparkContext.applicationId, sf_dir, cube.name,
+              dim.name, level.name, repr(raw), target_name, "ancestor")
+        keys = _LASTPERIODS_KEYS.get(ck)
+        if keys is None:
+            if dim.is_degenerate:
+                exprs = {target.key_alias: target.key,
+                         level.key_alias: level.key}
+                if use_caption:
+                    exprs[level.caption_alias] = level.caption
+                keys_src = load_table(spark, sf_dir, cube.fact).select(
+                    *[F.expr(e).alias(a) for a, e in exprs.items()])
+            else:
+                keys_src = _dim_select(spark, sf_dir, dim, [target, level])
+            keys = [r[0] for r in
+                    (keys_src
+                     .filter(F.col(match_col)
+                             == F.lit(_coerce(raw.lstrip("&"))))
+                     .select(target.key_alias).distinct()
+                     .limit(2).collect())]
+            _LASTPERIODS_KEYS[ck] = keys
+        if len(keys) != 1:
+            raise ParseError(
+                f"ANCESTOR({anc_path!r}): member not found"
+                if not keys else
+                f"ANCESTOR({anc_path!r}): ancestor is ambiguous")
+        gl = list(hier.levels[: tgt_idx + 1]) if qm.parents else [target]
+        drills.append(ResolvedDrill(dim, hier, target, gl))
+        cut_str = ".".join(f"[{s}]" for s in
+                           segs[:-2] + [target.name, f"&{keys[0]}"])
+        rc = _resolve_cut(cube, parse_cut(cut_str, ns_names))
+        cuts.append(rc)
+        axis_cuts.append((len(drills) - 1, rc))
+
     # --- LASTPERIODS(n, <member>) (raw-MDX axis idiom): the n level
     # --- keys ending at the member, as an IN-literal cut pushed to the
     # --- scans (same shape as named-set memoization).  Keys order by
@@ -918,6 +1069,99 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             ".".join(f"[{s}]" for s in prefix + [f"&{k}"])
             for k in keys) + "}"
         cuts.append(_resolve_cut(cube, parse_cut(cut_str, ns_names)))
+
+    # --- PERIODSTODATE(<ancestor level>, <member>) (raw-MDX axis
+    # --- idiom): all members of the member's level from the opening of
+    # --- its ancestor period through the member — drill the member's
+    # --- level + ancestor-chain cuts + a key-range cut, via bounded
+    # --- memoized lookups (degenerate time dims look up on the fact,
+    # --- cached like LASTPERIODS windows; the member's level must not
+    # --- have repeating keys, or the member reference is ambiguous) ---
+    for anchor_name, m_path in qm.periods_to_date:
+        segs = parse_segments(m_path)
+        if len(segs) < 3:
+            raise ParseError(
+                f"PERIODSTODATE needs [Dim].[Level].[member], got "
+                f"{m_path!r}")
+        hier_name = segs[1] if len(segs) == 4 else None
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        idx = hier.level_index(level.name)
+        try:
+            anchor_idx = hier.level_index(anchor_name)
+        except (KeyError, ValueError):
+            raise ParseError(
+                f"PERIODSTODATE: hierarchy {hier.name!r} has no level "
+                f"{anchor_name!r}")
+        if anchor_idx >= idx:
+            raise ParseError(
+                f"PERIODSTODATE: level {anchor_name!r} must be ABOVE "
+                f"the member's level {level.name!r}")
+        if dim.is_degenerate and _degenerate_keys_repeat(
+                spark, sf_dir, cube, dim, hier, level):
+            raise ParseError(
+                f"PERIODSTODATE: not supported on level {level.name!r} "
+                f"of degenerate dimension {dim.name!r} (member keys "
+                f"repeat per parent, so the member reference is "
+                f"ambiguous)")
+        # the anchor PERIOD is identified by its ancestor chain from
+        # the ROOT through the anchor level (anchor keys may repeat per
+        # parent: quarter 1-4 every year); the member range then runs
+        # from the period's first member through the member itself
+        chain = list(hier.levels[: anchor_idx + 1])
+        raw = segs[-1]
+        use_caption = (not raw.startswith("&") and level.caption
+                       and level.caption_alias
+                       and level.caption_alias != level.key_alias)
+        match_col = level.caption_alias if use_caption else level.key_alias
+        ck = (spark.sparkContext.applicationId, sf_dir, cube.name,
+              dim.name, level.name, repr(raw), anchor_name, "ptd")
+        cached = _LASTPERIODS_KEYS.get(ck)
+        if cached is None:
+            if dim.is_degenerate:
+                exprs = {lv.key_alias: lv.key for lv in chain}
+                exprs[level.key_alias] = level.key
+                if use_caption:
+                    exprs[level.caption_alias] = level.caption
+                keys_src = load_table(spark, sf_dir, cube.fact).select(
+                    *[F.expr(e).alias(a) for a, e in exprs.items()])
+            else:
+                keys_src = _dim_select(spark, sf_dir, dim,
+                                       chain + [level])
+            rows = (keys_src
+                    .filter(F.col(match_col)
+                            == F.lit(_coerce(raw.lstrip("&"))))
+                    .select(*[lv.key_alias for lv in chain],
+                            level.key_alias)
+                    .distinct().limit(2).collect())
+            if len(rows) != 1:
+                raise ParseError(
+                    f"PERIODSTODATE({m_path!r}): member not found"
+                    if not rows else
+                    f"PERIODSTODATE({m_path!r}): member is ambiguous")
+            row = rows[0].asDict()
+            anc_keys = [row[lv.key_alias] for lv in chain]
+            member_key = row[level.key_alias]
+            cond = F.lit(True)
+            for lv, k in zip(chain, anc_keys):
+                cond = cond & (F.col(lv.key_alias) == F.lit(k))
+            start = (keys_src.filter(cond)
+                     .agg(F.min(level.key_alias)).collect()[0][0])
+            cached = (anc_keys, member_key, start)
+            _LASTPERIODS_KEYS[ck] = cached
+        anc_keys, member_key, start = cached
+        gl = list(hier.levels[: idx + 1]) if qm.parents else [level]
+        drills.append(ResolvedDrill(dim, hier, level, gl))
+        for lv, k in zip(chain, anc_keys):
+            cut_str = ".".join(f"[{s}]" for s in
+                               segs[:-2] + [lv.name, f"&{k}"])
+            rc = _resolve_cut(cube, parse_cut(cut_str, ns_names))
+            cuts.append(rc)
+            axis_cuts.append((len(drills) - 1, rc))
+        a = ".".join(f"[{s}]" for s in segs[:-1] + [f"&{start}"])
+        b = ".".join(f"[{s}]" for s in segs[:-1] + [f"&{member_key}"])
+        rc = _resolve_cut(cube, parse_cut(f"({a}:{b})", ns_names))
+        cuts.append(rc)
+        axis_cuts.append((len(drills) - 1, rc))
 
     # --- <member>.Lag(n) / .Lead(n) (raw-MDX axis idiom): the single
     # --- member n positions earlier/later along the level's key order,
@@ -1037,11 +1281,12 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             extra_names.append(qm.order)
         except KeyError:
             pass
-    if qm.top_percent is not None:
-        pname = qm.top_percent[1]
-        if pname not in requested and pname not in extra_names:
-            _measure_alias(cube, pname)   # unknown -> KeyError -> 400
-            extra_names.append(pname)
+    for tp in (qm.top_percent, qm.top_sum):
+        if tp is not None:
+            pname = tp[1]
+            if pname not in requested and pname not in extra_names:
+                _measure_alias(cube, pname)  # unknown -> KeyError -> 400
+                extra_names.append(pname)
     base_measures, calcs, final_aliases = _split_measures(
         cube, requested + extra_names)
     final_aliases = final_aliases[:len(requested)]
@@ -1294,32 +1539,41 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     key_aliases = [a for rd in drills for lv in rd.group_levels
                    for a in [lv.key_alias]]
     tp_sort = None
-    if qm.top_percent is not None:
-        # TOPPERCENT/BOTTOMPERCENT (Mondrian set functions): the
-        # minimal best-first prefix whose cumulative measure reaches
-        # pct% of the set total.  Two windows over the AXIS-SIZED
+    if qm.top_percent is not None or qm.top_sum is not None:
+        # TOPPERCENT/BOTTOMPERCENT and TOPSUM/BOTTOMSUM (Mondrian set
+        # functions): the minimal best-first prefix whose cumulative
+        # measure reaches pct% of the set total (PERCENT) or an
+        # absolute value (SUM).  Windows over the AXIS-SIZED
         # post-aggregation frame (single partition by design — the
         # frame is a grouped result, never the fact): keep rows whose
         # cumulative BEFORE them is still under the threshold, which
-        # includes exactly the crossing row.
-        pct, pname, asc = qm.top_percent
+        # includes exactly the crossing row.  The MDX nesting guards
+        # make the two mutually exclusive per query.
+        if qm.top_percent is not None:
+            pct, pname, asc = qm.top_percent
+        else:
+            val, pname, asc = qm.top_sum
         ocol = _measure_alias(cube, pname)
         direction = F.asc(ocol) if asc else F.desc(ocol)
         wseq = (Window.orderBy(direction,
                                *[F.asc(a) for a in key_aliases])
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         running = F.sum(F.col(ocol)).over(wseq)
-        total = F.sum(F.col(ocol)).over(
-            Window.partitionBy().rowsBetween(Window.unboundedPreceding,
-                                             Window.unboundedFollowing))
-        out = (out.withColumn("__tp_run", running)
-                  .withColumn("__tp_tot", total)
-                  .filter(F.col("__tp_run") - F.col(ocol)
-                          < F.lit(pct / 100.0) * F.col("__tp_tot"))
+        out = out.withColumn("__tp_run", running)
+        if qm.top_percent is not None:
+            total = F.sum(F.col(ocol)).over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing))
+            out = out.withColumn("__tp_tot", total)
+            threshold = F.lit(pct / 100.0) * F.col("__tp_tot")
+        else:
+            threshold = F.lit(val)
+        out = (out.filter(F.col("__tp_run") - F.col(ocol) < threshold)
                   .drop("__tp_run", "__tp_tot"))
-        # Mondrian's TopPercent returns the set SORTED by the ranking
-        # measure (desc; asc for BottomPercent) — same convention as
-        # the TOPCOUNT path.  An explicit ORDER wrapper still wins.
+        # Mondrian's TopPercent/TopSum return the set SORTED by the
+        # ranking measure (desc; asc for the BOTTOM forms) — same
+        # convention as the TOPCOUNT path.  An explicit ORDER wrapper
+        # still wins.
         if not qm.order:
             tp_sort = (ocol, direction)
     if qm.order:
@@ -1359,9 +1613,9 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             rev += [F.desc(a) for a in key_aliases if a != ocol]
             fwd = [primary, *[F.asc(a) for a in key_aliases if a != ocol]]
         elif tp_sort is not None:
-            # axis total order is the TOPPERCENT measure ranking
+            # axis total order is the TOPPERCENT/TOPSUM measure ranking
             ocol, direction = tp_sort
-            asc_tp = qm.top_percent[2]
+            asc_tp = (qm.top_percent or qm.top_sum)[2]
             rev = [F.desc(ocol) if asc_tp else F.asc(ocol)]
             rev += [F.desc(a) for a in key_aliases if a != ocol]
             fwd = [direction, *[F.asc(a) for a in key_aliases if a != ocol]]
@@ -1827,10 +2081,10 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
             raise ParseError(
                 "PARALLELPERIOD WITH MEMBER is not supported on "
                 "virtual cubes")
-        if re.fullmatch(r"\{(ytd|qtd):[^}]*\}", tmpl):
+        if re.fullmatch(r"\{(ytd|qtd|mtd|wtd):[^}]*\}", tmpl):
             raise ParseError(
-                "SUM(YTD()/QTD(), ...) WITH MEMBER is not supported on "
-                "virtual cubes")
+                "SUM(YTD()/QTD()/MTD()/WTD(), ...) WITH MEMBER is not "
+                "supported on virtual cubes")
         if tmpl.startswith("{setagg:"):
             raise ParseError(
                 "set-aggregate WITH MEMBER is not supported on virtual "

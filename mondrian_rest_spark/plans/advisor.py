@@ -74,8 +74,13 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
             or qm.children_of or qm.parent_of or qm.lastperiods
             or qm.member_lags or qm.with_members or qm.with_sets
             or qm.edge_child_of or getattr(qm, "siblings_of", [])
+            or getattr(qm, "ancestor_of", [])
+            or getattr(qm, "edge_sibling_of", [])
+            or getattr(qm, "periods_to_date", [])
             or qm.tail is not None
-            or qm.top_percent is not None or getattr(qm, "empty_set", False)
+            or qm.top_percent is not None
+            or getattr(qm, "top_sum", None) is not None
+            or getattr(qm, "empty_set", False)
             or getattr(qm, "empty_slicer", False)):
         return None
     # routability must consider the HIDDEN measures HAVING/ORDER pull

@@ -383,9 +383,11 @@ class RollupManager:
         if (qm.children_of or qm.parent_of or qm.lastperiods
                 or qm.member_lags or qm.with_members or qm.with_sets
                 or qm.edge_child_of or qm.siblings_of
+                or qm.ancestor_of or qm.edge_sibling_of
+                or qm.periods_to_date
                 or qm.tail is not None
-                or qm.top_percent is not None or qm.empty_set
-                or qm.empty_slicer):
+                or qm.top_percent is not None or qm.top_sum is not None
+                or qm.empty_set or qm.empty_slicer):
             return None
         try:
             names = self._measure_names(qm)

@@ -94,3 +94,24 @@ class QueryModel:
     # always-false fact filter folded by Catalyst — no scan.
     empty_set: bool = False
     empty_slicer: bool = False
+    # ANCESTOR(<member>, <level>) axis sets from raw MDX: list of
+    # (member_path, ancestor_level_name); each resolves to a drilldown
+    # at the ANCESTOR level plus a cut to the member's ancestor key
+    # (bounded dim-side lookup, generalizing .Parent to any height)
+    ancestor_of: list = field(default_factory=list)
+    # <member>.FirstSibling / .LastSibling axis sets from raw MDX: list
+    # of (member_path, last) — drilldown at the member's OWN level plus
+    # a cut to the first/last child of the member's parent (top-level
+    # members: the first/last member of the level)
+    edge_sibling_of: list = field(default_factory=list)
+    # PERIODSTODATE(<ancestor level>, <member>) axis sets from raw MDX:
+    # list of (ancestor_level_name, member_path) — drilldown at the
+    # member's level plus cuts to the member's ancestor at the anchor
+    # level and a key range from the period's opening member through
+    # the member itself (Mondrian's YTD(m) == PERIODSTODATE(Year, m))
+    periods_to_date: list = field(default_factory=list)
+    # TOPSUM/BOTTOMSUM(set, value, m) from raw MDX: (value, measure,
+    # ascending) — the minimal best-first prefix whose cumulative
+    # measure reaches the ABSOLUTE value (TOPPERCENT's fixed-threshold
+    # sibling; same post-agg window stage)
+    top_sum: tuple | None = None

@@ -87,12 +87,14 @@ def resolved_drills(cube: Cube, qm: QueryModel) -> list[ResolvedDrill]:
         drills.append(ResolvedDrill(dim, hier, target, gl))
 
     # mirror _aggregate_cube's idiom order exactly: children ->
-    # siblings -> edge-child/openingperiod -> parent -> lastperiods ->
-    # lag/lead
+    # siblings -> edge-sibling -> edge-child/openingperiod -> parent ->
+    # ancestor -> lastperiods -> periods-to-date -> lag/lead
     for ch in getattr(qm, "children_of", []):
         _append(*_member_level(ch), +1)
     for sb in getattr(qm, "siblings_of", []):
         _append(*_member_level(sb), 0)
+    for sb_path, _last in getattr(qm, "edge_sibling_of", []):
+        _append(*_member_level(sb_path), 0)
     for ec in getattr(qm, "edge_child_of", []):
         dim, hier, level = _member_level(ec[0])
         target_name = ec[2] if len(ec) > 2 else None
@@ -107,8 +109,17 @@ def resolved_drills(cube: Cube, qm: QueryModel) -> list[ResolvedDrill]:
                                                len(hier.levels) - 1)], 0)
     for pp in getattr(qm, "parent_of", []):
         _append(*_member_level(pp), -1)
+    for anc_path, target_name in getattr(qm, "ancestor_of", []):
+        dim, hier, level = _member_level(anc_path)
+        try:
+            tgt_idx = hier.level_index(target_name)
+        except (KeyError, ValueError):
+            tgt_idx = hier.level_index(level.name)
+        _append(dim, hier, hier.levels[tgt_idx], 0)
     for lp_path, _n in getattr(qm, "lastperiods", []):
         _append(*_member_level(lp_path), 0)
+    for _anchor, m_path in getattr(qm, "periods_to_date", []):
+        _append(*_member_level(m_path), 0)
     for lg_path, _n in getattr(qm, "member_lags", []):
         _append(*_member_level(lg_path), 0)
     return drills

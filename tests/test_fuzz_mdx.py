@@ -176,16 +176,51 @@ ATOMS = {
              "FROM customer c2 JOIN nation n2 "
              "ON c2.c_nationkey = n2.n_nationkey "
              "WHERE n2.n_regionkey = 4)"),
+    # r8 navigation: .FirstSibling = first child of the member's
+    # parent (nation 7's region, resolved through the chain)
+    "firstsib_nation": dict(
+        dim="Customer", lvl=1, kind="edgesib",
+        mdx="[Customer].[Nation].[&7].FirstSibling",
+        sel=NATION_SEL, out=NATION_OUT, key="cust_nation_key",
+        pred="cn.n_nationkey = (SELECT min(n2.n_nationkey) "
+             "FROM customer c2 JOIN nation n2 "
+             "ON c2.c_nationkey = n2.n_nationkey "
+             "WHERE n2.n_regionkey = (SELECT n_regionkey FROM nation "
+             "WHERE n_nationkey = 7))"),
+    # r8 navigation: ANCESTOR = .Parent generalized to any height
+    # (customer 7's region, two levels up the snowflake)
+    "anc_region": dict(
+        dim="Customer", lvl=0, kind="ancestor",
+        mdx="ANCESTOR([Customer].[Customer].[&7], [Customer].[Region])",
+        sel=["cr.r_regionkey AS cust_region_key",
+             "cr.r_name AS cust_region"],
+        out=["cust_region_key", "cust_region"], key="cust_region_key",
+        pred="cr.r_regionkey = (SELECT n2.n_regionkey FROM customer c2 "
+             "JOIN nation n2 ON c2.c_nationkey = n2.n_nationkey "
+             "WHERE c2.c_custkey = 7)"),
+    # r8: PERIODSTODATE = the member's level from the opening of its
+    # ancestor period through the member (range cut; the engine's
+    # opening = MIN existing key within the period, so year = 1996
+    # AND key <= member is the equivalent fact predicate)
+    "ptd_day": dict(
+        dim="Time", lvl=3, kind="ptd",
+        mdx="PERIODSTODATE([Time].[Year], [Time].[Day].[&1996-02-10])",
+        sel=["CAST(l.l_shipdate AS DATE) AS ship_date"], out=["ship_date"],
+        key="ship_date",
+        pred="year(l.l_shipdate) = 1996 "
+             "AND CAST(l.l_shipdate AS DATE) <= DATE '1996-02-10'"),
 }
 
 #: planner drill resolution order (planner.py _aggregate_cube): plain
 #: drilldowns (incl. ranges/unions — they compile to drill+cut) in
-#: textual order, then .Children, then .FirstChild/.LastChild, then
-#: LASTPERIODS, then .Lag/.Lead — the axis key order that drives
-#: ORDER BY tie-breaks
+#: textual order, then .Children, .Siblings, .FirstSibling/
+#: .LastSibling, .FirstChild/.LastChild/OPENINGPERIOD, .Parent,
+#: ANCESTOR, LASTPERIODS, PERIODSTODATE, .Lag/.Lead — the axis key
+#: order that drives ORDER BY tie-breaks
 _KIND_RANK = {"members": 0, "set": 0, "desc": 0, "range": 0, "union": 0,
-              "children": 1, "siblings": 2, "edgechild": 3, "lastp": 4,
-              "lag": 5}
+              "children": 1, "siblings": 2, "edgesib": 3, "edgechild": 4,
+              "parent": 5, "ancestor": 6, "lastp": 7, "ptd": 8,
+              "lag": 9}
 
 # --- WITH SET named sets (computed over the UNCUT cube) --------------------
 
@@ -308,12 +343,18 @@ def mdx_specs(draw):
     # TOPCOUNT (which imposes its own order+limit)
     topcount = filt = order = subset = None
     if has_axis:
-        shape = draw(st.sampled_from(["chain", "topcount", "toppercent"]))
+        shape = draw(st.sampled_from(["chain", "topcount", "toppercent",
+                                      "topsum"]))
         if shape == "topcount":
             topcount = ("count", draw(st.sampled_from([1, 3, 10])),
                         draw(st.sampled_from(RANK_MEASURES)))
         elif shape == "toppercent":
             topcount = ("pct", draw(st.sampled_from([10, 40, 75])),
+                        draw(st.sampled_from(RANK_MEASURES)),
+                        draw(st.booleans()))
+        elif shape == "topsum":
+            topcount = ("sum",
+                        draw(st.sampled_from([100, 500_000, 40_000_000])),
                         draw(st.sampled_from(RANK_MEASURES)),
                         draw(st.booleans()))
         else:
@@ -398,10 +439,14 @@ def build_mdx(spec) -> str:
         if spec["topcount"] and spec["topcount"][0] == "count":
             _, n, by = spec["topcount"]
             axis = f"TOPCOUNT({axis}, {n}, [Measures].[{by}])"
-        elif spec["topcount"]:
+        elif spec["topcount"] and spec["topcount"][0] == "pct":
             _, pct, by, bottom = spec["topcount"]
             fn = "BOTTOMPERCENT" if bottom else "TOPPERCENT"
             axis = f"{fn}({axis}, {pct}, [Measures].[{by}])"
+        elif spec["topcount"]:
+            _, val, by, bottom = spec["topcount"]
+            fn = "BOTTOMSUM" if bottom else "TOPSUM"
+            axis = f"{fn}({axis}, {val}, [Measures].[{by}])"
         else:
             if spec["filt"]:
                 filt, joiner = spec["filt"], " AND "
@@ -475,22 +520,25 @@ def build_oracle_sql(spec) -> str:
         sql += " GROUP BY " + ", ".join(aliases)
 
     order_terms, limit = [], None
-    if spec["topcount"] and spec["topcount"][0] == "pct":
-        # TOPPERCENT: minimal best-first prefix reaching pct% of the
-        # set total — running/total windows over the grouped result,
-        # tie-broken exactly like the planner (rank, then axis keys)
-        _, pct, by, bottom = spec["topcount"]
+    if spec["topcount"] and spec["topcount"][0] in ("pct", "sum"):
+        # TOPPERCENT/TOPSUM: minimal best-first prefix reaching pct%
+        # of the set total (PCT) or an absolute value (SUM) —
+        # running/total windows over the grouped result, tie-broken
+        # exactly like the planner (rank, then axis keys)
+        kind, thr, by, bottom = spec["topcount"]
         direction = "ASC" if bottom else "DESC"
         tie = "".join(f", {k}" for k in key_aliases)
         outer_cols = ", ".join(aliases
                                + [MEASURES[m][0] for m in spec["measures"]]
                                + (["calc_measure"] if spec["calc"] else []))
+        threshold = (f"{thr / 100.0} * __tot" if kind == "pct"
+                     else str(thr))
         return (f"SELECT {outer_cols} FROM ("
                 f"SELECT *, SUM(__rank) OVER (ORDER BY __rank {direction}"
                 f"{tie} ROWS UNBOUNDED PRECEDING) AS __run, "
                 f"SUM(__rank) OVER () AS __tot FROM ("
                 f"{sql.replace('SELECT ', 'SELECT ' + MEASURES[by][1] + ' AS __rank, ', 1)}"
-                f")) WHERE __run - __rank < {pct / 100.0} * __tot")
+                f")) WHERE __run - __rank < {threshold}")
     if spec["topcount"]:
         _, n, by = spec["topcount"]
         order_terms = [f"{MEASURES[by][1]} DESC"] + list(key_aliases)

@@ -202,6 +202,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     last ulp of averages, so a float-primary sort would misalign rows
     that are in fact equal."""
     df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "M":
+            # DuckDB DATE -> datetime64[ns]; Spark DateType ->
+            # datetime.date objects.  Normalize to date so equality
+            # and sort order line up.
+            df[c] = df[c].dt.date
     by = sorted(df.columns, key=lambda c: (df[c].dtype.kind == "f", c))
     return df.sort_values(by=by, ignore_index=True)
 

@@ -1893,3 +1893,163 @@ def test_dense_idiom_axes_are_restricted(spark, sf_dir):
         "WHERE ([Customer].[Region].[&2])").collect()
     assert len(where) == 25
     assert sum(1 for r in where if r[-1] is None) == 20
+
+
+# --- r8 navigation: ANCESTOR / edge siblings / PERIODSTODATE / TOPSUM ------
+
+def test_ancestor_drills_target_level(spark, sf_dir):
+    """ANCESTOR(member, level) = the member's ancestor at the level
+    (generalized .Parent), cut + drill at the ANCESTOR level."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "ANCESTOR([Customer].[Customer].[&7], [Customer].[Region]) "
+        "ON ROWS FROM [Sales]").collect()
+    assert len(rows) == 1
+    # ancestor at the member's own level is the member itself
+    self_rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "ANCESTOR([Customer].[Nation].[&3], [Customer].[Nation]) "
+        "ON ROWS FROM [Sales]").collect()
+    assert len(self_rows) == 1 and self_rows[0][0] == 3
+    # degenerate time: globally-unique Day keys allow ANCESTOR; the
+    # repeating Quarter keys are a clear 400
+    with pytest.raises(ParseError):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "ANCESTOR([Time].[Quarter].[&2], [Time].[Year]) "
+            "ON ROWS FROM [Sales]").collect()
+    with pytest.raises(ParseError):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "ANCESTOR([Customer].[Region].[&2], [Customer].[Nation]) "
+            "ON ROWS FROM [Sales]").collect()   # below the member
+
+
+def test_edge_siblings(spark, sf_dir):
+    """.FirstSibling/.LastSibling = first/last child of the member's
+    parent; a top-level member's edge sibling spans the whole level."""
+    first = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Nation].[&7].FirstSibling ON ROWS FROM [Sales]"
+        ).collect()
+    last = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Nation].[&7].LastSibling ON ROWS FROM [Sales]"
+        ).collect()
+    sibs = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Nation].[&7].Siblings ON ROWS FROM [Sales]"
+        ).collect()
+    keys = [r[0] for r in sibs]
+    assert len(first) == 1 and first[0][0] == min(keys)
+    assert len(last) == 1 and last[0][0] == max(keys)
+    # root level: the level's overall first member
+    root_first = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Region].[&3].FirstSibling ON ROWS FROM [Sales]"
+        ).collect()
+    assert len(root_first) == 1 and root_first[0][0] == 0
+
+
+def test_periodstodate_spans_period_opening_to_member(spark, sf_dir):
+    """PERIODSTODATE(Year, day) = days from the year's first (existing)
+    day through the member; the Quarter anchor narrows to the quarter."""
+    year_ptd = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "PERIODSTODATE([Time].[Year], [Time].[Day].[&1996-05-09]) "
+        "ON ROWS FROM [Sales]").collect()
+    days = [r[0] for r in year_ptd]
+    assert all(d.year == 1996 for d in days)
+    assert max(days).month == 5 and max(days).day == 9
+    assert min(days).month == 1
+    qtr_ptd = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "PERIODSTODATE([Time].[Quarter], [Time].[Day].[&1996-05-09]) "
+        "ON ROWS FROM [Sales]").collect()
+    qdays = [r[0] for r in qtr_ptd]
+    assert min(qdays).month == 4 and max(qdays) == max(days)
+    assert set(qdays) < set(days)
+    # anchor must be ABOVE the member's level
+    with pytest.raises(ParseError):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "PERIODSTODATE([Time].[Day], [Time].[Day].[&1996-05-09]) "
+            "ON ROWS FROM [Sales]").collect()
+
+
+def test_topsum_keeps_minimal_prefix(spark, sf_dir):
+    """TOPSUM keeps the minimal best-first prefix reaching the absolute
+    value (including the crossing row), sorted by the ranking measure."""
+    base = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "ORDER([Customer].[Nation].Members, [Measures].[Revenue], BDESC) "
+        "ON ROWS FROM [Sales]").collect()
+    vals = [float(r[-1]) for r in base]
+    target = vals[0] + vals[1] + 1.0     # crosses inside the 3rd row
+    got = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        f"SELECT {{[Measures].[Revenue]}} ON COLUMNS, "
+        f"TOPSUM([Customer].[Nation].Members, {target}, "
+        f"[Measures].[Revenue]) ON ROWS FROM [Sales]").collect()
+    assert len(got) == 3
+    assert [tuple(r) for r in got] == [tuple(r) for r in base[:3]]
+    bottom = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        f"SELECT {{[Measures].[Revenue]}} ON COLUMNS, "
+        f"BOTTOMSUM([Customer].[Nation].Members, {vals[-1] + 1.0}, "
+        f"[Measures].[Revenue]) ON ROWS FROM [Sales]").collect()
+    assert len(bottom) == 2
+    # nesting TOPSUM over a paginated set is not representable -> 400
+    with pytest.raises(ParseError):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "TOPSUM(HEAD([Customer].[Nation].Members, 5), 100, "
+            "[Measures].[Revenue]) ON ROWS FROM [Sales]")
+
+
+def test_nonempty_function_form(spark, sf_dir):
+    """NONEMPTY(set) == the NON EMPTY axis prefix."""
+    fn = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NONEMPTY([Customer].[Nation].Members) ON ROWS FROM [Sales]"
+        ).collect()
+    pfx = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].Members ON ROWS FROM [Sales]"
+        ).collect()
+    assert [tuple(r) for r in fn] == [tuple(r) for r in pfx]
+
+
+def test_mtd_wtd_running_totals(spark, sf_dir):
+    """SUM(MTD(), m) anchors the running total at the Month level (it
+    equals the measure when Day is not drilled below Month)."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[MTD Rev] AS SUM(MTD(), [Measures].[Revenue]) "
+        "SELECT {[Measures].[Revenue], [Measures].[MTD Rev]} ON COLUMNS, "
+        "NON EMPTY CROSSJOIN([Time].[Year].Members, "
+        "CROSSJOIN([Time].[Quarter].Members, "
+        "[Time].[Month].Members)) ON ROWS FROM [Sales]").collect()
+    assert rows and all(abs(float(r[-2]) - float(r[-1])) < 1e-6 for r in rows)
+    # missing anchor level in the drill is a clear 400
+    with pytest.raises(ParseError):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "WITH MEMBER [Measures].[MTD Rev] AS "
+            "SUM(MTD(), [Measures].[Revenue]) "
+            "SELECT {[Measures].[MTD Rev]} ON COLUMNS, "
+            "[Time].[Year].Members ON ROWS FROM [Sales]").collect()
