@@ -489,6 +489,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("ship_date",
                      F.col("ship_date").cast("timestamp"))
 
+    # measure-member tuple calc (r8): ([Measures].[M], <member>) — the
+    # measure in a fixed member context, compiled to the single-member
+    # conditional aggregate in the SHARED groupBy (mdx
+    # _measure_member_tuple -> {setagg:aggregate:...}; no extra pass)
+    q["q57_mdx_measure_tuple"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH MEMBER [Measures].[Rev 1995] AS "
+        "([Measures].[Revenue], [Time].[Year].[1995]) "
+        "SELECT {[Measures].[Revenue], [Measures].[Rev 1995]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].Members ON ROWS FROM [Sales]")
+
+    # EXCEPT over the FULL level (r8): "all but X" compiles to ONE
+    # exclusion cut (!{...} -> NOT IN) pushed to the scans; the
+    # parse-time two-register set algebra is closed under UNION/
+    # EXCEPT/INTERSECT with .Members operands (mdx _member_set_operand)
+    q["q58_mdx_except_members"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY EXCEPT([Customer].[Nation].Members, "
+        "{[Customer].[Nation].[&3], [Customer].[Nation].[&7]}) ON ROWS "
+        "FROM [Sales] "
+        "WHERE (EXCEPT([Time].[Year].Members, {[Time].[Year].[1995]}))")
+
     # TOPPERCENT: the minimal best-first member prefix reaching pct%
     # of the axis total (two windows over the axis-sized aggregate)
     q["q47_mdx_toppercent"] = lambda s, d: __import__(
@@ -1529,6 +1554,24 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY ship_date
                         ROWS UNBOUNDED PRECEDING) AS mtd_rev
             FROM agg""",
+
+        "q57_mdx_measure_tuple": f"""
+            SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   {REVENUE} AS revenue,
+                   CAST(SUM(CASE WHEN year(l_shipdate) = 1995
+                            THEN CAST(l_extendedprice * (1 - l_discount)
+                                      AS DECIMAL(25,6)) END) AS DOUBLE)
+                     AS rev_1995
+            FROM {J_CUST}
+            GROUP BY 1, 2""",
+
+        "q58_mdx_except_members": f"""
+            SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE n_nationkey NOT IN (3, 7)
+              AND year(l_shipdate) <> 1995
+            GROUP BY 1, 2""",
 
         "q47_mdx_toppercent": f"""
             WITH agg AS (

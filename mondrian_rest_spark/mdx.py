@@ -9,6 +9,7 @@ build_query emits, which covers every query the REST layer can express:
 
     [WITH [MEMBER [Measures].[X] AS <arith over [Measures] refs>
                                    | ([Measures].[M], PARALLELPERIOD([D].[L][, n]))
+                                   | ([Measures].[M], <member>)
                                    | SUM(YTD()|QTD()|MTD()|WTD(), [Measures].[M])
                                    | AGGREGATE|SUM|AVG|MIN|MAX|COUNT(
                                          <member|{set}|range>, [Measures].[M])]
@@ -44,8 +45,13 @@ build_query emits, which covers every query the REST layer can express:
            | ANCESTOR(<member>, <level path>)
            | PERIODSTODATE(<level path>, <member>)
            | DESCENDANTS(<member>, <level path>) | [Named Set]
-    mset := {<member>,...} | <member>
+    mset := {<member>,...} | <member> | <level path>.Members
           | UNION|EXCEPT|INTERSECT(mset, mset)
+          (two-register parse-time algebra: any nesting — including
+           full-level operands, e.g. EXCEPT([L].Members, {...}) "all
+           but X" — compiles to one positive set cut, one exclusion
+           cut (!{...} -> NOT IN pushed to the scans), a bare
+           drilldown, or the empty set)
     slicer := <member> | {<member>,...} | (<member>:<member>)
             | UNION|EXCEPT|INTERSECT(mset, mset) | [Named Set]
 """
@@ -644,16 +650,23 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
                 "subset (hierarchical order would override it)")
         return False
     if t in ("UNION", "EXCEPT", "INTERSECT"):
-        level_path, members = _member_set_operand(p)
+        level_path, kind, members = _member_set_operand(p)
         q.qm_kwargs["drilldown"].append(".".join(level_path))
-        if members:
+        if kind == "pos":
+            if members:
+                q.qm_kwargs["cut"].append(
+                    "{" + ",".join(_path_str(m) for m in members) + "}")
+            else:
+                # EXCEPT/INTERSECT evaluated to the empty set: a valid
+                # zero-row axis (Mondrian semantics), kept as an
+                # always-false slice so the schema still carries the level
+                q.qm_kwargs["empty_set"] = True
+        elif members:
+            # the level's COMPLEMENT (EXCEPT(<level>.Members, {...})):
+            # one exclusion cut pushed to the scans like any other
             q.qm_kwargs["cut"].append(
-                "{" + ",".join(_path_str(m) for m in members) + "}")
-        else:
-            # EXCEPT/INTERSECT evaluated to the empty set: a valid
-            # zero-row axis (Mondrian semantics), kept as an
-            # always-false slice so the schema still carries the level
-            q.qm_kwargs["empty_set"] = True
+                "!{" + ",".join(_path_str(m) for m in members) + "}")
+        # neg([]) == the whole level: a plain drilldown, no cut
         return False
     if t == "{":
         _set_expr(p, q)
@@ -767,38 +780,72 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
     raise ParseError(f"expected .Members after {_path_str(segs)}")
 
 
-def _member_set_operand(p: _P) -> tuple[list[str], list[list[str]]]:
+def _member_set_operand(p: _P) -> tuple[list[str], str, list[list[str]]]:
     """One operand of UNION/EXCEPT/INTERSECT(mset, mset): a brace
-    member set, a single member, or a nested combinator — all members
-    on ONE shared level.  Returns (level path segs, [member path
-    segs]).  Set arithmetic happens at PARSE time on the member
-    literals, compiling to a single set cut (cuts AND together, so two
-    separate cuts could never express a union)."""
+    member set, a single member, the FULL level (``<level>.Members``),
+    or a nested combinator — all members on ONE shared level.  Returns
+    (level path segs, kind, [member path segs]) where kind is ``pos``
+    (exactly these members) or ``neg`` (the level's complement of
+    these members; ``neg []`` == the whole level).  Set arithmetic
+    happens at PARSE time on the two-register algebra, which is closed
+    under all three combinators, so any nesting compiles to ONE
+    positive set cut, ONE exclusion cut (``!{...}``), a bare
+    drilldown, or the empty set."""
     t = p.peek_upper()
     if t in ("UNION", "EXCEPT", "INTERSECT"):
         p.next()
         p.expect("(")
-        level_a, mem_a = _member_set_operand(p)
+        level_a, ka, mem_a = _member_set_operand(p)
         p.expect(",")
-        level_b, mem_b = _member_set_operand(p)
+        level_b, kb, mem_b = _member_set_operand(p)
         p.expect(")")
         if level_a != level_b:
             raise ParseError(
                 f"{t} operands must share a level in this MDX subset; "
                 f"got {'.'.join(level_a)} and {'.'.join(level_b)}")
+
+        def minus(a, b):
+            return [m for m in a if m not in b]
+
+        def inter(a, b):
+            return [m for m in a if m in b]
+
+        def union(a, b):
+            out = list(a)
+            out += [m for m in b if m not in out]  # dedups (Mondrian ALL keeps)
+            return out
+
         if t == "UNION":
-            merged = list(mem_a)
-            for m in mem_b:
-                if m not in merged:  # UNION dedups (Mondrian ALL keeps)
-                    merged.append(m)
+            if ka == "pos" and kb == "pos":
+                k, merged = "pos", union(mem_a, mem_b)
+            elif ka == "neg" and kb == "neg":
+                k, merged = "neg", inter(mem_a, mem_b)
+            elif ka == "neg":                      # neg(a) ∪ b = neg(a−b)
+                k, merged = "neg", minus(mem_a, mem_b)
+            else:
+                k, merged = "neg", minus(mem_b, mem_a)
         elif t == "EXCEPT":
-            merged = [m for m in mem_a if m not in mem_b]
-        else:
-            merged = [m for m in mem_a if m in mem_b]
-        # an empty result is VALID set algebra (Mondrian returns an
-        # empty set, not an error): callers compile it to an
-        # always-false axis/slicer, never a 400
-        return level_a, merged
+            if ka == "pos" and kb == "pos":
+                k, merged = "pos", minus(mem_a, mem_b)
+            elif ka == "pos":                      # a − neg(b) = a ∩ b
+                k, merged = "pos", inter(mem_a, mem_b)
+            elif kb == "pos":                      # neg(a) − b = neg(a∪b)
+                k, merged = "neg", union(mem_a, mem_b)
+            else:                                  # neg(a) − neg(b) = b−a
+                k, merged = "pos", minus(mem_b, mem_a)
+        else:  # INTERSECT
+            if ka == "pos" and kb == "pos":
+                k, merged = "pos", inter(mem_a, mem_b)
+            elif ka == "neg" and kb == "neg":
+                k, merged = "neg", union(mem_a, mem_b)
+            elif ka == "neg":                      # neg(a) ∩ b = b−a
+                k, merged = "pos", minus(mem_b, mem_a)
+            else:
+                k, merged = "pos", minus(mem_a, mem_b)
+        # an empty positive result is VALID set algebra (Mondrian
+        # returns an empty set, not an error): callers compile it to
+        # an always-false axis/slicer, never a 400
+        return level_a, k, merged
     members: list[list[str]] = []
     if t == "{":
         p.next()
@@ -810,7 +857,21 @@ def _member_set_operand(p: _P) -> tuple[list[str], list[list[str]]]:
             break
         p.expect("}")
     else:
-        members.append(_path(p))
+        segs = _path(p)
+        if p.peek() == ".":
+            # <level>.Members operand: the FULL level = neg([])
+            p.next()
+            w = p.next().upper()
+            if w != "MEMBERS":
+                raise ParseError(
+                    f"expected .Members after {_path_str(segs)} in a "
+                    f"set-algebra operand, got .{w}")
+            if len(segs) < 2:
+                raise ParseError(
+                    f".Members operand needs [Dim].[Level], got "
+                    f"{_path_str(segs)}")
+            return segs, "neg", []
+        members.append(segs)
     for m in members:
         if len(m) < 3:
             raise ParseError(
@@ -820,7 +881,7 @@ def _member_set_operand(p: _P) -> tuple[list[str], list[list[str]]]:
             raise ParseError(
                 "UNION operands must share a level in this MDX subset; "
                 f"got {_path_str(members[0])} and {_path_str(m)}")
-    return members[0][:-1], members
+    return members[0][:-1], "pos", members
 
 
 def _descendants(p: _P, q: MdxQuery) -> str:
@@ -878,14 +939,23 @@ def _slicer(p: _P, q: MdxQuery) -> None:
     while True:
         t = p.peek()
         if t is not None and t.upper() in ("UNION", "EXCEPT", "INTERSECT"):
-            level_path, members = _member_set_operand(p)
-            if members:
+            level_path, kind, members = _member_set_operand(p)
+            if kind == "pos":
+                if members:
+                    q.qm_kwargs["cut"].append(
+                        "{" + ",".join(_path_str(m) for m in members) + "}")
+                else:
+                    # empty slicer set: every cell aggregates over
+                    # nothing (dense axes still enumerate members,
+                    # null cells)
+                    q.qm_kwargs["empty_slicer"] = True
+            elif members:
+                # complement slicer: keep all fact rows EXCEPT the
+                # listed members' (one exclusion cut)
                 q.qm_kwargs["cut"].append(
-                    "{" + ",".join(_path_str(m) for m in members) + "}")
-            else:
-                # empty slicer set: every cell aggregates over nothing
-                # (dense axes still enumerate members, null cells)
-                q.qm_kwargs["empty_slicer"] = True
+                    "!{" + ",".join(_path_str(m) for m in members) + "}")
+            # neg([]) == the whole level: slicing to everything is a
+            # no-op, no cut
         elif t == "(":
             # range cut (a:b) — the form the REST layer's range cuts
             # round-trip through (query_helper.rb:66-72)
@@ -952,6 +1022,10 @@ def _calc_body(p: _P, stop_words: tuple) -> str:
         p.pos = save
     try:
         return _set_agg_call(p)
+    except ParseError:
+        p.pos = save
+    try:
+        return _measure_member_tuple(p)
     except ParseError:
         p.pos = save
     return _calc_tokens(p, stop_words)
@@ -1024,6 +1098,37 @@ def _ytd_call(p: _P) -> str:
     name = _measure_ref(p)
     p.expect(")")
     return "{" + fn.lower() + ":" + name + "}"
+
+
+def _measure_member_tuple(p: _P) -> str:
+    """``([Measures].[M], <member>)`` — the measure evaluated in a
+    FIXED member context (the most common hand-written Mondrian calc
+    tuple, e.g. last year's revenue as its own column).  Exactly
+    Mondrian's ``AGGREGATE({member}, M)``, so it compiles to the same
+    ``{setagg:aggregate:...}`` template: one conditional fact-side
+    aggregate in the shared groupBy, no extra pass.  One member
+    coordinate per tuple in this subset (a clear 400 otherwise)."""
+    p.expect("(")
+    name = _measure_ref(p)
+    p.expect(",")
+    coords = [_path(p)]
+    while p.peek() == ",":
+        p.next()
+        coords.append(_path(p))
+    p.expect(")")
+    if len(coords) > 1:
+        raise ParseError(
+            "measure tuples support ONE member coordinate in this MDX "
+            "subset; aggregate the extra coordinates via "
+            "AGGREGATE({...}, m) per dimension")
+    member = coords[0]
+    if len(member) < 3:
+        raise ParseError(
+            f"measure tuple member needs [Dim].[Level].[member], got "
+            f"{_path_str(member)}")
+    if ":" in name:
+        raise ParseError(f"measure name {name!r} cannot contain ':'")
+    return "{setagg:aggregate:" + name + ":" + _path_str(member) + "}"
 
 
 def _set_agg_call(p: _P) -> str:
@@ -1396,8 +1501,19 @@ def emit_mdx(cat: Catalog, qm) -> str:
     if axis:
         mdx += f", {axis} ON ROWS"
     mdx += f" FROM [{qm.cube}]"
-    cuts = [f"[{c}]" if not c.startswith(("[", "{", "(")) else c
-            for c in qm.cut]   # bare named-set cuts need brackets
+    def _emit_cut(c: str) -> str:
+        if c.startswith("!{"):
+            # exclusion cut: echo as the set algebra it compiled from
+            from .parser import parse_cut as _pcut
+            cut = _pcut(c)
+            lvl = _path_str(list(cut.members[0].path))
+            mems = ",".join(
+                _path_str(list(m.path)
+                          + [("&" if m.by_key else "") + m.value])
+                for m in cut.members)
+            return f"EXCEPT({lvl}.Members, {{{mems}}})"
+        return f"[{c}]" if not c.startswith(("[", "{", "(")) else c
+    cuts = [_emit_cut(c) for c in qm.cut]  # bare named sets need brackets
     if getattr(qm, "empty_slicer", False):
         # canonical empty-slicer echo: EXCEPT of a literal with itself
         # is resolved at PARSE time (no catalog lookup), so any member

@@ -80,7 +80,12 @@ def _parse_member(s: str) -> MemberRef:
 class Cut:
     """Parsed cut (reference: query_helper.rb:39-94).
 
-    kind: 'member' | 'set' | 'range' | 'named_set'
+    kind: 'member' | 'set' | 'range' | 'named_set' | 'exclude'
+
+    'exclude' (spelled ``!{...}``) keeps every member of the level
+    EXCEPT the listed ones — the compiled form of Mondrian's
+    ``EXCEPT(<level>.Members, {...})`` set algebra, which no positive
+    member list can express without enumerating the level.
     """
 
     kind: str
@@ -107,6 +112,12 @@ def parse_cut(s: str, named_set_names: set[str] = frozenset()) -> Cut:
             # reference validates all set members share one level (query_helper.rb:55-56)
             raise ParseError(f"set cut members must share a level: {s!r}")
         return Cut(kind="set", members=members)
+    if s.startswith("!{") and s.endswith("}"):
+        parts = _split_top_level(s[2:-1], ",")
+        members = tuple(_parse_member(p) for p in parts)
+        if len({m.path for m in members}) != 1:
+            raise ParseError(f"exclusion cut members must share a level: {s!r}")
+        return Cut(kind="exclude", members=members)
     if s.startswith("(") and s.endswith(")") and ":" in s:
         lo_s, hi_s = _split_top_level(s[1:-1], ":")
         lo, hi = _parse_member(lo_s), _parse_member(hi_s)

@@ -160,6 +160,12 @@ def _cut_predicate(rc: ResolvedCut):
         return col_for(members[0]) == F.lit(_coerce(members[0].value))
     if cut.kind == "set":
         return col_for(members[0]).isin([_coerce(m.value) for m in members])
+    if cut.kind == "exclude":
+        # EXCEPT(<level>.Members, {...}): keep everything else.  NULL
+        # keys (facts with no matching member) stay excluded, same as
+        # every positive cut — the axis only ever enumerates members.
+        return ~col_for(members[0]).isin([_coerce(m.value)
+                                          for m in members])
     if cut.kind == "range":
         lo, hi = members
         return col_for(lo).between(F.lit(_coerce(lo.value)), F.lit(_coerce(hi.value)))

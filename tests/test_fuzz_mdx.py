@@ -135,6 +135,13 @@ ATOMS = {
             "UNION([Customer].[Nation].[&9], {[Customer].[Nation].[&21]}))",
         sel=NATION_SEL, out=NATION_OUT, key="cust_nation_key",
         pred="cn.n_nationkey IN (3, 7, 9, 21)"),
+    # r8: EXCEPT over the FULL level -> one exclusion cut (!{...})
+    "except_all_nation": dict(
+        dim="Customer", lvl=1, kind="union",
+        mdx="EXCEPT([Customer].[Nation].Members, "
+            "{[Customer].[Nation].[&3], [Customer].[Nation].[&7]})",
+        sel=NATION_SEL, out=NATION_OUT, key="cust_nation_key",
+        pred="cn.n_nationkey NOT IN (3, 7)"),
     # edge-child lookups resolve through the DIM SNOWFLAKE CHAIN
     # (members of Supplier.Nation are nations with suppliers), so the
     # oracle subquery joins the chain's root table too
@@ -258,6 +265,9 @@ SLICERS = {
                 "Line Status", 0),
     "supp_region": ("[Supplier].[Region].[&1]", "sr.r_regionkey = 1",
                     "Supplier", 0),
+    # r8: complement slicer (EXCEPT over the full level)
+    "not_year_1995": ("EXCEPT([Time].[Year].Members, {[Time].[Year].[1995]})",
+                      "year(l.l_shipdate) <> 1995", "Time", 0),
 }
 
 # --- WITH MEMBER formulas ("Calc Measure" -> alias calc_measure) -----------
@@ -297,11 +307,19 @@ CALCS = {
     "coalesce": ("COALESCEEMPTY([Measures].[Revenue] / "
                  "[Measures].[Line Count], 0)",
                  f"COALESCE(({REV}) / ({CNT}), 0)"),
+    # r8: measure-member tuple = the measure in a fixed member context
+    # (compiles to the single-member set aggregate)
+    "tuple_year": (
+        "([Measures].[Revenue], [Time].[Year].[1995])",
+        "CAST(SUM(CASE WHEN year(l.l_shipdate) = 1995 THEN "
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) END) "
+        "AS DOUBLE)"),
 }
 
 #: calcs that restrict a dimension — the generator must not also
 #: drill or slice it (engine raises a clear 400 on the conflict)
-CALC_DIM_CONFLICT = {"setagg_years": "Time", "setagg_range_max": "Time"}
+CALC_DIM_CONFLICT = {"setagg_years": "Time", "setagg_range_max": "Time",
+                     "tuple_year": "Time"}
 
 # measures usable in FILTER/ORDER/TOPCOUNT/WITH SET rankings
 RANK_MEASURES = ["Revenue", "Quantity", "Line Count", "Max Quantity"]

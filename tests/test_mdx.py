@@ -2053,3 +2053,75 @@ def test_mtd_wtd_running_totals(spark, sf_dir):
             "SUM(MTD(), [Measures].[Revenue]) "
             "SELECT {[Measures].[MTD Rev]} ON COLUMNS, "
             "[Time].[Year].Members ON ROWS FROM [Sales]").collect()
+
+
+def test_measure_member_tuple_calc(spark, sf_dir):
+    """([Measures].[M], <member>) = the measure in a fixed member
+    context — compiles to the single-member set aggregate (conditional
+    column in the shared groupBy); context conflicts stay a 400."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[Rev 95] AS "
+        "([Measures].[Revenue], [Time].[Year].[1995]) "
+        "SELECT {[Measures].[Revenue], [Measures].[Rev 95]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].Members ON ROWS FROM [Sales]"
+        ).collect()
+    agg = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[Rev 95] AS "
+        "AGGREGATE({[Time].[Year].[1995]}, [Measures].[Revenue]) "
+        "SELECT {[Measures].[Revenue], [Measures].[Rev 95]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].Members ON ROWS FROM [Sales]"
+        ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in agg]
+    # the fixed context must not collide with a Time drill/cut
+    with pytest.raises(ParseError):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "WITH MEMBER [Measures].[Rev 95] AS "
+            "([Measures].[Revenue], [Time].[Year].[1995]) "
+            "SELECT {[Measures].[Rev 95]} ON COLUMNS, "
+            "[Time].[Year].Members ON ROWS FROM [Sales]").collect()
+
+
+def test_except_over_level_members(spark, sf_dir):
+    """EXCEPT(<level>.Members, {...}) compiles to ONE exclusion cut
+    (!{...}) pushed to the scans; the two-register parse-time algebra
+    is closed under UNION/EXCEPT/INTERSECT with full-level operands."""
+    from mondrian_rest_spark.mdx import emit_mdx
+    mdx = ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+           "NON EMPTY EXCEPT([Customer].[Nation].Members, "
+           "{[Customer].[Nation].[&3], [Customer].[Nation].[&7]}) "
+           "ON ROWS FROM [Sales]")
+    rows = execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
+    keys = {r[0] for r in rows}
+    assert len(rows) == 23 and not keys & {3, 7}
+    qm = compile_mdx(mdx)
+    assert qm.cut == ["!{[Customer].[Nation].[&3],[Customer].[Nation].[&7]}"]
+    back = compile_mdx(emit_mdx(tpch.CATALOG, qm))
+    assert back.cut == qm.cut and back.drilldown == qm.drilldown
+
+    # slicer complement: every year except 1995
+    sliced = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Time].[Year].Members ON ROWS FROM [Sales] "
+        "WHERE (EXCEPT([Time].[Year].Members, {[Time].[Year].[1995]}))"
+        ).collect()
+    assert 1995 not in {r[0] for r in sliced} and len(sliced) >= 5
+
+    # closure: double complement collapses to the positive member
+    dd = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY EXCEPT([Customer].[Nation].Members, "
+        "EXCEPT([Customer].[Nation].Members, {[Customer].[Nation].[&3]})) "
+        "ON ROWS FROM [Sales]").collect()
+    assert len(dd) == 1 and dd[0][0] == 3
+
+    # UNION with the full level == the full level (no cut)
+    qm2 = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "UNION([Customer].[Nation].Members, {[Customer].[Nation].[&3]}) "
+        "ON ROWS FROM [Sales]")
+    assert qm2.cut == [] and qm2.drilldown == ["Customer.Nation"]
