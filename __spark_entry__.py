@@ -514,6 +514,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "FROM [Sales] "
         "WHERE (EXCEPT([Time].[Year].Members, {[Time].[Year].[1995]}))")
 
+    # WITH SET member-literal macro (r8): a query-scoped named set
+    # whose body is a member set (or set algebra) — macro-expanded at
+    # each reference during PARSING, so the planner sees only the
+    # compiled drilldown+cut (mdx set_macros; the TOPCOUNT ranked
+    # form keeps the named-set machinery)
+    q["q59_mdx_with_set_literal"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH SET [Focus Nations] AS {[Customer].[Nation].[&3], "
+        "[Customer].[Nation].[&7], [Customer].[Nation].[&21]} "
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Focus Nations] ON ROWS FROM [Sales] "
+        "WHERE ([Time].[Year].[1996])")
+
     # TOPPERCENT: the minimal best-first member prefix reaching pct%
     # of the axis total (two windows over the axis-sized aggregate)
     q["q47_mdx_toppercent"] = lambda s, d: __import__(
@@ -1571,6 +1585,14 @@ def oracle_sql() -> dict[str, str]:
             FROM {J_CUST}
             WHERE n_nationkey NOT IN (3, 7)
               AND year(l_shipdate) <> 1995
+            GROUP BY 1, 2""",
+
+        "q59_mdx_with_set_literal": f"""
+            SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE n_nationkey IN (3, 7, 21)
+              AND year(l_shipdate) = 1996
             GROUP BY 1, 2""",
 
         "q47_mdx_toppercent": f"""

@@ -14,7 +14,9 @@ build_query emits, which covers every query the REST layer can express:
                                    | AGGREGATE|SUM|AVG|MIN|MAX|COUNT(
                                          <member|{set}|range>, [Measures].[M])]
           [SET [Name] AS TOPCOUNT|BOTTOMCOUNT([D].[L].Members, n,
-                                              [Measures].[M])] ...]
+                                              [Measures].[M])
+                       | mset   (member-set literal / set algebra —
+                                 macro-expanded at each reference)] ...]
     SELECT {[Measures].[X], ...} ON COLUMNS,
            <axis> ON ROWS
     FROM [Cube]
@@ -154,6 +156,13 @@ class MdxQuery:
                                     edge_child_of=[], siblings_of=[],
                                     ancestor_of=[], edge_sibling_of=[],
                                     periods_to_date=[])
+        # WITH SET bodies that are member-set literals/algebra (not the
+        # TOPCOUNT ranked form): name -> (level_path, kind, members),
+        # macro-expanded at each reference DURING parsing — the
+        # QueryModel sees only the compiled drilldown+cut, so the
+        # planner needs no new machinery (a parse-time analog of
+        # Mondrian's named-set substitution)
+        self.set_macros: dict = {}
 
 
 def _merge_sub(q: MdxQuery, sub: MdxQuery) -> None:
@@ -775,6 +784,24 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             f".FirstChild, .LastChild, .FirstSibling, .LastSibling, "
             f".Lag or .Lead after {_path_str(segs)}, got .{w}")
     if len(segs) == 1:
+        macro = q.set_macros.get(segs[0])
+        if macro is not None:
+            # WITH SET member-set macro: expand to drilldown+cut here
+            # (shadows a same-named schema set for this query, like
+            # Mondrian's query-scoped named sets)
+            level_path, mkind, members = macro
+            q.qm_kwargs["drilldown"].append(".".join(level_path))
+            if mkind == "pos":
+                if members:
+                    q.qm_kwargs["cut"].append(
+                        "{" + ",".join(_path_str(m) for m in members)
+                        + "}")
+                else:
+                    q.qm_kwargs["empty_set"] = True
+            elif members:
+                q.qm_kwargs["cut"].append(
+                    "!{" + ",".join(_path_str(m) for m in members) + "}")
+            return False
         q.qm_kwargs["drilldown"].append(segs[0])  # named set shortcut
         return False
     raise ParseError(f"expected .Members after {_path_str(segs)}")
@@ -979,8 +1006,25 @@ def _slicer(p: _P, q: MdxQuery) -> None:
                 "{" + ",".join(_path_str(m) for m in members) + "}")
         else:
             segs = _path(p)
-            q.qm_kwargs["cut"].append(
-                segs[0] if len(segs) == 1 else _path_str(segs))
+            macro = q.set_macros.get(segs[0]) if len(segs) == 1 else None
+            if macro is not None:
+                # WITH SET macro as a slicer: same compile as the
+                # set-algebra slicer branch above
+                _, mkind, members = macro
+                if mkind == "pos":
+                    if members:
+                        q.qm_kwargs["cut"].append(
+                            "{" + ",".join(_path_str(m) for m in members)
+                            + "}")
+                    else:
+                        q.qm_kwargs["empty_slicer"] = True
+                elif members:
+                    q.qm_kwargs["cut"].append(
+                        "!{" + ",".join(_path_str(m) for m in members)
+                        + "}")
+            else:
+                q.qm_kwargs["cut"].append(
+                    segs[0] if len(segs) == 1 else _path_str(segs))
         if p.peek() == "*":
             p.next()
             continue
@@ -1060,6 +1104,22 @@ def _with_set_body(p: _P) -> tuple:
     top_by = _measure_ref(p)
     p.expect(")")
     return (".".join(path), k, top_by, fn == "BOTTOMCOUNT")
+
+
+def _set_macro_body(p: _P) -> tuple:
+    """WITH SET body that is a member-set literal ({...}), a single
+    member, a full level (.Members), or UNION/EXCEPT/INTERSECT algebra
+    over those — everything _member_set_operand's two-register algebra
+    covers.  Accepts Mondrian's quoted form (``AS '...'``)."""
+    t = p.peek()
+    if t is not None and t.startswith("'"):
+        inner = _P(tokenize(p.next()[1:-1]))
+        out = _member_set_operand(inner)
+        if inner.peek() is not None:
+            raise ParseError(
+                f"trailing tokens in WITH SET formula at {inner.peek()!r}")
+        return out
+    return _member_set_operand(p)
 
 
 def _parallelperiod_tuple(p: _P) -> str:
@@ -1282,8 +1342,20 @@ def compile_mdx(mdx: str, cube_hint: str | None = None) -> QueryModel:
                         f"WITH SET name must be a single bracketed "
                         f"segment, got {_path_str(segs)}")
                 p.expect("AS")
-                with_sets.append((segs[0],) + _with_set_body(p))
-        if not with_members and not with_sets:
+                save = p.pos
+                ranked = p.peek_upper() in ("TOPCOUNT", "BOTTOMCOUNT")
+                try:
+                    with_sets.append((segs[0],) + _with_set_body(p))
+                except ParseError:
+                    if ranked:
+                        # a malformed TOPCOUNT body keeps its precise
+                        # diagnostic instead of a macro-parse error
+                        raise
+                    # member-set literal / set-algebra body: a macro
+                    # expanded at each axis/slicer reference
+                    p.pos = save
+                    q.set_macros[segs[0]] = _set_macro_body(p)
+        if not with_members and not with_sets and not q.set_macros:
             raise ParseError("WITH must introduce at least one MEMBER "
                              "or SET")
     q.qm_kwargs["with_members"] = with_members

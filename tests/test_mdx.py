@@ -347,9 +347,6 @@ def test_compile_with_member_quoted_and_arith():
 
 
 def test_with_member_rejects_bad_formulas():
-    with pytest.raises(ParseError):   # WITH SET is outside the subset
-        compile_mdx("WITH SET [S] AS [Customer].[Region].Members "
-                    "SELECT {[Measures].[Revenue]} ON COLUMNS FROM [Sales]")
     with pytest.raises(ParseError):   # non-arithmetic formula content
         compile_mdx("WITH MEMBER [Measures].[X] AS "
                     "SUM([Customer].[Region].Members) "
@@ -472,8 +469,13 @@ def test_compile_with_set():
 
 
 def test_with_set_rejects_bad_formulas():
-    with pytest.raises(ParseError):   # only TOPCOUNT/BOTTOMCOUNT
-        compile_mdx("WITH SET [S] AS [Customer].[Region].Members "
+    # a .Members body is now a VALID member-set macro (r8), not a 400
+    qm = compile_mdx("WITH SET [S] AS [Customer].[Region].Members "
+                     "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                     "[S] ON ROWS FROM [Sales]")
+    assert qm.drilldown == ["Customer.Region"] and qm.cut == []
+    with pytest.raises(ParseError):   # genuinely bad body
+        compile_mdx("WITH SET [S] AS 5 "
                     "SELECT {[Measures].[Revenue]} ON COLUMNS FROM [Sales]")
     with pytest.raises(ParseError):   # set name must be one segment
         compile_mdx("WITH SET [A].[B] AS "
@@ -2125,3 +2127,39 @@ def test_except_over_level_members(spark, sf_dir):
         "UNION([Customer].[Nation].Members, {[Customer].[Nation].[&3]}) "
         "ON ROWS FROM [Sales]")
     assert qm2.cut == [] and qm2.drilldown == ["Customer.Nation"]
+
+
+def test_with_set_member_literal_macro(spark, sf_dir):
+    """WITH SET bodies that are member-set literals or set algebra
+    expand as parse-time macros at each axis/slicer reference — the
+    planner sees only drilldown+cut (the TOPCOUNT ranked form keeps
+    its named-set machinery)."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH SET [My Nations] AS {[Customer].[Nation].[&3], "
+        "[Customer].[Nation].[&7]} "
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [My Nations] ON ROWS FROM [Sales]").collect()
+    assert sorted(r[0] for r in rows) == [3, 7]
+    qm = compile_mdx(
+        "WITH SET [My Nations] AS {[Customer].[Nation].[&3], "
+        "[Customer].[Nation].[&7]} "
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [My Nations] ON ROWS FROM [Sales]")
+    assert qm.drilldown == ["Customer.Nation"] and not qm.with_sets
+    # algebra body + slicer reference
+    sliced = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH SET [Not Asia] AS EXCEPT([Customer].[Region].Members, "
+        "{[Customer].[Region].[&2]}) "
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].Members ON ROWS FROM [Sales] "
+        "WHERE ([Not Asia])").collect()
+    assert 2 not in {r[0] for r in sliced} and len(sliced) == 4
+    # a schema named set is shadowed only when names collide; unknown
+    # bare names still 400 via the planner
+    with pytest.raises((ParseError, KeyError)):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "[No Such Set] ON ROWS FROM [Sales]").collect()
