@@ -324,16 +324,14 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
             raise ParseError(
                 "TOPPERCENT/BOTTOMPERCENT/TOPSUM/BOTTOMSUM/TAIL are "
                 "not supported on virtual cubes in this MDX subset")
-        if qm.siblings_of or qm.edge_sibling_of:
+        if qm.periods_to_date:
             raise ParseError(
-                ".Siblings/.FirstSibling/.LastSibling are not supported "
-                "on virtual cubes in this MDX subset; query the base "
-                "cube")
-        if qm.ancestor_of or qm.periods_to_date:
-            raise ParseError(
-                "ANCESTOR/PERIODSTODATE are not supported on virtual "
-                "cubes in this MDX subset; query the base cube")
-        if qm.children_of or qm.parent_of or qm.edge_child_of:
+                "PERIODSTODATE is not supported on virtual cubes in "
+                "this MDX subset (the period opening is fact-derived "
+                "on degenerate time dims); query the base cube")
+        if (qm.children_of or qm.parent_of or qm.edge_child_of
+                or qm.siblings_of or qm.edge_sibling_of
+                or qm.ancestor_of):
             qm = _virtualize_idioms(spark, sf_dir, cat, qm)
         return _aggregate_virtual(spark, sf_dir, cat, qm)
     cube = cat.cube(qm.cube)
@@ -1945,13 +1943,14 @@ def named_set_frame(spark: SparkSession, sf_dir: str, cube: Cube, ns) -> DataFra
 def _virtualize_idioms(spark: SparkSession, sf_dir: str, cat: Catalog,
                        qm: QueryModel) -> QueryModel:
     """Rewrite member-anchored axis idioms on a VIRTUAL cube —
-    ``.Children`` / ``.Parent`` / ``.FirstChild`` / ``.LastChild`` —
-    into plain drilldown + cut strings before drill-across.  These
-    idioms resolve against the catalog and the shared (conformed)
-    DIMENSION tables only, never a fact table, so resolving once
-    against any base cube owning the dimension is exact for every
-    drilled-across cube.  Degenerate dims (whose member keys live on
-    each cube's fact) stay a 400 like LASTPERIODS/.Lag.
+    ``.Children`` / ``.Parent`` / ``.FirstChild`` / ``.LastChild`` /
+    ``.Siblings`` / ``.FirstSibling`` / ``.LastSibling`` /
+    ``ANCESTOR`` — into plain drilldown + cut strings before
+    drill-across.  These idioms resolve against the catalog and the
+    shared (conformed) DIMENSION tables only, never a fact table, so
+    resolving once against any base cube owning the dimension is exact
+    for every drilled-across cube.  Degenerate dims (whose member keys
+    live on each cube's fact) stay a 400 like LASTPERIODS/.Lag.
     """
     import dataclasses
 
@@ -2054,9 +2053,146 @@ def _virtualize_idioms(spark: SparkSession, sf_dir: str, cat: Catalog,
         cut.append(".".join(f"[{s}]" for s in
                             segs[:-2] + [target.name, f"&{key}"]))
 
+    # .Siblings: drill the member's own level + parent cut (top level:
+    # the whole level).  Same conformed-dim-only resolution as .Parent.
+    for sb in qm.siblings_of:
+        segs = parse_segments(sb)
+        if len(segs) < 3:
+            raise ParseError(
+                f".Siblings needs [Dim].[Level].[member], got {sb!r}")
+        hier_name = segs[1] if len(segs) == 4 else None
+        cube = owning(segs[0])
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        if dim.is_degenerate:
+            raise ParseError(
+                f"{sb!r}.Siblings: not supported on degenerate "
+                f"dimension {dim.name!r} (member keys live on each "
+                f"cube's fact)")
+        idx = hier.level_index(level.name)
+        drilldown.append(".".join(
+            [segs[0]] + ([hier_name] if hier_name else []) + [level.name]))
+        if idx == 0:
+            continue
+        parent = hier.levels[idx - 1]
+        raw = segs[-1]
+        use_caption = (not raw.startswith("&") and level.caption
+                       and level.caption_alias
+                       and level.caption_alias != level.key_alias)
+        match_col = level.caption_alias if use_caption else level.key_alias
+        rows = (_dim_select(spark, sf_dir, dim, [parent, level])
+                .filter(F.col(match_col) == F.lit(_coerce(raw.lstrip("&"))))
+                .select(parent.key_alias).distinct().limit(2).collect())
+        if len(rows) != 1:
+            raise ParseError(
+                f"{sb!r}: member not found"
+                if not rows else f"{sb!r}: parent is ambiguous")
+        cut.append(".".join(f"[{s}]" for s in
+                            segs[:-2] + [parent.name, f"&{rows[0][0]}"]))
+
+    # .FirstSibling/.LastSibling: the parent's edge child at the
+    # member's own level (root level: the level's first/last member)
+    for sb_path, want_last in qm.edge_sibling_of:
+        label = ".LastSibling" if want_last else ".FirstSibling"
+        segs = parse_segments(sb_path)
+        if len(segs) < 3:
+            raise ParseError(
+                f"{label} needs [Dim].[Level].[member], got {sb_path!r}")
+        hier_name = segs[1] if len(segs) == 4 else None
+        cube = owning(segs[0])
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        if dim.is_degenerate:
+            raise ParseError(
+                f"{sb_path!r}{label}: not supported on degenerate "
+                f"dimension {dim.name!r} (member keys live on each "
+                f"cube's fact)")
+        idx = hier.level_index(level.name)
+        drilldown.append(".".join(
+            [segs[0]] + ([hier_name] if hier_name else []) + [level.name]))
+        agg_fn = F.max if want_last else F.min
+        if idx == 0:
+            rows = (_dim_select(spark, sf_dir, dim, [level])
+                    .agg(agg_fn(F.col(level.key_alias))).collect())
+            if not rows or rows[0][0] is None:
+                raise ParseError(f"{sb_path!r}{label}: level "
+                                 f"{level.name!r} has no members")
+            cut.append(".".join(f"[{s}]" for s in
+                                segs[:-1] + [f"&{rows[0][0]}"]))
+            continue
+        parent = hier.levels[idx - 1]
+        raw = segs[-1]
+        use_caption = (not raw.startswith("&") and level.caption
+                       and level.caption_alias
+                       and level.caption_alias != level.key_alias)
+        match_col = level.caption_alias if use_caption else level.key_alias
+        prows = (_dim_select(spark, sf_dir, dim, [parent, level])
+                 .filter(F.col(match_col) == F.lit(_coerce(raw.lstrip("&"))))
+                 .select(parent.key_alias).distinct().limit(2).collect())
+        if len(prows) != 1:
+            raise ParseError(
+                f"{sb_path!r}{label}: member not found"
+                if not prows else f"{sb_path!r}{label}: parent is "
+                "ambiguous")
+        srows = (_dim_select(spark, sf_dir, dim, [parent, level])
+                 .filter(F.col(parent.key_alias) == F.lit(prows[0][0]))
+                 .agg(agg_fn(F.col(level.key_alias))).collect())
+        cut.append(".".join(f"[{s}]" for s in
+                            segs[:-2] + [parent.name, f"&{prows[0][0]}"]))
+        cut.append(".".join(f"[{s}]" for s in
+                            segs[:-2] + [level.name, f"&{srows[0][0]}"]))
+
+    # ANCESTOR: drill the ancestor level + cut to the member's
+    # ancestor key, resolved once against the owning base cube's
+    # conformed dim (self-level = the member itself)
+    for anc_path, target_name in qm.ancestor_of:
+        segs = parse_segments(anc_path)
+        if len(segs) < 3:
+            raise ParseError(
+                f"ANCESTOR needs [Dim].[Level].[member], got {anc_path!r}")
+        hier_name = segs[1] if len(segs) == 4 else None
+        cube = owning(segs[0])
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        if dim.is_degenerate:
+            raise ParseError(
+                f"ANCESTOR: not supported on degenerate dimension "
+                f"{dim.name!r} on virtual cubes (member keys live on "
+                f"each cube's fact)")
+        idx = hier.level_index(level.name)
+        try:
+            tgt_idx = hier.level_index(target_name)
+        except (KeyError, ValueError):
+            raise ParseError(
+                f"ANCESTOR: hierarchy {hier.name!r} has no level "
+                f"{target_name!r}")
+        if tgt_idx > idx:
+            raise ParseError(
+                f"ANCESTOR: level {target_name!r} must be AT or ABOVE "
+                f"the member's level {level.name!r}")
+        target = hier.levels[tgt_idx]
+        drilldown.append(".".join(
+            [segs[0]] + ([hier_name] if hier_name else []) + [target.name]))
+        if tgt_idx == idx:
+            cut.append(anc_path)
+            continue
+        raw = segs[-1]
+        use_caption = (not raw.startswith("&") and level.caption
+                       and level.caption_alias
+                       and level.caption_alias != level.key_alias)
+        match_col = level.caption_alias if use_caption else level.key_alias
+        rows = (_dim_select(spark, sf_dir, dim, [target, level])
+                .filter(F.col(match_col) == F.lit(_coerce(raw.lstrip("&"))))
+                .select(target.key_alias).distinct().limit(2).collect())
+        if len(rows) != 1:
+            raise ParseError(
+                f"ANCESTOR({anc_path!r}): member not found"
+                if not rows else
+                f"ANCESTOR({anc_path!r}): ancestor is ambiguous")
+        cut.append(".".join(f"[{s}]" for s in
+                            segs[:-2] + [target.name, f"&{rows[0][0]}"]))
+
     return dataclasses.replace(qm, drilldown=drilldown, cut=cut,
                                children_of=[], parent_of=[],
-                               edge_child_of=[])
+                               edge_child_of=[], siblings_of=[],
+                               edge_sibling_of=[], ancestor_of=[])
 
 
 def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,

@@ -1716,11 +1716,13 @@ def test_siblings_navigation(spark, sf_dir):
                     "SELECT {[Measures].[Revenue]} ON COLUMNS, "
                     "[Time].[Quarter].[&2].Siblings ON ROWS "
                     "FROM [Sales]").collect()
-    with pytest.raises(ParseError, match="virtual"):
-        execute_mdx(spark, sf_dir, tpch.CATALOG,
-                    "SELECT {[Measures].[Revenue]} ON COLUMNS, "
-                    "[Customer].[Nation].[&3].Siblings ON ROWS "
-                    "FROM [Orders and Sales]").collect()
+    # r8: conformed-dim .Siblings virtualizes (resolved once against
+    # the owning base cube's dim, exact for every drilled-across cube)
+    virt = execute_mdx(spark, sf_dir, tpch.CATALOG,
+                       "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                       "NON EMPTY [Customer].[Nation].[&3].Siblings "
+                       "ON ROWS FROM [Orders and Sales]").collect()
+    assert sorted(r[0] for r in virt) == [3, 8, 13, 18, 23]
     with pytest.raises(ParseError, match="not found"):
         execute_mdx(spark, sf_dir, tpch.CATALOG,
                     "SELECT {[Measures].[Revenue]} ON COLUMNS, "
@@ -2163,3 +2165,42 @@ def test_with_set_member_literal_macro(spark, sf_dir):
             spark, sf_dir, tpch.CATALOG,
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
             "[No Such Set] ON ROWS FROM [Sales]").collect()
+
+
+def test_virtual_cube_new_navigation(spark, sf_dir):
+    """ANCESTOR/.FirstSibling/.LastSibling virtualize on conformed
+    dims: the idiom resolves once against the owning base cube's dim
+    table, then drill-across runs on plain drilldown+cut."""
+    anc = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, "
+        "ANCESTOR([Customer].[Customer].[&7], [Customer].[Region]) "
+        "ON ROWS FROM [Orders and Sales]").collect()
+    assert len(anc) == 1 and anc[0][-1] is not None
+    base = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "ANCESTOR([Customer].[Customer].[&7], [Customer].[Region]) "
+        "ON ROWS FROM [Sales]").collect()
+    assert anc[0][0] == base[0][0]       # same ancestor member key
+    sib = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].[&7].LastSibling ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    assert len(sib) == 1 and sib[0][0] == 22
+    # degenerate time stays a clear 400 on virtual cubes
+    with pytest.raises(ParseError, match="degenerate"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "ANCESTOR([Time].[Day].[&1996-02-10], [Time].[Year]) "
+            "ON ROWS FROM [Orders and Sales]").collect()
+    # PERIODSTODATE stays unsupported on virtual cubes
+    with pytest.raises(ParseError, match="virtual"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "PERIODSTODATE([Time].[Year], [Time].[Day].[&1996-02-10]) "
+            "ON ROWS FROM [Orders and Sales]").collect()
