@@ -528,6 +528,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY [Focus Nations] ON ROWS FROM [Sales] "
         "WHERE ([Time].[Year].[1996])")
 
+    # RANK WITH MEMBER (r8): the member's 1-based rank in its level
+    # ordered by a measure — ties share a rank (SQL RANK semantics),
+    # computed as an axis-sized rank() window (planner
+    # CalculatedMember.rank_of; never the fact)
+    q["q60_mdx_rank"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH MEMBER [Measures].[Rev Rank] AS "
+        "RANK([Customer].[Nation].CurrentMember, "
+        "ORDER([Customer].[Nation].Members, [Measures].[Revenue], BDESC)) "
+        "SELECT {[Measures].[Revenue], [Measures].[Rev Rank]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].Members ON ROWS FROM [Sales]")
+
+    # GENERATE per-parent top-N (r8): Mondrian's canonical
+    # GENERATE(set, TOPCOUNT(CurrentMember.Children, n, m)) idiom —
+    # a (parent, child) drilldown + ONE row_number window partitioned
+    # per parent on the axis-sized aggregate (planner generate_top)
+    q["q61_mdx_generate_top"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) ON ROWS FROM [Sales]")
+
     # TOPPERCENT: the minimal best-first member prefix reaching pct%
     # of the axis total (two windows over the axis-sized aggregate)
     q["q47_mdx_toppercent"] = lambda s, d: __import__(
@@ -1594,6 +1619,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_nationkey IN (3, 7, 21)
               AND year(l_shipdate) = 1996
             GROUP BY 1, 2""",
+
+        "q60_mdx_rank": f"""
+            WITH agg AS (
+              SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2)
+            SELECT *, RANK() OVER (ORDER BY revenue DESC) AS rev_rank
+            FROM agg""",
+
+        "q61_mdx_generate_top": f"""
+            WITH agg AS (
+              SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                     n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2, 3, 4)
+            SELECT cust_region_key, cust_region,
+                   cust_nation_key, cust_nation, revenue
+            FROM agg
+            QUALIFY row_number() OVER (PARTITION BY cust_region_key
+                                       ORDER BY revenue DESC,
+                                                cust_nation_key) <= 2""",
 
         "q47_mdx_toppercent": f"""
             WITH agg AS (

@@ -227,6 +227,15 @@ class CalculatedMember:
     set_of: str | None = None
     set_fn: str | None = None
     set_cut: str | None = None
+    # RANK shape (Mondrian RANK(<level>.CurrentMember, set) in WITH
+    # MEMBER): 1-based rank of each axis member of ``rank_level`` (on
+    # ``rank_dim``) ordered by measure alias ``rank_of`` (ties share a
+    # rank, SQL RANK semantics); ``rank_of=None`` = ordinal position in
+    # level key order (row_number).  Axis-sized window, never the fact.
+    rank_of: str | None = None
+    rank_dim: str | None = None
+    rank_level: str | None = None
+    rank_asc: bool = False
 
 
 @dataclass(frozen=True)

@@ -12,7 +12,10 @@ build_query emits, which covers every query the REST layer can express:
                                    | ([Measures].[M], <member>)
                                    | SUM(YTD()|QTD()|MTD()|WTD(), [Measures].[M])
                                    | AGGREGATE|SUM|AVG|MIN|MAX|COUNT(
-                                         <member|{set}|range>, [Measures].[M])]
+                                         <member|{set}|range>, [Measures].[M])
+                                   | RANK(<level>.CurrentMember,
+                                          [ORDER(]<level>.Members
+                                          [, [Measures].[M], BASC|BDESC)])]
           [SET [Name] AS TOPCOUNT|BOTTOMCOUNT([D].[L].Members, n,
                                               [Measures].[M])
                        | mset   (member-set literal / set algebra —
@@ -47,6 +50,9 @@ build_query emits, which covers every query the REST layer can express:
            | ANCESTOR(<member>, <level path>)
            | PERIODSTODATE(<level path>, <member>)
            | DESCENDANTS(<member>, <level path>) | [Named Set]
+           | GENERATE(<level path>.Members,
+                      TOPCOUNT|BOTTOMCOUNT(<level path>.CurrentMember
+                                           .Children, n, [Measures].[M]))
     mset := {<member>,...} | <member> | <level path>.Members
           | UNION|EXCEPT|INTERSECT(mset, mset)
           (two-register parse-time algebra: any nesting — including
@@ -420,6 +426,52 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
         p.expect(")")
         q.qm_kwargs["nonempty"] = True
         return False
+    if t == "GENERATE":
+        # GENERATE(<level>.Members, TOPCOUNT(<level>.CurrentMember
+        # .Children, n, m)) — Mondrian's canonical per-parent top-N
+        # idiom: the union of the inner set evaluated at each member
+        # of the outer set.  General GENERATE is out of scope (SURVEY
+        # §2.10 Q6); this shape compiles to a (parent, child) drilldown
+        # plus an axis-sized per-parent row_number window.  Treated as
+        # a set function (sole axis expression): crossing it with
+        # another set would change the evaluation context of the inner
+        # TOPCOUNT, and a clear 400 beats a wrong answer.
+        p.next()
+        p.expect("(")
+        outer = _path(p)
+        p.expect(".")
+        p.expect("MEMBERS")
+        p.expect(",")
+        fn = p.next().upper()
+        if fn not in ("TOPCOUNT", "BOTTOMCOUNT"):
+            raise ParseError(
+                "GENERATE supports TOPCOUNT/BOTTOMCOUNT(<level>"
+                ".CurrentMember.Children, n, [Measures].[M]) as its "
+                f"inner set in this MDX subset; got {fn!r}")
+        p.expect("(")
+        inner = _path(p)
+        p.expect(".")
+        p.expect("CURRENTMEMBER")
+        p.expect(".")
+        p.expect("CHILDREN")
+        if [s.lower() for s in inner] != [s.lower() for s in outer]:
+            raise ParseError(
+                "GENERATE inner set must navigate the outer level "
+                f"({_path_str(outer)}.CurrentMember.Children), got "
+                f"{_path_str(inner)}.CurrentMember.Children")
+        p.expect(",")
+        n = _int(p, "GENERATE TOPCOUNT count")
+        if n < 1:
+            raise ParseError("GENERATE TOPCOUNT count must be >= 1")
+        p.expect(",")
+        top_by = _measure_ref(p)
+        p.expect(")")
+        p.expect(")")
+        if q.qm_kwargs.get("generate_top") is not None:
+            raise ParseError("one GENERATE per query in this MDX subset")
+        q.qm_kwargs["generate_top"] = (".".join(outer), n, top_by,
+                                       fn == "BOTTOMCOUNT")
+        return True
     if t in ("DISTINCT", "SUBSET", "ORDER", "FILTER", "TOPCOUNT", "CROSSJOIN",
              "HEAD", "TAIL", "NONEMPTYCROSSJOIN", "TOPPERCENT",
              "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM"):
@@ -503,6 +555,7 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             _filter_boolean(p, q)
         elif t == "TOPCOUNT":
             sub = MdxQuery()
+            sub.set_macros = q.set_macros   # WITH SET macros stay visible
             _axis_expr(p, sub)
             p.expect(",")
             n = _int(p, "TOPCOUNT count")
@@ -1069,6 +1122,10 @@ def _calc_body(p: _P, stop_words: tuple) -> str:
     except ParseError:
         p.pos = save
     try:
+        return _rank_call(p)
+    except ParseError:
+        p.pos = save
+    try:
         return _measure_member_tuple(p)
     except ParseError:
         p.pos = save
@@ -1158,6 +1215,53 @@ def _ytd_call(p: _P) -> str:
     name = _measure_ref(p)
     p.expect(")")
     return "{" + fn.lower() + ":" + name + "}"
+
+
+def _rank_call(p: _P) -> str:
+    """``RANK(<level>.CurrentMember, ORDER(<level>.Members,
+    [Measures].[M], BASC|BDESC))`` — the member's 1-based rank in its
+    level ordered by a measure (ties share a rank, exactly SQL
+    ``RANK()``; the idiomatic Mondrian leaderboard calc) — and the
+    2-arg form ``RANK(<level>.CurrentMember, <level>.Members)`` — the
+    member's ordinal position in the level's key order.  Compiles to
+    a ``{rank:...}`` template the planner maps onto an axis-sized
+    rank()/row_number() window (never the fact)."""
+    p.expect("RANK")
+    p.expect("(")
+    member = _path(p)
+    p.expect(".")
+    p.expect("CURRENTMEMBER")
+    p.expect(",")
+    if p.peek_upper() == "ORDER":
+        p.next()
+        p.expect("(")
+        setp = _path(p)
+        p.expect(".")
+        p.expect("MEMBERS")
+        p.expect(",")
+        by = _measure_ref(p)
+        direction = "desc"
+        if p.peek() == ",":
+            p.next()
+            word = p.next().upper()
+            if word not in ("BASC", "BDESC", "ASC", "DESC"):
+                raise ParseError(
+                    f"RANK order direction must be BASC/BDESC, got {word!r}")
+            direction = "asc" if word in ("BASC", "ASC") else "desc"
+        p.expect(")")
+    else:
+        setp = _path(p)
+        p.expect(".")
+        p.expect("MEMBERS")
+        by, direction = "", "pos"
+    p.expect(")")
+    if [s.lower() for s in member] != [s.lower() for s in setp]:
+        raise ParseError(
+            "RANK member and set must reference the same level, got "
+            f"{_path_str(member)} vs {_path_str(setp)}")
+    if ":" in by or any(":" in s for s in member):
+        raise ParseError("RANK names cannot contain ':'")
+    return "{rank:" + by + ":" + direction + ":" + ".".join(member) + "}"
 
 
 def _measure_member_tuple(p: _P) -> str:
@@ -1411,6 +1515,15 @@ def _emit_formula(tmpl: str) -> str:
     if sa:
         fn, name, cut = sa.groups()
         return f"{fn.upper()}({cut}, [Measures].[{name}])"
+    rk = re.fullmatch(r"\{rank:([^:}]*):(asc|desc|pos):([^}]+)\}", tmpl)
+    if rk:
+        name, direction, lvl = rk.groups()
+        lvlb = ".".join(f"[{s}]" for s in lvl.split("."))
+        if direction == "pos":
+            return f"RANK({lvlb}.CurrentMember, {lvlb}.Members)"
+        return (f"RANK({lvlb}.CurrentMember, ORDER({lvlb}.Members, "
+                f"[Measures].[{name}], "
+                f"{'BASC' if direction == 'asc' else 'BDESC'}))")
     out = re.sub(r"\{m:([^}]+)\}",
                  lambda m: f"[Measures].[{m.group(1)}]", tmpl)
     # SQL spellings back to their MDX forms (inverse of _calc_tokens)
@@ -1493,6 +1606,13 @@ def emit_mdx(cat: Catalog, qm) -> str:
         dim_seg = parse_segments(m_path)[0]
         member = _path_str(parse_segments(m_path))
         sets.append(f"PERIODSTODATE([{dim_seg}].[{anchor}], {member})")
+    if getattr(qm, "generate_top", None) is not None:
+        g_path, g_n, g_m, g_asc = qm.generate_top
+        lvlb = ".".join(f"[{s}]" for s in g_path.split("."))
+        g_fn = "BOTTOMCOUNT" if g_asc else "TOPCOUNT"
+        sets.append(f"GENERATE({lvlb}.Members, {g_fn}({lvlb}"
+                    f".CurrentMember.Children, {g_n}, "
+                    f"[Measures].[{g_m}]))")
 
     if getattr(qm, "empty_set", False):
         # axis-empty echo: re-express ONE drilldown as EXCEPT of a

@@ -329,6 +329,12 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
                 "PERIODSTODATE is not supported on virtual cubes in "
                 "this MDX subset (the period opening is fact-derived "
                 "on degenerate time dims); query the base cube")
+        if qm.generate_top is not None:
+            # the drill-across join path has no per-parent window
+            # stage; silently dropping it would be a wrong answer
+            raise ParseError(
+                "GENERATE is not supported on virtual cubes in this "
+                "MDX subset; query the base cube")
         if (qm.children_of or qm.parent_of or qm.edge_child_of
                 or qm.siblings_of or qm.edge_sibling_of
                 or qm.ancestor_of):
@@ -484,6 +490,23 @@ def _inline_calcs(cube: Cube, with_members) -> Cube:
             new.append(CalculatedMember(
                 name, alias, set_of=ref, set_fn=fn, set_cut=cut_str))
             continue
+        rk = re.fullmatch(r"\{rank:([^:}]*):(asc|desc|pos):([^}]+)\}", tmpl)
+        if rk:
+            # RANK(<level>.CurrentMember, [ordered] <level>.Members):
+            # rank of each axis member of the level by a measure (or
+            # its key-order ordinal) — resolved against the catalog
+            # here for a clear 400, windowed post-agg
+            ref, direction, lvl_path = rk.groups()
+            segs = lvl_path.split(".")
+            hier_name = segs[1] if len(segs) == 3 else None
+            dim, _, level = _resolve_level(
+                cube, segs[0], hier_name, segs[-1])
+            new.append(CalculatedMember(
+                name, alias,
+                rank_of=measure_alias(ref) if ref else None,
+                rank_dim=dim.name, rank_level=level.name,
+                rank_asc=direction == "asc"))
+            continue
         expr = re.sub(r"\{m:([^}]+)\}", resolve, tmpl)
         new.append(CalculatedMember(name, alias, expr=expr))
     return dataclasses.replace(
@@ -587,6 +610,20 @@ def _split_measures(cube: Cube, names: list[str]):
                 if other not in calcs:
                     calcs.append(other)
                     pending.append(other)
+        if c.rank_of:
+            # the RANK window orders by an alias: pull in its base
+            # measure (or the calc member it names) even when the
+            # ranked measure itself is not displayed
+            for m in cube.measures:
+                if m.alias == c.rank_of:
+                    base.setdefault(m.alias, m)
+                    break
+            else:
+                for other in cube.calc_members:
+                    if other.alias == c.rank_of and other not in calcs:
+                        calcs.append(other)
+                        pending.append(other)
+                        break
         if c.expr:
             for m in cube.measures:
                 if m.alias in c.expr:
@@ -1239,6 +1276,35 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                            segs[:-1] + [f"&{keys[n_abs]}"])
         cuts.append(_resolve_cut(cube, parse_cut(cut_str, ns_names)))
 
+    # --- GENERATE(<level>.Members, TOPCOUNT(<level>.CurrentMember
+    # --- .Children, n, m)) (raw-MDX per-parent top-N idiom): drill
+    # --- the (parent, child) level pair; the per-parent row_number
+    # --- window runs post-agg (axis-sized, never the fact) ---
+    generate_levels = None
+    if qm.generate_top is not None:
+        g_path, g_n, g_m, g_asc = qm.generate_top
+        segs = g_path.split(".")
+        hier_name = segs[1] if len(segs) == 3 else None
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-1])
+        idx = hier.level_index(level.name)
+        if idx + 1 >= len(hier.levels):
+            raise ParseError(
+                f"GENERATE: {level.name!r} is the leaf level of "
+                f"hierarchy {hier.name!r}; .Children needs a level below")
+        if any(rd.dimension.name == dim.name for rd in drills):
+            raise ParseError(
+                f"GENERATE over dimension {dim.name!r} cannot be "
+                "combined with another axis set on the same dimension")
+        # degenerate dims need no navigability probe here: GENERATE
+        # names no member literal, and the parent key partitions the
+        # window, so repeating child keys stay unambiguous
+        _measure_alias(cube, g_m)   # unknown measure -> clear 400
+        child = hier.levels[idx + 1]
+        gl = (list(hier.levels[: idx + 2]) if qm.parents
+              else [level, child])
+        drills.append(ResolvedDrill(dim, hier, child, gl))
+        generate_levels = (level, child)
+
     # drilling on an ascendant of a cut member is a client error
     # (reference api_spec.rb:154-157; query_helper.rb:242-245)
     for rd in drills:
@@ -1291,6 +1357,11 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             if pname not in requested and pname not in extra_names:
                 _measure_alias(cube, pname)  # unknown -> KeyError -> 400
                 extra_names.append(pname)
+    if qm.generate_top is not None:
+        pname = qm.generate_top[2]
+        if pname not in requested and pname not in extra_names:
+            _measure_alias(cube, pname)
+            extra_names.append(pname)
     base_measures, calcs, final_aliases = _split_measures(
         cube, requested + extra_names)
     final_aliases = final_aliases[:len(requested)]
@@ -1504,6 +1575,51 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                                   Window.currentRow))
                 out = out.withColumn(c.alias,
                                      F.sum(F.col(c.run_of)).over(w))
+        elif c.rank_dim:
+            # RANK window (axis-sized, never the fact).  In a
+            # snowflake hierarchy a member determines its ancestors
+            # (one nation -> one region), so each axis row's measure
+            # IS the ranked member's full value and ranking the whole
+            # frame partitioned by OTHER dimensions' keys equals
+            # Mondrian's context-free set evaluation.  Degenerate dims
+            # break that premise (child keys repeat per parent), so
+            # RANK with ancestor levels drilled is rejected there.
+            rank_drills = [rd for rd in drills
+                           if rd.dimension.name == c.rank_dim]
+            if not any(lv.name == c.rank_level for rd in rank_drills
+                       for lv in rd.group_levels):
+                raise ParseError(
+                    f"calculated member {c.name!r} ranks the "
+                    f"{c.rank_dim} {c.rank_level!r} level; drill that "
+                    "level first")
+            rdim = rank_drills[0].dimension
+            same_keys = [a for rd in rank_drills for a in rd.key_aliases]
+            level_keys = {lv.key_alias for rd in rank_drills
+                          for lv in rd.group_levels
+                          if lv.name == c.rank_level}
+            if rdim.is_degenerate and len(set(same_keys)) > len(level_keys):
+                raise ParseError(
+                    f"calculated member {c.name!r}: RANK on degenerate "
+                    f"dimension {rdim.name!r} with ancestor levels "
+                    "drilled is ambiguous (level keys repeat per "
+                    "parent); drill only the ranked level")
+            others = [a for rd in drills if rd.dimension.name != c.rank_dim
+                      for a in rd.key_aliases]
+            if c.rank_of:
+                # nulls last both ways, matching DuckDB's default null
+                # ordering (dense axes can surface null measures)
+                direction = (F.asc_nulls_last(c.rank_of) if c.rank_asc
+                             else F.desc_nulls_last(c.rank_of))
+                w = Window.partitionBy(
+                    *[F.col(a) for a in others]).orderBy(direction)
+                out = out.withColumn(c.alias, F.rank().over(w).cast("long"))
+            else:
+                # ordinal position: hierarchical member order (the
+                # same-dim drilled keys, coarsest first)
+                w = Window.partitionBy(*[F.col(a) for a in others]).orderBy(
+                    *[F.asc(a) for a in same_keys])
+                out = out.withColumn(c.alias,
+                                     F.row_number().over(w).cast("long"))
         else:
             lag_drills = [rd for rd in drills
                           if rd.dimension.name == c.lag_dim]
@@ -1524,6 +1640,25 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 *[F.col(a) for a in time_keys])
             out = out.withColumn(c.alias,
                                  F.lag(F.col(c.lag_of), c.lag_n).over(w))
+
+    # --- GENERATE per-parent top-N (raw MDX): row_number window
+    # --- partitioned by the parent level (plus any other dimensions'
+    # --- keys), ordered by the ranking measure — applied BEFORE the
+    # --- HAVING stage so FILTER(GENERATE(...), cond) filters the
+    # --- generated set, matching the MDX nesting ---
+    if qm.generate_top is not None and generate_levels is not None:
+        g_level, g_child = generate_levels
+        _, g_n, g_m, g_asc = qm.generate_top
+        ocol = _measure_alias(cube, g_m)
+        child_keys = {a for _, a in g_child.out_cols()}
+        part = [a for rd in drills for lv in rd.group_levels
+                for a in [lv.key_alias] if a not in child_keys]
+        direction = (F.asc_nulls_last(ocol) if g_asc
+                     else F.desc_nulls_last(ocol))
+        w = (Window.partitionBy(*[F.col(a) for a in part])
+             .orderBy(direction, F.asc(g_child.key_alias)))
+        out = (out.withColumn("__gen_rn", F.row_number().over(w))
+                  .filter(F.col("__gen_rn") <= g_n).drop("__gen_rn"))
 
     # --- HAVING (reference query_helper.rb:278-282 FILTER) ---
     for fs in qm.filter:
@@ -2232,6 +2367,10 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                 "set-aggregate WITH MEMBER is not supported on virtual "
                 "cubes (the conditional aggregate is fact-side; run it "
                 "against the base cube)")
+        if tmpl.startswith("{rank:"):
+            raise ParseError(
+                "RANK WITH MEMBER is not supported on virtual cubes "
+                "in this MDX subset; query the base cube")
         inline[name] = tmpl
         alias = re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
         if not alias:

@@ -387,6 +387,7 @@ class RollupManager:
                 or qm.periods_to_date
                 or qm.tail is not None
                 or qm.top_percent is not None or qm.top_sum is not None
+                or qm.generate_top is not None
                 or qm.empty_set or qm.empty_slicer):
             return None
         try:

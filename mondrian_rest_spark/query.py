@@ -115,3 +115,9 @@ class QueryModel:
     # measure reaches the ABSOLUTE value (TOPPERCENT's fixed-threshold
     # sibling; same post-agg window stage)
     top_sum: tuple | None = None
+    # GENERATE(<level>.Members, TOPCOUNT(<level>.CurrentMember.Children,
+    # n, m)) from raw MDX — Mondrian's canonical per-parent top-N idiom:
+    # (parent_level_path, n, measure, ascending).  Resolves to a
+    # drilldown of (parent, child) levels plus a post-agg row_number
+    # window partitioned per parent (axis-sized, never the fact)
+    generate_top: tuple | None = None

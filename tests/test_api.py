@@ -762,3 +762,25 @@ def test_advisor_rollups_route(client):
     assert covering, recs
     assert covering[0]["covered_weight"] >= 3
     assert client.get("/advisor/rollups?max=0").status_code == 400
+
+
+def test_exclusion_cut_rest_param(client):
+    """The !{...} exclusion cut (the compiled form of Mondrian's
+    EXCEPT(<level>.Members, {...})) is accepted straight through the
+    REST cut[] param — "all but X" without enumerating the level."""
+    r = client.get("/cubes/Sales/aggregate", query_string=[
+        ("measures[]", "Revenue"),
+        ("drilldown[]", "Customer.Nation"),
+        ("cut[]", "!{[Customer].[Nation].[&3],[Customer].[Nation].[&7]}")])
+    assert r.status_code == 200
+    body = r.get_json()
+    keys = {m["key"] for ax in body["axes"]
+            if ax.get("dimension") == "Customer" for m in ax["members"]}
+    assert keys and not keys & {3, 7}
+    full = client.get("/cubes/Sales/aggregate", query_string=[
+        ("measures[]", "Revenue"),
+        ("drilldown[]", "Customer.Nation")]).get_json()
+    n_full = len([m for ax in full["axes"]
+                  if ax.get("dimension") == "Customer"
+                  for m in ax["members"]])
+    assert len(keys) == n_full - 2

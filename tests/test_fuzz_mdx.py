@@ -248,6 +248,25 @@ WITH_SETS = {
         out=["supp_region_key", "supp_region"], key="supp_region_key"),
 }
 
+# WITH SET member-literal/algebra macro bodies (r8): the body text +
+# the same oracle contribution shape as an ATOM (drill + predicate)
+MACRO_SETS = {
+    "nations_literal": dict(
+        dim="Customer",
+        body="{[Customer].[Nation].[&3], [Customer].[Nation].[&7], "
+             "[Customer].[Nation].[&21]}",
+        sel=NATION_SEL, out=NATION_OUT, key="cust_nation_key",
+        pred="cn.n_nationkey IN (3, 7, 21)"),
+    "not_asia": dict(
+        dim="Customer",
+        body="EXCEPT([Customer].[Region].Members, "
+             "{[Customer].[Region].[&2]})",
+        sel=["cr.r_regionkey AS cust_region_key",
+             "cr.r_name AS cust_region"],
+        out=["cust_region_key", "cust_region"], key="cust_region_key",
+        pred="cr.r_regionkey <> 2"),
+}
+
 # --- slicer cuts -----------------------------------------------------------
 # cut -> (mdx slicer text, SQL predicate, dimension, level index)
 
@@ -335,14 +354,20 @@ def mdx_specs(draw):
     atoms = [a for a in atoms
              if not (ATOMS[a]["dim"] in seen or seen.add(ATOMS[a]["dim"]))]
 
-    with_set = None
+    with_set = macro_set = None
     if draw(st.booleans()):
-        lvl = draw(st.sampled_from(sorted(WITH_SETS)))
-        if WITH_SETS[lvl]["dim"] not in seen:
-            seen.add(WITH_SETS[lvl]["dim"])
-            with_set = (lvl, draw(st.sampled_from([2, 3, 5])),
-                        draw(st.sampled_from(RANK_MEASURES)),
-                        draw(st.booleans()))  # True = BOTTOMCOUNT
+        if draw(st.booleans()):
+            lvl = draw(st.sampled_from(sorted(WITH_SETS)))
+            if WITH_SETS[lvl]["dim"] not in seen:
+                seen.add(WITH_SETS[lvl]["dim"])
+                with_set = (lvl, draw(st.sampled_from([2, 3, 5])),
+                            draw(st.sampled_from(RANK_MEASURES)),
+                            draw(st.booleans()))  # True = BOTTOMCOUNT
+        else:
+            mk = draw(st.sampled_from(sorted(MACRO_SETS)))
+            if MACRO_SETS[mk]["dim"] not in seen:
+                seen.add(MACRO_SETS[mk]["dim"])
+                macro_set = mk
 
     measures = draw(st.lists(
         st.sampled_from(["Revenue", "Quantity", "Line Count",
@@ -356,7 +381,7 @@ def mdx_specs(draw):
         atoms = [a for a in atoms
                  if ATOMS[a]["dim"] != CALC_DIM_CONFLICT[calc]]
 
-    has_axis = bool(atoms) or with_set is not None
+    has_axis = bool(atoms) or with_set is not None or macro_set is not None
     # axis wrappers: FILTER -> ORDER -> SUBSET chain, or a whole-axis
     # TOPCOUNT (which imposes its own order+limit)
     topcount = filt = order = subset = None
@@ -413,6 +438,8 @@ def mdx_specs(draw):
         _, _, cdim, clvl = SLICERS[c]
         if with_set and WITH_SETS[with_set[0]]["dim"] == cdim:
             return False
+        if macro_set and MACRO_SETS[macro_set]["dim"] == cdim:
+            return False
         for a in atoms:
             if ATOMS[a]["dim"] != cdim:
                 continue
@@ -427,7 +454,8 @@ def mdx_specs(draw):
     cuts = [c for c in cuts
             if not (SLICERS[c][2] in seen_cd or seen_cd.add(SLICERS[c][2]))]
 
-    return dict(atoms=atoms, with_set=with_set, measures=measures,
+    return dict(atoms=atoms, with_set=with_set, macro_set=macro_set,
+                measures=measures,
                 calc=calc, topcount=topcount, filt=filt, order=order,
                 subset=subset, cuts=cuts)
 
@@ -443,6 +471,9 @@ def build_mdx(spec) -> str:
         defs.append(f"SET [Fuzz Set] AS {fn}("
                     f"{WITH_SETS[lvl]['mdx_level']}.Members, {k}, "
                     f"[Measures].[{by}])")
+    if spec.get("macro_set"):
+        defs.append(
+            f"SET [Macro Set] AS {MACRO_SETS[spec['macro_set']]['body']}")
     mdx = f"WITH {' '.join(defs)} " if defs else ""
 
     ms = list(spec["measures"]) + (["Calc Measure"] if spec["calc"] else [])
@@ -452,6 +483,8 @@ def build_mdx(spec) -> str:
     sets = [ATOMS[a]["mdx"] for a in spec["atoms"]]
     if spec["with_set"]:
         sets.append("[Fuzz Set]")
+    if spec.get("macro_set"):
+        sets.append("[Macro Set]")
     if sets:
         axis = " * ".join(sets)
         if spec["topcount"] and spec["topcount"][0] == "count":
@@ -517,6 +550,11 @@ def build_oracle_sql(spec) -> str:
                  f"SELECT {ws['keyexpr']} AS __k, {MEASURES[by][1]} AS __v "
                  f"{STAR} GROUP BY 1 ORDER BY __v {direction}, __k "
                  f"LIMIT {k}))")))
+    if spec.get("macro_set"):
+        ms = MACRO_SETS[spec["macro_set"]]
+        entries.append((0, len(spec["atoms"]) + 1, dict(
+            sel=ms["sel"], out=ms["out"], key=ms["key"],
+            pred=ms["pred"])))
     for _, _, atom in sorted(entries, key=lambda e: (e[0], e[1])):
         sel += atom["sel"]
         aliases += atom["out"]
