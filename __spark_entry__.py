@@ -409,6 +409,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ON COLUMNS, NON EMPTY [Customer].[Region].Members ON ROWS "
         "FROM [Sales]")
 
+    # member-VALUE set aggregates (r8, Mondrian semantics): AVG(set,
+    # m) averages the members' CELL values (per axis row, the mean of
+    # its three yearly Revenue totals), not the fact rows — one extra
+    # axis-grained aggregate left-joined back (planner ml_set_aggs)
+    q["q62_mdx_set_avg"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH MEMBER [Measures].[Avg Yearly Rev] AS "
+        "AVG(([Time].[Year].[1995]:[Time].[Year].[1997]), "
+        "[Measures].[Revenue]) "
+        "SELECT {[Measures].[Revenue], [Measures].[Avg Yearly Rev]} "
+        "ON COLUMNS, NON EMPTY [Customer].[Region].Members ON ROWS "
+        "FROM [Sales]")
+
+    # MEDIAN/STDEV member-value set aggregates (r8): order statistics
+    # over the member cell values per axis row (sample stdev,
+    # Mondrian's Stdev)
+    q["q63_mdx_set_median_stdev"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH MEMBER [Measures].[Med Yearly Rev] AS "
+        "MEDIAN(([Time].[Year].[1995]:[Time].[Year].[1997]), "
+        "[Measures].[Revenue]) "
+        "MEMBER [Measures].[Sd Yearly Rev] AS "
+        "STDEV(([Time].[Year].[1995]:[Time].[Year].[1997]), "
+        "[Measures].[Revenue]) "
+        "SELECT {[Measures].[Med Yearly Rev], [Measures].[Sd Yearly Rev]} "
+        "ON COLUMNS, NON EMPTY [Customer].[Nation].Members ON ROWS "
+        "FROM [Sales]")
+
     # OPENINGPERIOD/CLOSINGPERIOD (r8): first/last descendant of a
     # member at ANY deeper level in hierarchy order — one lexicographic
     # dim-side orderBy-limit-1 over the level-key chain (planner
@@ -1531,6 +1561,40 @@ def oracle_sql() -> dict[str, str]:
                      AS rev_95_96
             FROM {J_CUST}
             GROUP BY 1, 2""",
+
+        "q62_mdx_set_avg": f"""
+            WITH mv AS (
+              SELECT r_regionkey AS cust_region_key,
+                     year(l_shipdate) AS yr, {REVENUE} AS v
+              FROM {J_CUST}
+              WHERE year(l_shipdate) BETWEEN 1995 AND 1997
+              GROUP BY 1, 2),
+            agg AS (
+              SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2)
+            SELECT a.cust_region_key, a.cust_region, a.revenue,
+                   m.avg_yearly_rev
+            FROM agg a LEFT JOIN (
+              SELECT cust_region_key, avg(v) AS avg_yearly_rev
+              FROM mv GROUP BY 1) m USING (cust_region_key)""",
+
+        "q63_mdx_set_median_stdev": f"""
+            WITH mv AS (
+              SELECT n_nationkey AS cust_nation_key,
+                     year(l_shipdate) AS yr, {REVENUE} AS v
+              FROM {J_CUST}
+              WHERE year(l_shipdate) BETWEEN 1995 AND 1997
+              GROUP BY 1, 2),
+            agg AS (
+              SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation
+              FROM {J_CUST} GROUP BY 1, 2)
+            SELECT a.cust_nation_key, a.cust_nation,
+                   m.med_yearly_rev, m.sd_yearly_rev
+            FROM agg a LEFT JOIN (
+              SELECT cust_nation_key, median(v) AS med_yearly_rev,
+                     stddev_samp(v) AS sd_yearly_rev
+              FROM mv GROUP BY 1) m USING (cust_nation_key)""",
 
         "q52_mdx_ancestor": f"""
             SELECT r_regionkey AS cust_region_key, r_name AS cust_region,

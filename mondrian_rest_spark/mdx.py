@@ -11,8 +11,12 @@ build_query emits, which covers every query the REST layer can express:
                                    | ([Measures].[M], PARALLELPERIOD([D].[L][, n]))
                                    | ([Measures].[M], <member>)
                                    | SUM(YTD()|QTD()|MTD()|WTD(), [Measures].[M])
-                                   | AGGREGATE|SUM|AVG|MIN|MAX|COUNT(
+                                   | AGGREGATE|SUM|AVG|MIN|MAX|COUNT
+                                     |MEDIAN|STDEV[P]|VAR[P](
                                          <member|{set}|range>, [Measures].[M])
+                                     (explicit fns aggregate member
+                                      CELL VALUES, Mondrian-style;
+                                      AGGREGATE rolls up the union)
                                    | RANK(<level>.CurrentMember,
                                           [ORDER(]<level>.Members
                                           [, [Measures].[M], BASC|BDESC)])]
@@ -1295,18 +1299,30 @@ def _measure_member_tuple(p: _P) -> str:
     return "{setagg:aggregate:" + name + ":" + _path_str(member) + "}"
 
 
+#: canonical spellings for WITH MEMBER set aggregates (Mondrian
+#: accepts both STDEV/STDDEV and VAR/VARIANCE; *P = population)
+_SET_AGG_WORDS = {
+    "AGGREGATE": "aggregate", "SUM": "sum", "AVG": "avg", "MIN": "min",
+    "MAX": "max", "COUNT": "count", "MEDIAN": "median",
+    "STDEV": "stdev", "STDDEV": "stdev", "STDEVP": "stdevp",
+    "VAR": "var", "VARIANCE": "var", "VARP": "varp",
+}
+
+
 def _set_agg_call(p: _P) -> str:
-    """AGGREGATE|SUM|AVG|MIN|MAX|COUNT(<member set>, [Measures].[M]) —
-    Mondrian's set-aggregate calculated members (the other classic
-    WITH MEMBER idiom next to time intelligence; reference
-    api_helpers.rb:42-54 passes arbitrary MDX to Mondrian).  The set
-    is a member literal, a brace set, or a member range on ONE level;
-    AGGREGATE uses the measure's own aggregator, the others override
-    it.  Compiles to a ``{setagg:fn:M:<cut>}`` template the planner
-    maps onto a CONDITIONAL fact-side aggregation (same shuffle as the
-    other measures — no extra pass)."""
+    """AGGREGATE|SUM|AVG|MIN|MAX|COUNT|MEDIAN|STDEV|VAR(...)(<member
+    set>, [Measures].[M]) — Mondrian's set-aggregate calculated
+    members (the other classic WITH MEMBER idiom next to time
+    intelligence; reference api_helpers.rb:42-54 passes arbitrary MDX
+    to Mondrian).  The set is a member literal, a brace set, or a
+    member range on ONE level.  AGGREGATE applies the measure's own
+    rollup over the set's union of facts; the explicit functions
+    aggregate the members' CELL VALUES (Mondrian semantics — the
+    planner proves when a fact-side conditional aggregate is
+    equivalent and otherwise runs an axis-grained member-value pass).
+    Compiles to a ``{setagg:fn:M:<cut>}`` template."""
     fn = p.next().upper()
-    if fn not in ("AGGREGATE", "SUM", "AVG", "MIN", "MAX", "COUNT"):
+    if fn not in _SET_AGG_WORDS:
         raise ParseError(f"expected a set-aggregate function, got {fn!r}")
     p.expect("(")
     cut = _set_agg_operand(p)
@@ -1315,7 +1331,7 @@ def _set_agg_call(p: _P) -> str:
     p.expect(")")
     if ":" in name:
         raise ParseError(f"measure name {name!r} cannot contain ':'")
-    return "{setagg:" + fn.lower() + ":" + name + ":" + cut + "}"
+    return "{setagg:" + _SET_AGG_WORDS[fn] + ":" + name + ":" + cut + "}"
 
 
 def _set_agg_operand(p: _P) -> str:

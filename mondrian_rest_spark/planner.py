@@ -669,11 +669,13 @@ def _agg_expr(m: Measure):
 
 
 def _set_agg_col(c, rc: "ResolvedCut", m: Measure):
-    """WITH MEMBER set aggregate -> a conditional aggregate column in
-    the SAME groupBy as the other measures: fn(CASE WHEN <member-set
-    predicate> THEN <measure expr> END).  All aggregators here ignore
-    nulls, so the when() restriction is exact; the predicate runs on
-    the dim-attached level aliases and stays in whole-stage codegen."""
+    """Fact-side WITH MEMBER set aggregate -> a conditional aggregate
+    column in the SAME groupBy as the other measures: fn(CASE WHEN
+    <member-set predicate> THEN <measure expr> END).  All aggregators
+    here ignore nulls, so the when() restriction is exact; the
+    predicate runs on the dim-attached level aliases and stays in
+    whole-stage codegen.  Only used when _set_agg_fact_side proves the
+    fact-side form equals Mondrian's member-value aggregation."""
     fn_name = m.agg if c.set_fn == "aggregate" else c.set_fn
     if fn_name not in _AGG_FNS:
         raise ParseError(
@@ -683,6 +685,41 @@ def _set_agg_col(c, rc: "ResolvedCut", m: Measure):
     if m.result_cast and fn_name in ("sum", "min", "max", "avg"):
         col = col.cast(m.result_cast)
     return col.alias(c.alias)
+
+
+#: outer aggregators for MEMBER-VALUE set aggregates: Mondrian's
+#: Avg/Min/Max/Median/Stdev/Var(set, m) evaluate m at EACH member of
+#: the set (the member's cell value = m's own aggregator restricted to
+#: that member, in the current axis context) and then aggregate the
+#: member VALUES — e.g. MAX({1995,1996}, Revenue) is the larger of the
+#: two yearly revenue totals, not the largest fact row.  Stdev/Var are
+#: sample statistics (Mondrian's Stdev/Var; *P = population).  COUNT
+#: is the number of members with a non-empty value — Mondrian's
+#: Count(Filter(set, Not IsEmpty(m))) / Count(set, EXCLUDEEMPTY).
+_SET_MEMBER_FNS = {
+    "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+    "count": F.count, "median": F.median,
+    "stdev": F.stddev_samp, "stdevp": F.stddev_pop,
+    "var": F.var_samp, "varp": F.var_pop,
+}
+
+
+def _set_agg_fact_side(c, m: Measure) -> bool:
+    """True when one conditional fact-side aggregate provably equals
+    the member-value aggregation, i.e. the outer fn distributes over
+    the member partition of the facts: AGGREGATE (Mondrian applies the
+    measure's own rollup over the union — exactly the conditional
+    aggregate, for avg measures included), SUM of sum/count member
+    values, and MIN/MAX of min/max member values.  Everything else
+    (AVG/MEDIAN/STDEV/VAR/COUNT, or a mismatched fn/measure pair like
+    MAX(set, <sum measure>)) aggregates member VALUES in a second,
+    axis-grained pass."""
+    fn = c.set_fn
+    if fn == "aggregate":
+        return True
+    if fn == m.agg and fn in ("sum", "min", "max"):
+        return True
+    return fn == "sum" and m.agg == "count"
 
 
 def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
@@ -1496,8 +1533,15 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 f"measure {c.name!r} (alias {c.alias!r}) collides with a "
                 "drilled axis column — rename the calculated member")
 
+    fs_set_aggs = [t for t in set_aggs if _set_agg_fact_side(t[0], t[2])]
+    ml_set_aggs = [t for t in set_aggs if not _set_agg_fact_side(t[0], t[2])]
+    for c, _, _ in ml_set_aggs:
+        if c.set_fn not in _SET_MEMBER_FNS:
+            raise ParseError(
+                f"set aggregate {c.name!r}: unsupported aggregator "
+                f"{c.set_fn!r}")
     aggs = [_agg_expr(m) for m in base_measures]
-    aggs += [_set_agg_col(c, rc, m) for c, rc, m in set_aggs]
+    aggs += [_set_agg_col(c, rc, m) for c, rc, m in fs_set_aggs]
     if not aggs:  # pure axis enumeration still needs an aggregate context
         aggs = [_agg_expr(cube.default_measure)]
     if group_cols:
@@ -1513,8 +1557,32 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         out = _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts,
                        needed_props, caption_overrides, out, group_cols,
                        [m.alias for m in base_measures]
-                       + [c.alias for c, _, _ in set_aggs],
+                       + [c.alias for c, _, _ in fs_set_aggs],
                        axis_cuts=axis_cuts)
+
+    # --- member-value set aggregates (post-agg): one extra aggregate
+    # --- at (axis grain × set member) computing each member's cell
+    # --- value with the measure's OWN aggregator, then the outer fn
+    # --- over the member values, left-joined back on the axis keys.
+    # --- Axis-sized second shuffle keyed like the first; the set
+    # --- predicate prunes the scan the same way a slicer would.  On
+    # --- dense axes the left join leaves filled tuples null — exactly
+    # --- an empty Mondrian cell ---
+    for c, rc, m in ml_set_aggs:
+        mv = (base.filter(_cut_predicate(rc))
+                  .groupBy(*(group_cols + [rc.level.key_alias]))
+                  .agg(_agg_expr(m)))
+        outer = _SET_MEMBER_FNS[c.set_fn](F.col(m.alias)).alias(c.alias)
+        if group_cols:
+            mla = mv.groupBy(*group_cols).agg(outer).select(
+                *[F.col(g).alias(f"__ml_{g}") for g in group_cols], c.alias)
+            cond = reduce(
+                lambda a, b: a & b,
+                [out[g].eqNullSafe(F.col(f"__ml_{g}")) for g in group_cols])
+            out = out.join(mla, cond, "left").drop(
+                *[f"__ml_{g}" for g in group_cols])
+        else:
+            out = out.crossJoin(mv.agg(outer))
 
     # --- calculated members (post-agg, reference foodmart.xml:345-366) ---
     for c in calcs:

@@ -317,9 +317,12 @@ CALCS = {
         "CAST(SUM(CASE WHEN year(l.l_shipdate) IN (1995, 1996) THEN "
         "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) END) "
         "AS DOUBLE)"),
+    # MAX over a max measure: the distributive fast path (member-value
+    # max == fact-side max); MAX over a SUM measure is member-value
+    # semantics, covered by test_mdx + the q62/q63 oracle entries
     "setagg_range_max": (
         "MAX(([Time].[Year].[1996]:[Time].[Year].[1998]), "
-        "[Measures].[Quantity])",
+        "[Measures].[Max Quantity])",
         "MAX(CASE WHEN year(l.l_shipdate) BETWEEN 1996 AND 1998 "
         "THEN l_quantity END)"),
     # r8: COALESCEEMPTY -> SQL coalesce (empty cells are nulls)

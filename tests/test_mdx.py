@@ -1423,7 +1423,15 @@ def test_set_aggregate_matches_manual_sum(spark, sf_dir):
         assert r[2] == pytest.approx(exp[(r[0], r[1])], rel=1e-12)
 
 
-def test_set_aggregate_range_and_avg_override(spark, sf_dir):
+def test_set_aggregate_member_value_semantics(spark, sf_dir):
+    # Mondrian MAX(set, m) is the max of the members' CELL VALUES
+    # (the largest yearly Quantity total), not the largest fact row
+    yearly = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Quantity]} ON COLUMNS, "
+        "NON EMPTY [Time].[Year].Members ON ROWS FROM [Sales]").collect()
+    vals = [r["sum_qty"] for r in yearly if 1995 <= r["year"] <= 1997]
+    assert len(vals) == 3
     rows = execute_mdx(
         spark, sf_dir, tpch.CATALOG,
         "WITH MEMBER [Measures].[MaxQ 95 97] AS "
@@ -1431,11 +1439,65 @@ def test_set_aggregate_range_and_avg_override(spark, sf_dir):
         "[Measures].[Quantity]) "
         "SELECT {[Measures].[MaxQ 95 97]} ON COLUMNS FROM [Sales] "
         ).collect()
+    assert rows[0][0] == max(vals)
+    # AVG over member values = mean of the yearly totals
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[AvgQ 95 97] AS "
+        "AVG(([Time].[Year].[1995]:[Time].[Year].[1997]), "
+        "[Measures].[Quantity]) "
+        "SELECT {[Measures].[AvgQ 95 97]} ON COLUMNS FROM [Sales] "
+        ).collect()
+    assert float(rows[0][0]) == pytest.approx(
+        sum(float(v) for v in vals) / len(vals), rel=1e-12)
+    # fast path sanity: MAX over a max measure = fact-side max
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[MaxQ raw] AS "
+        "MAX(([Time].[Year].[1995]:[Time].[Year].[1997]), "
+        "[Measures].[Max Quantity]) "
+        "SELECT {[Measures].[MaxQ raw]} ON COLUMNS FROM [Sales] "
+        ).collect()
     cut = execute_mdx(
         spark, sf_dir, tpch.CATALOG,
         "SELECT {[Measures].[Max Quantity]} ON COLUMNS FROM [Sales] "
         "WHERE (([Time].[Year].[1995]:[Time].[Year].[1997]))").collect()
     assert rows[0][0] == cut[0][0]
+
+
+def test_set_aggregate_median_stdev_per_axis_row(spark, sf_dir):
+    # member-value MEDIAN/STDEV evaluate within EACH axis row's
+    # context: per region, the median / sample stdev of its yearly
+    # revenue totals
+    import statistics
+    per_year = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY CROSSJOIN([Customer].[Region].Members, "
+        "[Time].[Year].Members) ON ROWS FROM [Sales]").collect()
+    by_region: dict = {}
+    for r in per_year:
+        if 1995 <= r["year"] <= 1997:
+            by_region.setdefault(r["cust_region_key"], []).append(
+                float(r["revenue"]))
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[Med Rev] AS "
+        "MEDIAN(([Time].[Year].[1995]:[Time].[Year].[1997]), "
+        "[Measures].[Revenue]) "
+        "MEMBER [Measures].[Sd Rev] AS "
+        "STDEV(([Time].[Year].[1995]:[Time].[Year].[1997]), "
+        "[Measures].[Revenue]) "
+        "SELECT {[Measures].[Med Rev], [Measures].[Sd Rev]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].Members ON ROWS FROM [Sales]"
+        ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        vals = sorted(by_region[r["cust_region_key"]])
+        assert len(vals) == 3
+        assert float(r["med_rev"]) == pytest.approx(vals[1], rel=1e-9)
+        assert float(r["sd_rev"]) == pytest.approx(
+            statistics.stdev(vals), rel=1e-9)
 
 
 def test_set_aggregate_context_conflict_is_400(spark, sf_dir):
