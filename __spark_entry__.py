@@ -439,6 +439,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ON COLUMNS, NON EMPTY [Customer].[Nation].Members ON ROWS "
         "FROM [Sales]")
 
+    # DIMENSION PROPERTIES + CELL PROPERTIES clauses (r8): member
+    # properties requested in raw MDX ride the same dim-side column
+    # plumbing as the REST properties[] param (q20); cell properties
+    # are satisfied by the payload contract
+    q["q64_mdx_dimension_properties"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Customer].Members "
+        "DIMENSION PROPERTIES [Customer].[Customer].[Market Segment], "
+        "MEMBER_CAPTION ON ROWS "
+        "FROM [Sales] WHERE ([Customer].[Region].[&2]) "
+        "CELL PROPERTIES VALUE, FORMATTED_VALUE")
+
     # OPENINGPERIOD/CLOSINGPERIOD (r8): first/last descendant of a
     # member at ANY deeper level in hierarchy order — one lexicographic
     # dim-side orderBy-limit-1 over the level-key chain (planner
@@ -1561,6 +1575,10 @@ def oracle_sql() -> dict[str, str]:
                      AS rev_95_96
             FROM {J_CUST}
             GROUP BY 1, 2""",
+
+        "q64_mdx_dimension_properties": f"""
+            SELECT c_custkey, c_name, c_mktsegment, {REVENUE} AS revenue
+            FROM {J_CUST} WHERE r_regionkey = 2 GROUP BY 1, 2, 3""",
 
         "q62_mdx_set_avg": f"""
             WITH mv AS (

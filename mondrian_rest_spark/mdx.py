@@ -25,9 +25,11 @@ build_query emits, which covers every query the REST layer can express:
                        | mset   (member-set literal / set algebra —
                                  macro-expanded at each reference)] ...]
     SELECT {[Measures].[X], ...} ON COLUMNS,
-           <axis> ON ROWS
+           <axis> [[DIMENSION] PROPERTIES <[D].[L].[Prop] | MEMBER_*>,
+                   ...] ON ROWS
     FROM [Cube]
     [WHERE (<slicer> [* <slicer>]...)]
+    [CELL PROPERTIES VALUE|FORMATTED_VALUE|FORMAT_STRING, ...]
 
     axis := [NON EMPTY] axis'
     axis' := DISTINCT(axis') | SUBSET(axis', o[, l])
@@ -165,7 +167,7 @@ class MdxQuery:
                                     lastperiods=[], member_lags=[],
                                     edge_child_of=[], siblings_of=[],
                                     ancestor_of=[], edge_sibling_of=[],
-                                    periods_to_date=[])
+                                    periods_to_date=[], properties=[])
         # WITH SET bodies that are member-set literals/algebra (not the
         # TOPCOUNT ranked form): name -> (level_path, kind, members),
         # macro-expanded at each reference DURING parsing — the
@@ -1495,6 +1497,38 @@ def compile_mdx(mdx: str, cube_hint: str | None = None) -> QueryModel:
     if p.peek() == ",":
         p.next()
         _axis(p, q)
+        # [DIMENSION] PROPERTIES <ref>, ... (Mondrian axis clause,
+        # spec §2.8.1): member properties to carry on the axis.
+        # Level-property refs map onto the same qm.properties the
+        # REST properties[] param uses; the intrinsic MEMBER_* names
+        # are accepted as no-ops because keys, names, and captions
+        # are ALWAYS in the result payload (result.py)
+        if p.peek_upper() in ("DIMENSION", "PROPERTIES"):
+            if p.peek_upper() == "DIMENSION":
+                p.next()
+            p.expect("PROPERTIES")
+            while True:
+                t = p.peek()
+                if t is not None and not t.startswith("["):
+                    word = p.next().upper()
+                    if word not in ("MEMBER_CAPTION", "MEMBER_NAME",
+                                    "MEMBER_UNIQUE_NAME", "MEMBER_KEY",
+                                    "MEMBER_VALUE"):
+                        raise ParseError(
+                            f"unsupported intrinsic member property "
+                            f"{word!r}")
+                else:
+                    segs = _path(p)
+                    if len(segs) not in (3, 4):
+                        raise ParseError(
+                            "DIMENSION PROPERTIES ref needs [Dim]"
+                            "[.Hierarchy].[Level].[Property], got "
+                            f"{_path_str(segs)}")
+                    q.qm_kwargs["properties"].append(_path_str(segs))
+                if p.peek() == ",":
+                    p.next()
+                    continue
+                break
         p.expect("ON")
         p.expect("ROWS")
     p.expect("FROM")
@@ -1502,6 +1536,21 @@ def compile_mdx(mdx: str, cube_hint: str | None = None) -> QueryModel:
     if p.peek_upper() == "WHERE":
         p.next()
         _slicer(p, q)
+    # CELL PROPERTIES <prop>, ... (Mondrian query-tail clause): the
+    # payload already carries every supported cell property (values;
+    # formatString per measure for FORMATTED_VALUE/FORMAT_STRING), so
+    # recognized names are accepted; unknown ones are a clear 400
+    if p.peek_upper() == "CELL":
+        p.next()
+        p.expect("PROPERTIES")
+        while True:
+            w = p.next().upper()
+            if w not in ("VALUE", "FORMATTED_VALUE", "FORMAT_STRING"):
+                raise ParseError(f"unsupported cell property {w!r}")
+            if p.peek() == ",":
+                p.next()
+                continue
+            break
     if p.peek() is not None:
         raise ParseError(f"trailing MDX tokens at {p.peek()!r}")
     return QueryModel(cube=cube, **q.qm_kwargs)
@@ -1707,7 +1756,13 @@ def emit_mdx(cat: Catalog, qm) -> str:
         mdx = f"WITH {' '.join(defs)} "
     mdx += f"SELECT {cols} ON COLUMNS"
     if axis:
-        mdx += f", {axis} ON ROWS"
+        mdx += f", {axis}"
+        props = getattr(qm, "properties", None)
+        if props:
+            from .parser import parse_segments
+            refs = ", ".join(_path_str(parse_segments(pr)) for pr in props)
+            mdx += f" DIMENSION PROPERTIES {refs}"
+        mdx += " ON ROWS"
     mdx += f" FROM [{qm.cube}]"
     def _emit_cut(c: str) -> str:
         if c.startswith("!{"):

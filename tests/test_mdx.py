@@ -279,7 +279,8 @@ def _canon(qm: QueryModel) -> dict:
     """Round-trip-comparable view of a QueryModel: the parsed meaning of
     drilldowns/cuts/filters, not their surface spelling."""
     from mondrian_rest_spark.parser import (parse_cut, parse_drilldown,
-                                            parse_measure_filter)
+                                            parse_measure_filter,
+                                            parse_property)
     ns = {s.name for s in tpch.CATALOG.cube(qm.cube).named_sets} \
         if tpch.CATALOG.virtual_cube(qm.cube) is None else set()
     ns |= {ws[0] for ws in getattr(qm, "with_sets", [])}
@@ -295,6 +296,7 @@ def _canon(qm: QueryModel) -> dict:
         "offset": qm.offset or None, "limit": qm.limit,
         "with_members": list(qm.with_members),
         "with_sets": list(getattr(qm, "with_sets", [])),
+        "properties": [parse_property(pr) for pr in qm.properties],
     }
 
 
@@ -315,6 +317,11 @@ def _canon(qm: QueryModel) -> dict:
     QueryModel(cube="Sales", measures=["Revenue"], drilldown=["Time.Year"],
                cut=["{[Customer].[Region].[AMERICA],[Customer].[Region].[EUROPE]}"],
                distinct=True, nonempty=True),
+    QueryModel(cube="Sales", measures=["Revenue"],
+               drilldown=["Customer.Customer"],
+               properties=["Customer.Customer.Market Segment",
+                           "Customer.Customer.Account Balance"],
+               nonempty=True),
 ])
 def test_emit_compile_round_trip(qm):
     """emit_mdx is the inverse of compile_mdx over the shared subset
@@ -1498,6 +1505,51 @@ def test_set_aggregate_median_stdev_per_axis_row(spark, sf_dir):
         assert float(r["med_rev"]) == pytest.approx(vals[1], rel=1e-9)
         assert float(r["sd_rev"]) == pytest.approx(
             statistics.stdev(vals), rel=1e-9)
+
+
+def test_mdx_dimension_and_cell_properties(spark, sf_dir):
+    # level-property refs land in qm.properties = the REST
+    # properties[] path; intrinsics and CELL PROPERTIES are accepted
+    # (the payload always carries keys/captions/values)
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Customer].Members "
+        "DIMENSION PROPERTIES [Customer].[Customer].[Market Segment], "
+        "MEMBER_CAPTION ON ROWS "
+        "FROM [Sales] WHERE ([Customer].[Region].[&2]) "
+        "CELL PROPERTIES VALUE, FORMATTED_VALUE")
+    assert qm.properties == ["[Customer].[Customer].[Market Segment]"]
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Customer].Members "
+        "DIMENSION PROPERTIES [Customer].[Customer].[Market Segment] "
+        "ON ROWS FROM [Sales] WHERE ([Customer].[Region].[&2])")
+    assert "c_mktsegment" in rows.columns
+    got = rows.collect()
+    assert got and all(r["c_mktsegment"] for r in got)
+
+
+def test_mdx_properties_clause_rejects_unknown(spark, sf_dir):
+    with pytest.raises(ParseError, match="intrinsic member property"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "[Customer].[Nation].Members "
+            "DIMENSION PROPERTIES MEMBER_COLOR ON ROWS FROM [Sales]")
+    with pytest.raises(ParseError, match="cell property"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "[Customer].[Nation].Members ON ROWS FROM [Sales] "
+            "CELL PROPERTIES BACK_COLOR")
+    # a property of an undrilled dimension is the planner's 400
+    # (reference api_spec 'properties of a dimension not in drilldown')
+    with pytest.raises(ParseError, match="not in drilldown"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "[Customer].[Nation].Members "
+            "DIMENSION PROPERTIES [Supplier].[Supplier].[Account Balance] "
+            "ON ROWS FROM [Sales]").collect()
 
 
 def test_set_aggregate_context_conflict_is_400(spark, sf_dir):
