@@ -738,6 +738,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), threshold=0.5)
     q["d03_neardup_minhash_lsh"] = lambda s, d: dedup.neardup_minhash_lsh(
         load_table(s, d, "documents"), threshold=0.5)
+    # exact n-gram Jaccard via prefix filtering (PPJoin family): the
+    # scale path for EXACT near-dup — same output as d02, no cross
+    # join (rarest-first prefixes + length filter bound the candidate
+    # equi-join; exact verify on candidates only)
+    q["d09_neardup_jaccard_prefix"] = lambda s, d: dedup.neardup_jaccard_prefix(
+        load_table(s, d, "documents"), threshold=0.5)
     q["d04_neardup_simhash"] = lambda s, d: dedup.neardup_simhash(
         load_table(s, d, "documents"), max_hamming=3)
     q["d05_embedding_neardup"] = lambda s, d: similarity.embedding_neardup(
@@ -2006,6 +2012,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1""",
         "d02_neardup_brute": neardup,
         "d03_neardup_minhash_lsh": neardup,
+        # exact algorithm, different plan: the prefix-filter join must
+        # reproduce the brute-force pairs bit-for-bit
+        "d09_neardup_jaccard_prefix": neardup,
         "d08_decontamination": f"""
             WITH sh AS (
               SELECT doc_id, source,

@@ -469,3 +469,67 @@ def neardup_simhash(df: DataFrame, max_hamming: int = 3,
                 .filter(F.col("hamming") <= max_hamming)
                 .dropDuplicates(["a_id", "b_id"])
                 .select("a_id", "b_id", "hamming"))
+
+
+def neardup_jaccard_prefix(df: DataFrame, threshold: float = 0.5,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           n: int = 3) -> DataFrame:
+    """EXACT shingle-Jaccard near-dup pairs via prefix filtering
+    (PPJoin / AllPairs family) — identical output to
+    neardup_bruteforce, but linear-ish: no cross join anywhere.
+
+    Two documents with Jaccard >= t must (a) share at least one
+    shingle among each one's first ``|S| - ceil(t*|S|) + 1`` shingles
+    in any GLOBAL canonical order (prefix filter), and (b) satisfy
+    ``t*|A| <= |B| <= |A|/t`` (length filter).  Ordering shingles
+    rarest-first (global document frequency, ties by value) makes the
+    prefixes the rarest shingles in the corpus, so the candidate
+    equi-join buckets stay small by construction — the frequent
+    shingles that would blow up an inverted-index join are exactly the
+    ones prefix filtering excludes.  Candidates are then verified with
+    the exact set Jaccard, so the result equals the brute-force pairs
+    bit-for-bit (same round(6)).
+
+    Shuffles: shingle document-frequency groupBy + join-back (shared
+    key __g), one per-doc window, the candidate equi-join on the
+    prefix shingle, and two id-keyed verify joins.  Every key is
+    either the shingle value or the doc id — nothing quadratic, no
+    driver-side state; survives a 100x corpus."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = (with_shingles(df, text_col, n)
+          .select(F.col(id_col), F.col("shingles"))
+          .filter(F.size("shingles") > 0))
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("__g"))
+    freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    w_doc = Window.partitionBy(id_col)
+    ordered = (ex.join(freq, on="__g")
+                 .withColumn("__rn", F.row_number().over(
+                     w_doc.orderBy(F.asc("__df"), F.asc("__g"))))
+                 .withColumn("__sz", F.count(F.lit(1)).over(w_doc)))
+    # epsilon guards: binary float t*sz can overshoot an exact integer
+    # product (0.1*30 -> 3.0000000000000004), and ceil/comparisons on
+    # the overshoot would shorten the prefix / tighten the length
+    # bound — each a silent RECALL bug.  1e-9 << 1/|S| for any real
+    # document, so the guards never admit a genuinely failing size.
+    prefix = ordered.filter(
+        F.col("__rn") <= F.col("__sz")
+        - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1)
+    a = prefix.select(F.col(id_col).alias("a_id"), F.col("__g"),
+                      F.col("__sz").alias("__sza"))
+    b = prefix.select(F.col(id_col).alias("b_id"), F.col("__g"),
+                      F.col("__sz").alias("__szb"))
+    cand = (a.join(b, on="__g")
+             .filter((F.col("a_id") < F.col("b_id"))
+                     & (F.col("__szb")
+                        >= F.lit(threshold) * F.col("__sza") - F.lit(1e-9))
+                     & (F.col("__szb") * F.lit(threshold)
+                        <= F.col("__sza") + F.lit(1e-9)))
+             .select("a_id", "b_id")
+             .distinct())
+    fa = sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("sa"))
+    fb = sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("sb"))
+    return (cand.join(fa, on="a_id").join(fb, on="b_id")
+                .withColumn("jaccard", F.round(_jaccard("sa", "sb"), 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("a_id", "b_id", "jaccard"))

@@ -38,6 +38,38 @@ def test_neardup_bruteforce(docs):
     assert (1, 4) not in pairs
 
 
+def test_neardup_jaccard_prefix_matches_bruteforce(docs, spark, sf_dir):
+    # prefix-filter join is EXACT: bit-for-bit the brute-force pairs
+    for t in (0.3, 0.5, 1.0):
+        brute = {(r.a_id, r.b_id): r.jaccard
+                 for r in dedup.neardup_bruteforce(docs, threshold=t).collect()}
+        fast = {(r.a_id, r.b_id): r.jaccard
+                for r in dedup.neardup_jaccard_prefix(
+                    docs, threshold=t).collect()}
+        assert fast == brute, f"threshold {t}"
+    # and on the real corpus at the d02 threshold
+    from mondrian_rest_spark.sources.registry import load_table
+    corpus = load_table(spark, sf_dir, "documents")
+    brute = {(r.a_id, r.b_id): r.jaccard
+             for r in dedup.neardup_bruteforce(corpus, 0.5).collect()}
+    fast = {(r.a_id, r.b_id): r.jaccard
+            for r in dedup.neardup_jaccard_prefix(corpus, 0.5).collect()}
+    assert fast == brute
+    with pytest.raises(ValueError):
+        dedup.neardup_jaccard_prefix(docs, threshold=0.0)
+
+
+def test_neardup_jaccard_prefix_boundary_sizes(spark):
+    # exact-boundary length ratio: |A|=4 grams, |B|=2 grams, J=0.5 —
+    # a float-epsilon ceil overshoot would drop the pair
+    a_text = "w1 w2 w3 w4 w5 w6"            # grams: 4
+    b_text = "w1 w2 w3 w4"                  # grams: 2 (subset)
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], ["doc_id", "text"])
+    got = dedup.neardup_jaccard_prefix(df, threshold=0.5).collect()
+    assert [(r.a_id, r.b_id, r.jaccard) for r in got] == [(1, 2, 0.5)]
+
+
 def test_decontaminate_drops_eval_neardups(spark):
     ev = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog today")],
