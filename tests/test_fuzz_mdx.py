@@ -432,6 +432,22 @@ def mdx_specs(draw):
                  ("head", 1), ("head", 4),
                  ("tail", 1), ("tail", 4)]))
 
+    # RANK WITH MEMBER (r8): rank a drilled level's members by a
+    # measure, partitioned by the other drilled dims.  Constraints
+    # keep the single-SELECT oracle sound: no FILTER (the planner
+    # ranks BEFORE the HAVING stage, SQL windows run after), no
+    # TOPPERCENT/TOPSUM (their oracle rewrites the SELECT), no named
+    # sets (their drill would join the rank partition)
+    rank_calc = None
+    memb_atoms = [a for a in atoms if ATOMS[a]["kind"] == "members"]
+    if (memb_atoms and calc is None and filt is None
+            and with_set is None and macro_set is None
+            and not (topcount and topcount[0] in ("pct", "sum"))
+            and draw(st.booleans())):
+        rank_calc = (draw(st.sampled_from(sorted(memb_atoms))),
+                     draw(st.sampled_from(RANK_MEASURES)),
+                     draw(st.booleans()))   # True = BASC
+
     cuts = draw(st.lists(st.sampled_from(sorted(SLICERS)),
                          min_size=0, max_size=2, unique=True))
     # a slicer may share a dimension only with a plain .Members atom
@@ -459,8 +475,8 @@ def mdx_specs(draw):
 
     return dict(atoms=atoms, with_set=with_set, macro_set=macro_set,
                 measures=measures,
-                calc=calc, topcount=topcount, filt=filt, order=order,
-                subset=subset, cuts=cuts)
+                calc=calc, rank_calc=rank_calc, topcount=topcount,
+                filt=filt, order=order, subset=subset, cuts=cuts)
 
 
 def build_mdx(spec) -> str:
@@ -477,9 +493,18 @@ def build_mdx(spec) -> str:
     if spec.get("macro_set"):
         defs.append(
             f"SET [Macro Set] AS {MACRO_SETS[spec['macro_set']]['body']}")
+    if spec.get("rank_calc"):
+        atom, by, asc = spec["rank_calc"]
+        lvl_path = ATOMS[atom]["mdx"].rsplit(".Members", 1)[0]
+        defs.append(
+            f"MEMBER [Measures].[Rank Calc] AS RANK({lvl_path}"
+            f".CurrentMember, ORDER({lvl_path}.Members, "
+            f"[Measures].[{by}], {'BASC' if asc else 'BDESC'}))")
     mdx = f"WITH {' '.join(defs)} " if defs else ""
 
     ms = list(spec["measures"]) + (["Calc Measure"] if spec["calc"] else [])
+    if spec.get("rank_calc"):
+        ms.append("Rank Calc")
     mdx += ("SELECT {" + ", ".join(f"[Measures].[{m}]" for m in ms)
             + "} ON COLUMNS")
 
@@ -571,6 +596,13 @@ def build_oracle_sql(spec) -> str:
             for m in spec["measures"]]
     if spec["calc"]:
         msel.append(f"{CALCS[spec['calc']][1]} AS calc_measure")
+    if spec.get("rank_calc"):
+        atom, by, asc = spec["rank_calc"]
+        others = [ATOMS[a]["key"] for a in spec["atoms"] if a != atom]
+        part = f"PARTITION BY {', '.join(others)} " if others else ""
+        msel.append(
+            f"RANK() OVER ({part}ORDER BY {MEASURES[by][1]} "
+            f"{'ASC' if asc else 'DESC'} NULLS LAST) AS rank_calc")
 
     sql = "SELECT " + ", ".join(sel + msel) + STAR
     if preds:
@@ -778,3 +810,59 @@ def test_route_parity_corpus_actually_routes(spark, sf_dir):
         "WHERE ([Time].[Year].[1996])")
     _, source = mgr.route(qm)
     assert source == "fuzz_wide"
+
+
+# --- GENERATE per-parent top-N: parametrized mini-net ----------------------
+# GENERATE changes the drilldown set itself (it drills (parent, child)
+# and windows per parent), so it doesn't fit the single-SELECT oracle
+# above; a QUALIFY oracle over the same star covers the combinations.
+
+_GENERATE_CASES = [
+    ("Customer", "cr.r_regionkey", "cust_region_key", "cust_region",
+     "cr.r_name", "cn.n_nationkey", "cust_nation_key", "cust_nation",
+     "cn.n_name", n, by, bottom)
+    for n, by, bottom in [(1, "Revenue", False), (2, "Quantity", False),
+                          (3, "Revenue", True), (2, "Line Count", False)]
+] + [
+    ("Supplier", "sr.r_regionkey", "supp_region_key", "supp_region",
+     "sr.r_name", "sn.n_nationkey", "supp_nation_key", "supp_nation",
+     "sn.n_name", 2, "Revenue", False),
+]
+
+
+@pytest.mark.parametrize("case", _GENERATE_CASES)
+def test_generate_topcount_matches_qualify_oracle(spark, sf_dir, duck, case):
+    (dim, pkey, pk_alias, pc_alias, pcap, ckey, ck_alias, cc_alias,
+     ccap, n, by, bottom) = case
+    from mondrian_rest_spark.mdx import execute_mdx
+    fn = "BOTTOMCOUNT" if bottom else "TOPCOUNT"
+    got = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        f"SELECT {{[Measures].[{by}]}} ON COLUMNS, "
+        f"NON EMPTY GENERATE([{dim}].[Region].Members, "
+        f"{fn}([{dim}].[Region].CurrentMember.Children, {n}, "
+        f"[Measures].[{by}])) ON ROWS FROM [Sales]").toPandas()
+    m_alias, m_expr = MEASURES[by]
+    direction = "ASC" if bottom else "DESC"
+    exp = duck.execute(f"""
+        WITH agg AS (
+          SELECT {pkey} AS {pk_alias}, {pcap} AS {pc_alias},
+                 {ckey} AS {ck_alias}, {ccap} AS {cc_alias},
+                 {m_expr} AS {m_alias}
+          {STAR} GROUP BY 1, 2, 3, 4)
+        SELECT * FROM agg
+        QUALIFY row_number() OVER (PARTITION BY {pk_alias}
+                                   ORDER BY {m_alias} {direction},
+                                            {ck_alias}) <= {n}""").fetchdf()
+    assert sorted(got.columns) == sorted(exp.columns)
+    a, b = canon(got), canon(exp)
+    assert len(a) == len(b)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            ok = ((av.isna() & bv.isna()) |
+                  ((av - bv).abs() <= 1e-9 + 1e-9 * bv.abs()))
+        else:
+            ok = (av.isna() & bv.isna()) | (av.astype(object) ==
+                                            bv.astype(object))
+        assert bool(ok.all()), f"col {c} diverges ({case})"
