@@ -24,14 +24,14 @@ import uuid
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import Catalog, Cube, Measure
 from ..parser import ParseError, parse_cut, parse_drilldown, parse_measure_filter
 from ..planner import (_aggregate_cube, _apply_filter_exprs, _measure_alias,
                        _order_column, _ref_alias, _resolve_cut,
-                       _resolve_drill, _split_measures, _tmpl_refs,
-                       aggregate, clear_named_set_cache)
+                       _resolve_drill, _resolve_level, _split_measures,
+                       _tmpl_refs, aggregate, clear_named_set_cache)
 from ..query import QueryModel
 
 #: re-aggregation of rollup rows at a coarser grain.  hll_sketch is
@@ -370,7 +370,46 @@ class RollupManager:
                 extras.append(qm.order)
             except KeyError:
                 pass
+        if qm.generate_top is not None:
+            g_m = qm.generate_top[2]
+            if g_m not in requested and g_m not in extras:
+                try:
+                    _measure_alias(self.cube, g_m)
+                    extras.append(g_m)
+                except KeyError:
+                    pass
         return requested + extras
+
+    def _generate_levels(self, qm: QueryModel):
+        """(parent, child) Level pair a GENERATE query drills, or None
+        when the query can't route transparently: unresolvable paths /
+        leaf parents / same-dim drills reproduce the base path's 400
+        there, and a ranking measure that is itself approximate
+        (approx_count_distinct) must rank on the base path's estimate,
+        not the merged-sketch one."""
+        g_path, _, g_m, _ = qm.generate_top
+        segs = g_path.split(".")
+        hier_name = segs[1] if len(segs) == 3 else None
+        try:
+            dim, hier, level = _resolve_level(
+                self.cube, segs[0], hier_name, segs[-1])
+            m_alias = _measure_alias(self.cube, g_m)
+        except Exception:
+            return None
+        if any(m.alias == m_alias and m.agg == "approx_count_distinct"
+               for m in self.cube.measures):
+            return None
+        idx = hier.level_index(level.name)
+        if idx + 1 >= len(hier.levels):
+            return None
+        for d in qm.drilldown:
+            try:
+                rd = _resolve_drill(self.cube, parse_drilldown(d), False)
+            except Exception:
+                return None
+            if rd.dimension.name == dim.name:
+                return None
+        return [level, hier.levels[idx + 1]]
 
     def _choose(self, qm: QueryModel) -> Rollup | None:
         if qm.cube != self.cube.name:
@@ -387,8 +426,12 @@ class RollupManager:
                 or qm.periods_to_date
                 or qm.tail is not None
                 or qm.top_percent is not None or qm.top_sum is not None
-                or qm.generate_top is not None
                 or qm.empty_set or qm.empty_slicer):
+            return None
+        if qm.generate_top is not None and self._generate_levels(qm) is None:
+            # unresolvable / base-path-400 / approx-ranked GENERATE:
+            # stay on the base path so errors and exact-rank semantics
+            # are identical to an unrouted query
             return None
         try:
             names = self._measure_names(qm)
@@ -416,6 +459,10 @@ class RollupManager:
                 if rc.cut.kind == "named_set":
                     return None
                 need.add(rc.level.key_alias)
+            if qm.generate_top is not None:
+                for lv in self._generate_levels(qm):
+                    for _, a in lv.out_cols():
+                        need.add(a)
         except Exception:
             return None
         # among all covering rollups, route to the SMALLEST one (fewest
@@ -455,6 +502,13 @@ class RollupManager:
                 key_aliases.append(lv.key_alias)
                 for _, a in lv.out_cols():
                     group_cols.append(a)
+        gen_levels = (self._generate_levels(qm)
+                      if qm.generate_top is not None else None)
+        if gen_levels is not None:
+            for lv in gen_levels:
+                key_aliases.append(lv.key_alias)
+                for _, a in lv.out_cols():
+                    group_cols.append(a)
         aggs = []
         for m in base_measures:
             if m.agg == "approx_count_distinct":
@@ -473,6 +527,23 @@ class RollupManager:
                 col = F.sum(F.col(m.alias).cast("decimal(25,6)")).cast(m.result_cast)
             aggs.append(col.alias(m.alias))
         out = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+        if gen_levels is not None:
+            # GENERATE per-parent top-N over the ROLLUP rows: the same
+            # row_number window the planner applies post-agg, before
+            # HAVING — the axis frame is identical, so the kept set is
+            # bit-identical to the base path (rollup re-sums equal the
+            # fact sums by the re-aggregability contract)
+            _, g_n, g_m, g_asc = qm.generate_top
+            ocol = _measure_alias(self.cube, g_m)
+            child = gen_levels[1]
+            child_keys = {a for _, a in child.out_cols()}
+            part = [a for a in key_aliases if a not in child_keys]
+            direction = (F.asc_nulls_last(ocol) if g_asc
+                         else F.desc_nulls_last(ocol))
+            w = (Window.partitionBy(*[F.col(a) for a in part])
+                 .orderBy(direction, F.asc(child.key_alias)))
+            out = (out.withColumn("__gen_rn", F.row_number().over(w))
+                      .filter(F.col("__gen_rn") <= g_n).drop("__gen_rn"))
         for fs in qm.filter:
             mf = parse_measure_filter(fs)
             alias = _measure_alias(self.cube, mf.measure)

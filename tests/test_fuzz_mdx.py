@@ -866,3 +866,51 @@ def test_generate_topcount_matches_qualify_oracle(spark, sf_dir, duck, case):
             ok = (av.isna() & bv.isna()) | (av.astype(object) ==
                                             bv.astype(object))
         assert bool(ok.all()), f"col {c} diverges ({case})"
+
+
+def test_generate_routes_through_rollup(spark, sf_dir):
+    """GENERATE routes when the rollup covers the (parent, child)
+    grain — the per-parent window runs over the rollup rows and the
+    kept set is bit-identical to the base path."""
+    from mondrian_rest_spark.mdx import compile_mdx
+    from mondrian_rest_spark.planner import aggregate
+    mgr = _router(spark, sf_dir)
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) ON ROWS FROM [Sales]")
+    routed_df, source = mgr.route(qm)
+    assert source == "fuzz_wide"
+    direct = canon(aggregate(spark, sf_dir, tpch.CATALOG, qm).toPandas())
+    routed = canon(routed_df.toPandas())
+    assert sorted(routed.columns) == sorted(direct.columns)
+    assert len(routed) == len(direct) == 10
+    for c in routed.columns:
+        av, bv = routed[c], direct[c]
+        if av.dtype.kind == "f":
+            assert bool(((av - bv).abs() <= 1e-9 + 1e-9 * bv.abs()).all())
+        else:
+            assert bool((av.astype(object) == bv.astype(object)).all())
+
+
+def test_generate_rollup_routing_refusals(spark, sf_dir):
+    from mondrian_rest_spark.mdx import compile_mdx
+    mgr = _router(spark, sf_dir)
+    # ranked by an approximate measure: the routed estimate could
+    # reorder the top-N -> must stay on the base path
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Approx Customer Count])) ON ROWS FROM [Sales]")
+    _, source = mgr.route(qm)
+    assert source == "base"
+    # child level (Customer) not in the rollup grain -> base
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Nation].Members, "
+        "TOPCOUNT([Customer].[Nation].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) ON ROWS FROM [Sales]")
+    _, source = mgr.route(qm)
+    assert source == "base"
