@@ -1568,21 +1568,29 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # --- predicate prunes the scan the same way a slicer would.  On
     # --- dense axes the left join leaves filled tuples null — exactly
     # --- an empty Mondrian cell ---
+    # calcs sharing one (member set, measure) — e.g. MEDIAN and STDEV
+    # of the same yearly revenues — share ONE member-value pass: the
+    # outer fns are just extra aggregate columns on the same frame
+    ml_groups: dict = {}
     for c, rc, m in ml_set_aggs:
+        ml_groups.setdefault((c.set_cut, c.set_of), (rc, m, []))[2].append(c)
+    for rc, m, cs in ml_groups.values():
         mv = (base.filter(_cut_predicate(rc))
                   .groupBy(*(group_cols + [rc.level.key_alias]))
                   .agg(_agg_expr(m)))
-        outer = _SET_MEMBER_FNS[c.set_fn](F.col(m.alias)).alias(c.alias)
+        outers = [_SET_MEMBER_FNS[c.set_fn](F.col(m.alias)).alias(c.alias)
+                  for c in cs]
         if group_cols:
-            mla = mv.groupBy(*group_cols).agg(outer).select(
-                *[F.col(g).alias(f"__ml_{g}") for g in group_cols], c.alias)
+            mla = mv.groupBy(*group_cols).agg(*outers).select(
+                *[F.col(g).alias(f"__ml_{g}") for g in group_cols],
+                *[c.alias for c in cs])
             cond = reduce(
                 lambda a, b: a & b,
                 [out[g].eqNullSafe(F.col(f"__ml_{g}")) for g in group_cols])
             out = out.join(mla, cond, "left").drop(
                 *[f"__ml_{g}" for g in group_cols])
         else:
-            out = out.crossJoin(mv.agg(outer))
+            out = out.crossJoin(mv.agg(*outers))
 
     # --- calculated members (post-agg, reference foodmart.xml:345-366) ---
     for c in calcs:
