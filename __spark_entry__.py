@@ -453,6 +453,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "FROM [Sales] WHERE ([Customer].[Region].[&2]) "
         "CELL PROPERTIES VALUE, FORMATTED_VALUE")
 
+    # member-property FILTER (r8): FILTER(set, <level>.CurrentMember
+    # .Properties("P") <op> literal) — an axis-set restriction
+    # compiled to a dim-side predicate pushed to the property's scan
+    # (planner prop_filter_preds), mixable with measure conditions
+    q["q65_mdx_property_filter"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Customer].Members, "
+        "[Customer].[Customer].CurrentMember"
+        '.Properties("Market Segment") = "BUILDING" '
+        "AND [Customer].[Customer].CurrentMember"
+        '.Properties("Account Balance") > 0) ON ROWS '
+        "FROM [Sales] WHERE ([Customer].[Region].[&2])")
+
     # OPENINGPERIOD/CLOSINGPERIOD (r8): first/last descendant of a
     # member at ANY deeper level in hierarchy order — one lexicographic
     # dim-side orderBy-limit-1 over the level-key chain (planner
@@ -1585,6 +1600,13 @@ def oracle_sql() -> dict[str, str]:
         "q64_mdx_dimension_properties": f"""
             SELECT c_custkey, c_name, c_mktsegment, {REVENUE} AS revenue
             FROM {J_CUST} WHERE r_regionkey = 2 GROUP BY 1, 2, 3""",
+
+        "q65_mdx_property_filter": f"""
+            SELECT c_custkey, c_name, {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE r_regionkey = 2 AND c_mktsegment = 'BUILDING'
+              AND c_acctbal > 0
+            GROUP BY 1, 2""",
 
         "q62_mdx_set_avg": f"""
             WITH mv AS (

@@ -40,6 +40,11 @@ build_query emits, which covers every query the REST layer can express:
                                        cmp  := <arith cmp over measures
                                                and literals>, e.g.
                                                [Measures].[A] > 2*[Measures].[B]
+                                            | <level>.CurrentMember
+                                              .Properties("P") <op> literal
+                                              (axis-set restriction ->
+                                               dim-side predicate; top-
+                                               level AND conjuncts only)
            | TOPCOUNT(axis', n, [Measures].[M])
            | TOPPERCENT|BOTTOMPERCENT(axis', pct, [Measures].[M])
            | TOPSUM|BOTTOMSUM(axis', value, [Measures].[M])
@@ -86,6 +91,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<bracket>\[[^\]\[]*\])
       | (?P<str>'[^']*')
+      | (?P<dstr>"[^"]*")
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<op><>|>=|<=|[><=])
       | (?P<arith>[+/])
@@ -167,7 +173,8 @@ class MdxQuery:
                                     lastperiods=[], member_lags=[],
                                     edge_child_of=[], siblings_of=[],
                                     ancestor_of=[], edge_sibling_of=[],
-                                    periods_to_date=[], properties=[])
+                                    periods_to_date=[], properties=[],
+                                    property_filters=[])
         # WITH SET bodies that are member-set literals/algebra (not the
         # TOPCOUNT ranked form): name -> (level_path, kind, members),
         # macro-expanded at each reference DURING parsing — the
@@ -337,11 +344,25 @@ def _filter_boolean(p: _P, q: MdxQuery) -> None:
     conjunction splits into independent HAVING entries; any OR keeps
     the whole disjunct chain as ONE expression template, so
     ``A AND B OR C`` compiles as ``(A AND B) OR C``, never
-    ``A AND (B OR C)``."""
-    groups = [_and_chain(p)]
+    ``A AND (B OR C)``.
+
+    Member-PROPERTY conditions (``<level>.CurrentMember
+    .Properties("P") <op> literal``) are axis-set restrictions, not
+    cell conditions: they compile to dim-side predicates
+    (qm.property_filters) and may only appear as top-level AND
+    conjuncts — OR-ing an axis restriction with a cell condition has
+    no single-stage equivalent, so that is a clear 400."""
+    groups = [_and_chain(p, q)]
     while p.peek_upper() == "OR":
         p.next()
-        groups.append(_and_chain(p))
+        groups.append(_and_chain(p, q))
+    prop_groups = [g for g in groups if any(t is None for t in g)]
+    if prop_groups and len(groups) > 1:
+        raise ParseError(
+            "a member-property FILTER condition cannot appear under "
+            "OR in this MDX subset (it restricts the axis member set, "
+            "not the cells); split the FILTER or drop the OR")
+    groups = [[t for t in g if t is not None] for g in groups]
     if len(groups) == 1:
         for tmpl in groups[0]:
             _classify_condition(q, tmpl)
@@ -356,12 +377,73 @@ def _filter_boolean(p: _P, q: MdxQuery) -> None:
     q.qm_kwargs["filter_exprs"].append(disj)
 
 
-def _and_chain(p: _P) -> list[str]:
-    out = [_bool_primary(p)]
+def _and_chain(p: _P, q: MdxQuery | None = None) -> list[str | None]:
+    """Conjuncts of the FILTER condition.  With ``q`` given (top-level
+    chains only), each conjunct is first tried as a member-property
+    condition, which records into q.qm_kwargs['property_filters'] and
+    contributes a ``None`` marker; nested parenthesized/NOT contexts
+    pass q=None, so property conditions there fail over to the measure
+    parser's clear 400."""
+    out = [_bool_or_prop(p, q)]
     while p.peek_upper() == "AND":
         p.next()
-        out.append(_bool_primary(p))
+        out.append(_bool_or_prop(p, q))
     return out
+
+
+def _bool_or_prop(p: _P, q: MdxQuery | None) -> str | None:
+    if q is not None:
+        save = p.pos
+        try:
+            q.qm_kwargs["property_filters"].append(_property_condition(p))
+            return None
+        except ParseError:
+            p.pos = save
+    return _bool_primary(p)
+
+
+def _property_condition(p: _P) -> tuple:
+    """``<level path>.CurrentMember.Properties("Name") <op> literal``
+    — Mondrian's member-property FILTER idiom (e.g. FILTER(
+    [Customer].[Customer].Members, [Customer].[Customer].CurrentMember
+    .Properties("Market Segment") = "BUILDING")).  Compiles to a
+    dim-side predicate pushed to the property's scan."""
+    path = _path(p)
+    if len(path) < 2:
+        raise ParseError("property condition needs [Dim].[Level]")
+    p.expect(".")
+    p.expect("CURRENTMEMBER")
+    p.expect(".")
+    p.expect("PROPERTIES")
+    p.expect("(")
+    t = p.next()
+    if len(t) < 2 or t[0] not in "'\"" or t[-1] != t[0]:
+        raise ParseError(f"Properties() needs a quoted name, got {t!r}")
+    name = t[1:-1]
+    p.expect(")")
+    op = p.next()
+    if op not in ("=", "<>", ">", ">=", "<", "<="):
+        raise ParseError(
+            f"property condition operator must be =, <>, >, >=, <, "
+            f"<=; got {op!r}")
+    v = p.next()
+    if v == "-":
+        v = "-" + p.next()
+    if v and v[0] in "'\"":
+        if len(v) < 2 or v[-1] != v[0]:
+            raise ParseError(f"bad string literal {v!r}")
+        value: object = v[1:-1]
+    else:
+        try:
+            value = int(v)
+        except ValueError:
+            try:
+                value = float(v)
+            except ValueError:
+                raise ParseError(
+                    f"property comparison value must be a quoted "
+                    f"string or a number, got {v!r}")
+    return (_path_str(list(path) + [name]), op, value)
 
 
 def _bool_primary(p: _P) -> str:
@@ -1698,9 +1780,19 @@ def emit_mdx(cat: Catalog, qm) -> str:
             axis = f"CROSSJOIN({s}, {axis})"
         if qm.distinct:
             axis = f"DISTINCT({axis})"
-        if qm.filter or getattr(qm, "filter_exprs", []):
+        prop_filters = getattr(qm, "property_filters", [])
+        if qm.filter or getattr(qm, "filter_exprs", []) or prop_filters:
             # parse_measure_filter returns SQL ops; '<>' is the MDX
             # spelling the tokenizer re-reads ('!=' would not lex)
+            from .parser import parse_segments
+            pf_conds = []
+            for ref, op, value in prop_filters:
+                segs = parse_segments(ref)
+                lit = (f'"{value}"' if isinstance(value, str)
+                       else str(value))
+                pf_conds.append(
+                    f"{_path_str(segs[:-1])}.CurrentMember"
+                    f'.Properties("{segs[-1]}") {op} {lit}')
             conds = " AND ".join(
                 [f"[Measures].[{mf.measure}] "
                  f"{'<>' if mf.op == '!=' else mf.op} "
@@ -1710,7 +1802,8 @@ def emit_mdx(cat: Catalog, qm) -> str:
                     else str(mf.value))
                  for mf in map(parse_measure_filter, qm.filter)]
                 + [_emit_formula(t)
-                   for t in getattr(qm, "filter_exprs", [])])
+                   for t in getattr(qm, "filter_exprs", [])]
+                + pf_conds)
             axis = f"FILTER({axis}, {conds})"
         if getattr(qm, "top_percent", None) is not None:
             pct, m, asc = qm.top_percent

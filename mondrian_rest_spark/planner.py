@@ -335,6 +335,11 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
             raise ParseError(
                 "GENERATE is not supported on virtual cubes in this "
                 "MDX subset; query the base cube")
+        if qm.property_filters:
+            raise ParseError(
+                "member-property FILTER conditions are not supported "
+                "on virtual cubes in this MDX subset; query the base "
+                "cube")
         if (qm.children_of or qm.parent_of or qm.edge_child_of
                 or qm.siblings_of or qm.edge_sibling_of
                 or qm.ancestor_of):
@@ -1460,6 +1465,30 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 f"property {ref.prop!r} is on level {level.name!r}, "
                 f"which is not in the drilldown list")
 
+    # --- member-property FILTER conditions (raw MDX FILTER(set,
+    # --- <level>.CurrentMember.Properties("P") <op> literal)): a
+    # --- dim-side predicate on the property column, applied to the
+    # --- base frame pre-aggregation AND to the dense member frames
+    # --- (the condition restricts the axis member SET, so dense fill
+    # --- must not re-add excluded members).  The level must be
+    # --- drilled, like displayed properties above ---
+    prop_filter_preds: list[tuple] = []   # (dim name, alias, op, value)
+    for ref_str, fop, fval in qm.property_filters:
+        ref = parse_property(ref_str)
+        dim, _, level = _resolve_level(cube, ref.dimension, ref.hierarchy,
+                                       ref.level)
+        if (dim.name, level.name) not in drilled_levels:
+            raise ParseError(
+                f"FILTER property {ref.prop!r} is on level "
+                f"{level.name!r} of {dim.name!r}, which is not in the "
+                "drilldown list — a property condition restricts "
+                "drilled members")
+        pr = level.find_property(ref.prop)
+        plist = needed_props.setdefault(dim.name, [])
+        if pr.alias not in [x.alias for x in plist]:
+            plist.append(pr)
+        prop_filter_preds.append((dim.name, pr.alias, fop, fval))
+
     # --- bridges required (dims + measures) ---
     bridge_names: set[str] = set()
     for dname, dim in dim_objs.items():
@@ -1509,6 +1538,8 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     ns_cuts = [rc for rc in cuts if rc.cut.kind == "named_set"]
     for rc in pred_cuts:
         base = base.filter(_cut_predicate(rc))
+    for _, alias, fop, fval in prop_filter_preds:
+        base = base.filter(_cmp_pred(alias, fop, fval))
     for rc in ns_cuts:
         ns = cube.named_set(rc.cut.named_set)
         keys = named_set_keys(spark, sf_dir, cube, ns)
@@ -1558,7 +1589,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                        needed_props, caption_overrides, out, group_cols,
                        [m.alias for m in base_measures]
                        + [c.alias for c, _, _ in fs_set_aggs],
-                       axis_cuts=axis_cuts)
+                       axis_cuts=axis_cuts, prop_filters=prop_filter_preds)
 
     # --- member-value set aggregates (post-agg): one extra aggregate
     # --- at (axis grain × set member) computing each member's cell
@@ -2000,9 +2031,17 @@ def members_frame(spark: SparkSession, sf_dir: str, cube: Cube, rd: ResolvedDril
         rd.group_levels) else dsel.distinct()
 
 
+def _cmp_pred(alias: str, op: str, value):
+    """Comparison predicate for member-property FILTER conditions."""
+    col = F.col(alias)
+    return {"=": col == F.lit(value), "<>": col != F.lit(value),
+            ">": col > F.lit(value), ">=": col >= F.lit(value),
+            "<": col < F.lit(value), "<=": col <= F.lit(value)}[op]
+
+
 def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
              caption_overrides, agg, group_cols, measure_aliases,
-             axis_cuts=None) -> DataFrame:
+             axis_cuts=None, prop_filters=None) -> DataFrame:
     """Dense axes: cross-join each drill's member frame, left-join the
     aggregate; empty cells stay null (reference webshop_1.csv golden,
     SURVEY §7.5.1).  Combinatorial by design — opt-in.
@@ -2023,6 +2062,12 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
             if rc.dimension.name == rd.dimension.name and \
                     rc.level.key_alias in mf.columns:
                 mf = mf.filter(_cut_predicate(rc))
+        for dname, alias, fop, fval in (prop_filters or []):
+            # member-property FILTER restricts the axis SET, so the
+            # dense member frame drops the excluded members (unlike
+            # WHERE cuts, which leave dense axes full)
+            if dname == rd.dimension.name and alias in mf.columns:
+                mf = mf.filter(_cmp_pred(alias, fop, fval))
         for rc in ns_cuts:
             # same column-presence guard as pred cuts above: a set at
             # a non-axis level constrains the FACTS (filtered in the

@@ -414,7 +414,8 @@ class RollupManager:
     def _choose(self, qm: QueryModel) -> Rollup | None:
         if qm.cube != self.cube.name:
             return None  # a manager routes exactly one cube
-        if qm.parents or qm.properties or qm.caption or not qm.nonempty:
+        if (qm.parents or qm.properties or qm.caption or not qm.nonempty
+                or qm.property_filters):
             return None
         # axis idioms resolved inside _aggregate_cube add drills/cuts
         # the grain check below cannot see; query-scoped WITH forms

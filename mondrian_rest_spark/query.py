@@ -121,3 +121,8 @@ class QueryModel:
     # drilldown of (parent, child) levels plus a post-agg row_number
     # window partitioned per parent (axis-sized, never the fact)
     generate_top: tuple | None = None
+    # FILTER(set, <level>.CurrentMember.Properties("P") <op> literal)
+    # from raw MDX — member-property axis restrictions: ("[D].[L].[P]",
+    # op, value) tuples ANDed together.  A dim-side predicate pushed to
+    # the property's scan (pre-aggregation), NOT a HAVING condition.
+    property_filters: list = field(default_factory=list)

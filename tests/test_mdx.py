@@ -1552,6 +1552,89 @@ def test_mdx_properties_clause_rejects_unknown(spark, sf_dir):
             "ON ROWS FROM [Sales]").collect()
 
 
+def test_mdx_property_filter(spark, sf_dir):
+    # string + numeric property conditions AND a measure condition:
+    # the property predicates restrict the axis member set dim-side,
+    # the measure condition stays a HAVING
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Customer].Members, "
+        "[Customer].[Customer].CurrentMember"
+        '.Properties("Market Segment") = "BUILDING" '
+        "AND [Customer].[Customer].CurrentMember"
+        '.Properties("Account Balance") > 0 '
+        "AND [Measures].[Revenue] > 0) ON ROWS FROM [Sales]").collect()
+    assert rows
+    full = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Customer].Members "
+        "DIMENSION PROPERTIES "
+        "[Customer].[Customer].[Market Segment], "
+        "[Customer].[Customer].[Account Balance] "
+        "ON ROWS FROM [Sales]").collect()
+    expect = {r["c_custkey"] for r in full
+              if r["c_mktsegment"] == "BUILDING" and r["c_acctbal"] > 0
+              and r["revenue"] > 0}
+    assert {r["c_custkey"] for r in rows} == expect
+
+
+def test_mdx_property_filter_dense_restricts_axis(spark, sf_dir):
+    # without NON EMPTY the dense fill enumerates the axis set — the
+    # property condition must restrict that enumeration, not just the
+    # facts (excluded members are GONE, not null-filled)
+    dense = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "FILTER([Customer].[Customer].Members, "
+        "[Customer].[Customer].CurrentMember"
+        '.Properties("Market Segment") = "MACHINERY") '
+        "ON ROWS FROM [Sales]").collect()
+    props = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Customer].Members "
+        "DIMENSION PROPERTIES "
+        "[Customer].[Customer].[Market Segment] ON ROWS "
+        "FROM [Sales]").collect()
+    machinery = {r["c_custkey"] for r in props
+                 if r["c_mktsegment"] == "MACHINERY"}
+    # every MACHINERY customer appears (dense fill), every non-match
+    # is gone — and only customers with orders can appear at all (the
+    # member set is fact-derived), so the sets coincide
+    assert {r["c_custkey"] for r in dense} == machinery
+
+
+def test_mdx_property_filter_rejections(spark, sf_dir):
+    # level not drilled -> 400
+    with pytest.raises(ParseError, match="not in the drilldown"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY FILTER([Customer].[Nation].Members, "
+            "[Customer].[Customer].CurrentMember"
+            '.Properties("Market Segment") = "BUILDING") '
+            "ON ROWS FROM [Sales]").collect()
+    # OR over a property condition -> 400 (axis vs cell semantics)
+    with pytest.raises(ParseError, match="cannot appear under OR"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY FILTER([Customer].[Customer].Members, "
+            "[Customer].[Customer].CurrentMember"
+            '.Properties("Market Segment") = "BUILDING" '
+            "OR [Measures].[Revenue] > 0) ON ROWS FROM [Sales]")
+    # unknown property -> 400 from the catalog lookup
+    with pytest.raises((ParseError, KeyError)):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY FILTER([Customer].[Customer].Members, "
+            "[Customer].[Customer].CurrentMember"
+            '.Properties("No Such Prop") = "X") '
+            "ON ROWS FROM [Sales]").collect()
+
+
 def test_set_aggregate_context_conflict_is_400(spark, sf_dir):
     # drilling the set's own dimension: Mondrian would REPLACE the
     # context; a conditional aggregate can only intersect -> 400
