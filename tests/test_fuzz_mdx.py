@@ -914,3 +914,58 @@ def test_generate_rollup_routing_refusals(spark, sf_dir):
         "[Measures].[Revenue])) ON ROWS FROM [Sales]")
     _, source = mgr.route(qm)
     assert source == "base"
+
+
+# --- member-property FILTER: hypothesis mini-net ---------------------------
+
+_PROP_CONDS = {
+    "seg": ('[Customer].[Customer].CurrentMember'
+            '.Properties("Market Segment")',
+            "c_mktsegment", st.sampled_from(
+                ["BUILDING", "MACHINERY", "AUTOMOBILE"])),
+    "bal": ('[Customer].[Customer].CurrentMember'
+            '.Properties("Account Balance")',
+            "c_acctbal", st.sampled_from([-100, 0, 2500.5, 9000])),
+}
+
+
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(which=st.sampled_from(["seg", "bal", "both"]),
+       op=st.sampled_from(["=", "<>", ">", "<="]),
+       seg=_PROP_CONDS["seg"][2], bal=_PROP_CONDS["bal"][2],
+       having=st.booleans())
+def test_property_filter_matches_oracle(spark, sf_dir, duck, which,
+                                        op, seg, bal, having):
+    conds_mdx, conds_sql = [], []
+    if which in ("seg", "both"):
+        o = op if op in ("=", "<>") else "="
+        conds_mdx.append(f'{_PROP_CONDS["seg"][0]} {o} "{seg}"')
+        conds_sql.append(f"c_mktsegment {o} '{seg}'")
+    if which in ("bal", "both"):
+        o = op if op in (">", "<=") else ">"
+        conds_mdx.append(f'{_PROP_CONDS["bal"][0]} {o} {bal}')
+        conds_sql.append(f"c_acctbal {o} {bal}")
+    if having:
+        conds_mdx.append("[Measures].[Revenue] > 1000")
+    mdx = ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+           "NON EMPTY FILTER([Customer].[Customer].Members, "
+           + " AND ".join(conds_mdx) + ") ON ROWS FROM [Sales]")
+    got = execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).toPandas()
+    sql = (f"SELECT c_custkey, c_name, {MEASURES['Revenue'][1]} AS revenue "
+           f"{STAR} WHERE " + " AND ".join(conds_sql)
+           + " GROUP BY 1, 2"
+           + (" HAVING " + MEASURES["Revenue"][1] + " > 1000"
+              if having else ""))
+    exp = duck.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(exp.columns)
+    a, b = canon(got), canon(exp)
+    assert len(a) == len(b), mdx
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            assert bool(((av.isna() & bv.isna()) |
+                         ((av - bv).abs()
+                          <= 1e-9 + 1e-9 * bv.abs())).all()), mdx
+        else:
+            assert bool((av.astype(object) == bv.astype(object)).all()), mdx
