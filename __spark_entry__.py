@@ -453,6 +453,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "FROM [Sales] WHERE ([Customer].[Region].[&2]) "
         "CELL PROPERTIES VALUE, FORMATTED_VALUE")
 
+    # RANK WITH MEMBER on a VIRTUAL cube (r8): the window runs over
+    # the joined drill-across frame — rank conformed-dim members by a
+    # measure from either base cube (planner rank_inline)
+    q["q66_mdx_virtual_rank"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH MEMBER [Measures].[Rev Rank] AS "
+        "RANK([Customer].[Region].CurrentMember, "
+        "ORDER([Customer].[Region].Members, [Measures].[Revenue], BDESC)) "
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price], "
+        "[Measures].[Rev Rank]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].Members ON ROWS "
+        "FROM [Orders and Sales]")
+
+    # set-aggregate / measure-tuple WITH MEMBER on a VIRTUAL cube
+    # (r8): the calc is FORWARDED to the base cube owning the measure
+    # (its sub-aggregate computes the conditional column fact-side;
+    # the drill-across join carries it) — each cube's Time restriction
+    # uses its own fact date, the correct drill-across semantics
+    q["q67_mdx_virtual_set_aggregate"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH MEMBER [Measures].[Rev 95 96] AS "
+        "AGGREGATE({[Time].[Year].[1995],[Time].[Year].[1996]}, "
+        "[Measures].[Revenue]) "
+        "MEMBER [Measures].[Orders 95] AS "
+        "([Measures].[Total Price], [Time].[Year].[1995]) "
+        "SELECT {[Measures].[Revenue], [Measures].[Rev 95 96], "
+        "[Measures].[Orders 95]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].Members ON ROWS "
+        "FROM [Orders and Sales]")
+
     # member-property FILTER (r8): FILTER(set, <level>.CurrentMember
     # .Properties("P") <op> literal) — an axis-set restriction
     # compiled to a dim-side predicate pushed to the property's scan
@@ -1600,6 +1632,38 @@ def oracle_sql() -> dict[str, str]:
         "q64_mdx_dimension_properties": f"""
             SELECT c_custkey, c_name, c_mktsegment, {REVENUE} AS revenue
             FROM {J_CUST} WHERE r_regionkey = 2 GROUP BY 1, 2, 3""",
+
+        "q67_mdx_virtual_set_aggregate": f"""
+            SELECT cust_region_key, cust_region, revenue, rev_95_96,
+                   orders_95
+            FROM (SELECT r_regionkey AS cust_region_key,
+                         r_name AS cust_region, {REVENUE} AS revenue,
+                         CAST(SUM(CASE WHEN year(l_shipdate) IN (1995, 1996)
+                                  THEN CAST(l_extendedprice * (1 - l_discount)
+                                            AS DECIMAL(25,6)) END)
+                              AS DOUBLE) AS rev_95_96
+                  FROM {J_CUST} GROUP BY 1, 2) sales
+            FULL JOIN (SELECT r_regionkey AS cust_region_key,
+                              r_name AS cust_region,
+                              CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+                                       THEN CAST(o_totalprice
+                                                 AS DECIMAL(25,6)) END)
+                                   AS DOUBLE) AS orders_95
+                       FROM {J_ORD_CUST} GROUP BY 1, 2) ords
+            USING (cust_region_key, cust_region)""",
+
+        "q66_mdx_virtual_rank": f"""
+            SELECT cust_region_key, cust_region, revenue, total_price,
+                   RANK() OVER (ORDER BY revenue DESC NULLS LAST)
+                     AS rev_rank
+            FROM (SELECT r_regionkey AS cust_region_key,
+                         r_name AS cust_region, {REVENUE} AS revenue
+                  FROM {J_CUST} GROUP BY 1, 2) sales
+            FULL JOIN (SELECT r_regionkey AS cust_region_key,
+                              r_name AS cust_region,
+                              {DEC('o_totalprice')} AS total_price
+                       FROM {J_ORD_CUST} GROUP BY 1, 2) ords
+            USING (cust_region_key, cust_region)""",
 
         "q65_mdx_property_filter": f"""
             SELECT c_custkey, c_name, {REVENUE} AS revenue

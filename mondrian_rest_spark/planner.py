@@ -2474,6 +2474,8 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
     # tuples stay base-cube-only.
     inline: dict[str, str] = {}
     inline_alias: dict[str, str] = {}
+    rank_inline: dict[str, tuple] = {}
+    setagg_inline: dict[str, tuple] = {}
     for name, tmpl in qm.with_members:
         if re.fullmatch(r"\{lag:[^}]*\}", tmpl):
             raise ParseError(
@@ -2484,20 +2486,52 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                 "SUM(YTD()/QTD()/MTD()/WTD(), ...) WITH MEMBER is not "
                 "supported on virtual cubes")
         if tmpl.startswith("{setagg:"):
-            raise ParseError(
-                "set-aggregate WITH MEMBER is not supported on virtual "
-                "cubes (the conditional aggregate is fact-side; run it "
-                "against the base cube)")
-        if tmpl.startswith("{rank:"):
-            raise ParseError(
-                "RANK WITH MEMBER is not supported on virtual cubes "
-                "in this MDX subset; query the base cube")
+            # set aggregates (and measure-member tuples, which compile
+            # to the single-member form) are fact-side: FORWARD the
+            # calc to the base cube owning the referenced measure —
+            # its sub-aggregate computes the conditional column and
+            # the drill-across join carries it like any measure
+            ref = re.fullmatch(r"\{setagg:[a-z]+:([^:]+):.+\}", tmpl,
+                               re.DOTALL).group(1)
+            owner = next((c for c in cubes if _has_measure(c, ref)), None)
+            if owner is None:
+                raise ParseError(
+                    f"set aggregate {name!r} references unknown "
+                    f"measure {ref!r}")
+            setagg_inline[name] = (tmpl, owner.name)
+            alias = re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
+            if not alias:
+                raise ParseError(f"WITH MEMBER name {name!r} is empty")
+            inline_alias[name] = alias
+            continue
+        rk = re.fullmatch(r"\{rank:([^:}]*):(asc|desc|pos):([^}]+)\}", tmpl)
+        if rk:
+            # RANK virtualizes naturally: the window runs over the
+            # JOINED drill-across frame (the axis), partitioned by the
+            # other conformed dims' keys — same shape as the base-cube
+            # path, no fact access needed
+            rank_inline[name] = rk.groups()
+            alias = re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
+            if not alias:
+                raise ParseError(f"WITH MEMBER name {name!r} is empty")
+            inline_alias[name] = alias
+            continue
         inline[name] = tmpl
         alias = re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
         if not alias:
             raise ParseError(f"WITH MEMBER name {name!r} is empty")
         inline_alias[name] = alias
-    base_requested = [m for m in measures if m not in inline]
+    base_requested = [m for m in measures
+                      if m not in inline and m not in rank_inline
+                      and m not in setagg_inline]
+    # RANK order-by measures must be aggregated even when hidden
+    for name, (ref, _, _) in rank_inline.items():
+        if ref and ref not in inline and ref not in base_requested:
+            if not any(_has_measure(c, ref) for c in cubes):
+                raise ParseError(
+                    f"RANK WITH MEMBER {name!r} references unknown "
+                    f"measure {ref!r}")
+            base_requested.append(ref)
     unresolved = [m for m in base_requested
                   if not any(_has_measure(c, m) for c in cubes)]
     if unresolved:
@@ -2544,6 +2578,14 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
     group_cols: list[str] | None = None
     for cube in cubes:
         own_names = [m for m in measures if _has_measure(cube, m)]
+        # forwarded set-aggregate calcs: inlined into THIS cube's
+        # definition so its sub-aggregate computes the conditional
+        # column fact-side, exactly like the base-cube path
+        own_with = [(n, t) for n, (t, owner) in setagg_inline.items()
+                    if owner == cube.name]
+        if own_with:
+            cube = _inline_calcs(cube, own_with)
+            own_names = own_names + [n for n, _ in own_with]
         if not own_names:
             continue
         # order/limit/filter/sparse are axis-global: they must see the
@@ -2601,6 +2643,63 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         expr = re.sub(r"\{m:([^}]+)\}",
                       lambda m: _valias(m.group(1)), tmpl)
         out = _with_user_col(out, inline_alias[name], expr, name)
+
+    # RANK WITH MEMBER on the joined drill-across frame: resolve the
+    # ranked level against a base cube exposing the (conformed) dim,
+    # require it drilled, and window exactly like the base-cube path
+    for name, (ref, direction, lvl_path) in rank_inline.items():
+        alias = inline_alias[name]
+        if alias in taken:
+            raise ParseError(
+                f"WITH MEMBER name {name!r} collides with an existing "
+                "measure or axis column")
+        taken.add(alias)
+        segs = lvl_path.split(".")
+        if segs[0] not in vc.conformed_dimensions:
+            raise ParseError(
+                f"RANK dimension {segs[0]!r} is not conformed on "
+                f"virtual cube {vc.name!r}")
+        hier_name = segs[1] if len(segs) == 3 else None
+        rcube = next(c for c in cubes
+                     if any(d.name == segs[0] for d in c.dimensions))
+        dim, _, level = _resolve_level(rcube, segs[0], hier_name, segs[-1])
+        drills_r = []
+        for d in qm.drilldown:
+            parsed = parse_drilldown(d)
+            if isinstance(parsed, DrilldownSpec):
+                drills_r.append(_resolve_drill(rcube, parsed, qm.parents))
+        rank_drills = [rd for rd in drills_r
+                       if rd.dimension.name == dim.name]
+        if not any(lv.name == level.name for rd in rank_drills
+                   for lv in rd.group_levels):
+            raise ParseError(
+                f"calculated member {name!r} ranks the {dim.name} "
+                f"{level.name!r} level; drill that level first")
+        same_keys = [a for rd in rank_drills for a in
+                     [lv.key_alias for lv in rd.group_levels]]
+        level_keys = {lv.key_alias for rd in rank_drills
+                      for lv in rd.group_levels if lv.name == level.name}
+        if dim.is_degenerate and len(set(same_keys)) > len(level_keys):
+            raise ParseError(
+                f"calculated member {name!r}: RANK on degenerate "
+                f"dimension {dim.name!r} with ancestor levels drilled "
+                "is ambiguous (level keys repeat per parent); drill "
+                "only the ranked level")
+        others = [lv.key_alias for rd in drills_r
+                  if rd.dimension.name != dim.name
+                  for lv in rd.group_levels]
+        if ref:
+            ocol = _valias(ref)
+            dir_col = (F.asc_nulls_last(ocol) if direction == "asc"
+                       else F.desc_nulls_last(ocol))
+            w = Window.partitionBy(
+                *[F.col(a) for a in others]).orderBy(dir_col)
+            out = out.withColumn(alias, F.rank().over(w).cast("long"))
+        else:
+            w = Window.partitionBy(*[F.col(a) for a in others]).orderBy(
+                *[F.asc(a) for a in same_keys])
+            out = out.withColumn(alias,
+                                 F.row_number().over(w).cast("long"))
 
     for fs in qm.filter:
         mf = parse_measure_filter(fs)

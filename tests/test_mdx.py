@@ -1606,6 +1606,82 @@ def test_mdx_property_filter_dense_restricts_axis(spark, sf_dir):
     assert {r["c_custkey"] for r in dense} == machinery
 
 
+def test_mdx_virtual_rank(spark, sf_dir):
+    # RANK over the drill-across frame matches the base-cube ranking
+    # of the same measure (Revenue lives in Sales only)
+    vrank = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[Rev Rank] AS "
+        "RANK([Customer].[Nation].CurrentMember, "
+        "ORDER([Customer].[Nation].Members, [Measures].[Revenue], BDESC)) "
+        "SELECT {[Measures].[Revenue], [Measures].[Rev Rank]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].Members ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    brank = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[Rev Rank] AS "
+        "RANK([Customer].[Nation].CurrentMember, "
+        "ORDER([Customer].[Nation].Members, [Measures].[Revenue], BDESC)) "
+        "SELECT {[Measures].[Revenue], [Measures].[Rev Rank]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].Members ON ROWS "
+        "FROM [Sales]").collect()
+    assert ({(r["cust_nation_key"], r["rev_rank"]) for r in vrank}
+            == {(r["cust_nation_key"], r["rev_rank"]) for r in brank})
+    # undrilled ranked level -> 400; unconformed dim -> 400
+    with pytest.raises(ParseError, match="drill that level first"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "WITH MEMBER [Measures].[R] AS "
+            "RANK([Customer].[Nation].CurrentMember, "
+            "ORDER([Customer].[Nation].Members, [Measures].[Revenue], "
+            "BDESC)) "
+            "SELECT {[Measures].[R]} ON COLUMNS, "
+            "NON EMPTY [Customer].[Region].Members ON ROWS "
+            "FROM [Orders and Sales]").collect()
+    with pytest.raises(ParseError, match="not conformed"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "WITH MEMBER [Measures].[R] AS "
+            "RANK([Part].[Brand].CurrentMember, "
+            "ORDER([Part].[Brand].Members, [Measures].[Revenue], BDESC)) "
+            "SELECT {[Measures].[R]} ON COLUMNS, "
+            "NON EMPTY [Customer].[Region].Members ON ROWS "
+            "FROM [Orders and Sales]").collect()
+
+
+def test_mdx_virtual_set_aggregate_forwarded(spark, sf_dir):
+    # the forwarded conditional aggregate equals the base cube's own
+    # set aggregate, joined across; each cube restricts by ITS fact
+    # date (Sales: l_shipdate; Orders: o_orderdate)
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[Rev 95] AS "
+        "AGGREGATE({[Time].[Year].[1995]}, [Measures].[Revenue]) "
+        "MEMBER [Measures].[Orders 95] AS "
+        "([Measures].[Total Price], [Time].[Year].[1995]) "
+        "SELECT {[Measures].[Rev 95], [Measures].[Orders 95]} "
+        "ON COLUMNS, NON EMPTY [Customer].[Region].Members ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    sales = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].Members ON ROWS FROM [Sales] "
+        "WHERE ([Time].[Year].[1995])").collect()
+    orders = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Total Price]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].Members ON ROWS FROM [Orders] "
+        "WHERE ([Time].[Year].[1995])").collect()
+    srev = {r["cust_region_key"]: r["revenue"] for r in sales}
+    otot = {r["cust_region_key"]: r["total_price"] for r in orders}
+    assert len(rows) == 5
+    for r in rows:
+        assert r["rev_95"] == pytest.approx(srev[r["cust_region_key"]],
+                                            rel=1e-12)
+        assert r["orders_95"] == pytest.approx(otot[r["cust_region_key"]],
+                                               rel=1e-12)
+
+
 def test_mdx_property_filter_rejections(spark, sf_dir):
     # level not drilled -> 400
     with pytest.raises(ParseError, match="not in the drilldown"):
@@ -1664,14 +1740,21 @@ def test_set_aggregate_over_calc_member_is_400(spark, sf_dir):
             "SELECT {[Measures].[R]} ON COLUMNS FROM [Sales]").collect()
 
 
-def test_set_aggregate_on_virtual_cube_is_400(spark, sf_dir):
-    with pytest.raises(ParseError, match="virtual"):
-        execute_mdx(
-            spark, sf_dir, tpch.CATALOG,
-            "WITH MEMBER [Measures].[R] AS "
-            "AGGREGATE({[Time].[Year].[1995]}, [Measures].[Revenue]) "
-            "SELECT {[Measures].[R]} ON COLUMNS "
-            "FROM [Orders and Sales]").collect()
+def test_set_aggregate_on_virtual_cube_forwards_to_owner(spark, sf_dir):
+    # r8: no longer a 400 — the calc forwards to the owning base cube
+    # (grand total: same value as the base cube's own set aggregate)
+    vrows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[R] AS "
+        "AGGREGATE({[Time].[Year].[1995]}, [Measures].[Revenue]) "
+        "SELECT {[Measures].[R]} ON COLUMNS "
+        "FROM [Orders and Sales]").collect()
+    brows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[R] AS "
+        "AGGREGATE({[Time].[Year].[1995]}, [Measures].[Revenue]) "
+        "SELECT {[Measures].[R]} ON COLUMNS FROM [Sales]").collect()
+    assert vrows[0][0] == brows[0][0]
 
 
 def test_filter_expr_and_set_agg_round_trip():
