@@ -791,6 +791,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # equi-join; exact verify on candidates only)
     q["d09_neardup_jaccard_prefix"] = lambda s, d: dedup.neardup_jaccard_prefix(
         load_table(s, d, "documents"), threshold=0.5)
+
+    # ingest-time EXACT dedup: new batch (doc_id % 10 == 0) vs a
+    # frozen prefix index of the rest of the corpus — the exact analog
+    # of the MinHash ingest index (d08's machinery); prefix order is
+    # frozen at build, which affects pruning power, never recall
+    def _d10(s, d):
+        docs = load_table(s, d, "documents")
+        corpus = docs.filter("doc_id % 10 != 0")
+        new = docs.filter("doc_id % 10 = 0")
+        pre, sh, freq = dedup.build_jaccard_index(corpus, threshold=0.5)
+        return dedup.neardup_pairs_against_jaccard_index(
+            new, pre, sh, freq, threshold=0.5, index_threshold=0.5)
+    q["d10_neardup_jaccard_index"] = _d10
     q["d04_neardup_simhash"] = lambda s, d: dedup.neardup_simhash(
         load_table(s, d, "documents"), max_hamming=3)
     q["d05_embedding_neardup"] = lambda s, d: similarity.embedding_neardup(
@@ -1382,6 +1395,15 @@ def oracle_sql() -> dict[str, str]:
                  round(len(list_intersect(a.s, b.s)) * 1.0 /
                        len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.5"""
+    neardup_cross = f"""
+        WITH sh AS ({shingles})
+        SELECT new_id, hist_id, jaccard FROM (
+          SELECT a.doc_id AS new_id, b.doc_id AS hist_id,
+                 round(len(list_intersect(a.s, b.s)) * 1.0 /
+                       len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+          FROM sh a JOIN sh b
+            ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
         WHERE jaccard >= 0.5"""
 
     return {
@@ -2101,6 +2123,9 @@ def oracle_sql() -> dict[str, str]:
         # exact algorithm, different plan: the prefix-filter join must
         # reproduce the brute-force pairs bit-for-bit
         "d09_neardup_jaccard_prefix": neardup,
+        # ingest-time exact dedup vs frozen prefix index: identical
+        # to a cross-set brute-force join
+        "d10_neardup_jaccard_index": neardup_cross,
         "d08_decontamination": f"""
             WITH sh AS (
               SELECT doc_id, source,

@@ -533,3 +533,93 @@ def neardup_jaccard_prefix(df: DataFrame, threshold: float = 0.5,
                 .withColumn("jaccard", F.round(_jaccard("sa", "sb"), 6))
                 .filter(F.col("jaccard") >= threshold)
                 .select("a_id", "b_id", "jaccard"))
+
+
+def build_jaccard_index(df: DataFrame, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3):
+    """EXACT-Jaccard corpus index for ingest-time dedup:
+    ``(prefixes, shingles, freq)`` frames keyed by the corpus doc id —
+    the prefix-filter analog of :func:`build_neardup_index` (which is
+    approximate MinHash).  In a deployment these persist as parquet,
+    ``prefixes`` bucketed on the shingle so the per-batch candidate
+    lookup is a co-located join; accepted docs append their rows.
+
+    The global shingle order (document frequency at BUILD time, ties
+    by value) is frozen into the index.  Prefix-filter correctness
+    needs only a CONSISTENT total order on shingles — frequency drift
+    after the build affects pruning power, never recall — so queries
+    against a stale index stay exact."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = (with_shingles(df, text_col, n)
+          .select(F.col(id_col), F.col("shingles"))
+          .filter(F.size("shingles") > 0))
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("__g"))
+    freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    w_doc = Window.partitionBy(id_col)
+    ordered = (ex.join(freq, on="__g")
+                 .withColumn("__rn", F.row_number().over(
+                     w_doc.orderBy(F.asc("__df"), F.asc("__g"))))
+                 .withColumn("__sz", F.count(F.lit(1)).over(w_doc)))
+    prefixes = (ordered.filter(
+        F.col("__rn") <= F.col("__sz")
+        - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1)
+        .select(F.col(id_col), "__g", "__sz"))
+    return prefixes, sh, freq
+
+
+def neardup_pairs_against_jaccard_index(
+        new_docs: DataFrame, index_prefixes: DataFrame,
+        index_shingles: DataFrame, index_freq: DataFrame,
+        threshold: float = 0.5, index_threshold: float | None = None,
+        text_col: str = "text", id_col: str = "doc_id",
+        n: int = 3) -> DataFrame:
+    """EXACT cross-corpus Jaccard pairs ``(new_id, hist_id, jaccard)``
+    between a new batch and a :func:`build_jaccard_index` corpus — the
+    exact analog of :func:`neardup_pairs_against`.  The batch's
+    prefixes are ordered by the INDEX's frozen (df, shingle) order
+    (unseen shingles get df=0: they sort first, i.e. rarest — the
+    conservative choice), so the prefix-filter theorem applies to the
+    pair as long as ``threshold >= index_threshold`` (the index's
+    prefixes are at least as long as the threshold requires)."""
+    if index_threshold is not None and threshold < index_threshold:
+        raise ValueError(
+            f"query threshold {threshold} is below the index build "
+            f"threshold {index_threshold}: the stored prefixes are too "
+            "short to guarantee recall — rebuild the index")
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh_new = (with_shingles(new_docs, text_col, n)
+              .select(F.col(id_col), F.col("shingles"))
+              .filter(F.size("shingles") > 0))
+    ex_new = sh_new.select(F.col(id_col),
+                           F.explode("shingles").alias("__g"))
+    w_doc = Window.partitionBy(id_col)
+    ordered = (ex_new.join(index_freq, on="__g", how="left")
+                     .na.fill({"__df": 0})
+                     .withColumn("__rn", F.row_number().over(
+                         w_doc.orderBy(F.asc("__df"), F.asc("__g"))))
+                     .withColumn("__sz", F.count(F.lit(1)).over(w_doc)))
+    prefix_new = ordered.filter(
+        F.col("__rn") <= F.col("__sz")
+        - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1)
+    a = prefix_new.select(F.col(id_col).alias("new_id"), F.col("__g"),
+                          F.col("__sz").alias("__sza"))
+    b = index_prefixes.select(F.col(id_col).alias("hist_id"),
+                              F.col("__g"), F.col("__sz").alias("__szb"))
+    cand = (a.join(b, on="__g")
+             .filter((F.col("__szb")
+                      >= F.lit(threshold) * F.col("__sza") - F.lit(1e-9))
+                     & (F.col("__szb") * F.lit(threshold)
+                        <= F.col("__sza") + F.lit(1e-9)))
+             .select("new_id", "hist_id")
+             .distinct())
+    fa = sh_new.select(F.col(id_col).alias("new_id"),
+                       F.col("shingles").alias("sa"))
+    fb = index_shingles.select(F.col(id_col).alias("hist_id"),
+                               F.col("shingles").alias("sb"))
+    return (cand.join(fa, on="new_id").join(fb, on="hist_id")
+                .withColumn("jaccard", F.round(_jaccard("sa", "sb"), 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("new_id", "hist_id", "jaccard"))

@@ -59,6 +59,37 @@ def test_neardup_jaccard_prefix_matches_bruteforce(docs, spark, sf_dir):
         dedup.neardup_jaccard_prefix(docs, threshold=0.0)
 
 
+def test_jaccard_index_cross_pairs_exact(docs, spark):
+    # index docs 1-3, query 4-5 + a NEW near-dup of doc 1 whose grams
+    # are partly unseen by the frozen frequency order — recall must
+    # survive the stale order (correctness needs only consistency)
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    corpus = docs.filter("doc_id <= 3")
+    new = docs.filter("doc_id >= 4").union(spark.createDataFrame(
+        [(9, base + "with brand new unseen suffix words appended")],
+        ["doc_id", "text"]))
+    pre, sh, freq = dedup.build_jaccard_index(corpus, threshold=0.5)
+    got = {(r.new_id, r.hist_id): r.jaccard
+           for r in dedup.neardup_pairs_against_jaccard_index(
+               new, pre, sh, freq, 0.5, 0.5).collect()}
+    # brute cross reference
+    sa = dedup.with_shingles(new).select(
+        F.col("doc_id").alias("new_id"), F.col("shingles").alias("sa"))
+    sb = dedup.with_shingles(corpus).select(
+        F.col("doc_id").alias("hist_id"), F.col("shingles").alias("sb"))
+    exp = {(r.new_id, r.hist_id): r.jaccard
+           for r in sa.crossJoin(sb)
+           .withColumn("jaccard", F.round(
+               F.size(F.array_intersect("sa", "sb")) /
+               F.size(F.array_union("sa", "sb")), 6))
+           .filter("jaccard >= 0.5").collect()}
+    assert got == exp and (9, 1) in got
+    # querying below the build threshold would silently lose recall
+    with pytest.raises(ValueError, match="below the index build"):
+        dedup.neardup_pairs_against_jaccard_index(
+            new, pre, sh, freq, threshold=0.3, index_threshold=0.5)
+
+
 def test_neardup_jaccard_prefix_boundary_sizes(spark):
     # exact-boundary length ratio: |A|=4 grams, |B|=2 grams, J=0.5 —
     # a float-epsilon ceil overshoot would drop the pair
