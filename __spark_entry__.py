@@ -994,6 +994,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("media_id", "width", "height", "channels"))
     q["m03_media_jpeg_dims"] = _media_jpeg
 
+    # GIF/BMP/MP3 header parses (r8): dims from the GIF screen
+    # descriptor / BMP BITMAPINFOHEADER, rate+channels+CBR duration
+    # from the first MPEG-1 Layer III frame sync — all pure-stdlib
+    # byte walks; oracle recomputes every field arithmetically
+    def _media_mixed(s, d):
+        import pandas as pd
+
+        from mondrian_rest_spark.operators import media_codec, multimodal
+
+        docs = load_table(s, d, "documents").filter(F.col("doc_id") < 96)
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    if i % 3 == 0:
+                        p, k, m = (media_codec.gif_header(
+                            10 + i % 97, 5 + i % 53), "image", "image/gif")
+                    elif i % 3 == 1:
+                        p, k, m = (media_codec.bmp_header(
+                            8 + i % 89, 6 + i % 31, 32 if i % 2 else 24),
+                            "image", "image/bmp")
+                    else:
+                        p, k, m = (media_codec.mp3_frames(
+                            2 + i % 5, 128, 44100, 1 if i % 2 else 2),
+                            "audio", "audio/mpeg")
+                    rows.append((i, k, p, m))
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "kind", "payload", "mime"])
+
+        media = docs.select("doc_id").mapInPandas(
+            gen, schema=multimodal.MEDIA_SCHEMA)
+        return (multimodal.extract_features(media)
+                .select("media_id", "width", "height", "channels",
+                        "duration_ms"))
+    q["m04_media_mixed_headers"] = _media_mixed
+
     # ---- composed cleaning pipeline (the end-to-end use case) ----
     def _clean(s, d):
         from mondrian_rest_spark.operators import pipeline
@@ -2005,6 +2043,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END
                         AS INTEGER) AS channels
             FROM documents WHERE doc_id < 64""",
+
+        "m04_media_mixed_headers": """
+            SELECT doc_id AS media_id,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 10 + doc_id % 97
+                             WHEN doc_id % 3 = 1 THEN 8 + doc_id % 89
+                             ELSE 0 END AS INTEGER) AS width,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 5 + doc_id % 53
+                             WHEN doc_id % 3 = 1 THEN 6 + doc_id % 31
+                             ELSE 0 END AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 3
+                             WHEN doc_id % 3 = 1 THEN
+                               CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END
+                             ELSE CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END
+                        END AS INTEGER) AS channels,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN
+                          (CAST(FLOOR(144 * 128000 / 44100) AS BIGINT)
+                           * (2 + doc_id % 5) * 8) // 128
+                        ELSE NULL END AS INTEGER) AS duration_ms
+            FROM documents WHERE doc_id < 96""",
 
         "w01_tumbling_day": f"""
             SELECT date_trunc('day', ts) AS win_start,

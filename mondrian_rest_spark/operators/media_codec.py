@@ -220,7 +220,7 @@ def jpeg_header(width: int, height: int, channels: int = 3) -> bytes:
 
 def sniff(payload: bytes) -> str:
     """Cheap magic-byte format sniff:
-    'png' | 'wav' | 'jpeg' | 'unknown'."""
+    'png' | 'wav' | 'jpeg' | 'gif' | 'bmp' | 'mp3' | 'unknown'."""
     if payload is None:
         return "unknown"
     if payload[:8] == PNG_SIG:
@@ -229,4 +229,112 @@ def sniff(payload: bytes) -> str:
         return "wav"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:4] == b"GIF8":
+        return "gif"
+    if payload[:2] == b"BM" and len(payload) >= 30:
+        return "bmp"
+    if payload[:3] == b"ID3" or (len(payload) >= 2
+                                 and payload[0] == 0xFF
+                                 and (payload[1] & 0xE0) == 0xE0):
+        return "mp3"
     return "unknown"
+
+
+# --- GIF / BMP dimensions (pure header parses) ------------------------------
+
+def gif_dimensions(payload: bytes) -> tuple[int, int]:
+    """``(width, height)`` from a GIF87a/GIF89a logical screen
+    descriptor — the two little-endian uint16s at offsets 6/8; exact
+    for every conformant GIF, header bytes only."""
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 10:
+        raise ValueError("GIF truncated before the screen descriptor")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    return w, h
+
+
+def gif_header(width: int, height: int) -> bytes:
+    """Minimal structurally-valid GIF89a header stream (signature +
+    logical screen descriptor + trailer) for tests — parsed by
+    :func:`gif_dimensions` and by any header-walking reader."""
+    return (b"GIF89a" + struct.pack("<HH", width, height)
+            + b"\x00\x00\x00" + b"\x3b")
+
+
+def bmp_dimensions(payload: bytes) -> tuple[int, int, int]:
+    """``(width, height, channels)`` from a BMP BITMAPINFOHEADER —
+    int32 width/height at offsets 18/22 (height may be negative for
+    top-down rows: dimensions are absolute), uint16 bits-per-pixel at
+    28."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    if len(payload) < 30:
+        raise ValueError("BMP truncated before BITMAPINFOHEADER")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp, = struct.unpack_from("<H", payload, 28)
+    return w, abs(h), max(1, bpp // 8)
+
+
+def bmp_header(width: int, height: int, bpp: int = 24) -> bytes:
+    """Minimal structurally-valid BMP header (file header +
+    BITMAPINFOHEADER, no pixel array) for tests."""
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp,
+                       0, 0, 2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40, 0, 0, 14 + 40)
+    return head + info
+
+
+# --- MP3 frame-header parse --------------------------------------------------
+
+#: MPEG-1 Layer III bitrates (kbps) and sample rates (Hz), indexed by
+#: the frame-header nibbles (index 0 = free / 15 = bad, both rejected)
+_MP3_BITRATES = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320, None)
+_MP3_RATES = (44100, 48000, 32000, None)
+
+
+def mp3_frame_info(payload: bytes) -> tuple[int, int, int, int]:
+    """``(sample_rate, channels, bitrate_kbps, est_duration_ms)`` from
+    the first MPEG-1 Layer III frame header — a pure-stdlib sync-word
+    scan (skips a leading ID3v2 tag by its synchsafe size).  Duration
+    is the CBR estimate ``audio_bytes * 8 / bitrate`` — exact for
+    constant-bitrate files, the header-only approximation for VBR
+    (a real pipeline averages all frame headers; same walk, more
+    frames)."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        sz = ((payload[6] & 0x7f) << 21 | (payload[7] & 0x7f) << 14
+              | (payload[8] & 0x7f) << 7 | (payload[9] & 0x7f))
+        pos = 10 + sz
+    end = min(len(payload) - 3, pos + 4096)
+    while pos <= end:
+        b0, b1, b2, b3 = payload[pos:pos + 4]
+        if (b0 == 0xFF and (b1 & 0xE0) == 0xE0
+                and (b1 & 0x18) == 0x18      # MPEG-1
+                and (b1 & 0x06) == 0x02):    # Layer III
+            bitrate = _MP3_BITRATES[b2 >> 4]
+            rate = _MP3_RATES[(b2 >> 2) & 0x3]
+            if bitrate is None or rate is None:
+                pos += 1
+                continue
+            channels = 1 if (b3 >> 6) == 3 else 2
+            audio_bytes = len(payload) - pos
+            return (rate, channels, bitrate,
+                    audio_bytes * 8 // bitrate)
+        pos += 1
+    raise ValueError("no MPEG-1 Layer III frame sync found")
+
+
+def mp3_frames(n_frames: int = 4, bitrate: int = 128,
+               sample_rate: int = 44100, channels: int = 2) -> bytes:
+    """Minimal structurally-valid CBR MP3 stream (``n_frames`` frame
+    headers + zeroed payloads at the exact Layer III frame size) for
+    tests — parsed by :func:`mp3_frame_info` and any sync-walking
+    reader."""
+    br_idx = _MP3_BITRATES.index(bitrate)
+    sr_idx = _MP3_RATES.index(sample_rate)
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2),
+                 0xC0 if channels == 1 else 0x00])
+    frame_size = 144 * bitrate * 1000 // sample_rate
+    return (hdr + b"\0" * (frame_size - 4)) * n_frames

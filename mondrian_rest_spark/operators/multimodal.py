@@ -43,6 +43,7 @@ FEATURE_SCHEMA = StructType([
     StructField("height", IntegerType()),
     StructField("channels", IntegerType()),  # 0 = not decodable here
     StructField("mean_px", DoubleType()),    # image mean pixel (else null)
+    StructField("duration_ms", IntegerType()),  # audio only (else null)
     StructField("checksum", StringType()),
 ])
 
@@ -57,27 +58,36 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int]:
     return (64 + h % 512, 64 + (h >> 16) % 512)
 
 
-def _decode_features(payload: bytes) -> tuple[int, int, int, float | None]:
-    """(width, height, channels, mean_px) — REAL decode for PNG/WAV,
-    stub dims (channels=0, mean null) otherwise."""
+def _decode_features(payload: bytes):
+    """(width, height, channels, mean_px, duration_ms) — REAL decode
+    for PNG/WAV, header-exact parses for JPEG/GIF/BMP/MP3, stub dims
+    (channels=0, all else null) otherwise."""
     fmt = media_codec.sniff(payload)
     if fmt == "png":
         w, h, ch, px = media_codec.png_decode(payload)
-        return w, h, ch, (sum(px) / len(px)) if px else None
+        return w, h, ch, (sum(px) / len(px)) if px else None, None
     if fmt == "wav":
         rate, ch, samples = media_codec.wav_decode(payload)
-        # audio has no spatial dims; n_samples rides in width=0/height=0
-        # convention-free fields and the sample stats in mean_px
         mean = (sum(abs(s) for s in samples) / len(samples)
                 if samples else None)
-        return 0, 0, ch, mean
+        dur = (len(samples) // max(ch, 1)) * 1000 // rate if rate else None
+        return 0, 0, ch, mean, dur
     if fmt == "jpeg":
         # header-exact dims via the SOF marker walk (no entropy decode
         # in this container — mean_px stays null, channels are real)
         w, h, ch = media_codec.jpeg_dimensions(payload)
-        return w, h, ch, None
+        return w, h, ch, None, None
+    if fmt == "gif":
+        w, h = media_codec.gif_dimensions(payload)
+        return w, h, 3, None, None
+    if fmt == "bmp":
+        w, h, ch = media_codec.bmp_dimensions(payload)
+        return w, h, ch, None, None
+    if fmt == "mp3":
+        _, ch, _, dur_ms = media_codec.mp3_frame_info(payload)
+        return 0, 0, ch, None, dur_ms
     w, h = _decode_image_stub(payload)
-    return w, h, 0, None
+    return w, h, 0, None, None
 
 
 def extract_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
@@ -103,6 +113,7 @@ def extract_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
                 "height": feats.map(lambda d: d[1]).astype("int32"),
                 "channels": feats.map(lambda d: d[2]).astype("int32"),
                 "mean_px": feats.map(lambda d: d[3]).astype("float64"),
+                "duration_ms": feats.map(lambda d: d[4]).astype("Int32"),
                 "checksum": pdf["payload"].map(
                     lambda b: hashlib.md5(b or b"").hexdigest()),
             })

@@ -1282,3 +1282,29 @@ def test_funnel_any_touch_and_per_step_window(spark):
 
     with pytest.raises(ValueError, match="funnel mode"):
         windows.funnel(df, mode="last_touch")
+
+
+def test_media_codec_gif_bmp_mp3_headers():
+    from mondrian_rest_spark.operators import media_codec as mc
+    assert mc.gif_dimensions(mc.gif_header(321, 97)) == (321, 97)
+    assert mc.bmp_dimensions(mc.bmp_header(88, 44, 32)) == (88, 44, 4)
+    # top-down BMP stores a negative height; dims are absolute
+    neg = bytearray(mc.bmp_header(10, 7, 24))
+    neg[22:26] = (-7).to_bytes(4, "little", signed=True)
+    assert mc.bmp_dimensions(bytes(neg)) == (10, 7, 3)
+    rate, ch, br, dur = mc.mp3_frame_info(mc.mp3_frames(4, 128, 44100, 2))
+    assert (rate, ch, br) == (44100, 2, 128)
+    frame = 144 * 128 * 1000 // 44100
+    assert dur == frame * 4 * 8 // 128
+    # ID3v2 tag is skipped by its synchsafe size
+    tagged = (b"ID3\x04\x00\x00\x00\x00\x00\x05" + b"\0" * 5
+              + mc.mp3_frames(2, 192, 48000, 1))
+    assert mc.mp3_frame_info(tagged)[:3] == (48000, 1, 192)
+    for fn, payload in [(mc.gif_dimensions, b"NOPE"),
+                        (mc.bmp_dimensions, b"XX" + b"\0" * 40),
+                        (mc.mp3_frame_info, b"\0" * 64)]:
+        with pytest.raises(ValueError):
+            fn(payload)
+    assert mc.sniff(mc.gif_header(1, 1)) == "gif"
+    assert mc.sniff(mc.bmp_header(1, 1)) == "bmp"
+    assert mc.sniff(mc.mp3_frames(1)) == "mp3"
