@@ -593,17 +593,7 @@ def neardup_pairs_against_jaccard_index(
     sh_new = (with_shingles(new_docs, text_col, n)
               .select(F.col(id_col), F.col("shingles"))
               .filter(F.size("shingles") > 0))
-    ex_new = sh_new.select(F.col(id_col),
-                           F.explode("shingles").alias("__g"))
-    w_doc = Window.partitionBy(id_col)
-    ordered = (ex_new.join(index_freq, on="__g", how="left")
-                     .na.fill({"__df": 0})
-                     .withColumn("__rn", F.row_number().over(
-                         w_doc.orderBy(F.asc("__df"), F.asc("__g"))))
-                     .withColumn("__sz", F.count(F.lit(1)).over(w_doc)))
-    prefix_new = ordered.filter(
-        F.col("__rn") <= F.col("__sz")
-        - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1)
+    prefix_new = jaccard_prefix_rows(sh_new, index_freq, threshold, id_col)
     a = prefix_new.select(F.col(id_col).alias("new_id"), F.col("__g"),
                           F.col("__sz").alias("__sza"))
     b = index_prefixes.select(F.col(id_col).alias("hist_id"),
@@ -623,3 +613,36 @@ def neardup_pairs_against_jaccard_index(
                 .withColumn("jaccard", F.round(_jaccard("sa", "sb"), 6))
                 .filter(F.col("jaccard") >= threshold)
                 .select("new_id", "hist_id", "jaccard"))
+
+
+def jaccard_prefix_rows(sh: DataFrame, freq: DataFrame, threshold: float,
+                        id_col: str = "doc_id") -> DataFrame:
+    """``(id, __g, __sz)`` prefix rows of pre-shingled docs under a
+    FROZEN global (df, shingle) order — shingles the frequency table
+    has never seen get df=0 (they sort first, i.e. rarest: the
+    conservative choice).  Shared by the index query path and the
+    streaming ingest append, which MUST use the same order for the
+    prefix-filter theorem to apply across them."""
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("__g"))
+    w_doc = Window.partitionBy(id_col)
+    ordered = (ex.join(freq, on="__g", how="left")
+                 .na.fill({"__df": 0})
+                 .withColumn("__rn", F.row_number().over(
+                     w_doc.orderBy(F.asc("__df"), F.asc("__g"))))
+                 .withColumn("__sz", F.count(F.lit(1)).over(w_doc)))
+    return (ordered.filter(
+        F.col("__rn") <= F.col("__sz")
+        - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1)
+        .select(F.col(id_col), "__g", "__sz"))
+
+
+def deduplicate_jaccard_exact(df: DataFrame, threshold: float = 0.5,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Keep one document per EXACT near-dup cluster (min id wins):
+    prefix-filter pairs -> connected components -> left-semi keep set
+    — the exact counterpart of :func:`deduplicate_neardup`."""
+    pairs = neardup_jaccard_prefix(df, threshold, text_col, id_col, n)
+    clusters = neardup_clusters(df, pairs, id_col)
+    keep = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")

@@ -412,3 +412,83 @@ def run_available_now(stream_df: DataFrame, query_name: str = "events_agg",
             .outputMode(output_mode)
             .trigger(availableNow=True)
             .start())
+
+
+def init_jaccard_index(spark, index_path: str, docs: DataFrame | None = None,
+                       threshold: float = 0.5, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3) -> str:
+    """Seed a parquet-backed EXACT-Jaccard prefix index at
+    ``index_path`` (subdirs prefixes/ shingles/ + a frozen freq/
+    table) — the exact counterpart of :func:`init_neardup_index`.
+    The global (document frequency, shingle) order is computed ONCE
+    here and frozen: prefix-filter correctness needs only a consistent
+    total order (operators/dedup.py jaccard_prefix_rows), so ingest
+    never has to rewrite history as frequencies drift."""
+    from ..operators.dedup import build_jaccard_index
+
+    if docs is None:   # cold start: empty index, correct schemas
+        docs = spark.createDataFrame(
+            [], f"{id_col} bigint, {text_col} string")
+    pre, sh, freq = build_jaccard_index(docs, threshold, text_col, id_col, n)
+    pre.write.mode("overwrite").parquet(f"{index_path}/prefixes/batch=seed")
+    sh.write.mode("overwrite").parquet(f"{index_path}/shingles/batch=seed")
+    freq.write.mode("overwrite").parquet(f"{index_path}/freq")
+    return index_path
+
+
+def streaming_jaccard_ingest_incremental(stream: DataFrame, spark,
+                                         index_path: str,
+                                         threshold: float = 0.5,
+                                         text_col: str = "text",
+                                         id_col: str = "doc_id",
+                                         n: int = 3,
+                                         within_batch: bool = True,
+                                         on_batch=None):
+    """Ingest-time EXACT near-dup filter: like
+    :func:`streaming_neardup_ingest_incremental` but with the
+    prefix-filter index — every kept document is guaranteed to have
+    Jaccard < threshold against the whole accepted corpus (no LSH miss
+    probability).  Same exactly-once posture: the index read excludes
+    the current batch's own ``batch=b<id>`` partitions, every write
+    overwrites exactly those partitions, and survivors are pinned via
+    a staged write before their prefix/shingle rows are appended."""
+    from ..operators.dedup import (deduplicate_jaccard_exact,
+                                   jaccard_prefix_rows,
+                                   neardup_pairs_against_jaccard_index,
+                                   with_shingles)
+
+    def _read_ix(component: str, own: str):
+        return (spark.read.parquet(f"{index_path}/{component}")
+                .filter(F.col("batch") != own).drop("batch"))
+
+    def _process(batch_df, batch_id):
+        own = f"b{batch_id}"
+        pre_ix = _read_ix("prefixes", own)
+        sh_ix = _read_ix("shingles", own)
+        freq = spark.read.parquet(f"{index_path}/freq")
+        dups = (neardup_pairs_against_jaccard_index(
+                    batch_df, pre_ix, sh_ix, freq, threshold, threshold,
+                    text_col, id_col, n)
+                .select(F.col("new_id").alias(id_col))
+                .dropDuplicates([id_col]))
+        keep = batch_df.join(dups, on=id_col, how="left_anti")
+        if within_batch:
+            keep = deduplicate_jaccard_exact(keep, threshold, text_col,
+                                             id_col, n)
+        staging = f"{index_path}/staging/batch={own}"
+        keep.write.mode("overwrite").parquet(staging)
+        keep = spark.read.schema(batch_df.schema).parquet(staging)
+        sh_new = (with_shingles(keep, text_col, n)
+                  .select(F.col(id_col), F.col("shingles"))
+                  .filter(F.size("shingles") > 0))
+        jaccard_prefix_rows(sh_new, freq, threshold, id_col).write.mode(
+            "overwrite").parquet(f"{index_path}/prefixes/batch={own}")
+        sh_new.write.mode("overwrite").parquet(
+            f"{index_path}/shingles/batch={own}")
+        if on_batch is not None:
+            on_batch(keep, batch_id)
+
+    return (stream.writeStream
+            .foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start())

@@ -565,3 +565,64 @@ def test_streaming_ann_ingest(spark, sf_dir, tmp_path):
     after = sorted(r.vec_id for r in
                    spark.read.parquet(path).select("vec_id").collect())
     assert after == before
+
+
+def test_streaming_jaccard_exact_incremental(spark, tmp_path):
+    """EXACT prefix-index ingest: a doc near-dupping an earlier
+    ACCEPTED arrival is dropped even when its shingles never appeared
+    in the frozen frequency table (stale order is still a consistent
+    order), within-batch clusters collapse, and replay with the same
+    batch_id leaves the index row counts unchanged."""
+    from mondrian_rest_spark.streaming.events import (
+        init_jaccard_index, streaming_jaccard_ingest_incremental)
+
+    seed = spark.createDataFrame(
+        [(1, "historical baseline text about harvesting wheat in autumn")],
+        ["doc_id", "text"])
+    idx = str(tmp_path / "jidx")
+    init_jaccard_index(spark, idx, seed, threshold=0.5)
+
+    survived: list = []
+    process = _capture_process(
+        streaming_jaccard_ingest_incremental, spark, idx, threshold=0.5,
+        on_batch=lambda df, _b: survived.extend(
+            r.doc_id for r in df.collect()))
+
+    # batch 0: novel doc + its within-batch near-dup (collapses to 401)
+    # — every shingle here is UNSEEN by the seed's frozen freq table
+    b0 = spark.createDataFrame(
+        [(401, "streaming pipelines accept only genuinely novel documents"),
+         (402, "streaming pipelines accept only genuinely novel texts")],
+        ["doc_id", "text"])
+    process(b0, 0)
+    # batch 1: near-dup of ACCEPTED 401 -> dropped via the grown index;
+    # near-dup of the SEED -> dropped; novel -> kept
+    b1 = spark.createDataFrame(
+        [(403, "streaming pipelines accept only genuinely novel stories"),
+         (404, "historical baseline text about harvesting wheat in summer"),
+         (405, "completely different content on deep sea navigation")],
+        ["doc_id", "text"])
+    process(b1, 1)
+    assert sorted(survived) == [401, 405]
+    prefixes = spark.read.parquet(f"{idx}/prefixes")
+    assert {r.doc_id for r in prefixes.select("doc_id")
+            .distinct().collect()} == {1, 401, 405}
+
+    def counts():
+        return tuple(spark.read.parquet(f"{idx}/{c}").count()
+                     for c in ("prefixes", "shingles"))
+
+    first = counts()
+    survived.clear()
+    process(b1, 1)          # crash replay: same batch_id
+    assert counts() == first, "replay changed index row counts"
+    assert sorted(survived) == [405]
+
+
+def test_streaming_jaccard_incremental_no_driver_collect():
+    import inspect
+
+    from mondrian_rest_spark.streaming import events
+
+    src = inspect.getsource(events.streaming_jaccard_ingest_incremental)
+    assert ".collect()" not in src
