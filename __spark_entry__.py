@@ -1105,6 +1105,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "predicted_lang")
     q["x02_stratified_sample"] = _stratified
 
+    # target-mixture downsampling (r8): per-stratum keep rates derived
+    # from corpus counts so the KEPT corpus hits the declared source
+    # proportions with maximum retention (binding stratum keeps all);
+    # md5-bucket determinism, replayed exactly by the oracle
+    def _mixture(s, d):
+        from mondrian_rest_spark.operators import sampling
+        return sampling.mixture_sample(
+            load_table(s, d, "documents"), "lang",
+            {"en": 0.5, "de": 0.25, "fr": 0.25},
+            salt="mix-v1").select("doc_id", "lang")
+    q["x04_mixture_sample"] = _mixture
+
     # ---- declarative JSON catalog (catalogs/corpus.json; reference
     # ---- binds schemas from XML files, api_helpers.rb:10-16) ----
     def _json_catalog(s, d):
@@ -2581,6 +2593,31 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'en' THEN 5000
                                WHEN 'unknown' THEN 500
                                ELSE 2000 END""",
+
+        "x04_mixture_sample": """
+            WITH cnt AS (
+              SELECT lang, COUNT(*) AS n,
+                     CASE lang WHEN 'en' THEN 0.5
+                               WHEN 'de' THEN 0.25
+                               ELSE 0.25 END AS w
+              FROM documents WHERE lang IN ('en', 'de', 'fr')
+              GROUP BY 1),
+            t AS (SELECT MIN(n / w) AS t FROM cnt),
+            kf AS (SELECT lang,
+                          CAST(ROUND(LEAST(1.0, w * t.t / n) * 10000)
+                               AS BIGINT) AS kb
+                   FROM cnt, t),
+            b AS (
+              SELECT doc_id,
+                     list_reduce(list_transform(range(1, 9),
+                       i -> CAST(strpos('0123456789abcdef',
+                                 substring(md5('mix-v1:' || doc_id), i, 1))
+                            - 1 AS BIGINT)),
+                       (x, y) -> x * 16 + y) % 10000 AS bucket
+              FROM documents)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN kf USING (lang) JOIN b USING (doc_id)
+            WHERE b.bucket < kf.kb""",
 
         "x01_train_val_split": """
             WITH b AS (

@@ -80,3 +80,44 @@ def split_counts(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count(id_col).alias("n_docs"),
                  F.min(id_col).alias("min_id"),
                  F.max(id_col).alias("max_id")))
+
+
+def mixture_fractions(df: DataFrame, strata_col: str, weights: dict,
+                      id_col: str = "doc_id") -> dict:
+    """Per-stratum keep fractions realizing a target MIXTURE with
+    maximum data retention: normalize ``weights``, find the binding
+    stratum (smallest count-to-weight ratio — it keeps everything),
+    and downsample every other stratum so the KEPT corpus has exactly
+    the target proportions (in hash-bucket expectation).  The classic
+    training-mix operation ("make the corpus 50% en / 25% de / 25%
+    fr").  One strata-sized groupBy + collect — strata counts are
+    human-scale metadata, never fact-scale."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and non-negative")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {s: w / total_w for s, w in weights.items() if w > 0}
+    counts = {r[0]: r[1] for r in
+              (df.filter(F.col(strata_col).isin(list(norm)))
+                 .groupBy(strata_col)
+                 .agg(F.count(F.lit(1)).alias("__n"))).collect()}
+    missing = sorted(set(norm) - set(counts))
+    if missing:
+        raise ValueError(
+            f"strata with target weight but no rows: {missing}")
+    t = min(counts[s] / w for s, w in norm.items())
+    return {s: min(1.0, w * t / counts[s]) for s, w in norm.items()}
+
+
+def mixture_sample(df: DataFrame, strata_col: str, weights: dict,
+                   id_col: str = "doc_id",
+                   salt: str = "mix-v1") -> DataFrame:
+    """Deterministically downsample to a target stratum mixture:
+    :func:`mixture_fractions` to derive the per-stratum keep rates,
+    then the same salted md5-bucket filter as
+    :func:`stratified_sample` — reproducible on any engine or
+    partitioning, replayed exactly by the DuckDB oracle.  Strata
+    without a target weight are dropped (fraction 0)."""
+    fracs = mixture_fractions(df, strata_col, weights, id_col)
+    return stratified_sample(df, strata_col, fracs, 0.0, id_col, salt)

@@ -1308,3 +1308,30 @@ def test_media_codec_gif_bmp_mp3_headers():
     assert mc.sniff(mc.gif_header(1, 1)) == "gif"
     assert mc.sniff(mc.bmp_header(1, 1)) == "bmp"
     assert mc.sniff(mc.mp3_frames(1)) == "mp3"
+
+
+def test_mixture_sample_hits_target_proportions(spark, sf_dir):
+    from mondrian_rest_spark.operators import sampling
+    from mondrian_rest_spark.sources.registry import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"en": 2, "de": 1, "fr": 1}   # normalizes to .5/.25/.25
+    fr = sampling.mixture_fractions(docs, "lang", weights)
+    # binding stratum keeps everything
+    assert max(fr.values()) == 1.0 and all(0 < v <= 1.0 for v in fr.values())
+    kept = sampling.mixture_sample(docs, "lang", weights).groupBy(
+        "lang").count().collect()
+    by = {r["lang"]: r["count"] for r in kept}
+    assert set(by) <= {"en", "de", "fr"}     # unweighted strata dropped
+    total = sum(by.values())
+    # hash buckets approximate the target mix; small corpora are noisy
+    assert abs(by["en"] / total - 0.5) < 0.15
+    # determinism: same salt -> identical kept set
+    a = {r.doc_id for r in sampling.mixture_sample(
+        docs, "lang", weights).select("doc_id").collect()}
+    b = {r.doc_id for r in sampling.mixture_sample(
+        docs, "lang", weights).select("doc_id").collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="non-negative"):
+        sampling.mixture_fractions(docs, "lang", {"en": -1})
+    with pytest.raises(ValueError, match="no rows"):
+        sampling.mixture_fractions(docs, "lang", {"xx": 1.0})
