@@ -485,6 +485,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY [Customer].[Region].Members ON ROWS "
         "FROM [Orders and Sales]")
 
+    # 2-arg NONEMPTY(set, m) (r8): drop axis tuples where the NAMED
+    # measure is empty — here the Part cut constrains facts only (the
+    # dense axes stay full by contract), so the measure filter is what
+    # prunes the (region, year) combos with no matching facts
+    q["q68_mdx_nonempty_measure"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NONEMPTY(CROSSJOIN([Customer].[Region].Members, "
+        "[Time].[Year].Members), [Measures].[Revenue]) ON ROWS "
+        "FROM [Sales] "
+        "WHERE ({[Part].[Brand].[&Brand#3],[Part].[Brand].[&Brand#5]})")
+
     # member-property FILTER (r8): FILTER(set, <level>.CurrentMember
     # .Properties("P") <op> literal) — an axis-set restriction
     # compiled to a dim-side predicate pushed to the property's scan
@@ -1736,6 +1749,14 @@ def oracle_sql() -> dict[str, str]:
                               {DEC('o_totalprice')} AS total_price
                        FROM {J_ORD_CUST} GROUP BY 1, 2) ords
             USING (cust_region_key, cust_region)""",
+
+        "q68_mdx_nonempty_measure": f"""
+            SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                   CAST(year(l_shipdate) AS INTEGER) AS "year",
+                   {REVENUE} AS revenue
+            FROM {J_CUST} JOIN part ON l_partkey = p_partkey
+            WHERE p_brand IN ('Brand#3', 'Brand#5')
+            GROUP BY 1, 2, 3""",
 
         "q65_mdx_property_filter": f"""
             SELECT c_custkey, c_name, {REVENUE} AS revenue

@@ -49,7 +49,7 @@ build_query emits, which covers every query the REST layer can express:
            | TOPPERCENT|BOTTOMPERCENT(axis', pct, [Measures].[M])
            | TOPSUM|BOTTOMSUM(axis', value, [Measures].[M])
            | CROSSJOIN(axis', axis') | NONEMPTYCROSSJOIN(axis', axis')
-           | NONEMPTY(axis')
+           | NONEMPTY(axis'[, [Measures].[M]])
            | {set} | <member>:<member>
            | UNION|EXCEPT|INTERSECT(mset, mset)
            | <path>.Members
@@ -174,7 +174,8 @@ class MdxQuery:
                                     edge_child_of=[], siblings_of=[],
                                     ancestor_of=[], edge_sibling_of=[],
                                     periods_to_date=[], properties=[],
-                                    property_filters=[])
+                                    property_filters=[],
+                                    nonempty_measures=[])
         # WITH SET bodies that are member-set literals/algebra (not the
         # TOPCOUNT ranked form): name -> (level_path, kind, members),
         # macro-expanded at each reference DURING parsing — the
@@ -505,14 +506,20 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
     a simple TOPCOUNT there compiles to an inline named set instead."""
     t = p.peek_upper()
     if t == "NONEMPTY":
-        # NONEMPTY(set) function form == the NON EMPTY axis prefix:
-        # restrict the set to tuples with data (Mondrian NonEmpty with
-        # the implicit current-context measures)
+        # NONEMPTY(set[, measure]) function form: the 1-arg form == the
+        # NON EMPTY axis prefix (implicit current-context measures);
+        # the 2-arg form restricts by THAT measure only — tuples where
+        # it is empty drop even if other displayed measures have data
+        # (Mondrian NonEmpty(set, filter_set) with a measure filter)
         p.next()
         p.expect("(")
         _crossjoin_operand(p, q)
+        if p.peek() == ",":
+            p.next()
+            q.qm_kwargs["nonempty_measures"].append(_measure_ref(p))
+        else:
+            q.qm_kwargs["nonempty"] = True
         p.expect(")")
-        q.qm_kwargs["nonempty"] = True
         return False
     if t == "GENERATE":
         # GENERATE(<level>.Members, TOPCOUNT(<level>.CurrentMember
@@ -1834,6 +1841,8 @@ def emit_mdx(cat: Catalog, qm) -> str:
             axis = f"SUBSET({axis}, {args})"
         if getattr(qm, "tail", None) is not None:
             axis = f"TAIL({axis}, {qm.tail})"
+        for m in getattr(qm, "nonempty_measures", []):
+            axis = f"NONEMPTY({axis}, [Measures].[{m}])"
         if qm.nonempty:
             axis = f"NON EMPTY {axis}"
 

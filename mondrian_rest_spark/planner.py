@@ -1404,6 +1404,10 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         if pname not in requested and pname not in extra_names:
             _measure_alias(cube, pname)
             extra_names.append(pname)
+    for pname in qm.nonempty_measures:
+        if pname not in requested and pname not in extra_names:
+            _measure_alias(cube, pname)  # unknown -> KeyError -> 400
+            extra_names.append(pname)
     base_measures, calcs, final_aliases = _split_measures(
         cube, requested + extra_names)
     final_aliases = final_aliases[:len(requested)]
@@ -1766,6 +1770,12 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
              .orderBy(direction, F.asc(g_child.key_alias)))
         out = (out.withColumn("__gen_rn", F.row_number().over(w))
                   .filter(F.col("__gen_rn") <= g_n).drop("__gen_rn"))
+
+    # --- NONEMPTY(set, m) 2-arg form: drop tuples where the NAMED
+    # --- measure is empty (post-agg/post-dense isNotNull; the named
+    # --- measure may be hidden via the extras path) ---
+    for pname in qm.nonempty_measures:
+        out = out.filter(F.col(_measure_alias(cube, pname)).isNotNull())
 
     # --- HAVING (reference query_helper.rb:278-282 FILTER) ---
     for fs in qm.filter:
@@ -2573,6 +2583,10 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
             and qm.order not in base_requested
             and any(_has_measure(c, qm.order) for c in cubes)):
         base_requested.append(qm.order)
+    for pname in qm.nonempty_measures:
+        if (pname not in inline and pname not in base_requested
+                and any(_has_measure(c, pname) for c in cubes)):
+            base_requested.append(pname)
     measures = base_requested
     parts: list[tuple[DataFrame, list[str]]] = []
     group_cols: list[str] | None = None
@@ -2713,6 +2727,8 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         except Exception as e:
             raise ParseError(
                 f"invalid FILTER condition {expr!r}: {e}") from e
+    for pname in getattr(qm, "nonempty_measures", []):
+        out = out.filter(F.col(_valias(pname)).isNotNull())
     if qm.sparse:
         out = out.na.drop(how="all", subset=all_aliases)
     if qm.distinct and group_cols:

@@ -427,6 +427,7 @@ class RollupManager:
                 or qm.periods_to_date
                 or qm.tail is not None
                 or qm.top_percent is not None or qm.top_sum is not None
+                or qm.nonempty_measures
                 or qm.empty_set or qm.empty_slicer):
             return None
         if qm.generate_top is not None and self._generate_levels(qm) is None:

@@ -126,3 +126,7 @@ class QueryModel:
     # op, value) tuples ANDed together.  A dim-side predicate pushed to
     # the property's scan (pre-aggregation), NOT a HAVING condition.
     property_filters: list = field(default_factory=list)
+    # NONEMPTY(set, [Measures].[M]) 2-arg form: drop axis tuples where
+    # THESE measures are empty (null), even if other displayed measures
+    # have data — a post-agg isNotNull filter per named measure.
+    nonempty_measures: list = field(default_factory=list)

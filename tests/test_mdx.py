@@ -1682,6 +1682,28 @@ def test_mdx_virtual_set_aggregate_forwarded(spark, sf_dir):
                                                rel=1e-12)
 
 
+def test_mdx_nonempty_two_arg_prunes_by_named_measure(spark, sf_dir):
+    # dense axes stay full under a non-axis cut; the 2-arg NONEMPTY
+    # drops exactly the tuples whose NAMED measure is null
+    where = ("FROM [Sales] WHERE ({[Part].[Brand].[&Brand#3],"
+             "[Part].[Brand].[&Brand#5]})")
+    dense = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "CROSSJOIN([Customer].[Region].Members, [Time].[Year].Members) "
+        "ON ROWS " + where).collect()
+    pruned = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NONEMPTY(CROSSJOIN([Customer].[Region].Members, "
+        "[Time].[Year].Members), [Measures].[Revenue]) ON ROWS " + where
+        ).collect()
+    keep = {(r["cust_region_key"], r["year"]) for r in dense
+            if r["revenue"] is not None}
+    assert {(r["cust_region_key"], r["year"]) for r in pruned} == keep
+    assert len(dense) >= len(pruned)
+
+
 def test_mdx_property_filter_rejections(spark, sf_dir):
     # level not drilled -> 400
     with pytest.raises(ParseError, match="not in the drilldown"):
