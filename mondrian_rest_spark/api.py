@@ -291,6 +291,22 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         qm = query_model_from_params(cube, params)
         if cat.virtual_cube(cube) is None:
             cat.cube(cube)   # unknown cube stays a 404
+        if _bool(params.get("explain"), False):
+            # plan transparency: return the PHYSICAL plan (and routing
+            # source) WITHOUT executing — the ops handle for "why is
+            # this query slow / did it hit the rollup / did my cut
+            # push down" (reference has no analog; Mondrian hides the
+            # generated SQL behind log4j)
+            try:
+                df, source = run_query(qm, log=False)
+            except KeyError as e:
+                raise ParseError(str(e)) from e
+            spark_ = get_spark()
+            mode = spark_._jvm.org.apache.spark.sql.execution.ExplainMode
+            plan = df._jdf.queryExecution().explainString(
+                mode.fromString("formatted"))
+            return jsonify({"cube": qm.cube, "source": source,
+                            "plan": plan.splitlines()})
         try:
             rows, source = cached_rows(qm)
         except KeyError as e:

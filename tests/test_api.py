@@ -784,3 +784,23 @@ def test_exclusion_cut_rest_param(client):
                   if ax.get("dimension") == "Customer"
                   for m in ax["members"]])
     assert len(keys) == n_full - 2
+
+
+def test_aggregate_explain_param(client):
+    """?explain=true returns the physical plan without executing —
+    routing source included, cut pushdown visible in the scan nodes."""
+    r = client.get("/cubes/Sales/aggregate", query_string=[
+        ("measures[]", "Revenue"),
+        ("drilldown[]", "Customer.Nation"),
+        ("cut[]", "[Customer].[Region].[&2]"),
+        ("explain", "true")])
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["cube"] == "Sales" and body["source"] == "base"
+    plan = "\n".join(body["plan"])
+    assert "AdaptiveSparkPlan" in plan or "WholeStageCodegen" in plan \
+        or "Physical Plan" in plan
+    assert "PushedFilters" in plan and "r_regionkey" in plan
+    # errors keep their REST semantics
+    assert client.get("/cubes/Sales/aggregate", query_string=[
+        ("measures[]", "No Such"), ("explain", "true")]).status_code == 400
