@@ -940,6 +940,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   vectors=emb, exclude_id=7)
     q["s09_ann_pq_rerank"] = _pq
 
+    # MMR diversity rerank (r8): exact top-fetch candidates
+    # (distributed TakeOrdered) then the greedy redundancy-penalized
+    # selection over the k-scale candidate set — iterative, so golden-
+    # checked (scripts/make_golden.py) like the trained-IVF paths
+    q["s11_mmr_rerank"] = lambda s, d: similarity.mmr_rerank(
+        load_table(s, d, "embeddings"), query_vec_id=7, k=10, fetch=50,
+        lam=0.7)
+
     # JL random projection (64 -> 16 integer dims) + brute cosine
     # top-k on the PROJECTED vectors — the width-reduction scale path;
     # integer projection replays bit-for-bit in the oracle

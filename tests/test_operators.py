@@ -1335,3 +1335,28 @@ def test_mixture_sample_hits_target_proportions(spark, sf_dir):
         sampling.mixture_fractions(docs, "lang", {"en": -1})
     with pytest.raises(ValueError, match="no rows"):
         sampling.mixture_fractions(docs, "lang", {"xx": 1.0})
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    # candidates: one perfect near-dup pair of the best match + an
+    # orthogonal-ish doc.  Plain top-2 would take both dups; MMR's
+    # redundancy penalty picks the diverse doc second.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # query
+        (1, [0.99, 0.1, 0.0]),         # best match
+        (2, [0.99, 0.1, 0.001]),       # near-identical to 1
+        (3, [0.0, 1.0, 0.1]),          # near-orthogonal: diverse
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = similarity.mmr_rerank(df, query_vec_id=0, k=2, fetch=3,
+                                lam=0.3).collect()
+    assert [r.vec_id for r in got] == [1, 3]
+    assert [r.rank for r in got] == [1, 2]
+    # rank 1 is always the plain cosine winner
+    top = similarity.cosine_topk(df, 0, 1).collect()[0]
+    assert got[0].vec_id == top.vec_id
+    # degenerate params are clear errors
+    with pytest.raises(ValueError, match="fetch"):
+        similarity.mmr_rerank(df, 0, k=5, fetch=3)
+    with pytest.raises(ValueError, match="lam"):
+        similarity.mmr_rerank(df, 0, k=1, fetch=2, lam=1.5)
