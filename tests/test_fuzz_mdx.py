@@ -715,10 +715,42 @@ def test_mdx_fuzz_corpus_is_large_enough():
 from mondrian_rest_spark.parser import ParseError  # noqa: E402
 
 
+#: r8 grammar forms the spec generator doesn't emit — mutated too so
+#: malformed PROPERTIES/GENERATE/RANK/NONEMPTY-2-arg never 500
+_MUTATION_SEEDS = [
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY [Customer].[Customer].Members '
+    'DIMENSION PROPERTIES [Customer].[Customer].[Market Segment], '
+    'MEMBER_CAPTION ON ROWS FROM [Sales] '
+    'WHERE ([Customer].[Region].[&2]) '
+    'CELL PROPERTIES VALUE, FORMATTED_VALUE',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY FILTER([Customer].[Customer].Members, '
+    '[Customer].[Customer].CurrentMember'
+    '.Properties("Market Segment") = "BUILDING" '
+    'AND [Measures].[Revenue] > 0) ON ROWS FROM [Sales]',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY GENERATE([Customer].[Region].Members, '
+    'TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, '
+    '[Measures].[Revenue])) ON ROWS FROM [Sales]',
+    'WITH MEMBER [Measures].[MedR] AS '
+    'MEDIAN(([Time].[Year].[1995]:[Time].[Year].[1997]), '
+    '[Measures].[Revenue]) '
+    'SELECT {[Measures].[MedR]} ON COLUMNS, '
+    'NON EMPTY [Customer].[Region].Members ON ROWS FROM [Sales]',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NONEMPTY([Customer].[Region].Members, [Measures].[Revenue]) '
+    'ON ROWS FROM [Sales]',
+]
+
+
 @st.composite
 def mutated_mdx(draw):
-    spec = draw(mdx_specs())
-    mdx = build_mdx(spec)
+    if draw(st.booleans()):
+        mdx = draw(st.sampled_from(_MUTATION_SEEDS))
+    else:
+        spec = draw(mdx_specs())
+        mdx = build_mdx(spec)
     toks = mdx.replace("(", " ( ").replace(")", " ) ").replace(
         ",", " , ").split()
     op = draw(st.sampled_from(["del", "dup", "swap", "noop"]))
