@@ -661,6 +661,8 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             simple = (len(sk["drilldown"]) == 1 and "." in sk["drilldown"][0]
                       and not sk["cut"] and not sk["filter"]
                       and not sk["filter_exprs"]
+                      and not sk["property_filters"]
+                      and not sk["nonempty_measures"]
                       and not sk.get("empty_set")
                       and not sk["with_sets"] and "order" not in sk
                       and "limit" not in sk)

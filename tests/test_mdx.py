@@ -1704,6 +1704,36 @@ def test_mdx_nonempty_two_arg_prunes_by_named_measure(spark, sf_dir):
     assert len(dense) >= len(pruned)
 
 
+def test_topcount_over_property_filter_keeps_filter(spark, sf_dir):
+    # the infix-named-set fast path must not swallow an inner property
+    # filter; the whole-axis form carries it through _merge_sub
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "TOPCOUNT(FILTER([Customer].[Customer].Members, "
+        "[Customer].[Customer].CurrentMember"
+        '.Properties("Market Segment") = "BUILDING"), '
+        "3, [Measures].[Revenue]) ON ROWS FROM [Sales]")
+    assert qm.property_filters == [
+        ("[Customer].[Customer].[Market Segment]", "=", "BUILDING")]
+    assert qm.limit == 3 and qm.order == "Revenue"
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "TOPCOUNT(FILTER([Customer].[Customer].Members, "
+        "[Customer].[Customer].CurrentMember"
+        '.Properties("Market Segment") = "BUILDING"), '
+        "3, [Measures].[Revenue]) ON ROWS FROM [Sales]").collect()
+    full = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Customer].Members, "
+        "[Customer].[Customer].CurrentMember"
+        '.Properties("Market Segment") = "BUILDING") '
+        "ON ROWS FROM [Sales]").collect()
+    best = sorted(full, key=lambda r: (-r["revenue"], r["c_custkey"]))[:3]
+    assert [r["c_custkey"] for r in rows] == [r["c_custkey"] for r in best]
+
+
 def test_mdx_property_filter_rejections(spark, sf_dir):
     # level not drilled -> 400
     with pytest.raises(ParseError, match="not in the drilldown"):
