@@ -1487,6 +1487,27 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 f"{level.name!r} of {dim.name!r}, which is not in the "
                 "drilldown list — a property condition restricts "
                 "drilled members")
+        # pre-agg member exclusion commutes with the per-parent window
+        # / rank ONLY across dimensions (excluded members take their
+        # whole partitions with them); on the SAME dimension it would
+        # change which members compete — Mondrian evaluates GENERATE's
+        # TOPCOUNT and RANK's ORDER over the UNFILTERED set, so a
+        # silently different answer -> clear 400
+        if (qm.generate_top is not None
+                and qm.generate_top[0].split(".")[0].lower()
+                == dim.name.lower()):
+            raise ParseError(
+                f"a property FILTER on dimension {dim.name!r} cannot "
+                "combine with GENERATE over the same dimension (the "
+                "exclusion would re-rank the per-parent top-N); filter "
+                "a different dimension or drop the GENERATE")
+        for c in calcs:
+            if getattr(c, "rank_dim", None) == dim.name:
+                raise ParseError(
+                    f"a property FILTER on dimension {dim.name!r} "
+                    f"cannot combine with RANK member {c.name!r} over "
+                    "the same dimension (Mondrian ranks the UNFILTERED "
+                    "member set)")
         pr = level.find_property(ref.prop)
         plist = needed_props.setdefault(dim.name, [])
         if pr.alias not in [x.alias for x in plist]:

@@ -2536,3 +2536,29 @@ def test_virtual_cube_new_navigation(spark, sf_dir):
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
             "PERIODSTODATE([Time].[Year], [Time].[Day].[&1996-02-10]) "
             "ON ROWS FROM [Orders and Sales]").collect()
+
+
+def test_property_filter_same_dim_rank_generate_400(spark, sf_dir):
+    # same-dimension combinations would silently re-rank (Mondrian
+    # evaluates RANK/GENERATE over the unfiltered set) -> clear 400s
+    with pytest.raises(ParseError, match="GENERATE over the same"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "FILTER(GENERATE([Customer].[Region].Members, "
+            "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+            "[Measures].[Revenue])), [Customer].[Nation].CurrentMember"
+            '.Properties("Nation Name") = "X") ON ROWS '
+            "FROM [Sales]").collect()
+    with pytest.raises(ParseError, match="RANK member"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "WITH MEMBER [Measures].[R] AS "
+            "RANK([Customer].[Customer].CurrentMember, "
+            "ORDER([Customer].[Customer].Members, [Measures].[Revenue], "
+            "BDESC)) "
+            "SELECT {[Measures].[R]} ON COLUMNS, "
+            "NON EMPTY FILTER([Customer].[Customer].Members, "
+            "[Customer].[Customer].CurrentMember"
+            '.Properties("Market Segment") = "BUILDING") ON ROWS '
+            "FROM [Sales]").collect()
