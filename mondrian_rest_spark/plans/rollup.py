@@ -378,6 +378,13 @@ class RollupManager:
                     extras.append(g_m)
                 except KeyError:
                     pass
+        for pname in qm.nonempty_measures:
+            if pname not in requested and pname not in extras:
+                try:
+                    _measure_alias(self.cube, pname)
+                    extras.append(pname)
+                except KeyError:
+                    pass
         return requested + extras
 
     def _generate_levels(self, qm: QueryModel):
@@ -427,7 +434,6 @@ class RollupManager:
                 or qm.periods_to_date
                 or qm.tail is not None
                 or qm.top_percent is not None or qm.top_sum is not None
-                or qm.nonempty_measures
                 or qm.empty_set or qm.empty_slicer):
             return None
         if qm.generate_top is not None and self._generate_levels(qm) is None:
@@ -551,6 +557,12 @@ class RollupManager:
             alias = _measure_alias(self.cube, mf.measure)
             out = out.filter(F.expr(f"{alias} {mf.op} {mf.value!r}"))
         out = _apply_filter_exprs(self.cube, out, qm)
+        for pname in qm.nonempty_measures:
+            # 2-arg NONEMPTY: same post-agg isNotNull the base path
+            # applies (the named measure re-aggregates from the rollup
+            # rows, so null-ness matches the base fact aggregate)
+            out = out.filter(F.col(_measure_alias(self.cube, pname))
+                             .isNotNull())
         if qm.sparse:
             out = out.na.drop(how="all", subset=display)
         if qm.distinct and group_cols:

@@ -1001,3 +1001,28 @@ def test_property_filter_matches_oracle(spark, sf_dir, duck, which,
                           <= 1e-9 + 1e-9 * bv.abs())).all()), mdx
         else:
             assert bool((av.astype(object) == bv.astype(object)).all()), mdx
+
+
+def test_nonempty_measure_routes_through_rollup(spark, sf_dir):
+    """2-arg NONEMPTY re-aggregates from rollup rows with the same
+    post-agg isNotNull the base path applies."""
+    from mondrian_rest_spark.mdx import compile_mdx
+    from mondrian_rest_spark.planner import aggregate
+    mgr = _router(spark, sf_dir)
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY NONEMPTY([Customer].[Nation].Members, "
+        "[Measures].[Quantity]) ON ROWS FROM [Sales] "
+        "WHERE ([Time].[Year].[1996])")
+    routed_df, source = mgr.route(qm)
+    assert source == "fuzz_wide"
+    direct = canon(aggregate(spark, sf_dir, tpch.CATALOG, qm).toPandas())
+    routed = canon(routed_df.toPandas())
+    assert sorted(routed.columns) == sorted(direct.columns)
+    assert len(routed) == len(direct)
+    for c in routed.columns:
+        av, bv = routed[c], direct[c]
+        if av.dtype.kind == "f":
+            assert bool(((av - bv).abs() <= 1e-9 + 1e-9 * bv.abs()).all())
+        else:
+            assert bool((av.astype(object) == bv.astype(object)).all())
