@@ -479,10 +479,27 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             df = similarity.cosine_topk(emb, query_vec_id=vec_id, k=k)
         elif method == "lsh":
             df = similarity.ann_topk_lsh(emb, query_vec_id=vec_id, k=k)
+        elif method == "mmr":
+            # diversity rerank: ?lam= relevance/redundancy trade-off,
+            # ?fetch= candidate pool (defaults 0.7 / 5k)
+            try:
+                lam = float(request.args.get("lam", 0.7))
+            except ValueError:
+                raise ParseError("lam must be numeric")
+            fetch = _int(request.args, "fetch")
+            fetch = max(5 * k, 50) if fetch is None else fetch
+            if not k <= fetch <= 10_000:
+                raise ParseError(
+                    f"fetch must be in {k}..10000, got {fetch}")
+            try:
+                df = similarity.mmr_rerank(emb, query_vec_id=vec_id, k=k,
+                                           fetch=fetch, lam=lam)
+            except ValueError as e:
+                raise ParseError(str(e)) from e
         else:
             raise ParseError(
                 f"unknown similarity method {method!r} "
-                "(have ['brute', 'lsh'])")
+                "(have ['brute', 'lsh', 'mmr'])")
         return _frame_json(df, _corpus_limit(request.args))
 
     @app.get("/corpus/decontaminate")

@@ -804,3 +804,21 @@ def test_aggregate_explain_param(client):
     # errors keep their REST semantics
     assert client.get("/cubes/Sales/aggregate", query_string=[
         ("measures[]", "No Such"), ("explain", "true")]).status_code == 400
+
+
+def test_corpus_similar_mmr(client):
+    r = client.get("/corpus/similar?vec_id=7&k=5&method=mmr&fetch=20&lam=0.5")
+    assert r.status_code == 200
+    body = r.get_json()
+    rows = body["data"]
+    cols = body["columns"]
+    assert len(rows) == 5
+    ri, vi = cols.index("rank"), cols.index("vec_id")
+    assert [x[ri] for x in rows] == [1, 2, 3, 4, 5]
+    # rank 1 == the plain cosine winner
+    brute = client.get("/corpus/similar?vec_id=7&k=1").get_json()["data"]
+    assert rows[0][vi] == brute[0][0]
+    assert client.get(
+        "/corpus/similar?vec_id=7&k=5&method=mmr&fetch=2").status_code == 400
+    assert client.get(
+        "/corpus/similar?vec_id=7&method=mmr&lam=2.0").status_code == 400
