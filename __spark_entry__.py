@@ -1138,6 +1138,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             salt="mix-v1").select("doc_id", "lang")
     q["x04_mixture_sample"] = _mixture
 
+    # JSON catalog calc members declared as MDX FORMULAS (r8) — the
+    # reference XML CalculatedMember formula form, resolved at bind
+    # time through the WITH MEMBER grammar (arith + measure tuple)
+    def _json_catalog_formula(s, d):
+        from mondrian_rest_spark.catalog_json import catalog_from_json
+        from mondrian_rest_spark.planner import aggregate as agg2
+        from mondrian_rest_spark.query import QueryModel
+        cat2 = catalog_from_json("/root/repo/catalogs/corpus.json")
+        return agg2(s, d, cat2, QueryModel(
+            cube="Documents",
+            measures=["Doc Count", "Avg Doc Size", "EN Chars"],
+            drilldown=["Source"], nonempty=True))
+    q["j02_json_formula_calc"] = _json_catalog_formula
+
     # ---- declarative JSON catalog (catalogs/corpus.json; reference
     # ---- binds schemas from XML files, api_helpers.rb:10-16) ----
     def _json_catalog(s, d):
@@ -2674,4 +2688,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE)
                      / COUNT(doc_id) AS chars_per_doc
             FROM documents GROUP BY lang, source""",
+
+        "j02_json_formula_calc": """
+            SELECT source,
+                   COUNT(doc_id) AS doc_count,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE)
+                     / COUNT(doc_id) AS avg_doc_size,
+                   CAST(SUM(CASE WHEN lang = 'en'
+                            THEN CAST(n_chars AS DECIMAL(25,6)) END)
+                        AS DOUBLE) AS en_chars
+            FROM documents GROUP BY source""",
     }

@@ -171,6 +171,18 @@ def _calc_member(d: dict, cube: str) -> CalculatedMember:
         lag_n=d.get("lag_n", 1), lag_level=d.get("lag_level"))
 
 
+def _formula_calc(d: dict, cube: str) -> tuple[str, str]:
+    """A calc member declared as an MDX ``formula`` — the reference
+    XML form (``<CalculatedMember formula="[Measures].[A] -
+    [Measures].[B]">``, foodmart.xml:345-366).  Parsed and resolved
+    against the finished cube (the grammar is exactly the WITH MEMBER
+    body grammar); the member's alias is the name slug, like inline
+    members."""
+    d = _take(d, f"calc_member in cube {cube!r}", ("name", "formula"),
+              ("annotations",))
+    return d["name"], d["formula"]
+
+
 def _named_set(d: dict, cube: str) -> NamedSet:
     d = _take(d, f"named_set in cube {cube!r}",
               ("name", "dimension", "level", "top_by", "k"),
@@ -193,16 +205,34 @@ def _cube(d: dict) -> Cube:
               ("bridges", "calc_members", "named_sets", "annotations"))
     if not d["measures"]:
         raise CatalogError(f"cube {d['name']!r} has no measures")
+    calc_defs = d.get("calc_members", [])
+    plain = [x for x in calc_defs if "formula" not in x]
+    formulas = [_formula_calc(x, d["name"])
+                for x in calc_defs if "formula" in x]
     cube = Cube(
         name=d["name"], fact=d["fact"],
         dimensions=tuple(_dimension(x, d["name"]) for x in d["dimensions"]),
         measures=tuple(_measure(x, d["name"]) for x in d["measures"]),
         bridges=tuple(_bridge(x, d["name"]) for x in d.get("bridges", [])),
-        calc_members=tuple(_calc_member(x, d["name"])
-                           for x in d.get("calc_members", [])),
+        calc_members=tuple(_calc_member(x, d["name"]) for x in plain),
         named_sets=tuple(_named_set(x, d["name"])
                          for x in d.get("named_sets", [])),
         annotations=d.get("annotations", {}))
+    if formulas:
+        # MDX formulas resolve against the finished cube through the
+        # same machinery posted WITH MEMBER uses, so every form the
+        # grammar accepts (arith/IIF, tuples, time shifts, set
+        # aggregates, RANK) is declarable; bad formulas are bind-time
+        # CatalogErrors, not query-time surprises
+        from .mdx import formula_template
+        from .parser import ParseError
+        from .planner import _inline_calcs
+        try:
+            cube = _inline_calcs(
+                cube, [(n, formula_template(f)) for n, f in formulas])
+        except ParseError as e:
+            raise CatalogError(
+                f"cube {d['name']!r} calc_member formula: {e}") from e
     for dim in cube.dimensions:
         if dim.bridge:
             cube.bridge(dim.bridge)   # KeyError -> undefined bridge

@@ -1652,6 +1652,21 @@ def execute_mdx(spark: SparkSession, sf_dir: str, cat: Catalog,
     return aggregate(spark, sf_dir, cat, compile_mdx(mdx))
 
 
+def formula_template(formula: str) -> str:
+    """Parse a catalog-declared MDX calc-member formula — the analog
+    of the reference XML ``<CalculatedMember formula="...">``
+    (foodmart.xml:345-366) — into the engine's calc template.  Accepts
+    exactly the WITH MEMBER body grammar: measure arithmetic with
+    IIF/COALESCEEMPTY, measure-member tuples, PARALLELPERIOD /
+    YTD-family time shifts, set aggregates, RANK."""
+    p = _P(tokenize(formula))
+    tmpl = _calc_body(p, stop_words=())
+    if p.peek() is not None:
+        raise ParseError(
+            f"trailing calc-member formula tokens at {p.peek()!r}")
+    return tmpl
+
+
 # ---------------------------------------------------------------------------
 # emitter: QueryModel -> MDX (the reference's debug=true echo)
 # ---------------------------------------------------------------------------

@@ -166,3 +166,28 @@ def test_json_catalog_rejects_internal_hll_sketch_agg():
         {"name": "Sketch", "agg": "hll_sketch", "expr": "doc_id"})
     with pytest.raises(CatalogError, match="internal"):
         catalog_from_json(json.dumps(bad))
+
+
+def test_json_catalog_formula_calc_members():
+    """MDX formulas (the reference XML CalculatedMember form) bind at
+    catalog load through the WITH MEMBER grammar; bad formulas are
+    bind-time CatalogErrors."""
+    import json
+
+    from mondrian_rest_spark.catalog_json import (CatalogError,
+                                                  catalog_from_json)
+    cat = catalog_from_json("/root/repo/catalogs/corpus.json")
+    cube = cat.cube("Documents")
+    by_name = {c.name: c for c in cube.calc_members}
+    assert by_name["Avg Doc Size"].expr == "total_chars / doc_count"
+    assert by_name["EN Chars"].set_of == "Total Chars"
+    assert by_name["EN Chars"].set_fn == "aggregate"
+    base = json.load(open("/root/repo/catalogs/corpus.json"))
+    base["cubes"][0]["calc_members"].append(
+        {"name": "Bad", "formula": "[Measures].[Nope] + )"})
+    with pytest.raises(CatalogError, match="formula"):
+        catalog_from_json(base)
+    base["cubes"][0]["calc_members"][-1] = {
+        "name": "Bad2", "formula": "[Measures].[No Such Measure] * 2"}
+    with pytest.raises(CatalogError, match="unknown measure|No Such"):
+        catalog_from_json(base)
