@@ -302,12 +302,15 @@ def mp3_frame_info(payload: bytes) -> tuple[int, int, int, int]:
     constant-bitrate files, the header-only approximation for VBR
     (a real pipeline averages all frame headers; same walk, more
     frames)."""
+    if len(payload) < 4:
+        raise ValueError("no MPEG-1 Layer III frame sync found")
     pos = 0
     if payload[:3] == b"ID3" and len(payload) >= 10:
         sz = ((payload[6] & 0x7f) << 21 | (payload[7] & 0x7f) << 14
               | (payload[8] & 0x7f) << 7 | (payload[9] & 0x7f))
         pos = 10 + sz
-    end = min(len(payload) - 3, pos + 4096)
+    # len-4 is the last pos with a complete 4-byte header to unpack
+    end = min(len(payload) - 4, pos + 4096)
     while pos <= end:
         b0, b1, b2, b3 = payload[pos:pos + 4]
         if (b0 == 0xFF and (b1 & 0xE0) == 0xE0

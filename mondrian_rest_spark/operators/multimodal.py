@@ -18,6 +18,8 @@ batches so peak memory is one batch, not one partition.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -63,29 +65,37 @@ def _decode_features(payload: bytes):
     for PNG/WAV, header-exact parses for JPEG/GIF/BMP/MP3, stub dims
     (channels=0, all else null) otherwise."""
     fmt = media_codec.sniff(payload)
-    if fmt == "png":
-        w, h, ch, px = media_codec.png_decode(payload)
-        return w, h, ch, (sum(px) / len(px)) if px else None, None
-    if fmt == "wav":
-        rate, ch, samples = media_codec.wav_decode(payload)
-        mean = (sum(abs(s) for s in samples) / len(samples)
-                if samples else None)
-        dur = (len(samples) // max(ch, 1)) * 1000 // rate if rate else None
-        return 0, 0, ch, mean, dur
-    if fmt == "jpeg":
-        # header-exact dims via the SOF marker walk (no entropy decode
-        # in this container — mean_px stays null, channels are real)
-        w, h, ch = media_codec.jpeg_dimensions(payload)
-        return w, h, ch, None, None
-    if fmt == "gif":
-        w, h = media_codec.gif_dimensions(payload)
-        return w, h, 3, None, None
-    if fmt == "bmp":
-        w, h, ch = media_codec.bmp_dimensions(payload)
-        return w, h, ch, None, None
-    if fmt == "mp3":
-        _, ch, _, dur_ms = media_codec.mp3_frame_info(payload)
-        return 0, 0, ch, None, dur_ms
+    try:
+        if fmt == "png":
+            w, h, ch, px = media_codec.png_decode(payload)
+            return w, h, ch, (sum(px) / len(px)) if px else None, None
+        if fmt == "wav":
+            rate, ch, samples = media_codec.wav_decode(payload)
+            mean = (sum(abs(s) for s in samples) / len(samples)
+                    if samples else None)
+            dur = ((len(samples) // max(ch, 1)) * 1000 // rate
+                   if rate else None)
+            return 0, 0, ch, mean, dur
+        if fmt == "jpeg":
+            # header-exact dims via the SOF marker walk (no entropy
+            # decode in this container — mean_px stays null, channels
+            # are real)
+            w, h, ch = media_codec.jpeg_dimensions(payload)
+            return w, h, ch, None, None
+        if fmt == "gif":
+            w, h = media_codec.gif_dimensions(payload)
+            return w, h, 3, None, None
+        if fmt == "bmp":
+            w, h, ch = media_codec.bmp_dimensions(payload)
+            return w, h, ch, None, None
+        if fmt == "mp3":
+            _, ch, _, dur_ms = media_codec.mp3_frame_info(payload)
+            return 0, 0, ch, None, dur_ms
+    except (ValueError, struct.error, zlib.error):
+        # a sniff can match on a corrupt/truncated header (e.g. JPEG
+        # SOI with no SOF, GIF87 trailer cut short): at 100 TB a single
+        # bad payload must degrade to the stub row, never fail the job
+        pass
     w, h = _decode_image_stub(payload)
     return w, h, 0, None, None
 

@@ -122,6 +122,22 @@ def resolved_drills(cube: Cube, qm: QueryModel) -> list[ResolvedDrill]:
         _append(*_member_level(m_path), 0)
     for lg_path, _n in getattr(qm, "member_lags", []):
         _append(*_member_level(lg_path), 0)
+    if getattr(qm, "generate_top", None) is not None:
+        # mirror the planner's GENERATE append (planner.py generate_top
+        # block): the axis is the (parent, child) level pair — without
+        # this, /mdx GENERATE shaped with zero drills and the cell
+        # matrix collapsed to one scalar
+        g_path = qm.generate_top[0]
+        segs = g_path.split(".")
+        hier_name = segs[1] if len(segs) == 3 else None
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name,
+                                          segs[-1])
+        idx = hier.level_index(level.name)
+        if idx + 1 < len(hier.levels):   # leaf-level GENERATE 400s in
+            child = hier.levels[idx + 1]  # the planner before shaping
+            gl = (list(hier.levels[: idx + 2]) if qm.parents
+                  else [level, child])
+            drills.append(ResolvedDrill(dim, hier, child, gl))
     return drills
 
 

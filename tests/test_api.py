@@ -460,6 +460,30 @@ def test_mdx_route_formats_and_params(client):
     assert rows[0] == ["ID Region", "Region", "ID Nation", "Nation", "Revenue"]
 
 
+def test_mdx_route_generate_shapes_axes(client):
+    # ADVICE r9: resolved_drills must mirror the planner's GENERATE
+    # (parent, child) drill — without it the aggregation JSON collapsed
+    # to one scalar cell and the CSV header lost all axis columns
+    mdx = ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+           "NON EMPTY GENERATE([Customer].[Region].Members, "
+           "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+           "[Measures].[Revenue])) ON ROWS FROM [Sales]")
+    r = client.post("/mdx", data=mdx)
+    assert r.status_code == 200
+    body = r.get_json()
+    assert len(body["values"]) == 10          # 5 regions x top-2 nations
+    assert len(body["axes"]) == 2             # measures + the drill axis
+    assert body["axes"][1]["level"] == "Nation"
+    assert all(len(m.get("ancestors", [])) == 1
+               for m in body["axes"][1]["members"])
+    r = client.post("/mdx.csv", data=mdx)
+    rows = list(csv.reader(io.StringIO(r.get_data(as_text=True))))
+    assert rows[0] == ["ID Region", "Region", "ID Nation", "Nation",
+                       "Revenue"]
+    assert len(rows) == 11
+    assert all(len(row) == 5 for row in rows)
+
+
 def test_virtual_cube_members_surface(client):
     # conformed dims of a virtual cube expose the full members surface,
     # like the reference's first-class virtual cubes

@@ -1308,6 +1308,43 @@ def test_media_codec_gif_bmp_mp3_headers():
     assert mc.sniff(mc.gif_header(1, 1)) == "gif"
     assert mc.sniff(mc.bmp_header(1, 1)) == "bmp"
     assert mc.sniff(mc.mp3_frames(1)) == "mp3"
+    # ADVICE r9: scan bound off-by-one — payloads whose scan reaches
+    # the last 3 bytes must raise the diagnostic ValueError, not a
+    # tuple-unpack error; <4-byte payloads are guarded up front
+    for bad in (b"\xff\xfb\x00", b"\x00" * 5, b"\x00" * 7,
+                b"ID3\x04\x00\x00\x00\x00\x00\x02" + b"\0\0\0"):
+        with pytest.raises(ValueError, match="frame sync"):
+            mc.mp3_frame_info(bad)
+
+
+def test_multimodal_corrupt_payloads_fall_to_stub(spark):
+    """ADVICE r9: a corrupt payload that *sniffs* as a known format
+    (JPEG SOI with no SOF, GIF8 with a bad version, MP3-sync garbage,
+    truncated PNG) must degrade to the stub row (channels=0), never
+    fail the whole extract_features job."""
+    from mondrian_rest_spark.operators import media_codec as mc
+    from mondrian_rest_spark.operators import multimodal
+
+    corrupt = [
+        b"\xff\xd8\xff\xd9",                 # JPEG SOI+EOI, no SOF
+        b"GIF8xa" + b"\x00" * 8,             # GIF8 but bad version
+        b"\xff\xe3" + b"\x00" * 6,           # MP3 sync word, no frame
+        mc.PNG_SIG + b"\x00\x00\x00\x0d" + b"IHDR" + b"\x00" * 4,
+        b"RIFF\x00\x00\x00\x00WAVE",          # WAV with no fmt/data
+        b"BM" + b"\x00" * 40,                # BMP zero-dim garbage? ok
+    ]
+    rows = [(i, "image", p, "application/octet-stream")
+            for i, p in enumerate(corrupt)]
+    # one healthy PNG proves the real path still runs in the same job
+    rows.append((99, "image", mc.png_encode(bytes(range(12)), 2, 2, 3),
+                 "image/png"))
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           multimodal.extract_features(df).collect()}
+    assert len(got) == len(rows)             # nothing failed the job
+    for i in range(len(corrupt) - 1):        # BMP garbage parses (zero
+        assert got[i]["channels"] == 0, i    # dims) or stubs — skip it
+    assert got[99]["channels"] == 3 and got[99]["width"] == 2
 
 
 def test_mixture_sample_hits_target_proportions(spark, sf_dir):
