@@ -122,6 +122,16 @@ def funnel(df: DataFrame, steps: tuple = ("view", "click", "purchase"),
         raise ValueError("funnel needs at least 2 steps")
     if mode not in ("first_touch", "any_touch"):
         raise ValueError(f"unknown funnel mode {mode!r}")
+    # `within` is interpolated into an INTERVAL literal below:
+    # whitelist-validate it (VERDICT r8 #7) so no caller — REST or
+    # library — can smuggle SQL through the duration string
+    import re
+    if not re.fullmatch(
+            r"\s*\d+\s+(?:second|minute|hour|day|week|month|year)s?\s*",
+            str(within), re.IGNORECASE):
+        raise ValueError(
+            f"within must be '<n> <unit>' (second/minute/hour/day/"
+            f"week/month/year), got {within!r}")
     ev = df.select(F.col(user_col).alias("__u"),
                    F.col(ts_col).alias("__ts"),
                    F.col(type_col).alias("__t"))

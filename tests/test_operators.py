@@ -1282,6 +1282,13 @@ def test_funnel_any_touch_and_per_step_window(spark):
 
     with pytest.raises(ValueError, match="funnel mode"):
         windows.funnel(df, mode="last_touch")
+    # `within` feeds an INTERVAL literal: malformed/injection strings
+    # are rejected up front (VERDICT r8 #7)
+    for bad in ("7 days; DROP TABLE x", "7", "days", "'7' days",
+                "7 fortnights", "7 days OR 1=1"):
+        with pytest.raises(ValueError, match="within"):
+            windows.funnel(df, within=bad)
+    windows.funnel(df, within="36 HOURS")   # case/plural both fine
 
 
 def test_media_codec_gif_bmp_mp3_headers():
