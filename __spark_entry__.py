@@ -489,6 +489,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # measure is empty — here the Part cut constrains facts only (the
     # dense axes stay full by contract), so the measure filter is what
     # prunes the (region, year) combos with no matching facts
+    # IIF + CASE conditionals in WITH MEMBER formulas (r9): Mondrian's
+    # most common hand-written calc-member idiom (reference executes
+    # them via api_helpers.rb:42-54) — both compile to Spark SQL
+    # conditional expressions over the post-agg measure columns
+    q["q69_mdx_iif_case"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH MEMBER [Measures].[High Flag] AS "
+        "IIF([Measures].[Revenue] / [Measures].[Line Count] > 50250, 1, 0) "
+        "MEMBER [Measures].[Band] AS "
+        "CASE WHEN [Measures].[Revenue] > 15000000 THEN 2 "
+        "WHEN [Measures].[Revenue] > 8000000 THEN 1 ELSE 0 END "
+        "SELECT {[Measures].[Revenue], [Measures].[High Flag], "
+        "[Measures].[Band]} ON COLUMNS, "
+        "[Customer].[Nation].Members ON ROWS FROM [Sales]")
+
     q["q68_mdx_nonempty_measure"] = lambda s, d: __import__(
         "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
         s, d, CAT,
@@ -1771,6 +1787,16 @@ def oracle_sql() -> dict[str, str]:
                               {DEC('o_totalprice')} AS total_price
                        FROM {J_ORD_CUST} GROUP BY 1, 2) ords
             USING (cust_region_key, cust_region)""",
+
+        "q69_mdx_iif_case": f"""
+            SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   {REVENUE} AS revenue,
+                   CASE WHEN {REVENUE} / COUNT(l_linenumber) > 50250
+                        THEN 1 ELSE 0 END AS high_flag,
+                   CASE WHEN {REVENUE} > 15000000 THEN 2
+                        WHEN {REVENUE} > 8000000 THEN 1
+                        ELSE 0 END AS band
+            FROM {J_CUST} GROUP BY 1, 2""",
 
         "q68_mdx_nonempty_measure": f"""
             SELECT r_regionkey AS cust_region_key, r_name AS cust_region,

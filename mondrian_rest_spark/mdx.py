@@ -1471,7 +1471,7 @@ def _set_agg_operand(p: _P) -> str:
     return _path_str(a)
 
 
-def _calc_tokens(p: _P, stop_words: tuple) -> str:
+def _calc_tokens(p: _P, stop_words: tuple, bool_ok: bool = False) -> str:
     parts: list[str] = []
     # paren stack: True = an IIF argument list (commas legal inside)
     stack: list[bool] = []
@@ -1494,6 +1494,18 @@ def _calc_tokens(p: _P, stop_words: tuple) -> str:
             parts.append(p.next())
         elif t in ("+", "-", "*", "/"):
             parts.append(p.next())
+        elif u == "CASE":
+            # searched or simple CASE -> Spark SQL CASE (same syntax);
+            # sub-expressions recurse so WHEN/THEN/ELSE/END nest and
+            # misplaced keywords stay clear ParseErrors
+            p.next()
+            parts.append(_case_sql(p))
+        elif u in ("AND", "OR", "NOT") and (bool_ok or stack):
+            # boolean connectives are legal inside a condition context
+            # (IIF/COALESCE arg lists, CASE WHEN conditions) — never at
+            # the top of a value formula
+            p.next()
+            parts.append(u)
         elif u == "IIF":
             # IIF(cond, a, b) -> SQL if(cond, a, b)
             p.next()
@@ -1523,13 +1535,46 @@ def _calc_tokens(p: _P, stop_words: tuple) -> str:
             raise ParseError(
                 f"unsupported token {t!r} in WITH MEMBER formula (this "
                 "MDX subset supports arithmetic, comparisons, "
-                "IIF(cond, a, b) and COALESCEEMPTY(a, b) over "
-                "[Measures] refs)")
+                "IIF(cond, a, b), CASE [expr] WHEN ... THEN ... [ELSE "
+                "...] END and COALESCEEMPTY(a, b) over [Measures] refs)")
     if stack:
         raise ParseError("unbalanced parentheses in WITH MEMBER formula")
     if not parts:
         raise ParseError("empty WITH MEMBER formula")
     return " ".join(parts)
+
+
+def _case_sql(p: _P) -> str:
+    """Body of a CASE already consumed its CASE token: parse
+    ``[operand] WHEN <cond|value> THEN <expr> ... [ELSE <expr>] END``
+    into the identical Spark SQL CASE.  Both Mondrian forms compile:
+    searched (WHEN carries a boolean over measures) and simple (a CASE
+    operand before the first WHEN, WHEN carries match values).
+    Reference analog: Mondrian evaluates CASE in calc-member formulas
+    via its own MDX engine (api_helpers.rb:42-54 passthrough)."""
+    out = ["CASE"]
+    if p.peek_upper() != "WHEN":
+        out.append(_calc_tokens(p, stop_words=("WHEN",)))
+    n_when = 0
+    while p.peek_upper() == "WHEN":
+        p.next()
+        out.append("WHEN")
+        out.append(_calc_tokens(p, stop_words=("THEN",), bool_ok=True))
+        p.expect("THEN")
+        out.append("THEN")
+        out.append(_calc_tokens(p, stop_words=("WHEN", "ELSE", "END")))
+        n_when += 1
+    if not n_when:
+        raise ParseError("CASE needs at least one WHEN ... THEN branch")
+    if p.peek_upper() == "ELSE":
+        p.next()
+        out.append("ELSE")
+        out.append(_calc_tokens(p, stop_words=("END",)))
+    if p.peek_upper() != "END":
+        raise ParseError(f"CASE missing END (got {p.peek()!r})")
+    p.next()
+    out.append("END")
+    return " ".join(out)
 
 
 def compile_mdx(mdx: str, cube_hint: str | None = None) -> QueryModel:

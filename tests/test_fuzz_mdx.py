@@ -329,6 +329,22 @@ CALCS = {
     "coalesce": ("COALESCEEMPTY([Measures].[Revenue] / "
                  "[Measures].[Line Count], 0)",
                  f"COALESCE(({REV}) / ({CNT}), 0)"),
+    # r9: searched CASE (multi-branch) and simple CASE in WITH MEMBER
+    "case_searched": (
+        "CASE WHEN [Measures].[Revenue] > 15000000 THEN 2 "
+        "WHEN [Measures].[Revenue] > 8000000 THEN 1 ELSE 0 END",
+        f"CASE WHEN ({REV}) > 15000000 THEN 2 "
+        f"WHEN ({REV}) > 8000000 THEN 1 ELSE 0 END"),
+    "case_simple": (
+        "CASE [Measures].[Line Count] WHEN 0 THEN -1 ELSE "
+        "[Measures].[Line Count] END",
+        f"CASE ({CNT}) WHEN 0 THEN -1 ELSE ({CNT}) END"),
+    # r9: boolean connectives inside an IIF condition
+    "iif_and": (
+        "IIF(([Measures].[Revenue] > 8000000 AND "
+        "[Measures].[Line Count] > 100), 1, 0)",
+        f"CASE WHEN ({REV}) > 8000000 AND ({CNT}) > 100 "
+        f"THEN 1 ELSE 0 END"),
     # r8: measure-member tuple = the measure in a fixed member context
     # (compiles to the single-member set aggregate)
     "tuple_year": (
