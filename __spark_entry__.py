@@ -489,6 +489,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # measure is empty — here the Part cut constrains facts only (the
     # dense axes stay full by contract), so the measure filter is what
     # prunes the (region, year) combos with no matching facts
+    # member-navigation FILTER (r9): FILTER(set, lvl.CurrentMember
+    # .Parent IS <member>) — validated against the catalog (parent =
+    # exactly one level up) then compiled to an ancestor cut pushed to
+    # the scans; mixable with measure conditions like any conjunct
+    q["q70_mdx_filter_navigation"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Nation].Members, "
+        "[Customer].[Nation].CurrentMember.Parent IS "
+        "[Customer].[Region].[&2] "
+        "AND [Measures].[Revenue] > 0) ON ROWS FROM [Sales]")
+
+    # EXISTS(set1, set2) (r9): hierarchy-relation existence — set2 on
+    # the same dimension compiles to an ancestor cut (every member has
+    # one ancestor path, so the fact slice keeps exactly the related
+    # members); unrelated dims are the spec's no-op
+    q["q71_mdx_exists"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY EXISTS([Customer].[Nation].Members, "
+        "{[Customer].[Region].[&0],[Customer].[Region].[&3]}) "
+        "ON ROWS FROM [Sales]")
+
     # IIF + CASE conditionals in WITH MEMBER formulas (r9): Mondrian's
     # most common hand-written calc-member idiom (reference executes
     # them via api_helpers.rb:42-54) — both compile to Spark SQL
@@ -1787,6 +1812,18 @@ def oracle_sql() -> dict[str, str]:
                               {DEC('o_totalprice')} AS total_price
                        FROM {J_ORD_CUST} GROUP BY 1, 2) ords
             USING (cust_region_key, cust_region)""",
+
+        "q70_mdx_filter_navigation": f"""
+            SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   {REVENUE} AS revenue
+            FROM {J_CUST} WHERE r_regionkey = 2
+            GROUP BY 1, 2 HAVING {REVENUE} > 0""",
+
+        "q71_mdx_exists": f"""
+            SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   {REVENUE} AS revenue
+            FROM {J_CUST} WHERE r_regionkey IN (0, 3)
+            GROUP BY 1, 2""",
 
         "q69_mdx_iif_case": f"""
             SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,

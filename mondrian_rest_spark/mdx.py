@@ -45,11 +45,25 @@ build_query emits, which covers every query the REST layer can express:
                                               (axis-set restriction ->
                                                dim-side predicate; top-
                                                level AND conjuncts only)
+                                            | <level>.CurrentMember
+                                              .Parent IS <member>
+                                            | ANCESTOR(<level>
+                                              .CurrentMember, <level>)
+                                              IS <member>
+                                              (member-navigation
+                                               restriction -> catalog-
+                                               validated ancestor cut;
+                                               top-level AND conjuncts
+                                               only)
            | TOPCOUNT(axis', n, [Measures].[M])
            | TOPPERCENT|BOTTOMPERCENT(axis', pct, [Measures].[M])
            | TOPSUM|BOTTOMSUM(axis', value, [Measures].[M])
            | CROSSJOIN(axis', axis') | NONEMPTYCROSSJOIN(axis', axis')
            | NONEMPTY(axis'[, [Measures].[M]])
+           | EXISTS(axis', mset)   (same dim -> ancestor cut;
+                                    unrelated dim -> no-op per spec)
+           | EXISTING axis'        (no-op: axis enumeration is already
+                                    context-restricted in this engine)
            | {set} | <member>:<member>
            | UNION|EXCEPT|INTERSECT(mset, mset)
            | <path>.Members
@@ -174,7 +188,7 @@ class MdxQuery:
                                     edge_child_of=[], siblings_of=[],
                                     ancestor_of=[], edge_sibling_of=[],
                                     periods_to_date=[], properties=[],
-                                    property_filters=[],
+                                    property_filters=[], nav_filters=[],
                                     nonempty_measures=[])
         # WITH SET bodies that are member-set literals/algebra (not the
         # TOPCOUNT ranked form): name -> (level_path, kind, members),
@@ -400,7 +414,70 @@ def _bool_or_prop(p: _P, q: MdxQuery | None) -> str | None:
             return None
         except ParseError:
             p.pos = save
+        try:
+            q.qm_kwargs["nav_filters"].append(_navigation_condition(p))
+            return None
+        except _CommittedParseError:
+            raise        # structurally a nav condition; keep the
+        except ParseError:  # specific diagnostic, don't backtrack
+            p.pos = save
     return _bool_primary(p)
+
+
+class _CommittedParseError(ParseError):
+    """A ParseError raised AFTER a speculative parse has structurally
+    committed (e.g. a navigation condition past its IS): backtracking
+    fallbacks must re-raise it instead of swallowing the diagnostic."""
+
+
+def _navigation_condition(p: _P) -> tuple:
+    """Member-NAVIGATION filter conjunct (VERDICT r8 #3) — the two
+    Mondrian idioms power users hit first:
+
+    * ``<level path>.CurrentMember.Parent IS <member>``
+    * ``ANCESTOR(<level path>.CurrentMember, <level path>) IS
+      <member>``
+
+    Both compile to an ancestor-member cut (the planner validates the
+    level distance — .Parent must name the level EXACTLY one up — then
+    pushes the key predicate to the dimension scan).  Like property
+    conditions these restrict the axis member set, which coincides
+    with the cut semantics because every member has exactly one
+    ancestor path: slicing facts to the ancestor drops precisely the
+    members outside it."""
+    if p.peek_upper() == "ANCESTOR":
+        p.next()
+        p.expect("(")
+        path = _path(p)
+        p.expect(".")
+        p.expect("CURRENTMEMBER")
+        p.expect(",")
+        anc = _path(p)
+        p.expect(")")
+        p.expect("IS")
+        m = _path(p)
+        if len(m) < 3:
+            raise ParseError(
+                f"ANCESTOR ... IS needs [Dim].[Level].[member], got "
+                f"{_path_str(m)}")
+        if [s.lower() for s in m[:-1]] != [s.lower() for s in anc]:
+            raise _CommittedParseError(
+                f"ANCESTOR level {_path_str(anc)} does not match the "
+                f"comparison member's level {_path_str(m[:-1])}")
+        return (_path_str(path), "ancestor", _path_str(m))
+    path = _path(p)
+    p.expect(".")
+    p.expect("CURRENTMEMBER")
+    p.expect(".")
+    if p.next().upper() != "PARENT":
+        raise ParseError("expected .Parent in a navigation condition")
+    p.expect("IS")
+    m = _path(p)
+    if len(m) < 3:
+        raise ParseError(
+            f".Parent IS needs [Dim].[Level].[member], got "
+            f"{_path_str(m)}")
+    return (_path_str(path), "parent", _path_str(m))
 
 
 def _property_condition(p: _P) -> tuple:
@@ -505,6 +582,51 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
     ``infix_hint`` marks a term appearing to the right of ``*`` —
     a simple TOPCOUNT there compiles to an inline named set instead."""
     t = p.peek_upper()
+    if t == "EXISTING":
+        # EXISTING <set>: the set restricted to the CURRENT context
+        # (slicer/cuts).  This engine's axis enumeration is already
+        # context-restricted — cuts constrain the member frames, and
+        # members outside the context aggregate over nothing, which
+        # NON EMPTY drops — so EXISTING is accepted as a (documented)
+        # no-op modifier rather than rejected: the result matches
+        # Mondrian's EXISTING evaluation.
+        p.next()
+        return _axis_term(p, q, infix_hint)
+    if t == "EXISTS":
+        # EXISTS(set1, set2): tuples of set1 that exist with set2 via
+        # hierarchy relations (MDX spec; no measure-group 3rd arg in
+        # this subset).  set2 on the SAME dimension compiles to an
+        # ancestor cut — every member has exactly one ancestor path,
+        # so slicing facts to set2 keeps exactly the related members;
+        # set2 on an UNRELATED dimension leaves set1 unchanged (the
+        # spec's behavior for non-overlapping hierarchies), compiled
+        # as a no-op.  set2 DEEPER than set1 (e.g. regions having a
+        # given customer) hits the planner's ascendant-drill 400 — a
+        # documented restriction, not a wrong answer.
+        p.next()
+        p.expect("(")
+        sub = MdxQuery()
+        sub.set_macros = q.set_macros
+        _axis_expr(p, sub)
+        p.expect(",")
+        level2, kind2, mem2 = _member_set_operand(p)
+        p.expect(")")
+        dims1 = {d.split(".")[0].lower()
+                 for d in sub.qm_kwargs["drilldown"] if "." in d}
+        _merge_sub(q, sub)
+        if dims1 and level2[0].lower() not in dims1:
+            return False                   # unrelated dim: no-op
+        if kind2 == "pos":
+            if mem2:
+                q.qm_kwargs["cut"].append(
+                    "{" + ",".join(_path_str(m) for m in mem2) + "}")
+            else:
+                q.qm_kwargs["empty_set"] = True
+        elif mem2:
+            q.qm_kwargs["cut"].append(
+                "!{" + ",".join(_path_str(m) for m in mem2) + "}")
+        # neg([]) == the whole level: EXISTS over everything, no cut
+        return False
     if t == "NONEMPTY":
         # NONEMPTY(set[, measure]) function form: the 1-arg form == the
         # NON EMPTY axis prefix (implicit current-context measures);

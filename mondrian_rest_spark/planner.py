@@ -340,6 +340,11 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
                 "member-property FILTER conditions are not supported "
                 "on virtual cubes in this MDX subset; query the base "
                 "cube")
+        if getattr(qm, "nav_filters", []):
+            raise ParseError(
+                "member-navigation FILTER conditions are not "
+                "supported on virtual cubes in this MDX subset; "
+                "query the base cube")
         if (qm.children_of or qm.parent_of or qm.edge_child_of
                 or qm.siblings_of or qm.edge_sibling_of
                 or qm.ancestor_of):
@@ -750,6 +755,41 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     cuts = [_resolve_cut(cube, parse_cut(c, ns_names)) for c in qm.cut]
     for name in implicit_ns_cuts:
         cuts.append(_resolve_cut(cube, Cut(kind="named_set", named_set=name)))
+
+    # --- member-navigation FILTER conditions (raw MDX, VERDICT r8 #3:
+    # --- `lvl.CurrentMember.Parent IS m` / `ANCESTOR(...) IS m`):
+    # --- validate the level distance against the catalog, then compile
+    # --- to an ordinary ancestor cut (key predicate pushed to the
+    # --- scans like any slicer) ---
+    for lvl_str, rel, m_str in getattr(qm, "nav_filters", []):
+        lsegs = parse_segments(lvl_str)
+        dim, hier, level = _resolve_level(
+            cube, lsegs[0], lsegs[1] if len(lsegs) == 3 else None,
+            lsegs[-1])
+        rc = _resolve_cut(cube, parse_cut(m_str, ns_names))
+        if (rc.dimension.name != dim.name
+                or rc.hierarchy.name != hier.name):
+            raise ParseError(
+                f"navigation condition on level {level.name!r} "
+                f"compares a member of another hierarchy "
+                f"({rc.dimension.name}.{rc.hierarchy.name})")
+        li = hier.level_index(level.name)
+        ci = hier.level_index(rc.level.name)
+        if rel == "parent":
+            if li == 0:
+                raise ParseError(
+                    f".Parent: level {level.name!r} is the root of "
+                    f"hierarchy {hier.name!r}")
+            if ci != li - 1:
+                raise ParseError(
+                    f".Parent of level {level.name!r} is "
+                    f"{hier.levels[li - 1].name!r}; the comparison "
+                    f"member is at level {rc.level.name!r}")
+        elif ci >= li:
+            raise ParseError(
+                f"ANCESTOR ... IS: {rc.level.name!r} is not a proper "
+                f"ancestor level of {level.name!r}")
+        cuts.append(rc)
 
     # --- <member>.Children (raw-MDX axis idiom; Mondrian accepts via
     # --- reference api.rb:21-50): drill the member's CHILD level,

@@ -422,7 +422,9 @@ class RollupManager:
         if qm.cube != self.cube.name:
             return None  # a manager routes exactly one cube
         if (qm.parents or qm.properties or qm.caption or not qm.nonempty
-                or qm.property_filters):
+                or qm.property_filters or getattr(qm, "nav_filters", [])):
+            # nav_filters become cuts only inside _aggregate_cube, so
+            # the grain check below cannot see them — route to base
             return None
         # axis idioms resolved inside _aggregate_cube add drills/cuts
         # the grain check below cannot see; query-scoped WITH forms

@@ -126,6 +126,14 @@ class QueryModel:
     # op, value) tuples ANDed together.  A dim-side predicate pushed to
     # the property's scan (pre-aggregation), NOT a HAVING condition.
     property_filters: list = field(default_factory=list)
+    # FILTER(set, <level>.CurrentMember.Parent IS <member>) and
+    # ANCESTOR(<level>.CurrentMember, <lvl>) IS <member> from raw MDX —
+    # member-NAVIGATION axis restrictions: ("[D].[L]", "parent" |
+    # "ancestor", "[D].[L2].[&k]") tuples.  Each compiles to an
+    # ancestor-member cut after the planner validates the level
+    # distance (parent = exactly one level up), so the predicate is
+    # pushed to the dimension scan like any other cut.
+    nav_filters: list = field(default_factory=list)
     # NONEMPTY(set, [Measures].[M]) 2-arg form: drop axis tuples where
     # THESE measures are empty (null), even if other displayed measures
     # have data — a post-agg isNotNull filter per named measure.

@@ -757,6 +757,30 @@ _MUTATION_SEEDS = [
     'SELECT {[Measures].[Revenue]} ON COLUMNS, '
     'NONEMPTY([Customer].[Region].Members, [Measures].[Revenue]) '
     'ON ROWS FROM [Sales]',
+    # r9 grammar forms: CASE in WITH MEMBER, navigation FILTER,
+    # EXISTS/EXISTING — mutated so malformed variants never 500
+    'WITH MEMBER [Measures].[Band] AS '
+    'CASE WHEN [Measures].[Revenue] > 15000000 THEN 2 '
+    'WHEN [Measures].[Revenue] > 8000000 THEN 1 ELSE 0 END '
+    'SELECT {[Measures].[Band]} ON COLUMNS, '
+    'NON EMPTY [Customer].[Region].Members ON ROWS FROM [Sales]',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY FILTER([Customer].[Nation].Members, '
+    '[Customer].[Nation].CurrentMember.Parent IS '
+    '[Customer].[Region].[&2] AND [Measures].[Revenue] > 0) '
+    'ON ROWS FROM [Sales]',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY FILTER([Customer].[Customer].Members, '
+    'ANCESTOR([Customer].[Customer].CurrentMember, '
+    '[Customer].[Region]) IS [Customer].[Region].[&1]) '
+    'ON ROWS FROM [Sales]',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY EXISTS([Customer].[Nation].Members, '
+    '{[Customer].[Region].[&0],[Customer].[Region].[&3]}) '
+    'ON ROWS FROM [Sales]',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY EXISTING [Customer].[Nation].Members ON ROWS '
+    'FROM [Sales] WHERE ([Customer].[Region].[&2])',
 ]
 
 

@@ -2562,3 +2562,108 @@ def test_property_filter_same_dim_rank_generate_400(spark, sf_dir):
             "[Customer].[Customer].CurrentMember"
             '.Properties("Market Segment") = "BUILDING") ON ROWS '
             "FROM [Sales]").collect()
+
+
+def test_mdx_navigation_filter_parent_and_ancestor(spark, sf_dir):
+    """FILTER over member navigation (VERDICT r8 #3): .Parent IS and
+    ANCESTOR(...) IS compile to catalog-validated ancestor cuts."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Nation].Members, "
+        "[Customer].[Nation].CurrentMember.Parent IS "
+        "[Customer].[Region].[&2]) ON ROWS FROM [Sales]").collect()
+    # nations of region 2 = keys 2, 7, 12, 17, 22 (keyed nation->region
+    # mod 5 in the generator)
+    assert {r[0] for r in rows} == {2, 7, 12, 17, 22}
+    # ANCESTOR form two levels up, plus a measure conjunct
+    deep = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Customer].Members, "
+        "ANCESTOR([Customer].[Customer].CurrentMember, "
+        "[Customer].[Region]) IS [Customer].[Region].[&1] "
+        "AND [Measures].[Revenue] > 0) ON ROWS FROM [Sales]").collect()
+    oracle = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Customer].Members ON ROWS FROM [Sales] "
+        "WHERE ([Customer].[Region].[&1])").collect()
+    assert {r["c_custkey"] for r in deep} == {
+        r["c_custkey"] for r in oracle if r["revenue"] > 0}
+
+
+def test_mdx_navigation_filter_rejections(spark, sf_dir):
+    # wrong level distance: .Parent must name EXACTLY one level up
+    with pytest.raises(ParseError, match="Parent of level"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "FILTER([Customer].[Customer].Members, "
+            "[Customer].[Customer].CurrentMember.Parent IS "
+            "[Customer].[Region].[&2]) ON ROWS FROM [Sales]").collect()
+    # the root level has no parent
+    with pytest.raises(ParseError, match="root of hierarchy"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "FILTER([Customer].[Region].Members, "
+            "[Customer].[Region].CurrentMember.Parent IS "
+            "[Customer].[Region].[&2]) ON ROWS FROM [Sales]").collect()
+    # ANCESTOR target must be a PROPER ancestor level
+    with pytest.raises(ParseError, match="proper ancestor"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "FILTER([Customer].[Nation].Members, "
+            "ANCESTOR([Customer].[Nation].CurrentMember, "
+            "[Customer].[Nation]) IS [Customer].[Nation].[&3]) "
+            "ON ROWS FROM [Sales]").collect()
+    # the named ancestor level must match the member's level
+    with pytest.raises(ParseError, match="does not match"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "FILTER([Customer].[Customer].Members, "
+            "ANCESTOR([Customer].[Customer].CurrentMember, "
+            "[Customer].[Region]) IS [Customer].[Nation].[&3]) "
+            "ON ROWS FROM [Sales]").collect()
+
+
+def test_mdx_exists_and_existing(spark, sf_dir):
+    """EXISTS(set1, set2) same-dimension -> ancestor cut; unrelated
+    dimension -> the spec's no-op; EXISTING -> no-op modifier (axis
+    enumeration is already context-restricted)."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY EXISTS([Customer].[Nation].Members, "
+        "{[Customer].[Region].[&0],[Customer].[Region].[&3]}) "
+        "ON ROWS FROM [Sales]").collect()
+    assert {r[0] % 5 for r in rows} == {0, 3} and len(rows) == 10
+    # unrelated dimension: set1 unchanged
+    noop = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY EXISTS([Customer].[Region].Members, "
+        "{[Part].[Brand].[&Brand#3]}) ON ROWS FROM [Sales]").collect()
+    assert len(noop) == 5
+    # set2 DEEPER than set1 hits the ascendant-drill 400 (documented)
+    with pytest.raises(ParseError, match="ascendant"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "EXISTS([Customer].[Region].Members, "
+            "{[Customer].[Nation].[&3]}) ON ROWS FROM [Sales]").collect()
+    # EXISTING under a slicer equals the slicer's own restriction
+    ex = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY EXISTING [Customer].[Nation].Members ON ROWS "
+        "FROM [Sales] WHERE ([Customer].[Region].[&2])").collect()
+    plain = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].Members ON ROWS "
+        "FROM [Sales] WHERE ([Customer].[Region].[&2])").collect()
+    assert [tuple(r) for r in ex] == [tuple(r) for r in plain]
