@@ -489,6 +489,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # measure is empty — here the Part cut constrains facts only (the
     # dense axes stay full by contract), so the measure filter is what
     # prunes the (region, year) combos with no matching facts
+    # general GENERATE (r9): DESCENDANTS inner navigation to a level
+    # DEEPER than the immediate child + BOTTOMCOUNT — still ONE
+    # per-parent row_number window over the (parent, target) aggregate
+    q["q72_mdx_generate_descendants"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "BOTTOMCOUNT(DESCENDANTS([Customer].[Region].CurrentMember, "
+        "[Customer].[Customer]), 2, [Measures].[Revenue])) ON ROWS "
+        "FROM [Sales]")
+
+    # general GENERATE (r9): HEAD inner set — the first n children per
+    # parent in hierarchy (key) order, no ranking measure
+    q["q73_mdx_generate_head"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "HEAD([Customer].[Region].CurrentMember.Children, 2)) ON ROWS "
+        "FROM [Sales]")
+
     # member-navigation FILTER (r9): FILTER(set, lvl.CurrentMember
     # .Parent IS <member>) — validated against the catalog (parent =
     # exactly one level up) then compiled to an ancestor cut pushed to
@@ -1812,6 +1834,30 @@ def oracle_sql() -> dict[str, str]:
                               {DEC('o_totalprice')} AS total_price
                        FROM {J_ORD_CUST} GROUP BY 1, 2) ords
             USING (cust_region_key, cust_region)""",
+
+        "q72_mdx_generate_descendants": f"""
+            WITH agg AS (
+              SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                     c_custkey, c_name, {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2, 3, 4)
+            SELECT cust_region_key, cust_region, c_custkey, c_name,
+                   revenue
+            FROM agg
+            QUALIFY row_number() OVER (PARTITION BY cust_region_key
+                                       ORDER BY revenue ASC,
+                                                c_custkey) <= 2""",
+
+        "q73_mdx_generate_head": f"""
+            WITH agg AS (
+              SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                     n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2, 3, 4)
+            SELECT cust_region_key, cust_region,
+                   cust_nation_key, cust_nation, revenue
+            FROM agg
+            QUALIFY row_number() OVER (PARTITION BY cust_region_key
+                                       ORDER BY cust_nation_key) <= 2""",
 
         "q70_mdx_filter_navigation": f"""
             SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,

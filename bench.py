@@ -94,16 +94,21 @@ def main() -> None:
     # outside load.  Runs interleave round-robin (A B C A B C ...) so a
     # transient stall hits at most one sample of each query.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    # SPARK_GRAFT_EXTRA: comma-separated extra query names appended to
+    # the headline set (e.g. d09 for the sf1 scale-proof run)
+    extra = [n for n in os.environ.get(
+        "SPARK_GRAFT_EXTRA", "").split(",") if n]
+    bench_queries = BENCH_QUERIES + extra
+    samples: dict[str, list[float]] = {n: [] for n in bench_queries}
     for _ in range(runs):
-        for name in BENCH_QUERIES:
+        for name in bench_queries:
             t0 = time.time()
             rows = qs[name](spark, sf_dir).collect()
             samples[name].append(time.time() - t0)
             _ = len(rows)
     timings = {n: round(sorted(ts)[len(ts) // 2], 3)
                for n, ts in samples.items()}
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in BENCH_QUERIES), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": f"total_wall_sec_{len(BENCH_QUERIES)}_headline_queries",

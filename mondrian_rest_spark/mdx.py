@@ -76,8 +76,10 @@ build_query emits, which covers every query the REST layer can express:
            | PERIODSTODATE(<level path>, <member>)
            | DESCENDANTS(<member>, <level path>) | [Named Set]
            | GENERATE(<level path>.Members,
-                      TOPCOUNT|BOTTOMCOUNT(<level path>.CurrentMember
-                                           .Children, n, [Measures].[M]))
+                      TOPCOUNT|BOTTOMCOUNT(nav, n, [Measures].[M])
+                      | HEAD|TAIL(nav[, n]))
+             nav := <level path>.CurrentMember.Children
+                  | DESCENDANTS(<level path>.CurrentMember, <level path>)
     mset := {<member>,...} | <member> | <level path>.Members
           | UNION|EXCEPT|INTERSECT(mset, mset)
           (two-register parse-time algebra: any nesting — including
@@ -644,15 +646,27 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
         p.expect(")")
         return False
     if t == "GENERATE":
-        # GENERATE(<level>.Members, TOPCOUNT(<level>.CurrentMember
-        # .Children, n, m)) — Mondrian's canonical per-parent top-N
-        # idiom: the union of the inner set evaluated at each member
-        # of the outer set.  General GENERATE is out of scope (SURVEY
-        # §2.10 Q6); this shape compiles to a (parent, child) drilldown
-        # plus an axis-sized per-parent row_number window.  Treated as
-        # a set function (sole axis expression): crossing it with
-        # another set would change the evaluation context of the inner
-        # TOPCOUNT, and a clear 400 beats a wrong answer.
+        # GENERATE(<level>.Members, <inner>) — the union of the inner
+        # set evaluated at each member of the outer set.  Supported
+        # inner forms (r9 generalizes VERDICT r8 #6 beyond the
+        # canonical idiom):
+        #
+        #   TOPCOUNT|BOTTOMCOUNT(<nav>, n, [Measures].[M])  per-parent
+        #     best/worst n by measure
+        #   HEAD|TAIL(<nav>[, n])                           per-parent
+        #     first/last n in hierarchy (key) order
+        #   nav := <outer>.CurrentMember.Children
+        #        | DESCENDANTS(<outer>.CurrentMember, <level path>)
+        #     (the deeper DESCENDANTS level generalizes .Children)
+        #
+        # All compile to a (parent, target) drilldown plus ONE
+        # axis-sized per-parent row_number window — never the fact.
+        # Fully general GENERATE (arbitrary inner set expressions)
+        # stays out of scope (SURVEY §2.10 Q6), as does more than one
+        # GENERATE per query (the window stage is single-slot; a
+        # clear 400 beats a wrong answer).  Treated as a set function
+        # (sole axis expression): crossing it with another set would
+        # change the inner set's evaluation context.
         p.next()
         p.expect("(")
         outer = _path(p)
@@ -660,34 +674,62 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
         p.expect("MEMBERS")
         p.expect(",")
         fn = p.next().upper()
-        if fn not in ("TOPCOUNT", "BOTTOMCOUNT"):
+        if fn not in ("TOPCOUNT", "BOTTOMCOUNT", "HEAD", "TAIL"):
             raise ParseError(
-                "GENERATE supports TOPCOUNT/BOTTOMCOUNT(<level>"
-                ".CurrentMember.Children, n, [Measures].[M]) as its "
+                "GENERATE supports TOPCOUNT/BOTTOMCOUNT(<nav>, n, "
+                "[Measures].[M]) and HEAD/TAIL(<nav>[, n]) as its "
                 f"inner set in this MDX subset; got {fn!r}")
         p.expect("(")
-        inner = _path(p)
-        p.expect(".")
-        p.expect("CURRENTMEMBER")
-        p.expect(".")
-        p.expect("CHILDREN")
+        target = None
+        if p.peek_upper() == "DESCENDANTS":
+            p.next()
+            p.expect("(")
+            inner = _path(p)
+            p.expect(".")
+            p.expect("CURRENTMEMBER")
+            p.expect(",")
+            tpath = _path(p)
+            p.expect(")")
+            if tpath[0].lower() != outer[0].lower():
+                raise ParseError(
+                    "GENERATE DESCENDANTS target must stay on the "
+                    f"outer dimension {_path_str([outer[0]])}, got "
+                    f"{_path_str(tpath)}")
+            target = tpath[-1]
+        else:
+            inner = _path(p)
+            p.expect(".")
+            p.expect("CURRENTMEMBER")
+            p.expect(".")
+            p.expect("CHILDREN")
         if [s.lower() for s in inner] != [s.lower() for s in outer]:
             raise ParseError(
                 "GENERATE inner set must navigate the outer level "
-                f"({_path_str(outer)}.CurrentMember.Children), got "
-                f"{_path_str(inner)}.CurrentMember.Children")
-        p.expect(",")
-        n = _int(p, "GENERATE TOPCOUNT count")
+                f"({_path_str(outer)}.CurrentMember), got "
+                f"{_path_str(inner)}.CurrentMember")
+        if fn in ("TOPCOUNT", "BOTTOMCOUNT"):
+            p.expect(",")
+            n = _int(p, f"GENERATE {fn} count")
+            p.expect(",")
+            top_by = _measure_ref(p)
+            asc = fn == "BOTTOMCOUNT"
+        else:
+            n = 1                      # Mondrian HEAD/TAIL default
+            if p.peek() == ",":
+                p.next()
+                n = _int(p, f"GENERATE {fn} count")
+            top_by = None              # hierarchy-order, no measure
+            asc = fn == "HEAD"
         if n < 1:
-            raise ParseError("GENERATE TOPCOUNT count must be >= 1")
-        p.expect(",")
-        top_by = _measure_ref(p)
+            raise ParseError(f"GENERATE {fn} count must be >= 1")
         p.expect(")")
         p.expect(")")
         if q.qm_kwargs.get("generate_top") is not None:
             raise ParseError("one GENERATE per query in this MDX subset")
-        q.qm_kwargs["generate_top"] = (".".join(outer), n, top_by,
-                                       fn == "BOTTOMCOUNT")
+        q.qm_kwargs["generate_top"] = (".".join(outer), n, top_by, asc)
+        if top_by is None or target is not None:
+            q.qm_kwargs["generate_inner"] = (
+                "key" if top_by is None else "measure", target)
         return True
     if t in ("DISTINCT", "SUBSET", "ORDER", "FILTER", "TOPCOUNT", "CROSSJOIN",
              "HEAD", "TAIL", "NONEMPTYCROSSJOIN", "TOPPERCENT",
@@ -1946,11 +1988,20 @@ def emit_mdx(cat: Catalog, qm) -> str:
         sets.append(f"PERIODSTODATE([{dim_seg}].[{anchor}], {member})")
     if getattr(qm, "generate_top", None) is not None:
         g_path, g_n, g_m, g_asc = qm.generate_top
+        _, g_target = (getattr(qm, "generate_inner", None)
+                       or ("measure", None))
         lvlb = ".".join(f"[{s}]" for s in g_path.split("."))
-        g_fn = "BOTTOMCOUNT" if g_asc else "TOPCOUNT"
-        sets.append(f"GENERATE({lvlb}.Members, {g_fn}({lvlb}"
-                    f".CurrentMember.Children, {g_n}, "
-                    f"[Measures].[{g_m}]))")
+        nav = (f"{lvlb}.CurrentMember.Children" if g_target is None
+               else f"DESCENDANTS({lvlb}.CurrentMember, "
+                    f"[{g_path.split('.')[0]}].[{g_target}])")
+        if g_m is None:
+            g_fn = "HEAD" if g_asc else "TAIL"
+            sets.append(f"GENERATE({lvlb}.Members, {g_fn}({nav}, "
+                        f"{g_n}))")
+        else:
+            g_fn = "BOTTOMCOUNT" if g_asc else "TOPCOUNT"
+            sets.append(f"GENERATE({lvlb}.Members, {g_fn}({nav}, "
+                        f"{g_n}, [Measures].[{g_m}]))")
 
     if getattr(qm, "empty_set", False):
         # axis-empty echo: re-express ONE drilldown as EXCEPT of a

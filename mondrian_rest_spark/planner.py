@@ -1365,14 +1365,32 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     generate_levels = None
     if qm.generate_top is not None:
         g_path, g_n, g_m, g_asc = qm.generate_top
+        _, g_target = (getattr(qm, "generate_inner", None)
+                       or ("measure", None))
         segs = g_path.split(".")
         hier_name = segs[1] if len(segs) == 3 else None
         dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-1])
         idx = hier.level_index(level.name)
-        if idx + 1 >= len(hier.levels):
-            raise ParseError(
-                f"GENERATE: {level.name!r} is the leaf level of "
-                f"hierarchy {hier.name!r}; .Children needs a level below")
+        if g_target is None:
+            if idx + 1 >= len(hier.levels):
+                raise ParseError(
+                    f"GENERATE: {level.name!r} is the leaf level of "
+                    f"hierarchy {hier.name!r}; .Children needs a level "
+                    f"below")
+            tgt_idx = idx + 1
+        else:
+            # DESCENDANTS(<outer>.CurrentMember, <target>) inner set:
+            # any PROPER descendant level of the outer one
+            try:
+                tgt_idx = hier.level_index(g_target)
+            except (KeyError, ValueError):
+                raise ParseError(
+                    f"GENERATE: unknown DESCENDANTS level "
+                    f"{g_target!r} in hierarchy {hier.name!r}")
+            if tgt_idx <= idx:
+                raise ParseError(
+                    f"GENERATE: DESCENDANTS level {g_target!r} must "
+                    f"be below the outer level {level.name!r}")
         if any(rd.dimension.name == dim.name for rd in drills):
             raise ParseError(
                 f"GENERATE over dimension {dim.name!r} cannot be "
@@ -1380,9 +1398,10 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         # degenerate dims need no navigability probe here: GENERATE
         # names no member literal, and the parent key partitions the
         # window, so repeating child keys stay unambiguous
-        _measure_alias(cube, g_m)   # unknown measure -> clear 400
-        child = hier.levels[idx + 1]
-        gl = (list(hier.levels[: idx + 2]) if qm.parents
+        if g_m is not None:             # HEAD/TAIL rank on key order
+            _measure_alias(cube, g_m)   # unknown measure -> clear 400
+        child = hier.levels[tgt_idx]
+        gl = (list(hier.levels[: tgt_idx + 1]) if qm.parents
               else [level, child])
         drills.append(ResolvedDrill(dim, hier, child, gl))
         generate_levels = (level, child)
@@ -1439,7 +1458,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             if pname not in requested and pname not in extra_names:
                 _measure_alias(cube, pname)  # unknown -> KeyError -> 400
                 extra_names.append(pname)
-    if qm.generate_top is not None:
+    if qm.generate_top is not None and qm.generate_top[2] is not None:
         pname = qm.generate_top[2]
         if pname not in requested and pname not in extra_names:
             _measure_alias(cube, pname)
@@ -1821,7 +1840,10 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     if qm.generate_top is not None and generate_levels is not None:
         g_level, g_child = generate_levels
         _, g_n, g_m, g_asc = qm.generate_top
-        ocol = _measure_alias(cube, g_m)
+        # measure rank (TOPCOUNT/BOTTOMCOUNT) or hierarchy-key rank
+        # (HEAD/TAIL: g_m is None, asc=HEAD) — same single window
+        ocol = (_measure_alias(cube, g_m) if g_m is not None
+                else g_child.key_alias)
         child_keys = {a for _, a in g_child.out_cols()}
         part = [a for rd in drills for lv in rd.group_levels
                 for a in [lv.key_alias] if a not in child_keys]

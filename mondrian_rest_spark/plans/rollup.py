@@ -370,7 +370,7 @@ class RollupManager:
                 extras.append(qm.order)
             except KeyError:
                 pass
-        if qm.generate_top is not None:
+        if qm.generate_top is not None and qm.generate_top[2] is not None:
             g_m = qm.generate_top[2]
             if g_m not in requested and g_m not in extras:
                 try:
@@ -394,6 +394,11 @@ class RollupManager:
         there, and a ranking measure that is itself approximate
         (approx_count_distinct) must rank on the base path's estimate,
         not the merged-sketch one."""
+        if getattr(qm, "generate_inner", None) is not None:
+            # non-default inner forms (HEAD/TAIL, DESCENDANTS target):
+            # the window keys differ from the (parent, child) pair this
+            # routing path materializes — serve them from base
+            return None
         g_path, _, g_m, _ = qm.generate_top
         segs = g_path.split(".")
         hier_name = segs[1] if len(segs) == 3 else None

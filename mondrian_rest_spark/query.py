@@ -121,6 +121,15 @@ class QueryModel:
     # drilldown of (parent, child) levels plus a post-agg row_number
     # window partitioned per parent (axis-sized, never the fact)
     generate_top: tuple | None = None
+    # non-default GENERATE inner-set form (r9): None = the canonical
+    # .Children + TOPCOUNT/BOTTOMCOUNT-by-measure idiom; otherwise
+    # ("measure" | "key", target_level_name | None) where "key" means
+    # the inner set is HEAD/TAIL (hierarchy-order prefix/suffix,
+    # generate_top carries measure=None and asc=True for HEAD) and a
+    # non-None target means DESCENDANTS(<outer>.CurrentMember,
+    # <target>) navigated the inner set to a deeper level than the
+    # immediate child.
+    generate_inner: tuple | None = None
     # FILTER(set, <level>.CurrentMember.Properties("P") <op> literal)
     # from raw MDX — member-property axis restrictions: ("[D].[L].[P]",
     # op, value) tuples ANDed together.  A dim-side predicate pushed to

@@ -128,14 +128,21 @@ def resolved_drills(cube: Cube, qm: QueryModel) -> list[ResolvedDrill]:
         # this, /mdx GENERATE shaped with zero drills and the cell
         # matrix collapsed to one scalar
         g_path = qm.generate_top[0]
+        _, g_target = (getattr(qm, "generate_inner", None)
+                       or ("measure", None))
         segs = g_path.split(".")
         hier_name = segs[1] if len(segs) == 3 else None
         dim, hier, level = _resolve_level(cube, segs[0], hier_name,
                                           segs[-1])
         idx = hier.level_index(level.name)
-        if idx + 1 < len(hier.levels):   # leaf-level GENERATE 400s in
-            child = hier.levels[idx + 1]  # the planner before shaping
-            gl = (list(hier.levels[: idx + 2]) if qm.parents
+        try:                              # invalid targets 400 in the
+            tgt_idx = (idx + 1 if g_target is None    # planner before
+                       else hier.level_index(g_target))  # shaping
+        except (KeyError, ValueError):
+            tgt_idx = len(hier.levels)
+        if idx < tgt_idx < len(hier.levels):
+            child = hier.levels[tgt_idx]
+            gl = (list(hier.levels[: tgt_idx + 1]) if qm.parents
                   else [level, child])
             drills.append(ResolvedDrill(dim, hier, child, gl))
     return drills

@@ -986,6 +986,22 @@ def test_generate_rollup_routing_refusals(spark, sf_dir):
         "[Measures].[Revenue])) ON ROWS FROM [Sales]")
     _, source = mgr.route(qm)
     assert source == "base"
+    # r9: non-default inner forms (HEAD/TAIL, DESCENDANTS target) are
+    # served from base by design — the routed window materializes the
+    # (parent, immediate-child) pair only
+    for mdx in (
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "HEAD([Customer].[Region].CurrentMember.Children, 2)) "
+        "ON ROWS FROM [Sales]",
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT(DESCENDANTS([Customer].[Region].CurrentMember, "
+        "[Customer].[Nation]), 2, [Measures].[Revenue])) "
+        "ON ROWS FROM [Sales]",
+    ):
+        _, source = mgr.route(compile_mdx(mdx))
+        assert source == "base"
 
 
 # --- member-property FILTER: hypothesis mini-net ---------------------------

@@ -2667,3 +2667,91 @@ def test_mdx_exists_and_existing(spark, sf_dir):
         "NON EMPTY [Customer].[Nation].Members ON ROWS "
         "FROM [Sales] WHERE ([Customer].[Region].[&2])").collect()
     assert [tuple(r) for r in ex] == [tuple(r) for r in plain]
+
+
+def test_mdx_generate_head_tail(spark, sf_dir):
+    """General GENERATE (VERDICT r8 #6): HEAD/TAIL inner sets rank by
+    hierarchy (key) order per parent — no measure involved."""
+    head = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "HEAD([Customer].[Region].CurrentMember.Children, 2)) "
+        "ON ROWS FROM [Sales]").collect()
+    # nations of region r are keys {r, r+5, r+10, r+15, r+20}
+    assert {(r[0], r[2]) for r in head} == {
+        (r, r + 5 * i) for r in range(5) for i in (0, 1)}
+    tail = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TAIL([Customer].[Region].CurrentMember.Children, 2)) "
+        "ON ROWS FROM [Sales]").collect()
+    assert {(r[0], r[2]) for r in tail} == {
+        (r, r + 5 * i) for r in range(5) for i in (3, 4)}
+    # HEAD defaults to n=1 (Mondrian)
+    one = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "HEAD([Customer].[Region].CurrentMember.Children)) "
+        "ON ROWS FROM [Sales]").collect()
+    assert {(r[0], r[2]) for r in one} == {(r, r) for r in range(5)}
+
+
+def test_mdx_generate_descendants_target(spark, sf_dir):
+    """DESCENDANTS inner navigation: the per-parent window runs at a
+    level DEEPER than the immediate child (Region -> Customer)."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT(DESCENDANTS([Customer].[Region].CurrentMember, "
+        "[Customer].[Customer]), 2, [Measures].[Revenue])) "
+        "ON ROWS FROM [Sales]").collect()
+    assert len(rows) == 10          # 5 regions x top-2 customers
+    # per region, the kept customers are that region's top-2 by revenue
+    full = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY CROSSJOIN([Customer].[Region].Members, "
+        "[Customer].[Customer].Members) ON ROWS FROM [Sales]").collect()
+    by_region: dict = {}
+    for r in full:
+        by_region.setdefault(r[0], []).append((r["revenue"],
+                                               -r["c_custkey"]))
+    for reg, got_rows in [(reg, [r for r in rows if r[0] == reg])
+                          for reg in range(5)]:
+        top2 = sorted(by_region[reg], reverse=True)[:2]
+        assert {(-k) for _, k in top2} == {r["c_custkey"]
+                                           for r in got_rows}
+
+
+def test_mdx_generate_rejections(spark, sf_dir):
+    for mdx, msg in [
+        # DESCENDANTS target above the outer level
+        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+         "GENERATE([Customer].[Nation].Members, "
+         "TOPCOUNT(DESCENDANTS([Customer].[Nation].CurrentMember, "
+         "[Customer].[Region]), 2, [Measures].[Revenue])) "
+         "ON ROWS FROM [Sales]", "must be below"),
+        # unknown target level
+        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+         "GENERATE([Customer].[Region].Members, "
+         "TOPCOUNT(DESCENDANTS([Customer].[Region].CurrentMember, "
+         "[Customer].[Bogus]), 2, [Measures].[Revenue])) "
+         "ON ROWS FROM [Sales]", "unknown DESCENDANTS level"),
+        # DESCENDANTS navigating another dimension
+        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+         "GENERATE([Customer].[Region].Members, "
+         "TOPCOUNT(DESCENDANTS([Part].[Brand].CurrentMember, "
+         "[Part].[Part]), 2, [Measures].[Revenue])) "
+         "ON ROWS FROM [Sales]", "outer"),
+        # HEAD count < 1
+        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+         "GENERATE([Customer].[Region].Members, "
+         "HEAD([Customer].[Region].CurrentMember.Children, 0)) "
+         "ON ROWS FROM [Sales]", "count must be >= 1"),
+    ]:
+        with pytest.raises(ParseError, match=msg):
+            execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
