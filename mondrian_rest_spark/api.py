@@ -532,11 +532,21 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         if not 0 < max_r <= 20:
             raise ParseError(f"max must be in 1..20, got {max_r}")
         log = list(served_log)
+        # measured per-level cardinalities from rollup builds (r9):
+        # the manager's stats replace the advisor's level-count proxy
+        # for ITS cube; other cubes keep the proxy
+        stats, stats_cube = None, None
+        if rollup_manager is not None and getattr(
+                rollup_manager, "level_stats", None):
+            stats = dict(rollup_manager.level_stats)
+            stats_cube = rollup_manager.cube.name
         out = []
         for cube_obj in cat.cubes:
             recs = recommend_rollups(
                 cube_obj, [q for q in log if q.cube == cube_obj.name],
-                max_rollups=max_r)
+                max_rollups=max_r,
+                level_cardinality=(stats if cube_obj.name == stats_cube
+                                   else None))
             out += [{
                 "cube": cube_obj.name,
                 "grain": list(r.grain),

@@ -110,6 +110,13 @@ class RollupManager:
             self.cube, measures=self.cube.measures + sketches)
         self._sketches = sketches
         self.rollups: list[Rollup] = []
+        #: measured per-level member counts, filled at rollup-build
+        #: time (VERDICT r8 #5): {(dim_name, level_name): n} — the
+        #: advisor's level_cardinality input, so grain scoring uses
+        #: DATA instead of the level-count proxy.  approx_count_
+        #: distinct over the already-materialized rollup frame: one
+        #: tiny agg per register(), never a fact scan.
+        self.level_stats: dict[tuple, int] = {}
         #: callbacks run after every append() — the HTTP layer hangs
         #: its result-cache invalidation here so a routed app never
         #: serves pre-append aggregates from its driver cache
@@ -155,6 +162,21 @@ class RollupManager:
                    rows=frame.count(), persist_path=persist_path,
                    partition_col=partition_col)
         self.rollups.append(r)
+        # measured per-level cardinalities for the advisor (r9): one
+        # approx_count_distinct agg over the grain keys of the frame
+        # just materialized — rollup-sized, the fact was already paid
+        key_by_level = {}
+        for spec in grain:
+            rd = _resolve_drill(self.cube, parse_drilldown(spec), False)
+            key_by_level[(rd.dimension.name, rd.level.name)] = \
+                rd.level.key_alias
+        if key_by_level:
+            stats = frame.agg(*[
+                F.approx_count_distinct(a).alias(a)
+                for a in set(key_by_level.values())]).collect()[0]
+            for lvl_key, alias in key_by_level.items():
+                self.level_stats[lvl_key] = max(
+                    self.level_stats.get(lvl_key, 0), int(stats[alias]))
         return r
 
     # -- incremental maintenance ------------------------------------------

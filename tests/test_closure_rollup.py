@@ -411,3 +411,36 @@ def test_rollup_advisor_grains_register_and_route(spark, sf_dir):
     base = aggregate(spark, sf_dir, tpch.CATALOG, hot)
     assert sorted(map(tuple, routed.collect())) == \
         sorted(map(tuple, base.collect()))
+
+
+def test_rollup_advisor_measured_cardinality_beats_proxy(spark, sf_dir):
+    """VERDICT r8 #5: per-level cardinalities measured at rollup-build
+    time (RollupManager.level_stats) feed the advisor; where the
+    level-count proxy and the measured order DISAGREE, the measured
+    one wins."""
+    from mondrian_rest_spark.plans.advisor import recommend_rollups
+
+    qa = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Customer.Region", "Time.Year"])
+    qb = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Customer.Customer"])
+    log = [qa, qb]
+
+    # level-count proxy: {Customer} is 1 level vs {Region, Year}'s 2,
+    # so the proxy scores the CUSTOMER grain highest...
+    proxy = recommend_rollups(tpch.SALES, log, max_rollups=1)
+    assert proxy[0].grain == ("Customer.Customer",)
+
+    # ...but measured cardinality says Customer (~150 members at
+    # sf0.001) costs 4x more rows than Region x Year (5 x 7 = 35)
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("stats_probe", ("Customer.Customer", "Customer.Region",
+                                 "Time.Year"))
+    stats = mgr.level_stats
+    assert stats[("Customer", "Region")] == 5
+    assert stats[("Customer", "Customer")] > 35   # dwarfs Region x Year
+    measured = recommend_rollups(tpch.SALES, log, max_rollups=1,
+                                 level_cardinality=stats)
+    assert set(measured[0].grain) == {"Customer.Region", "Time.Year"}
+    assert measured[0].est_rows == (stats[("Customer", "Region")]
+                                    * stats[("Time", "Year")])
