@@ -336,7 +336,12 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             return Response(formats.to_jsonrecords(header, tidy, as_array),
                             mimetype="application/x-jsonrecords")
         if fmt == "xls":
-            return Response(formats.to_xls(header, tidy),
+            # binary BIFF8 in an OLE2 container — the same bytes-level
+            # format the reference's spreadsheet gem emits
+            # (formatters/excel.rb:5-31); the SpreadsheetML textual
+            # variant stays available as formats.to_xls for clients
+            # that want XML
+            return Response(formats.to_xls_biff(header, tidy),
                             mimetype="application/vnd.ms-excel")
         if fmt == "xlsx":
             return Response(formats.to_xlsx(header, tidy),

