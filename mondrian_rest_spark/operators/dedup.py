@@ -516,15 +516,29 @@ def neardup_jaccard_prefix(df: DataFrame, threshold: float = 0.5,
         F.col("__rn") <= F.col("__sz")
         - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1)
     a = prefix.select(F.col(id_col).alias("a_id"), F.col("__g"),
-                      F.col("__sz").alias("__sza"))
+                      F.col("__sz").alias("__sza"),
+                      F.col("__rn").alias("__rna"))
     b = prefix.select(F.col(id_col).alias("b_id"), F.col("__g"),
-                      F.col("__sz").alias("__szb"))
+                      F.col("__sz").alias("__szb"),
+                      F.col("__rn").alias("__rnb"))
+    # positional filter (PPJoin proper, r9): a pair matched on a
+    # prefix shingle at ranks (i, j) can share at most
+    # 1 + min(|A|-i, |B|-j) shingles, and Jaccard >= t needs overlap
+    # >= t(|A|+|B|)/(1+t).  Exactness: every true pair's FIRST shared
+    # shingle (global order) passes the bound — all common shingles
+    # rank at or after it on both sides — and a pair is kept when ANY
+    # match passes.  The epsilon only ever ADMITS borderline pairs.
+    ubound = 1 + F.least(F.col("__sza") - F.col("__rna"),
+                         F.col("__szb") - F.col("__rnb"))
+    alpha = (F.lit(threshold) / F.lit(1.0 + threshold)
+             * (F.col("__sza") + F.col("__szb")))
     cand = (a.join(b, on="__g")
              .filter((F.col("a_id") < F.col("b_id"))
                      & (F.col("__szb")
                         >= F.lit(threshold) * F.col("__sza") - F.lit(1e-9))
                      & (F.col("__szb") * F.lit(threshold)
-                        <= F.col("__sza") + F.lit(1e-9)))
+                        <= F.col("__sza") + F.lit(1e-9))
+                     & (ubound >= alpha - F.lit(1e-9)))
              .select("a_id", "b_id")
              .distinct())
     fa = sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("sa"))
@@ -565,7 +579,7 @@ def build_jaccard_index(df: DataFrame, threshold: float = 0.5,
     prefixes = (ordered.filter(
         F.col("__rn") <= F.col("__sz")
         - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1)
-        .select(F.col(id_col), "__g", "__sz"))
+        .select(F.col(id_col), "__g", "__sz", "__rn"))
     return prefixes, sh, freq
 
 
@@ -595,14 +609,27 @@ def neardup_pairs_against_jaccard_index(
               .filter(F.size("shingles") > 0))
     prefix_new = jaccard_prefix_rows(sh_new, index_freq, threshold, id_col)
     a = prefix_new.select(F.col(id_col).alias("new_id"), F.col("__g"),
-                          F.col("__sz").alias("__sza"))
+                          F.col("__sz").alias("__sza"),
+                          F.col("__rn").alias("__rna"))
     b = index_prefixes.select(F.col(id_col).alias("hist_id"),
-                              F.col("__g"), F.col("__sz").alias("__szb"))
+                              F.col("__g"), F.col("__sz").alias("__szb"),
+                              F.col("__rn").alias("__rnb"))
+    # positional filter (PPJoin, r9 — see neardup_jaccard_prefix):
+    # valid across the frozen order because common shingles are all
+    # index-seen, so both sides rank them identically; batch-only
+    # (df=0) shingles merely shift positions, which only tightens the
+    # bound for non-common shingles, never for a true pair's first
+    # common match
+    ubound = 1 + F.least(F.col("__sza") - F.col("__rna"),
+                         F.col("__szb") - F.col("__rnb"))
+    alpha = (F.lit(threshold) / F.lit(1.0 + threshold)
+             * (F.col("__sza") + F.col("__szb")))
     cand = (a.join(b, on="__g")
              .filter((F.col("__szb")
                       >= F.lit(threshold) * F.col("__sza") - F.lit(1e-9))
                      & (F.col("__szb") * F.lit(threshold)
-                        <= F.col("__sza") + F.lit(1e-9)))
+                        <= F.col("__sza") + F.lit(1e-9))
+                     & (ubound >= alpha - F.lit(1e-9)))
              .select("new_id", "hist_id")
              .distinct())
     fa = sh_new.select(F.col(id_col).alias("new_id"),
@@ -633,7 +660,7 @@ def jaccard_prefix_rows(sh: DataFrame, freq: DataFrame, threshold: float,
     return (ordered.filter(
         F.col("__rn") <= F.col("__sz")
         - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1)
-        .select(F.col(id_col), "__g", "__sz"))
+        .select(F.col(id_col), "__g", "__sz", "__rn"))
 
 
 def deduplicate_jaccard_exact(df: DataFrame, threshold: float = 0.5,

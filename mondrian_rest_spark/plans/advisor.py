@@ -81,7 +81,10 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
             or qm.top_percent is not None
             or getattr(qm, "top_sum", None) is not None
             or getattr(qm, "empty_set", False)
-            or getattr(qm, "empty_slicer", False)):
+            or getattr(qm, "empty_slicer", False)
+            or getattr(qm, "property_filters", [])
+            or getattr(qm, "nav_filters", [])
+            or getattr(qm, "generate_inner", None) is not None):
         return None
     # routability must consider the HIDDEN measures HAVING/ORDER pull
     # in too (mirrors RollupManager._measure_names): a log entry whose
@@ -125,6 +128,22 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
                 if (rd.dimension.name, lv.name) not in levels:
                     levels.add((rd.dimension.name, lv.name))
                     specs.append(f"{rd.dimension.name}.{lv.name}")
+        if getattr(qm, "generate_top", None) is not None:
+            # GENERATE needs the (parent, child) level PAIR in the
+            # grain (mirrors RollupManager._generate_levels) — without
+            # them the advised grain would never route the query
+            from ..planner import _resolve_level
+            segs = qm.generate_top[0].split(".")
+            dim, hier, level = _resolve_level(
+                cube, segs[0], segs[1] if len(segs) == 3 else None,
+                segs[-1])
+            idx = hier.level_index(level.name)
+            if idx + 1 >= len(hier.levels):
+                return None
+            for lv in (level, hier.levels[idx + 1]):
+                if (dim.name, lv.name) not in levels:
+                    levels.add((dim.name, lv.name))
+                    specs.append(f"{dim.name}.{lv.name}")
         for c in qm.cut:
             rc = _resolve_cut(cube, parse_cut(c))
             if rc.cut.kind == "named_set":
