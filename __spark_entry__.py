@@ -489,6 +489,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # measure is empty — here the Part cut constrains facts only (the
     # dense axes stay full by contract), so the measure filter is what
     # prunes the (region, year) combos with no matching facts
+    # DRILLDOWNLEVEL (r9): Mondrian's mixed-depth axis — parents PLUS
+    # their children, hierarchized — as ONE grouping-sets aggregate
+    # {(parent), (parent, child)} (single Expand pass, no second
+    # scan); parent subtotal rows carry NULL child columns
+    q["q74_mdx_drilldownlevel"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY DRILLDOWNLEVEL([Customer].[Region].Members) "
+        "ON ROWS FROM [Sales]")
+
+    # DRILLDOWNMEMBER (r9): drill only the LISTED parents — same
+    # grouping-sets pass plus a post-agg child-row filter
+    q["q75_mdx_drilldownmember"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY DRILLDOWNMEMBER([Customer].[Region].Members, "
+        "{[Customer].[Region].[&1],[Customer].[Region].[&3]}) "
+        "ON ROWS FROM [Sales]")
+
     # general GENERATE (r9): DESCENDANTS inner navigation to a level
     # DEEPER than the immediate child + BOTTOMCOUNT — still ONE
     # per-parent row_number window over the (parent, target) aggregate
@@ -1834,6 +1855,27 @@ def oracle_sql() -> dict[str, str]:
                               {DEC('o_totalprice')} AS total_price
                        FROM {J_ORD_CUST} GROUP BY 1, 2) ords
             USING (cust_region_key, cust_region)""",
+
+        "q74_mdx_drilldownlevel": f"""
+            SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                   n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   {REVENUE} AS revenue
+            FROM {J_CUST}
+            GROUP BY GROUPING SETS ((r_regionkey, r_name),
+                                    (r_regionkey, r_name,
+                                     n_nationkey, n_name))""",
+
+        "q75_mdx_drilldownmember": f"""
+            WITH agg AS (
+              SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                     n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                     {REVENUE} AS revenue
+              FROM {J_CUST}
+              GROUP BY GROUPING SETS ((r_regionkey, r_name),
+                                      (r_regionkey, r_name,
+                                       n_nationkey, n_name)))
+            SELECT * FROM agg
+            WHERE cust_nation_key IS NULL OR cust_region_key IN (1, 3)""",
 
         "q72_mdx_generate_descendants": f"""
             WITH agg AS (

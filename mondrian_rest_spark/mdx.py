@@ -64,6 +64,10 @@ build_query emits, which covers every query the REST layer can express:
                                     unrelated dim -> no-op per spec)
            | EXISTING axis'        (no-op: axis enumeration is already
                                     context-restricted in this engine)
+           | DRILLDOWNLEVEL(<level path>.Members)
+           | DRILLDOWNMEMBER(<level path>.Members, {<member>, ...})
+             (mixed-depth axis: ONE grouping-sets aggregate
+              {(parent), (parent, child)}; NON EMPTY required)
            | {set} | <member>:<member>
            | UNION|EXCEPT|INTERSECT(mset, mset)
            | <path>.Members
@@ -645,6 +649,57 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             q.qm_kwargs["nonempty"] = True
         p.expect(")")
         return False
+    if t in ("DRILLDOWNLEVEL", "DRILLDOWNMEMBER"):
+        # DRILLDOWNLEVEL(<level>.Members) = the level's members PLUS
+        # each member's children, hierarchized (parent subtotal row
+        # before its children); DRILLDOWNMEMBER(<level>.Members,
+        # {m, ...}) drills only the listed members.  Both compile to
+        # ONE grouping-sets aggregate {(parent), (parent, child)} —
+        # a single Expand pass, no second scan; parent rows carry
+        # NULL child columns (Mondrian's mixed-depth axis).  Sole
+        # axis expression, NON EMPTY required (a dense fill of a
+        # mixed-grain axis is ill-defined — clear 400 in the
+        # planner), one per query.
+        p.next()
+        p.expect("(")
+        outer = _path(p)
+        p.expect(".")
+        p.expect("MEMBERS")
+        subset = None
+        if t == "DRILLDOWNMEMBER":
+            p.expect(",")
+            p.expect("{")
+            members = []
+            while True:
+                members.append(_path(p))
+                if p.peek() == ",":
+                    p.next()
+                    continue
+                break
+            p.expect("}")
+            for m in members:
+                if [s.lower() for s in m[:len(outer)]] != \
+                        [s.lower() for s in outer]:
+                    raise ParseError(
+                        f"DRILLDOWNMEMBER subset member {_path_str(m)} "
+                        f"is not on the drilled level "
+                        f"{_path_str(outer)}")
+            subset = "{" + ",".join(_path_str(m) for m in members) + "}"
+        elif p.peek() == ",":
+            raise ParseError(
+                "DRILLDOWNLEVEL supports the 1-arg form "
+                "(<level>.Members) in this MDX subset")
+        p.expect(")")
+        if q.qm_kwargs.get("drilldown_level") is not None \
+                or q.qm_kwargs.get("drilldown_members") is not None:
+            raise ParseError(
+                "one DRILLDOWNLEVEL/DRILLDOWNMEMBER per query in "
+                "this MDX subset")
+        if subset is None:
+            q.qm_kwargs["drilldown_level"] = ".".join(outer)
+        else:
+            q.qm_kwargs["drilldown_members"] = (".".join(outer), subset)
+        return True
     if t == "GENERATE":
         # GENERATE(<level>.Members, <inner>) — the union of the inner
         # set evaluated at each member of the outer set.  Supported
@@ -1986,6 +2041,17 @@ def emit_mdx(cat: Catalog, qm) -> str:
         dim_seg = parse_segments(m_path)[0]
         member = _path_str(parse_segments(m_path))
         sets.append(f"PERIODSTODATE([{dim_seg}].[{anchor}], {member})")
+    ddl_path = (getattr(qm, "drilldown_level", None)
+                or (qm.drilldown_members[0]
+                    if getattr(qm, "drilldown_members", None) is not None
+                    else None))
+    if ddl_path is not None:
+        lvlb = ".".join(f"[{s}]" for s in ddl_path.split("."))
+        if getattr(qm, "drilldown_level", None) is not None:
+            sets.append(f"DRILLDOWNLEVEL({lvlb}.Members)")
+        else:
+            sets.append(f"DRILLDOWNMEMBER({lvlb}.Members, "
+                        f"{qm.drilldown_members[1]})")
     if getattr(qm, "generate_top", None) is not None:
         g_path, g_n, g_m, g_asc = qm.generate_top
         _, g_target = (getattr(qm, "generate_inner", None)

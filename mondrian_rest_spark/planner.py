@@ -345,6 +345,12 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
                 "member-navigation FILTER conditions are not "
                 "supported on virtual cubes in this MDX subset; "
                 "query the base cube")
+        if (getattr(qm, "drilldown_level", None) is not None
+                or getattr(qm, "drilldown_members", None) is not None):
+            raise ParseError(
+                "DRILLDOWNLEVEL/DRILLDOWNMEMBER are not supported on "
+                "virtual cubes in this MDX subset; query the base "
+                "cube")
         if (qm.children_of or qm.parent_of or qm.edge_child_of
                 or qm.siblings_of or qm.edge_sibling_of
                 or qm.ancestor_of):
@@ -1406,6 +1412,59 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         drills.append(ResolvedDrill(dim, hier, child, gl))
         generate_levels = (level, child)
 
+    # --- DRILLDOWNLEVEL / DRILLDOWNMEMBER (raw MDX, r9): mixed-depth
+    # --- axis = ONE grouping-sets aggregate {(parent), (parent,
+    # --- child)}; parent subtotal rows carry NULL child columns ---
+    ddl_levels = None
+    ddl_subset_cut = None
+    ddl_spec = (qm.drilldown_level
+                if getattr(qm, "drilldown_level", None) is not None
+                else (qm.drilldown_members[0]
+                      if getattr(qm, "drilldown_members", None)
+                      is not None else None))
+    if ddl_spec is not None:
+        if not qm.nonempty:
+            raise ParseError(
+                "DRILLDOWNLEVEL/DRILLDOWNMEMBER require NON EMPTY in "
+                "this MDX subset (a dense fill of a mixed-grain axis "
+                "is ill-defined)")
+        if qm.parents:
+            raise ParseError(
+                "parents=true cannot combine with DRILLDOWNLEVEL/"
+                "DRILLDOWNMEMBER in this MDX subset")
+        if qm.generate_top is not None:
+            raise ParseError(
+                "GENERATE cannot combine with DRILLDOWNLEVEL/"
+                "DRILLDOWNMEMBER in this MDX subset")
+        segs = ddl_spec.split(".")
+        hier_name = segs[1] if len(segs) == 3 else None
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name,
+                                          segs[-1])
+        idx = hier.level_index(level.name)
+        if idx + 1 >= len(hier.levels):
+            raise ParseError(
+                f"DRILLDOWNLEVEL: {level.name!r} is the leaf level of "
+                f"hierarchy {hier.name!r}; there is no level to drill "
+                f"down to")
+        if any(rd.dimension.name == dim.name for rd in drills):
+            raise ParseError(
+                f"DRILLDOWNLEVEL over dimension {dim.name!r} cannot "
+                "be combined with another axis set on the same "
+                "dimension")
+        child = hier.levels[idx + 1]
+        drills.append(ResolvedDrill(dim, hier, child, [level, child]))
+        ddl_levels = (level, child)
+        if getattr(qm, "drilldown_members", None) is not None:
+            rc = _resolve_cut(cube, parse_cut(qm.drilldown_members[1],
+                                              ns_names))
+            if (rc.dimension.name != dim.name
+                    or rc.level.name != level.name):
+                raise ParseError(
+                    "DRILLDOWNMEMBER subset members must be on the "
+                    f"drilled level {level.name!r}, got "
+                    f"{rc.level.name!r}")
+            ddl_subset_cut = rc
+
     # drilling on an ascendant of a cut member is a client error
     # (reference api_spec.rb:154-157; query_helper.rb:242-245)
     for rd in drills:
@@ -1659,7 +1718,27 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     aggs += [_set_agg_col(c, rc, m) for c, rc, m in fs_set_aggs]
     if not aggs:  # pure axis enumeration still needs an aggregate context
         aggs = [_agg_expr(cube.default_measure)]
-    if group_cols:
+    if ddl_levels is not None:
+        # mixed-depth axis: {(everything-but-child), (everything)} in
+        # one Expand pass — partial aggregation still applies, no
+        # second scan.  Parent subtotal rows carry NULL child columns.
+        parent_lv, child_lv = ddl_levels
+        child_aliases = {a for _, a in child_lv.out_cols()}
+        if any(a in child_aliases
+               for a in prop_group_aliases(drills, prop_seq)):
+            raise ParseError(
+                "properties on the drilled-down level cannot combine "
+                "with DRILLDOWNLEVEL in this MDX subset")
+        gs_parent = [c for c in group_cols if c not in child_aliases]
+        out = (base.groupingSets([gs_parent, group_cols], *group_cols)
+                   .agg(*aggs))
+        if ddl_subset_cut is not None:
+            # DRILLDOWNMEMBER: child rows only under the listed
+            # parents; subtotal rows (NULL child key) always stay
+            out = out.filter(
+                F.col(child_lv.key_alias).isNull()
+                | _cut_predicate(ddl_subset_cut))
+    elif group_cols:
         out = base.groupBy(*group_cols).agg(*aggs)
     else:
         out = base.agg(*aggs)

@@ -130,6 +130,17 @@ class QueryModel:
     # <target>) navigated the inner set to a deeper level than the
     # immediate child.
     generate_inner: tuple | None = None
+    # DRILLDOWNLEVEL(<level>.Members) from raw MDX (r9): the outer
+    # level's dotted path.  Compiles to ONE grouping-sets aggregate at
+    # {(parent), (parent, child)} — parent subtotal rows carry NULL
+    # child columns, exactly Mondrian's mixed-depth axis — in a single
+    # Expand pass (no second scan).
+    drilldown_level: str | None = None
+    # DRILLDOWNMEMBER(<level>.Members, {m, ...}) from raw MDX (r9):
+    # (level_path, subset_cut_string) — same grouping-sets aggregate
+    # plus a post-agg filter keeping child rows only under the listed
+    # parent members.
+    drilldown_members: tuple | None = None
     # FILTER(set, <level>.CurrentMember.Properties("P") <op> literal)
     # from raw MDX — member-property axis restrictions: ("[D].[L].[P]",
     # op, value) tuples ANDed together.  A dim-side predicate pushed to

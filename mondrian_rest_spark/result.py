@@ -145,6 +145,23 @@ def resolved_drills(cube: Cube, qm: QueryModel) -> list[ResolvedDrill]:
             gl = (list(hier.levels[: tgt_idx + 1]) if qm.parents
                   else [level, child])
             drills.append(ResolvedDrill(dim, hier, child, gl))
+    ddl_spec = (getattr(qm, "drilldown_level", None)
+                or (qm.drilldown_members[0]
+                    if getattr(qm, "drilldown_members", None) is not None
+                    else None))
+    if ddl_spec is not None:
+        # mirror the planner's DRILLDOWNLEVEL/DRILLDOWNMEMBER append:
+        # the (parent, child) grouping-sets pair; parent subtotal rows
+        # carry NULL child cells (trimmed in _axis_member_hash)
+        segs = ddl_spec.split(".")
+        hier_name = segs[1] if len(segs) == 3 else None
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name,
+                                          segs[-1])
+        idx = hier.level_index(level.name)
+        if idx + 1 < len(hier.levels):  # leaf 400s in the planner
+            child = hier.levels[idx + 1]
+            drills.append(ResolvedDrill(dim, hier, child,
+                                        [level, child]))
     return drills
 
 
@@ -198,6 +215,11 @@ def _axis_member_hash(rd: ResolvedDrill, tup: tuple,
         else:
             c = k
         parts.append((lv, k, c))
+    # a DRILLDOWNLEVEL parent-subtotal tuple carries NULL keys at the
+    # drilled-down level: the member IS the deepest non-null ancestor
+    # (Mondrian's mixed-depth axis hash)
+    while len(parts) > 1 and parts[-1][1] is None:
+        parts.pop()
 
     def one(i: int) -> dict[str, Any]:
         lv, k, c = parts[i]

@@ -487,6 +487,29 @@ def test_mdx_route_generate_shapes_axes(client):
     assert all(len(row) == 5 for row in rows)
 
 
+def test_mdx_route_drilldownlevel_shapes(client):
+    # mixed-depth axis shaping: subtotal tuples hash as the PARENT
+    # member (NULL child trimmed), CSV carries blank child cells
+    mdx = ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+           "NON EMPTY DRILLDOWNLEVEL([Customer].[Region].Members) "
+           "ON ROWS FROM [Sales]")
+    r = client.post("/mdx", data=mdx)
+    assert r.status_code == 200
+    body = r.get_json()
+    assert len(body["values"]) == 30
+    members = body["axes"][1]["members"]
+    names = {m["level_name"] for m in members}
+    assert names == {"Region", "Nation"}      # mixed-depth member set
+    assert sum(1 for m in members if m["level_name"] == "Region") == 5
+    r = client.post("/mdx.csv", data=mdx)
+    rows = list(csv.reader(io.StringIO(r.get_data(as_text=True))))
+    assert rows[0] == ["ID Region", "Region", "ID Nation", "Nation",
+                       "Revenue"]
+    assert len(rows) == 31
+    blanks = [row for row in rows[1:] if row[2] == ""]
+    assert len(blanks) == 5                   # one subtotal per region
+
+
 def test_virtual_cube_members_surface(client):
     # conformed dims of a virtual cube expose the full members surface,
     # like the reference's first-class virtual cubes

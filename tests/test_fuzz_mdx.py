@@ -781,6 +781,22 @@ _MUTATION_SEEDS = [
     'SELECT {[Measures].[Revenue]} ON COLUMNS, '
     'NON EMPTY EXISTING [Customer].[Nation].Members ON ROWS '
     'FROM [Sales] WHERE ([Customer].[Region].[&2])',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY DRILLDOWNLEVEL([Customer].[Region].Members) ON ROWS '
+    'FROM [Sales]',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY DRILLDOWNMEMBER([Customer].[Region].Members, '
+    '{[Customer].[Region].[&1],[Customer].[Region].[&3]}) ON ROWS '
+    'FROM [Sales]',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY GENERATE([Customer].[Region].Members, '
+    'TAIL([Customer].[Region].CurrentMember.Children, 2)) ON ROWS '
+    'FROM [Sales]',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY GENERATE([Customer].[Region].Members, '
+    'BOTTOMCOUNT(DESCENDANTS([Customer].[Region].CurrentMember, '
+    '[Customer].[Customer]), 2, [Measures].[Revenue])) ON ROWS '
+    'FROM [Sales]',
 ]
 
 

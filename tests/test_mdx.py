@@ -2755,3 +2755,65 @@ def test_mdx_generate_rejections(spark, sf_dir):
     ]:
         with pytest.raises(ParseError, match=msg):
             execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
+
+
+def test_mdx_drilldownlevel_mixed_depth_axis(spark, sf_dir):
+    """DRILLDOWNLEVEL = one grouping-sets pass: parent subtotal rows
+    (NULL child columns) interleave hierarchically before their
+    children, and the subtotal value equals the sum of the children."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY DRILLDOWNLEVEL([Customer].[Region].Members) "
+        "ON ROWS FROM [Sales]").collect()
+    assert len(rows) == 30              # 5 subtotals + 25 nations
+    # hierarchical order: each region's subtotal row precedes its
+    # children (asc nulls-first on the child key)
+    for i in range(0, 30, 6):
+        assert rows[i]["cust_nation_key"] is None
+        kids = rows[i + 1: i + 6]
+        assert all(r["cust_region_key"] == rows[i]["cust_region_key"]
+                   for r in kids)
+        assert abs(sum(r["revenue"] for r in kids)
+                   - rows[i]["revenue"]) < 1e-6
+    # DRILLDOWNMEMBER keeps subtotals for ALL parents, children only
+    # under the listed ones
+    ddm = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY DRILLDOWNMEMBER([Customer].[Region].Members, "
+        "{[Customer].[Region].[&2]}) ON ROWS FROM [Sales]").collect()
+    assert len(ddm) == 10               # 5 subtotals + region 2's kids
+    assert {r["cust_region_key"] for r in ddm
+            if r["cust_nation_key"] is not None} == {2}
+
+
+def test_mdx_drilldownlevel_rejections(spark, sf_dir):
+    for mdx, msg in [
+        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+         "DRILLDOWNLEVEL([Customer].[Region].Members) ON ROWS "
+         "FROM [Sales]", "NON EMPTY"),
+        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+         "NON EMPTY DRILLDOWNLEVEL([Customer].[Customer].Members) "
+         "ON ROWS FROM [Sales]", "leaf level"),
+        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+         "NON EMPTY CROSSJOIN(DRILLDOWNLEVEL("
+         "[Customer].[Region].Members), [Time].[Year].Members) "
+         "ON ROWS FROM [Sales]", "."),   # set fn in crossjoin position
+        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+         "NON EMPTY DRILLDOWNMEMBER([Customer].[Region].Members, "
+         "{[Customer].[Nation].[&3]}) ON ROWS FROM [Sales]",
+         "not on the drilled"),
+        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+         "NON EMPTY DRILLDOWNLEVEL([Customer].[Region].Members, "
+         "[Customer].[Nation]) ON ROWS FROM [Sales]", "1-arg"),
+    ]:
+        with pytest.raises(ParseError, match=msg):
+            execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
+    # virtual cubes refuse (drill-across has no grouping-sets stage)
+    with pytest.raises(ParseError, match="virtual"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY DRILLDOWNLEVEL([Customer].[Region].Members) "
+            "ON ROWS FROM [Orders and Sales]").collect()
