@@ -489,6 +489,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # measure is empty — here the Part cut constrains facts only (the
     # dense axes stay full by contract), so the measure filter is what
     # prunes the (region, year) combos with no matching facts
+    # HIERARCHIZE over a RANKED set (r9): TOPCOUNT picks the tuples,
+    # display order reverts to hierarchical — Mondrian's
+    # pick-then-display idiom; one axis-sized re-sort after the limit
+    q["q76_mdx_hierarchize_topcount"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY HIERARCHIZE(TOPCOUNT([Customer].[Nation].Members, "
+        "5, [Measures].[Revenue])) ON ROWS FROM [Sales]")
+
     # DRILLDOWNLEVEL (r9): Mondrian's mixed-depth axis — parents PLUS
     # their children, hierarchized — as ONE grouping-sets aggregate
     # {(parent), (parent, child)} (single Expand pass, no second
@@ -1855,6 +1865,16 @@ def oracle_sql() -> dict[str, str]:
                               {DEC('o_totalprice')} AS total_price
                        FROM {J_ORD_CUST} GROUP BY 1, 2) ords
             USING (cust_region_key, cust_region)""",
+
+        "q76_mdx_hierarchize_topcount": f"""
+            WITH agg AS (
+              SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2),
+            top5 AS (
+              SELECT * FROM agg
+              ORDER BY revenue DESC, cust_nation_key LIMIT 5)
+            SELECT * FROM top5 ORDER BY cust_nation_key""",
 
         "q74_mdx_drilldownlevel": f"""
             SELECT r_regionkey AS cust_region_key, r_name AS cust_region,

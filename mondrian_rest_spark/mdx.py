@@ -1014,18 +1014,22 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             (level_path[-1], _path_str(member)))
         return False
     if t == "HIERARCHIZE":
-        # HIERARCHIZE(set): hierarchical member order — which is this
-        # engine's DEFAULT axis order (root-level keys outermost, asc;
-        # planner orderBy key_aliases), so the wrapper parses its set
-        # and asserts no conflicting explicit ORDER was imposed
+        # HIERARCHIZE(set): hierarchical member order — this engine's
+        # DEFAULT axis order (root-level keys outermost, asc; planner
+        # orderBy key_aliases), so over a plain set it is a no-op
+        # wrapper.  r9 generalizes to ANY inner axis expression:
+        # wrapping a RANKED set (ORDER/TOPCOUNT/TOPPERCENT/TOPSUM —
+        # Mondrian's pick-then-display-hierarchically idiom) keeps the
+        # rank's tuple selection and re-sorts the display
+        # hierarchically (qm.hierarchize, one axis-sized re-sort).
         p.next()
         p.expect("(")
-        _crossjoin_operand(p, q)
+        _axis_expr(p, q)
         p.expect(")")
-        if "order" in q.qm_kwargs:
-            raise ParseError(
-                "HIERARCHIZE cannot wrap an ORDER'd set in this MDX "
-                "subset (hierarchical order would override it)")
+        if ("order" in q.qm_kwargs
+                or q.qm_kwargs.get("top_percent") is not None
+                or q.qm_kwargs.get("top_sum") is not None):
+            q.qm_kwargs["hierarchize"] = True
         return False
     if t in ("UNION", "EXCEPT", "INTERSECT"):
         level_path, kind, members = _member_set_operand(p)
@@ -2144,6 +2148,8 @@ def emit_mdx(cat: Catalog, qm) -> str:
             axis = f"TAIL({axis}, {qm.tail})"
         for m in getattr(qm, "nonempty_measures", []):
             axis = f"NONEMPTY({axis}, [Measures].[{m}])"
+        if getattr(qm, "hierarchize", False):
+            axis = f"HIERARCHIZE({axis})"
         if qm.nonempty:
             axis = f"NON EMPTY {axis}"
 

@@ -2045,6 +2045,12 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         else:
             out = out.limit(qm.tail)   # no axis: at most one total row
 
+    if getattr(qm, "hierarchize", False) and key_aliases:
+        # HIERARCHIZE over a ranked set (e.g. HIERARCHIZE(TOPCOUNT(
+        # ...))): the rank picked the tuples above; display order
+        # reverts to hierarchical — one axis-sized re-sort
+        out = out.orderBy(*[F.asc(a) for a in key_aliases])
+
     return out.select(*group_cols, *final_aliases)
 
 

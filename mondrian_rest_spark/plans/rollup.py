@@ -615,4 +615,8 @@ class RollupManager:
             out = out.offset(qm.offset)
         if qm.limit is not None:
             out = out.limit(qm.limit)
+        if getattr(qm, "hierarchize", False) and key_aliases:
+            # HIERARCHIZE over a ranked set: same post-limit
+            # hierarchical re-sort as the base path
+            out = out.orderBy(*[F.asc(a) for a in key_aliases])
         return out.select(*group_cols, *display)

@@ -141,6 +141,12 @@ class QueryModel:
     # plus a post-agg filter keeping child rows only under the listed
     # parent members.
     drilldown_members: tuple | None = None
+    # HIERARCHIZE over a RANKED set (r9): the wrapped function's
+    # order+limit select the tuples, then display order reverts to
+    # hierarchical (one axis-sized re-sort after offset/limit/tail).
+    # Plain HIERARCHIZE needs no flag — hierarchical IS the default
+    # axis order.
+    hierarchize: bool = False
     # FILTER(set, <level>.CurrentMember.Properties("P") <op> literal)
     # from raw MDX — member-property axis restrictions: ("[D].[L].[P]",
     # op, value) tuples ANDed together.  A dim-side predicate pushed to

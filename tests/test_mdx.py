@@ -245,12 +245,13 @@ def test_hierarchize_is_default_order(spark, sf_dir):
     exp = [tuple(r) for r in execute_mdx(
         spark, sf_dir, tpch.CATALOG, plain).collect()]
     assert got == exp   # including row order
-    # ORDER inside HIERARCHIZE would be overridden -> clear 400
-    with pytest.raises(ParseError, match="HIERARCHIZE|crossjoin operand"):
-        compile_mdx(
-            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
-            "HIERARCHIZE(ORDER([Customer].[Region].Members, "
-            "[Measures].[Revenue], BDESC)) ON ROWS FROM [Sales]")
+    # ORDER inside HIERARCHIZE: supported since r9 — the measure rank
+    # is overridden by the hierarchical display re-sort (qm.hierarchize)
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "HIERARCHIZE(ORDER([Customer].[Region].Members, "
+        "[Measures].[Revenue], BDESC)) ON ROWS FROM [Sales]")
+    assert qm.hierarchize and qm.order == "Revenue"
 
 
 def test_compile_non_default_hierarchy_members(spark, sf_dir):
@@ -2817,3 +2818,40 @@ def test_mdx_drilldownlevel_rejections(spark, sf_dir):
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
             "NON EMPTY DRILLDOWNLEVEL([Customer].[Region].Members) "
             "ON ROWS FROM [Orders and Sales]").collect()
+
+
+def test_mdx_hierarchize_over_ranked_sets(spark, sf_dir):
+    """General HIERARCHIZE (r9): wrapping a RANKED set keeps the
+    rank's tuple selection but reverts display order to hierarchical;
+    over a plain set it stays a no-op; debug echo round-trips."""
+    ranked = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPCOUNT([Customer].[Nation].Members, 5, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]").collect()
+    wrapped = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY HIERARCHIZE(TOPCOUNT([Customer].[Nation].Members, "
+        "5, [Measures].[Revenue])) ON ROWS FROM [Sales]").collect()
+    assert {r[0] for r in wrapped} == {r[0] for r in ranked}   # same set
+    assert [r[0] for r in wrapped] == sorted(r[0] for r in wrapped)
+    assert [r[0] for r in ranked] != [r[0] for r in wrapped]  # order flips
+    # plain HIERARCHIZE over a FILTER'd set: no-op wrapper, still legal
+    plain = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY HIERARCHIZE(FILTER([Customer].[Nation].Members, "
+        "[Measures].[Revenue] > 0)) ON ROWS FROM [Sales]").collect()
+    assert [r[0] for r in plain] == sorted(r[0] for r in plain)
+    # ORDER'd set wrapped: selection order dropped for display
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY HIERARCHIZE(ORDER([Customer].[Nation].Members, "
+        "[Measures].[Revenue], BDESC)) ON ROWS FROM [Sales]")
+    assert qm.hierarchize and qm.order == "Revenue"
+    from mondrian_rest_spark.mdx import emit_mdx
+    echo = emit_mdx(tpch.CATALOG, qm)
+    assert "HIERARCHIZE(" in echo
+    qm2 = compile_mdx(echo)
+    assert qm2.hierarchize and qm2.order == "Revenue"
