@@ -489,6 +489,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # measure is empty — here the Part cut constrains facts only (the
     # dense axes stay full by contract), so the measure filter is what
     # prunes the (region, year) combos with no matching facts
+    # VISUALTOTALS (r9): the parent's total reflects only the LISTED
+    # children — the children cut restricts the fact rows, so the
+    # grouping-sets parent subtotal IS the visible total (no 2nd pass)
+    q["q77_mdx_visualtotals"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY VISUALTOTALS({[Customer].[Region].[&1], "
+        "[Customer].[Nation].[&1], [Customer].[Nation].[&6]}) "
+        "ON ROWS FROM [Sales]")
+
     # HIERARCHIZE over a RANKED set (r9): TOPCOUNT picks the tuples,
     # display order reverts to hierarchical — Mondrian's
     # pick-then-display idiom; one axis-sized re-sort after the limit
@@ -1865,6 +1876,16 @@ def oracle_sql() -> dict[str, str]:
                               {DEC('o_totalprice')} AS total_price
                        FROM {J_ORD_CUST} GROUP BY 1, 2) ords
             USING (cust_region_key, cust_region)""",
+
+        "q77_mdx_visualtotals": f"""
+            SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                   n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE n_nationkey IN (1, 6)
+            GROUP BY GROUPING SETS ((r_regionkey, r_name),
+                                    (r_regionkey, r_name,
+                                     n_nationkey, n_name))""",
 
         "q76_mdx_hierarchize_topcount": f"""
             WITH agg AS (

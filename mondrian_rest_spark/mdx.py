@@ -649,6 +649,57 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             q.qm_kwargs["nonempty"] = True
         p.expect(")")
         return False
+    if t == "VISUALTOTALS":
+        # VISUALTOTALS({parent, child, child, ...}): the parent's
+        # total reflects only the LISTED children (Mondrian's visible
+        # total).  Compiles onto the DRILLDOWNMEMBER grouping-sets
+        # machinery plus a cut to the listed children: the cut
+        # restricts the fact rows, so the parent subtotal row
+        # aggregates exactly the visible children — no second pass.
+        # Children not actually under the parent aggregate over
+        # nothing and drop under the required NON EMPTY (documented).
+        p.next()
+        p.expect("(")
+        p.expect("{")
+        members = []
+        while True:
+            members.append(_path(p))
+            if p.peek() == ",":
+                p.next()
+                continue
+            break
+        p.expect("}")
+        p.expect(")")
+        if len(members) < 2:
+            raise ParseError(
+                "VISUALTOTALS needs {parent, child, ...} — at least "
+                "one child member")
+        parent, children = members[0], members[1:]
+        if len(parent) < 3:
+            raise ParseError(
+                f"VISUALTOTALS parent needs [Dim].[Level].[member], "
+                f"got {_path_str(parent)}")
+        for m in children:
+            if m[0].lower() != parent[0].lower():
+                raise ParseError(
+                    f"VISUALTOTALS member {_path_str(m)} is not on the "
+                    f"parent's dimension {_path_str([parent[0]])}")
+            if m[:-1] == parent[:-1]:
+                raise ParseError(
+                    f"VISUALTOTALS child {_path_str(m)} is at the "
+                    f"parent's own level; list the parent first, then "
+                    f"its children")
+        if q.qm_kwargs.get("drilldown_level") is not None \
+                or q.qm_kwargs.get("drilldown_members") is not None:
+            raise ParseError(
+                "one DRILLDOWNLEVEL/DRILLDOWNMEMBER/VISUALTOTALS per "
+                "query in this MDX subset")
+        q.qm_kwargs["drilldown_members"] = (
+            ".".join(parent[:-1]),
+            "{" + _path_str(parent) + "}")
+        q.qm_kwargs["cut"].append(
+            "{" + ",".join(_path_str(m) for m in children) + "}")
+        return True
     if t in ("DRILLDOWNLEVEL", "DRILLDOWNMEMBER"):
         # DRILLDOWNLEVEL(<level>.Members) = the level's members PLUS
         # each member's children, hierarchized (parent subtotal row

@@ -797,6 +797,13 @@ _MUTATION_SEEDS = [
     'BOTTOMCOUNT(DESCENDANTS([Customer].[Region].CurrentMember, '
     '[Customer].[Customer]), 2, [Measures].[Revenue])) ON ROWS '
     'FROM [Sales]',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY VISUALTOTALS({[Customer].[Region].[&1], '
+    '[Customer].[Nation].[&1], [Customer].[Nation].[&6]}) ON ROWS '
+    'FROM [Sales]',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY HIERARCHIZE(TOPCOUNT([Customer].[Nation].Members, 5, '
+    '[Measures].[Revenue])) ON ROWS FROM [Sales]',
 ]
 
 

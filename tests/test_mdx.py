@@ -2855,3 +2855,39 @@ def test_mdx_hierarchize_over_ranked_sets(spark, sf_dir):
     assert "HIERARCHIZE(" in echo
     qm2 = compile_mdx(echo)
     assert qm2.hierarchize and qm2.order == "Revenue"
+
+
+def test_mdx_visualtotals(spark, sf_dir):
+    """VISUALTOTALS: the parent subtotal equals the sum of the LISTED
+    children, not the full member total."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY VISUALTOTALS({[Customer].[Region].[&1], "
+        "[Customer].[Nation].[&1], [Customer].[Nation].[&6]}) "
+        "ON ROWS FROM [Sales]").collect()
+    assert len(rows) == 3
+    assert rows[0]["cust_nation_key"] is None
+    kids = rows[1:]
+    assert {r["cust_nation_key"] for r in kids} == {1, 6}
+    assert abs(rows[0]["revenue"]
+               - sum(r["revenue"] for r in kids)) < 1e-6
+    # the visible total differs from the FULL member total
+    full = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].Members ON ROWS "
+        "FROM [Sales]").collect()
+    full_total = {r[0]: r["revenue"] for r in full}[1]
+    assert rows[0]["revenue"] < full_total
+    # malformed: child at the parent's own level / missing children
+    with pytest.raises(ParseError, match="parent's own level"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY VISUALTOTALS({[Customer].[Region].[&1], "
+            "[Customer].[Region].[&2]}) ON ROWS FROM [Sales]")
+    with pytest.raises(ParseError, match="at least one child"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY VISUALTOTALS({[Customer].[Region].[&1]}) "
+            "ON ROWS FROM [Sales]")
