@@ -1243,6 +1243,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             salt="mix-v1").select("doc_id", "lang")
     q["x04_mixture_sample"] = _mixture
 
+    # sliding-window chunking (r9): long documents -> overlapping
+    # context-window-sized training examples; pure per-row JVM codegen
+    # (split + transform(sequence) + posexplode), zero shuffles
+    q["x05_chunk_windows"] = lambda s, d: __import__(
+        "mondrian_rest_spark.operators.pipeline",
+        fromlist=["chunk_windows"]).chunk_windows(
+        load_table(s, d, "documents"), window=64, stride=48)
+
     # JSON catalog calc members declared as MDX FORMULAS (r8) — the
     # reference XML CalculatedMember formula form, resolved at bind
     # time through the WITH MEMBER grammar (arith + measure tuple)
@@ -2828,6 +2836,20 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'en' THEN 5000
                                WHEN 'unknown' THEN 500
                                ELSE 2000 END""",
+
+        "x05_chunk_windows": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS words
+              FROM documents WHERE trim(text) <> '')
+            SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+                   array_to_string(words[i*48+1 : i*48+64], ' ')
+                     AS chunk_text,
+                   CAST(len(words[i*48+1 : i*48+64]) AS INTEGER)
+                     AS n_words
+            FROM w, unnest(range(0, ((len(words) - 1) // 48) + 1))
+                      AS t(i)
+            WHERE len(words) > 0""",
 
         "x04_mixture_sample": """
             WITH cnt AS (

@@ -97,3 +97,43 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
             .filter((F.col("quality") >= min_quality) &
                     F.col("predicted_lang").isin(list(languages)))
             .select(id_col, "quality", "predicted_lang"))
+
+
+def chunk_windows(docs: DataFrame, window: int = 64, stride: int = 48,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    fixed-size word windows — the standard step that turns long
+    documents into context-window-sized training examples (r9; no
+    reference analog — mondrian-rest has no text path).
+
+    One row per chunk: ``(id, chunk_idx, chunk_text, n_words)``.
+    Chunk i covers words ``[i*stride, i*stride + window)``; offsets
+    advance by ``stride`` while they stay inside the document, so the
+    tail chunk may be shorter than ``window`` (never empty) and with
+    ``stride < window`` consecutive chunks overlap by
+    ``window - stride`` words.
+
+    Plan shape at 100 TB: pure per-row JVM codegen (split +
+    ``transform(sequence(...))`` + ``posexplode``) — zero shuffles,
+    row counts fan out by ~n_words/stride, so repartition AFTER
+    chunking if a downstream stage groups; whole-stage codegen keeps
+    the string slicing vectorized (no Python)."""
+    if window < 1 or stride < 1:
+        raise ValueError(
+            f"window and stride must be >= 1, got {window}/{stride}")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    chunks = F.expr(
+        f"transform(sequence(0, cast(floor((size(__words) - 1) / "
+        f"{stride}) as int)), i -> struct("
+        f"array_join(slice(__words, i * {stride} + 1, {window}), ' ') "
+        f"as chunk_text, "
+        f"size(slice(__words, i * {stride} + 1, {window})) as n_words))")
+    return (docs
+            .filter(F.trim(F.col(text_col)) != "")  # split('') == ['']
+            .withColumn("__words", words)
+            .select(F.col(id_col), F.posexplode(chunks)
+                    .alias("chunk_idx", "__c"))
+            .select(id_col, "chunk_idx",
+                    F.col("__c.chunk_text").alias("chunk_text"),
+                    F.col("__c.n_words").alias("n_words")))

@@ -1444,3 +1444,27 @@ def test_mmr_rerank_at_rest_caps_is_fast(spark):
     # greedy loop is ~1s of numpy at this size; the budget covers the
     # Spark candidate fetch + collect on a loaded CI box
     assert elapsed < 60, f"MMR at caps took {elapsed:.1f}s"
+
+
+def test_chunk_windows_overlap_and_tail(spark):
+    """x05 chunking: offsets advance by stride; consecutive chunks
+    overlap by window-stride words; the tail chunk is shorter but
+    never empty; empty docs vanish."""
+    from mondrian_rest_spark.operators.pipeline import chunk_windows
+
+    rows = [(1, " ".join(f"w{i}" for i in range(10))),   # 10 words
+            (2, "one"),                                   # single word
+            (3, "   ")]                                   # empty
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.doc_id, r.chunk_idx): r
+           for r in chunk_windows(df, window=4, stride=3).collect()}
+    # doc 1: offsets 0,3,6,9 -> 4 chunks; tail has 1 word
+    assert sorted(k for k in got if k[0] == 1) == [(1, i) for i in range(4)]
+    assert got[(1, 0)].chunk_text == "w0 w1 w2 w3"
+    assert got[(1, 1)].chunk_text == "w3 w4 w5 w6"    # 1-word overlap
+    assert got[(1, 3)].chunk_text == "w9" and got[(1, 3)].n_words == 1
+    assert got[(2, 0)].n_words == 1
+    assert not any(k[0] == 3 for k in got)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="window and stride"):
+        chunk_windows(df, window=0)
