@@ -66,8 +66,11 @@ build_query emits, which covers every query the REST layer can express:
                                     context-restricted in this engine)
            | DRILLDOWNLEVEL(<level path>.Members)
            | DRILLDOWNMEMBER(<level path>.Members, {<member>, ...})
+           | VISUALTOTALS({<parent member>, <child member>, ...})
              (mixed-depth axis: ONE grouping-sets aggregate
-              {(parent), (parent, child)}; NON EMPTY required)
+              {(parent), (parent, child)}; NON EMPTY required;
+              VISUALTOTALS cuts facts to the listed children so the
+              parent subtotal IS the visible total)
            | {set} | <member>:<member>
            | UNION|EXCEPT|INTERSECT(mset, mset)
            | <path>.Members

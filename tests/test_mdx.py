@@ -2891,3 +2891,23 @@ def test_mdx_visualtotals(spark, sf_dir):
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
             "NON EMPTY VISUALTOTALS({[Customer].[Region].[&1]}) "
             "ON ROWS FROM [Sales]")
+
+
+def test_mdx_case_iif_compose_in_filter(spark, sf_dir):
+    """CASE/IIF compose inside FILTER conditions for free (the
+    condition parser shares _calc_tokens with WITH MEMBER formulas)."""
+    base = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Nation].Members, "
+        "[Measures].[Revenue] > 10000000) ON ROWS FROM [Sales]").collect()
+    for cond in (
+        "CASE WHEN [Measures].[Revenue] > 10000000 THEN 1 ELSE 0 END = 1",
+        "IIF([Measures].[Revenue] > 10000000, 1, 0) = 1",
+    ):
+        got = execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            f"NON EMPTY FILTER([Customer].[Nation].Members, {cond}) "
+            "ON ROWS FROM [Sales]").collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in base]
