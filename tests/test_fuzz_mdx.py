@@ -1105,3 +1105,25 @@ def test_nonempty_measure_routes_through_rollup(spark, sf_dir):
             assert bool(((av - bv).abs() <= 1e-9 + 1e-9 * bv.abs()).all())
         else:
             assert bool((av.astype(object) == bv.astype(object)).all())
+
+
+def test_hierarchize_ranked_routes_with_parity(spark, sf_dir):
+    """HIERARCHIZE(TOPCOUNT(...)) routes through a covering rollup and
+    the routed frame is row-for-row identical to the direct plan
+    (post-limit hierarchical re-sort applied on both paths)."""
+    from mondrian_rest_spark.mdx import compile_mdx
+    from mondrian_rest_spark.planner import aggregate
+
+    mgr = _router(spark, sf_dir)
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY HIERARCHIZE(TOPCOUNT([Customer].[Nation].Members, "
+        "5, [Measures].[Revenue])) ON ROWS FROM [Sales]")
+    assert qm.hierarchize
+    routed, source = mgr.route(qm)
+    assert source == "fuzz_wide"
+    direct = aggregate(spark, sf_dir, tpch.CATALOG, qm)
+    got = [tuple(r) for r in routed.collect()]
+    exp = [tuple(r) for r in direct.collect()]
+    assert got == exp            # including the hierarchical row order
+    assert [r[0] for r in got] == sorted(r[0] for r in got)
