@@ -68,15 +68,48 @@ def to_xls_biff(header: list[str], rows: list[list]) -> bytes:
     workbook globals (BOF, CODEPAGE, WINDOW1, FONT, the 15 style XFs +
     1 cell XF readers index as 15/16, STYLE, BOUNDSHEET) followed by a
     worksheet substream (BOF, DIMENSIONS, one NUMBER/LABEL/BLANK per
-    cell, EOF).  Strings are inline UTF-16 LABEL records (capped at
-    255 chars per the record limit), so no shared-string table is
-    needed.  Aggregate results are collected tidy rows — small by
-    construction — so driver-side assembly is the right altitude, same
-    as the CSV/JSON sinks."""
+    cell, EOF).  Strings ≤255 chars are inline UTF-16 LABEL records
+    (the LABEL cch field is capped at 255 by MS-XLS 2.4.148); longer
+    strings go through the shared string table — SST in the globals +
+    LABELSST cells, with CONTINUE splits at the 8224-byte record cap —
+    so long member captions/properties are no longer silently
+    truncated in the .xls sink alone (ADVICE r9).  Aggregate results
+    are collected tidy rows — small by construction — so driver-side
+    assembly is the right altitude, same as the CSV/JSON sinks."""
     import struct
 
     def rec(rid: int, data: bytes) -> bytes:
         return struct.pack("<HH", rid, len(data)) + data
+
+    MAXD = 8224                  # max record data bytes (MS-XLS 2.1.4)
+
+    def sst_records(strings: list[str], total_refs: int) -> list[bytes]:
+        """SST (0x00FC) + CONTINUE (0x003C) records.  Each string is
+        cch(H) + grbit(B=1, UTF-16) + chars; a record split mid-string
+        restarts the CONTINUE with a fresh grbit byte, and splits land
+        on 2-byte boundaries (MS-XLS 2.5.293 XLUnicodeRichExtendedString
+        continuation rules)."""
+        chunks: list[bytearray] = []
+        cur = bytearray(struct.pack("<II", total_refs, len(strings)))
+        for s in strings:
+            data = s.encode("utf-16-le")
+            if len(cur) + 3 > MAXD:      # header must not straddle
+                chunks.append(cur)
+                cur = bytearray()
+            cur += struct.pack("<HB", len(s), 1)
+            pos = 0
+            while pos < len(data):
+                take = min(MAXD - len(cur), len(data) - pos)
+                take -= take % 2
+                if take <= 0:
+                    chunks.append(cur)
+                    cur = bytearray(b"\x01")   # continued-string grbit
+                    continue
+                cur += data[pos:pos + take]
+                pos += take
+        chunks.append(cur)
+        return [rec(0x00FC, bytes(chunks[0]))] + \
+               [rec(0x003C, bytes(c)) for c in chunks[1:]]
 
     # ---- worksheet substream -------------------------------------------
     all_rows = [list(header)] + [list(r) for r in rows]
@@ -84,6 +117,8 @@ def to_xls_biff(header: list[str], rows: list[list]) -> bytes:
     sheet = [rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010,
                                      0x0DBB, 0x07CC, 1, 6)),
              rec(0x0200, struct.pack("<IIHHH", 0, n_rows, 0, n_cols, 0))]
+    sst_idx: dict[str, int] = {}
+    sst_refs = 0
     for ri, row in enumerate(all_rows):
         for ci, v in enumerate(row):
             head = struct.pack("<HHH", ri, ci, 15)   # default cell XF
@@ -96,10 +131,16 @@ def to_xls_biff(header: list[str], rows: list[list]) -> bytes:
                 sheet.append(rec(0x0203, head        # NUMBER
                                  + struct.pack("<d", float(v))))
             else:
-                s = str(v)[:255]
-                sheet.append(rec(0x0204, head        # LABEL, utf-16
-                                 + struct.pack("<HB", len(s), 1)
-                                 + s.encode("utf-16-le")))
+                s = str(v)[:32767]       # XLS hard cell-text limit
+                if len(s) <= 255:
+                    sheet.append(rec(0x0204, head    # LABEL, utf-16
+                                     + struct.pack("<HB", len(s), 1)
+                                     + s.encode("utf-16-le")))
+                else:                    # long string -> SST + LABELSST
+                    idx = sst_idx.setdefault(s, len(sst_idx))
+                    sst_refs += 1
+                    sheet.append(rec(0x00FD, head
+                                     + struct.pack("<I", idx)))
     sheet.append(rec(0x000A, b""))                   # EOF
     sheet_bytes = b"".join(sheet)
 
@@ -125,6 +166,9 @@ def to_xls_biff(header: list[str], rows: list[list]) -> bytes:
         *xfs,
         rec(0x0293, struct.pack("<HBB", 0x8000, 0, 0xFF)),   # STYLE
     ]
+    if sst_idx:          # SST lives in the globals, before BOUNDSHEET
+        globals_recs += sst_records(
+            sorted(sst_idx, key=sst_idx.get), sst_refs)
     # BOUNDSHEET carries the sheet BOF's absolute stream offset, which
     # depends on the globals' own length — the record's size is fixed,
     # so compute with a placeholder then patch

@@ -659,8 +659,14 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
         # machinery plus a cut to the listed children: the cut
         # restricts the fact rows, so the parent subtotal row
         # aggregates exactly the visible children — no second pass.
-        # Children not actually under the parent aggregate over
-        # nothing and drop under the required NON EMPTY (documented).
+        # A child that is NOT actually under the listed parent is a
+        # 400: the planner checks each child's ancestor key at the
+        # parent level against the parent member (r10, ADVICE r9 —
+        # without the check the foreign child's facts leak into its
+        # OWN parent's subtotal row, which survives NON EMPTY, while
+        # the child row itself is dropped by the subset filter), and
+        # additionally ANDs a cut on the parent member so foreign
+        # facts can never enter the aggregate.
         p.next()
         p.expect("(")
         p.expect("{")
@@ -700,8 +706,10 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
         q.qm_kwargs["drilldown_members"] = (
             ".".join(parent[:-1]),
             "{" + _path_str(parent) + "}")
-        q.qm_kwargs["cut"].append(
-            "{" + ",".join(_path_str(m) for m in children) + "}")
+        children_cut = "{" + ",".join(_path_str(m) for m in children) + "}"
+        q.qm_kwargs["cut"].append(children_cut)
+        q.qm_kwargs["visual_totals"] = (
+            "{" + _path_str(parent) + "}", children_cut)
         return True
     if t in ("DRILLDOWNLEVEL", "DRILLDOWNMEMBER"):
         # DRILLDOWNLEVEL(<level>.Members) = the level's members PLUS
@@ -1777,10 +1785,13 @@ def _calc_tokens(p: _P, stop_words: tuple, bool_ok: bool = False) -> str:
             # misplaced keywords stay clear ParseErrors
             p.next()
             parts.append(_case_sql(p))
-        elif u in ("AND", "OR", "NOT") and (bool_ok or stack):
+        elif u in ("AND", "OR", "NOT") and (bool_ok or any(stack)):
             # boolean connectives are legal inside a condition context
             # (IIF/COALESCE arg lists, CASE WHEN conditions) — never at
-            # the top of a value formula
+            # the top of a value formula.  any(stack), not bare stack:
+            # a plain grouping paren (stack entry False) is NOT a
+            # condition context — '([A] AND [B]) + 1' must ParseError
+            # (400), not surface later as a Spark AnalysisException
             p.next()
             parts.append(u)
         elif u == "IIF":

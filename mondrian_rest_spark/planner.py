@@ -762,6 +762,36 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     for name in implicit_ns_cuts:
         cuts.append(_resolve_cut(cube, Cut(kind="named_set", named_set=name)))
 
+    # --- VISUALTOTALS child-ancestry validation (r10, ADVICE r9) ---
+    # Without this, a child listed under the WRONG parent leaks its
+    # facts into its own parent's grouping-sets subtotal row (which
+    # survives NON EMPTY) while the child row itself is dropped by the
+    # DRILLDOWNMEMBER subset filter — a spurious unlisted parent row
+    # plus a silently missing listed member.  Check each listed
+    # child's ancestor key at the parent level on the dimension frame
+    # (one tiny broadcast-dim scan at plan time), 400 on mismatch, and
+    # AND a cut on the parent member so foreign facts can never enter
+    # the aggregate (also prunes the dim scan).
+    if getattr(qm, "visual_totals", None) is not None:
+        vt_parent, vt_children = qm.visual_totals
+        parent_rc = _resolve_cut(cube, parse_cut(vt_parent, ns_names))
+        child_rc = _resolve_cut(cube, parse_cut(vt_children, ns_names))
+        vt_frame = _dim_select(
+            spark, sf_dir, parent_rc.dimension,
+            [parent_rc.level, child_rc.level])
+        bad = (vt_frame
+               .filter(_cut_predicate(child_rc)
+                       & ~_cut_predicate(parent_rc))
+               .select(child_rc.level.key_alias).distinct()
+               .limit(5).collect())
+        if bad:
+            raise ParseError(
+                "VISUALTOTALS: member(s) with "
+                f"{child_rc.level.name!r} key "
+                f"{sorted(str(r[0]) for r in bad)} are not children of "
+                f"the listed parent {vt_parent}")
+        cuts.append(parent_rc)
+
     # --- member-navigation FILTER conditions (raw MDX, VERDICT r8 #3:
     # --- `lvl.CurrentMember.Parent IS m` / `ANCESTOR(...) IS m`):
     # --- validate the level distance against the catalog, then compile
@@ -1730,14 +1760,23 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 "properties on the drilled-down level cannot combine "
                 "with DRILLDOWNLEVEL in this MDX subset")
         gs_parent = [c for c in group_cols if c not in child_aliases]
+        # F.grouping(), not key-isNull, marks the subtotal rows: a
+        # genuine NULL child key in the data would otherwise be
+        # conflated with a grouping-sets subtotal and bypass the
+        # DRILLDOWNMEMBER subset filter (ADVICE r9).  grouping() is
+        # only legal inside the agg, so the marker rides along as a
+        # column and is dropped right after the filter.
+        gs_marker = "__gs_subtotal__"
         out = (base.groupingSets([gs_parent, group_cols], *group_cols)
-                   .agg(*aggs))
+                   .agg(*aggs,
+                        F.grouping(child_lv.key_alias).alias(gs_marker)))
         if ddl_subset_cut is not None:
             # DRILLDOWNMEMBER: child rows only under the listed
-            # parents; subtotal rows (NULL child key) always stay
+            # parents; subtotal rows always stay
             out = out.filter(
-                F.col(child_lv.key_alias).isNull()
+                (F.col(gs_marker) == 1)
                 | _cut_predicate(ddl_subset_cut))
+        out = out.drop(gs_marker)
     elif group_cols:
         out = base.groupBy(*group_cols).agg(*aggs)
     else:

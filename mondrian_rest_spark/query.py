@@ -141,6 +141,16 @@ class QueryModel:
     # plus a post-agg filter keeping child rows only under the listed
     # parent members.
     drilldown_members: tuple | None = None
+    # VISUALTOTALS({parent, child, ...}) from raw MDX (r10):
+    # (parent_cut_string, children_cut_string).  Rides the
+    # drilldown_members grouping-sets machinery; this flag makes the
+    # planner (a) validate each listed child's ancestor key at the
+    # parent level against the listed parent — 400 on mismatch, so a
+    # foreign child's facts can never surface as a spurious
+    # other-parent subtotal row (ADVICE r9) — and (b) AND a cut on the
+    # parent member, which both defends the aggregate and prunes the
+    # dim-side scan.
+    visual_totals: tuple | None = None
     # HIERARCHIZE over a RANKED set (r9): the wrapped function's
     # order+limit select the tuples, then display order reverts to
     # hierarchical (one axis-sized re-sort after offset/limit/tail).

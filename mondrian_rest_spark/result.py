@@ -196,7 +196,8 @@ def tidy_rows(df_rows: list, header: list[str]) -> list[list]:
 
 def _axis_member_hash(rd: ResolvedDrill, tup: tuple,
                       prop_vals: dict | None,
-                      level_props: dict | None) -> dict[str, Any]:
+                      level_props: dict | None,
+                      trim_null_tail: bool = False) -> dict[str, Any]:
     """Reference axis-member hash (Member#to_h subset the aggregation
     JSON carries, mondrian_ext.rb:258-276): name/full_name/caption/key/
     level_name (+ ancestors when parents drilled them in, + properties
@@ -217,9 +218,14 @@ def _axis_member_hash(rd: ResolvedDrill, tup: tuple,
         parts.append((lv, k, c))
     # a DRILLDOWNLEVEL parent-subtotal tuple carries NULL keys at the
     # drilled-down level: the member IS the deepest non-null ancestor
-    # (Mondrian's mixed-depth axis hash)
-    while len(parts) > 1 and parts[-1][1] is None:
-        parts.pop()
+    # (Mondrian's mixed-depth axis hash).  Gated on the query actually
+    # using DRILLDOWNLEVEL/DRILLDOWNMEMBER on THIS dimension (r10,
+    # ADVICE r9) — a plain query whose deepest drilled level contains
+    # a genuine NULL member key must NOT have that member silently
+    # collapsed into its parent's hash.
+    if trim_null_tail:
+        while len(parts) > 1 and parts[-1][1] is None:
+            parts.pop()
 
     def one(i: int) -> dict[str, Any]:
         lv, k, c = parts[i]
@@ -333,6 +339,16 @@ def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list,
     axes: list[dict] = [{"members": [
         {"name": _names.get(a, m), "caption": m}
         for m, a in zip(qm.measures or [cube.default_measure.name], aliases)]}]
+    ddl_spec = (getattr(qm, "drilldown_level", None)
+                or (qm.drilldown_members[0]
+                    if getattr(qm, "drilldown_members", None) is not None
+                    else None))
+    ddl_dim = None
+    if ddl_spec is not None:
+        segs = ddl_spec.split(".")
+        ddl_dim = _resolve_level(
+            cube, segs[0], segs[1] if len(segs) == 3 else None,
+            segs[-1])[0].name
     for ai, rd in enumerate(drills):
         axes.append({
             "dimension": rd.dimension.name,
@@ -340,7 +356,9 @@ def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list,
             "level": rd.level.name,
             "members": [
                 _axis_member_hash(rd, t, axis_props[ai].get(t),
-                                  prop_by_level.get(rd.dimension.name))
+                                  prop_by_level.get(rd.dimension.name),
+                                  trim_null_tail=(
+                                      rd.dimension.name == ddl_dim))
                 for t in axis_captions[ai]
             ],
         })

@@ -105,7 +105,20 @@ def test_biff8_xls_structural_roundtrip():
 
     header = ["ID Region", "Region", "Revenue"]
     rows = [[0, "AFRICA", 123.5], [1, "AMÉRICA", 4], [2, None, True]]
-    blob = to_xls_biff(header, rows)
+    cells = _walk_xls_cells(to_xls_biff(header, rows))
+    assert cells[(0, 0)] == "ID Region"
+    assert cells[(0, 2)] == "Revenue"
+    assert cells[(1, 0)] == 0.0 and cells[(1, 2)] == 123.5
+    assert cells[(2, 1)] == "AMÉRICA" and cells[(2, 2)] == 4.0
+    assert cells[(3, 1)] is None and cells[(3, 2)] is True
+
+
+def _walk_xls_cells(blob):
+    """Compound-file + BIFF record walker (the test oracle — no Excel
+    library in this container): sectors -> Workbook stream -> cells,
+    incl. the shared string table (SST/CONTINUE/LABELSST) the writer
+    uses for >255-char strings."""
+    import struct
 
     # --- compound file walk ---
     assert blob[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
@@ -132,10 +145,18 @@ def test_biff8_xls_structural_roundtrip():
 
     # --- BIFF record walk ---
     pos, cells, bofs = 0, {}, 0
+    sst_chunks, sst_open, labelsst = [], False, {}
     while pos + 4 <= len(stream):
         rid, ln = struct.unpack_from("<HH", stream, pos)
         data = stream[pos + 4: pos + 4 + ln]
         pos += 4 + ln
+        if rid == 0x00FC:                         # SST
+            sst_chunks, sst_open = [data], True
+            continue
+        if rid == 0x003C and sst_open:            # CONTINUE
+            sst_chunks.append(data)
+            continue
+        sst_open = False
         if rid == 0x0809:
             bofs += 1
             assert struct.unpack_from("<H", data)[0] == 0x0600  # BIFF8
@@ -149,6 +170,9 @@ def test_biff8_xls_structural_roundtrip():
             r, c, _, cch, flags = struct.unpack_from("<HHHHB", data)
             assert flags == 1
             cells[(r, c)] = data[9:9 + 2 * cch].decode("utf-16-le")
+        elif rid == 0x00FD:                       # LABELSST
+            r, c, _, isst = struct.unpack_from("<HHHI", data)
+            labelsst[(r, c)] = isst
         elif rid == 0x0205:                       # BOOLERR
             r, c, _ = struct.unpack_from("<HHH", data)
             cells[(r, c)] = bool(data[6])
@@ -158,8 +182,58 @@ def test_biff8_xls_structural_roundtrip():
         elif rid == 0x000A and bofs >= 2:
             break                                  # sheet EOF
     assert bofs == 2                               # globals + sheet
-    assert cells[(0, 0)] == "ID Region"
-    assert cells[(0, 2)] == "Revenue"
-    assert cells[(1, 0)] == 0.0 and cells[(1, 2)] == 123.5
-    assert cells[(2, 1)] == "AMÉRICA" and cells[(2, 2)] == 4.0
-    assert cells[(3, 1)] is None and cells[(3, 2)] is True
+    if labelsst:
+        strings = _parse_sst(sst_chunks)
+        for rc, isst in labelsst.items():
+            cells[rc] = strings[isst]
+    return cells
+
+
+def _parse_sst(chunks):
+    """SST/CONTINUE chunk list -> unique strings, honoring the
+    continuation rules (fresh grbit byte when a string resumes in a
+    CONTINUE record; string headers never straddle records)."""
+    import struct
+
+    total, unique = struct.unpack_from("<II", chunks[0])
+    strings, ci, off = [], 0, 8
+    for _ in range(unique):
+        if len(chunks[ci]) - off < 3:
+            ci, off = ci + 1, 0
+        cch, grbit = struct.unpack_from("<HB", chunks[ci], off)
+        off += 3
+        assert grbit == 1
+        need, buf = 2 * cch, b""
+        while need:
+            if len(chunks[ci]) - off == 0:
+                ci, off = ci + 1, 0
+                assert chunks[ci][off] == 1       # continued-string grbit
+                off += 1
+            take = min(len(chunks[ci]) - off, need)
+            buf += chunks[ci][off:off + take]
+            off += take
+            need -= take
+        strings.append(buf.decode("utf-16-le"))
+    return strings
+
+
+def test_biff8_xls_long_strings_via_sst():
+    """ADVICE r9: >255-char strings must survive the .xls sink exactly
+    (SST + LABELSST with CONTINUE splits), not be silently truncated —
+    parity with the csv/xlsx sinks.  Sized to force multiple CONTINUE
+    records and a mid-string record split."""
+    from mondrian_rest_spark.formats import to_xls_biff
+
+    long_a = "α" * 300                      # > LABEL cap, non-ASCII
+    long_b = "doc-" + "x" * 9000            # > one 8224-byte record
+    long_c = "y" * 20000                    # spans several CONTINUEs
+    header = ["Doc", "Text"]
+    rows = [[1, long_a], [2, long_b], [3, long_c],
+            [4, long_a],                    # duplicate -> same SST slot
+            [5, "short stays inline"]]
+    cells = _walk_xls_cells(to_xls_biff(header, rows))
+    assert cells[(1, 1)] == long_a
+    assert cells[(2, 1)] == long_b
+    assert cells[(3, 1)] == long_c
+    assert cells[(4, 1)] == long_a
+    assert cells[(5, 1)] == "short stays inline"

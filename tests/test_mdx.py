@@ -362,6 +362,19 @@ def test_with_member_rejects_bad_formulas():
     with pytest.raises(ParseError):   # empty formula
         compile_mdx("WITH MEMBER [Measures].[X] AS "
                     "SELECT {[Measures].[X]} ON COLUMNS FROM [Sales]")
+    # ADVICE r9: a plain grouping paren is NOT a condition context —
+    # boolean connectives at the top of a value formula must be a
+    # clean ParseError 400, not a later Spark AnalysisException 500
+    with pytest.raises(ParseError):
+        compile_mdx("WITH MEMBER [Measures].[X] AS "
+                    "([Measures].[Revenue] AND [Measures].[Quantity]) + 1 "
+                    "SELECT {[Measures].[X]} ON COLUMNS FROM [Sales]")
+    # ...while AND inside a genuine condition context stays legal
+    qm = compile_mdx(
+        "WITH MEMBER [Measures].[X] AS "
+        "IIF([Measures].[Revenue] > 1 AND [Measures].[Quantity] > 1, "
+        "1, 0) SELECT {[Measures].[X]} ON COLUMNS FROM [Sales]")
+    assert qm.with_members
 
 
 def test_with_member_unknown_ref_is_400(spark, sf_dir):
@@ -2891,6 +2904,29 @@ def test_mdx_visualtotals(spark, sf_dir):
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
             "NON EMPTY VISUALTOTALS({[Customer].[Region].[&1]}) "
             "ON ROWS FROM [Sales]")
+
+
+def test_mdx_visualtotals_wrong_parent_400(spark, sf_dir):
+    """ADVICE r9 (medium): a child listed under a DIFFERENT parent is a
+    400 — without the check the foreign child's facts leaked into its
+    own parent's subtotal row (nation &2 lives under region &2, not
+    &1), surfacing a spurious unlisted parent row while silently
+    dropping the listed member."""
+    with pytest.raises(ParseError, match="not children of"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY VISUALTOTALS({[Customer].[Region].[&1], "
+            "[Customer].[Nation].[&1], [Customer].[Nation].[&2]}) "
+            "ON ROWS FROM [Sales]").collect()
+    # mixed right/wrong children also 400 (the wrong one is named)
+    with pytest.raises(ParseError, match="2"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY VISUALTOTALS({[Customer].[Region].[&1], "
+            "[Customer].[Nation].[&6], [Customer].[Nation].[&2]}) "
+            "ON ROWS FROM [Sales]").collect()
 
 
 def test_mdx_case_iif_compose_in_filter(spark, sf_dir):
