@@ -500,6 +500,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "[Customer].[Nation].[&1], [Customer].[Nation].[&6]}) "
         "ON ROWS FROM [Sales]")
 
+    # Parent-child hierarchy as a REST-drillable catalog dimension
+    # (r10, VERDICT r9 #1; reference HR cube foodmart.xml:529-547):
+    # drilldown[]=Geo Tree enumerates the region->nation->customer
+    # tree's nodes, each cell aggregating its WHOLE subtree via the
+    # closure fan-out join; the cut restricts FACTS to nation N1's
+    # subtree (closure semi-join), so the axis keeps N1, its ancestor
+    # region and its customers with subtree-restricted totals —
+    # Mondrian's slicer cell-context semantics
+    q["q78_pc_rest_drilldown"] = lambda s, d: _agg(
+        s, d, cube="Orders", measures=["Total Price", "Order Count"],
+        drilldown=["Geo Tree"], cut=["[Geo Tree].[Node].[&N1]"])
+
     # HIERARCHIZE over a RANKED set (r9): TOPCOUNT picks the tuples,
     # display order reverts to hierarchical — Mondrian's
     # pick-then-display idiom; one axis-sized re-sort after the limit
@@ -2246,6 +2258,39 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(o_orderkey)
             FROM oc JOIN nation ON c_nationkey = n_nationkey
                     JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2""",
+        "q78_pc_rest_drilldown": f"""
+            WITH RECURSIVE nodes AS (
+              SELECT 'R' || r_regionkey AS node_id,
+                     CAST(NULL AS VARCHAR) AS parent_id,
+                     r_name AS node_name FROM region
+              UNION ALL
+              SELECT 'N' || n_nationkey, 'R' || n_regionkey, n_name
+              FROM nation
+              UNION ALL
+              SELECT 'C' || c_custkey, 'N' || c_nationkey, c_name
+              FROM customer
+            ), closure AS (
+              SELECT node_id AS ancestor_id, node_id AS descendant_id
+              FROM nodes
+              UNION ALL
+              SELECT n.parent_id, c.descendant_id
+              FROM closure c JOIN nodes n ON c.ancestor_id = n.node_id
+              WHERE n.parent_id IS NOT NULL
+            ), facts AS (
+              SELECT 'C' || o_custkey AS fk, o_totalprice, o_orderkey
+              FROM orders
+              WHERE 'C' || o_custkey IN (
+                SELECT descendant_id FROM closure
+                WHERE ancestor_id = 'N1')
+            )
+            SELECT c.ancestor_id AS geo_node_id,
+                   n.node_name AS geo_node_name,
+                   {DEC('o_totalprice')} AS total_price,
+                   COUNT(o_orderkey) AS order_count
+            FROM facts f
+            JOIN closure c ON f.fk = c.descendant_id
+            JOIN nodes n ON c.ancestor_id = n.node_id
+            GROUP BY 1, 2""",
         "q28_rollup_routed": f"""
             SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
                    {REVENUE} AS revenue, COUNT(l_linenumber) AS line_count

@@ -118,6 +118,45 @@ class Hierarchy:
 
 
 @dataclass(frozen=True)
+class ParentChildSource:
+    """One edge source of a parent-child hierarchy: SQL expressions
+    over ``table`` producing (member id, parent id, caption).  A
+    single self-referencing table (the reference's employee /
+    supervisor_id, foodmart.xml:529-536) is one source with
+    ``parent_expr`` pointing at the self-reference column; a tree
+    assembled from several tables (region -> nation -> customer) is
+    one source per table with ids disambiguated in the expressions.
+    ``parent_expr=None`` marks the source's members as roots."""
+
+    table: str
+    id_expr: str
+    parent_expr: str | None
+    caption_expr: str | None = None
+
+
+@dataclass(frozen=True)
+class ParentChild:
+    """Parent-child (recursive) hierarchy binding (reference
+    foodmart.xml:529-547: ``<ParentExpression>`` + ``<Closure>`` over
+    employee_closure).  The dimension has exactly ONE level; a
+    member's cell aggregates its WHOLE subtree (Mondrian parent-child
+    semantics), realized as fact ⋈ closure(descendant) fan-out with
+    groupBy(ancestor).
+
+    ``closure_table``: optional PRECOMPUTED closure table (Mondrian's
+    ``<Closure>``) with ``(ancestor_id, descendant_id, depth)``
+    columns including depth-0 self rows; when absent the closure is
+    built distributedly from the edges (operators/closure.py,
+    log2(depth) self-join passes).  ``known_depth`` skips the
+    convergence check when the tree depth is declared."""
+
+    sources: tuple[ParentChildSource, ...]
+    closure_table: str | None = None
+    known_depth: int | None = None
+    max_depth: int = 64
+
+
+@dataclass(frozen=True)
 class Dimension:
     """A dimension and its physical binding.
 
@@ -128,6 +167,11 @@ class Dimension:
       webshop.xml:45-48; snowflake Join foodmart.xml:71-75).
     - Degenerate / derived dim: ``tables`` empty; level exprs evaluate
       directly over fact columns (reference: foodmart.xml:413-433).
+    - Parent-child dim: ``parent_child`` set; ``fact_fk`` is a SQL
+      EXPRESSION over fact(+bridge) columns yielding the member id the
+      fact attaches to; the single level's ``key``/``caption`` exprs
+      read the canonical member-frame columns ``node_id`` /
+      ``node_name`` (reference: foodmart.xml:529-547 HR Employees).
     - ``bridge``: name of the cube bridge that must be joined first for
       ``fact_fk`` to exist (e.g. lineitem->orders to reach o_custkey).
     """
@@ -140,11 +184,23 @@ class Dimension:
     bridge: str | None = None
     broadcastable: bool = False   # force broadcast hint (bounded-size dims only)
     time_dimension: bool = False  # analog of type="TimeDimension"
+    parent_child: ParentChild | None = None
     annotations: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.parent_child is not None:
+            if len(self.hierarchies) != 1 or len(self.hierarchies[0].levels) != 1:
+                raise ValueError(
+                    f"parent-child dimension {self.name!r} must have "
+                    "exactly one hierarchy with one level")
+            if self.tables:
+                raise ValueError(
+                    f"parent-child dimension {self.name!r} binds via "
+                    "parent_child.sources, not tables=")
 
     @property
     def is_degenerate(self) -> bool:
-        return not self.tables
+        return not self.tables and self.parent_child is None
 
     def default_hierarchy(self) -> Hierarchy:
         return self.hierarchies[0]

@@ -188,6 +188,17 @@ def member_children(spark: SparkSession, sf_dir: str, cat: Catalog, cube_name: s
     distinct members of the next level below, under the given parent."""
     cube = resolve_cube(cat, cube_name, dim_name)
     dim, hier, plevel = _resolve_level(cube, dim_name, hierarchy, parent_level)
+    if dim.parent_child is not None:
+        # parent-child children = the direct edges (reference HR cube:
+        # an employee's children are their direct reports)
+        from .planner import pc_member_frame
+        mf = pc_member_frame(spark, sf_dir, dim).filter(
+            F.col("parent_id") == F.lit(str(parent_key)))
+        lv = plevel
+        cols = [F.expr(lv.key).alias(lv.key_alias)]
+        if lv.caption and lv.caption_alias and lv.caption_alias != lv.key_alias:
+            cols.append(F.expr(lv.caption).alias(lv.caption_alias))
+        return mf.select(*cols)
     pidx = hier.level_index(plevel.name)
     if pidx + 1 >= len(hier.levels):
         raise KeyError(f"level {parent_level!r} has no child level")
@@ -234,6 +245,12 @@ def member_payloads(spark: SparkSession, sf_dir: str, cat: Catalog,
     """
     cube = resolve_cube(cat, cube_name, dim_name)
     dim, hier, level = _resolve_level(cube, dim_name, hierarchy, level_name)
+    if dim.parent_child is not None:
+        if member_properties or caption:
+            level.find_property((member_properties or [caption])[0])  # KeyError
+        return _pc_member_payloads(spark, sf_dir, dim, hier, level,
+                                   key=key, children=children,
+                                   with_num_children=with_num_children)
     idx = hier.level_index(level.name)
     rd = _drill_for(cube, dim_name, level.name, hierarchy, with_ancestors=True)
 
@@ -317,6 +334,106 @@ def member_payloads(spark: SparkSession, sf_dir: str, cat: Catalog,
             if children:
                 h["children"] = [level_hash(cr, idx + 1) for cr in kids]
         h["ancestors"] = [level_hash(row, li) for li in range(idx - 1, -1, -1)]
+        out.append(h)
+    return out
+
+
+def _pc_member_payloads(spark: SparkSession, sf_dir: str, dim, hier, level,
+                        key=None, children: bool = False,
+                        with_num_children: bool = False) -> list[dict]:
+    """Member hashes for a parent-child dimension (reference HR cube,
+    foodmart.xml:529-547): depth = proper-ancestor count from the
+    closure, ancestors = the closure chain nearest-first (Mondrian
+    getAncestorMembers order), children = the direct edges.
+
+    Three node-table-sized frames (members, closure-derived depths,
+    ancestor chains) collected once — org-chart tables are member-list
+    sized by definition (MAX_MEMBER_LIST still guards the collect)."""
+    from .parser import ParseError
+    from .planner import pc_closure_frame, pc_member_frame
+
+    mf = pc_member_frame(spark, sf_dir, dim)
+    cl = pc_closure_frame(spark, sf_dir, dim)
+    depths = (cl.filter(F.col("depth") > 0)
+                .groupBy("descendant_id")
+                .agg(F.max("depth").alias("node_depth")))
+    nodes = (mf.join(depths, mf["node_id"] == depths["descendant_id"],
+                     "left")
+               .drop("descendant_id").na.fill({"node_depth": 0}))
+    if key is not None:
+        nodes = nodes.filter(F.col("node_id") == F.lit(str(key)))
+    else:
+        n = nodes.count()
+        if n > MAX_MEMBER_LIST:
+            raise ParseError(
+                f"level {level.name!r} has {n:,} members "
+                f"(> {MAX_MEMBER_LIST:,}); use cuts/aggregate queries "
+                "instead of enumerating it")
+    rows = nodes.orderBy("node_depth", "node_id").collect()
+    node_ids = [r["node_id"] for r in rows]
+
+    # ancestor chains for the selected nodes, nearest-first
+    anc = (cl.filter((F.col("depth") > 0)
+                     & F.col("descendant_id").isin(node_ids))
+             .join(mf.select(F.col("node_id").alias("anc_id"),
+                             F.col("node_name").alias("anc_name")),
+                   F.col("ancestor_id") == F.col("anc_id"), "inner")
+             .select("descendant_id", "depth", "anc_id", "anc_name")
+             .collect())
+    chains: dict[str, list] = {}
+    for r in sorted(anc, key=lambda r: (r["descendant_id"], r["depth"])):
+        chains.setdefault(r["descendant_id"], []).append(r)
+
+    kid_rows: dict[str, list] = {}
+    if children or with_num_children:
+        kids = (mf.filter(F.col("parent_id").isin(node_ids))
+                  .orderBy("node_id").collect())
+        for r in kids:
+            kid_rows.setdefault(r["parent_id"], []).append(r)
+    # a parent-child member is drillable when it has children
+    all_parents = {r["parent_id"] for r in
+                   mf.select("parent_id").distinct().collect()}
+
+    def one(node_id: str, name: str, depth: int, chain: list) -> dict:
+        names = [r["anc_name"] for r in reversed(chain)] + [name]
+        return {
+            "name": str(name),
+            "full_name": _full_name(dim.name, [str(s) for s in names]),
+            "caption": name,
+            "all_member?": False,
+            "drillable?": node_id in all_parents,
+            "depth": depth + (1 if hier.has_all else 0),
+            "key": node_id,
+            "num_children": None,
+            "parent_name": (_full_name(dim.name,
+                                       [str(s) for s in names[:-1]])
+                            if chain else
+                            (_all_member_full_name(dim, hier)
+                             if hier.has_all else None)),
+            "level_name": level.name,
+            "children": [],
+        }
+
+    out = []
+    for row in rows:
+        nid = row["node_id"]
+        chain = chains.get(nid, [])
+        h = one(nid, row["node_name"], row["node_depth"], chain)
+        if children or with_num_children:
+            ks = kid_rows.get(nid, [])
+            h["num_children"] = len(ks)
+            if children:
+                # the child's nearest ancestor is the node itself
+                h["children"] = [
+                    one(kr["node_id"], kr["node_name"],
+                        row["node_depth"] + 1,
+                        [{"anc_id": nid, "anc_name": row["node_name"]}]
+                        + chain)
+                    for kr in ks]
+        h["ancestors"] = [
+            one(r["anc_id"], r["anc_name"],
+                row["node_depth"] - r["depth"], chain[r["depth"]:])
+            for r in chain]
         out.append(h)
     return out
 

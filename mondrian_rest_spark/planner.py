@@ -44,6 +44,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from .catalog import Catalog, Cube, Dimension, Hierarchy, Level, Measure
+from .operators.closure import build_closure
 from .parser import (
     Cut,
     DrilldownSpec,
@@ -287,6 +288,100 @@ def _dim_select(spark: SparkSession, sf_dir: str, dim: Dimension,
         exprs[p.alias] = p.column
     frame = _dim_frame(spark, sf_dir, dim, needed_exprs=list(exprs.values()))
     return frame.select(*[F.expr(e).alias(a) for a, e in exprs.items()])
+
+
+# ---------------------------------------------------------------------------
+# parent-child hierarchies (reference foodmart.xml:529-547: HR cube
+# employee/supervisor with <ParentExpression> + <Closure>)
+# ---------------------------------------------------------------------------
+
+#: closure frames are iterative-join builds reused by every query on
+#: the dimension; memoized per (session, data dir, dimension) and
+#: persisted — clear_named_set_cache() (the /flush path) drops them.
+_PC_CLOSURES: dict = {}
+
+
+def pc_member_frame(spark: SparkSession, sf_dir: str,
+                    dim: Dimension) -> DataFrame:
+    """Member frame of a parent-child dimension: canonical columns
+    (node_id, parent_id, node_name), one union branch per edge source.
+    The single level's key/caption exprs read these canonical columns,
+    so cuts/ordering/properties machinery stays uniform."""
+    pc = dim.parent_child
+    parts = []
+    for src in pc.sources:
+        t = load_table(spark, sf_dir, src.table)
+        parts.append(t.select(
+            F.expr(src.id_expr).cast("string").alias("node_id"),
+            (F.expr(src.parent_expr).cast("string")
+             if src.parent_expr is not None
+             else F.lit(None).cast("string")).alias("parent_id"),
+            (F.expr(src.caption_expr) if src.caption_expr is not None
+             else F.expr(src.id_expr).cast("string")).alias("node_name")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pc_closure_frame(spark: SparkSession, sf_dir: str,
+                     dim: Dimension) -> DataFrame:
+    """Transitive closure (ancestor_id, descendant_id, depth) of a
+    parent-child dimension incl. depth-0 self rows.  Reads the
+    precomputed closure table when declared (Mondrian ``<Closure>``,
+    reference foodmart.xml:537-540); otherwise builds it distributedly
+    (operators/closure.py, log2(depth) self-join passes) and persists
+    the result — built once per session+dir, re-read by every query on
+    the dimension."""
+    pc = dim.parent_child
+    ck = (spark.sparkContext.applicationId, sf_dir, dim.name)
+    hit = _PC_CLOSURES.get(ck)
+    if hit is not None:
+        return hit
+    if pc.closure_table:
+        cl = load_table(spark, sf_dir, pc.closure_table).select(
+            F.col("ancestor_id").cast("string").alias("ancestor_id"),
+            F.col("descendant_id").cast("string").alias("descendant_id"),
+            F.col("depth").cast("int").alias("depth"))
+    else:
+        edges = pc_member_frame(spark, sf_dir, dim)
+        cl = build_closure(edges, "node_id", "parent_id",
+                           max_depth=pc.max_depth,
+                           known_depth=pc.known_depth)
+    cl = cl.persist()
+    _PC_CLOSURES[ck] = cl
+    return cl
+
+
+def _pc_select(spark: SparkSession, sf_dir: str, dim: Dimension,
+               levels: list, caption_overrides: dict | None = None) -> DataFrame:
+    """closure ⋈ members-on-ancestor projected to (descendant join key
+    ``__pc_desc__``, level key/caption aliases) — the parent-child
+    analog of _dim_select.  ONE join into the fact fans each fact row
+    out to its ancestor chain (bounded by tree depth — the same cost
+    Mondrian's closure-table SQL pays), so groupBy(member key)
+    aggregates whole subtrees (a supervisor's cell = their own facts
+    plus all transitive reports')."""
+    lv = levels[0]
+    members = pc_member_frame(spark, sf_dir, dim)
+    cl = pc_closure_frame(spark, sf_dir, dim)
+    joined = cl.join(members, cl["ancestor_id"] == members["node_id"],
+                     "inner")
+    cols = [F.col("descendant_id").alias("__pc_desc__"),
+            F.expr(lv.key).alias(lv.key_alias)]
+    if lv.caption and lv.caption_alias and lv.caption_alias != lv.key_alias:
+        cap = (caption_overrides or {}).get((dim.name, lv.name), lv.caption)
+        cols.append(F.expr(cap).alias(lv.caption_alias))
+    return joined.select(*cols)
+
+
+def clear_pc_closures() -> None:
+    for cl in _PC_CLOSURES.values():
+        try:
+            cl.unpersist()
+        except Exception:
+            pass
+    _PC_CLOSURES.clear()
 
 
 # ---------------------------------------------------------------------------
@@ -791,6 +886,25 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 f"{sorted(str(r[0]) for r in bad)} are not children of "
                 f"the listed parent {vt_parent}")
         cuts.append(parent_rc)
+
+    # --- parent-child cuts: subtree restrictions on the FACTS, never
+    # --- axis predicates (r10, VERDICT r9 #1).  A member slicer keeps
+    # --- every fact in the member's subtree, so a drilled pc axis
+    # --- shows the member, its descendants AND its ancestors with
+    # --- subtree-restricted totals — exactly Mondrian's cell-context
+    # --- semantics; a key predicate on the fanned-out frame would
+    # --- instead collapse the axis to the cut member.  Compiled below
+    # --- (after the base frame exists) as a semi-join against the
+    # --- closure's DISTINCT descendants, so nested set cuts {X, Y⊂X}
+    # --- never double-count a fact. ---
+    pc_cuts = [rc for rc in cuts if rc.dimension.parent_child is not None]
+    cuts = [rc for rc in cuts if rc.dimension.parent_child is None]
+    for rc in pc_cuts:
+        if rc.cut.kind not in ("member", "set"):
+            raise ParseError(
+                f"parent-child dimension {rc.dimension.name!r} supports "
+                f"member and set cuts only, not {rc.cut.kind!r} (no "
+                "ordinal order is defined over a recursive hierarchy)")
 
     # --- member-navigation FILTER conditions (raw MDX, VERDICT r8 #3:
     # --- `lvl.CurrentMember.Parent IS m` / `ANCESTOR(...) IS m`):
@@ -1667,6 +1781,11 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     for dname, dim in dim_objs.items():
         if dim.bridge:
             bridge_names.add(dim.bridge)
+    for rc in pc_cuts:
+        # a cut-only parent-child dim never joins, but its fact_fk
+        # expression may still read bridge columns
+        if rc.dimension.bridge:
+            bridge_names.add(rc.dimension.bridge)
     for m in base_measures:
         if m.bridge:
             bridge_names.add(m.bridge)
@@ -1685,7 +1804,23 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     for dname, lvls in needed.items():
         dim = dim_objs[dname]
         level_list = _hier_ordered(dim, lvls)
-        if dim.is_degenerate:
+        if dim.parent_child is not None:
+            # fan-out join: each fact row attaches to its WHOLE
+            # ancestor chain (bounded by tree depth), so the groupBy
+            # below aggregates subtrees — Mondrian parent-child cells
+            if needed_props.get(dname):
+                raise ParseError(
+                    f"parent-child dimension {dname!r} does not expose "
+                    "member properties")
+            pcsel = _pc_select(spark, sf_dir, dim, level_list,
+                               caption_overrides)
+            if dim.broadcastable:
+                pcsel = F.broadcast(pcsel)
+            base = (base.join(pcsel,
+                              F.expr(dim.fact_fk) == F.col("__pc_desc__"),
+                              "inner")
+                        .drop("__pc_desc__"))
+        elif dim.is_degenerate:
             for lv in level_list:
                 base = _with_level_cols(base, lv, caption_overrides.get((dname, lv.name)))
             for p in needed_props.get(dname, []):
@@ -1717,6 +1852,21 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         ns = cube.named_set(rc.cut.named_set)
         keys = named_set_keys(spark, sf_dir, cube, ns)
         base = base.filter(F.col(rc.level.key_alias).isin(keys))
+    for rc in pc_cuts:
+        # subtree semi-join: facts whose member id descends from any
+        # cut member (distinct, so overlapping subtrees can't double-
+        # count).  The descendant set is subtree-sized — broadcast only
+        # when the catalog declares the dim bounded, else AQE decides.
+        pcl = pc_closure_frame(spark, sf_dir, rc.dimension)
+        keys = [_coerce(m.value) for m in rc.cut.members]
+        desc = (pcl.filter(F.col("ancestor_id").isin(keys))
+                   .select(F.col("descendant_id").alias("__pc_cut_desc__"))
+                   .distinct())
+        if rc.dimension.broadcastable:
+            desc = F.broadcast(desc)
+        base = base.join(
+            desc, F.expr(rc.dimension.fact_fk) == F.col("__pc_cut_desc__"),
+            "left_semi")
 
     # --- group + aggregate (partial+final hash agg; map-side combine) ---
     group_cols: list[str] = []
@@ -2227,6 +2377,21 @@ def members_frame(spark: SparkSession, sf_dir: str, cube: Cube, rd: ResolvedDril
     build_levels = _hier_ordered(dim, lvl_map)
     out_cols = [a for lv in rd.group_levels for _, a in lv.out_cols()]
     out_cols += [p.alias for p in props or []]
+    if dim.parent_child is not None:
+        # the member table IS the axis member set (ids are unique by
+        # construction — no distinct pass); restrict cuts apply as key
+        # predicates like any table dim
+        lv = rd.level
+        mf = pc_member_frame(spark, sf_dir, dim)
+        cols = [F.expr(lv.key).alias(lv.key_alias)]
+        if lv.caption and lv.caption_alias and lv.caption_alias != lv.key_alias:
+            cap = (caption_overrides or {}).get((dim.name, lv.name),
+                                                lv.caption)
+            cols.append(F.expr(cap).alias(lv.caption_alias))
+        mf = mf.select(*cols)
+        for rc in restrict or []:
+            mf = mf.filter(_cut_predicate(rc))
+        return mf
     if dim.is_degenerate:
         base = load_table(spark, sf_dir, cube.fact)
         for b in ([cube.bridge(dim.bridge)] if dim.bridge else []):
@@ -2339,6 +2504,7 @@ def clear_named_set_cache() -> None:
     _LASTPERIODS_KEYS.clear()
     _LEVEL_REPEATS.clear()
     _TABLE_BYTES_CACHE.clear()
+    clear_pc_closures()
 
 
 def _degenerate_keys_repeat(spark: SparkSession, sf_dir: str, cube: Cube,

@@ -346,9 +346,8 @@ def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list,
     ddl_dim = None
     if ddl_spec is not None:
         segs = ddl_spec.split(".")
-        ddl_dim = _resolve_level(
-            cube, segs[0], segs[1] if len(segs) == 3 else None,
-            segs[-1])[0].name
+        ddl_dim = _rl(cube, segs[0], segs[1] if len(segs) == 3 else None,
+                      segs[-1])[0].name
     for ai, rd in enumerate(drills):
         axes.append({
             "dimension": rd.dimension.name,

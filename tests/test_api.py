@@ -872,3 +872,75 @@ def test_corpus_similar_mmr(client):
         "/corpus/similar?vec_id=7&k=5&method=mmr&fetch=2").status_code == 400
     assert client.get(
         "/corpus/similar?vec_id=7&method=mmr&lam=2.0").status_code == 400
+
+
+def test_pc_level_members_listing(client):
+    """Parent-child dimension member route (r10, VERDICT r9 #1;
+    reference HR cube foodmart.xml:529-547): one level, members at
+    every depth, ancestors walked through the closure."""
+    r = client.get("/cubes/Orders/dimensions/Geo Tree/levels/Node/members")
+    assert r.status_code == 200
+    body = r.get_json()
+    ms = body["members"]
+    # sf0.001: 5 regions + 25 nations + 150 customers
+    assert len(ms) == 180
+    by_key = {m["key"]: m for m in ms}
+    r1, n1, c = by_key["R1"], by_key["N1"], by_key["C1"]
+    assert r1["depth"] == 1 and r1["ancestors"] == []
+    assert r1["drillable?"] is True
+    assert n1["depth"] == 2
+    assert [a["key"] for a in n1["ancestors"]] == ["R1"]
+    assert n1["parent_name"] == f"[Geo Tree].[{r1['name']}]"
+    assert c["depth"] == 3 and c["drillable?"] is False
+    # ancestors nearest-first: nation then region
+    anc = c["ancestors"]
+    assert [a["level_name"] for a in anc] == ["Node", "Node"]
+    assert anc[0]["key"].startswith("N") and anc[1]["key"].startswith("R")
+    assert c["full_name"].count("].[") == 3  # dim + region + nation + self
+
+
+def test_pc_member_by_key_with_children(client):
+    r = client.get(
+        "/cubes/Orders/dimensions/Geo Tree/levels/Node/members/N1",
+        query_string={"children": "true"})
+    assert r.status_code == 200
+    m = r.get_json()
+    assert m["key"] == "N1" and m["num_children"] > 0
+    kids = m["children"]
+    assert all(k["key"].startswith("C") for k in kids)
+    assert all(k["depth"] == 3 for k in kids)
+    # each child's parent path runs through N1
+    assert all("].[" + m["name"] + "].[" in k["full_name"] for k in kids)
+
+
+def test_pc_rest_aggregate_cut_and_drill(client):
+    """REST aggregate over the parent-child dim: subtree cut keeps the
+    member, its ancestors and its descendants (Mondrian slicer
+    cell-context), each with subtree-restricted totals."""
+    r = client.get(
+        "/cubes/Orders/aggregate",
+        query_string=[("drilldown[]", "Geo Tree"),
+                      ("measures[]", "Total Price"),
+                      ("cut[]", "[Geo Tree].[Node].[&N1]"),
+                      ("nonempty", "true")])
+    assert r.status_code == 200
+    body = r.get_json()
+    members = body["axes"][1]["members"]
+    keys = {m["key"] for m in members}
+    assert "N1" in keys and "R1" in keys
+    assert any(k.startswith("C") for k in keys)
+    assert not any(k.startswith("N") and k != "N1" for k in keys)
+    # the region row equals the nation row: the slicer restricts both
+    # to exactly N1's subtree facts
+    vals = dict(zip([m["key"] for m in members],
+                    [v[0] for v in body["values"]]))
+    assert abs(vals["R1"] - vals["N1"]) < 1e-6
+
+
+def test_pc_range_cut_400(client):
+    r = client.get(
+        "/cubes/Orders/aggregate",
+        query_string=[("drilldown[]", "Geo Tree"),
+                      ("measures[]", "Total Price"),
+                      ("cut[]", "([Geo Tree].[Node].[&N1]:[Geo Tree].[Node].[&N3])")])
+    assert r.status_code == 400
