@@ -500,6 +500,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "[Customer].[Nation].[&1], [Customer].[Nation].[&6]}) "
         "ON ROWS FROM [Sales]")
 
+    # EXISTING under DENSE axes (r10, VERDICT r9 #3): Mondrian's
+    # EXISTING drops out-of-context members; without the fix a dense
+    # fill surfaced all 25 nations (20 null-filled) where Mondrian
+    # returns only region &1's five
+    q["q79_mdx_existing_dense"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "EXISTING [Customer].[Nation].Members ON ROWS "
+        "FROM [Sales] WHERE ([Customer].[Region].[&1])")
+
     # Parent-child hierarchy as a REST-drillable catalog dimension
     # (r10, VERDICT r9 #1; reference HR cube foodmart.xml:529-547):
     # drilldown[]=Geo Tree enumerates the region->nation->customer
@@ -2258,6 +2269,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(o_orderkey)
             FROM oc JOIN nation ON c_nationkey = n_nationkey
                     JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2""",
+        "q79_mdx_existing_dense": f"""
+            WITH m AS (
+              SELECT n_nationkey, n_name FROM nation
+              WHERE n_regionkey = 1),
+            a AS (
+              SELECT n_nationkey AS nk, {REVENUE} AS revenue
+              FROM {J_CUST} WHERE n_regionkey = 1 GROUP BY 1)
+            SELECT m.n_nationkey AS cust_nation_key,
+                   m.n_name AS cust_nation, a.revenue
+            FROM m LEFT JOIN a ON m.n_nationkey = a.nk""",
         "q78_pc_rest_drilldown": f"""
             WITH RECURSIVE nodes AS (
               SELECT 'R' || r_regionkey AS node_id,

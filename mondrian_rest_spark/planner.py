@@ -1941,7 +1941,8 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                        needed_props, caption_overrides, out, group_cols,
                        [m.alias for m in base_measures]
                        + [c.alias for c, _, _ in fs_set_aggs],
-                       axis_cuts=axis_cuts, prop_filters=prop_filter_preds)
+                       axis_cuts=axis_cuts, prop_filters=prop_filter_preds,
+                       existing_dims=getattr(qm, "existing_dims", None))
 
     # --- member-value set aggregates (post-agg): one extra aggregate
     # --- at (axis grain × set member) computing each member's cell
@@ -2423,7 +2424,8 @@ def _cmp_pred(alias: str, op: str, value):
 
 def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
              caption_overrides, agg, group_cols, measure_aliases,
-             axis_cuts=None, prop_filters=None) -> DataFrame:
+             axis_cuts=None, prop_filters=None,
+             existing_dims=None) -> DataFrame:
     """Dense axes: cross-join each drill's member frame, left-join the
     aggregate; empty cells stay null (reference webshop_1.csv golden,
     SURVEY §7.5.1).  Combinatorial by design — opt-in.
@@ -2435,8 +2437,18 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
     and leave dense axes full."""
     axis_frames = []
     join_keys: list[str] = []
+    existing_set = {d.lower() for d in existing_dims or []}
     for ai, rd in enumerate(drills):
         own = [rc for i, rc in (axis_cuts or []) if i == ai]
+        if rd.dimension.name.lower() in existing_set:
+            # EXISTING <set> (r10, VERDICT r9 #3): the dense member
+            # frame is restricted by the same-dimension WHERE cuts —
+            # including COARSER-level ones, which the restrict join
+            # applies and projects back — so out-of-context members
+            # are dropped (Mondrian EXISTING) instead of surfacing as
+            # null-filled rows
+            own = own + [rc for rc in pred_cuts
+                         if rc.dimension.name == rd.dimension.name]
         mf = members_frame(spark, sf_dir, cube, rd,
                            needed_props.get(rd.dimension.name, []),
                            caption_overrides, restrict=own or None)

@@ -174,3 +174,9 @@ class QueryModel:
     # THESE measures are empty (null), even if other displayed measures
     # have data — a post-agg isNotNull filter per named measure.
     nonempty_measures: list = field(default_factory=list)
+    # EXISTING <set> from raw MDX (r10): dimension names whose DENSE
+    # member frames must be restricted by same-dimension WHERE cuts —
+    # Mondrian's EXISTING drops out-of-context members where a plain
+    # dense fill would surface them as null rows.  No-op under
+    # nonempty=true (the drop happens naturally).
+    existing_dims: list = field(default_factory=list)

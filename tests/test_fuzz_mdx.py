@@ -804,6 +804,11 @@ _MUTATION_SEEDS = [
     'SELECT {[Measures].[Revenue]} ON COLUMNS, '
     'NON EMPTY HIERARCHIZE(TOPCOUNT([Customer].[Nation].Members, 5, '
     '[Measures].[Revenue])) ON ROWS FROM [Sales]',
+    # r10: EXISTING under DENSE axes (no NON EMPTY) — the context
+    # restriction path through the dense member frames must never 500
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'EXISTING [Customer].[Nation].Members ON ROWS '
+    'FROM [Sales] WHERE ([Customer].[Region].[&1])',
 ]
 
 

@@ -2683,6 +2683,28 @@ def test_mdx_exists_and_existing(spark, sf_dir):
     assert [tuple(r) for r in ex] == [tuple(r) for r in plain]
 
 
+def test_mdx_existing_dense_drops_out_of_context(spark, sf_dir):
+    """VERDICT r9 #3: under DENSE axes (no NON EMPTY) EXISTING must
+    DROP out-of-context members — a plain dense fill surfaces them as
+    null-filled rows (the one place the subset could silently diverge
+    from Mondrian)."""
+    ex = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "EXISTING [Customer].[Nation].Members ON ROWS "
+        "FROM [Sales] WHERE ([Customer].[Region].[&1])").collect()
+    assert sorted(r["cust_nation_key"] for r in ex) == [1, 6, 11, 16, 21]
+    # the dense fill itself still runs (cells may be null under a
+    # tighter slicer) — only the MEMBER SET is context-restricted
+    plain = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Nation].Members ON ROWS "
+        "FROM [Sales] WHERE ([Customer].[Region].[&1])").collect()
+    assert len(plain) == 25
+    assert sum(1 for r in plain if r["revenue"] is None) == 20
+
+
 def test_mdx_generate_head_tail(spark, sf_dir):
     """General GENERATE (VERDICT r8 #6): HEAD/TAIL inner sets rank by
     hierarchy (key) order per parent — no measure involved."""
