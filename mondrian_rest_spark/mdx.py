@@ -134,6 +134,43 @@ def tokenize(s: str) -> list[str]:
             raise ParseError(f"bad MDX at position {i}: {s[i:i+20]!r}")
         out.append(m.group().strip())
         i = m.end()
+    return _unwrap_str_fns(out)
+
+
+def _unwrap_str_fns(toks: list[str]) -> list[str]:
+    """StrToMember("[A].[B].[&K]") / StrToSet("{...}") — parse-time
+    string unwraps (r10, VERDICT r9 #7).  Mondrian evaluates the string
+    argument and parses the result; with a string LITERAL that is
+    exactly a token splice, so the inner text is tokenized (and
+    recursively unwrapped) in place.  Non-literal arguments (string
+    concatenation, member references) are out of subset — a clear 400.
+    StrToSet of a bare member path is normalized to a one-member set,
+    matching Mondrian's coercion."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        u = t.upper()
+        if u in ("STRTOMEMBER", "STRTOSET"):
+            if (i + 3 >= len(toks) or toks[i + 1] != "("
+                    or toks[i + 2][:1] not in ("'", '"')
+                    or toks[i + 3] != ")"):
+                raise ParseError(
+                    f"{t} supports a single string LITERAL argument in "
+                    "this MDX subset")
+            inner = tokenize(toks[i + 2][1:-1])   # recursively unwraps
+            if u == "STRTOMEMBER":
+                if not inner or "{" in inner or "}" in inner:
+                    raise ParseError(
+                        "StrToMember string must be a member path, got "
+                        f"{toks[i + 2]}")
+            elif not (inner and inner[0] == "{"):
+                inner = ["{"] + inner + ["}"]
+            out.extend(inner)
+            i += 4
+            continue
+        out.append(t)
+        i += 1
     return out
 
 
@@ -198,7 +235,8 @@ class MdxQuery:
                                     ancestor_of=[], edge_sibling_of=[],
                                     periods_to_date=[], properties=[],
                                     property_filters=[], nav_filters=[],
-                                    nonempty_measures=[], existing_dims=[])
+                                    nonempty_measures=[], existing_dims=[],
+                                    gs_axes=[], visual_totals=[])
         # WITH SET bodies that are member-set literals/algebra (not the
         # TOPCOUNT ranked form): name -> (level_path, kind, members),
         # macro-expanded at each reference DURING parsing — the
@@ -206,6 +244,18 @@ class MdxQuery:
         # planner needs no new machinery (a parse-time analog of
         # Mondrian's named-set substitution)
         self.set_macros: dict = {}
+
+
+def _guard_gs_dim(q: MdxQuery, dim_seg: str, what: str) -> None:
+    """One grouping-sets axis (DRILLDOWNLEVEL/DRILLDOWNMEMBER/
+    VISUALTOTALS) per DIMENSION (r10 — r9 capped at one per query;
+    k dims still compile to a single Expand pass with 2^k sets)."""
+    for spec, _ in q.qm_kwargs.get("gs_axes", []):
+        if spec.split(".")[0].lower() == dim_seg.lower():
+            raise ParseError(
+                "one DRILLDOWNLEVEL/DRILLDOWNMEMBER/VISUALTOTALS per "
+                f"dimension in this MDX subset ({what} repeats "
+                f"[{dim_seg}])")
 
 
 def _merge_sub(q: MdxQuery, sub: MdxQuery) -> None:
@@ -280,13 +330,20 @@ def _axis_expr(p: _P, q: MdxQuery) -> None:
     our QueryModel applies order/limit to the whole axis, so compiling
     `TOPCOUNT(x, n, m) * y` here would silently truncate the crossjoin
     instead of the inner set — a clear 400 beats a wrong answer."""
-    fn = _axis_term(p, q, infix_hint=False)
+    # _axis_term returns False (plain set), True (axis-GLOBAL set
+    # function — order/limit claims the whole axis, so infix
+    # composition would silently truncate the crossjoin), or "gs"
+    # (a grouping-sets axis: DRILLDOWNLEVEL/DRILLDOWNMEMBER/
+    # VISUALTOTALS, which r10 makes crossjoin-composable — k of them
+    # still compile to ONE Expand pass)
+    saw_global = _axis_term(p, q, infix_hint=False) is True
     infix = False
     while p.peek() == "*":
         p.next()
         infix = True
-        fn = _axis_term(p, q, infix_hint=True) or fn
-    if infix and fn:
+        saw_global = (_axis_term(p, q, infix_hint=True) is True
+                      or saw_global)
+    if infix and saw_global:
         raise ParseError(
             "set functions cannot be crossjoined with * in this MDX "
             "subset (order/limit would apply to the whole axis, not "
@@ -303,7 +360,7 @@ def _crossjoin_operand(p: _P, q: MdxQuery) -> None:
     to the inner set's n rows (the wrong-answer mode the infix path
     already guards against)."""
     while True:
-        if _axis_term(p, q, infix_hint=True):
+        if _axis_term(p, q, infix_hint=True) is True:
             raise ParseError(
                 "set functions cannot be crossjoin operands in this MDX "
                 "subset (order/limit would apply to the whole axis, not "
@@ -609,6 +666,21 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             q.qm_kwargs.setdefault("existing_dims", []).append(
                 d.split(".")[0])
         return r
+    if t == "CROSSJOIN":
+        # CROSSJOIN(set1, set2) — the explicit function form of the
+        # infix `*` the grammar already parses (r10, VERDICT r9 #7).
+        # Each operand is in crossjoin position: the same guards apply
+        # (a simple TOPCOUNT compiles to an inline named set; other
+        # set functions 400 — order/limit would silently apply to the
+        # whole axis), and operands may themselves be infix chains or
+        # nested CROSSJOINs, so N-ary composition works.
+        p.next()
+        p.expect("(")
+        _crossjoin_operand(p, q)
+        p.expect(",")
+        _crossjoin_operand(p, q)
+        p.expect(")")
+        return False
     if t == "EXISTS":
         # EXISTS(set1, set2): tuples of set1 that exist with set2 via
         # hierarchy relations (MDX spec; no measure-group 3rd arg in
@@ -706,30 +778,26 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
                     f"VISUALTOTALS child {_path_str(m)} is at the "
                     f"parent's own level; list the parent first, then "
                     f"its children")
-        if q.qm_kwargs.get("drilldown_level") is not None \
-                or q.qm_kwargs.get("drilldown_members") is not None:
-            raise ParseError(
-                "one DRILLDOWNLEVEL/DRILLDOWNMEMBER/VISUALTOTALS per "
-                "query in this MDX subset")
-        q.qm_kwargs["drilldown_members"] = (
-            ".".join(parent[:-1]),
-            "{" + _path_str(parent) + "}")
+        _guard_gs_dim(q, parent[0], "VISUALTOTALS")
+        q.qm_kwargs.setdefault("gs_axes", []).append(
+            (".".join(parent[:-1]), "{" + _path_str(parent) + "}"))
         children_cut = "{" + ",".join(_path_str(m) for m in children) + "}"
         q.qm_kwargs["cut"].append(children_cut)
-        q.qm_kwargs["visual_totals"] = (
-            "{" + _path_str(parent) + "}", children_cut)
-        return True
+        q.qm_kwargs.setdefault("visual_totals", []).append(
+            ("{" + _path_str(parent) + "}", children_cut))
+        return "gs"
     if t in ("DRILLDOWNLEVEL", "DRILLDOWNMEMBER"):
         # DRILLDOWNLEVEL(<level>.Members) = the level's members PLUS
         # each member's children, hierarchized (parent subtotal row
         # before its children); DRILLDOWNMEMBER(<level>.Members,
         # {m, ...}) drills only the listed members.  Both compile to
-        # ONE grouping-sets aggregate {(parent), (parent, child)} —
-        # a single Expand pass, no second scan; parent rows carry
-        # NULL child columns (Mondrian's mixed-depth axis).  Sole
-        # axis expression, NON EMPTY required (a dense fill of a
-        # mixed-grain axis is ill-defined — clear 400 in the
-        # planner), one per query.
+        # ONE grouping-sets aggregate — a single Expand pass, no
+        # second scan; parent rows carry NULL child columns
+        # (Mondrian's mixed-depth axis).  NON EMPTY required (a dense
+        # fill of a mixed-grain axis is ill-defined — clear 400 in
+        # the planner).  r10 (VERDICT r9 #4): crossjoin-composable,
+        # one per DIMENSION — k grouping-sets axes compile to 2^k
+        # sets in the same single Expand pass.
         p.next()
         p.expect("(")
         outer = _path(p)
@@ -760,16 +828,10 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
                 "DRILLDOWNLEVEL supports the 1-arg form "
                 "(<level>.Members) in this MDX subset")
         p.expect(")")
-        if q.qm_kwargs.get("drilldown_level") is not None \
-                or q.qm_kwargs.get("drilldown_members") is not None:
-            raise ParseError(
-                "one DRILLDOWNLEVEL/DRILLDOWNMEMBER per query in "
-                "this MDX subset")
-        if subset is None:
-            q.qm_kwargs["drilldown_level"] = ".".join(outer)
-        else:
-            q.qm_kwargs["drilldown_members"] = (".".join(outer), subset)
-        return True
+        _guard_gs_dim(q, outer[0], t)
+        q.qm_kwargs.setdefault("gs_axes", []).append(
+            (".".join(outer), subset))
+        return "gs"
     if t == "GENERATE":
         # GENERATE(<level>.Members, <inner>) — the union of the inner
         # set evaluated at each member of the outer set.  Supported
@@ -2118,17 +2180,22 @@ def emit_mdx(cat: Catalog, qm) -> str:
         dim_seg = parse_segments(m_path)[0]
         member = _path_str(parse_segments(m_path))
         sets.append(f"PERIODSTODATE([{dim_seg}].[{anchor}], {member})")
-    ddl_path = (getattr(qm, "drilldown_level", None)
-                or (qm.drilldown_members[0]
-                    if getattr(qm, "drilldown_members", None) is not None
-                    else None))
-    if ddl_path is not None:
+    vt_parents = {p for p, _ in getattr(qm, "visual_totals", []) or []}
+    for ddl_path, ddl_subset in getattr(qm, "gs_axes", []) or []:
         lvlb = ".".join(f"[{s}]" for s in ddl_path.split("."))
-        if getattr(qm, "drilldown_level", None) is not None:
+        if ddl_subset is None:
             sets.append(f"DRILLDOWNLEVEL({lvlb}.Members)")
+        elif ddl_subset in vt_parents:
+            # a VISUALTOTALS-originated axis echoes as itself: the
+            # parent member + the children cut the compiler appended
+            children = dict(
+                (p, c) for p, c in qm.visual_totals)[ddl_subset]
+            sets.append(
+                "VISUALTOTALS({" + ddl_subset[1:-1] + ","
+                + children[1:-1] + "})")
         else:
             sets.append(f"DRILLDOWNMEMBER({lvlb}.Members, "
-                        f"{qm.drilldown_members[1]})")
+                        f"{ddl_subset})")
     if getattr(qm, "generate_top", None) is not None:
         g_path, g_n, g_m, g_asc = qm.generate_top
         _, g_target = (getattr(qm, "generate_inner", None)

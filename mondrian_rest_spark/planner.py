@@ -440,8 +440,7 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
                 "member-navigation FILTER conditions are not "
                 "supported on virtual cubes in this MDX subset; "
                 "query the base cube")
-        if (getattr(qm, "drilldown_level", None) is not None
-                or getattr(qm, "drilldown_members", None) is not None):
+        if getattr(qm, "gs_axes", None):
             raise ParseError(
                 "DRILLDOWNLEVEL/DRILLDOWNMEMBER are not supported on "
                 "virtual cubes in this MDX subset; query the base "
@@ -867,8 +866,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # (one tiny broadcast-dim scan at plan time), 400 on mismatch, and
     # AND a cut on the parent member so foreign facts can never enter
     # the aggregate (also prunes the dim scan).
-    if getattr(qm, "visual_totals", None) is not None:
-        vt_parent, vt_children = qm.visual_totals
+    for vt_parent, vt_children in getattr(qm, "visual_totals", []) or []:
         parent_rc = _resolve_cut(cube, parse_cut(vt_parent, ns_names))
         child_rc = _resolve_cut(cube, parse_cut(vt_children, ns_names))
         vt_frame = _dim_select(
@@ -1556,17 +1554,13 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         drills.append(ResolvedDrill(dim, hier, child, gl))
         generate_levels = (level, child)
 
-    # --- DRILLDOWNLEVEL / DRILLDOWNMEMBER (raw MDX, r9): mixed-depth
-    # --- axis = ONE grouping-sets aggregate {(parent), (parent,
-    # --- child)}; parent subtotal rows carry NULL child columns ---
-    ddl_levels = None
-    ddl_subset_cut = None
-    ddl_spec = (qm.drilldown_level
-                if getattr(qm, "drilldown_level", None) is not None
-                else (qm.drilldown_members[0]
-                      if getattr(qm, "drilldown_members", None)
-                      is not None else None))
-    if ddl_spec is not None:
+    # --- DRILLDOWNLEVEL / DRILLDOWNMEMBER / VISUALTOTALS (raw MDX):
+    # --- mixed-depth axes = ONE grouping-sets aggregate; parent
+    # --- subtotal rows carry NULL child columns.  r10 (VERDICT r9
+    # --- #4): one such axis per DIMENSION — k axes still compile to a
+    # --- single Expand pass with 2^k grouping sets, no extra scans ---
+    ddl_axes: list[tuple] = []   # (parent_lv, child_lv, subset_rc|None)
+    for ddl_spec, ddl_subset in getattr(qm, "gs_axes", []) or []:
         if not qm.nonempty:
             raise ParseError(
                 "DRILLDOWNLEVEL/DRILLDOWNMEMBER require NON EMPTY in "
@@ -1597,17 +1591,17 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 "dimension")
         child = hier.levels[idx + 1]
         drills.append(ResolvedDrill(dim, hier, child, [level, child]))
-        ddl_levels = (level, child)
-        if getattr(qm, "drilldown_members", None) is not None:
-            rc = _resolve_cut(cube, parse_cut(qm.drilldown_members[1],
-                                              ns_names))
-            if (rc.dimension.name != dim.name
-                    or rc.level.name != level.name):
+        subset_rc = None
+        if ddl_subset is not None:
+            subset_rc = _resolve_cut(cube, parse_cut(ddl_subset,
+                                                     ns_names))
+            if (subset_rc.dimension.name != dim.name
+                    or subset_rc.level.name != level.name):
                 raise ParseError(
                     "DRILLDOWNMEMBER subset members must be on the "
                     f"drilled level {level.name!r}, got "
-                    f"{rc.level.name!r}")
-            ddl_subset_cut = rc
+                    f"{subset_rc.level.name!r}")
+        ddl_axes.append((level, child, subset_rc))
 
     # drilling on an ascendant of a cut member is a client error
     # (reference api_spec.rb:154-157; query_helper.rb:242-245)
@@ -1898,35 +1892,46 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     aggs += [_set_agg_col(c, rc, m) for c, rc, m in fs_set_aggs]
     if not aggs:  # pure axis enumeration still needs an aggregate context
         aggs = [_agg_expr(cube.default_measure)]
-    if ddl_levels is not None:
-        # mixed-depth axis: {(everything-but-child), (everything)} in
-        # one Expand pass — partial aggregation still applies, no
-        # second scan.  Parent subtotal rows carry NULL child columns.
-        parent_lv, child_lv = ddl_levels
-        child_aliases = {a for _, a in child_lv.out_cols()}
-        if any(a in child_aliases
-               for a in prop_group_aliases(drills, prop_seq)):
-            raise ParseError(
-                "properties on the drilled-down level cannot combine "
-                "with DRILLDOWNLEVEL in this MDX subset")
-        gs_parent = [c for c in group_cols if c not in child_aliases]
+    if ddl_axes:
+        # mixed-depth axes: k grouping-sets dims -> 2^k sets in ONE
+        # Expand pass (r10 generalizes the r9 single-axis pair) —
+        # partial aggregation still applies, no second scan.  Parent
+        # subtotal rows carry NULL child columns.
+        prop_aliases = prop_group_aliases(drills, prop_seq)
+        child_alias_sets = []
+        for _, child_lv, _ in ddl_axes:
+            ca = {a for _, a in child_lv.out_cols()}
+            if any(a in ca for a in prop_aliases):
+                raise ParseError(
+                    "properties on the drilled-down level cannot "
+                    "combine with DRILLDOWNLEVEL in this MDX subset")
+            child_alias_sets.append(ca)
+        from itertools import product as _iproduct
+        sets = []
+        for mask in _iproduct((0, 1), repeat=len(ddl_axes)):
+            excl: set = set()
+            for bit, ca in zip(mask, child_alias_sets):
+                if not bit:
+                    excl |= ca
+            sets.append([c for c in group_cols if c not in excl])
         # F.grouping(), not key-isNull, marks the subtotal rows: a
         # genuine NULL child key in the data would otherwise be
         # conflated with a grouping-sets subtotal and bypass the
         # DRILLDOWNMEMBER subset filter (ADVICE r9).  grouping() is
-        # only legal inside the agg, so the marker rides along as a
-        # column and is dropped right after the filter.
-        gs_marker = "__gs_subtotal__"
-        out = (base.groupingSets([gs_parent, group_cols], *group_cols)
-                   .agg(*aggs,
-                        F.grouping(child_lv.key_alias).alias(gs_marker)))
-        if ddl_subset_cut is not None:
-            # DRILLDOWNMEMBER: child rows only under the listed
-            # parents; subtotal rows always stay
-            out = out.filter(
-                (F.col(gs_marker) == 1)
-                | _cut_predicate(ddl_subset_cut))
-        out = out.drop(gs_marker)
+        # only legal inside the agg, so one marker per grouping-sets
+        # dim rides along as a column and is dropped after the filter.
+        gs_markers = [f"__gs_subtotal_{i}__" for i in range(len(ddl_axes))]
+        marker_cols = [F.grouping(cl.key_alias).alias(m)
+                       for (_, cl, _), m in zip(ddl_axes, gs_markers)]
+        out = (base.groupingSets(sets, *group_cols)
+                   .agg(*aggs, *marker_cols))
+        for (_, _, subset_rc), m in zip(ddl_axes, gs_markers):
+            if subset_rc is not None:
+                # DRILLDOWNMEMBER: child rows only under the listed
+                # parents; subtotal rows always stay
+                out = out.filter(
+                    (F.col(m) == 1) | _cut_predicate(subset_rc))
+        out = out.drop(*gs_markers)
     elif group_cols:
         out = base.groupBy(*group_cols).agg(*aggs)
     else:

@@ -85,8 +85,7 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
             or getattr(qm, "property_filters", [])
             or getattr(qm, "nav_filters", [])
             or getattr(qm, "generate_inner", None) is not None
-            or getattr(qm, "drilldown_level", None) is not None
-            or getattr(qm, "drilldown_members", None) is not None):
+            or getattr(qm, "gs_axes", None)):
         return None
     # routability must consider the HIDDEN measures HAVING/ORDER pull
     # in too (mirrors RollupManager._measure_names): a log entry whose

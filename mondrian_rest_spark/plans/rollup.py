@@ -450,8 +450,7 @@ class RollupManager:
             return None  # a manager routes exactly one cube
         if (qm.parents or qm.properties or qm.caption or not qm.nonempty
                 or qm.property_filters or getattr(qm, "nav_filters", [])
-                or getattr(qm, "drilldown_level", None) is not None
-                or getattr(qm, "drilldown_members", None) is not None):
+                or getattr(qm, "gs_axes", None)):
             # nav_filters become cuts only inside _aggregate_cube, so
             # the grain check below cannot see them; DRILLDOWNLEVEL's
             # grouping-sets frame is not the flat grain this router

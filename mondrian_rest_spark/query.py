@@ -130,27 +130,26 @@ class QueryModel:
     # <target>) navigated the inner set to a deeper level than the
     # immediate child.
     generate_inner: tuple | None = None
-    # DRILLDOWNLEVEL(<level>.Members) from raw MDX (r9): the outer
-    # level's dotted path.  Compiles to ONE grouping-sets aggregate at
-    # {(parent), (parent, child)} — parent subtotal rows carry NULL
-    # child columns, exactly Mondrian's mixed-depth axis — in a single
-    # Expand pass (no second scan).
-    drilldown_level: str | None = None
-    # DRILLDOWNMEMBER(<level>.Members, {m, ...}) from raw MDX (r9):
-    # (level_path, subset_cut_string) — same grouping-sets aggregate
-    # plus a post-agg filter keeping child rows only under the listed
-    # parent members.
-    drilldown_members: tuple | None = None
-    # VISUALTOTALS({parent, child, ...}) from raw MDX (r10):
-    # (parent_cut_string, children_cut_string).  Rides the
-    # drilldown_members grouping-sets machinery; this flag makes the
-    # planner (a) validate each listed child's ancestor key at the
-    # parent level against the listed parent — 400 on mismatch, so a
-    # foreign child's facts can never surface as a spurious
-    # other-parent subtotal row (ADVICE r9) — and (b) AND a cut on the
-    # parent member, which both defends the aggregate and prunes the
-    # dim-side scan.
-    visual_totals: tuple | None = None
+    # Grouping-sets (mixed-depth) axes from raw MDX —
+    # DRILLDOWNLEVEL / DRILLDOWNMEMBER / VISUALTOTALS (r10 generalizes
+    # r9's one-per-QUERY cap to one-per-DIMENSION, VERDICT r9 #4).
+    # Each entry is (outer_level_path, subset_cut_string | None):
+    # None = DRILLDOWNLEVEL (all members drilled), a cut string =
+    # DRILLDOWNMEMBER (child rows kept only under the listed parents).
+    # k entries compile to ONE groupingSets aggregate with 2^k sets in
+    # a single Expand pass (no extra scans); parent subtotal rows
+    # carry NULL child columns, exactly Mondrian's mixed-depth axis.
+    gs_axes: list = field(default_factory=list)
+    # VISUALTOTALS({parent, child, ...}) from raw MDX (r10): list of
+    # (parent_cut_string, children_cut_string), one per VISUALTOTALS
+    # (at most one per dimension).  Rides the gs_axes grouping-sets
+    # machinery; each entry makes the planner (a) validate every
+    # listed child's ancestor key at the parent level against the
+    # listed parent — 400 on mismatch, so a foreign child's facts can
+    # never surface as a spurious other-parent subtotal row (ADVICE
+    # r9) — and (b) AND a cut on the parent member, which both defends
+    # the aggregate and prunes the dim-side scan.
+    visual_totals: list = field(default_factory=list)
     # HIERARCHIZE over a RANKED set (r9): the wrapped function's
     # order+limit select the tuples, then display order reverts to
     # hierarchical (one axis-sized re-sort after offset/limit/tail).

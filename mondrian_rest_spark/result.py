@@ -145,14 +145,11 @@ def resolved_drills(cube: Cube, qm: QueryModel) -> list[ResolvedDrill]:
             gl = (list(hier.levels[: tgt_idx + 1]) if qm.parents
                   else [level, child])
             drills.append(ResolvedDrill(dim, hier, child, gl))
-    ddl_spec = (getattr(qm, "drilldown_level", None)
-                or (qm.drilldown_members[0]
-                    if getattr(qm, "drilldown_members", None) is not None
-                    else None))
-    if ddl_spec is not None:
+    for ddl_spec, _ in getattr(qm, "gs_axes", []) or []:
         # mirror the planner's DRILLDOWNLEVEL/DRILLDOWNMEMBER append:
-        # the (parent, child) grouping-sets pair; parent subtotal rows
-        # carry NULL child cells (trimmed in _axis_member_hash)
+        # one (parent, child) grouping-sets pair per axis; parent
+        # subtotal rows carry NULL child cells (trimmed in
+        # _axis_member_hash)
         segs = ddl_spec.split(".")
         hier_name = segs[1] if len(segs) == 3 else None
         dim, hier, level = _resolve_level(cube, segs[0], hier_name,
@@ -339,15 +336,12 @@ def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list,
     axes: list[dict] = [{"members": [
         {"name": _names.get(a, m), "caption": m}
         for m, a in zip(qm.measures or [cube.default_measure.name], aliases)]}]
-    ddl_spec = (getattr(qm, "drilldown_level", None)
-                or (qm.drilldown_members[0]
-                    if getattr(qm, "drilldown_members", None) is not None
-                    else None))
-    ddl_dim = None
-    if ddl_spec is not None:
+    ddl_dims = set()
+    for ddl_spec, _ in getattr(qm, "gs_axes", []) or []:
         segs = ddl_spec.split(".")
-        ddl_dim = _rl(cube, segs[0], segs[1] if len(segs) == 3 else None,
-                      segs[-1])[0].name
+        ddl_dims.add(_rl(cube, segs[0],
+                         segs[1] if len(segs) == 3 else None,
+                         segs[-1])[0].name)
     for ai, rd in enumerate(drills):
         axes.append({
             "dimension": rd.dimension.name,
@@ -357,7 +351,7 @@ def to_aggregation_result(cat: Catalog, qm: QueryModel, rows: list,
                 _axis_member_hash(rd, t, axis_props[ai].get(t),
                                   prop_by_level.get(rd.dimension.name),
                                   trim_null_tail=(
-                                      rd.dimension.name == ddl_dim))
+                                      rd.dimension.name in ddl_dims))
                 for t in axis_captions[ai]
             ],
         })

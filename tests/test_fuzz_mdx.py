@@ -809,6 +809,16 @@ _MUTATION_SEEDS = [
     'SELECT {[Measures].[Revenue]} ON COLUMNS, '
     'EXISTING [Customer].[Nation].Members ON ROWS '
     'FROM [Sales] WHERE ([Customer].[Region].[&1])',
+    # r10: function-form CROSSJOIN (nested) and StrToMember/StrToSet
+    # literal unwraps — mutations must 400, never 500
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY CROSSJOIN(CROSSJOIN([Customer].[Region].Members, '
+    '[Return Flag].[Return Flag].Members), [Time].[Year].Members) '
+    'ON ROWS FROM [Sales]',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY StrToSet("{[Customer].[Nation].[&1],'
+    '[Customer].[Nation].[&6]}") ON ROWS FROM [Sales] '
+    'WHERE (StrToMember("[Customer].[Region].[&1]"))',
 ]
 
 

@@ -2705,6 +2705,72 @@ def test_mdx_existing_dense_drops_out_of_context(spark, sf_dir):
     assert sum(1 for r in plain if r["revenue"] is None) == 20
 
 
+def test_mdx_crossjoin_function_form(spark, sf_dir):
+    """VERDICT r9 #7: CROSSJOIN(a, b) is the explicit form of the
+    infix `*` — identical rows, nestable, same operand guards."""
+    fn = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY CROSSJOIN([Customer].[Region].Members, "
+        "[Return Flag].[Return Flag].Members) ON ROWS FROM [Sales]"
+    ).collect()
+    infix = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].Members * "
+        "[Return Flag].[Return Flag].Members ON ROWS FROM [Sales]"
+    ).collect()
+    assert sorted(map(tuple, fn)) == sorted(map(tuple, infix))
+    nested = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY CROSSJOIN(CROSSJOIN([Customer].[Region].Members, "
+        "[Return Flag].[Return Flag].Members), [Time].[Year].Members) "
+        "ON ROWS FROM [Sales]").collect()
+    assert len(nested) == 105
+    # a TOPCOUNT operand compiles to an inline named set (the infix
+    # parity rule); other set functions stay a clear 400
+    with pytest.raises(ParseError, match="crossjoin operand"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY CROSSJOIN(ORDER([Customer].[Region].Members, "
+            "[Measures].[Revenue], BDESC), [Time].[Year].Members) "
+            "ON ROWS FROM [Sales]")
+
+
+def test_mdx_strtomember_strtoset(spark, sf_dir):
+    """VERDICT r9 #7: StrToMember/StrToSet with literal arguments are
+    parse-time token splices; non-literal arguments 400."""
+    via_str = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+        'NON EMPTY [Customer].[Nation].Members ON ROWS FROM [Sales] '
+        'WHERE (StrToMember("[Customer].[Region].[&1]"))').collect()
+    direct = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].Members ON ROWS FROM [Sales] "
+        "WHERE ([Customer].[Region].[&1])").collect()
+    assert sorted(map(tuple, via_str)) == sorted(map(tuple, direct))
+    # StrToSet of a bare member coerces to a one-member set
+    one = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+        'NON EMPTY StrToSet("[Customer].[Region].[&2]") ON ROWS '
+        'FROM [Sales]').collect()
+    assert len(one) == 1 and one[0]["cust_region_key"] == 2
+    with pytest.raises(ParseError, match="LITERAL"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY StrToMember([Customer].[Region].[&1]) ON ROWS "
+            "FROM [Sales]")
+    with pytest.raises(ParseError, match="member path"):
+        compile_mdx(
+            'SELECT {[Measures].[Revenue]} ON COLUMNS, NON EMPTY '
+            'StrToMember("{[Customer].[Region].[&1]}") ON ROWS '
+            'FROM [Sales]')
+
+
 def test_mdx_generate_head_tail(spark, sf_dir):
     """General GENERATE (VERDICT r8 #6): HEAD/TAIL inner sets rank by
     hierarchy (key) order per parent — no measure involved."""
@@ -2833,10 +2899,6 @@ def test_mdx_drilldownlevel_rejections(spark, sf_dir):
          "NON EMPTY DRILLDOWNLEVEL([Customer].[Customer].Members) "
          "ON ROWS FROM [Sales]", "leaf level"),
         ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
-         "NON EMPTY CROSSJOIN(DRILLDOWNLEVEL("
-         "[Customer].[Region].Members), [Time].[Year].Members) "
-         "ON ROWS FROM [Sales]", "."),   # set fn in crossjoin position
-        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
          "NON EMPTY DRILLDOWNMEMBER([Customer].[Region].Members, "
          "{[Customer].[Nation].[&3]}) ON ROWS FROM [Sales]",
          "not on the drilled"),
@@ -2853,6 +2915,54 @@ def test_mdx_drilldownlevel_rejections(spark, sf_dir):
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
             "NON EMPTY DRILLDOWNLEVEL([Customer].[Region].Members) "
             "ON ROWS FROM [Orders and Sales]").collect()
+    # TWO grouping-sets axes on the SAME dimension stay a 400
+    with pytest.raises(ParseError, match="per dimension"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY DRILLDOWNLEVEL([Customer].[Region].Members) * "
+            "DRILLDOWNMEMBER([Customer].[Region].Members, "
+            "{[Customer].[Region].[&1]}) ON ROWS FROM [Sales]")
+
+
+def test_mdx_drilldownlevel_two_dimensions(spark, sf_dir):
+    """VERDICT r9 #4: grouping-sets axes compose across dimensions —
+    k axes = 2^k sets in ONE Expand pass.  CROSSJOIN and infix forms
+    are equivalent; shapes cover all four subtotal combinations."""
+    mdx = ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+           "NON EMPTY CROSSJOIN(DRILLDOWNLEVEL("
+           "[Customer].[Region].Members), "
+           "DRILLDOWNLEVEL([Time].[Year].Members)) "
+           "ON ROWS FROM [Sales]")
+    rows = execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
+    shapes = {}
+    for r in rows:
+        k = (r["cust_nation_key"] is None, r["quarter"] is None)
+        shapes[k] = shapes.get(k, 0) + 1
+    # (region subtotal, year subtotal) grain = 5 regions x 7 years
+    assert shapes[(True, True)] == 35
+    assert set(shapes) == {(True, True), (True, False),
+                           (False, True), (False, False)}
+    # the double-subtotal rows equal the plain region x year rollup
+    plain = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Region].Members * [Time].[Year].Members "
+        "ON ROWS FROM [Sales]").collect()
+    want = {(r["cust_region_key"], r["year"]): r["revenue"]
+            for r in plain}
+    got = {(r["cust_region_key"], r["year"]): r["revenue"]
+           for r in rows
+           if r["cust_nation_key"] is None and r["quarter"] is None}
+    assert got == want
+    # infix form matches the CROSSJOIN function form
+    infix = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY DRILLDOWNLEVEL([Customer].[Region].Members) * "
+        "DRILLDOWNLEVEL([Time].[Year].Members) ON ROWS "
+        "FROM [Sales]").collect()
+    key = lambda r: tuple((c, str(r[c])) for c in r.asDict())
+    assert sorted(map(key, infix)) == sorted(map(key, rows))
 
 
 def test_mdx_hierarchize_over_ranked_sets(spark, sf_dir):
