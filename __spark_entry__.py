@@ -1305,6 +1305,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fromlist=["chunk_windows"]).chunk_windows(
         load_table(s, d, "documents"), window=64, stride=48)
 
+    # token-budget chunking (r10, VERDICT r9 #8): window/stride in
+    # tokenizer units (the token_stats BPE-ish subword pieces), the
+    # way real pipelines size context windows; same zero-shuffle
+    # split + transform(sequence) + posexplode plan
+    q["x06_chunk_token_windows"] = lambda s, d: __import__(
+        "mondrian_rest_spark.operators.pipeline",
+        fromlist=["chunk_token_windows"]).chunk_token_windows(
+        load_table(s, d, "documents"), window=64, stride=48)
+
     # JSON catalog calc members declared as MDX FORMULAS (r8) — the
     # reference XML CalculatedMember formula form, resolved at bind
     # time through the WITH MEMBER grammar (arith + measure tuple)
@@ -2972,6 +2981,22 @@ def oracle_sql() -> dict[str, str]:
             FROM w, unnest(range(0, ((len(words) - 1) // 48) + 1))
                       AS t(i)
             WHERE len(words) > 0""",
+
+        "x06_chunk_token_windows": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(text, '[^A-Za-z0-9]+'),
+                       x -> x <> '') AS pieces
+              FROM documents)
+            SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+                   array_to_string(pieces[i*48+1 : i*48+64], ' ')
+                     AS chunk_text,
+                   CAST(len(pieces[i*48+1 : i*48+64]) AS INTEGER)
+                     AS n_tokens
+            FROM w, unnest(range(0, ((len(pieces) - 1) // 48) + 1))
+                      AS t(i)
+            WHERE len(pieces) > 0""",
 
         "x04_mixture_sample": """
             WITH cnt AS (

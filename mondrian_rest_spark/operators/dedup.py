@@ -471,9 +471,81 @@ def neardup_simhash(df: DataFrame, max_hamming: int = 3,
                 .select("a_id", "b_id", "hamming"))
 
 
+class PrefixSkewError(RuntimeError):
+    """Raised by neardup_jaccard_prefix when a prefix bucket exceeds
+    max_candidates_per_prefix (r10, VERDICT r9 #2): the exact-Jaccard
+    verify stage is output-bound, so a pathologically shared prefix
+    shingle (a template header every doc starts with, a corpus whose
+    vocabulary stalls while docs grow) makes the TRUE pair count — and
+    the verify join — quadratic.  Failing loud with the offending
+    shingles beats an unbounded job; the caller can drop the template
+    shingles, raise the threshold, or switch to the approximate
+    MinHash-LSH path (neardup_minhash_lsh)."""
+
+    def __init__(self, buckets: list, cap: int):
+        self.buckets = buckets     # [(shingle, prefix_bucket_size)]
+        self.cap = cap
+        detail = ", ".join(f"{s!r}×{c:,}" for s, c in buckets)
+        super().__init__(
+            f"exact-Jaccard prefix skew: {len(buckets)} prefix "
+            f"bucket(s) exceed max_candidates_per_prefix={cap:,} "
+            f"(worst: {detail}); the candidate join would be "
+            "quadratic in the bucket size — drop the template "
+            "shingles, raise the threshold, or use the approximate "
+            "MinHash-LSH path")
+
+
+def jaccard_prefix_bucket_stats(df: DataFrame, threshold: float = 0.5,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                n: int = 3, top: int = 20) -> DataFrame:
+    """Per-prefix-shingle candidate telemetry (r10, VERDICT r9 #2):
+    how many documents carry each shingle in their PREFIX, and the
+    candidate pairs that bucket alone would emit (k·(k-1)/2).  The
+    operational dashboard for sizing max_candidates_per_prefix — one
+    shingle-keyed groupBy over the prefix frame, nothing quadratic."""
+    prefix = _jaccard_prefix_frame(df, threshold, text_col, id_col, n)
+    return (prefix.groupBy("__g")
+                  .agg(F.count(F.lit(1)).alias("bucket_size"))
+                  .withColumn("candidate_pairs",
+                              (F.col("bucket_size")
+                               * (F.col("bucket_size") - 1) / 2)
+                              .cast("long"))
+                  .orderBy(F.desc("bucket_size"))
+                  .limit(top)
+                  .select(F.col("__g").alias("shingle"), "bucket_size",
+                          "candidate_pairs"))
+
+
+def _jaccard_prefix_frame(df: DataFrame, threshold: float,
+                          text_col: str, id_col: str, n: int) -> DataFrame:
+    """Shared prefix construction for neardup_jaccard_prefix and its
+    telemetry: per (doc, prefix shingle) rows with __g/__sz/__rn."""
+    sh = (with_shingles(df, text_col, n)
+          .select(F.col(id_col), F.col("shingles"))
+          .filter(F.size("shingles") > 0))
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("__g"))
+    freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    w_doc = Window.partitionBy(id_col)
+    ordered = (ex.join(freq, on="__g")
+                 .withColumn("__rn", F.row_number().over(
+                     w_doc.orderBy(F.asc("__df"), F.asc("__g"))))
+                 .withColumn("__sz", F.count(F.lit(1)).over(w_doc)))
+    # epsilon guards: binary float t*sz can overshoot an exact integer
+    # product (0.1*30 -> 3.0000000000000004), and ceil/comparisons on
+    # the overshoot would shorten the prefix / tighten the length
+    # bound — each a silent RECALL bug.  1e-9 << 1/|S| for any real
+    # document, so the guards never admit a genuinely failing size.
+    return ordered.filter(
+        F.col("__rn") <= F.col("__sz")
+        - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1)
+
+
 def neardup_jaccard_prefix(df: DataFrame, threshold: float = 0.5,
                            text_col: str = "text", id_col: str = "doc_id",
-                           n: int = 3) -> DataFrame:
+                           n: int = 3,
+                           max_candidates_per_prefix: int | None = None
+                           ) -> DataFrame:
     """EXACT shingle-Jaccard near-dup pairs via prefix filtering
     (PPJoin / AllPairs family) — identical output to
     neardup_bruteforce, but linear-ish: no cross join anywhere.
@@ -493,28 +565,39 @@ def neardup_jaccard_prefix(df: DataFrame, threshold: float = 0.5,
     Shuffles: shingle document-frequency groupBy + join-back (shared
     key __g), one per-doc window, the candidate equi-join on the
     prefix shingle, and two id-keyed verify joins.  Every key is
-    either the shingle value or the doc id — nothing quadratic, no
-    driver-side state; survives a 100x corpus."""
+    either the shingle value or the doc id — nothing quadratic IN THE
+    PLAN; the one quadratic risk is in the DATA (r10, VERDICT r9 #2):
+    a template shingle shared corpus-wide lands in every prefix and
+    its bucket alone emits k²/2 true candidates.
+    ``max_candidates_per_prefix`` bounds that: any prefix bucket
+    larger than the cap raises :class:`PrefixSkewError` naming the
+    offending shingles (size it from
+    :func:`jaccard_prefix_bucket_stats`); ``None`` (default) keeps
+    the unguarded bit-identical behavior."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sh = (with_shingles(df, text_col, n)
           .select(F.col(id_col), F.col("shingles"))
           .filter(F.size("shingles") > 0))
-    ex = sh.select(F.col(id_col), F.explode("shingles").alias("__g"))
-    freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
-    w_doc = Window.partitionBy(id_col)
-    ordered = (ex.join(freq, on="__g")
-                 .withColumn("__rn", F.row_number().over(
-                     w_doc.orderBy(F.asc("__df"), F.asc("__g"))))
-                 .withColumn("__sz", F.count(F.lit(1)).over(w_doc)))
-    # epsilon guards: binary float t*sz can overshoot an exact integer
-    # product (0.1*30 -> 3.0000000000000004), and ceil/comparisons on
-    # the overshoot would shorten the prefix / tighten the length
-    # bound — each a silent RECALL bug.  1e-9 << 1/|S| for any real
-    # document, so the guards never admit a genuinely failing size.
-    prefix = ordered.filter(
-        F.col("__rn") <= F.col("__sz")
-        - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1)
+    prefix = _jaccard_prefix_frame(df, threshold, text_col, id_col, n)
+    if max_candidates_per_prefix is not None:
+        # skew guard (r10, VERDICT r9 #2): a prefix bucket of k docs
+        # emits ~k²/2 candidates — under adversarial frequency skew
+        # (a template shingle shared corpus-wide) the verify stage is
+        # output-bound and quadratic BY CONSTRUCTION, not by plan
+        # defect.  Fail loud with the offending shingles instead of
+        # running an unbounded join.  One shingle-keyed groupBy over
+        # the prefix frame; no action when the guard is off, so the
+        # default path stays bit-identical.
+        hot = (prefix.groupBy("__g")
+                     .agg(F.count(F.lit(1)).alias("__b"))
+                     .filter(F.col("__b") > max_candidates_per_prefix)
+                     .orderBy(F.desc("__b"), F.asc("__g"))
+                     .limit(5).collect())
+        if hot:
+            raise PrefixSkewError(
+                [(r["__g"], r["__b"]) for r in hot],
+                max_candidates_per_prefix)
     a = prefix.select(F.col(id_col).alias("a_id"), F.col("__g"),
                       F.col("__sz").alias("__sza"),
                       F.col("__rn").alias("__rna"))

@@ -101,6 +101,42 @@ def test_neardup_jaccard_prefix_boundary_sizes(spark):
     assert [(r.a_id, r.b_id, r.jaccard) for r in got] == [(1, 2, 0.5)]
 
 
+def test_jaccard_prefix_skew_guard(spark, docs):
+    """VERDICT r9 #2: a template shingle shared corpus-wide lands in
+    every prefix (short docs, low threshold) and its bucket alone is
+    quadratic in TRUE candidates — the guard must fail loud naming the
+    shingle; telemetry must surface the bucket; the guarded path must
+    stay bit-identical on a normal corpus."""
+    # 2,000 docs of 4 words sharing the leading trigram: prefix length
+    # at t=0.5 covers BOTH shingles, so the shared one buckets 2,000
+    # docs (~2M candidate pairs for a 2,000-doc corpus)
+    skew = spark.createDataFrame(
+        [(i, f"alpha beta gamma tail{i}") for i in range(2000)],
+        ["doc_id", "text"])
+    with pytest.raises(dedup.PrefixSkewError, match="alpha beta gamma"):
+        dedup.neardup_jaccard_prefix(
+            skew, threshold=0.5, max_candidates_per_prefix=500).collect()
+    try:
+        dedup.neardup_jaccard_prefix(
+            skew, threshold=0.5, max_candidates_per_prefix=500).collect()
+    except dedup.PrefixSkewError as e:
+        assert e.cap == 500
+        assert e.buckets[0] == ("alpha beta gamma", 2000)
+    # telemetry names the hot bucket with its candidate-pair estimate
+    stats = dedup.jaccard_prefix_bucket_stats(
+        skew, threshold=0.5, top=3).collect()
+    assert stats[0]["shingle"] == "alpha beta gamma"
+    assert stats[0]["bucket_size"] == 2000
+    assert stats[0]["candidate_pairs"] == 2000 * 1999 // 2
+    # a normal corpus under the guard: completes, bit-identical
+    brute = {(r.a_id, r.b_id): r.jaccard
+             for r in dedup.neardup_bruteforce(docs, 0.5).collect()}
+    guarded = {(r.a_id, r.b_id): r.jaccard
+               for r in dedup.neardup_jaccard_prefix(
+                   docs, 0.5, max_candidates_per_prefix=10_000).collect()}
+    assert guarded == brute
+
+
 def test_decontaminate_drops_eval_neardups(spark):
     ev = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog today")],
@@ -1468,3 +1504,41 @@ def test_chunk_windows_overlap_and_tail(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="window and stride"):
         chunk_windows(df, window=0)
+
+
+def test_chunk_token_windows_budget_reconciles(spark):
+    """x06 (VERDICT r9 #8): window/stride in TOKENIZER units — every
+    chunk fits the token budget, strides overlap in tokens, and the
+    union of stride-aligned token counts reconciles with token_stats'
+    n_subword_pieces for the same document."""
+    from mondrian_rest_spark.operators.pipeline import chunk_token_windows
+    from mondrian_rest_spark.operators.textstats import token_stats
+
+    rows = [(1, "Hello, world! x7:y8 " * 10),     # punct splits pieces
+            (2, "only-one"),                       # 2 pieces, 1 chunk
+            (3, "!!! ... ???")]                    # 0 pieces -> drops
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.doc_id, r.chunk_idx): r
+           for r in chunk_token_windows(df, window=16,
+                                        stride=12).collect()}
+    # doc 1: "Hello world x7 y8" x 10 = 40 pieces -> offsets 0..36
+    idxs = sorted(k[1] for k in got if k[0] == 1)
+    assert idxs == [0, 1, 2, 3]
+    assert all(got[(1, i)].n_tokens <= 16 for i in idxs)   # budget
+    assert got[(1, 0)].chunk_text.split()[:4] == \
+        ["Hello", "world", "x7", "y8"]
+    # overlap: chunk 1 starts at token 12 = chunk 0's token 12
+    assert got[(1, 1)].chunk_text.split()[0] == \
+        got[(1, 0)].chunk_text.split()[12]
+    assert got[(1, 3)].n_tokens == 40 - 36                 # tail
+    assert got[(2, 0)].n_tokens == 2                       # only-one
+    assert not any(k[0] == 3 for k in got)                 # no pieces
+    # reconciles with token_stats' subword count
+    ts = {r.doc_id: r.n_subword_pieces
+          for r in token_stats(df).collect()}
+    first = {d: got[(d, 0)] for d in (1, 2)}
+    for d, chunk0 in first.items():
+        n_chunks = max(k[1] for k in got if k[0] == d) + 1
+        total = (12 * (n_chunks - 1)
+                 + got[(d, n_chunks - 1)].n_tokens)
+        assert total == ts[d]
