@@ -564,6 +564,61 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         return jsonify({"recommendations": out,
                         "log_size": len(log)})
 
+    @app.post("/advisor/materialize")
+    def advisor_materialize():
+        # close the advisor loop (r10, VERDICT r9 #6): build the top-N
+        # recommended rollups through the existing register() path and
+        # report estimated vs REALIZED routing hit-rate by replaying
+        # the served-query log through the router's _choose (pure
+        # plan-time decision, no execution).  Secret-gated like /flush
+        # — materialization writes cluster state.
+        if flush_secret is None or request.args.get("secret") != flush_secret:
+            return jsonify({"error": "forbidden"}), 403
+        if rollup_manager is None:
+            raise ParseError(
+                "no rollup manager attached to this app; start the API "
+                "with rollup_manager= to materialize advised rollups")
+        from .plans.advisor import recommend_rollups
+        max_r = _int(request.args, "max")
+        max_r = 3 if max_r is None else max_r
+        if not 0 < max_r <= 10:
+            raise ParseError(f"max must be in 1..10, got {max_r}")
+        cube_obj = rollup_manager.cube
+        log = [q for q in served_log if q.cube == cube_obj.name]
+        stats = (dict(rollup_manager.level_stats)
+                 if rollup_manager.level_stats else None)
+        recs = recommend_rollups(cube_obj, log, max_rollups=max_r,
+                                 level_cardinality=stats)
+        built = []
+        for rec in recs:
+            name = f"advised_{len(rollup_manager.rollups)}_" + "_".join(
+                s.split(".")[-1].lower().replace(" ", "")
+                for s in rec.grain)
+            r = rollup_manager.register(name, tuple(rec.grain))
+            built.append({"name": r.name, "grain": list(r.grain),
+                          "rows": r.rows,
+                          "est_covered_weight": rec.covered_weight,
+                          "est_rows": rec.est_rows})
+        # realized hit-rate: replay the log through the router's
+        # plan-time choice — which materialization would now serve
+        # each already-served query
+        routed = 0
+        for q in log:
+            if rollup_manager._choose(q) is not None:
+                routed += 1
+        with cache_lock:
+            # routing changed: a cached result's debug source would lie
+            result_cache.clear()
+            cache_stats["cells"] = 0
+        return jsonify({
+            "materialized": built,
+            "log_size": len(log),
+            "estimated_covered_weight": sum(
+                b["est_covered_weight"] for b in built),
+            "realized": {"routed": routed, "total": len(log),
+                         "hit_rate": (routed / len(log)) if log else None},
+        })
+
     @app.get("/flush")
     def flush():
         # reference api.rb:52-70: secret-gated cache invalidation
