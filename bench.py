@@ -110,14 +110,19 @@ def main() -> None:
                for n, ts in samples.items()}
     total = round(sum(timings[n] for n in BENCH_QUERIES), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": f"total_wall_sec_{len(BENCH_QUERIES)}_headline_queries",
         "value": total,
         "unit": "sec",
         "estimator": f"per-query median of {runs} interleaved runs",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_SAMPLES"):
+        # raw per-run samples (variance evidence for scale-run records)
+        out["samples"] = {n: [round(t, 3) for t in ts]
+                          for n, ts in samples.items()}
+    print(json.dumps(out))
     if gate is not None:
         factor, base_total, path = gate
         if total > factor * base_total:
