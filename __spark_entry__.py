@@ -510,6 +510,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY CROSSJOIN(DRILLDOWNLEVEL([Customer].[Region].Members), "
         "DRILLDOWNLEVEL([Time].[Year].Members)) ON ROWS FROM [Sales]")
 
+    # VISUALTOTALS composed with DRILLDOWNLEVEL on another dimension
+    # (r10): two grouping-sets axes + the visible-total cuts, still
+    # ONE Expand pass
+    q["q83_mdx_visualtotals_x_ddl"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY VISUALTOTALS({[Customer].[Region].[&1], "
+        "[Customer].[Nation].[&1], [Customer].[Nation].[&6]}) * "
+        "DRILLDOWNLEVEL([Time].[Year].Members) ON ROWS FROM [Sales]")
+
     # Function-form CROSSJOIN (r10, VERDICT r9 #7): the explicit form
     # of the infix `*`, nestable for N-ary axes; same one-shuffle
     # multi-key groupBy plan as the infix compile
@@ -2309,6 +2320,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(o_orderkey)
             FROM oc JOIN nation ON c_nationkey = n_nationkey
                     JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2""",
+        "q83_mdx_visualtotals_x_ddl": f"""
+            SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                   n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS "year",
+                   CAST(quarter(l_shipdate) AS INTEGER) AS "quarter",
+                   {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE r_regionkey = 1 AND n_nationkey IN (1, 6)
+            GROUP BY GROUPING SETS (
+              (r_regionkey, r_name, year(l_shipdate)),
+              (r_regionkey, r_name, year(l_shipdate),
+               quarter(l_shipdate)),
+              (r_regionkey, r_name, n_nationkey, n_name,
+               year(l_shipdate)),
+              (r_regionkey, r_name, n_nationkey, n_name,
+               year(l_shipdate), quarter(l_shipdate)))""",
         "q80_mdx_drilldownlevel_2d": f"""
             SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
                    n_nationkey AS cust_nation_key, n_name AS cust_nation,

@@ -321,6 +321,12 @@ def neardup_minhash_lsh(df: DataFrame, threshold: float = 0.5,
     # consumed three times (signature + both verify sides): persist the
     # narrow (id, hash) projection, ~16 bytes/shingle
     ex = ex.persist()
+    # the band frame feeds BOTH sides of the self-join, and Spark does
+    # not reuse the signature aggregate across the branches — without
+    # the pin each side re-ran the 32-minhash groupBy (r10, measured
+    # 2x: sf1 13.2s -> 6.4s, identical pairs).  docs x bands rows of
+    # (id, band, sig) — tiny and storage-evictable.
+    bands_df = bands_df.persist()
     left = bands_df.select(F.col(id_col).alias("a_id"), "band_idx", "band_sig")
     right = bands_df.select(F.col(id_col).alias("b_id"), "band_idx", "band_sig")
     cand = (left.join(right, on=["band_idx", "band_sig"], how="inner")
@@ -444,8 +450,16 @@ def neardup_simhash(df: DataFrame, max_hamming: int = 3,
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash near-dup pairs: 4x15-bit chunk banding (pigeonhole
     guarantees recall for hamming <= 3), then exact hamming verify via
-    bit_count(xor) on candidates only."""
-    sh = with_simhash(df, text_col, id_col)
+    bit_count(xor) on candidates only.
+
+    The simhash frame is persisted before the band self-join (r10):
+    Spark does not reuse the aggregate across the two join branches
+    (each side re-ran the full token explode + 15-lane vote aggregate —
+    measured 2x the whole signature cost, the dominant term at sf1:
+    15.0s -> 8.4s for identical pairs).  The cached frame is
+    O(docs) x 16 bytes and storage-evictable, so pinning it is the
+    right trade at any corpus size."""
+    sh = with_simhash(df, text_col, id_col).persist()
     chunks = sh.select(
         F.col(id_col), F.col("simhash"),
         F.posexplode(F.expr(
@@ -576,10 +590,17 @@ def neardup_jaccard_prefix(df: DataFrame, threshold: float = 0.5,
     the unguarded bit-identical behavior."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # both frames feed TWO join branches each (prefix -> a/b candidate
+    # sides, shingles -> both verify sides) and Spark does not reuse
+    # the underlying aggregates/windows across self-join branches —
+    # persist the narrow frames instead of paying the document-
+    # frequency join + per-doc window (prefix) and the shingle build
+    # (sh) twice (r10, same fix as d03/d04; bit-identical output)
     sh = (with_shingles(df, text_col, n)
           .select(F.col(id_col), F.col("shingles"))
-          .filter(F.size("shingles") > 0))
-    prefix = _jaccard_prefix_frame(df, threshold, text_col, id_col, n)
+          .filter(F.size("shingles") > 0)).persist()
+    prefix = _jaccard_prefix_frame(df, threshold, text_col, id_col,
+                                   n).persist()
     if max_candidates_per_prefix is not None:
         # skew guard (r10, VERDICT r9 #2): a prefix bucket of k docs
         # emits ~k²/2 candidates — under adversarial frequency skew

