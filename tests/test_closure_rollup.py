@@ -444,3 +444,79 @@ def test_rollup_advisor_measured_cardinality_beats_proxy(spark, sf_dir):
     assert set(measured[0].grain) == {"Customer.Region", "Time.Year"}
     assert measured[0].est_rows == (stats[("Customer", "Region")]
                                     * stats[("Time", "Year")])
+
+
+def test_pc_dimension_precomputed_closure_table(spark, sf_dir, tmp_path):
+    """Mondrian's <Closure> declared path (foodmart.xml:537-540): a
+    parent-child dimension bound to a PRECOMPUTED closure table reads
+    it instead of building the closure — results identical to the
+    build-side dimension."""
+    import dataclasses
+    import os
+
+    import pyspark.sql.functions as F
+
+    from mondrian_rest_spark import tpch
+    from mondrian_rest_spark.catalog import ParentChild
+    from mondrian_rest_spark.planner import (aggregate, pc_closure_frame,
+                                             pc_member_frame)
+    from mondrian_rest_spark.query import QueryModel
+
+    orders = tpch.CATALOG.cube("Orders")
+    geo = orders.dimension("Geo Tree")
+    # materialize the built closure as the "precomputed" table in a
+    # tmp data dir that symlinks the real tables
+    cl = pc_closure_frame(spark, sf_dir, geo)
+    data = tmp_path / "sfpc"
+    data.mkdir()
+    for t in ("region", "nation", "customer", "orders"):
+        os.symlink(f"{sf_dir}/{t}.parquet", data / f"{t}.parquet")
+    cl.write.parquet(str(data / "geo_closure.parquet"))
+
+    geo2 = dataclasses.replace(
+        geo, parent_child=dataclasses.replace(
+            geo.parent_child, closure_table="geo_closure"))
+    orders2 = dataclasses.replace(
+        orders, dimensions=tuple(
+            geo2 if d.name == "Geo Tree" else d
+            for d in orders.dimensions))
+    cat2 = dataclasses.replace(
+        tpch.CATALOG, cubes=tuple(
+            orders2 if c.name == "Orders" else c
+            for c in tpch.CATALOG.cubes))
+
+    qm = QueryModel(cube="Orders", measures=["Total Price"],
+                    drilldown=["Geo Tree"],
+                    cut=["[Geo Tree].[Node].[&N2]"], nonempty=True)
+    built = {tuple(r) for r in
+             aggregate(spark, sf_dir, tpch.CATALOG, qm).collect()}
+    precomputed = {tuple(r) for r in
+                   aggregate(spark, str(data), cat2, qm).collect()}
+    assert built == precomputed and built
+    # the precomputed path reads the table (closure cache is keyed per
+    # sf_dir, so this entry came from the parquet, not the builder)
+    cl2 = pc_closure_frame(spark, str(data), geo2)
+    assert cl2.count() == cl.count()
+
+
+def test_pc_dimension_raw_mdx_drilldown(spark, sf_dir):
+    """The parent-child dimension drills through the raw-MDX surface
+    too — [Geo Tree].[Node].Members enumerates the whole tree with
+    subtree-aggregated cells, same as the REST drilldown."""
+    from mondrian_rest_spark import tpch
+    from mondrian_rest_spark.mdx import execute_mdx
+    from mondrian_rest_spark.planner import aggregate
+    from mondrian_rest_spark.query import QueryModel
+
+    via_mdx = {tuple(r) for r in execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Total Price]} ON COLUMNS, "
+        "NON EMPTY [Geo Tree].[Node].Members ON ROWS "
+        "FROM [Orders] WHERE ([Geo Tree].[Node].[&N1])").collect()}
+    via_rest = {tuple(r) for r in aggregate(
+        spark, sf_dir, tpch.CATALOG,
+        QueryModel(cube="Orders", measures=["Total Price"],
+                   drilldown=["Geo Tree.Node"],
+                   cut=["[Geo Tree].[Node].[&N1]"],
+                   nonempty=True)).collect()}
+    assert via_mdx == via_rest and via_mdx

@@ -426,8 +426,15 @@ def test_recommended_lsh_config():
     p = 1.0 - math.acos(0.9) / math.pi
     assert 1 - (1 - p ** p_big) ** t_big >= 0.9
     # lower threshold -> lower per-table collision prob -> more tables
-    _, t_low = similarity.recommended_lsh_config(10**9, threshold=0.5)
-    assert t_low > t_big
+    _, t_low = similarity.recommended_lsh_config(10**6, threshold=0.85)
+    _, t_hi = similarity.recommended_lsh_config(10**6, threshold=0.9)
+    assert t_low > t_hi
+    # r10: a low threshold at scale wants a table count whose bucket
+    # expressions alone would choke Catalyst — fail loud, not slow
+    with pytest.raises(ValueError, match="practicality cap"):
+        similarity.recommended_lsh_config(10**9, threshold=0.5)
+    with pytest.raises(ValueError, match="practicality cap"):
+        similarity.recommended_lsh_config(50_000, threshold=0.45)
 
 
 def test_embedding_neardup_lsh_recall(spark, sf_dir):
@@ -1021,15 +1028,21 @@ def test_auto_lsh_config_scales_with_corpus(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     small = similarity.auto_lsh_config(emb, threshold=0.4)
-    # 64x the corpus (shifted ids; config depends only on the count)
+    # 4x the corpus (shifted ids; config depends only on the count)
     big_df = emb
-    for i in range(1, 64):
+    for i in range(1, 4):
         big_df = big_df.unionByName(
             emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n)))
     big = similarity.auto_lsh_config(big_df, threshold=0.4)
     assert small == similarity.recommended_lsh_config(n, threshold=0.4)
-    assert big == similarity.recommended_lsh_config(64 * n, threshold=0.4)
-    assert big[0] > small[0]                   # more planes at 64x rows
+    assert big == similarity.recommended_lsh_config(4 * n, threshold=0.4)
+    assert big[0] > small[0]                   # more planes at 4x rows
+    # r10: at this LOW threshold a much larger corpus hits the
+    # 256-table practicality cap — the honest answer is the guard,
+    # not a Catalyst-choking 500+-table plan
+    import pytest as _pt
+    with _pt.raises(ValueError, match="practicality cap"):
+        similarity.recommended_lsh_config(64 * n, threshold=0.4)
     # end-to-end with auto sizing: still no false positives, exact
     # cosines on survivors (same invariants as the explicit-params run)
     exact = {(r.a_id, r.b_id): r.cosine for r in
