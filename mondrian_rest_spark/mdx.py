@@ -2325,7 +2325,16 @@ def emit_mdx(cat: Catalog, qm) -> str:
                 for m in cut.members)
             return f"EXCEPT({lvl}.Members, {{{mems}}})"
         return f"[{c}]" if not c.startswith(("[", "{", "(")) else c
-    cuts = [_emit_cut(c) for c in qm.cut]  # bare named sets need brackets
+    # VISUALTOTALS-originated children cuts echo inside the
+    # VISUALTOTALS(...) axis expression above — emitting them in WHERE
+    # too would duplicate the cut on every echo re-compile (idempotent
+    # predicate, but the canonical round-trip breaks)
+    vt_children = {c for _, c in getattr(qm, "visual_totals", []) or []}
+    emit_cuts = list(qm.cut)
+    for c in vt_children:
+        if c in emit_cuts:
+            emit_cuts.remove(c)    # drop ONE copy per VISUALTOTALS
+    cuts = [_emit_cut(c) for c in emit_cuts]  # bare named sets need brackets
     if getattr(qm, "empty_slicer", False):
         # canonical empty-slicer echo: EXCEPT of a literal with itself
         # is resolved at PARSE time (no catalog lookup), so any member
