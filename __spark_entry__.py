@@ -510,6 +510,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY CROSSJOIN(DRILLDOWNLEVEL([Customer].[Region].Members), "
         "DRILLDOWNLEVEL([Time].[Year].Members)) ON ROWS FROM [Sales]")
 
+    # DRILLDOWNLEVEL on a VIRTUAL cube (r10): per-base-cube Expand
+    # passes, drill-across full-outer join aligned NULL-SAFELY so the
+    # two cubes' subtotal rows (NULL child keys) land on one row
+    q["q84_mdx_virtual_drilldownlevel"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY DRILLDOWNLEVEL("
+        "[Customer].[Region].Members) ON ROWS "
+        "FROM [Orders and Sales]")
+
     # VISUALTOTALS composed with DRILLDOWNLEVEL on another dimension
     # (r10): two grouping-sets axes + the visible-total cuts, still
     # ONE Expand pass
@@ -2320,6 +2331,32 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(o_orderkey)
             FROM oc JOIN nation ON c_nationkey = n_nationkey
                     JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2""",
+        "q84_mdx_virtual_drilldownlevel": f"""
+            WITH s AS (
+              SELECT r_regionkey AS rk, r_name AS rn,
+                     n_nationkey AS nk, n_name AS nn,
+                     {REVENUE} AS revenue
+              FROM {J_CUST}
+              GROUP BY GROUPING SETS (
+                (r_regionkey, r_name),
+                (r_regionkey, r_name, n_nationkey, n_name))
+            ), o AS (
+              SELECT r_regionkey AS rk, r_name AS rn,
+                     n_nationkey AS nk, n_name AS nn,
+                     {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST}
+              GROUP BY GROUPING SETS (
+                (r_regionkey, r_name),
+                (r_regionkey, r_name, n_nationkey, n_name))
+            )
+            SELECT COALESCE(s.rk, o.rk) AS cust_region_key,
+                   COALESCE(s.rn, o.rn) AS cust_region,
+                   COALESCE(s.nk, o.nk) AS cust_nation_key,
+                   COALESCE(s.nn, o.nn) AS cust_nation,
+                   s.revenue, o.total_price
+            FROM s FULL OUTER JOIN o
+              ON s.rk IS NOT DISTINCT FROM o.rk
+             AND s.nk IS NOT DISTINCT FROM o.nk""",
         "q83_mdx_visualtotals_x_ddl": f"""
             SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
                    n_nationkey AS cust_nation_key, n_name AS cust_nation,

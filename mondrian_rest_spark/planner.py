@@ -440,11 +440,6 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
                 "member-navigation FILTER conditions are not "
                 "supported on virtual cubes in this MDX subset; "
                 "query the base cube")
-        if getattr(qm, "gs_axes", None):
-            raise ParseError(
-                "DRILLDOWNLEVEL/DRILLDOWNMEMBER are not supported on "
-                "virtual cubes in this MDX subset; query the base "
-                "cube")
         if (qm.children_of or qm.parent_of or qm.edge_child_of
                 or qm.siblings_of or qm.edge_sibling_of
                 or qm.ancestor_of):
@@ -2880,6 +2875,14 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
             raise ParseError(
                 f"virtual cube {vc.name!r} only exposes conformed dims "
                 f"{vc.conformed_dimensions}")
+    for spec, _ in getattr(qm, "gs_axes", []) or []:
+        # grouping-sets axes virtualize (r10): each base cube runs its
+        # own Expand pass and the drill-across join aligns subtotal
+        # rows null-safely below — but only over conformed dims
+        if spec.split(".")[0] not in vc.conformed_dimensions:
+            raise ParseError(
+                f"virtual cube {vc.name!r} only exposes conformed dims "
+                f"{vc.conformed_dimensions}")
     measures = list(qm.measures)
     if not measures:
         measures = [cubes[0].default_measure.name]
@@ -3018,7 +3021,10 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                          properties=list(qm.properties),
                          caption=list(qm.caption),
                          empty_set=qm.empty_set,
-                         empty_slicer=qm.empty_slicer)
+                         empty_slicer=qm.empty_slicer,
+                         gs_axes=list(getattr(qm, "gs_axes", []) or []),
+                         visual_totals=list(
+                             getattr(qm, "visual_totals", []) or []))
         df = _aggregate_cube(spark, sf_dir, cube, sub)
         maliases = [_measure_alias(cube, m) for m in own_names]
         gcols = [c for c in df.columns if c not in maliases]
@@ -3036,7 +3042,22 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                 f"drilldown level not conformed across the virtual "
                 f"cube's base cubes: column(s) {missing} missing on "
                 "one side (drill a level whose aliases match)")
-        out = out.join(df, on=group_cols, how="full_outer")
+        if getattr(qm, "gs_axes", None):
+            # mixed-depth axes: subtotal rows carry NULL child keys,
+            # which plain equi-join keys never match — align the two
+            # cubes' grouping-sets rows NULL-SAFELY and coalesce the
+            # key columns (r10; only taken when gs_axes is set so the
+            # common path keeps its plan shape)
+            cond = reduce(lambda a, b: a & b,
+                          [out[c].eqNullSafe(df[c]) for c in group_cols])
+            joined = out.join(df, cond, "full_outer")
+            out = joined.select(
+                *[F.coalesce(out[c], df[c]).alias(c)
+                  for c in group_cols],
+                *[out[a] for a in all_aliases],
+                *[df[a] for a in maliases])
+        else:
+            out = out.join(df, on=group_cols, how="full_outer")
         all_aliases += maliases
 
     def _valias(name: str) -> str:

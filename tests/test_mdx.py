@@ -2908,12 +2908,12 @@ def test_mdx_drilldownlevel_rejections(spark, sf_dir):
     ]:
         with pytest.raises(ParseError, match=msg):
             execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
-    # virtual cubes refuse (drill-across has no grouping-sets stage)
-    with pytest.raises(ParseError, match="virtual"):
+    # virtual cubes: only CONFORMED dims may carry a grouping-sets axis
+    with pytest.raises(ParseError, match="conformed"):
         execute_mdx(
             spark, sf_dir, tpch.CATALOG,
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
-            "NON EMPTY DRILLDOWNLEVEL([Customer].[Region].Members) "
+            "NON EMPTY DRILLDOWNLEVEL([Part].[Brand].Members) "
             "ON ROWS FROM [Orders and Sales]").collect()
     # TWO grouping-sets axes on the SAME dimension stay a 400
     with pytest.raises(ParseError, match="per dimension"):
@@ -2922,6 +2922,44 @@ def test_mdx_drilldownlevel_rejections(spark, sf_dir):
             "NON EMPTY DRILLDOWNLEVEL([Customer].[Region].Members) * "
             "DRILLDOWNMEMBER([Customer].[Region].Members, "
             "{[Customer].[Region].[&1]}) ON ROWS FROM [Sales]")
+
+
+def test_mdx_virtual_drilldownlevel(spark, sf_dir):
+    """r10: DRILLDOWNLEVEL virtualizes — each base cube runs its own
+    Expand pass and the drill-across full-outer join aligns subtotal
+    rows (NULL child keys) null-safely, so each (parent) and (parent,
+    child) tuple carries BOTH cubes' measures on one row."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY DRILLDOWNLEVEL("
+        "[Customer].[Region].Members) ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    subtot = [r for r in rows if r["cust_nation_key"] is None]
+    child = [r for r in rows if r["cust_nation_key"] is not None]
+    assert len(subtot) == 5 and len(child) == 25
+    # no split rows: every subtotal carries both cubes' measures
+    assert all(r["revenue"] is not None and r["total_price"] is not None
+               for r in subtot)
+    # per-measure consistency: subtotal == sum of its children
+    for m in ("revenue", "total_price"):
+        per_region = {}
+        for r in child:
+            per_region[r["cust_region_key"]] = \
+                per_region.get(r["cust_region_key"], 0.0) + r[m]
+        for r in subtot:
+            assert abs(per_region[r["cust_region_key"]] - r[m]) < 1e-4
+    # DRILLDOWNMEMBER virtualizes the same way (subset filter ran
+    # per-cube on the grouping markers)
+    sub = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY DRILLDOWNMEMBER("
+        "[Customer].[Region].Members, {[Customer].[Region].[&2]}) "
+        "ON ROWS FROM [Orders and Sales]").collect()
+    assert len(sub) == 10      # 5 region subtotals + region 2's nations
+    assert {r["cust_region_key"] for r in sub
+            if r["cust_nation_key"] is not None} == {2}
 
 
 def test_mdx_drilldownlevel_two_dimensions(spark, sf_dir):
