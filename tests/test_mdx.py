@@ -2960,6 +2960,19 @@ def test_mdx_virtual_drilldownlevel(spark, sf_dir):
     assert len(sub) == 10      # 5 region subtotals + region 2's nations
     assert {r["cust_region_key"] for r in sub
             if r["cust_nation_key"] is not None} == {2}
+    # VISUALTOTALS rides the same machinery: the visible total
+    # reflects only the LISTED children, in BOTH cubes' measures
+    vt = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY VISUALTOTALS({[Customer].[Region].[&1], "
+        "[Customer].[Nation].[&1], [Customer].[Nation].[&6]}) "
+        "ON ROWS FROM [Orders and Sales]").collect()
+    assert len(vt) == 3
+    parent = next(r for r in vt if r["cust_nation_key"] is None)
+    kids = [r for r in vt if r["cust_nation_key"] is not None]
+    for m in ("revenue", "total_price"):
+        assert abs(parent[m] - sum(r[m] for r in kids)) < 1e-4
 
 
 def test_mdx_drilldownlevel_two_dimensions(spark, sf_dir):
