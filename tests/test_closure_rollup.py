@@ -520,3 +520,25 @@ def test_pc_dimension_raw_mdx_drilldown(spark, sf_dir):
                    cut=["[Geo Tree].[Node].[&N1]"],
                    nonempty=True)).collect()}
     assert via_mdx == via_rest and via_mdx
+
+
+def test_pc_dimension_dense_axes(spark, sf_dir):
+    """Dense (nonempty=false) over a parent-child drill: the axis
+    enumerates EVERY tree node from the member frame; nodes whose
+    subtree has no facts under the slicer show null cells."""
+    from mondrian_rest_spark import tpch
+    from mondrian_rest_spark.planner import aggregate
+    from mondrian_rest_spark.query import QueryModel
+
+    rows = aggregate(spark, sf_dir, tpch.CATALOG, QueryModel(
+        cube="Orders", measures=["Total Price"],
+        drilldown=["Geo Tree"], cut=["[Geo Tree].[Node].[&N3]"],
+        nonempty=False)).collect()
+    # sf0.001: 5 regions + 25 nations + 150 customers = 180 nodes
+    assert len(rows) == 180
+    filled = [r for r in rows if r["total_price"] is not None]
+    keys = {r["geo_node_id"] for r in filled}
+    # exactly N3's subtree + its ancestor region carry values
+    assert "N3" in keys and "R3" in keys
+    assert all(k.startswith("C") for k in keys - {"N3", "R3"})
+    assert len(filled) < 20
