@@ -1847,7 +1847,24 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         # count).  The descendant set is subtree-sized — broadcast only
         # when the catalog declares the dim bounded, else AQE decides.
         pcl = pc_closure_frame(spark, sf_dir, rc.dimension)
-        keys = [_coerce(m.value) for m in rc.cut.members]
+        keys = [_coerce(m.value) for m in rc.cut.members
+                if m.by_key]
+        captions = [m.value for m in rc.cut.members if not m.by_key]
+        if captions:
+            # caption refs ([Geo Tree].[Node].[AMERICA]) resolve to
+            # node ids through the member frame — the closure keys on
+            # ids, so matching captions there would silently cut to
+            # nothing.  Unknown captions are a clear 400.
+            hits = (pc_member_frame(spark, sf_dir, rc.dimension)
+                    .filter(F.col("node_name").isin(captions))
+                    .select("node_id", "node_name").collect())
+            missing = set(captions) - {r["node_name"] for r in hits}
+            if missing:
+                raise ParseError(
+                    f"parent-child dimension {rc.dimension.name!r} has "
+                    f"no member named {sorted(missing)}; cut by "
+                    "[&key] or a known caption")
+            keys += [r["node_id"] for r in hits]
         desc = (pcl.filter(F.col("ancestor_id").isin(keys))
                    .select(F.col("descendant_id").alias("__pc_cut_desc__"))
                    .distinct())

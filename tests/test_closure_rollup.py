@@ -542,3 +542,27 @@ def test_pc_dimension_dense_axes(spark, sf_dir):
     assert "N3" in keys and "R3" in keys
     assert all(k.startswith("C") for k in keys - {"N3", "R3"})
     assert len(filled) < 20
+
+
+def test_pc_cut_by_caption_resolves_via_member_frame(spark, sf_dir):
+    """A caption-written parent-child cut resolves to node ids through
+    the member frame (the closure keys on ids — matching captions
+    there would silently cut to nothing); unknown captions 400."""
+    import pytest
+
+    from mondrian_rest_spark import tpch
+    from mondrian_rest_spark.parser import ParseError
+    from mondrian_rest_spark.planner import aggregate
+    from mondrian_rest_spark.query import QueryModel
+
+    def run(cut):
+        return {tuple(r) for r in aggregate(
+            spark, sf_dir, tpch.CATALOG,
+            QueryModel(cube="Orders", measures=["Total Price"],
+                       drilldown=["Geo Tree"], cut=[cut],
+                       nonempty=True)).collect()}
+
+    assert run("[Geo Tree].[Node].[AMERICA]") == \
+        run("[Geo Tree].[Node].[&R1]")
+    with pytest.raises(ParseError, match="no member named"):
+        run("[Geo Tree].[Node].[NOWHERELAND]")
