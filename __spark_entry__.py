@@ -510,6 +510,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY CROSSJOIN(DRILLDOWNLEVEL([Customer].[Region].Members), "
         "DRILLDOWNLEVEL([Time].[Year].Members)) ON ROWS FROM [Sales]")
 
+    # DRILLDOWNLEVELTOP (r10): parents plus their best-n children by
+    # a measure — grouping-sets Expand + ONE axis-sized rank window
+    # (subtotal rows ride a separate partition, never a child's slot)
+    q["q85_mdx_drilldownleveltop"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]")
+
     # DRILLDOWNLEVEL on a VIRTUAL cube (r10): per-base-cube Expand
     # passes, drill-across full-outer join aligned NULL-SAFELY so the
     # two cubes' subtotal rows (NULL child keys) land on one row
@@ -2331,6 +2341,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(o_orderkey)
             FROM oc JOIN nation ON c_nationkey = n_nationkey
                     JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2""",
+        "q85_mdx_drilldownleveltop": f"""
+            WITH g AS (
+              SELECT r_regionkey AS cust_region_key,
+                     r_name AS cust_region,
+                     n_nationkey AS cust_nation_key,
+                     n_name AS cust_nation,
+                     {REVENUE} AS revenue
+              FROM {J_CUST}
+              GROUP BY GROUPING SETS (
+                (r_regionkey, r_name),
+                (r_regionkey, r_name, n_nationkey, n_name)))
+            SELECT * FROM g
+            QUALIFY cust_nation_key IS NULL
+                OR row_number() OVER (
+                     PARTITION BY cust_region_key,
+                                  (cust_nation_key IS NULL)
+                     ORDER BY revenue DESC, cust_nation_key) <= 2""",
         "q84_mdx_virtual_drilldownlevel": f"""
             WITH s AS (
               SELECT r_regionkey AS rk, r_name AS rn,

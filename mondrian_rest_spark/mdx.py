@@ -236,7 +236,8 @@ class MdxQuery:
                                     periods_to_date=[], properties=[],
                                     property_filters=[], nav_filters=[],
                                     nonempty_measures=[], existing_dims=[],
-                                    gs_axes=[], visual_totals=[])
+                                    gs_axes=[], visual_totals=[],
+                                    gs_top=[])
         # WITH SET bodies that are member-set literals/algebra (not the
         # TOPCOUNT ranked form): name -> (level_path, kind, members),
         # macro-expanded at each reference DURING parsing — the
@@ -785,6 +786,34 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
         q.qm_kwargs["cut"].append(children_cut)
         q.qm_kwargs.setdefault("visual_totals", []).append(
             ("{" + _path_str(parent) + "}", children_cut))
+        return "gs"
+    if t in ("DRILLDOWNLEVELTOP", "DRILLDOWNLEVELBOTTOM"):
+        # DRILLDOWNLEVELTOP(<level>.Members, n, [Measures].[M]) =
+        # the level's members PLUS each member's best n children by M
+        # (BOTTOM: worst n) — Mondrian's drill-with-budget idiom.
+        # Rides the grouping-sets machinery: subtotal rows keep, child
+        # rows rank-filter per parent (one axis-sized window after the
+        # Expand aggregate).  Mondrian evaluates the set BEFORE any
+        # crossjoin, so composing with another axis set would change
+        # which children compete — sole axis expression, clear 400
+        # otherwise (enforced in the planner via gs_top).
+        p.next()
+        p.expect("(")
+        outer = _path(p)
+        p.expect(".")
+        p.expect("MEMBERS")
+        p.expect(",")
+        n = _int(p, f"{t} count")
+        if n < 1:
+            raise ParseError(f"{t} count must be >= 1, got {n}")
+        p.expect(",")
+        measure = _measure_ref(p)
+        p.expect(")")
+        _guard_gs_dim(q, outer[0], t)
+        q.qm_kwargs.setdefault("gs_axes", []).append(
+            (".".join(outer), None))
+        q.qm_kwargs.setdefault("gs_top", []).append(
+            (".".join(outer), n, measure, t == "DRILLDOWNLEVELBOTTOM"))
         return "gs"
     if t in ("DRILLDOWNLEVEL", "DRILLDOWNMEMBER"):
         # DRILLDOWNLEVEL(<level>.Members) = the level's members PLUS
@@ -2181,9 +2210,15 @@ def emit_mdx(cat: Catalog, qm) -> str:
         member = _path_str(parse_segments(m_path))
         sets.append(f"PERIODSTODATE([{dim_seg}].[{anchor}], {member})")
     vt_parents = {p for p, _ in getattr(qm, "visual_totals", []) or []}
+    gs_top_by_spec = {s: (n, m, asc) for s, n, m, asc in
+                      getattr(qm, "gs_top", []) or []}
     for ddl_path, ddl_subset in getattr(qm, "gs_axes", []) or []:
         lvlb = ".".join(f"[{s}]" for s in ddl_path.split("."))
-        if ddl_subset is None:
+        if ddl_path in gs_top_by_spec:
+            n, m, asc = gs_top_by_spec[ddl_path]
+            fn = "DRILLDOWNLEVELBOTTOM" if asc else "DRILLDOWNLEVELTOP"
+            sets.append(f"{fn}({lvlb}.Members, {n}, [Measures].[{m}])")
+        elif ddl_subset is None:
             sets.append(f"DRILLDOWNLEVEL({lvlb}.Members)")
         elif ddl_subset in vt_parents:
             # a VISUALTOTALS-originated axis echoes as itself: the

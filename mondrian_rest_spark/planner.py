@@ -1659,6 +1659,12 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         if pname not in requested and pname not in extra_names:
             _measure_alias(cube, pname)  # unknown -> KeyError -> 400
             extra_names.append(pname)
+    for _, _, pname, _ in getattr(qm, "gs_top", []) or []:
+        # DRILLDOWNLEVELTOP/BOTTOM rank measures aggregate even when
+        # hidden (dropped by the final projection)
+        if pname not in requested and pname not in extra_names:
+            _measure_alias(cube, pname)  # unknown -> KeyError -> 400
+            extra_names.append(pname)
     base_measures, calcs, final_aliases = _split_measures(
         cube, requested + extra_names)
     final_aliases = final_aliases[:len(requested)]
@@ -1943,6 +1949,35 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 # parents; subtotal rows always stay
                 out = out.filter(
                     (F.col(m) == 1) | _cut_predicate(subset_rc))
+        for spec, topn, mname, asc in getattr(qm, "gs_top", []) or []:
+            # DRILLDOWNLEVELTOP/BOTTOM: child rows rank per parent by
+            # the measure, keep n; subtotal rows always stay.  One
+            # axis-sized window over the Expand output — never the
+            # fact.  Mondrian evaluates the set BEFORE any crossjoin,
+            # so another axis set would change which children compete
+            # — sole axis expression, clear 400.
+            if len(drills) > 1:
+                raise ParseError(
+                    "DRILLDOWNLEVELTOP/DRILLDOWNLEVELBOTTOM must be "
+                    "the sole axis expression in this MDX subset "
+                    "(another axis set would change which children "
+                    "compete per parent)")
+            idx = next(i for i, (s, _) in enumerate(qm.gs_axes)
+                       if s == spec)
+            parent_lv, child_lv, _ = ddl_axes[idx]
+            marker = gs_markers[idx]
+            alias = _measure_alias(cube, mname)
+            # subtotal rows rank in their own (marker=1) partition so
+            # they never consume a child's slot
+            w = (Window.partitionBy(marker,
+                                    *[a for _, a in parent_lv.out_cols()])
+                 .orderBy(F.asc_nulls_last(alias) if asc
+                          else F.desc_nulls_last(alias),
+                          F.asc(child_lv.key_alias)))
+            out = (out.withColumn("__gs_rn__", F.row_number().over(w))
+                      .filter((F.col(marker) == 1)
+                              | (F.col("__gs_rn__") <= topn))
+                      .drop("__gs_rn__"))
         out = out.drop(*gs_markers)
     elif group_cols:
         out = base.groupBy(*group_cols).agg(*aggs)
@@ -2900,6 +2935,13 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
             raise ParseError(
                 f"virtual cube {vc.name!r} only exposes conformed dims "
                 f"{vc.conformed_dimensions}")
+    if getattr(qm, "gs_top", None):
+        # the per-parent rank would need the post-join frame while the
+        # gs machinery runs per base cube — a clear 400, not a silent
+        # unranked result
+        raise ParseError(
+            "DRILLDOWNLEVELTOP/DRILLDOWNLEVELBOTTOM are not supported "
+            "on virtual cubes in this MDX subset; query the base cube")
     measures = list(qm.measures)
     if not measures:
         measures = [cubes[0].default_measure.name]

@@ -140,6 +140,13 @@ class QueryModel:
     # a single Expand pass (no extra scans); parent subtotal rows
     # carry NULL child columns, exactly Mondrian's mixed-depth axis.
     gs_axes: list = field(default_factory=list)
+    # DRILLDOWNLEVELTOP/BOTTOM(<level>.Members, n, [Measures].[M])
+    # from raw MDX (r10): parents plus their best/worst n children by
+    # the measure — entries (outer_level_path, n, measure_name, asc)
+    # riding a gs_axes entry for the same path.  The planner keeps
+    # subtotal rows and rank-filters child rows per parent (one
+    # axis-sized window after the Expand aggregate, never the fact).
+    gs_top: list = field(default_factory=list)
     # VISUALTOTALS({parent, child, ...}) from raw MDX (r10): list of
     # (parent_cut_string, children_cut_string), one per VISUALTOTALS
     # (at most one per dimension).  Rides the gs_axes grouping-sets

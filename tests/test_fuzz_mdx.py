@@ -819,6 +819,9 @@ _MUTATION_SEEDS = [
     'NON EMPTY StrToSet("{[Customer].[Nation].[&1],'
     '[Customer].[Nation].[&6]}") ON ROWS FROM [Sales] '
     'WHERE (StrToMember("[Customer].[Region].[&1]"))',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, '
+    '[Measures].[Revenue]) ON ROWS FROM [Sales]',
 ]
 
 

@@ -3130,3 +3130,74 @@ def test_mdx_case_iif_compose_in_filter(spark, sf_dir):
             f"NON EMPTY FILTER([Customer].[Nation].Members, {cond}) "
             "ON ROWS FROM [Sales]").collect()
         assert [tuple(r) for r in got] == [tuple(r) for r in base]
+
+
+def test_mdx_drilldownleveltop_bottom(spark, sf_dir):
+    """r10: DRILLDOWNLEVELTOP/BOTTOM — parents plus best/worst n
+    children by measure; subtotal rows never consume a child slot;
+    the set must be the sole axis expression; echo round-trips."""
+    top = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]").collect()
+    full = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY DRILLDOWNLEVEL([Customer].[Region].Members) "
+        "ON ROWS FROM [Sales]").collect()
+    assert len(top) == 15          # 5 subtotals + 5 x top-2 children
+    per, fper = {}, {}
+    for r in top:
+        if r["cust_nation_key"] is not None:
+            per.setdefault(r["cust_region_key"], []).append(r["revenue"])
+    for r in full:
+        if r["cust_nation_key"] is not None:
+            fper.setdefault(r["cust_region_key"], []).append(r["revenue"])
+    for k in fper:
+        assert sorted(per[k], reverse=True) == \
+            sorted(fper[k], reverse=True)[:2]
+    # subtotal rows match the full drilldown's (rank never ate them)
+    assert {(r["cust_region_key"], r["revenue"]) for r in top
+            if r["cust_nation_key"] is None} == \
+        {(r["cust_region_key"], r["revenue"]) for r in full
+         if r["cust_nation_key"] is None}
+    # BOTTOM keeps each region's single worst nation
+    bot = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY DRILLDOWNLEVELBOTTOM([Customer].[Region].Members, "
+        "1, [Measures].[Revenue]) ON ROWS FROM [Sales]").collect()
+    worst = {r["cust_region_key"]: r["revenue"] for r in bot
+             if r["cust_nation_key"] is not None}
+    for k in fper:
+        assert abs(worst[k] - min(fper[k])) < 1e-9
+    # echo round-trip
+    from mondrian_rest_spark.mdx import emit_mdx
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]")
+    assert compile_mdx(emit_mdx(tpch.CATALOG, qm)).gs_top == qm.gs_top
+    # sole axis expression (Mondrian evaluates the set pre-crossjoin)
+    with pytest.raises(ParseError, match="sole axis"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, "
+            "2, [Measures].[Revenue]) * [Time].[Year].Members "
+            "ON ROWS FROM [Sales]").collect()
+    # virtual cubes refuse (the rank needs the post-join frame)
+    with pytest.raises(ParseError, match="virtual"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, "
+            "2, [Measures].[Revenue]) ON ROWS "
+            "FROM [Orders and Sales]").collect()
+    # malformed count
+    with pytest.raises(ParseError, match="count"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, "
+            "0, [Measures].[Revenue]) ON ROWS FROM [Sales]")
