@@ -349,6 +349,29 @@ def pc_closure_frame(spark: SparkSession, sf_dir: str,
                            max_depth=pc.max_depth,
                            known_depth=pc.known_depth)
     cl = cl.persist()
+    if pc.known_depth is not None and not pc.closure_table:
+        # a declared known_depth skips the convergence check — but a
+        # declaration SMALLER than the real tree depth would silently
+        # truncate ancestor chains (subtree rollups quietly missing
+        # the deepest facts).  One member-frame-sized probe per
+        # closure build: any max-depth ancestor that itself still has
+        # a parent proves deeper pairs exist -> fail loud.
+        edges = pc_member_frame(spark, sf_dir, dim)
+        deeper = (cl.filter(F.col("depth") == pc.known_depth)
+                    .join(edges.filter(F.col("parent_id").isNotNull())
+                               .select(F.col("node_id")
+                                       .alias("ancestor_id")),
+                          "ancestor_id", "inner")
+                    .limit(1).count())
+        if deeper:
+            cl.unpersist()
+            _PC_CLOSURES.pop(ck, None)
+            raise ParseError(
+                f"parent-child dimension {dim.name!r} declares "
+                f"known_depth={pc.known_depth}, but the tree is "
+                "deeper — ancestor chains would be silently "
+                "truncated; raise known_depth or drop it to let the "
+                "builder converge")
     _PC_CLOSURES[ck] = cl
     return cl
 

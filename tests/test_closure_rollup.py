@@ -566,3 +566,40 @@ def test_pc_cut_by_caption_resolves_via_member_frame(spark, sf_dir):
         run("[Geo Tree].[Node].[&R1]")
     with pytest.raises(ParseError, match="no member named"):
         run("[Geo Tree].[Node].[NOWHERELAND]")
+
+
+def test_pc_known_depth_too_small_fails_loud(spark, sf_dir):
+    """A declared known_depth SMALLER than the real tree depth would
+    silently truncate ancestor chains (subtree rollups quietly missing
+    the deepest facts) — the closure build probes for deeper pairs and
+    400s instead."""
+    import dataclasses
+
+    import pytest
+
+    from mondrian_rest_spark import tpch
+    from mondrian_rest_spark.parser import ParseError
+    from mondrian_rest_spark.planner import aggregate
+    from mondrian_rest_spark.query import QueryModel
+
+    orders = tpch.CATALOG.cube("Orders")
+    geo = orders.dimension("Geo Tree")
+    shallow = dataclasses.replace(
+        geo,
+        name="Geo Shallow",
+        parent_child=dataclasses.replace(geo.parent_child, known_depth=1))
+    orders2 = dataclasses.replace(
+        orders, dimensions=orders.dimensions + (shallow,))
+    cat2 = dataclasses.replace(
+        tpch.CATALOG, cubes=tuple(
+            orders2 if c.name == "Orders" else c
+            for c in tpch.CATALOG.cubes))
+    with pytest.raises(ParseError, match="known_depth=1"):
+        aggregate(spark, sf_dir, cat2, QueryModel(
+            cube="Orders", measures=["Total Price"],
+            drilldown=["Geo Shallow"], nonempty=True)).collect()
+    # the correctly-declared dimension still builds (depth 2 is exact)
+    rows = aggregate(spark, sf_dir, cat2, QueryModel(
+        cube="Orders", measures=["Total Price"],
+        drilldown=["Geo Tree"], nonempty=True)).collect()
+    assert rows
