@@ -461,10 +461,26 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             mh = _int(request.args, "max_hamming")
             df = dedup.neardup_simhash(
                 docs, max_hamming=3 if mh is None else mh)
+        elif method == "jaccard":
+            # exact PPJoin pairs; max_candidates_per_prefix (r10)
+            # bounds adversarial template skew — the guard's
+            # PrefixSkewError surfaces as a 400 naming the offending
+            # shingles instead of an unbounded job
+            cap = _int(request.args, "max_candidates_per_prefix")
+            try:
+                df = dedup.neardup_jaccard_prefix(
+                    docs, threshold=_float(request.args, "threshold", 0.5),
+                    max_candidates_per_prefix=cap)
+                return _frame_json(df, _corpus_limit(request.args))
+            except dedup.PrefixSkewError as e:
+                return jsonify({"error": str(e),
+                                "hot_buckets": [
+                                    {"shingle": s, "bucket_size": c}
+                                    for s, c in e.buckets]}), 400
         else:
             raise ParseError(
                 f"unknown dedup method {method!r} "
-                "(have ['exact', 'minhash', 'simhash'])")
+                "(have ['exact', 'minhash', 'simhash', 'jaccard'])")
         return _frame_json(df, _corpus_limit(request.args))
 
     @app.get("/corpus/similar")

@@ -981,3 +981,24 @@ def test_advisor_materialize_closes_loop(spark, sf_dir):
     # values identical to the pre-materialization base answer
     base_vals = c.get(qs.replace("&debug=true", "")).get_json()["values"]
     assert base_vals == c.get(qs).get_json()["values"]
+
+
+def test_corpus_dedup_jaccard_method_and_skew_400(client):
+    """r10: /corpus/dedup?method=jaccard runs the exact PPJoin path;
+    max_candidates_per_prefix surfaces PrefixSkewError as a 400 naming
+    the hot buckets."""
+    r = client.get("/corpus/dedup",
+                   query_string={"method": "jaccard", "threshold": 0.5,
+                                 "limit": 5})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["data"]
+    assert body["columns"] == ["a_id", "b_id", "jaccard"]
+    # an absurdly low cap trips the guard on the real corpus
+    r2 = client.get("/corpus/dedup",
+                    query_string={"method": "jaccard", "threshold": 0.5,
+                                  "max_candidates_per_prefix": 1})
+    assert r2.status_code == 400
+    b2 = r2.get_json()
+    assert "prefix skew" in b2["error"]
+    assert b2["hot_buckets"] and b2["hot_buckets"][0]["bucket_size"] > 1
