@@ -510,6 +510,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY CROSSJOIN(DRILLDOWNLEVEL([Customer].[Region].Members), "
         "DRILLDOWNLEVEL([Time].[Year].Members)) ON ROWS FROM [Sales]")
 
+    # DENSE axes on a VIRTUAL cube (r10): the reference default —
+    # every member of the axis appears, cells null where either base
+    # cube has no facts; previously nonempty=false silently behaved
+    # as NON EMPTY on the drill-across path
+    q["q86_mdx_virtual_dense"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, [Customer].[Nation].Members ON ROWS "
+        "FROM [Orders and Sales] WHERE ([Customer].[Region].[&1])")
+
     # DRILLDOWNLEVELTOP (r10): parents plus their best-n children by
     # a measure — grouping-sets Expand + ONE axis-sized rank window
     # (subtotal rows ride a separate partition, never a child's slot)
@@ -2341,6 +2352,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(o_orderkey)
             FROM oc JOIN nation ON c_nationkey = n_nationkey
                     JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2""",
+        "q86_mdx_virtual_dense": f"""
+            WITH m AS (SELECT n_nationkey, n_name FROM nation),
+            s AS (
+              SELECT n_nationkey AS nk, {REVENUE} AS revenue
+              FROM {J_CUST} WHERE n_regionkey = 1 GROUP BY 1),
+            o AS (
+              SELECT n_nationkey AS nk,
+                     {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST} WHERE n_regionkey = 1 GROUP BY 1)
+            SELECT m.n_nationkey AS cust_nation_key,
+                   m.n_name AS cust_nation, s.revenue, o.total_price
+            FROM m LEFT JOIN s ON m.n_nationkey = s.nk
+                   LEFT JOIN o ON m.n_nationkey = o.nk""",
         "q85_mdx_drilldownleveltop": f"""
             WITH g AS (
               SELECT r_regionkey AS cust_region_key,

@@ -3142,6 +3142,46 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
             out = out.join(df, on=group_cols, how="full_outer")
         all_aliases += maliases
 
+    # --- dense axes (r10): the reference DEFAULT applies to virtual
+    # cubes too — previously a nonempty=false request silently behaved
+    # as NON EMPTY on the drill-across path.  Member frames resolve
+    # against the FIRST base cube (dims are conformed by contract);
+    # WHERE cuts constrain facts and leave the axes full, exactly the
+    # base-cube dense semantics.  Runs BEFORE the inline calcs so
+    # formula columns compute (to null) on the filled tuples too. ---
+    if not qm.nonempty and qm.drilldown and not qm.empty_set:
+        ns_names0 = {s.name for s in cubes[0].named_sets}
+        drills_d: list[ResolvedDrill] = []
+        for d in qm.drilldown:
+            parsed = parse_drilldown(d, ns_names0)
+            if isinstance(parsed, str):
+                ns = cubes[0].named_set(parsed)
+                dimx, hierx, levelx = _resolve_level(
+                    cubes[0], ns.dimension, None, ns.level)
+                idxx = hierx.level_index(levelx.name)
+                gl = (list(hierx.levels[: idxx + 1]) if qm.parents
+                      else [levelx])
+                drills_d.append(ResolvedDrill(dimx, hierx, levelx, gl))
+            else:
+                drills_d.append(_resolve_drill(cubes[0], parsed,
+                                               qm.parents))
+        cuts_d = [_resolve_cut(cubes[0], parse_cut(c, ns_names0))
+                  for c in qm.cut]
+        cap_over: dict = {}
+        for c in qm.caption:
+            ref = parse_property(c)
+            dimx, _, levelx = _resolve_level(
+                cubes[0], ref.dimension, ref.hierarchy, ref.level)
+            cap_over[(dimx.name, levelx.name)] = \
+                levelx.find_property(ref.prop).column
+        out = _densify(
+            spark, sf_dir, cubes[0], drills_d,
+            [rc for rc in cuts_d if rc.cut.kind != "named_set"],
+            [rc for rc in cuts_d if rc.cut.kind == "named_set"],
+            props_by_dim(resolved_props(cubes[0], qm.properties)),
+            cap_over, out, group_cols, list(all_aliases),
+            existing_dims=getattr(qm, "existing_dims", None))
+
     def _valias(name: str) -> str:
         if name in inline_alias:
             return inline_alias[name]

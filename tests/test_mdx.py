@@ -3201,3 +3201,45 @@ def test_mdx_drilldownleveltop_bottom(spark, sf_dir):
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
             "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, "
             "0, [Measures].[Revenue]) ON ROWS FROM [Sales]")
+
+
+def test_mdx_virtual_dense_axes(spark, sf_dir):
+    """r10: the dense default applies to virtual cubes — previously a
+    nonempty=false request silently behaved as NON EMPTY on the
+    drill-across path.  All members appear; out-of-slicer tuples carry
+    null cells in BOTH cubes' measures; EXISTING restricts the member
+    frames; NON EMPTY behavior unchanged."""
+    dense = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, [Customer].[Nation].Members ON ROWS "
+        "FROM [Orders and Sales] "
+        "WHERE ([Customer].[Region].[&1])").collect()
+    assert len(dense) == 25
+    nulls = [r for r in dense if r["revenue"] is None]
+    assert len(nulls) == 20
+    assert all(r["total_price"] is None for r in nulls)
+    ex = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, EXISTING [Customer].[Nation].Members ON ROWS "
+        "FROM [Orders and Sales] "
+        "WHERE ([Customer].[Region].[&1])").collect()
+    assert sorted(r["cust_nation_key"] for r in ex) == [1, 6, 11, 16, 21]
+    ne = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY [Customer].[Nation].Members ON ROWS "
+        "FROM [Orders and Sales] "
+        "WHERE ([Customer].[Region].[&1])").collect()
+    assert len(ne) == 5
+    # inline WITH MEMBER arithmetic computes (to null) on filled rows
+    wm = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[Ratio] AS "
+        "[Measures].[Revenue] / [Measures].[Total Price] "
+        "SELECT {[Measures].[Ratio]} ON COLUMNS, "
+        "[Customer].[Nation].Members ON ROWS FROM [Orders and Sales] "
+        "WHERE ([Customer].[Region].[&1])").collect()
+    assert len(wm) == 25
+    assert sum(1 for r in wm if r["ratio"] is None) == 20
