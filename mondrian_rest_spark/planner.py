@@ -3311,6 +3311,12 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         out = out.offset(qm.offset)
     if qm.limit is not None:
         out = out.limit(qm.limit)
+    if getattr(qm, "hierarchize", False) and key_aliases:
+        # HIERARCHIZE over a ranked set on a VIRTUAL cube (r10 — was
+        # silently ignored): the rank picked the tuples above; display
+        # order reverts to hierarchical, same axis-sized re-sort as
+        # the base-cube path
+        out = out.orderBy(*[F.asc(a) for a in key_aliases])
     requested = list(qm.measures) or [cubes[0].default_measure.name]
     return out.select(*group_cols, *[_valias(m) for m in requested])
 

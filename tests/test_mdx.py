@@ -3243,3 +3243,24 @@ def test_mdx_virtual_dense_axes(spark, sf_dir):
         "WHERE ([Customer].[Region].[&1])").collect()
     assert len(wm) == 25
     assert sum(1 for r in wm if r["ratio"] is None) == 20
+
+
+def test_mdx_virtual_hierarchize_over_ranked(spark, sf_dir):
+    """r10: HIERARCHIZE over a ranked set on a VIRTUAL cube — the rank
+    selects tuples, display order reverts to hierarchical (the flag
+    was previously silently ignored on the drill-across path)."""
+    h = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY HIERARCHIZE(TOPCOUNT("
+        "[Customer].[Nation].Members, 5, [Measures].[Revenue])) "
+        "ON ROWS FROM [Orders and Sales]").collect()
+    ranked = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY TOPCOUNT([Customer].[Nation].Members, "
+        "5, [Measures].[Revenue]) ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    hk = [r["cust_nation_key"] for r in h]
+    assert hk == sorted(hk)                      # hierarchical display
+    assert {r["cust_nation_key"] for r in ranked} == set(hk)  # same set
