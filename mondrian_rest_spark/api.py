@@ -471,8 +471,8 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
                 df = dedup.neardup_jaccard_prefix(
                     docs, threshold=_float(request.args, "threshold", 0.5),
                     max_candidates_per_prefix=cap)
-                return _frame_json(df, _corpus_limit(request.args))
             except dedup.PrefixSkewError as e:
+                # the guard already unpersisted its frames on raise
                 return jsonify({"error": str(e),
                                 "hot_buckets": [
                                     {"shingle": s, "bucket_size": c}
@@ -481,7 +481,13 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             raise ParseError(
                 f"unknown dedup method {method!r} "
                 "(have ['exact', 'minhash', 'simhash', 'jaccard'])")
-        return _frame_json(df, _corpus_limit(request.args))
+        try:
+            return _frame_json(df, _corpus_limit(request.args))
+        finally:
+            # free request-scoped cached blocks (ADVICE r10): on a
+            # long-running server each request otherwise accumulates
+            # persisted self-join frames that are only freed on exit
+            dedup.unpersist_request_frames(df)
 
     @app.get("/corpus/similar")
     def corpus_similar():
@@ -606,11 +612,23 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         recs = recommend_rollups(cube_obj, log, max_rollups=max_r,
                                  level_cardinality=stats)
         built = []
+        already = []
+        # same-grain rollups already registered must not be rebuilt
+        # (ADVICE r10: repeated POSTs duplicated cluster work/storage
+        # under fresh advised_N names) — grain identity is order-
+        # insensitive (the rollup serves any drilldown subset of it)
+        existing_grains = {frozenset(r.grain)
+                           for r in rollup_manager.rollups}
         for rec in recs:
+            if frozenset(rec.grain) in existing_grains:
+                already.append({"grain": list(rec.grain),
+                                "est_covered_weight": rec.covered_weight})
+                continue
             name = f"advised_{len(rollup_manager.rollups)}_" + "_".join(
                 s.split(".")[-1].lower().replace(" ", "")
                 for s in rec.grain)
             r = rollup_manager.register(name, tuple(rec.grain))
+            existing_grains.add(frozenset(r.grain))
             built.append({"name": r.name, "grain": list(r.grain),
                           "rows": r.rows,
                           "est_covered_weight": rec.covered_weight,
@@ -628,6 +646,7 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             cache_stats["cells"] = 0
         return jsonify({
             "materialized": built,
+            "already_materialized": already,
             "log_size": len(log),
             "estimated_covered_weight": sum(
                 b["est_covered_weight"] for b in built),

@@ -96,7 +96,9 @@ def to_xls_biff(header: list[str], rows: list[list]) -> bytes:
             if len(cur) + 3 > MAXD:      # header must not straddle
                 chunks.append(cur)
                 cur = bytearray()
-            cur += struct.pack("<HB", len(s), 1)
+            # cch counts UTF-16 code units, NOT Python code points —
+            # non-BMP chars (emoji) are 2 units each (ADVICE r10)
+            cur += struct.pack("<HB", len(data) // 2, 1)
             pos = 0
             while pos < len(data):
                 take = min(MAXD - len(cur), len(data) - pos)
@@ -131,11 +133,21 @@ def to_xls_biff(header: list[str], rows: list[list]) -> bytes:
                 sheet.append(rec(0x0203, head        # NUMBER
                                  + struct.pack("<d", float(v))))
             else:
-                s = str(v)[:32767]       # XLS hard cell-text limit
-                if len(s) <= 255:
+                # cap + cch are both in UTF-16 code units (MS-XLS
+                # XLUnicodeString; ADVICE r10): encode first, truncate
+                # to 32767 units without splitting a surrogate pair
+                data = str(v).encode("utf-16-le")
+                if len(data) > 32767 * 2:
+                    data = data[:32767 * 2]
+                    last = int.from_bytes(data[-2:], "little")
+                    if 0xD800 <= last <= 0xDBFF:   # dangling high surr.
+                        data = data[:-2]
+                s = data.decode("utf-16-le")
+                if len(data) // 2 <= 255:
                     sheet.append(rec(0x0204, head    # LABEL, utf-16
-                                     + struct.pack("<HB", len(s), 1)
-                                     + s.encode("utf-16-le")))
+                                     + struct.pack("<HB",
+                                                   len(data) // 2, 1)
+                                     + data))
                 else:                    # long string -> SST + LABELSST
                     idx = sst_idx.setdefault(s, len(sst_idx))
                     sst_refs += 1

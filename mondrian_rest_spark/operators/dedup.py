@@ -27,6 +27,33 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def _tag_persisted(result: DataFrame, *frames: DataFrame) -> DataFrame:
+    """Attach the request-scoped persisted frames feeding ``result``'s
+    lineage so the consumer can free their cached blocks once the
+    result is materialized (ADVICE r10: on a long-running
+    /corpus/dedup server every request otherwise accumulates blocks —
+    disk blocks are only freed on unpersist).  The tag lives on the
+    Python DataFrame object, so only the exact returned handle carries
+    it; derive-then-unpersist via :func:`unpersist_request_frames`."""
+    existing = list(getattr(result, "_mrs_request_persisted", []) or [])
+    result._mrs_request_persisted = existing + list(frames)
+    return result
+
+
+def unpersist_request_frames(df: DataFrame) -> None:
+    """Free the persisted frames tagged on ``df`` by
+    :func:`_tag_persisted`.  Call AFTER materializing ``df`` (collect/
+    write) — the frames are inputs to its lineage, and unpersisting
+    early just forfeits the self-join reuse they exist for.  Safe to
+    call on untagged frames and idempotent."""
+    for f in getattr(df, "_mrs_request_persisted", []) or []:
+        try:
+            f.unpersist()
+        except Exception:
+            pass
+    df._mrs_request_persisted = []
+
+
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
                   out_col: str = "shingles") -> DataFrame:
     """Distinct word n-gram shingles per document (JVM-side).
@@ -338,15 +365,17 @@ def neardup_minhash_lsh(df: DataFrame, threshold: float = 0.5,
     inter = (cand.join(ea, "a_id").join(eb, ["b_id", "__h"])
                  .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("__i")))
     sizes = stats.select(F.col(id_col), F.col("__sz"))
-    return (inter
-            .join(sizes.select(F.col(id_col).alias("a_id"),
-                               F.col("__sz").alias("__sa")), "a_id")
-            .join(sizes.select(F.col(id_col).alias("b_id"),
-                               F.col("__sz").alias("__sb")), "b_id")
-            .withColumn("jaccard", F.round(
-                F.col("__i") / (F.col("__sa") + F.col("__sb") - F.col("__i")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("a_id", "b_id", "jaccard"))
+    return _tag_persisted(
+        (inter
+         .join(sizes.select(F.col(id_col).alias("a_id"),
+                            F.col("__sz").alias("__sa")), "a_id")
+         .join(sizes.select(F.col(id_col).alias("b_id"),
+                            F.col("__sz").alias("__sb")), "b_id")
+         .withColumn("jaccard", F.round(
+             F.col("__i") / (F.col("__sa") + F.col("__sb") - F.col("__i")), 6))
+         .filter(F.col("jaccard") >= threshold)
+         .select("a_id", "b_id", "jaccard")),
+        ex, bands_df)
 
 
 #: SimHash width: 60 bits — every bit comes from one hex digit slice of
@@ -432,7 +461,8 @@ def neardup_clusters(df: DataFrame, pairs: DataFrame,
         if chk == prev_sum:
             break
         prev_sum = chk
-    return labels.select(F.col("id").alias(id_col), "cluster")
+    return _tag_persisted(
+        labels.select(F.col("id").alias(id_col), "cluster"), labels)
 
 
 def deduplicate_neardup(df: DataFrame, threshold: float = 0.5,
@@ -442,8 +472,14 @@ def deduplicate_neardup(df: DataFrame, threshold: float = 0.5,
     MinHash-LSH pairs -> connected components -> left-semi keep set."""
     pairs = neardup_minhash_lsh(df, threshold, text_col, id_col, n)
     clusters = neardup_clusters(df, pairs, id_col)
+    # the label-propagation rounds materialized the pair lineage and
+    # the final labels frame is itself persisted, so the LSH frames
+    # can be freed now (ADVICE r10); the labels frame carries forward
+    unpersist_request_frames(pairs)
     keep = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
-    return df.join(keep, on=id_col, how="left_semi")
+    return _tag_persisted(
+        df.join(keep, on=id_col, how="left_semi"),
+        *getattr(clusters, "_mrs_request_persisted", []))
 
 
 def neardup_simhash(df: DataFrame, max_hamming: int = 3,
@@ -477,12 +513,14 @@ def neardup_simhash(df: DataFrame, max_hamming: int = 3,
     # only true pairs (measured 3x on sf0.1: 2.9M candidate rows ->
     # 0.6M passing; identical output, hamming is deterministic per
     # pair so any surviving duplicate row carries the same value)
-    return (left.join(right, on=["chunk_idx", "chunk_val"], how="inner")
-                .filter(F.col("a_id") < F.col("b_id"))
-                .withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("int"))
-                .filter(F.col("hamming") <= max_hamming)
-                .dropDuplicates(["a_id", "b_id"])
-                .select("a_id", "b_id", "hamming"))
+    return _tag_persisted(
+        (left.join(right, on=["chunk_idx", "chunk_val"], how="inner")
+             .filter(F.col("a_id") < F.col("b_id"))
+             .withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("int"))
+             .filter(F.col("hamming") <= max_hamming)
+             .dropDuplicates(["a_id", "b_id"])
+             .select("a_id", "b_id", "hamming")),
+        sh)
 
 
 class PrefixSkewError(RuntimeError):
@@ -610,15 +648,23 @@ def neardup_jaccard_prefix(df: DataFrame, threshold: float = 0.5,
         # running an unbounded join.  One shingle-keyed groupBy over
         # the prefix frame; no action when the guard is off, so the
         # default path stays bit-identical.
-        hot = (prefix.groupBy("__g")
-                     .agg(F.count(F.lit(1)).alias("__b"))
-                     .filter(F.col("__b") > max_candidates_per_prefix)
-                     .orderBy(F.desc("__b"), F.asc("__g"))
-                     .limit(5).collect())
-        if hot:
-            raise PrefixSkewError(
-                [(r["__g"], r["__b"]) for r in hot],
-                max_candidates_per_prefix)
+        try:
+            hot = (prefix.groupBy("__g")
+                         .agg(F.count(F.lit(1)).alias("__b"))
+                         .filter(F.col("__b") > max_candidates_per_prefix)
+                         .orderBy(F.desc("__b"), F.asc("__g"))
+                         .limit(5).collect())
+            if hot:
+                raise PrefixSkewError(
+                    [(r["__g"], r["__b"]) for r in hot],
+                    max_candidates_per_prefix)
+        except BaseException:
+            # the raise path would otherwise leak the two frames just
+            # persisted (ADVICE r10) — nothing downstream consumes
+            # them once the guard fires
+            sh.unpersist()
+            prefix.unpersist()
+            raise
     a = prefix.select(F.col(id_col).alias("a_id"), F.col("__g"),
                       F.col("__sz").alias("__sza"),
                       F.col("__rn").alias("__rna"))
@@ -647,10 +693,12 @@ def neardup_jaccard_prefix(df: DataFrame, threshold: float = 0.5,
              .distinct())
     fa = sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("sa"))
     fb = sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("sb"))
-    return (cand.join(fa, on="a_id").join(fb, on="b_id")
-                .withColumn("jaccard", F.round(_jaccard("sa", "sb"), 6))
-                .filter(F.col("jaccard") >= threshold)
-                .select("a_id", "b_id", "jaccard"))
+    return _tag_persisted(
+        (cand.join(fa, on="a_id").join(fb, on="b_id")
+             .withColumn("jaccard", F.round(_jaccard("sa", "sb"), 6))
+             .filter(F.col("jaccard") >= threshold)
+             .select("a_id", "b_id", "jaccard")),
+        sh, prefix)
 
 
 def build_jaccard_index(df: DataFrame, threshold: float = 0.5,

@@ -2954,6 +2954,15 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         # grouping-sets axes virtualize (r10): each base cube runs its
         # own Expand pass and the drill-across join aligns subtotal
         # rows null-safely below — but only over conformed dims
+        if not qm.nonempty:
+            # mirror _aggregate_cube: the per-base-cube sub QueryModel
+            # is built nonempty=True, so without this check a dense
+            # query would silently return NON-EMPTY-shaped results
+            # (ADVICE r10, medium)
+            raise ParseError(
+                "DRILLDOWNLEVEL/DRILLDOWNMEMBER require NON EMPTY in "
+                "this MDX subset (a dense fill of a mixed-grain axis "
+                "is ill-defined)")
         if spec.split(".")[0] not in vc.conformed_dimensions:
             raise ParseError(
                 f"virtual cube {vc.name!r} only exposes conformed dims "

@@ -981,6 +981,15 @@ def test_advisor_materialize_closes_loop(spark, sf_dir):
     # values identical to the pre-materialization base answer
     base_vals = c.get(qs.replace("&debug=true", "")).get_json()["values"]
     assert base_vals == c.get(qs).get_json()["values"]
+    # idempotent (ADVICE r10): a second POST must NOT rebuild the same
+    # grain under a fresh advised_N name — it reports it as already
+    # materialized instead
+    n_rollups = len(mgr.rollups)
+    r2 = c.post("/advisor/materialize?secret=adv-s3cr3t&max=2")
+    body2 = r2.get_json()
+    assert len(mgr.rollups) == n_rollups
+    assert grain not in [b["grain"] for b in body2["materialized"]]
+    assert grain in [a["grain"] for a in body2["already_materialized"]]
 
 
 def test_corpus_dedup_jaccard_method_and_skew_400(client):

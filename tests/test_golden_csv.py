@@ -237,3 +237,26 @@ def test_biff8_xls_long_strings_via_sst():
     assert cells[(3, 1)] == long_c
     assert cells[(4, 1)] == long_a
     assert cells[(5, 1)] == "short stays inline"
+
+
+def test_biff8_xls_non_bmp_cch_in_utf16_units():
+    """ADVICE r10: cch fields count UTF-16 code units, not Python code
+    points — a non-BMP char (emoji) is 2 units, so an emoji caption
+    previously declared fewer units than it wrote, shifting every
+    subsequent SST string header.  The walker reads cch as code units
+    (the spec), so round-tripping these strings proves the fix."""
+    from mondrian_rest_spark.formats import to_xls_biff
+
+    inline_emoji = "\U0001f642" * 100       # 100 cp = 200 units <= 255
+    sst_emoji = "\U0001f680" * 200          # 200 cp = 400 units -> SST
+    mixed = ("caption \U0001f642 " * 40)    # mixed BMP/non-BMP -> SST
+    long_after = "z" * 500                  # header offset depends on
+    header = ["Doc", "Text"]                # the emoji cch being right
+    rows = [[1, inline_emoji], [2, sst_emoji], [3, long_after],
+            [4, mixed], [5, "plain"]]
+    cells = _walk_xls_cells(to_xls_biff(header, rows))
+    assert cells[(1, 1)] == inline_emoji
+    assert cells[(2, 1)] == sst_emoji
+    assert cells[(3, 1)] == long_after
+    assert cells[(4, 1)] == mixed
+    assert cells[(5, 1)] == "plain"

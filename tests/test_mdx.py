@@ -2915,6 +2915,15 @@ def test_mdx_drilldownlevel_rejections(spark, sf_dir):
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
             "NON EMPTY DRILLDOWNLEVEL([Part].[Brand].Members) "
             "ON ROWS FROM [Orders and Sales]").collect()
+    # virtual + gs_axes WITHOUT NON EMPTY must 400 like the base cube
+    # (ADVICE r10 medium: the per-base-cube sub QueryModel is built
+    # nonempty=True, so this used to silently return NON-EMPTY rows)
+    with pytest.raises(ParseError, match="NON EMPTY"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "DRILLDOWNLEVEL([Customer].[Region].Members) "
+            "ON ROWS FROM [Orders and Sales]").collect()
     # TWO grouping-sets axes on the SAME dimension stay a 400
     with pytest.raises(ParseError, match="per dimension"):
         compile_mdx(

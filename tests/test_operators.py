@@ -128,6 +128,44 @@ def test_jaccard_prefix_skew_guard(spark, docs):
     assert stats[0]["shingle"] == "alpha beta gamma"
     assert stats[0]["bucket_size"] == 2000
     assert stats[0]["candidate_pairs"] == 2000 * 1999 // 2
+
+
+def test_dedup_request_frames_unpersist(spark, docs):
+    """ADVICE r10: the self-join persist frames are request-scoped —
+    the result carries them as a tag so a long-running server can free
+    the cached blocks after materializing; the PrefixSkewError raise
+    path must not leak the frames it just persisted."""
+    from pyspark.storagelevel import StorageLevel
+
+    none = StorageLevel(False, False, False, False, 1)
+    for build in (
+            lambda: dedup.neardup_minhash_lsh(docs, threshold=0.5),
+            lambda: dedup.neardup_simhash(docs, max_hamming=3),
+            lambda: dedup.neardup_jaccard_prefix(docs, threshold=0.5),
+            lambda: dedup.deduplicate_neardup(docs, threshold=0.5)):
+        df = build()
+        tagged = list(getattr(df, "_mrs_request_persisted", []))
+        assert tagged, "result must carry its persisted inputs"
+        df.collect()
+        assert all(t.storageLevel != none for t in tagged)
+        dedup.unpersist_request_frames(df)
+        assert all(t.storageLevel == none for t in tagged)
+        assert not df._mrs_request_persisted   # idempotent re-call ok
+        dedup.unpersist_request_frames(df)
+    # skew-guard raise path: frames freed before the error propagates
+    skew = spark.createDataFrame(
+        [(i, f"alpha beta gamma tail{i}") for i in range(2000)],
+        ["doc_id", "text"])
+    before = {rdd_id for rdd_id in
+              spark.sparkContext._jsc.getPersistentRDDs().keySet()
+              .toArray()}
+    with pytest.raises(dedup.PrefixSkewError):
+        dedup.neardup_jaccard_prefix(
+            skew, threshold=0.5, max_candidates_per_prefix=500)
+    after = {rdd_id for rdd_id in
+             spark.sparkContext._jsc.getPersistentRDDs().keySet()
+             .toArray()}
+    assert after <= before, "skew-guard raise leaked persisted frames"
     # a normal corpus under the guard: completes, bit-identical
     brute = {(r.a_id, r.b_id): r.jaccard
              for r in dedup.neardup_bruteforce(docs, 0.5).collect()}
