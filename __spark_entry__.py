@@ -531,6 +531,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
         "[Measures].[Revenue]) ON ROWS FROM [Sales]")
 
+    # LASTPERIODS on a VIRTUAL cube (r11, VERDICT r10 #1): the member
+    # window resolves over the UNION of the base cubes' member sets
+    # (Mondrian virtual-cube hierarchy), then rides the drill-across
+    # join as an IN-literal cut pushed to both fact scans
+    q["q87_mdx_virtual_lastperiods"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY LASTPERIODS(3, [Time].[Year].[&1997]) "
+        "ON ROWS FROM [Orders and Sales]")
+
+    # WITH SET TOPCOUNT on a VIRTUAL cube (r11): ranks on the measure's
+    # OWNING base cube (a virtual cell for a single-cube measure IS
+    # that cube's cell), memoized IN-literal cut on the drill-across
+    q["q88_mdx_virtual_with_set"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH SET [TopN] AS TOPCOUNT([Customer].[Nation].Members, 5, "
+        "[Measures].[Revenue]) "
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY [TopN] ON ROWS "
+        "FROM [Orders and Sales]")
+
+    # GENERATE per-parent TOPCOUNT on a VIRTUAL cube (r11): the
+    # (parent, child) pair is drilled on every base cube; the
+    # row_number window runs once on the JOINED drill-across frame
+    q["q92_mdx_virtual_generate"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) ON ROWS FROM [Orders and Sales]")
+
+    # TOPPERCENT on a VIRTUAL cube (r11): the cumulative-prefix window
+    # runs over the axis-sized joined frame, same as the base path
+    q["q93_mdx_virtual_toppercent"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Total Price]} ON COLUMNS, "
+        "TOPPERCENT([Customer].[Nation].Members, 30, "
+        "[Measures].[Total Price]) ON ROWS FROM [Orders and Sales]")
+
     # DRILLDOWNLEVEL on a VIRTUAL cube (r10): per-base-cube Expand
     # passes, drill-across full-outer join aligned NULL-SAFELY so the
     # two cubes' subtotal rows (NULL child keys) land on one row
@@ -2365,6 +2408,82 @@ def oracle_sql() -> dict[str, str]:
                    m.n_name AS cust_nation, s.revenue, o.total_price
             FROM m LEFT JOIN s ON m.n_nationkey = s.nk
                    LEFT JOIN o ON m.n_nationkey = o.nk""",
+        "q87_mdx_virtual_lastperiods": f"""
+            WITH win AS (
+              SELECT y FROM (
+                SELECT DISTINCT CAST(year(l_shipdate) AS INTEGER) AS y
+                FROM lineitem
+                UNION
+                SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER)
+                FROM orders)
+              WHERE y <= 1997 ORDER BY y DESC LIMIT 3),
+            s AS (
+              SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+                     {REVENUE} AS revenue
+              FROM lineitem GROUP BY 1),
+            o AS (
+              SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+                     {DEC('o_totalprice')} AS total_price
+              FROM orders GROUP BY 1)
+            SELECT w.y AS "year", s.revenue, o.total_price
+            FROM win w LEFT JOIN s ON w.y = s.y
+                       LEFT JOIN o ON w.y = o.y
+            WHERE s.revenue IS NOT NULL OR o.total_price IS NOT NULL""",
+        "q88_mdx_virtual_with_set": f"""
+            WITH top5 AS (
+              SELECT nk FROM (
+                SELECT n_nationkey AS nk, {REVENUE} AS revenue
+                FROM {J_CUST} GROUP BY 1)
+              ORDER BY revenue DESC, nk LIMIT 5),
+            s AS (
+              SELECT n_nationkey AS nk, n_name AS nn,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2),
+            o AS (
+              SELECT n_nationkey AS nk, n_name AS nn,
+                     {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST} GROUP BY 1, 2)
+            SELECT COALESCE(s.nk, o.nk) AS cust_nation_key,
+                   COALESCE(s.nn, o.nn) AS cust_nation,
+                   s.revenue, o.total_price
+            FROM s FULL OUTER JOIN o ON s.nk = o.nk
+            WHERE COALESCE(s.nk, o.nk) IN (SELECT nk FROM top5)""",
+        "q92_mdx_virtual_generate": f"""
+            WITH s AS (
+              SELECT r_regionkey AS rk, r_name AS rn,
+                     n_nationkey AS nk, n_name AS nn,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2, 3, 4),
+            o AS (
+              SELECT r_regionkey AS rk, r_name AS rn,
+                     n_nationkey AS nk, n_name AS nn,
+                     {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST} GROUP BY 1, 2, 3, 4),
+            j AS (
+              SELECT COALESCE(s.rk, o.rk) AS cust_region_key,
+                     COALESCE(s.rn, o.rn) AS cust_region,
+                     COALESCE(s.nk, o.nk) AS cust_nation_key,
+                     COALESCE(s.nn, o.nn) AS cust_nation,
+                     s.revenue, o.total_price
+              FROM s FULL OUTER JOIN o
+                ON s.rk = o.rk AND s.nk = o.nk)
+            SELECT * FROM j
+            QUALIFY row_number() OVER (
+                PARTITION BY cust_region_key
+                ORDER BY revenue DESC NULLS LAST, cust_nation_key) <= 2""",
+        "q93_mdx_virtual_toppercent": f"""
+            WITH o AS (
+              SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                     {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST} GROUP BY 1, 2)
+            SELECT cust_nation_key, cust_nation, total_price FROM (
+              SELECT *,
+                     SUM(total_price) OVER (
+                       ORDER BY total_price DESC, cust_nation_key
+                       ROWS UNBOUNDED PRECEDING) AS run,
+                     SUM(total_price) OVER () AS tot
+              FROM o)
+            WHERE run - total_price < 0.30 * tot""",
         "q85_mdx_drilldownleveltop": f"""
             WITH g AS (
               SELECT r_regionkey AS cust_region_key,

@@ -621,9 +621,10 @@ def test_virtual_cube_with_member_errors(spark, sf_dir):
             "([Measures].[Revenue], PARALLELPERIOD([Time].[Year], 1)) "
             "SELECT {[Measures].[X]} ON COLUMNS, [Time].[Year].Members "
             "ON ROWS FROM [Orders and Sales]")
-    with pytest.raises(ParseError):   # WITH SET unsupported on virtual
+    with pytest.raises(ParseError, match="not conformed|conformed"):
+        # WITH SET virtualizes (r11) but only over conformed dims
         execute_mdx(spark, sf_dir, tpch.CATALOG,
-            "WITH SET [S] AS TOPCOUNT([Customer].[Region].Members, 2, "
+            "WITH SET [S] AS TOPCOUNT([Part].[Brand].Members, 2, "
             "[Measures].[Revenue]) "
             "SELECT {[Measures].[Revenue]} ON COLUMNS, [S] ON ROWS "
             "FROM [Orders and Sales]")
@@ -1088,8 +1089,8 @@ def test_mdx_except_intersect(spark, sf_dir):
 def test_mdx_virtual_cube_member_idioms(spark, sf_dir):
     """.Children/.Parent/.FirstChild/.LastChild on a virtual cube:
     resolved once against the conformed dimension, then applied as
-    plain drill+cut per drilled-across base cube.  Fact-dependent
-    walks (LASTPERIODS/.Lag) stay clear 400s."""
+    plain drill+cut per drilled-across base cube.  Key-order walks
+    (LASTPERIODS/.Lag) resolve over the UNION member set (r11)."""
     kids = execute_mdx(
         spark, sf_dir, tpch.CATALOG,
         "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
@@ -1117,12 +1118,12 @@ def test_mdx_virtual_cube_member_idioms(spark, sf_dir):
         "NON EMPTY [Time].[Year].[1996].Children ON ROWS "
         "FROM [Orders and Sales]").collect()
     assert [r[0] for r in qtrs] == [1, 2, 3, 4]
-    # fact-dependent walks remain rejected
-    with pytest.raises(ParseError, match="virtual cubes"):
-        execute_mdx(spark, sf_dir, tpch.CATALOG,
-                    "SELECT {[Measures].[Revenue]} ON COLUMNS, "
-                    "[Time].[Year].[1997].Lag(1) ON ROWS "
-                    "FROM [Orders and Sales]").collect()
+    # .Lag virtualizes too (r11): key walk over the UNION member set
+    lag1 = execute_mdx(spark, sf_dir, tpch.CATALOG,
+                       "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                       "NON EMPTY [Time].[Year].[1997].Lag(1) ON ROWS "
+                       "FROM [Orders and Sales]").collect()
+    assert len(lag1) == 1 and lag1[0]["year"] == 1996
     with pytest.raises(ParseError, match="degenerate"):
         execute_mdx(spark, sf_dir, tpch.CATALOG,
                     "SELECT {[Measures].[Revenue]} ON COLUMNS, "
@@ -2543,8 +2544,10 @@ def test_virtual_cube_new_navigation(spark, sf_dir):
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
             "ANCESTOR([Time].[Day].[&1996-02-10], [Time].[Year]) "
             "ON ROWS FROM [Orders and Sales]").collect()
-    # PERIODSTODATE stays unsupported on virtual cubes
-    with pytest.raises(ParseError, match="virtual"):
+    # PERIODSTODATE virtualizes (r11) but the Day level's member
+    # aliases differ across the base cubes (ship_date vs order_date)
+    # -> the same non-conformed 400 the drill-across join raises
+    with pytest.raises(ParseError, match="not conformed"):
         execute_mdx(
             spark, sf_dir, tpch.CATALOG,
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
@@ -3273,3 +3276,162 @@ def test_mdx_virtual_hierarchize_over_ranked(spark, sf_dir):
     hk = [r["cust_nation_key"] for r in h]
     assert hk == sorted(hk)                      # hierarchical display
     assert {r["cust_nation_key"] for r in ranked} == set(hk)  # same set
+
+
+def test_mdx_virtual_time_nav_family(spark, sf_dir):
+    """r11 (VERDICT r10 #1): LASTPERIODS / .Lag/.Lead / WITH SET
+    TOPCOUNT virtualize — member-key walks resolve over the UNION of
+    the base cubes' member sets, WITH SET ranks on the measure's
+    owning cube; each rewrites to cuts the drill-across path already
+    handles, so the result equals the same explicit-cut query."""
+    lp = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY LASTPERIODS(3, [Time].[Year].[&1997]) "
+        "ON ROWS FROM [Orders and Sales]").collect()
+    explicit = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY {[Time].[Year].[&1995], "
+        "[Time].[Year].[&1996], [Time].[Year].[&1997]} ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    assert [tuple(r) for r in lp] == [tuple(r) for r in explicit]
+    assert [r["year"] for r in lp] == [1995, 1996, 1997]
+
+    lag = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Total Price]} ON COLUMNS, "
+        "NON EMPTY [Time].[Year].[&1997].Lag(2) ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    assert len(lag) == 1 and lag[0]["year"] == 1995
+
+    ws = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH SET [TopN] AS TOPCOUNT([Customer].[Nation].Members, 5, "
+        "[Measures].[Revenue]) "
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY [TopN] ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    # oracle: TOPCOUNT evaluated on the owning base cube (Sales),
+    # values from the drill-across query over those members
+    top5 = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPCOUNT([Customer].[Nation].Members, 5, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]").collect()
+    assert sorted(r["cust_nation_key"] for r in ws) == \
+        sorted(r["cust_nation_key"] for r in top5)
+    assert all(r["total_price"] is not None for r in ws)
+
+    # key-order navigation on repeating degenerate keys stays a 400
+    with pytest.raises(ParseError, match="repeat"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY LASTPERIODS(2, [Time].[Quarter].[&3]) ON ROWS "
+            "FROM [Orders and Sales]").collect()
+    # dense LASTPERIODS: the same-level set cut restricts the axis,
+    # so the window members appear even where one cube has no facts
+    dense = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, LASTPERIODS(3, [Time].[Year].[&1997]) ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    assert [r["year"] for r in dense] == [1995, 1996, 1997]
+
+
+def test_mdx_virtual_generate_topcount(spark, sf_dir):
+    """r11: GENERATE(level.Members, TOPCOUNT(children)) virtualizes —
+    the per-parent window runs on the JOINED drill-across frame, so
+    the top-N per parent matches the owning base cube's ranking while
+    the other cube's measure rides along."""
+    gen = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    base = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) ON ROWS FROM [Sales]").collect()
+    assert [(r["cust_region_key"], r["cust_nation_key"]) for r in gen] \
+        == [(r["cust_region_key"], r["cust_nation_key"]) for r in base]
+    assert all(r["total_price"] is not None for r in gen)
+    # dense GENERATE stays a clear 400 (the dense fill would cross-join
+    # the two levels' member frames and invent (parent, child) pairs)
+    with pytest.raises(ParseError, match="NON EMPTY"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "GENERATE([Customer].[Region].Members, "
+            "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+            "[Measures].[Revenue])) ON ROWS "
+            "FROM [Orders and Sales]").collect()
+    # GENERATE dim drilled elsewhere on the axis stays a 400
+    # (planner-side guard; the MDX grammar already rejects set
+    # functions as crossjoin operands, so drive the QueryModel)
+    with pytest.raises(ParseError, match="same"):
+        aggregate(spark, sf_dir, tpch.CATALOG, QueryModel(
+            cube="Orders and Sales", measures=["Revenue"],
+            drilldown=["Customer.Nation"], nonempty=True,
+            generate_top=("Customer.Region", 2, "Revenue", False)))
+
+
+def test_mdx_virtual_toppercent_topsum_tail(spark, sf_dir):
+    """r11: TOPPERCENT/TOPSUM/TAIL virtualize as the same cumulative-
+    prefix / inverted-order stages over the joined drill-across frame."""
+    tp = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Total Price]} ON COLUMNS, "
+        "TOPPERCENT([Customer].[Nation].Members, 30, "
+        "[Measures].[Total Price]) ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    base = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Total Price]} ON COLUMNS, "
+        "TOPPERCENT([Customer].[Nation].Members, 30, "
+        "[Measures].[Total Price]) ON ROWS FROM [Orders]").collect()
+    assert [tuple(r) for r in tp] == [tuple(r) for r in base]
+
+    tail = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY TAIL([Customer].[Region].Members, 2) "
+        "ON ROWS FROM [Orders and Sales]").collect()
+    assert [r["cust_region_key"] for r in tail] == [3, 4]
+
+
+def test_mdx_virtual_property_filter(spark, sf_dir):
+    """r11: member-property FILTER virtualizes by forwarding the
+    dim-side predicate to every base cube's sub-aggregate (conformed
+    dims share tables), matching the same filter on each base cube."""
+    virt = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY FILTER([Customer].[Customer].Members, "
+        "[Customer].[Customer].CurrentMember.Properties"
+        "('Market Segment') = 'BUILDING') ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    base = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Customer].Members, "
+        "[Customer].[Customer].CurrentMember.Properties"
+        "('Market Segment') = 'BUILDING') ON ROWS "
+        "FROM [Sales]").collect()
+    assert virt and {r["c_custkey"] for r in virt} >= \
+        {r["c_custkey"] for r in base}
+    # dense: the excluded members must NOT be re-added by the fill
+    dense = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, FILTER([Customer].[Customer].Members, "
+        "[Customer].[Customer].CurrentMember.Properties"
+        "('Market Segment') = 'BUILDING') ON ROWS "
+        "FROM [Orders and Sales] "
+        "WHERE ([Customer].[Region].[&1])").collect()
+    assert {r["c_custkey"] for r in dense} >= {r["c_custkey"] for r in virt}
