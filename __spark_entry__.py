@@ -31,6 +31,41 @@ from mondrian_rest_spark.sources.registry import load_table
 
 CAT = tpch.CATALOG
 
+# --- ragged-hierarchy catalog over the TPC-H tables (r11, VERDICT r10
+# #2; reference foodmart.xml:565-603 Sales Ragged): a customer-geo
+# hierarchy where every 5th nation presents a BLANK caption
+# (hideMemberIf=IfBlankName) and every 7th customer echoes its
+# nation's caption (hideMemberIf=IfParentsName) — both hidden members
+# must leave the drilled axis, matching the DuckDB oracle that encodes
+# the same visibility rules as WHERE predicates. ---
+_RAGGED_NATION = "CASE WHEN n_nationkey % 5 = 0 THEN '' ELSE n_name END"
+_RAGGED_CUST = (f"CASE WHEN c_custkey % 7 = 0 THEN ({_RAGGED_NATION}) "
+                "ELSE c_name END")
+RAGGED_CAT = tpch.Catalog("ragged_tpch", cubes=(tpch.Cube(
+    name="Ragged Orders", fact="orders",
+    dimensions=(tpch.Dimension(
+        name="Geo",
+        tables=(("customer", None, None),
+                ("nation", "c_nationkey", "n_nationkey"),
+                ("region", "n_regionkey", "r_regionkey")),
+        fact_fk="o_custkey", dim_pk="c_custkey",
+        hierarchies=(tpch.Hierarchy(name="Geo", levels=(
+            tpch.Level("Region", key="r_name", key_alias="geo_region"),
+            tpch.Level("Nation", key=_RAGGED_NATION,
+                       key_alias="geo_nation",
+                       hide_member_if="if_blank_name"),
+            tpch.Level("Customer", key="c_custkey",
+                       key_alias="c_custkey",
+                       caption=_RAGGED_CUST,
+                       caption_alias="geo_cust_name",
+                       hide_member_if="if_parents_name"),
+        )),),
+    ),),
+    measures=(tpch.Measure(
+        "Total Price", "total_price", "sum",
+        "CAST(o_totalprice AS DECIMAL(25,6))", result_cast="double"),),
+),))
+
 
 def _agg(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
     return aggregate(spark, sf_dir, CAT, QueryModel(**kw))
@@ -530,6 +565,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT {[Measures].[Revenue]} ON COLUMNS, "
         "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
         "[Measures].[Revenue]) ON ROWS FROM [Sales]")
+
+    # Ragged hierarchy drilldown (r11, VERDICT r10 #2): hidden members
+    # (blank nation captions; customers echoing their nation's name)
+    # leave the aggregation axis — the visibility predicates filter the
+    # base frame pre-aggregation and push into the dim scan
+    q["r01_ragged_drilldown"] = lambda s, d: aggregate(
+        s, d, RAGGED_CAT, QueryModel(
+            cube="Ragged Orders", measures=["Total Price"],
+            drilldown=["Geo.Nation", "Geo.Customer"], nonempty=True))
 
     # LASTPERIODS on a VIRTUAL cube (r11, VERDICT r10 #1): the member
     # window resolves over the UNION of the base cubes' member sets
@@ -2408,6 +2452,23 @@ def oracle_sql() -> dict[str, str]:
                    m.n_name AS cust_nation, s.revenue, o.total_price
             FROM m LEFT JOIN s ON m.n_nationkey = s.nk
                    LEFT JOIN o ON m.n_nationkey = o.nk""",
+        "r01_ragged_drilldown": f"""
+            WITH geo AS (
+              SELECT o_totalprice, c_custkey,
+                     CASE WHEN n_nationkey % 5 = 0 THEN '' ELSE n_name
+                     END AS geo_nation,
+                     CASE WHEN c_custkey % 7 = 0 THEN (
+                       CASE WHEN n_nationkey % 5 = 0 THEN '' ELSE n_name
+                       END) ELSE c_name END AS geo_cust_name
+              FROM orders JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey)
+            SELECT geo_nation, c_custkey, geo_cust_name,
+                   {DEC('o_totalprice')} AS total_price
+            FROM geo
+            WHERE geo_nation IS NOT NULL AND trim(geo_nation) <> ''
+              AND (geo_cust_name IS NULL OR geo_nation IS NULL
+                   OR geo_cust_name <> geo_nation)
+            GROUP BY 1, 2, 3""",
         "q87_mdx_virtual_lastperiods": f"""
             WITH win AS (
               SELECT y FROM (

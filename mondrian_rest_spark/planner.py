@@ -1671,6 +1671,15 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         lvls = needed.setdefault(rd.dimension.name, {})
         for lv in rd.group_levels:
             lvls[lv.name] = lv
+        if rd.level.hide_member_if == "if_parents_name":
+            # ragged visibility (r11): the rule compares the drilled
+            # member's caption to its PARENT's, so the parent level
+            # joins the base frame (pre-agg only — it is not a group
+            # column unless itself drilled)
+            i = rd.hierarchy.level_index(rd.level.name)
+            if i > 0:
+                p = rd.hierarchy.levels[i - 1]
+                lvls.setdefault(p.name, p)
     for rc in cuts:
         # named-set cuts need their level's key column in the base
         # frame too (the IN-literal predicate filters on it), e.g. a
@@ -1822,6 +1831,17 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             base = base.join(dsel, F.col(dim.fact_fk) == F.col(dim.dim_pk), "inner")
             if dim.dim_pk not in _all_aliases(level_list):
                 base = base.drop(dim.dim_pk)
+
+    # --- ragged hierarchies (r11; reference foodmart.xml:565-603
+    # hideMemberIf on Sales Ragged): a hidden member leaves the AXIS —
+    # Mondrian's member set excludes it, so its rows must not surface
+    # at the drilled grain.  Only the DRILLED level's rule applies
+    # (ancestor columns from parents=true describe visible members'
+    # lineage, they are not themselves the axis).  Filtered BEFORE
+    # aggregation, so Catalyst pushes the predicate into the scan. ---
+    for rd in drills:
+        if rd.level.hide_member_if:
+            base = base.filter(_ragged_pred(rd.hierarchy, rd.level))
 
     # empty set algebra (EXCEPT/INTERSECT -> {}): zero fact rows;
     # Catalyst folds filter(false) to an empty relation, so no scan
@@ -2401,6 +2421,26 @@ def _order_column(cube: Cube, order: str, group_cols: list[str]) -> str:
     raise ParseError(f"cannot resolve order key {order!r}")
 
 
+def _ragged_pred(hier, lv) -> F.Column:
+    """Visibility predicate of a ragged level (hideMemberIf, reference
+    foodmart.xml:565-603): ``if_blank_name`` hides blank/null captions;
+    ``if_parents_name`` hides members whose caption repeats the
+    parent's.  Operates on ALIASED columns, so the caller must have the
+    parent level's columns in the frame for the parents-name rule
+    (members.py applies the same rules on the metadata routes)."""
+    cap = F.col(lv.caption_alias or lv.key_alias)
+    if lv.hide_member_if == "if_blank_name":
+        return cap.isNotNull() & (F.trim(cap) != "")
+    if lv.hide_member_if == "if_parents_name":
+        idx = hier.level_index(lv.name)
+        if idx == 0:
+            return F.lit(True)
+        parent = hier.levels[idx - 1]
+        pcap = F.col(parent.caption_alias or parent.key_alias)
+        return cap.isNull() | pcap.isNull() | (cap != pcap)
+    return F.lit(True)
+
+
 def members_frame(spark: SparkSession, sf_dir: str, cube: Cube, rd: ResolvedDrill,
                   props: list | None = None,
                   caption_overrides: dict | None = None,
@@ -2421,6 +2461,18 @@ def members_frame(spark: SparkSession, sf_dir: str, cube: Cube, rd: ResolvedDril
     lvl_map = {lv.name: lv for lv in rd.group_levels}
     for rc in extra:
         lvl_map[rc.level.name] = rc.level
+    # ragged visibility (r11): only the DRILLED level's rule applies;
+    # the parents-name rule needs the parent level's columns in the
+    # build (projected back out below)
+    ragged = [rd.level] if rd.level.hide_member_if else []
+    ragged_extra = False
+    for lv in ragged:
+        if lv.hide_member_if == "if_parents_name":
+            i = rd.hierarchy.level_index(lv.name)
+            if i > 0 and rd.hierarchy.levels[i - 1].name not in lvl_map:
+                lvl_map[rd.hierarchy.levels[i - 1].name] = \
+                    rd.hierarchy.levels[i - 1]
+                ragged_extra = True
     build_levels = _hier_ordered(dim, lvl_map)
     out_cols = [a for lv in rd.group_levels for _, a in lv.out_cols()]
     out_cols += [p.alias for p in props or []]
@@ -2449,12 +2501,16 @@ def members_frame(spark: SparkSession, sf_dir: str, cube: Cube, rd: ResolvedDril
                                     (caption_overrides or {}).get((dim.name, lv.name)))
         for rc in restrict or []:
             base = base.filter(_cut_predicate(rc))
+        for lv in ragged:
+            base = base.filter(_ragged_pred(rd.hierarchy, lv))
         return base.select(*out_cols).distinct()
     dsel = _dim_select(spark, sf_dir, dim, build_levels, props or [],
                        caption_overrides or {})
     for rc in restrict or []:
         dsel = dsel.filter(_cut_predicate(rc))
-    if restrict:
+    for lv in ragged:
+        dsel = dsel.filter(_ragged_pred(rd.hierarchy, lv))
+    if restrict or ragged_extra:
         return dsel.select(*out_cols).distinct()
     return dsel.drop(dim.dim_pk).distinct() if dim.dim_pk not in _all_aliases(
         rd.group_levels) else dsel.distinct()

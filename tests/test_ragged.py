@@ -73,3 +73,40 @@ def test_unhidden_levels_unaffected(spark, ragged_dir):
     countries = {r.country for r in level_members(
         spark, ragged_dir, CAT, "RaggedSales", "Geography", "Country").collect()}
     assert countries == {"USA", "Israel", "France"}
+
+
+def test_ragged_drilldown_aggregation(spark, ragged_dir):
+    """r11 (VERDICT r10 #2): hidden members leave the AXIS of an
+    aggregation drilldown too, not just the member listings — the
+    visibility predicate filters the base frame pre-aggregation."""
+    from mondrian_rest_spark.planner import aggregate
+    from mondrian_rest_spark.query import QueryModel
+
+    provs = aggregate(spark, ragged_dir, CAT, QueryModel(
+        cube="RaggedSales", measures=["Amount"],
+        drilldown=["Geography.Province"], nonempty=True)).collect()
+    # Israel's blank province (facts 4, 5) is hidden at this grain
+    assert {r.province for r in provs} == {"Washington", "CA", "IDF"}
+    assert sum(r.amount for r in provs) == 1 + 2 + 3 + 6
+
+    cities = aggregate(spark, ragged_dir, CAT, QueryModel(
+        cube="RaggedSales", measures=["Amount"],
+        drilldown=["Geography.City"], nonempty=True)).collect()
+    # Washington-the-city echoes its province -> hidden (fact 2)
+    assert {r.city for r in cities} == {
+        "Seattle", "San Francisco", "Tel Aviv", "Haifa", "Paris"}
+
+    # dense mode: the member frame applies the same visibility rules
+    dense = aggregate(spark, ragged_dir, CAT, QueryModel(
+        cube="RaggedSales", measures=["Amount"],
+        drilldown=["Geography.Province"], nonempty=False)).collect()
+    assert {r.province for r in dense} == {"Washington", "CA", "IDF"}
+
+    # two-level drill: both levels' rules compose
+    both = aggregate(spark, ragged_dir, CAT, QueryModel(
+        cube="RaggedSales", measures=["Amount"],
+        drilldown=["Geography.Province", "Geography.City"],
+        nonempty=True)).collect()
+    assert {(r.province, r.city) for r in both} == {
+        ("Washington", "Seattle"), ("CA", "San Francisco"),
+        ("IDF", "Paris")}
