@@ -575,6 +575,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cube="Ragged Orders", measures=["Total Price"],
             drilldown=["Geo.Nation", "Geo.Customer"], nonempty=True))
 
+    # TWO GENERATEs on different dimensions (r11, VERDICT r10 #3 —
+    # lifts the one-per-query cap like r10 did for grouping sets):
+    # independent per-parent windows ranking by the MARGINAL measure
+    # (Mondrian's pre-crossjoin evaluation for additive measures)
+    q["q89_mdx_generate_2d"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) * "
+        "GENERATE([Time].[Year].Members, "
+        "TOPCOUNT([Time].[Year].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) ON ROWS FROM [Sales]")
+
     # LASTPERIODS on a VIRTUAL cube (r11, VERDICT r10 #1): the member
     # window resolves over the UNION of the base cubes' member sets
     # (Mondrian virtual-cube hierarchy), then rides the drill-across
@@ -2452,6 +2467,36 @@ def oracle_sql() -> dict[str, str]:
                    m.n_name AS cust_nation, s.revenue, o.total_price
             FROM m LEFT JOIN s ON m.n_nationkey = s.nk
                    LEFT JOIN o ON m.n_nationkey = o.nk""",
+        "q89_mdx_generate_2d": f"""
+            WITH cells AS (
+              SELECT r_regionkey AS cust_region_key,
+                     r_name AS cust_region,
+                     n_nationkey AS cust_nation_key,
+                     n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS INTEGER) AS "year",
+                     CAST(quarter(l_shipdate) AS INTEGER) AS "quarter",
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2, 3, 4, 5, 6),
+            mn AS (
+              SELECT cust_region_key, cust_nation_key,
+                     rank() OVER (
+                       PARTITION BY cust_region_key
+                       ORDER BY SUM(revenue) DESC, cust_nation_key) AS r
+              FROM cells GROUP BY 1, 2),
+            mq AS (
+              SELECT "year", "quarter",
+                     rank() OVER (
+                       PARTITION BY "year"
+                       ORDER BY SUM(revenue) DESC, "quarter") AS r
+              FROM cells GROUP BY 1, 2)
+            SELECT c.cust_region_key, c.cust_region, c.cust_nation_key,
+                   c.cust_nation, c."year", c."quarter", c.revenue
+            FROM cells c
+            JOIN mn ON c.cust_region_key = mn.cust_region_key
+                   AND c.cust_nation_key = mn.cust_nation_key
+                   AND mn.r <= 2
+            JOIN mq ON c."year" = mq."year"
+                   AND c."quarter" = mq."quarter" AND mq.r <= 2""",
         "r01_ragged_drilldown": f"""
             WITH geo AS (
               SELECT o_totalprice, c_custkey,

@@ -876,13 +876,13 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
         #     (the deeper DESCENDANTS level generalizes .Children)
         #
         # All compile to a (parent, target) drilldown plus ONE
-        # axis-sized per-parent row_number window — never the fact.
+        # axis-sized per-parent rank window each — never the fact.
         # Fully general GENERATE (arbitrary inner set expressions)
-        # stays out of scope (SURVEY §2.10 Q6), as does more than one
-        # GENERATE per query (the window stage is single-slot; a
-        # clear 400 beats a wrong answer).  Treated as a set function
-        # (sole axis expression): crossing it with another set would
-        # change the inner set's evaluation context.
+        # stays out of scope (SURVEY §2.10 Q6); one GENERATE per
+        # DIMENSION (r11 lifts the r10 one-per-query cap: k GENERATEs
+        # on different dimensions compose as independent per-parent
+        # windows ranking by the MARGINAL measure — Mondrian's
+        # pre-crossjoin evaluation for additive measures).
         p.next()
         p.expect("(")
         outer = _path(p)
@@ -940,13 +940,27 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             raise ParseError(f"GENERATE {fn} count must be >= 1")
         p.expect(")")
         p.expect(")")
-        if q.qm_kwargs.get("generate_top") is not None:
-            raise ParseError("one GENERATE per query in this MDX subset")
-        q.qm_kwargs["generate_top"] = (".".join(outer), n, top_by, asc)
-        if top_by is None or target is not None:
-            q.qm_kwargs["generate_inner"] = (
-                "key" if top_by is None else "measure", target)
-        return True
+        # one GENERATE per DIMENSION (r11, VERDICT r10 #3 — r10 capped
+        # at one per query, like the r10 grouping-sets lift): each
+        # composes as an independent per-parent window
+        prev = q.qm_kwargs.get("generate_top")
+        dims_taken = ([prev[0].split(".")[0].lower()] if prev else []) \
+            + [e[0].split(".")[0].lower()
+               for e in q.qm_kwargs.get("generate_more", [])]
+        if outer[0].lower() in dims_taken:
+            raise ParseError(
+                "one GENERATE per dimension in this MDX subset "
+                f"(GENERATE repeats [{outer[0]}])")
+        if prev is None:
+            q.qm_kwargs["generate_top"] = (".".join(outer), n, top_by, asc)
+            if top_by is None or target is not None:
+                q.qm_kwargs["generate_inner"] = (
+                    "key" if top_by is None else "measure", target)
+        else:
+            q.qm_kwargs.setdefault("generate_more", []).append(
+                (".".join(outer), n, top_by, asc,
+                 "key" if top_by is None else "measure", target))
+        return "gen"
     if t in ("DISTINCT", "SUBSET", "ORDER", "FILTER", "TOPCOUNT", "CROSSJOIN",
              "HEAD", "TAIL", "NONEMPTYCROSSJOIN", "TOPPERCENT",
              "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM"):
@@ -2231,10 +2245,16 @@ def emit_mdx(cat: Catalog, qm) -> str:
         else:
             sets.append(f"DRILLDOWNMEMBER({lvlb}.Members, "
                         f"{ddl_subset})")
+    gen_all = []
     if getattr(qm, "generate_top", None) is not None:
         g_path, g_n, g_m, g_asc = qm.generate_top
         _, g_target = (getattr(qm, "generate_inner", None)
                        or ("measure", None))
+        gen_all.append((g_path, g_n, g_m, g_asc, g_target))
+    for g_path, g_n, g_m, g_asc, _, g_target in \
+            getattr(qm, "generate_more", []) or []:
+        gen_all.append((g_path, g_n, g_m, g_asc, g_target))
+    for g_path, g_n, g_m, g_asc, g_target in gen_all:
         lvlb = ".".join(f"[{s}]" for s in g_path.split("."))
         nav = (f"{lvlb}.CurrentMember.Children" if g_target is None
                else f"DESCENDANTS({lvlb}.CurrentMember, "

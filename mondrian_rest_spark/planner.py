@@ -1500,10 +1500,14 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # --- the (parent, child) level pair; the per-parent row_number
     # --- window runs post-agg (axis-sized, never the fact) ---
     generate_levels = None
-    if qm.generate_top is not None:
-        g_path, g_n, g_m, g_asc = qm.generate_top
-        _, g_target = (getattr(qm, "generate_inner", None)
-                       or ("measure", None))
+    gen_axes: list[tuple] = []   # (ResolvedDrill, level, child, n, m, asc)
+    gen_specs = ([(qm.generate_top
+                   + ((getattr(qm, "generate_inner", None)
+                       or ("measure", None))[1],))]
+                 if qm.generate_top is not None else [])
+    gen_specs += [(p, n, m, a, t) for p, n, m, a, _, t in
+                  getattr(qm, "generate_more", []) or []]
+    for g_path, g_n, g_m, g_asc, g_target in gen_specs:
         segs = g_path.split(".")
         hier_name = segs[1] if len(segs) == 3 else None
         dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-1])
@@ -1540,8 +1544,11 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         child = hier.levels[tgt_idx]
         gl = (list(hier.levels[: tgt_idx + 1]) if qm.parents
               else [level, child])
-        drills.append(ResolvedDrill(dim, hier, child, gl))
-        generate_levels = (level, child)
+        rd_g = ResolvedDrill(dim, hier, child, gl)
+        drills.append(rd_g)
+        gen_axes.append((rd_g, level, child, g_n, g_m, g_asc))
+        if generate_levels is None:
+            generate_levels = (level, child)
 
     # --- DRILLDOWNLEVEL / DRILLDOWNMEMBER / VISUALTOTALS (raw MDX):
     # --- mixed-depth axes = ONE grouping-sets aggregate; parent
@@ -1644,9 +1651,12 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             if pname not in requested and pname not in extra_names:
                 _measure_alias(cube, pname)  # unknown -> KeyError -> 400
                 extra_names.append(pname)
-    if qm.generate_top is not None and qm.generate_top[2] is not None:
-        pname = qm.generate_top[2]
-        if pname not in requested and pname not in extra_names:
+    gen_rank_measures = (
+        [qm.generate_top[2]] if qm.generate_top is not None else []) + \
+        [e[2] for e in getattr(qm, "generate_more", []) or []]
+    for pname in gen_rank_measures:
+        if (pname is not None and pname not in requested
+                and pname not in extra_names):
             _measure_alias(cube, pname)
             extra_names.append(pname)
     for pname in qm.nonempty_measures:
@@ -1753,9 +1763,8 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         # change which members compete — Mondrian evaluates GENERATE's
         # TOPCOUNT and RANK's ORDER over the UNFILTERED set, so a
         # silently different answer -> clear 400
-        if (qm.generate_top is not None
-                and qm.generate_top[0].split(".")[0].lower()
-                == dim.name.lower()):
+        if any(rd_g.dimension.name.lower() == dim.name.lower()
+               for rd_g, *_ in gen_axes):
             raise ParseError(
                 f"a property FILTER on dimension {dim.name!r} cannot "
                 "combine with GENERATE over the same dimension (the "
@@ -2172,22 +2181,63 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # --- keys), ordered by the ranking measure — applied BEFORE the
     # --- HAVING stage so FILTER(GENERATE(...), cond) filters the
     # --- generated set, matching the MDX nesting ---
-    if qm.generate_top is not None and generate_levels is not None:
-        g_level, g_child = generate_levels
-        _, g_n, g_m, g_asc = qm.generate_top
-        # measure rank (TOPCOUNT/BOTTOMCOUNT) or hierarchy-key rank
-        # (HEAD/TAIL: g_m is None, asc=HEAD) — same single window
-        ocol = (_measure_alias(cube, g_m) if g_m is not None
-                else g_child.key_alias)
-        child_keys = {a for _, a in g_child.out_cols()}
-        part = [a for rd in drills for lv in rd.group_levels
-                for a in [lv.key_alias] if a not in child_keys]
-        direction = (F.asc_nulls_last(ocol) if g_asc
-                     else F.desc_nulls_last(ocol))
-        w = (Window.partitionBy(*[F.col(a) for a in part])
-             .orderBy(direction, F.asc(g_child.key_alias)))
-        out = (out.withColumn("__gen_rn", F.row_number().over(w))
-                  .filter(F.col("__gen_rn") <= g_n).drop("__gen_rn"))
+    if gen_axes:
+        # Every GENERATE's rank is computed BEFORE any is filtered
+        # (Mondrian evaluates each set independently, pre-crossjoin),
+        # then all filters apply.  With other axis dimensions present
+        # the rank orders by the MARGINAL measure — the sum of this
+        # (parent, child)'s cells across the other dimensions' keys —
+        # which equals Mondrian's pre-crossjoin evaluation for
+        # additive measures (sum/count); non-additive rank measures
+        # are a clear 400 in that composition.  Sole-axis GENERATE
+        # keeps the r9 single row_number window (cell == marginal).
+        all_gen_keys = {a for rd_g, *_ in gen_axes
+                        for lv in rd_g.group_levels
+                        for a in [lv.key_alias]}
+        other_keys = [a for rd in drills for lv in rd.group_levels
+                      for a in [lv.key_alias] if a not in all_gen_keys]
+        filters = []
+        for gi, (rd_g, g_level, g_child, g_n, g_m, g_asc) in \
+                enumerate(gen_axes):
+            child_keys = {a for _, a in g_child.out_cols()}
+            own_keys = [a for lv in rd_g.group_levels
+                        for a in [lv.key_alias]]
+            part = [a for a in own_keys if a not in child_keys]
+            marginal = bool(other_keys) or len(gen_axes) > 1
+            if g_m is not None:
+                ocol = _measure_alias(cube, g_m)
+                if marginal:
+                    m_obj = next((m for m in cube.measures
+                                  if m.name == g_m), None)
+                    if m_obj is None or m_obj.agg not in ("sum", "count"):
+                        raise ParseError(
+                            f"GENERATE ranking measure {g_m!r} is not "
+                            "additive (sum/count); its per-parent "
+                            "marginal over the other axis dimensions "
+                            "is not the sum of cells — query GENERATE "
+                            "as the sole axis set or rank by an "
+                            "additive measure")
+                    mcol = f"__gen_m{gi}"
+                    out = out.withColumn(mcol, F.sum(F.col(ocol)).over(
+                        Window.partitionBy(*[F.col(a)
+                                             for a in own_keys])))
+                    ocol = mcol
+                direction = (F.asc_nulls_last(ocol) if g_asc
+                             else F.desc_nulls_last(ocol))
+            else:
+                # HEAD/TAIL: hierarchy (key) order, no measure
+                direction = (F.asc_nulls_last(g_child.key_alias)
+                             if g_asc
+                             else F.desc_nulls_last(g_child.key_alias))
+            w = (Window.partitionBy(*[F.col(a) for a in part])
+                 .orderBy(direction, F.asc(g_child.key_alias)))
+            rank_fn = F.dense_rank() if marginal else F.row_number()
+            out = out.withColumn(f"__gen_rn{gi}", rank_fn.over(w))
+            filters.append((f"__gen_rn{gi}", g_n))
+        for col, g_n in filters:
+            out = out.filter(F.col(col) <= g_n)
+        out = out.drop(*[c for c, _ in filters],
+                       *[f"__gen_m{gi}" for gi in range(len(gen_axes))])
 
     # --- NONEMPTY(set, m) 2-arg form: drop tuples where the NAMED
     # --- measure is empty (post-agg/post-dense isNotNull; the named
@@ -3337,6 +3387,10 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
     # --- the JOINED drill-across frame below (measure from the owning
     # --- cube, axis-sized, never a fact) — same shape as RANK ---
     gen_v = None   # (dim, hier, parent_level, child_level)
+    if getattr(qm, "generate_more", []):
+        raise ParseError(
+            "one GENERATE per query on virtual cubes in this MDX "
+            "subset; query the base cube for multi-dimension GENERATE")
     if qm.generate_top is not None:
         if getattr(qm, "gs_axes", []):
             raise ParseError(

@@ -121,6 +121,15 @@ class QueryModel:
     # drilldown of (parent, child) levels plus a post-agg row_number
     # window partitioned per parent (axis-sized, never the fact)
     generate_top: tuple | None = None
+    # additional GENERATEs on OTHER dimensions (r11, VERDICT r10 #3 —
+    # r10 capped GENERATE at one per QUERY; per-dimension now, like
+    # the grouping-sets axes): entries (parent_level_path, n, measure,
+    # ascending, inner_kind, inner_target) mirroring generate_top +
+    # generate_inner.  Each composes as an independent per-parent
+    # window; with multiple axis dimensions the rank orders by the
+    # MARGINAL measure (sum over the other dimensions' keys), which is
+    # Mondrian's pre-crossjoin evaluation for additive measures.
+    generate_more: list = field(default_factory=list)
     # non-default GENERATE inner-set form (r9): None = the canonical
     # .Children + TOPCOUNT/BOTTOMCOUNT-by-measure idiom; otherwise
     # ("measure" | "key", target_level_name | None) where "key" means

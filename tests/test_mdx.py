@@ -3435,3 +3435,81 @@ def test_mdx_virtual_property_filter(spark, sf_dir):
         "FROM [Orders and Sales] "
         "WHERE ([Customer].[Region].[&1])").collect()
     assert {r["c_custkey"] for r in dense} >= {r["c_custkey"] for r in virt}
+
+
+def test_mdx_generate_two_dimensions(spark, sf_dir):
+    """r11 (VERDICT r10 #3): one GENERATE per DIMENSION — two compose
+    as independent per-parent windows ranking by the MARGINAL measure
+    (Mondrian evaluates each set pre-crossjoin), so each dimension's
+    selection is independent of the other's members."""
+    from mondrian_rest_spark.mdx import emit_mdx
+
+    mdx = ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+           "NON EMPTY GENERATE([Customer].[Region].Members, "
+           "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+           "[Measures].[Revenue])) * "
+           "GENERATE([Time].[Year].Members, "
+           "TOPCOUNT([Time].[Year].CurrentMember.Children, 2, "
+           "[Measures].[Revenue])) ON ROWS FROM [Sales]")
+    qm = compile_mdx(mdx)
+    assert qm.generate_top is not None and len(qm.generate_more) == 1
+    # emit/compile round-trip preserves both windows
+    back = compile_mdx(emit_mdx(tpch.CATALOG, qm))
+    assert back.generate_top == qm.generate_top
+    assert back.generate_more == qm.generate_more
+    rows = execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
+    # independence: each region's nations via sole-axis GENERATE
+    nat = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) ON ROWS FROM [Sales]").collect()
+    qtr = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Time].[Year].Members, "
+        "TOPCOUNT([Time].[Year].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) ON ROWS FROM [Sales]").collect()
+    want_nations = {(r["cust_region_key"], r["cust_nation_key"])
+                    for r in nat}
+    want_qtrs = {(r["year"], r["quarter"]) for r in qtr}
+    got_nations = {(r["cust_region_key"], r["cust_nation_key"])
+                   for r in rows}
+    got_qtrs = {(r["year"], r["quarter"]) for r in rows}
+    assert got_nations == want_nations
+    assert got_qtrs == want_qtrs
+
+    # same dimension twice stays a 400
+    with pytest.raises(ParseError, match="per dimension"):
+        compile_mdx(
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY GENERATE([Customer].[Region].Members, "
+            "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+            "[Measures].[Revenue])) * "
+            "GENERATE([Customer].[Region].Members, "
+            "TOPCOUNT([Customer].[Region].CurrentMember.Children, 3, "
+            "[Measures].[Revenue])) ON ROWS FROM [Sales]")
+    # non-additive ranking measure in a composition stays a 400
+    with pytest.raises(ParseError, match="additive"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY GENERATE([Customer].[Region].Members, "
+            "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+            "[Measures].[Median Price])) * "
+            "GENERATE([Time].[Year].Members, "
+            "TOPCOUNT([Time].[Year].CurrentMember.Children, 2, "
+            "[Measures].[Revenue])) ON ROWS FROM [Sales]").collect()
+    # virtual cubes keep the one-GENERATE cap
+    with pytest.raises(ParseError, match="virtual"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY GENERATE([Customer].[Region].Members, "
+            "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+            "[Measures].[Revenue])) * "
+            "GENERATE([Time].[Year].Members, "
+            "TOPCOUNT([Time].[Year].CurrentMember.Children, 2, "
+            "[Measures].[Revenue])) ON ROWS "
+            "FROM [Orders and Sales]").collect()
