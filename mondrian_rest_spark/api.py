@@ -467,16 +467,32 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             # PrefixSkewError surfaces as a 400 naming the offending
             # shingles instead of an unbounded job
             cap = _int(request.args, "max_candidates_per_prefix")
-            try:
-                df = dedup.neardup_jaccard_prefix(
-                    docs, threshold=_float(request.args, "threshold", 0.5),
-                    max_candidates_per_prefix=cap)
-            except dedup.PrefixSkewError as e:
-                # the guard already unpersisted its frames on raise
-                return jsonify({"error": str(e),
-                                "hot_buckets": [
-                                    {"shingle": s, "bucket_size": c}
-                                    for s, c in e.buckets]}), 400
+            spill = request.args.get("spill")
+            if spill not in (None, "", "minhash"):
+                raise ParseError(
+                    f"unknown spill mode {spill!r} (have ['minhash'])")
+            if spill == "minhash":
+                # degraded mode (r11): hot-bucket docs route through
+                # the MinHash-LSH pre-filter (approximate=true rows)
+                # instead of failing the job; everything else stays
+                # the bit-identical exact PPJoin path
+                df = dedup.neardup_jaccard_spill_minhash(
+                    docs,
+                    threshold=_float(request.args, "threshold", 0.5),
+                    max_candidates_per_prefix=(
+                        100_000 if cap is None else cap))
+            else:
+                try:
+                    df = dedup.neardup_jaccard_prefix(
+                        docs,
+                        threshold=_float(request.args, "threshold", 0.5),
+                        max_candidates_per_prefix=cap)
+                except dedup.PrefixSkewError as e:
+                    # the guard already unpersisted its frames on raise
+                    return jsonify({"error": str(e),
+                                    "hot_buckets": [
+                                        {"shingle": s, "bucket_size": c}
+                                        for s, c in e.buckets]}), 400
         else:
             raise ParseError(
                 f"unknown dedup method {method!r} "

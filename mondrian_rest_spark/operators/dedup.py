@@ -665,19 +665,29 @@ def neardup_jaccard_prefix(df: DataFrame, threshold: float = 0.5,
             sh.unpersist()
             prefix.unpersist()
             raise
+    return _tag_persisted(
+        _jaccard_pairs_from_prefix(sh, prefix, threshold, id_col),
+        sh, prefix)
+
+
+def _jaccard_pairs_from_prefix(sh: DataFrame, prefix: DataFrame,
+                               threshold: float, id_col: str) -> DataFrame:
+    """Candidate equi-join + exact verify shared by the plain PPJoin
+    path and the MinHash spill path (r11).
+
+    Positional filter (PPJoin proper, r9): a pair matched on a prefix
+    shingle at ranks (i, j) can share at most 1 + min(|A|-i, |B|-j)
+    shingles, and Jaccard >= t needs overlap >= t(|A|+|B|)/(1+t).
+    Exactness: every true pair's FIRST shared shingle (global order)
+    passes the bound — all common shingles rank at or after it on both
+    sides — and a pair is kept when ANY match passes.  The epsilon only
+    ever ADMITS borderline pairs."""
     a = prefix.select(F.col(id_col).alias("a_id"), F.col("__g"),
                       F.col("__sz").alias("__sza"),
                       F.col("__rn").alias("__rna"))
     b = prefix.select(F.col(id_col).alias("b_id"), F.col("__g"),
                       F.col("__sz").alias("__szb"),
                       F.col("__rn").alias("__rnb"))
-    # positional filter (PPJoin proper, r9): a pair matched on a
-    # prefix shingle at ranks (i, j) can share at most
-    # 1 + min(|A|-i, |B|-j) shingles, and Jaccard >= t needs overlap
-    # >= t(|A|+|B|)/(1+t).  Exactness: every true pair's FIRST shared
-    # shingle (global order) passes the bound — all common shingles
-    # rank at or after it on both sides — and a pair is kept when ANY
-    # match passes.  The epsilon only ever ADMITS borderline pairs.
     ubound = 1 + F.least(F.col("__sza") - F.col("__rna"),
                          F.col("__szb") - F.col("__rnb"))
     alpha = (F.lit(threshold) / F.lit(1.0 + threshold)
@@ -693,12 +703,85 @@ def neardup_jaccard_prefix(df: DataFrame, threshold: float = 0.5,
              .distinct())
     fa = sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("sa"))
     fb = sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("sb"))
+    return (cand.join(fa, on="a_id").join(fb, on="b_id")
+                .withColumn("jaccard", F.round(_jaccard("sa", "sb"), 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("a_id", "b_id", "jaccard"))
+
+
+def neardup_jaccard_spill_minhash(df: DataFrame, threshold: float = 0.5,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id", n: int = 3,
+                                  max_candidates_per_prefix: int = 100_000,
+                                  num_hashes: int = 32,
+                                  bands: int = 8) -> DataFrame:
+    """Exact-Jaccard pairs with a DEGRADED-MODE spill for prefix-bucket
+    skew (r11, VERDICT r10 #4): instead of failing the whole job when a
+    template shingle's prefix bucket exceeds the cap
+    (:class:`PrefixSkewError`), the documents CARRYING a hot prefix
+    shingle are routed through the MinHash-LSH pre-filter while every
+    other pair keeps the exact PPJoin path.
+
+    Output adds an ``approximate`` flag:
+
+    - ``approximate = false`` — both docs are outside every hot bucket.
+      Their prefixes contain no hot shingle, so excluding the hot docs
+      from the candidate join removes no prefix ROW of theirs — the
+      PPJoin exactness argument is untouched and these pairs are
+      bit-identical to the unguarded run.
+    - ``approximate = true`` — at least one doc carries a hot prefix
+      shingle.  Candidates come from banded MinHash (linear-ish, never
+      the k²/2 hot-bucket join); VALUES are still exact (the verify
+      stage computes true set Jaccard) — only recall is probabilistic
+      (the LSH S-curve, see :func:`neardup_minhash_lsh`).
+
+    Scale: the spill bounds the adversarial failure mode — a
+    corpus-wide template shingle costs one extra LSH pass instead of an
+    unbounded quadratic join, and the exact path's candidate buckets
+    stay under the cap by construction."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = (with_shingles(df, text_col, n)
+          .select(F.col(id_col), F.col("shingles"))
+          .filter(F.size("shingles") > 0)).persist()
+    prefix = _jaccard_prefix_frame(df, threshold, text_col, id_col,
+                                   n).persist()
+    hot = [r["__g"] for r in
+           (prefix.groupBy("__g")
+                  .agg(F.count(F.lit(1)).alias("__b"))
+                  .filter(F.col("__b") > max_candidates_per_prefix)
+                  .select("__g").collect())]
+    if not hot:
+        return _tag_persisted(
+            _jaccard_pairs_from_prefix(sh, prefix, threshold, id_col)
+            .withColumn("approximate", F.lit(False)),
+            sh, prefix)
+    hot_docs = (prefix.filter(F.col("__g").isin(hot))
+                      .select(id_col).distinct().persist())
+    clean_prefix = prefix.join(hot_docs, on=id_col, how="left_anti")
+    exact = (_jaccard_pairs_from_prefix(sh, clean_prefix, threshold,
+                                        id_col)
+             .withColumn("approximate", F.lit(False)))
+    # pairs touching a hot doc: LSH candidates + the SAME exact verify
+    # (neardup_minhash_lsh verifies with true set Jaccard), filtered to
+    # pairs with >= 1 hot side so the two paths stay disjoint
+    lsh = neardup_minhash_lsh(df, threshold, text_col, id_col, n,
+                              num_hashes=num_hashes, bands=bands)
+    ha = hot_docs.select(F.col(id_col).alias("a_id"),
+                         F.lit(True).alias("__hot_a"))
+    hb = hot_docs.select(F.col(id_col).alias("b_id"),
+                         F.lit(True).alias("__hot_b"))
+    # no forced broadcast: adversarial skew can put EVERY doc in
+    # hot_docs — let AQE pick the strategy from the real size
+    spill = (lsh.join(ha, on="a_id", how="left")
+                .join(hb, on="b_id", how="left")
+                .filter(F.col("__hot_a").isNotNull()
+                        | F.col("__hot_b").isNotNull())
+                .select("a_id", "b_id", "jaccard")
+                .withColumn("approximate", F.lit(True)))
     return _tag_persisted(
-        (cand.join(fa, on="a_id").join(fb, on="b_id")
-             .withColumn("jaccard", F.round(_jaccard("sa", "sb"), 6))
-             .filter(F.col("jaccard") >= threshold)
-             .select("a_id", "b_id", "jaccard")),
-        sh, prefix)
+        exact.unionByName(spill), sh, prefix, hot_docs,
+        *getattr(lsh, "_mrs_request_persisted", []))
 
 
 def build_jaccard_index(df: DataFrame, threshold: float = 0.5,

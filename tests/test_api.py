@@ -1011,3 +1011,15 @@ def test_corpus_dedup_jaccard_method_and_skew_400(client):
     b2 = r2.get_json()
     assert "prefix skew" in b2["error"]
     assert b2["hot_buckets"] and b2["hot_buckets"][0]["bucket_size"] > 1
+    # r11 (VERDICT r10 #4): spill=minhash completes under the same cap
+    # — hot-bucket pairs flagged approximate, the rest exact
+    r3 = client.get("/corpus/dedup",
+                    query_string={"method": "jaccard", "threshold": 0.5,
+                                  "max_candidates_per_prefix": 1,
+                                  "spill": "minhash", "limit": 5})
+    assert r3.status_code == 200
+    b3 = r3.get_json()
+    assert b3["columns"] == ["a_id", "b_id", "jaccard", "approximate"]
+    r4 = client.get("/corpus/dedup",
+                    query_string={"method": "jaccard", "spill": "zstd"})
+    assert r4.status_code == 400

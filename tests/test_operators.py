@@ -1593,3 +1593,53 @@ def test_chunk_token_windows_budget_reconciles(spark):
         total = (12 * (n_chunks - 1)
                  + got[(d, n_chunks - 1)].n_tokens)
         assert total == ts[d]
+
+
+def test_jaccard_spill_minhash_degraded_mode(spark):
+    """r11 (VERDICT r10 #4): with spill=minhash the guarded run
+    COMPLETES under template skew — pairs among docs outside the hot
+    bucket are bit-identical to the unguarded exact run, pairs
+    touching hot-bucket docs come via the LSH pre-filter with
+    approximate=true (values still exact Jaccard)."""
+    # clean near-dups (no shared template) + a hot template cluster:
+    # 800 SHORT docs where the shared leading trigram lands in every
+    # prefix (2-shingle docs -> prefix covers both), and doc pairs
+    # (2i, 2i+1) are exact duplicates (jaccard 1.0)
+    rows = []
+    for i in range(400):
+        rows.append((2 * i, f"alpha beta gamma tail{i}"))
+        rows.append((2 * i + 1, f"alpha beta gamma tail{i}"))
+    rows += [(10_000, "clean pair one same words here exactly match"),
+             (10_001, "clean pair one same words here exactly match"),
+             (10_002, "completely different content lives here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact_all = {(r.a_id, r.b_id, r.jaccard) for r in
+                 dedup.neardup_jaccard_prefix(df, threshold=0.5).collect()}
+    # the template bucket trips the cap on the plain path
+    with pytest.raises(dedup.PrefixSkewError):
+        dedup.neardup_jaccard_prefix(
+            df, threshold=0.5, max_candidates_per_prefix=200)
+
+    got = dedup.neardup_jaccard_spill_minhash(
+        df, threshold=0.5, max_candidates_per_prefix=200).collect()
+    exact_rows = {(r.a_id, r.b_id, r.jaccard) for r in got
+                  if not r.approximate}
+    approx_rows = {(r.a_id, r.b_id, r.jaccard) for r in got
+                   if r.approximate}
+    # bit-identical outside the hot bucket
+    clean_expected = {t for t in exact_all if t[0] >= 10_000}
+    assert exact_rows == clean_expected
+    # every approximate pair touches the hot bucket, is value-exact,
+    # and the near-identical template pairs (jaccard ~0.8) are found
+    assert approx_rows and approx_rows <= exact_all
+    assert {(a, b) for a, b, _ in approx_rows} >= \
+        {(2 * i, 2 * i + 1) for i in range(0, 400, 50)}
+    # no overlap between the two paths
+    assert not ({(a, b) for a, b, _ in exact_rows}
+                & {(a, b) for a, b, _ in approx_rows})
+    # below-cap corpus: no spill, all rows exact, same pairs
+    small = spark.createDataFrame(rows[-3:], ["doc_id", "text"])
+    all_exact = dedup.neardup_jaccard_spill_minhash(
+        small, threshold=0.5, max_candidates_per_prefix=200).collect()
+    assert all(not r.approximate for r in all_exact)
