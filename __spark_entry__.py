@@ -575,6 +575,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cube="Ragged Orders", measures=["Total Price"],
             drilldown=["Geo.Nation", "Geo.Customer"], nonempty=True))
 
+    # DRILLDOWNLEVELTOP composed with a plain .Members axis (r11,
+    # VERDICT r10 #5): exact vs Mondrian's pre-crossjoin evaluation
+    # because the rank orders by the MARGINAL measure (sum of the
+    # child's cells over the other axis); subtotal rows stay put
+    q["q90_mdx_ddltop_x_members"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
+        "[Measures].[Revenue]) * [Time].[Year].Members "
+        "ON ROWS FROM [Sales]")
+
     # TWO GENERATEs on different dimensions (r11, VERDICT r10 #3 —
     # lifts the one-per-query cap like r10 did for grouping sets):
     # independent per-parent windows ranking by the MARGINAL measure
@@ -2467,6 +2479,31 @@ def oracle_sql() -> dict[str, str]:
                    m.n_name AS cust_nation, s.revenue, o.total_price
             FROM m LEFT JOIN s ON m.n_nationkey = s.nk
                    LEFT JOIN o ON m.n_nationkey = o.nk""",
+        "q90_mdx_ddltop_x_members": f"""
+            WITH g AS (
+              SELECT r_regionkey AS cust_region_key,
+                     r_name AS cust_region,
+                     n_nationkey AS cust_nation_key,
+                     n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS INTEGER) AS "year",
+                     {REVENUE} AS revenue
+              FROM {J_CUST}
+              GROUP BY GROUPING SETS (
+                (r_regionkey, r_name, year(l_shipdate)),
+                (r_regionkey, r_name, n_nationkey, n_name,
+                 year(l_shipdate)))),
+            marg AS (
+              SELECT cust_region_key, cust_nation_key,
+                     rank() OVER (
+                       PARTITION BY cust_region_key
+                       ORDER BY SUM(revenue) DESC, cust_nation_key) AS r
+              FROM g WHERE cust_nation_key IS NOT NULL
+              GROUP BY 1, 2)
+            SELECT g.* FROM g
+            LEFT JOIN marg
+              ON g.cust_region_key = marg.cust_region_key
+             AND g.cust_nation_key = marg.cust_nation_key
+            WHERE g.cust_nation_key IS NULL OR marg.r <= 2""",
         "q89_mdx_generate_2d": f"""
             WITH cells AS (
               SELECT r_regionkey AS cust_region_key,

@@ -1976,31 +1976,62 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             # DRILLDOWNLEVELTOP/BOTTOM: child rows rank per parent by
             # the measure, keep n; subtotal rows always stay.  One
             # axis-sized window over the Expand output — never the
-            # fact.  Mondrian evaluates the set BEFORE any crossjoin,
-            # so another axis set would change which children compete
-            # — sole axis expression, clear 400.
-            if len(drills) > 1:
+            # fact.  Mondrian evaluates the set BEFORE any crossjoin;
+            # composing with a plain .Members axis is exact when the
+            # rank orders by the MARGINAL measure (the sum of the
+            # child's cells over the other axis — r11, VERDICT r10
+            # #5), which requires an additive measure.  Another
+            # GROUPING-SETS axis would interleave its own subtotal
+            # rows into the marginal — still a clear 400.
+            if len(getattr(qm, "gs_axes", []) or []) > 1:
                 raise ParseError(
-                    "DRILLDOWNLEVELTOP/DRILLDOWNLEVELBOTTOM must be "
-                    "the sole axis expression in this MDX subset "
-                    "(another axis set would change which children "
-                    "compete per parent)")
+                    "DRILLDOWNLEVELTOP/DRILLDOWNLEVELBOTTOM cannot "
+                    "combine with another DRILLDOWNLEVEL/DRILLDOWN"
+                    "MEMBER/VISUALTOTALS axis in this MDX subset "
+                    "(the other axis' subtotal rows would pollute "
+                    "the per-parent marginal)")
             idx = next(i for i, (s, _) in enumerate(qm.gs_axes)
                        if s == spec)
             parent_lv, child_lv, _ = ddl_axes[idx]
             marker = gs_markers[idx]
             alias = _measure_alias(cube, mname)
+            gs_dim = next(rd.dimension.name for rd in drills
+                          if rd.level.name == child_lv.name
+                          and child_lv.key_alias in
+                          [lv.key_alias for lv in rd.group_levels])
+            others = [a for rd in drills
+                      if rd.dimension.name != gs_dim
+                      for lv in rd.group_levels
+                      for a in [lv.key_alias]]
+            parent_cols = [a for _, a in parent_lv.out_cols()]
+            if others:
+                m_obj = next((m for m in cube.measures
+                              if m.name == mname), None)
+                if m_obj is None or m_obj.agg not in ("sum", "count"):
+                    raise ParseError(
+                        f"DRILLDOWNLEVELTOP/BOTTOM measure {mname!r} "
+                        "is not additive (sum/count); its per-parent "
+                        "marginal over the other axis is not the sum "
+                        "of cells — drop the other axis or rank by "
+                        "an additive measure")
+                out = out.withColumn("__gs_marg__", F.sum(
+                    F.col(alias)).over(Window.partitionBy(
+                        marker, *parent_cols, child_lv.key_alias)))
+                ocol = "__gs_marg__"
+                rank_fn = F.dense_rank()
+            else:
+                ocol = alias
+                rank_fn = F.row_number()
             # subtotal rows rank in their own (marker=1) partition so
             # they never consume a child's slot
-            w = (Window.partitionBy(marker,
-                                    *[a for _, a in parent_lv.out_cols()])
-                 .orderBy(F.asc_nulls_last(alias) if asc
-                          else F.desc_nulls_last(alias),
+            w = (Window.partitionBy(marker, *parent_cols)
+                 .orderBy(F.asc_nulls_last(ocol) if asc
+                          else F.desc_nulls_last(ocol),
                           F.asc(child_lv.key_alias)))
-            out = (out.withColumn("__gs_rn__", F.row_number().over(w))
+            out = (out.withColumn("__gs_rn__", rank_fn.over(w))
                       .filter((F.col(marker) == 1)
                               | (F.col("__gs_rn__") <= topn))
-                      .drop("__gs_rn__"))
+                      .drop("__gs_rn__", "__gs_marg__"))
         out = out.drop(*gs_markers)
     elif group_cols:
         out = base.groupBy(*group_cols).agg(*aggs)

@@ -3147,7 +3147,8 @@ def test_mdx_case_iif_compose_in_filter(spark, sf_dir):
 def test_mdx_drilldownleveltop_bottom(spark, sf_dir):
     """r10: DRILLDOWNLEVELTOP/BOTTOM — parents plus best/worst n
     children by measure; subtotal rows never consume a child slot;
-    the set must be the sole axis expression; echo round-trips."""
+    composes with a plain .Members axis via marginal ranking (r11);
+    echo round-trips."""
     top = execute_mdx(
         spark, sf_dir, tpch.CATALOG,
         "SELECT {[Measures].[Revenue]} ON COLUMNS, "
@@ -3191,13 +3192,41 @@ def test_mdx_drilldownleveltop_bottom(spark, sf_dir):
         "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
         "[Measures].[Revenue]) ON ROWS FROM [Sales]")
     assert compile_mdx(emit_mdx(tpch.CATALOG, qm)).gs_top == qm.gs_top
-    # sole axis expression (Mondrian evaluates the set pre-crossjoin)
-    with pytest.raises(ParseError, match="sole axis"):
+    # r11 (VERDICT r10 #5): DRILLDOWNLEVELTOP composes with a plain
+    # .Members axis — the rank orders by the MARGINAL measure, so the
+    # per-parent selection matches the sole-axis query for every
+    # member of the other axis (Mondrian's pre-crossjoin evaluation)
+    comp = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, "
+        "2, [Measures].[Revenue]) * [Time].[Year].Members "
+        "ON ROWS FROM [Sales]").collect()
+    sole_children = {(r["cust_region_key"], r["cust_nation_key"])
+                     for r in top if r["cust_nation_key"] is not None}
+    comp_children = {(r["cust_region_key"], r["cust_nation_key"])
+                     for r in comp if r["cust_nation_key"] is not None}
+    assert comp_children == sole_children   # same selection per year
+    years = {r["year"] for r in comp}
+    assert len(years) > 1                   # the other axis enumerates
+    # subtotal rows appear per year too
+    assert any(r["cust_nation_key"] is None for r in comp)
+    # non-additive rank measure in the composition stays a 400
+    with pytest.raises(ParseError, match="additive"):
         execute_mdx(
             spark, sf_dir, tpch.CATALOG,
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
             "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, "
-            "2, [Measures].[Revenue]) * [Time].[Year].Members "
+            "2, [Measures].[Median Price]) * [Time].[Year].Members "
+            "ON ROWS FROM [Sales]").collect()
+    # a second grouping-sets axis alongside gs_top stays a 400
+    with pytest.raises(ParseError, match="cannot combine"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, "
+            "2, [Measures].[Revenue]) * "
+            "DRILLDOWNLEVEL([Time].[Year].Members) "
             "ON ROWS FROM [Sales]").collect()
     # virtual cubes refuse (the rank needs the post-join frame)
     with pytest.raises(ParseError, match="virtual"):
