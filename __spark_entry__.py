@@ -587,6 +587,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "[Measures].[Revenue]) * [Time].[Year].Members "
         "ON ROWS FROM [Sales]")
 
+    # Property FILTER wrapping GENERATE on the SAME dimension (r11,
+    # VERDICT r10 #8 — was a documented 400): Mondrian ranks the
+    # UNFILTERED set (the grammar only admits FILTER wrapping the
+    # windowed set), so the property predicate defers to AFTER the
+    # per-parent window
+    q["q91_mdx_filter_over_generate"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER(GENERATE([Customer].[Nation].Members, "
+        "TOPCOUNT([Customer].[Nation].CurrentMember.Children, 3, "
+        "[Measures].[Revenue])), "
+        "[Customer].[Customer].CurrentMember.Properties"
+        "('Market Segment') = 'BUILDING') ON ROWS FROM [Sales]")
+
     # TWO GENERATEs on different dimensions (r11, VERDICT r10 #3 —
     # lifts the one-per-query cap like r10 did for grouping sets):
     # independent per-parent windows ranking by the MARGINAL measure
@@ -2479,6 +2494,21 @@ def oracle_sql() -> dict[str, str]:
                    m.n_name AS cust_nation, s.revenue, o.total_price
             FROM m LEFT JOIN s ON m.n_nationkey = s.nk
                    LEFT JOIN o ON m.n_nationkey = o.nk""",
+        "q91_mdx_filter_over_generate": f"""
+            WITH cells AS (
+              SELECT n_nationkey AS cust_nation_key,
+                     n_name AS cust_nation,
+                     c_custkey, c_name, c_mktsegment,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2, 3, 4, 5),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY cust_nation_key
+                       ORDER BY revenue DESC, c_custkey) AS r
+              FROM cells)
+            SELECT cust_nation_key, cust_nation, c_custkey, c_name,
+                   revenue
+            FROM ranked WHERE r <= 3 AND c_mktsegment = 'BUILDING'""",
         "q90_mdx_ddltop_x_members": f"""
             WITH g AS (
               SELECT r_regionkey AS cust_region_key,

@@ -1747,6 +1747,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # --- must not re-add excluded members).  The level must be
     # --- drilled, like displayed properties above ---
     prop_filter_preds: list[tuple] = []   # (dim name, alias, op, value)
+    deferred_prop_preds: list[tuple] = []  # same-dim-window: post-rank
     for ref_str, fop, fval in qm.property_filters:
         ref = parse_property(ref_str)
         dim, _, level = _resolve_level(cube, ref.dimension, ref.hierarchy,
@@ -1759,29 +1760,32 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 "drilled members")
         # pre-agg member exclusion commutes with the per-parent window
         # / rank ONLY across dimensions (excluded members take their
-        # whole partitions with them); on the SAME dimension it would
-        # change which members compete — Mondrian evaluates GENERATE's
-        # TOPCOUNT and RANK's ORDER over the UNFILTERED set, so a
-        # silently different answer -> clear 400
-        if any(rd_g.dimension.name.lower() == dim.name.lower()
-               for rd_g, *_ in gen_axes):
+        # whole partitions with them); on the SAME dimension Mondrian
+        # evaluates GENERATE's TOPCOUNT and RANK's ORDER over the
+        # UNFILTERED set (the grammar only admits FILTER *wrapping*
+        # the windowed set), so the predicate is DEFERRED to after the
+        # window stages (r11, VERDICT r10 #8 — was a 400).  Dense mode
+        # keeps the 400: the member-frame restriction _densify applies
+        # is pre-window by construction.
+        same_dim_window = (
+            any(rd_g.dimension.name.lower() == dim.name.lower()
+                for rd_g, *_ in gen_axes)
+            or any(getattr(c, "rank_dim", None) == dim.name
+                   for c in calcs))
+        if same_dim_window and not qm.nonempty:
             raise ParseError(
                 f"a property FILTER on dimension {dim.name!r} cannot "
-                "combine with GENERATE over the same dimension (the "
-                "exclusion would re-rank the per-parent top-N); filter "
-                "a different dimension or drop the GENERATE")
-        for c in calcs:
-            if getattr(c, "rank_dim", None) == dim.name:
-                raise ParseError(
-                    f"a property FILTER on dimension {dim.name!r} "
-                    f"cannot combine with RANK member {c.name!r} over "
-                    "the same dimension (Mondrian ranks the UNFILTERED "
-                    "member set)")
+                "combine with GENERATE/RANK over the same dimension "
+                "without NON EMPTY in this MDX subset (the dense "
+                "member fill would re-rank the window); add NON EMPTY")
         pr = level.find_property(ref.prop)
         plist = needed_props.setdefault(dim.name, [])
         if pr.alias not in [x.alias for x in plist]:
             plist.append(pr)
-        prop_filter_preds.append((dim.name, pr.alias, fop, fval))
+        if same_dim_window:
+            deferred_prop_preds.append((dim.name, pr.alias, fop, fval))
+        else:
+            prop_filter_preds.append((dim.name, pr.alias, fop, fval))
 
     # --- bridges required (dims + measures) ---
     bridge_names: set[str] = set()
@@ -1910,6 +1914,17 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             for _, alias in lv.out_cols():
                 group_cols.append(alias)
     group_cols += prop_group_aliases(drills, prop_seq)
+    # deferred same-dim-window property filters (r11): the property
+    # column rides the groupBy (functionally dependent on the member
+    # key — same grain) so the predicate can apply AFTER the rank /
+    # generate windows, then drops unless displayed
+    defer_cols = [alias for _, alias, _, _ in deferred_prop_preds
+                  if alias not in group_cols]
+    if deferred_prop_preds and (getattr(qm, "gs_axes", []) or []):
+        raise ParseError(
+            "a property FILTER on a GENERATE/RANK dimension cannot "
+            "combine with DRILLDOWNLEVEL/DRILLDOWNMEMBER in this MDX "
+            "subset")
 
     # a calc member whose alias matches an axis column would silently
     # overwrite it via withColumn below — a wrong answer, not a 400
@@ -2034,7 +2049,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                       .drop("__gs_rn__", "__gs_marg__"))
         out = out.drop(*gs_markers)
     elif group_cols:
-        out = base.groupBy(*group_cols).agg(*aggs)
+        out = base.groupBy(*group_cols, *defer_cols).agg(*aggs)
     else:
         out = base.agg(*aggs)
 
@@ -2269,6 +2284,15 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             out = out.filter(F.col(col) <= g_n)
         out = out.drop(*[c for c, _ in filters],
                        *[f"__gen_m{gi}" for gi in range(len(gen_axes))])
+
+    # --- deferred same-dim-window property filters (r11, VERDICT r10
+    # --- #8): FILTER(<windowed set>, prop cond) — Mondrian ranks the
+    # --- UNFILTERED set, then the filter drops rows, so the predicate
+    # --- applies AFTER the rank/generate windows above ---
+    for _, alias, fop, fval in deferred_prop_preds:
+        out = out.filter(_cmp_pred(alias, fop, fval))
+    if defer_cols:
+        out = out.drop(*defer_cols)
 
     # --- NONEMPTY(set, m) 2-arg form: drop tuples where the NAMED
     # --- measure is empty (post-agg/post-dense isNotNull; the named

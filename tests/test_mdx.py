@@ -2555,29 +2555,76 @@ def test_virtual_cube_new_navigation(spark, sf_dir):
             "ON ROWS FROM [Orders and Sales]").collect()
 
 
-def test_property_filter_same_dim_rank_generate_400(spark, sf_dir):
-    # same-dimension combinations would silently re-rank (Mondrian
-    # evaluates RANK/GENERATE over the unfiltered set) -> clear 400s
-    with pytest.raises(ParseError, match="GENERATE over the same"):
-        execute_mdx(
-            spark, sf_dir, tpch.CATALOG,
-            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
-            "FILTER(GENERATE([Customer].[Region].Members, "
-            "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
-            "[Measures].[Revenue])), [Customer].[Nation].CurrentMember"
-            '.Properties("Nation Name") = "X") ON ROWS '
-            "FROM [Sales]").collect()
-    with pytest.raises(ParseError, match="RANK member"):
+def test_property_filter_same_dim_rank_generate(spark, sf_dir):
+    """r11 (VERDICT r10 #8, was a 400): FILTER(<windowed set>, prop)
+    on the window's own dimension DEFERS the predicate to after the
+    rank/generate window — Mondrian ranks the UNFILTERED set, then the
+    filter drops rows without re-ranking."""
+    # GENERATE top-3 per nation, then keep BUILDING customers: the
+    # surviving (nation, customer) pairs are exactly the unfiltered
+    # top-3 that happen to be BUILDING — never a re-ranked 4th
+    filt = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER(GENERATE([Customer].[Nation].Members, "
+        "TOPCOUNT([Customer].[Nation].CurrentMember.Children, 3, "
+        "[Measures].[Revenue])), [Customer].[Customer].CurrentMember"
+        ".Properties('Market Segment') = 'BUILDING') ON ROWS "
+        "FROM [Sales]").collect()
+    unfiltered = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Nation].Members, "
+        "TOPCOUNT([Customer].[Nation].CurrentMember.Children, 3, "
+        "[Measures].[Revenue])) ON ROWS FROM [Sales]").collect()
+    top3 = {(r["cust_nation_key"], r["c_custkey"]) for r in unfiltered}
+    assert filt and all(
+        (r["cust_nation_key"], r["c_custkey"]) in top3 for r in filt)
+    assert len(filt) < len(unfiltered)   # the filter really dropped rows
+    # the property column is not leaked into the output
+    assert "c_mktsegment" not in filt[0].asDict()
+
+    # RANK: rank values come from the UNFILTERED member set — the
+    # filtered survivors keep their global ranks (gaps allowed)
+    ranked = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[R] AS "
+        "RANK([Customer].[Customer].CurrentMember, "
+        "ORDER([Customer].[Customer].Members, [Measures].[Revenue], "
+        "BDESC)) "
+        "SELECT {[Measures].[Revenue], [Measures].[R]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Customer].Members, "
+        "[Customer].[Customer].CurrentMember"
+        ".Properties('Market Segment') = 'BUILDING') ON ROWS "
+        "FROM [Sales]").collect()
+    all_ranked = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[R] AS "
+        "RANK([Customer].[Customer].CurrentMember, "
+        "ORDER([Customer].[Customer].Members, [Measures].[Revenue], "
+        "BDESC)) "
+        "SELECT {[Measures].[Revenue], [Measures].[R]} ON COLUMNS, "
+        "NON EMPTY [Customer].[Customer].Members ON ROWS "
+        "FROM [Sales]").collect()
+    global_rank = {r["c_custkey"]: r["r"] for r in all_ranked}
+    assert ranked and all(
+        r["r"] == global_rank[r["c_custkey"]] for r in ranked)
+    assert sorted(r["r"] for r in ranked) != \
+        list(range(1, len(ranked) + 1))   # gaps prove no re-rank
+
+    # dense mode stays a clear 400 (the member-frame restriction the
+    # dense fill applies is pre-window by construction)
+    with pytest.raises(ParseError, match="NON EMPTY"):
         execute_mdx(
             spark, sf_dir, tpch.CATALOG,
             "WITH MEMBER [Measures].[R] AS "
             "RANK([Customer].[Customer].CurrentMember, "
-            "ORDER([Customer].[Customer].Members, [Measures].[Revenue], "
-            "BDESC)) "
+            "ORDER([Customer].[Customer].Members, [Measures].[Revenue],"
+            " BDESC)) "
             "SELECT {[Measures].[R]} ON COLUMNS, "
-            "NON EMPTY FILTER([Customer].[Customer].Members, "
+            "FILTER([Customer].[Customer].Members, "
             "[Customer].[Customer].CurrentMember"
-            '.Properties("Market Segment") = "BUILDING") ON ROWS '
+            ".Properties('Market Segment') = 'BUILDING') ON ROWS "
             "FROM [Sales]").collect()
 
 
