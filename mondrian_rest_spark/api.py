@@ -643,10 +643,24 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             name = f"advised_{len(rollup_manager.rollups)}_" + "_".join(
                 s.split(".")[-1].lower().replace(" ", "")
                 for s in rec.grain)
-            r = rollup_manager.register(name, tuple(rec.grain))
+            # layout advice (r11, VERDICT r10 #7): when the manager
+            # has a materialize dir, persist the rollup partitioned on
+            # the most-cut grain key so logged cuts prune partitions
+            kwargs = {}
+            if rec.partition_col and rollup_manager.materialize_dir:
+                import os as _os
+                kwargs = dict(
+                    persist_path=_os.path.join(
+                        rollup_manager.materialize_dir, name),
+                    partition_col=rec.partition_col)
+            r = rollup_manager.register(name, tuple(rec.grain),
+                                        **kwargs)
             existing_grains.add(frozenset(r.grain))
             built.append({"name": r.name, "grain": list(r.grain),
                           "rows": r.rows,
+                          "partition_col": r.partition_col,
+                          "partition_spec": rec.partition_spec,
+                          "persist_path": r.persist_path,
                           "est_covered_weight": rec.covered_weight,
                           "est_rows": rec.est_rows})
         # realized hit-rate: replay the log through the router's

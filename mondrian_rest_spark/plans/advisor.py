@@ -55,6 +55,14 @@ class Recommendation:
     est_rows: int | None              # grain cardinality estimate
     score: float                      # covered_weight / est cost
     sample: tuple = ()                # up to 3 covered need-sets
+    # layout advice (r11, VERDICT r10 #7): the grain level the covered
+    # queries CUT most often — partitioning the materialized rollup on
+    # its key alias turns those cuts into partition pruning (and keeps
+    # append() an O(affected-partitions) dynamic overwrite).  None
+    # when no covered query cuts a grain level.
+    partition_spec: str | None = None     # "Dim.Level"
+    partition_col: str | None = None      # grain key alias
+    partition_cut_weight: int = 0         # log weight cutting it
 
 
 @dataclass
@@ -62,6 +70,7 @@ class _Need:
     levels: frozenset
     weight: int
     specs: tuple[str, ...]
+    cut_levels: frozenset = frozenset()   # subset of levels, from cuts
 
 
 def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
@@ -145,10 +154,12 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
                 if (dim.name, lv.name) not in levels:
                     levels.add((dim.name, lv.name))
                     specs.append(f"{dim.name}.{lv.name}")
+        cut_levels: set = set()
         for c in qm.cut:
             rc = _resolve_cut(cube, parse_cut(c))
             if rc.cut.kind == "named_set":
                 return None
+            cut_levels.add((rc.dimension.name, rc.level.name))
             if (rc.dimension.name, rc.level.name) not in levels:
                 levels.add((rc.dimension.name, rc.level.name))
                 specs.append(f"{rc.dimension.name}.{rc.level.name}")
@@ -156,7 +167,7 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
         return None   # unresolvable log entry: base path 400s it
     if not levels:
         return None   # grand totals route to ANY rollup; no new grain
-    return frozenset(levels), tuple(specs)
+    return frozenset(levels), tuple(specs), frozenset(cut_levels)
 
 
 def _est_rows(levels: frozenset,
@@ -189,16 +200,20 @@ def recommend_rollups(cube: Cube, query_log: list[QueryModel],
     nothing and is skipped.  Ties in score break toward FEWER levels
     (cheaper to maintain) then lexical grain order (deterministic).
     """
-    # collapse identical needs, weighting by log frequency
+    # collapse identical needs, weighting by log frequency; tally the
+    # per-level CUT weight alongside (the partition-column signal)
     by_need: dict[frozenset, _Need] = {}
+    cut_weight: dict[tuple, int] = {}
     for qm in query_log:
         got = _query_need(cube, qm)
         if got is None:
             continue
-        levels, specs = got
+        levels, specs, cut_levels = got
+        for key in cut_levels:
+            cut_weight[key] = cut_weight.get(key, 0) + 1
         n = by_need.get(levels)
         if n is None:
-            by_need[levels] = _Need(levels, 1, specs)
+            by_need[levels] = _Need(levels, 1, specs, cut_levels)
         else:
             n.weight += 1
     if not by_need:
@@ -238,10 +253,26 @@ def recommend_rollups(cube: Cube, query_log: list[QueryModel],
         if best is None:
             break
         _, levels, specs, covered, weight, rows, score = best
+        # layout advice (r11): partition the materialized rollup on the
+        # grain level the log CUTS most — those cuts become partition
+        # pruning.  Resolved to the grain key alias register() checks.
+        p_spec, p_col, p_w = None, None, 0
+        for key in sorted(levels):
+            w = cut_weight.get(key, 0)
+            if w > p_w:
+                spec = f"{key[0]}.{key[1]}"
+                try:
+                    rd = _resolve_drill(cube, parse_drilldown(spec),
+                                        False)
+                except Exception:
+                    continue
+                p_spec, p_col, p_w = spec, rd.level.key_alias, w
         out.append(Recommendation(
             grain=specs, covered_queries=len(covered),
             covered_weight=weight, est_rows=rows, score=score,
-            sample=tuple(sorted(n.levels)[:3] for n in covered[:3])))
+            sample=tuple(sorted(n.levels)[:3] for n in covered[:3]),
+            partition_spec=p_spec, partition_col=p_col,
+            partition_cut_weight=p_w))
         for n in covered:
             uncovered.pop(n.levels, None)
     return out

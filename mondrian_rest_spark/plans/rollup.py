@@ -90,11 +90,15 @@ class RollupManager:
     fact otherwise."""
 
     def __init__(self, spark: SparkSession, sf_dir: str, cat: Catalog,
-                 cube_name: str):
+                 cube_name: str, materialize_dir: str | None = None):
         import dataclasses
         self.spark = spark
         self.sf_dir = sf_dir
         self.cat = cat
+        #: where advisor-driven materializations persist (r11, VERDICT
+        #: r10 #7) — partitioned layouts need a real path; None keeps
+        #: /advisor/materialize on the in-memory persist() path
+        self.materialize_dir = materialize_dir
         self.cube: Cube = cat.cube(cube_name)
         # build-side cube copy with one synthetic hll_sketch measure
         # per approx_count_distinct measure: rollup layouts persist

@@ -1023,3 +1023,47 @@ def test_corpus_dedup_jaccard_method_and_skew_400(client):
     r4 = client.get("/corpus/dedup",
                     query_string={"method": "jaccard", "spill": "zstd"})
     assert r4.status_code == 400
+
+
+def test_advisor_materialize_partition_layout(spark, sf_dir, tmp_path):
+    """r11 (VERDICT r10 #7): the advisor recommends a partition column
+    from the served-query log (the most-cut grain level) and
+    /advisor/materialize applies it — the advised rollup lands
+    partitioned on disk and a logged-style cut query's routed plan
+    prunes partitions."""
+    import os
+
+    from mondrian_rest_spark.plans.rollup import RollupManager
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales",
+                        materialize_dir=str(tmp_path / "advised"))
+    app = create_app(tpch.CATALOG, sf_dir, spark=spark,
+                     rollup_manager=mgr, flush_secret="adv-s3cr3t")
+    app.config["TESTING"] = True
+    c = app.test_client()
+    qs = ("/cubes/Sales/aggregate?drilldown[]=Customer.Nation"
+          "&drilldown[]=Time.Year&measures[]=Revenue&nonempty=true"
+          "&cut[]=[Time].[Year].[%261996]&debug=true")
+    for _ in range(3):
+        assert c.get(qs).get_json()["source"] == "base"
+    r = c.post("/advisor/materialize?secret=adv-s3cr3t&max=1")
+    body = r.get_json()
+    assert r.status_code == 200 and body["materialized"], body
+    b = body["materialized"][0]
+    # the cut level (Time.Year) is the advised partition column
+    assert b["partition_col"] == "year"
+    assert b["partition_spec"] == "Time.Year"
+    assert b["persist_path"] and os.path.isdir(b["persist_path"])
+    assert any(d.startswith("year=")
+               for d in os.listdir(b["persist_path"]))
+    # the same cut query now routes to the advised rollup AND its
+    # plan prunes to the cut year's partition
+    assert c.get(qs).get_json()["source"] == b["name"]
+    from mondrian_rest_spark.query import QueryModel
+    routed, src = mgr.route(QueryModel(
+        cube="Sales", measures=["Revenue"],
+        drilldown=["Customer.Nation", "Time.Year"],
+        cut=["[Time].[Year].[&1996]"], nonempty=True))
+    assert src == b["name"]
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "year" in plan.split("PartitionFilters")[1].split("]")[0]
