@@ -587,6 +587,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "[Measures].[Revenue]) * [Time].[Year].Members "
         "ON ROWS FROM [Sales]")
 
+    # DRILLDOWNLEVELTOP on a VIRTUAL cube (r11): the per-cube Expand
+    # passes keep their F.grouping() markers through the null-safe
+    # drill-across join, so the post-join per-parent rank identifies
+    # subtotal rows by MARKER (never by NULL member keys)
+    q["q94_mdx_virtual_ddltop"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, "
+        "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
+        "[Measures].[Revenue]) ON ROWS FROM [Orders and Sales]")
+
     # Property FILTER wrapping GENERATE on the SAME dimension (r11,
     # VERDICT r10 #8 — was a documented 400): Mondrian ranks the
     # UNFILTERED set (the grammar only admits FILTER wrapping the
@@ -2494,6 +2506,42 @@ def oracle_sql() -> dict[str, str]:
                    m.n_name AS cust_nation, s.revenue, o.total_price
             FROM m LEFT JOIN s ON m.n_nationkey = s.nk
                    LEFT JOIN o ON m.n_nationkey = o.nk""",
+        "q94_mdx_virtual_ddltop": f"""
+            WITH s AS (
+              SELECT r_regionkey AS rk, r_name AS rn,
+                     n_nationkey AS nk, n_name AS nn,
+                     grouping(n_nationkey) AS sub,
+                     {REVENUE} AS revenue
+              FROM {J_CUST}
+              GROUP BY GROUPING SETS (
+                (r_regionkey, r_name),
+                (r_regionkey, r_name, n_nationkey, n_name))),
+            o AS (
+              SELECT r_regionkey AS rk, r_name AS rn,
+                     n_nationkey AS nk, n_name AS nn,
+                     grouping(n_nationkey) AS sub,
+                     {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST}
+              GROUP BY GROUPING SETS (
+                (r_regionkey, r_name),
+                (r_regionkey, r_name, n_nationkey, n_name))),
+            j AS (
+              SELECT COALESCE(s.rk, o.rk) AS cust_region_key,
+                     COALESCE(s.rn, o.rn) AS cust_region,
+                     COALESCE(s.nk, o.nk) AS cust_nation_key,
+                     COALESCE(s.nn, o.nn) AS cust_nation,
+                     COALESCE(s.sub, o.sub) AS sub,
+                     s.revenue, o.total_price
+              FROM s FULL OUTER JOIN o
+                ON s.rk IS NOT DISTINCT FROM o.rk
+               AND s.nk IS NOT DISTINCT FROM o.nk
+               AND s.sub = o.sub)
+            SELECT cust_region_key, cust_region, cust_nation_key,
+                   cust_nation, revenue, total_price
+            FROM j
+            QUALIFY sub = 1 OR row_number() OVER (
+                PARTITION BY sub, cust_region_key
+                ORDER BY revenue DESC NULLS LAST, cust_nation_key) <= 2""",
         "q91_mdx_filter_over_generate": f"""
             WITH cells AS (
               SELECT n_nationkey AS cust_nation_key,

@@ -1948,6 +1948,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     aggs += [_set_agg_col(c, rc, m) for c, rc, m in fs_set_aggs]
     if not aggs:  # pure axis enumeration still needs an aggregate context
         aggs = [_agg_expr(cube.default_measure)]
+    kept_markers: list[str] = []
     if ddl_axes:
         # mixed-depth axes: k grouping-sets dims -> 2^k sets in ONE
         # Expand pass (r10 generalizes the r9 single-axis pair) —
@@ -2047,7 +2048,13 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                       .filter((F.col(marker) == 1)
                               | (F.col("__gs_rn__") <= topn))
                       .drop("__gs_rn__", "__gs_marg__"))
-        out = out.drop(*gs_markers)
+        if getattr(qm, "gs_keep_markers", False):
+            # virtual drill-across (r11): the markers ride the output
+            # so the post-join DRILLDOWNLEVELTOP rank can identify
+            # subtotal rows without guessing from NULL member keys
+            kept_markers = list(gs_markers)
+        else:
+            out = out.drop(*gs_markers)
     elif group_cols:
         out = base.groupBy(*group_cols, *defer_cols).agg(*aggs)
     else:
@@ -2412,7 +2419,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         # reverts to hierarchical — one axis-sized re-sort
         out = out.orderBy(*[F.asc(a) for a in key_aliases])
 
-    return out.select(*group_cols, *final_aliases)
+    return out.select(*group_cols, *kept_markers, *final_aliases)
 
 
 def _with_level_cols(df: DataFrame, lv: Level, caption_override: str | None = None) -> DataFrame:
@@ -3429,13 +3436,15 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
             raise ParseError(
                 f"virtual cube {vc.name!r} only exposes conformed dims "
                 f"{vc.conformed_dimensions}")
-    if getattr(qm, "gs_top", None):
-        # the per-parent rank would need the post-join frame while the
-        # gs machinery runs per base cube — a clear 400, not a silent
-        # unranked result
+    gs_top_v = list(getattr(qm, "gs_top", []) or [])
+    if gs_top_v and len(getattr(qm, "gs_axes", []) or []) > 1:
+        # same 400 as the base path: another grouping-sets axis would
+        # interleave its subtotal rows into the per-parent marginal
         raise ParseError(
-            "DRILLDOWNLEVELTOP/DRILLDOWNLEVELBOTTOM are not supported "
-            "on virtual cubes in this MDX subset; query the base cube")
+            "DRILLDOWNLEVELTOP/DRILLDOWNLEVELBOTTOM cannot combine "
+            "with another DRILLDOWNLEVEL/DRILLDOWNMEMBER/VISUALTOTALS "
+            "axis in this MDX subset (the other axis' subtotal rows "
+            "would pollute the per-parent marginal)")
     # --- GENERATE(<level>.Members, TOPCOUNT(...)) virtualizes (r11,
     # --- VERDICT r10 #1): the (parent, child) level pair is drilled on
     # --- every base cube, and the per-parent row_number window runs on
@@ -3590,11 +3599,12 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                     f"RANK WITH MEMBER {name!r} references unknown "
                     f"measure {ref!r}")
             base_requested.append(ref)
-    # GENERATE / TOPPERCENT / TOPSUM ranking measures too (r11): the
-    # post-join windows need the alias even when not displayed
+    # GENERATE / TOPPERCENT / TOPSUM / DRILLDOWNLEVELTOP ranking
+    # measures too (r11): the post-join windows need the alias even
+    # when not displayed
     for extra in ([qm.generate_top[2]] if qm.generate_top else []) + \
             [tp[1] for tp in (qm.top_percent, qm.top_sum)
-             if tp is not None]:
+             if tp is not None] + [g[2] for g in gs_top_v]:
         if extra and extra not in inline and extra not in base_requested:
             if not any(_has_measure(c, extra) for c in cubes):
                 raise ParseError(
@@ -3674,6 +3684,7 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                          empty_set=qm.empty_set,
                          empty_slicer=qm.empty_slicer,
                          gs_axes=list(getattr(qm, "gs_axes", []) or []),
+                         gs_keep_markers=bool(gs_top_v),
                          visual_totals=list(
                              getattr(qm, "visual_totals", []) or []),
                          # dim-side predicates virtualize by forwarding
@@ -3717,6 +3728,71 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         else:
             out = out.join(df, on=group_cols, how="full_outer")
         all_aliases += maliases
+
+    # --- DRILLDOWNLEVELTOP/BOTTOM on a virtual cube (r11): the
+    # per-cube Expand passes kept their F.grouping() marker columns
+    # (gs_keep_markers), which joined null-safely like any key — so
+    # the post-join rank identifies subtotal rows by MARKER, never by
+    # NULL member keys (the r10 ADVICE bug class).  Rank semantics
+    # mirror the base path: per-parent window over the joined frame,
+    # marginal measure when another axis dimension is drilled. ---
+    gs_marker_cols = [c for c in (group_cols or [])
+                      if c.startswith("__gs_subtotal_")]
+    if gs_top_v:
+        for spec, topn, mname, asc in gs_top_v:
+            idx = next(i for i, (s, _) in enumerate(qm.gs_axes)
+                       if s == spec)
+            marker = f"__gs_subtotal_{idx}__"
+            segs = spec.split(".")
+            hier_name = segs[1] if len(segs) == 3 else None
+            gcube = next(c for c in cubes
+                         if any(d.name == segs[0] for d in c.dimensions))
+            dimx, hierx, parent_lv = _resolve_level(
+                gcube, segs[0], hier_name, segs[-1])
+            child_lv = hierx.levels[hierx.level_index(parent_lv.name) + 1]
+            ocol = None
+            for c in cubes:
+                try:
+                    ocol = _measure_alias(c, mname)
+                    break
+                except KeyError:
+                    continue
+            if ocol is None:
+                raise ParseError(
+                    f"DRILLDOWNLEVELTOP/BOTTOM measure {mname!r} does "
+                    f"not exist in any base cube of {vc.name!r}")
+            parent_cols = [a for _, a in parent_lv.out_cols()]
+            child_cols = {a for _, a in child_lv.out_cols()}
+            others = [c for c in group_cols
+                      if c not in child_cols and c not in parent_cols
+                      and not c.startswith("__gs_subtotal_")]
+            if others:
+                m_obj = next((m for c in cubes for m in c.measures
+                              if m.name == mname), None)
+                if m_obj is None or m_obj.agg not in ("sum", "count"):
+                    raise ParseError(
+                        f"DRILLDOWNLEVELTOP/BOTTOM measure {mname!r} "
+                        "is not additive (sum/count); its per-parent "
+                        "marginal over the other axis is not the sum "
+                        "of cells — drop the other axis or rank by "
+                        "an additive measure")
+                out = out.withColumn("__gs_marg__", F.sum(
+                    F.col(ocol)).over(Window.partitionBy(
+                        marker, *parent_cols, child_lv.key_alias)))
+                rcol, rank_fn = "__gs_marg__", F.dense_rank()
+            else:
+                rcol, rank_fn = ocol, F.row_number()
+            w = (Window.partitionBy(marker, *parent_cols)
+                 .orderBy(F.asc_nulls_last(rcol) if asc
+                          else F.desc_nulls_last(rcol),
+                          F.asc(child_lv.key_alias)))
+            out = (out.withColumn("__gs_rn__", rank_fn.over(w))
+                      .filter((F.col(marker) == 1)
+                              | (F.col("__gs_rn__") <= topn))
+                      .drop("__gs_rn__", "__gs_marg__"))
+    if gs_marker_cols:
+        out = out.drop(*gs_marker_cols)
+        group_cols = [c for c in group_cols if c not in gs_marker_cols]
 
     # --- dense axes (r10): the reference DEFAULT applies to virtual
     # cubes too — previously a nonempty=false request silently behaved

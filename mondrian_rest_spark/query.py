@@ -156,6 +156,12 @@ class QueryModel:
     # subtotal rows and rank-filters child rows per parent (one
     # axis-sized window after the Expand aggregate, never the fact).
     gs_top: list = field(default_factory=list)
+    # INTERNAL (r11): keep the grouping-sets subtotal marker columns
+    # (__gs_subtotal_i__, F.grouping() flags) in the aggregate output.
+    # Set only by the virtual-cube drill-across path so the post-join
+    # DRILLDOWNLEVELTOP rank can tell subtotal rows from child rows
+    # whose member key is genuinely NULL (the r10 ADVICE bug class).
+    gs_keep_markers: bool = False
     # VISUALTOTALS({parent, child, ...}) from raw MDX (r10): list of
     # (parent_cut_string, children_cut_string), one per VISUALTOTALS
     # (at most one per dimension).  Rides the gs_axes grouping-sets

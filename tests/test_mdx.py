@@ -3275,14 +3275,24 @@ def test_mdx_drilldownleveltop_bottom(spark, sf_dir):
             "2, [Measures].[Revenue]) * "
             "DRILLDOWNLEVEL([Time].[Year].Members) "
             "ON ROWS FROM [Sales]").collect()
-    # virtual cubes refuse (the rank needs the post-join frame)
-    with pytest.raises(ParseError, match="virtual"):
-        execute_mdx(
-            spark, sf_dir, tpch.CATALOG,
-            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
-            "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, "
-            "2, [Measures].[Revenue]) ON ROWS "
-            "FROM [Orders and Sales]").collect()
+    # r11: DRILLDOWNLEVELTOP virtualizes — the per-cube Expand passes
+    # keep their grouping markers through the drill-across join, so
+    # the post-join rank identifies subtotal rows by MARKER and the
+    # per-parent selection matches the base cube's
+    virt = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, "
+        "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, "
+        "2, [Measures].[Revenue]) ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    assert len(virt) == 15         # 5 subtotals + 5 x top-2 children
+    assert {(r["cust_region_key"], r["cust_nation_key"])
+            for r in virt} == {(r["cust_region_key"],
+                                r["cust_nation_key"]) for r in top}
+    assert all(r["total_price"] is not None for r in virt)
+    # no grouping-marker columns leak into the output
+    assert not [c for c in virt[0].asDict() if c.startswith("__gs")]
     # malformed count
     with pytest.raises(ParseError, match="count"):
         compile_mdx(
