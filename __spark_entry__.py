@@ -599,6 +599,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
         "[Measures].[Revenue]) ON ROWS FROM [Orders and Sales]")
 
+    # PARALLELPERIOD WITH MEMBER on a VIRTUAL cube (r11): the lag
+    # window runs over the joined drill-across frame's time axis (the
+    # UNION of the base cubes' member sets) — the reference's own
+    # virtual cube time-navigates exactly like this
+    # (foodmart.xml:749-755 Profit Growth over PREVMEMBER)
+    q["q95_mdx_virtual_parallelperiod"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH MEMBER [Measures].[Prev TP] AS "
+        "([Measures].[Total Price], PARALLELPERIOD([Time].[Year], 1)) "
+        "SELECT {[Measures].[Total Price], [Measures].[Prev TP], "
+        "[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Time].[Year].Members ON ROWS "
+        "FROM [Orders and Sales]")
+
+    # SUM(YTD(), m) WITH MEMBER on a VIRTUAL cube (r11): cumulative
+    # window anchored at Year over the joined frame's time axis
+    q["q96_mdx_virtual_ytd"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "WITH MEMBER [Measures].[YTD TP] AS "
+        "SUM(YTD(), [Measures].[Total Price]) "
+        "SELECT {[Measures].[Total Price], [Measures].[YTD TP]} "
+        "ON COLUMNS, NON EMPTY [Time].[Year].Members * "
+        "[Time].[Quarter].Members ON ROWS FROM [Orders and Sales]")
+
     # Property FILTER wrapping GENERATE on the SAME dimension (r11,
     # VERDICT r10 #8 — was a documented 400): Mondrian ranks the
     # UNFILTERED set (the grammar only admits FILTER wrapping the
@@ -2506,6 +2532,37 @@ def oracle_sql() -> dict[str, str]:
                    m.n_name AS cust_nation, s.revenue, o.total_price
             FROM m LEFT JOIN s ON m.n_nationkey = s.nk
                    LEFT JOIN o ON m.n_nationkey = o.nk""",
+        "q95_mdx_virtual_parallelperiod": f"""
+            WITH s AS (
+              SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+                     {REVENUE} AS revenue
+              FROM lineitem GROUP BY 1),
+            o AS (
+              SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+                     {DEC('o_totalprice')} AS total_price
+              FROM orders GROUP BY 1),
+            j AS (
+              SELECT COALESCE(s.y, o.y) AS "year",
+                     s.revenue, o.total_price
+              FROM s FULL OUTER JOIN o ON s.y = o.y)
+            SELECT "year", total_price,
+                   lag(total_price, 1) OVER (ORDER BY "year")
+                     AS prev_tp,
+                   revenue
+            FROM j""",
+        "q96_mdx_virtual_ytd": f"""
+            -- both displayed measures are Orders-side, so NON EMPTY
+            -- keeps exactly the orders (year, quarter) pairs; the
+            -- YTD window runs over that axis
+            SELECT "year", "quarter", total_price,
+                   SUM(total_price) OVER (
+                     PARTITION BY "year" ORDER BY "quarter"
+                     ROWS UNBOUNDED PRECEDING) AS ytd_tp
+            FROM (
+              SELECT CAST(year(o_orderdate) AS INTEGER) AS "year",
+                     CAST(quarter(o_orderdate) AS INTEGER) AS "quarter",
+                     {DEC('o_totalprice')} AS total_price
+              FROM orders GROUP BY 1, 2)""",
         "q94_mdx_virtual_ddltop": f"""
             WITH s AS (
               SELECT r_regionkey AS rk, r_name AS rn,

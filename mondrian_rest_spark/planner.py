@@ -3543,15 +3543,33 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
     inline_alias: dict[str, str] = {}
     rank_inline: dict[str, tuple] = {}
     setagg_inline: dict[str, tuple] = {}
+    lag_inline: dict[str, tuple] = {}
+    run_inline: dict[str, tuple] = {}
     for name, tmpl in qm.with_members:
-        if re.fullmatch(r"\{lag:[^}]*\}", tmpl):
-            raise ParseError(
-                "PARALLELPERIOD WITH MEMBER is not supported on "
-                "virtual cubes")
-        if re.fullmatch(r"\{(ytd|qtd|mtd|wtd):[^}]*\}", tmpl):
-            raise ParseError(
-                "SUM(YTD()/QTD()/MTD()/WTD(), ...) WITH MEMBER is not "
-                "supported on virtual cubes")
+        lg = re.fullmatch(r"\{lag:([^:}]+):([^:}]+):(\d+)\}", tmpl)
+        if lg:
+            # PARALLELPERIOD virtualizes (r11): the lag window runs
+            # over the JOINED drill-across frame's time axis — which
+            # under NON EMPTY enumerates the UNION of the base cubes'
+            # members, exactly Mondrian's virtual-cube hierarchy (the
+            # reference's own virtual cube time-navigates this way,
+            # foodmart.xml:749-755 Profit Growth over PREVMEMBER)
+            lag_inline[name] = lg.groups()
+            alias = re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
+            if not alias:
+                raise ParseError(f"WITH MEMBER name {name!r} is empty")
+            inline_alias[name] = alias
+            continue
+        td = re.fullmatch(r"\{(ytd|qtd|mtd|wtd):([^}]+)\}", tmpl)
+        if td:
+            # SUM(YTD()/.../WTD(), m) virtualizes the same way: the
+            # cumulative window anchors on the joined frame's time axis
+            run_inline[name] = td.groups()
+            alias = re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
+            if not alias:
+                raise ParseError(f"WITH MEMBER name {name!r} is empty")
+            inline_alias[name] = alias
+            continue
         if tmpl.startswith("{setagg:"):
             # set aggregates (and measure-member tuples, which compile
             # to the single-member form) are fact-side: FORWARD the
@@ -3590,13 +3608,23 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         inline_alias[name] = alias
     base_requested = [m for m in measures
                       if m not in inline and m not in rank_inline
-                      and m not in setagg_inline]
+                      and m not in setagg_inline and m not in lag_inline
+                      and m not in run_inline]
     # RANK order-by measures must be aggregated even when hidden
     for name, (ref, _, _) in rank_inline.items():
         if ref and ref not in inline and ref not in base_requested:
             if not any(_has_measure(c, ref) for c in cubes):
                 raise ParseError(
                     f"RANK WITH MEMBER {name!r} references unknown "
+                    f"measure {ref!r}")
+            base_requested.append(ref)
+    # lag / to-date source measures too (r11)
+    for name, ref in ([(n, t[0]) for n, t in lag_inline.items()]
+                      + [(n, t[1]) for n, t in run_inline.items()]):
+        if ref not in inline and ref not in base_requested:
+            if not any(_has_measure(c, ref) for c in cubes):
+                raise ParseError(
+                    f"WITH MEMBER {name!r} references unknown "
                     f"measure {ref!r}")
             base_requested.append(ref)
     # GENERATE / TOPPERCENT / TOPSUM / DRILLDOWNLEVELTOP ranking
@@ -3939,6 +3967,116 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                 *[F.asc(a) for a in same_keys])
             out = out.withColumn(alias,
                                  F.row_number().over(w).cast("long"))
+
+    # --- PARALLELPERIOD / to-date WITH MEMBER windows on the joined
+    # drill-across frame (r11): the time axis under NON EMPTY is the
+    # UNION of the base cubes' member sets (Mondrian's virtual-cube
+    # hierarchy — the reference's own virtual-cube calc members
+    # time-navigate, foodmart.xml:749-755), so the same axis-sized
+    # windows the base path runs apply verbatim post-join ---
+    if lag_inline or run_inline:
+        drills_t = []
+        for d in qm.drilldown:
+            parsed = parse_drilldown(d)
+            if isinstance(parsed, DrilldownSpec):
+                drills_t.append(_resolve_drill(cubes[0], parsed,
+                                               qm.parents))
+    for name, (ref, lvl_path, lag_n) in lag_inline.items():
+        alias = inline_alias[name]
+        if alias in taken:
+            raise ParseError(
+                f"WITH MEMBER name {name!r} collides with an existing "
+                "measure or axis column")
+        taken.add(alias)
+        segs = lvl_path.split(".")
+        if segs[0] not in vc.conformed_dimensions:
+            raise ParseError(
+                f"PARALLELPERIOD dimension {segs[0]!r} is not "
+                f"conformed on virtual cube {vc.name!r}")
+        lag_level = segs[-1] if len(segs) > 1 else None
+        lag_drills = [rd for rd in drills_t
+                      if rd.dimension.name == segs[0]]
+        time_keys = [a for rd in lag_drills for a in rd.key_aliases]
+        if not time_keys:
+            raise ParseError(
+                f"calculated member {name!r} needs a {segs[0]} "
+                "drilldown")
+        if lag_level is not None and not any(
+                rd.level.name.lower() == lag_level.lower()
+                for rd in lag_drills):
+            raise ParseError(
+                f"calculated member {name!r} shifts at level "
+                f"{lag_level!r}; drill {segs[0]} at that level "
+                "(a different grain would change the shift meaning)")
+        others = [a for rd in drills_t
+                  if rd.dimension.name != segs[0]
+                  for a in rd.key_aliases]
+        w = Window.partitionBy(*[F.col(a) for a in others]).orderBy(
+            *[F.col(a) for a in time_keys])
+        out = out.withColumn(alias,
+                             F.lag(F.col(_valias(ref)),
+                                   int(lag_n)).over(w))
+    for name, (kind, ref) in run_inline.items():
+        alias = inline_alias[name]
+        if alias in taken:
+            raise ParseError(
+                f"WITH MEMBER name {name!r} collides with an existing "
+                "measure or axis column")
+        taken.add(alias)
+        tdims = [d for d in cubes[0].dimensions
+                 if d.time_dimension and d.name in vc.conformed_dimensions]
+        if not tdims:
+            raise ParseError(
+                f"WITH MEMBER {name!r}: SUM({kind.upper()}(), ...) "
+                f"needs a conformed time dimension on virtual cube "
+                f"{vc.name!r}")
+        run_dim = tdims[0].name
+        anchor = {"ytd": None, "qtd": "Quarter", "mtd": "Month",
+                  "wtd": "Week"}[kind]
+        run_drills = [rd for rd in drills_t
+                      if rd.dimension.name == run_dim]
+        if not run_drills:
+            raise ParseError(
+                f"calculated member {name!r} needs a {run_dim} "
+                "drilldown")
+        hier = run_drills[0].hierarchy
+        if anchor is None:
+            anchor_idx = 0
+        else:
+            try:
+                anchor_idx = hier.level_index(anchor)
+            except (KeyError, ValueError):
+                raise ParseError(
+                    f"calculated member {name!r}: hierarchy "
+                    f"{hier.name!r} has no {anchor!r} level")
+        seen_keys: dict = {}
+        for rd in run_drills:
+            for lv in rd.group_levels:
+                seen_keys.setdefault(
+                    lv.key_alias, rd.hierarchy.level_index(lv.name))
+        keyed = sorted((i, a) for a, i in seen_keys.items())
+        have = {i for i, _ in keyed}
+        missing = [hier.levels[i].name for i in range(anchor_idx + 1)
+                   if i not in have]
+        if missing:
+            raise ParseError(
+                f"calculated member {name!r} needs the "
+                f"{'/'.join(missing)} level(s) of {run_dim} in the "
+                "drilldown (the to-date window anchors there)")
+        part = [a for i, a in keyed if i <= anchor_idx]
+        finer = [a for i, a in keyed if i > anchor_idx]
+        others = [a for rd in drills_t if rd.dimension.name != run_dim
+                  for a in rd.key_aliases]
+        if not finer:
+            out = out.withColumn(alias, F.col(_valias(ref)))
+        else:
+            w = (Window
+                 .partitionBy(*[F.col(a) for a in others + part])
+                 .orderBy(*[F.col(a) for a in finer])
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+            out = out.withColumn(alias,
+                                 F.sum(F.col(_valias(ref))).over(w))
 
     # --- GENERATE per-parent top-N window (r11): runs on the JOINED
     # --- drill-across frame, partitioned by the parent level plus any

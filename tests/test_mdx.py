@@ -615,11 +615,14 @@ def test_virtual_cube_with_member(spark, sf_dir):
 
 
 def test_virtual_cube_with_member_errors(spark, sf_dir):
-    with pytest.raises(ParseError):   # PARALLELPERIOD stays base-only
+    with pytest.raises(ParseError, match="drilldown"):
+        # PARALLELPERIOD virtualizes (r11) but still needs its time
+        # axis drilled, same as the base-cube path
         execute_mdx(spark, sf_dir, tpch.CATALOG,
             "WITH MEMBER [Measures].[X] AS "
             "([Measures].[Revenue], PARALLELPERIOD([Time].[Year], 1)) "
-            "SELECT {[Measures].[X]} ON COLUMNS, [Time].[Year].Members "
+            "SELECT {[Measures].[X]} ON COLUMNS, "
+            "[Customer].[Region].Members "
             "ON ROWS FROM [Orders and Sales]")
     with pytest.raises(ParseError, match="not conformed|conformed"):
         # WITH SET virtualizes (r11) but only over conformed dims
@@ -1179,14 +1182,16 @@ def test_mdx_ytd_running_total(spark, sf_dir):
                     "SELECT {[Measures].[YTD Revenue]} ON COLUMNS, "
                     "NON EMPTY [Customer].[Region].Members ON ROWS "
                     "FROM [Sales]").collect()
-    # virtual cubes reject (fact-dependent window across cubes)
-    with pytest.raises(ParseError, match="virtual cubes"):
-        execute_mdx(spark, sf_dir, tpch.CATALOG,
-                    "WITH MEMBER [Measures].[YTD Revenue] AS "
-                    "SUM(YTD(), [Measures].[Revenue]) "
-                    "SELECT {[Measures].[YTD Revenue]} ON COLUMNS, "
-                    "NON EMPTY [Time].[Year].Members ON ROWS "
-                    "FROM [Orders and Sales]").collect()
+    # YTD virtualizes (r11): with only Year drilled the running total
+    # equals the measure (no finer level), matching the base cube
+    vt = execute_mdx(spark, sf_dir, tpch.CATALOG,
+                     "WITH MEMBER [Measures].[YTD Revenue] AS "
+                     "SUM(YTD(), [Measures].[Revenue]) "
+                     "SELECT {[Measures].[Revenue], "
+                     "[Measures].[YTD Revenue]} ON COLUMNS, "
+                     "NON EMPTY [Time].[Year].Members ON ROWS "
+                     "FROM [Orders and Sales]").collect()
+    assert vt and all(r["ytd_revenue"] == r["revenue"] for r in vt)
 
 
 def test_mdx_qtd_and_toppercent(spark, sf_dir):
@@ -3598,4 +3603,47 @@ def test_mdx_generate_two_dimensions(spark, sf_dir):
             "GENERATE([Time].[Year].Members, "
             "TOPCOUNT([Time].[Year].CurrentMember.Children, 2, "
             "[Measures].[Revenue])) ON ROWS "
+            "FROM [Orders and Sales]").collect()
+
+
+def test_mdx_virtual_parallelperiod_and_ytd(spark, sf_dir):
+    """r11: PARALLELPERIOD and SUM(YTD()/QTD(), m) WITH MEMBER run on
+    VIRTUAL cubes — the windows apply to the joined drill-across
+    frame's time axis (the UNION of the base cubes' member sets),
+    mirroring the reference virtual cube's own time-navigating calc
+    members (foodmart.xml:749-755 Profit Growth)."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[Prev TP] AS "
+        "([Measures].[Total Price], PARALLELPERIOD([Time].[Year], 1)) "
+        "SELECT {[Measures].[Total Price], [Measures].[Prev TP], "
+        "[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY [Time].[Year].Members ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    assert rows[0]["prev_tp"] is None          # leading period empty
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["prev_tp"] == prev["total_price"]
+    # cross-cube measure rides along unchanged
+    assert all(r["revenue"] is not None for r in rows)
+
+    ytd = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH MEMBER [Measures].[YTD TP] AS "
+        "SUM(YTD(), [Measures].[Total Price]) "
+        "SELECT {[Measures].[Total Price], [Measures].[YTD TP]} "
+        "ON COLUMNS, NON EMPTY [Time].[Year].Members * "
+        "[Time].[Quarter].Members ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    run: dict = {}
+    for r in ytd:
+        run[r["year"]] = run.get(r["year"], 0.0) + r["total_price"]
+        assert abs(r["ytd_tp"] - run[r["year"]]) < 1e-6
+    # QTD without the Quarter level drilled stays a clear 400
+    with pytest.raises(ParseError, match="level"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "WITH MEMBER [Measures].[Q] AS "
+            "SUM(QTD(), [Measures].[Total Price]) "
+            "SELECT {[Measures].[Q]} ON COLUMNS, "
+            "NON EMPTY [Time].[Year].Members ON ROWS "
             "FROM [Orders and Sales]").collect()
