@@ -2868,16 +2868,68 @@ def _virtualize_idioms(spark: SparkSession, sf_dir: str, cat: Catalog,
         drilldown.append(".".join(parts))
         cut.append(ch)
 
-    for ec in qm.edge_child_of:
-        if len(ec) > 2 and ec[2] is not None:
-            # OPENINGPERIOD/CLOSINGPERIOD can target deeper levels;
-            # the virtual idiom rewrite only walks one step
+    # OPENINGPERIOD/CLOSINGPERIOD deeper-target form (r11 — was a 400
+    # "only walks one step"): same lexicographic chain walk as the
+    # base-cube path, resolved once against the shared conformed dim
+    # table, then rewritten to a drilldown at the target + the anchor
+    # member cut + one cut per walked chain level (exact even when
+    # chain keys repeat per parent).  Degenerate dims stay a 400 like
+    # the base cube (the lookup would be a fact scan).
+    deep_ecs = [e for e in qm.edge_child_of
+                if len(e) > 2 and e[2] is not None]
+    for ec_path, want_last, target_name in deep_ecs:
+        label = "CLOSINGPERIOD" if want_last else "OPENINGPERIOD"
+        segs = parse_segments(ec_path)
+        if len(segs) < 3:
             raise ParseError(
-                "OPENINGPERIOD/CLOSINGPERIOD are not supported on "
-                "virtual cubes in this MDX subset; use .FirstChild/"
-                ".LastChild or query the base cube")
+                f"{label} needs [Dim].[Level].[member], got {ec_path!r}")
+        hier_name = segs[1] if len(segs) == 4 else None
+        cube = owning(segs[0])
+        dim, hier, level = _resolve_level(cube, segs[0], hier_name,
+                                          segs[-2])
+        if dim.is_degenerate:
+            raise ParseError(
+                f"{ec_path!r}{label}: not supported on degenerate "
+                f"dimension {dim.name!r}")
+        idx = hier.level_index(level.name)
+        try:
+            tgt_idx = hier.level_index(target_name)
+        except (KeyError, ValueError):
+            raise ParseError(
+                f"{label}: hierarchy {hier.name!r} has no level "
+                f"{target_name!r}")
+        if tgt_idx <= idx:
+            raise ParseError(
+                f"{label}: level {target_name!r} must be BELOW the "
+                f"member's level {level.name!r}")
+        chain = list(hier.levels[idx:tgt_idx + 1])
+        raw = segs[-1]
+        use_caption = (not raw.startswith("&") and level.caption
+                       and level.caption_alias
+                       and level.caption_alias != level.key_alias)
+        match_col = level.caption_alias if use_caption \
+            else level.key_alias
+        order = [F.desc(lv.key_alias) if want_last
+                 else F.asc(lv.key_alias) for lv in chain[1:]]
+        rows = (_dim_select(spark, sf_dir, dim, chain)
+                .filter(F.col(match_col)
+                        == F.lit(_coerce(raw.lstrip("&"))))
+                .orderBy(*order).limit(1).collect())
+        if not rows:
+            raise ParseError(f"{ec_path!r}{label}: member not found "
+                             "or has no children")
+        row = rows[0].asDict()
+        drilldown.append(".".join(
+            [segs[0]] + ([hier_name] if hier_name else [])
+            + [hier.levels[tgt_idx].name]))
+        cut.append(ec_path)
+        for lv in chain[1:]:
+            cut.append(".".join(
+                f"[{s}]" for s in
+                segs[:-2] + [lv.name, f"&{row[lv.key_alias]}"]))
     for pp, ec_like in ([(p, None) for p in qm.parent_of]
-                        + [(e[0], e[1]) for e in qm.edge_child_of]):
+                        + [(e[0], e[1]) for e in qm.edge_child_of
+                           if len(e) <= 2 or e[2] is None]):
         label = (".Parent" if ec_like is None
                  else (".LastChild" if ec_like else ".FirstChild"))
         segs = parse_segments(pp)
@@ -3031,11 +3083,6 @@ def _virtualize_idioms(spark: SparkSession, sf_dir: str, cat: Catalog,
         hier_name = segs[1] if len(segs) == 4 else None
         cube = owning(segs[0])
         dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
-        if dim.is_degenerate:
-            raise ParseError(
-                f"ANCESTOR: not supported on degenerate dimension "
-                f"{dim.name!r} on virtual cubes (member keys live on "
-                f"each cube's fact)")
         idx = hier.level_index(level.name)
         try:
             tgt_idx = hier.level_index(target_name)
@@ -3053,26 +3100,135 @@ def _virtualize_idioms(spark: SparkSession, sf_dir: str, cat: Catalog,
         if tgt_idx == idx:
             cut.append(anc_path)
             continue
+        if dim.is_degenerate:
+            # r11 (was a blanket 400): like the base-cube path, a
+            # degenerate member reference resolves when its level's
+            # keys are globally unique — the ambiguity 400 comes from
+            # _vc_navigable; the lookup walks the UNION member source
+            _vc_navigable(spark, sf_dir, cubes, "ANCESTOR", segs[0],
+                          hier_name, level.name)
         raw = segs[-1]
         use_caption = (not raw.startswith("&") and level.caption
                        and level.caption_alias
                        and level.caption_alias != level.key_alias)
-        match_col = level.caption_alias if use_caption else level.key_alias
-        rows = (_dim_select(spark, sf_dir, dim, [target, level])
-                .filter(F.col(match_col) == F.lit(_coerce(raw.lstrip("&"))))
-                .select(target.key_alias).distinct().limit(2).collect())
-        if len(rows) != 1:
+        # the lookup unions per-cube member sources under CANONICAL
+        # aliases, so only the TARGET level must be conformed — the
+        # member's own level may alias differently per cube (Day =
+        # ship_date vs order_date): the ancestor result is a target-
+        # level cut, which every base cube shares
+        frames = []
+        for c in _vc_owners(cubes, vc.name, segs[0]):
+            dimc, hierc, levelc = _resolve_level(c, segs[0], hier_name,
+                                                 level.name)
+            targetc = hierc.levels[tgt_idx]
+            exprs = {"__t": targetc.key, "__m": levelc.key}
+            if use_caption:
+                exprs["__mc"] = levelc.caption
+            if dimc.is_degenerate:
+                frames.append(load_table(spark, sf_dir, c.fact).select(
+                    *[F.expr(e).alias(a) for a, e in exprs.items()]))
+            else:
+                frames = [_dim_frame(spark, sf_dir, dimc,
+                                     needed_exprs=list(exprs.values()))
+                          .select(*[F.expr(e).alias(a)
+                                    for a, e in exprs.items()])]
+                break
+        keys_src = reduce(lambda a, b: a.unionByName(b), frames)
+        match_col = "__mc" if use_caption else "__m"
+        ck = (spark.sparkContext.applicationId, sf_dir, vc.name,
+              dim.name, level.name, repr(raw), target_name, "vanc")
+        keys = _LASTPERIODS_KEYS.get(ck)
+        if keys is None:
+            keys = [r[0] for r in
+                    (keys_src
+                     .filter(F.col(match_col)
+                             == F.lit(_coerce(raw.lstrip("&"))))
+                     .select("__t").distinct()
+                     .limit(2).collect())]
+            _LASTPERIODS_KEYS[ck] = keys
+        if len(keys) != 1:
             raise ParseError(
                 f"ANCESTOR({anc_path!r}): member not found"
-                if not rows else
+                if not keys else
                 f"ANCESTOR({anc_path!r}): ancestor is ambiguous")
         cut.append(".".join(f"[{s}]" for s in
-                            segs[:-2] + [target.name, f"&{rows[0][0]}"]))
+                            segs[:-2] + [target.name, f"&{keys[0]}"]))
 
     return dataclasses.replace(qm, drilldown=drilldown, cut=cut,
                                children_of=[], parent_of=[],
                                edge_child_of=[], siblings_of=[],
                                edge_sibling_of=[], ancestor_of=[])
+
+
+def _vc_owners(cubes: list, vc_name: str, dim_name: str) -> list:
+    """Base cubes of a virtual cube exposing ``dim_name``."""
+    out = [c for c in cubes
+           if any(d.name == dim_name for d in c.dimensions)]
+    if not out:
+        raise ParseError(f"unknown dimension {dim_name!r} on "
+                         f"virtual cube {vc_name!r}")
+    return out
+
+
+def _vc_union_src(spark: SparkSession, sf_dir: str, cubes: list,
+                  vc_name: str, dim_name: str, hier_name,
+                  level_names: list[str],
+                  caption_level: str | None = None) -> DataFrame:
+    """Member source of a conformed dimension on a VIRTUAL cube: the
+    UNION of the base cubes' member sources projecting the named
+    levels' key aliases (+ the caption alias of ``caption_level`` when
+    distinct) — Mondrian virtual-cube hierarchy semantics.  Degenerate
+    dims project each cube's fact; a table-backed conformed dim is
+    physically shared, so the first cube's dim-side select is already
+    the union.  Mismatched aliases (Day = ship_date vs order_date) are
+    the same non-conformed 400 the drill-across join raises."""
+    frames = []
+    for c in _vc_owners(cubes, vc_name, dim_name):
+        dim, hier, _ = _resolve_level(c, dim_name, hier_name,
+                                      level_names[0])
+        levels = [hier.level(ln) for ln in level_names]
+        if not dim.is_degenerate:
+            return _dim_select(spark, sf_dir, dim, levels)
+        exprs = {lv.key_alias: lv.key for lv in levels}
+        if caption_level is not None:
+            lv = hier.level(caption_level)
+            if lv.caption and lv.caption_alias \
+                    and lv.caption_alias != lv.key_alias:
+                exprs[lv.caption_alias] = lv.caption
+        frames.append(load_table(spark, sf_dir, c.fact).select(
+            *[F.expr(e).alias(a) for a, e in exprs.items()]))
+    cols0 = set(frames[0].columns)
+    for f in frames[1:]:
+        if set(f.columns) != cols0:
+            raise ParseError(
+                f"level {level_names[-1]!r} of dimension "
+                f"{dim_name!r} is not conformed across the "
+                f"virtual cube's base cubes (member aliases "
+                f"differ: {sorted(cols0 ^ set(f.columns))}); "
+                "navigate a level whose aliases match or query "
+                "the base cube")
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def _vc_navigable(spark: SparkSession, sf_dir: str, cubes: list,
+                  label: str, dim_name: str, hier_name,
+                  lvl_name: str) -> None:
+    """400 when key-order navigation (or an unqualified member
+    reference) on a degenerate level is ambiguous in ANY base cube —
+    same rule as the base-cube path, checked per owner (quarter keys
+    repeat per year in each fact)."""
+    for c in cubes:
+        if not any(d.name == dim_name for d in c.dimensions):
+            continue
+        dim, hier, level = _resolve_level(c, dim_name, hier_name,
+                                          lvl_name)
+        if dim.is_degenerate and _degenerate_keys_repeat(
+                spark, sf_dir, c, dim, hier, level):
+            raise ParseError(
+                f"{label}: not supported on level {level.name!r} "
+                f"of degenerate dimension {dim.name!r} (member "
+                "keys repeat per parent, so key-order navigation "
+                "would cross parents)")
 
 
 def _virtualize_time_nav(spark: SparkSession, sf_dir: str, cat: Catalog,
@@ -3103,12 +3259,7 @@ def _virtualize_time_nav(spark: SparkSession, sf_dir: str, cat: Catalog,
     app = spark.sparkContext.applicationId
 
     def owners_of(dim_name: str) -> list[Cube]:
-        out = [c for c in cubes
-               if any(d.name == dim_name for d in c.dimensions)]
-        if not out:
-            raise ParseError(f"unknown dimension {dim_name!r} on "
-                             f"virtual cube {vc.name!r}")
-        return out
+        return _vc_owners(cubes, vc.name, dim_name)
 
     def conformed(label: str, dim_name: str) -> None:
         if dim_name not in vc.conformed_dimensions:
@@ -3117,56 +3268,13 @@ def _virtualize_time_nav(spark: SparkSession, sf_dir: str, cat: Catalog,
                 f"conformed dims {vc.conformed_dimensions}")
 
     def navigable(label: str, dim_name: str, hier_name, lvl_name) -> None:
-        # key-order navigation is only sound on totally keyed levels;
-        # check EVERY base cube's member source (quarter keys repeat
-        # per year in each fact) — same 400 as the base-cube path
-        for c in owners_of(dim_name):
-            dim, hier, level = _resolve_level(c, dim_name, hier_name,
-                                              lvl_name)
-            if dim.is_degenerate and _degenerate_keys_repeat(
-                    spark, sf_dir, c, dim, hier, level):
-                raise ParseError(
-                    f"{label}: not supported on level {level.name!r} "
-                    f"of degenerate dimension {dim.name!r} (member "
-                    "keys repeat per parent, so key-order navigation "
-                    "would cross parents)")
+        _vc_navigable(spark, sf_dir, cubes, label, dim_name, hier_name,
+                      lvl_name)
 
     def union_src(dim_name: str, hier_name, level_names: list[str],
                   caption_level: str | None = None) -> DataFrame:
-        """Union of the base cubes' member sources projecting the
-        named levels' key aliases (+ the caption alias of
-        ``caption_level`` when distinct).  Degenerate dims project
-        each cube's fact; a table-backed conformed dim is physically
-        shared, so the first cube's dim-side select is already the
-        union."""
-        frames = []
-        for c in owners_of(dim_name):
-            dim, hier, _ = _resolve_level(c, dim_name, hier_name,
-                                          level_names[0])
-            levels = [hier.level(ln) for ln in level_names]
-            if not dim.is_degenerate:
-                return _dim_select(spark, sf_dir, dim, levels)
-            exprs = {lv.key_alias: lv.key for lv in levels}
-            if caption_level is not None:
-                lv = hier.level(caption_level)
-                if lv.caption and lv.caption_alias \
-                        and lv.caption_alias != lv.key_alias:
-                    exprs[lv.caption_alias] = lv.caption
-            frames.append(load_table(spark, sf_dir, c.fact).select(
-                *[F.expr(e).alias(a) for a, e in exprs.items()]))
-        cols0 = set(frames[0].columns)
-        for f in frames[1:]:
-            if set(f.columns) != cols0:
-                # e.g. Day = ship_date vs order_date: the same 400 the
-                # drill-across join raises for a non-conformed grain
-                raise ParseError(
-                    f"level {level_names[-1]!r} of dimension "
-                    f"{dim_name!r} is not conformed across the "
-                    f"virtual cube's base cubes (member aliases "
-                    f"differ: {sorted(cols0 ^ set(f.columns))}); "
-                    "navigate a level whose aliases match or query "
-                    "the base cube")
-        return reduce(lambda a, b: a.unionByName(b), frames)
+        return _vc_union_src(spark, sf_dir, cubes, vc.name, dim_name,
+                             hier_name, level_names, caption_level)
 
     def member_target(keys_src: DataFrame, level, raw: str, ref: str):
         """Member key from a raw segment (caption-matched when the

@@ -1988,12 +1988,23 @@ def test_openingperiod_closingperiod(spark, sf_dir):
                     "OPENINGPERIOD([Customer].[Region], "
                     "[Customer].[Nation].[&3]) ON ROWS FROM [Sales]"
                     ).collect()
-    with pytest.raises(ParseError, match="virtual"):
-        execute_mdx(spark, sf_dir, tpch.CATALOG,
-                    "SELECT {[Measures].[Revenue]} ON COLUMNS, "
-                    "OPENINGPERIOD([Customer].[Customer], "
-                    "[Customer].[Region].[&2]) ON ROWS "
-                    "FROM [Orders and Sales]").collect()
+    # r11: the deeper-target form virtualizes on table dims (the same
+    # chain walk, resolved once against the shared conformed dim) —
+    # matches the base cube's opening member with the other cube's
+    # measure riding along
+    vop = execute_mdx(spark, sf_dir, tpch.CATALOG,
+                      "SELECT {[Measures].[Revenue], "
+                      "[Measures].[Total Price]} ON COLUMNS, "
+                      "OPENINGPERIOD([Customer].[Customer], "
+                      "[Customer].[Region].[&2]) ON ROWS "
+                      "FROM [Orders and Sales]").collect()
+    bop = execute_mdx(spark, sf_dir, tpch.CATALOG,
+                      "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+                      "OPENINGPERIOD([Customer].[Customer], "
+                      "[Customer].[Region].[&2]) ON ROWS "
+                      "FROM [Sales]").collect()
+    assert len(vop) == 1 and vop[0]["c_custkey"] == bop[0]["c_custkey"]
+    assert vop[0]["total_price"] is not None
 
     # round-trip through the debug echo
     from mondrian_rest_spark.mdx import emit_mdx
@@ -2542,12 +2553,25 @@ def test_virtual_cube_new_navigation(spark, sf_dir):
         "NON EMPTY [Customer].[Nation].[&7].LastSibling ON ROWS "
         "FROM [Orders and Sales]").collect()
     assert len(sib) == 1 and sib[0][0] == 22
-    # degenerate time stays a clear 400 on virtual cubes
-    with pytest.raises(ParseError, match="degenerate"):
+    # r11: ANCESTOR on a degenerate GLOBALLY-UNIQUE level virtualizes —
+    # the lookup unions per-cube member sources under canonical
+    # aliases, so only the TARGET level (Year) must be conformed even
+    # though Day aliases differ per cube (ship_date vs order_date)
+    vanc = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, "
+        "NON EMPTY ANCESTOR([Time].[Day].[&1996-02-10], [Time].[Year]) "
+        "ON ROWS FROM [Orders and Sales]").collect()
+    assert len(vanc) == 1 and vanc[0]["year"] == 1996
+    assert vanc[0]["revenue"] is not None
+    assert vanc[0]["total_price"] is not None
+    # repeating degenerate keys stay a clear 400 (ambiguous reference)
+    with pytest.raises(ParseError, match="repeat"):
         execute_mdx(
             spark, sf_dir, tpch.CATALOG,
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
-            "ANCESTOR([Time].[Day].[&1996-02-10], [Time].[Year]) "
+            "NON EMPTY ANCESTOR([Time].[Quarter].[&2], [Time].[Year]) "
             "ON ROWS FROM [Orders and Sales]").collect()
     # PERIODSTODATE virtualizes (r11) but the Day level's member
     # aliases differ across the base cubes (ship_date vs order_date)
