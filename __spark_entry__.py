@@ -1174,6 +1174,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["d09_neardup_jaccard_prefix"] = lambda s, d: dedup.neardup_jaccard_prefix(
         load_table(s, d, "documents"), threshold=0.5)
 
+    # degraded-mode spill (r11, VERDICT r10 #4): with an artificially
+    # low prefix-bucket cap, docs carrying hot prefix shingles route
+    # through the MinHash-LSH pre-filter (approximate=true; values
+    # still exact-verified) while every other pair keeps the exact
+    # PPJoin path — the oracle replays the prefix frame, the hot-doc
+    # set, and the brute-force true pairs (exact verify means no false
+    # positives; LSH recall on this corpus is total, as d03 pins)
+    q["d11_neardup_jaccard_spill"] = lambda s, d: \
+        dedup.neardup_jaccard_spill_minhash(
+            load_table(s, d, "documents"), threshold=0.5,
+            max_candidates_per_prefix=2)
+
     # ingest-time EXACT dedup: new batch (doc_id % 10 == 0) vs a
     # frozen prefix index of the rest of the corpus — the exact analog
     # of the MinHash ingest index (d08's machinery); prefix order is
@@ -3075,6 +3087,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1""",
         "d02_neardup_brute": neardup,
         "d03_neardup_minhash_lsh": neardup,
+        "d11_neardup_jaccard_spill": f"""
+            WITH sh AS ({shingles}),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            freq AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+            ord AS (
+              SELECT e.doc_id, e.g,
+                     row_number() OVER (
+                       PARTITION BY e.doc_id ORDER BY f.df, e.g) AS rn,
+                     COUNT(*) OVER (PARTITION BY e.doc_id) AS sz
+              FROM ex e JOIN freq f USING (g)),
+            pref AS (
+              SELECT * FROM ord
+              WHERE rn <= sz - ceil(0.5 * sz - 1e-9) + 1),
+            hotg AS (
+              SELECT g FROM pref GROUP BY g HAVING COUNT(*) > 2),
+            hotd AS (
+              SELECT DISTINCT doc_id FROM pref
+              WHERE g IN (SELECT g FROM hotg)),
+            pairs AS ({neardup})
+            SELECT a_id, b_id, jaccard,
+                   (a_id IN (SELECT doc_id FROM hotd)
+                    OR b_id IN (SELECT doc_id FROM hotd)) AS approximate
+            FROM pairs""",
         # exact algorithm, different plan: the prefix-filter join must
         # reproduce the brute-force pairs bit-for-bit
         "d09_neardup_jaccard_prefix": neardup,
