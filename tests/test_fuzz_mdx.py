@@ -1145,3 +1145,227 @@ def test_hierarchize_ranked_routes_with_parity(spark, sf_dir):
     exp = [tuple(r) for r in direct.collect()]
     assert got == exp            # including the hierarchical row order
     assert [r[0] for r in got] == sorted(r[0] for r in got)
+
+
+# --- virtual-cube drill-across fuzz lane (r11) ------------------------------
+# Random MDX against [Orders and Sales]: conformed-dim atoms x measure
+# subsets spanning both base cubes x optional slicer / axis wrapper /
+# cross-cube WITH MEMBER.  The oracle mirrors drill-across semantics
+# directly: one aggregate per base cube, FULL OUTER JOIN on the
+# conformed keys (NON EMPTY = the union of the supports), wrappers on
+# the joined frame — independently derived, never the engine's plan.
+
+S_STAR_V = """
+    FROM lineitem l
+    JOIN orders ob  ON l.l_orderkey = ob.o_orderkey
+    JOIN customer c ON ob.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region cr  ON cn.n_regionkey = cr.r_regionkey
+"""
+O_STAR_V = """
+    FROM orders o2
+    JOIN customer c ON o2.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region cr  ON cn.n_regionkey = cr.r_regionkey
+"""
+
+_NSEL = ["cn.n_nationkey AS cust_nation_key", "cn.n_name AS cust_nation"]
+_NOUT = ["cust_nation_key", "cust_nation"]
+
+V_ATOMS = {
+    "region": dict(
+        dim="Customer", mdx="[Customer].[Region].Members",
+        sel_s=["cr.r_regionkey AS cust_region_key",
+               "cr.r_name AS cust_region"],
+        sel_o=["cr.r_regionkey AS cust_region_key",
+               "cr.r_name AS cust_region"],
+        out=["cust_region_key", "cust_region"], key="cust_region_key",
+        pred_s=None, pred_o=None),
+    "nation_set": dict(
+        dim="Customer",
+        mdx="{[Customer].[Nation].[&3], [Customer].[Nation].[&7], "
+            "[Customer].[Nation].[&21]}",
+        sel_s=_NSEL, sel_o=_NSEL, out=_NOUT, key="cust_nation_key",
+        pred_s="cn.n_nationkey IN (3, 7, 21)",
+        pred_o="cn.n_nationkey IN (3, 7, 21)"),
+    "desc_nation": dict(
+        dim="Customer",
+        mdx="DESCENDANTS([Customer].[Region].[&2], [Customer].[Nation])",
+        sel_s=_NSEL, sel_o=_NSEL, out=_NOUT, key="cust_nation_key",
+        pred_s="cr.r_regionkey = 2", pred_o="cr.r_regionkey = 2"),
+    "year": dict(
+        dim="Time", mdx="[Time].[Year].Members",
+        sel_s=["year(l.l_shipdate) AS year"],
+        sel_o=["year(o2.o_orderdate) AS year"],
+        out=["year"], key="year", pred_s=None, pred_o=None),
+    # the r11 virtualized time walks: both facts' year keys are
+    # contiguous through 1998, so key arithmetic over the UNION
+    # member set is exact
+    "lastp_year": dict(
+        dim="Time", mdx="LASTPERIODS(3, [Time].[Year].[1998])",
+        sel_s=["year(l.l_shipdate) AS year"],
+        sel_o=["year(o2.o_orderdate) AS year"],
+        out=["year"], key="year",
+        pred_s="year(l.l_shipdate) BETWEEN 1996 AND 1998",
+        pred_o="year(o2.o_orderdate) BETWEEN 1996 AND 1998"),
+    "lag_year": dict(
+        dim="Time", mdx="[Time].[Year].[1998].Lag(2)",
+        sel_s=["year(l.l_shipdate) AS year"],
+        sel_o=["year(o2.o_orderdate) AS year"],
+        out=["year"], key="year",
+        pred_s="year(l.l_shipdate) = 1996",
+        pred_o="year(o2.o_orderdate) = 1996"),
+}
+
+#: alias, per-side SQL aggregate, owning side
+V_MEASURES = {
+    "Revenue": ("revenue",
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+                "AS DECIMAL(25,6))) AS DOUBLE)", "s"),
+    "Quantity": ("sum_qty",
+                 "CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) "
+                 "AS DOUBLE)", "s"),
+    "Total Price": ("total_price",
+                    "CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,6))) "
+                    "AS DOUBLE)", "o"),
+    "Order Count": ("order_count", "COUNT(o2.o_orderkey)", "o"),
+}
+
+V_SLICERS = {
+    "region2": ("[Customer].[Region].[&2]",
+                ("cr.r_regionkey = 2", "cr.r_regionkey = 2"), "Customer"),
+    "years": ("([Time].[Year].[1996]:[Time].[Year].[1998])",
+              ("year(l.l_shipdate) BETWEEN 1996 AND 1998",
+               "year(o2.o_orderdate) BETWEEN 1996 AND 1998"), "Time"),
+}
+
+
+@st.composite
+def vmdx_specs(draw):
+    atoms = draw(st.lists(st.sampled_from(sorted(V_ATOMS)),
+                          min_size=1, max_size=2, unique=True))
+    seen: set = set()
+    atoms = [a for a in atoms
+             if not (V_ATOMS[a]["dim"] in seen
+                     or seen.add(V_ATOMS[a]["dim"]))]
+    measures = draw(st.lists(st.sampled_from(sorted(V_MEASURES)),
+                             min_size=1, max_size=3, unique=True))
+    calc = draw(st.booleans())
+    slicer = draw(st.sampled_from([None] + sorted(V_SLICERS)))
+    wrapper = draw(st.sampled_from(
+        [None, None, ("topcount", draw(st.integers(2, 6)),
+                      draw(st.sampled_from(measures))),
+         ("filter", draw(st.sampled_from(measures)),
+          draw(st.sampled_from([0, 100, 5_000_000])))]))
+    return dict(atoms=atoms, measures=measures, calc=calc,
+                slicer=slicer, wrapper=wrapper)
+
+
+def build_vmdx(spec) -> str:
+    cols = [f"[Measures].[{m}]" for m in spec["measures"]]
+    with_clause = ""
+    if spec["calc"]:
+        with_clause = ("WITH MEMBER [Measures].[Cross Ratio] AS "
+                       "[Measures].[Revenue] / [Measures].[Total Price] ")
+        cols.append("[Measures].[Cross Ratio]")
+    axis = " * ".join(V_ATOMS[a]["mdx"] for a in spec["atoms"])
+    if spec["wrapper"] and spec["wrapper"][0] == "topcount":
+        _, n, m = spec["wrapper"]
+        axis = f"TOPCOUNT({axis}, {n}, [Measures].[{m}])"
+    elif spec["wrapper"] and spec["wrapper"][0] == "filter":
+        _, m, v = spec["wrapper"]
+        axis = f"FILTER({axis}, [Measures].[{m}] > {v})"
+    mdx = (f"{with_clause}SELECT {{{', '.join(cols)}}} ON COLUMNS, "
+           f"NON EMPTY {axis} ON ROWS FROM [Orders and Sales]")
+    if spec["slicer"]:
+        mdx += f" WHERE ({V_SLICERS[spec['slicer']][0]})"
+    return mdx
+
+
+def build_voracle(spec) -> str:
+    atoms = [V_ATOMS[a] for a in spec["atoms"]]
+    outs = [c for a in atoms for c in a["out"]]
+    need = list(spec["measures"])
+    if spec["calc"]:
+        for r in ("Revenue", "Total Price"):
+            if r not in need:
+                need.append(r)
+    sides = {V_MEASURES[m][2] for m in need}
+    preds = {"s": [a["pred_s"] for a in atoms if a["pred_s"]],
+             "o": [a["pred_o"] for a in atoms if a["pred_o"]]}
+    if spec["slicer"]:
+        ps, po = V_SLICERS[spec["slicer"]][1]
+        preds["s"].append(ps)
+        preds["o"].append(po)
+
+    def side_sql(side: str) -> str:
+        sel = [c for a in atoms
+               for c in (a["sel_s"] if side == "s" else a["sel_o"])]
+        meas = [f"{V_MEASURES[m][1]} AS {V_MEASURES[m][0]}"
+                for m in need if V_MEASURES[m][2] == side]
+        star = S_STAR_V if side == "s" else O_STAR_V
+        where = (" WHERE " + " AND ".join(preds[side])
+                 if preds[side] else "")
+        return (f"SELECT {', '.join(sel + meas)} {star}{where} "
+                f"GROUP BY {', '.join(outs)}")
+
+    aliases = {m: V_MEASURES[m][0] for m in need}
+    if sides == {"s", "o"}:
+        s_alias = [aliases[m] for m in need if V_MEASURES[m][2] == "s"]
+        o_alias = [aliases[m] for m in need if V_MEASURES[m][2] == "o"]
+        join = " AND ".join(
+            f"s.{k} IS NOT DISTINCT FROM o.{k}" for k in outs)
+        body = (f"WITH s AS ({side_sql('s')}), o AS ({side_sql('o')}) "
+                f"SELECT "
+                + ", ".join(f"COALESCE(s.{k}, o.{k}) AS {k}"
+                            for k in outs)
+                + "".join(f", s.{a}" for a in s_alias)
+                + "".join(f", o.{a}" for a in o_alias)
+                + f" FROM s FULL OUTER JOIN o ON {join}")
+    else:
+        body = side_sql(sides.pop())
+    final = [*outs] + [aliases[m] for m in spec["measures"]]
+    if spec["calc"]:
+        final.append("revenue / total_price AS cross_ratio")
+    sql = f"SELECT {', '.join(final)} FROM ({body})"
+    order_terms, limit = [], None
+    if spec["wrapper"] and spec["wrapper"][0] == "filter":
+        _, m, v = spec["wrapper"]
+        sql += f" WHERE {aliases[m]} > {v}"
+    elif spec["wrapper"] and spec["wrapper"][0] == "topcount":
+        _, n, m = spec["wrapper"]
+        order_terms = [f"{aliases[m]} DESC"] + list(outs)
+        limit = n
+    if order_terms:
+        sql += " ORDER BY " + ", ".join(order_terms)
+    if limit is not None:
+        sql += f" LIMIT {limit}"
+    return sql
+
+
+@settings(max_examples=60, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.filter_too_much])
+@given(spec=vmdx_specs())
+def test_random_virtual_mdx_matches_drill_across_oracle(
+        spark, sf_dir, duck, spec):
+    mdx = build_vmdx(spec)
+    got = execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).toPandas()
+    exp = duck.execute(build_voracle(spec)).fetchdf()
+    assert sorted(got.columns) == sorted(exp.columns), \
+        f"columns {sorted(got.columns)} != {sorted(exp.columns)}\n{mdx}"
+    assert len(got) == len(exp), \
+        f"rows {len(got)} != {len(exp)}\n{mdx}\n{build_voracle(spec)}"
+    a, b = canon(got), canon(exp)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            ok = ((av.isna() & bv.isna()) |
+                  ((av - bv).abs() <= 1e-9 + 1e-9 * bv.abs()))
+        else:
+            ok = (av.isna() & bv.isna()) | (av.astype(object) ==
+                                            bv.astype(object))
+        assert bool(ok.all()), (
+            f"col {c} mismatch at row {int((~ok).idxmax())}: "
+            f"spark={av[(~ok).idxmax()]!r} duck={bv[(~ok).idxmax()]!r}\n"
+            f"{mdx}\n{build_voracle(spec)}")
