@@ -599,6 +599,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
         "[Measures].[Revenue]) ON ROWS FROM [Orders and Sales]")
 
+    # TAIL on a VIRTUAL cube (r11): last-n of the joined axis' total
+    # order (invert, limit, re-sort) — same stage as the base path
+    q["q97_mdx_virtual_tail"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY TAIL([Customer].[Nation].Members, 4) "
+        "ON ROWS FROM [Orders and Sales]")
+
+    # member-navigation FILTER on a VIRTUAL cube (r11): .Parent IS
+    # compiles to a catalog-validated ancestor cut forwarded to every
+    # base cube's sub-aggregate (conformed dims share tables)
+    q["q98_mdx_virtual_nav_filter"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY FILTER([Customer].[Nation].Members, "
+        "[Customer].[Nation].CurrentMember.Parent IS "
+        "[Customer].[Region].[&2]) ON ROWS FROM [Orders and Sales]")
+
     # PARALLELPERIOD WITH MEMBER on a VIRTUAL cube (r11): the lag
     # window runs over the joined drill-across frame's time axis (the
     # UNION of the base cubes' member sets) — the reference's own
@@ -2544,6 +2564,33 @@ def oracle_sql() -> dict[str, str]:
                    m.n_name AS cust_nation, s.revenue, o.total_price
             FROM m LEFT JOIN s ON m.n_nationkey = s.nk
                    LEFT JOIN o ON m.n_nationkey = o.nk""",
+        "q97_mdx_virtual_tail": f"""
+            WITH s AS (
+              SELECT n_nationkey AS nk, n_name AS nn,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2),
+            o AS (
+              SELECT n_nationkey AS nk, n_name AS nn,
+                     {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST} GROUP BY 1, 2)
+            SELECT COALESCE(s.nk, o.nk) AS cust_nation_key,
+                   COALESCE(s.nn, o.nn) AS cust_nation,
+                   s.revenue, o.total_price
+            FROM s FULL OUTER JOIN o ON s.nk = o.nk
+            ORDER BY cust_nation_key DESC LIMIT 4""",
+        "q98_mdx_virtual_nav_filter": f"""
+            WITH s AS (
+              SELECT n_nationkey AS nk, n_name AS nn,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} WHERE n_regionkey = 2 GROUP BY 1, 2),
+            o AS (
+              SELECT n_nationkey AS nk, n_name AS nn,
+                     {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST} WHERE n_regionkey = 2 GROUP BY 1, 2)
+            SELECT COALESCE(s.nk, o.nk) AS cust_nation_key,
+                   COALESCE(s.nn, o.nn) AS cust_nation,
+                   s.revenue, o.total_price
+            FROM s FULL OUTER JOIN o ON s.nk = o.nk""",
         "q95_mdx_virtual_parallelperiod": f"""
             WITH s AS (
               SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
