@@ -412,7 +412,8 @@ def clear_pc_closures() -> None:
 # ---------------------------------------------------------------------------
 
 def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
-              fact_df: DataFrame | None = None) -> DataFrame:
+              fact_df: DataFrame | None = None,
+              routers: dict | None = None) -> DataFrame:
     """Execute a QueryModel against the catalog -> aggregated DataFrame.
 
     The full analog of the reference aggregate endpoint
@@ -422,6 +423,12 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
     ``sf_dir``) — the hook incremental rollup maintenance uses to
     aggregate ONLY an appended batch of fact rows at a rollup's grain,
     never rescanning the base fact (plans/rollup.py).
+
+    ``routers``: {base cube name: RollupManager} — on a VIRTUAL cube
+    each per-cube sub-aggregate routes through its cube's aggregate
+    tables when one covers (r11; Mondrian routes every base cube's
+    cells through its AggName tables the same way).  The chosen
+    sources surface on the result as ``_mrs_virtual_sources``.
     """
     if cat.virtual_cube(qm.cube) is not None:
         # r11 (VERDICT r10 #1): the time-navigation / WITH SET family
@@ -438,7 +445,8 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
                 or qm.siblings_of or qm.edge_sibling_of
                 or qm.ancestor_of):
             qm = _virtualize_idioms(spark, sf_dir, cat, qm)
-        return _aggregate_virtual(spark, sf_dir, cat, qm)
+        return _aggregate_virtual(spark, sf_dir, cat, qm,
+                                  routers=routers)
     cube = cat.cube(qm.cube)
     if qm.with_members:
         cube = _inline_calcs(cube, qm.with_members)
@@ -3514,10 +3522,15 @@ def _virtualize_time_nav(spark: SparkSession, sf_dir: str, cat: Catalog,
 
 
 def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
-                       qm: QueryModel) -> DataFrame:
+                       qm: QueryModel,
+                       routers: dict | None = None) -> DataFrame:
     """Drill-across: aggregate each base cube over the conformed dims,
     full-outer join on the shared level aliases (reference virtual cube,
-    foodmart.xml:758-790; SURVEY J6)."""
+    foodmart.xml:758-790; SURVEY J6).  With ``routers``, each per-cube
+    sub-aggregate routes through that cube's aggregate tables when one
+    covers (r11) — the router's own refusal rules keep semantics
+    identical, and inline-calc subs stay on the direct path (the
+    router only knows the schema cube)."""
     vc = cat.virtual_cube(qm.cube)
     cubes = [cat.cube(n) for n in vc.cube_names]
     for d in qm.drilldown:
@@ -3795,6 +3808,7 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
     measures = base_requested
     parts: list[tuple[DataFrame, list[str]]] = []
     group_cols: list[str] | None = None
+    sub_sources: dict[str, str] = {}
     for cube in cubes:
         own_names = [m for m in measures if _has_measure(cube, m)]
         # forwarded set-aggregate calcs: inlined into THIS cube's
@@ -3830,7 +3844,18 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                          property_filters=list(qm.property_filters),
                          nav_filters=list(
                              getattr(qm, "nav_filters", []) or []))
-        df = _aggregate_cube(spark, sf_dir, cube, sub)
+        rt = (routers or {}).get(cube.name)
+        if rt is not None and not own_with:
+            # aggregate-table routing per base cube (r11): route() has
+            # the full refusal rules (grain coverage, re-aggregability,
+            # gs/idiom forms fall back to the identical base path), so
+            # the routed frame is shape- and value-identical; inline
+            # setagg subs bypass (the router only knows the schema
+            # cube, not the per-query _inline_calcs copy)
+            df, src = rt.route(sub)
+            sub_sources[cube.name] = src
+        else:
+            df = _aggregate_cube(spark, sf_dir, cube, sub)
         maliases = [_measure_alias(cube, m) for m in own_names]
         gcols = [c for c in df.columns if c not in maliases]
         group_cols = gcols if group_cols is None else group_cols
@@ -4329,7 +4354,11 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         # the base-cube path
         out = out.orderBy(*[F.asc(a) for a in key_aliases])
     requested = list(qm.measures) or [cubes[0].default_measure.name]
-    return out.select(*group_cols, *[_valias(m) for m in requested])
+    final = out.select(*group_cols, *[_valias(m) for m in requested])
+    if sub_sources:
+        # routing provenance for the API's debug envelope (r11)
+        final._mrs_virtual_sources = sub_sources
+    return final
 
 
 def _has_measure(cube: Cube, name: str) -> bool:

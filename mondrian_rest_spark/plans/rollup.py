@@ -362,10 +362,26 @@ class RollupManager:
 
     def route(self, qm: QueryModel) -> tuple[DataFrame, str]:
         """Return (result, source) where source is the rollup name used
-        or 'base'."""
+        or 'base'.
+
+        VIRTUAL cubes route too (r11): when the query's virtual cube
+        drills across this manager's base cube, the planner threads the
+        manager into the per-cube sub-aggregates (Mondrian routes every
+        base cube's cells through its AggName tables the same way); the
+        source reads ``virtual:<cube>=<rollup>`` when any sub routed."""
         chosen = self._choose(qm)
         if chosen is None:
-            return aggregate(self.spark, self.sf_dir, self.cat, qm), "base"
+            routers = None
+            vc = self.cat.virtual_cube(qm.cube)
+            if vc is not None and self.cube.name in vc.cube_names:
+                routers = {self.cube.name: self}
+            df = aggregate(self.spark, self.sf_dir, self.cat, qm,
+                           routers=routers)
+            srcs = getattr(df, "_mrs_virtual_sources", None)
+            if srcs and any(s != "base" for s in srcs.values()):
+                return df, "virtual:" + ",".join(
+                    f"{c}={s}" for c, s in sorted(srcs.items()))
+            return df, "base"
         return self._reaggregate(chosen, qm), chosen.name
 
     def _measure_names(self, qm: QueryModel) -> list[str]:

@@ -603,3 +603,34 @@ def test_pc_known_depth_too_small_fails_loud(spark, sf_dir):
         cube="Orders", measures=["Total Price"],
         drilldown=["Geo Tree"], nonempty=True)).collect()
     assert rows
+
+
+def test_virtual_cube_routes_through_rollup(spark, sf_dir):
+    """r11: a VIRTUAL-cube query's per-cube sub-aggregates route
+    through the base cube's rollups — values identical to the direct
+    drill-across, source surfaces the routed cube."""
+    from mondrian_rest_spark import tpch
+    from mondrian_rest_spark.planner import aggregate
+    from mondrian_rest_spark.plans.rollup import RollupManager
+    from mondrian_rest_spark.query import QueryModel
+
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("nation_roll", ("Customer.Nation",))
+    qm = QueryModel(cube="Orders and Sales",
+                    measures=["Revenue", "Total Price"],
+                    drilldown=["Customer.Nation"], nonempty=True)
+    routed, src = mgr.route(qm)
+    assert src == "virtual:Sales=nation_roll"
+    direct = aggregate(spark, sf_dir, tpch.CATALOG, qm)
+    got = sorted(tuple(r) for r in routed.collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert got == want and len(got) == 25
+    # the routed plan reads the rollup, not the lineitem fact
+    logical = routed._jdf.queryExecution().logical().toString()
+    assert "lineitem" not in logical
+    # non-covering grain falls back to base for that sub (source base)
+    qm2 = QueryModel(cube="Orders and Sales",
+                     measures=["Revenue", "Total Price"],
+                     drilldown=["Customer.Customer"], nonempty=True)
+    _, src2 = mgr.route(qm2)
+    assert src2 == "base"
