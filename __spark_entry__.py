@@ -1121,6 +1121,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q28_rollup_routed"] = lambda s, d: _routed_rollup(s, d)
 
+    # virtual-cube rollup routing (r11): the drill-across query's
+    # Sales sub-aggregate routes through the memoized nation_year
+    # rollup (source asserts it) while the Orders side stays base —
+    # Mondrian routes each base cube's cells through its own AggName
+    # tables the same way; values identical to the direct path
+    def _q99(s, d):
+        from mondrian_rest_spark.plans.rollup import RollupManager
+        key = (id(s), d)
+        mgr = _ROLLUP_MGRS.get(key)
+        if mgr is None:
+            mgr = RollupManager(s, d, CAT, "Sales")
+            mgr.register("nation_year", ("Customer.Nation", "Time.Year"))
+            _ROLLUP_MGRS[key] = mgr
+        qm = QueryModel(cube="Orders and Sales",
+                        measures=["Revenue", "Total Price"],
+                        drilldown=["Customer.Nation"], nonempty=True)
+        out, source = mgr.route(qm)
+        assert source == "virtual:Sales=nation_year", source
+        return out
+    q["q99_virtual_rollup_routed"] = _q99
+
     q["q29_grouping_rollup"] = lambda s, d: _grouping_rollup(s, d)
 
     # skew path: salted two-phase groupBy must be value-identical to a
@@ -2564,6 +2585,19 @@ def oracle_sql() -> dict[str, str]:
                    m.n_name AS cust_nation, s.revenue, o.total_price
             FROM m LEFT JOIN s ON m.n_nationkey = s.nk
                    LEFT JOIN o ON m.n_nationkey = o.nk""",
+        "q99_virtual_rollup_routed": f"""
+            WITH s AS (
+              SELECT n_nationkey AS nk, n_name AS nn,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2),
+            o AS (
+              SELECT n_nationkey AS nk, n_name AS nn,
+                     {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST} GROUP BY 1, 2)
+            SELECT COALESCE(s.nk, o.nk) AS cust_nation_key,
+                   COALESCE(s.nn, o.nn) AS cust_nation,
+                   s.revenue, o.total_price
+            FROM s FULL OUTER JOIN o ON s.nk = o.nk""",
         "q97_mdx_virtual_tail": f"""
             WITH s AS (
               SELECT n_nationkey AS nk, n_name AS nn,
