@@ -1256,7 +1256,11 @@ def vmdx_specs(draw):
         [None, None, ("topcount", draw(st.integers(2, 6)),
                       draw(st.sampled_from(measures))),
          ("filter", draw(st.sampled_from(measures)),
-          draw(st.sampled_from([0, 100, 5_000_000])))]))
+          draw(st.sampled_from([0, 100, 5_000_000]))),
+         ("order", draw(st.sampled_from(measures)),
+          draw(st.booleans())),
+         ("subset", draw(st.integers(0, 3)),
+          draw(st.integers(2, 5)))]))
     return dict(atoms=atoms, measures=measures, calc=calc,
                 slicer=slicer, wrapper=wrapper)
 
@@ -1275,6 +1279,13 @@ def build_vmdx(spec) -> str:
     elif spec["wrapper"] and spec["wrapper"][0] == "filter":
         _, m, v = spec["wrapper"]
         axis = f"FILTER({axis}, [Measures].[{m}] > {v})"
+    elif spec["wrapper"] and spec["wrapper"][0] == "order":
+        _, m, desc = spec["wrapper"]
+        axis = (f"ORDER({axis}, [Measures].[{m}], "
+                f"{'BDESC' if desc else 'BASC'})")
+    elif spec["wrapper"] and spec["wrapper"][0] == "subset":
+        _, off, n = spec["wrapper"]
+        axis = f"SUBSET({axis}, {off}, {n})"
     mdx = (f"{with_clause}SELECT {{{', '.join(cols)}}} ON COLUMNS, "
            f"NON EMPTY {axis} ON ROWS FROM [Orders and Sales]")
     if spec["slicer"]:
@@ -1328,7 +1339,7 @@ def build_voracle(spec) -> str:
     if spec["calc"]:
         final.append("revenue / total_price AS cross_ratio")
     sql = f"SELECT {', '.join(final)} FROM ({body})"
-    order_terms, limit = [], None
+    order_terms, limit, offset = [], None, 0
     if spec["wrapper"] and spec["wrapper"][0] == "filter":
         _, m, v = spec["wrapper"]
         sql += f" WHERE {aliases[m]} > {v}"
@@ -1336,10 +1347,21 @@ def build_voracle(spec) -> str:
         _, n, m = spec["wrapper"]
         order_terms = [f"{aliases[m]} DESC"] + list(outs)
         limit = n
+    elif spec["wrapper"] and spec["wrapper"][0] == "order":
+        # ORDER doesn't limit, so canon()'s row sort makes the compare
+        # order-insensitive — the wrapper exercises the virtual ORDER
+        # stage for 500s/row-set changes, not display order
+        pass
+    elif spec["wrapper"] and spec["wrapper"][0] == "subset":
+        # SUBSET applies to the HIERARCHICAL total order (the engine's
+        # default axis order = key aliases ascending)
+        _, offset, n = spec["wrapper"]
+        order_terms = list(outs)
+        limit = n
     if order_terms:
         sql += " ORDER BY " + ", ".join(order_terms)
     if limit is not None:
-        sql += f" LIMIT {limit}"
+        sql += f" LIMIT {limit} OFFSET {offset}"
     return sql
 
 
