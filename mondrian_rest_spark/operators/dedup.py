@@ -298,7 +298,8 @@ def neardup_minhash_lsh(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, num_hashes: int = 32,
                         bands: int = 16, auto: bool = False,
-                        target_recall: float = 0.95) -> DataFrame:
+                        target_recall: float = 0.95,
+                        touching: DataFrame | None = None) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, verified with exact
     jaccard on candidates only.
 
@@ -360,6 +361,22 @@ def neardup_minhash_lsh(df: DataFrame, threshold: float = 0.5,
                 .filter(F.col("a_id") < F.col("b_id"))
                 .select("a_id", "b_id")
                 .dropDuplicates(["a_id", "b_id"]))
+    if touching is not None:
+        # spill-path restriction (r11): keep only candidate pairs with
+        # >= 1 side in ``touching`` BEFORE the exact-verify joins —
+        # pairs wholly outside the set were already verified on the
+        # exact PPJoin path, so verifying them here is pure re-work.
+        # Filtering candidates commutes with verification (both key on
+        # the pair ids), so the surviving pairs are bit-identical.
+        ta = touching.select(F.col(id_col).alias("a_id"),
+                             F.lit(True).alias("__ta"))
+        tb = touching.select(F.col(id_col).alias("b_id"),
+                             F.lit(True).alias("__tb"))
+        cand = (cand.join(ta, on="a_id", how="left")
+                    .join(tb, on="b_id", how="left")
+                    .filter(F.col("__ta").isNotNull()
+                            | F.col("__tb").isNotNull())
+                    .select("a_id", "b_id"))
     ea = ex.select(F.col(id_col).alias("a_id"), "__h")
     eb = ex.select(F.col(id_col).alias("b_id"), "__h")
     inter = (cand.join(ea, "a_id").join(eb, ["b_id", "__h"])
@@ -762,23 +779,16 @@ def neardup_jaccard_spill_minhash(df: DataFrame, threshold: float = 0.5,
     exact = (_jaccard_pairs_from_prefix(sh, clean_prefix, threshold,
                                         id_col)
              .withColumn("approximate", F.lit(False)))
-    # pairs touching a hot doc: LSH candidates + the SAME exact verify
-    # (neardup_minhash_lsh verifies with true set Jaccard), filtered to
-    # pairs with >= 1 hot side so the two paths stay disjoint
+    # pairs touching a hot doc: LSH candidates pruned to >= 1 hot side
+    # BEFORE the exact verify (the wholly-non-hot pairs were already
+    # verified on the exact path — re-verifying them here would be
+    # pure re-work), then the SAME exact set-Jaccard verify.  No
+    # forced broadcast on the hot set: adversarial skew can put EVERY
+    # doc in it — AQE picks the strategy from the real size.
     lsh = neardup_minhash_lsh(df, threshold, text_col, id_col, n,
-                              num_hashes=num_hashes, bands=bands)
-    ha = hot_docs.select(F.col(id_col).alias("a_id"),
-                         F.lit(True).alias("__hot_a"))
-    hb = hot_docs.select(F.col(id_col).alias("b_id"),
-                         F.lit(True).alias("__hot_b"))
-    # no forced broadcast: adversarial skew can put EVERY doc in
-    # hot_docs — let AQE pick the strategy from the real size
-    spill = (lsh.join(ha, on="a_id", how="left")
-                .join(hb, on="b_id", how="left")
-                .filter(F.col("__hot_a").isNotNull()
-                        | F.col("__hot_b").isNotNull())
-                .select("a_id", "b_id", "jaccard")
-                .withColumn("approximate", F.lit(True)))
+                              num_hashes=num_hashes, bands=bands,
+                              touching=hot_docs)
+    spill = lsh.withColumn("approximate", F.lit(True))
     return _tag_persisted(
         exact.unionByName(spill), sh, prefix, hot_docs,
         *getattr(lsh, "_mrs_request_persisted", []))
