@@ -476,11 +476,19 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
                 # the MinHash-LSH pre-filter (approximate=true rows)
                 # instead of failing the job; everything else stays
                 # the bit-identical exact PPJoin path
+                # ?auto=true sizes the LSH (num_hashes, bands) for
+                # ?target_recall at the threshold (r12, VERDICT #7) —
+                # recall on the HOT pairs only; non-hot pairs stay
+                # exact regardless
                 df = dedup.neardup_jaccard_spill_minhash(
                     docs,
                     threshold=_float(request.args, "threshold", 0.5),
                     max_candidates_per_prefix=(
-                        100_000 if cap is None else cap))
+                        100_000 if cap is None else cap),
+                    auto=request.args.get("auto", "").lower()
+                    in ("1", "true", "yes"),
+                    target_recall=_float(request.args,
+                                         "target_recall", 0.95))
             else:
                 try:
                     df = dedup.neardup_jaccard_prefix(

@@ -731,7 +731,9 @@ def neardup_jaccard_spill_minhash(df: DataFrame, threshold: float = 0.5,
                                   id_col: str = "doc_id", n: int = 3,
                                   max_candidates_per_prefix: int = 100_000,
                                   num_hashes: int = 32,
-                                  bands: int = 8) -> DataFrame:
+                                  bands: int = 8, auto: bool = False,
+                                  target_recall: float = 0.95
+                                  ) -> DataFrame:
     """Exact-Jaccard pairs with a DEGRADED-MODE spill for prefix-bucket
     skew (r11, VERDICT r10 #4): instead of failing the whole job when a
     template shingle's prefix bucket exceeds the cap
@@ -755,7 +757,20 @@ def neardup_jaccard_spill_minhash(df: DataFrame, threshold: float = 0.5,
     Scale: the spill bounds the adversarial failure mode — a
     corpus-wide template shingle costs one extra LSH pass instead of an
     unbounded quadratic join, and the exact path's candidate buckets
-    stay under the cap by construction."""
+    stay under the cap by construction.  The hot shingle set and the
+    hot doc set both stay DataFrames end-to-end (left-semi joins, no
+    driver collect): adversarial skew can make either one huge.
+
+    Sizing ``bands`` for recall on the HOT set (the only pairs that
+    inherit the LSH S-curve): a hot-hot pair at jaccard s is a
+    candidate with probability ``1-(1-s^r)^bands`` where
+    ``r = num_hashes // bands``.  With the spill default 32/8 (r=4), a
+    pair at exactly s=0.5 is found with ~0.40 probability but s=0.8
+    with ~0.98 — tune for borderline pairs by passing ``auto=True``
+    with a ``target_recall``: the same planner as
+    :func:`neardup_minhash_lsh` picks (num_hashes, bands) so recall AT
+    the threshold is >= target (e.g. threshold 0.5, target 0.95 →
+    finer bands, r<=2)."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sh = (with_shingles(df, text_col, n)
@@ -763,17 +778,29 @@ def neardup_jaccard_spill_minhash(df: DataFrame, threshold: float = 0.5,
           .filter(F.size("shingles") > 0)).persist()
     prefix = _jaccard_prefix_frame(df, threshold, text_col, id_col,
                                    n).persist()
-    hot = [r["__g"] for r in
-           (prefix.groupBy("__g")
-                  .agg(F.count(F.lit(1)).alias("__b"))
-                  .filter(F.col("__b") > max_candidates_per_prefix)
-                  .select("__g").collect())]
-    if not hot:
+    # hot shingles stay a DATAFRAME (ADVICE r11): a driver-side
+    # isin() literal is unbounded under exactly the adversarial skew
+    # this spill exists to bound.  The one driver action is a
+    # bounded limit(1) existence probe; unpersist-on-raise mirrors
+    # the neardup_jaccard_prefix guard above.
+    hot_g = (prefix.groupBy("__g")
+                   .agg(F.count(F.lit(1)).alias("__b"))
+                   .filter(F.col("__b") > max_candidates_per_prefix)
+                   .select("__g").persist())
+    try:
+        has_hot = bool(hot_g.limit(1).take(1))
+    except BaseException:
+        hot_g.unpersist()
+        sh.unpersist()
+        prefix.unpersist()
+        raise
+    if not has_hot:
+        hot_g.unpersist()
         return _tag_persisted(
             _jaccard_pairs_from_prefix(sh, prefix, threshold, id_col)
             .withColumn("approximate", F.lit(False)),
             sh, prefix)
-    hot_docs = (prefix.filter(F.col("__g").isin(hot))
+    hot_docs = (prefix.join(hot_g, on="__g", how="left_semi")
                       .select(id_col).distinct().persist())
     clean_prefix = prefix.join(hot_docs, on=id_col, how="left_anti")
     exact = (_jaccard_pairs_from_prefix(sh, clean_prefix, threshold,
@@ -787,10 +814,11 @@ def neardup_jaccard_spill_minhash(df: DataFrame, threshold: float = 0.5,
     # doc in it — AQE picks the strategy from the real size.
     lsh = neardup_minhash_lsh(df, threshold, text_col, id_col, n,
                               num_hashes=num_hashes, bands=bands,
+                              auto=auto, target_recall=target_recall,
                               touching=hot_docs)
     spill = lsh.withColumn("approximate", F.lit(True))
     return _tag_persisted(
-        exact.unionByName(spill), sh, prefix, hot_docs,
+        exact.unionByName(spill), sh, prefix, hot_g, hot_docs,
         *getattr(lsh, "_mrs_request_persisted", []))
 
 

@@ -3191,20 +3191,33 @@ def _vc_union_src(spark: SparkSession, sf_dir: str, cubes: list,
     the union.  Mismatched aliases (Day = ship_date vs order_date) are
     the same non-conformed 400 the drill-across join raises."""
     frames = []
+    table_backed_done = False
     for c in _vc_owners(cubes, vc_name, dim_name):
         dim, hier, _ = _resolve_level(c, dim_name, hier_name,
                                       level_names[0])
         levels = [hier.level(ln) for ln in level_names]
-        if not dim.is_degenerate:
-            return _dim_select(spark, sf_dir, dim, levels)
         exprs = {lv.key_alias: lv.key for lv in levels}
         if caption_level is not None:
             lv = hier.level(caption_level)
             if lv.caption and lv.caption_alias \
                     and lv.caption_alias != lv.key_alias:
                 exprs[lv.caption_alias] = lv.caption
-        frames.append(load_table(spark, sf_dir, c.fact).select(
-            *[F.expr(e).alias(a) for a, e in exprs.items()]))
+        if not dim.is_degenerate:
+            # table-backed conformed dims are physically shared, so
+            # ONE dim-side select covers every table-backed owner —
+            # but it must still UNION with any degenerate owners'
+            # fact-projected members (a dim degenerate on one cube
+            # and table-backed on another contributes members from
+            # both backings to the virtual hierarchy)
+            if table_backed_done:
+                continue
+            table_backed_done = True
+            frames.append(
+                _dim_select(spark, sf_dir, dim, levels)
+                .select(*[F.col(a) for a in exprs]))
+        else:
+            frames.append(load_table(spark, sf_dir, c.fact).select(
+                *[F.expr(e).alias(a) for a, e in exprs.items()]))
     cols0 = set(frames[0].columns)
     for f in frames[1:]:
         if set(f.columns) != cols0:
@@ -4221,27 +4234,58 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         _, g_n, g_m, g_asc = qm.generate_top
         g_ocol = _valias(g_m) if g_m is not None else g_child.key_alias
         child_keys = {a for _, a in g_child.out_cols()}
-        part = []
+        own_keys: list = []
+        other_keys: list = []
         ns_names_g = {s.name for s in cubes[0].named_sets}
         for d in qm.drilldown:
             parsed = parse_drilldown(d, ns_names_g)
             if isinstance(parsed, str):
                 ns = cubes[0].named_set(parsed)
-                _, hierx, levelx = _resolve_level(
+                dimx, hierx, levelx = _resolve_level(
                     cubes[0], ns.dimension, None, ns.level)
-                gl = [levelx]
+                gl, dname = [levelx], dimx.name
             else:
-                gl = _resolve_drill(cubes[0], parsed,
-                                    qm.parents).group_levels
-            part += [lv.key_alias for lv in gl
-                     if lv.key_alias not in child_keys
-                     and lv.key_alias not in part]
+                rdx = _resolve_drill(cubes[0], parsed, qm.parents)
+                gl, dname = rdx.group_levels, rdx.dimension.name
+            dest = own_keys if dname == g_dim.name else other_keys
+            dest += [lv.key_alias for lv in gl
+                     if lv.key_alias not in dest]
+        part = [a for a in own_keys if a not in child_keys]
+        marginal = bool(other_keys)
+        if marginal and g_m is not None:
+            # Mondrian evaluates GENERATE's TOPCOUNT pre-crossjoin:
+            # with other dimensions drilled, rank by the per-(parent,
+            # child) MARGINAL — the sum of this pair's cells across
+            # the other dims' keys — which equals the pre-crossjoin
+            # value only for additive measures (sum/count).  Same
+            # argument and same 400 as the base-cube path's gen_axes
+            # marginal above; inline WITH MEMBER rank measures have no
+            # additivity certificate, so they 400 here too.
+            m_obj = None
+            for cx in cubes:
+                m_obj = next((m for m in cx.measures if m.name == g_m),
+                             None)
+                if m_obj is not None:
+                    break
+            if m_obj is None or m_obj.agg not in ("sum", "count"):
+                raise ParseError(
+                    f"GENERATE ranking measure {g_m!r} is not additive "
+                    "(sum/count); its per-parent marginal over the "
+                    "other axis dimensions is not the sum of cells — "
+                    "query GENERATE as the sole axis set or rank by "
+                    "an additive measure")
+            out = out.withColumn(
+                "__gen_m", F.sum(F.col(g_ocol)).over(
+                    Window.partitionBy(*[F.col(a) for a in own_keys])))
+            g_ocol = "__gen_m"
         g_dir = (F.asc_nulls_last(g_ocol) if g_asc
                  else F.desc_nulls_last(g_ocol))
         w = (Window.partitionBy(*[F.col(a) for a in part])
              .orderBy(g_dir, F.asc(g_child.key_alias)))
-        out = (out.withColumn("__gen_rn", F.row_number().over(w))
-                  .filter(F.col("__gen_rn") <= g_n).drop("__gen_rn"))
+        rank_fn = F.dense_rank() if marginal else F.row_number()
+        out = (out.withColumn("__gen_rn", rank_fn.over(w))
+                  .filter(F.col("__gen_rn") <= g_n)
+                  .drop("__gen_rn", "__gen_m"))
 
     for fs in qm.filter:
         mf = parse_measure_filter(fs)

@@ -484,6 +484,7 @@ class RollupManager:
                 or qm.edge_child_of or qm.siblings_of
                 or qm.ancestor_of or qm.edge_sibling_of
                 or qm.periods_to_date
+                or getattr(qm, "generate_more", [])
                 or qm.tail is not None
                 or qm.top_percent is not None or qm.top_sum is not None
                 or qm.empty_set or qm.empty_slicer):

@@ -634,3 +634,30 @@ def test_virtual_cube_routes_through_rollup(spark, sf_dir):
                      drilldown=["Customer.Customer"], nonempty=True)
     _, src2 = mgr.route(qm2)
     assert src2 == "base"
+
+
+def test_rollup_refuses_multi_generate(spark, sf_dir):
+    """r12 (ADVICE r11): a two-GENERATE query must route to BASE — a
+    rollup covering only the FIRST GENERATE's levels would silently
+    drop the second GENERATE's dimension and window in _reaggregate."""
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("region_nation", ("Customer.Region", "Customer.Nation"))
+    qm = QueryModel(
+        cube="Sales", measures=["Revenue"], nonempty=True,
+        generate_top=("Customer.Region", 2, "Revenue", False),
+        generate_more=[("Time.Year", 2, "Revenue", False,
+                        "measure", None)])
+    routed, source = mgr.route(qm)
+    assert source == "base"
+    base = aggregate(spark, sf_dir, tpch.CATALOG, qm)
+    assert sorted(map(tuple, routed.collect())) == \
+        sorted(map(tuple, base.collect()))
+    # the refusal must not over-reach: single GENERATE still routes
+    qm1 = QueryModel(cube="Sales", measures=["Revenue"], nonempty=True,
+                     generate_top=("Customer.Region", 2, "Revenue",
+                                   False))
+    routed1, source1 = mgr.route(qm1)
+    assert source1 == "region_nation"
+    base1 = aggregate(spark, sf_dir, tpch.CATALOG, qm1)
+    assert sorted(map(tuple, routed1.collect())) == \
+        sorted(map(tuple, base1.collect()))

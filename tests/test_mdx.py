@@ -3671,3 +3671,83 @@ def test_mdx_virtual_parallelperiod_and_ytd(spark, sf_dir):
             "SELECT {[Measures].[Q]} ON COLUMNS, "
             "NON EMPTY [Time].[Year].Members ON ROWS "
             "FROM [Orders and Sales]").collect()
+
+
+def test_mdx_virtual_generate_other_dim_marginal(spark, sf_dir):
+    """r12 (ADVICE r11): GENERATE x another dimension's .Members on a
+    VIRTUAL cube ranks by the per-(parent, child) MARGINAL — Mondrian
+    evaluates the GENERATE set pre-crossjoin, so the selected members
+    must not vary with the other dimension's keys — mirroring the
+    base-cube composition (dense_rank over the marginal sum)."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) * [Time].[Year].Members ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    sole = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    # pre-crossjoin semantics: the (region, nation) selection is the
+    # sole-axis selection, identical for every year
+    want = {(r["cust_region_key"], r["cust_nation_key"]) for r in sole}
+    got = {(r["cust_region_key"], r["cust_nation_key"]) for r in rows}
+    assert got == want and len(want) == 10
+    per_year: dict = {}
+    for r in rows:
+        per_year.setdefault(r["year"], set()).add(
+            (r["cust_region_key"], r["cust_nation_key"]))
+    assert all(s == want for s in per_year.values())
+    # both base cubes' measures ride along on the joined frame
+    assert any(r["total_price"] is not None for r in rows)
+    # non-additive ranking measure in the composition: clear 400,
+    # same argument as the base path (marginal != pre-crossjoin cell)
+    with pytest.raises(ParseError, match="additive"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY GENERATE([Customer].[Region].Members, "
+            "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+            "[Measures].[Median Price])) * [Time].[Year].Members "
+            "ON ROWS FROM [Orders and Sales]").collect()
+
+
+def test_vc_union_src_mixed_backing(spark, sf_dir):
+    """r12 (ADVICE r11): a conformed dim DEGENERATE on one base cube
+    and TABLE-BACKED on another unions BOTH backings' members — the
+    old early-return dropped the degenerate cube's members from the
+    navigation member set.  Fixture: the table side (region, 5 keys)
+    is a strict subset of the degenerate side (customer nation keys,
+    25), so a lost union is observable as missing keys."""
+    from mondrian_rest_spark.catalog import (Cube, Dimension, Hierarchy,
+                                             Level, Measure, VirtualCube)
+    from mondrian_rest_spark.planner import _vc_union_src
+
+    lvl = Level("Nation", key="nk", key_alias="nk")
+    deg = Cube(
+        name="DegCube", fact="customer",
+        dimensions=(Dimension("Nation", hierarchies=(Hierarchy(
+            "Nation", levels=(Level("Nation", key="c_nationkey",
+                                    key_alias="nk"),)),)),),
+        measures=(Measure("Rows", "rows_m", "count", "c_custkey"),))
+    tab = Cube(
+        name="TabCube", fact="supplier",
+        dimensions=(Dimension(
+            "Nation",
+            hierarchies=(Hierarchy("Nation", levels=(Level(
+                "Nation", key="r_regionkey", key_alias="nk"),)),),
+            tables=(("region", None, None),),
+            fact_fk="s_nationkey", dim_pk="r_regionkey"),),
+        measures=(Measure("Rows", "rows_m", "count", "s_suppkey"),))
+    # degenerate owner FIRST: the old code appended its frame then
+    # returned the table-backed select alone, losing keys 5..24
+    union = _vc_union_src(spark, sf_dir, [deg, tab], "VC", "Nation",
+                          None, ["Nation"])
+    assert union.columns == ["nk"]
+    keys = {r["nk"] for r in union.select("nk").distinct().collect()}
+    assert keys == set(range(25))  # 0-4 from region, 0-24 from customer

@@ -1643,3 +1643,34 @@ def test_jaccard_spill_minhash_degraded_mode(spark):
     all_exact = dedup.neardup_jaccard_spill_minhash(
         small, threshold=0.5, max_candidates_per_prefix=200).collect()
     assert all(not r.approximate for r in all_exact)
+
+
+def test_jaccard_spill_auto_sizes_lsh_for_target_recall(spark):
+    """r12 (VERDICT r11 #7): the spill path accepts auto/target_recall
+    and the auto-sized LSH meets the target recall ON THE HOT SET —
+    the only pairs that inherit the S-curve.  Seeded skew corpus: every
+    doc carries the hot template trigram, and all true pairs sit at
+    jaccard ~0.54, squarely on the steep section where the spill
+    default (32 hashes / 8 bands, r=4) recalls only ~0.4."""
+    rows = []
+    for i in range(80):
+        rows.append((2 * i, f"hot tmpl zero s{i} p q r t u v w x"))
+        rows.append((2 * i + 1,
+                     f"hot tmpl zero s{i} p q r m{i} n{i} o{i} k{i} j{i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    truth = {(r.a_id, r.b_id) for r in
+             dedup.neardup_jaccard_prefix(df, threshold=0.5).collect()}
+    assert len(truth) > 1000  # dense borderline corpus, all hot
+
+    def recall(auto):
+        got = dedup.neardup_jaccard_spill_minhash(
+            df, threshold=0.5, max_candidates_per_prefix=50,
+            auto=auto, target_recall=0.95).collect()
+        assert all(r.approximate for r in got)  # everything is hot
+        found = {(r.a_id, r.b_id) for r in got}
+        assert found <= truth  # verify stage: values stay exact
+        return len(found & truth) / len(truth)
+
+    r_default, r_auto = recall(False), recall(True)
+    assert r_auto >= 0.95            # the contract under test
+    assert r_default < r_auto        # auto actually changed the sizing
