@@ -566,6 +566,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
         "[Measures].[Revenue]) ON ROWS FROM [Sales]")
 
+    # Dense (nonempty=false) grouping-sets axis (r12, VERDICT r11 #1):
+    # Mondrian's dense DEFAULT (api.rb:137) applied to DRILLDOWNLEVEL —
+    # the union of per-grouping-set dense frames (parent frame + true
+    # (parent, child) pairs) left-joined to the marker slices of the
+    # ONE Expand aggregate; the single-day slicer leaves most cells
+    # null, which is exactly what the dense fill must surface
+    q["q100_mdx_dense_drilldownlevel"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "DRILLDOWNLEVEL([Customer].[Region].Members) ON ROWS "
+        "FROM [Sales] WHERE ([Time].[Day].[&1996-02-10])")
+
     # Ragged hierarchy drilldown (r11, VERDICT r10 #2): hidden members
     # (blank nation captions; customers echoing their nation's name)
     # leave the aggregation axis — the visibility predicates filter the
@@ -2585,6 +2598,33 @@ def oracle_sql() -> dict[str, str]:
                    m.n_name AS cust_nation, s.revenue, o.total_price
             FROM m LEFT JOIN s ON m.n_nationkey = s.nk
                    LEFT JOIN o ON m.n_nationkey = o.nk""",
+        "q100_mdx_dense_drilldownlevel": f"""
+            WITH agg AS (
+              SELECT r_regionkey AS rk, n_nationkey AS nk,
+                     GROUPING(n_nationkey) AS g,
+                     {REVENUE} AS revenue
+              FROM {J_CUST}
+              WHERE CAST(l_shipdate AS DATE) = DATE '1996-02-10'
+              GROUP BY GROUPING SETS (
+                (r_regionkey),
+                (r_regionkey, n_nationkey))),
+            parents AS (SELECT r_regionkey, r_name FROM region),
+            pairs AS (
+              SELECT r_regionkey, r_name, n_nationkey, n_name
+              FROM nation JOIN region ON n_regionkey = r_regionkey)
+            SELECT p.r_regionkey AS cust_region_key,
+                   p.r_name AS cust_region,
+                   CAST(NULL AS INTEGER) AS cust_nation_key,
+                   CAST(NULL AS VARCHAR) AS cust_nation,
+                   a.revenue
+            FROM parents p
+            LEFT JOIN agg a ON a.g = 1 AND p.r_regionkey = a.rk
+            UNION ALL
+            SELECT p.r_regionkey, p.r_name, p.n_nationkey, p.n_name,
+                   a.revenue
+            FROM pairs p
+            LEFT JOIN agg a ON a.g = 0 AND p.r_regionkey = a.rk
+                           AND p.n_nationkey = a.nk""",
         "q99_virtual_rollup_routed": f"""
             WITH s AS (
               SELECT n_nationkey AS nk, n_name AS nn,

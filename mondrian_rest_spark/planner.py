@@ -1565,11 +1565,17 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # --- single Expand pass with 2^k grouping sets, no extra scans ---
     ddl_axes: list[tuple] = []   # (parent_lv, child_lv, subset_rc|None)
     for ddl_spec, ddl_subset in getattr(qm, "gs_axes", []) or []:
-        if not qm.nonempty:
+        if not qm.nonempty and getattr(qm, "gs_top", []):
+            # DRILLDOWNLEVELTOP/BOTTOM stays NON EMPTY-only: ranking a
+            # dense axis would rank empty (null) cells into the
+            # per-parent top-N — Mondrian's TOPCOUNT-over-drilldown
+            # treats missing cells as rankable, but which empty child
+            # fills a slot is tie-ambiguous; a clear 400 beats a
+            # nondeterministic axis
             raise ParseError(
-                "DRILLDOWNLEVEL/DRILLDOWNMEMBER require NON EMPTY in "
-                "this MDX subset (a dense fill of a mixed-grain axis "
-                "is ill-defined)")
+                "DRILLDOWNLEVELTOP/DRILLDOWNLEVELBOTTOM require NON "
+                "EMPTY in this MDX subset (ranking a dense axis would "
+                "rank empty cells)")
         if qm.parents:
             raise ParseError(
                 "parents=true cannot combine with DRILLDOWNLEVEL/"
@@ -2061,6 +2067,19 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             # so the post-join DRILLDOWNLEVELTOP rank can identify
             # subtotal rows without guessing from NULL member keys
             kept_markers = list(gs_markers)
+        elif not qm.nonempty and not qm.empty_set:
+            # dense mixed-grain axes (r12, VERDICT r11 #1): union of
+            # per-grouping-set dense fills over the marker slices of
+            # the one Expand aggregate — Mondrian's dense default
+            # applies to DRILLDOWNLEVEL/DRILLDOWNMEMBER too
+            out = _densify_gs(
+                spark, sf_dir, cube, drills, ddl_axes, gs_markers,
+                out, group_cols,
+                [m.alias for m in base_measures]
+                + [c.alias for c, _, _ in fs_set_aggs],
+                pred_cuts, ns_cuts, needed_props, caption_overrides,
+                axis_cuts=axis_cuts, prop_filters=prop_filter_preds,
+                existing_dims=getattr(qm, "existing_dims", None))
         else:
             out = out.drop(*gs_markers)
     elif group_cols:
@@ -2072,7 +2091,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # an EXCEPT/INTERSECT-empty axis SET has zero tuples by
     # definition — dense fill enumerates the axis sets' members, and
     # the empty set has none
-    if not qm.nonempty and drills and not qm.empty_set:
+    if not qm.nonempty and drills and not qm.empty_set and not ddl_axes:
         out = _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts,
                        needed_props, caption_overrides, out, group_cols,
                        [m.alias for m in base_measures]
@@ -2644,6 +2663,63 @@ def _cmp_pred(alias: str, op: str, value):
             "<": col < F.lit(value), "<=": col <= F.lit(value)}[op]
 
 
+def _dense_axis_frame(spark, sf_dir, cube, rd, ai, pred_cuts, ns_cuts,
+                      needed_props, caption_overrides, axis_cuts,
+                      prop_filters, existing_set) -> DataFrame:
+    """One axis's restricted member frame for the dense fill — shared
+    by the flat dense path (_densify) and the grouping-sets dense path
+    (_densify_gs)."""
+    own = [rc for i, rc in (axis_cuts or []) if i == ai]
+    if rd.dimension.name.lower() in existing_set:
+        # EXISTING <set> (r10, VERDICT r9 #3): the dense member
+        # frame is restricted by the same-dimension WHERE cuts —
+        # including COARSER-level ones, which the restrict join
+        # applies and projects back — so out-of-context members
+        # are dropped (Mondrian EXISTING) instead of surfacing as
+        # null-filled rows
+        own = own + [rc for rc in pred_cuts
+                     if rc.dimension.name == rd.dimension.name]
+        for rc in ns_cuts:
+            # a named-set slicer is context too: materialize its
+            # keys into a positive set cut so the restrict join
+            # can apply it even at a coarser level than the axis
+            if rc.dimension.name != rd.dimension.name:
+                continue
+            ns = cube.named_set(rc.cut.named_set)
+            keys = named_set_keys(spark, sf_dir, cube, ns)
+            own = own + [ResolvedCut(
+                rc.dimension, rc.hierarchy, rc.level,
+                Cut(kind="set", members=tuple(
+                    MemberRef(path=(rc.dimension.name,
+                                    rc.level.name),
+                              value=str(k), by_key=True)
+                    for k in keys)))]
+    mf = members_frame(spark, sf_dir, cube, rd,
+                       needed_props.get(rd.dimension.name, []),
+                       caption_overrides, restrict=own or None)
+    for rc in pred_cuts:
+        if rc.dimension.name == rd.dimension.name and \
+                rc.level.key_alias in mf.columns:
+            mf = mf.filter(_cut_predicate(rc))
+    for dname, alias, fop, fval in (prop_filters or []):
+        # member-property FILTER restricts the axis SET, so the
+        # dense member frame drops the excluded members (unlike
+        # WHERE cuts, which leave dense axes full)
+        if dname == rd.dimension.name and alias in mf.columns:
+            mf = mf.filter(_cmp_pred(alias, fop, fval))
+    for rc in ns_cuts:
+        # same column-presence guard as pred cuts above: a set at
+        # a non-axis level constrains the FACTS (filtered in the
+        # base frame); the dense axis itself stays full and shows
+        # null cells for excluded members
+        if rc.dimension.name == rd.dimension.name and \
+                rc.level.key_alias in mf.columns:
+            ns = cube.named_set(rc.cut.named_set)
+            keys = named_set_keys(spark, sf_dir, cube, ns)
+            mf = mf.filter(F.col(rc.level.key_alias).isin(keys))
+    return mf
+
+
 def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
              caption_overrides, agg, group_cols, measure_aliases,
              axis_cuts=None, prop_filters=None,
@@ -2661,55 +2737,10 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
     join_keys: list[str] = []
     existing_set = {d.lower() for d in existing_dims or []}
     for ai, rd in enumerate(drills):
-        own = [rc for i, rc in (axis_cuts or []) if i == ai]
-        if rd.dimension.name.lower() in existing_set:
-            # EXISTING <set> (r10, VERDICT r9 #3): the dense member
-            # frame is restricted by the same-dimension WHERE cuts —
-            # including COARSER-level ones, which the restrict join
-            # applies and projects back — so out-of-context members
-            # are dropped (Mondrian EXISTING) instead of surfacing as
-            # null-filled rows
-            own = own + [rc for rc in pred_cuts
-                         if rc.dimension.name == rd.dimension.name]
-            for rc in ns_cuts:
-                # a named-set slicer is context too: materialize its
-                # keys into a positive set cut so the restrict join
-                # can apply it even at a coarser level than the axis
-                if rc.dimension.name != rd.dimension.name:
-                    continue
-                ns = cube.named_set(rc.cut.named_set)
-                keys = named_set_keys(spark, sf_dir, cube, ns)
-                own = own + [ResolvedCut(
-                    rc.dimension, rc.hierarchy, rc.level,
-                    Cut(kind="set", members=tuple(
-                        MemberRef(path=(rc.dimension.name,
-                                        rc.level.name),
-                                  value=str(k), by_key=True)
-                        for k in keys)))]
-        mf = members_frame(spark, sf_dir, cube, rd,
-                           needed_props.get(rd.dimension.name, []),
-                           caption_overrides, restrict=own or None)
-        for rc in pred_cuts:
-            if rc.dimension.name == rd.dimension.name and \
-                    rc.level.key_alias in mf.columns:
-                mf = mf.filter(_cut_predicate(rc))
-        for dname, alias, fop, fval in (prop_filters or []):
-            # member-property FILTER restricts the axis SET, so the
-            # dense member frame drops the excluded members (unlike
-            # WHERE cuts, which leave dense axes full)
-            if dname == rd.dimension.name and alias in mf.columns:
-                mf = mf.filter(_cmp_pred(alias, fop, fval))
-        for rc in ns_cuts:
-            # same column-presence guard as pred cuts above: a set at
-            # a non-axis level constrains the FACTS (filtered in the
-            # base frame); the dense axis itself stays full and shows
-            # null cells for excluded members
-            if rc.dimension.name == rd.dimension.name and \
-                    rc.level.key_alias in mf.columns:
-                ns = cube.named_set(rc.cut.named_set)
-                keys = named_set_keys(spark, sf_dir, cube, ns)
-                mf = mf.filter(F.col(rc.level.key_alias).isin(keys))
-        axis_frames.append(mf)
+        axis_frames.append(_dense_axis_frame(
+            spark, sf_dir, cube, rd, ai, pred_cuts, ns_cuts,
+            needed_props, caption_overrides, axis_cuts, prop_filters,
+            existing_set))
         join_keys += [lv.key_alias for lv in rd.group_levels]
     # combinatorial guard (SURVEY §7.5.1): the dense tuple count is
     # the product of axis cardinalities — refuse plans that would
@@ -2736,6 +2767,118 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
     agg_slim = agg.select(*join_keys, *measure_aliases)
     out = dense.join(agg_slim, on=join_keys, how="left")
     return out.select(*group_cols, *measure_aliases)
+
+
+def _densify_gs(spark, sf_dir, cube, drills, ddl_axes, gs_markers, agg,
+                group_cols, measure_aliases, pred_cuts, ns_cuts,
+                needed_props, caption_overrides, axis_cuts=None,
+                prop_filters=None, existing_dims=None) -> DataFrame:
+    """Dense (nonempty=false) mixed-grain axes (r12, VERDICT r11 #1):
+    Mondrian's axes are dense by DEFAULT (reference api.rb:137 —
+    nonempty is opt-in; the 385-row webshop_1.csv golden is dense), and
+    that default applies to DRILLDOWNLEVEL / DRILLDOWNMEMBER axes too.
+    The dense fill of a mixed-grain axis is the UNION of per-grouping-
+    set dense frames: for each of the 2^k grouping sets, cross-join
+    every axis's member frame at THAT set's grain — the parent-only
+    frame for subtotal sets, the true (parent, child) pairs from the
+    same dim rows otherwise (never an invented parent×child level
+    crossjoin) — left-join the matching F.grouping()-marker slice of
+    the single Expand aggregate, fill the excluded child columns with
+    typed NULLs, and union.  Shares MAX_DENSE_CELLS with the flat
+    dense path; the cap applies to the SUM over grouping sets.
+
+    DRILLDOWNMEMBER: the subset filter restricts the CHILD frame (only
+    listed parents drill down) but the parent frame derives from the
+    unfiltered member rows, so every parent keeps its subtotal row —
+    the same shape the nonempty path's marker-guarded filter yields."""
+    from itertools import product as _iproduct
+    existing_set = {d.lower() for d in existing_dims or []}
+    gs_idx: dict[int, int] = {}   # drill position -> ddl_axes index
+    for di, rd in enumerate(drills):
+        for xi, (plv, clv, _) in enumerate(ddl_axes):
+            if (rd.level.name == clv.name
+                    and [lv.key_alias for lv in rd.group_levels]
+                    == [plv.key_alias, clv.key_alias]):
+                gs_idx[di] = xi
+    full: dict[int, DataFrame] = {}
+    parent_only: dict[int, DataFrame] = {}
+    for di, rd in enumerate(drills):
+        if di in gs_idx and needed_props.get(rd.dimension.name, []):
+            raise ParseError(
+                "member properties on a DRILLDOWNLEVEL/DRILLDOWNMEMBER "
+                "dimension require NON EMPTY in this MDX subset")
+        mf = _dense_axis_frame(spark, sf_dir, cube, rd, di, pred_cuts,
+                               ns_cuts, needed_props, caption_overrides,
+                               axis_cuts, prop_filters, existing_set)
+        if di in gs_idx:
+            plv, clv, subset_rc = ddl_axes[gs_idx[di]]
+            parent_cols = [a for _, a in plv.out_cols()]
+            parent_only[di] = mf.select(*parent_cols).distinct()
+            if subset_rc is not None:
+                mf = mf.filter(_cut_predicate(subset_rc))
+        full[di] = mf
+    # cell-count guard: ONE collect for every frame, cap on the union
+    frames_for_count = list(full.items()) + \
+        [(-1 - k, f) for k, f in parent_only.items()]
+    counts = reduce(lambda a, b: a.unionAll(b),
+                    [f.agg(F.count(F.lit(1)).alias("__c"))
+                     for _, f in frames_for_count]).collect()
+    n_by_key = {k: r["__c"] for (k, _), r in zip(frames_for_count,
+                                                 counts)}
+    masks = list(_iproduct((0, 1), repeat=len(ddl_axes)))
+    total = 0
+    for mask in masks:
+        cells = 1
+        for di in range(len(drills)):
+            if di in gs_idx and mask[gs_idx[di]] == 0:
+                cells *= n_by_key[-1 - di]
+            else:
+                cells *= n_by_key[di]
+        total += cells
+    if total > MAX_DENSE_CELLS:
+        raise ParseError(
+            f"dense axes would materialize >{MAX_DENSE_CELLS:,} "
+            "cells; add cuts or use nonempty=true")
+    # union the per-set dense frames FIRST (excluded child columns as
+    # typed NULLs, plus each set's marker values as literals), then ONE
+    # null-safe equi-join against the single Expand aggregate — the agg
+    # is a self-join-like fan-out otherwise: filtering it per mask
+    # makes Spark recompute the Expand 2^k times (Spark does not reuse
+    # aggregates across branches).  NULL dense child keys match NULL
+    # subtotal agg keys via <=>, and the marker columns keep a genuine
+    # NULL member key in the data from being conflated with a subtotal.
+    all_keys = [lv.key_alias for rd in drills
+                for lv in rd.group_levels]
+    pieces = []
+    for mask in masks:
+        axis_frames: list[DataFrame] = []
+        null_cols: list[str] = []
+        for di, rd in enumerate(drills):
+            if di in gs_idx and mask[gs_idx[di]] == 0:
+                _, clv, _ = ddl_axes[gs_idx[di]]
+                axis_frames.append(parent_only[di])
+                null_cols += [a for _, a in clv.out_cols()]
+            else:
+                axis_frames.append(full[di])
+        dense = reduce(lambda a, b: a.crossJoin(b), axis_frames)
+        for a in null_cols:
+            dense = dense.withColumn(
+                a, F.lit(None).cast(agg.schema[a].dataType))
+        # bit==0 -> child excluded -> F.grouping(child key) == 1
+        for xi, m in enumerate(gs_markers):
+            dense = dense.withColumn(m, F.lit(0 if mask[xi] else 1))
+        pieces.append(dense.select(*group_cols, *gs_markers))
+    dense_all = reduce(lambda a, b: a.unionByName(b), pieces)
+    agg_slim = agg.select(*[F.col(c).alias(f"__agg_{c}")
+                            for c in all_keys + gs_markers],
+                          *measure_aliases)
+    cond = reduce(lambda a, b: a & b,
+                  [dense_all[m] == agg_slim[f"__agg_{m}"]
+                   for m in gs_markers]
+                  + [dense_all[k].eqNullSafe(agg_slim[f"__agg_{k}"])
+                     for k in all_keys])
+    return (dense_all.join(agg_slim, cond, "left")
+                     .select(*group_cols, *measure_aliases))
 
 
 #: memoized named-set member keys: a TopCount set is k rows by

@@ -2971,9 +2971,12 @@ def test_mdx_drilldownlevel_mixed_depth_axis(spark, sf_dir):
 
 def test_mdx_drilldownlevel_rejections(spark, sf_dir):
     for mdx, msg in [
+        # dense DDLTOP stays a 400 (r12: plain dense DRILLDOWNLEVEL /
+        # DRILLDOWNMEMBER now fill — see test_mdx_dense_grouping_sets —
+        # but ranking a dense axis would rank empty cells)
         ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
-         "DRILLDOWNLEVEL([Customer].[Region].Members) ON ROWS "
-         "FROM [Sales]", "NON EMPTY"),
+         "DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
+         "[Measures].[Revenue]) ON ROWS FROM [Sales]", "NON EMPTY"),
         ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
          "NON EMPTY DRILLDOWNLEVEL([Customer].[Customer].Members) "
          "ON ROWS FROM [Sales]", "leaf level"),
@@ -3751,3 +3754,64 @@ def test_vc_union_src_mixed_backing(spark, sf_dir):
     assert union.columns == ["nk"]
     keys = {r["nk"] for r in union.select("nk").distinct().collect()}
     assert keys == set(range(25))  # 0-4 from region, 0-24 from customer
+
+
+def test_mdx_dense_grouping_sets(spark, sf_dir):
+    """r12 (VERDICT r11 #1): Mondrian's dense DEFAULT (api.rb:137 —
+    nonempty is opt-in) applies to DRILLDOWNLEVEL/DRILLDOWNMEMBER/
+    VISUALTOTALS axes: the dense fill is the union of per-grouping-set
+    dense frames (parent frame + true (parent, child) pairs), never an
+    invented parent×child crossjoin."""
+    dense = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "DRILLDOWNLEVEL([Customer].[Region].Members) ON ROWS "
+        "FROM [Sales]").collect()
+    sub = [r for r in dense if r["cust_nation_key"] is None]
+    kids = [r for r in dense if r["cust_nation_key"] is not None]
+    assert len(sub) == 5 and len(kids) == 25
+    # true pairs only: each nation under its real region
+    assert {(r["cust_region_key"], r["cust_nation_key"] % 5)
+            for r in kids} == {(i, i) for i in range(5)}
+    # values agree with the NON EMPTY run on its rows
+    ne = {(r["cust_region_key"], r["cust_nation_key"]): r["revenue"]
+          for r in execute_mdx(
+              spark, sf_dir, tpch.CATALOG,
+              "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+              "NON EMPTY DRILLDOWNLEVEL([Customer].[Region].Members) "
+              "ON ROWS FROM [Sales]").collect()}
+    dv = {(r["cust_region_key"], r["cust_nation_key"]): r["revenue"]
+          for r in dense}
+    assert all(dv[k] == v for k, v in ne.items())
+    # DRILLDOWNMEMBER dense: every parent keeps its subtotal row,
+    # children only under the listed parents, empty cells null
+    ddm = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "DRILLDOWNMEMBER([Customer].[Region].Members, "
+        "{[Customer].[Region].[&2]}) ON ROWS FROM [Sales]").collect()
+    assert len(ddm) == 10
+    assert {r["cust_region_key"] for r in ddm
+            if r["cust_nation_key"] is not None} == {2}
+    # composes dense with a plain .Members axis: |mixed set| x |years|
+    cross = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "CROSSJOIN(DRILLDOWNLEVEL([Customer].[Region].Members), "
+        "[Time].[Year].Members) ON ROWS FROM [Sales]").collect()
+    years = {r["year"] for r in cross}
+    assert len(cross) == 30 * len(years) and len(years) >= 7
+    # subtotal rows fill densely per year too
+    assert sum(1 for r in cross if r["cust_nation_key"] is None) \
+        == 5 * len(years)
+    # dense VISUALTOTALS: the replaced set IS parent + listed children
+    vt = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "VISUALTOTALS({[Customer].[Region].[&1], "
+        "[Customer].[Nation].[&11], [Customer].[Nation].[&16]}) "
+        "ON ROWS FROM [Sales]").collect()
+    assert len(vt) == 3
+    tot = next(r for r in vt if r["cust_nation_key"] is None)
+    assert tot["revenue"] == sum(r["revenue"] for r in vt
+                                 if r["cust_nation_key"] is not None)
