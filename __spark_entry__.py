@@ -579,6 +579,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "DRILLDOWNLEVEL([Customer].[Region].Members) ON ROWS "
         "FROM [Sales] WHERE ([Time].[Day].[&1996-02-10])")
 
+    # DDLTOP beside a ranked second axis (r12, VERDICT r11 #3):
+    # Mondrian evaluates BOTH sets pre-crossjoin, so the TOPCOUNT
+    # year selection must NOT restrict DDLTOP's rank basis — the rank
+    # aggregates (parent, child) over the SLICER-context base (all
+    # years), while cell values stay restricted to the selected years
+    q["q101_mdx_ddltop_x_topcount"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
+        "[Measures].[Quantity]) * TOPCOUNT([Time].[Year].Members, 2, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]")
+
     # Ragged hierarchy drilldown (r11, VERDICT r10 #2): hidden members
     # (blank nation captions; customers echoing their nation's name)
     # leave the aggregation axis — the visibility predicates filter the
@@ -2598,6 +2611,41 @@ def oracle_sql() -> dict[str, str]:
                    m.n_name AS cust_nation, s.revenue, o.total_price
             FROM m LEFT JOIN s ON m.n_nationkey = s.nk
                    LEFT JOIN o ON m.n_nationkey = o.nk""",
+        "q101_mdx_ddltop_x_topcount": f"""
+            WITH yr AS (
+              SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+                     {REVENUE} AS rev
+              FROM lineitem GROUP BY 1
+              ORDER BY rev DESC, y ASC LIMIT 2),
+            basis AS (
+              SELECT r_regionkey AS rk, n_nationkey AS nk,
+                     {DEC('l_quantity')} AS qty
+              FROM {J_CUST} GROUP BY 1, 2),
+            keep AS (
+              SELECT rk, nk FROM (
+                SELECT rk, nk, ROW_NUMBER() OVER (
+                  PARTITION BY rk ORDER BY qty DESC, nk ASC) AS rn
+                FROM basis) WHERE rn <= 2),
+            agg AS (
+              SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+                     r_regionkey AS rk, r_name AS region_name,
+                     n_nationkey AS nk, n_name AS nn,
+                     GROUPING(n_nationkey) AS g,
+                     {REVENUE} AS revenue
+              FROM {J_CUST}
+              WHERE CAST(year(l_shipdate) AS INTEGER)
+                    IN (SELECT y FROM yr)
+              GROUP BY GROUPING SETS (
+                (year(l_shipdate), r_regionkey, r_name),
+                (year(l_shipdate), r_regionkey, r_name,
+                 n_nationkey, n_name)))
+            SELECT y AS "year", rk AS cust_region_key,
+                   region_name AS cust_region,
+                   nk AS cust_nation_key, nn AS cust_nation, revenue
+            FROM agg
+            WHERE g = 1 OR EXISTS (SELECT 1 FROM keep k
+                                   WHERE k.rk = agg.rk
+                                     AND k.nk = agg.nk)""",
         "q100_mdx_dense_drilldownlevel": f"""
             WITH agg AS (
               SELECT r_regionkey AS rk, n_nationkey AS nk,

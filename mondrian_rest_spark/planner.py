@@ -1884,7 +1884,10 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         base = base.filter(_cut_predicate(rc))
     for _, alias, fop, fval in prop_filter_preds:
         base = base.filter(_cmp_pred(alias, fop, fval))
+    implicit_ns = set(implicit_ns_cuts)
     for rc in ns_cuts:
+        if rc.cut.named_set in implicit_ns:
+            continue   # axis selections apply below the slicer snapshot
         ns = cube.named_set(rc.cut.named_set)
         keys = named_set_keys(spark, sf_dir, cube, ns)
         base = base.filter(F.col(rc.level.key_alias).isin(keys))
@@ -1920,6 +1923,21 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         base = base.join(
             desc, F.expr(rc.dimension.fact_fk) == F.col("__pc_cut_desc__"),
             "left_semi")
+
+    # slicer-context snapshot (r12, VERDICT r11 #3): everything above —
+    # WHERE cuts, property filters, EXPLICIT named-set slicers, pc
+    # subtree cuts — is Mondrian's evaluation context for axis set
+    # functions; the other AXES' selections (implicit named-set cuts
+    # from a TOPCOUNT-as-set drilldown) are NOT.  DDLTOP/GENERATE rank
+    # bases that must ignore a co-axis selection aggregate from this
+    # frame; cell values still come from the fully-cut base below.
+    base_slicer_ctx = base
+    for rc in ns_cuts:
+        if rc.cut.named_set not in implicit_ns:
+            continue
+        ns = cube.named_set(rc.cut.named_set)
+        keys = named_set_keys(spark, sf_dir, cube, ns)
+        base = base.filter(F.col(rc.level.key_alias).isin(keys))
 
     # --- group + aggregate (partial+final hash agg; map-side combine) ---
     group_cols: list[str] = []
@@ -2034,7 +2052,43 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                       for lv in rd.group_levels
                       for a in [lv.key_alias]]
             parent_cols = [a for _, a in parent_lv.out_cols()]
-            if others:
+            if others and implicit_ns:
+                # the other axis is itself a ranked SELECTION (a
+                # TOPCOUNT-as-set drilldown): its implicit cut
+                # restricts the facts, so the displayed-cell marginal
+                # would rank by the selected slice — Mondrian
+                # evaluates DDLTOP pre-crossjoin in the SLICER
+                # context (r12, VERDICT r11 #3).  Rank by a separate
+                # (parent, child)-grain aggregate over the
+                # slicer-context base: an exact pre-crossjoin cell,
+                # valid for ANY aggregator (no additivity needed —
+                # the measure's own agg runs at the rank grain).
+                m_obj = next((m for m in cube.measures
+                              if m.name == mname), None)
+                if m_obj is None:
+                    raise ParseError(
+                        f"DRILLDOWNLEVELTOP/BOTTOM measure {mname!r} "
+                        "must be a base measure when composed with a "
+                        "TOPCOUNT axis (calculated members have no "
+                        "pre-crossjoin rank basis)")
+                rank_src = (base_slicer_ctx
+                            .groupBy(parent_lv.key_alias,
+                                     child_lv.key_alias)
+                            .agg(_agg_expr(m_obj))
+                            .select(F.col(parent_lv.key_alias)
+                                    .alias("__rb_p__"),
+                                    F.col(child_lv.key_alias)
+                                    .alias("__rb_c__"),
+                                    F.col(m_obj.alias)
+                                    .alias("__gs_marg__")))
+                out = (out.join(
+                    rank_src,
+                    (F.col(parent_lv.key_alias) == F.col("__rb_p__"))
+                    & (F.col(child_lv.key_alias) == F.col("__rb_c__")),
+                    "left").drop("__rb_p__", "__rb_c__"))
+                ocol = "__gs_marg__"
+                rank_fn = F.dense_rank()
+            elif others:
                 m_obj = next((m for m in cube.measures
                               if m.name == mname), None)
                 if m_obj is None or m_obj.agg not in ("sum", "count"):
@@ -2286,7 +2340,38 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             marginal = bool(other_keys) or len(gen_axes) > 1
             if g_m is not None:
                 ocol = _measure_alias(cube, g_m)
-                if marginal:
+                if marginal and implicit_ns:
+                    # a co-axis TOPCOUNT selection restricts the
+                    # facts — rank by a (parent, child)-grain
+                    # aggregate over the slicer-context base instead
+                    # of the displayed-cell marginal (r12, VERDICT
+                    # r11 #3; same argument as DDLTOP above)
+                    m_obj = next((m for m in cube.measures
+                                  if m.name == g_m), None)
+                    if m_obj is None:
+                        raise ParseError(
+                            f"GENERATE ranking measure {g_m!r} must "
+                            "be a base measure when composed with a "
+                            "TOPCOUNT axis (calculated members have "
+                            "no pre-crossjoin rank basis)")
+                    mcol = f"__gen_m{gi}"
+                    rank_src = (base_slicer_ctx
+                                .groupBy(*own_keys)
+                                .agg(_agg_expr(m_obj))
+                                .select(*[F.col(a).alias(f"__rb{i}__")
+                                          for i, a in
+                                          enumerate(own_keys)],
+                                        F.col(m_obj.alias)
+                                        .alias(mcol)))
+                    cond = reduce(
+                        lambda a, b: a & b,
+                        [F.col(k) == F.col(f"__rb{i}__")
+                         for i, k in enumerate(own_keys)])
+                    out = (out.join(rank_src, cond, "left")
+                              .drop(*[f"__rb{i}__"
+                                      for i in range(len(own_keys))]))
+                    ocol = mcol
+                elif marginal:
                     m_obj = next((m for m in cube.measures
                                   if m.name == g_m), None)
                     if m_obj is None or m_obj.agg not in ("sum", "count"):
