@@ -592,6 +592,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "[Measures].[Quantity]) * TOPCOUNT([Time].[Year].Members, 2, "
         "[Measures].[Revenue]) ON ROWS FROM [Sales]")
 
+    # Nested GENERATE (r12, VERDICT r11 #6): GENERATE(L1.Members,
+    # GENERATE(L1.CurrentMember.Children, inner)) collapses EXACTLY to
+    # GENERATE(Lmid.Members, inner) — the outer iterates the FULL L1
+    # level, so the union over every region of its nations is the full
+    # nation member set; per-nation top-3 customers by revenue
+    q["q102_mdx_nested_generate"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "GENERATE([Customer].[Region].CurrentMember.Children, "
+        "TOPCOUNT([Customer].[Nation].CurrentMember.Children, 3, "
+        "[Measures].[Revenue]))) ON ROWS FROM [Sales]")
+
     # Ragged hierarchy drilldown (r11, VERDICT r10 #2): hidden members
     # (blank nation captions; customers echoing their nation's name)
     # leave the aggregation axis — the visibility predicates filter the
@@ -2481,6 +2495,18 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY cust_region_key
                                        ORDER BY revenue DESC,
                                                 cust_nation_key) <= 2""",
+
+        "q102_mdx_nested_generate": f"""
+            WITH agg AS (
+              SELECT n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                     c_custkey, c_name,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} GROUP BY 1, 2, 3, 4)
+            SELECT cust_nation_key, cust_nation, c_custkey, c_name, revenue
+            FROM agg
+            QUALIFY row_number() OVER (PARTITION BY cust_nation_key
+                                       ORDER BY revenue DESC,
+                                                c_custkey) <= 3""",
 
         "q47_mdx_toppercent": f"""
             WITH agg AS (

@@ -890,6 +890,60 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
         p.expect("MEMBERS")
         p.expect(",")
         fn = p.next().upper()
+        nested = None   # (nested_outer_path_segs, mode) after flattening
+        if fn == "GENERATE":
+            # Nested GENERATE (r12): GENERATE(L1.Members,
+            # GENERATE(<nav to Lmid>, inner)).  The outer iterates the
+            # FULL L1 level and GENERATE unions with duplicate removal
+            # (Mondrian default), so the union over every L1 member of
+            # the nested set is exactly Lmid's full member set:
+            # the expression collapses to GENERATE(Lmid.Members, inner).
+            # Parse the nav, remember the collapse for planner-side
+            # ancestry validation, and fall through to the ordinary
+            # single-GENERATE inner parse with outer := Lmid.
+            p.expect("(")
+            if p.peek_upper() == "DESCENDANTS":
+                p.next()
+                p.expect("(")
+                nv = _path(p)
+                p.expect(".")
+                p.expect("CURRENTMEMBER")
+                p.expect(",")
+                mid = _path(p)
+                p.expect(")")
+                if [s.lower() for s in nv] != [s.lower() for s in outer]:
+                    raise ParseError(
+                        "nested GENERATE DESCENDANTS must navigate the "
+                        f"outer level ({_path_str(outer)}.CurrentMember)"
+                        f", got {_path_str(nv)}.CurrentMember")
+                if mid[0].lower() != outer[0].lower():
+                    raise ParseError(
+                        "nested GENERATE DESCENDANTS target must stay "
+                        f"on dimension {_path_str([outer[0]])}, got "
+                        f"{_path_str(mid)}")
+                nested = (outer, "descendants")
+                outer = mid
+            else:
+                nv = _path(p)
+                p.expect(".")
+                p.expect("CURRENTMEMBER")
+                p.expect(".")
+                p.expect("CHILDREN")
+                if [s.lower() for s in nv] != [s.lower() for s in outer]:
+                    raise ParseError(
+                        "nested GENERATE inner set must navigate the "
+                        f"outer level ({_path_str(outer)}.CurrentMember)"
+                        f", got {_path_str(nv)}.CurrentMember")
+                # Lmid (the child level of L1) is named by the
+                # INNERMOST navigation path; outer is replaced there.
+                nested = (outer, "children")
+                outer = None
+            p.expect(",")
+            fn = p.next().upper()
+            if fn == "GENERATE":
+                raise ParseError(
+                    "GENERATE nests at most one level in this MDX "
+                    "subset")
         if fn not in ("TOPCOUNT", "BOTTOMCOUNT", "HEAD", "TAIL"):
             raise ParseError(
                 "GENERATE supports TOPCOUNT/BOTTOMCOUNT(<nav>, n, "
@@ -906,10 +960,11 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             p.expect(",")
             tpath = _path(p)
             p.expect(")")
-            if tpath[0].lower() != outer[0].lower():
+            anchor = outer if outer is not None else inner
+            if tpath[0].lower() != anchor[0].lower():
                 raise ParseError(
                     "GENERATE DESCENDANTS target must stay on the "
-                    f"outer dimension {_path_str([outer[0]])}, got "
+                    f"outer dimension {_path_str([anchor[0]])}, got "
                     f"{_path_str(tpath)}")
             target = tpath[-1]
         else:
@@ -918,7 +973,17 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             p.expect("CURRENTMEMBER")
             p.expect(".")
             p.expect("CHILDREN")
-        if [s.lower() for s in inner] != [s.lower() for s in outer]:
+        if outer is None:
+            # nested "children" form: the innermost navigation path
+            # names Lmid, the flattened outer level (validated as the
+            # immediate child of the nested outer in the planner)
+            outer = inner
+            if nested[0][0].lower() != outer[0].lower():
+                raise ParseError(
+                    "nested GENERATE levels must stay on dimension "
+                    f"{_path_str([nested[0][0]])}, got "
+                    f"{_path_str(outer)}")
+        elif [s.lower() for s in inner] != [s.lower() for s in outer]:
             raise ParseError(
                 "GENERATE inner set must navigate the outer level "
                 f"({_path_str(outer)}.CurrentMember), got "
@@ -940,6 +1005,8 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             raise ParseError(f"GENERATE {fn} count must be >= 1")
         p.expect(")")
         p.expect(")")
+        if nested is not None:
+            p.expect(")")   # the nested GENERATE's own closer
         # one GENERATE per DIMENSION (r11, VERDICT r10 #3 — r10 capped
         # at one per query, like the r10 grouping-sets lift): each
         # composes as an independent per-parent window
@@ -960,6 +1027,9 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             q.qm_kwargs.setdefault("generate_more", []).append(
                 (".".join(outer), n, top_by, asc,
                  "key" if top_by is None else "measure", target))
+        if nested is not None:
+            q.qm_kwargs.setdefault("generate_nested", []).append(
+                (".".join(outer), ".".join(nested[0]), nested[1]))
         return "gen"
     if t in ("DISTINCT", "SUBSET", "ORDER", "FILTER", "TOPCOUNT", "CROSSJOIN",
              "HEAD", "TAIL", "NONEMPTYCROSSJOIN", "TOPPERCENT",

@@ -1540,6 +1540,35 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 raise ParseError(
                     f"GENERATE: DESCENDANTS level {g_target!r} must "
                     f"be below the outer level {level.name!r}")
+        # nested GENERATE (r12): the parser flattened
+        # GENERATE(L1.Members, GENERATE(<nav to Lmid>, inner)) to
+        # GENERATE(Lmid.Members, inner) — exact because the outer
+        # iterates the FULL L1 level and the union of every L1
+        # member's children/descendants at Lmid is Lmid's full member
+        # set.  Validate the ancestry the flattening relied on.
+        for nst_flat, nst_path, nst_mode in \
+                getattr(qm, "generate_nested", []) or []:
+            if nst_flat != g_path:
+                continue
+            nsegs = nst_path.split(".")
+            ndim, nhier, nlevel = _resolve_level(
+                cube, nsegs[0], nsegs[1] if len(nsegs) == 3 else None,
+                nsegs[-1])
+            if ndim.name != dim.name or nhier.name != hier.name:
+                raise ParseError(
+                    f"nested GENERATE outer level {nlevel.name!r} must "
+                    f"be on the same hierarchy as {level.name!r}")
+            nidx = nhier.level_index(nlevel.name)
+            if nst_mode == "children" and nidx + 1 != idx:
+                raise ParseError(
+                    f"nested GENERATE: {level.name!r} is not the "
+                    f"immediate child level of {nlevel.name!r} (the "
+                    ".Children navigation would be vacuous)")
+            if nst_mode == "descendants" and nidx >= idx:
+                raise ParseError(
+                    f"nested GENERATE: DESCENDANTS level "
+                    f"{level.name!r} must be below the outer level "
+                    f"{nlevel.name!r}")
         if any(rd.dimension.name == dim.name for rd in drills):
             raise ParseError(
                 f"GENERATE over dimension {dim.name!r} cannot be "

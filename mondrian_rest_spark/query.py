@@ -139,6 +139,20 @@ class QueryModel:
     # <target>) navigated the inner set to a deeper level than the
     # immediate child.
     generate_inner: tuple | None = None
+    # Nested GENERATE (r12, VERDICT r11 #6):
+    # GENERATE(L1.Members, GENERATE(<nav to Lmid>, inner)).  Because the
+    # outer GENERATE iterates a FULL level and unions (Mondrian default
+    # removes duplicates), the union over all L1 members of the nested
+    # set is exactly the full Lmid member set — so the whole expression
+    # collapses to GENERATE(Lmid.Members, inner), which the parser emits
+    # as generate_top/generate_more.  Entries here record the collapse
+    # for planner-side validation: (flattened_outer_path,
+    # nested_outer_path, mode) where mode "children" requires Lmid to be
+    # the IMMEDIATE child level of L1 (else the innermost CurrentMember
+    # reference would be vacuous in Mondrian) and "descendants" any
+    # strictly deeper level on the same hierarchy.  One nesting level
+    # only; deeper nesting is a clear 400.
+    generate_nested: list = field(default_factory=list)
     # Grouping-sets (mixed-depth) axes from raw MDX —
     # DRILLDOWNLEVEL / DRILLDOWNMEMBER / VISUALTOTALS (r10 generalizes
     # r9's one-per-QUERY cap to one-per-DIMENSION, VERDICT r9 #4).

@@ -2938,6 +2938,95 @@ def test_mdx_generate_rejections(spark, sf_dir):
             execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
 
 
+def test_mdx_nested_generate_flattens(spark, sf_dir):
+    """Nested GENERATE (r12, VERDICT r11 #6): GENERATE(L1.Members,
+    GENERATE(<nav to Lmid>, inner)) collapses EXACTLY to
+    GENERATE(Lmid.Members, inner) — the outer iterates the full L1
+    level and GENERATE unions with duplicate removal, so the union
+    over every L1 member of its children/descendants at Lmid is
+    Lmid's full member set.  Both nav forms, vs the flat oracle."""
+    flat = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Nation].Members, "
+        "TOPCOUNT([Customer].[Nation].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) ON ROWS FROM [Sales]").collect()
+    nested = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "GENERATE([Customer].[Region].CurrentMember.Children, "
+        "TOPCOUNT([Customer].[Nation].CurrentMember.Children, 2, "
+        "[Measures].[Revenue]))) ON ROWS FROM [Sales]").collect()
+    assert sorted(map(tuple, nested)) == sorted(map(tuple, flat))
+    # DESCENDANTS navigation form of the nested outer
+    nested2 = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "GENERATE(DESCENDANTS([Customer].[Region].CurrentMember, "
+        "[Customer].[Nation]), "
+        "TOPCOUNT([Customer].[Nation].CurrentMember.Children, 2, "
+        "[Measures].[Revenue]))) ON ROWS FROM [Sales]").collect()
+    assert sorted(map(tuple, nested2)) == sorted(map(tuple, flat))
+    # echo canonicalizes to the flattened form and round-trips
+    from mondrian_rest_spark.mdx import emit_mdx
+    qm = compile_mdx(
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "GENERATE([Customer].[Region].CurrentMember.Children, "
+        "TOPCOUNT([Customer].[Nation].CurrentMember.Children, 2, "
+        "[Measures].[Revenue]))) ON ROWS FROM [Sales]")
+    assert qm.generate_top[0] == "Customer.Nation"
+    back = compile_mdx(emit_mdx(tpch.CATALOG, qm))
+    assert back.generate_top == qm.generate_top
+
+
+def test_mdx_nested_generate_rejections(spark, sf_dir):
+    for mdx, msg in [
+        # Lmid not the IMMEDIATE child of L1 in the .Children form
+        # (the innermost CurrentMember reference would be vacuous)
+        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+         "GENERATE([Time].[Year].Members, "
+         "GENERATE([Time].[Year].CurrentMember.Children, "
+         "TOPCOUNT([Time].[Month].CurrentMember.Children, 2, "
+         "[Measures].[Revenue]))) ON ROWS FROM [Sales]",
+         "immediate child"),
+        # DESCENDANTS target at/above the nested outer level
+        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+         "GENERATE([Customer].[Nation].Members, "
+         "GENERATE(DESCENDANTS([Customer].[Nation].CurrentMember, "
+         "[Customer].[Region]), "
+         "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+         "[Measures].[Revenue]))) ON ROWS FROM [Sales]",
+         "must be below"),
+        # nested nav must reference the outer level
+        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+         "GENERATE([Customer].[Region].Members, "
+         "GENERATE([Part].[Brand].CurrentMember.Children, "
+         "TOPCOUNT([Part].[Part].CurrentMember.Children, 2, "
+         "[Measures].[Revenue]))) ON ROWS FROM [Sales]",
+         "navigate the outer level"),
+        # innermost level jumps to another dimension
+        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+         "GENERATE([Customer].[Region].Members, "
+         "GENERATE([Customer].[Region].CurrentMember.Children, "
+         "TOPCOUNT([Part].[Part].CurrentMember.Children, 2, "
+         "[Measures].[Revenue]))) ON ROWS FROM [Sales]",
+         "stay on dimension"),
+        # more than one nesting level
+        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+         "GENERATE([Customer].[Region].Members, "
+         "GENERATE([Customer].[Region].CurrentMember.Children, "
+         "GENERATE([Customer].[Nation].CurrentMember.Children, "
+         "TOPCOUNT([Customer].[Customer].CurrentMember.Children, 2, "
+         "[Measures].[Revenue])))) ON ROWS FROM [Sales]",
+         "nests at most one level"),
+    ]:
+        with pytest.raises(ParseError, match=msg):
+            execute_mdx(spark, sf_dir, tpch.CATALOG, mdx).collect()
+
+
 def test_mdx_drilldownlevel_mixed_depth_axis(spark, sf_dir):
     """DRILLDOWNLEVEL = one grouping-sets pass: parent subtotal rows
     (NULL child columns) interleave hierarchically before their
