@@ -592,6 +592,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "[Measures].[Quantity]) * TOPCOUNT([Time].[Year].Members, 2, "
         "[Measures].[Revenue]) ON ROWS FROM [Sales]")
 
+    # GENERATE beside a TOPCOUNT-as-set axis (r12, the q101 argument
+    # applied to GENERATE): both sets evaluate pre-crossjoin, so the
+    # per-region top-2 nations rank over the SLICER context (all
+    # years) while cell values stay restricted to the top-2 years
+    q["q103_mdx_generate_x_topcount"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) * TOPCOUNT([Time].[Year].Members, 2, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]")
+
     # Nested GENERATE (r12, VERDICT r11 #6): GENERATE(L1.Members,
     # GENERATE(L1.CurrentMember.Children, inner)) collapses EXACTLY to
     # GENERATE(Lmid.Members, inner) — the outer iterates the FULL L1
@@ -2495,6 +2508,34 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY cust_region_key
                                        ORDER BY revenue DESC,
                                                 cust_nation_key) <= 2""",
+
+        "q103_mdx_generate_x_topcount": f"""
+            WITH yr AS (
+              SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+                     {REVENUE} AS rev
+              FROM lineitem GROUP BY 1
+              ORDER BY rev DESC, y ASC LIMIT 2),
+            basis AS (
+              SELECT r_regionkey AS rk, n_nationkey AS nk,
+                     {REVENUE} AS rev
+              FROM {J_CUST} GROUP BY 1, 2),
+            keep AS (
+              SELECT rk, nk FROM (
+                SELECT rk, nk, ROW_NUMBER() OVER (
+                  PARTITION BY rk ORDER BY rev DESC, nk ASC) AS rn
+                FROM basis) WHERE rn <= 2)
+            SELECT CAST(year(l_shipdate) AS INTEGER) AS "year",
+                   r_regionkey AS cust_region_key,
+                   r_name AS cust_region,
+                   n_nationkey AS cust_nation_key,
+                   n_name AS cust_nation,
+                   {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE CAST(year(l_shipdate) AS INTEGER)
+                  IN (SELECT y FROM yr)
+              AND (r_regionkey, n_nationkey)
+                  IN (SELECT (rk, nk) FROM keep)
+            GROUP BY 1, 2, 3, 4, 5""",
 
         "q102_mdx_nested_generate": f"""
             WITH agg AS (

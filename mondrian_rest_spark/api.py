@@ -671,6 +671,48 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
                           "persist_path": r.persist_path,
                           "est_covered_weight": rec.covered_weight,
                           "est_rows": rec.est_rows})
+        # bucketed base-fact layout (r12, VERDICT r11 #4): rollups fix
+        # aggregation cost; the fact ⋈ bridge join cost needs a LAYOUT.
+        # When the manager has a bucket_db, bucket the fact + the
+        # most-joined bridge table on the served log's dominant join
+        # key and flip MRS_BUCKETED_DB so every engine load (registry
+        # load_table) serves the co-located copy — rollup-unroutable
+        # queries keep their values and lose the join shuffle.
+        bucketing_info = None
+        if rollup_manager.bucket_db:
+            from .plans.advisor import recommend_bucketing
+            from .sources import bucketing as _bk
+            rec = recommend_bucketing(cube_obj, log)
+            if rec is not None:
+                db = rollup_manager.bucket_db
+                specs = {rec.fact_table: rec.fact_key,
+                         rec.bridge_table: rec.bridge_key}
+                spark_ = get_spark()
+                have = (spark_.catalog.databaseExists(db)
+                        and all(spark_.catalog.tableExists(f"{db}.{t}")
+                                for t in specs))
+                if not have:
+                    nb = _int(request.args, "n_buckets")
+                    if nb is None:
+                        # size from the data: largest table bytes /
+                        # ~256 MB per bucket, power of two, >= 8
+                        nb = _bk.recommended_n_buckets(sf_dir, specs)
+                    if not 0 < nb <= 4096:
+                        raise ParseError(
+                            f"n_buckets must be in 1..4096, got {nb}")
+                    _bk.materialize_bucketed(spark_, sf_dir, database=db,
+                                             n_buckets=nb, specs=specs)
+                # route engine loads to the bucketed copies — the
+                # registry's documented layout switch
+                os.environ["MRS_BUCKETED_DB"] = db
+                bucketing_info = {
+                    "bridge": rec.bridge, "database": db,
+                    "fact_table": rec.fact_table,
+                    "fact_key": rec.fact_key,
+                    "bridge_table": rec.bridge_table,
+                    "bridge_key": rec.bridge_key,
+                    "join_weight": rec.join_weight,
+                    "applied": True, "already_bucketed": have}
         # realized hit-rate: replay the log through the router's
         # plan-time choice — which materialization would now serve
         # each already-served query
@@ -685,6 +727,7 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         return jsonify({
             "materialized": built,
             "already_materialized": already,
+            "bucketing": bucketing_info,
             "log_size": len(log),
             "estimated_covered_weight": sum(
                 b["est_covered_weight"] for b in built),

@@ -66,6 +66,91 @@ class Recommendation:
 
 
 @dataclass
+class BucketRecommendation:
+    """Advised bucketed layout for the fact-grain join (r12, VERDICT
+    r11 #4).  Rollups fix the AGGREGATION cost; this fixes the JOIN
+    cost — the fact ⋈ bridge join (lineitem ⋈ orders) re-hashes both
+    fact-grain tables across the cluster on every query that touches a
+    bridged dimension or measure.  Writing both sides bucketed on the
+    join key (sources/bucketing.py) removes that shuffle; the advisor's
+    job is to pick THE key from the served log: the bridge FK of the
+    most-joined bridge."""
+
+    bridge: str                       # bridge name (cube.bridges)
+    fact_table: str
+    fact_key: str                     # bucket column on the fact
+    bridge_table: str
+    bridge_key: str                   # bucket column on the bridge
+    join_weight: int                  # log entries inducing this join
+    log_size: int                     # total log entries for the cube
+
+
+def _bridges_touched(cube: Cube, qm: QueryModel) -> set:
+    """Bridge names a served query joins through — via a bridged
+    dimension it drills/cuts, or a bridged measure it aggregates.
+    Unlike _query_need this counts EVERY query (rollup-unroutable
+    queries still pay the bridge join on the base path — they are the
+    strongest bucketing demand signal, not a reason to skip)."""
+    dims: set = set()
+    for d in qm.drilldown:
+        try:
+            rd = _resolve_drill(cube, parse_drilldown(d), False)
+            dims.add(rd.dimension.name)
+        except Exception:
+            continue
+    for c in qm.cut:
+        try:
+            dims.add(_resolve_cut(cube, parse_cut(c)).dimension.name)
+        except Exception:
+            continue
+    for spec in ([qm.generate_top[0]] if getattr(qm, "generate_top",
+                                                 None) else []):
+        dims.add(spec.split(".")[0])
+    names: set = set()
+    for dn in dims:
+        try:
+            dim = cube.dimension(dn)
+        except KeyError:
+            continue
+        if getattr(dim, "bridge", None):
+            names.add(dim.bridge)
+    for mn in (list(qm.measures)
+               or [cube.default_measure.name]):
+        try:
+            m = cube.measure(mn)
+        except KeyError:
+            continue
+        if getattr(m, "bridge", None):
+            names.add(m.bridge)
+    return names
+
+
+def recommend_bucketing(cube: Cube, query_log: list[QueryModel],
+                        ) -> BucketRecommendation | None:
+    """The most-frequent fact-grain equi-join in the served log, as a
+    bucket layout: (fact, fact_key) + (bridge table, bridge_key).
+    None when the cube has no bridges or no logged query joins one."""
+    if not cube.bridges:
+        return None
+    weight: dict[str, int] = {}
+    total = 0
+    for qm in query_log:
+        if qm.cube != cube.name:
+            continue
+        total += 1
+        for b in _bridges_touched(cube, qm):
+            weight[b] = weight.get(b, 0) + 1
+    if not weight:
+        return None
+    name = max(weight, key=lambda k: (weight[k], k))
+    br = cube.bridge(name)
+    return BucketRecommendation(
+        bridge=name, fact_table=cube.fact, fact_key=br.fact_key,
+        bridge_table=br.table, bridge_key=br.bridge_key,
+        join_weight=weight[name], log_size=total)
+
+
+@dataclass
 class _Need:
     levels: frozenset
     weight: int

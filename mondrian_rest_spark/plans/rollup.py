@@ -90,7 +90,8 @@ class RollupManager:
     fact otherwise."""
 
     def __init__(self, spark: SparkSession, sf_dir: str, cat: Catalog,
-                 cube_name: str, materialize_dir: str | None = None):
+                 cube_name: str, materialize_dir: str | None = None,
+                 bucket_db: str | None = None):
         import dataclasses
         self.spark = spark
         self.sf_dir = sf_dir
@@ -99,6 +100,12 @@ class RollupManager:
         #: r10 #7) — partitioned layouts need a real path; None keeps
         #: /advisor/materialize on the in-memory persist() path
         self.materialize_dir = materialize_dir
+        #: database for advisor-driven BUCKETED base-fact layouts (r12,
+        #: VERDICT r11 #4): when set, /advisor/materialize may write
+        #: the fact + most-joined bridge table bucketed on the join key
+        #: here and route engine loads to them via MRS_BUCKETED_DB —
+        #: the co-located zero-Exchange fact join.  None disables.
+        self.bucket_db = bucket_db
         self.cube: Cube = cat.cube(cube_name)
         # build-side cube copy with one synthetic hll_sketch measure
         # per approx_count_distinct measure: rollup layouts persist

@@ -41,7 +41,8 @@ BUCKET_SPECS = {
 
 def materialize_bucketed(spark: SparkSession, sf_dir: str,
                          database: str = "bucketed",
-                         n_buckets: int = 8) -> None:
+                         n_buckets: int = 8,
+                         specs: dict[str, str] | None = None) -> None:
     """One-time ingest: write each fact-grain table bucketed+sorted on
     its join key as a managed table `{database}.{name}`.
 
@@ -49,9 +50,13 @@ def materialize_bucketed(spark: SparkSession, sf_dir: str,
     Spark only elides the shuffle when both sides hash into the same
     bucket count.  8 suits the local test scale; see module docstring
     for 100 TB sizing.
+
+    `specs` overrides the {table: bucket_key} map — the advisor derives
+    one from the served-query log (plans/advisor.recommend_bucketing);
+    the default covers the canonical TPC-H fact pair.
     """
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
-    for name, key in BUCKET_SPECS.items():
+    for name, key in (specs or BUCKET_SPECS).items():
         df = load_table(spark, sf_dir, name)
         (df.write
            .bucketBy(n_buckets, key)
@@ -59,6 +64,38 @@ def materialize_bucketed(spark: SparkSession, sf_dir: str,
            .mode("overwrite")
            .format("parquet")
            .saveAsTable(f"{database}.{name}"))
+
+
+def recommended_n_buckets(sf_dir: str, tables: list[str] | tuple | dict,
+                          target_bytes: int = 256 << 20,
+                          lo: int = 8, hi: int = 4096) -> int:
+    """Size the bucket count from the data instead of guessing (r12):
+    on-disk bytes of the LARGEST table in the join group divided by
+    the target per-bucket size (~256 MB compressed — the same
+    granularity as `spark.sql.files.maxPartitionBytes`), rounded UP to
+    a power of two (repartition-friendly splits/merges) and clamped to
+    [lo, hi].  ONE count across the group so every pair co-locates.
+    At 100 TB lineitem this lands at the hi clamp (4096); at local
+    test scale it floors at `lo` — both are the right answer."""
+    biggest = 0
+    for name in tables:
+        size = 0
+        for ext in ("parquet", "csv", "json", "orc"):
+            p = os.path.join(sf_dir, f"{name}.{ext}")
+            if os.path.isfile(p):
+                size = os.path.getsize(p)
+                break
+            if os.path.isdir(p):
+                size = sum(os.path.getsize(os.path.join(root, f))
+                           for root, _, files in os.walk(p)
+                           for f in files)
+                break
+        biggest = max(biggest, size)
+    n = max(1, -(-biggest // target_bytes))   # ceil division
+    p2 = 1
+    while p2 < n:
+        p2 *= 2
+    return max(lo, min(hi, p2))
 
 
 def load_bucketed(spark: SparkSession, name: str,

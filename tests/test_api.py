@@ -1067,3 +1067,159 @@ def test_advisor_materialize_partition_layout(spark, sf_dir, tmp_path):
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "year" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_concurrent_rest_smoke(spark, sf_dir):
+    """r12 (VERDICT r11 #5): the SparkSession, the LRU result cache,
+    and the planner's memoized member/named-set keys are process-wide
+    shared state — the reference shares ONE connection across request
+    threads the same way (api_helpers.rb:7-16).  16 threads hammer
+    /aggregate while others interleave /flush and /advisor/materialize;
+    every aggregate body must equal its serial baseline (no cross-talk
+    between concurrent queries, no torn cache entries), and after a
+    final flush the cache must be empty and repopulate coherently."""
+    import threading
+
+    from mondrian_rest_spark.plans.rollup import RollupManager
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    app = create_app(tpch.CATALOG, sf_dir, spark=spark,
+                     rollup_manager=mgr, flush_secret="s")
+    app.config["TESTING"] = True
+    c0 = app.test_client()
+    urls = [
+        "/cubes/Sales/aggregate?drilldown[]=Customer.Region"
+        "&measures[]=Revenue&nonempty=true",
+        "/cubes/Sales/aggregate?drilldown[]=Customer.Nation"
+        "&measures[]=Revenue&nonempty=true",
+        "/cubes/Sales/aggregate?drilldown[]=Time.Year"
+        "&measures[]=Quantity&nonempty=true",
+        "/cubes/Sales/aggregate?drilldown[]=Part.Brand"
+        "&measures[]=Revenue&nonempty=true",
+    ]
+    baseline = {}
+    for u in urls:
+        r = c0.get(u)
+        assert r.status_code == 200
+        baseline[u] = r.get_json()
+    errors: list = []
+
+    def agg_worker(i):
+        c = app.test_client()
+        for k in range(10):
+            u = urls[(i + k) % len(urls)]
+            r = c.get(u)
+            if r.status_code != 200:
+                errors.append((u, r.status_code))
+                return
+            if r.get_json() != baseline[u]:
+                errors.append((u, "body mismatch vs serial baseline"))
+                return
+
+    def flush_worker():
+        c = app.test_client()
+        for _ in range(6):
+            r = c.get("/flush?secret=s")
+            if r.status_code != 200:
+                errors.append(("/flush", r.status_code))
+                return
+
+    def materialize_worker():
+        c = app.test_client()
+        for _ in range(3):
+            # materialize mid-traffic: routing may flip base->rollup
+            # under concurrent aggregates, values must not change
+            r = c.post("/advisor/materialize?secret=s&max=1")
+            if r.status_code != 200:
+                errors.append(("/advisor/materialize", r.status_code))
+                return
+
+    threads = [threading.Thread(target=agg_worker, args=(i,))
+               for i in range(14)]
+    threads.append(threading.Thread(target=flush_worker))
+    threads.append(threading.Thread(target=materialize_worker))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not any(t.is_alive() for t in threads), "worker hung"
+    assert not errors, errors[:5]
+    # cache coherence: flush empties it, the stats agree, and a cold
+    # repopulation returns the same bodies
+    assert c0.get("/flush?secret=s").status_code == 200
+    cache, stats = app.extensions["mrs_result_cache"]
+    assert not cache and stats["cells"] == 0
+    for u in urls:
+        assert c0.get(u).get_json() == baseline[u]
+    assert stats["cells"] > 0 and len(cache) == len(urls)
+
+
+def test_advisor_materialize_bucketed_layout(spark, sf_dir):
+    """r12 (VERDICT r11 #4): the advisor recommends a BUCKET key — the
+    served log's most-joined bridge FK — and /advisor/materialize
+    applies it as a base-fact layout: fact + bridge written bucketed on
+    the join key, engine loads routed to the copies.  The logged join
+    query (rollup-unroutable, so it stays on the base path) then plans
+    its fact-grain join with ZERO Exchange."""
+    import os
+    import shutil
+
+    from mondrian_rest_spark.plans.rollup import RollupManager
+    db = "bucketed_advised_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales",
+                        bucket_db=db)
+    app = create_app(tpch.CATALOG, sf_dir, spark=spark,
+                     rollup_manager=mgr, flush_secret="bk-s3cr3t")
+    app.config["TESTING"] = True
+    c = app.test_client()
+    # parents=true keeps the query off every rollup (router refuses it)
+    # — exactly the query class whose join cost only a LAYOUT can fix
+    qs = ("/cubes/Sales/aggregate?drilldown[]=Customer.Nation"
+          "&measures[]=Revenue&nonempty=true&parents=true")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # fact-grain plans as a 100 TB cluster would see them: no broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        before = c.get(qs)
+        assert before.status_code == 200
+        for _ in range(2):
+            assert c.get(qs).status_code == 200
+        plan_before = "\n".join(
+            c.get(qs + "&explain=true").get_json()["plan"])
+        assert "Bucketed: true" not in plan_before
+        # no n_buckets param: the route auto-sizes from the data
+        # (recommended_n_buckets — tiny local tables floor at 8)
+        r = c.post("/advisor/materialize?secret=bk-s3cr3t&max=1")
+        assert r.status_code == 200
+        bk = r.get_json()["bucketing"]
+        assert bk is not None and bk["applied"], r.get_json()
+        assert bk == {"bridge": "orders", "database": db,
+                      "fact_table": "lineitem", "fact_key": "l_orderkey",
+                      "bridge_table": "orders", "bridge_key": "o_orderkey",
+                      "join_weight": bk["join_weight"],
+                      "applied": True, "already_bucketed": False}
+        assert bk["join_weight"] >= 3
+        assert os.environ.get("MRS_BUCKETED_DB") == db
+        plan_after = "\n".join(
+            c.get(qs + "&explain=true").get_json()["plan"])
+        # both fact-grain scans read co-located buckets ...
+        assert plan_after.count("Bucketed: true") == 2
+        # ... so the join's two re-hash Exchanges are GONE
+        assert plan_before.count("Exchange") - \
+            plan_after.count("Exchange") >= 2
+        assert "SortMergeJoin" in plan_after \
+            or "ShuffledHashJoin" in plan_after
+        # values identical on the bucketed layout
+        assert c.get(qs).get_json() == before.get_json()
+        # idempotent: re-POST reports the layout without rewriting
+        r2 = c.post("/advisor/materialize?secret=bk-s3cr3t&max=1")
+        assert r2.get_json()["bucketing"]["already_bucketed"] is True
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        os.environ.pop("MRS_BUCKETED_DB", None)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        local = wh.removeprefix("file:")
+        if local and os.path.isdir(os.path.join(local, f"{db}.db")):
+            shutil.rmtree(os.path.join(local, f"{db}.db"),
+                          ignore_errors=True)

@@ -207,3 +207,31 @@ def test_salted_join_left_outer_preserves_unmatched(spark):
     rows = sorted((r["k"], r["v"], r["rv"]) for r in got.collect())
     assert rows == [(1, "a", "x"), (1, "b", "x"), (2, "c", "y"),
                     (99, "orphan", None)]
+
+
+def test_recommended_n_buckets_sizing(tmp_path):
+    """r12: bucket-count sizing — largest table bytes / target bucket
+    size, rounded up to a power of two, clamped to [lo, hi], ONE count
+    for the whole join group."""
+    (tmp_path / "fact.parquet").write_bytes(b"x" * 5000)
+    (tmp_path / "bridge.parquet").write_bytes(b"y" * 900)
+    d = str(tmp_path)
+    # 5000 / 1024 -> ceil 5 -> pow2 8; lo=1 keeps the raw rounding
+    assert bucketing.recommended_n_buckets(
+        d, ["fact", "bridge"], target_bytes=1024, lo=1) == 8
+    # the LARGEST table drives the shared count
+    assert bucketing.recommended_n_buckets(
+        d, ["bridge"], target_bytes=1024, lo=1) == 1
+    # default floor: tiny local data still gets a sane parallel count
+    assert bucketing.recommended_n_buckets(
+        d, ["fact", "bridge"]) == 8
+    # hi clamp: a 100 TB table caps at 4096
+    assert bucketing.recommended_n_buckets(
+        d, ["fact"], target_bytes=1) == 4096
+    # directory layouts (partitioned parquet) sum their files
+    sub = tmp_path / "big.parquet"
+    sub.mkdir()
+    (sub / "part-0").write_bytes(b"z" * 3000)
+    (sub / "part-1").write_bytes(b"z" * 3000)
+    assert bucketing.recommended_n_buckets(
+        d, ["big"], target_bytes=1024, lo=1) == 8

@@ -396,6 +396,41 @@ def test_rollup_advisor_synthetic_log():
     assert recs3 == []
 
 
+def test_bucketing_advisor_synthetic_log():
+    """r12 (VERDICT r11 #4): the advisor recommends a BUCKET key — the
+    most-frequent fact-grain equi-join in the served log is the bridge
+    FK of the bridged dimensions/measures the queries touch.  Rollup-
+    unroutable queries COUNT (they pay the bridge join on the base
+    path every time); queries touching no bridge don't."""
+    from mondrian_rest_spark.plans.advisor import recommend_bucketing
+
+    bridged_dim = QueryModel(cube="Sales", measures=["Revenue"],
+                             drilldown=["Customer.Nation"])
+    bridged_unroutable = QueryModel(cube="Sales", measures=["Revenue"],
+                                    drilldown=["Customer.Nation"],
+                                    parents=True)
+    bridged_measure = QueryModel(cube="Sales",
+                                 measures=["Customer Count"],
+                                 drilldown=["Part.Brand"])
+    unbridged = QueryModel(cube="Sales", measures=["Revenue"],
+                           drilldown=["Part.Brand"])
+    other_cube = QueryModel(cube="Orders", measures=["Order Count"],
+                            drilldown=["Customer.Nation"])
+    log = ([bridged_dim] * 3 + [bridged_unroutable] * 2
+           + [bridged_measure] + [unbridged] * 10 + [other_cube] * 5)
+    rec = recommend_bucketing(tpch.SALES, log)
+    assert rec is not None
+    assert (rec.bridge, rec.fact_table, rec.fact_key,
+            rec.bridge_table, rec.bridge_key) == \
+        ("orders", "lineitem", "l_orderkey", "orders", "o_orderkey")
+    assert rec.join_weight == 6           # 3 + 2 + 1, other cube excluded
+    assert rec.log_size == 16             # Orders-cube entries excluded
+    # no bridge demand -> no recommendation
+    assert recommend_bucketing(tpch.SALES, [unbridged] * 5) is None
+    # a cube with no bridges never recommends
+    assert recommend_bucketing(tpch.ORDERS, log) is None
+
+
 def test_rollup_advisor_grains_register_and_route(spark, sf_dir):
     """End-to-end: registering the advised grain routes the hot query."""
     from mondrian_rest_spark.plans.advisor import recommend_rollups

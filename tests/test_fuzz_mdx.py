@@ -797,6 +797,18 @@ _MUTATION_SEEDS = [
     'BOTTOMCOUNT(DESCENDANTS([Customer].[Region].CurrentMember, '
     '[Customer].[Customer]), 2, [Measures].[Revenue])) ON ROWS '
     'FROM [Sales]',
+    # r12: nested GENERATE — mutated variants (wrong nesting depth,
+    # wrong dimension, dangling parens) must 400, never 500
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY GENERATE([Customer].[Region].Members, '
+    'GENERATE([Customer].[Region].CurrentMember.Children, '
+    'TOPCOUNT([Customer].[Nation].CurrentMember.Children, 2, '
+    '[Measures].[Revenue]))) ON ROWS FROM [Sales]',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY GENERATE([Customer].[Region].Members, '
+    'GENERATE(DESCENDANTS([Customer].[Region].CurrentMember, '
+    '[Customer].[Nation]), TAIL([Customer].[Nation].CurrentMember'
+    '.Children, 2))) ON ROWS FROM [Sales]',
     'SELECT {[Measures].[Revenue]} ON COLUMNS, '
     'NON EMPTY VISUALTOTALS({[Customer].[Region].[&1], '
     '[Customer].[Nation].[&1], [Customer].[Nation].[&6]}) ON ROWS '
@@ -967,6 +979,64 @@ def test_generate_topcount_matches_qualify_oracle(spark, sf_dir, duck, case):
         QUALIFY row_number() OVER (PARTITION BY {pk_alias}
                                    ORDER BY {m_alias} {direction},
                                             {ck_alias}) <= {n}""").fetchdf()
+    assert sorted(got.columns) == sorted(exp.columns)
+    a, b = canon(got), canon(exp)
+    assert len(a) == len(b)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            ok = ((av.isna() & bv.isna()) |
+                  ((av - bv).abs() <= 1e-9 + 1e-9 * bv.abs()))
+        else:
+            ok = (av.isna() & bv.isna()) | (av.astype(object) ==
+                                            bv.astype(object))
+        assert bool(ok.all()), f"col {c} diverges ({case})"
+
+
+_NESTED_GENERATE_CASES = [
+    ("children", 2, "Revenue", False),
+    ("children", 3, "Quantity", True),
+    ("descendants", 2, "Revenue", False),
+    ("descendants", 1, "Line Count", False),
+]
+
+
+@pytest.mark.parametrize("case", _NESTED_GENERATE_CASES)
+def test_nested_generate_matches_qualify_oracle(spark, sf_dir, duck, case):
+    """r12 (VERDICT r11 #6): nested GENERATE collapses to the inner
+    window — every (nav form, n, measure, direction) combination must
+    match the per-NATION QUALIFY oracle (i.e. the flattened query's
+    oracle), since the outer Region loop unions to the full Nation
+    member set."""
+    nav, n, by, bottom = case
+    from mondrian_rest_spark.mdx import execute_mdx
+    fn = "BOTTOMCOUNT" if bottom else "TOPCOUNT"
+    inner = (f"{fn}([Customer].[Nation].CurrentMember.Children, {n}, "
+             f"[Measures].[{by}])")
+    if nav == "children":
+        outer_nav = "[Customer].[Region].CurrentMember.Children"
+    else:
+        outer_nav = ("DESCENDANTS([Customer].[Region].CurrentMember, "
+                     "[Customer].[Nation])")
+    got = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        f"SELECT {{[Measures].[{by}]}} ON COLUMNS, "
+        f"NON EMPTY GENERATE([Customer].[Region].Members, "
+        f"GENERATE({outer_nav}, {inner})) ON ROWS FROM [Sales]"
+    ).toPandas()
+    m_alias, m_expr = MEASURES[by]
+    direction = "ASC" if bottom else "DESC"
+    exp = duck.execute(f"""
+        WITH agg AS (
+          SELECT cn.n_nationkey AS cust_nation_key,
+                 cn.n_name AS cust_nation,
+                 c.c_custkey, c.c_name,
+                 {m_expr} AS {m_alias}
+          {STAR} GROUP BY 1, 2, 3, 4)
+        SELECT * FROM agg
+        QUALIFY row_number() OVER (PARTITION BY cust_nation_key
+                                   ORDER BY {m_alias} {direction},
+                                            c_custkey) <= {n}""").fetchdf()
     assert sorted(got.columns) == sorted(exp.columns)
     a, b = canon(got), canon(exp)
     assert len(a) == len(b)

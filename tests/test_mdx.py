@@ -2982,6 +2982,50 @@ def test_mdx_nested_generate_flattens(spark, sf_dir):
     assert back.generate_top == qm.generate_top
 
 
+def test_mdx_generate_x_topcount_axis(spark, sf_dir):
+    """r12 (the q101 argument applied to GENERATE): beside a
+    TOPCOUNT-as-set axis, Mondrian evaluates both sets pre-crossjoin —
+    the GENERATE per-parent selection must rank over the SLICER
+    context (all years), not the TOPCOUNT-selected slice, while cell
+    values stay restricted to the selected years."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) * TOPCOUNT([Time].[Year].Members, 2, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]").collect()
+    nat = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) ON ROWS FROM [Sales]").collect()
+    yr = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPCOUNT([Time].[Year].Members, 2, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]").collect()
+    want_nations = {(r["cust_region_key"], r["cust_nation_key"])
+                    for r in nat}
+    want_years = {r["year"] for r in yr}
+    got_nations = {(r["cust_region_key"], r["cust_nation_key"])
+                   for r in rows}
+    assert got_nations == want_nations      # rank basis ignores years
+    assert {r["year"] for r in rows} <= want_years
+    # cell values equal the plain crossjoin restricted to both sets
+    full = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY CROSSJOIN([Customer].[Nation].Members, "
+        "[Time].[Year].Members) ON ROWS FROM [Sales]").collect()
+    want_vals = {(r["cust_nation_key"], r["year"]): r["revenue"]
+                 for r in full}
+    for r in rows:
+        assert r["revenue"] == want_vals[(r["cust_nation_key"],
+                                          r["year"])]
+
+
 def test_mdx_nested_generate_rejections(spark, sf_dir):
     for mdx, msg in [
         # Lmid not the IMMEDIATE child of L1 in the .Children form

@@ -1645,6 +1645,44 @@ def test_jaccard_spill_minhash_degraded_mode(spark):
     assert all(not r.approximate for r in all_exact)
 
 
+def test_jaccard_spill_frames_stay_persisted(spark):
+    """r12 (VERDICT r11 #2): the d11 static plan shows ~32 parquet
+    scans of the docs table, but real execution reuses the persisted
+    shingle/prefix/hot frames — explain can't show that, so an
+    unpersist REGRESSION would be invisible in the PLANS.md audit.
+    Tripwire: every request-tagged frame must carry a real storage
+    level, and the executed plan must read from the cache."""
+    rows = [(2 * i, f"alpha beta gamma tail{i}") for i in range(50)]
+    rows += [(2 * i + 1, f"alpha beta gamma tail{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = dedup.neardup_jaccard_spill_minhash(
+        df, threshold=0.5, max_candidates_per_prefix=20)
+    tagged = getattr(q, "_mrs_request_persisted", [])
+    # sh + prefix + hot_g + hot_docs + the LSH lane's internal frames
+    assert len(tagged) >= 6, [str(f) for f in tagged]
+    for f in tagged:
+        lvl = f.storageLevel
+        assert lvl.useMemory or lvl.useDisk, \
+            f"request frame not persisted: {f}"
+    assert q.count() > 0
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    dedup.unpersist_request_frames(q)
+    for f in tagged:
+        lvl = f.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
+    # the no-spill path persists (and tags) sh + prefix the same way
+    small = spark.createDataFrame(rows[:4], ["doc_id", "text"])
+    q2 = dedup.neardup_jaccard_spill_minhash(
+        small, threshold=0.5, max_candidates_per_prefix=1000)
+    tagged2 = getattr(q2, "_mrs_request_persisted", [])
+    assert len(tagged2) >= 2
+    for f in tagged2:
+        lvl = f.storageLevel
+        assert lvl.useMemory or lvl.useDisk
+    dedup.unpersist_request_frames(q2)
+
+
 def test_jaccard_spill_auto_sizes_lsh_for_target_recall(spark):
     """r12 (VERDICT r11 #7): the spill path accepts auto/target_recall
     and the auto-sized LSH meets the target recall ON THE HOT SET —
