@@ -2982,6 +2982,30 @@ def test_mdx_nested_generate_flattens(spark, sf_dir):
     assert back.generate_top == qm.generate_top
 
 
+def test_mdx_virtual_nested_generate(spark, sf_dir):
+    """Nested GENERATE virtualizes for free: the collapse happens at
+    parse time, so the drill-across path sees the same generate_top a
+    flat GENERATE produces — nested and flat must be row-identical on
+    the virtual cube."""
+    flat = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY GENERATE([Customer].[Nation].Members, "
+        "TOPCOUNT([Customer].[Nation].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    nested = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY GENERATE([Customer].[Region].Members, "
+        "GENERATE([Customer].[Region].CurrentMember.Children, "
+        "TOPCOUNT([Customer].[Nation].CurrentMember.Children, 2, "
+        "[Measures].[Revenue]))) ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    assert sorted(map(tuple, nested)) == sorted(map(tuple, flat))
+    assert len(flat) > 0
+
+
 def test_mdx_generate_x_topcount_axis(spark, sf_dir):
     """r12 (the q101 argument applied to GENERATE): beside a
     TOPCOUNT-as-set axis, Mondrian evaluates both sets pre-crossjoin —
