@@ -605,6 +605,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "[Measures].[Revenue])) * TOPCOUNT([Time].[Year].Members, 2, "
         "[Measures].[Revenue]) ON ROWS FROM [Sales]")
 
+    # GENERATE x TOPCOUNT on a VIRTUAL cube (r12): the drill-across
+    # path rewrites the TOPCOUNT axis into a member-set cut; the
+    # GENERATE rank basis must EXCLUDE it (Mondrian evaluates sets in
+    # the slicer context) — a (region, nation)-grain sub-aggregate of
+    # the ranking measure's owning cube (Orders), while cell values
+    # keep the year restriction on both cubes
+    q["q104_mdx_virtual_generate_x_topcount"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Total Price])) * TOPCOUNT([Time].[Year].Members, "
+        "2, [Measures].[Revenue]) ON ROWS FROM [Orders and Sales]")
+
     # Nested GENERATE (r12, VERDICT r11 #6): GENERATE(L1.Members,
     # GENERATE(L1.CurrentMember.Children, inner)) collapses EXACTLY to
     # GENERATE(Lmid.Members, inner) — the outer iterates the FULL L1
@@ -2508,6 +2523,52 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY cust_region_key
                                        ORDER BY revenue DESC,
                                                 cust_nation_key) <= 2""",
+
+        "q104_mdx_virtual_generate_x_topcount": f"""
+            WITH yr AS (
+              SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+                     {REVENUE} AS rev
+              FROM lineitem GROUP BY 1
+              ORDER BY rev DESC, y ASC LIMIT 2),
+            basis AS (
+              SELECT r_regionkey AS rk, n_nationkey AS nk,
+                     {DEC('o_totalprice')} AS tp
+              FROM {J_ORD_CUST} GROUP BY 1, 2),
+            keep AS (
+              SELECT rk, nk FROM (
+                SELECT rk, nk, ROW_NUMBER() OVER (
+                  PARTITION BY rk ORDER BY tp DESC, nk ASC) AS rn
+                FROM basis) WHERE rn <= 2),
+            s AS (
+              SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+                     r_regionkey AS rk, r_name AS rname,
+                     n_nationkey AS nk, n_name AS nname,
+                     {REVENUE} AS revenue
+              FROM {J_CUST}
+              WHERE CAST(year(l_shipdate) AS INTEGER)
+                    IN (SELECT y FROM yr)
+                AND (r_regionkey, n_nationkey)
+                    IN (SELECT (rk, nk) FROM keep)
+              GROUP BY 1, 2, 3, 4, 5),
+            o AS (
+              SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+                     r_regionkey AS rk, r_name AS rname,
+                     n_nationkey AS nk, n_name AS nname,
+                     {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST}
+              WHERE CAST(year(o_orderdate) AS INTEGER)
+                    IN (SELECT y FROM yr)
+                AND (r_regionkey, n_nationkey)
+                    IN (SELECT (rk, nk) FROM keep)
+              GROUP BY 1, 2, 3, 4, 5)
+            SELECT COALESCE(s.y, o.y) AS "year",
+                   COALESCE(s.rk, o.rk) AS cust_region_key,
+                   COALESCE(s.rname, o.rname) AS cust_region,
+                   COALESCE(s.nk, o.nk) AS cust_nation_key,
+                   COALESCE(s.nname, o.nname) AS cust_nation,
+                   s.revenue, o.total_price
+            FROM s FULL OUTER JOIN o
+              ON s.y = o.y AND s.rk = o.rk AND s.nk = o.nk""",
 
         "q103_mdx_generate_x_topcount": f"""
             WITH yr AS (

@@ -829,6 +829,40 @@ def _set_agg_fact_side(c, m: Measure) -> bool:
     return fn == "sum" and m.agg == "count"
 
 
+def _validate_generate_nested(cube: Cube, qm: QueryModel, g_path: str,
+                              dim, hier, level, idx: int) -> None:
+    """Nested GENERATE (r12): the parser flattened GENERATE(L1.Members,
+    GENERATE(<nav to Lmid>, inner)) to GENERATE(Lmid.Members, inner) —
+    exact because the outer iterates the FULL L1 level and the union of
+    every L1 member's children/descendants at Lmid is Lmid's full
+    member set.  Validate the ancestry the flattening relied on; called
+    from BOTH the base-cube gen_specs loop and the virtual drill-across
+    branch (the surfaces must reject identically)."""
+    for nst_flat, nst_path, nst_mode in \
+            getattr(qm, "generate_nested", []) or []:
+        if nst_flat != g_path:
+            continue
+        nsegs = nst_path.split(".")
+        ndim, nhier, nlevel = _resolve_level(
+            cube, nsegs[0], nsegs[1] if len(nsegs) == 3 else None,
+            nsegs[-1])
+        if ndim.name != dim.name or nhier.name != hier.name:
+            raise ParseError(
+                f"nested GENERATE outer level {nlevel.name!r} must "
+                f"be on the same hierarchy as {level.name!r}")
+        nidx = nhier.level_index(nlevel.name)
+        if nst_mode == "children" and nidx + 1 != idx:
+            raise ParseError(
+                f"nested GENERATE: {level.name!r} is not the "
+                f"immediate child level of {nlevel.name!r} (the "
+                ".Children navigation would be vacuous)")
+        if nst_mode == "descendants" and nidx >= idx:
+            raise ParseError(
+                f"nested GENERATE: DESCENDANTS level "
+                f"{level.name!r} must be below the outer level "
+                f"{nlevel.name!r}")
+
+
 def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                     qm: QueryModel, fact_df: DataFrame | None = None) -> DataFrame:
     ns_names = {s.name for s in cube.named_sets}
@@ -1540,35 +1574,8 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 raise ParseError(
                     f"GENERATE: DESCENDANTS level {g_target!r} must "
                     f"be below the outer level {level.name!r}")
-        # nested GENERATE (r12): the parser flattened
-        # GENERATE(L1.Members, GENERATE(<nav to Lmid>, inner)) to
-        # GENERATE(Lmid.Members, inner) — exact because the outer
-        # iterates the FULL L1 level and the union of every L1
-        # member's children/descendants at Lmid is Lmid's full member
-        # set.  Validate the ancestry the flattening relied on.
-        for nst_flat, nst_path, nst_mode in \
-                getattr(qm, "generate_nested", []) or []:
-            if nst_flat != g_path:
-                continue
-            nsegs = nst_path.split(".")
-            ndim, nhier, nlevel = _resolve_level(
-                cube, nsegs[0], nsegs[1] if len(nsegs) == 3 else None,
-                nsegs[-1])
-            if ndim.name != dim.name or nhier.name != hier.name:
-                raise ParseError(
-                    f"nested GENERATE outer level {nlevel.name!r} must "
-                    f"be on the same hierarchy as {level.name!r}")
-            nidx = nhier.level_index(nlevel.name)
-            if nst_mode == "children" and nidx + 1 != idx:
-                raise ParseError(
-                    f"nested GENERATE: {level.name!r} is not the "
-                    f"immediate child level of {nlevel.name!r} (the "
-                    ".Children navigation would be vacuous)")
-            if nst_mode == "descendants" and nidx >= idx:
-                raise ParseError(
-                    f"nested GENERATE: DESCENDANTS level "
-                    f"{level.name!r} must be below the outer level "
-                    f"{nlevel.name!r}")
+        _validate_generate_nested(cube, qm, g_path, dim, hier, level,
+                                  idx)
         if any(rd.dimension.name == dim.name for rd in drills):
             raise ParseError(
                 f"GENERATE over dimension {dim.name!r} cannot be "
@@ -3739,6 +3746,7 @@ def _virtualize_time_nav(spark: SparkSession, sf_dir: str, cat: Catalog,
     # --- WITH SET (TOPCOUNT/BOTTOMCOUNT form): rank on the measure's
     # --- owning base cube, then rewrite set references into the
     # --- level drilldown + a memoized IN-literal member-set cut ---
+    axis_sel_cuts: list[str] = []
     if qm.with_sets:
         from .catalog import NamedSet
         for name, level_path, k, top_by, ascending in qm.with_sets:
@@ -3775,6 +3783,9 @@ def _virtualize_time_nav(spark: SparkSession, sf_dir: str, cat: Catalog,
                     drilldown[i] = f"{dim.name}.{level.name}"
                     if keys:
                         cut.append(set_cut)
+                        # an AXIS selection, not slicer context (r12):
+                        # GENERATE/DDLTOP rank bases must exclude it
+                        axis_sel_cuts.append(set_cut)
                     else:
                         empty_set = True   # valid Mondrian: empty axis
             for i, c in enumerate(list(cut)):
@@ -3788,7 +3799,9 @@ def _virtualize_time_nav(spark: SparkSession, sf_dir: str, cat: Catalog,
     return dataclasses.replace(
         qm, drilldown=drilldown, cut=cut, lastperiods=[],
         member_lags=[], periods_to_date=[], with_sets=[],
-        empty_set=empty_set, empty_slicer=empty_slicer)
+        empty_set=empty_set, empty_slicer=empty_slicer,
+        vc_axis_sel_cuts=list(getattr(qm, "vc_axis_sel_cuts", []))
+        + axis_sel_cuts)
 
 
 def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
@@ -3895,6 +3908,11 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                 raise ParseError(
                     f"GENERATE: DESCENDANTS level {g_target!r} must be "
                     f"below the outer level {g_level.name!r}")
+        # nested-GENERATE ancestry must reject identically to the base
+        # path (r12: without this, an invalid nesting silently ran the
+        # flattened query on virtual cubes while 400ing on base cubes)
+        _validate_generate_nested(gcube, qm, g_path, g_dim, g_hier,
+                                  g_level, g_idx)
         for d in qm.drilldown:
             parsed = parse_drilldown(d)
             if isinstance(parsed, DrilldownSpec) and \
@@ -4197,7 +4215,42 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
             others = [c for c in group_cols
                       if c not in child_cols and c not in parent_cols
                       and not c.startswith("__gs_subtotal_")]
-            if others:
+            sel_cuts_g = set(getattr(qm, "vc_axis_sel_cuts", []) or [])
+            if others and sel_cuts_g:
+                # co-axis WITH SET / TOPCOUNT selection rewritten into
+                # a member-set cut: the displayed marginal is
+                # restricted by it, but Mondrian ranks DDLTOP in the
+                # SLICER context (r12 — same argument as the GENERATE
+                # window below and the base path's q101).  Rank by a
+                # (parent, child)-grain sub-aggregate of the measure's
+                # owning cube with the selection cuts excluded.
+                owner = next((c for c in cubes
+                              if _has_measure(c, mname)), None)
+                if owner is None:
+                    raise ParseError(
+                        f"DRILLDOWNLEVELTOP/BOTTOM measure {mname!r} "
+                        "must be a base measure when composed with a "
+                        "TOPCOUNT axis (calculated members have no "
+                        "pre-crossjoin rank basis)")
+                child_spec = ".".join(segs[:-1] + [child_lv.name])
+                qm_rank = QueryModel(
+                    cube=owner.name, measures=[mname],
+                    drilldown=[child_spec],
+                    cut=[c for c in qm.cut if c not in sel_cuts_g],
+                    nonempty=True, parents=True)
+                rank_src = _aggregate_cube(spark, sf_dir, owner,
+                                           qm_rank)
+                rank_src = rank_src.select(
+                    F.col(parent_lv.key_alias).alias("__rbp__"),
+                    F.col(child_lv.key_alias).alias("__rbc__"),
+                    F.col(ocol).alias("__gs_marg__"))
+                out = (out.join(
+                    rank_src,
+                    (F.col(parent_lv.key_alias) == F.col("__rbp__"))
+                    & (F.col(child_lv.key_alias) == F.col("__rbc__")),
+                    "left").drop("__rbp__", "__rbc__"))
+                rcol, rank_fn = "__gs_marg__", F.dense_rank()
+            elif others:
                 m_obj = next((m for c in cubes for m in c.measures
                               if m.name == mname), None)
                 if m_obj is None or m_obj.agg not in ("sum", "count"):
@@ -4509,7 +4562,48 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                      if lv.key_alias not in dest]
         part = [a for a in own_keys if a not in child_keys]
         marginal = bool(other_keys)
-        if marginal and g_m is not None:
+        sel_cuts = set(getattr(qm, "vc_axis_sel_cuts", []) or [])
+        if g_m is not None and sel_cuts:
+            # a co-axis WITH SET / TOPCOUNT selection was rewritten
+            # into a member-set cut — the displayed cells (and thus
+            # the marginal) are restricted by it, but Mondrian
+            # evaluates GENERATE's set in the SLICER context (r12, the
+            # q103 argument on the drill-across path).  Rank by a
+            # separate (parent, child)-grain sub-aggregate of the
+            # ranking measure's OWNING cube with the axis-selection
+            # cuts excluded: an exact pre-crossjoin cell, valid for
+            # ANY base aggregator (the measure's own agg runs at the
+            # rank grain).
+            owner = next((c for c in cubes if _has_measure(c, g_m)),
+                         None)
+            if owner is None:
+                raise ParseError(
+                    f"GENERATE ranking measure {g_m!r} must be a base "
+                    "measure when composed with a TOPCOUNT axis on a "
+                    "virtual cube (calculated members have no "
+                    "pre-crossjoin rank basis)")
+            gsegs = qm.generate_top[0].split(".")
+            child_spec = ".".join(gsegs[:-1] + [g_child.name])
+            qm_rank = QueryModel(
+                cube=owner.name, measures=[g_m],
+                drilldown=[child_spec],
+                cut=[c for c in qm.cut if c not in sel_cuts],
+                nonempty=True, parents=True)
+            rank_src = _aggregate_cube(spark, sf_dir, owner, qm_rank)
+            rank_src = rank_src.select(
+                *[F.col(a).alias(f"__rb{i}__")
+                  for i, a in enumerate(own_keys)],
+                F.col(_valias(g_m)).alias("__gen_m"))
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(k) == F.col(f"__rb{i}__")
+                 for i, k in enumerate(own_keys)])
+            out = (out.join(rank_src, cond, "left")
+                      .drop(*[f"__rb{i}__"
+                              for i in range(len(own_keys))]))
+            g_ocol = "__gen_m"
+            marginal = True      # dense_rank below; basis is exact
+        elif marginal and g_m is not None:
             # Mondrian evaluates GENERATE's TOPCOUNT pre-crossjoin:
             # with other dimensions drilled, rank by the per-(parent,
             # child) MARGINAL — the sum of this pair's cells across

@@ -153,6 +153,15 @@ class QueryModel:
     # strictly deeper level on the same hierarchy.  One nesting level
     # only; deeper nesting is a clear 400.
     generate_nested: list = field(default_factory=list)
+    # INTERNAL (r12): cut strings that came from AXIS set selections
+    # (WITH SET / inline TOPCOUNT drilldowns) rewritten by the virtual
+    # drill-across path into plain member-set cuts.  Mondrian evaluates
+    # every axis set pre-crossjoin in the SLICER context, so a
+    # GENERATE/DDLTOP rank basis must EXCLUDE these cuts (they are
+    # co-axis selections, not context) while cell values keep them.
+    # The base-cube path gets the same distinction from implicit
+    # named-set cuts; the virtual rewrite loses it without this marker.
+    vc_axis_sel_cuts: list = field(default_factory=list)
     # Grouping-sets (mixed-depth) axes from raw MDX —
     # DRILLDOWNLEVEL / DRILLDOWNMEMBER / VISUALTOTALS (r10 generalizes
     # r9's one-per-QUERY cap to one-per-DIMENSION, VERDICT r9 #4).

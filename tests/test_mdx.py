@@ -3006,6 +3006,79 @@ def test_mdx_virtual_nested_generate(spark, sf_dir):
     assert len(flat) > 0
 
 
+def test_mdx_virtual_generate_x_topcount_axis(spark, sf_dir):
+    """r12: GENERATE beside a TOPCOUNT-as-set axis on a VIRTUAL cube —
+    the co-axis selection is rewritten into a member-set cut by the
+    drill-across path, but Mondrian evaluates GENERATE's set in the
+    SLICER context: the per-region selection must equal the sole-axis
+    GENERATE's (before this fix the rank basis was the restricted
+    marginal), and cell values stay restricted to the selected years."""
+    mdx_x = ("SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+             "ON COLUMNS, NON EMPTY GENERATE([Customer].[Region].Members, "
+             "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+             "[Measures].[Total Price])) * TOPCOUNT([Time].[Year].Members, "
+             "2, [Measures].[Revenue]) ON ROWS FROM [Orders and Sales]")
+    rows = execute_mdx(spark, sf_dir, tpch.CATALOG, mdx_x).collect()
+    sole = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Total Price])) ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    yr = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPCOUNT([Time].[Year].Members, 2, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]").collect()
+    assert {(r["cust_region_key"], r["cust_nation_key"]) for r in rows} \
+        == {(r["cust_region_key"], r["cust_nation_key"]) for r in sole}
+    assert {r["year"] for r in rows} <= {r["year"] for r in yr}
+    # values: the plain crossjoin restricted to both selections
+    full = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY CROSSJOIN([Customer].[Nation].Members, "
+        "[Time].[Year].Members) ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    want = {(r["cust_nation_key"], r["year"]):
+            (r["revenue"], r["total_price"]) for r in full}
+    for r in rows:
+        assert (r["revenue"], r["total_price"]) == \
+            want[(r["cust_nation_key"], r["year"])]
+
+
+def test_mdx_virtual_ddltop_x_topcount_axis(spark, sf_dir):
+    """r12: DRILLDOWNLEVELTOP beside a TOPCOUNT-as-set axis on a
+    VIRTUAL cube ranks children in the SLICER context — the kept
+    (parent, child) pairs must equal the sole-axis DDLTOP's, subtotal
+    rows stay put, and values stay restricted to the selected years."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY DRILLDOWNLEVELTOP("
+        "[Customer].[Region].Members, 2, [Measures].[Total Price]) * "
+        "TOPCOUNT([Time].[Year].Members, 2, [Measures].[Revenue]) "
+        "ON ROWS FROM [Orders and Sales]").collect()
+    sole = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY DRILLDOWNLEVELTOP("
+        "[Customer].[Region].Members, 2, [Measures].[Total Price]) "
+        "ON ROWS FROM [Orders and Sales]").collect()
+    def pairs(rs):
+        return {(r["cust_region_key"], r["cust_nation_key"])
+                for r in rs if r["cust_nation_key"] is not None}
+    assert pairs(rows) == pairs(sole)
+    # every (region, year) keeps its subtotal row
+    kept_years = {r["year"] for r in rows}
+    for y in kept_years:
+        subtotals = {r["cust_region_key"] for r in rows
+                     if r["year"] == y and r["cust_nation_key"] is None}
+        assert subtotals == {r["cust_region_key"] for r in rows
+                             if r["year"] == y}
+
+
 def test_mdx_generate_x_topcount_axis(spark, sf_dir):
     """r12 (the q101 argument applied to GENERATE): beside a
     TOPCOUNT-as-set axis, Mondrian evaluates both sets pre-crossjoin —
