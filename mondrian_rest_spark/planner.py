@@ -142,12 +142,60 @@ def _coerce(value: str):
         return value
 
 
-def _cut_predicate(rc: ResolvedCut):
+def _coerce_for(value: str, dtype) -> object:
+    """Plan-time typed coercion of a cut value against the key
+    column's Spark type (r12, REST fuzz finding): without this, a
+    malformed key like ``[Time].[Year].[&abc]`` builds
+    ``bigint_col == 'abc'`` and ANSI mode kills the JOB at runtime
+    (CAST_INVALID_INPUT) — a 500 on the REST surface and a failed
+    100 TB job on the library surface.  Mondrian maps the equivalent
+    member-resolution failure to a client error (api_helpers.rb:42-54),
+    so a value that cannot be the column's type is a clear 400 here."""
+    from pyspark.sql import types as T
+    v = _coerce(value)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                          T.LongType)):
+        if isinstance(v, str) or (isinstance(v, float)
+                                  and not v.is_integer()):
+            # '2.5' must NOT silently truncate to key 2
+            raise ParseError(
+                f"cut value {value!r} is not a valid key for an "
+                "integer-keyed level")
+        return int(v)
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        if isinstance(v, str):
+            raise ParseError(
+                f"cut value {value!r} is not a valid key for a "
+                "numeric-keyed level")
+        return float(v)
+    if isinstance(dtype, T.DateType):
+        import datetime
+        try:
+            return datetime.date.fromisoformat(str(value))
+        except ValueError:
+            raise ParseError(
+                f"cut value {value!r} is not a valid key for a "
+                "date-keyed level (expected YYYY-MM-DD)") from None
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        import datetime
+        try:
+            return datetime.datetime.fromisoformat(str(value))
+        except ValueError:
+            raise ParseError(
+                f"cut value {value!r} is not a valid key for a "
+                "timestamp-keyed level (expected ISO 8601)") from None
+    return v
+
+
+def _cut_predicate(rc: ResolvedCut, schema=None):
     """Cut -> Spark boolean Column over the level's alias columns.
 
     member/set/range cuts (reference query_helper.rb:44-72); applied
     pre-aggregation so Catalyst pushes them onto the dim-side scan.
-    """
+    With ``schema`` (the filtered frame's StructType), cut values
+    coerce against the key column's real type at PLAN time — a
+    type-impossible value 400s instead of failing the job in ANSI
+    mode (see _coerce_for)."""
     level = rc.level
     cut = rc.cut
     members = cut.members
@@ -157,19 +205,29 @@ def _cut_predicate(rc: ResolvedCut):
             return F.col(level.key_alias)
         return F.col(level.caption_alias)
 
+    def val_for(ref: MemberRef):
+        alias = (level.key_alias
+                 if ref.by_key or not (level.caption
+                                       and level.caption_alias)
+                 else level.caption_alias)
+        if schema is not None and alias in schema.names:
+            return _coerce_for(ref.value, schema[alias].dataType)
+        return _coerce(ref.value)
+
     if cut.kind == "member":
-        return col_for(members[0]) == F.lit(_coerce(members[0].value))
+        return col_for(members[0]) == F.lit(val_for(members[0]))
     if cut.kind == "set":
-        return col_for(members[0]).isin([_coerce(m.value) for m in members])
+        return col_for(members[0]).isin([val_for(m) for m in members])
     if cut.kind == "exclude":
         # EXCEPT(<level>.Members, {...}): keep everything else.  NULL
         # keys (facts with no matching member) stay excluded, same as
         # every positive cut — the axis only ever enumerates members.
-        return ~col_for(members[0]).isin([_coerce(m.value)
+        return ~col_for(members[0]).isin([val_for(m)
                                           for m in members])
     if cut.kind == "range":
         lo, hi = members
-        return col_for(lo).between(F.lit(_coerce(lo.value)), F.lit(_coerce(hi.value)))
+        return col_for(lo).between(F.lit(val_for(lo)),
+                                   F.lit(val_for(hi)))
     raise ParseError(f"unsupported cut kind {cut.kind!r}")
 
 
@@ -1917,7 +1975,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     pred_cuts = [rc for rc in cuts if rc.cut.kind != "named_set"]
     ns_cuts = [rc for rc in cuts if rc.cut.kind == "named_set"]
     for rc in pred_cuts:
-        base = base.filter(_cut_predicate(rc))
+        base = base.filter(_cut_predicate(rc, base.schema))
     for _, alias, fop, fval in prop_filter_preds:
         base = base.filter(_cmp_pred(alias, fop, fval))
     implicit_ns = set(implicit_ns_cuts)
@@ -2204,7 +2262,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     for c, rc, m in ml_set_aggs:
         ml_groups.setdefault((c.set_cut, c.set_of), (rc, m, []))[2].append(c)
     for rc, m, cs in ml_groups.values():
-        mv = (base.filter(_cut_predicate(rc))
+        mv = (base.filter(_cut_predicate(rc, base.schema))
                   .groupBy(*(group_cols + [rc.level.key_alias]))
                   .agg(_agg_expr(m)))
         outers = [_SET_MEMBER_FNS[c.set_fn](F.col(m.alias)).alias(c.alias)
@@ -2533,6 +2591,13 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         # not the fact, so it is O(result), and it doubles as the
         # total order pagination needs.
         out = out.orderBy(*[F.asc(a) for a in key_aliases])
+    if qm.offset is not None and qm.offset < 0:
+        raise ParseError(f"offset must be >= 0, got {qm.offset}")
+    if qm.limit is not None and qm.limit < 0:
+        # reference Grape-coerced Integer params reject negatives with
+        # a 400; without this a negative limit reaches DataFrame.limit
+        # and surfaces as an AnalysisException 500 (r12 REST fuzz)
+        raise ParseError(f"limit must be >= 0, got {qm.limit}")
     if qm.offset:
         out = out.offset(qm.offset)
     if qm.limit is not None:
@@ -2749,7 +2814,7 @@ def members_frame(spark: SparkSession, sf_dir: str, cube: Cube, rd: ResolvedDril
             cols.append(F.expr(cap).alias(lv.caption_alias))
         mf = mf.select(*cols)
         for rc in restrict or []:
-            mf = mf.filter(_cut_predicate(rc))
+            mf = mf.filter(_cut_predicate(rc, mf.schema))
         return mf
     if dim.is_degenerate:
         base = load_table(spark, sf_dir, cube.fact)
@@ -2760,14 +2825,14 @@ def members_frame(spark: SparkSession, sf_dir: str, cube: Cube, rd: ResolvedDril
             base = _with_level_cols(base, lv,
                                     (caption_overrides or {}).get((dim.name, lv.name)))
         for rc in restrict or []:
-            base = base.filter(_cut_predicate(rc))
+            base = base.filter(_cut_predicate(rc, base.schema))
         for lv in ragged:
             base = base.filter(_ragged_pred(rd.hierarchy, lv))
         return base.select(*out_cols).distinct()
     dsel = _dim_select(spark, sf_dir, dim, build_levels, props or [],
                        caption_overrides or {})
     for rc in restrict or []:
-        dsel = dsel.filter(_cut_predicate(rc))
+        dsel = dsel.filter(_cut_predicate(rc, dsel.schema))
     for lv in ragged:
         dsel = dsel.filter(_ragged_pred(rd.hierarchy, lv))
     if restrict or ragged_extra:
@@ -2821,7 +2886,7 @@ def _dense_axis_frame(spark, sf_dir, cube, rd, ai, pred_cuts, ns_cuts,
     for rc in pred_cuts:
         if rc.dimension.name == rd.dimension.name and \
                 rc.level.key_alias in mf.columns:
-            mf = mf.filter(_cut_predicate(rc))
+            mf = mf.filter(_cut_predicate(rc, mf.schema))
     for dname, alias, fop, fval in (prop_filters or []):
         # member-property FILTER restricts the axis SET, so the
         # dense member frame drops the excluded members (unlike
@@ -4715,6 +4780,13 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                           *[F.asc(a) for a in key_aliases if a != ocol])
     elif key_aliases:
         out = out.orderBy(*[F.asc(a) for a in key_aliases])
+    if qm.offset is not None and qm.offset < 0:
+        raise ParseError(f"offset must be >= 0, got {qm.offset}")
+    if qm.limit is not None and qm.limit < 0:
+        # reference Grape-coerced Integer params reject negatives with
+        # a 400; without this a negative limit reaches DataFrame.limit
+        # and surfaces as an AnalysisException 500 (r12 REST fuzz)
+        raise ParseError(f"limit must be >= 0, got {qm.limit}")
     if qm.offset:
         out = out.offset(qm.offset)
     if qm.limit is not None:

@@ -1223,3 +1223,53 @@ def test_advisor_materialize_bucketed_layout(spark, sf_dir):
         if local and os.path.isdir(os.path.join(local, f"{db}.db")):
             shutil.rmtree(os.path.join(local, f"{db}.db"),
                           ignore_errors=True)
+
+
+def test_rest_param_fuzz_never_500s(client):
+    """r12: the REST error surface is 200/400/404 — no combination of
+    well-formed-or-garbage aggregate params may escape the ParseError/
+    KeyError handlers as a 500 (the reference pins the same contract,
+    api_spec.rb error! paths).  Deterministic grid over the param
+    pools, including cross-pool interactions the unit tests don't
+    enumerate."""
+    import itertools
+
+    drill_pool = ["Customer.Nation", "Time.Year", "Part.Brand",
+                  "Nope.Nope", "Customer", "Customer.Nation.Extra",
+                  "", "Customer..Nation"]
+    cut_pool = [None, "[Customer].[Region].[&2]",
+                "[Customer].[Region].[&2]:[Customer].[Region].[&9]",
+                "{[Customer].[Region].[&1],[Customer].[Region].[&3]}",
+                "[Bogus].[X].[&1]", "not-a-cut", "[Time].[Year].[&abc]"]
+    extras_pool = [
+        {},
+        {"measures[]": "Revenue"},
+        {"measures[]": "Nope"},
+        {"order": "Revenue", "order_desc": "true", "limit": "3"},
+        {"limit": "-5"},
+        {"limit": "zzz"},
+        {"offset": "abc"},
+        {"filter[]": "Revenue > 1e6"},
+        {"filter[]": "garbage >>> filter"},
+        {"properties[]": "Customer.Customer.Market Segment"},
+        {"properties[]": "Customer.Nope.Nope"},
+        {"caption[]": "Nope.Nope.Nope"},
+        {"nonempty": "maybe"},
+        {"parents": "true", "sparse": "true"},
+        {"debug": "true", "distinct": "true"},
+    ]
+    seen = set()
+    for drill, cut, extras in itertools.product(
+            drill_pool, cut_pool, extras_pool):
+        params = [("drilldown[]", drill)] + list(extras.items())
+        if cut is not None:
+            params.append(("cut[]", cut))
+        r = client.get("/cubes/Sales/aggregate", query_string=params)
+        assert r.status_code in (200, 400, 404), (
+            drill, cut, extras, r.status_code,
+            r.get_data(as_text=True)[:300])
+        if r.status_code != 200:
+            assert "error" in r.get_json()
+        seen.add(r.status_code)
+    # the grid must exercise both outcomes to mean anything
+    assert 200 in seen and (400 in seen or 404 in seen)
