@@ -620,6 +620,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "[Measures].[Total Price])) * TOPCOUNT([Time].[Year].Members, "
         "2, [Measures].[Revenue]) ON ROWS FROM [Orders and Sales]")
 
+    # Set functions as crossjoin operands (r12): TOPPERCENT in infix
+    # position compiles to an inline COMPUTED named set (evaluated
+    # once in the slicer context, kind-dispatched named_set_frame) —
+    # previously a documented 400
+    q["q105_mdx_toppercent_x_years"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPPERCENT([Customer].[Nation].Members, 30, "
+        "[Measures].[Revenue]) * [Time].[Year].Members ON ROWS "
+        "FROM [Sales]")
+
+    # ... and on a VIRTUAL cube: the percent set ranks on the
+    # measure's OWNING cube (Orders) and rides the drill-across join
+    # as a member-set cut pushed to both fact scans
+    q["q106_mdx_virtual_toppercent_x_years"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY TOPPERCENT([Customer].[Nation].Members, "
+        "40, [Measures].[Total Price]) * [Time].[Year].Members "
+        "ON ROWS FROM [Orders and Sales]")
+
     # Nested GENERATE (r12, VERDICT r11 #6): GENERATE(L1.Members,
     # GENERATE(L1.CurrentMember.Children, inner)) collapses EXACTLY to
     # GENERATE(Lmid.Members, inner) — the outer iterates the FULL L1
@@ -2523,6 +2546,59 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY cust_region_key
                                        ORDER BY revenue DESC,
                                                 cust_nation_key) <= 2""",
+
+        "q105_mdx_toppercent_x_years": f"""
+            WITH n AS (
+              SELECT n_nationkey AS nk, {REVENUE} AS rev
+              FROM {J_CUST} GROUP BY 1),
+            keep AS (
+              SELECT nk FROM (
+                SELECT nk, rev,
+                       SUM(rev) OVER (ORDER BY rev DESC, nk ASC
+                                      ROWS UNBOUNDED PRECEDING) AS run,
+                       SUM(rev) OVER () AS tot
+                FROM n)
+              WHERE run - rev < 0.30 * tot)
+            SELECT n_nationkey AS cust_nation_key,
+                   n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS "year",
+                   {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE n_nationkey IN (SELECT nk FROM keep)
+            GROUP BY 1, 2, 3""",
+
+        "q106_mdx_virtual_toppercent_x_years": f"""
+            WITH n AS (
+              SELECT n_nationkey AS nk, {DEC('o_totalprice')} AS tp
+              FROM {J_ORD_CUST} GROUP BY 1),
+            keep AS (
+              SELECT nk FROM (
+                SELECT nk, tp,
+                       SUM(tp) OVER (ORDER BY tp DESC, nk ASC
+                                     ROWS UNBOUNDED PRECEDING) AS run,
+                       SUM(tp) OVER () AS tot
+                FROM n)
+              WHERE run - tp < 0.40 * tot),
+            s AS (
+              SELECT n_nationkey AS nk, n_name AS nn,
+                     CAST(year(l_shipdate) AS INTEGER) AS y,
+                     {REVENUE} AS revenue
+              FROM {J_CUST}
+              WHERE n_nationkey IN (SELECT nk FROM keep)
+              GROUP BY 1, 2, 3),
+            o AS (
+              SELECT n_nationkey AS nk, n_name AS nn,
+                     CAST(year(o_orderdate) AS INTEGER) AS y,
+                     {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST}
+              WHERE n_nationkey IN (SELECT nk FROM keep)
+              GROUP BY 1, 2, 3)
+            SELECT COALESCE(s.nk, o.nk) AS cust_nation_key,
+                   COALESCE(s.nn, o.nn) AS cust_nation,
+                   COALESCE(s.y, o.y) AS "year",
+                   s.revenue, o.total_price
+            FROM s FULL OUTER JOIN o
+              ON s.nk = o.nk AND s.y = o.y""",
 
         "q104_mdx_virtual_generate_x_topcount": f"""
             WITH yr AS (

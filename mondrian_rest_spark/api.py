@@ -607,7 +607,25 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
                 "score": r.score,
             } for r in recs]
         out.sort(key=lambda r: -r["covered_weight"])
+        # bucketing dry-run (r12): the layout advice alongside the
+        # grain advice — what POST /advisor/materialize would apply
+        # when the manager has a bucket_db
+        from .plans.advisor import recommend_bucketing
+        buckets = []
+        for cube_obj in cat.cubes:
+            rec = recommend_bucketing(
+                cube_obj, [q for q in log if q.cube == cube_obj.name])
+            if rec is not None:
+                buckets.append({
+                    "cube": cube_obj.name, "bridge": rec.bridge,
+                    "fact_table": rec.fact_table,
+                    "fact_key": rec.fact_key,
+                    "bridge_table": rec.bridge_table,
+                    "bridge_key": rec.bridge_key,
+                    "join_weight": rec.join_weight})
+        buckets.sort(key=lambda b: -b["join_weight"])
         return jsonify({"recommendations": out,
+                        "bucketing": buckets,
                         "log_size": len(log)})
 
     @app.post("/advisor/materialize")

@@ -297,15 +297,30 @@ class CalculatedMember:
 @dataclass(frozen=True)
 class NamedSet:
     """Stored TopCount set (reference: foodmart.xml:405-410
-    `TopCount([Warehouse].[Warehouse Name].MEMBERS, 5, ...)`)."""
+    `TopCount([Warehouse].[Warehouse Name].MEMBERS, 5, ...)`).
+
+    r12 generalizes the computed-set KINDS so the other Mondrian set
+    functions can ride the same machinery when used as crossjoin
+    operands (planner.named_set_frame dispatches):
+
+    - ``top`` (default): best/worst ``k`` by ``top_by``
+    - ``percent``: minimal best-first prefix reaching ``arg`` percent
+      of the set total of ``top_by``
+    - ``sum``: minimal best-first prefix whose cumulative ``top_by``
+      reaches the absolute value ``arg``
+    - ``head`` / ``tail``: first/last ``k`` members in hierarchy (key)
+      order — dim-side, fact-independent, ``top_by`` is None
+    """
 
     name: str
     dimension: str
     level: str
-    top_by: str          # measure name/alias ranked by
+    top_by: str | None   # measure name/alias ranked by (None: head/tail)
     k: int
     ascending: bool = False
     annotations: dict = field(default_factory=dict)
+    kind: str = "top"
+    arg: float | None = None
 
 
 @dataclass(frozen=True)

@@ -270,6 +270,39 @@ def _merge_sub(q: MdxQuery, sub: MdxQuery) -> None:
             q.qm_kwargs[k] = v
 
 
+def _simple_set(sub: MdxQuery) -> bool:
+    """True when a set-function's inner expression is a bare
+    single-level `.Members` set — the only shape an inline computed
+    named set can stand for (same test the TOPCOUNT crossjoin-operand
+    form applies)."""
+    sk = sub.qm_kwargs
+    return (len(sk["drilldown"]) == 1 and "." in sk["drilldown"][0]
+            and not sk["cut"] and not sk["filter"]
+            and not sk["filter_exprs"]
+            and not sk["property_filters"]
+            and not sk["nonempty_measures"]
+            and not sk.get("empty_set")
+            and not sk["with_sets"] and "order" not in sk
+            and "limit" not in sk)
+
+
+def _inline_ext_set(q: MdxQuery, sub: MdxQuery, kind: str, arg,
+                    top_by, bottom: bool) -> None:
+    """Register a set function in crossjoin position as an inline
+    COMPUTED named set (r12 — extends the TOPCOUNT-as-operand form to
+    TOPPERCENT/BOTTOMPERCENT/TOPSUM/BOTTOMSUM/HEAD/TAIL): the member
+    set is evaluated once at plan time in the SLICER context
+    (planner.named_set_frame, kind-dispatched) and rides the query as
+    a drilldown + memoized member-set cut, so no axis-global
+    order/limit ever truncates the crossjoin."""
+    name = (f"{kind.capitalize()} Set "
+            f"{len(q.qm_kwargs.setdefault('with_sets_ext', [])) + 1}")
+    q.qm_kwargs["with_sets_ext"].append(
+        (name, sub.qm_kwargs["drilldown"][0], kind, arg, top_by,
+         bottom))
+    q.qm_kwargs["drilldown"].append(name)
+
+
 def _axis(p: _P, q: MdxQuery) -> None:
     t = p.peek_upper()
     if t == "NON":
@@ -1039,8 +1072,9 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
         if t in ("TOPSUM", "BOTTOMSUM"):
             # minimal best-first prefix whose cumulative measure
             # reaches the ABSOLUTE value (TOPPERCENT's sibling)
-            _axis_expr(p, q)
-            _guard_nesting(t, q.qm_kwargs, _NESTING_CONFLICTS[t])
+            sub = MdxQuery()
+            sub.set_macros = q.set_macros
+            _axis_expr(p, sub)
             p.expect(",")
             tok = p.next()
             try:
@@ -1049,14 +1083,24 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
                 raise ParseError(
                     f"{t} value must be numeric, got {tok!r}")
             p.expect(",")
-            q.qm_kwargs["top_sum"] = (val, _measure_ref(p),
-                                      t == "BOTTOMSUM")
+            top_by = _measure_ref(p)
             p.expect(")")
+            if _simple_set(sub) and (infix_hint or p.peek() == "*"):
+                # crossjoin operand (r12): the minimal-prefix member
+                # SET, crossjoined — an inline computed named set,
+                # exactly like the TOPCOUNT form below
+                _inline_ext_set(q, sub, "sum", val, top_by,
+                                t == "BOTTOMSUM")
+                return False
+            _guard_nesting(t, sub.qm_kwargs, _NESTING_CONFLICTS[t])
+            _merge_sub(q, sub)
+            q.qm_kwargs["top_sum"] = (val, top_by, t == "BOTTOMSUM")
             return True
         if t in ("TOPPERCENT", "BOTTOMPERCENT"):
             # minimal best-first prefix reaching pct% of the set total
-            _axis_expr(p, q)
-            _guard_nesting(t, q.qm_kwargs, _NESTING_CONFLICTS[t])
+            sub = MdxQuery()
+            sub.set_macros = q.set_macros
+            _axis_expr(p, sub)
             p.expect(",")
             tok = p.next()
             try:
@@ -1067,9 +1111,16 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             if not 0 < pct <= 100:
                 raise ParseError(f"{t} percentage must be in (0, 100]")
             p.expect(",")
-            q.qm_kwargs["top_percent"] = (pct, _measure_ref(p),
-                                          t == "BOTTOMPERCENT")
+            top_by = _measure_ref(p)
             p.expect(")")
+            if _simple_set(sub) and (infix_hint or p.peek() == "*"):
+                _inline_ext_set(q, sub, "percent", pct, top_by,
+                                t == "BOTTOMPERCENT")
+                return False
+            _guard_nesting(t, sub.qm_kwargs, _NESTING_CONFLICTS[t])
+            _merge_sub(q, sub)
+            q.qm_kwargs["top_percent"] = (pct, top_by,
+                                          t == "BOTTOMPERCENT")
             return True
         if t == "DISTINCT":
             _axis_expr(p, q)
@@ -1087,18 +1138,29 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             # HEAD = first n of the axis total order (offset 0 limit n);
             # TAIL = last n (QueryModel.tail — reverse-order limit +
             # forward re-sort in the planner).  Mondrian defaults n=1.
-            _axis_expr(p, q)
-            _guard_nesting(t, q.qm_kwargs, _NESTING_CONFLICTS[t])
+            sub = MdxQuery()
+            sub.set_macros = q.set_macros
+            _axis_expr(p, sub)
             n = 1
             if p.peek() == ",":
                 p.next()
                 n = _int(p, f"{t} count")
             if n < 0:
                 raise ParseError(f"{t} count must be >= 0")
+            p.expect(")")
+            if _simple_set(sub) and (infix_hint or p.peek() == "*"):
+                # crossjoin operand (r12): the first/last-n MEMBER set
+                # in hierarchy (key) order — dim-side, fact-independent
+                _inline_ext_set(q, sub, "tail" if t == "TAIL"
+                                else "head", n, None, False)
+                return False
+            _guard_nesting(t, sub.qm_kwargs, _NESTING_CONFLICTS[t])
+            _merge_sub(q, sub)
             if t == "HEAD":
                 q.qm_kwargs["limit"] = n
             else:
                 q.qm_kwargs["tail"] = n
+            return True
         elif t == "ORDER":
             _axis_expr(p, q)
             _guard_nesting(t, q.qm_kwargs, _NESTING_CONFLICTS[t])
@@ -1728,6 +1790,51 @@ def _with_set_body(p: _P) -> tuple:
     return (".".join(path), k, top_by, fn == "BOTTOMCOUNT")
 
 
+def _with_set_ext_body(p: _P) -> tuple:
+    """WITH SET formula for the r12 computed-set kinds:
+    TOPPERCENT/BOTTOMPERCENT(<level>.Members, pct, [Measures].[M]),
+    TOPSUM/BOTTOMSUM(<level>.Members, value, [Measures].[M]),
+    HEAD/TAIL(<level>.Members[, n]).  Returns (level_path, kind, arg,
+    top_by, bottom).  Accepts Mondrian's quoted form too."""
+    t = p.peek()
+    if t is not None and t.startswith("'"):
+        inner = _P(tokenize(p.next()[1:-1]))
+        out = _with_set_ext_body(inner)
+        if inner.peek() is not None:
+            raise ParseError(
+                f"trailing tokens in WITH SET formula at {inner.peek()!r}")
+        return out
+    fn = p.next().upper()
+    p.expect("(")
+    path = _path(p)
+    p.expect(".")
+    p.expect("MEMBERS")
+    if fn in ("HEAD", "TAIL"):
+        n = 1
+        if p.peek() == ",":
+            p.next()
+            n = _int(p, f"WITH SET {fn} count")
+        if n < 0:
+            raise ParseError(f"WITH SET {fn} count must be >= 0")
+        p.expect(")")
+        return (".".join(path), fn.lower(), n, None, False)
+    p.expect(",")
+    tok = p.next()
+    try:
+        arg = float(tok)
+    except ValueError:
+        raise ParseError(
+            f"WITH SET {fn} argument must be numeric, got {tok!r}")
+    if fn in ("TOPPERCENT", "BOTTOMPERCENT") and not 0 < arg <= 100:
+        raise ParseError(f"WITH SET {fn} percentage must be in (0, 100]")
+    p.expect(",")
+    top_by = _measure_ref(p)
+    p.expect(")")
+    kind = "percent" if fn in ("TOPPERCENT", "BOTTOMPERCENT") else "sum"
+    return (".".join(path), kind, arg, top_by,
+            fn in ("BOTTOMPERCENT", "BOTTOMSUM"))
+
+
 def _set_macro_body(p: _P) -> tuple:
     """WITH SET body that is a member-set literal ({...}), a single
     member, a full level (.Members), or UNION/EXCEPT/INTERSECT algebra
@@ -2072,19 +2179,35 @@ def compile_mdx(mdx: str, cube_hint: str | None = None) -> QueryModel:
                         f"segment, got {_path_str(segs)}")
                 p.expect("AS")
                 save = p.pos
-                ranked = p.peek_upper() in ("TOPCOUNT", "BOTTOMCOUNT")
+                head = p.peek_upper()
+                if head is not None and head.startswith("'"):
+                    # Mondrian's quoted form: classify by the first
+                    # token INSIDE the quotes
+                    inner_toks = tokenize(p.peek()[1:-1])
+                    head = inner_toks[0].upper() if inner_toks else ""
+                ranked = head in ("TOPCOUNT", "BOTTOMCOUNT")
+                ext = head in ("TOPPERCENT", "BOTTOMPERCENT",
+                               "TOPSUM", "BOTTOMSUM", "HEAD", "TAIL")
                 try:
-                    with_sets.append((segs[0],) + _with_set_body(p))
+                    if ext:
+                        # r12 computed-set kinds ride with_sets_ext —
+                        # same machinery as the crossjoin-operand form
+                        q.qm_kwargs.setdefault(
+                            "with_sets_ext", []).append(
+                            (segs[0],) + _with_set_ext_body(p))
+                    else:
+                        with_sets.append((segs[0],) + _with_set_body(p))
                 except ParseError:
-                    if ranked:
-                        # a malformed TOPCOUNT body keeps its precise
-                        # diagnostic instead of a macro-parse error
+                    if ranked or ext:
+                        # a malformed set-function body keeps its
+                        # precise diagnostic instead of a macro error
                         raise
                     # member-set literal / set-algebra body: a macro
                     # expanded at each axis/slicer reference
                     p.pos = save
                     q.set_macros[segs[0]] = _set_macro_body(p)
-        if not with_members and not with_sets and not q.set_macros:
+        if not with_members and not with_sets and not q.set_macros \
+                and not q.qm_kwargs.get("with_sets_ext"):
             raise ParseError("WITH must introduce at least one MEMBER "
                              "or SET")
     q.qm_kwargs["with_members"] = with_members
@@ -2240,6 +2363,7 @@ def emit_mdx(cat: Catalog, qm) -> str:
 
     ns_names = {s.name for s in cube.named_sets} if cube else set()
     ns_names |= {ws[0] for ws in getattr(qm, "with_sets", [])}
+    ns_names |= {ws[0] for ws in getattr(qm, "with_sets_ext", [])}
     sets = []
     for d in qm.drilldown:
         parsed = parse_drilldown(d, ns_names)
@@ -2426,6 +2550,19 @@ def emit_mdx(cat: Catalog, qm) -> str:
         fn = "BOTTOMCOUNT" if asc else "TOPCOUNT"
         defs.append(f"SET [{name}] AS {fn}({lvlb}.Members, {k}, "
                     f"[Measures].[{top_by}])")
+    for name, level_path, kind, arg, top_by, bottom in \
+            getattr(qm, "with_sets_ext", []):
+        lvlb = ".".join(f"[{s}]" for s in level_path.split("."))
+        if kind in ("head", "tail"):
+            defs.append(f"SET [{name}] AS {kind.upper()}"
+                        f"({lvlb}.Members, {int(arg)})")
+        else:
+            fn = (("BOTTOM" if bottom else "TOP")
+                  + ("PERCENT" if kind == "percent" else "SUM"))
+            # no exponent notation — '5e+06' would not re-tokenize
+            args = f"{arg:f}".rstrip("0").rstrip(".")
+            defs.append(f"SET [{name}] AS {fn}({lvlb}.Members, "
+                        f"{args}, [Measures].[{top_by}])")
     if defs:
         mdx = f"WITH {' '.join(defs)} "
     mdx += f"SELECT {cols} ON COLUMNS"

@@ -496,7 +496,8 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
         # the drill-across path already handles.  GENERATE and
         # TOPPERCENT/TOPSUM/TAIL virtualize inside _aggregate_virtual
         # as post-join window stages (the axis IS the joined frame).
-        if (qm.with_sets or qm.lastperiods or qm.member_lags
+        if (qm.with_sets or getattr(qm, "with_sets_ext", [])
+                or qm.lastperiods or qm.member_lags
                 or qm.periods_to_date):
             qm = _virtualize_time_nav(spark, sf_dir, cat, qm)
         if (qm.children_of or qm.parent_of or qm.edge_child_of
@@ -508,16 +509,19 @@ def aggregate(spark: SparkSession, sf_dir: str, cat: Catalog, qm: QueryModel,
     cube = cat.cube(qm.cube)
     if qm.with_members:
         cube = _inline_calcs(cube, qm.with_members)
-    if qm.with_sets:
-        cube = _inline_sets(cube, qm.with_sets)
+    if qm.with_sets or getattr(qm, "with_sets_ext", []):
+        cube = _inline_sets(cube, qm.with_sets,
+                            getattr(qm, "with_sets_ext", []))
     return _aggregate_cube(spark, sf_dir, cube, qm, fact_df=fact_df)
 
 
-def _inline_sets(cube: Cube, with_sets) -> Cube:
-    """Query-scoped WITH SET named sets (TOPCOUNT/BOTTOMCOUNT form):
-    validated against the cube and appended to a per-query copy, after
-    which they behave exactly like schema named sets — usable as axis
-    or cut, memoized by named_set_keys (the cache key includes the full
+def _inline_sets(cube: Cube, with_sets, with_sets_ext=()) -> Cube:
+    """Query-scoped WITH SET named sets (TOPCOUNT/BOTTOMCOUNT form)
+    plus inline COMPUTED sets from crossjoin-position set functions
+    (r12: TOPPERCENT/TOPSUM/HEAD/TAIL — ``with_sets_ext``): validated
+    against the cube and appended to a per-query copy, after which
+    they behave exactly like schema named sets — usable as axis or
+    cut, memoized by named_set_keys (the cache key includes the full
     set definition, so inline sets cache safely too)."""
     import dataclasses
 
@@ -525,18 +529,15 @@ def _inline_sets(cube: Cube, with_sets) -> Cube:
 
     new = []
     taken = {s.name.lower() for s in cube.named_sets}
-    for name, level_path, k, top_by, ascending in with_sets:
-        if name.lower() in taken:
-            raise ParseError(
-                f"WITH SET name {name!r} collides with an existing set")
-        taken.add(name.lower())
+
+    def resolve(name, level_path, top_by):
         segs = level_path.split(".")
         try:
             dim = cube.dimension(segs[0])
             hier = (dim.hierarchy(segs[1]) if len(segs) == 3
                     else dim.default_hierarchy())
             level = hier.level(segs[-1])
-            if cube.calc_member(top_by) is None:
+            if top_by is not None and cube.calc_member(top_by) is None:
                 cube.measure(top_by)  # validate the ranking measure
         except KeyError as e:
             raise ParseError(f"WITH SET {name!r}: {e}")
@@ -544,10 +545,34 @@ def _inline_sets(cube: Cube, with_sets) -> Cube:
             raise ParseError(
                 f"WITH SET {name!r}: named sets rank over the default "
                 f"hierarchy; got {segs[1]!r}")
+        return dim, level
+
+    for name, level_path, k, top_by, ascending in with_sets:
+        if name.lower() in taken:
+            raise ParseError(
+                f"WITH SET name {name!r} collides with an existing set")
+        taken.add(name.lower())
+        dim, level = resolve(name, level_path, top_by)
         if k < 1:
             raise ParseError(f"WITH SET {name!r}: count must be >= 1")
         new.append(NamedSet(name, dimension=dim.name, level=level.name,
                             top_by=top_by, k=k, ascending=ascending))
+    for name, level_path, kind, arg, top_by, bottom in with_sets_ext:
+        if name.lower() in taken:
+            raise ParseError(
+                f"computed set name {name!r} collides with an "
+                "existing set")
+        taken.add(name.lower())
+        dim, level = resolve(name, level_path, top_by)
+        if kind in ("head", "tail"):
+            new.append(NamedSet(
+                name, dimension=dim.name, level=level.name,
+                top_by=None, k=int(arg), kind=kind))
+        else:
+            new.append(NamedSet(
+                name, dimension=dim.name, level=level.name,
+                top_by=top_by, k=0, ascending=bottom, kind=kind,
+                arg=float(arg)))
     return dataclasses.replace(
         cube, named_sets=cube.named_sets + tuple(new))
 
@@ -3132,7 +3157,8 @@ def _degenerate_keys_repeat(spark: SparkSession, sf_dir: str, cube: Cube,
 def named_set_keys(spark: SparkSession, sf_dir: str, cube: Cube, ns) -> list:
     """Collected member keys of a named set, memoized."""
     key = (spark.sparkContext.applicationId, sf_dir, cube.name, ns.name,
-           ns.dimension, ns.level, ns.top_by, ns.k, ns.ascending)
+           ns.dimension, ns.level, ns.top_by, ns.k, ns.ascending,
+           getattr(ns, "kind", "top"), getattr(ns, "arg", None))
     vals = _NAMED_SET_KEYS.get(key)
     if vals is None:
         vals = [r[0] for r in
@@ -3142,16 +3168,44 @@ def named_set_keys(spark: SparkSession, sf_dir: str, cube: Cube, ns) -> list:
 
 
 def named_set_frame(spark: SparkSession, sf_dir: str, cube: Cube, ns) -> DataFrame:
-    """Materialize a TopCount named set (reference foodmart.xml:405-410)
-    as a one-column frame of member keys: aggregate the cube at the
-    set's level, rank by the measure, keep k.  Deterministic tie-break
-    on the member key so results are stable across engines."""
+    """Materialize a computed named set as a one-column frame of
+    member keys, evaluated in the SLICER context (no query cuts).
+
+    kind "top" (reference foodmart.xml:405-410): aggregate the cube at
+    the set's level, rank by the measure, keep k.  kind "percent" /
+    "sum" (r12): the minimal best-first prefix reaching arg% of the
+    set total / the absolute value arg — the same window the
+    whole-axis TOPPERCENT/TOPSUM stage runs, over the identical
+    axis-sized aggregate.  kind "head"/"tail" (r12): the first/last k
+    members in hierarchy (key) order — DIM-side, fact-independent
+    (Mondrian HEAD of a level's member set doesn't consult cells).
+    Deterministic tie-break on the member key so results are stable
+    across engines."""
     dim, hier, level = _resolve_level(cube, ns.dimension, None, ns.level)
+    kind = getattr(ns, "kind", "top")
+    if kind in ("head", "tail"):
+        rd = ResolvedDrill(dim, hier, level, [level])
+        mf = members_frame(spark, sf_dir, cube, rd)
+        direction = (F.asc(level.key_alias) if kind == "head"
+                     else F.desc(level.key_alias))
+        return (mf.orderBy(direction).limit(ns.k)
+                  .select(level.key_alias))
     sub = QueryModel(cube=cube.name, measures=[ns.top_by],
                      drilldown=[f"{ns.dimension}.{ns.level}"], nonempty=True)
     agg = _aggregate_cube(spark, sf_dir, cube, sub)
     alias = _measure_alias(cube, ns.top_by)
     direction = F.asc(alias) if ns.ascending else F.desc(alias)
+    if kind in ("percent", "sum"):
+        w_run = (Window.orderBy(direction, F.asc(level.key_alias))
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+        agg = (agg.withColumn("__run__", F.sum(alias).over(w_run))
+                  .withColumn("__tot__", F.sum(alias).over(
+                      Window.partitionBy())))
+        thr = (F.lit(ns.arg) / F.lit(100.0) * F.col("__tot__")
+               if kind == "percent" else F.lit(ns.arg))
+        return (agg.filter(F.col("__run__") - F.col(alias) < thr)
+                   .select(level.key_alias))
     return (agg.orderBy(direction, F.asc(level.key_alias))
                .limit(ns.k)
                .select(level.key_alias))
@@ -3861,9 +3915,58 @@ def _virtualize_time_nav(spark: SparkSession, sf_dir: str, cat: Catalog,
                         cut.pop(i)
                         empty_slicer = True
 
+    # inline computed sets from crossjoin-position set functions (r12:
+    # TOPPERCENT/TOPSUM/HEAD/TAIL) — same rewrite as WITH SET above:
+    # evaluate once (measure kinds on the measure's OWNING cube,
+    # head/tail against the conformed dimension of any owner), then
+    # drilldown + member-set cut marked as an AXIS selection
+    for name, level_path, kind, arg, top_by, bottom in \
+            getattr(qm, "with_sets_ext", []) or []:
+        from .catalog import NamedSet
+        wsegs = level_path.split(".")
+        conformed(f"computed set {name!r}", wsegs[0])
+        if kind in ("head", "tail"):
+            owner = next((c for c in cubes
+                          if any(d.name == wsegs[0]
+                                 for d in c.dimensions)), None)
+        else:
+            owner = next((c for c in cubes if _has_measure(c, top_by)),
+                         None)
+        if owner is None:
+            raise ParseError(
+                f"computed set {name!r}: unknown ranking measure "
+                f"{top_by!r} on virtual cube {vc.name!r}")
+        try:
+            dim = owner.dimension(wsegs[0])
+            hier = (dim.hierarchy(wsegs[1]) if len(wsegs) == 3
+                    else dim.default_hierarchy())
+            level = hier.level(wsegs[-1])
+        except KeyError as e:
+            raise ParseError(f"computed set {name!r}: {e}")
+        if kind in ("head", "tail"):
+            ns = NamedSet(name, dimension=dim.name, level=level.name,
+                          top_by=None, k=int(arg), kind=kind)
+        else:
+            ns = NamedSet(name, dimension=dim.name, level=level.name,
+                          top_by=top_by, k=0, ascending=bottom,
+                          kind=kind, arg=float(arg))
+        keys = named_set_keys(spark, sf_dir, owner, ns)
+        set_cut = "{" + ",".join(
+            f"[{dim.name}].[{level.name}].[&{kk}]"
+            for kk in keys) + "}"
+        for i, d in enumerate(drilldown):
+            if d == name:
+                drilldown[i] = f"{dim.name}.{level.name}"
+                if keys:
+                    cut.append(set_cut)
+                    axis_sel_cuts.append(set_cut)
+                else:
+                    empty_set = True
+
     return dataclasses.replace(
         qm, drilldown=drilldown, cut=cut, lastperiods=[],
         member_lags=[], periods_to_date=[], with_sets=[],
+        with_sets_ext=[],
         empty_set=empty_set, empty_slicer=empty_slicer,
         vc_axis_sel_cuts=list(getattr(qm, "vc_axis_sel_cuts", []))
         + axis_sel_cuts)

@@ -167,6 +167,7 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
     if (qm.parents or qm.properties or qm.caption or not qm.nonempty
             or qm.children_of or qm.parent_of or qm.lastperiods
             or qm.member_lags or qm.with_members or qm.with_sets
+            or getattr(qm, "with_sets_ext", [])
             or qm.edge_child_of or getattr(qm, "siblings_of", [])
             or getattr(qm, "ancestor_of", [])
             or getattr(qm, "edge_sibling_of", [])

@@ -488,6 +488,7 @@ class RollupManager:
         # rewrite the cube — all route to base
         if (qm.children_of or qm.parent_of or qm.lastperiods
                 or qm.member_lags or qm.with_members or qm.with_sets
+                or getattr(qm, "with_sets_ext", [])
                 or qm.edge_child_of or qm.siblings_of
                 or qm.ancestor_of or qm.edge_sibling_of
                 or qm.periods_to_date

@@ -162,6 +162,15 @@ class QueryModel:
     # The base-cube path gets the same distinction from implicit
     # named-set cuts; the virtual rewrite loses it without this marker.
     vc_axis_sel_cuts: list = field(default_factory=list)
+    # Inline COMPUTED named sets from set functions in crossjoin
+    # position (r12): TOPPERCENT/BOTTOMPERCENT/TOPSUM/BOTTOMSUM/HEAD/
+    # TAIL(<level>.Members, ...) * <set>.  Entries (name, level_path,
+    # kind, arg, top_by, bottom) where kind is "percent" | "sum" |
+    # "head" | "tail"; arg is the pct / absolute value / n.  Each
+    # becomes a query-scoped NamedSet (planner._inline_sets) evaluated
+    # once in the slicer context and riding as drilldown + member-set
+    # cut — the same machinery as the TOPCOUNT-as-operand with_sets.
+    with_sets_ext: list = field(default_factory=list)
     # Grouping-sets (mixed-depth) axes from raw MDX —
     # DRILLDOWNLEVEL / DRILLDOWNMEMBER / VISUALTOTALS (r10 generalizes
     # r9's one-per-QUERY cap to one-per-DIMENSION, VERDICT r9 #4).

@@ -64,7 +64,9 @@ AUDIT = ["q02_region_revenue", "q03_crossjoin_3d", "q04_cut_member",
          "d11_neardup_jaccard_spill", "r01_ragged_drilldown",
          "q100_mdx_dense_drilldownlevel", "q101_mdx_ddltop_x_topcount",
          "q102_mdx_nested_generate", "q103_mdx_generate_x_topcount",
-         "q104_mdx_virtual_generate_x_topcount"]
+         "q104_mdx_virtual_generate_x_topcount",
+         "q105_mdx_toppercent_x_years",
+         "q106_mdx_virtual_toppercent_x_years"]
 
 # per-query caveats the static plan can't show (r12, VERDICT r11 #2)
 NOTES = {

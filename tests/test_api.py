@@ -811,6 +811,12 @@ def test_advisor_rollups_route(client):
                 if {"Customer.Nation", "Time.Year"} <= set(x["grain"])]
     assert covering, recs
     assert covering[0]["covered_weight"] >= 3
+    # r12: the bucketing dry-run rides along — the Customer drilldowns
+    # above join through the orders bridge
+    bk = [b for b in body["bucketing"] if b["cube"] == "Sales"]
+    assert bk and bk[0]["bridge"] == "orders"
+    assert bk[0]["fact_key"] == "l_orderkey"
+    assert bk[0]["join_weight"] >= 3
     assert client.get("/advisor/rollups?max=0").status_code == 400
 
 

@@ -797,6 +797,19 @@ _MUTATION_SEEDS = [
     'BOTTOMCOUNT(DESCENDANTS([Customer].[Region].CurrentMember, '
     '[Customer].[Customer]), 2, [Measures].[Revenue])) ON ROWS '
     'FROM [Sales]',
+    # r12: set functions in crossjoin position — mutated variants
+    # (missing args, garbage percents, swapped parens) must 400
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY TOPPERCENT([Customer].[Nation].Members, 30, '
+    '[Measures].[Revenue]) * [Time].[Year].Members ON ROWS '
+    'FROM [Sales]',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY TAIL([Customer].[Nation].Members, 2) * '
+    'TOPCOUNT([Time].[Year].Members, 2, [Measures].[Revenue]) '
+    'ON ROWS FROM [Sales]',
+    'WITH SET [Big] AS TOPSUM([Customer].[Nation].Members, 5000000, '
+    '[Measures].[Revenue]) SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'NON EMPTY [Big] ON ROWS FROM [Sales]',
     # r12: nested GENERATE — mutated variants (wrong nesting depth,
     # wrong dimension, dangling parens) must 400, never 500
     'SELECT {[Measures].[Revenue]} ON COLUMNS, '

@@ -2982,6 +2982,88 @@ def test_mdx_nested_generate_flattens(spark, sf_dir):
     assert back.generate_top == qm.generate_top
 
 
+def test_mdx_set_functions_as_crossjoin_operands(spark, sf_dir):
+    """r12: TOPPERCENT/TOPSUM/HEAD/TAIL in crossjoin position compile
+    to inline COMPUTED named sets (the TOPCOUNT-as-operand machinery,
+    kind-dispatched) instead of the old 400 — the selection must equal
+    the sole-axis form's and values the plain crossjoin's."""
+    sole = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPPERCENT([Customer].[Nation].Members, 30, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]").collect()
+    x = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPPERCENT([Customer].[Nation].Members, 30, "
+        "[Measures].[Revenue]) * [Time].[Year].Members ON ROWS "
+        "FROM [Sales]").collect()
+    assert {r["cust_nation_key"] for r in x} == \
+        {r["cust_nation_key"] for r in sole}
+    full = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY CROSSJOIN([Customer].[Nation].Members, "
+        "[Time].[Year].Members) ON ROWS FROM [Sales]").collect()
+    vals = {(r["cust_nation_key"], r["year"]): r["revenue"]
+            for r in full}
+    for r in x:
+        assert r["revenue"] == vals[(r["cust_nation_key"], r["year"])]
+    # HEAD: the first-n members in hierarchy (key) order,
+    # fact-independent
+    h = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY HEAD([Customer].[Nation].Members, 3) * "
+        "[Time].[Year].Members ON ROWS FROM [Sales]").collect()
+    assert {r["cust_nation_key"] for r in h} == {0, 1, 2}
+    # TAIL * TOPCOUNT: both selections evaluate pre-crossjoin
+    tl = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TAIL([Customer].[Nation].Members, 2) * "
+        "TOPCOUNT([Time].[Year].Members, 2, [Measures].[Revenue]) "
+        "ON ROWS FROM [Sales]").collect()
+    assert {r["cust_nation_key"] for r in tl} == {23, 24}
+    yr = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPCOUNT([Time].[Year].Members, 2, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]").collect()
+    assert {r["year"] for r in tl} <= {r["year"] for r in yr}
+    # TOPSUM: the selection equals the whole-axis TOPSUM's
+    ts_sole = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPSUM([Customer].[Nation].Members, 50000000, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]").collect()
+    ts = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY TOPSUM([Customer].[Nation].Members, 50000000, "
+        "[Measures].[Revenue]) * [Time].[Year].Members ON ROWS "
+        "FROM [Sales]").collect()
+    assert {r["cust_nation_key"] for r in ts} == \
+        {r["cust_nation_key"] for r in ts_sole}
+    # WITH SET forms of the new kinds work as plain axes too
+    ws = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "WITH SET [Big] AS TOPPERCENT([Customer].[Nation].Members, 30, "
+        "[Measures].[Revenue]) SELECT {[Measures].[Revenue]} "
+        "ON COLUMNS, NON EMPTY [Big] ON ROWS FROM [Sales]").collect()
+    assert {r["cust_nation_key"] for r in ws} == \
+        {r["cust_nation_key"] for r in sole}
+    # a NON-simple inner set stays the documented 400 in infix position
+    with pytest.raises(ParseError, match="cannot be crossjoined"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY TOPPERCENT(CROSSJOIN("
+            "[Customer].[Region].Members, [Part].[Brand].Members), 30, "
+            "[Measures].[Revenue]) * [Time].[Year].Members ON ROWS "
+            "FROM [Sales]")
+
+
 def test_mdx_virtual_nested_generate(spark, sf_dir):
     """Nested GENERATE virtualizes for free: the collapse happens at
     parse time, so the drill-across path sees the same generate_top a
