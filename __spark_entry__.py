@@ -643,6 +643,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "40, [Measures].[Total Price]) * [Time].[Year].Members "
         "ON ROWS FROM [Orders and Sales]")
 
+    # Dim-side FILTER as a crossjoin operand (r12): member-property
+    # conditions restrict only their OWN dimension's member set, so
+    # they compose freely across * — the predicate still pushes into
+    # the dim scan pre-aggregation (measure-condition FILTER stays the
+    # documented 400 in infix position: it filters tuple CELLS)
+    q["q107_mdx_prop_filter_x_years"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Customer].Members, "
+        "[Customer].[Customer].CurrentMember.Properties"
+        "(\"Market Segment\") = \"BUILDING\") * [Time].[Year].Members "
+        "ON ROWS FROM [Sales]")
+
     # Nested GENERATE (r12, VERDICT r11 #6): GENERATE(L1.Members,
     # GENERATE(L1.CurrentMember.Children, inner)) collapses EXACTLY to
     # GENERATE(Lmid.Members, inner) — the outer iterates the FULL L1
@@ -2546,6 +2560,14 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY cust_region_key
                                        ORDER BY revenue DESC,
                                                 cust_nation_key) <= 2""",
+
+        "q107_mdx_prop_filter_x_years": f"""
+            SELECT c_custkey, c_name,
+                   CAST(year(l_shipdate) AS INTEGER) AS "year",
+                   {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2, 3""",
 
         "q105_mdx_toppercent_x_years": f"""
             WITH n AS (

@@ -1173,7 +1173,22 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             _axis_expr(p, q)
             _guard_nesting(t, q.qm_kwargs, _NESTING_CONFLICTS[t])
             p.expect(",")
+            before = (len(q.qm_kwargs.get("filter", [])),
+                      len(q.qm_kwargs.get("filter_exprs", [])),
+                      len(q.qm_kwargs.get("nonempty_measures", [])))
             _filter_boolean(p, q)
+            after = (len(q.qm_kwargs.get("filter", [])),
+                     len(q.qm_kwargs.get("filter_exprs", [])),
+                     len(q.qm_kwargs.get("nonempty_measures", [])))
+            if before == after:
+                # dim-side-only conditions (member-property / member-
+                # navigation filters): per-DIMENSION set restrictions,
+                # freely crossjoin-composable (r12) — only MEASURE
+                # conditions are axis-global (they filter tuple CELLS,
+                # so in infix position they would silently change
+                # meaning; those keep the 400 below)
+                p.expect(")")
+                return False
         elif t == "TOPCOUNT":
             sub = MdxQuery()
             sub.set_macros = q.set_macros   # WITH SET macros stay visible

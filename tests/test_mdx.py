@@ -3064,6 +3064,45 @@ def test_mdx_set_functions_as_crossjoin_operands(spark, sf_dir):
             "FROM [Sales]")
 
 
+def test_mdx_dim_side_filter_as_crossjoin_operand(spark, sf_dir):
+    """r12: FILTER with dim-side-only conditions (member property /
+    member navigation) restricts its OWN dimension's member set, so it
+    composes across * — selection equal to the sole-axis FILTER's;
+    measure-condition FILTER keeps the 400 (it filters tuple cells,
+    which IS axis-global)."""
+    sole = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Customer].Members, "
+        "[Customer].[Customer].CurrentMember.Properties"
+        "(\"Market Segment\") = \"BUILDING\") ON ROWS "
+        "FROM [Sales]").collect()
+    x = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Customer].Members, "
+        "[Customer].[Customer].CurrentMember.Properties"
+        "(\"Market Segment\") = \"BUILDING\") * [Time].[Year].Members "
+        "ON ROWS FROM [Sales]").collect()
+    assert {r["c_custkey"] for r in x} == {r["c_custkey"] for r in sole}
+    # navigation FILTER composes too: region 2's nations x years
+    nav = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY FILTER([Customer].[Nation].Members, "
+        "[Customer].[Nation].CurrentMember.Parent IS "
+        "[Customer].[Region].[&2]) * [Time].[Year].Members "
+        "ON ROWS FROM [Sales]").collect()
+    assert {r["cust_nation_key"] for r in nav} == {2, 7, 12, 17, 22}
+    with pytest.raises(ParseError, match="cannot be crossjoined"):
+        execute_mdx(
+            spark, sf_dir, tpch.CATALOG,
+            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+            "NON EMPTY FILTER([Customer].[Nation].Members, "
+            "[Measures].[Revenue] > 1000000) * [Time].[Year].Members "
+            "ON ROWS FROM [Sales]")
+
+
 def test_mdx_virtual_nested_generate(spark, sf_dir):
     """Nested GENERATE virtualizes for free: the collapse happens at
     parse time, so the drill-across path sees the same generate_top a
