@@ -657,6 +657,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "(\"Market Segment\") = \"BUILDING\") * [Time].[Year].Members "
         "ON ROWS FROM [Sales]")
 
+    # SUBSET as a crossjoin operand (r12): the hierarchy-order slice
+    # of the level's member set — dim-side, fact-independent, rides as
+    # drilldown + member-set cut like the other computed-set kinds
+    q["q108_mdx_subset_x_years"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY SUBSET([Customer].[Nation].Members, 5, 3) * "
+        "[Time].[Year].Members ON ROWS FROM [Sales]")
+
     # Nested GENERATE (r12, VERDICT r11 #6): GENERATE(L1.Members,
     # GENERATE(L1.CurrentMember.Children, inner)) collapses EXACTLY to
     # GENERATE(Lmid.Members, inner) — the outer iterates the FULL L1
@@ -2560,6 +2570,17 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY cust_region_key
                                        ORDER BY revenue DESC,
                                                 cust_nation_key) <= 2""",
+
+        "q108_mdx_subset_x_years": f"""
+            SELECT n_nationkey AS cust_nation_key,
+                   n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS "year",
+                   {REVENUE} AS revenue
+            FROM {J_CUST}
+            WHERE n_nationkey IN (
+              SELECT n_nationkey FROM nation
+              ORDER BY n_nationkey LIMIT 3 OFFSET 5)
+            GROUP BY 1, 2, 3""",
 
         "q107_mdx_prop_filter_x_years": f"""
             SELECT c_custkey, c_name,

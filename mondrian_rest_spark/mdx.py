@@ -1127,13 +1127,30 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
             _guard_nesting(t, q.qm_kwargs, _NESTING_CONFLICTS[t])
             q.qm_kwargs["distinct"] = True
         elif t == "SUBSET":
-            _axis_expr(p, q)
-            _guard_nesting(t, q.qm_kwargs, _NESTING_CONFLICTS[t])
+            sub = MdxQuery()
+            sub.set_macros = q.set_macros
+            _axis_expr(p, sub)
             p.expect(",")
-            q.qm_kwargs["offset"] = _int(p, "SUBSET offset")
+            off = _int(p, "SUBSET offset")
+            cnt = None
             if p.peek() == ",":
                 p.next()
-                q.qm_kwargs["limit"] = _int(p, "SUBSET count")
+                cnt = _int(p, "SUBSET count")
+            if off < 0 or (cnt is not None and cnt < 0):
+                raise ParseError("SUBSET offset/count must be >= 0")
+            p.expect(")")
+            if _simple_set(sub) and (infix_hint or p.peek() == "*"):
+                # crossjoin operand (r12): the hierarchy-order slice of
+                # the level's member set — dim-side, fact-independent
+                _inline_ext_set(q, sub, "subset", (off, cnt), None,
+                                False)
+                return False
+            _guard_nesting(t, sub.qm_kwargs, _NESTING_CONFLICTS[t])
+            _merge_sub(q, sub)
+            q.qm_kwargs["offset"] = off
+            if cnt is not None:
+                q.qm_kwargs["limit"] = cnt
+            return True
         elif t in ("HEAD", "TAIL"):
             # HEAD = first n of the axis total order (offset 0 limit n);
             # TAIL = last n (QueryModel.tail — reverse-order limit +
@@ -1833,6 +1850,17 @@ def _with_set_ext_body(p: _P) -> tuple:
             raise ParseError(f"WITH SET {fn} count must be >= 0")
         p.expect(")")
         return (".".join(path), fn.lower(), n, None, False)
+    if fn == "SUBSET":
+        p.expect(",")
+        off = _int(p, "WITH SET SUBSET offset")
+        cnt = None
+        if p.peek() == ",":
+            p.next()
+            cnt = _int(p, "WITH SET SUBSET count")
+        if off < 0 or (cnt is not None and cnt < 0):
+            raise ParseError("WITH SET SUBSET offset/count must be >= 0")
+        p.expect(")")
+        return (".".join(path), "subset", (off, cnt), None, False)
     p.expect(",")
     tok = p.next()
     try:
@@ -2202,7 +2230,8 @@ def compile_mdx(mdx: str, cube_hint: str | None = None) -> QueryModel:
                     head = inner_toks[0].upper() if inner_toks else ""
                 ranked = head in ("TOPCOUNT", "BOTTOMCOUNT")
                 ext = head in ("TOPPERCENT", "BOTTOMPERCENT",
-                               "TOPSUM", "BOTTOMSUM", "HEAD", "TAIL")
+                               "TOPSUM", "BOTTOMSUM", "HEAD", "TAIL",
+                               "SUBSET")
                 try:
                     if ext:
                         # r12 computed-set kinds ride with_sets_ext —
@@ -2568,7 +2597,12 @@ def emit_mdx(cat: Catalog, qm) -> str:
     for name, level_path, kind, arg, top_by, bottom in \
             getattr(qm, "with_sets_ext", []):
         lvlb = ".".join(f"[{s}]" for s in level_path.split("."))
-        if kind in ("head", "tail"):
+        if kind == "subset":
+            off, cnt = arg
+            tailstr = f", {cnt}" if cnt is not None else ""
+            defs.append(f"SET [{name}] AS SUBSET"
+                        f"({lvlb}.Members, {off}{tailstr})")
+        elif kind in ("head", "tail"):
             defs.append(f"SET [{name}] AS {kind.upper()}"
                         f"({lvlb}.Members, {int(arg)})")
         else:

@@ -564,7 +564,13 @@ def _inline_sets(cube: Cube, with_sets, with_sets_ext=()) -> Cube:
                 "existing set")
         taken.add(name.lower())
         dim, level = resolve(name, level_path, top_by)
-        if kind in ("head", "tail"):
+        if kind == "subset":
+            off, cnt = arg
+            new.append(NamedSet(
+                name, dimension=dim.name, level=level.name,
+                top_by=None, k=(-1 if cnt is None else int(cnt)),
+                kind=kind, arg=float(off)))
+        elif kind in ("head", "tail"):
             new.append(NamedSet(
                 name, dimension=dim.name, level=level.name,
                 top_by=None, k=int(arg), kind=kind))
@@ -3183,9 +3189,15 @@ def named_set_frame(spark: SparkSession, sf_dir: str, cube: Cube, ns) -> DataFra
     across engines."""
     dim, hier, level = _resolve_level(cube, ns.dimension, None, ns.level)
     kind = getattr(ns, "kind", "top")
-    if kind in ("head", "tail"):
+    if kind in ("head", "tail", "subset"):
         rd = ResolvedDrill(dim, hier, level, [level])
         mf = members_frame(spark, sf_dir, cube, rd)
+        if kind == "subset":
+            # SUBSET(set, i[, n]): the hierarchy-order slice
+            mf = mf.orderBy(F.asc(level.key_alias)).offset(int(ns.arg))
+            if ns.k >= 0:
+                mf = mf.limit(ns.k)
+            return mf.select(level.key_alias)
         direction = (F.asc(level.key_alias) if kind == "head"
                      else F.desc(level.key_alias))
         return (mf.orderBy(direction).limit(ns.k)
@@ -3925,7 +3937,7 @@ def _virtualize_time_nav(spark: SparkSession, sf_dir: str, cat: Catalog,
         from .catalog import NamedSet
         wsegs = level_path.split(".")
         conformed(f"computed set {name!r}", wsegs[0])
-        if kind in ("head", "tail"):
+        if kind in ("head", "tail", "subset"):
             owner = next((c for c in cubes
                           if any(d.name == wsegs[0]
                                  for d in c.dimensions)), None)
@@ -3943,7 +3955,13 @@ def _virtualize_time_nav(spark: SparkSession, sf_dir: str, cat: Catalog,
             level = hier.level(wsegs[-1])
         except KeyError as e:
             raise ParseError(f"computed set {name!r}: {e}")
-        if kind in ("head", "tail"):
+        if kind == "subset":
+            off, cnt = arg
+            ns = NamedSet(name, dimension=dim.name, level=level.name,
+                          top_by=None,
+                          k=(-1 if cnt is None else int(cnt)),
+                          kind=kind, arg=float(off))
+        elif kind in ("head", "tail"):
             ns = NamedSet(name, dimension=dim.name, level=level.name,
                           top_by=None, k=int(arg), kind=kind)
         else:

@@ -3053,6 +3053,19 @@ def test_mdx_set_functions_as_crossjoin_operands(spark, sf_dir):
         "ON COLUMNS, NON EMPTY [Big] ON ROWS FROM [Sales]").collect()
     assert {r["cust_nation_key"] for r in ws} == \
         {r["cust_nation_key"] for r in sole}
+    # SUBSET: the hierarchy-order slice, with and without a count
+    sub2 = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY SUBSET([Customer].[Nation].Members, 5, 3) * "
+        "[Time].[Year].Members ON ROWS FROM [Sales]").collect()
+    assert {r["cust_nation_key"] for r in sub2} == {5, 6, 7}
+    sub3 = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY SUBSET([Customer].[Nation].Members, 22) * "
+        "[Time].[Year].Members ON ROWS FROM [Sales]").collect()
+    assert {r["cust_nation_key"] for r in sub3} == {22, 23, 24}
     # a NON-simple inner set stays the documented 400 in infix position
     with pytest.raises(ParseError, match="cannot be crossjoined"):
         execute_mdx(
