@@ -861,7 +861,8 @@ def neardup_pairs_against_jaccard_index(
         index_shingles: DataFrame, index_freq: DataFrame,
         threshold: float = 0.5, index_threshold: float | None = None,
         text_col: str = "text", id_col: str = "doc_id",
-        n: int = 3) -> DataFrame:
+        n: int = 3,
+        max_candidates_per_prefix: int | None = None) -> DataFrame:
     """EXACT cross-corpus Jaccard pairs ``(new_id, hist_id, jaccard)``
     between a new batch and a :func:`build_jaccard_index` corpus — the
     exact analog of :func:`neardup_pairs_against`.  The batch's
@@ -869,7 +870,19 @@ def neardup_pairs_against_jaccard_index(
     (unseen shingles get df=0: they sort first, i.e. rarest — the
     conservative choice), so the prefix-filter theorem applies to the
     pair as long as ``threshold >= index_threshold`` (the index's
-    prefixes are at least as long as the threshold requires)."""
+    prefixes are at least as long as the threshold requires).
+
+    ``max_candidates_per_prefix`` (r12 — the index-path analog of the
+    self-join guard): a template shingle shared by much of the INDEX
+    costs O(|batch| x |index bucket|) candidate rows per batch.  When
+    set, batch prefix rows touching an index shingle whose corpus
+    document frequency exceeds the cap raise :class:`PrefixSkewError`
+    naming the shingles (df is a free upper bound on the prefix bucket
+    — the freq frame is already part of the index, so the check adds
+    no index-sized work).  The degraded alternative for such corpora
+    is the MinHash ingest index
+    (streaming_neardup_ingest_incremental), which bounds candidates by
+    banding instead of prefixes."""
     if index_threshold is not None and threshold < index_threshold:
         raise ValueError(
             f"query threshold {threshold} is below the index build "
@@ -881,6 +894,18 @@ def neardup_pairs_against_jaccard_index(
               .select(F.col(id_col), F.col("shingles"))
               .filter(F.size("shingles") > 0))
     prefix_new = jaccard_prefix_rows(sh_new, index_freq, threshold, id_col)
+    if max_candidates_per_prefix is not None:
+        hot = (index_freq
+               .filter(F.col("__df") > max_candidates_per_prefix)
+               .select("__g", "__df"))
+        touched = (prefix_new.join(hot, on="__g")
+                   .groupBy("__g").agg(F.max("__df").alias("__df"))
+                   .orderBy(F.desc("__df"))
+                   .limit(5).collect())
+        if touched:
+            raise PrefixSkewError(
+                [(r["__g"], int(r["__df"])) for r in touched],
+                max_candidates_per_prefix)
     a = prefix_new.select(F.col(id_col).alias("new_id"), F.col("__g"),
                           F.col("__sz").alias("__sza"),
                           F.col("__rn").alias("__rna"))

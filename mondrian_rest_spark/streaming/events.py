@@ -443,7 +443,8 @@ def streaming_jaccard_ingest_incremental(stream: DataFrame, spark,
                                          id_col: str = "doc_id",
                                          n: int = 3,
                                          within_batch: bool = True,
-                                         on_batch=None):
+                                         on_batch=None,
+                                         max_candidates_per_prefix=None):
     """Ingest-time EXACT near-dup filter: like
     :func:`streaming_neardup_ingest_incremental` but with the
     prefix-filter index — every kept document is guaranteed to have
@@ -468,7 +469,8 @@ def streaming_jaccard_ingest_incremental(stream: DataFrame, spark,
         freq = spark.read.parquet(f"{index_path}/freq")
         dups = (neardup_pairs_against_jaccard_index(
                     batch_df, pre_ix, sh_ix, freq, threshold, threshold,
-                    text_col, id_col, n)
+                    text_col, id_col, n,
+                    max_candidates_per_prefix=max_candidates_per_prefix)
                 .select(F.col("new_id").alias(id_col))
                 .dropDuplicates([id_col]))
         keep = batch_df.join(dups, on=id_col, how="left_anti")

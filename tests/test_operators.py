@@ -1645,6 +1645,36 @@ def test_jaccard_spill_minhash_degraded_mode(spark):
     assert all(not r.approximate for r in all_exact)
 
 
+def test_jaccard_index_path_skew_guard(spark):
+    """r12: the index-based exact path gets the self-join path's skew
+    guard — a batch whose prefixes touch a template INDEX shingle
+    (corpus df above the cap) fails loud with the shingles named,
+    instead of an O(|batch| x |index bucket|) candidate join.  The df
+    check rides the freq frame already in the index: no index-sized
+    work added."""
+    rows = [(i, f"alpha beta gamma tail{i}") for i in range(100)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    pre, sh, freq = dedup.build_jaccard_index(corpus, threshold=0.5)
+    hot_new = spark.createDataFrame(
+        [(1000, "alpha beta gamma fresh")], ["doc_id", "text"])
+    with pytest.raises(dedup.PrefixSkewError) as ei:
+        dedup.neardup_pairs_against_jaccard_index(
+            hot_new, pre, sh, freq, 0.5, 0.5,
+            max_candidates_per_prefix=50)
+    assert ei.value.buckets and ei.value.buckets[0][1] == 100
+    # a batch avoiding the template passes under the same cap, and the
+    # guarded result equals the unguarded one
+    clean_new = spark.createDataFrame(
+        [(2000, "totally different words live here now"),
+         (2001, "tail7 words echo gamma tail7 only")], ["doc_id", "text"])
+    guarded = dedup.neardup_pairs_against_jaccard_index(
+        clean_new, pre, sh, freq, 0.5, 0.5,
+        max_candidates_per_prefix=50).collect()
+    plain = dedup.neardup_pairs_against_jaccard_index(
+        clean_new, pre, sh, freq, 0.5, 0.5).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, plain))
+
+
 def test_jaccard_spill_frames_stay_persisted(spark):
     """r12 (VERDICT r11 #2): the d11 static plan shows ~32 parquet
     scans of the docs table, but real execution reuses the persisted
