@@ -164,7 +164,7 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
     (mirrors RollupManager._choose)."""
     if qm.cube != cube.name:
         return None
-    if (qm.parents or qm.properties or qm.caption or not qm.nonempty
+    if (qm.properties or qm.caption or not qm.nonempty
             or qm.children_of or qm.parent_of or qm.lastperiods
             or qm.member_lags or qm.with_members or qm.with_sets
             or getattr(qm, "with_sets_ext", [])
@@ -218,8 +218,12 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
     levels: set = set()
     specs: list[str] = []
     try:
+        if qm.parents and getattr(qm, "generate_top", None) is not None:
+            return None      # mirrors RollupManager._choose (r12)
         for d in qm.drilldown:
-            rd = _resolve_drill(cube, parse_drilldown(d), False)
+            # parents=true routes since r12: the ancestor chain's
+            # levels join the need, so the advised grain covers them
+            rd = _resolve_drill(cube, parse_drilldown(d), qm.parents)
             for lv in rd.group_levels:
                 if (rd.dimension.name, lv.name) not in levels:
                     levels.add((rd.dimension.name, lv.name))

@@ -475,13 +475,17 @@ class RollupManager:
     def _choose(self, qm: QueryModel) -> Rollup | None:
         if qm.cube != self.cube.name:
             return None  # a manager routes exactly one cube
-        if (qm.parents or qm.properties or qm.caption or not qm.nonempty
+        if (qm.properties or qm.caption or not qm.nonempty
                 or qm.property_filters or getattr(qm, "nav_filters", [])
                 or getattr(qm, "gs_axes", None)):
             # nav_filters become cuts only inside _aggregate_cube, so
             # the grain check below cannot see them; DRILLDOWNLEVEL's
             # grouping-sets frame is not the flat grain this router
             # materializes — all route to base
+            return None
+        if qm.parents and qm.generate_top is not None:
+            # GENERATE's (parent, child) pair resolution does not model
+            # the parents=true ancestor chain — route to base
             return None
         # axis idioms resolved inside _aggregate_cube add drills/cuts
         # the grain check below cannot see; query-scoped WITH forms
@@ -519,7 +523,11 @@ class RollupManager:
         try:
             need = set()
             for d in qm.drilldown:
-                rd = _resolve_drill(self.cube, parse_drilldown(d), False)
+                # parents=true (r12): the ancestor chain's columns are
+                # part of the need — only a grain covering the WHOLE
+                # chain can reproduce the base path's output
+                rd = _resolve_drill(self.cube, parse_drilldown(d),
+                                    qm.parents)
                 for lv in rd.group_levels:
                     for _, a in lv.out_cols():
                         need.add(a)
@@ -566,7 +574,8 @@ class RollupManager:
             df = df.filter(_cut_predicate(rc))
         group_cols, key_aliases = [], []
         for d in qm.drilldown:
-            rd = _resolve_drill(self.cube, parse_drilldown(d), False)
+            rd = _resolve_drill(self.cube, parse_drilldown(d),
+                                qm.parents)
             for lv in rd.group_levels:
                 key_aliases.append(lv.key_alias)
                 for _, a in lv.out_cols():

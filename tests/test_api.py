@@ -1178,10 +1178,12 @@ def test_advisor_materialize_bucketed_layout(spark, sf_dir):
                      rollup_manager=mgr, flush_secret="bk-s3cr3t")
     app.config["TESTING"] = True
     c = app.test_client()
-    # parents=true keeps the query off every rollup (router refuses it)
-    # — exactly the query class whose join cost only a LAYOUT can fix
+    # an EXACT distinct count keeps the query off every rollup (it is
+    # non-additive, the router always refuses it — r12: parents=true
+    # routes now, so it no longer serves as the unroutable anchor) —
+    # exactly the query class whose join cost only a LAYOUT can fix
     qs = ("/cubes/Sales/aggregate?drilldown[]=Customer.Nation"
-          "&measures[]=Revenue&nonempty=true&parents=true")
+          "&measures[]=Customer%20Count&nonempty=true")
     prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     # fact-grain plans as a 100 TB cluster would see them: no broadcast
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -696,3 +696,45 @@ def test_rollup_refuses_multi_generate(spark, sf_dir):
     base1 = aggregate(spark, sf_dir, tpch.CATALOG, qm1)
     assert sorted(map(tuple, routed1.collect())) == \
         sorted(map(tuple, base1.collect()))
+
+
+def test_parents_routes_through_covering_rollup(spark, sf_dir):
+    """r12: parents=true routes when the rollup grain covers the WHOLE
+    ancestor chain — previously every parents query scanned base.  The
+    routed output must be indistinguishable from the base path (same
+    columns, same rows, same order)."""
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("chain",
+                 ("Customer.Region", "Customer.Nation", "Time.Year"))
+    qm = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Customer.Nation"], parents=True,
+                    nonempty=True)
+    routed, src = mgr.route(qm)
+    assert src == "chain"
+    direct = aggregate(spark, sf_dir, tpch.CATALOG, qm)
+    assert routed.columns == direct.columns
+    assert [tuple(r) for r in routed.collect()] == \
+        [tuple(r) for r in direct.collect()]
+    # with cuts + HAVING + order/limit post-shaping parity holds too
+    qm2 = QueryModel(cube="Sales", measures=["Revenue"],
+                     drilldown=["Customer.Nation"], parents=True,
+                     cut=["[Time].[Year].[&1996]"], nonempty=True,
+                     order="Revenue", order_desc=True, limit=7)
+    routed2, src2 = mgr.route(qm2)
+    assert src2 == "chain"
+    direct2 = aggregate(spark, sf_dir, tpch.CATALOG, qm2)
+    assert [tuple(r) for r in routed2.collect()] == \
+        [tuple(r) for r in direct2.collect()]
+    # a grain MISSING the ancestor level must not serve the chain
+    mgr2 = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr2.register("no_chain", ("Customer.Nation", "Time.Year"))
+    _, src3 = mgr2.route(qm)
+    assert src3 == "base"
+    # parents + GENERATE keeps the base path (the pair resolution does
+    # not model the ancestor chain)
+    qm4 = QueryModel(cube="Sales", measures=["Revenue"],
+                     drilldown=[], parents=True, nonempty=True,
+                     generate_top=("Customer.Region", 2, "Revenue",
+                                   False))
+    _, src4 = mgr.route(qm4)
+    assert src4 == "base"
