@@ -667,6 +667,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "NON EMPTY SUBSET([Customer].[Nation].Members, 5, 3) * "
         "[Time].[Year].Members ON ROWS FROM [Sales]")
 
+    # Dense DRILLDOWNLEVELTOP (r13, VERDICT r12 #4): Mondrian's
+    # TopCount treats missing cells as rankable, so without NON EMPTY
+    # the per-parent top-N ranks the DENSE child axis — nonempty cells
+    # first (nulls last), then empty children by key (the
+    # deterministic tie-break Mondrian doesn't define); every parent
+    # keeps its subtotal row, null-filled when the slicer leaves it
+    # empty.  Same semantics the dense GENERATE path has always had.
+    q["q109_mdx_dense_ddltop"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales] "
+        "WHERE ([Time].[Day].[&1996-02-10])")
+
     # Nested GENERATE (r12, VERDICT r11 #6): GENERATE(L1.Members,
     # GENERATE(L1.CurrentMember.Children, inner)) collapses EXACTLY to
     # GENERATE(Lmid.Members, inner) — the outer iterates the FULL L1
@@ -2893,6 +2908,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE g = 1 OR EXISTS (SELECT 1 FROM keep k
                                    WHERE k.rk = agg.rk
                                      AND k.nk = agg.nk)""",
+        "q109_mdx_dense_ddltop": f"""
+            WITH agg AS (
+              SELECT r_regionkey AS rk, n_nationkey AS nk,
+                     GROUPING(n_nationkey) AS g,
+                     {REVENUE} AS revenue
+              FROM {J_CUST}
+              WHERE CAST(l_shipdate AS DATE) = DATE '1996-02-10'
+              GROUP BY GROUPING SETS (
+                (r_regionkey),
+                (r_regionkey, n_nationkey))),
+            parents AS (SELECT r_regionkey, r_name FROM region),
+            pairs AS (
+              SELECT r_regionkey, r_name, n_nationkey, n_name
+              FROM nation JOIN region ON n_regionkey = r_regionkey),
+            dense_children AS (
+              SELECT p.r_regionkey, p.r_name, p.n_nationkey,
+                     p.n_name, a.revenue
+              FROM pairs p
+              LEFT JOIN agg a ON a.g = 0 AND p.r_regionkey = a.rk
+                             AND p.n_nationkey = a.nk),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY r_regionkey
+                ORDER BY revenue DESC NULLS LAST, n_nationkey ASC
+              ) AS rn FROM dense_children)
+            SELECT p.r_regionkey AS cust_region_key,
+                   p.r_name AS cust_region,
+                   CAST(NULL AS INTEGER) AS cust_nation_key,
+                   CAST(NULL AS VARCHAR) AS cust_nation,
+                   a.revenue
+            FROM parents p
+            LEFT JOIN agg a ON a.g = 1 AND p.r_regionkey = a.rk
+            UNION ALL
+            SELECT r_regionkey, r_name, n_nationkey, n_name, revenue
+            FROM ranked WHERE rn <= 2""",
         "q100_mdx_dense_drilldownlevel": f"""
             WITH agg AS (
               SELECT r_regionkey AS rk, n_nationkey AS nk,

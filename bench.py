@@ -100,6 +100,11 @@ def main() -> None:
         "SPARK_GRAFT_EXTRA", "").split(",") if n]
     bench_queries = BENCH_QUERIES + extra
     samples: dict[str, list[float]] = {n: [] for n in bench_queries}
+    # box-load evidence (r13, VERDICT r12 #6): two rounds of sf1
+    # headline drift (2.26x -> 2.42x) on unchanged code made trends
+    # unreadable — record the 1/5/15-min load average around the run
+    # so a noisy sample is attributable to outside load, not code
+    load_start = os.getloadavg()
     for _ in range(runs):
         for name in bench_queries:
             t0 = time.time()
@@ -117,6 +122,8 @@ def main() -> None:
         "estimator": f"per-query median of {runs} interleaved runs",
         "queries": timings,
         "sf": sf,
+        "loadavg": {"start": [round(x, 2) for x in load_start],
+                    "end": [round(x, 2) for x in os.getloadavg()]},
     }
     if os.environ.get("SPARK_GRAFT_BENCH_SAMPLES"):
         # raw per-run samples (variance evidence for scale-run records)

@@ -577,7 +577,7 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         # grains from the queries THIS app actually served
         # (plans/advisor.py; VERDICT r7 #6) — per base cube, most
         # demanded first
-        from .plans.advisor import recommend_rollups
+        from .plans.advisor import recommend_rollups, resolve_virtual_entries
         max_r = _int(request.args, "max")
         max_r = 3 if max_r is None else max_r
         if not 0 < max_r <= 20:
@@ -593,8 +593,13 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             stats_cube = rollup_manager.cube.name
         out = []
         for cube_obj in cat.cubes:
+            # virtual-cube entries count as demand on each base cube
+            # they drill across (r13, VERDICT r12 #3) — the router
+            # serves their sub-aggregates from base-cube rollups
+            cube_log = ([q for q in log if q.cube == cube_obj.name]
+                        + resolve_virtual_entries(cat, cube_obj, log))
             recs = recommend_rollups(
-                cube_obj, [q for q in log if q.cube == cube_obj.name],
+                cube_obj, cube_log,
                 max_rollups=max_r,
                 level_cardinality=(stats if cube_obj.name == stats_cube
                                    else None))
@@ -642,13 +647,15 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             raise ParseError(
                 "no rollup manager attached to this app; start the API "
                 "with rollup_manager= to materialize advised rollups")
-        from .plans.advisor import recommend_rollups
+        from .plans.advisor import recommend_rollups, resolve_virtual_entries
         max_r = _int(request.args, "max")
         max_r = 3 if max_r is None else max_r
         if not 0 < max_r <= 10:
             raise ParseError(f"max must be in 1..10, got {max_r}")
         cube_obj = rollup_manager.cube
-        log = [q for q in served_log if q.cube == cube_obj.name]
+        log = ([q for q in served_log if q.cube == cube_obj.name]
+               + resolve_virtual_entries(cat, cube_obj,
+                                         list(served_log)))
         stats = (dict(rollup_manager.level_stats)
                  if rollup_manager.level_stats else None)
         recs = recommend_rollups(cube_obj, log, max_rollups=max_r,

@@ -21,8 +21,10 @@ Algorithm: classic greedy weighted set cover over candidate grains.
 1. Each routable query contributes its NEED — the (dimension, level)
    set its drilldowns and cuts touch (mirrors RollupManager._choose's
    covering test).  Queries the router can never route (calc members,
-   non-re-aggregable measures, WITH forms, dense axes) are dropped —
-   recommending a grain for them would be dead storage.
+   non-re-aggregable measures, WITH forms) are dropped — recommending
+   a grain for them would be dead storage.  Dense (nonempty=false)
+   queries COUNT since r13: dense is Mondrian's default and the
+   router serves them by dense-filling the routed nonempty aggregate.
 2. Candidate grains = the distinct needs plus their closure under
    pairwise union (bounded): merged grains cost more rows but cover
    more queries — exactly the AggName trade-off.
@@ -150,6 +152,54 @@ def recommend_bucketing(cube: Cube, query_log: list[QueryModel],
         join_weight=weight[name], log_size=total)
 
 
+def resolve_virtual_entries(cat, cube: Cube,
+                            query_log: list[QueryModel],
+                            ) -> list[QueryModel]:
+    """Per-base-cube demand from VIRTUAL-cube log entries (r13,
+    VERDICT r12 #3): since r11 the drill-across path threads
+    RollupManagers into its per-cube sub-aggregates, so the hottest
+    virtual workload ROUTES through base-cube rollups — but
+    recommend_rollups only saw ``qm.cube == cube.name`` entries, so
+    that workload never influenced which grains get built.  Maps each
+    virtual entry to the sub-QueryModel _virtualize hands the router:
+    measures the base cube owns, drilldown/cut/properties forwarded,
+    nonempty=True, axis-global shaping (order/limit/filter) dropped —
+    those apply post-join and never reach the router.  Entries with
+    WITH forms / grouping-sets axes / GENERATE are skipped: their
+    virtual rewrites reshape the axes before routing, so a naive
+    forward would advise the wrong grain."""
+    out: list[QueryModel] = []
+    for qm in query_log:
+        vc = cat.virtual_cube(qm.cube) if cat is not None else None
+        if vc is None or cube.name not in vc.cube_names:
+            continue
+        if (qm.with_members or qm.with_sets
+                or getattr(qm, "with_sets_ext", [])
+                or getattr(qm, "gs_axes", None)
+                or getattr(qm, "generate_top", None) is not None
+                or getattr(qm, "generate_more", [])
+                or getattr(qm, "generate_nested", [])):
+            continue
+        own = []
+        for m in qm.measures:
+            try:
+                cube.measure(m)
+                own.append(m)
+            except KeyError:
+                continue
+        if not own:
+            continue
+        out.append(QueryModel(
+            cube=cube.name, measures=own,
+            drilldown=list(qm.drilldown), cut=list(qm.cut),
+            nonempty=True, parents=qm.parents,
+            properties=list(qm.properties),
+            caption=list(qm.caption),
+            property_filters=list(getattr(qm, "property_filters", [])),
+            nav_filters=list(getattr(qm, "nav_filters", []) or [])))
+    return out
+
+
 @dataclass
 class _Need:
     levels: frozenset
@@ -164,7 +214,7 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
     (mirrors RollupManager._choose)."""
     if qm.cube != cube.name:
         return None
-    if (qm.properties or qm.caption or not qm.nonempty
+    if (qm.properties or qm.caption
             or qm.children_of or qm.parent_of or qm.lastperiods
             or qm.member_lags or qm.with_members or qm.with_sets
             or getattr(qm, "with_sets_ext", [])
@@ -181,6 +231,12 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
             or getattr(qm, "nav_filters", [])
             or getattr(qm, "generate_inner", None) is not None
             or getattr(qm, "gs_axes", None)):
+        return None
+    if not qm.nonempty and getattr(qm, "generate_top", None) is not None:
+        # dense GENERATE routes to base (mirrors RollupManager._choose
+        # r13); dense queries otherwise COUNT — dense is Mondrian's
+        # default (api.rb:137), and since r13 the router serves them
+        # (the dense fill left-joins the routable nonempty aggregate)
         return None
     # routability must consider the HIDDEN measures HAVING/ORDER pull
     # in too (mirrors RollupManager._measure_names): a log entry whose

@@ -609,11 +609,15 @@ def test_aggregate_route_debug_source(routed):
     r2 = client.get("/cubes/Sales/aggregate?drilldown[]=Customer.Nation"
                     "&measures[]=Revenue&nonempty=true&debug=true")
     assert r2.get_json()["source"] == "base"
-    # dense axes (the REST default) need the dim-member frames the
-    # rollup doesn't hold -> base
+    # dense axes (the REST default) route too since r13: the dense
+    # fill left-joins the dim-member frames to the ROUTED aggregate
     r4 = client.get("/cubes/Sales/aggregate?drilldown[]=Time.Year"
                     "&measures[]=Revenue&debug=true")
-    assert r4.get_json()["source"] == "base"
+    assert r4.get_json()["source"] == "per_year"
+    # …and the dense body equals the base-path dense body
+    r5 = client.get("/cubes/Sales/aggregate?drilldown[]=Customer.Nation"
+                    "&measures[]=Revenue&debug=true")
+    assert r5.get_json()["source"] == "base"
     # without debug the envelope key is absent (byte-stable contract)
     r3 = client.get("/cubes/Sales/aggregate?drilldown[]=Time.Year"
                     "&measures[]=Revenue&nonempty=true")

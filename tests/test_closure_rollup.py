@@ -363,23 +363,29 @@ def test_rollup_advisor_synthetic_log():
                       drilldown=["Customer.Nation", "Time.Year"])
     cold = QueryModel(cube="Sales", measures=["Quantity"],
                       drilldown=["Part.Brand"])
+    # dense (nonempty=false) COUNTS since r13 — the router dense-fills
+    # the routed nonempty aggregate, so dense log entries are demand
+    dense = QueryModel(cube="Sales", measures=["Revenue"],
+                       drilldown=["Customer.Nation", "Time.Year"],
+                       nonempty=False)
     unroutable = [
         QueryModel(cube="Sales", measures=["Customer Count"],   # exact dc
                    drilldown=["Customer.Nation"]),
         QueryModel(cube="Sales", measures=["Avg Price"],        # calc
                    drilldown=["Customer.Nation"]),
-        QueryModel(cube="Sales", measures=["Revenue"],          # dense
-                   drilldown=["Customer.Nation"], nonempty=False),
+        QueryModel(cube="Sales", measures=["Revenue"],          # dense GEN
+                   drilldown=[], nonempty=False,
+                   generate_top=("Customer.Region", 2, "Revenue", False)),
         QueryModel(cube="Orders", measures=["Order Count"],     # other cube
                    drilldown=["Customer.Nation"]),
     ]
-    log = [hot] * 10 + [warm] * 4 + [cold] * 1 + unroutable * 5
+    log = [hot] * 10 + [warm] * 4 + [cold] * 1 + [dense] * 5 + unroutable * 5
     recs = recommend_rollups(tpch.SALES, log, max_rollups=2)
     assert recs, "advisor returned nothing"
-    # hot+warm share the (Nation, Year) need-union; it must come first
+    # hot+warm+dense share the (Nation, Year) need-union; it comes first
     top = recs[0]
     assert set(top.grain) == {"Customer.Nation", "Time.Year"}
-    assert top.covered_weight == 14
+    assert top.covered_weight == 19
     assert recs[1].grain == ("Part.Brand",)
     assert recs[1].covered_weight == 1
 
@@ -738,3 +744,106 @@ def test_parents_routes_through_covering_rollup(spark, sf_dir):
                                    False))
     _, src4 = mgr.route(qm4)
     assert src4 == "base"
+
+
+def test_dense_routes_through_covering_rollup(spark, sf_dir):
+    """r13 (VERDICT r12 #1): dense (nonempty=false) is Mondrian's
+    DEFAULT (reference api.rb:137), so the default-params query must
+    route too — the dense fill is dim-side member frames left-joined
+    to the routed nonempty aggregate, never a fact scan.  Routed dense
+    output must be row-identical (including null-filled cells and
+    ordering) to the base path."""
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("nation_year", ("Customer.Nation", "Time.Year"))
+
+    qm = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Customer.Nation", "Time.Year"],
+                    nonempty=False)
+    routed, src = mgr.route(qm)
+    assert src == "nation_year"
+    direct = aggregate(spark, sf_dir, tpch.CATALOG, qm)
+    assert routed.columns == direct.columns
+    assert [tuple(r) for r in routed.collect()] == \
+        [tuple(r) for r in direct.collect()]
+    # dense + WHERE cut on a grain level: the cut restricts facts AND
+    # (same-dimension) the member frame — parity must hold
+    qm2 = QueryModel(cube="Sales", measures=["Revenue", "Line Count"],
+                     drilldown=["Customer.Nation"],
+                     cut=["[Time].[Year].[&1996]"], nonempty=False)
+    routed2, src2 = mgr.route(qm2)
+    assert src2 == "nation_year"
+    direct2 = aggregate(spark, sf_dir, tpch.CATALOG, qm2)
+    assert routed2.columns == direct2.columns
+    assert [tuple(r) for r in routed2.collect()] == \
+        [tuple(r) for r in direct2.collect()]
+    # the dense frame must actually contain null-filled cells here
+    # (1996-only facts leave some nation rows empty only if every
+    # nation traded in 1996 — assert the dense fill shape instead:
+    # all 25 nations present regardless of fact coverage)
+    assert routed2.count() == 25
+    # dense + HAVING + order/limit post-shaping parity
+    qm3 = QueryModel(cube="Sales", measures=["Revenue"],
+                     drilldown=["Customer.Nation"], nonempty=False,
+                     filter=["Revenue > 1000"],
+                     order="Revenue", order_desc=True, limit=5)
+    routed3, src3 = mgr.route(qm3)
+    assert src3 == "nation_year"
+    direct3 = aggregate(spark, sf_dir, tpch.CATALOG, qm3)
+    assert [tuple(r) for r in routed3.collect()] == \
+        [tuple(r) for r in direct3.collect()]
+    # dense GENERATE keeps the base path (rank-over-dense semantics)
+    qm4 = QueryModel(cube="Sales", measures=["Revenue"], drilldown=[],
+                     nonempty=False,
+                     generate_top=("Customer.Region", 2, "Revenue",
+                                   False))
+    _, src4 = mgr.route(qm4)
+    assert src4 == "base"
+    # dense routed plan never scans the fact: everything above the
+    # cached rollup is member frames (dim scans) + the left join
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    assert "lineitem" not in plan.split("InMemoryRelation")[0]
+
+
+def test_advisor_learns_from_virtual_cube_log(spark, sf_dir):
+    """r13 (VERDICT r12 #3): a virtual-heavy served log must recommend
+    the BASE-cube grain that the drill-across sub-aggregates then
+    route through (`virtual:<cube>=<rollup>`); previously the advisor
+    dropped every qm.cube != cube.name entry, so the hottest virtual
+    workload never influenced which grains get built."""
+    from mondrian_rest_spark.plans.advisor import (recommend_rollups,
+                                                   resolve_virtual_entries)
+
+    vq = QueryModel(cube="Orders and Sales",
+                    measures=["Revenue", "Total Price"],
+                    drilldown=["Customer.Nation"], nonempty=True)
+    log = [vq] * 8
+    # direct call: the advisor alone sees no Sales entries
+    assert recommend_rollups(tpch.SALES, [q for q in log
+                                          if q.cube == "Sales"]) == []
+    mapped = resolve_virtual_entries(tpch.CATALOG, tpch.SALES, log)
+    assert len(mapped) == 8
+    assert mapped[0].cube == "Sales" and mapped[0].measures == ["Revenue"]
+    recs = recommend_rollups(tpch.SALES, mapped)
+    assert recs and recs[0].grain == ("Customer.Nation",)
+    assert recs[0].covered_weight == 8
+    # the advised grain registered on the base cube now serves the
+    # virtual query's Sales sub-aggregate
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("vc_advised", recs[0].grain)
+    routed, src = mgr.route(vq)
+    assert src == "virtual:Sales=vc_advised"
+    direct = aggregate(spark, sf_dir, tpch.CATALOG, vq)
+    assert sorted(tuple(r) for r in routed.collect()) == \
+        sorted(tuple(r) for r in direct.collect())
+    # entries whose virtual rewrite reshapes axes are skipped
+    gen = QueryModel(cube="Orders and Sales", measures=["Revenue"],
+                     drilldown=[], nonempty=True,
+                     generate_top=("Customer.Region", 2, "Revenue",
+                                   False))
+    assert resolve_virtual_entries(tpch.CATALOG, tpch.SALES, [gen]) == []
+    # other-catalog / base-cube entries pass through untouched (none)
+    assert resolve_virtual_entries(
+        tpch.CATALOG, tpch.SALES,
+        [QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Customer.Nation"])]) == []

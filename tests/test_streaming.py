@@ -626,3 +626,111 @@ def test_streaming_jaccard_incremental_no_driver_collect():
 
     src = inspect.getsource(events.streaming_jaccard_ingest_incremental)
     assert ".collect()" not in src
+
+
+def test_streaming_ingest_concurrent_with_rest_reads(spark, sf_dir,
+                                                     tmp_path):
+    """r13 (VERDICT r12 #8): the streaming rollup-ingest path shares
+    the SparkSession, the routed RollupManager, and the REST result
+    cache with concurrent /aggregate readers.  While two micro-batches
+    fold into a partitioned rollup, concurrent reads must (a) never
+    error, (b) never change values for the UNTOUCHED years (batches
+    land in brand-new partitions), and (c) after the drain, serve
+    exactly the post-ingest serial result — the append's invalidation
+    hook must have flushed every stale cached body."""
+    import glob
+    import shutil
+    import threading
+
+    from mondrian_rest_spark import tpch
+    from mondrian_rest_spark.api import create_app
+    from mondrian_rest_spark.planner import aggregate
+    from mondrian_rest_spark.plans.rollup import RollupManager
+    from mondrian_rest_spark.query import QueryModel
+    from mondrian_rest_spark.streaming.events import streaming_rollup_ingest
+
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("nation_year", ("Customer.Nation", "Time.Year"),
+                 persist_path=str(tmp_path / "nation_year"),
+                 partition_col="year")
+    app = create_app(tpch.CATALOG, sf_dir, spark=spark,
+                     rollup_manager=mgr, flush_secret="s")
+    app.config["TESTING"] = True
+    url = ("/cubes/Sales/aggregate?drilldown[]=Time.Year"
+           "&measures[]=Revenue&nonempty=true")
+    def year_values(body):
+        years = [m["key"] for m in body["axes"][1]["members"]]
+        vals = [v[0] if isinstance(v, list) else v
+                for v in body["values"]]
+        return dict(zip(years, vals))
+
+    c0 = app.test_client()
+    r0 = c0.get(url)
+    assert r0.status_code == 200
+    base_rows = year_values(r0.get_json())
+    base_years = set(base_rows)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 100)
+    stage = tmp_path / "incoming"
+    incoming = tmp_path / "stream_src"
+    incoming.mkdir()
+    schema = None
+    for i, shift in enumerate((40, 50)):
+        b = li.withColumn("l_shipdate", F.col("l_shipdate")
+                          + F.expr(f"INTERVAL {shift} YEARS"))
+        b.coalesce(1).write.mode("overwrite").parquet(str(stage / f"b{i}"))
+        schema = b.schema
+    errors: list = []
+    stop = threading.Event()
+
+    def reader(i):
+        c = app.test_client()
+        while not stop.is_set():
+            r = c.get(url)
+            if r.status_code != 200:
+                errors.append((i, r.status_code))
+                return
+            rows = year_values(r.get_json())
+            for y in base_years:
+                if rows.get(y) != base_rows[y]:
+                    errors.append((i, y, rows.get(y), base_rows[y]))
+                    return
+
+    readers = [threading.Thread(target=reader, args=(i,))
+               for i in range(6)]
+    for t in readers:
+        t.start()
+    # feed the two batches mid-traffic, one file per trigger
+    for i in range(2):
+        src = glob.glob(str(stage / f"b{i}" / "*.parquet"))[0]
+        shutil.copy(src, str(incoming / f"batch{i}.parquet"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(incoming)))
+    q = streaming_rollup_ingest(stream, mgr)
+    q.awaitTermination(180)
+    stop.set()
+    for t in readers:
+        t.join(timeout=120)
+    assert not any(t.is_alive() for t in readers), "reader hung"
+    assert not errors, errors[:5]
+    # post-drain: REST serves the post-ingest values (stale cache
+    # flushed by the append invalidation hook), still routed
+    r1 = c0.get(url + "&debug=true")
+    assert r1.status_code == 200
+    body = r1.get_json()
+    assert body["source"] == "nation_year"
+    got = year_values(body)
+    qm = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Time.Year"], nonempty=True)
+    exp = {r["year"]: float(r["revenue"]) for r in
+           aggregate(spark, sf_dir, tpch.CATALOG, qm).collect()}
+    for i, shift in enumerate((40, 50)):
+        b = spark.read.parquet(str(stage / f"b{i}"))
+        for r in aggregate(spark, sf_dir, tpch.CATALOG, qm,
+                           fact_df=b).collect():
+            exp[r["year"]] = exp.get(r["year"], 0.0) + float(r["revenue"])
+    assert set(got) == set(exp)
+    for y, v in exp.items():
+        assert abs(float(got[y]) - v) < 1e-6 * max(1.0, abs(v)), y
