@@ -1272,6 +1272,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
     q["q99_virtual_rollup_routed"] = _q99
 
+    # DENSE rollup routing (r13, VERDICT r12 #1): dense is Mondrian's
+    # REST default (api.rb:137) — a dense query with a covering rollup
+    # must route too.  The dense fill left-joins the dim member frame
+    # to the ROUTED nonempty aggregate; the fact is never scanned
+    # (source asserted; plan asserted in test_closure_rollup).
+    def _q110(s, d):
+        from mondrian_rest_spark.plans.rollup import RollupManager
+        key = (id(s), d)
+        mgr = _ROLLUP_MGRS.get(key)
+        if mgr is None:
+            mgr = RollupManager(s, d, CAT, "Sales")
+            mgr.register("nation_year", ("Customer.Nation", "Time.Year"))
+            _ROLLUP_MGRS[key] = mgr
+        qm = QueryModel(cube="Sales", measures=["Revenue"],
+                        drilldown=["Customer.Nation"],
+                        cut=["[Time].[Year].[&1996]"], nonempty=False)
+        out, source = mgr.route(qm)
+        assert source == "nation_year", source
+        return out
+    q["q110_rollup_routed_dense"] = _q110
+
     q["q29_grouping_rollup"] = lambda s, d: _grouping_rollup(s, d)
 
     # skew path: salted two-phase groupBy must be value-identical to a
@@ -3372,6 +3393,15 @@ def oracle_sql() -> dict[str, str]:
                    {REVENUE} AS revenue, COUNT(l_linenumber) AS line_count
             FROM {J_CUST} WHERE year(l_shipdate) BETWEEN 1996 AND 1998
             GROUP BY 1, 2""",
+        "q110_rollup_routed_dense": f"""
+            WITH agg AS (
+              SELECT n_nationkey AS nk, {REVENUE} AS revenue
+              FROM {J_CUST} WHERE year(l_shipdate) = 1996
+              GROUP BY 1),
+            m AS (SELECT n_nationkey, n_name FROM nation)
+            SELECT m.n_nationkey AS cust_nation_key,
+                   m.n_name AS cust_nation, a.revenue
+            FROM m LEFT JOIN agg a ON m.n_nationkey = a.nk""",
         "q31_salted_skew_agg": f"""
             SELECT l_returnflag, {DEC('l_quantity')} AS sum_qty,
                    COUNT(*) AS line_count

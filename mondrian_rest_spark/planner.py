@@ -279,21 +279,32 @@ def _validate_cut_members(spark: SparkSession, sf_dir: str, cube: Cube,
     ck = (spark.sparkContext.applicationId, sf_dir, cube.name,
           dim.name, level.name)
     seen = _MEMBER_EXISTS.setdefault(ck, set())
-    frame = None
     for col, raws in by_col.items():
         unseen = sorted({r for r in raws if (col, r) not in seen})
         if not unseen:
             continue
-        if frame is None:
-            if dim.is_degenerate:
+        if dim.is_degenerate:
+            # a degenerate level's members live on the fact — but
+            # when a routing authority (opt-in _NS_ROUTERS) holds a
+            # rollup whose grain includes the level, its rows
+            # enumerate exactly the same members at a fraction of the
+            # scan (and stay authoritative under appends)
+            mgr = _NS_ROUTERS.get(
+                (spark.sparkContext.applicationId, sf_dir, cube.name))
+            covering = [r for r in getattr(mgr, "rollups", [])
+                        if level.key_alias in r.key_cols
+                        and col in r.frame.columns]
+            if covering:
+                frame = min(covering, key=lambda r: r.rows).frame
+            else:
                 exprs = {level.key_alias: level.key}
                 if level.caption and level.caption_alias \
                         and level.caption_alias != level.key_alias:
                     exprs[level.caption_alias] = level.caption
                 frame = load_table(spark, sf_dir, cube.fact).select(
                     *[F.expr(e).alias(a) for a, e in exprs.items()])
-            else:
-                frame = _dim_select(spark, sf_dir, dim, [level])
+        else:
+            frame = _dim_select(spark, sf_dir, dim, [level])
         dtype = frame.schema[col].dataType
         coerced = {r: _coerce_for(r, dtype) for r in unseen}
         found = {row[0] for row in
@@ -3226,6 +3237,16 @@ _NAMED_SET_KEYS: dict = {}
 _LASTPERIODS_KEYS: dict = {}
 _LEVEL_REPEATS: dict = {}
 
+#: named-set EVALUATION routers (r13): {(appId, sf_dir, cube name):
+#: RollupManager}.  A fully-routed query with a computed named set
+#: still paid one fact scan — the set's ranking aggregate; with a
+#: registered manager that aggregate routes through a covering rollup
+#: too (sum-of-sums is exact and the key tie-break is deterministic,
+#: so the selected member set is bit-identical).  RollupManager
+#: registers itself here; appends clear _NAMED_SET_KEYS via the
+#: invalidation path, so re-evaluation sees the merged rollup.
+_NS_ROUTERS: dict = {}
+
 
 def clear_named_set_cache() -> None:
     _NAMED_SET_KEYS.clear()
@@ -3324,7 +3345,17 @@ def named_set_frame(spark: SparkSession, sf_dir: str, cube: Cube, ns) -> DataFra
                   .select(level.key_alias))
     sub = QueryModel(cube=cube.name, measures=[ns.top_by],
                      drilldown=[f"{ns.dimension}.{ns.level}"], nonempty=True)
-    agg = _aggregate_cube(spark, sf_dir, cube, sub)
+    mgr = _NS_ROUTERS.get((spark.sparkContext.applicationId, sf_dir,
+                           cube.name))
+    if mgr is not None and cube is mgr.cube:
+        # the set's ranking aggregate routes like any other query
+        # (falls back to base inside route() when no rollup covers).
+        # Identity check: query-scoped cube COPIES (inline WITH
+        # measures the schema cube doesn't have) must evaluate against
+        # the passed cube, not the manager's schema cube.
+        agg, _ = mgr.route(sub)
+    else:
+        agg = _aggregate_cube(spark, sf_dir, cube, sub)
     alias = _measure_alias(cube, ns.top_by)
     direction = F.asc(alias) if ns.ascending else F.desc(alias)
     if kind in ("percent", "sum"):

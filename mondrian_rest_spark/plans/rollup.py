@@ -91,7 +91,8 @@ class RollupManager:
 
     def __init__(self, spark: SparkSession, sf_dir: str, cat: Catalog,
                  cube_name: str, materialize_dir: str | None = None,
-                 bucket_db: str | None = None):
+                 bucket_db: str | None = None,
+                 route_named_sets: bool = False):
         import dataclasses
         self.spark = spark
         self.sf_dir = sf_dir
@@ -121,6 +122,19 @@ class RollupManager:
             self.cube, measures=self.cube.measures + sketches)
         self._sketches = sketches
         self.rollups: list[Rollup] = []
+        # named-set evaluation routing (r13, OPT-IN): computed named
+        # sets' ranking aggregates route through this manager's
+        # rollups too (planner._NS_ROUTERS) — the last fact scan in an
+        # otherwise fully-routed query.  Opt-in because registration
+        # makes THIS manager the cube's set-evaluation authority for
+        # the whole session: correct for an app whose appends flow
+        # through the manager (rollups are then FRESHER than the base
+        # parquet), wrong for ad-hoc managers holding appended state a
+        # concurrent base-path consumer shouldn't see.
+        if route_named_sets:
+            from ..planner import _NS_ROUTERS
+            _NS_ROUTERS[(spark.sparkContext.applicationId, sf_dir,
+                         self.cube.name)] = self
         #: measured per-level member counts, filled at rollup-build
         #: time (VERDICT r8 #5): {(dim_name, level_name): n} — the
         #: advisor's level_cardinality input, so grain scoring uses
@@ -528,19 +542,39 @@ class RollupManager:
                        if m.agg == "approx_count_distinct"}
         try:
             need = set()
+            ns_names = {s.name for s in self.cube.named_sets}
             for d in qm.drilldown:
+                parsed = parse_drilldown(d, ns_names)
+                if isinstance(parsed, str):
+                    # named-set drilldown shortcut (r13): drill at the
+                    # set's level + the memoized member-key cut — both
+                    # reproducible from a covering rollup.  Dense mode
+                    # keeps base (the member-frame restriction the
+                    # dense fill applies is not modeled here).
+                    if not qm.nonempty:
+                        return None
+                    ns = self.cube.named_set(parsed)
+                    _, _, level = _resolve_level(
+                        self.cube, ns.dimension, None, ns.level)
+                    for _, a in level.out_cols():
+                        need.add(a)
+                    continue
                 # parents=true (r12): the ancestor chain's columns are
                 # part of the need — only a grain covering the WHOLE
                 # chain can reproduce the base path's output
-                rd = _resolve_drill(self.cube, parse_drilldown(d),
-                                    qm.parents)
+                rd = _resolve_drill(self.cube, parsed, qm.parents)
                 for lv in rd.group_levels:
                     for _, a in lv.out_cols():
                         need.add(a)
             for c in qm.cut:
-                rc = _resolve_cut(self.cube, parse_cut(c))
+                rc = _resolve_cut(self.cube, parse_cut(c, ns_names))
                 if rc.cut.kind == "named_set":
-                    return None
+                    # named-set slicer (r13): the memoized member keys
+                    # become an IN-filter on the rollup rows — same
+                    # predicate the base path pushes to its scans;
+                    # dense mode keeps base (see above)
+                    if not qm.nonempty:
+                        return None
                 need.add(rc.level.key_alias)
             if qm.generate_top is not None:
                 for lv in self._generate_levels(qm):
@@ -575,18 +609,44 @@ class RollupManager:
         display = final_aliases[:len(requested)]
         df = r.frame
         pred_cuts = []
+        ns_names = {s.name for s in self.cube.named_sets}
+        from ..planner import (_cut_predicate, _validate_cut_members,
+                               named_set_keys)
         for c in qm.cut:
-            rc = _resolve_cut(self.cube, parse_cut(c))
-            from ..planner import _cut_predicate, _validate_cut_members
+            rc = _resolve_cut(self.cube, parse_cut(c, ns_names))
+            if rc.cut.kind == "named_set":
+                # named-set slicer over the rollup rows (r13): the
+                # memoized member keys as an IN-filter — the same
+                # predicate the base path pushes to its scans
+                ns = self.cube.named_set(rc.cut.named_set)
+                keys = named_set_keys(self.spark, self.sf_dir,
+                                      self.cube, ns)
+                df = df.filter(F.col(rc.level.key_alias).isin(keys))
+                continue
             # same member-existence 400 as the base path (r13) — a
-            # routed query must be indistinguishable, errors included
+            # routed query must be indistinguishable, errors included;
+            # schema-typed coercion too (a type-impossible value 400s
+            # here exactly like the base path's plan-time coercion)
             _validate_cut_members(self.spark, self.sf_dir, self.cube, rc)
-            df = df.filter(_cut_predicate(rc))
+            df = df.filter(_cut_predicate(rc, df.schema))
             pred_cuts.append(rc)
         group_cols, key_aliases, drills = [], [], []
         for d in qm.drilldown:
-            rd = _resolve_drill(self.cube, parse_drilldown(d),
-                                qm.parents)
+            parsed = parse_drilldown(d, ns_names)
+            if isinstance(parsed, str):
+                # named-set drilldown shortcut (r13): drill at the
+                # set's level, restricted to the memoized member keys
+                ns = self.cube.named_set(parsed)
+                _, _, level = _resolve_level(
+                    self.cube, ns.dimension, None, ns.level)
+                keys = named_set_keys(self.spark, self.sf_dir,
+                                      self.cube, ns)
+                df = df.filter(F.col(level.key_alias).isin(keys))
+                key_aliases.append(level.key_alias)
+                for _, a in level.out_cols():
+                    group_cols.append(a)
+                continue
+            rd = _resolve_drill(self.cube, parsed, qm.parents)
             drills.append(rd)
             for lv in rd.group_levels:
                 key_aliases.append(lv.key_alias)

@@ -67,7 +67,8 @@ AUDIT = ["q02_region_revenue", "q03_crossjoin_3d", "q04_cut_member",
          "q104_mdx_virtual_generate_x_topcount",
          "q105_mdx_toppercent_x_years",
          "q106_mdx_virtual_toppercent_x_years",
-         "q107_mdx_prop_filter_x_years", "q108_mdx_subset_x_years"]
+         "q107_mdx_prop_filter_x_years", "q108_mdx_subset_x_years",
+         "q109_mdx_dense_ddltop", "q110_rollup_routed_dense"]
 
 # per-query caveats the static plan can't show (r12, VERDICT r11 #2)
 NOTES = {

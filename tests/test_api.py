@@ -802,7 +802,10 @@ def test_advisor_rollups_route(client):
             ("measures[]", "Revenue"),
             ("cut[]", "[Time].[Year].[&1996]"),
             ("nonempty", "true")]).status_code == 200
-    r = client.get("/advisor/rollups?max=2")
+    # max=6: the shared client's log carries other tests' queries —
+    # including DENSE ones, which COUNT since r13 — so the covering
+    # grain needs more slots than the two it competed for before
+    r = client.get("/advisor/rollups?max=6")
     assert r.status_code == 200
     body = r.get_json()
     assert body["log_size"] >= 3

@@ -847,3 +847,61 @@ def test_advisor_learns_from_virtual_cube_log(spark, sf_dir):
         tpch.CATALOG, tpch.SALES,
         [QueryModel(cube="Sales", measures=["Revenue"],
                     drilldown=["Customer.Nation"])]) == []
+
+
+def test_named_set_cut_and_drilldown_route(spark, sf_dir):
+    """r13: named-set cuts and named-set drilldown shortcuts route —
+    the memoized member keys become the same IN-filter the base path
+    pushes to its scans, applied to the rollup rows.  With
+    route_named_sets=True the set's own ranking aggregate routes too
+    (the last fact scan in an otherwise fully-routed query)."""
+    from mondrian_rest_spark.planner import (clear_named_set_cache,
+                                             named_set_frame)
+
+    clear_named_set_cache()
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales",
+                        route_named_sets=True)
+    mgr.register("cust_year", ("Customer.Customer", "Time.Year"))
+    try:
+        # the set's ranking aggregate reads the cached rollup, not the
+        # fact
+        ns = tpch.SALES.named_set("Top5 Customers")
+        frame = named_set_frame(spark, sf_dir, tpch.SALES, ns)
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan
+        assert "lineitem" not in plan.split("InMemoryRelation")[0]
+        # named-set drilldown shortcut routes, row-identical to base
+        qm = QueryModel(cube="Sales", measures=["Revenue", "Quantity"],
+                        drilldown=["Top5 Customers"], nonempty=True)
+        routed, src = mgr.route(qm)
+        assert src == "cust_year"
+        base = aggregate(spark, sf_dir, tpch.CATALOG, qm)
+        assert routed.columns == base.columns
+        assert [tuple(r) for r in routed.collect()] == \
+            [tuple(r) for r in base.collect()]
+        # named-set CUT beside another drill routes too
+        qm2 = QueryModel(cube="Sales", measures=["Revenue"],
+                         drilldown=["Time.Year"],
+                         cut=["[Top5 Customers]"], nonempty=True)
+        routed2, src2 = mgr.route(qm2)
+        assert src2 == "cust_year"
+        base2 = aggregate(spark, sf_dir, tpch.CATALOG, qm2)
+        assert [tuple(r) for r in routed2.collect()] == \
+            [tuple(r) for r in base2.collect()]
+        # a grain missing the set's level keeps the base path
+        mgr2 = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+        mgr2.register("nation_only", ("Customer.Nation",))
+        _, src3 = mgr2.route(qm)
+        assert src3 == "base"
+        # dense + named set keeps base (member-frame restriction)
+        qm4 = QueryModel(cube="Sales", measures=["Revenue"],
+                         drilldown=["Time.Year"],
+                         cut=["[Top5 Customers]"], nonempty=False)
+        _, src4 = mgr.route(qm4)
+        assert src4 == "base"
+    finally:
+        # deregister: later tests' named-set evaluations must not
+        # route through this test's manager
+        from mondrian_rest_spark.planner import _NS_ROUTERS
+        _NS_ROUTERS.clear()
+        clear_named_set_cache()
