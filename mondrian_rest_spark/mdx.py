@@ -68,7 +68,9 @@ build_query emits, which covers every query the REST layer can express:
            | DRILLDOWNMEMBER(<level path>.Members, {<member>, ...})
            | VISUALTOTALS({<parent member>, <child member>, ...})
              (mixed-depth axis: ONE grouping-sets aggregate
-              {(parent), (parent, child)}; NON EMPTY required;
+              {(parent), (parent, child)}; dense (no NON EMPTY) fills
+              per-grouping-set member frames since r12, and DDLTOP
+              ranks the dense children since r13;
               VISUALTOTALS cuts facts to the listed children so the
               parent subtotal IS the visible total)
            | {set} | <member>:<member>
@@ -855,9 +857,9 @@ def _axis_term(p: _P, q: MdxQuery, infix_hint: bool = False) -> bool:
         # {m, ...}) drills only the listed members.  Both compile to
         # ONE grouping-sets aggregate — a single Expand pass, no
         # second scan; parent rows carry NULL child columns
-        # (Mondrian's mixed-depth axis).  NON EMPTY required (a dense
-        # fill of a mixed-grain axis is ill-defined — clear 400 in
-        # the planner).  r10 (VERDICT r9 #4): crossjoin-composable,
+        # (Mondrian's mixed-depth axis).  Dense (no NON EMPTY) fills
+        # per-grouping-set member frames since r12 (planner
+        # _densify_gs).  r10 (VERDICT r9 #4): crossjoin-composable,
         # one per DIMENSION — k grouping-sets axes compile to 2^k
         # sets in the same single Expand pass.
         p.next()

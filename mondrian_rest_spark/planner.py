@@ -2672,6 +2672,20 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # --- ORDER / SUBSET (reference query_helper.rb:283-296) ---
     key_aliases = [a for rd in drills for lv in rd.group_levels
                    for a in [lv.key_alias]]
+    out = _shape_axis(cube, out, qm, group_cols, key_aliases)
+
+    return out.select(*group_cols, *kept_markers, *final_aliases)
+
+
+def _shape_axis(cube: Cube, out: DataFrame, qm: QueryModel,
+                group_cols: list[str],
+                key_aliases: list[str]) -> DataFrame:
+    """The axis-global shaping tail — TOPPERCENT/TOPSUM windows, ORDER
+    (+ key tie-breaks), default hierarchical order, OFFSET/LIMIT,
+    TAIL, HIERARCHIZE-over-ranked — factored out (r13) so the base
+    path and RollupManager._reaggregate shape bit-identically: a
+    routed TOPPERCENT/TAIL query is indistinguishable from an
+    unrouted one by construction, not by duplication."""
     tp_sort = None
     if qm.top_percent is not None or qm.top_sum is not None:
         # TOPPERCENT/BOTTOMPERCENT and TOPSUM/BOTTOMSUM (Mondrian set
@@ -2774,7 +2788,7 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         # reverts to hierarchical — one axis-sized re-sort
         out = out.orderBy(*[F.asc(a) for a in key_aliases])
 
-    return out.select(*group_cols, *kept_markers, *final_aliases)
+    return out
 
 
 def _with_level_cols(df: DataFrame, lv: Level, caption_override: str | None = None) -> DataFrame:

@@ -441,6 +441,13 @@ class RollupManager:
                     extras.append(g_m)
                 except KeyError:
                     pass
+        for tp in (qm.top_percent, qm.top_sum):
+            # TOPPERCENT/TOPSUM ranking measure (r13): the cumulative
+            # window needs its column even when not displayed
+            if tp is not None and tp[1] not in requested \
+                    and tp[1] not in extras:
+                _measure_alias(self.cube, tp[1])   # unknown -> base 400
+                extras.append(tp[1])
         for pname in qm.nonempty_measures:
             if pname not in requested and pname not in extras:
                 try:
@@ -517,9 +524,9 @@ class RollupManager:
                 or qm.ancestor_of or qm.edge_sibling_of
                 or qm.periods_to_date
                 or getattr(qm, "generate_more", [])
-                or qm.tail is not None
-                or qm.top_percent is not None or qm.top_sum is not None
                 or qm.empty_set or qm.empty_slicer):
+            # (TOPPERCENT/TOPSUM/TAIL route since r13 — the shared
+            # _shape_axis stage reproduces them over the re-aggregate)
             return None
         if qm.generate_top is not None and self._generate_levels(qm) is None:
             # unresolvable / base-path-400 / approx-ranked GENERATE:
@@ -538,6 +545,18 @@ class RollupManager:
                         and m.agg != "approx_count_distinct"
                         for m in base_measures):
             return None
+        for tp in (qm.top_percent, qm.top_sum):
+            # an approximate ranking measure must rank on the base
+            # path's estimate, not the merged-sketch one (same rule
+            # as _generate_levels); exact re-aggregates (sum/count/
+            # min/max) reproduce base cell values bit-identically, so
+            # the cumulative window selects the same prefix
+            if tp is not None:
+                m_alias = _measure_alias(self.cube, tp[1])
+                if any(m.alias == m_alias
+                       and m.agg == "approx_count_distinct"
+                       for m in self.cube.measures):
+                    return None
         sketch_cols = {m.alias + _HLL_SUFFIX for m in base_measures
                        if m.agg == "approx_count_distinct"}
         try:
@@ -726,23 +745,10 @@ class RollupManager:
             out = out.na.drop(how="all", subset=display)
         if qm.distinct and group_cols:
             out = out.dropDuplicates(group_cols)
-        if qm.order:
-            ocol = _order_column(self.cube, qm.order, group_cols)
-            if ocol not in out.columns:
-                raise ParseError(
-                    f"order key {qm.order!r} resolves to column {ocol!r}, "
-                    "which is not in the result — drill its level first")
-            primary = F.desc(ocol) if qm.order_desc else F.asc(ocol)
-            out = out.orderBy(primary,
-                              *[F.asc(a) for a in key_aliases if a != ocol])
-        elif key_aliases:
-            out = out.orderBy(*[F.asc(a) for a in key_aliases])
-        if qm.offset:
-            out = out.offset(qm.offset)
-        if qm.limit is not None:
-            out = out.limit(qm.limit)
-        if getattr(qm, "hierarchize", False) and key_aliases:
-            # HIERARCHIZE over a ranked set: same post-limit
-            # hierarchical re-sort as the base path
-            out = out.orderBy(*[F.asc(a) for a in key_aliases])
+        # the SAME axis-global shaping stage the base path runs (r13
+        # factored into planner._shape_axis): ORDER + tie-breaks,
+        # TOPPERCENT/TOPSUM windows, OFFSET/LIMIT, TAIL, HIERARCHIZE —
+        # routed queries are shaped bit-identically by construction
+        from ..planner import _shape_axis
+        out = _shape_axis(self.cube, out, qm, group_cols, key_aliases)
         return out.select(*group_cols, *display)

@@ -27,7 +27,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(extra: str = "") -> dict:
+def run_bench(extra: str = "", cooldown: int = 75) -> dict:
+    # idle cooldown so the loop's START load average reflects the BOX,
+    # not the tail of our own previous loop (1-min loadavg needs ~60s
+    # to decay) — without this the drift evidence is self-polluted
+    import time
+    time.sleep(cooldown)
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=os.path.join(REPO, "sf1_data"),
                SPARK_GRAFT_BENCH_SAMPLES="1",

@@ -72,6 +72,13 @@ AUDIT = ["q02_region_revenue", "q03_crossjoin_3d", "q04_cut_member",
 
 # per-query caveats the static plan can't show (r12, VERDICT r11 #2)
 NOTES = {
+    "q110_rollup_routed_dense": (
+        "CAVEAT: the lineitem scans printed here are the CACHED "
+        "rollup's build lineage below the InMemoryRelation boundary — "
+        "execution reads the cache (plan-asserted in "
+        "`test_dense_routes_through_covering_rollup`: nothing above "
+        "the InMemoryRelation scans the fact).  The live work is the "
+        "dim-side member frame left-joined to the routed aggregate."),
     "d11_neardup_jaccard_spill": (
         "CAVEAT: the static plan shows ~32 scans of the docs parquet, "
         "but the shingle/prefix/hot frames are request-persisted "

@@ -905,3 +905,37 @@ def test_named_set_cut_and_drilldown_route(spark, sf_dir):
         from mondrian_rest_spark.planner import _NS_ROUTERS
         _NS_ROUTERS.clear()
         clear_named_set_cache()
+
+
+def test_toppercent_topsum_tail_route(spark, sf_dir):
+    """r13: whole-axis TOPPERCENT/TOPSUM/TAIL route — the shaping tail
+    is the SAME planner._shape_axis code on both paths, so the routed
+    prefix/suffix selection is bit-identical by construction.  Hidden
+    ranking measures aggregate via the extras path; an approximate
+    ranking measure keeps the base path (sketch estimates are not the
+    base path's bits)."""
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("nation_year", ("Customer.Nation", "Time.Year"))
+    for extra_kw in (
+            {"top_percent": (60.0, "Revenue", False)},
+            {"top_percent": (45.0, "Quantity", True)},   # hidden + BOTTOM
+            {"top_sum": (5_000_000.0, "Revenue", False)},
+            {"tail": 5},
+            {"top_percent": (60.0, "Revenue", False), "tail": 2},
+            {"tail": 3, "order": "Revenue", "order_desc": True},
+    ):
+        qm = QueryModel(cube="Sales", measures=["Revenue"],
+                        drilldown=["Customer.Nation"], nonempty=True,
+                        **extra_kw)
+        routed, src = mgr.route(qm)
+        assert src == "nation_year", (extra_kw, src)
+        base = aggregate(spark, sf_dir, tpch.CATALOG, qm)
+        assert routed.columns == base.columns, extra_kw
+        assert [tuple(r) for r in routed.collect()] == \
+            [tuple(r) for r in base.collect()], extra_kw
+    # approx-ranked TOPPERCENT keeps base (estimate bits differ)
+    qm2 = QueryModel(cube="Sales", measures=["Revenue"],
+                     drilldown=["Customer.Nation"], nonempty=True,
+                     top_percent=(60.0, "Approx Customer Count", False))
+    _, src2 = mgr.route(qm2)
+    assert src2 == "base"

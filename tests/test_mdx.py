@@ -4215,3 +4215,33 @@ def test_mdx_dense_ddltop(spark, sf_dir):
     ne_keys = {(r["cust_region_key"], r["cust_nation_key"]) for r in ne}
     assert ne_keys <= dense_keys | {(r["cust_region_key"], None)
                                     for r in rows}
+
+
+def test_mdx_dense_ddltop_beside_axis(spark, sf_dir):
+    """r13: dense DDLTOP beside another drilled dimension ranks by the
+    per-(parent, child) MARGINAL over the dense frame (F.sum ignores
+    null cells, so the marginal equals the nonempty marginal).  With
+    no slicer the marginal over years equals the overall total, so the
+    SELECTED (parent, child) set must equal the sole-axis dense
+    selection; every (kept pair x year) tuple and every (parent
+    subtotal x year) tuple surfaces, empty cells null."""
+    two_d = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
+        "[Measures].[Revenue]) * [Time].[Year].Members "
+        "ON ROWS FROM [Sales]").collect()
+    sole = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales]").collect()
+    sel_2d = {(r["cust_region_key"], r["cust_nation_key"])
+              for r in two_d if r["cust_nation_key"] is not None}
+    sel_sole = {(r["cust_region_key"], r["cust_nation_key"])
+                for r in sole if r["cust_nation_key"] is not None}
+    assert sel_2d == sel_sole
+    years = {r["year"] for r in two_d}
+    n_pairs = len(sel_2d)
+    n_sub = len({r["cust_region_key"] for r in two_d})
+    assert len(two_d) == (n_pairs + n_sub) * len(years)
