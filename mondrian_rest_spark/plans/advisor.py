@@ -215,16 +215,13 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
     if qm.cube != cube.name:
         return None
     if (qm.properties or qm.caption
-            or qm.children_of or qm.parent_of or qm.lastperiods
+            or qm.parent_of or qm.lastperiods
             or qm.member_lags or qm.with_members or qm.with_sets
             or getattr(qm, "with_sets_ext", [])
             or qm.edge_child_of or getattr(qm, "siblings_of", [])
             or getattr(qm, "ancestor_of", [])
             or getattr(qm, "edge_sibling_of", [])
             or getattr(qm, "periods_to_date", [])
-            or qm.tail is not None
-            or qm.top_percent is not None
-            or getattr(qm, "top_sum", None) is not None
             or getattr(qm, "empty_set", False)
             or getattr(qm, "empty_slicer", False)
             or getattr(qm, "property_filters", [])
@@ -232,17 +229,29 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
             or getattr(qm, "generate_inner", None) is not None
             or getattr(qm, "gs_axes", None)):
         return None
-    if not qm.nonempty and getattr(qm, "generate_top", None) is not None:
-        # dense GENERATE routes to base (mirrors RollupManager._choose
-        # r13); dense queries otherwise COUNT — dense is Mondrian's
-        # default (api.rb:137), and since r13 the router serves them
-        # (the dense fill left-joins the routable nonempty aggregate)
+    if not qm.nonempty and (getattr(qm, "generate_top", None) is not None
+                            or qm.children_of):
+        # dense GENERATE / dense .Children route to base (mirrors
+        # RollupManager._choose r13); dense queries otherwise COUNT —
+        # dense is Mondrian's default (api.rb:137), and since r13 the
+        # router serves them (the dense fill left-joins the routable
+        # nonempty aggregate)
         return None
     # routability must consider the HIDDEN measures HAVING/ORDER pull
     # in too (mirrors RollupManager._measure_names): a log entry whose
     # filter references a calc member routes to base no matter the
     # grain, so counting it would advise dead storage
     names = list(qm.measures) or [cube.default_measure.name]
+    for tp in (qm.top_percent, getattr(qm, "top_sum", None)):
+        # TOPPERCENT/TOPSUM route since r13; an APPROX ranking measure
+        # keeps the base path (mirrors _choose)
+        if tp is not None:
+            try:
+                if cube.measure(tp[1]).agg == "approx_count_distinct":
+                    return None
+            except KeyError:
+                pass    # calc member: the names loop below refuses it
+            names.append(tp[1])
     from ..parser import parse_measure_filter
     from ..planner import _tmpl_refs
     for fs in qm.filter:
@@ -276,10 +285,25 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
     try:
         if qm.parents and getattr(qm, "generate_top", None) is not None:
             return None      # mirrors RollupManager._choose (r12)
+        ns_names = {s.name for s in cube.named_sets}
         for d in qm.drilldown:
+            parsed = parse_drilldown(d, ns_names)
+            if isinstance(parsed, str):
+                # named-set drilldown shortcut routes since r13
+                # (nonempty only, mirrors _choose)
+                if not qm.nonempty:
+                    return None
+                from ..planner import _resolve_level
+                ns = cube.named_set(parsed)
+                dim, _, level = _resolve_level(
+                    cube, ns.dimension, None, ns.level)
+                if (dim.name, level.name) not in levels:
+                    levels.add((dim.name, level.name))
+                    specs.append(f"{dim.name}.{level.name}")
+                continue
             # parents=true routes since r12: the ancestor chain's
             # levels join the need, so the advised grain covers them
-            rd = _resolve_drill(cube, parse_drilldown(d), qm.parents)
+            rd = _resolve_drill(cube, parsed, qm.parents)
             for lv in rd.group_levels:
                 if (rd.dimension.name, lv.name) not in levels:
                     levels.add((rd.dimension.name, lv.name))
@@ -300,11 +324,31 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
                 if (dim.name, lv.name) not in levels:
                     levels.add((dim.name, lv.name))
                     specs.append(f"{dim.name}.{lv.name}")
+        for ch in qm.children_of:
+            # <member>.Children routes since r13 — drill the child
+            # level, cut the member's own level (mirrors _choose)
+            from ..parser import parse_segments
+            from ..planner import _resolve_level
+            segs = parse_segments(ch)
+            if len(segs) < 3:
+                return None
+            hier_name = segs[1] if len(segs) == 4 else None
+            dim, hier, level = _resolve_level(
+                cube, segs[0], hier_name, segs[-2])
+            idx = hier.level_index(level.name)
+            if idx + 1 >= len(hier.levels):
+                return None
+            gl = (list(hier.levels[: idx + 2]) if qm.parents
+                  else [hier.levels[idx + 1]])
+            for lv in gl + [level]:
+                if (dim.name, lv.name) not in levels:
+                    levels.add((dim.name, lv.name))
+                    specs.append(f"{dim.name}.{lv.name}")
         cut_levels: set = set()
         for c in qm.cut:
-            rc = _resolve_cut(cube, parse_cut(c))
-            if rc.cut.kind == "named_set":
-                return None
+            rc = _resolve_cut(cube, parse_cut(c, ns_names))
+            if rc.cut.kind == "named_set" and not qm.nonempty:
+                return None    # mirrors _choose (r13)
             cut_levels.add((rc.dimension.name, rc.level.name))
             if (rc.dimension.name, rc.level.name) not in levels:
                 levels.add((rc.dimension.name, rc.level.name))

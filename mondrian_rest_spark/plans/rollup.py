@@ -481,6 +481,13 @@ class RollupManager:
         if any(m.alias == m_alias and m.agg == "approx_count_distinct"
                for m in self.cube.measures):
             return None
+        if (qm.drilldown or qm.children_of) and any(
+                m.alias == m_alias and m.agg not in ("sum", "count")
+                for m in self.cube.measures):
+            # beside other axis dimensions the rank needs the MARGINAL
+            # — only additive measures sum over the other keys; the
+            # base path 400s the rest, so stay there (r13)
+            return None
         idx = hier.level_index(level.name)
         if idx + 1 >= len(hier.levels):
             return None
@@ -490,6 +497,17 @@ class RollupManager:
             except Exception:
                 return None
             if rd.dimension.name == dim.name:
+                return None
+        for ch in qm.children_of:
+            # a .Children axis on the GENERATE dimension is the same
+            # same-dim conflict the base path 400s (r13: children_of
+            # routes, so the conflict must be visible here too)
+            from ..parser import parse_segments
+            try:
+                segs = parse_segments(ch)
+                if segs and segs[0].lower() == dim.name.lower():
+                    return None
+            except Exception:
                 return None
         return [level, hier.levels[idx + 1]]
 
@@ -514,10 +532,19 @@ class RollupManager:
             # GENERATE's (parent, child) pair resolution does not model
             # the parents=true ancestor chain — route to base
             return None
-        # axis idioms resolved inside _aggregate_cube add drills/cuts
-        # the grain check below cannot see; query-scoped WITH forms
-        # rewrite the cube — all route to base
-        if (qm.children_of or qm.parent_of or qm.lastperiods
+        if qm.children_of and not qm.nonempty:
+            # dense .Children needs the axis-scoped member-frame
+            # restriction (_densify axis_cuts) this router does not
+            # model — route to base
+            return None
+        # axis idioms needing DIM-SIDE LOOKUPS (.Siblings/.First*/
+        # ANCESTOR/OPENINGPERIOD/…) resolve inside _aggregate_cube and
+        # add drills/cuts the grain check below cannot see;
+        # query-scoped WITH forms rewrite the cube — all route to
+        # base.  .Children routes since r13: its resolution is pure
+        # catalog (drill the child level + cut the member), replicated
+        # below and in _reaggregate.
+        if (qm.parent_of or qm.lastperiods
                 or qm.member_lags or qm.with_members or qm.with_sets
                 or getattr(qm, "with_sets_ext", [])
                 or qm.edge_child_of or qm.siblings_of
@@ -585,6 +612,28 @@ class RollupManager:
                 for lv in rd.group_levels:
                     for _, a in lv.out_cols():
                         need.add(a)
+            for ch in qm.children_of:
+                # <member>.Children (r13): drill the member's CHILD
+                # level + cut at the member's own level — the same
+                # pure-catalog resolution the base path runs; its
+                # 400s (short path, leaf level) stay on base via the
+                # unresolvable -> except -> None fallthrough below
+                from ..parser import parse_segments
+                segs = parse_segments(ch)
+                if len(segs) < 3:
+                    return None        # base path 400s it identically
+                hier_name = segs[1] if len(segs) == 4 else None
+                dim, hier, level = _resolve_level(
+                    self.cube, segs[0], hier_name, segs[-2])
+                idx = hier.level_index(level.name)
+                if idx + 1 >= len(hier.levels):
+                    return None        # leaf .Children: base 400
+                gl = (list(hier.levels[: idx + 2]) if qm.parents
+                      else [hier.levels[idx + 1]])
+                for lv in gl:
+                    for _, a in lv.out_cols():
+                        need.add(a)
+                need.add(level.key_alias)
             for c in qm.cut:
                 rc = _resolve_cut(self.cube, parse_cut(c, ns_names))
                 if rc.cut.kind == "named_set":
@@ -671,9 +720,32 @@ class RollupManager:
                 key_aliases.append(lv.key_alias)
                 for _, a in lv.out_cols():
                     group_cols.append(a)
+        for ch in qm.children_of:
+            # <member>.Children (r13): same resolution as the base
+            # path — drill the child level (ancestor chain with
+            # parents=true), cut the member (_choose already verified
+            # resolvability and grain coverage)
+            from ..parser import parse_segments
+            segs = parse_segments(ch)
+            hier_name = segs[1] if len(segs) == 4 else None
+            dim, hier, level = _resolve_level(
+                self.cube, segs[0], hier_name, segs[-2])
+            idx = hier.level_index(level.name)
+            gl = (list(hier.levels[: idx + 2]) if qm.parents
+                  else [hier.levels[idx + 1]])
+            for lv in gl:
+                key_aliases.append(lv.key_alias)
+                for _, a in lv.out_cols():
+                    group_cols.append(a)
+            rc = _resolve_cut(self.cube, parse_cut(ch, ns_names))
+            df = df.filter(_cut_predicate(rc, df.schema))
         gen_levels = (self._generate_levels(qm)
                       if qm.generate_top is not None else None)
+        gen_other_keys: list[str] = []
         if gen_levels is not None:
+            # keys drilled so far are the OTHER axis dimensions' —
+            # the gen (parent, child) pair appends below
+            gen_other_keys = list(key_aliases)
             for lv in gen_levels:
                 key_aliases.append(lv.key_alias)
                 for _, a in lv.out_cols():
@@ -697,22 +769,32 @@ class RollupManager:
             aggs.append(col.alias(m.alias))
         out = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
         if gen_levels is not None:
-            # GENERATE per-parent top-N over the ROLLUP rows: the same
-            # row_number window the planner applies post-agg, before
-            # HAVING — the axis frame is identical, so the kept set is
-            # bit-identical to the base path (rollup re-sums equal the
-            # fact sums by the re-aggregability contract)
+            # GENERATE per-parent top-N over the ROLLUP rows: the SAME
+            # window semantics as the base path — sole axis ranks the
+            # cell with row_number; beside other drilled dimensions
+            # the rank orders by the MARGINAL (sum of the pair's cells
+            # over the other keys) with dense_rank so every pair
+            # counts once (r13: was ranking per other-key partition by
+            # the cell — a silent wrong answer vs the base path;
+            # _generate_levels now refuses non-additive marginals so
+            # the base path's 400 stays authoritative)
             _, g_n, g_m, g_asc = qm.generate_top
             ocol = _measure_alias(self.cube, g_m)
-            child = gen_levels[1]
-            child_keys = {a for _, a in child.out_cols()}
-            part = [a for a in key_aliases if a not in child_keys]
+            parent, child = gen_levels
+            own_keys = [parent.key_alias, child.key_alias]
+            marginal = bool(gen_other_keys)
+            if marginal:
+                out = out.withColumn("__gen_m", F.sum(F.col(ocol)).over(
+                    Window.partitionBy(*[F.col(a) for a in own_keys])))
+                ocol = "__gen_m"
             direction = (F.asc_nulls_last(ocol) if g_asc
                          else F.desc_nulls_last(ocol))
-            w = (Window.partitionBy(*[F.col(a) for a in part])
+            w = (Window.partitionBy(F.col(parent.key_alias))
                  .orderBy(direction, F.asc(child.key_alias)))
-            out = (out.withColumn("__gen_rn", F.row_number().over(w))
-                      .filter(F.col("__gen_rn") <= g_n).drop("__gen_rn"))
+            rank_fn = F.dense_rank() if marginal else F.row_number()
+            out = (out.withColumn("__gen_rn", rank_fn.over(w))
+                      .filter(F.col("__gen_rn") <= g_n))
+            out = out.drop("__gen_rn", "__gen_m")
         if not qm.nonempty and drills:
             # dense axes (r13, VERDICT r12 #1): Mondrian's DEFAULT
             # (reference api.rb:137 — nonempty is opt-in), so at

@@ -939,3 +939,88 @@ def test_toppercent_topsum_tail_route(spark, sf_dir):
                      top_percent=(60.0, "Approx Customer Count", False))
     _, src2 = mgr.route(qm2)
     assert src2 == "base"
+
+
+def test_children_axis_routes_through_rollup(spark, sf_dir):
+    """r13: <member>.Children axes route — the resolution is pure
+    catalog (drill the child level + cut the member), so _choose
+    replicates it and the need includes the child level's columns AND
+    the member's own level key.  Unresolvable/leaf forms keep the base
+    path (and its 400s); dense keeps base."""
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("rn_year",
+                 ("Customer.Region", "Customer.Nation", "Time.Year"))
+    qm = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Time.Year"], nonempty=True,
+                    children_of=["[Customer].[Region].[&2]"])
+    routed, src = mgr.route(qm)
+    assert src == "rn_year"
+    base = aggregate(spark, sf_dir, tpch.CATALOG, qm)
+    assert routed.columns == base.columns
+    assert [tuple(r) for r in routed.collect()] == \
+        [tuple(r) for r in base.collect()]
+    # caption-matched member cut works too (grain carries captions)
+    qm1 = QueryModel(cube="Sales", measures=["Revenue"], drilldown=[],
+                     nonempty=True,
+                     children_of=["[Customer].[Region].[ASIA]"])
+    routed1, src1 = mgr.route(qm1)
+    assert src1 == "rn_year"
+    base1 = aggregate(spark, sf_dir, tpch.CATALOG, qm1)
+    assert [tuple(r) for r in routed1.collect()] == \
+        [tuple(r) for r in base1.collect()]
+    # grain missing the child level -> base
+    mgr2 = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr2.register("region_year", ("Customer.Region", "Time.Year"))
+    _, src2 = mgr2.route(qm)
+    assert src2 == "base"
+    # leaf .Children keeps the base path's clear 400
+    from mondrian_rest_spark.parser import ParseError
+    qm3 = QueryModel(cube="Sales", measures=["Revenue"], drilldown=[],
+                     nonempty=True,
+                     children_of=["[Customer].[Customer].[&1]"])
+    with pytest.raises(ParseError, match="leaf"):
+        mgr.route(qm3)
+    # dense .Children keeps base
+    qm4 = QueryModel(cube="Sales", measures=["Revenue"], drilldown=[],
+                     nonempty=False,
+                     children_of=["[Customer].[Region].[&2]"])
+    _, src4 = mgr.route(qm4)
+    assert src4 == "base"
+
+
+def test_generate_beside_axis_routes_with_marginal_rank(spark, sf_dir):
+    """r13 regression (found by direct probe): a routed GENERATE
+    beside ANOTHER drilled dimension must rank by the per-(parent,
+    child) MARGINAL with dense_rank — exactly the base path — not by
+    the cell within each other-key partition (which selects different
+    children per year; a silent wrong answer that had survived since
+    GENERATE routing landed)."""
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("rny",
+                 ("Customer.Region", "Customer.Nation", "Time.Year"))
+    qm = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Time.Year"], nonempty=True,
+                    generate_top=("Customer.Region", 2, "Revenue",
+                                  False))
+    routed, src = mgr.route(qm)
+    assert src == "rny"
+    base = aggregate(spark, sf_dir, tpch.CATALOG, qm)
+    assert sorted(tuple(r) for r in routed.collect()) == \
+        sorted(tuple(r) for r in base.collect())
+    # .Children beside GENERATE on the SAME dim keeps the base 400
+    qm2 = QueryModel(cube="Sales", measures=["Revenue"], drilldown=[],
+                     nonempty=True,
+                     children_of=["[Customer].[Region].[&2]"],
+                     generate_top=("Customer.Region", 2, "Revenue",
+                                   False))
+    from mondrian_rest_spark.parser import ParseError
+    with pytest.raises(ParseError, match="same"):
+        mgr.route(qm2)
+    # non-additive marginal (Max Quantity beside years) keeps the
+    # base path's clear 400
+    qm3 = QueryModel(cube="Sales", measures=["Revenue"],
+                     drilldown=["Time.Year"], nonempty=True,
+                     generate_top=("Customer.Region", 2, "Max Quantity",
+                                   False))
+    with pytest.raises(ParseError, match="additive"):
+        mgr.route(qm3)
