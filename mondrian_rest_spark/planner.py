@@ -1062,9 +1062,13 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     cuts = [_resolve_cut(cube, parse_cut(c, ns_names)) for c in qm.cut]
     # client-supplied cuts validate member existence (r13); cuts the
     # planner derives below (navigation, axis selections) come from
-    # the data and exist by construction
-    for rc in cuts:
-        _validate_cut_members(spark, sf_dir, cube, rc)
+    # the data and exist by construction.  VIRTUAL sub-queries skip —
+    # the drill-across path validated against the UNION member set
+    # (a member present in only one base cube contributes empty cells
+    # on the other side, it is not a 400)
+    if not getattr(qm, "vc_skip_cut_validation", False):
+        for rc in cuts:
+            _validate_cut_members(spark, sf_dir, cube, rc)
     for name in implicit_ns_cuts:
         cuts.append(_resolve_cut(cube, Cut(kind="named_set", named_set=name)))
 
@@ -4445,6 +4449,26 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                 and any(_has_measure(c, pname) for c in cubes)):
             base_requested.append(pname)
     measures = base_requested
+    # cut member existence validates against the UNION member set
+    # (r13): Mondrian resolves members on the VIRTUAL cube, whose
+    # member set unions the base cubes' (_vc_union_src) — a member
+    # present in any one cube passes (the other side shows empty
+    # cells); absent-in-all 400s exactly like the base-cube path.
+    # The per-cube subs below skip their own validation.
+    for c in qm.cut:
+        err = None
+        for cube_i in cubes:
+            try:
+                rc_i = _resolve_cut(
+                    cube_i, parse_cut(c, {s.name for s
+                                          in cube_i.named_sets}))
+                _validate_cut_members(spark, sf_dir, cube_i, rc_i)
+                err = None
+                break
+            except ParseError as e:
+                err = err or e
+        if err is not None:
+            raise err
     parts: list[tuple[DataFrame, list[str]]] = []
     group_cols: list[str] | None = None
     sub_sources: dict[str, str] = {}
@@ -4467,6 +4491,7 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
         # would order/limit each part independently — wrong answer).
         sub = QueryModel(cube=cube.name, measures=own_names,
                          drilldown=list(qm.drilldown), cut=list(qm.cut),
+                         vc_skip_cut_validation=True,
                          nonempty=True, parents=qm.parents,
                          properties=list(qm.properties),
                          caption=list(qm.caption),
@@ -4588,6 +4613,7 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                     cube=owner.name, measures=[mname],
                     drilldown=[child_spec],
                     cut=[c for c in qm.cut if c not in sel_cuts_g],
+                    vc_skip_cut_validation=True,
                     nonempty=True, parents=True)
                 rank_src = _aggregate_cube(spark, sf_dir, owner,
                                            qm_rank)
@@ -4939,6 +4965,7 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                 cube=owner.name, measures=[g_m],
                 drilldown=[child_spec],
                 cut=[c for c in qm.cut if c not in sel_cuts],
+                vc_skip_cut_validation=True,
                 nonempty=True, parents=True)
             rank_src = _aggregate_cube(spark, sf_dir, owner, qm_rank)
             rank_src = rank_src.select(

@@ -229,13 +229,11 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
             or getattr(qm, "generate_inner", None) is not None
             or getattr(qm, "gs_axes", None)):
         return None
-    if not qm.nonempty and (getattr(qm, "generate_top", None) is not None
-                            or qm.children_of):
-        # dense GENERATE / dense .Children route to base (mirrors
-        # RollupManager._choose r13); dense queries otherwise COUNT —
-        # dense is Mondrian's default (api.rb:137), and since r13 the
-        # router serves them (the dense fill left-joins the routable
-        # nonempty aggregate)
+    if not qm.nonempty and getattr(qm, "generate_top", None) is not None:
+        # dense GENERATE routes to base (mirrors RollupManager._choose
+        # r13); dense queries otherwise COUNT — dense is Mondrian's
+        # default (api.rb:137), and since r13 the router serves them
+        # (the dense fill left-joins the routable nonempty aggregate)
         return None
     # routability must consider the HIDDEN measures HAVING/ORDER pull
     # in too (mirrors RollupManager._measure_names): a log entry whose
@@ -290,9 +288,6 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
             parsed = parse_drilldown(d, ns_names)
             if isinstance(parsed, str):
                 # named-set drilldown shortcut routes since r13
-                # (nonempty only, mirrors _choose)
-                if not qm.nonempty:
-                    return None
                 from ..planner import _resolve_level
                 ns = cube.named_set(parsed)
                 dim, _, level = _resolve_level(
@@ -347,8 +342,6 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
         cut_levels: set = set()
         for c in qm.cut:
             rc = _resolve_cut(cube, parse_cut(c, ns_names))
-            if rc.cut.kind == "named_set" and not qm.nonempty:
-                return None    # mirrors _choose (r13)
             cut_levels.add((rc.dimension.name, rc.level.name))
             if (rc.dimension.name, rc.level.name) not in levels:
                 levels.add((rc.dimension.name, rc.level.name))

@@ -532,11 +532,6 @@ class RollupManager:
             # GENERATE's (parent, child) pair resolution does not model
             # the parents=true ancestor chain — route to base
             return None
-        if qm.children_of and not qm.nonempty:
-            # dense .Children needs the axis-scoped member-frame
-            # restriction (_densify axis_cuts) this router does not
-            # model — route to base
-            return None
         # axis idioms needing DIM-SIDE LOOKUPS (.Siblings/.First*/
         # ANCESTOR/OPENINGPERIOD/…) resolve inside _aggregate_cube and
         # add drills/cuts the grain check below cannot see;
@@ -594,11 +589,9 @@ class RollupManager:
                 if isinstance(parsed, str):
                     # named-set drilldown shortcut (r13): drill at the
                     # set's level + the memoized member-key cut — both
-                    # reproducible from a covering rollup.  Dense mode
-                    # keeps base (the member-frame restriction the
-                    # dense fill applies is not modeled here).
-                    if not qm.nonempty:
-                        return None
+                    # reproducible from a covering rollup (dense too:
+                    # the implicit named-set cut restricts the dense
+                    # axis frame in _reaggregate's _densify inputs)
                     ns = self.cube.named_set(parsed)
                     _, _, level = _resolve_level(
                         self.cube, ns.dimension, None, ns.level)
@@ -636,13 +629,10 @@ class RollupManager:
                 need.add(level.key_alias)
             for c in qm.cut:
                 rc = _resolve_cut(self.cube, parse_cut(c, ns_names))
-                if rc.cut.kind == "named_set":
-                    # named-set slicer (r13): the memoized member keys
-                    # become an IN-filter on the rollup rows — same
-                    # predicate the base path pushes to its scans;
-                    # dense mode keeps base (see above)
-                    if not qm.nonempty:
-                        return None
+                # named-set slicer (r13): the memoized member keys
+                # become an IN-filter on the rollup rows — the same
+                # predicate the base path pushes to its scans; in
+                # dense mode the ResolvedCut rides to the dense fill
                 need.add(rc.level.key_alias)
             if qm.generate_top is not None:
                 for lv in self._generate_levels(qm):
@@ -676,20 +666,24 @@ class RollupManager:
             self.cube, self._measure_names(qm))
         display = final_aliases[:len(requested)]
         df = r.frame
-        pred_cuts = []
+        pred_cuts, ns_rcs, axis_cuts = [], [], []
         ns_names = {s.name for s in self.cube.named_sets}
-        from ..planner import (_cut_predicate, _validate_cut_members,
-                               named_set_keys)
+        from ..parser import Cut
+        from ..planner import (ResolvedDrill, _cut_predicate,
+                               _validate_cut_members, named_set_keys)
         for c in qm.cut:
             rc = _resolve_cut(self.cube, parse_cut(c, ns_names))
             if rc.cut.kind == "named_set":
                 # named-set slicer over the rollup rows (r13): the
                 # memoized member keys as an IN-filter — the same
-                # predicate the base path pushes to its scans
+                # predicate the base path pushes to its scans; the
+                # ResolvedCut also rides to the dense fill, which
+                # restricts same-dimension axis frames like the base
                 ns = self.cube.named_set(rc.cut.named_set)
                 keys = named_set_keys(self.spark, self.sf_dir,
                                       self.cube, ns)
                 df = df.filter(F.col(rc.level.key_alias).isin(keys))
+                ns_rcs.append(rc)
                 continue
             # same member-existence 400 as the base path (r13) — a
             # routed query must be indistinguishable, errors included;
@@ -703,13 +697,19 @@ class RollupManager:
             parsed = parse_drilldown(d, ns_names)
             if isinstance(parsed, str):
                 # named-set drilldown shortcut (r13): drill at the
-                # set's level, restricted to the memoized member keys
+                # set's level, restricted to the memoized member keys;
+                # the drill + an implicit named-set cut join the dense
+                # fill inputs so the dense axis frame is restricted to
+                # the set's members exactly like the base path
                 ns = self.cube.named_set(parsed)
-                _, _, level = _resolve_level(
+                dim, hier, level = _resolve_level(
                     self.cube, ns.dimension, None, ns.level)
                 keys = named_set_keys(self.spark, self.sf_dir,
                                       self.cube, ns)
                 df = df.filter(F.col(level.key_alias).isin(keys))
+                drills.append(ResolvedDrill(dim, hier, level, [level]))
+                ns_rcs.append(_resolve_cut(
+                    self.cube, Cut(kind="named_set", named_set=parsed)))
                 key_aliases.append(level.key_alias)
                 for _, a in level.out_cols():
                     group_cols.append(a)
@@ -733,12 +733,19 @@ class RollupManager:
             idx = hier.level_index(level.name)
             gl = (list(hier.levels[: idx + 2]) if qm.parents
                   else [hier.levels[idx + 1]])
+            drills.append(ResolvedDrill(dim, hier, hier.levels[idx + 1],
+                                        gl))
             for lv in gl:
                 key_aliases.append(lv.key_alias)
                 for _, a in lv.out_cols():
                     group_cols.append(a)
             rc = _resolve_cut(self.cube, parse_cut(ch, ns_names))
             df = df.filter(_cut_predicate(rc, df.schema))
+            # the member slice DEFINES this axis (dense fill restricts
+            # the member frame even at the coarser parent level) and
+            # doubles as a fact-side predicate — both like the base
+            pred_cuts.append(rc)
+            axis_cuts.append((len(drills) - 1, rc))
         gen_levels = (self._generate_levels(qm)
                       if qm.generate_top is not None else None)
         gen_other_keys: list[str] = []
@@ -809,8 +816,9 @@ class RollupManager:
             from ..planner import _densify
             out = _densify(
                 self.spark, self.sf_dir, self.cube, drills, pred_cuts,
-                [], {}, {}, out, group_cols,
+                ns_rcs, {}, {}, out, group_cols,
                 [m.alias for m in base_measures],
+                axis_cuts=axis_cuts or None,
                 existing_dims=getattr(qm, "existing_dims", None))
         for fs in qm.filter:
             mf = parse_measure_filter(fs)

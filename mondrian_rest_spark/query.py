@@ -162,6 +162,13 @@ class QueryModel:
     # The base-cube path gets the same distinction from implicit
     # named-set cuts; the virtual rewrite loses it without this marker.
     vc_axis_sel_cuts: list = field(default_factory=list)
+    # INTERNAL (r13): set on the per-cube sub-QueryModels the virtual
+    # drill-across builds — cut member EXISTENCE is validated at the
+    # VIRTUAL level against the union member set (Mondrian resolves
+    # members on the virtual cube, whose member set is the union of
+    # the base cubes'); a per-sub check would 400 a member present in
+    # only one cube, which must instead contribute empty cells.
+    vc_skip_cut_validation: bool = False
     # Inline COMPUTED named sets from set functions in crossjoin
     # position (r12): TOPPERCENT/BOTTOMPERCENT/TOPSUM/BOTTOMSUM/HEAD/
     # TAIL(<level>.Members, ...) * <set>.  Entries (name, level_path,

@@ -1288,3 +1288,28 @@ def test_rest_param_fuzz_never_500s(client):
         seen.add(r.status_code)
     # the grid must exercise both outcomes to mean anything
     assert 200 in seen and (400 in seen or 404 in seen)
+
+
+def test_cut_member_not_found_maps_400(client):
+    """r13: a valid-typed cut on an ABSENT member maps to a 400 with
+    the member named (Mondrian resolves cut members inside mdx() and
+    error!s, api_helpers.rb:42-54) — previously a silent empty 200."""
+    r = client.get("/cubes/Sales/aggregate", query_string=[
+        ("drilldown[]", "Customer.Nation"),
+        ("measures[]", "Revenue"),
+        ("cut[]", "[Customer].[Region].[&77]")])
+    assert r.status_code == 400
+    assert "not found" in r.get_json()["error"]
+    assert "77" in r.get_json()["error"]
+    # EXCLUDE of an absent member stays a 200 no-op
+    r2 = client.get("/cubes/Sales/aggregate", query_string=[
+        ("drilldown[]", "Customer.Region"),
+        ("measures[]", "Revenue"),
+        ("cut[]", "!{[Customer].[Region].[&77]}")])
+    assert r2.status_code == 200
+    # RANGE with an absent endpoint stays a 200 (bounds, not members)
+    r3 = client.get("/cubes/Sales/aggregate", query_string=[
+        ("drilldown[]", "Time.Year"),
+        ("measures[]", "Revenue"),
+        ("cut[]", "([Time].[Year].[1993]:[Time].[Year].[1996])")])
+    assert r3.status_code == 200

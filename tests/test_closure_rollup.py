@@ -893,12 +893,16 @@ def test_named_set_cut_and_drilldown_route(spark, sf_dir):
         mgr2.register("nation_only", ("Customer.Nation",))
         _, src3 = mgr2.route(qm)
         assert src3 == "base"
-        # dense + named set keeps base (member-frame restriction)
+        # dense + named set routes too (the ResolvedCut rides to the
+        # dense fill, restricting same-dimension axis frames)
         qm4 = QueryModel(cube="Sales", measures=["Revenue"],
                          drilldown=["Time.Year"],
                          cut=["[Top5 Customers]"], nonempty=False)
-        _, src4 = mgr.route(qm4)
-        assert src4 == "base"
+        routed4, src4 = mgr.route(qm4)
+        assert src4 == "cust_year"
+        base4 = aggregate(spark, sf_dir, tpch.CATALOG, qm4)
+        assert [tuple(r) for r in routed4.collect()] == \
+            [tuple(r) for r in base4.collect()]
     finally:
         # deregister: later tests' named-set evaluations must not
         # route through this test's manager
@@ -980,12 +984,16 @@ def test_children_axis_routes_through_rollup(spark, sf_dir):
                      children_of=["[Customer].[Customer].[&1]"])
     with pytest.raises(ParseError, match="leaf"):
         mgr.route(qm3)
-    # dense .Children keeps base
+    # dense .Children routes too: the member slice DEFINES the axis,
+    # so the dense fill restricts the child member frame (axis_cuts)
     qm4 = QueryModel(cube="Sales", measures=["Revenue"], drilldown=[],
                      nonempty=False,
                      children_of=["[Customer].[Region].[&2]"])
-    _, src4 = mgr.route(qm4)
-    assert src4 == "base"
+    routed4, src4 = mgr.route(qm4)
+    assert src4 == "rn_year"
+    base4 = aggregate(spark, sf_dir, tpch.CATALOG, qm4)
+    assert [tuple(r) for r in routed4.collect()] == \
+        [tuple(r) for r in base4.collect()]
 
 
 def test_generate_beside_axis_routes_with_marginal_rank(spark, sf_dir):
@@ -1024,3 +1032,37 @@ def test_generate_beside_axis_routes_with_marginal_rank(spark, sf_dir):
                                    False))
     with pytest.raises(ParseError, match="additive"):
         mgr.route(qm3)
+
+
+def test_advisor_counts_new_routable_forms():
+    """r13: the advisor's need computation mirrors the router's new
+    coverage — .Children, named-set cuts (nonempty), TOPPERCENT —
+    instead of dropping those entries as dead demand."""
+    from mondrian_rest_spark.plans.advisor import recommend_rollups
+
+    children = QueryModel(cube="Sales", measures=["Revenue"],
+                          drilldown=["Time.Year"], nonempty=True,
+                          children_of=["[Customer].[Region].[&2]"])
+    tp = QueryModel(cube="Sales", measures=["Revenue"],
+                    drilldown=["Customer.Nation"], nonempty=True,
+                    top_percent=(60.0, "Quantity", False))
+    ns_cut = QueryModel(cube="Sales", measures=["Revenue"],
+                        drilldown=["Time.Year"],
+                        cut=["[Top5 Customers]"], nonempty=True)
+    recs = recommend_rollups(tpch.SALES, [children] * 4 + [tp] * 3
+                             + [ns_cut] * 2, max_rollups=3)
+    grains = [set(r.grain) for r in recs]
+    # children demand covered: child level (Nation) + member level
+    # (Region) + Year all inside some advised grain
+    assert any({"Customer.Region", "Customer.Nation",
+                "Time.Year"} <= g for g in grains)
+    # tp: its ranking measure is re-aggregable, the drill is covered
+    assert any({"Customer.Nation"} <= g for g in grains)
+    # ns cut: the set's level joins the need
+    assert any({"Customer.Customer", "Time.Year"} <= g for g in grains)
+    # an approx-ranked TOPPERCENT entry stays unroutable demand
+    tp_approx = QueryModel(cube="Sales", measures=["Revenue"],
+                           drilldown=["Customer.Nation"], nonempty=True,
+                           top_percent=(60.0, "Approx Customer Count",
+                                        False))
+    assert recommend_rollups(tpch.SALES, [tp_approx] * 5) == []

@@ -915,26 +915,44 @@ def test_random_mdx_route_matches_direct(spark, sf_dir, spec):
     from mondrian_rest_spark.mdx import compile_mdx
     from mondrian_rest_spark.planner import aggregate
 
+    import dataclasses
+
     mgr = _router(spark, sf_dir)
     qm = compile_mdx(build_mdx(spec))
-    direct = aggregate(spark, sf_dir, tpch.CATALOG, qm).toPandas()
-    routed_df, source = mgr.route(qm)
-    routed = routed_df.toPandas()
-    assert sorted(routed.columns) == sorted(direct.columns), \
-        f"{source}: columns diverge\n{build_mdx(spec)}"
-    a, b = canon(routed), canon(direct)
-    assert len(a) == len(b), \
-        f"{source}: rows {len(a)} != {len(b)}\n{build_mdx(spec)}"
-    for c in a.columns:
-        av, bv = a[c], b[c]
-        if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            ok = ((av.isna() & bv.isna()) |
-                  ((av - bv).abs() <= 1e-9 + 1e-9 * bv.abs()))
-        else:
-            ok = (av.isna() & bv.isna()) | (av.astype(object) ==
-                                            bv.astype(object))
-        assert bool(ok.all()), (
-            f"{source}: col {c} diverges\n{build_mdx(spec)}")
+    # r13: DENSE routes too (Mondrian's REST default) — every corpus
+    # query also runs as its dense variant; 400s must match as well
+    for qv in (qm, dataclasses.replace(qm, nonempty=False)):
+        try:
+            direct = aggregate(spark, sf_dir, tpch.CATALOG, qv).toPandas()
+            d_err = None
+        except ParseError as e:
+            direct, d_err = None, str(e)
+        try:
+            routed_df, source = mgr.route(qv)
+            routed = routed_df.toPandas() if d_err is None else None
+            r_err = None
+        except ParseError as e:
+            routed, source, r_err = None, "err", str(e)
+        assert (d_err is None) == (r_err is None), (
+            f"dense={not qv.nonempty}: error parity diverges "
+            f"(direct={d_err!r}, routed={r_err!r})\n{build_mdx(spec)}")
+        if d_err is not None:
+            continue
+        assert sorted(routed.columns) == sorted(direct.columns), \
+            f"{source}: columns diverge\n{build_mdx(spec)}"
+        a, b = canon(routed), canon(direct)
+        assert len(a) == len(b), \
+            f"{source}: rows {len(a)} != {len(b)}\n{build_mdx(spec)}"
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                ok = ((av.isna() & bv.isna()) |
+                      ((av - bv).abs() <= 1e-9 + 1e-9 * bv.abs()))
+            else:
+                ok = (av.isna() & bv.isna()) | (av.astype(object) ==
+                                                bv.astype(object))
+            assert bool(ok.all()), (
+                f"{source}: col {c} diverges\n{build_mdx(spec)}")
 
 
 def test_route_parity_corpus_actually_routes(spark, sf_dir):

@@ -490,3 +490,31 @@ def test_dense_gs_axis_carries_parent_level_properties(spark, geo_prop_dir):
         ("France", None, None, 4.0), ("France", "Paris", "FR", 4.0),
         ("USA", None, None, 3.0), ("USA", "San Francisco", "US", 2.0),
         ("USA", "Seattle", "US", 1.0)}
+
+
+def test_virtual_cut_member_validates_against_union(spark, sf_dir):
+    """r13: cut member existence on a VIRTUAL cube validates against
+    the UNION member set — a day with lineitem shipments but no order
+    placed (present in Sales' Time, absent in Orders') must NOT 400
+    the drill-across; the absent side contributes empty cells.
+    Absent-in-ALL-cubes still 400s like the base path."""
+    import duckdb
+
+    ship_only = duckdb.sql(f"""
+        SELECT CAST(l_shipdate AS DATE) d
+        FROM '{sf_dir}/lineitem.parquet'
+        WHERE CAST(l_shipdate AS DATE) NOT IN
+              (SELECT CAST(o_orderdate AS DATE)
+               FROM '{sf_dir}/orders.parquet') LIMIT 1""").fetchone()[0]
+    rows = agg(spark, sf_dir, cube="Orders and Sales",
+               measures=["Revenue", "Total Price"],
+               drilldown=["Customer.Region"],
+               cut=[f"[Time].[Day].[&{ship_only}]"]).collect()
+    assert any(r["revenue"] is not None for r in rows)
+    assert all(r["total_price"] is None for r in rows)
+    # absent in BOTH base cubes -> the same 400 as the base path
+    with pytest.raises(ParseError, match="not found"):
+        agg(spark, sf_dir, cube="Orders and Sales",
+            measures=["Revenue", "Total Price"],
+            drilldown=["Customer.Region"],
+            cut=["[Time].[Day].[&1876-01-01]"])
