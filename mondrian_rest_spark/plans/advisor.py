@@ -319,9 +319,12 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
                 if (dim.name, lv.name) not in levels:
                     levels.add((dim.name, lv.name))
                     specs.append(f"{dim.name}.{lv.name}")
+        cut_levels: set = set()
         for ch in qm.children_of:
             # <member>.Children routes since r13 — drill the child
-            # level, cut the member's own level (mirrors _choose)
+            # level, cut the member's own level (mirrors _choose);
+            # the member slice counts as a CUT for the partition-
+            # column advice (it prunes like any member cut)
             from ..parser import parse_segments
             from ..planner import _resolve_level
             segs = parse_segments(ch)
@@ -339,7 +342,7 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
                 if (dim.name, lv.name) not in levels:
                     levels.add((dim.name, lv.name))
                     specs.append(f"{dim.name}.{lv.name}")
-        cut_levels: set = set()
+            cut_levels.add((dim.name, level.name))
         for c in qm.cut:
             rc = _resolve_cut(cube, parse_cut(c, ns_names))
             cut_levels.add((rc.dimension.name, rc.level.name))
