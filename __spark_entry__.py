@@ -1293,6 +1293,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
     q["q110_rollup_routed_dense"] = _q110
 
+    # Dense DRILLDOWNLEVEL on a VIRTUAL cube (r14, VERDICT r13 #1):
+    # the per-cube subs keep their F.grouping() markers through the
+    # null-safe drill-across join and _densify_gs fills the JOINED
+    # frame — parents and true (parent, child) pairs from the
+    # conformed dim, cells null where either base cube has no facts
+    q["q111_mdx_virtual_dense_ddl"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, DRILLDOWNLEVEL([Customer].[Region].Members) "
+        "ON ROWS FROM [Orders and Sales] WHERE ([Time].[Year].[&1996])")
+
+    # Dense GENERATE on a VIRTUAL cube (r14, VERDICT r13 #1): the
+    # dense fill builds ONE (parent, child) member-pair frame (never a
+    # crossjoin of the levels' separate frames); the post-join
+    # per-parent window ranks the DENSE children by the Sales-owned
+    # measure nulls-last with the child-key tie-break
+    q["q112_mdx_virtual_dense_generate"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) ON ROWS FROM [Orders and Sales] "
+        "WHERE ([Time].[Day].[&1996-02-10])")
+
+    # Dense DRILLDOWNLEVELTOP on a VIRTUAL cube (r14): densify the
+    # joined drill-across frame FIRST, then the per-parent window
+    # ranks the dense children by the Orders-owned measure — subtotal
+    # rows ride their own marker partition and always stay
+    q["q113_mdx_virtual_dense_ddltop"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
+        "[Measures].[Total Price]) ON ROWS FROM [Orders and Sales] "
+        "WHERE ([Time].[Day].[&1996-02-10])")
+
     q["q29_grouping_rollup"] = lambda s, d: _grouping_rollup(s, d)
 
     # skew path: salted two-phase groupBy must be value-identical to a
@@ -3402,6 +3440,113 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.n_nationkey AS cust_nation_key,
                    m.n_name AS cust_nation, a.revenue
             FROM m LEFT JOIN agg a ON m.n_nationkey = a.nk""",
+        "q111_mdx_virtual_dense_ddl": f"""
+            WITH s AS (
+              SELECT r_regionkey AS rk, n_nationkey AS nk,
+                     GROUPING(n_nationkey) AS g, {REVENUE} AS revenue
+              FROM {J_CUST} WHERE year(l_shipdate) = 1996
+              GROUP BY GROUPING SETS (
+                (r_regionkey), (r_regionkey, n_nationkey))),
+            o AS (
+              SELECT r_regionkey AS rk, n_nationkey AS nk,
+                     GROUPING(n_nationkey) AS g,
+                     {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST} WHERE year(o_orderdate) = 1996
+              GROUP BY GROUPING SETS (
+                (r_regionkey), (r_regionkey, n_nationkey))),
+            j AS (
+              SELECT COALESCE(s.rk, o.rk) AS rk,
+                     COALESCE(s.nk, o.nk) AS nk,
+                     COALESCE(s.g, o.g) AS g, s.revenue, o.total_price
+              FROM s FULL OUTER JOIN o
+                ON s.g = o.g AND s.rk = o.rk
+               AND s.nk IS NOT DISTINCT FROM o.nk),
+            parents AS (SELECT r_regionkey, r_name FROM region),
+            pairs AS (
+              SELECT r_regionkey, r_name, n_nationkey, n_name
+              FROM nation JOIN region ON n_regionkey = r_regionkey)
+            SELECT p.r_regionkey AS cust_region_key,
+                   p.r_name AS cust_region,
+                   CAST(NULL AS INTEGER) AS cust_nation_key,
+                   CAST(NULL AS VARCHAR) AS cust_nation,
+                   j.revenue, j.total_price
+            FROM parents p LEFT JOIN j ON j.g = 1 AND p.r_regionkey = j.rk
+            UNION ALL
+            SELECT p.r_regionkey, p.r_name, p.n_nationkey, p.n_name,
+                   j.revenue, j.total_price
+            FROM pairs p LEFT JOIN j ON j.g = 0 AND p.r_regionkey = j.rk
+                                    AND p.n_nationkey = j.nk""",
+        "q112_mdx_virtual_dense_generate": f"""
+            WITH s AS (
+              SELECT n_nationkey AS nk, {REVENUE} AS revenue
+              FROM {J_CUST}
+              WHERE CAST(l_shipdate AS DATE) = DATE '1996-02-10'
+              GROUP BY 1),
+            o AS (
+              SELECT n_nationkey AS nk, {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST}
+              WHERE CAST(o_orderdate AS DATE) = DATE '1996-02-10'
+              GROUP BY 1),
+            pairs AS (
+              SELECT r_regionkey, r_name, n_nationkey, n_name
+              FROM nation JOIN region ON n_regionkey = r_regionkey),
+            dense AS (
+              SELECT p.r_regionkey, p.r_name, p.n_nationkey, p.n_name,
+                     s.revenue, o.total_price
+              FROM pairs p LEFT JOIN s ON p.n_nationkey = s.nk
+                           LEFT JOIN o ON p.n_nationkey = o.nk)
+            SELECT r_regionkey AS cust_region_key, r_name AS cust_region,
+                   n_nationkey AS cust_nation_key, n_name AS cust_nation,
+                   revenue, total_price
+            FROM dense
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY r_regionkey
+              ORDER BY revenue DESC NULLS LAST, n_nationkey ASC) <= 2""",
+        "q113_mdx_virtual_dense_ddltop": f"""
+            WITH s AS (
+              SELECT r_regionkey AS rk, n_nationkey AS nk,
+                     GROUPING(n_nationkey) AS g, {REVENUE} AS revenue
+              FROM {J_CUST}
+              WHERE CAST(l_shipdate AS DATE) = DATE '1996-02-10'
+              GROUP BY GROUPING SETS (
+                (r_regionkey), (r_regionkey, n_nationkey))),
+            o AS (
+              SELECT r_regionkey AS rk, n_nationkey AS nk,
+                     GROUPING(n_nationkey) AS g,
+                     {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST}
+              WHERE CAST(o_orderdate AS DATE) = DATE '1996-02-10'
+              GROUP BY GROUPING SETS (
+                (r_regionkey), (r_regionkey, n_nationkey))),
+            j AS (
+              SELECT COALESCE(s.rk, o.rk) AS rk,
+                     COALESCE(s.nk, o.nk) AS nk,
+                     COALESCE(s.g, o.g) AS g, s.revenue, o.total_price
+              FROM s FULL OUTER JOIN o
+                ON s.g = o.g AND s.rk = o.rk
+               AND s.nk IS NOT DISTINCT FROM o.nk),
+            parents AS (SELECT r_regionkey, r_name FROM region),
+            pairs AS (
+              SELECT r_regionkey, r_name, n_nationkey, n_name
+              FROM nation JOIN region ON n_regionkey = r_regionkey),
+            dense_children AS (
+              SELECT p.r_regionkey, p.r_name, p.n_nationkey, p.n_name,
+                     j.revenue, j.total_price
+              FROM pairs p LEFT JOIN j ON j.g = 0 AND p.r_regionkey = j.rk
+                                      AND p.n_nationkey = j.nk)
+            SELECT p.r_regionkey AS cust_region_key,
+                   p.r_name AS cust_region,
+                   CAST(NULL AS INTEGER) AS cust_nation_key,
+                   CAST(NULL AS VARCHAR) AS cust_nation,
+                   j.revenue, j.total_price
+            FROM parents p LEFT JOIN j ON j.g = 1 AND p.r_regionkey = j.rk
+            UNION ALL
+            SELECT r_regionkey, r_name, n_nationkey, n_name,
+                   revenue, total_price
+            FROM dense_children
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY r_regionkey
+              ORDER BY total_price DESC NULLS LAST, n_nationkey ASC) <= 2""",
         "q31_salted_skew_agg": f"""
             SELECT l_returnflag, {DEC('l_quantity')} AS sum_qty,
                    COUNT(*) AS line_count

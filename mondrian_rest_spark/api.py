@@ -157,6 +157,13 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         return rows, source
 
     if rollup_manager is not None:
+        # the app's own manager is the cube's evaluation authority
+        # (r14, VERDICT r13 #2): degenerate cut-member validation and
+        # computed named sets consult its covering rollups instead of
+        # scanning the fact at plan time.  Safe here by construction —
+        # appends flow through THIS manager, so its rollups are never
+        # staler than the base parquet.
+        rollup_manager.register_as_authority()
         # appended facts change answers: drop cached driver-side rows
         # alongside the planner's member-key caches
         def _invalidate():

@@ -249,6 +249,17 @@ def _cut_predicate(rc: ResolvedCut, schema=None):
 #: set windows) for symmetry.
 _MEMBER_EXISTS: dict = {}
 
+#: full distinct member sets for DEGENERATE levels with no covering
+#: rollup (r14, VERDICT r13 #2): the first-touch validation of a
+#: degenerate cut value previously column-scanned the FACT per new
+#: value; now ONE bounded distinct pass per (level, column) caches the
+#: whole member set — every later value (hit or miss) validates
+#: driver-side.  Levels wider than the cap store None and fall back to
+#: the per-value IN-filter path (unbounded collect would be the real
+#: scale bug).  Cleared with the member cache on /flush and appends.
+_DEGENERATE_MEMBERS: dict = {}
+_DEGENERATE_MEMBERS_CAP = 100_000
+
 
 def _validate_cut_members(spark: SparkSession, sf_dir: str, cube: Cube,
                           rc: ResolvedCut) -> None:
@@ -297,12 +308,41 @@ def _validate_cut_members(spark: SparkSession, sf_dir: str, cube: Cube,
             if covering:
                 frame = min(covering, key=lambda r: r.rows).frame
             else:
-                exprs = {level.key_alias: level.key}
-                if level.caption and level.caption_alias \
-                        and level.caption_alias != level.key_alias:
-                    exprs[level.caption_alias] = level.caption
-                frame = load_table(spark, sf_dir, cube.fact).select(
-                    *[F.expr(e).alias(a) for a, e in exprs.items()])
+                def _degen_frame():
+                    exprs = {level.key_alias: level.key}
+                    if level.caption and level.caption_alias \
+                            and level.caption_alias != level.key_alias:
+                        exprs[level.caption_alias] = level.caption
+                    return load_table(spark, sf_dir, cube.fact).select(
+                        *[F.expr(e).alias(a) for a, e in exprs.items()])
+                # bounded full-member memo (r14, VERDICT r13 #2): ONE
+                # distinct pass per (level, column) for the session
+                # instead of one fact column scan per first-touch
+                # VALUE; later values validate driver-side
+                dk = (ck, col)
+                if dk not in _DEGENERATE_MEMBERS:
+                    f0 = _degen_frame()
+                    vals = (f0.select(col).distinct()
+                            .limit(_DEGENERATE_MEMBERS_CAP + 1)
+                            .collect())
+                    _DEGENERATE_MEMBERS[dk] = (
+                        None if len(vals) > _DEGENERATE_MEMBERS_CAP
+                        else ({r[0] for r in vals},
+                              f0.schema[col].dataType))
+                memo = _DEGENERATE_MEMBERS[dk]
+                if memo is not None:
+                    members, dtype = memo
+                    coerced = {r: _coerce_for(r, dtype) for r in unseen}
+                    missing = [r for r, v in coerced.items()
+                               if v not in members]
+                    if missing:
+                        raise ParseError(
+                            f"cut member not found on {dim.name}."
+                            f"{level.name}: "
+                            + ", ".join(repr(m) for m in missing))
+                    seen.update((col, r) for r in unseen)
+                    continue
+                frame = _degen_frame()   # cap-exceeded fallback
         else:
             frame = _dim_select(spark, sf_dir, dim, [level])
         dtype = frame.schema[col].dataType
@@ -3272,6 +3312,7 @@ def clear_named_set_cache() -> None:
     _LEVEL_REPEATS.clear()
     _TABLE_BYTES_CACHE.clear()
     _MEMBER_EXISTS.clear()
+    _DEGENERATE_MEMBERS.clear()
     clear_pc_closures()
 
 
@@ -4159,6 +4200,65 @@ def _virtualize_time_nav(spark: SparkSession, sf_dir: str, cat: Catalog,
         + axis_sel_cuts)
 
 
+def _vc_dense_inputs(cube0: Cube, qm: QueryModel, gen_v=None):
+    """Resolve the dense-fill inputs of a virtual-cube query against
+    the FIRST base cube (dims are conformed by contract): drills,
+    cuts, caption overrides, needed properties, and property-filter
+    predicates — shared by the flat (_densify) and grouping-sets
+    (_densify_gs) virtual dense paths (r14).
+
+    ``gen_v``: the GENERATE (dim, hier, parent_level, child_level)
+    tuple when set — its two appended drilldown entries collapse into
+    ONE ResolvedDrill carrying the true (parent, child) pairs, so the
+    dense member frame never invents pairs by crossjoining the levels
+    separately (the base-cube dense GENERATE shape)."""
+    ns_names0 = {s.name for s in cube0.named_sets}
+    drills_d: list[ResolvedDrill] = []
+    for d in qm.drilldown:
+        parsed = parse_drilldown(d, ns_names0)
+        if isinstance(parsed, str):
+            ns = cube0.named_set(parsed)
+            dimx, hierx, levelx = _resolve_level(
+                cube0, ns.dimension, None, ns.level)
+            idxx = hierx.level_index(levelx.name)
+            gl = (list(hierx.levels[: idxx + 1]) if qm.parents
+                  else [levelx])
+            drills_d.append(ResolvedDrill(dimx, hierx, levelx, gl))
+        else:
+            if gen_v is not None and parsed.dimension == gen_v[0].name:
+                continue   # collapsed into the pair drill below
+            drills_d.append(_resolve_drill(cube0, parsed, qm.parents))
+    if gen_v is not None:
+        g_dim, g_hier, g_level, g_child = gen_v
+        drills_d.append(ResolvedDrill(g_dim, g_hier, g_child,
+                                      [g_level, g_child]))
+    cuts_d = [_resolve_cut(cube0, parse_cut(c, ns_names0))
+              for c in qm.cut]
+    cap_over: dict = {}
+    for c in qm.caption:
+        ref = parse_property(c)
+        dimx, _, levelx = _resolve_level(
+            cube0, ref.dimension, ref.hierarchy, ref.level)
+        cap_over[(dimx.name, levelx.name)] = \
+            levelx.find_property(ref.prop).column
+    needed_props_d = props_by_dim(
+        resolved_props(cube0, qm.properties))
+    # member-property FILTER restricts the axis SET (r11): the
+    # dense member frames must drop the excluded members, exactly
+    # like the base-cube path
+    prop_filter_preds_d: list[tuple] = []
+    for ref_str, fop, fval in qm.property_filters:
+        ref = parse_property(ref_str)
+        dimx, _, levelx = _resolve_level(
+            cube0, ref.dimension, ref.hierarchy, ref.level)
+        pr = levelx.find_property(ref.prop)
+        plist = needed_props_d.setdefault(dimx.name, [])
+        if pr.alias not in [x.alias for x in plist]:
+            plist.append(pr)
+        prop_filter_preds_d.append((dimx.name, pr.alias, fop, fval))
+    return drills_d, cuts_d, cap_over, needed_props_d, prop_filter_preds_d
+
+
 def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                        qm: QueryModel,
                        routers: dict | None = None) -> DataFrame:
@@ -4181,16 +4281,12 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
     for spec, _ in getattr(qm, "gs_axes", []) or []:
         # grouping-sets axes virtualize (r10): each base cube runs its
         # own Expand pass and the drill-across join aligns subtotal
-        # rows null-safely below — but only over conformed dims
-        if not qm.nonempty:
-            # mirror _aggregate_cube: the per-base-cube sub QueryModel
-            # is built nonempty=True, so without this check a dense
-            # query would silently return NON-EMPTY-shaped results
-            # (ADVICE r10, medium)
-            raise ParseError(
-                "DRILLDOWNLEVEL/DRILLDOWNMEMBER require NON EMPTY in "
-                "this MDX subset (a dense fill of a mixed-grain axis "
-                "is ill-defined)")
+        # rows null-safely below — but only over conformed dims.
+        # Dense (nonempty=false) virtualizes since r14 (VERDICT r13
+        # #1): the per-cube subs keep their F.grouping() markers
+        # through the join and _densify_gs fills the joined frame —
+        # the member-pair frames resolve on cubes[0] (dims conformed
+        # by contract), exactly the base-cube dense shape.
         if spec.split(".")[0] not in vc.conformed_dimensions:
             raise ParseError(
                 f"virtual cube {vc.name!r} only exposes conformed dims "
@@ -4219,14 +4315,12 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
             raise ParseError(
                 "GENERATE cannot combine with DRILLDOWNLEVEL/"
                 "DRILLDOWNMEMBER in this MDX subset")
-        if not qm.nonempty:
-            # the base-cube path builds ONE member frame carrying the
-            # true (parent, child) pairs; the virtual dense fill would
-            # cross-join the two levels' separate frames and invent
-            # pairs — a clear 400, not a silently wrong axis
-            raise ParseError(
-                "GENERATE on a virtual cube requires NON EMPTY in "
-                "this MDX subset")
+        # dense GENERATE virtualizes since r14 (VERDICT r13 #1): the
+        # dense fill below builds ONE member frame carrying the true
+        # (parent, child) pairs (never a parent×child crossjoin of
+        # the two levels' separate frames) and the post-join rank
+        # window orders nulls-last with the child-key tie-break —
+        # the same semantics the base-cube dense GENERATE has.
         if qm.parents:
             raise ParseError(
                 "parents=true cannot combine with GENERATE on a "
@@ -4498,7 +4592,13 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                          empty_set=qm.empty_set,
                          empty_slicer=qm.empty_slicer,
                          gs_axes=list(getattr(qm, "gs_axes", []) or []),
-                         gs_keep_markers=bool(gs_top_v),
+                         # markers survive the drill-across join when
+                         # the post-join stage needs to tell subtotal
+                         # rows apart: the DDLTOP rank (r11) and the
+                         # dense grouping-sets fill (r14)
+                         gs_keep_markers=bool(gs_top_v) or (
+                             bool(getattr(qm, "gs_axes", []) or [])
+                             and not qm.nonempty and not qm.empty_set),
                          visual_totals=list(
                              getattr(qm, "visual_totals", []) or []),
                          # dim-side predicates virtualize by forwarding
@@ -4563,6 +4663,44 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
     # marginal measure when another axis dimension is drilled. ---
     gs_marker_cols = [c for c in (group_cols or [])
                       if c.startswith("__gs_subtotal_")]
+    dense_v = (not qm.nonempty and not qm.empty_set
+               and bool(qm.drilldown or getattr(qm, "gs_axes", [])))
+    if dense_v and getattr(qm, "gs_axes", []):
+        # dense grouping-sets axes on a virtual cube (r14, VERDICT r13
+        # #1): the per-cube subs kept their F.grouping() markers
+        # through the null-safe drill-across join, so the joined frame
+        # IS the marker-sliced aggregate _densify_gs expects — densify
+        # FIRST (mirroring the base path), then the DDLTOP rank below
+        # ranks the DENSE children nulls-last per parent.
+        (drills_d, cuts_d, cap_over, needed_props_d,
+         prop_filter_preds_d) = _vc_dense_inputs(cubes[0], qm)
+        ns_names0_g = {s.name for s in cubes[0].named_sets}
+        ddl_axes_v: list[tuple] = []
+        markers_v = [f"__gs_subtotal_{i}__"
+                     for i in range(len(qm.gs_axes))]
+        for ddl_spec, ddl_subset in qm.gs_axes:
+            segs = ddl_spec.split(".")
+            hier_name = segs[1] if len(segs) == 3 else None
+            dimx, hierx, levelx = _resolve_level(
+                cubes[0], segs[0], hier_name, segs[-1])
+            childx = hierx.levels[hierx.level_index(levelx.name) + 1]
+            drills_d.append(ResolvedDrill(dimx, hierx, childx,
+                                          [levelx, childx]))
+            subset_rc = None
+            if ddl_subset is not None:
+                subset_rc = _resolve_cut(
+                    cubes[0], parse_cut(ddl_subset, ns_names0_g))
+            ddl_axes_v.append((levelx, childx, subset_rc))
+        out = _densify_gs(
+            spark, sf_dir, cubes[0], drills_d, ddl_axes_v, markers_v,
+            out, [c for c in group_cols if c not in gs_marker_cols],
+            list(all_aliases),
+            [rc for rc in cuts_d if rc.cut.kind != "named_set"],
+            [rc for rc in cuts_d if rc.cut.kind == "named_set"],
+            needed_props_d, cap_over,
+            prop_filters=prop_filter_preds_d or None,
+            existing_dims=getattr(qm, "existing_dims", None),
+            keep_markers=True)
     if gs_top_v:
         for spec, topn, mname, asc in gs_top_v:
             idx = next(i for i, (s, _) in enumerate(qm.gs_axes)
@@ -4662,47 +4800,10 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
     # WHERE cuts constrain facts and leave the axes full, exactly the
     # base-cube dense semantics.  Runs BEFORE the inline calcs so
     # formula columns compute (to null) on the filled tuples too. ---
-    if not qm.nonempty and qm.drilldown and not qm.empty_set:
-        ns_names0 = {s.name for s in cubes[0].named_sets}
-        drills_d: list[ResolvedDrill] = []
-        for d in qm.drilldown:
-            parsed = parse_drilldown(d, ns_names0)
-            if isinstance(parsed, str):
-                ns = cubes[0].named_set(parsed)
-                dimx, hierx, levelx = _resolve_level(
-                    cubes[0], ns.dimension, None, ns.level)
-                idxx = hierx.level_index(levelx.name)
-                gl = (list(hierx.levels[: idxx + 1]) if qm.parents
-                      else [levelx])
-                drills_d.append(ResolvedDrill(dimx, hierx, levelx, gl))
-            else:
-                drills_d.append(_resolve_drill(cubes[0], parsed,
-                                               qm.parents))
-        cuts_d = [_resolve_cut(cubes[0], parse_cut(c, ns_names0))
-                  for c in qm.cut]
-        cap_over: dict = {}
-        for c in qm.caption:
-            ref = parse_property(c)
-            dimx, _, levelx = _resolve_level(
-                cubes[0], ref.dimension, ref.hierarchy, ref.level)
-            cap_over[(dimx.name, levelx.name)] = \
-                levelx.find_property(ref.prop).column
-        needed_props_d = props_by_dim(
-            resolved_props(cubes[0], qm.properties))
-        # member-property FILTER restricts the axis SET (r11): the
-        # dense member frames must drop the excluded members, exactly
-        # like the base-cube path — resolve against cubes[0] (the dim
-        # is conformed) and carry the property column on the frame
-        prop_filter_preds_d: list[tuple] = []
-        for ref_str, fop, fval in qm.property_filters:
-            ref = parse_property(ref_str)
-            dimx, _, levelx = _resolve_level(
-                cubes[0], ref.dimension, ref.hierarchy, ref.level)
-            pr = levelx.find_property(ref.prop)
-            plist = needed_props_d.setdefault(dimx.name, [])
-            if pr.alias not in [x.alias for x in plist]:
-                plist.append(pr)
-            prop_filter_preds_d.append((dimx.name, pr.alias, fop, fval))
+    if dense_v and not getattr(qm, "gs_axes", []):
+        (drills_d, cuts_d, cap_over, needed_props_d,
+         prop_filter_preds_d) = _vc_dense_inputs(cubes[0], qm,
+                                                 gen_v=gen_v)
         out = _densify(
             spark, sf_dir, cubes[0], drills_d,
             [rc for rc in cuts_d if rc.cut.kind != "named_set"],

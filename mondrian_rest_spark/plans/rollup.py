@@ -132,9 +132,7 @@ class RollupManager:
         # parquet), wrong for ad-hoc managers holding appended state a
         # concurrent base-path consumer shouldn't see.
         if route_named_sets:
-            from ..planner import _NS_ROUTERS
-            _NS_ROUTERS[(spark.sparkContext.applicationId, sf_dir,
-                         self.cube.name)] = self
+            self.register_as_authority()
         #: measured per-level member counts, filled at rollup-build
         #: time (VERDICT r8 #5): {(dim_name, level_name): n} — the
         #: advisor's level_cardinality input, so grain scoring uses
@@ -146,6 +144,38 @@ class RollupManager:
         #: its result-cache invalidation here so a routed app never
         #: serves pre-append aggregates from its driver cache
         self.invalidation_hooks: list = []
+
+    def register_as_authority(self, replace: bool = True) -> None:
+        """Make THIS manager the cube's session-wide evaluation
+        authority (planner._NS_ROUTERS): computed named sets rank over
+        its rollups, and degenerate cut-member validation consults a
+        covering rollup instead of scanning the fact's key column at
+        plan time (VERDICT r13 #2).  The REST app registers its own
+        manager automatically (api.create_app) — it owns the session's
+        appends, so the documented staleness concern doesn't apply.
+
+        Identity guard (VERDICT r13 #5): the key is (applicationId,
+        sf_dir, cube name), so two different managers — e.g. two
+        Catalog objects sharing a cube name over one data dir — would
+        otherwise collide SILENTLY.  Re-registration by a different
+        manager instance replaces the authority with a warning when
+        ``replace=True`` (deterministic latest-wins, what a restarted
+        app wants), else raises."""
+        from ..planner import _NS_ROUTERS
+        key = (self.spark.sparkContext.applicationId, self.sf_dir,
+               self.cube.name)
+        prev = _NS_ROUTERS.get(key)
+        if prev is not None and prev is not self:
+            if not replace:
+                raise ValueError(
+                    f"a different RollupManager is already the "
+                    f"evaluation authority for {key}; pass "
+                    "replace=True to take over")
+            import warnings
+            warnings.warn(
+                f"replacing the evaluation authority for {key} with a "
+                "different RollupManager instance", stacklevel=2)
+        _NS_ROUTERS[key] = self
 
     def register(self, name: str, grain: tuple[str, ...],
                  persist_path: str | None = None,

@@ -1005,6 +1005,38 @@ def test_advisor_materialize_closes_loop(spark, sf_dir):
     assert grain in [a["grain"] for a in body2["already_materialized"]]
 
 
+def test_advisor_materialize_flips_dense_default_query(spark, sf_dir):
+    """r14 (VERDICT r13 #8): the advisor loop closes for DENSE
+    default-params queries too — dense counts in the need-sets (r13)
+    AND dense routing exists (r13), so a default (nonempty unset =
+    dense, api.rb:137) query flips from source=base to the advised
+    rollup after POST /advisor/materialize, body identical."""
+    from mondrian_rest_spark.plans.rollup import RollupManager
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    app = create_app(tpch.CATALOG, sf_dir, spark=spark,
+                     rollup_manager=mgr, flush_secret="adv-s3cr3t")
+    app.config["TESTING"] = True
+    c = app.test_client()
+    qs = ("/cubes/Sales/aggregate?drilldown[]=Customer.Nation"
+          "&measures[]=Revenue&cut[]=[Time].[Year].[%261996]"
+          "&debug=true")          # nonempty UNSET -> dense default
+    before = c.get(qs).get_json()
+    assert before["source"] == "base"
+    for _ in range(2):            # demand signal (weight 3 total)
+        c.get(qs)
+    r = c.post("/advisor/materialize?secret=adv-s3cr3t&max=2")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["materialized"], body
+    after = c.get(qs).get_json()
+    assert after["source"].startswith(
+        tuple(b["name"] for b in body["materialized"]))
+    assert after["source"] != "base"
+    # dense body identical: every axis member present, values equal
+    assert after["values"] == before["values"]
+    assert after["axes"] == before["axes"]
+
+
 def test_corpus_dedup_jaccard_method_and_skew_400(client):
     """r10: /corpus/dedup?method=jaccard runs the exact PPJoin path;
     max_candidates_per_prefix surfaces PrefixSkewError as a 400 naming

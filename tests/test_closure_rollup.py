@@ -454,6 +454,39 @@ def test_rollup_advisor_grains_register_and_route(spark, sf_dir):
         sorted(map(tuple, base.collect()))
 
 
+def test_rollup_authority_identity_guard(spark, sf_dir):
+    """r14 (VERDICT r13 #5): _NS_ROUTERS keys on (applicationId,
+    sf_dir, cube name) — two different managers over the same data dir
+    previously collided SILENTLY.  Re-registration by a different
+    instance now replaces deterministically with a warning (latest
+    wins), or raises with replace=False; re-registering the SAME
+    instance is a silent no-op."""
+    import mondrian_rest_spark.planner as P
+
+    key = (spark.sparkContext.applicationId, sf_dir, "Sales")
+    prev = P._NS_ROUTERS.pop(key, None)
+    try:
+        m1 = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+        m1.register_as_authority()
+        assert P._NS_ROUTERS[key] is m1
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            m1.register_as_authority()          # same instance: no-op
+        assert P._NS_ROUTERS[key] is m1
+        m2 = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+        with pytest.raises(ValueError, match="already the"):
+            m2.register_as_authority(replace=False)
+        assert P._NS_ROUTERS[key] is m1         # refusal left m1
+        with pytest.warns(UserWarning, match="replacing the evaluation"):
+            m2.register_as_authority()
+        assert P._NS_ROUTERS[key] is m2         # deterministic latest-wins
+    finally:
+        P._NS_ROUTERS.pop(key, None)
+        if prev is not None:
+            P._NS_ROUTERS[key] = prev
+
+
 def test_rollup_advisor_measured_cardinality_beats_proxy(spark, sf_dir):
     """VERDICT r8 #5: per-level cardinalities measured at rollup-build
     time (RollupManager.level_stats) feed the advisor; where the

@@ -407,6 +407,59 @@ def test_cut_member_existence_400(spark, sf_dir):
     assert len(r3) == 5
 
 
+def test_degenerate_cut_validation_no_plan_time_fact_scan(
+        spark, sf_dir, monkeypatch):
+    """r14 (VERDICT r13 #2): degenerate cut-member validation never
+    scans the FACT per first-touch value any more.  (a) Without an
+    authority, ONE bounded distinct pass memoizes the level's full
+    member set — later values (hits AND misses) validate driver-side.
+    (b) With the app's RollupManager registered as the evaluation
+    authority and a rollup covering the level, the fact is never
+    loaded during validation at all."""
+    import mondrian_rest_spark.planner as P
+    from mondrian_rest_spark.plans.rollup import RollupManager
+
+    cube = CAT.cube("Sales")
+    rc96 = P._resolve_cut(cube, P.parse_cut("[Time].[Year].[&1996]", set()))
+    rc97 = P._resolve_cut(cube, P.parse_cut("[Time].[Year].[&1997]", set()))
+    rc18 = P._resolve_cut(cube, P.parse_cut("[Time].[Year].[&1890]", set()))
+
+    calls: list = []
+    orig = P.load_table
+
+    def counting(s, d, table, *a, **k):
+        calls.append(table)
+        return orig(s, d, table, *a, **k)
+
+    key = (spark.sparkContext.applicationId, sf_dir, "Sales")
+    P._NS_ROUTERS.pop(key, None)
+    P.clear_named_set_cache()
+    monkeypatch.setattr(P, "load_table", counting)
+    try:
+        # (a) memoized distinct path
+        P._validate_cut_members(spark, sf_dir, cube, rc96)
+        assert calls.count("lineitem") == 1     # the one distinct pass
+        P._validate_cut_members(spark, sf_dir, cube, rc97)
+        assert calls.count("lineitem") == 1     # memo hit: no reload
+        with pytest.raises(ParseError, match="not found.*1890"):
+            P._validate_cut_members(spark, sf_dir, cube, rc18)
+        assert calls.count("lineitem") == 1     # misses too
+
+        # (b) rollup authority: zero fact loads during validation
+        mgr = RollupManager(spark, sf_dir, CAT, "Sales")
+        mgr.register("yr_auth", ("Time.Year",))
+        mgr.register_as_authority()
+        P.clear_named_set_cache()
+        calls.clear()
+        P._validate_cut_members(spark, sf_dir, cube, rc96)
+        with pytest.raises(ParseError, match="not found.*1890"):
+            P._validate_cut_members(spark, sf_dir, cube, rc18)
+        assert "lineitem" not in calls
+    finally:
+        P._NS_ROUTERS.pop(key, None)
+        P.clear_named_set_cache()
+
+
 @pytest.fixture(scope="module")
 def geo_prop_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("geoprops")
