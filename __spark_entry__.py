@@ -1331,6 +1331,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "[Measures].[Total Price]) ON ROWS FROM [Orders and Sales] "
         "WHERE ([Time].[Day].[&1996-02-10])")
 
+    # Alias-conformed Day on a VIRTUAL cube (r14, VERDICT r13 #6):
+    # Day's member-key alias differs per fact (ship_date vs
+    # order_date) but the level conforms by RENAME — each cube
+    # aggregates at its own column, renamed to the first cube's alias
+    # before the drill-across join (Mondrian's shared-dimension
+    # semantics: foodmart time_by_day joined via each fact's own FK).
+    # Previously the documented non-conformed 400.
+    q["q114_mdx_virtual_day_alias_conformed"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY [Time].[Day].Members ON ROWS "
+        "FROM [Orders and Sales] WHERE ([Customer].[Region].[&2])"
+        ).withColumn("ship_date",
+                     F.col("ship_date").cast("timestamp"))
+
     q["q29_grouping_rollup"] = lambda s, d: _grouping_rollup(s, d)
 
     # skew path: salted two-phase groupBy must be value-identical to a
@@ -3547,6 +3563,17 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
               PARTITION BY r_regionkey
               ORDER BY total_price DESC NULLS LAST, n_nationkey ASC) <= 2""",
+        "q114_mdx_virtual_day_alias_conformed": f"""
+            WITH s AS (
+              SELECT CAST(l_shipdate AS DATE) AS d, {REVENUE} AS revenue
+              FROM {J_CUST} WHERE n_regionkey = 2 GROUP BY 1),
+            o AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                     {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST} WHERE n_regionkey = 2 GROUP BY 1)
+            SELECT CAST(COALESCE(s.d, o.d) AS TIMESTAMP) AS ship_date,
+                   s.revenue, o.total_price
+            FROM s FULL OUTER JOIN o ON s.d = o.d""",
         "q31_salted_skew_agg": f"""
             SELECT l_returnflag, {DEC('l_quantity')} AS sum_qty,
                    COUNT(*) AS line_count

@@ -397,6 +397,16 @@ class VirtualCube:
     name: str
     cube_names: tuple[str, str]
     conformed_dimensions: tuple[str, ...]
+    #: (dim name, level name) pairs whose member-key ALIASES
+    #: legitimately differ per base cube (Day = ship_date in Sales,
+    #: order_date in Orders): each cube aggregates at its own column
+    #: and the result renames to the FIRST owner's alias before the
+    #: drill-across join.  This is Mondrian's shared-dimension
+    #: semantics — foodmart's Sales and Warehouse both join time_by_day
+    #: through their OWN fact FK, so [Time].[Day] on 'Warehouse and
+    #: Sales' aligns sale-day cells with warehouse-day cells.  Opt-in
+    #: per level; undeclared alias mismatches stay the documented 400.
+    alias_conformed_levels: tuple = ()
 
 
 @dataclass(frozen=True)

@@ -133,6 +133,37 @@ def resolve_cube(cat: Catalog, cube_name: str, dim_name: str | None = None) -> C
     raise KeyError(f"dimension {dim_name!r} not in virtual cube {cube_name!r}")
 
 
+def _members_source(spark: SparkSession, sf_dir: str, cat: Catalog,
+                    cube_name: str, cube: Cube, rd: ResolvedDrill,
+                    prop_objs: list | None = None) -> DataFrame:
+    """members_frame, except a DEGENERATE dim on a VIRTUAL cube unions
+    every owner cube's fact-projected members (r14) — Mondrian's
+    virtual hierarchy is the UNION of the base cubes' member sets, so
+    a year present only in Orders must list on 'Orders and Sales'
+    (the aggregate path has used the union since r11; the members
+    surface listed the first cube only).  Table-backed dims are
+    physically shared (one select IS the union) and property requests
+    are dim-table-only, so both keep the single-cube path; levels with
+    distinct captions below the listed one fall back too (the union
+    source carries one caption level)."""
+    v = cat.virtual_cube(cube_name)
+    if (v is not None and rd.dimension.is_degenerate and not prop_objs
+            and not any(lv.caption and lv.caption_alias
+                        and lv.caption_alias != lv.key_alias
+                        for lv in rd.group_levels[:-1])):
+        from .planner import _vc_union_src
+        cubes = [cat.cube(n) for n in v.cube_names]
+        lv = rd.level
+        cap_lv = (lv.name if (lv.caption and lv.caption_alias
+                              and lv.caption_alias != lv.key_alias)
+                  else None)
+        return _vc_union_src(spark, sf_dir, cubes, v.name,
+                             rd.dimension.name, rd.hierarchy.name,
+                             [x.name for x in rd.group_levels],
+                             cap_lv, vc=v)
+    return members_frame(spark, sf_dir, cube, rd, prop_objs or [])
+
+
 def _drill_for(cube: Cube, dim_name: str, level_name: str | None,
                hierarchy: str | None = None, with_ancestors: bool = False) -> ResolvedDrill:
     dim, hier, level = _resolve_level(cube, dim_name, hierarchy, level_name)
@@ -174,7 +205,8 @@ def level_members(spark: SparkSession, sf_dir: str, cat: Catalog, cube_name: str
     if need_parent:
         rd = _drill_for(cube, dim_name, level_name, hierarchy, True)
     out = _ragged_visible(
-        members_frame(spark, sf_dir, cube, rd), rd).dropDuplicates(
+        _members_source(spark, sf_dir, cat, cube_name, cube, rd),
+        rd).dropDuplicates(
         [lv.key_alias for lv in rd.group_levels])
     if need_parent:
         return out.select(*[a for _, a in rd.level.out_cols()])
@@ -204,7 +236,8 @@ def member_children(spark: SparkSession, sf_dir: str, cat: Catalog, cube_name: s
         raise KeyError(f"level {parent_level!r} has no child level")
     child = hier.levels[pidx + 1]
     rd = ResolvedDrill(dim, hier, child, [plevel, child])
-    mf = _ragged_visible(members_frame(spark, sf_dir, cube, rd), rd)
+    mf = _ragged_visible(
+        _members_source(spark, sf_dir, cat, cube_name, cube, rd), rd)
     out = mf.filter(F.col(plevel.key_alias) == F.lit(parent_key))
     child_cols = [a for _, a in child.out_cols()]
     return out.select(*child_cols).dropDuplicates([child.key_alias])
@@ -265,7 +298,8 @@ def member_payloads(spark: SparkSession, sf_dir: str, cat: Catalog,
         prop_objs.append(cap_prop)
 
     mf = _ragged_visible(
-        members_frame(spark, sf_dir, cube, rd, prop_objs), rd)
+        _members_source(spark, sf_dir, cat, cube_name, cube, rd,
+                        prop_objs), rd)
     if key is not None:
         mf = mf.filter(F.col(level.key_alias).cast("string") == str(key))
     path_keys = [lv.key_alias for lv in rd.group_levels]
@@ -289,7 +323,9 @@ def member_payloads(spark: SparkSession, sf_dir: str, cat: Catalog,
     child_level = hier.levels[idx + 1] if idx + 1 < len(hier.levels) else None
     if (children or with_num_children) and child_level is not None and rows:
         crd = _drill_for(cube, dim_name, child_level.name, hierarchy, True)
-        cmf = _ragged_visible(members_frame(spark, sf_dir, cube, crd), crd)
+        cmf = _ragged_visible(
+            _members_source(spark, sf_dir, cat, cube_name, cube, crd),
+            crd)
         parent_keys = [r[level.key_alias] for r in rows]
         if key is not None or len(parent_keys) <= 1000:
             cmf = cmf.filter(F.col(level.key_alias).isin(parent_keys))

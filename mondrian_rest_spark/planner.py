@@ -62,6 +62,13 @@ from .sources.registry import load_table
 
 # dense-axis (nonempty=false) cell-count ceiling — see _densify
 MAX_DENSE_CELLS = 10_000_000
+#: dense fills broadcast the aggregate side of their left join when
+#: the MEASURED dense cell count (already collected for the
+#: MAX_DENSE_CELLS guard) is below this — the aggregate at the same
+#: grain is comparably sized, Spark just can't estimate it post-agg,
+#: so without the hint the join planned sort-merge (VERDICT r13 #4).
+#: Above the threshold the fallback IS sort-merge, the right call.
+DENSE_BROADCAST_ROWS = 1_000_000
 
 
 # ---------------------------------------------------------------------------
@@ -3151,6 +3158,8 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
                 "cells; add cuts or use nonempty=true")
     dense = reduce(lambda a, b: a.crossJoin(b), axis_frames)
     agg_slim = agg.select(*join_keys, *measure_aliases)
+    if cells <= DENSE_BROADCAST_ROWS:
+        agg_slim = F.broadcast(agg_slim)
     out = dense.join(agg_slim, on=join_keys, how="left")
     return out.select(*group_cols, *measure_aliases)
 
@@ -3272,6 +3281,8 @@ def _densify_gs(spark, sf_dir, cube, drills, ddl_axes, gs_markers, agg,
     agg_slim = agg.select(*[F.col(c).alias(f"__agg_{c}")
                             for c in all_keys + gs_markers],
                           *measure_aliases)
+    if total <= DENSE_BROADCAST_ROWS:
+        agg_slim = F.broadcast(agg_slim)
     cond = reduce(lambda a, b: a & b,
                   [dense_all[m] == agg_slim[f"__agg_{m}"]
                    for m in gs_markers]
@@ -3783,10 +3794,49 @@ def _vc_owners(cubes: list, vc_name: str, dim_name: str) -> list:
     return out
 
 
+def _vc_alias_renames(vc, cube: Cube, ref_cube: Cube) -> dict[str, str]:
+    """{this cube's alias -> reference cube's alias} for the virtual
+    cube's declared ``alias_conformed_levels`` (r14, VERDICT r13 #6):
+    a level whose member-key aliases legitimately differ per base cube
+    (Day = ship_date vs order_date) conforms by RENAME — each cube
+    aggregates at its own column and the drill-across join lines up on
+    the reference alias.  Mondrian analog: a shared dimension joined
+    through each fact's own FK (foodmart time_by_day on Sales vs
+    Warehouse).  Undeclared mismatches keep the documented 400."""
+    ren: dict[str, str] = {}
+    pairs = set(getattr(vc, "alias_conformed_levels", ()) or ())
+    if not pairs or cube.name == ref_cube.name:
+        return ren
+    for d in cube.dimensions:
+        d0 = next((x for x in ref_cube.dimensions if x.name == d.name),
+                  None)
+        if d0 is None:
+            continue
+        for h in d.hierarchies:
+            h0 = next((x for x in d0.hierarchies if x.name == h.name),
+                      None)
+            if h0 is None:
+                continue
+            for lv in h.levels:
+                if (d.name, lv.name) not in pairs:
+                    continue
+                lv0 = next((x for x in h0.levels
+                            if x.name == lv.name), None)
+                if lv0 is None:
+                    continue
+                if lv.key_alias != lv0.key_alias:
+                    ren[lv.key_alias] = lv0.key_alias
+                if (lv.caption_alias and lv0.caption_alias
+                        and lv.caption_alias != lv0.caption_alias):
+                    ren[lv.caption_alias] = lv0.caption_alias
+    return ren
+
+
 def _vc_union_src(spark: SparkSession, sf_dir: str, cubes: list,
                   vc_name: str, dim_name: str, hier_name,
                   level_names: list[str],
-                  caption_level: str | None = None) -> DataFrame:
+                  caption_level: str | None = None,
+                  vc=None) -> DataFrame:
     """Member source of a conformed dimension on a VIRTUAL cube: the
     UNION of the base cubes' member sources projecting the named
     levels' key aliases (+ the caption alias of ``caption_level`` when
@@ -3797,7 +3847,8 @@ def _vc_union_src(spark: SparkSession, sf_dir: str, cubes: list,
     the same non-conformed 400 the drill-across join raises."""
     frames = []
     table_backed_done = False
-    for c in _vc_owners(cubes, vc_name, dim_name):
+    owners = _vc_owners(cubes, vc_name, dim_name)
+    for c in owners:
         dim, hier, _ = _resolve_level(c, dim_name, hier_name,
                                       level_names[0])
         levels = [hier.level(ln) for ln in level_names]
@@ -3807,6 +3858,11 @@ def _vc_union_src(spark: SparkSession, sf_dir: str, cubes: list,
             if lv.caption and lv.caption_alias \
                     and lv.caption_alias != lv.key_alias:
                 exprs[lv.caption_alias] = lv.caption
+        if vc is not None and owners:
+            # declared alias-conformed levels project under the FIRST
+            # owner's alias so the union lines up (r14)
+            ren = _vc_alias_renames(vc, c, owners[0])
+            exprs = {ren.get(a, a): e for a, e in exprs.items()}
         if not dim.is_degenerate:
             # table-backed conformed dims are physically shared, so
             # ONE dim-side select covers every table-backed owner —
@@ -3900,7 +3956,8 @@ def _virtualize_time_nav(spark: SparkSession, sf_dir: str, cat: Catalog,
     def union_src(dim_name: str, hier_name, level_names: list[str],
                   caption_level: str | None = None) -> DataFrame:
         return _vc_union_src(spark, sf_dir, cubes, vc.name, dim_name,
-                             hier_name, level_names, caption_level)
+                             hier_name, level_names, caption_level,
+                             vc=vc)
 
     def member_target(keys_src: DataFrame, level, raw: str, ref: str):
         """Member key from a raw segment (caption-matched when the
@@ -4620,6 +4677,13 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
             sub_sources[cube.name] = src
         else:
             df = _aggregate_cube(spark, sf_dir, cube, sub)
+        # declared alias-conformed levels (r14, VERDICT r13 #6): this
+        # cube aggregated at its OWN column (order_date); rename to
+        # the first cube's alias (ship_date) so the drill-across join
+        # lines the cells up — downstream resolution is all cubes[0]
+        for old, new in _vc_alias_renames(vc, cube, cubes[0]).items():
+            if old in df.columns and new not in df.columns:
+                df = df.withColumnRenamed(old, new)
         maliases = [_measure_alias(cube, m) for m in own_names]
         gcols = [c for c in df.columns if c not in maliases]
         group_cols = gcols if group_cols is None else group_cols
@@ -4755,6 +4819,11 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                     nonempty=True, parents=True)
                 rank_src = _aggregate_cube(spark, sf_dir, owner,
                                            qm_rank)
+                for _o, _n in _vc_alias_renames(vc, owner,
+                                                gcube).items():
+                    if _o in rank_src.columns \
+                            and _n not in rank_src.columns:
+                        rank_src = rank_src.withColumnRenamed(_o, _n)
                 rank_src = rank_src.select(
                     F.col(parent_lv.key_alias).alias("__rbp__"),
                     F.col(child_lv.key_alias).alias("__rbc__"),
@@ -5069,6 +5138,11 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
                 vc_skip_cut_validation=True,
                 nonempty=True, parents=True)
             rank_src = _aggregate_cube(spark, sf_dir, owner, qm_rank)
+            for _o, _n in _vc_alias_renames(vc, owner,
+                                            cubes[0]).items():
+                if _o in rank_src.columns \
+                        and _n not in rank_src.columns:
+                    rank_src = rank_src.withColumnRenamed(_o, _n)
             rank_src = rank_src.select(
                 *[F.col(a).alias(f"__rb{i}__")
                   for i, a in enumerate(own_keys)],

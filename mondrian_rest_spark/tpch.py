@@ -290,6 +290,12 @@ CATALOG = Catalog(
     cubes=(SALES, ORDERS, EVENTS),
     virtual_cubes=(
         VirtualCube("Orders and Sales", cube_names=("Sales", "Orders"),
-                    conformed_dimensions=("Customer", "Time")),
+                    conformed_dimensions=("Customer", "Time"),
+                    # Day's member-key alias differs per fact
+                    # (ship_date vs order_date) but the LEVEL conforms
+                    # by rename — Mondrian's shared-dim-via-own-FK
+                    # semantics (foodmart time_by_day on Sales vs
+                    # Warehouse); r14, VERDICT r13 #6
+                    alias_conformed_levels=(("Time", "Day"),)),
     ),
 )

@@ -46,9 +46,29 @@ def run_bench(extra: str = "", cooldown: int = 75) -> dict:
     return json.loads(line)
 
 
+def wait_for_idle(max_load: float = 1.5, cap_s: int = 900,
+                  poll_s: int = 30) -> dict:
+    """Spin-wait until the 1- AND 5-minute load averages drop below
+    ``max_load`` (r14, VERDICT r13 #7: BENCH_sf1_r13 ran at 5-min
+    loadavg 5-6 and its per-query samples spread 4.7x — an unreadable
+    record).  Bounded by ``cap_s``; the check itself is recorded so a
+    capped-out (still-busy) record is self-describing."""
+    import time
+    waited = 0
+    while True:
+        l1, l5, l15 = os.getloadavg()
+        if (l1 < max_load and l5 < max_load) or waited >= cap_s:
+            return {"loadavg_at_start": [l1, l5, l15],
+                    "max_load": max_load, "waited_s": waited,
+                    "idle": l1 < max_load and l5 < max_load}
+        time.sleep(poll_s)
+        waited += poll_s
+
+
 def main() -> None:
     dest = sys.argv[1] if len(sys.argv) > 1 else "BENCH_sf1_r13.json"
     rnd = int(sys.argv[2]) if len(sys.argv) > 2 else 13
+    idle_check = wait_for_idle()
     loop_a = run_bench()
     extra = run_bench(extra="d09_neardup_jaccard_prefix,"
                             "d11_neardup_jaccard_spill")
@@ -68,6 +88,7 @@ def main() -> None:
             "loop.  parsed = loop A (comparable to prior rounds); "
             "headline_loop_b bounds within-record drift; the extra "
             "loop's own headline total cross-checks cache effects."),
+        "idle_check": idle_check,
         "parsed": loop_a,
         "headline_loop_b": {"value": loop_b["value"],
                             "queries": loop_b["queries"],

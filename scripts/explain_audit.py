@@ -68,7 +68,10 @@ AUDIT = ["q02_region_revenue", "q03_crossjoin_3d", "q04_cut_member",
          "q105_mdx_toppercent_x_years",
          "q106_mdx_virtual_toppercent_x_years",
          "q107_mdx_prop_filter_x_years", "q108_mdx_subset_x_years",
-         "q109_mdx_dense_ddltop", "q110_rollup_routed_dense"]
+         "q109_mdx_dense_ddltop", "q110_rollup_routed_dense",
+         "q111_mdx_virtual_dense_ddl", "q112_mdx_virtual_dense_generate",
+         "q113_mdx_virtual_dense_ddltop",
+         "q114_mdx_virtual_day_alias_conformed"]
 
 # per-query caveats the static plan can't show (r12, VERDICT r11 #2)
 NOTES = {
@@ -79,6 +82,17 @@ NOTES = {
         "`test_dense_routes_through_covering_rollup`: nothing above "
         "the InMemoryRelation scans the fact).  The live work is the "
         "dim-side member frame left-joined to the routed aggregate."),
+    "q111_mdx_virtual_dense_ddl": (
+        "NOTE: dense grouping-sets on the VIRTUAL cube (r14) — the "
+        "two Expand aggregates full-outer-join null-safely with their "
+        "F.grouping() markers kept, then _densify_gs fills the joined "
+        "frame; the fill join broadcasts (DENSE_BROADCAST_ROWS, "
+        "measured cell count)."),
+    "q114_mdx_virtual_day_alias_conformed": (
+        "NOTE: alias-conformed Day (r14) — each cube aggregates at "
+        "its OWN date column (ship_date / order_date), renamed to the "
+        "first cube's alias pre-join; both day derivations push to "
+        "their fact scans."),
     "d11_neardup_jaccard_spill": (
         "CAVEAT: the static plan shows ~32 scans of the docs parquet, "
         "but the shingle/prefix/hot frames are request-persisted "

@@ -527,6 +527,36 @@ def test_virtual_cube_members_surface(client):
     assert r.status_code == 404
 
 
+def test_virtual_degenerate_members_union(client, duck):
+    """r14: a DEGENERATE dim's member listing on a virtual cube is the
+    UNION of the base cubes' member sets (Mondrian virtual hierarchy) —
+    an order year with no shipments must list on 'Orders and Sales';
+    the base Sales listing keeps ship years only."""
+    union = client.get("/cubes/Orders and Sales/dimensions/Time/"
+                       "levels/Day/members").get_json()["members"]
+    base = client.get("/cubes/Sales/dimensions/Time/"
+                      "levels/Day/members").get_json()["members"]
+    exp_union = {str(d) for (d,) in duck.execute(
+        "SELECT DISTINCT CAST(l_shipdate AS DATE) FROM lineitem "
+        "UNION SELECT DISTINCT CAST(o_orderdate AS DATE) FROM orders"
+    ).fetchall()}
+    exp_base = {str(d) for (d,) in duck.execute(
+        "SELECT DISTINCT CAST(l_shipdate AS DATE) FROM lineitem"
+    ).fetchall()}
+    from datetime import datetime as _dtt
+
+    def _d(k):   # Flask jsonify serializes dates as HTTP-date strings
+        try:
+            return str(_dtt.strptime(
+                k, "%a, %d %b %Y %H:%M:%S %Z").date())
+        except (ValueError, TypeError):
+            return str(k)
+
+    assert {_d(m["key"]) for m in union} == exp_union
+    assert {_d(m["key"]) for m in base} == exp_base
+    assert exp_base < exp_union          # order-only days really list
+
+
 def test_flush_secret(client):
     assert client.get("/flush").status_code == 403
     assert client.get("/flush", query_string={"secret": "s3cr3t"}).status_code == 200

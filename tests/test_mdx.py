@@ -2112,14 +2112,19 @@ def test_coalesceempty_formula(spark, sf_dir):
     assert compile_mdx(emit_mdx(tpch.CATALOG, qm)).with_members == \
         qm.with_members
 
-    # a drilled level whose aliases differ across the virtual cube's
-    # base cubes (Day = ship_date vs order_date) is a clear 400
-    with pytest.raises(ParseError, match="not conformed"):
-        execute_mdx(spark, sf_dir, tpch.CATALOG,
-                    "SELECT {[Measures].[Revenue], "
-                    "[Measures].[Total Price]} ON COLUMNS, "
-                    "NON EMPTY [Time].[Day].Members ON ROWS "
-                    "FROM [Orders and Sales]").collect()
+    # r14 (VERDICT r13 #6): a drilled level whose aliases differ
+    # across the base cubes (Day = ship_date vs order_date) CONFORMS
+    # BY RENAME when the virtual cube declares it — each cube
+    # aggregates at its own column, renamed to the first cube's alias
+    # before the drill-across join (Mondrian's shared-dim-via-own-FK
+    # semantics).  Undeclared mismatches keep the 400 (pinned in
+    # test_virtual_alias_conformed_day).
+    vday = execute_mdx(spark, sf_dir, tpch.CATALOG,
+                       "SELECT {[Measures].[Revenue], "
+                       "[Measures].[Total Price]} ON COLUMNS, "
+                       "NON EMPTY [Time].[Day].Members ON ROWS "
+                       "FROM [Orders and Sales]").limit(1).collect()
+    assert vday and "ship_date" in vday[0].asDict()
 
 
 def test_with_member_chains_inline_members(spark, sf_dir):
@@ -2573,15 +2578,20 @@ def test_virtual_cube_new_navigation(spark, sf_dir):
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
             "NON EMPTY ANCESTOR([Time].[Quarter].[&2], [Time].[Year]) "
             "ON ROWS FROM [Orders and Sales]").collect()
-    # PERIODSTODATE virtualizes (r11) but the Day level's member
-    # aliases differ across the base cubes (ship_date vs order_date)
-    # -> the same non-conformed 400 the drill-across join raises
-    with pytest.raises(ParseError, match="not conformed"):
-        execute_mdx(
-            spark, sf_dir, tpch.CATALOG,
-            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
-            "PERIODSTODATE([Time].[Year], [Time].[Day].[&1996-02-10]) "
-            "ON ROWS FROM [Orders and Sales]").collect()
+    # r14 (VERDICT r13 #6): PERIODSTODATE at Day virtualizes now that
+    # Day is declared alias-conformed — the union member source and
+    # the drill-across join both project the canonical (first cube's)
+    # alias; previously the same non-conformed 400 as the drill
+    ptd = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "PERIODSTODATE([Time].[Year], [Time].[Day].[&1996-02-10]) "
+        "ON ROWS FROM [Orders and Sales]").collect()
+    assert ptd
+    days = [r["ship_date"] for r in ptd]
+    import datetime as _dt
+    assert min(days) >= _dt.date(1996, 1, 1)
+    assert max(days) == _dt.date(1996, 2, 10)
 
 
 def test_property_filter_same_dim_rank_generate(spark, sf_dir):
@@ -3355,15 +3365,15 @@ def test_mdx_drilldownlevel_rejections(spark, sf_dir):
             "SELECT {[Measures].[Revenue]} ON COLUMNS, "
             "NON EMPTY DRILLDOWNLEVEL([Part].[Brand].Members) "
             "ON ROWS FROM [Orders and Sales]").collect()
-    # virtual + gs_axes WITHOUT NON EMPTY must 400 like the base cube
-    # (ADVICE r10 medium: the per-base-cube sub QueryModel is built
-    # nonempty=True, so this used to silently return NON-EMPTY rows)
-    with pytest.raises(ParseError, match="NON EMPTY"):
-        execute_mdx(
-            spark, sf_dir, tpch.CATALOG,
-            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
-            "DRILLDOWNLEVEL([Customer].[Region].Members) "
-            "ON ROWS FROM [Orders and Sales]").collect()
+    # virtual + gs_axes WITHOUT NON EMPTY densifies since r14 (VERDICT
+    # r13 #1) — full coverage in test_mdx_virtual_dense_grouping_sets;
+    # here just pin that it no longer 400s and fills every parent
+    vd = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "DRILLDOWNLEVEL([Customer].[Region].Members) "
+        "ON ROWS FROM [Orders and Sales]").collect()
+    assert len(vd) == 30
     # TWO grouping-sets axes on the SAME dimension stay a 400
     with pytest.raises(ParseError, match="per dimension"):
         compile_mdx(
@@ -3823,6 +3833,81 @@ def test_mdx_virtual_dense_generate(spark, sf_dir):
             assert nn is not None   # shape check; values vs oracle q112
 
 
+def test_dense_fill_join_broadcasts(spark, sf_dir):
+    """r14 (VERDICT r13 #4): the dense fill's left join against the
+    aggregate broadcasts when the MEASURED dense cell count (already
+    collected for the MAX_DENSE_CELLS guard) is small — Spark can't
+    size a post-aggregation frame, so without the hint q109's plan
+    kept one sort-merge join among dim-sized inputs.  Above
+    DENSE_BROADCAST_ROWS the sort-merge fallback is the right call."""
+    dense_ddltop = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, "
+        "[Measures].[Revenue]) ON ROWS FROM [Sales] "
+        "WHERE ([Time].[Day].[&1996-02-10])")
+    plan = dense_ddltop._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # flat dense fill too
+    dense_flat = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "[Customer].[Nation].Members ON ROWS FROM [Sales] "
+        "WHERE ([Time].[Day].[&1996-02-10])")
+    plan2 = dense_flat._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan2
+
+
+def test_virtual_alias_conformed_day(spark, sf_dir, duck):
+    """r14 (VERDICT r13 #6): VirtualCube.alias_conformed_levels — the
+    Day level's member-key alias differs per fact (ship_date vs
+    order_date) but conforms by RENAME: each cube aggregates at its
+    own column and the join lines up on the first cube's alias.
+    Values per day equal each base cube's own day-grain aggregate;
+    an UNDECLARED mismatch keeps the documented 400."""
+    import dataclasses
+    import datetime as _dt
+
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY [Time].[Day].Members ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    got = {r["ship_date"]: (r["revenue"], r["total_price"])
+           for r in rows}
+    exp_s = dict(duck.execute(
+        "SELECT CAST(l_shipdate AS DATE), CAST(SUM(CAST("
+        "l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) "
+        "FROM lineitem GROUP BY 1").fetchall())
+    exp_o = dict(duck.execute(
+        "SELECT CAST(o_orderdate AS DATE), CAST(SUM(CAST(o_totalprice "
+        "AS DECIMAL(25,6))) AS DOUBLE) FROM orders GROUP BY 1"
+    ).fetchall())
+    assert set(got) == set(exp_s) | set(exp_o)
+    for d, (rev, tp) in got.items():
+        assert rev == exp_s.get(d) and tp == exp_o.get(d)
+    # a day cut still constrains each fact at its OWN column
+    one = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, NON EMPTY [Customer].[Region].Members ON ROWS "
+        "FROM [Orders and Sales] "
+        "WHERE ([Time].[Day].[&1996-02-10])").collect()
+    assert one
+    # undeclared mismatches keep the 400 (the guard is opt-in)
+    vc0 = dataclasses.replace(tpch.CATALOG.virtual_cubes[0],
+                              alias_conformed_levels=())
+    cat0 = dataclasses.replace(tpch.CATALOG, virtual_cubes=(vc0,))
+    with pytest.raises(ParseError, match="not conformed"):
+        execute_mdx(spark, sf_dir, cat0,
+                    "SELECT {[Measures].[Revenue], "
+                    "[Measures].[Total Price]} ON COLUMNS, "
+                    "NON EMPTY [Time].[Day].Members ON ROWS "
+                    "FROM [Orders and Sales]").collect()
+    del _dt
+
+
 def test_mdx_virtual_hierarchize_over_ranked(spark, sf_dir):
     """r10: HIERARCHIZE over a ranked set on a VIRTUAL cube — the rank
     selects tuples, display order reverts to hierarchical (the flag
@@ -3927,16 +4012,20 @@ def test_mdx_virtual_generate_topcount(spark, sf_dir):
     assert [(r["cust_region_key"], r["cust_nation_key"]) for r in gen] \
         == [(r["cust_region_key"], r["cust_nation_key"]) for r in base]
     assert all(r["total_price"] is not None for r in gen)
-    # dense GENERATE stays a clear 400 (the dense fill would cross-join
-    # the two levels' member frames and invent (parent, child) pairs)
-    with pytest.raises(ParseError, match="NON EMPTY"):
-        execute_mdx(
-            spark, sf_dir, tpch.CATALOG,
-            "SELECT {[Measures].[Revenue]} ON COLUMNS, "
-            "GENERATE([Customer].[Region].Members, "
-            "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
-            "[Measures].[Revenue])) ON ROWS "
-            "FROM [Orders and Sales]").collect()
+    # dense GENERATE virtualizes since r14 (VERDICT r13 #1): the dense
+    # fill builds ONE true (parent, child) pair frame — full coverage
+    # in test_mdx_virtual_dense_generate; pin the shape here (5
+    # regions x top-2, never an invented pair)
+    dg = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue]} ON COLUMNS, "
+        "GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, "
+        "[Measures].[Revenue])) ON ROWS "
+        "FROM [Orders and Sales]").collect()
+    assert len(dg) == 10
+    assert all(r["cust_nation_key"] % 5 == r["cust_region_key"]
+               for r in dg)
     # GENERATE dim drilled elsewhere on the axis stays a 400
     # (planner-side guard; the MDX grammar already rejects set
     # functions as crossjoin operands, so drive the QueryModel)
