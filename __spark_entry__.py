@@ -1347,6 +1347,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("ship_date",
                      F.col("ship_date").cast("timestamp"))
 
+    # DENSE Day axis on a VIRTUAL cube (r14): the dense member frame
+    # is the UNION of the owner cubes' fact-projected member sets
+    # (Mondrian virtual hierarchy) under the canonical alias — an
+    # order-only day appears with null revenue, a ship-only day with
+    # null total_price, and the WHERE cut constrains facts while the
+    # axis stays full
+    q["q115_mdx_virtual_dense_day_union"] = lambda s, d: __import__(
+        "mondrian_rest_spark.mdx", fromlist=["execute_mdx"]).execute_mdx(
+        s, d, CAT,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, [Time].[Day].Members ON ROWS "
+        "FROM [Orders and Sales] WHERE ([Customer].[Region].[&2])"
+        ).withColumn("ship_date",
+                     F.col("ship_date").cast("timestamp"))
+
     q["q29_grouping_rollup"] = lambda s, d: _grouping_rollup(s, d)
 
     # skew path: salted two-phase groupBy must be value-identical to a
@@ -3574,6 +3589,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COALESCE(s.d, o.d) AS TIMESTAMP) AS ship_date,
                    s.revenue, o.total_price
             FROM s FULL OUTER JOIN o ON s.d = o.d""",
+        "q115_mdx_virtual_dense_day_union": f"""
+            WITH days AS (
+              SELECT DISTINCT CAST(l_shipdate AS DATE) AS d
+              FROM lineitem
+              UNION
+              SELECT DISTINCT CAST(o_orderdate AS DATE) FROM orders),
+            s AS (
+              SELECT CAST(l_shipdate AS DATE) AS d, {REVENUE} AS revenue
+              FROM {J_CUST} WHERE n_regionkey = 2 GROUP BY 1),
+            o AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                     {DEC('o_totalprice')} AS total_price
+              FROM {J_ORD_CUST} WHERE n_regionkey = 2 GROUP BY 1)
+            SELECT CAST(days.d AS TIMESTAMP) AS ship_date,
+                   s.revenue, o.total_price
+            FROM days LEFT JOIN s ON days.d = s.d
+                      LEFT JOIN o ON days.d = o.d""",
         "q31_salted_skew_agg": f"""
             SELECT l_returnflag, {DEC('l_quantity')} AS sum_qty,
                    COUNT(*) AS line_count

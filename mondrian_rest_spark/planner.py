@@ -3058,10 +3058,13 @@ def _cmp_pred(alias: str, op: str, value):
 
 def _dense_axis_frame(spark, sf_dir, cube, rd, ai, pred_cuts, ns_cuts,
                       needed_props, caption_overrides, axis_cuts,
-                      prop_filters, existing_set) -> DataFrame:
+                      prop_filters, existing_set,
+                      vc_cubes=None) -> DataFrame:
     """One axis's restricted member frame for the dense fill — shared
     by the flat dense path (_densify) and the grouping-sets dense path
-    (_densify_gs)."""
+    (_densify_gs).  ``vc_cubes``: (VirtualCube, [base cubes]) on the
+    drill-across dense path — degenerate dims then union every owner's
+    member set (r14, Mondrian virtual hierarchy)."""
     own = [rc for i, rc in (axis_cuts or []) if i == ai]
     if rd.dimension.name.lower() in existing_set:
         # EXISTING <set> (r10, VERDICT r9 #3): the dense member
@@ -3087,9 +3090,15 @@ def _dense_axis_frame(spark, sf_dir, cube, rd, ai, pred_cuts, ns_cuts,
                                     rc.level.name),
                               value=str(k), by_key=True)
                     for k in keys)))]
-    mf = members_frame(spark, sf_dir, cube, rd,
-                       needed_props.get(rd.dimension.name, []),
-                       caption_overrides, restrict=own or None)
+    if vc_cubes is not None:
+        mf = _vc_members_frame(spark, sf_dir, vc_cubes[0], vc_cubes[1],
+                               cube, rd,
+                               needed_props.get(rd.dimension.name, []),
+                               caption_overrides, restrict=own or None)
+    else:
+        mf = members_frame(spark, sf_dir, cube, rd,
+                           needed_props.get(rd.dimension.name, []),
+                           caption_overrides, restrict=own or None)
     for rc in pred_cuts:
         if rc.dimension.name == rd.dimension.name and \
                 rc.level.key_alias in mf.columns:
@@ -3113,10 +3122,56 @@ def _dense_axis_frame(spark, sf_dir, cube, rd, ai, pred_cuts, ns_cuts,
     return mf
 
 
+def _vc_members_frame(spark, sf_dir, vc, cubes, cube0, rd,
+                      props=None, caption_overrides=None,
+                      restrict=None) -> DataFrame:
+    """Dense-axis member source on a VIRTUAL cube (r14): a DEGENERATE
+    dim's members union every owner cube's fact projection under
+    canonical (first-owner) aliases — Mondrian's virtual hierarchy is
+    the UNION of the base cubes' member sets, so a dense Day axis must
+    enumerate order-only days too.  Table-backed dims are physically
+    shared (the first cube's frame IS the union) and degenerate
+    property requests stay single-cube (properties bind to one fact's
+    columns)."""
+    dim = rd.dimension
+    if (not dim.is_degenerate or dim.parent_child is not None
+            or props):
+        return members_frame(spark, sf_dir, cube0, rd, props,
+                             caption_overrides, restrict)
+    owners = _vc_owners(cubes, vc.name, dim.name)
+    if len(owners) <= 1:
+        return members_frame(spark, sf_dir, cube0, rd, props,
+                             caption_overrides, restrict)
+    frames = []
+    for c in owners:
+        dim_c, hier_c, _ = _resolve_level(c, dim.name,
+                                          rd.hierarchy.name,
+                                          rd.level.name)
+        gl_c = [hier_c.level(lv.name) for lv in rd.group_levels]
+        rd_c = ResolvedDrill(dim_c, hier_c,
+                             hier_c.level(rd.level.name), gl_c)
+        restrict_c = None
+        if restrict:
+            # restrict cuts were resolved on the FIRST cube; re-bind
+            # their levels to this owner so the predicate references
+            # this owner's column aliases/exprs
+            restrict_c = [ResolvedCut(dim_c, hier_c,
+                                      hier_c.level(rc.level.name),
+                                      rc.cut)
+                          for rc in restrict]
+        f = members_frame(spark, sf_dir, c, rd_c, None,
+                          caption_overrides, restrict_c)
+        for old, new in _vc_alias_renames(vc, c, owners[0]).items():
+            if old in f.columns and new not in f.columns:
+                f = f.withColumnRenamed(old, new)
+        frames.append(f)
+    return reduce(lambda a, b: a.unionByName(b), frames).distinct()
+
+
 def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
              caption_overrides, agg, group_cols, measure_aliases,
              axis_cuts=None, prop_filters=None,
-             existing_dims=None) -> DataFrame:
+             existing_dims=None, vc_cubes=None) -> DataFrame:
     """Dense axes: cross-join each drill's member frame, left-join the
     aggregate; empty cells stay null (reference webshop_1.csv golden,
     SURVEY §7.5.1).  Combinatorial by design — opt-in.
@@ -3133,7 +3188,7 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
         axis_frames.append(_dense_axis_frame(
             spark, sf_dir, cube, rd, ai, pred_cuts, ns_cuts,
             needed_props, caption_overrides, axis_cuts, prop_filters,
-            existing_set))
+            existing_set, vc_cubes=vc_cubes))
         join_keys += [lv.key_alias for lv in rd.group_levels]
     # combinatorial guard (SURVEY §7.5.1): the dense tuple count is
     # the product of axis cardinalities — refuse plans that would
@@ -3168,7 +3223,7 @@ def _densify_gs(spark, sf_dir, cube, drills, ddl_axes, gs_markers, agg,
                 group_cols, measure_aliases, pred_cuts, ns_cuts,
                 needed_props, caption_overrides, axis_cuts=None,
                 prop_filters=None, existing_dims=None,
-                keep_markers=False) -> DataFrame:
+                keep_markers=False, vc_cubes=None) -> DataFrame:
     """Dense (nonempty=false) mixed-grain axes (r12, VERDICT r11 #1):
     Mondrian's axes are dense by DEFAULT (reference api.rb:137 —
     nonempty is opt-in; the 385-row webshop_1.csv golden is dense), and
@@ -3201,7 +3256,8 @@ def _densify_gs(spark, sf_dir, cube, drills, ddl_axes, gs_markers, agg,
     for di, rd in enumerate(drills):
         mf = _dense_axis_frame(spark, sf_dir, cube, rd, di, pred_cuts,
                                ns_cuts, needed_props, caption_overrides,
-                               axis_cuts, prop_filters, existing_set)
+                               axis_cuts, prop_filters, existing_set,
+                               vc_cubes=vc_cubes)
         if di in gs_idx:
             plv, clv, subset_rc = ddl_axes[gs_idx[di]]
             parent_cols = [a for _, a in plv.out_cols()]
@@ -4764,7 +4820,7 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
             needed_props_d, cap_over,
             prop_filters=prop_filter_preds_d or None,
             existing_dims=getattr(qm, "existing_dims", None),
-            keep_markers=True)
+            keep_markers=True, vc_cubes=(vc, cubes))
     if gs_top_v:
         for spec, topn, mname, asc in gs_top_v:
             idx = next(i for i, (s, _) in enumerate(qm.gs_axes)
@@ -4880,7 +4936,8 @@ def _aggregate_virtual(spark: SparkSession, sf_dir: str, cat: Catalog,
             needed_props_d,
             cap_over, out, group_cols, list(all_aliases),
             prop_filters=prop_filter_preds_d or None,
-            existing_dims=getattr(qm, "existing_dims", None))
+            existing_dims=getattr(qm, "existing_dims", None),
+            vc_cubes=(vc, cubes))
 
     def _valias(name: str) -> str:
         if name in inline_alias:

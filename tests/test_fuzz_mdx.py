@@ -847,6 +847,23 @@ _MUTATION_SEEDS = [
     'SELECT {[Measures].[Revenue]} ON COLUMNS, '
     'NON EMPTY DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, '
     '[Measures].[Revenue]) ON ROWS FROM [Sales]',
+    # r14: dense (no NON EMPTY) grouping-sets / GENERATE / DDLTOP on
+    # VIRTUAL cubes and alias-conformed Day — mutations of the new
+    # forms must 400, never 500
+    'SELECT {[Measures].[Revenue], [Measures].[Total Price]} '
+    'ON COLUMNS, DRILLDOWNLEVEL([Customer].[Region].Members) '
+    'ON ROWS FROM [Orders and Sales] WHERE ([Time].[Year].[&1996])',
+    'SELECT {[Measures].[Revenue]} ON COLUMNS, '
+    'GENERATE([Customer].[Region].Members, '
+    'TOPCOUNT([Customer].[Region].CurrentMember.Children, 2, '
+    '[Measures].[Revenue])) ON ROWS FROM [Orders and Sales] '
+    'WHERE ([Time].[Day].[&1996-02-10])',
+    'SELECT {[Measures].[Total Price]} ON COLUMNS, '
+    'DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, '
+    '[Measures].[Total Price]) ON ROWS FROM [Orders and Sales]',
+    'SELECT {[Measures].[Revenue], [Measures].[Total Price]} '
+    'ON COLUMNS, NON EMPTY [Time].[Day].Members ON ROWS '
+    'FROM [Orders and Sales] WHERE ([Customer].[Region].[&2])',
 ]
 
 

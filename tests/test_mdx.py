@@ -3908,6 +3908,28 @@ def test_virtual_alias_conformed_day(spark, sf_dir, duck):
     del _dt
 
 
+def test_virtual_dense_degenerate_union_axis(spark, sf_dir, duck):
+    """r14: a DENSE degenerate axis on a virtual cube enumerates the
+    UNION of the owner cubes' member sets (Mondrian virtual
+    hierarchy) — order-only days appear with null revenue, ship-only
+    days with null total_price."""
+    rows = execute_mdx(
+        spark, sf_dir, tpch.CATALOG,
+        "SELECT {[Measures].[Revenue], [Measures].[Total Price]} "
+        "ON COLUMNS, [Time].[Day].Members ON ROWS "
+        "FROM [Orders and Sales] "
+        "WHERE ([Customer].[Region].[&2])").collect()
+    exp = {str(d) for (d,) in duck.execute(
+        "SELECT DISTINCT CAST(l_shipdate AS DATE) FROM lineitem "
+        "UNION SELECT DISTINCT CAST(o_orderdate AS DATE) FROM orders"
+    ).fetchall()}
+    ship_only = {str(d) for (d,) in duck.execute(
+        "SELECT DISTINCT CAST(l_shipdate AS DATE) FROM lineitem"
+    ).fetchall()}
+    assert {str(r["ship_date"]) for r in rows} == exp
+    assert ship_only < exp        # union genuinely adds order-only days
+
+
 def test_mdx_virtual_hierarchize_over_ranked(spark, sf_dir):
     """r10: HIERARCHIZE over a ranked set on a VIRTUAL cube — the rank
     selects tuples, display order reverts to hierarchical (the flag
