@@ -1379,8 +1379,43 @@ def vmdx_specs(draw):
           draw(st.booleans())),
          ("subset", draw(st.integers(0, 3)),
           draw(st.integers(2, 5)))]))
+    # r14: DENSE (no NON EMPTY) drill-across — the fill enumerates the
+    # axis member frames (UNION member sources for degenerate dims)
+    # and left-joins the nonempty body; wrappers stay NON EMPTY (their
+    # oracle semantics differ on dense axes)
+    dense = wrapper is None and draw(st.booleans())
     return dict(atoms=atoms, measures=measures, calc=calc,
-                slicer=slicer, wrapper=wrapper)
+                slicer=slicer, wrapper=wrapper, dense=dense)
+
+
+#: dense member-frame oracle per atom (canonical aliases); each entry =
+#: (SQL, [conds]); the slicer appends its cond only when it restricts
+#: the frame — i.e. when its level's columns ARE on the frame (a cut at
+#: the axis's own level restricts the axis; a coarser/other-dim cut
+#: constrains facts and leaves the dense axis full)
+_V_YEAR_UNION = ("SELECT year FROM (SELECT DISTINCT year(l_shipdate) "
+                 "AS year FROM lineitem UNION SELECT DISTINCT "
+                 "year(o_orderdate) AS year FROM orders) ty")
+V_MEM = {
+    "region": ("SELECT r_regionkey AS cust_region_key, "
+               "r_name AS cust_region FROM region", []),
+    "nation_set": ("SELECT n_nationkey AS cust_nation_key, "
+                   "n_name AS cust_nation FROM nation "
+                   "WHERE n_nationkey IN (3, 7, 21)", []),
+    "desc_nation": ("SELECT n_nationkey AS cust_nation_key, "
+                    "n_name AS cust_nation FROM nation "
+                    "WHERE n_regionkey = 2", []),
+    "year": (_V_YEAR_UNION, []),
+    "lastp_year": (_V_YEAR_UNION, ["year BETWEEN 1996 AND 1998"]),
+    "lag_year": (_V_YEAR_UNION, ["year = 1996"]),
+}
+#: slicer restriction ON THE FRAME, keyed (slicer, atom)
+V_MEM_SLICER = {
+    ("region2", "region"): "cust_region_key = 2",
+    ("years", "year"): "year BETWEEN 1996 AND 1998",
+    ("years", "lastp_year"): "year BETWEEN 1996 AND 1998",
+    ("years", "lag_year"): "year = 1996",
+}
 
 
 def build_vmdx(spec) -> str:
@@ -1404,8 +1439,9 @@ def build_vmdx(spec) -> str:
     elif spec["wrapper"] and spec["wrapper"][0] == "subset":
         _, off, n = spec["wrapper"]
         axis = f"SUBSET({axis}, {off}, {n})"
+    ne = "" if spec.get("dense") else "NON EMPTY "
     mdx = (f"{with_clause}SELECT {{{', '.join(cols)}}} ON COLUMNS, "
-           f"NON EMPTY {axis} ON ROWS FROM [Orders and Sales]")
+           f"{ne}{axis} ON ROWS FROM [Orders and Sales]")
     if spec["slicer"]:
         mdx += f" WHERE ({V_SLICERS[spec['slicer']][0]})"
     return mdx
@@ -1453,6 +1489,30 @@ def build_voracle(spec) -> str:
                 + f" FROM s FULL OUTER JOIN o ON {join}")
     else:
         body = side_sql(sides.pop())
+    if spec.get("dense"):
+        # dense fill: cross-join the axis member frames (UNION member
+        # sources for the degenerate Time atoms), LEFT JOIN the
+        # nonempty drill-across body; the inline calc computes (to
+        # null) on filled tuples too
+        mems = []
+        for i, akey in enumerate(spec["atoms"]):
+            msql, conds = V_MEM[akey]
+            conds = list(conds)
+            sl = V_MEM_SLICER.get((spec["slicer"], akey))
+            if sl:
+                conds.append(sl)
+            where = (" WHERE " + " AND ".join(conds)) if conds else ""
+            mems.append(f"(SELECT * FROM ({msql}) m{i}{where}) mem{i}")
+        mem_inner = " CROSS JOIN ".join(mems)
+        final_d = [f"mem.{k} AS {k}" for k in outs] + \
+                  [f"b.{aliases[m]} AS {aliases[m]}"
+                   for m in spec["measures"]]
+        if spec["calc"]:
+            final_d.append("b.revenue / b.total_price AS cross_ratio")
+        on = " AND ".join(f"mem.{k} = b.{k}" for k in outs)
+        return (f"SELECT {', '.join(final_d)} FROM "
+                f"(SELECT * FROM {mem_inner}) mem "
+                f"LEFT JOIN ({body}) b ON {on}")
     final = [*outs] + [aliases[m] for m in spec["measures"]]
     if spec["calc"]:
         final.append("revenue / total_price AS cross_ratio")
