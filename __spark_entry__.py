@@ -1293,6 +1293,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
     q["q110_rollup_routed_dense"] = _q110
 
+    # GROUPING-SETS routing (r14): a dense DRILLDOWNLEVEL query with a
+    # covering rollup re-aggregates the 2^k-set Expand from ROLLUP
+    # rows (sum-of-sums is exact at every grouping set) and densifies
+    # over it — the fact is never scanned (source asserted; plan
+    # asserted in test_grouping_sets_axes_route_through_rollup).
+    def _q116(s, d):
+        from mondrian_rest_spark.plans.rollup import RollupManager
+        key = (id(s), d, "gs")
+        mgr = _ROLLUP_MGRS.get(key)
+        if mgr is None:
+            mgr = RollupManager(s, d, CAT, "Sales")
+            mgr.register("region_nation_year",
+                         ("Customer.Region", "Customer.Nation",
+                          "Time.Year"))
+            _ROLLUP_MGRS[key] = mgr
+        qm = QueryModel(cube="Sales", measures=["Revenue"],
+                        gs_axes=[("Customer.Region", None)],
+                        cut=["[Time].[Year].[&1996]"], nonempty=False)
+        out, source = mgr.route(qm)
+        assert source == "region_nation_year", source
+        return out
+    q["q116_rollup_routed_gs_dense"] = _q116
+
+    # Dense GENERATE routing (r14): the nonempty (parent, child)
+    # aggregate comes from the rollup, the dense fill enumerates the
+    # TRUE pair frame over it, and the per-parent rank orders the
+    # densified children nulls-last with the child-key tie-break —
+    # base-identical rows without a fact scan.
+    def _q117(s, d):
+        from mondrian_rest_spark.plans.rollup import RollupManager
+        key = (id(s), d, "gs")
+        mgr = _ROLLUP_MGRS.get(key)
+        if mgr is None:
+            mgr = RollupManager(s, d, CAT, "Sales")
+            mgr.register("region_nation_year",
+                         ("Customer.Region", "Customer.Nation",
+                          "Time.Year"))
+            _ROLLUP_MGRS[key] = mgr
+        qm = QueryModel(cube="Sales", measures=["Revenue"],
+                        cut=["[Time].[Year].[&1996]"], nonempty=False,
+                        generate_top=("Customer.Region", 2, "Revenue",
+                                      False))
+        out, source = mgr.route(qm)
+        assert source == "region_nation_year", source
+        return out
+    q["q117_rollup_routed_dense_generate"] = _q117
+
     # Dense DRILLDOWNLEVEL on a VIRTUAL cube (r14, VERDICT r13 #1):
     # the per-cube subs keep their F.grouping() markers through the
     # null-safe drill-across join and _densify_gs fills the JOINED
@@ -3589,6 +3636,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COALESCE(s.d, o.d) AS TIMESTAMP) AS ship_date,
                    s.revenue, o.total_price
             FROM s FULL OUTER JOIN o ON s.d = o.d""",
+        "q116_rollup_routed_gs_dense": f"""
+            WITH agg AS (
+              SELECT r_regionkey AS rk, n_nationkey AS nk,
+                     GROUPING(n_nationkey) AS g,
+                     {REVENUE} AS revenue
+              FROM {J_CUST}
+              WHERE year(l_shipdate) = 1996
+              GROUP BY GROUPING SETS (
+                (r_regionkey),
+                (r_regionkey, n_nationkey))),
+            parents AS (SELECT r_regionkey, r_name FROM region),
+            pairs AS (
+              SELECT r_regionkey, r_name, n_nationkey, n_name
+              FROM nation JOIN region ON n_regionkey = r_regionkey)
+            SELECT p.r_regionkey AS cust_region_key,
+                   p.r_name AS cust_region,
+                   CAST(NULL AS INTEGER) AS cust_nation_key,
+                   CAST(NULL AS VARCHAR) AS cust_nation,
+                   a.revenue
+            FROM parents p
+            LEFT JOIN agg a ON a.g = 1 AND p.r_regionkey = a.rk
+            UNION ALL
+            SELECT p.r_regionkey, p.r_name, p.n_nationkey, p.n_name,
+                   a.revenue
+            FROM pairs p
+            LEFT JOIN agg a ON a.g = 0 AND p.r_regionkey = a.rk
+                           AND p.n_nationkey = a.nk""",
+        "q117_rollup_routed_dense_generate": f"""
+            WITH agg AS (
+              SELECT r_regionkey AS rk, n_nationkey AS nk,
+                     {REVENUE} AS revenue
+              FROM {J_CUST} WHERE year(l_shipdate) = 1996
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT r_regionkey, r_name, n_nationkey, n_name
+              FROM nation JOIN region ON n_regionkey = r_regionkey),
+            dense AS (
+              SELECT p.r_regionkey, p.r_name, p.n_nationkey, p.n_name,
+                     a.revenue
+              FROM pairs p LEFT JOIN agg a ON p.r_regionkey = a.rk
+                                          AND p.n_nationkey = a.nk)
+            SELECT r_regionkey AS cust_region_key,
+                   r_name AS cust_region,
+                   n_nationkey AS cust_nation_key,
+                   n_name AS cust_nation, revenue
+            FROM dense
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY r_regionkey
+              ORDER BY revenue DESC NULLS LAST, n_nationkey ASC) <= 2""",
         "q115_mdx_virtual_dense_day_union": f"""
             WITH days AS (
               SELECT DISTINCT CAST(l_shipdate AS DATE) AS d

@@ -227,14 +227,20 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
             or getattr(qm, "property_filters", [])
             or getattr(qm, "nav_filters", [])
             or getattr(qm, "generate_inner", None) is not None
-            or getattr(qm, "gs_axes", None)):
+            or getattr(qm, "visual_totals", None)):
         return None
-    if not qm.nonempty and getattr(qm, "generate_top", None) is not None:
-        # dense GENERATE routes to base (mirrors RollupManager._choose
-        # r13); dense queries otherwise COUNT — dense is Mondrian's
-        # default (api.rb:137), and since r13 the router serves them
-        # (the dense fill left-joins the routable nonempty aggregate)
+    if getattr(qm, "gs_axes", None) and (
+            getattr(qm, "gs_top", []) or
+            getattr(qm, "generate_top", None) is not None or qm.parents):
+        # grouping-sets axes ROUTE since r14 (mirrors
+        # RollupManager._choose) — but DDLTOP / parents / GENERATE
+        # combinations stay on base, so counting them advises dead
+        # storage
         return None
+    # dense queries COUNT — dense is Mondrian's default (api.rb:137);
+    # the router serves them (r13), dense GENERATE included (r14: the
+    # dense fill runs before the rank, so the routed rank sees the
+    # densified pair frame exactly like the base path)
     # routability must consider the HIDDEN measures HAVING/ORDER pull
     # in too (mirrors RollupManager._measure_names): a log entry whose
     # filter references a calc member routes to base no matter the
@@ -319,6 +325,29 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
                 if (dim.name, lv.name) not in levels:
                     levels.add((dim.name, lv.name))
                     specs.append(f"{dim.name}.{lv.name}")
+        gs_dims: set = set()
+        for ddl_spec, ddl_subset in getattr(qm, "gs_axes", []) or []:
+            # grouping-sets axis routes since r14: the (parent, child)
+            # level pair joins the need (mirrors RollupManager._choose)
+            from ..planner import _resolve_level
+            segs = ddl_spec.split(".")
+            dim, hier, level = _resolve_level(
+                cube, segs[0], segs[1] if len(segs) == 3 else None,
+                segs[-1])
+            idx = hier.level_index(level.name)
+            if idx + 1 >= len(hier.levels) or dim.name in gs_dims:
+                return None
+            gs_dims.add(dim.name)
+            for lv in (level, hier.levels[idx + 1]):
+                if (dim.name, lv.name) not in levels:
+                    levels.add((dim.name, lv.name))
+                    specs.append(f"{dim.name}.{lv.name}")
+        if gs_dims:
+            for d in qm.drilldown:
+                parsed = parse_drilldown(d)
+                if not isinstance(parsed, str) \
+                        and parsed.dimension in gs_dims:
+                    return None   # same-dim drill: base 400
         cut_levels: set = set()
         for ch in qm.children_of:
             # <member>.Children routes since r13 — drill the child

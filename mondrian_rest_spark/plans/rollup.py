@@ -27,7 +27,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import Catalog, Cube, Measure
-from ..parser import ParseError, parse_cut, parse_drilldown, parse_measure_filter
+from ..parser import (DrilldownSpec, ParseError, parse_cut,
+                      parse_drilldown, parse_measure_filter)
 from ..planner import (_aggregate_cube, _apply_filter_exprs, _measure_alias,
                        _order_column, _ref_alias, _resolve_cut,
                        _resolve_drill, _resolve_level, _split_measures,
@@ -546,18 +547,25 @@ class RollupManager:
             return None  # a manager routes exactly one cube
         if (qm.properties or qm.caption
                 or qm.property_filters or getattr(qm, "nav_filters", [])
-                or getattr(qm, "gs_axes", None)):
+                or getattr(qm, "visual_totals", None)):
             # nav_filters become cuts only inside _aggregate_cube, so
-            # the grain check below cannot see them; DRILLDOWNLEVEL's
-            # grouping-sets frame is not the flat grain this router
-            # materializes — all route to base
+            # the grain check below cannot see them; VISUALTOTALS adds
+            # children cuts the check can't see either — route to base
             return None
-        if not qm.nonempty and qm.generate_top is not None:
-            # dense GENERATE ranks over the densified frame on the
-            # base path (nulls-last) — a semantics this router's
-            # nonempty-aggregate + dense-fill composition would not
-            # reproduce; route to base
+        if getattr(qm, "gs_axes", None) and (
+                getattr(qm, "gs_top", []) or qm.generate_top is not None
+                or qm.parents):
+            # grouping-sets axes ROUTE since r14 (the Expand
+            # re-aggregates from rollup rows — sum-of-sums is exact at
+            # every grouping set), but DDLTOP's rank basis (slicer-
+            # context sub-aggregates beside TOPCOUNT axes) and the
+            # parents/GENERATE combinations the base path 400s stay on
+            # base so errors and rank semantics are identical
             return None
+        # dense GENERATE routes since r14: _reaggregate densifies the
+        # (parent, child) pair frame over the routed nonempty
+        # aggregate FIRST, then ranks nulls-last with the child-key
+        # tie-break — the exact base-path composition.
         if qm.parents and qm.generate_top is not None:
             # GENERATE's (parent, child) pair resolution does not model
             # the parents=true ancestor chain — route to base
@@ -668,6 +676,36 @@ class RollupManager:
                 for lv in self._generate_levels(qm):
                     for _, a in lv.out_cols():
                         need.add(a)
+            gs_dims = set()
+            for ddl_spec, ddl_subset in getattr(qm, "gs_axes", []) or []:
+                # grouping-sets axis (r14): the need is the (parent,
+                # child) pair's columns; base-path 400s (leaf level,
+                # same-dim drill, off-level subset) return None so the
+                # base path raises them identically
+                segs = ddl_spec.split(".")
+                hier_name = segs[1] if len(segs) == 3 else None
+                dim, hier, level = _resolve_level(
+                    self.cube, segs[0], hier_name, segs[-1])
+                idx = hier.level_index(level.name)
+                if idx + 1 >= len(hier.levels) or dim.name in gs_dims:
+                    return None
+                gs_dims.add(dim.name)
+                for lv in (level, hier.levels[idx + 1]):
+                    for _, a in lv.out_cols():
+                        need.add(a)
+                if ddl_subset is not None:
+                    rc = _resolve_cut(self.cube,
+                                      parse_cut(ddl_subset, ns_names))
+                    if (rc.dimension.name != dim.name
+                            or rc.level.name != level.name):
+                        return None
+                    need.add(rc.level.key_alias)
+            if gs_dims:
+                for d in qm.drilldown:
+                    parsed = parse_drilldown(d, ns_names)
+                    if isinstance(parsed, DrilldownSpec) \
+                            and parsed.dimension in gs_dims:
+                        return None   # same-dim drill: base 400
         except Exception:
             return None
         # among all covering rollups, route to the SMALLEST one (fewest
@@ -776,6 +814,30 @@ class RollupManager:
             # doubles as a fact-side predicate — both like the base
             pred_cuts.append(rc)
             axis_cuts.append((len(drills) - 1, rc))
+        gs_axes_r: list[tuple] = []   # (parent_lv, child_lv, subset_rc)
+        kept_markers: list[str] = []
+        for ddl_spec, ddl_subset in getattr(qm, "gs_axes", []) or []:
+            # grouping-sets axis over the ROLLUP rows (r14): same
+            # Expand construction as the base path — 2^k sets in ONE
+            # pass, F.grouping() markers, parent subtotal rows with
+            # NULL child columns; sum-of-sums (and every _REAGG
+            # aggregator / merged sketch) is exact at every set, so
+            # the routed frame is value-identical
+            segs = ddl_spec.split(".")
+            hier_name = segs[1] if len(segs) == 3 else None
+            dim, hier, level = _resolve_level(
+                self.cube, segs[0], hier_name, segs[-1])
+            child = hier.levels[hier.level_index(level.name) + 1]
+            drills.append(ResolvedDrill(dim, hier, child,
+                                        [level, child]))
+            for lv in (level, child):
+                key_aliases.append(lv.key_alias)
+                for _, a in lv.out_cols():
+                    group_cols.append(a)
+            subset_rc = (None if ddl_subset is None else
+                         _resolve_cut(self.cube,
+                                      parse_cut(ddl_subset, ns_names)))
+            gs_axes_r.append((level, child, subset_rc))
         gen_levels = (self._generate_levels(qm)
                       if qm.generate_top is not None else None)
         gen_other_keys: list[str] = []
@@ -787,6 +849,18 @@ class RollupManager:
                 key_aliases.append(lv.key_alias)
                 for _, a in lv.out_cols():
                     group_cols.append(a)
+            if not qm.nonempty:
+                # dense GENERATE (r14): the dense fill below needs the
+                # pair drill so the member frame carries TRUE (parent,
+                # child) pairs; the rank then runs over the densified
+                # frame (nulls-last), mirroring the base path's order
+                segs_g = qm.generate_top[0].split(".")
+                hier_g = segs_g[1] if len(segs_g) == 3 else None
+                g_dim, g_hier, _ = _resolve_level(
+                    self.cube, segs_g[0], hier_g, segs_g[-1])
+                drills.append(ResolvedDrill(g_dim, g_hier,
+                                            gen_levels[1],
+                                            list(gen_levels)))
         aggs = []
         for m in base_measures:
             if m.agg == "approx_count_distinct":
@@ -804,7 +878,74 @@ class RollupManager:
                 # re-sum through decimal to stay order-independent
                 col = F.sum(F.col(m.alias).cast("decimal(25,6)")).cast(m.result_cast)
             aggs.append(col.alias(m.alias))
-        out = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+        if gs_axes_r:
+            from itertools import product as _iproduct
+            child_alias_sets = [{a for _, a in c.out_cols()}
+                                for _, c, _ in gs_axes_r]
+            sets = []
+            for mask in _iproduct((0, 1), repeat=len(gs_axes_r)):
+                excl: set = set()
+                for bit, ca in zip(mask, child_alias_sets):
+                    if not bit:
+                        excl |= ca
+                sets.append([c for c in group_cols if c not in excl])
+            gs_markers = [f"__gs_subtotal_{i}__"
+                          for i in range(len(gs_axes_r))]
+            marker_cols = [F.grouping(c.key_alias).alias(m)
+                           for (_, c, _), m in zip(gs_axes_r,
+                                                   gs_markers)]
+            out = (df.groupingSets(sets, *group_cols)
+                     .agg(*aggs, *marker_cols))
+            for (_, _, subset_rc), m in zip(gs_axes_r, gs_markers):
+                if subset_rc is not None:
+                    # DRILLDOWNMEMBER: child rows only under listed
+                    # parents; subtotal rows always stay
+                    out = out.filter((F.col(m) == 1)
+                                     | _cut_predicate(subset_rc))
+            if getattr(qm, "gs_keep_markers", False):
+                # virtual drill-across sub (r14): the markers ride the
+                # routed output so the post-join stages (DDLTOP rank,
+                # dense fill) can tell subtotal rows apart — exactly
+                # the base path's kept_markers contract
+                kept_markers = list(gs_markers)
+            elif not qm.nonempty:
+                # dense mixed-grain fill over the rollup-built Expand
+                # — the same _densify_gs the base path runs
+                from ..planner import _densify_gs
+                out = _densify_gs(
+                    self.spark, self.sf_dir, self.cube, drills,
+                    gs_axes_r, gs_markers, out, group_cols,
+                    [m.alias for m in base_measures],
+                    pred_cuts, ns_rcs, {}, {},
+                    axis_cuts=axis_cuts or None,
+                    existing_dims=getattr(qm, "existing_dims", None))
+            else:
+                out = out.drop(*gs_markers)
+        elif group_cols:
+            out = df.groupBy(*group_cols).agg(*aggs)
+        else:
+            out = df.agg(*aggs)
+        if not qm.nonempty and drills and not gs_axes_r:
+            # dense axes (r13, VERDICT r12 #1): Mondrian's DEFAULT
+            # (reference api.rb:137 — nonempty is opt-in), so at
+            # 100 TB the default-params query must route too.  The
+            # dense fill is dim-side member frames left-joined to the
+            # NONEMPTY aggregate just computed from the rollup —
+            # _densify is the same code the base path runs, so the
+            # filled frame is row-identical; only the aggregate side
+            # came from the rollup instead of a fact scan.
+            # properties/captions/prop-filters/idiom axes are refused
+            # by _choose, so their _densify inputs are empty here.
+            # Runs BEFORE the GENERATE rank (r14) so a dense GENERATE
+            # ranks the DENSIFIED pair frame nulls-last — the base
+            # path's exact composition.
+            from ..planner import _densify
+            out = _densify(
+                self.spark, self.sf_dir, self.cube, drills, pred_cuts,
+                ns_rcs, {}, {}, out, group_cols,
+                [m.alias for m in base_measures],
+                axis_cuts=axis_cuts or None,
+                existing_dims=getattr(qm, "existing_dims", None))
         if gen_levels is not None:
             # GENERATE per-parent top-N over the ROLLUP rows: the SAME
             # window semantics as the base path — sole axis ranks the
@@ -832,24 +973,6 @@ class RollupManager:
             out = (out.withColumn("__gen_rn", rank_fn.over(w))
                       .filter(F.col("__gen_rn") <= g_n))
             out = out.drop("__gen_rn", "__gen_m")
-        if not qm.nonempty and drills:
-            # dense axes (r13, VERDICT r12 #1): Mondrian's DEFAULT
-            # (reference api.rb:137 — nonempty is opt-in), so at
-            # 100 TB the default-params query must route too.  The
-            # dense fill is dim-side member frames left-joined to the
-            # NONEMPTY aggregate just computed from the rollup —
-            # _densify is the same code the base path runs, so the
-            # filled frame is row-identical; only the aggregate side
-            # came from the rollup instead of a fact scan.
-            # properties/captions/prop-filters/idiom axes are refused
-            # by _choose, so their _densify inputs are empty here.
-            from ..planner import _densify
-            out = _densify(
-                self.spark, self.sf_dir, self.cube, drills, pred_cuts,
-                ns_rcs, {}, {}, out, group_cols,
-                [m.alias for m in base_measures],
-                axis_cuts=axis_cuts or None,
-                existing_dims=getattr(qm, "existing_dims", None))
         for fs in qm.filter:
             mf = parse_measure_filter(fs)
             alias = _measure_alias(self.cube, mf.measure)
@@ -871,4 +994,4 @@ class RollupManager:
         # routed queries are shaped bit-identically by construction
         from ..planner import _shape_axis
         out = _shape_axis(self.cube, out, qm, group_cols, key_aliases)
-        return out.select(*group_cols, *display)
+        return out.select(*group_cols, *display, *kept_markers)

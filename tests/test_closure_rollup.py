@@ -373,30 +373,39 @@ def test_rollup_advisor_synthetic_log():
                    drilldown=["Customer.Nation"]),
         QueryModel(cube="Sales", measures=["Avg Price"],        # calc
                    drilldown=["Customer.Nation"]),
-        QueryModel(cube="Sales", measures=["Revenue"],          # dense GEN
-                   drilldown=[], nonempty=False,
-                   generate_top=("Customer.Region", 2, "Revenue", False)),
+        QueryModel(cube="Sales", measures=["Revenue"],          # DDLTOP
+                   gs_axes=[("Customer.Region", None)],
+                   gs_top=[("Customer.Region", 2, "Revenue", False)],
+                   nonempty=True),
         QueryModel(cube="Orders", measures=["Order Count"],     # other cube
                    drilldown=["Customer.Nation"]),
     ]
-    log = [hot] * 10 + [warm] * 4 + [cold] * 1 + [dense] * 5 + unroutable * 5
-    recs = recommend_rollups(tpch.SALES, log, max_rollups=2)
+    # dense GENERATE is ROUTABLE demand since r14 (the dense fill runs
+    # before the routed rank) — its need is the (Region, Nation) pair
+    dense_gen = QueryModel(cube="Sales", measures=["Revenue"],
+                           drilldown=[], nonempty=False,
+                           generate_top=("Customer.Region", 2,
+                                         "Revenue", False))
+    log = [hot] * 10 + [warm] * 4 + [cold] * 1 + [dense] * 5 \
+        + unroutable * 5 + [dense_gen] * 2
+    recs = recommend_rollups(tpch.SALES, log, max_rollups=3)
     assert recs, "advisor returned nothing"
     # hot+warm+dense share the (Nation, Year) need-union; it comes first
     top = recs[0]
     assert set(top.grain) == {"Customer.Nation", "Time.Year"}
     assert top.covered_weight == 19
-    assert recs[1].grain == ("Part.Brand",)
-    assert recs[1].covered_weight == 1
+    grains = [set(r.grain) for r in recs[1:]]
+    assert {"Customer.Region", "Customer.Nation"} in grains
+    assert {"Part.Brand"} in grains
 
     # cardinality-aware scoring: a grain estimated at fact size is
     # skipped entirely
     card = {("Customer", "Nation"): 25, ("Time", "Year"): 7,
-            ("Part", "Brand"): 25}
+            ("Customer", "Region"): 5, ("Part", "Brand"): 25}
     recs2 = recommend_rollups(tpch.SALES, log, max_rollups=2,
                               level_cardinality=card, base_rows=100_000)
-    assert set(recs2[0].grain) == {"Customer.Nation", "Time.Year"}
-    assert recs2[0].est_rows == 175
+    assert {"Customer.Nation", "Time.Year"} <= set(recs2[0].grain)
+    assert recs2[0].est_rows <= 875          # measured, far from fact
     recs3 = recommend_rollups(tpch.SALES, log, level_cardinality=card,
                               base_rows=20)   # everything ~ fact size
     assert recs3 == []
@@ -824,7 +833,8 @@ def test_dense_routes_through_covering_rollup(spark, sf_dir):
     direct3 = aggregate(spark, sf_dir, tpch.CATALOG, qm3)
     assert [tuple(r) for r in routed3.collect()] == \
         [tuple(r) for r in direct3.collect()]
-    # dense GENERATE keeps the base path (rank-over-dense semantics)
+    # dense GENERATE routes since r14 — but only when the grain covers
+    # the (parent, child) PAIR; nation_year lacks Region, so base
     qm4 = QueryModel(cube="Sales", measures=["Revenue"], drilldown=[],
                      nonempty=False,
                      generate_top=("Customer.Region", 2, "Revenue",
@@ -836,6 +846,99 @@ def test_dense_routes_through_covering_rollup(spark, sf_dir):
     plan = routed._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" in plan
     assert "lineitem" not in plan.split("InMemoryRelation")[0]
+
+
+def test_grouping_sets_axes_route_through_rollup(spark, sf_dir):
+    """r14: DRILLDOWNLEVEL / DRILLDOWNMEMBER axes ROUTE — the 2^k-set
+    Expand re-aggregates from rollup rows (sum-of-sums is exact at
+    every grouping set), nonempty AND dense, subset filters included;
+    routed output row-identical to the base path and the fact is never
+    scanned above the cached rollup.  DDLTOP / parents / GENERATE
+    combinations stay on base (rank-basis and 400 parity)."""
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("rny", ("Customer.Region", "Customer.Nation",
+                         "Time.Year"))
+
+    # NON EMPTY DRILLDOWNLEVEL
+    qm = QueryModel(cube="Sales", measures=["Revenue"],
+                    gs_axes=[("Customer.Region", None)], nonempty=True)
+    routed, src = mgr.route(qm)
+    assert src == "rny"
+    direct = aggregate(spark, sf_dir, tpch.CATALOG, qm)
+    assert routed.columns == direct.columns
+    assert sorted((tuple(r) for r in routed.collect()),
+                  key=repr) == \
+        sorted((tuple(r) for r in direct.collect()), key=repr)
+
+    # DENSE DRILLDOWNMEMBER subset + WHERE cut: densified fill over
+    # the rollup-built Expand, member frames restricted identically
+    qm2 = QueryModel(
+        cube="Sales", measures=["Revenue"],
+        gs_axes=[("Customer.Region",
+                  "{[Customer].[Region].[&1],[Customer].[Region].[&3]}")],
+        cut=["[Time].[Year].[&1996]"], nonempty=False)
+    routed2, src2 = mgr.route(qm2)
+    assert src2 == "rny"
+    direct2 = aggregate(spark, sf_dir, tpch.CATALOG, qm2)
+    assert routed2.columns == direct2.columns
+    assert sorted((tuple(r) for r in routed2.collect()), key=repr) == \
+        sorted((tuple(r) for r in direct2.collect()), key=repr)
+    assert routed2.count() == 15      # 5 subtotals + 2x5 children
+    # nothing above the cached rollup scans the fact
+    plan = routed2._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    assert "lineitem" not in plan.split("InMemoryRelation")[0]
+
+    # gs + another dimension drilled routes too (one Expand, the
+    # other dim a plain key)
+    qm3 = QueryModel(cube="Sales", measures=["Revenue"],
+                     drilldown=["Time.Year"],
+                     gs_axes=[("Customer.Region", None)],
+                     nonempty=True, order="Revenue", order_desc=True,
+                     limit=10)
+    routed3, src3 = mgr.route(qm3)
+    assert src3 == "rny"
+    direct3 = aggregate(spark, sf_dir, tpch.CATALOG, qm3)
+    assert [tuple(r) for r in routed3.collect()] == \
+        [tuple(r) for r in direct3.collect()]
+
+    # DDLTOP stays base (slicer-context rank basis)
+    qm4 = QueryModel(cube="Sales", measures=["Revenue"],
+                     gs_axes=[("Customer.Region", None)],
+                     gs_top=[("Customer.Region", 2, "Revenue", False)],
+                     nonempty=True)
+    _, src4 = mgr.route(qm4)
+    assert src4 == "base"
+
+    # dense GENERATE routes when the grain covers the pair (r14): the
+    # dense fill runs before the rank, so the routed rank sees the
+    # DENSIFIED pair frame nulls-last — base-identical rows
+    qm5 = QueryModel(cube="Sales", measures=["Revenue"], drilldown=[],
+                     cut=["[Time].[Year].[&1996]"], nonempty=False,
+                     generate_top=("Customer.Region", 2, "Revenue",
+                                   False))
+    routed5, src5 = mgr.route(qm5)
+    assert src5 == "rny"
+    direct5 = aggregate(spark, sf_dir, tpch.CATALOG, qm5)
+    assert routed5.columns == direct5.columns
+    assert [tuple(r) for r in routed5.collect()] == \
+        [tuple(r) for r in direct5.collect()]
+
+    # VIRTUAL gs queries route their Sales sub — the kept F.grouping()
+    # markers ride the routed output through the null-safe drill-across
+    # join, nonempty AND dense
+    for ne in (True, False):
+        vq = QueryModel(cube="Orders and Sales",
+                        measures=["Revenue", "Total Price"],
+                        gs_axes=[("Customer.Region", None)],
+                        nonempty=ne)
+        routed_v, src_v = mgr.route(vq)
+        assert "Sales=rny" in src_v, src_v
+        direct_v = aggregate(spark, sf_dir, tpch.CATALOG, vq)
+        assert routed_v.columns == direct_v.columns
+        assert sorted((tuple(r) for r in routed_v.collect()),
+                      key=repr) == \
+            sorted((tuple(r) for r in direct_v.collect()), key=repr)
 
 
 def test_advisor_learns_from_virtual_cube_log(spark, sf_dir):
@@ -1099,3 +1202,16 @@ def test_advisor_counts_new_routable_forms():
                            top_percent=(60.0, "Approx Customer Count",
                                         False))
     assert recommend_rollups(tpch.SALES, [tp_approx] * 5) == []
+    # r14: grouping-sets axes count — the (parent, child) pair joins
+    # the need, dense included; DDLTOP combos stay unroutable
+    gs = QueryModel(cube="Sales", measures=["Revenue"],
+                    gs_axes=[("Customer.Region", None)],
+                    drilldown=["Time.Year"], nonempty=False)
+    recs_gs = recommend_rollups(tpch.SALES, [gs] * 5)
+    assert recs_gs and {"Customer.Region", "Customer.Nation",
+                        "Time.Year"} <= set(recs_gs[0].grain)
+    gs_top = QueryModel(cube="Sales", measures=["Revenue"],
+                        gs_axes=[("Customer.Region", None)],
+                        gs_top=[("Customer.Region", 2, "Revenue",
+                                 False)], nonempty=True)
+    assert recommend_rollups(tpch.SALES, [gs_top] * 5) == []
