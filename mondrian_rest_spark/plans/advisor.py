@@ -164,10 +164,11 @@ def resolve_virtual_entries(cat, cube: Cube,
     virtual entry to the sub-QueryModel _virtualize hands the router:
     measures the base cube owns, drilldown/cut/properties forwarded,
     nonempty=True, axis-global shaping (order/limit/filter) dropped —
-    those apply post-join and never reach the router.  Entries with
-    WITH forms / grouping-sets axes / GENERATE are skipped: their
-    virtual rewrites reshape the axes before routing, so a naive
-    forward would advise the wrong grain."""
+    those apply post-join and never reach the router.  Grouping-sets
+    axes FORWARD since r14 (the per-cube subs route their Expand from
+    rollup rows); entries with WITH forms / GENERATE are skipped:
+    their virtual rewrites reshape the axes before routing, so a
+    naive forward would advise the wrong grain."""
     out: list[QueryModel] = []
     for qm in query_log:
         vc = cat.virtual_cube(qm.cube) if cat is not None else None
@@ -175,7 +176,7 @@ def resolve_virtual_entries(cat, cube: Cube,
             continue
         if (qm.with_members or qm.with_sets
                 or getattr(qm, "with_sets_ext", [])
-                or getattr(qm, "gs_axes", None)
+                or getattr(qm, "gs_top", [])
                 or getattr(qm, "generate_top", None) is not None
                 or getattr(qm, "generate_more", [])
                 or getattr(qm, "generate_nested", [])):
@@ -196,6 +197,7 @@ def resolve_virtual_entries(cat, cube: Cube,
             properties=list(qm.properties),
             caption=list(qm.caption),
             property_filters=list(getattr(qm, "property_filters", [])),
+            gs_axes=list(getattr(qm, "gs_axes", []) or []),
             nav_filters=list(getattr(qm, "nav_filters", []) or [])))
     return out
 

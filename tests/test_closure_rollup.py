@@ -1215,3 +1215,16 @@ def test_advisor_counts_new_routable_forms():
                         gs_top=[("Customer.Region", 2, "Revenue",
                                  False)], nonempty=True)
     assert recommend_rollups(tpch.SALES, [gs_top] * 5) == []
+    # virtual gs entries map to per-base-cube gs demand (r14 — the
+    # subs route their Expand from rollup rows)
+    from mondrian_rest_spark.plans.advisor import resolve_virtual_entries
+    vgs = QueryModel(cube="Orders and Sales", measures=["Revenue"],
+                     gs_axes=[("Customer.Region", None)],
+                     nonempty=False)
+    mapped = resolve_virtual_entries(tpch.CATALOG, tpch.SALES,
+                                     [vgs] * 3)
+    assert len(mapped) == 3
+    assert mapped[0].gs_axes == [("Customer.Region", None)]
+    recs_v = recommend_rollups(tpch.SALES, mapped)
+    assert recs_v and {"Customer.Region",
+                       "Customer.Nation"} <= set(recs_v[0].grain)
