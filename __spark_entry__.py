@@ -1340,6 +1340,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
     q["q117_rollup_routed_dense_generate"] = _q117
 
+    # PERIODSTODATE routing (r14): the shared resolve_ptd rewrite
+    # (member's level drilled + ancestor cuts + to-date range) runs
+    # before grain selection, so the YTD-style dashboard query reads
+    # the rollup instead of the fact — bit-identical to base q54.
+    def _q118(s, d):
+        from mondrian_rest_spark.plans.rollup import RollupManager
+        key = (id(s), d, "ptd")
+        mgr = _ROLLUP_MGRS.get(key)
+        if mgr is None:
+            mgr = RollupManager(s, d, CAT, "Sales")
+            mgr.register("year_day", ("Time.Year", "Time.Day"))
+            _ROLLUP_MGRS[key] = mgr
+        qm = QueryModel(cube="Sales", measures=["Revenue"],
+                        nonempty=True,
+                        periods_to_date=[("Year",
+                                          "[Time].[Day].[&1996-02-10]")])
+        out, source = mgr.route(qm)
+        assert source == "year_day", source
+        return out.withColumn("ship_date",
+                              F.col("ship_date").cast("timestamp"))
+    q["q118_rollup_routed_ptd"] = _q118
+
     # Dense DRILLDOWNLEVEL on a VIRTUAL cube (r14, VERDICT r13 #1):
     # the per-cube subs keep their F.grouping() markers through the
     # null-safe drill-across join and _densify_gs fills the JOINED
@@ -3663,6 +3685,14 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             LEFT JOIN agg a ON a.g = 0 AND p.r_regionkey = a.rk
                            AND p.n_nationkey = a.nk""",
+        "q118_rollup_routed_ptd": f"""
+            SELECT CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP)
+                     AS ship_date,
+                   {REVENUE} AS revenue
+            FROM lineitem
+            WHERE year(l_shipdate) = 1996
+              AND CAST(l_shipdate AS DATE) <= DATE '1996-02-10'
+            GROUP BY 1""",
         "q117_rollup_routed_dense_generate": f"""
             WITH agg AS (
               SELECT r_regionkey AS rk, n_nationkey AS nk,

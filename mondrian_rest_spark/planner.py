@@ -1541,67 +1541,11 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # --- with a 400 like .Parent, since key-order steps there would
     # --- silently cross parents (_degenerate_keys_repeat) ---
     for lp_path, n_periods in qm.lastperiods:
-        if n_periods < 1:
-            raise ParseError("LASTPERIODS count must be >= 1")
-        segs = parse_segments(lp_path)
-        if len(segs) < 3:
-            raise ParseError(
-                f"LASTPERIODS needs [Dim].[Level].[member], got {lp_path!r}")
-        hier_name = segs[1] if len(segs) == 4 else None
-        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
-        if dim.is_degenerate and _degenerate_keys_repeat(
-                spark, sf_dir, cube, dim, hier, level):
-            raise ParseError(
-                f"LASTPERIODS: not supported on level {level.name!r} of "
-                f"degenerate dimension {dim.name!r} (member keys repeat "
-                f"per parent, so key-order navigation would cross parents)")
-        raw = segs[-1]
-        val = _coerce(raw.lstrip("&"))
-        use_caption = (not raw.startswith("&") and level.caption
-                       and level.caption_alias
-                       and level.caption_alias != level.key_alias)
-        if dim.is_degenerate:
-            exprs = {level.key_alias: level.key}
-            if use_caption:
-                exprs[level.caption_alias] = level.caption
-            keys_src = load_table(spark, sf_dir, cube.fact).select(
-                *[F.expr(e).alias(a) for a, e in exprs.items()])
-        else:
-            keys_src = _dim_select(spark, sf_dir, dim, [level])
-        if use_caption:
-            trows = (keys_src
-                     .filter(F.col(level.caption_alias) == F.lit(val))
-                     .select(level.key_alias).distinct().limit(2).collect())
-            if len(trows) != 1:
-                raise ParseError(f"{lp_path!r}: member not found")
-            target = trows[0][0]
-        else:
-            target = val
-        # memoized like named-set keys: for degenerate time dims the
-        # lookup scans the fact's date column, which must not repeat
-        # per query (the member set only changes when data is loaded)
-        ck = (spark.sparkContext.applicationId, sf_dir, cube.name,
-              dim.name, level.name, repr(target), n_periods)
-        keys = _LASTPERIODS_KEYS.get(ck)
-        if keys is None:
-            keys = [r[0] for r in
-                    (keys_src.select(level.key_alias).distinct()
-                     .filter(F.col(level.key_alias) <= F.lit(target))
-                     .orderBy(F.col(level.key_alias).desc())
-                     .limit(n_periods).collect())]
-            _LASTPERIODS_KEYS[ck] = keys
-        # str() fallback: date-keyed levels collect datetime.date while
-        # the parsed member stays a string — same member, two reprs
-        if not keys or (keys[0] != target
-                        and str(keys[0]) != str(target)):
-            raise ParseError(f"{lp_path!r}: member not found")
+        dim, hier, level, cut_str = resolve_lastperiods(
+            spark, sf_dir, cube, lp_path, n_periods)
         idx = hier.level_index(level.name)
         gl = list(hier.levels[: idx + 1]) if qm.parents else [level]
         drills.append(ResolvedDrill(dim, hier, level, gl))
-        prefix = segs[:-1]
-        cut_str = "{" + ",".join(
-            ".".join(f"[{s}]" for s in prefix + [f"&{k}"])
-            for k in keys) + "}"
         cuts.append(_resolve_cut(cube, parse_cut(cut_str, ns_names)))
 
     # --- PERIODSTODATE(<ancestor level>, <member>) (raw-MDX axis
@@ -1612,90 +1556,15 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # --- cached like LASTPERIODS windows; the member's level must not
     # --- have repeating keys, or the member reference is ambiguous) ---
     for anchor_name, m_path in qm.periods_to_date:
-        segs = parse_segments(m_path)
-        if len(segs) < 3:
-            raise ParseError(
-                f"PERIODSTODATE needs [Dim].[Level].[member], got "
-                f"{m_path!r}")
-        hier_name = segs[1] if len(segs) == 4 else None
-        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
+        dim, hier, level, cut_strs = resolve_ptd(
+            spark, sf_dir, cube, anchor_name, m_path)
         idx = hier.level_index(level.name)
-        try:
-            anchor_idx = hier.level_index(anchor_name)
-        except (KeyError, ValueError):
-            raise ParseError(
-                f"PERIODSTODATE: hierarchy {hier.name!r} has no level "
-                f"{anchor_name!r}")
-        if anchor_idx >= idx:
-            raise ParseError(
-                f"PERIODSTODATE: level {anchor_name!r} must be ABOVE "
-                f"the member's level {level.name!r}")
-        if dim.is_degenerate and _degenerate_keys_repeat(
-                spark, sf_dir, cube, dim, hier, level):
-            raise ParseError(
-                f"PERIODSTODATE: not supported on level {level.name!r} "
-                f"of degenerate dimension {dim.name!r} (member keys "
-                f"repeat per parent, so the member reference is "
-                f"ambiguous)")
-        # the anchor PERIOD is identified by its ancestor chain from
-        # the ROOT through the anchor level (anchor keys may repeat per
-        # parent: quarter 1-4 every year); the member range then runs
-        # from the period's first member through the member itself
-        chain = list(hier.levels[: anchor_idx + 1])
-        raw = segs[-1]
-        use_caption = (not raw.startswith("&") and level.caption
-                       and level.caption_alias
-                       and level.caption_alias != level.key_alias)
-        match_col = level.caption_alias if use_caption else level.key_alias
-        ck = (spark.sparkContext.applicationId, sf_dir, cube.name,
-              dim.name, level.name, repr(raw), anchor_name, "ptd")
-        cached = _LASTPERIODS_KEYS.get(ck)
-        if cached is None:
-            if dim.is_degenerate:
-                exprs = {lv.key_alias: lv.key for lv in chain}
-                exprs[level.key_alias] = level.key
-                if use_caption:
-                    exprs[level.caption_alias] = level.caption
-                keys_src = load_table(spark, sf_dir, cube.fact).select(
-                    *[F.expr(e).alias(a) for a, e in exprs.items()])
-            else:
-                keys_src = _dim_select(spark, sf_dir, dim,
-                                       chain + [level])
-            rows = (keys_src
-                    .filter(F.col(match_col)
-                            == F.lit(_coerce(raw.lstrip("&"))))
-                    .select(*[lv.key_alias for lv in chain],
-                            level.key_alias)
-                    .distinct().limit(2).collect())
-            if len(rows) != 1:
-                raise ParseError(
-                    f"PERIODSTODATE({m_path!r}): member not found"
-                    if not rows else
-                    f"PERIODSTODATE({m_path!r}): member is ambiguous")
-            row = rows[0].asDict()
-            anc_keys = [row[lv.key_alias] for lv in chain]
-            member_key = row[level.key_alias]
-            cond = F.lit(True)
-            for lv, k in zip(chain, anc_keys):
-                cond = cond & (F.col(lv.key_alias) == F.lit(k))
-            start = (keys_src.filter(cond)
-                     .agg(F.min(level.key_alias)).collect()[0][0])
-            cached = (anc_keys, member_key, start)
-            _LASTPERIODS_KEYS[ck] = cached
-        anc_keys, member_key, start = cached
         gl = list(hier.levels[: idx + 1]) if qm.parents else [level]
         drills.append(ResolvedDrill(dim, hier, level, gl))
-        for lv, k in zip(chain, anc_keys):
-            cut_str = ".".join(f"[{s}]" for s in
-                               segs[:-2] + [lv.name, f"&{k}"])
+        for cut_str in cut_strs:
             rc = _resolve_cut(cube, parse_cut(cut_str, ns_names))
             cuts.append(rc)
             axis_cuts.append((len(drills) - 1, rc))
-        a = ".".join(f"[{s}]" for s in segs[:-1] + [f"&{start}"])
-        b = ".".join(f"[{s}]" for s in segs[:-1] + [f"&{member_key}"])
-        rc = _resolve_cut(cube, parse_cut(f"({a}:{b})", ns_names))
-        cuts.append(rc)
-        axis_cuts.append((len(drills) - 1, rc))
 
     # --- <member>.Lag(n) / .Lead(n) (raw-MDX axis idiom): the single
     # --- member n positions earlier/later along the level's key order,
@@ -1704,69 +1573,11 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
     # --- null member there — an empty axis; a clear error beats a
     # --- silently empty result in a REST API) ---
     for lg_path, shift in qm.member_lags:
-        segs = parse_segments(lg_path)
-        if len(segs) < 3:
-            raise ParseError(
-                f".Lag/.Lead needs [Dim].[Level].[member], got {lg_path!r}")
-        hier_name = segs[1] if len(segs) == 4 else None
-        dim, hier, level = _resolve_level(cube, segs[0], hier_name, segs[-2])
-        if dim.is_degenerate and _degenerate_keys_repeat(
-                spark, sf_dir, cube, dim, hier, level):
-            raise ParseError(
-                f".Lag/.Lead: not supported on level {level.name!r} of "
-                f"degenerate dimension {dim.name!r} (member keys repeat "
-                f"per parent, so key-order navigation would cross parents)")
-        raw = segs[-1]
-        val = _coerce(raw.lstrip("&"))
-        use_caption = (not raw.startswith("&") and level.caption
-                       and level.caption_alias
-                       and level.caption_alias != level.key_alias)
-        if dim.is_degenerate:
-            exprs = {level.key_alias: level.key}
-            if use_caption:
-                exprs[level.caption_alias] = level.caption
-            keys_src = load_table(spark, sf_dir, cube.fact).select(
-                *[F.expr(e).alias(a) for a, e in exprs.items()])
-        else:
-            keys_src = _dim_select(spark, sf_dir, dim, [level])
-        if use_caption:
-            trows = (keys_src
-                     .filter(F.col(level.caption_alias) == F.lit(val))
-                     .select(level.key_alias).distinct().limit(2).collect())
-            if len(trows) != 1:
-                raise ParseError(f"{lg_path!r}: member not found")
-            target = trows[0][0]
-        else:
-            target = val
-        n_abs = abs(shift)
-        ck = (spark.sparkContext.applicationId, sf_dir, cube.name,
-              dim.name, level.name, repr(target), shift, "lag")
-        keys = _LASTPERIODS_KEYS.get(ck)
-        if keys is None:
-            base_keys = keys_src.select(level.key_alias).distinct()
-            if shift >= 0:       # Lag: walk EARLIER members, desc
-                walk = (base_keys
-                        .filter(F.col(level.key_alias) <= F.lit(target))
-                        .orderBy(F.col(level.key_alias).desc()))
-            else:                # Lead: walk LATER members, asc
-                walk = (base_keys
-                        .filter(F.col(level.key_alias) >= F.lit(target))
-                        .orderBy(F.col(level.key_alias).asc()))
-            keys = [r[0] for r in walk.limit(n_abs + 1).collect()]
-            _LASTPERIODS_KEYS[ck] = keys
-        if not keys or (keys[0] != target
-                        and str(keys[0]) != str(target)):
-            raise ParseError(f"{lg_path!r}: member not found")
-        if len(keys) <= n_abs:
-            raise ParseError(
-                f"{lg_path!r}: .{'Lag' if shift >= 0 else 'Lead'}"
-                f"({n_abs}) runs past the {'first' if shift >= 0 else 'last'}"
-                f" member of level {level.name!r}")
+        dim, hier, level, cut_str = resolve_member_lag(
+            spark, sf_dir, cube, lg_path, shift)
         idx = hier.level_index(level.name)
         gl = list(hier.levels[: idx + 1]) if qm.parents else [level]
         drills.append(ResolvedDrill(dim, hier, level, gl))
-        cut_str = ".".join(f"[{s}]" for s in
-                           segs[:-1] + [f"&{keys[n_abs]}"])
         cuts.append(_resolve_cut(cube, parse_cut(cut_str, ns_names)))
 
     # --- GENERATE(<level>.Members, TOPCOUNT(<level>.CurrentMember
@@ -3848,6 +3659,220 @@ def _vc_owners(cubes: list, vc_name: str, dim_name: str) -> list:
         raise ParseError(f"unknown dimension {dim_name!r} on "
                          f"virtual cube {vc_name!r}")
     return out
+
+
+def _idiom_member_target(spark, sf_dir, cube, dim, hier, level,
+                         raw: str, label: str, path: str):
+    """(keys_src frame, resolved member key) for a key-order idiom
+    (LASTPERIODS/.Lag/.Lead/PTD share it): degenerate dims project the
+    fact's key column, table dims the dim select; caption-matched
+    references resolve to the key first."""
+    if dim.is_degenerate and _degenerate_keys_repeat(
+            spark, sf_dir, cube, dim, hier, level):
+        raise ParseError(
+            f"{label}: not supported on level {level.name!r} of "
+            f"degenerate dimension {dim.name!r} (member keys repeat "
+            f"per parent, so key-order navigation would cross parents)")
+    val = _coerce(raw.lstrip("&"))
+    use_caption = (not raw.startswith("&") and level.caption
+                   and level.caption_alias
+                   and level.caption_alias != level.key_alias)
+    if dim.is_degenerate:
+        exprs = {level.key_alias: level.key}
+        if use_caption:
+            exprs[level.caption_alias] = level.caption
+        keys_src = load_table(spark, sf_dir, cube.fact).select(
+            *[F.expr(e).alias(a) for a, e in exprs.items()])
+    else:
+        keys_src = _dim_select(spark, sf_dir, dim, [level])
+    if use_caption:
+        trows = (keys_src
+                 .filter(F.col(level.caption_alias) == F.lit(val))
+                 .select(level.key_alias).distinct().limit(2).collect())
+        if len(trows) != 1:
+            raise ParseError(f"{path!r}: member not found")
+        return keys_src, trows[0][0]
+    return keys_src, val
+
+
+def resolve_lastperiods(spark: SparkSession, sf_dir: str, cube: Cube,
+                        lp_path: str, n_periods: int) -> tuple:
+    """LASTPERIODS(n, member) resolution shared by the base planner
+    and the rollup router (r14): the n trailing member keys along the
+    level's key order, as a drill at the member's level + a member-SET
+    cut string — pure drilldown+cut, so a routed query is
+    bit-identical.  Memoized in _LASTPERIODS_KEYS (the degenerate-dim
+    lookup scans the fact's key column once per window)."""
+    if n_periods < 1:
+        raise ParseError("LASTPERIODS count must be >= 1")
+    segs = parse_segments(lp_path)
+    if len(segs) < 3:
+        raise ParseError(
+            f"LASTPERIODS needs [Dim].[Level].[member], got {lp_path!r}")
+    hier_name = segs[1] if len(segs) == 4 else None
+    dim, hier, level = _resolve_level(cube, segs[0], hier_name,
+                                      segs[-2])
+    keys_src, target = _idiom_member_target(
+        spark, sf_dir, cube, dim, hier, level, segs[-1],
+        "LASTPERIODS", lp_path)
+    ck = (spark.sparkContext.applicationId, sf_dir, cube.name,
+          dim.name, level.name, repr(target), n_periods)
+    keys = _LASTPERIODS_KEYS.get(ck)
+    if keys is None:
+        keys = [r[0] for r in
+                (keys_src.select(level.key_alias).distinct()
+                 .filter(F.col(level.key_alias) <= F.lit(target))
+                 .orderBy(F.col(level.key_alias).desc())
+                 .limit(n_periods).collect())]
+        _LASTPERIODS_KEYS[ck] = keys
+    # str() fallback: date-keyed levels collect datetime.date while
+    # the parsed member stays a string — same member, two reprs
+    if not keys or (keys[0] != target
+                    and str(keys[0]) != str(target)):
+        raise ParseError(f"{lp_path!r}: member not found")
+    prefix = segs[:-1]
+    cut_str = "{" + ",".join(
+        ".".join(f"[{s}]" for s in prefix + [f"&{k}"])
+        for k in keys) + "}"
+    return dim, hier, level, cut_str
+
+
+def resolve_member_lag(spark: SparkSession, sf_dir: str, cube: Cube,
+                       lg_path: str, shift: int) -> tuple:
+    """<member>.Lag(n)/.Lead(n) resolution shared by the base planner
+    and the rollup router (r14): the single member n key-order
+    positions away, as a drill + member cut string.  Out-of-range
+    shifts 400 (Mondrian yields a null member — an empty axis; a clear
+    error beats a silently empty REST result)."""
+    segs = parse_segments(lg_path)
+    if len(segs) < 3:
+        raise ParseError(
+            f".Lag/.Lead needs [Dim].[Level].[member], got {lg_path!r}")
+    hier_name = segs[1] if len(segs) == 4 else None
+    dim, hier, level = _resolve_level(cube, segs[0], hier_name,
+                                      segs[-2])
+    keys_src, target = _idiom_member_target(
+        spark, sf_dir, cube, dim, hier, level, segs[-1],
+        ".Lag/.Lead", lg_path)
+    n_abs = abs(shift)
+    ck = (spark.sparkContext.applicationId, sf_dir, cube.name,
+          dim.name, level.name, repr(target), shift, "lag")
+    keys = _LASTPERIODS_KEYS.get(ck)
+    if keys is None:
+        base_keys = keys_src.select(level.key_alias).distinct()
+        if shift >= 0:       # Lag: walk EARLIER members, desc
+            walk = (base_keys
+                    .filter(F.col(level.key_alias) <= F.lit(target))
+                    .orderBy(F.col(level.key_alias).desc()))
+        else:                # Lead: walk LATER members, asc
+            walk = (base_keys
+                    .filter(F.col(level.key_alias) >= F.lit(target))
+                    .orderBy(F.col(level.key_alias).asc()))
+        keys = [r[0] for r in walk.limit(n_abs + 1).collect()]
+        _LASTPERIODS_KEYS[ck] = keys
+    if not keys or (keys[0] != target
+                    and str(keys[0]) != str(target)):
+        raise ParseError(f"{lg_path!r}: member not found")
+    if len(keys) <= n_abs:
+        raise ParseError(
+            f"{lg_path!r}: .{'Lag' if shift >= 0 else 'Lead'}"
+            f"({n_abs}) runs past the {'first' if shift >= 0 else 'last'}"
+            f" member of level {level.name!r}")
+    cut_str = ".".join(f"[{s}]" for s in
+                       segs[:-1] + [f"&{keys[n_abs]}"])
+    return dim, hier, level, cut_str
+
+
+def resolve_ptd(spark: SparkSession, sf_dir: str, cube: Cube,
+                anchor_name: str, m_path: str
+                ) -> tuple:
+    """PERIODSTODATE(anchor_level, member) resolution shared by the
+    base planner and the rollup router (r14): the anchor PERIOD is
+    identified by the member's ancestor chain from the root through
+    the anchor level (anchor keys may repeat per parent: quarter 1-4
+    every year); the member range then runs from the period's first
+    member through the member itself.  Returns (dim, hier, level,
+    cut_strings) where cut_strings = one member cut per chain level +
+    the range cut — the exact drilldown+cut rewrite both paths
+    execute, so a routed PTD query is bit-identical to the base one.
+    Member lookups memoize in _LASTPERIODS_KEYS (cleared by /flush and
+    appends)."""
+    segs = parse_segments(m_path)
+    if len(segs) < 3:
+        raise ParseError(
+            f"PERIODSTODATE needs [Dim].[Level].[member], got "
+            f"{m_path!r}")
+    hier_name = segs[1] if len(segs) == 4 else None
+    dim, hier, level = _resolve_level(cube, segs[0], hier_name,
+                                      segs[-2])
+    idx = hier.level_index(level.name)
+    try:
+        anchor_idx = hier.level_index(anchor_name)
+    except (KeyError, ValueError):
+        raise ParseError(
+            f"PERIODSTODATE: hierarchy {hier.name!r} has no level "
+            f"{anchor_name!r}")
+    if anchor_idx >= idx:
+        raise ParseError(
+            f"PERIODSTODATE: level {anchor_name!r} must be ABOVE "
+            f"the member's level {level.name!r}")
+    if dim.is_degenerate and _degenerate_keys_repeat(
+            spark, sf_dir, cube, dim, hier, level):
+        raise ParseError(
+            f"PERIODSTODATE: not supported on level {level.name!r} "
+            f"of degenerate dimension {dim.name!r} (member keys "
+            f"repeat per parent, so the member reference is "
+            f"ambiguous)")
+    chain = list(hier.levels[: anchor_idx + 1])
+    raw = segs[-1]
+    use_caption = (not raw.startswith("&") and level.caption
+                   and level.caption_alias
+                   and level.caption_alias != level.key_alias)
+    match_col = level.caption_alias if use_caption else level.key_alias
+    ck = (spark.sparkContext.applicationId, sf_dir, cube.name,
+          dim.name, level.name, repr(raw), anchor_name, "ptd")
+    cached = _LASTPERIODS_KEYS.get(ck)
+    if cached is None:
+        if dim.is_degenerate:
+            exprs = {lv.key_alias: lv.key for lv in chain}
+            exprs[level.key_alias] = level.key
+            if use_caption:
+                exprs[level.caption_alias] = level.caption
+            keys_src = load_table(spark, sf_dir, cube.fact).select(
+                *[F.expr(e).alias(a) for a, e in exprs.items()])
+        else:
+            keys_src = _dim_select(spark, sf_dir, dim,
+                                   chain + [level])
+        rows = (keys_src
+                .filter(F.col(match_col)
+                        == F.lit(_coerce(raw.lstrip("&"))))
+                .select(*[lv.key_alias for lv in chain],
+                        level.key_alias)
+                .distinct().limit(2).collect())
+        if len(rows) != 1:
+            raise ParseError(
+                f"PERIODSTODATE({m_path!r}): member not found"
+                if not rows else
+                f"PERIODSTODATE({m_path!r}): member is ambiguous")
+        row = rows[0].asDict()
+        anc_keys = [row[lv.key_alias] for lv in chain]
+        member_key = row[level.key_alias]
+        cond = F.lit(True)
+        for lv, k in zip(chain, anc_keys):
+            cond = cond & (F.col(lv.key_alias) == F.lit(k))
+        start = (keys_src.filter(cond)
+                 .agg(F.min(level.key_alias)).collect()[0][0])
+        cached = (anc_keys, member_key, start)
+        _LASTPERIODS_KEYS[ck] = cached
+    anc_keys, member_key, start = cached
+    cut_strs = []
+    for lv, k in zip(chain, anc_keys):
+        cut_strs.append(".".join(f"[{s}]" for s in
+                                 segs[:-2] + [lv.name, f"&{k}"]))
+    a = ".".join(f"[{s}]" for s in segs[:-1] + [f"&{start}"])
+    b = ".".join(f"[{s}]" for s in segs[:-1] + [f"&{member_key}"])
+    cut_strs.append(f"({a}:{b})")
+    return dim, hier, level, cut_strs
 
 
 def _vc_alias_renames(vc, cube: Cube, ref_cube: Cube) -> dict[str, str]:

@@ -217,13 +217,11 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
     if qm.cube != cube.name:
         return None
     if (qm.properties or qm.caption
-            or qm.parent_of or qm.lastperiods
-            or qm.member_lags or qm.with_members or qm.with_sets
+            or qm.parent_of or qm.with_members or qm.with_sets
             or getattr(qm, "with_sets_ext", [])
             or qm.edge_child_of or getattr(qm, "siblings_of", [])
             or getattr(qm, "ancestor_of", [])
             or getattr(qm, "edge_sibling_of", [])
-            or getattr(qm, "periods_to_date", [])
             or getattr(qm, "empty_set", False)
             or getattr(qm, "empty_slicer", False)
             or getattr(qm, "property_filters", [])
@@ -238,6 +236,15 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
         # RollupManager._choose) — but DDLTOP / parents / GENERATE
         # combinations stay on base, so counting them advises dead
         # storage
+        return None
+    if getattr(qm, "periods_to_date", []) and (
+            not qm.nonempty or qm.parents):
+        # PTD routes only nonempty/non-parents (mirrors
+        # RollupManager._rewrite_ptd) — dense PTD stays base demand
+        return None
+    if (qm.lastperiods or qm.member_lags) and qm.parents:
+        # the idiom rewrite routes non-parents only (mirrors
+        # RollupManager._rewrite_ptd)
         return None
     # dense queries COUNT — dense is Mondrian's default (api.rb:137);
     # the router serves them (r13), dense GENERATE included (r14: the
@@ -327,6 +334,52 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
                 if (dim.name, lv.name) not in levels:
                     levels.add((dim.name, lv.name))
                     specs.append(f"{dim.name}.{lv.name}")
+        ptd_cut_levels: set = set()
+        for path in ([p for p, _ in qm.lastperiods]
+                     + [p for p, _ in qm.member_lags]):
+            # LASTPERIODS / .Lag/.Lead route since r14 (drill + cut at
+            # the member's own level — catalog-only need)
+            from ..parser import parse_segments
+            from ..planner import _resolve_level
+            segs = parse_segments(path)
+            if len(segs) < 3:
+                return None
+            dim, hier, level = _resolve_level(
+                cube, segs[0], segs[1] if len(segs) == 4 else None,
+                segs[-2])
+            if (dim.name, level.name) not in levels:
+                levels.add((dim.name, level.name))
+                specs.append(f"{dim.name}.{level.name}")
+            ptd_cut_levels.add((dim.name, level.name))
+        for anchor_name, m_path in getattr(qm, "periods_to_date",
+                                           []) or []:
+            # PTD routes since r14 via the drilldown+cut rewrite: the
+            # need is the member's level plus its ancestor CHAIN
+            # through the anchor (catalog-only — the member lookup is
+            # runtime, but grain coverage depends on levels alone);
+            # the chain levels are CUT levels for partition advice
+            from ..parser import parse_segments
+            from ..planner import _resolve_level
+            segs = parse_segments(m_path)
+            if len(segs) < 3:
+                return None
+            dim, hier, level = _resolve_level(
+                cube, segs[0], segs[1] if len(segs) == 4 else None,
+                segs[-2])
+            try:
+                anchor_idx = hier.level_index(anchor_name)
+            except (KeyError, ValueError):
+                return None
+            if anchor_idx >= hier.level_index(level.name):
+                return None
+            chain = list(hier.levels[: anchor_idx + 1])
+            for lv in chain + [level]:
+                if (dim.name, lv.name) not in levels:
+                    levels.add((dim.name, lv.name))
+                    specs.append(f"{dim.name}.{lv.name}")
+            ptd_cut_levels.update(
+                [(dim.name, lv.name) for lv in chain]
+                + [(dim.name, level.name)])
         gs_dims: set = set()
         for ddl_spec, ddl_subset in getattr(qm, "gs_axes", []) or []:
             # grouping-sets axis routes since r14: the (parent, child)
@@ -350,7 +403,7 @@ def _query_need(cube: Cube, qm: QueryModel) -> tuple[frozenset, tuple] | None:
                 if not isinstance(parsed, str) \
                         and parsed.dimension in gs_dims:
                     return None   # same-dim drill: base 400
-        cut_levels: set = set()
+        cut_levels: set = set(ptd_cut_levels)
         for ch in qm.children_of:
             # <member>.Children routes since r13 — drill the child
             # level, cut the member's own level (mirrors _choose);

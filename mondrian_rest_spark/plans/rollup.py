@@ -421,6 +421,7 @@ class RollupManager:
         manager into the per-cube sub-aggregates (Mondrian routes every
         base cube's cells through its AggName tables the same way); the
         source reads ``virtual:<cube>=<rollup>`` when any sub routed."""
+        qm = self._rewrite_ptd(qm)
         chosen = self._choose(qm)
         if chosen is None:
             routers = None
@@ -435,6 +436,59 @@ class RollupManager:
                     f"{c}={s}" for c, s in sorted(srcs.items()))
             return df, "base"
         return self._reaggregate(chosen, qm), chosen.name
+
+    def _rewrite_ptd(self, qm: QueryModel) -> QueryModel:
+        """Key-order time idioms route since r14 via the SHARED
+        planner resolvers (resolve_ptd / resolve_lastperiods /
+        resolve_member_lag): each rewrites to pure drilldown + cut
+        strings — exactly what the base path executes — so rewriting
+        BEFORE _choose lets the grain check and _reaggregate serve
+        them like any other query.  PTD routes NONEMPTY only (its
+        ancestor cuts restrict the dense axis frame through axis_cuts
+        the QueryModel can't carry); LASTPERIODS and .Lag/.Lead cuts
+        sit AT the axis level, which the dense member-frame filter
+        applies identically on both paths, so they route dense too.
+        Resolution 400s (absent/ambiguous member, out-of-range shift)
+        raise here exactly as the base path would."""
+        ptd = getattr(qm, "periods_to_date", []) or []
+        lps = getattr(qm, "lastperiods", []) or []
+        lags = getattr(qm, "member_lags", []) or []
+        if (qm.cube != self.cube.name or qm.parents
+                or not (lps or lags or (ptd and qm.nonempty))):
+            return qm
+        if ptd and not qm.nonempty:
+            return qm        # dense PTD stays on base (axis_cuts)
+        import dataclasses
+        from ..planner import (resolve_lastperiods, resolve_member_lag,
+                               resolve_ptd)
+        drilldown = list(qm.drilldown)
+        cut = list(qm.cut)
+
+        def _drill(dim, hier, level):
+            hseg = ([hier.name]
+                    if hier.name != dim.default_hierarchy().name
+                    else [])
+            drilldown.append(".".join([dim.name] + hseg + [level.name]))
+
+        for lp_path, n_periods in lps:
+            dim, hier, level, cut_str = resolve_lastperiods(
+                self.spark, self.sf_dir, self.cube, lp_path, n_periods)
+            _drill(dim, hier, level)
+            cut.append(cut_str)
+        for anchor_name, m_path in ptd:
+            dim, hier, level, cut_strs = resolve_ptd(
+                self.spark, self.sf_dir, self.cube, anchor_name,
+                m_path)
+            _drill(dim, hier, level)
+            cut += cut_strs
+        for lg_path, shift in lags:
+            dim, hier, level, cut_str = resolve_member_lag(
+                self.spark, self.sf_dir, self.cube, lg_path, shift)
+            _drill(dim, hier, level)
+            cut.append(cut_str)
+        return dataclasses.replace(qm, periods_to_date=[],
+                                   lastperiods=[], member_lags=[],
+                                   drilldown=drilldown, cut=cut)
 
     def _measure_names(self, qm: QueryModel) -> list[str]:
         """Display measures + the hidden measures HAVING/ORDER pull in

@@ -941,6 +941,75 @@ def test_grouping_sets_axes_route_through_rollup(spark, sf_dir):
             sorted((tuple(r) for r in direct_v.collect()), key=repr)
 
 
+def test_ptd_routes_through_rollup(spark, sf_dir):
+    """r14: PERIODSTODATE/YTD queries route — the shared
+    planner.resolve_ptd rewrite (member's level drilled + ancestor
+    member cuts + the to-date range cut) runs BEFORE _choose, so the
+    grain check serves it like any drilldown+cut query.  Routed rows
+    bit-identical to base; dense PTD stays on base; absent members
+    400 identically."""
+    import dataclasses
+    from mondrian_rest_spark.parser import ParseError
+    from mondrian_rest_spark.plans.advisor import recommend_rollups
+
+    mgr = RollupManager(spark, sf_dir, tpch.CATALOG, "Sales")
+    mgr.register("yd", ("Time.Year", "Time.Day"))
+    qm = QueryModel(cube="Sales", measures=["Revenue"], nonempty=True,
+                    periods_to_date=[("Year",
+                                      "[Time].[Day].[&1996-02-10]")])
+    routed, src = mgr.route(qm)
+    assert src == "yd"
+    direct = aggregate(spark, sf_dir, tpch.CATALOG, qm)
+    assert routed.columns == direct.columns
+    assert [tuple(r) for r in routed.collect()] == \
+        [tuple(r) for r in direct.collect()]
+    # nothing above the cached rollup scans the fact
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    assert "lineitem" not in plan.split("InMemoryRelation")[0]
+    # dense PTD stays on base (the dense axis frame restriction is
+    # axis_cuts the QueryModel can't carry)
+    _, src2 = mgr.route(dataclasses.replace(qm, nonempty=False))
+    assert src2 == "base"
+    # absent member 400s identically on the routed path
+    bad = dataclasses.replace(
+        qm, periods_to_date=[("Year", "[Time].[Day].[&1890-01-01]")])
+    with pytest.raises(ParseError, match="not found"):
+        mgr.route(bad)
+    # the advisor counts PTD demand (chain + level levels; the chain
+    # levels are CUT levels for partition advice)
+    recs = recommend_rollups(tpch.SALES, [qm] * 5)
+    assert recs and {"Time.Year", "Time.Day"} <= set(recs[0].grain)
+    assert recs[0].partition_spec in ("Time.Year", "Time.Day")
+
+    # LASTPERIODS and .Lag route too — their cuts sit AT the axis
+    # level, so DENSE routes as well (the set cut restricts the dense
+    # member frame identically on both paths)
+    for ne in (True, False):
+        lp = QueryModel(cube="Sales", measures=["Revenue"],
+                        nonempty=ne,
+                        lastperiods=[("[Time].[Year].[&1998]", 3)])
+        routed_lp, src_lp = mgr.route(lp)
+        assert src_lp == "yd", (ne, src_lp)
+        direct_lp = aggregate(spark, sf_dir, tpch.CATALOG, lp)
+        assert [tuple(r) for r in routed_lp.collect()] == \
+            [tuple(r) for r in direct_lp.collect()]
+    lag = QueryModel(cube="Sales", measures=["Revenue"], nonempty=True,
+                     member_lags=[("[Time].[Year].[&1998]", 2)])
+    routed_lg, src_lg = mgr.route(lag)
+    assert src_lg == "yd"
+    direct_lg = aggregate(spark, sf_dir, tpch.CATALOG, lag)
+    assert [tuple(r) for r in routed_lg.collect()] == \
+        [tuple(r) for r in direct_lg.collect()]
+    # out-of-range shift 400s identically on the routed path
+    with pytest.raises(ParseError, match="runs past"):
+        mgr.route(dataclasses.replace(
+            lag, member_lags=[("[Time].[Year].[&1995]", 40)]))
+    # advisor counts them (level joins the need and the cut levels)
+    recs_lp = recommend_rollups(tpch.SALES, [lp] * 5)
+    assert recs_lp and "Time.Year" in recs_lp[0].grain
+
+
 def test_advisor_learns_from_virtual_cube_log(spark, sf_dir):
     """r13 (VERDICT r12 #3): a virtual-heavy served log must recommend
     the BASE-cube grain that the drill-across sub-aggregates then
