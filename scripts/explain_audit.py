@@ -74,7 +74,8 @@ AUDIT = ["q02_region_revenue", "q03_crossjoin_3d", "q04_cut_member",
          "q114_mdx_virtual_day_alias_conformed",
          "q115_mdx_virtual_dense_day_union",
          "q116_rollup_routed_gs_dense",
-         "q117_rollup_routed_dense_generate"]
+         "q117_rollup_routed_dense_generate",
+         "q118_rollup_routed_ptd"]
 
 # per-query caveats the static plan can't show (r12, VERDICT r11 #2)
 NOTES = {
