@@ -1547,6 +1547,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.filter(F.col("source") == "src0"), threshold=0.5)
     q["d08_decontamination"] = _decontam
 
+    # SemDeDup: embedding dedup restricted to IVF cluster cells — the
+    # paper's recall/cost trade (cross-cell pairs missed by design;
+    # recall vs the exact d05 pair set asserted in tests).  8 cells at
+    # this corpus keeps every cell pair-join-sized; production sizes
+    # n_cells ∝ corpus (max_cell_rows makes degenerate clusterings
+    # fail loud instead of going quadratic)
+    q["d12_semantic_dedup"] = lambda s, d: similarity.semantic_dedup_pairs(
+        load_table(s, d, "embeddings"), threshold=0.4, n_cells=8)
+
+    # duplicated n-gram SPANS (Lee et al. ExactSubstr at 5-gram
+    # granularity): which exact passages repeat across the corpus —
+    # every stage linear (gram explode -> hash agg -> join-back ->
+    # per-doc island merge), no pairwise candidate stage anywhere
+    q["d13_duplicate_spans"] = lambda s, d: dedup.duplicate_spans(
+        load_table(s, d, "documents"), n=5, min_docs=2)
+
     # ---- similarity search ----
     q["s01_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         load_table(s, d, "embeddings"), query_vec_id=7, k=10)
@@ -1866,6 +1882,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fromlist=["chunk_token_windows"]).chunk_token_windows(
         load_table(s, d, "documents"), window=64, stride=48)
 
+    # ExactSubstr dedup ACTION: cut the duplicated spans out of the
+    # text, keep the rest of the document (d13's spans composed with
+    # a doc-keyed coverage join + position-ordered reassembly)
+    q["x07_trim_duplicate_spans"] = lambda s, d: __import__(
+        "mondrian_rest_spark.operators.pipeline",
+        fromlist=["trim_duplicate_spans"]).trim_duplicate_spans(
+        load_table(s, d, "documents"), n=5, min_docs=2)
+
     # JSON catalog calc members declared as MDX FORMULAS (r8) — the
     # reference XML CalculatedMember formula form, resolved at bind
     # time through the WITH MEMBER grammar (arith + measure tuple)
@@ -2036,6 +2060,33 @@ def _oracle_ann_ivf(query_vec_id: int = 7, k: int = 10,
 #: query-set for the batched ANN entries (corpus members by id, the
 #: same query-by-member convention as s01-s04)
 _BATCH_QUERY_IDS = (3, 7, 11, 19, 23)
+
+
+def _oracle_semantic_dedup(threshold: float = 0.4, n_cells: int = 8) -> str:
+    """DuckDB replay of SemDeDup: the integer centroid pick + argmin
+    cell assignment are the s03 oracle's, then all within-cell pairs
+    above the cosine threshold."""
+    d2 = ("list_sum(list_transform(range(1, 65), "
+          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev, {_QV} AS qv
+                     FROM embeddings),
+        cents AS (SELECT vec_id AS cell_id, qv AS cq FROM emb
+                  ORDER BY (vec_id::BIGINT * 2654435761) % 4294967296, vec_id
+                  LIMIT {n_cells}),
+        assigned AS (
+          SELECT vec_id, ev, cell_id FROM (
+            SELECT e.vec_id, e.ev, c.cell_id,
+                   {d2.format(a='e.qv', b='c.cq')} AS d2
+            FROM emb e CROSS JOIN cents c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cell_id) = 1)
+        SELECT a_id, b_id, cell_id, cosine FROM (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell_id,
+                 round(list_cosine_similarity(a.ev, b.ev), 6) AS cosine
+          FROM assigned a JOIN assigned b
+               ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
+        WHERE cosine >= {threshold}"""
 
 
 def _oracle_ann_batch_lsh(query_ids=_BATCH_QUERY_IDS, k: int = 5,
@@ -4044,6 +4095,7 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_operators.py)
         "d04_neardup_simhash": _oracle_simhash(max_hamming=3),
         "d06_embedding_neardup_lsh": _oracle_neardup_lsh(threshold=0.4),
+        "d12_semantic_dedup": _oracle_semantic_dedup(threshold=0.4, n_cells=8),
         "s02_ann_lsh_topk": _oracle_ann_lsh(query_vec_id=7, k=10),
         "s03_ann_ivf_topk": _oracle_ann_ivf(query_vec_id=7, k=10),
         # the partition-pruned layout path must be value-identical to
@@ -4340,6 +4392,83 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'en' THEN 5000
                                WHEN 'unknown' THEN 500
                                ELSE 2000 END""",
+
+        "d13_duplicate_spans": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                     md5(array_to_string(t[i:i+4], ' ')) AS gr
+              FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1))
+                           AS r(i)),
+            dup AS (SELECT gr FROM g GROUP BY gr
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            occ AS (SELECT doc_id, pos AS s, pos + 4 AS e
+                    FROM g JOIN dup USING (gr)),
+            m AS (SELECT doc_id, s, e,
+                         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pe
+                  FROM occ),
+            isl AS (SELECT doc_id, s, e,
+                           SUM(CASE WHEN pe IS NULL OR s > pe + 1
+                                    THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island
+                    FROM m)
+            SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+                   MAX(e) - MIN(s) + 1 AS span_tokens,
+                   COUNT(*) AS n_grams
+            FROM isl GROUP BY doc_id, island""",
+
+        "x07_trim_duplicate_spans": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+            tok AS (
+              SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, t[i] AS w
+              FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+            g AS (
+              SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                     md5(array_to_string(t[i:i+4], ' ')) AS gr
+              FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1))
+                           AS r(i)),
+            dup AS (SELECT gr FROM g GROUP BY gr
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            occ AS (SELECT doc_id, pos AS s, pos + 4 AS e
+                    FROM g JOIN dup USING (gr)),
+            m AS (SELECT doc_id, s, e,
+                         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pe
+                  FROM occ),
+            isl AS (SELECT doc_id, s, e,
+                           SUM(CASE WHEN pe IS NULL OR s > pe + 1
+                                    THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island
+                    FROM m),
+            spans AS (SELECT doc_id, MIN(s) AS ss, MAX(e) AS se
+                      FROM isl GROUP BY doc_id, island),
+            kept AS (
+              SELECT tok.doc_id,
+                     string_agg(tok.w, ' ' ORDER BY tok.pos) AS clean_text,
+                     COUNT(*) AS n_tokens_kept
+              FROM tok
+              WHERE NOT EXISTS (SELECT 1 FROM spans
+                                WHERE spans.doc_id = tok.doc_id
+                                  AND tok.pos BETWEEN spans.ss AND spans.se)
+              GROUP BY tok.doc_id),
+            tot AS (SELECT doc_id, COUNT(*) AS total FROM tok GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(kept.clean_text, '') AS clean_text,
+                   COALESCE(kept.n_tokens_kept, 0) AS n_tokens_kept,
+                   COALESCE(tot.total, 0) - COALESCE(kept.n_tokens_kept, 0)
+                     AS removed_tokens
+            FROM documents d
+            LEFT JOIN kept USING (doc_id)
+            LEFT JOIN tot USING (doc_id)""",
 
         "x05_chunk_windows": r"""
             WITH w AS (

@@ -971,3 +971,85 @@ def deduplicate_jaccard_exact(df: DataFrame, threshold: float = 0.5,
     clusters = neardup_clusters(df, pairs, id_col)
     keep = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
     return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# duplicated n-gram spans (ExactSubstr dedup at n-gram granularity)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(df: DataFrame, n: int = 5, min_docs: int = 2,
+                    min_occurrences: int | None = None,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Duplicated-text SPAN detection: the ExactSubstr dedup of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499) re-expressed at token n-gram
+    granularity for a DataFrame engine.  The suffix-array formulation
+    is inherently sequential; n-gram granularity gives the same
+    "which exact passages repeat across the corpus" answer to within
+    n-1 tokens of span-boundary slack, and every stage is a scan,
+    hash aggregate, or bounded window:
+
+    1. every token position emits its length-``n`` gram (md5 key —
+       engine-portable), so gram volume is one row per token;
+    2. one hash aggregate counts distinct docs (and total occurrences)
+       per gram — a gram is DUPLICATED when it appears in
+       >= ``min_docs`` docs (or >= ``min_occurrences`` times in total,
+       if set — catches within-doc boilerplate repeats);
+    3. duplicated-gram positions join back by gram key (shuffle moves
+       only (gram, doc, pos) rows — linear in corpus tokens, never
+       pairwise: unlike the pair-join dedups there is NO quadratic
+       candidate stage anywhere, which is why ExactSubstr scales to
+       the biggest corpora in the paper);
+    4. per doc, overlapping-or-adjacent gram intervals
+       [pos, pos+n-1] merge into maximal spans (gaps-and-islands: a
+       running max(end) window over positions, islands split where
+       start > prev_max_end + 1) — the window partitions by doc and
+       sorts only that doc's duplicated positions.
+
+    Returns ``(doc_id, span_start, span_end, span_tokens, n_grams)``
+    — 0-based inclusive token positions, ``n_grams`` = duplicated
+    gram occurrences merged into the span.  Feed to
+    :func:`mondrian_rest_spark.operators.pipeline.trim_duplicate_spans`
+    to cut the spans out of the text (the paper's dedup action), or
+    aggregate per doc for a duplication-fraction quality signal."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from pyspark.sql import Window
+    gram_expr = (
+        f"case when size(__tokens) < {n} then array() "
+        f"else transform(sequence(1, size(__tokens) - {n - 1}), "
+        f"i -> md5(array_join(slice(__tokens, i, {n}), ' '))) end")
+    pos = (df.withColumn("__tokens",
+                         F.split(F.trim(F.col(text_col)), r"\s+"))
+             .select(F.col(id_col),
+                     F.posexplode(F.expr(gram_expr)).alias("__pos", "__g")))
+    freq = (pos.groupBy("__g")
+               .agg(F.countDistinct(id_col).alias("__nd"),
+                    F.count(F.lit(1)).alias("__no")))
+    cond = F.col("__nd") >= min_docs
+    if min_occurrences is not None:
+        cond = cond | (F.col("__no") >= min_occurrences)
+    dup = freq.filter(cond).select("__g")
+    occ = (pos.join(dup, "__g")
+              .select(id_col, F.col("__pos").alias("__start"),
+                      (F.col("__pos") + F.lit(n - 1)).alias("__end")))
+    w_prev = (Window.partitionBy(id_col).orderBy("__start")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy(id_col).orderBy("__start")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    spans = (occ
+             .withColumn("__prev_end", F.max("__end").over(w_prev))
+             .withColumn("__new", F.when(
+                 F.col("__prev_end").isNull() |
+                 (F.col("__start") > F.col("__prev_end") + 1),
+                 F.lit(1)).otherwise(F.lit(0)))
+             .withColumn("__island", F.sum("__new").over(w_run))
+             .groupBy(id_col, "__island")
+             .agg(F.min("__start").alias("span_start"),
+                  F.max("__end").alias("span_end"),
+                  F.count(F.lit(1)).alias("n_grams")))
+    return spans.select(
+        id_col, "span_start", "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        "n_grams")

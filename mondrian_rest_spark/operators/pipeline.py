@@ -181,3 +181,58 @@ def chunk_token_windows(docs: DataFrame, window: int = 64,
             .select(id_col, "chunk_idx",
                     F.col("__c.chunk_text").alias("chunk_text"),
                     F.col("__c.n_tokens").alias("n_tokens")))
+
+
+def trim_duplicate_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
+                         min_occurrences: int | None = None,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Cut duplicated spans OUT of the text — the dedup action of Lee
+    et al.'s ExactSubstr (remove the repeated passage, keep the rest
+    of the document), composed from :func:`dedup.duplicate_spans`.
+
+    Tokens posexplode against the doc's span list (a doc-keyed join —
+    spans are window-merged and disjoint, so each token matches at
+    most one span), kept tokens reassemble in position order via
+    ``array_sort(collect_list(struct(pos, token)))`` — deterministic,
+    no string-order dependence on shuffle layout.  Docs with no
+    duplicated span pass through verbatim (left join against the doc
+    spine), and a doc that is ENTIRELY duplicated text comes out with
+    ``clean_text = ''`` rather than disappearing — dropping is a
+    separate policy decision (filter on removed_tokens afterwards).
+
+    Returns ``(id, clean_text, n_tokens_kept, removed_tokens)``.
+    Scale shape: the span join shuffles (doc, pos, token) rows keyed
+    by doc — linear, co-partitioned with the collect_list aggregate
+    that follows; the wide original text never enters either shuffle."""
+    spans = dedup.duplicate_spans(docs, n=n, min_docs=min_docs,
+                                  min_occurrences=min_occurrences,
+                                  text_col=text_col, id_col=id_col)
+    toks = (docs
+            .withColumn("__tokens",
+                        F.split(F.trim(F.col(text_col)), r"\s+"))
+            .select(F.col(id_col),
+                    F.posexplode("__tokens").alias("__pos", "__tok")))
+    covered = (toks.join(spans, on=id_col)
+                   .filter((F.col("__pos") >= F.col("span_start")) &
+                           (F.col("__pos") <= F.col("span_end")))
+                   .select(id_col, "__pos"))
+    kept = (toks.join(covered, on=[id_col, "__pos"], how="left_anti")
+                .groupBy(id_col)
+                .agg(F.expr("array_join(transform(array_sort("
+                            "collect_list(struct(__pos, __tok))), "
+                            "x -> x.__tok), ' ')").alias("clean_text"),
+                     F.count(F.lit(1)).alias("n_tokens_kept")))
+    n_toks = (toks.groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("__total")))
+    return (docs.select(id_col)
+            .join(kept, id_col, "left")
+            .join(n_toks, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                F.coalesce("n_tokens_kept", F.lit(0).cast("long"))
+                 .alias("n_tokens_kept"),
+                (F.coalesce("__total", F.lit(0).cast("long")) -
+                 F.coalesce("n_tokens_kept", F.lit(0).cast("long")))
+                 .alias("removed_tokens")))

@@ -1742,3 +1742,113 @@ def test_jaccard_spill_auto_sizes_lsh_for_target_recall(spark):
     r_default, r_auto = recall(False), recall(True)
     assert r_auto >= 0.95            # the contract under test
     assert r_default < r_auto        # auto actually changed the sizing
+
+
+def test_semantic_dedup_pairs_within_cells(spark, sf_dir):
+    """SemDeDup pairs are a subset of the exact pair set (no false
+    positives, exact cosine on survivors), every pair is co-celled
+    under the replayable assignment, and recall is useful."""
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.a_id, r.b_id): r.cosine for r in
+             similarity.embedding_neardup(emb, threshold=0.4).collect()}
+    sem = similarity.semantic_dedup_pairs(emb, threshold=0.4,
+                                          n_cells=8).collect()
+    sempairs = {(r.a_id, r.b_id): r.cosine for r in sem}
+    assert set(sempairs) <= set(exact)
+    for k, v in sempairs.items():
+        assert v == exact[k]
+    # the paper's trade: cells cost recall but must keep a useful share
+    assert len(sempairs) >= 0.3 * max(len(exact), 1)
+    cells = {r[0]: r["cell_id"]
+             for r in similarity.assign_cells(emb, n_cells=8).collect()}
+    for r in sem:
+        assert cells[r.a_id] == cells[r.b_id] == r.cell_id
+
+
+def test_semantic_deduplicate_keep_one(spark):
+    """Greedy min-id keep: in a similarity chain the lowest id
+    survives; pair-free rows always survive."""
+    rows = [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.995, 0.02]),
+            (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = {r.vec_id for r in similarity.semantic_deduplicate(
+        df, threshold=0.9, n_cells=1, dim=2).collect()}
+    assert kept == {0, 3}
+    # with 2 cells the clustering splits the 0-1-2 chain (the paper's
+    # recall trade): 2 lands in its own cell and survives
+    kept2 = {r.vec_id for r in similarity.semantic_deduplicate(
+        df, threshold=0.9, n_cells=2, dim=2).collect()}
+    assert kept2 == {0, 2, 3}
+
+
+def test_semantic_dedup_cell_skew_guard(spark, sf_dir):
+    """A degenerate clustering (1 cell) trips the loud quadratic
+    guard instead of running an unbounded pair join."""
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(similarity.CellSkewError, match="max_cell_rows=10"):
+        similarity.semantic_dedup_pairs(emb, threshold=0.4, n_cells=1,
+                                        max_cell_rows=10)
+
+
+def test_duplicate_spans_merge_and_boundaries(spark):
+    """A shared 6-token passage under n=3 merges its four gram hits
+    into ONE maximal span per doc, with correct 0-based inclusive
+    boundaries; unique text yields no span rows."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta unique1 unique2"),
+        (2, "x1 x2 alpha beta gamma delta epsilon zeta y1"),
+        (3, "nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {r.doc_id: r for r in
+             dedup.duplicate_spans(df, n=3, min_docs=2).collect()}
+    assert set(spans) == {1, 2}
+    assert (spans[1].span_start, spans[1].span_end) == (0, 5)
+    assert (spans[2].span_start, spans[2].span_end) == (2, 7)
+    assert spans[1].span_tokens == 6 and spans[1].n_grams == 4
+    # far-apart repeats in one doc pair stay SEPARATE islands
+    rows2 = [(1, "a b c d QQ RR SS e f g h QQ RR SS i"),
+             (2, "QQ RR SS")]
+    two = (dedup.duplicate_spans(
+        spark.createDataFrame(rows2, ["doc_id", "text"]), n=3, min_docs=2)
+        .filter("doc_id = 1").orderBy("span_start").collect())
+    assert [(r.span_start, r.span_end) for r in two] == [(4, 6), (11, 13)]
+
+
+def test_duplicate_spans_within_doc_repeats(spark):
+    """min_occurrences catches a doc repeating its OWN passage even
+    when no second doc shares it (the within-doc boilerplate case);
+    with min_docs-only semantics the same corpus yields nothing."""
+    rows = [(1, "intro QQ RR SS middle QQ RR SS outro"),
+            (2, "totally different text entirely")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert dedup.duplicate_spans(df, n=3, min_docs=2).count() == 0
+    got = (dedup.duplicate_spans(df, n=3, min_docs=2, min_occurrences=2)
+           .orderBy("span_start").collect())
+    assert [(r.doc_id, r.span_start, r.span_end) for r in got] == \
+        [(1, 1, 3), (1, 5, 7)]
+
+
+def test_trim_duplicate_spans_cuts_exactly(spark):
+    """The trim removes exactly the span tokens: survivors keep the
+    rest in order, a fully-duplicated doc comes out empty (not
+    dropped), and a clean doc passes through with its token count."""
+    from mondrian_rest_spark.operators import pipeline
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta unique1 unique2"),
+        (2, "x1 x2 alpha beta gamma delta epsilon zeta y1"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+        (4, "nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           pipeline.trim_duplicate_spans(df, n=3, min_docs=2).collect()}
+    assert out[1].clean_text == "unique1 unique2"
+    assert out[1].removed_tokens == 6 and out[1].n_tokens_kept == 2
+    assert out[2].clean_text == "x1 x2 y1"
+    assert out[3].clean_text == "" and out[3].n_tokens_kept == 0
+    assert out[3].removed_tokens == 6
+    assert out[4].clean_text == rows[3][1]
+    assert out[4].removed_tokens == 0
