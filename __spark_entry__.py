@@ -1487,6 +1487,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id", F.posexplode("features")
                 .alias("feature_idx", "count")))
 
+    # rare-bigram novelty: the integer-exact stand-in for an
+    # LM-perplexity quality filter (high = gibberish/OCR noise,
+    # low = boilerplate)
+    q["t14_bigram_novelty"] = lambda s, d: textstats.bigram_novelty(
+        load_table(s, d, "documents"), rare_max=1)
+
     q["w03_session_30m"] = lambda s, d: windows.sessionized(
         load_table(s, d, "events"), "30 minutes")
 
@@ -1889,6 +1895,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mondrian_rest_spark.operators.pipeline",
         fromlist=["trim_duplicate_spans"]).trim_duplicate_spans(
         load_table(s, d, "documents"), n=5, min_docs=2)
+
+    # DSIR-style importance resampling (arXiv:2302.03169): keep the
+    # quarter of the corpus whose hashed-bigram profile looks most
+    # like the English target slice, ranked by the integer log2-proxy
+    # importance weight (engine-portable — no ln())
+    q["x08_dsir_sample"] = lambda s, d: __import__(
+        "mondrian_rest_spark.operators.sampling",
+        fromlist=["dsir_sample"]).dsir_sample(
+        load_table(s, d, "documents"), target_filter="lang = 'en'",
+        frac=0.25, dim=64)
 
     # JSON catalog calc members declared as MDX FORMULAS (r8) — the
     # reference XML CalculatedMember formula form, resolved at bind
@@ -4392,6 +4408,66 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'en' THEN 5000
                                WHEN 'unknown' THEN 500
                                ELSE 2000 END""",
+
+        "t14_bigram_novelty": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, md5(array_to_string(toks[i:i+1], ' ')) AS gr
+              FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1))
+                        AS r(i)),
+            freq AS (SELECT gr, COUNT(*) AS c FROM g GROUP BY gr),
+            per AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(CASE WHEN c <= 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_rare
+              FROM g JOIN freq USING (gr) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(n_bigrams, 0) AS n_bigrams,
+                   COALESCE(n_rare, 0) AS n_rare,
+                   round(COALESCE(n_rare, 0) * 1.0 /
+                         greatest(COALESCE(n_bigrams, 0), 1), 6) AS novelty
+            FROM documents d LEFT JOIN per USING (doc_id)""",
+
+        "x08_dsir_sample": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, lang,
+                     {_MD5_FOLD8.format(expr="gram")} % 64 AS b
+              FROM (SELECT doc_id, lang,
+                           unnest(list_transform(
+                             range(1, greatest(len(toks) - 1, 0) + 1),
+                             i -> array_to_string(toks[i:i+1], ' ')))
+                             AS gram
+                    FROM t)),
+            raw AS (SELECT b, COUNT(*) AS nr FROM g GROUP BY b),
+            tgt AS (SELECT b, COUNT(*) AS nt FROM g
+                    WHERE lang = 'en' GROUP BY b),
+            w AS (SELECT raw.b,
+                         CAST(length(bin(COALESCE(nt, 0) + 1)) -
+                              length(bin(nr + 1)) AS BIGINT) AS wt
+                  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+            dc AS (SELECT doc_id, b, COUNT(*) AS c FROM g
+                   GROUP BY doc_id, b),
+            sc AS (SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                          CAST(SUM(c * wt) AS BIGINT) AS raw_score
+                   FROM dc JOIN w USING (b) GROUP BY dc.doc_id),
+            f AS (SELECT d.doc_id,
+                         COALESCE(n_grams, 0) AS n_grams,
+                         COALESCE(raw_score, 0) AS raw_score,
+                         round(COALESCE(raw_score, 0) * 1.0 /
+                               greatest(COALESCE(n_grams, 0), 1), 6)
+                           AS mean_weight
+                  FROM documents d LEFT JOIN sc USING (doc_id)),
+            ranked AS (SELECT *, row_number() OVER (
+                         ORDER BY mean_weight DESC, doc_id) AS rn FROM f)
+            SELECT doc_id, n_grams, raw_score, mean_weight FROM ranked
+            WHERE rn <= (SELECT CAST(floor(COUNT(*) * 0.25) AS BIGINT)
+                         FROM documents)""",
 
         "d13_duplicate_spans": r"""
             WITH toks AS (

@@ -121,3 +121,92 @@ def mixture_sample(df: DataFrame, strata_col: str, weights: dict,
     without a target weight are dropped (fraction 0)."""
     fracs = mixture_fractions(df, strata_col, weights, id_col)
     return stratified_sample(df, strata_col, fracs, 0.0, id_col, salt)
+
+
+def dsir_scores(df: DataFrame, target_filter: str, dim: int = 128,
+                n: int = 2, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """DSIR-style data selection scores (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): rank raw-corpus documents by how much their
+    hashed n-gram profile looks like a TARGET subset (``target_filter``
+    — a boolean SQL predicate over the input columns, e.g.
+    ``"lang = 'en'"``) relative to the raw corpus itself.
+
+    The paper's importance weight is
+    ``log p_target(doc) - log p_raw(doc)`` under hashed bag-of-ngram
+    bucket models.  Two deliberate departures keep the score
+    engine-portable (the module's determinism contract — ln() is not
+    bit-stable across libm builds, integer ops are):
+
+    - the per-bucket log-ratio uses the INTEGER log2 proxy
+      ``bitlen(n_target(b)+1) - bitlen(n_raw(b)+1)`` where bitlen =
+      floor(log2(x))+1 = length(bin(x)) — monotone in the true count
+      ratio at ~1-bit resolution, exact BIGINT arithmetic;
+    - documents are ranked by the MEAN bucket weight over their grams
+      (``raw_score / n_grams``).  The dropped normalization constant
+      ``log N_raw - log N_target`` shifts every doc's mean equally, so
+      the RANKING is invariant to it — per-doc totals would instead
+      bias toward long documents.
+
+    Returns ``(id, n_grams, raw_score, mean_weight)``.  Plan shape:
+    one gram explode, two bucket-level hash aggs (raw + target — the
+    target agg reuses the same exploded frame, Catalyst shares the
+    scan), a broadcast-size join of the <= ``dim`` bucket weights onto
+    the per-doc bucket counts, one per-doc agg.  All linear; the
+    weight table is ``dim`` rows no matter the corpus size."""
+    gram_expr = (
+        f"case when size(__tokens) < {n} then array() "
+        f"else transform(sequence(1, size(__tokens) - {n - 1}), "
+        f"i -> array_join(slice(__tokens, i, {n}), ' ')) end")
+    bucket = (F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10)
+              .cast("long") % dim)
+    grams = (df.withColumn("__tokens",
+                           F.split(F.trim(F.col(text_col)), r"\s+"))
+               .withColumn("__tgt", F.expr(f"({target_filter})"))
+               .select(F.col(id_col), "__tgt",
+                       F.explode(F.expr(gram_expr)).alias("__g"))
+               .withColumn("__b", bucket))
+    raw_b = grams.groupBy("__b").agg(F.count(F.lit(1)).alias("__nr"))
+    tgt_b = (grams.filter(F.col("__tgt"))
+             .groupBy("__b").agg(F.count(F.lit(1)).alias("__nt")))
+    weights = (raw_b.join(tgt_b, "__b", "left")
+               .select("__b",
+                       (F.length(F.expr("bin(coalesce(__nt, 0L) + 1)")) -
+                        F.length(F.expr("bin(__nr + 1)")))
+                       .cast("long").alias("__w")))
+    per_doc = (grams.groupBy(id_col, "__b")
+               .agg(F.count(F.lit(1)).alias("__c"))
+               .join(F.broadcast(weights), "__b")
+               .groupBy(id_col)
+               .agg(F.sum("__c").alias("n_grams"),
+                    F.sum(F.col("__c") * F.col("__w")).alias("raw_score")))
+    return (df.select(id_col)
+            .join(per_doc, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("n_grams", F.lit(0).cast("long"))
+                 .alias("n_grams"),
+                F.coalesce("raw_score", F.lit(0).cast("long"))
+                 .alias("raw_score"),
+                F.round(F.coalesce("raw_score", F.lit(0).cast("long")) /
+                        F.greatest(F.coalesce("n_grams",
+                                              F.lit(0).cast("long")),
+                                   F.lit(1)), 6).alias("mean_weight")))
+
+
+def dsir_sample(df: DataFrame, target_filter: str, frac: float = 0.25,
+                dim: int = 128, n: int = 2, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Select the top ``floor(frac * corpus)`` documents by DSIR
+    mean weight (deterministic id tie-break) — the resampling step of
+    the paper collapsed to its top-quantile deterministic variant
+    (Gumbel noise would break the replay contract; rank-selection is
+    what production pipelines run anyway when they want
+    reproducibility).  ``orderBy + limit`` plans as a TakeOrdered —
+    no global sort at scale."""
+    k = int(frac * df.count())
+    scores = dsir_scores(df, target_filter, dim=dim, n=n,
+                         text_col=text_col, id_col=id_col)
+    return (scores.orderBy(F.desc("mean_weight"), F.asc(id_col))
+                  .limit(k))

@@ -338,3 +338,51 @@ def hashed_ngram_features(df: DataFrame, dim: int = 64, n: int = 2,
     return (df.select(id_col)
               .join(counts, id_col, "left")
               .select(F.col(id_col), dense.alias(out_col)))
+
+
+def bigram_novelty(df: DataFrame, rare_max: int = 1,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document novelty vs the corpus bigram distribution: the
+    fraction of a doc's adjacent-token bigrams whose TOTAL corpus
+    occurrence count is <= ``rare_max``.  The integer-exact stand-in
+    for an LM-perplexity quality filter (CCNet ranks by LM score; at
+    corpus-bootstrap time the corpus itself is the only LM available,
+    and its bigram table IS that LM's unigram-of-pairs view): a very
+    HIGH novelty flags gibberish / OCR noise / non-language rows, a
+    very LOW one flags boilerplate — both standard cut points.  No
+    transcendental ops anywhere, so an independent engine replays the
+    scores bit-for-bit (ln() differs across libm builds; ratios of
+    counts don't).
+
+    Plan shape: one gram explode (a row per adjacent pair, md5 key
+    keeps the shuffle narrow), one corpus-wide hash agg for the
+    frequency table, one join-back keyed on the gram hash, one
+    per-doc agg — all linear, the classic two-shuffle profile of the
+    boilerplate detector (t12).  Returns
+    ``(doc_id, n_bigrams, n_rare, novelty)``; docs with < 2 tokens
+    score 0/0/0.0 (a left join against the id spine keeps them)."""
+    gram_expr = (
+        "case when size(__tokens) < 2 then array() "
+        "else transform(sequence(1, size(__tokens) - 1), "
+        "i -> md5(array_join(slice(__tokens, i, 2), ' '))) end")
+    pos = (with_tokens(df, text_col)
+           .select(F.col(id_col), F.explode(F.expr(gram_expr)).alias("__g")))
+    freq = pos.groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = (pos.join(freq, "__g")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.sum(F.when(F.col("__c") <= rare_max, F.lit(1))
+                           .otherwise(F.lit(0)).cast("long"))
+                     .alias("n_rare")))
+    return (df.select(id_col)
+            .join(per_doc, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("n_bigrams", F.lit(0).cast("long"))
+                 .alias("n_bigrams"),
+                F.coalesce("n_rare", F.lit(0).cast("long")).alias("n_rare"),
+                F.round(F.coalesce("n_rare", F.lit(0).cast("long")) /
+                        F.greatest(F.coalesce("n_bigrams",
+                                              F.lit(0).cast("long")),
+                                   F.lit(1)), 6).alias("novelty")))

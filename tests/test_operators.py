@@ -1852,3 +1852,35 @@ def test_trim_duplicate_spans_cuts_exactly(spark):
     assert out[3].removed_tokens == 6
     assert out[4].clean_text == rows[3][1]
     assert out[4].removed_tokens == 0
+
+
+def test_bigram_novelty_extremes(spark):
+    """All-unique bigrams -> novelty 1.0; a bigram shared with another
+    doc stops being rare; docs with < 2 tokens score 0/0/0.0."""
+    rows = [(1, "aa bb cc dd"), (2, "xx yy zz"), (3, "xx yy qq"),
+            (4, "single")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in textstats.bigram_novelty(df).collect()}
+    assert out[1].novelty == 1.0 and out[1].n_bigrams == 3
+    # doc 2: "xx yy" appears twice corpus-wide -> 1 of 2 bigrams rare
+    assert out[2].n_rare == 1 and out[2].novelty == 0.5
+    assert (out[4].n_bigrams, out[4].n_rare, out[4].novelty) == (0, 0, 0.0)
+
+
+def test_dsir_ranks_target_like_docs(spark):
+    """Docs sharing the target slice's bigrams outrank docs that
+    don't, and dsir_sample keeps exactly floor(frac * corpus)."""
+    from mondrian_rest_spark.operators import sampling
+    tgt = [(i, "the quick brown fox jumps over the lazy dog", "en")
+           for i in range(4)]
+    like = [(10, "the quick brown fox sleeps", "xx")]
+    unlike = [(11, "zzz qqq www eee rrr", "xx")]
+    df = spark.createDataFrame(tgt + like + unlike,
+                               ["doc_id", "text", "lang"])
+    scores = {r.doc_id: r.mean_weight for r in sampling.dsir_scores(
+        df, target_filter="lang = 'en'", dim=32).collect()}
+    assert scores[10] > scores[11]
+    kept = sampling.dsir_sample(df, target_filter="lang = 'en'",
+                                frac=0.5, dim=32).collect()
+    assert len(kept) == 3                      # floor(0.5 * 6)
+    assert all(r.mean_weight >= scores[11] for r in kept)
