@@ -1569,6 +1569,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["d13_duplicate_spans"] = lambda s, d: dedup.duplicate_spans(
         load_table(s, d, "documents"), n=5, min_docs=2)
 
+    # SPAN-level decontamination: eval passages (source = src0, the
+    # d08 held-out convention) quoted verbatim inside training docs —
+    # catches a benchmark question embedded in an otherwise-clean
+    # page, which whole-doc near-dup (d08) misses
+    def _contam_spans(s, d):
+        docs = load_table(s, d, "documents")
+        return dedup.contaminated_spans(
+            docs.filter(F.col("source") != "src0"),
+            docs.filter(F.col("source") == "src0"), n=5)
+    q["d14_contaminated_spans"] = _contam_spans
+
     # ---- similarity search ----
     q["s01_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         load_table(s, d, "embeddings"), query_vec_id=7, k=10)
@@ -4482,6 +4493,40 @@ def oracle_sql() -> dict[str, str]:
                     HAVING COUNT(DISTINCT doc_id) >= 2),
             occ AS (SELECT doc_id, pos AS s, pos + 4 AS e
                     FROM g JOIN dup USING (gr)),
+            m AS (SELECT doc_id, s, e,
+                         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pe
+                  FROM occ),
+            isl AS (SELECT doc_id, s, e,
+                           SUM(CASE WHEN pe IS NULL OR s > pe + 1
+                                    THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island
+                    FROM m)
+            SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+                   MAX(e) - MIN(s) + 1 AS span_tokens,
+                   COUNT(*) AS n_grams
+            FROM isl GROUP BY doc_id, island""",
+
+        "d14_contaminated_spans": r"""
+            WITH tr AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE source <> 'src0'),
+            ev AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE source = 'src0'),
+            g AS (
+              SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                     md5(array_to_string(t[i:i+4], ' ')) AS gr
+              FROM tr, unnest(range(1, greatest(len(t) - 4, 0) + 1))
+                         AS r(i)),
+            eg AS (
+              SELECT DISTINCT md5(array_to_string(t[i:i+4], ' ')) AS gr
+              FROM ev, unnest(range(1, greatest(len(t) - 4, 0) + 1))
+                         AS r(i)),
+            occ AS (SELECT doc_id, pos AS s, pos + 4 AS e
+                    FROM g JOIN eg USING (gr)),
             m AS (SELECT doc_id, s, e,
                          max(e) OVER (PARTITION BY doc_id ORDER BY s
                                       ROWS BETWEEN UNBOUNDED PRECEDING

@@ -1015,15 +1015,7 @@ def duplicate_spans(df: DataFrame, n: int = 5, min_docs: int = 2,
     aggregate per doc for a duplication-fraction quality signal."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    from pyspark.sql import Window
-    gram_expr = (
-        f"case when size(__tokens) < {n} then array() "
-        f"else transform(sequence(1, size(__tokens) - {n - 1}), "
-        f"i -> md5(array_join(slice(__tokens, i, {n}), ' '))) end")
-    pos = (df.withColumn("__tokens",
-                         F.split(F.trim(F.col(text_col)), r"\s+"))
-             .select(F.col(id_col),
-                     F.posexplode(F.expr(gram_expr)).alias("__pos", "__g")))
+    pos = _gram_positions(df, n, text_col, id_col)
     freq = (pos.groupBy("__g")
                .agg(F.countDistinct(id_col).alias("__nd"),
                     F.count(F.lit(1)).alias("__no")))
@@ -1034,6 +1026,30 @@ def duplicate_spans(df: DataFrame, n: int = 5, min_docs: int = 2,
     occ = (pos.join(dup, "__g")
               .select(id_col, F.col("__pos").alias("__start"),
                       (F.col("__pos") + F.lit(n - 1)).alias("__end")))
+    return _merge_islands(occ, id_col)
+
+
+def _gram_positions(df: DataFrame, n: int, text_col: str,
+                    id_col: str) -> DataFrame:
+    """(id, __pos, __g) — the md5 key of the length-``n`` token gram
+    starting at each 0-based token position (empty for docs shorter
+    than ``n`` tokens)."""
+    gram_expr = (
+        f"case when size(__tokens) < {n} then array() "
+        f"else transform(sequence(1, size(__tokens) - {n - 1}), "
+        f"i -> md5(array_join(slice(__tokens, i, {n}), ' '))) end")
+    return (df.withColumn("__tokens",
+                          F.split(F.trim(F.col(text_col)), r"\s+"))
+              .select(F.col(id_col),
+                      F.posexplode(F.expr(gram_expr)).alias("__pos", "__g")))
+
+
+def _merge_islands(occ: DataFrame, id_col: str) -> DataFrame:
+    """Merge overlapping-or-adjacent [__start, __end] intervals per
+    doc into maximal spans (gaps-and-islands: running max(end) window,
+    islands split where start > prev_max_end + 1).  The window
+    partitions by doc and sorts only that doc's flagged positions."""
+    from pyspark.sql import Window
     w_prev = (Window.partitionBy(id_col).orderBy("__start")
               .rowsBetween(Window.unboundedPreceding, -1))
     w_run = (Window.partitionBy(id_col).orderBy("__start")
@@ -1053,3 +1069,31 @@ def duplicate_spans(df: DataFrame, n: int = 5, min_docs: int = 2,
         id_col, "span_start", "span_end",
         (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         "n_grams")
+
+
+def contaminated_spans(train: DataFrame, eval_docs: DataFrame,
+                       n: int = 5, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """SPAN-level benchmark decontamination: the maximal passages of
+    each TRAINING document that appear verbatim (at n-gram
+    granularity) anywhere in the EVAL set — the exact-overlap
+    counterpart of :func:`contamination_pairs` (which flags whole
+    near-dup docs and misses a benchmark question quoted inside an
+    otherwise-clean page; span granularity is how the GPT-3/PaLM
+    reports measured contamination).
+
+    The eval side reduces to its DISTINCT gram-key set before the
+    join — benchmarks are thousands of docs, so at 100 TB that set
+    broadcasts and the train side never shuffles: one gram explode
+    over train, a broadcast hash join, and the per-doc island merge.
+    Returns d13's span schema on train ids; compose with
+    ``pipeline.trim_duplicate_spans``-style trimming or drop docs by
+    contamination fraction (``span_tokens`` summed per doc / doc
+    tokens)."""
+    train_pos = _gram_positions(train, n, text_col, id_col)
+    eval_grams = (_gram_positions(eval_docs, n, text_col, id_col)
+                  .select("__g").distinct())
+    occ = (train_pos.join(F.broadcast(eval_grams), "__g")
+           .select(id_col, F.col("__pos").alias("__start"),
+                   (F.col("__pos") + F.lit(n - 1)).alias("__end")))
+    return _merge_islands(occ, id_col)

@@ -1884,3 +1884,18 @@ def test_dsir_ranks_target_like_docs(spark):
                                 frac=0.5, dim=32).collect()
     assert len(kept) == 3                      # floor(0.5 * 6)
     assert all(r.mean_weight >= scores[11] for r in kept)
+
+
+def test_contaminated_spans_eval_quotes_only(spark):
+    """Only the quoted eval passage flags inside a training doc —
+    train-train repeats do NOT (decontamination is vs the eval set,
+    not self-dedup), and eval-side docs never appear in the output."""
+    train = spark.createDataFrame(
+        [(1, "intro THE EVAL QUESTION TEXT HERE outro shared shared2 s3"),
+         (2, "clean page shared shared2 s3 nothing from any benchmark")],
+        ["doc_id", "text"])
+    eval_docs = spark.createDataFrame(
+        [(100, "THE EVAL QUESTION TEXT HERE")], ["doc_id", "text"])
+    got = dedup.contaminated_spans(train, eval_docs, n=3).collect()
+    assert [(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in got] == [(1, 1, 5, 5)]
