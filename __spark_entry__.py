@@ -1907,6 +1907,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fromlist=["trim_duplicate_spans"]).trim_duplicate_spans(
         load_table(s, d, "documents"), n=5, min_docs=2)
 
+    # operational decontamination policy: drop docs over the
+    # contamination fraction, trim the eval spans out of the rest
+    def _decontam_corpus(s, d):
+        from mondrian_rest_spark.operators.pipeline import (
+            decontaminate_corpus)
+        docs = load_table(s, d, "documents")
+        return decontaminate_corpus(
+            docs.filter(F.col("source") != "src0"),
+            docs.filter(F.col("source") == "src0"),
+            n=5, max_fraction=0.2)
+    q["x09_decontaminate_corpus"] = _decontam_corpus
+
     # DSIR-style importance resampling (arXiv:2302.03169): keep the
     # quarter of the corpus whose hashed-bigram profile looks most
     # like the English target slice, ranked by the integer log2-proxy
@@ -4588,6 +4600,65 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(tot.total, 0) - COALESCE(kept.n_tokens_kept, 0)
                      AS removed_tokens
             FROM documents d
+            LEFT JOIN kept USING (doc_id)
+            LEFT JOIN tot USING (doc_id)""",
+
+        "x09_decontaminate_corpus": r"""
+            WITH tr AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE source <> 'src0'),
+            ev AS (
+              SELECT string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE source = 'src0'),
+            g AS (
+              SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                     md5(array_to_string(t[i:i+4], ' ')) AS gr
+              FROM tr, unnest(range(1, greatest(len(t) - 4, 0) + 1))
+                         AS r(i)),
+            eg AS (
+              SELECT DISTINCT md5(array_to_string(t[i:i+4], ' ')) AS gr
+              FROM ev, unnest(range(1, greatest(len(t) - 4, 0) + 1))
+                         AS r(i)),
+            occ AS (SELECT doc_id, pos AS s, pos + 4 AS e
+                    FROM g JOIN eg USING (gr)),
+            m AS (SELECT doc_id, s, e,
+                         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pe
+                  FROM occ),
+            isl AS (SELECT doc_id, s, e,
+                           SUM(CASE WHEN pe IS NULL OR s > pe + 1
+                                    THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island
+                    FROM m),
+            spans AS (SELECT doc_id, MIN(s) AS ss, MAX(e) AS se,
+                             MAX(e) - MIN(s) + 1 AS stok
+                      FROM isl GROUP BY doc_id, island),
+            contam AS (SELECT doc_id, SUM(stok) AS ct FROM spans
+                       GROUP BY doc_id),
+            surv AS (SELECT tr.doc_id, tr.t
+                     FROM tr LEFT JOIN contam USING (doc_id)
+                     WHERE COALESCE(ct, 0) <= len(tr.t) * 0.2),
+            tok AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, t[i] AS w
+                    FROM surv, unnest(range(1, len(t) + 1)) AS r(i)),
+            kept AS (
+              SELECT tok.doc_id,
+                     string_agg(tok.w, ' ' ORDER BY tok.pos) AS clean_text,
+                     COUNT(*) AS n_tokens_kept
+              FROM tok
+              WHERE NOT EXISTS (SELECT 1 FROM spans
+                                WHERE spans.doc_id = tok.doc_id
+                                  AND tok.pos BETWEEN spans.ss AND spans.se)
+              GROUP BY tok.doc_id),
+            tot AS (SELECT doc_id, COUNT(*) AS total FROM tok
+                    GROUP BY doc_id)
+            SELECT s.doc_id,
+                   COALESCE(kept.clean_text, '') AS clean_text,
+                   COALESCE(kept.n_tokens_kept, 0) AS n_tokens_kept,
+                   COALESCE(tot.total, 0) - COALESCE(kept.n_tokens_kept, 0)
+                     AS removed_tokens
+            FROM surv s
             LEFT JOIN kept USING (doc_id)
             LEFT JOIN tot USING (doc_id)""",
 

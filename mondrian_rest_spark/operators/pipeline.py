@@ -208,6 +208,14 @@ def trim_duplicate_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
     spans = dedup.duplicate_spans(docs, n=n, min_docs=min_docs,
                                   min_occurrences=min_occurrences,
                                   text_col=text_col, id_col=id_col)
+    return _trim_spans(docs, spans, text_col, id_col)
+
+
+def _trim_spans(docs: DataFrame, spans: DataFrame, text_col: str,
+                id_col: str) -> DataFrame:
+    """Cut a span frame (d13 schema: id, span_start, span_end) out of
+    each doc's token stream; shared by the self-dedup trim and the
+    decontamination trim."""
     toks = (docs
             .withColumn("__tokens",
                         F.split(F.trim(F.col(text_col)), r"\s+"))
@@ -236,3 +244,36 @@ def trim_duplicate_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
                 (F.coalesce("__total", F.lit(0).cast("long")) -
                  F.coalesce("n_tokens_kept", F.lit(0).cast("long")))
                  .alias("removed_tokens")))
+
+
+def decontaminate_corpus(train: DataFrame, eval_docs: DataFrame,
+                         n: int = 5, max_fraction: float = 0.2,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """The operational decontamination policy over
+    :func:`dedup.contaminated_spans` (what the Dolma/RedPajama-class
+    pipelines run): documents whose contaminated-token fraction
+    exceeds ``max_fraction`` DROP entirely (a page that is mostly a
+    benchmark dump is unsalvageable and its surrounding text is
+    suspect); lighter hits get the eval spans TRIMMED out; clean docs
+    pass through.  One span computation feeds both the fraction gate
+    and the trim — Catalyst shares the lineage.
+
+    Returns ``(id, clean_text, n_tokens_kept, removed_tokens)`` for
+    the SURVIVORS only (dropped docs are absent — unlike the x07 trim,
+    disappearance here is the policy).  ``removed_tokens > 0`` rows
+    are the trimmed ones, so the output doubles as the audit frame."""
+    spans = dedup.contaminated_spans(train, eval_docs, n=n,
+                                     text_col=text_col, id_col=id_col)
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.sum("span_tokens").alias("__contam")))
+    totals = (train
+              .select(F.col(id_col),
+                      F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+                       .alias("__nt")))
+    dropped = (totals.join(per_doc, id_col)
+               .filter(F.col("__contam") >
+                       F.col("__nt") * F.lit(max_fraction))
+               .select(id_col))
+    survivors = train.join(dropped, on=id_col, how="left_anti")
+    return _trim_spans(survivors, spans, text_col, id_col)

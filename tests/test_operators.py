@@ -1899,3 +1899,24 @@ def test_contaminated_spans_eval_quotes_only(spark):
     got = dedup.contaminated_spans(train, eval_docs, n=3).collect()
     assert [(r.doc_id, r.span_start, r.span_end, r.span_tokens)
             for r in got] == [(1, 1, 5, 5)]
+
+
+def test_decontaminate_corpus_policy(spark):
+    """Heavy contamination drops the doc, light contamination trims
+    the quoted span, clean docs pass through."""
+    from mondrian_rest_spark.operators import pipeline
+    train = spark.createDataFrame(
+        [(1, "THE EVAL QUESTION TEXT HERE plus one extra"),       # 5/8 > 0.2 -> drop
+         (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 "
+             "w16 w17 w18 w19 w20 THE EVAL QUESTION TEXT HERE"),  # 5/25 = 0.2 -> trim
+         (3, "completely clean document body")],
+        ["doc_id", "text"])
+    eval_docs = spark.createDataFrame(
+        [(100, "THE EVAL QUESTION TEXT HERE")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in pipeline.decontaminate_corpus(
+        train, eval_docs, n=3, max_fraction=0.2).collect()}
+    assert set(out) == {2, 3}
+    assert out[2].removed_tokens == 5
+    assert out[2].clean_text == " ".join(f"w{i}" for i in range(1, 21))
+    assert out[3].removed_tokens == 0
+    assert out[3].clean_text == "completely clean document body"
