@@ -1071,9 +1071,22 @@ def _merge_islands(occ: DataFrame, id_col: str) -> DataFrame:
         "n_grams")
 
 
-def contaminated_spans(train: DataFrame, eval_docs: DataFrame,
+def build_eval_gram_index(eval_docs: DataFrame, n: int = 5,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """The frozen span-decontamination index: the eval set's DISTINCT
+    gram-key frame.  Benchmarks are small and change rarely — build
+    once, ``persist()``, and share across batch jobs and the streaming
+    ingest filter (refresh = rebuild this tiny frame, not the corpus
+    side).  One row per distinct gram, ~32 bytes each."""
+    return (_gram_positions(eval_docs, n, text_col, id_col)
+            .select("__g").distinct())
+
+
+def contaminated_spans(train: DataFrame, eval_docs: DataFrame | None = None,
                        n: int = 5, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       eval_grams: DataFrame | None = None) -> DataFrame:
     """SPAN-level benchmark decontamination: the maximal passages of
     each TRAINING document that appear verbatim (at n-gram
     granularity) anywhere in the EVAL set — the exact-overlap
@@ -1089,10 +1102,18 @@ def contaminated_spans(train: DataFrame, eval_docs: DataFrame,
     Returns d13's span schema on train ids; compose with
     ``pipeline.trim_duplicate_spans``-style trimming or drop docs by
     contamination fraction (``span_tokens`` summed per doc / doc
-    tokens)."""
+    tokens).
+
+    Pass either ``eval_docs`` (the gram index is built inline) or a
+    prebuilt/persisted ``eval_grams`` from
+    :func:`build_eval_gram_index` (the streaming ingest filter and
+    any job that reuses one benchmark set across many corpora)."""
+    if eval_grams is None:
+        if eval_docs is None:
+            raise ValueError(
+                "contaminated_spans needs eval_docs or eval_grams")
+        eval_grams = build_eval_gram_index(eval_docs, n, text_col, id_col)
     train_pos = _gram_positions(train, n, text_col, id_col)
-    eval_grams = (_gram_positions(eval_docs, n, text_col, id_col)
-                  .select("__g").distinct())
     occ = (train_pos.join(F.broadcast(eval_grams), "__g")
            .select(id_col, F.col("__pos").alias("__start"),
                    (F.col("__pos") + F.lit(n - 1)).alias("__end")))

@@ -246,10 +246,11 @@ def _trim_spans(docs: DataFrame, spans: DataFrame, text_col: str,
                  .alias("removed_tokens")))
 
 
-def decontaminate_corpus(train: DataFrame, eval_docs: DataFrame,
+def decontaminate_corpus(train: DataFrame, eval_docs: DataFrame | None = None,
                          n: int = 5, max_fraction: float = 0.2,
                          text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         eval_grams: DataFrame | None = None) -> DataFrame:
     """The operational decontamination policy over
     :func:`dedup.contaminated_spans` (what the Dolma/RedPajama-class
     pipelines run): documents whose contaminated-token fraction
@@ -264,7 +265,8 @@ def decontaminate_corpus(train: DataFrame, eval_docs: DataFrame,
     disappearance here is the policy).  ``removed_tokens > 0`` rows
     are the trimmed ones, so the output doubles as the audit frame."""
     spans = dedup.contaminated_spans(train, eval_docs, n=n,
-                                     text_col=text_col, id_col=id_col)
+                                     text_col=text_col, id_col=id_col,
+                                     eval_grams=eval_grams)
     per_doc = (spans.groupBy(id_col)
                .agg(F.sum("span_tokens").alias("__contam")))
     totals = (train

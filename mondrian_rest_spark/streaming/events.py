@@ -494,3 +494,45 @@ def streaming_jaccard_ingest_incremental(stream: DataFrame, spark,
             .foreachBatch(_process)
             .trigger(availableNow=True)
             .start())
+
+
+def streaming_decontaminate_ingest(stream: DataFrame, eval_grams,
+                                   n: int = 5, max_fraction: float = 0.2,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   on_batch=None):
+    """Ingest-time benchmark decontamination — the streaming analog of
+    the batch policy (operators/pipeline.decontaminate_corpus, x09):
+    arriving documents are checked against a FROZEN eval gram index
+    (``eval_grams`` from operators/dedup.build_eval_gram_index —
+    persist it; benchmarks change rarely, refresh = rebuild the tiny
+    index, never the stream).  Heavily contaminated docs (fraction >
+    ``max_fraction``) drop; lighter hits arrive at ``on_batch`` with
+    the eval spans already trimmed out of ``text_col`` (plus a
+    ``removed_tokens`` audit column); clean docs pass through
+    verbatim.
+
+    Runs inside ``foreachBatch`` so each micro-batch reuses the BATCH
+    operator verbatim (the structural-parity convention of the other
+    ingest filters here) — the span join is batch-grams × broadcast
+    eval index, so per-batch cost is linear in the batch and
+    independent of corpus history.  Within-stream duplication is a
+    different concern (streaming_dedup / the jaccard ingests)."""
+    from ..operators.pipeline import decontaminate_corpus
+
+    def _process(batch_df, batch_id):
+        cleaned = decontaminate_corpus(
+            batch_df, n=n, max_fraction=max_fraction,
+            text_col=text_col, id_col=id_col, eval_grams=eval_grams)
+        out = (batch_df.drop(text_col)
+               .join(cleaned
+                     .withColumnRenamed("clean_text", text_col)
+                     .select(id_col, text_col, "removed_tokens"),
+                     on=id_col, how="inner"))
+        if on_batch is not None:
+            on_batch(out, batch_id)
+
+    return (stream.writeStream
+            .foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start())

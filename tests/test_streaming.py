@@ -734,3 +734,57 @@ def test_streaming_ingest_concurrent_with_rest_reads(spark, sf_dir,
     assert set(got) == set(exp)
     for y, v in exp.items():
         assert abs(float(got[y]) - v) < 1e-6 * max(1.0, abs(v)), y
+
+
+def test_streaming_decontaminate_ingest_matches_batch(spark, tmp_path):
+    """Ingest-time span decontamination: streaming output must equal
+    the batch policy run over the same arrivals — heavy contamination
+    dropped, light hits trimmed, clean docs verbatim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mondrian_rest_spark.operators import dedup, pipeline
+    from mondrian_rest_spark.streaming.events import (
+        streaming_decontaminate_ingest)
+
+    eval_docs = spark.createDataFrame(
+        [(100, "THE EVAL QUESTION TEXT HERE")], ["doc_id", "text"])
+    arriving = [
+        (201, "THE EVAL QUESTION TEXT HERE plus one extra"),   # drop
+        (202, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 "
+              "w16 w17 w18 w19 w20 THE EVAL QUESTION TEXT HERE"),  # trim
+        (203, "completely clean arriving document body"),      # keep
+    ]
+    arr = spark.createDataFrame(arriving, ["doc_id", "text"])
+
+    grams = dedup.build_eval_gram_index(eval_docs, n=3)
+    grams.persist().count()
+
+    batch = {r.doc_id: r for r in pipeline.decontaminate_corpus(
+        arr, n=3, max_fraction=0.2, eval_grams=grams).collect()}
+    assert set(batch) == {202, 203}
+
+    d = tmp_path / "decontam_arrivals"
+    d.mkdir()
+    for i, row in enumerate(arriving):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([row[0]], pa.int64()),
+            "text": pa.array([row[1]], pa.string())}),
+            str(d / f"f{i}.parquet"))
+    stream = (spark.readStream
+              .schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d)))
+    got: dict = {}
+    q = streaming_decontaminate_ingest(
+        stream, grams, n=3, max_fraction=0.2,
+        on_batch=lambda df, _bid: got.update(
+            {r.doc_id: r for r in df.collect()}))
+    q.awaitTermination(180)
+    assert set(got) == set(batch)
+    for i in got:
+        assert got[i].text == batch[i].clean_text
+        assert got[i].removed_tokens == batch[i].removed_tokens
+    assert got[202].removed_tokens == 5
+    assert got[203].text == arriving[2][1]
+    grams.unpersist()
