@@ -443,6 +443,8 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             "quality": textstats.quality_score,
             "language": textstats.language_id,
             "fingerprint": textstats.fingerprint,
+            # r14: rare-bigram novelty (LM-perplexity stand-in)
+            "novelty": textstats.bigram_novelty,
         }
         metric = request.args.get("metric", "quality")
         if metric not in fns:
@@ -508,10 +510,38 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
                                     "hot_buckets": [
                                         {"shingle": s, "bucket_size": c}
                                         for s, c in e.buckets]}), 400
+        elif method == "semantic":
+            # SemDeDup pairs over the embeddings table (r14); the
+            # CellSkewError quadratic guard surfaces as a 400 naming
+            # the hot cells, like the jaccard path's skew guard
+            from .operators import similarity
+            cells = _int(request.args, "n_cells")
+            cap = _int(request.args, "max_cell_rows")
+            try:
+                df = similarity.semantic_dedup_pairs(
+                    load_table(get_spark(), sf_dir, "embeddings"),
+                    threshold=_float(request.args, "threshold", 0.8),
+                    n_cells=16 if cells is None else cells,
+                    max_cell_rows=cap)
+            except similarity.CellSkewError as e:
+                return jsonify({"error": str(e),
+                                "hot_cells": [
+                                    {"cell_id": c, "rows": r}
+                                    for c, r in e.cells]}), 400
+        elif method == "spans":
+            # duplicated n-gram spans (r14, ExactSubstr granularity)
+            ng = _int(request.args, "n")
+            md = _int(request.args, "min_docs")
+            mo = _int(request.args, "min_occurrences")
+            df = dedup.duplicate_spans(
+                docs, n=5 if ng is None else ng,
+                min_docs=2 if md is None else md,
+                min_occurrences=mo)
         else:
             raise ParseError(
                 f"unknown dedup method {method!r} "
-                "(have ['exact', 'minhash', 'simhash', 'jaccard'])")
+                "(have ['exact', 'minhash', 'simhash', 'jaccard', "
+                "'semantic', 'spans'])")
         try:
             return _frame_json(df, _corpus_limit(request.args))
         finally:
@@ -572,11 +602,26 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         docs = load_table(get_spark(), sf_dir, "documents")
         train = docs.filter(F.col("source") != eval_source)
         held = docs.filter(F.col("source") == eval_source)
-        out = dedup.decontaminate(
-            train, held,
-            threshold=_float(request.args, "threshold", 0.5))
-        return _frame_json(out.select("doc_id", "source"),
-                           _corpus_limit(request.args))
+        mode = request.args.get("mode", "neardup")
+        if mode == "neardup":
+            out = dedup.decontaminate(
+                train, held,
+                threshold=_float(request.args, "threshold", 0.5))
+            out = out.select("doc_id", "source")
+        elif mode == "spans":
+            # r14: span-level policy (x09) — heavy docs dropped,
+            # lighter hits returned with the eval spans trimmed and a
+            # removed_tokens audit column
+            from .operators.pipeline import decontaminate_corpus
+            ng = _int(request.args, "n")
+            out = decontaminate_corpus(
+                train, held, n=5 if ng is None else ng,
+                max_fraction=_float(request.args, "max_fraction", 0.2))
+        else:
+            raise ParseError(
+                f"unknown decontaminate mode {mode!r} "
+                "(have ['neardup', 'spans'])")
+        return _frame_json(out, _corpus_limit(request.args))
 
     @app.get("/advisor/rollups")
     def advisor_rollups():

@@ -1375,3 +1375,66 @@ def test_cut_member_not_found_maps_400(client):
         ("measures[]", "Revenue"),
         ("cut[]", "([Time].[Year].[1993]:[Time].[Year].[1996])")])
     assert r3.status_code == 200
+
+
+def test_corpus_dedup_semantic_and_spans_routes(client, spark, sf_dir):
+    """r14 dedup modes through the REST surface: SemDeDup pairs
+    (embeddings) with the CellSkewError 400, and duplicated n-gram
+    spans (documents), both value-identical to the library ops."""
+    from mondrian_rest_spark.operators import dedup, similarity
+    from mondrian_rest_spark.sources.registry import load_table
+
+    r = client.get("/corpus/dedup?method=semantic&threshold=0.4"
+                   "&n_cells=8&limit=5000")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert {"a_id", "b_id", "cell_id", "cosine"} <= set(body["columns"])
+    lib = similarity.semantic_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4,
+        n_cells=8).count()
+    assert body["returned"] == min(lib, 5000) and lib > 0
+
+    # degenerate clustering -> loud 400 naming the hot cells
+    r2 = client.get("/corpus/dedup?method=semantic&threshold=0.4"
+                    "&n_cells=1&max_cell_rows=10")
+    assert r2.status_code == 400
+    assert "hot_cells" in r2.get_json()
+
+    r3 = client.get("/corpus/dedup?method=spans&n=5&min_docs=2&limit=5000")
+    assert r3.status_code == 200
+    body3 = r3.get_json()
+    assert {"span_start", "span_end", "span_tokens"} <= set(body3["columns"])
+    lib3 = dedup.duplicate_spans(
+        load_table(spark, sf_dir, "documents"), n=5, min_docs=2).count()
+    assert body3["returned"] == min(lib3, 5000) and lib3 > 0
+
+
+def test_corpus_decontaminate_spans_mode(client, spark, sf_dir):
+    """The span policy mode returns trimmed survivors with the audit
+    column; unknown modes 400."""
+    r = client.get("/corpus/decontaminate?eval_source=src0&mode=spans"
+                   "&limit=5000")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert {"clean_text", "n_tokens_kept", "removed_tokens"} <= \
+        set(body["columns"])
+    import pyspark.sql.functions as F
+
+    from mondrian_rest_spark.operators.pipeline import decontaminate_corpus
+    from mondrian_rest_spark.sources.registry import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    lib = decontaminate_corpus(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=5, max_fraction=0.2).count()
+    assert body["returned"] == min(lib, 5000)
+    assert client.get("/corpus/decontaminate?eval_source=src0&mode=x"
+                      ).status_code == 400
+
+
+def test_corpus_stats_novelty_metric(client, spark, sf_dir):
+    r = client.get("/corpus/stats?metric=novelty&limit=5")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert {"n_bigrams", "n_rare", "novelty"} <= set(body["columns"])
+    assert body["returned"] == 5
