@@ -1487,6 +1487,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id", F.posexplode("features")
                 .alias("feature_idx", "count")))
 
+    # corpus duplication report: the ExactSubstr paper's headline
+    # statistic per source (what fraction of tokens sit inside
+    # duplicated passages) — the frame a curation run reads before
+    # setting per-source trim/drop policy
+    q["t15_duplication_profile"] = lambda s, d: dedup.duplication_profile(
+        load_table(s, d, "documents"), n=5, min_docs=2)
+
     # rare-bigram novelty: the integer-exact stand-in for an
     # LM-perplexity quality filter (high = gibberish/OCR noise,
     # low = boilerplate)
@@ -4554,6 +4561,51 @@ def oracle_sql() -> dict[str, str]:
                    MAX(e) - MIN(s) + 1 AS span_tokens,
                    COUNT(*) AS n_grams
             FROM isl GROUP BY doc_id, island""",
+
+        "t15_duplication_profile": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                     md5(array_to_string(t[i:i+4], ' ')) AS gr
+              FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1))
+                           AS r(i)),
+            dup AS (SELECT gr FROM g GROUP BY gr
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            occ AS (SELECT doc_id, pos AS s, pos + 4 AS e
+                    FROM g JOIN dup USING (gr)),
+            m AS (SELECT doc_id, s, e,
+                         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pe
+                  FROM occ),
+            isl AS (SELECT doc_id, s, e,
+                           SUM(CASE WHEN pe IS NULL OR s > pe + 1
+                                    THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island
+                    FROM m),
+            spans AS (SELECT doc_id, MAX(e) - MIN(s) + 1 AS stok
+                      FROM isl GROUP BY doc_id, island),
+            pd AS (SELECT doc_id, SUM(stok) AS dup_t FROM spans
+                   GROUP BY doc_id),
+            base AS (
+              SELECT d.doc_id, d.source,
+                     CAST(len(string_split_regex(trim(d.text), '\s+'))
+                          AS BIGINT) AS nt,
+                     pd.dup_t
+              FROM documents d LEFT JOIN pd USING (doc_id))
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN dup_t IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_with_dups,
+                   CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                   CAST(COALESCE(SUM(dup_t), 0) AS BIGINT)
+                     AS duplicated_tokens,
+                   round(COALESCE(SUM(dup_t), 0) * 1.0 /
+                         greatest(SUM(nt), 1), 6) AS dup_token_fraction
+            FROM base GROUP BY source""",
 
         "x07_trim_duplicate_spans": r"""
             WITH toks AS (

@@ -621,7 +621,10 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             raise ParseError(
                 f"unknown decontaminate mode {mode!r} "
                 "(have ['neardup', 'spans'])")
-        return _frame_json(out, _corpus_limit(request.args))
+        try:
+            return _frame_json(out, _corpus_limit(request.args))
+        finally:
+            dedup.unpersist_request_frames(out)
 
     @app.get("/advisor/rollups")
     def advisor_rollups():

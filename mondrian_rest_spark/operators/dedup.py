@@ -1118,3 +1118,40 @@ def contaminated_spans(train: DataFrame, eval_docs: DataFrame | None = None,
            .select(id_col, F.col("__pos").alias("__start"),
                    (F.col("__pos") + F.lit(n - 1)).alias("__end")))
     return _merge_islands(occ, id_col)
+
+
+def duplication_profile(df: DataFrame, n: int = 5, min_docs: int = 2,
+                        group_col: str = "source",
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """The corpus duplication report (the headline statistic of the
+    ExactSubstr paper — "what fraction of tokens sit inside duplicated
+    passages", per source/domain): d13's spans aggregated per doc,
+    joined back to the doc spine, rolled up by ``group_col``.
+
+    Returns ``(group_col, n_docs, docs_with_dups, total_tokens,
+    duplicated_tokens, dup_token_fraction)`` — the frame a curation
+    run reads before deciding per-source trim/drop policy.  Cost is
+    d13 plus one doc-keyed aggregate and one group rollup."""
+    spans = duplicate_spans(df, n=n, min_docs=min_docs,
+                            text_col=text_col, id_col=id_col)
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.sum("span_tokens").alias("__dup")))
+    base = (df.select(F.col(id_col), F.col(group_col),
+                      F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+                       .cast("long").alias("__nt"))
+            .join(per_doc, id_col, "left"))
+    return (base.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("__dup").isNotNull(), 1)
+                        .otherwise(0).cast("long")).alias("docs_with_dups"),
+                 F.sum("__nt").alias("total_tokens"),
+                 F.coalesce(F.sum("__dup"), F.lit(0).cast("long"))
+                  .alias("duplicated_tokens"))
+            .select(group_col, "n_docs", "docs_with_dups", "total_tokens",
+                    F.coalesce("duplicated_tokens", F.lit(0).cast("long"))
+                     .alias("duplicated_tokens"),
+                    F.round(F.coalesce("duplicated_tokens",
+                                       F.lit(0).cast("long")) /
+                            F.greatest("total_tokens", F.lit(1)), 6)
+                     .alias("dup_token_fraction")))

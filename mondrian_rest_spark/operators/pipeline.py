@@ -215,27 +215,38 @@ def _trim_spans(docs: DataFrame, spans: DataFrame, text_col: str,
                 id_col: str) -> DataFrame:
     """Cut a span frame (d13 schema: id, span_start, span_end) out of
     each doc's token stream; shared by the self-dedup trim and the
-    decontamination trim."""
+    decontamination trim.
+
+    SINGLE-pass shape: the exploded tokens join the span frame once
+    (doc-keyed range condition — merged spans are disjoint, so each
+    token matches at most one span and the join never multiplies
+    rows), then ONE per-doc aggregate computes the total, the kept
+    count, and the reassembled text together (``collect_list`` skips
+    the nulls the CASE leaves on covered tokens).  An earlier draft
+    derived the token explode three times (coverage, keep, totals) —
+    three corpus scans the optimizer would not fuse."""
+    sp = spans.select(F.col(id_col).alias("__sid"),
+                      "span_start", "span_end")
     toks = (docs
             .withColumn("__tokens",
                         F.split(F.trim(F.col(text_col)), r"\s+"))
             .select(F.col(id_col),
                     F.posexplode("__tokens").alias("__pos", "__tok")))
-    covered = (toks.join(spans, on=id_col)
-                   .filter((F.col("__pos") >= F.col("span_start")) &
-                           (F.col("__pos") <= F.col("span_end")))
-                   .select(id_col, "__pos"))
-    kept = (toks.join(covered, on=[id_col, "__pos"], how="left_anti")
-                .groupBy(id_col)
-                .agg(F.expr("array_join(transform(array_sort("
-                            "collect_list(struct(__pos, __tok))), "
-                            "x -> x.__tok), ' ')").alias("clean_text"),
-                     F.count(F.lit(1)).alias("n_tokens_kept")))
-    n_toks = (toks.groupBy(id_col)
-                  .agg(F.count(F.lit(1)).alias("__total")))
+    j = toks.join(
+        sp, (toks[id_col] == sp["__sid"]) &
+            (F.col("__pos") >= F.col("span_start")) &
+            (F.col("__pos") <= F.col("span_end")),
+        "left")
+    per = (j.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("__total"),
+                F.sum(F.when(F.col("span_start").isNull(), 1)
+                       .otherwise(0).cast("long")).alias("n_tokens_kept"),
+                F.expr("array_join(transform(array_sort(collect_list("
+                       "case when span_start is null "
+                       "then struct(__pos, __tok) end)), "
+                       "x -> x.__tok), ' ')").alias("clean_text")))
     return (docs.select(id_col)
-            .join(kept, id_col, "left")
-            .join(n_toks, id_col, "left")
+            .join(per, id_col, "left")
             .select(
                 id_col,
                 F.coalesce("clean_text", F.lit("")).alias("clean_text"),
@@ -258,7 +269,13 @@ def decontaminate_corpus(train: DataFrame, eval_docs: DataFrame | None = None,
     benchmark dump is unsalvageable and its surrounding text is
     suspect); lighter hits get the eval spans TRIMMED out; clean docs
     pass through.  One span computation feeds both the fraction gate
-    and the trim — Catalyst shares the lineage.
+    and the trim: the span frame (one row per contaminated passage —
+    tiny next to the corpus) is request-PERSISTED so the gate's
+    anti-join and the trim's coverage join read the same cache
+    instead of re-running the gram explode per reference (the
+    unpersisted draft planned the span lineage 4x — four corpus
+    scans).  Free it after materializing via
+    ``dedup.unpersist_request_frames`` (the /corpus route convention).
 
     Returns ``(id, clean_text, n_tokens_kept, removed_tokens)`` for
     the SURVIVORS only (dropped docs are absent — unlike the x07 trim,
@@ -266,7 +283,7 @@ def decontaminate_corpus(train: DataFrame, eval_docs: DataFrame | None = None,
     are the trimmed ones, so the output doubles as the audit frame."""
     spans = dedup.contaminated_spans(train, eval_docs, n=n,
                                      text_col=text_col, id_col=id_col,
-                                     eval_grams=eval_grams)
+                                     eval_grams=eval_grams).persist()
     per_doc = (spans.groupBy(id_col)
                .agg(F.sum("span_tokens").alias("__contam")))
     totals = (train
@@ -278,4 +295,5 @@ def decontaminate_corpus(train: DataFrame, eval_docs: DataFrame | None = None,
                        F.col("__nt") * F.lit(max_fraction))
                .select(id_col))
     survivors = train.join(dropped, on=id_col, how="left_anti")
-    return _trim_spans(survivors, spans, text_col, id_col)
+    return dedup._tag_persisted(
+        _trim_spans(survivors, spans, text_col, id_col), spans)

@@ -518,6 +518,7 @@ def streaming_decontaminate_ingest(stream: DataFrame, eval_grams,
     eval index, so per-batch cost is linear in the batch and
     independent of corpus history.  Within-stream duplication is a
     different concern (streaming_dedup / the jaccard ingests)."""
+    from ..operators.dedup import unpersist_request_frames
     from ..operators.pipeline import decontaminate_corpus
 
     def _process(batch_df, batch_id):
@@ -531,6 +532,10 @@ def streaming_decontaminate_ingest(stream: DataFrame, eval_grams,
                      on=id_col, how="inner"))
         if on_batch is not None:
             on_batch(out, batch_id)
+        # free the per-batch request-persisted span frame — a
+        # long-running stream otherwise accumulates one cache per
+        # micro-batch
+        unpersist_request_frames(cleaned)
 
     return (stream.writeStream
             .foreachBatch(_process)

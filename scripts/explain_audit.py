@@ -75,7 +75,11 @@ AUDIT = ["q02_region_revenue", "q03_crossjoin_3d", "q04_cut_member",
          "q115_mdx_virtual_dense_day_union",
          "q116_rollup_routed_gs_dense",
          "q117_rollup_routed_dense_generate",
-         "q118_rollup_routed_ptd"]
+         "q118_rollup_routed_ptd",
+         "d12_semantic_dedup", "d13_duplicate_spans",
+         "d14_contaminated_spans", "t14_bigram_novelty",
+         "x07_trim_duplicate_spans", "x08_dsir_sample",
+         "x09_decontaminate_corpus"]
 
 # per-query caveats the static plan can't show (r12, VERDICT r11 #2)
 NOTES = {
@@ -97,6 +101,23 @@ NOTES = {
         "its OWN date column (ship_date / order_date), renamed to the "
         "first cube's alias pre-join; both day derivations push to "
         "their fact scans."),
+    "d12_semantic_dedup": (
+        "NOTE: SemDeDup (r14) — the within-cell pair join shuffles "
+        "ONLY (cell_id, id); the wide embedding arrays hash-join back "
+        "onto candidates by id afterwards (the d06 narrow-shuffle "
+        "shape, plan-asserted in "
+        "`test_semantic_dedup_pair_join_is_narrow`).  Cost is "
+        "Σ cellᵢ², bounded loud by CellSkewError."),
+    "x09_decontaminate_corpus": (
+        "CAVEAT: the span lineage printed twice here is the "
+        "request-persisted span frame's BUILD lineage — execution "
+        "fills the cache once and both the fraction gate and the trim "
+        "read it (InMemoryTableScan asserted in "
+        "`test_decontaminate_spans_frame_stays_persisted`)."),
+    "x08_dsir_sample": (
+        "NOTE: DSIR (r14) — the bucket weight table is <= dim rows "
+        "and broadcasts onto the per-doc bucket counts; the final "
+        "orderBy+limit is a TakeOrdered, not a global sort."),
     "d11_neardup_jaccard_spill": (
         "CAVEAT: the static plan shows ~32 scans of the docs parquet, "
         "but the shingle/prefix/hot frames are request-persisted "

@@ -1920,3 +1920,54 @@ def test_decontaminate_corpus_policy(spark):
     assert out[2].clean_text == " ".join(f"w{i}" for i in range(1, 21))
     assert out[3].removed_tokens == 0
     assert out[3].clean_text == "completely clean document body"
+
+
+def test_decontaminate_spans_frame_stays_persisted(spark, sf_dir):
+    """x09's span frame feeds both the fraction gate and the trim —
+    request-persisted so execution runs the gram explode once (the
+    unpersisted draft planned it 4x).  Tripwire mirrors the d11
+    persist guard: the tagged frame must carry a storage level and
+    the executed plan must read from the cache."""
+    from mondrian_rest_spark.operators import pipeline
+    from mondrian_rest_spark.sources.registry import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    out = pipeline.decontaminate_corpus(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"), n=5, max_fraction=0.2)
+    tagged = getattr(out, "_mrs_request_persisted", [])
+    assert len(tagged) == 1
+    lvl = tagged[0].storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    assert out.count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    dedup.unpersist_request_frames(out)
+    lvl = tagged[0].storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+
+
+def test_semantic_dedup_pair_join_is_narrow(spark, sf_dir):
+    """The within-cell self-join must move only (cell_id, id) — the
+    wide embedding arrays join back AFTER candidate generation (the
+    d06 lesson: carrying vectors through the pair shuffle measured
+    ~6x the operator cost).  Guard: no exchange below the cell join
+    carries the embedding column."""
+    import contextlib
+    import io
+    import re
+
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.semantic_dedup_pairs(emb, threshold=0.4, n_cells=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    secs = [s2 for s2 in
+            re.findall(r"\(\d+\) Exchange[\s\S]*?(?=\n\(\d+\)|\Z)",
+                       buf.getvalue())
+            if "hashpartitioning(cell_id" in s2]
+    assert len(secs) >= 2, buf.getvalue()          # both self-join sides
+    for sec in secs:
+        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", sec)
+        assert inp and int(inp.group(1)) <= 2, sec  # (cell_id, id) only
+        assert "embedding" not in inp.group(2), sec
