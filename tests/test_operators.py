@@ -1971,3 +1971,61 @@ def test_semantic_dedup_pair_join_is_narrow(spark, sf_dir):
         inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", sec)
         assert inp and int(inp.group(1)) <= 2, sec  # (cell_id, id) only
         assert "embedding" not in inp.group(2), sec
+
+
+def _py_duplicate_spans(docs, n, min_docs):
+    """Independent pure-Python reference for duplicate_spans (no
+    shared code, no md5 — tuple grams): gram doc-frequency, position
+    marks, interval merge."""
+    from collections import defaultdict
+    pos = {}
+    for did, text in docs:
+        toks = text.split()
+        pos[did] = ([tuple(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+                    if len(toks) >= n else [])
+    freq = defaultdict(set)
+    for did, gs in pos.items():
+        for g in gs:
+            freq[g].add(did)
+    out = []
+    for did, gs in pos.items():
+        spans = []
+        for i, g in enumerate(gs):
+            if len(freq[g]) < min_docs:
+                continue
+            s, e = i, i + n - 1
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1] = [spans[-1][0], max(spans[-1][1], e),
+                             spans[-1][2] + 1]
+            else:
+                spans.append([s, e, 1])
+        out.extend((did, s, e, e - s + 1, c) for s, e, c in spans)
+    return sorted(out)
+
+
+from hypothesis import HealthCheck as _HC  # noqa: E402
+from hypothesis import given as _given, settings as _settings  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+
+_corpus = _st.lists(
+    _st.lists(_st.sampled_from("abcd"), min_size=0, max_size=12)
+       .map(lambda ts: " ".join(ts)),
+    min_size=1, max_size=6)
+
+
+@_settings(max_examples=12, deadline=None,
+           suppress_health_check=[_HC.function_scoped_fixture,
+                                  _HC.too_slow])
+@_given(corpus=_corpus, n=_st.sampled_from([2, 3]))
+def test_duplicate_spans_matches_python_reference(spark, corpus, n):
+    """Property fuzz: on arbitrary tiny corpora over a 4-token
+    alphabet, the DataFrame operator's spans equal an independent
+    pure-Python reference (tuple grams, no md5) exactly."""
+    docs = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = sorted((r.doc_id, r.span_start, r.span_end, r.span_tokens,
+                  r.n_grams)
+                 for r in dedup.duplicate_spans(df, n=n, min_docs=2)
+                 .collect())
+    assert got == _py_duplicate_spans(docs, n, 2)
