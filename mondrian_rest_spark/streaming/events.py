@@ -541,3 +541,74 @@ def streaming_decontaminate_ingest(stream: DataFrame, eval_grams,
             .foreachBatch(_process)
             .trigger(availableNow=True)
             .start())
+
+
+def streaming_semantic_dedup_ingest(stream: DataFrame, spark, path: str,
+                                    threshold: float = 0.9,
+                                    on_batch=None,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding",
+                                    dim: int = 64):
+    """Ingest-time SEMANTIC dedup at the indexing front door — the
+    SemDeDup policy (d12) applied before vectors enter a serving
+    layout: each arriving vector assigns to its cell against the
+    layout's STORED centroids, compares by exact cosine ONLY against
+    that cell's stored vectors (a partition-pruned read of the
+    touched cells — the same probe shape as serving), and drops when
+    any stored neighbor reaches ``threshold``; within-batch
+    duplicates collapse greedily (min id, the d12 keep-one).
+    Survivors append via :func:`append_to_ivf`, so the NEXT batch
+    deduplicates against them too.
+
+    Crash-replay idempotency (the incremental near-dup index's
+    discipline): the stored-side read EXCLUDES this batch's own
+    ``batch=b<id>`` partitions, so a replayed batch — even one that
+    crashed after appending — never deduplicates arrivals against
+    their own appended copies, and the append overwrites exactly its
+    own (cell, batch) directories.  Cross-cell semantic dups are
+    missed BY DESIGN (the SemDeDup recall/cost trade; d12's
+    contract)."""
+    from ..operators.similarity import (append_to_ivf,
+                                        assign_against_centroids,
+                                        with_cosine)
+
+    def _process(batch_df, batch_id):
+        tag = f"b{batch_id}"
+        cents = spark.read.parquet(path + "_centroids")
+        assigned = assign_against_centroids(batch_df, cents,
+                                            id_col, vec_col, dim)
+        stored = (spark.read.parquet(path)
+                  .filter(F.col("batch") != tag)
+                  .select(F.col("cell_id"),
+                          F.col(vec_col).alias("__sv")))
+        vs_index = (assigned.join(stored, "cell_id"))
+        vs_index = with_cosine(vs_index, "__sv", vec_col)
+        dropped = (vs_index
+                   .filter(F.round(F.col("cosine"), 6) >= threshold)
+                   .select(F.col(id_col)).distinct())
+        alive = assigned.join(dropped, on=id_col, how="left_anti")
+        # within-batch greedy collapse (min id wins), narrow pair join
+        a = alive.select("cell_id", F.col(id_col).alias("a_id"))
+        b = alive.select("cell_id", F.col(id_col).alias("b_id"))
+        cand = (a.join(b, "cell_id")
+                 .filter(F.col("a_id") < F.col("b_id")))
+        va = alive.select(F.col(id_col).alias("a_id"),
+                          F.col(vec_col).alias("va"))
+        vb = alive.select(F.col(id_col).alias("b_id"),
+                          F.col(vec_col).alias("vb"))
+        cand = with_cosine(cand.join(va, "a_id").join(vb, "b_id"),
+                           "vb", "va")
+        intra = (cand.filter(F.round(F.col("cosine"), 6) >= threshold)
+                     .select(F.col("b_id").alias(id_col)).distinct())
+        survivors = (batch_df.join(
+            alive.join(intra, on=id_col, how="left_anti")
+                 .select(id_col), on=id_col, how="left_semi"))
+        n = append_to_ivf(spark, path, survivors, id_col, vec_col, dim,
+                          batch_tag=tag)
+        if on_batch is not None:
+            on_batch(survivors, n, batch_id)
+
+    return (stream.writeStream
+            .foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start())

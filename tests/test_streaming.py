@@ -788,3 +788,64 @@ def test_streaming_decontaminate_ingest_matches_batch(spark, tmp_path):
     assert got[202].removed_tokens == 5
     assert got[203].text == arriving[2][1]
     grams.unpersist()
+
+
+def test_streaming_semantic_dedup_ingest(spark, tmp_path):
+    """Ingest-time SemDeDup vs a materialized IVF layout: exact
+    copies of stored vectors drop (same cell, cosine 1.0), a novel
+    vector survives and appends, and within-batch twins collapse to
+    the min id.  Survivors land in the layout (count grows by the
+    survivor count)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mondrian_rest_spark.operators import similarity
+    from mondrian_rest_spark.sources.registry import load_table
+    from mondrian_rest_spark.streaming.events import (
+        streaming_semantic_dedup_ingest)
+
+    from conftest import SF_DIR
+    emb = load_table(spark, SF_DIR, "embeddings")
+    stored = emb.filter("vec_id % 2 = 0")
+    path = str(tmp_path / "sem_layout/emb")
+    similarity.materialize_ivf(stored, path)
+    n_stored = spark.read.parquet(path).count()
+
+    copies = [(10_000 + r.vec_id, list(r.embedding))
+              for r in stored.limit(3).collect()]
+    novel = [1.0 if i % 7 == 0 else -0.9 for i in range(64)]
+    twins = [(20_001, novel), (20_002, novel)]
+    arrivals = copies + twins
+    # precondition: the novel vector is not a near-dup of anything
+    # stored (if the synthetic data ever changes, fail HERE, not in
+    # the survivor assertion)
+    import math
+    for r in stored.collect():
+        v = list(r.embedding)
+        dot = sum(a * b for a, b in zip(novel, v))
+        cos = dot / (math.sqrt(sum(a * a for a in novel)) *
+                     math.sqrt(sum(b * b for b in v)))
+        assert cos < 0.95
+
+    d = tmp_path / "sem_arrivals"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array([a[0] for a in arrivals], pa.int64()),
+        "embedding": pa.array([a[1] for a in arrivals],
+                              pa.list_(pa.float32()))}),
+        str(d / "batch0.parquet"))
+    stream = (spark.readStream
+              .schema("vec_id bigint, embedding array<float>")
+              .parquet(str(d)))
+    seen: dict = {}
+    q = streaming_semantic_dedup_ingest(
+        stream, spark, path, threshold=0.95,
+        on_batch=lambda df, n, bid: seen.update(
+            {"ids": sorted(r.vec_id for r in df.collect()),
+             "n": n, "bid": bid}))
+    q.awaitTermination(180)
+    assert seen["ids"] == [20_001]        # copies + the twin b dropped
+    assert seen["n"] == 1
+    assert spark.read.parquet(path).count() == n_stored + 1
+    got = spark.read.parquet(path).filter("vec_id = 20001").count()
+    assert got == 1
