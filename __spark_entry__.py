@@ -1569,6 +1569,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["d12_semantic_dedup"] = lambda s, d: similarity.semantic_dedup_pairs(
         load_table(s, d, "embeddings"), threshold=0.4, n_cells=8)
 
+    # semantic decontamination: eval vectors (vec_id % 10 = 0, the
+    # held-out convention) vs training vectors in embedding space —
+    # catches paraphrased eval items no exact-overlap method sees
+    def _sem_contam(s, d):
+        emb = load_table(s, d, "embeddings")
+        return similarity.semantic_contamination_pairs(
+            emb.filter("vec_id % 10 != 0"),
+            emb.filter("vec_id % 10 = 0"), threshold=0.4, n_cells=8)
+    q["d15_semantic_contamination"] = _sem_contam
+
     # duplicated n-gram SPANS (Lee et al. ExactSubstr at 5-gram
     # granularity): which exact passages repeat across the corpus —
     # every stage linear (gram explode -> hash agg -> join-back ->
@@ -2132,6 +2142,42 @@ def _oracle_semantic_dedup(threshold: float = 0.4, n_cells: int = 8) -> str:
                  round(list_cosine_similarity(a.ev, b.ev), 6) AS cosine
           FROM assigned a JOIN assigned b
                ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
+        WHERE cosine >= {threshold}"""
+
+
+def _oracle_semantic_contamination(threshold: float = 0.4,
+                                   n_cells: int = 8) -> str:
+    """DuckDB replay of cross-set SemDeDup: centroids hash-picked
+    from the TRAIN side, both sets argmin-assigned, train×eval pairs
+    within cells."""
+    d2 = ("list_sum(list_transform(range(1, 65), "
+          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev, {_QV} AS qv
+                     FROM embeddings),
+        tr AS (SELECT * FROM emb WHERE vec_id % 10 <> 0),
+        ev2 AS (SELECT * FROM emb WHERE vec_id % 10 = 0),
+        cents AS (SELECT vec_id AS cell_id, qv AS cq FROM tr
+                  ORDER BY (vec_id::BIGINT * 2654435761) % 4294967296, vec_id
+                  LIMIT {n_cells}),
+        at AS (
+          SELECT vec_id, ev, cell_id FROM (
+            SELECT e.vec_id, e.ev, c.cell_id,
+                   {d2.format(a='e.qv', b='c.cq')} AS d2
+            FROM tr e CROSS JOIN cents c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cell_id) = 1),
+        ae AS (
+          SELECT vec_id, ev, cell_id FROM (
+            SELECT e.vec_id, e.ev, c.cell_id,
+                   {d2.format(a='e.qv', b='c.cq')} AS d2
+            FROM ev2 e CROSS JOIN cents c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cell_id) = 1)
+        SELECT train_id, eval_id, cell_id, cosine FROM (
+          SELECT a.vec_id AS train_id, b.vec_id AS eval_id, a.cell_id,
+                 round(list_cosine_similarity(a.ev, b.ev), 6) AS cosine
+          FROM at a JOIN ae b ON a.cell_id = b.cell_id)
         WHERE cosine >= {threshold}"""
 
 
@@ -4142,6 +4188,8 @@ def oracle_sql() -> dict[str, str]:
         "d04_neardup_simhash": _oracle_simhash(max_hamming=3),
         "d06_embedding_neardup_lsh": _oracle_neardup_lsh(threshold=0.4),
         "d12_semantic_dedup": _oracle_semantic_dedup(threshold=0.4, n_cells=8),
+        "d15_semantic_contamination": _oracle_semantic_contamination(
+            threshold=0.4, n_cells=8),
         "s02_ann_lsh_topk": _oracle_ann_lsh(query_vec_id=7, k=10),
         "s03_ann_ivf_topk": _oracle_ann_ivf(query_vec_id=7, k=10),
         # the partition-pruned layout path must be value-identical to

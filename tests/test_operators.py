@@ -2029,3 +2029,28 @@ def test_duplicate_spans_matches_python_reference(spark, corpus, n):
                  for r in dedup.duplicate_spans(df, n=n, min_docs=2)
                  .collect())
     assert got == _py_duplicate_spans(docs, n, 2)
+
+
+def test_semantic_contamination_cross_set_only(spark, sf_dir):
+    """Cross-set pairs only (train x eval — never self-dedup on
+    either side), cosines exact vs the brute cross join, and every
+    pair co-celled under the train-side centroid assignment."""
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter("vec_id % 10 != 0")
+    ev = emb.filter("vec_id % 10 = 0")
+    got = similarity.semantic_contamination_pairs(
+        train, ev, threshold=0.4, n_cells=8).collect()
+    assert got, "expected some contamination pairs on the test data"
+    for r in got:
+        assert r.train_id % 10 != 0 and r.eval_id % 10 == 0
+    # exact brute cross-set ground truth (superset; cosine-identical)
+    a = train.select(F.col("vec_id").alias("train_id"),
+                     F.col("embedding").alias("va"))
+    b = ev.select(F.col("vec_id").alias("eval_id"),
+                  F.col("embedding").alias("vb"))
+    brute = similarity.with_cosine(a.crossJoin(b), "vb", "va")
+    exact = {(r.train_id, r.eval_id): round(r.cosine, 6)
+             for r in brute.filter("cosine >= 0.39").collect()}
+    for r in got:
+        assert exact[(r.train_id, r.eval_id)] == r.cosine
