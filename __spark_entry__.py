@@ -1503,6 +1503,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["w03_session_30m"] = lambda s, d: windows.sessionized(
         load_table(s, d, "events"), "30 minutes")
 
+    # rolling 7-day active users (DAU/WAU family), exact form; the
+    # sketch variant (mergeable per-day HLL state, the 100 TB path)
+    # is tolerance-tested against this in pytest
+    q["w07_rolling_active_users"] = lambda s, d: windows.rolling_active_users(
+        load_table(s, d, "events"), window_days=7)
+
     # ---- dedup suite ----
     q["d01_exact_dups"] = lambda s, d: dedup.exact_duplicate_groups(
         load_table(s, d, "documents"))
@@ -1935,6 +1941,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.filter(F.col("source") == "src0"),
             n=5, max_fraction=0.2)
     q["x09_decontaminate_corpus"] = _decontam_corpus
+
+    # temperature-scaled multinomial mixing (the mBERT/XLM-R/mT5
+    # scheme, alpha=0.5): per-stratum sampling probability and the
+    # per-doc repetition factor a sampler would apply
+    q["x10_mixture_temperature"] = lambda s, d: __import__(
+        "mondrian_rest_spark.operators.sampling",
+        fromlist=["mixture_weights_temperature"]
+    ).mixture_weights_temperature(
+        load_table(s, d, "documents"), alpha=0.5, group_col="lang")
 
     # DSIR-style importance resampling (arXiv:2302.03169): keep the
     # quarter of the corpus whose hashed-bigram profile looks most
@@ -3942,6 +3957,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS INTEGER) AS duration_ms
             FROM documents WHERE doc_id < 96""",
 
+        "w07_rolling_active_users": """
+            WITH daily AS (
+              SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+            days AS (SELECT DISTINCT d AS day FROM daily)
+            SELECT CAST(day AS TIMESTAMP) AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+            FROM daily JOIN days ON daily.d <= day AND daily.d > day - 7
+            GROUP BY day""",
+
         "w01_tumbling_day": f"""
             SELECT date_trunc('day', ts) AS win_start,
                    {DEC('value')} AS sum_value,
@@ -4507,6 +4531,24 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(n_rare, 0) * 1.0 /
                          greatest(COALESCE(n_bigrams, 0), 1), 6) AS novelty
             FROM documents d LEFT JOIN per USING (doc_id)""",
+
+        "x10_mixture_temperature": r"""
+            WITH per AS (
+              SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                          AS BIGINT) AS n_tokens
+              FROM documents GROUP BY lang),
+            q2 AS (SELECT *,
+                          CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+                               AS DECIMAL(25,6)) AS s
+                   FROM per),
+            tot AS (SELECT SUM(s) AS ts,
+                           CAST(SUM(n_tokens) AS BIGINT) AS tn FROM q2)
+            SELECT lang, n_docs, n_tokens,
+                   round(CAST(s AS DOUBLE) / CAST(ts AS DOUBLE), 6) AS p,
+                   round(CAST(s AS DOUBLE) / CAST(ts AS DOUBLE) * tn /
+                         greatest(n_tokens, 1), 6) AS repetition_factor
+            FROM q2, tot""",
 
         "x08_dsir_sample": f"""
             WITH t AS (

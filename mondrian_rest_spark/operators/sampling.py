@@ -210,3 +210,53 @@ def dsir_sample(df: DataFrame, target_filter: str, frac: float = 0.25,
                          text_col=text_col, id_col=id_col)
     return (scores.orderBy(F.desc("mean_weight"), F.asc(id_col))
                   .limit(k))
+
+
+def mixture_weights_temperature(df: DataFrame, alpha: float = 0.5,
+                                group_col: str = "lang",
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Temperature-scaled multinomial mixing weights (the
+    mBERT/XLM-R/mT5 scheme: sample source i with probability
+    p_i ∝ n_i^alpha, alpha < 1 upweighting low-resource strata):
+    per-stratum token counts -> p_i -> the per-document repetition
+    factor ``p_i * N_total / n_i`` that a sampler would apply (how
+    many times a doc from stratum i is seen per epoch at the mixed
+    rate; > 1 = oversampled stratum).
+
+    ``alpha=0.5`` (the common setting) computes via ``sqrt`` — an
+    IEEE-correctly-rounded op, identical in every engine, so the
+    weights replay exactly (general ``pow`` is NOT correctly rounded
+    and would break the oracle contract; other alphas are accepted
+    but documented engine-dependent in the last ulp).
+
+    One projection + one hash agg on the stratum key + a broadcast
+    of the <= |strata| weight rows back onto nothing — the output IS
+    stratum-level (callers join it to docs when sampling).  Returns
+    ``(group_col, n_docs, n_tokens, p, repetition_factor)``."""
+    tokens = (df.select(F.col(group_col),
+                        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+                         .cast("long").alias("__nt")))
+    per = (tokens.groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("__nt").alias("n_tokens")))
+    if alpha == 0.5:
+        scaled = F.sqrt(F.col("n_tokens").cast("double"))
+    else:
+        scaled = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    # quantize BEFORE the total: the denominator is a float SUM over
+    # strata, and float addition is order-dependent — the module's
+    # money-sum trick (round to 6dp, sum as DECIMAL) makes the total
+    # identical under any partitioning and in any engine
+    per = per.withColumn("__s", F.round(scaled, 6)
+                                 .cast("decimal(25,6)"))
+    tot = per.agg(F.sum("__s").alias("__ts"),
+                  F.sum("n_tokens").alias("__tn"))
+    out = per.crossJoin(F.broadcast(tot))
+    ratio = F.col("__s").cast("double") / F.col("__ts").cast("double")
+    return out.select(
+        group_col, "n_docs", "n_tokens",
+        F.round(ratio, 6).alias("p"),
+        F.round(ratio * F.col("__tn") /
+                F.greatest("n_tokens", F.lit(1)), 6)
+         .alias("repetition_factor"))

@@ -175,3 +175,66 @@ def funnel(df: DataFrame, steps: tuple = ("view", "click", "purchase"),
         for k, st in enumerate(steps, start=1)])
     return (counts.select(F.explode(rows).alias("r"))
             .select("r.step_idx", "r.step", "r.users", "r.conversion"))
+
+
+def rolling_active_users(df: DataFrame, window_days: int = 7,
+                         ts_col: str = "ts",
+                         user_col: str = "user_id") -> DataFrame:
+    """Rolling N-day active users (the classic DAU/WAU/MAU family):
+    for every day with events, the EXACT distinct users active in
+    the trailing ``window_days`` window ending that day.
+
+    Distinct-over-a-sliding-window does not decompose into per-day
+    counts (users repeat across days), so the exact form is:
+    (day, user) distinct pairs — one hash shuffle, the only
+    corpus-sized stage — then each pair joins the <= |days| day
+    spine it can serve (a broadcast range join fanning each pair out
+    at most ``window_days`` times), then count-distinct per spine
+    day.  Linear in events with a small constant; never a
+    user×user or day×day blow-up.  The sketch variant below is the
+    100 TB path (mergeable state, no second distinct).
+
+    Returns ``(day, active_users)``."""
+    daily = (df.select(F.to_date(F.col(ts_col)).alias("__d"),
+                       F.col(user_col).alias("__u"))
+               .distinct())
+    days = daily.select(F.col("__d").alias("day")).distinct()
+    j = daily.join(
+        F.broadcast(days),
+        (F.col("__d") <= F.col("day")) &
+        (F.col("__d") > F.date_sub(F.col("day"), window_days)))
+    return (j.groupBy("day")
+             .agg(F.countDistinct("__u").alias("active_users"))
+             .select(F.col("day").cast("timestamp").alias("day"),
+                     "active_users")
+             .orderBy("day"))
+
+
+def rolling_active_users_sketch(df: DataFrame, window_days: int = 7,
+                                ts_col: str = "ts",
+                                user_col: str = "user_id",
+                                lg_k: int = 12) -> DataFrame:
+    """The 100 TB shape for rolling actives: one Datasketches HLL
+    sketch per day (mergeable partial state — the same
+    union-of-sketches == sketch-of-union identity the rollup layouts
+    rely on), then a window-frame union over the trailing
+    ``window_days`` rows PER DAY.  The corpus is touched once; the
+    second pass runs over |days| sketch rows, so a year of 100 TB
+    events rolls up through 365 tiny rows — no re-scan per window
+    and no (day, user) fan-out.  Estimate error is the standard HLL
+    ±~1.6% at lg_k=12 (tolerance-tested against the exact form, the
+    approx-distinct precedent).
+
+    Returns ``(day, active_users_approx)``."""
+    from pyspark.sql import Window
+    per_day = (df.groupBy(F.to_date(F.col(ts_col)).alias("day"))
+                 .agg(F.expr(f"hll_sketch_agg({user_col}, {lg_k})")
+                       .alias("__sk")))
+    w = (Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+         .rangeBetween(-(window_days - 1) * 86400, 0))
+    return (per_day
+            .withColumn("__win_sk", F.expr("hll_union_agg(__sk)").over(w))
+            .withColumn("active_users_approx",
+                        F.expr("hll_sketch_estimate(__win_sk)"))
+            .select("day", "active_users_approx")
+            .orderBy("day"))

@@ -77,7 +77,8 @@ AUDIT = ["q02_region_revenue", "q03_crossjoin_3d", "q04_cut_member",
          "q117_rollup_routed_dense_generate",
          "q118_rollup_routed_ptd",
          "d12_semantic_dedup", "d13_duplicate_spans",
-         "d14_contaminated_spans", "t14_bigram_novelty",
+         "d14_contaminated_spans", "d15_semantic_contamination",
+         "t14_bigram_novelty", "t15_duplication_profile",
          "x07_trim_duplicate_spans", "x08_dsir_sample",
          "x09_decontaminate_corpus"]
 

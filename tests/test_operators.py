@@ -2054,3 +2054,26 @@ def test_semantic_contamination_cross_set_only(spark, sf_dir):
              for r in brute.filter("cosine >= 0.39").collect()}
     for r in got:
         assert exact[(r.train_id, r.eval_id)] == r.cosine
+
+
+def test_rolling_active_users_sketch_tracks_exact(spark, sf_dir):
+    """The mergeable-HLL rolling-actives path must track the exact
+    form within the approx-distinct tolerance on every day, and both
+    must dominate the single-day DAU (monotone in window size)."""
+    from mondrian_rest_spark.sources.registry import load_table
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r.day: r.active_users for r in
+             windows.rolling_active_users(ev, window_days=7).collect()}
+    approx = {r.day.date() if hasattr(r.day, "date") else r.day:
+              r.active_users_approx for r in
+              windows.rolling_active_users_sketch(ev, window_days=7)
+              .collect()}
+    assert len(exact) == len(approx)
+    for day, n in exact.items():
+        key = day.date() if hasattr(day, "date") else day
+        a = approx[key]
+        assert abs(a - n) <= max(2, 0.05 * n), (day, n, a)
+    dau = {r.day: r.active_users for r in
+           windows.rolling_active_users(ev, window_days=1).collect()}
+    for day, n in dau.items():
+        assert exact[day] >= n
