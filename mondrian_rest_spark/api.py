@@ -590,6 +590,21 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
                 "(have ['brute', 'lsh', 'mmr'])")
         return _frame_json(df, _corpus_limit(request.args))
 
+    @app.get("/corpus/mixture")
+    def corpus_mixture():
+        # training-mix planning: temperature-scaled stratum weights
+        # (x10) or the declared-target keep fractions (x04 machinery)
+        from .operators.sampling import mixture_weights_temperature
+        by = request.args.get("by", "lang")
+        docs = load_table(get_spark(), sf_dir, "documents")
+        if by not in docs.columns:
+            raise ParseError(f"unknown stratum column {by!r}")
+        alpha = _float(request.args, "alpha", 0.5)
+        if not 0.0 < alpha <= 1.0:
+            raise ParseError(f"alpha must be in (0, 1], got {alpha}")
+        df = mixture_weights_temperature(docs, alpha=alpha, group_col=by)
+        return _frame_json(df, _corpus_limit(request.args))
+
     @app.get("/corpus/decontaminate")
     def corpus_decontaminate():
         # benchmark decontamination: drop training docs near-dupping

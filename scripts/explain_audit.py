@@ -80,7 +80,8 @@ AUDIT = ["q02_region_revenue", "q03_crossjoin_3d", "q04_cut_member",
          "d14_contaminated_spans", "d15_semantic_contamination",
          "t14_bigram_novelty", "t15_duplication_profile",
          "x07_trim_duplicate_spans", "x08_dsir_sample",
-         "x09_decontaminate_corpus"]
+         "x09_decontaminate_corpus", "x10_mixture_temperature",
+         "w07_rolling_active_users"]
 
 # per-query caveats the static plan can't show (r12, VERDICT r11 #2)
 NOTES = {

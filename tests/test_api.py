@@ -1438,3 +1438,16 @@ def test_corpus_stats_novelty_metric(client, spark, sf_dir):
     body = r.get_json()
     assert {"n_bigrams", "n_rare", "novelty"} <= set(body["columns"])
     assert body["returned"] == 5
+
+
+def test_corpus_mixture_route(client, spark, sf_dir):
+    r = client.get("/corpus/mixture?by=lang&alpha=0.5")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert {"n_docs", "n_tokens", "p", "repetition_factor"} <= \
+        set(body["columns"])
+    pcol = body["columns"].index("p")
+    assert abs(sum(row[pcol] for row in body["data"]) - 1.0) < 1e-4
+    assert client.get("/corpus/mixture?by=nope").status_code == 400
+    assert client.get("/corpus/mixture?alpha=0").status_code == 400
+    assert client.get("/corpus/mixture?alpha=x").status_code == 400
