@@ -2077,3 +2077,42 @@ def test_rolling_active_users_sketch_tracks_exact(spark, sf_dir):
            windows.rolling_active_users(ev, window_days=1).collect()}
     for day, n in dau.items():
         assert exact[day] >= n
+
+
+@_settings(max_examples=10, deadline=None,
+           suppress_health_check=[_HC.function_scoped_fixture,
+                                  _HC.too_slow])
+@_given(train=_corpus, ev=_corpus, n=_st.sampled_from([2, 3]))
+def test_contaminated_spans_matches_python_reference(spark, train, ev, n):
+    """Property fuzz for the cross-set span path: train positions
+    whose gram appears ANYWHERE in the eval set, merged — vs an
+    independent Python reference."""
+    from collections import defaultdict
+    tdocs = [(i, t) for i, t in enumerate(train)]
+    edocs = [(100 + i, t) for i, t in enumerate(ev)]
+    eval_grams = set()
+    for _, text in edocs:
+        toks = text.split()
+        eval_grams.update(tuple(toks[i:i + n])
+                          for i in range(len(toks) - n + 1))
+    expected = []
+    for did, text in tdocs:
+        toks = text.split()
+        spans = []
+        for i in range(max(len(toks) - n + 1, 0)):
+            if tuple(toks[i:i + n]) not in eval_grams:
+                continue
+            s, e = i, i + n - 1
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1] = [spans[-1][0], max(spans[-1][1], e),
+                             spans[-1][2] + 1]
+            else:
+                spans.append([s, e, 1])
+        expected.extend((did, s, e, e - s + 1, c) for s, e, c in spans)
+    tdf = spark.createDataFrame(tdocs, ["doc_id", "text"])
+    edf = spark.createDataFrame(edocs, ["doc_id", "text"])
+    got = sorted((r.doc_id, r.span_start, r.span_end, r.span_tokens,
+                  r.n_grams)
+                 for r in dedup.contaminated_spans(tdf, edf, n=n)
+                 .collect())
+    assert got == sorted(expected)
