@@ -1500,6 +1500,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t14_bigram_novelty"] = lambda s, d: textstats.bigram_novelty(
         load_table(s, d, "documents"), rare_max=1)
 
+    # tokenizer fertility by language (subword pieces per whitespace
+    # word — the per-language token-budget correction table)
+    q["t16_fertility_by_language"] = lambda s, d: (
+        textstats.fertility_by_language(load_table(s, d, "documents")))
+
+    # CCNet-style perplexity scoring with the unigram LM trained on
+    # the corpus itself (arXiv:1911.00359 §4.3)
+    q["t17_self_perplexity"] = lambda s, d: textstats.self_perplexity(
+        load_table(s, d, "documents"))
+
     q["w03_session_30m"] = lambda s, d: windows.sessionized(
         load_table(s, d, "events"), "30 minutes")
 
@@ -1508,6 +1518,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is tolerance-tested against this in pytest
     q["w07_rolling_active_users"] = lambda s, d: windows.rolling_active_users(
         load_table(s, d, "events"), window_days=7)
+
+    # first-order event-type transition matrix (the Markov view next
+    # to the funnels: counts + row-normalized probabilities)
+    q["w08_event_transitions"] = lambda s, d: windows.event_transitions(
+        load_table(s, d, "events"))
 
     # ---- dedup suite ----
     q["d01_exact_dups"] = lambda s, d: dedup.exact_duplicate_groups(
@@ -1950,6 +1965,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fromlist=["mixture_weights_temperature"]
     ).mixture_weights_temperature(
         load_table(s, d, "documents"), alpha=0.5, group_col="lang")
+
+    # Gopher-style hard quality gate (rule battery with per-rule audit
+    # flags); thresholds tuned to the synthetic corpus so every rule
+    # discriminates (word-count 30+, >=1 distinct common stopword)
+    q["x11_gopher_rules"] = lambda s, d: textstats.gopher_rules(
+        load_table(s, d, "documents"), min_tokens=30,
+        min_stopword_hits=1)
+
+    # CCNet head/middle/tail split: NTILE bands over self-perplexity
+    # bits-per-token, keep head+middle (the CCNet training slice)
+    q["x12_perplexity_filter"] = lambda s, d: textstats.perplexity_filter(
+        load_table(s, d, "documents"), n_buckets=3, keep_buckets=(1, 2))
 
     # DSIR-style importance resampling (arXiv:2302.03169): keep the
     # quarter of the corpus whose hashed-bigram profile looks most
@@ -3965,6 +3992,117 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
             FROM daily JOIN days ON daily.d <= day AND daily.d > day - 7
             GROUP BY day""",
+
+        # ties inside one microsecond break on event_id in BOTH engines:
+        # Spark's load_table truncates the parquet nanos to micros
+        # (ns div 1000), so the oracle orders by the same truncation
+        "w08_event_transitions": """
+            WITH nxt AS (
+              SELECT event_type AS from_type,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+              FROM events)
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(COUNT(*) / SUM(COUNT(*)) OVER
+                         (PARTITION BY from_type), 6) AS prob
+            FROM nxt WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type""",
+
+        "t16_fertility_by_language": f"""
+            WITH t AS (
+              SELECT lang, len({TOKENS}) AS n_tokens,
+                     len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                         x -> x <> '')) AS n_pieces
+              FROM documents)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_words,
+                   CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+                   ROUND(SUM(n_pieces) / GREATEST(SUM(n_tokens), 1), 6)
+                     AS fertility
+            FROM t GROUP BY lang""",
+
+        # the unigram LM is trained on the same corpus being scored;
+        # both engines lowercase the same whitespace tokens, so N, V
+        # and every count are integer-identical — the only float work
+        # is the log2 fold, rounded to 6 on both sides
+        "t17_self_perplexity": f"""
+            WITH tok AS (
+              SELECT doc_id, lower(t.tok) AS tok
+              FROM documents, unnest({TOKENS}) AS t(tok)),
+            uni AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+            tot AS (SELECT SUM(c) AS n_corpus, COUNT(*) AS v_vocab
+                    FROM uni),
+            dt AS (SELECT doc_id, tok, COUNT(*) AS c_doc
+                   FROM tok GROUP BY doc_id, tok)
+            SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_tokens,
+                   ROUND(SUM(c_doc * -log2((c + 1.0)
+                                           / (n_corpus + v_vocab)))
+                         / SUM(c_doc), 6) AS bits_per_token,
+                   ROUND(POWER(2.0,
+                         SUM(c_doc * -log2((c + 1.0)
+                                           / (n_corpus + v_vocab)))
+                         / SUM(c_doc)), 6) AS ppl
+            FROM dt JOIN uni USING (tok) CROSS JOIN tot
+            GROUP BY doc_id""",
+
+        "x12_perplexity_filter": f"""
+            WITH tok AS (
+              SELECT doc_id, lower(t.tok) AS tok
+              FROM documents, unnest({TOKENS}) AS t(tok)),
+            uni AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+            tot AS (SELECT SUM(c) AS n_corpus, COUNT(*) AS v_vocab
+                    FROM uni),
+            dt AS (SELECT doc_id, tok, COUNT(*) AS c_doc
+                   FROM tok GROUP BY doc_id, tok),
+            sp AS (
+              SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_tokens,
+                     SUM(c_doc * -log2((c + 1.0)
+                                       / (n_corpus + v_vocab)))
+                       / SUM(c_doc) AS bpt
+              FROM dt JOIN uni USING (tok) CROSS JOIN tot
+              GROUP BY doc_id)
+            SELECT doc_id, n_tokens,
+                   ROUND(bpt, 6) AS bits_per_token,
+                   ROUND(POWER(2.0, bpt), 6) AS ppl,
+                   CAST(NTILE(3) OVER (ORDER BY ROUND(bpt, 6), doc_id)
+                        AS INTEGER) AS band,
+                   NTILE(3) OVER (ORDER BY ROUND(bpt, 6), doc_id) <= 2
+                     AS kept
+            FROM sp""",
+
+        "x11_gopher_rules": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(len({TOKENS}) AS INTEGER) AS n_tokens,
+                     ROUND(list_sum(list_transform({TOKENS},
+                             t -> length(t)))
+                           / GREATEST(len({TOKENS}), 1), 6) AS mean_word_len,
+                     ROUND(((length(text)
+                             - length(replace(text, '#', '')))
+                            + (length(text)
+                               - length(replace(text, '...', ''))) / 3)
+                           / GREATEST(len({TOKENS}), 1), 6) AS symbol_ratio,
+                     ROUND(len(list_filter({TOKENS},
+                             t -> regexp_matches(t, '[A-Za-z]')))
+                           / GREATEST(len({TOKENS}), 1), 6)
+                       AS alpha_word_ratio,
+                     CAST(len(list_intersect({TOKENS}, [{sw('en')}]))
+                          AS INTEGER) AS stopword_hits
+              FROM documents)
+            SELECT doc_id, n_tokens, mean_word_len, symbol_ratio,
+                   alpha_word_ratio, stopword_hits,
+                   n_tokens BETWEEN 30 AND 100000 AS r_word_count,
+                   mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+                   symbol_ratio <= 0.1 AS r_symbol_ratio,
+                   alpha_word_ratio >= 0.8 AS r_alpha_words,
+                   stopword_hits >= 1 AS r_stopwords,
+                   (n_tokens BETWEEN 30 AND 100000)
+                   AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                   AND symbol_ratio <= 0.1
+                   AND alpha_word_ratio >= 0.8
+                   AND stopword_hits >= 1 AS kept
+            FROM m""",
 
         "w01_tumbling_day": f"""
             SELECT date_trunc('day', ts) AS win_start,

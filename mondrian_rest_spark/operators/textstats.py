@@ -386,3 +386,160 @@ def bigram_novelty(df: DataFrame, rare_max: int = 1,
                         F.greatest(F.coalesce("n_bigrams",
                                               F.lit(0).cast("long")),
                                    F.lit(1)), 6).alias("novelty")))
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_tokens: int = 50, max_tokens: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_word_ratio: float = 0.8,
+                 min_stopword_hits: int = 2) -> DataFrame:
+    """Gopher-style repetition-free quality gate (Rae et al. 2021,
+    arXiv:2112.11446 Appendix A): the rule battery every large web
+    corpus passes through BEFORE any model-based scoring — word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio ('#' and
+    '...' — the markup/ellipsis-spam signal), fraction of words with
+    an alphabetic character, and a minimum count of DISTINCT common
+    stopwords (the "contains real language" check).  Unlike the
+    composite ``quality_score`` (a ranked 0–1 heuristic), this is a
+    hard gate: each rule is its own audit column so a curation run can
+    read WHICH rule fired, and ``kept`` is their conjunction.
+
+    All integer/ratio math (ratios rounded to 6), so an independent
+    engine replays every flag bit-for-bit.  Pure projection over the
+    corpus — zero shuffles, whole-stage codegen end to end."""
+    d = with_tokens(df, text_col)
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    n_tok = F.greatest(F.size("__tokens"), F.lit(1))
+    d = (d
+         .withColumn("n_tokens", F.size("__tokens"))
+         .withColumn("mean_word_len", F.round(
+             F.expr("aggregate(__tokens, 0L, (acc, t) -> acc + length(t))")
+             / n_tok, 6))
+         .withColumn("symbol_ratio", F.round(
+             ((F.length(text_col)
+               - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit(""))))
+              + (F.length(text_col)
+                 - F.length(F.replace(F.col(text_col), F.lit("..."),
+                                      F.lit("")))) / F.lit(3))
+             / n_tok, 6))
+         .withColumn("alpha_word_ratio", F.round(
+             F.expr("size(filter(__tokens, t -> t rlike '[A-Za-z]'))")
+             / n_tok, 6))
+         .withColumn("stopword_hits", F.expr(
+             f"size(array_intersect(__tokens, array({en})))")))
+    rules = {
+        "r_word_count": F.col("n_tokens").between(min_tokens, max_tokens),
+        "r_mean_word_len": F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len),
+        "r_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "r_alpha_words": F.col("alpha_word_ratio") >= min_alpha_word_ratio,
+        "r_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
+    kept = F.lit(True)
+    for name, cond in rules.items():
+        d = d.withColumn(name, cond)
+        kept = kept & cond
+    return d.select(id_col, "n_tokens", "mean_word_len", "symbol_ratio",
+                    "alpha_word_ratio", "stopword_hits", *rules,
+                    kept.alias("kept"))
+
+
+def fertility_by_language(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          lang_col: str = "lang") -> DataFrame:
+    """Tokenizer fertility report: subword pieces per whitespace word,
+    by language — THE table a multilingual tokenizer evaluation reads
+    (high fertility = a language the vocabulary under-serves, so its
+    token budget buys fewer words; the metric behind per-language
+    budget corrections in mT5/XGLM-style data cards).  Uses the same
+    deterministic BPE-ish piece proxy as ``token_stats`` so the two
+    reports reconcile.  One projection + one tiny hash-agg (|langs|
+    groups); sums are exact BIGINTs, ratios rounded to 6."""
+    ts = token_stats(df, text_col, id_col).select(
+        id_col, "n_tokens", "n_subword_pieces")
+    return (ts.join(df.select(id_col, lang_col), id_col)
+            .groupBy(lang_col)
+            .agg(F.count(id_col).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_words"),
+                 F.sum("n_subword_pieces").alias("total_pieces"))
+            .withColumn("fertility", F.round(
+                F.col("total_pieces") /
+                F.greatest(F.col("total_words"), F.lit(1)), 6))
+            .orderBy(lang_col))
+
+
+def self_perplexity(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style perplexity scoring (Wenzek et al. 2019,
+    arXiv:1911.00359 §4.3) with the LM trained on the corpus ITSELF:
+    a unigram model with add-one smoothing over lowercased whitespace
+    tokens, then per-document bits-per-token = mean -log2 p(token) and
+    ppl = 2^bits.  CCNet trains KenLM on Wikipedia; with no external
+    model in the engine the self-trained unigram LM is the same shape
+    of signal (rare-vocabulary documents score high, stopword-dense
+    running text scores low) and is exactly replayable by any SQL
+    engine — which a real 5-gram KenLM would not be.
+
+    Two passes, both Spark-native aggregations:
+      1. corpus pass — ``groupBy(token)`` builds the unigram table
+         (map-side combine shrinks the shuffle to |vocab| rows), then
+         one global agg yields N (total tokens) and V (vocab size);
+      2. scoring pass — per-(doc, token) counts shuffle on a
+         well-distributed composite key, join the unigram table on
+         token (AQE skew-join splits the stopword keys — 'the' joins
+         to every doc — and at test scale the vocab side simply
+         broadcasts), then one doc-keyed agg folds
+         sum(c_doc * -log2((c+1)/(N+V))) / n_doc.
+
+    Returns ``(doc_id, n_tokens, bits_per_token, ppl)``, ratios
+    rounded to 6 so an independent engine reproduces the hash despite
+    summation-order float noise."""
+    tok = (with_tokens(df, text_col)
+           .select(F.col(id_col),
+                   F.explode(F.expr("transform(__tokens, t -> lower(t))"))
+                   .alias("tok")))
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("n_corpus"),
+                  F.count(F.lit(1)).alias("v_vocab"))
+    per_doc_tok = (tok.groupBy(id_col, "tok")
+                   .agg(F.count(F.lit(1)).alias("c_doc")))
+    scored = (per_doc_tok.join(uni, "tok").crossJoin(F.broadcast(tot))
+              .withColumn("bits", F.col("c_doc")
+                          * -F.log2((F.col("c") + F.lit(1.0))
+                                    / (F.col("n_corpus") + F.col("v_vocab")))))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("c_doc").alias("n_tokens"),
+                 (F.sum("bits") / F.sum("c_doc")).alias("__bpt"))
+            .select(id_col,
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.round("__bpt", 6).alias("bits_per_token"),
+                    F.round(F.pow(F.lit(2.0), F.col("__bpt")), 6)
+                    .alias("ppl")))
+
+
+def perplexity_filter(df: DataFrame, n_buckets: int = 3,
+                      keep_buckets: tuple = (1, 2),
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """CCNet's head/middle/tail split: rank documents by
+    ``self_perplexity`` bits-per-token, cut the corpus into
+    ``n_buckets`` equal-frequency bands (1 = head = most fluent), and
+    flag ``kept`` for the bands CCNet trains on (head+middle by
+    default; the tail is where boilerplate-free gibberish lives).
+    Banding is NTILE over (bits_per_token, doc_id) — the id tie-break
+    makes the band assignment deterministic across engines and
+    partitionings.  The NTILE window is a single global sort of one
+    small row per DOCUMENT (id + two doubles, not text) — at 100 TB
+    that frame is ~1% of corpus bytes; the heavy lifting stays in the
+    distributed passes of ``self_perplexity``."""
+    from pyspark.sql import Window
+    sp = self_perplexity(df, text_col, id_col)
+    w = Window.orderBy(F.col("bits_per_token").asc(), F.col(id_col).asc())
+    return (sp.withColumn("band", F.ntile(n_buckets).over(w))
+            .withColumn("kept", F.col("band")
+                        .isin([int(b) for b in keep_buckets]))
+            .select(id_col, "n_tokens", "bits_per_token", "ppl",
+                    "band", "kept"))

@@ -238,3 +238,36 @@ def rolling_active_users_sketch(df: DataFrame, window_days: int = 7,
                         F.expr("hll_sketch_estimate(__win_sk)"))
             .select("day", "active_users_approx")
             .orderBy("day"))
+
+
+def event_transitions(df: DataFrame, ts_col: str = "ts",
+                      user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order behavioral transition matrix: for every consecutive
+    (event, next event) pair WITHIN a user's timeline, the count and
+    the row-normalized probability — the Markov-chain view product
+    analytics reads next to funnels (funnels test one hypothesized
+    path; this surfaces the paths users actually take).
+
+    Ordering is (ts, event_id) so simultaneous events are
+    deterministic across engines and partitionings.  Plan: one
+    user-keyed shuffle for the lead() window (the only corpus-sized
+    exchange — same key the session/funnel operators shuffle on, so a
+    pre-bucketed events table serves them all), then a hash-agg down
+    to |types|² rows; the probability normalization windows over that
+    tiny frame.  Returns ``(from_type, to_type, n, prob)``."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    nxt = (df.select(user_col, ts_col, id_col, type_col)
+             .withColumn("__next", F.lead(type_col).over(w))
+             .filter(F.col("__next").isNotNull()))
+    counts = (nxt.groupBy(F.col(type_col).alias("from_type"),
+                          F.col("__next").alias("to_type"))
+                 .agg(F.count(F.lit(1)).alias("n")))
+    per_from = Window.partitionBy("from_type")
+    return (counts
+            .withColumn("prob", F.round(
+                F.col("n") / F.sum("n").over(per_from), 6))
+            .orderBy("from_type", "to_type"))

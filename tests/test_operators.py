@@ -2116,3 +2116,141 @@ def test_contaminated_spans_matches_python_reference(spark, train, ev, n):
                  for r in dedup.contaminated_spans(tdf, edf, n=n)
                  .collect())
     assert got == sorted(expected)
+
+
+def test_gopher_rules_per_rule_flags(spark):
+    """Each crafted doc fails exactly ONE rule (the audit columns name
+    the culprit) and only the clean doc survives the conjunction."""
+    rows = [
+        (1, "the cat sat on the mat and it was good here today"),  # clean
+        (2, "the tiny one"),                                # word count
+        (3, "the strangeness of incomprehensibilities notwithstanding "
+            "extraordinarily disproportionately uncharacteristically "
+            "institutionalization antidisestablishmentarianism blah"),
+        # ellipsis spam rides on alphabetic words, so ONLY the symbol
+        # rule fires (a bare '####' token would also sink alpha ratio)
+        (4, "the cat... sat... on a mat today fine..."),
+        # 4-char numerics keep mean word length >= 3 so only alpha fails
+        (5, "1111 2222 3333 4444 5555 6666 7777 8888 9999 0000 the 1234"),
+        (6, "cats dogs birds fish mice horses goats llamas yaks emus"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in textstats.gopher_rules(
+        df, min_tokens=5, min_mean_word_len=3.0, max_mean_word_len=10.0,
+        max_symbol_ratio=0.1, min_alpha_word_ratio=0.8,
+        min_stopword_hits=1).collect()}
+    assert out[1].kept
+    flags = ("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+             "r_alpha_words", "r_stopwords")
+    assert all(getattr(out[1], f) for f in flags)
+    expect_fail = {2: "r_word_count", 3: "r_mean_word_len",
+                   4: "r_symbol_ratio", 5: "r_alpha_words",
+                   6: "r_stopwords"}
+    for doc, bad in expect_fail.items():
+        assert not out[doc].kept, doc
+        assert not getattr(out[doc], bad), (doc, bad)
+        assert all(getattr(out[doc], f) for f in flags if f != bad), doc
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_dir):
+    """The gate is a pure projection: no Exchange anywhere in the
+    executed plan (whole-stage codegen end to end over the scan)."""
+    from mondrian_rest_spark.sources.registry import load_table
+    out = textstats.gopher_rules(load_table(spark, sf_dir, "documents"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_fertility_reconciles_with_token_stats(spark, sf_dir):
+    """Per-language word/piece totals equal token_stats' sums grouped
+    by lang — the two reports share one tokenization contract."""
+    from mondrian_rest_spark.sources.registry import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    fert = {r.lang: r for r in
+            textstats.fertility_by_language(docs).collect()}
+    ts = (textstats.token_stats(docs)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .groupBy("lang")
+          .agg(F.sum("n_tokens").alias("w"),
+               F.sum("n_subword_pieces").alias("p"),
+               F.count("doc_id").alias("d"))).collect()
+    assert len(fert) == len(ts) > 0
+    for r in ts:
+        f = fert[r.lang]
+        assert (f.total_words, f.total_pieces, f.n_docs) == (r.w, r.p, r.d)
+        assert f.fertility == round(r.p / max(r.w, 1), 6)
+
+
+def test_event_transitions_matrix(spark):
+    """Known per-user sequences produce the exact (from, to) counts;
+    pairs never cross users; a same-microsecond tie breaks on
+    event_id; probabilities row-normalize per from_type."""
+    from datetime import datetime
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: view -> click -> view
+        (1, t(1), 10, "view"), (2, t(2), 10, "click"), (3, t(3), 10, "view"),
+        # user 2: view -> click
+        (4, t(1), 20, "view"), (5, t(2), 20, "click"),
+        # user 3: two events in the SAME second/microsecond — event_id
+        # order makes it purchase -> refund, deterministically
+        (6, t(5), 30, "purchase"), (7, t(5), 30, "refund"),
+        # user 4: single event, no transition
+        (8, t(9), 40, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {(r.from_type, r.to_type): r
+           for r in windows.event_transitions(df).collect()}
+    assert set(got) == {("view", "click"), ("click", "view"),
+                        ("purchase", "refund")}
+    assert got[("view", "click")].n == 2
+    assert got[("view", "click")].prob == 1.0
+    assert got[("click", "view")].n == 1
+    # user 2's click has no successor -> click row normalizes over 1
+    assert got[("click", "view")].prob == 1.0
+    assert got[("purchase", "refund")].n == 1
+
+
+def test_self_perplexity_matches_python_reference(spark):
+    """Bits-per-token equals an independent pure-Python replay of the
+    add-one unigram model (lowercased whitespace tokens), and the
+    stopword-dense doc scores more fluent than the rare-vocab doc."""
+    import math, re
+    from collections import Counter
+    rows = [
+        (1, "the cat and the dog and the cat"),
+        (2, "zyxwvut qponmlk jihgfed abcdefg"),
+        (3, "The CAT and the Dog"),
+    ]
+    toks = {i: [t.lower() for t in re.split(r"\s+", s.strip())]
+            for i, s in rows}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    n, v = sum(uni.values()), len(uni)
+    expect = {}
+    for i, ts in toks.items():
+        bits = sum(-math.log2((uni[t] + 1.0) / (n + v)) for t in ts)
+        expect[i] = (len(ts), round(bits / len(ts), 6),
+                     round(2.0 ** (bits / len(ts)), 6))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_tokens, r.bits_per_token, r.ppl)
+           for r in textstats.self_perplexity(df).collect()}
+    assert got == expect
+    # fluency ordering: repeated common words beat one-off gibberish
+    assert got[1][1] < got[2][1]
+
+
+def test_perplexity_filter_bands(spark):
+    """NTILE bands are equal-frequency, ordered by fluency (band 1 =
+    lowest bits), and ``kept`` is exactly the head+middle slice."""
+    rows = [(i, "common words repeat here " * 3 + f"unique{i} " * i)
+            for i in range(1, 10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textstats.perplexity_filter(df, n_buckets=3).collect()
+    assert sorted(r.band for r in out) == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+    by_band = {b: [r.bits_per_token for r in out if r.band == b]
+               for b in (1, 2, 3)}
+    assert max(by_band[1]) <= min(by_band[2])
+    assert max(by_band[2]) <= min(by_band[3])
+    for r in out:
+        assert r.kept == (r.band in (1, 2))
