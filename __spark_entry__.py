@@ -1524,6 +1524,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["w08_event_transitions"] = lambda s, d: windows.event_transitions(
         load_table(s, d, "events"))
 
+    # time-to-convert between funnel steps (same first-touch walk as
+    # w05; mean + exact interpolated median, computed in integer µs)
+    q["w09_funnel_timing"] = lambda s, d: windows.funnel_timing(
+        load_table(s, d, "events"), ("view", "click", "purchase"),
+        within="7 days")
+
+    # schema-on-read over the JSON props payload: numeric field
+    # extracted JVM-side and aggregated per event type
+    q["w10_props_stats"] = lambda s, d: windows.props_value_stats(
+        load_table(s, d, "events"))
+
     # ---- dedup suite ----
     q["d01_exact_dups"] = lambda s, d: dedup.exact_duplicate_groups(
         load_table(s, d, "documents"))
@@ -1599,6 +1610,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.filter("vec_id % 10 != 0"),
             emb.filter("vec_id % 10 = 0"), threshold=0.4, n_cells=8)
     q["d15_semantic_contamination"] = _sem_contam
+
+    # provenance: NEAR-dup pair counts between every source pair
+    # (LSH pairs -> two source lookups -> |sources|²-bounded agg);
+    # the exact-hash variant (cross_source_matrix) is pytest-covered —
+    # the synthetic corpus has no byte-identical dups to count
+    q["d16_cross_source_matrix"] = lambda s, d: (
+        dedup.cross_source_neardup_matrix(
+            load_table(s, d, "documents"), threshold=0.5))
 
     # duplicated n-gram SPANS (Lee et al. ExactSubstr at 5-gram
     # granularity): which exact passages repeat across the corpus —
@@ -4163,6 +4182,65 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'purchase', c3, ROUND(c3 / greatest(c1, 1), 6)
             FROM c""",
+
+        # same first-touch walk as w05; latencies in integer µs with
+        # one division at the end, so avg/median replay bit-for-bit
+        "w09_funnel_timing": """
+            WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                     AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                        JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1),
+            f AS (SELECT s1.user_id, t1, t2, t3
+                  FROM s1 LEFT JOIN s2 USING (user_id)
+                          LEFT JOIN s3 USING (user_id)),
+            a AS (SELECT
+                    COUNT(t2) AS n2,
+                    AVG(date_diff('microsecond', t1, t2)) AS a2,
+                    quantile_cont(date_diff('microsecond', t1, t2), 0.5)
+                      AS p2,
+                    COUNT(t3) AS n3,
+                    AVG(date_diff('microsecond', t2, t3)) AS a3,
+                    quantile_cont(date_diff('microsecond', t2, t3), 0.5)
+                      AS p3
+                  FROM f)
+            SELECT 2 AS step_idx, 'view->click' AS step, n2 AS users,
+                   ROUND(a2 / 1e6, 6) AS avg_seconds,
+                   ROUND(p2 / 1e6, 6) AS p50_seconds FROM a
+            UNION ALL
+            SELECT 3, 'click->purchase', n3,
+                   ROUND(a3 / 1e6, 6), ROUND(p3 / 1e6, 6) FROM a""",
+
+        "w10_props_stats": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_prop,
+                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                     AS sum_val,
+                   ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 6)
+                     AS avg_val,
+                   MIN(CAST(props->>'$.k' AS BIGINT)) AS min_val,
+                   MAX(CAST(props->>'$.k' AS BIGINT)) AS max_val
+            FROM events GROUP BY event_type""",
+
+        # the oracle replays the near-dup pairs with brute-force exact
+        # Jaccard (the LSH path exact-verifies candidates, so at this
+        # scale the pair sets coincide), then joins each side's source
+        "d16_cross_source_matrix": f"""
+            WITH p AS ({neardup}),
+            s AS (SELECT doc_id, source FROM documents)
+            SELECT least(sa.source, sb.source) AS source_a,
+                   greatest(sa.source, sb.source) AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM p JOIN s sa ON p.a_id = sa.doc_id
+                   JOIN s sb ON p.b_id = sb.doc_id
+            GROUP BY 1, 2""",
 
         "w04_retention_cohorts": """
             WITH f AS (SELECT user_id, MIN(date_trunc('week', ts))

@@ -1155,3 +1155,70 @@ def duplication_profile(df: DataFrame, n: int = 5, min_docs: int = 2,
                                        F.lit(0).cast("long")) /
                             F.greatest("total_tokens", F.lit(1)), 6)
                      .alias("dup_token_fraction")))
+
+
+def cross_source_matrix(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        source_col: str = "source") -> DataFrame:
+    """Which sources duplicate WHICH: the exact-duplicate pair count
+    between every source pair (and within each source), computed
+    WITHOUT materializing document pairs — the provenance report that
+    decides crawl-overlap and licensing questions at corpus scale.
+
+    Per content hash the frame holds one row per (hash, source) with a
+    count; the self-join on the hash key then fans out to at most
+    |sources|² rows per duplicated hash, and the pair count is
+    combinatorial arithmetic on the counts (n_a·n_b across sources,
+    C(n,2) within one source) — no document text moves, no O(group²)
+    pair rows even when one hash covers millions of documents.
+    Returns ``(source_a, source_b, n_groups, n_pairs)`` with
+    source_a <= source_b; ``n_groups`` counts the distinct duplicated
+    contents shared by the pair."""
+    per = (df.select(F.md5(F.col(text_col)).alias("__h"),
+                     F.col(source_col))
+           .groupBy("__h", source_col)
+           .agg(F.count(F.lit(1)).alias("__c")))
+    a = per.select(F.col("__h"), F.col(source_col).alias("source_a"),
+                   F.col("__c").alias("__ca"))
+    b = per.select(F.col("__h"), F.col(source_col).alias("source_b"),
+                   F.col("__c").alias("__cb"))
+    pairs = (a.join(b, "__h")
+             .filter(F.col("source_a") <= F.col("source_b"))
+             .withColumn("__n", F.when(
+                 F.col("source_a") == F.col("source_b"),
+                 (F.col("__ca") * (F.col("__ca") - 1) / 2).cast("long"))
+                 .otherwise(F.col("__ca") * F.col("__cb")))
+             .filter(F.col("__n") > 0))
+    return (pairs.groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum("__n").alias("n_pairs"))
+            .orderBy("source_a", "source_b"))
+
+
+def cross_source_neardup_matrix(df: DataFrame, threshold: float = 0.5,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                source_col: str = "source",
+                                n: int = 3) -> DataFrame:
+    """NEAR-duplicate provenance matrix: ``cross_source_matrix`` for
+    content that was edited between crawls, where exact hashing sees
+    nothing.  Pairs come from the banded MinHash-LSH path (exact
+    Jaccard verify on candidates only — same scale posture as d03);
+    each pair then just looks up its two sources (two broadcast-sized
+    joins against the (id, source) projection) and the matrix is a
+    |sources|²-bounded hash-agg.  Returns ``(source_a, source_b,
+    n_pairs)`` with source_a <= source_b."""
+    pairs = neardup_minhash_lsh(df, threshold, text_col, id_col, n)
+    src = df.select(F.col(id_col), F.col(source_col))
+    sa = src.select(F.col(id_col).alias("a_id"),
+                    F.col(source_col).alias("__sa"))
+    sb = src.select(F.col(id_col).alias("b_id"),
+                    F.col(source_col).alias("__sb"))
+    out = (pairs.join(sa, "a_id").join(sb, "b_id")
+           .select(F.least("__sa", "__sb").alias("source_a"),
+                   F.greatest("__sa", "__sb").alias("source_b"))
+           .groupBy("source_a", "source_b")
+           .agg(F.count(F.lit(1)).alias("n_pairs"))
+           .orderBy("source_a", "source_b"))
+    return _tag_persisted(
+        out, *getattr(pairs, "_mrs_request_persisted", []))

@@ -77,6 +77,54 @@ def retention_cohorts(events: DataFrame, ts_col: str = "ts",
             .agg(F.count_distinct(F.col(user_col)).alias("n_users")))
 
 
+def _funnel_frame(df: DataFrame, steps: tuple, within: str, ts_col: str,
+                  user_col: str, type_col: str, mode: str,
+                  per_step_window: bool):
+    """Shared funnel walk: the per-user (or per-anchor) frame with one
+    ``tK`` timestamp column per reached step, plus the grouping keys.
+    Semantics documented on ``funnel`` — this is its engine, split out
+    so ``funnel_timing`` reads the same attribution walk."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if mode not in ("first_touch", "any_touch"):
+        raise ValueError(f"unknown funnel mode {mode!r}")
+    # `within` is interpolated into an INTERVAL literal below:
+    # whitelist-validate it (VERDICT r8 #7) so no caller — REST or
+    # library — can smuggle SQL through the duration string
+    import re
+    if not re.fullmatch(
+            r"\s*\d+\s+(?:second|minute|hour|day|week|month|year)s?\s*",
+            str(within), re.IGNORECASE):
+        raise ValueError(
+            f"within must be '<n> <unit>' (second/minute/hour/day/"
+            f"week/month/year), got {within!r}")
+    ev = df.select(F.col(user_col).alias("__u"),
+                   F.col(ts_col).alias("__ts"),
+                   F.col(type_col).alias("__t"))
+    s1 = ev.filter(F.col("__t") == steps[0])
+    if mode == "first_touch":
+        frame = s1.groupBy("__u").agg(F.min("__ts").alias("t1"))
+        keys = ["__u"]
+    else:
+        frame = s1.select("__u", F.col("__ts").alias("t1")).distinct()
+        keys = ["__u", "t1"]
+    interval = F.expr(f"INTERVAL {within}")
+    if not per_step_window:
+        frame = frame.withColumn("__deadline", F.col("t1") + interval)
+    for k, st in enumerate(steps[1:], start=2):
+        prev = f"t{k - 1}"
+        carry = keys + [prev] + ([] if per_step_window else ["__deadline"])
+        deadline = (F.col(prev) + interval if per_step_window
+                    else F.col("__deadline"))
+        nxt = (ev.filter(F.col("__t") == st)
+                 .join(frame.select(*dict.fromkeys(carry)), "__u")
+                 .filter((F.col("__ts") > F.col(prev)) &
+                         (F.col("__ts") <= deadline))
+                 .groupBy(*keys).agg(F.min("__ts").alias(f"t{k}")))
+        frame = frame.join(nxt, keys, "left")
+    return frame, keys
+
+
 def funnel(df: DataFrame, steps: tuple = ("view", "click", "purchase"),
            within: str = "7 days", ts_col: str = "ts",
            user_col: str = "user_id",
@@ -118,44 +166,8 @@ def funnel(df: DataFrame, steps: tuple = ("view", "click", "purchase"),
     (user, anchor)-grain but still user-keyed).  The final count is
     ONE single-row aggregate over the per-user frame, reshaped to
     step rows with a literal explode (no second pass)."""
-    if len(steps) < 2:
-        raise ValueError("funnel needs at least 2 steps")
-    if mode not in ("first_touch", "any_touch"):
-        raise ValueError(f"unknown funnel mode {mode!r}")
-    # `within` is interpolated into an INTERVAL literal below:
-    # whitelist-validate it (VERDICT r8 #7) so no caller — REST or
-    # library — can smuggle SQL through the duration string
-    import re
-    if not re.fullmatch(
-            r"\s*\d+\s+(?:second|minute|hour|day|week|month|year)s?\s*",
-            str(within), re.IGNORECASE):
-        raise ValueError(
-            f"within must be '<n> <unit>' (second/minute/hour/day/"
-            f"week/month/year), got {within!r}")
-    ev = df.select(F.col(user_col).alias("__u"),
-                   F.col(ts_col).alias("__ts"),
-                   F.col(type_col).alias("__t"))
-    s1 = ev.filter(F.col("__t") == steps[0])
-    if mode == "first_touch":
-        frame = s1.groupBy("__u").agg(F.min("__ts").alias("t1"))
-        keys = ["__u"]
-    else:
-        frame = s1.select("__u", F.col("__ts").alias("t1")).distinct()
-        keys = ["__u", "t1"]
-    interval = F.expr(f"INTERVAL {within}")
-    if not per_step_window:
-        frame = frame.withColumn("__deadline", F.col("t1") + interval)
-    for k, st in enumerate(steps[1:], start=2):
-        prev = f"t{k - 1}"
-        carry = keys + [prev] + ([] if per_step_window else ["__deadline"])
-        deadline = (F.col(prev) + interval if per_step_window
-                    else F.col("__deadline"))
-        nxt = (ev.filter(F.col("__t") == st)
-                 .join(frame.select(*dict.fromkeys(carry)), "__u")
-                 .filter((F.col("__ts") > F.col(prev)) &
-                         (F.col("__ts") <= deadline))
-                 .groupBy(*keys).agg(F.min("__ts").alias(f"t{k}")))
-        frame = frame.join(nxt, keys, "left")
+    frame, keys = _funnel_frame(df, steps, within, ts_col, user_col,
+                                type_col, mode, per_step_window)
     if mode == "first_touch":
         counts = frame.agg(*[F.count(f"t{k}").alias(f"c{k}")
                              for k in range(1, len(steps) + 1)])
@@ -271,3 +283,72 @@ def event_transitions(df: DataFrame, ts_col: str = "ts",
             .withColumn("prob", F.round(
                 F.col("n") / F.sum("n").over(per_from), 6))
             .orderBy("from_type", "to_type"))
+
+
+def funnel_timing(df: DataFrame,
+                  steps: tuple = ("view", "click", "purchase"),
+                  within: str = "7 days", ts_col: str = "ts",
+                  user_col: str = "user_id",
+                  type_col: str = "event_type",
+                  per_step_window: bool = False) -> DataFrame:
+    """Time-to-convert between consecutive funnel steps: for every
+    user the first-touch walk (same attribution as ``funnel`` — the
+    two reports must agree on WHO converted before this one says how
+    fast), the step-(k-1)→k latency, aggregated per step into user
+    count, mean seconds, and the exact interpolated median.
+
+    Latencies are computed in integer MICROSECONDS (``unix_micros``
+    deltas) and divided only at the end, so an independent engine
+    reproduces both aggregates bit-for-bit after round-6.  The
+    aggregation is one single-row pass over the per-user frame
+    (len(steps)-1 avg/percentile pairs at once) reshaped with a
+    literal explode — no per-step jobs.  Exact percentile holds one
+    sorted array of per-USER latencies per step — fine at any corpus
+    scale (users, not events) but swap in approx_percentile if the
+    funnel anchors billions of users."""
+    frame, _ = _funnel_frame(df, steps, within, ts_col, user_col,
+                             type_col, "first_touch", per_step_window)
+    aggs = []
+    for k in range(2, len(steps) + 1):
+        d = (F.unix_micros(F.col(f"t{k}"))
+             - F.unix_micros(F.col(f"t{k - 1}")))
+        aggs += [F.count(d).alias(f"n{k}"),
+                 F.avg(d).alias(f"avg{k}"),
+                 F.expr(f"percentile(unix_micros(t{k}) - "
+                        f"unix_micros(t{k - 1}), 0.5)").alias(f"p{k}")]
+    agg = frame.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(k).alias("step_idx"),
+                 F.lit(f"{steps[k - 2]}->{steps[k - 1]}").alias("step"),
+                 F.col(f"n{k}").alias("users"),
+                 F.round(F.col(f"avg{k}") / F.lit(1e6), 6)
+                 .alias("avg_seconds"),
+                 F.round(F.col(f"p{k}") / F.lit(1e6), 6)
+                 .alias("p50_seconds"))
+        for k in range(2, len(steps) + 1)])
+    return (agg.select(F.explode(rows).alias("r"))
+            .select("r.step_idx", "r.step", "r.users", "r.avg_seconds",
+                    "r.p50_seconds"))
+
+
+def props_value_stats(df: DataFrame, json_path: str = "$.k",
+                      props_col: str = "props",
+                      type_col: str = "event_type") -> DataFrame:
+    """Semi-structured payload stats: extract one numeric field from
+    the JSON ``props`` column (JVM-side ``get_json_object`` — no
+    Python in the loop) and aggregate per event type.  This is the
+    schema-on-read pattern for event streams whose payload varies by
+    type: the parquet scan reads two columns, the JSON parse runs
+    inside whole-stage codegen, and the result is a |types|-row
+    hash-agg.  Missing/non-numeric fields become NULL and are counted
+    separately (``n_with_prop``) rather than silently dropped."""
+    k = F.get_json_object(F.col(props_col), json_path).cast("long")
+    return (df.select(F.col(type_col), k.alias("__k"))
+            .groupBy(type_col)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("__k").alias("n_with_prop"),
+                 F.sum("__k").alias("sum_val"),
+                 F.round(F.avg("__k"), 6).alias("avg_val"),
+                 F.min("__k").alias("min_val"),
+                 F.max("__k").alias("max_val"))
+            .orderBy(type_col))

@@ -2254,3 +2254,88 @@ def test_perplexity_filter_bands(spark):
     assert max(by_band[2]) <= min(by_band[3])
     for r in out:
         assert r.kept == (r.band in (1, 2))
+
+
+def test_cross_source_matrix_combinatorics(spark):
+    """Pair counts are exact combinatorics on per-(hash, source)
+    counts: C(n,2) within a source, n_a*n_b across — never enumerated
+    pairs.  Hash 'X' has 3 copies in A and 2 in B; 'Y' has 2 in B."""
+    rows = [(1, "X", "A"), (2, "X", "A"), (3, "X", "A"),
+            (4, "X", "B"), (5, "X", "B"),
+            (6, "Y", "B"), (7, "Y", "B"),
+            (8, "Z", "A")]  # unique content contributes nothing
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {(r.source_a, r.source_b): (r.n_groups, r.n_pairs)
+           for r in dedup.cross_source_matrix(df).collect()}
+    assert got == {("A", "A"): (1, 3),   # C(3,2) for X
+                   ("A", "B"): (1, 6),   # 3*2 for X
+                   ("B", "B"): (2, 2)}   # C(2,2) for X + C(2,2) for Y
+
+
+def test_cross_source_neardup_matrix_counts(spark):
+    """Near-identical docs in different sources land in the cross cell;
+    the unrelated doc appears nowhere."""
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(1, base + "alpha", "A"), (2, base + "beta", "B"),
+            (3, "completely different content with nothing shared here "
+                "at all in any shingle of this text", "C")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = dedup.cross_source_neardup_matrix(df, threshold=0.5)
+    got = {(r.source_a, r.source_b): r.n_pairs for r in out.collect()}
+    dedup.unpersist_request_frames(out)
+    assert got == {("A", "B"): 1}
+
+
+def test_funnel_timing_matches_manual_walk(spark):
+    """Latencies follow the same first-touch walk as funnel(): user 10
+    converts view->click in 60s and click->purchase in 120s; user 20
+    only reaches click (600s); user 30 never clicks."""
+    from datetime import datetime, timedelta
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "view"), (2, t0 + timedelta(seconds=60), 10, "click"),
+        (3, t0 + timedelta(seconds=180), 10, "purchase"),
+        (4, t0, 20, "view"), (5, t0 + timedelta(seconds=600), 20, "click"),
+        (6, t0, 30, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {r.step_idx: r for r in windows.funnel_timing(
+        df, ("view", "click", "purchase"), within="7 days").collect()}
+    assert got[2].step == "view->click"
+    assert got[2].users == 2
+    assert got[2].avg_seconds == 330.0      # (60 + 600) / 2
+    assert got[2].p50_seconds == 330.0      # interpolated median of 2
+    assert got[3].step == "click->purchase"
+    assert got[3].users == 1
+    assert got[3].avg_seconds == 120.0
+    assert got[3].p50_seconds == 120.0
+
+
+def test_funnel_timing_agrees_with_funnel_counts(spark, sf_dir):
+    """The timing report's user counts equal funnel()'s step counts on
+    the real events table — one attribution walk, two reports."""
+    from mondrian_rest_spark.sources.registry import load_table
+    ev = load_table(spark, sf_dir, "events")
+    steps = ("view", "click", "purchase")
+    f = {r.step_idx: r.users for r in
+         windows.funnel(ev, steps, within="7 days").collect()}
+    t = {r.step_idx: r.users for r in
+         windows.funnel_timing(ev, steps, within="7 days").collect()}
+    assert t == {2: f[2], 3: f[3]}
+
+
+def test_props_value_stats(spark):
+    """JSON extraction: missing and malformed payloads count as events
+    but not as prop values; sums/avgs cover only parsed values."""
+    rows = [(1, "view", '{"k": 10}'), (2, "view", '{"k": 20}'),
+            (3, "view", None), (4, "click", '{"other": 1}'),
+            (5, "click", '{"k": 7}'), (6, "click", "not json")]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "props"])
+    got = {r.event_type: r for r in
+           windows.props_value_stats(df).collect()}
+    v = got["view"]
+    assert (v.n_events, v.n_with_prop, v.sum_val, v.avg_val,
+            v.min_val, v.max_val) == (3, 2, 30, 15.0, 10, 20)
+    c = got["click"]
+    assert (c.n_events, c.n_with_prop, c.sum_val) == (3, 1, 7)
