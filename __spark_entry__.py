@@ -1510,6 +1510,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t17_self_perplexity"] = lambda s, d: textstats.self_perplexity(
         load_table(s, d, "documents"))
 
+    # true CCNet shape: LM frozen on the English slice, scoring the
+    # WHOLE corpus (OOV tokens take the add-one floor and are counted)
+    q["t18_ccnet_lm_score"] = lambda s, d: textstats.score_against_lm(
+        load_table(s, d, "documents"),
+        textstats.unigram_lm(
+            load_table(s, d, "documents").filter(F.col("lang") == "en")))
+
     q["w03_session_30m"] = lambda s, d: windows.sessionized(
         load_table(s, d, "events"), "30 minutes")
 
@@ -4063,6 +4070,32 @@ def oracle_sql() -> dict[str, str]:
                                            / (n_corpus + v_vocab)))
                          / SUM(c_doc)), 6) AS ppl
             FROM dt JOIN uni USING (tok) CROSS JOIN tot
+            GROUP BY doc_id""",
+
+        # LM trained on the 'en' slice only; unseen tokens coalesce to
+        # the add-one floor 1/(N+V+1) and are tallied as OOV
+        "t18_ccnet_lm_score": f"""
+            WITH lm AS (
+              SELECT lower(t.tok) AS tok, COUNT(*) AS c
+              FROM documents, unnest({TOKENS}) AS t(tok)
+              WHERE lang = 'en' GROUP BY 1),
+            tot AS (SELECT SUM(c) AS n_lm, COUNT(*) AS v_lm FROM lm),
+            dt AS (
+              SELECT doc_id, lower(t.tok) AS tok, COUNT(*) AS c_doc
+              FROM documents, unnest({TOKENS}) AS t(tok)
+              GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(SUM(c_doc) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN c IS NULL THEN c_doc ELSE 0 END)
+                        AS BIGINT) AS oov_tokens,
+                   ROUND(SUM(c_doc * -log2((COALESCE(c, 0) + 1.0)
+                                           / (n_lm + v_lm + 1.0)))
+                         / SUM(c_doc), 6) AS bits_per_token,
+                   ROUND(POWER(2.0,
+                         SUM(c_doc * -log2((COALESCE(c, 0) + 1.0)
+                                           / (n_lm + v_lm + 1.0)))
+                         / SUM(c_doc)), 6) AS ppl
+            FROM dt LEFT JOIN lm USING (tok) CROSS JOIN tot
             GROUP BY doc_id""",
 
         "x12_perplexity_filter": f"""

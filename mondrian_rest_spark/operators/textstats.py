@@ -543,3 +543,62 @@ def perplexity_filter(df: DataFrame, n_buckets: int = 3,
                         .isin([int(b) for b in keep_buckets]))
             .select(id_col, "n_tokens", "bits_per_token", "ppl",
                     "band", "kept"))
+
+
+def unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train the add-one unigram LM ``score_against_lm`` consumes: one
+    ``groupBy(token)`` over the lowercased whitespace tokens of the
+    REFERENCE corpus (CCNet trains on the target-domain slice — e.g.
+    the high-quality English subset — and scores candidates against
+    it).  Returns the ``(tok, c)`` frame; persist it when scoring many
+    batches (streaming ingest does).  Map-side combine shrinks the
+    shuffle to |vocab| rows."""
+    return (with_tokens(df, text_col)
+            .select(F.explode(F.expr(
+                "transform(__tokens, t -> lower(t))")).alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+
+
+def score_against_lm(df: DataFrame, lm: DataFrame,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Score documents against a FROZEN unigram LM (the true CCNet
+    shape, arXiv:1911.00359 §4.3: LM from the reference corpus, scores
+    for the candidates — unlike ``self_perplexity`` the scored corpus
+    does not influence its own model).  Out-of-vocabulary tokens take
+    the add-one floor p = 1/(N+V+1) and are counted in ``oov_tokens``
+    so a curation run can tell "fluent but foreign vocabulary" from
+    "gibberish the LM has seen".
+
+    Per-(doc, token) counts LEFT-join the LM on token (broadcast when
+    the vocab is small, AQE skew-split otherwise — same posture as
+    ``self_perplexity``), then one doc-keyed agg.  Returns
+    ``(doc_id, n_tokens, oov_tokens, bits_per_token, ppl)``."""
+    tot = lm.agg(F.sum("c").alias("n_lm"),
+                 F.count(F.lit(1)).alias("v_lm"))
+    per_doc_tok = (with_tokens(df, text_col)
+                   .select(F.col(id_col),
+                           F.explode(F.expr(
+                               "transform(__tokens, t -> lower(t))"))
+                           .alias("tok"))
+                   .groupBy(id_col, "tok")
+                   .agg(F.count(F.lit(1)).alias("c_doc")))
+    denom = F.col("n_lm") + F.col("v_lm") + F.lit(1.0)
+    scored = (per_doc_tok.join(lm, "tok", "left")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("bits", F.col("c_doc")
+                          * -F.log2((F.coalesce(F.col("c"), F.lit(0))
+                                     + F.lit(1.0)) / denom))
+              .withColumn("oov", F.when(F.col("c").isNull(),
+                                        F.col("c_doc"))
+                          .otherwise(F.lit(0))))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("c_doc").alias("n_tokens"),
+                 F.sum("oov").alias("oov_tokens"),
+                 (F.sum("bits") / F.sum("c_doc")).alias("__bpt"))
+            .select(id_col,
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("oov_tokens").cast("long").alias("oov_tokens"),
+                    F.round("__bpt", 6).alias("bits_per_token"),
+                    F.round(F.pow(F.lit(2.0), F.col("__bpt")), 6)
+                    .alias("ppl")))

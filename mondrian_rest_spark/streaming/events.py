@@ -612,3 +612,48 @@ def streaming_semantic_dedup_ingest(stream: DataFrame, spark, path: str,
             .foreachBatch(_process)
             .trigger(availableNow=True)
             .start())
+
+
+def streaming_quality_ingest(stream: DataFrame, lm,
+                             max_bits_per_token: float | None = None,
+                             gate_kwargs: dict | None = None,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             on_batch=None):
+    """Ingest-time quality gate: arriving documents pass the Gopher
+    rule battery (operators/textstats.gopher_rules) and are scored
+    against a FROZEN unigram LM (textstats.unigram_lm — persist it;
+    the reference corpus changes rarely, refresh = retrain the tiny
+    LM frame, never the stream).  Docs failing any rule drop; when
+    ``max_bits_per_token`` is set, docs the LM finds too surprising
+    drop too.  Survivors arrive at ``on_batch`` with the audit
+    columns (per-rule flags, bits_per_token, oov_tokens) attached.
+
+    Runs inside ``foreachBatch`` so each micro-batch reuses the BATCH
+    operators verbatim (the structural-parity convention of the other
+    ingest filters here).  The rule gate is a pure projection; the LM
+    score is batch-tokens × the frozen LM frame — per-batch cost is
+    linear in the batch and independent of stream history."""
+    from ..operators.textstats import gopher_rules, score_against_lm
+
+    def _process(batch_df, batch_id):
+        gated = (gopher_rules(batch_df, text_col, id_col,
+                              **(gate_kwargs or {}))
+                 .filter(F.col("kept")).drop("kept"))
+        scored = score_against_lm(batch_df, lm, text_col, id_col)
+        if max_bits_per_token is not None:
+            scored = scored.filter(
+                F.col("bits_per_token") <= max_bits_per_token)
+        out = (batch_df
+               .join(gated.select(
+                   id_col, "n_tokens", "mean_word_len", "symbol_ratio",
+                   "alpha_word_ratio", "stopword_hits"), id_col)
+               .join(scored.select(id_col, "oov_tokens",
+                                   "bits_per_token", "ppl"), id_col))
+        if on_batch is not None:
+            on_batch(out, batch_id)
+
+    return (stream.writeStream
+            .foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start())

@@ -2339,3 +2339,31 @@ def test_props_value_stats(spark):
             v.min_val, v.max_val) == (3, 2, 30, 15.0, 10, 20)
     c = got["click"]
     assert (c.n_events, c.n_with_prop, c.sum_val) == (3, 1, 7)
+
+
+def test_score_against_lm_oov_and_python_reference(spark):
+    """Frozen-LM scoring: values equal a pure-Python replay with the
+    add-one floor for unseen tokens, and OOV counts are exact."""
+    import math
+    from collections import Counter
+    ref_rows = [(1, "the cat sat"), (2, "the dog sat")]
+    cand_rows = [(10, "the cat"), (11, "qqq zzz"), (12, "the qqq")]
+    lm_toks = [t for _, s in ref_rows for t in s.split()]
+    uni = Counter(lm_toks)
+    n, v = sum(uni.values()), len(uni)
+    expect = {}
+    for i, s in cand_rows:
+        ts = s.split()
+        bits = sum(-math.log2((uni.get(t, 0) + 1.0) / (n + v + 1.0))
+                   for t in ts)
+        oov = sum(1 for t in ts if t not in uni)
+        expect[i] = (len(ts), oov, round(bits / len(ts), 6),
+                     round(2.0 ** (bits / len(ts)), 6))
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    cand = spark.createDataFrame(cand_rows, ["doc_id", "text"])
+    lm = textstats.unigram_lm(ref)
+    got = {r.doc_id: (r.n_tokens, r.oov_tokens, r.bits_per_token, r.ppl)
+           for r in textstats.score_against_lm(cand, lm).collect()}
+    assert got == expect
+    # all-OOV doc is the most surprising, in-vocab doc the least
+    assert got[10][2] < got[12][2] < got[11][2]

@@ -849,3 +849,64 @@ def test_streaming_semantic_dedup_ingest(spark, tmp_path):
     assert spark.read.parquet(path).count() == n_stored + 1
     got = spark.read.parquet(path).filter("vec_id = 20001").count()
     assert got == 1
+
+
+def test_streaming_quality_ingest_matches_batch(spark, tmp_path):
+    """Ingest-time quality gate: rule failures and high-perplexity
+    docs drop; survivors carry the same audit columns the batch
+    composition produces over the same arrivals."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mondrian_rest_spark.operators import textstats
+    from mondrian_rest_spark.streaming.events import (
+        streaming_quality_ingest)
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it was good here today "
+             "for the whole long day it was good")],
+        ["doc_id", "text"])
+    lm = textstats.unigram_lm(ref)
+    lm.persist().count()
+    gk = dict(min_tokens=5, min_stopword_hits=1)
+    arriving = [
+        (201, "the cat sat on the mat and it was good here today"),
+        (202, "two words"),                              # rule drop
+        (203, "the zz qq xx vv kk jj ww pp mm nn"),      # ppl drop
+    ]
+    arr = spark.createDataFrame(arriving, ["doc_id", "text"])
+    cutoff = 8.0
+    batch_keep = set(
+        r.doc_id
+        for r in (textstats.gopher_rules(arr, **gk).filter("kept")
+                  .join(textstats.score_against_lm(arr, lm)
+                        .filter(F.col("bits_per_token") <= cutoff),
+                        "doc_id"))
+        .collect())
+    assert batch_keep == {201}
+    batch_audit = {r.doc_id: r for r in
+                   textstats.score_against_lm(arr, lm).collect()}
+
+    d = tmp_path / "quality_arrivals"
+    d.mkdir()
+    for i, row in enumerate(arriving):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([row[0]], pa.int64()),
+            "text": pa.array([row[1]], pa.string())}),
+            str(d / f"f{i}.parquet"))
+    stream = (spark.readStream
+              .schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d)))
+    got: dict = {}
+    q = streaming_quality_ingest(
+        stream, lm, max_bits_per_token=cutoff, gate_kwargs=gk,
+        on_batch=lambda df, _bid: got.update(
+            {r.doc_id: r for r in df.collect()}))
+    q.awaitTermination(180)
+    assert set(got) == batch_keep
+    r = got[201]
+    assert r.bits_per_token == batch_audit[201].bits_per_token
+    assert r.oov_tokens == batch_audit[201].oov_tokens
+    assert r.text == arriving[0][1]
+    lm.unpersist()
