@@ -445,13 +445,75 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
             "fingerprint": textstats.fingerprint,
             # r14: rare-bigram novelty (LM-perplexity stand-in)
             "novelty": textstats.bigram_novelty,
+            # r14: Gopher rule battery with per-rule audit flags
+            "gopher": textstats.gopher_rules,
+            # r14: CCNet-style scoring — self-trained unigram LM
+            "perplexity": textstats.self_perplexity,
+            # r14: per-language tokenizer fertility report
+            "fertility": textstats.fertility_by_language,
         }
         metric = request.args.get("metric", "quality")
+        docs = load_table(get_spark(), sf_dir, "documents")
+        if metric == "lm_score":
+            # frozen-LM scoring: LM trained on the ?lm_lang slice
+            lm_lang = request.args.get("lm_lang", "en")
+            lm = textstats.unigram_lm(
+                docs.filter(F.col("lang") == lm_lang))
+            return _frame_json(textstats.score_against_lm(docs, lm),
+                               _corpus_limit(request.args))
         if metric not in fns:
             raise ParseError(
-                f"unknown metric {metric!r} (have {sorted(fns)})")
-        docs = load_table(get_spark(), sf_dir, "documents")
+                f"unknown metric {metric!r} "
+                f"(have {sorted(fns) + ['lm_score']})")
         return _frame_json(fns[metric](docs), _corpus_limit(request.args))
+
+    @app.get("/corpus/provenance")
+    def corpus_provenance():
+        # duplicate-provenance matrix between sources (d16): exact
+        # content hashes or near-dup pairs per source pair
+        from .operators import dedup
+        docs = load_table(get_spark(), sf_dir, "documents")
+        mode = request.args.get("mode", "neardup")
+        if mode == "exact":
+            df = dedup.cross_source_matrix(docs)
+        elif mode == "neardup":
+            df = dedup.cross_source_neardup_matrix(
+                docs, threshold=_float(request.args, "threshold", 0.5))
+        else:
+            raise ParseError(f"unknown provenance mode {mode!r} "
+                             "(have ['exact', 'neardup'])")
+        try:
+            return _frame_json(df, _corpus_limit(request.args))
+        finally:
+            dedup.unpersist_request_frames(df)
+
+    @app.get("/events/funnel")
+    def events_funnel():
+        # ordered-sequence funnel over the events table; timing=true
+        # returns the step-latency report (same first-touch walk)
+        from .operators import windows
+        steps = tuple((request.args.get("steps")
+                       or "view,click,purchase").split(","))
+        within = request.args.get("within", "7 days")
+        ev = load_table(get_spark(), sf_dir, "events")
+        try:
+            if request.args.get("timing", "").lower() == "true":
+                df = windows.funnel_timing(ev, steps, within=within)
+            else:
+                df = windows.funnel(
+                    ev, steps, within=within,
+                    mode=request.args.get("mode", "first_touch"))
+        except ValueError as e:
+            raise ParseError(str(e))
+        return _frame_json(df, _corpus_limit(request.args))
+
+    @app.get("/events/transitions")
+    def events_transitions():
+        # first-order event-type transition matrix (w08)
+        from .operators import windows
+        ev = load_table(get_spark(), sf_dir, "events")
+        return _frame_json(windows.event_transitions(ev),
+                           _corpus_limit(request.args))
 
     @app.get("/corpus/dedup")
     def corpus_dedup():

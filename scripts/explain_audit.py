@@ -81,7 +81,11 @@ AUDIT = ["q02_region_revenue", "q03_crossjoin_3d", "q04_cut_member",
          "t14_bigram_novelty", "t15_duplication_profile",
          "x07_trim_duplicate_spans", "x08_dsir_sample",
          "x09_decontaminate_corpus", "x10_mixture_temperature",
-         "w07_rolling_active_users"]
+         "w07_rolling_active_users",
+         "t16_fertility_by_language", "t17_self_perplexity",
+         "t18_ccnet_lm_score", "w08_event_transitions",
+         "w09_funnel_timing", "w10_props_stats", "x11_gopher_rules",
+         "x12_perplexity_filter", "d16_cross_source_matrix"]
 
 # per-query caveats the static plan can't show (r12, VERDICT r11 #2)
 NOTES = {

@@ -1451,3 +1451,60 @@ def test_corpus_mixture_route(client, spark, sf_dir):
     assert client.get("/corpus/mixture?by=nope").status_code == 400
     assert client.get("/corpus/mixture?alpha=0").status_code == 400
     assert client.get("/corpus/mixture?alpha=x").status_code == 400
+
+
+def test_corpus_quality_and_provenance_routes(client):
+    """r14 routes: gopher/perplexity/fertility/lm_score metrics, the
+    provenance matrix, and the events funnel/transition reports."""
+    r = client.get("/corpus/stats?metric=gopher&limit=3")
+    assert r.status_code == 200
+    cols = r.get_json()["columns"]
+    assert "kept" in cols and "r_stopwords" in cols
+
+    r = client.get("/corpus/stats?metric=perplexity&limit=3")
+    assert r.status_code == 200
+    assert "bits_per_token" in r.get_json()["columns"]
+
+    r = client.get("/corpus/stats?metric=fertility&limit=10")
+    assert r.status_code == 200
+    assert "fertility" in r.get_json()["columns"]
+
+    r = client.get("/corpus/stats?metric=lm_score&lm_lang=en&limit=3")
+    assert r.status_code == 200
+    assert "oov_tokens" in r.get_json()["columns"]
+
+    r = client.get("/corpus/provenance?mode=neardup&threshold=0.5"
+                   "&limit=100")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["columns"] == ["source_a", "source_b", "n_pairs"]
+    assert body["returned"] > 0
+    assert all(a <= b for a, b, _n in body["data"])
+    assert client.get("/corpus/provenance?mode=exact").status_code == 200
+    assert client.get("/corpus/provenance?mode=zz").status_code == 400
+
+    r = client.get("/events/funnel?steps=view,click,purchase"
+                   "&within=7 days")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["columns"] == ["step_idx", "step", "users", "conversion"]
+    users = [row[2] for row in body["data"]]
+    assert users == sorted(users, reverse=True)
+
+    r = client.get("/events/funnel?timing=true")
+    assert r.status_code == 200
+    assert "p50_seconds" in r.get_json()["columns"]
+    # the interval whitelist rejects smuggled SQL with a 400
+    assert client.get(
+        "/events/funnel?within=7 days); DROP").status_code == 400
+
+    r = client.get("/events/transitions?limit=100")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["columns"] == ["from_type", "to_type", "n", "prob"]
+    # probabilities row-normalize: each from_type sums to ~1
+    from collections import defaultdict
+    sums = defaultdict(float)
+    for ft, _tt, _n, p in body["data"]:
+        sums[ft] += p
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
