@@ -1542,6 +1542,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["w10_props_stats"] = lambda s, d: windows.props_value_stats(
         load_table(s, d, "events"))
 
+    # session distribution summary (count/events/duration/bounce) on
+    # the same user-keyed session_window shuffle as w03
+    q["w11_session_stats"] = lambda s, d: windows.session_stats(
+        load_table(s, d, "events"), "30 minutes")
+
     # ---- dedup suite ----
     q["d01_exact_dups"] = lambda s, d: dedup.exact_duplicate_groups(
         load_table(s, d, "documents"))
@@ -4274,6 +4279,37 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN s sa ON p.a_id = sa.doc_id
                    JOIN s sb ON p.b_id = sb.doc_id
             GROUP BY 1, 2""",
+
+        # same gap-islands session replay as w03; durations in integer
+        # µs with one division at the end (funnel_timing's contract)
+        "w11_session_stats": """
+            WITH marked AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked),
+            per AS (
+              SELECT user_id, sid,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us
+              FROM sess GROUP BY user_id, sid)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   ROUND(AVG(n_events), 6) AS avg_events,
+                   ROUND(AVG(dur_us) / 1e6, 6) AS avg_seconds,
+                   ROUND(quantile_cont(dur_us, 0.5) / 1e6, 6)
+                     AS p50_seconds,
+                   ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                         * 1.0 / COUNT(*), 6) AS bounce_rate
+            FROM per""",
 
         "w04_retention_cohorts": """
             WITH f AS (SELECT user_id, MIN(date_trunc('week', ts))

@@ -515,6 +515,26 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         return _frame_json(windows.event_transitions(ev),
                            _corpus_limit(request.args))
 
+    @app.get("/events/sessions")
+    def events_sessions():
+        # per-session frame (w03) or the distribution summary (w11);
+        # gap reuses the funnel interval whitelist — session_window
+        # would otherwise surface a smuggled string as a plan-time 500
+        import re as _re
+
+        from .operators import windows
+        gap = request.args.get("gap", "30 minutes")
+        if not _re.fullmatch(
+                r"\s*\d+\s+(?:second|minute|hour|day|week)s?\s*",
+                gap, _re.IGNORECASE):
+            raise ParseError(f"gap must be '<n> <unit>', got {gap!r}")
+        ev = load_table(get_spark(), sf_dir, "events")
+        if request.args.get("summary", "").lower() == "true":
+            df = windows.session_stats(ev, gap)
+        else:
+            df = windows.sessionized(ev, gap)
+        return _frame_json(df, _corpus_limit(request.args))
+
     @app.get("/corpus/dedup")
     def corpus_dedup():
         # duplicate discovery: method = exact | minhash | simhash;

@@ -352,3 +352,36 @@ def props_value_stats(df: DataFrame, json_path: str = "$.k",
                  F.min("__k").alias("min_val"),
                  F.max("__k").alias("max_val"))
             .orderBy(type_col))
+
+
+def session_stats(df: DataFrame, gap: str = "30 minutes",
+                  ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
+    """Corpus-wide session quality summary: the distribution report
+    product analytics reads next to the per-session frame
+    (``sessionized``) — session count, events per session, duration
+    (mean and exact interpolated median), and the bounce rate
+    (fraction of single-event sessions).
+
+    Durations are (last - first) event time per session in integer
+    MICROSECONDS, divided once at the end — the same determinism
+    contract as funnel_timing.  Plan: the one user-keyed
+    session_window aggregate (identical shuffle to ``sessionized``,
+    so a user-bucketed events table co-locates both), then ONE
+    single-row agg; the exact median sorts |sessions| integers —
+    swap approx_percentile in past billions of sessions."""
+    per = (df.groupBy(F.col(user_col),
+                      F.session_window(F.col(ts_col), gap).alias("win"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                (F.unix_micros(F.max(ts_col))
+                 - F.unix_micros(F.min(ts_col))).alias("dur_us")))
+    return (per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct(user_col).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+        F.round(F.avg("dur_us") / F.lit(1e6), 6).alias("avg_seconds"),
+        F.round(F.expr("percentile(dur_us, 0.5)") / F.lit(1e6), 6)
+        .alias("p50_seconds"),
+        F.round(F.sum(F.when(F.col("n_events") == 1, F.lit(1))
+                      .otherwise(F.lit(0)))
+                / F.count(F.lit(1)), 6).alias("bounce_rate")))

@@ -1508,3 +1508,18 @@ def test_corpus_quality_and_provenance_routes(client):
     for ft, _tt, _n, p in body["data"]:
         sums[ft] += p
     assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
+
+
+def test_events_sessions_route(client):
+    r = client.get("/events/sessions?gap=30 minutes&limit=5")
+    assert r.status_code == 200
+    assert "session_start" in r.get_json()["columns"]
+    r = client.get("/events/sessions?summary=true")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["columns"] == ["n_sessions", "n_users", "n_events",
+                               "avg_events", "avg_seconds",
+                               "p50_seconds", "bounce_rate"]
+    assert body["returned"] == 1
+    assert client.get(
+        "/events/sessions?gap=30 minutes); DROP").status_code == 400

@@ -2367,3 +2367,92 @@ def test_score_against_lm_oov_and_python_reference(spark):
     assert got == expect
     # all-OOV doc is the most surprising, in-vocab doc the least
     assert got[10][2] < got[12][2] < got[11][2]
+
+
+@_settings(max_examples=10, deadline=None,
+           suppress_health_check=[_HC.function_scoped_fixture,
+                                  _HC.too_slow])
+@_given(corpus=_corpus)
+def test_self_perplexity_property_fuzz(spark, corpus):
+    """Random corpora: bits-per-token always equals the pure-Python
+    add-one unigram replay (tokenization quirks included — empty
+    texts tokenize to [''] on both sides)."""
+    import math
+    import re
+    from collections import Counter
+    rows = [(i, s) for i, s in enumerate(corpus)]
+    toks = {i: [t.lower() for t in re.split(r"\s+", s.strip())]
+            for i, s in rows}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    n, v = sum(uni.values()), len(uni)
+    expect = {}
+    for i, ts in toks.items():
+        bits = sum(-math.log2((uni[t] + 1.0) / (n + v)) for t in ts)
+        expect[i] = (len(ts), round(bits / len(ts), 6))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_tokens, r.bits_per_token)
+           for r in textstats.self_perplexity(df).collect()}
+    assert got == expect
+
+
+_event_seqs = _st.lists(
+    _st.tuples(_st.integers(min_value=1, max_value=4),      # user
+               _st.integers(min_value=0, max_value=20),     # second
+               _st.sampled_from(["view", "click", "buy"])),
+    min_size=1, max_size=24)
+
+
+@_settings(max_examples=10, deadline=None,
+           suppress_health_check=[_HC.function_scoped_fixture,
+                                  _HC.too_slow])
+@_given(evs=_event_seqs)
+def test_event_transitions_property_fuzz(spark, evs):
+    """Random event sets (with same-timestamp collisions): the
+    transition counts equal a pure-Python walk ordered by
+    (ts, event_id), and probabilities normalize per from_type."""
+    from collections import Counter, defaultdict
+    from datetime import datetime
+    rows = [(i, datetime(2024, 1, 1, 0, 0, sec), u, t)
+            for i, (u, sec, t) in enumerate(evs)]
+    per_user = defaultdict(list)
+    for eid, ts, u, t in rows:
+        per_user[u].append((ts, eid, t))
+    expect = Counter()
+    for u, seq in per_user.items():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            expect[(a, b)] += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {(r.from_type, r.to_type): r
+           for r in windows.event_transitions(df).collect()}
+    assert {k: r.n for k, r in got.items()} == dict(expect)
+    by_from = defaultdict(float)
+    for (a, _b), r in got.items():
+        by_from[a] += r.prob
+    for a, s in by_from.items():
+        assert abs(s - 1.0) < 1e-4, (a, s)
+
+
+def test_session_stats_crafted_sessions(spark):
+    """Two users, three sessions with known shapes: user 1 has a
+    2-event 90s session and a later 1-event bounce; user 2 has one
+    3-event 600s session.  Summary aggregates are exact."""
+    from datetime import datetime, timedelta
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "view"),
+        (2, t0 + timedelta(seconds=90), 10, "click"),
+        (3, t0 + timedelta(hours=5), 10, "view"),          # bounce
+        (4, t0, 20, "view"),
+        (5, t0 + timedelta(seconds=300), 20, "click"),
+        (6, t0 + timedelta(seconds=600), 20, "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"])
+    r = windows.session_stats(df, "30 minutes").collect()[0]
+    assert (r.n_sessions, r.n_users, r.n_events) == (3, 2, 6)
+    assert r.avg_events == 2.0
+    assert r.avg_seconds == round((90 + 0 + 600) / 3, 6)
+    assert r.p50_seconds == 90.0
+    assert r.bounce_rate == round(1 / 3, 6)
