@@ -24,7 +24,8 @@ import pyspark.sql.functions as F
 from mondrian_rest_spark import members as MB
 from mondrian_rest_spark import tpch
 from mondrian_rest_spark.operators import (closure, dedup, multimodal,
-                                           similarity, textstats, windows)
+                                           pipeline, similarity, textstats,
+                                           windows)
 from mondrian_rest_spark.planner import aggregate
 from mondrian_rest_spark.query import QueryModel
 from mondrian_rest_spark.sources.registry import load_table
@@ -139,6 +140,7 @@ def _geo_closure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLUP_MGRS: dict = {}
 _IVF_LAYOUTS: dict = {}
+_LAYOUT_CACHE: dict = {}
 
 
 def _routed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2008,6 +2010,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bits-per-token, keep head+middle (the CCNet training slice)
     q["x12_perplexity_filter"] = lambda s, d: textstats.perplexity_filter(
         load_table(s, d, "documents"), n_buckets=3, keep_buckets=(1, 2))
+
+    # corpus sink: write the Hive-partitioned curated layout, then
+    # read the manifest back FROM THE FILES (n_files is layout
+    # evidence the SQL oracle can't see — compared via pytest instead)
+    def _curated_layout(s, d):
+        import tempfile
+        key = ("curated", s.sparkContext.applicationId, d)
+        path = _LAYOUT_CACHE.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="curated_") + "/docs"
+            pipeline.write_curated_corpus(
+                load_table(s, d, "documents"), path)
+            _LAYOUT_CACHE[key] = path
+        return pipeline.corpus_manifest(s, path).select(
+            "lang", "n_docs", "n_chars")
+    q["x13_curated_layout"] = _curated_layout
 
     # DSIR-style importance resampling (arXiv:2302.03169): keep the
     # quarter of the corpus whose hashed-bigram profile looks most
@@ -4102,6 +4120,14 @@ def oracle_sql() -> dict[str, str]:
                          / SUM(c_doc)), 6) AS ppl
             FROM dt LEFT JOIN lm USING (tok) CROSS JOIN tot
             GROUP BY doc_id""",
+
+        # per-lang doc/char totals of the WRITTEN layout must equal the
+        # source table's — the round-trip part of the sink contract
+        # (file layout itself is pytest territory)
+        "x13_curated_layout": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars
+            FROM documents GROUP BY lang""",
 
         "x12_perplexity_filter": f"""
             WITH tok AS (

@@ -297,3 +297,52 @@ def decontaminate_corpus(train: DataFrame, eval_docs: DataFrame | None = None,
     survivors = train.join(dropped, on=id_col, how="left_anti")
     return dedup._tag_persisted(
         _trim_spans(survivors, spans, text_col, id_col), spans)
+
+
+def write_curated_corpus(docs: DataFrame, path: str,
+                         partition_by: tuple = ("lang",),
+                         sort_by: str = "doc_id",
+                         max_records_per_file: int = 0,
+                         mode: str = "overwrite") -> None:
+    """The pipeline's SINK: write a curated corpus as Hive-partitioned
+    parquet — the layout a 100 TB training run actually reads.
+
+    Layout contract:
+      * one directory per partition value (``lang=en/…``) so a
+        downstream mixture read prunes partitions instead of
+        filtering rows;
+      * ``repartition(partition_by)`` routes each partition value to
+        one task (AQE coalesces the small ones), so a partition's
+        rows land in that task's files instead of being smeared
+        across every task — the small-files problem at the source;
+      * rows sorted by ``sort_by`` within files: better column
+        compression and range-readable id lookups;
+      * ``max_records_per_file`` caps file size so one giant language
+        still splits into parallel-readable files.
+
+    Deliberately returns nothing — read the layout back with
+    ``corpus_manifest`` (counts come from the FILES, so the manifest
+    is evidence the write landed, not an echo of the input)."""
+    w = (docs.repartition(*[F.col(c) for c in partition_by])
+         .sortWithinPartitions(*partition_by, sort_by)
+         .write.mode(mode))
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy(*partition_by).parquet(path)
+
+
+def corpus_manifest(spark, path: str, partition_by: tuple = ("lang",),
+                    text_col: str = "text") -> DataFrame:
+    """Per-partition manifest of a written corpus layout: file count,
+    document count, and character volume — read from the WRITTEN
+    files (``input_file_name``), so it audits the layout itself.
+    One pruned scan + a |partitions|-row agg."""
+    df = spark.read.parquet(path)
+    return (df.select(*partition_by,
+                      F.input_file_name().alias("__f"),
+                      F.length(text_col).alias("__chars"))
+            .groupBy(*partition_by)
+            .agg(F.countDistinct("__f").alias("n_files"),
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__chars").alias("n_chars"))
+            .orderBy(*partition_by))

@@ -2456,3 +2456,48 @@ def test_session_stats_crafted_sessions(spark):
     assert r.avg_seconds == round((90 + 0 + 600) / 3, 6)
     assert r.p50_seconds == 90.0
     assert r.bounce_rate == round(1 / 3, 6)
+
+
+def test_write_curated_corpus_layout(spark, sf_dir, tmp_path):
+    """Sink contract: Hive partition dirs per lang, file-size cap
+    respected, rows sorted by doc_id within each file, and the
+    file-derived manifest reconciles with the source table."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mondrian_rest_spark.operators import pipeline
+    from mondrian_rest_spark.sources.registry import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "curated")
+    pipeline.write_curated_corpus(docs, path, partition_by=("lang",),
+                                  sort_by="doc_id",
+                                  max_records_per_file=40)
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    dirs = {d for d in os.listdir(path) if d.startswith("lang=")}
+    assert dirs == {f"lang={l}" for l in langs}
+    src = {r.lang: (r.n, r.c) for r in
+           docs.groupBy("lang").agg(
+               F.count(F.lit(1)).alias("n"),
+               F.sum(F.length("text")).alias("c")).collect()}
+    man = {r.lang: r for r in
+           pipeline.corpus_manifest(spark, path).collect()}
+    assert set(man) == langs
+    checked_sorted = False
+    for lang, (n, c) in src.items():
+        m = man[lang]
+        assert (m.n_docs, m.n_chars) == (n, c), lang
+        # cap: every file <= 40 rows, and a >40-doc lang splits
+        files = [f for f in os.listdir(os.path.join(path, f"lang={lang}"))
+                 if f.endswith(".parquet")]
+        assert m.n_files == len(files)
+        if n > 40:
+            assert len(files) > 1, lang
+        for f in files:
+            t = pq.read_table(os.path.join(path, f"lang={lang}", f),
+                              columns=["doc_id"])
+            ids = t.column("doc_id").to_pylist()
+            assert len(ids) <= 40, (lang, f, len(ids))
+            assert ids == sorted(ids), (lang, f)
+            checked_sorted = True
+    assert checked_sorted
