@@ -1625,6 +1625,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.filter("vec_id % 10 = 0"), threshold=0.4, n_cells=8)
     q["d15_semantic_contamination"] = _sem_contam
 
+    # which benchmark leaked: d14's span scan attributed per eval
+    # source (src0/src1 as two benchmarks vs the rest as train)
+    q["d17_contamination_by_benchmark"] = lambda s, d: (
+        dedup.contamination_by_benchmark(
+            load_table(s, d, "documents").filter(
+                ~F.col("source").isin("src0", "src1")),
+            load_table(s, d, "documents").filter(
+                F.col("source").isin("src0", "src1")),
+            n=5))
+
     # provenance: NEAR-dup pair counts between every source pair
     # (LSH pairs -> two source lookups -> |sources|²-bounded agg);
     # the exact-hash variant (cross_source_matrix) is pytest-covered —
@@ -4928,6 +4938,52 @@ def oracle_sql() -> dict[str, str]:
                    MAX(e) - MIN(s) + 1 AS span_tokens,
                    COUNT(*) AS n_grams
             FROM isl GROUP BY doc_id, island""",
+
+        # d14's islands replay partitioned per (train doc, benchmark)
+        # then rolled up per benchmark
+        "d17_contamination_by_benchmark": r"""
+            WITH tr AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE source NOT IN ('src0', 'src1')),
+            ev AS (
+              SELECT doc_id, source AS benchmark,
+                     string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE source IN ('src0', 'src1')),
+            g AS (
+              SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                     md5(array_to_string(t[i:i+4], ' ')) AS gr
+              FROM tr, unnest(range(1, greatest(len(t) - 4, 0) + 1))
+                         AS r(i)),
+            eg AS (
+              SELECT DISTINCT benchmark,
+                     md5(array_to_string(t[i:i+4], ' ')) AS gr
+              FROM ev, unnest(range(1, greatest(len(t) - 4, 0) + 1))
+                         AS r(i)),
+            occ AS (SELECT doc_id, benchmark, pos AS s, pos + 4 AS e
+                    FROM g JOIN eg USING (gr)),
+            m AS (SELECT doc_id, benchmark, s, e,
+                         max(e) OVER (PARTITION BY doc_id, benchmark
+                                      ORDER BY s
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pe
+                  FROM occ),
+            isl AS (SELECT doc_id, benchmark, s, e,
+                           SUM(CASE WHEN pe IS NULL OR s > pe + 1
+                                    THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id, benchmark
+                                   ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island
+                    FROM m),
+            sp AS (SELECT benchmark, doc_id,
+                          MAX(e) - MIN(s) + 1 AS span_tokens
+                   FROM isl GROUP BY benchmark, doc_id, island)
+            SELECT benchmark,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                     AS n_train_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(span_tokens) AS BIGINT)
+                     AS contaminated_tokens
+            FROM sp GROUP BY benchmark""",
 
         "d14_contaminated_spans": r"""
             WITH tr AS (

@@ -1222,3 +1222,41 @@ def cross_source_neardup_matrix(df: DataFrame, threshold: float = 0.5,
            .orderBy("source_a", "source_b"))
     return _tag_persisted(
         out, *getattr(pairs, "_mrs_request_persisted", []))
+
+
+def contamination_by_benchmark(train: DataFrame, eval_docs: DataFrame,
+                               n: int = 5, text_col: str = "text",
+                               id_col: str = "doc_id",
+                               eval_group_col: str = "source") -> DataFrame:
+    """WHICH benchmark leaked: d14's span-level contamination scan
+    attributed per eval GROUP (benchmark/source) — the table a data
+    card's contamination section reports, and the first question asked
+    when an eval number looks too good.
+
+    The eval side reduces to its distinct ``(gram, benchmark)`` pairs
+    (still broadcast-sized — benchmarks are small; a gram shared by
+    two benchmarks is attributed to both), the train side explodes
+    once and joins that broadcast, and islands merge per
+    ``(train doc, benchmark)`` so overlapping hits from DIFFERENT
+    benchmarks never fuse.  Returns ``(benchmark, n_train_docs,
+    n_spans, contaminated_tokens)`` ordered by benchmark."""
+    grams = (_gram_positions(eval_docs, n, text_col, id_col)
+             .join(eval_docs.select(F.col(id_col),
+                                    F.col(eval_group_col)
+                                    .alias("benchmark")), id_col)
+             .select("__g", "benchmark").distinct())
+    occ = (_gram_positions(train, n, text_col, id_col)
+           .join(F.broadcast(grams), "__g")
+           .select(F.struct(F.col(id_col), F.col("benchmark"))
+                   .alias("__key"),
+                   F.col("__pos").alias("__start"),
+                   (F.col("__pos") + F.lit(n - 1)).alias("__end")))
+    spans = _merge_islands(occ, "__key")
+    return (spans.select(F.col("__key.benchmark").alias("benchmark"),
+                         F.col(f"__key.{id_col}").alias(id_col),
+                         "span_tokens")
+            .groupBy("benchmark")
+            .agg(F.countDistinct(id_col).alias("n_train_docs"),
+                 F.count(F.lit(1)).alias("n_spans"),
+                 F.sum("span_tokens").alias("contaminated_tokens"))
+            .orderBy("benchmark"))

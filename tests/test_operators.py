@@ -2501,3 +2501,26 @@ def test_write_curated_corpus_layout(spark, sf_dir, tmp_path):
             assert ids == sorted(ids), (lang, f)
             checked_sorted = True
     assert checked_sorted
+
+
+def test_contamination_by_benchmark_attribution(spark):
+    """Spans attribute to the RIGHT benchmark; a train doc quoting two
+    benchmarks shows up under both; islands never fuse across
+    benchmarks even when their hits overlap in the train doc."""
+    evalset = spark.createDataFrame(
+        [(100, "ALPHA ONE TWO THREE FOUR", "benchA"),
+         (101, "BETA ONE TWO THREE FOUR", "benchB")],
+        ["doc_id", "text", "source"])
+    train = spark.createDataFrame(
+        [(1, "x ALPHA ONE TWO THREE FOUR y BETA ONE TWO THREE FOUR z"),
+         (2, "clean text with nothing quoted from any benchmark here"),
+         (3, "ALPHA ONE TWO THREE FOUR")],
+        ["doc_id", "text"])
+    got = {r.benchmark: r for r in dedup.contamination_by_benchmark(
+        train, evalset, n=5).collect()}
+    assert set(got) == {"benchA", "benchB"}
+    a, b = got["benchA"], got["benchB"]
+    assert a.n_train_docs == 2 and a.n_spans == 2
+    assert a.contaminated_tokens == 10      # 5 tokens in docs 1 and 3
+    assert b.n_train_docs == 1 and b.n_spans == 1
+    assert b.contaminated_tokens == 5
