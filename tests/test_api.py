@@ -1523,3 +1523,45 @@ def test_events_sessions_route(client):
     assert body["returned"] == 1
     assert client.get(
         "/events/sessions?gap=30 minutes); DROP").status_code == 400
+
+
+def test_corpus_event_routes_param_fuzz_never_500s(client):
+    """The corpus/events route surface pins the same 200/400/404-only
+    error contract as /aggregate: garbage params (bad enums, negative
+    or non-numeric limits, injection-shaped intervals, unknown
+    strata/languages) must map to 400, never escape as a 500."""
+    cases = []
+    for metric in ("quality", "gopher", "perplexity", "fertility",
+                   "lm_score", "garbage", ""):
+        for limit in ("3", "-1", "zzz"):
+            cases.append(f"/corpus/stats?metric={metric}&limit={limit}")
+    cases += [
+        "/corpus/stats?metric=lm_score&lm_lang=zz&limit=3",
+        "/corpus/provenance?mode=exact&limit=5",
+        "/corpus/provenance?mode=neardup&threshold=abc",
+        "/corpus/provenance?mode=neardup&threshold=2.5&limit=5",
+        "/corpus/provenance?mode=bogus",
+        "/events/funnel?steps=view&within=7 days",
+        "/events/funnel?steps=view,click&within=7 days); DROP TABLE x",
+        "/events/funnel?steps=view,click&within=never",
+        "/events/funnel?steps=,,&within=7 days",
+        "/events/funnel?timing=true&steps=view,nope,purchase",
+        "/events/funnel?mode=sideways",
+        "/events/sessions?gap=abc",
+        "/events/sessions?gap=30 minutes&summary=banana&limit=2",
+        "/events/sessions?gap=-5 minutes",
+        "/events/transitions?limit=0",
+        "/corpus/mixture?by=lang&alpha=abc",
+        "/corpus/mixture?by=lang&alpha=0",
+        "/corpus/decontaminate?eval_source=",
+        "/corpus/decontaminate?eval_source=src0&mode=bogus",
+    ]
+    seen = set()
+    for qs in cases:
+        r = client.get(qs)
+        assert r.status_code in (200, 400, 404), (
+            qs, r.status_code, r.get_data(as_text=True)[:300])
+        if r.status_code != 200:
+            assert "error" in r.get_json(), qs
+        seen.add(r.status_code)
+    assert 200 in seen and 400 in seen
