@@ -1512,6 +1512,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t17_self_perplexity"] = lambda s, d: textstats.self_perplexity(
         load_table(s, d, "documents"))
 
+    # tokenizer vocab-budget table: corpus-token coverage of the
+    # top-k vocabulary (Zipf reality check; deterministic rank order)
+    q["t19_vocab_coverage"] = lambda s, d: textstats.vocab_coverage(
+        load_table(s, d, "documents"), ks=(100, 1000, 10000))
+
     # true CCNet shape: LM frozen on the English slice, scoring the
     # WHOLE corpus (OOV tokens take the add-one floor and are counted)
     q["t18_ccnet_lm_score"] = lambda s, d: textstats.score_against_lm(
@@ -4104,6 +4109,33 @@ def oracle_sql() -> dict[str, str]:
                          / SUM(c_doc)), 6) AS ppl
             FROM dt JOIN uni USING (tok) CROSS JOIN tot
             GROUP BY doc_id""",
+
+        # rank = (count DESC, token ASC) row_number on both sides, so
+        # each k's coverage is deterministic
+        "t19_vocab_coverage": f"""
+            WITH uni AS (
+              SELECT lower(t.tok) AS tok, COUNT(*) AS c
+              FROM documents, unnest({TOKENS}) AS t(tok) GROUP BY 1),
+            ranked AS (
+              SELECT c,
+                     ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC)
+                       AS rnk,
+                     SUM(c) OVER (ORDER BY c DESC, tok ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM uni),
+            tot AS (SELECT SUM(c) AS total FROM uni)
+            SELECT k,
+                   CAST((SELECT COUNT(*) FROM ranked WHERE rnk <= k)
+                        AS BIGINT) AS distinct_tokens,
+                   CAST(COALESCE((SELECT MAX(cum) FROM ranked
+                                  WHERE rnk <= k), 0) AS BIGINT)
+                     AS covered_tokens,
+                   CAST(total AS BIGINT) AS total_tokens,
+                   ROUND(COALESCE((SELECT MAX(cum) FROM ranked
+                                   WHERE rnk <= k), 0)
+                         / GREATEST(total, 1), 6) AS coverage
+            FROM (VALUES (100), (1000), (10000)) AS ks(k), tot
+            ORDER BY k""",
 
         # LM trained on the 'en' slice only; unseen tokens coalesce to
         # the add-one floor 1/(N+V+1) and are tallied as OOV

@@ -602,3 +602,54 @@ def score_against_lm(df: DataFrame, lm: DataFrame,
                     F.round("__bpt", 6).alias("bits_per_token"),
                     F.round(F.pow(F.lit(2.0), F.col("__bpt")), 6)
                     .alias("ppl")))
+
+
+def vocab_coverage(df: DataFrame, ks: tuple = (100, 1000, 10000),
+                   text_col: str = "text") -> DataFrame:
+    """Tokenizer vocabulary-budget table: for each candidate vocab
+    size k, what fraction of ALL corpus token occurrences the top-k
+    most frequent (lowercased whitespace) tokens cover — the curve a
+    tokenizer design reads to pick its vocab size, and the Zipf
+    reality check (natural text covers ~90%+ with a few thousand
+    types; flat coverage means OCR noise or ID-like junk).
+
+    Ordering is (count DESC, token ASC) so the rank — and therefore
+    every coverage number — is deterministic across engines and
+    partitionings.  One corpus pass builds the unigram table; the
+    rank/cumulative window then sorts |vocab| narrow rows, not the
+    corpus (same posture as perplexity_filter's NTILE).  Returns
+    ``(k, distinct_tokens, covered_tokens, total_tokens, coverage)``
+    — distinct_tokens < k flags a vocab smaller than the budget."""
+    from pyspark.sql import Window
+    uni = (with_tokens(df, text_col)
+           .select(F.explode(F.expr(
+               "transform(__tokens, t -> lower(t))")).alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    w = (Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    ranked = (uni.withColumn("__rank", F.row_number().over(
+        Window.orderBy(F.col("c").desc(), F.col("tok").asc())))
+        .withColumn("__cum", F.sum("c").over(w)))
+    # ONE conditional aggregation over the ranked vocab (no theta
+    # join — a LEFT BNLJ would broadcast the vocab side), reshaped to
+    # a row per k with a literal explode
+    aggs = [F.sum("c").alias("__total")]
+    for k in sorted(ks):
+        cond = F.col("__rank") <= F.lit(int(k))
+        aggs += [F.count(F.when(cond, 1)).alias(f"__d{k}"),
+                 F.coalesce(F.max(F.when(cond, F.col("__cum"))),
+                            F.lit(0).cast("long")).alias(f"__c{k}")]
+    one = ranked.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(int(k)).alias("k"),
+                 F.col(f"__d{k}").cast("long").alias("distinct_tokens"),
+                 F.col(f"__c{k}").alias("covered_tokens"),
+                 F.col("__total").alias("total_tokens"),
+                 F.round(F.col(f"__c{k}")
+                         / F.greatest("__total", F.lit(1)), 6)
+                 .alias("coverage"))
+        for k in sorted(ks)])
+    return (one.select(F.explode(rows).alias("r"))
+            .select("r.k", "r.distinct_tokens", "r.covered_tokens",
+                    "r.total_tokens", "r.coverage")
+            .orderBy("k"))

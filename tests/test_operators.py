@@ -2524,3 +2524,24 @@ def test_contamination_by_benchmark_attribution(spark):
     assert a.contaminated_tokens == 10      # 5 tokens in docs 1 and 3
     assert b.n_train_docs == 1 and b.n_spans == 1
     assert b.contaminated_tokens == 5
+
+
+def test_vocab_coverage_monotone_and_exact(spark):
+    """Coverage is exact on a crafted Zipf-ish corpus, monotone in k,
+    and distinct_tokens flags a vocab smaller than the budget."""
+    # counts: the=6, cat=3, dog=2, emu=1  (total 12, vocab 4)
+    rows = [(1, "the the the cat cat dog"),
+            (2, "the the the cat dog emu")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.k: r for r in
+           textstats.vocab_coverage(df, ks=(1, 2, 10)).collect()}
+    assert out[1].covered_tokens == 6
+    assert out[1].coverage == 0.5
+    assert out[2].covered_tokens == 9
+    assert out[2].coverage == 0.75
+    assert out[10].covered_tokens == 12
+    assert out[10].coverage == 1.0
+    assert out[10].distinct_tokens == 4     # vocab smaller than budget
+    assert out[1].total_tokens == out[10].total_tokens == 12
+    covs = [out[k].coverage for k in (1, 2, 10)]
+    assert covs == sorted(covs)
