@@ -1788,6 +1788,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- multimodal plumbing (binary payload -> mapInPandas features) ----
     q["m01_media_features"] = lambda s, d: _media_features(s, d)
 
+    # perceptual image near-dup (dHash): PNGs generated with CELL-
+    # ALIGNED 2x2 blocks (w=18,h=16 vs the 9x8 dHash grid) and
+    # r=g=b, so the decode -> grayscale -> block-average -> bit
+    # pipeline reduces to pure integer arithmetic the oracle replays
+    # WITHOUT a codec — a hash match proves the whole chain, banding
+    # join and hamming verify included.  Odd ids perturb one cell of
+    # their even neighbor's pattern (hamming <= 1 by construction).
+    def _media_phash_pairs(s, d):
+        import pandas as pd
+
+        from mondrian_rest_spark.operators import media_codec, multimodal
+
+        docs = load_table(s, d, "documents").filter(F.col("doc_id") < 64)
+
+        def gen(batches):
+            for pdf in batches:
+                payloads = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    p = i - (i % 2)
+                    px = bytearray()
+                    for y in range(16):
+                        cy = y // 2
+                        for x in range(18):
+                            cx = x // 2
+                            v = (p * 31 + cy * 17 + cx * 29) % 256
+                            if i % 2 == 1 and cy == 0 and cx == 0:
+                                v = (v + 40) % 256
+                            px += bytes((v, v, v))
+                    payloads.append(
+                        media_codec.png_encode(bytes(px), 18, 16, 3))
+                yield pd.DataFrame({
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/png"})
+
+        media = docs.select("doc_id").mapInPandas(
+            gen, schema=multimodal.MEDIA_SCHEMA)
+        return (multimodal.image_neardup_dhash(media, max_hamming=3)
+                .orderBy("a_id", "b_id"))
+    q["m05_image_phash_pairs"] = _media_phash_pairs
+
     # REAL image decode (r6 VERDICT item 4): PNG payloads built
     # deterministically from doc_id (pure-stdlib encoder), then decoded
     # back through operators/media_codec.png_decode's full
@@ -4563,6 +4606,46 @@ def oracle_sql() -> dict[str, str]:
         # vs the exact counterparts is additionally asserted in
         # tests/test_operators.py)
         "d04_neardup_simhash": _oracle_simhash(max_hamming=3),
+        # pure-arithmetic dHash replay (no codec): the generated cell
+        # values, the 64-bit MSB-first hash, the signed conversion,
+        # the 4x16-bit band join and bit_count hamming — all in SQL
+        "m05_image_phash_pairs": """
+            WITH ids AS (SELECT doc_id AS i FROM documents
+                         WHERE doc_id < 64),
+            hv AS (
+              SELECT i,
+                list_sum(flatten(list_transform(range(0, 8), cy ->
+                  list_transform(range(0, 8), cx ->
+                    CASE WHEN
+                      (CASE WHEN i % 2 = 1 AND cy = 0 AND cx = 0
+                            THEN ((i - (i % 2)) * 31 + cy * 17
+                                  + cx * 29 + 40) % 256
+                            ELSE ((i - (i % 2)) * 31 + cy * 17
+                                  + cx * 29) % 256 END)
+                      >
+                      ((i - (i % 2)) * 31 + cy * 17
+                       + (cx + 1) * 29) % 256
+                    THEN (CAST(1 AS HUGEINT) << (63 - (cy * 8 + cx)))
+                    ELSE CAST(0 AS HUGEINT) END)))) AS u
+              FROM ids),
+            hb AS (SELECT i,
+                          CAST(CASE WHEN u >= (CAST(1 AS HUGEINT) << 63)
+                               THEN u - (CAST(1 AS HUGEINT) << 64)
+                               ELSE u END AS BIGINT) AS dhash, u
+                   FROM hv),
+            ch AS (SELECT i, dhash,
+                          r.c AS c,
+                          CAST((u >> (r.c * 16)) % 65536 AS BIGINT)
+                            AS chunk
+                   FROM hb, range(0, 4) AS r(c)),
+            p AS (SELECT DISTINCT a.i AS a_id, b.i AS b_id,
+                         bit_count(xor(a.dhash, b.dhash)) AS hamming
+                  FROM ch a JOIN ch b
+                    ON a.c = b.c AND a.chunk = b.chunk AND a.i < b.i)
+            SELECT CAST(a_id AS BIGINT) AS a_id,
+                   CAST(b_id AS BIGINT) AS b_id,
+                   CAST(hamming AS INTEGER) AS hamming
+            FROM p WHERE hamming <= 3""",
         "d06_embedding_neardup_lsh": _oracle_neardup_lsh(threshold=0.4),
         "d12_semantic_dedup": _oracle_semantic_dedup(threshold=0.4, n_cells=8),
         "d15_semantic_contamination": _oracle_semantic_contamination(

@@ -224,3 +224,114 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             mime = "application/octet-stream"
         rows.append((i, kind, payload, mime))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+DHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("dhash", LongType()),        # null = not a decodable PNG
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+])
+
+#: 64-bit dHash banded into 4x16-bit chunks: pigeonhole guarantees
+#: recall for hamming <= 3 (same contract as dedup.neardup_simhash).
+_DHASH_CHUNK_BITS = 16
+
+
+def image_dhash(df: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual image hash (dHash): decode the PNG (REAL inflate +
+    unfilter via media_codec), integer-grayscale, block-average down
+    to (hash_size+1) x hash_size, and emit one bit per horizontally
+    adjacent cell pair (left > right).  All INTEGER arithmetic
+    (BT.601 weights x1000, floor division), so the 64-bit hash is
+    bit-identical across platforms and re-runs — the determinism the
+    dedup tests and any cross-engine replay need.  Non-PNG payloads
+    hash to null (count them upstream; don't guess).  Arrow-batched
+    mapInPandas, same plumbing contract as extract_features."""
+    def _hash_one(payload):
+        if payload is None or media_codec.sniff(payload) != "png":
+            return (None, None, None)
+        try:
+            w, h, c, px = media_codec.png_decode(payload)
+        except Exception:
+            return (None, None, None)
+        if w < 1 or h < 1:
+            return (None, None, None)
+        gw, gh = hash_size + 1, hash_size
+        # integer grayscale per source pixel, then block-average with
+        # floor boundaries (cell x covers [x*w//gw, (x+1)*w//gw))
+        bits = 0
+        cells = [[0] * gw for _ in range(gh)]
+        for cy in range(gh):
+            y0, y1 = cy * h // gh, max((cy + 1) * h // gh, cy * h // gh + 1)
+            for cx in range(gw):
+                x0 = cx * w // gw
+                x1 = max((cx + 1) * w // gw, x0 + 1)
+                s = n = 0
+                for y in range(y0, min(y1, h)):
+                    row = (y * w) * c
+                    for x in range(x0, min(x1, w)):
+                        p = row + x * c
+                        if c >= 3:
+                            g = (px[p] * 299 + px[p + 1] * 587
+                                 + px[p + 2] * 114) // 1000
+                        else:
+                            g = px[p]
+                        s += g
+                        n += 1
+                cells[cy][cx] = s // max(n, 1)
+        for cy in range(gh):
+            for cx in range(gw - 1):
+                bits = (bits << 1) | (
+                    1 if cells[cy][cx] > cells[cy][cx + 1] else 0)
+        return (bits - (1 << 64) if bits >= (1 << 63) else bits, w, h)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = pdf["payload"].map(_hash_one)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "dhash": hs.map(lambda t: t[0]).astype("Int64"),
+                "width": hs.map(lambda t: t[1]).astype("Int32"),
+                "height": hs.map(lambda t: t[2]).astype("Int32"),
+            })
+
+    return df.select("media_id", "payload").mapInPandas(
+        _hash, schema=DHASH_SCHEMA)
+
+
+def image_neardup_dhash(df: DataFrame, max_hamming: int = 3,
+                        hash_size: int = 8) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash in Python (the decode
+    is per-row by nature), then EVERYTHING pairwise stays JVM-side —
+    the 4x16-bit chunk band join (pigeonhole-complete for
+    hamming <= 3) and the exact `bit_count(xor)` verify, the same
+    banded shape as `dedup.neardup_simhash`.  No image bytes move
+    through the join: only (id, chunk, hash).  Returns
+    ``(a_id, b_id, hamming)``."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit banding guarantees recall only to hamming 3; "
+            f"got max_hamming={max_hamming}")
+    sh = (image_dhash(df, hash_size)
+          .filter(F.col("dhash").isNotNull())
+          .select("media_id", "dhash").persist())
+    chunks = sh.select(
+        F.col("media_id"), F.col("dhash"),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, 3), c -> "
+            f"(dhash >> (c * {_DHASH_CHUNK_BITS})) & "
+            f"{(1 << _DHASH_CHUNK_BITS) - 1})"
+        )).alias("chunk_idx", "chunk_val"))
+    left = chunks.select(F.col("media_id").alias("a_id"), "chunk_idx",
+                         "chunk_val", F.col("dhash").alias("ha"))
+    right = chunks.select(F.col("media_id").alias("b_id"), "chunk_idx",
+                          "chunk_val", F.col("dhash").alias("hb"))
+    out = (left.join(right, on=["chunk_idx", "chunk_val"], how="inner")
+           .filter(F.col("a_id") < F.col("b_id"))
+           .withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("int"))
+           .filter(F.col("hamming") <= max_hamming)
+           .dropDuplicates(["a_id", "b_id"])
+           .select("a_id", "b_id", "hamming"))
+    from .dedup import _tag_persisted
+    return _tag_persisted(out, sh)

@@ -2545,3 +2545,45 @@ def test_vocab_coverage_monotone_and_exact(spark):
     assert out[1].total_tokens == out[10].total_tokens == 12
     covs = [out[k].coverage for k in (1, 2, 10)]
     assert covs == sorted(covs)
+
+
+def test_image_dhash_neardup_pairs(spark):
+    """Perceptual dedup: an exact PNG copy pairs at hamming 0, a
+    lightly perturbed copy pairs within the banding budget, a
+    different image and a non-PNG payload produce no pairs."""
+    from mondrian_rest_spark.operators import media_codec, multimodal
+    w, h = 32, 24
+    # smooth gradient image (structure for dHash to latch onto)
+    base = bytes(((x * 8 + y * 3) % 256)
+                 for y in range(h) for x in range(w) for _ in range(3))
+    # perturb a few pixels slightly (valid perceptual near-dup)
+    pert = bytearray(base)
+    for i in range(0, 30, 3):
+        pert[i] = (pert[i] + 6) % 256
+    # structurally different image
+    other = bytes(((x * 37 + y * 91 + (x * y) % 7 * 40) % 256)
+                  for y in range(h) for x in range(w) for _ in range(3))
+    rows = [
+        (1, "image", media_codec.png_encode(base, w, h, 3), "image/png"),
+        (2, "image", media_codec.png_encode(base, w, h, 3), "image/png"),
+        (3, "image", media_codec.png_encode(bytes(pert), w, h, 3),
+         "image/png"),
+        (4, "image", media_codec.png_encode(other, w, h, 3), "image/png"),
+        (5, "video", b"\x00\x01notpng", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    hashes = {r.media_id: r.dhash
+              for r in multimodal.image_dhash(df).collect()}
+    assert hashes[1] == hashes[2]           # identical bytes, same hash
+    assert hashes[5] is None                # non-PNG refuses, not guesses
+    assert hashes[1] != hashes[4]
+    out = multimodal.image_neardup_dhash(df, max_hamming=3)
+    pairs = {(r.a_id, r.b_id): r.hamming for r in out.collect()}
+    from mondrian_rest_spark.operators import dedup
+    dedup.unpersist_request_frames(out)
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert not any(4 in p or 5 in p for p in pairs)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal.image_neardup_dhash(df, max_hamming=10)
