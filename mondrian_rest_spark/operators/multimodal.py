@@ -288,12 +288,17 @@ def image_dhash(df: DataFrame, hash_size: int = 8) -> DataFrame:
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hs = pdf["payload"].map(_hash_one)
+            hs = [_hash_one(p) for p in pdf["payload"]]
+            # pd.array, NOT Series.astype("Int64"): astype on an
+            # object series holding a None routes through float64,
+            # which silently ROUNDS 64-bit hashes (53-bit mantissa) —
+            # the hash then differs between batches with and without
+            # a non-PNG row
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "dhash": hs.map(lambda t: t[0]).astype("Int64"),
-                "width": hs.map(lambda t: t[1]).astype("Int32"),
-                "height": hs.map(lambda t: t[2]).astype("Int32"),
+                "dhash": pd.array([t[0] for t in hs], dtype="Int64"),
+                "width": pd.array([t[1] for t in hs], dtype="Int32"),
+                "height": pd.array([t[2] for t in hs], dtype="Int32"),
             })
 
     return df.select("media_id", "payload").mapInPandas(

@@ -657,3 +657,96 @@ def streaming_quality_ingest(stream: DataFrame, lm,
             .foreachBatch(_process)
             .trigger(availableNow=True)
             .start())
+
+
+def init_image_index(spark, index_path: str, media: DataFrame | None = None,
+                     hash_size: int = 8):
+    """Seed the incremental perceptual-image index: one (media_id,
+    dhash) parquet row per decodable PNG in ``media`` (empty layout
+    when media is None).  Same partition-per-batch discipline as
+    init_neardup_index — the seed lands in ``batch=seed``."""
+    from ..operators.multimodal import image_dhash
+    if media is not None:
+        sh = image_dhash(media, hash_size).filter(
+            F.col("dhash").isNotNull()).select("media_id", "dhash")
+    else:
+        from pyspark.sql.types import (LongType, StructField, StructType)
+        sh = spark.createDataFrame(
+            [], StructType([StructField("media_id", LongType()),
+                            StructField("dhash", LongType())]))
+    sh.write.mode("overwrite").parquet(f"{index_path}/hashes/batch=seed")
+
+
+def streaming_image_dedup_ingest(stream: DataFrame, spark,
+                                 index_path: str, max_hamming: int = 3,
+                                 hash_size: int = 8,
+                                 within_batch: bool = True,
+                                 on_batch=None):
+    """Ingest-time PERCEPTUAL image dedup: arriving media rows dHash
+    (Python touches only the per-row PNG decode), band-join against
+    the stored hash index JVM-side (4x16-bit chunks, pigeonhole-
+    complete to hamming 3), matches drop, survivors append their
+    (media_id, dhash) rows so later arrivals dedup against accepted
+    images too — the image counterpart of
+    :func:`streaming_neardup_ingest_incremental`, with the same
+    replay-idempotence discipline (own-batch partition exclusion +
+    partition overwrite; the index is (id, int64) rows, so no pin
+    staging is needed for the MEDIA payload — only hashes are
+    re-read).  Non-PNG arrivals pass through un-deduped (they hash
+    to null; count them downstream, don't guess)."""
+    from ..operators.multimodal import image_dhash
+
+    chunk_expr = ("transform(sequence(0, 3), c -> "
+                  "(dhash >> (c * 16)) & 65535)")
+    if max_hamming > 3:
+        raise ValueError("banding guarantees recall only to hamming 3")
+
+    def _chunks(sh: DataFrame, idc: str) -> DataFrame:
+        return sh.select(
+            F.col("media_id").alias(idc), F.col("dhash").alias(f"h_{idc}"),
+            F.posexplode(F.expr(chunk_expr)).alias("chunk_idx",
+                                                   "chunk_val"))
+
+    def _process(batch_df, batch_id):
+        own = f"b{batch_id}"
+        ix = (spark.read.parquet(f"{index_path}/hashes")
+              .filter(F.col("batch") != own).drop("batch"))
+        sh = image_dhash(batch_df, hash_size).persist()
+        hashed = sh.filter(F.col("dhash").isNotNull()) \
+                   .select("media_id", "dhash")
+        vs_ix = (_chunks(hashed, "new_id")
+                 .join(_chunks(ix, "ix_id"),
+                       on=["chunk_idx", "chunk_val"])
+                 .withColumn("hamming",
+                             F.expr("bit_count(h_new_id ^ h_ix_id)"))
+                 .filter(F.col("hamming") <= max_hamming)
+                 .select(F.col("new_id").alias("media_id"))
+                 .dropDuplicates(["media_id"]))
+        keep_h = hashed.join(vs_ix, "media_id", "left_anti")
+        if within_batch:
+            wb = (_chunks(keep_h, "a_id")
+                  .join(_chunks(keep_h, "b_id"),
+                        on=["chunk_idx", "chunk_val"])
+                  .filter(F.col("a_id") > F.col("b_id"))
+                  .withColumn("hamming",
+                              F.expr("bit_count(h_a_id ^ h_b_id)"))
+                  .filter(F.col("hamming") <= max_hamming)
+                  .select(F.col("a_id").alias("media_id"))
+                  .dropDuplicates(["media_id"]))
+            keep_h = keep_h.join(wb, "media_id", "left_anti")
+        keep_h.write.mode("overwrite").parquet(
+            f"{index_path}/hashes/batch={own}")
+        kept_ids = spark.read.parquet(
+            f"{index_path}/hashes/batch={own}").select("media_id")
+        undedupable = (sh.filter(F.col("dhash").isNull())
+                       .select("media_id"))
+        out = batch_df.join(
+            kept_ids.unionByName(undedupable), "media_id", "left_semi")
+        if on_batch is not None:
+            on_batch(out, batch_id)
+        sh.unpersist()
+
+    return (stream.writeStream
+            .foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start())

@@ -2577,6 +2577,13 @@ def test_image_dhash_neardup_pairs(spark):
     assert hashes[1] == hashes[2]           # identical bytes, same hash
     assert hashes[5] is None                # non-PNG refuses, not guesses
     assert hashes[1] != hashes[4]
+    # batch independence: the hash must be bit-identical whether or
+    # not a null-hash (non-PNG) row shares the Arrow batch — a
+    # float64 round-trip in the Int64 conversion once rounded the
+    # 53rd+ bit and broke cross-batch joins
+    solo = {r.media_id: r.dhash for r in multimodal.image_dhash(
+        df.filter(F.col("media_id") == 4)).collect()}
+    assert solo[4] == hashes[4]
     out = multimodal.image_neardup_dhash(df, max_hamming=3)
     pairs = {(r.a_id, r.b_id): r.hamming for r in out.collect()}
     from mondrian_rest_spark.operators import dedup

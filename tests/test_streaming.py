@@ -910,3 +910,65 @@ def test_streaming_quality_ingest_matches_batch(spark, tmp_path):
     assert r.oov_tokens == batch_audit[201].oov_tokens
     assert r.text == arriving[0][1]
     lm.unpersist()
+
+
+def test_streaming_image_dedup_ingest(spark, tmp_path):
+    """Ingest-time perceptual dedup: an exact and a perturbed copy of
+    a SEED image drop; a novel image survives and appends its hash so
+    a LATER batch's copy of it drops too; a non-PNG passes through."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mondrian_rest_spark.operators import media_codec, multimodal
+    from mondrian_rest_spark.streaming.events import (
+        init_image_index, streaming_image_dedup_ingest)
+
+    w, h = 32, 24
+    base = bytes(((x * 8 + y * 3) % 256)
+                 for y in range(h) for x in range(w) for _ in range(3))
+    pert = bytearray(base)
+    for i in range(0, 30, 3):
+        pert[i] = (pert[i] + 6) % 256
+    novel = bytes(((x * 37 + y * 91 + (x * y) % 7 * 40) % 256)
+                  for y in range(h) for x in range(w) for _ in range(3))
+    seed = spark.createDataFrame(
+        [(1, "image", media_codec.png_encode(base, w, h, 3),
+          "image/png")], multimodal.MEDIA_SCHEMA)
+    ixp = str(tmp_path / "img_ix")
+    init_image_index(spark, ixp, seed)
+
+    enc = media_codec.png_encode
+    batches = [
+        # batch 0: copy of seed (drop), perturbed seed (drop),
+        # novel (keep), non-PNG (pass through)
+        [(10, "image", enc(base, w, h, 3)),
+         (11, "image", enc(bytes(pert), w, h, 3)),
+         (12, "image", enc(novel, w, h, 3)),
+         (13, "video", b"\x99notpng")],
+        # batch 1: copy of the batch-0 NOVEL survivor -> drop
+        [(20, "image", enc(novel, w, h, 3))],
+    ]
+    d = tmp_path / "media_arrivals"
+    d.mkdir()
+    for bi, rows in enumerate(batches):
+        pq.write_table(pa.table({
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array([r[1] for r in rows], pa.string()),
+            "payload": pa.array([r[2] for r in rows], pa.binary()),
+            "mime": pa.array(["x"] * len(rows), pa.string())}),
+            str(d / f"f{bi}.parquet"))
+    stream = (spark.readStream
+              .schema(multimodal.MEDIA_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d)))
+    got: dict = {}
+    q = streaming_image_dedup_ingest(
+        stream, spark, ixp,
+        on_batch=lambda df, bid: got.setdefault(
+            bid, sorted(r.media_id for r in df.collect())))
+    q.awaitTermination(240)
+    assert got[0] == [12, 13]
+    assert got[1] == []
+    # the index now holds seed + the one accepted image hash
+    ix = spark.read.parquet(f"{ixp}/hashes")
+    assert sorted(r.media_id for r in ix.collect()) == [1, 12]
