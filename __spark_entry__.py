@@ -1831,6 +1831,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("a_id", "b_id"))
     q["m05_image_phash_pairs"] = _media_phash_pairs
 
+    # perceptual AUDIO near-dup (energy-envelope hash): WAVs generated
+    # with FRAME-ALIGNED constant amplitudes (65 frames x 4 samples),
+    # so decode -> abs-mean -> bits reduces to pure arithmetic for the
+    # oracle, codec-free — the audio twin of m05.  Odd ids perturb
+    # frame 0 of their even neighbor's envelope.
+    def _media_ahash_pairs(s, d):
+        import pandas as pd
+
+        from mondrian_rest_spark.operators import media_codec, multimodal
+
+        docs = load_table(s, d, "documents").filter(F.col("doc_id") < 64)
+
+        def gen(batches):
+            for pdf in batches:
+                payloads = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    p = i - (i % 2)
+                    samples = []
+                    for f in range(65):
+                        v = ((p * 37 + f * 53) % 2048) - 1024
+                        if i % 2 == 1 and f == 0:
+                            v = ((p * 37 + 700) % 2048) - 1024
+                        samples += [v] * 4
+                    payloads.append(media_codec.wav_encode(samples))
+                yield pd.DataFrame({
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav"})
+
+        media = docs.select("doc_id").mapInPandas(
+            gen, schema=multimodal.MEDIA_SCHEMA)
+        return (multimodal.audio_neardup_hash(media, max_hamming=3)
+                .orderBy("a_id", "b_id"))
+    q["m06_audio_ahash_pairs"] = _media_ahash_pairs
+
     # REAL image decode (r6 VERDICT item 4): PNG payloads built
     # deterministically from doc_id (pure-stdlib encoder), then decoded
     # back through operators/media_codec.png_decode's full
@@ -4606,6 +4643,43 @@ def oracle_sql() -> dict[str, str]:
         # vs the exact counterparts is additionally asserted in
         # tests/test_operators.py)
         "d04_neardup_simhash": _oracle_simhash(max_hamming=3),
+        # m05's arithmetic-replay idea on the time axis: the frame
+        # energies, 64-bit MSB-first hash, signed conversion, band
+        # join and hamming — all codec-free SQL
+        "m06_audio_ahash_pairs": """
+            WITH ids AS (SELECT doc_id AS i FROM documents
+                         WHERE doc_id < 64),
+            hv AS (
+              SELECT i,
+                list_sum(list_transform(range(0, 64), f ->
+                  CASE WHEN
+                    abs(CASE WHEN i % 2 = 1 AND f = 0
+                        THEN ((i - (i % 2)) * 37 + 700) % 2048 - 1024
+                        ELSE ((i - (i % 2)) * 37 + f * 53) % 2048
+                             - 1024 END)
+                    >
+                    abs(((i - (i % 2)) * 37 + (f + 1) * 53) % 2048
+                        - 1024)
+                  THEN (CAST(1 AS HUGEINT) << (63 - f))
+                  ELSE CAST(0 AS HUGEINT) END)) AS u
+              FROM ids),
+            hb AS (SELECT i,
+                          CAST(CASE WHEN u >= (CAST(1 AS HUGEINT) << 63)
+                               THEN u - (CAST(1 AS HUGEINT) << 64)
+                               ELSE u END AS BIGINT) AS ahash, u
+                   FROM hv),
+            ch AS (SELECT i, ahash, r.c AS c,
+                          CAST((u >> (r.c * 16)) % 65536 AS BIGINT)
+                            AS chunk
+                   FROM hb, range(0, 4) AS r(c)),
+            p AS (SELECT DISTINCT a.i AS a_id, b.i AS b_id,
+                         bit_count(xor(a.ahash, b.ahash)) AS hamming
+                  FROM ch a JOIN ch b
+                    ON a.c = b.c AND a.chunk = b.chunk AND a.i < b.i)
+            SELECT CAST(a_id AS BIGINT) AS a_id,
+                   CAST(b_id AS BIGINT) AS b_id,
+                   CAST(hamming AS INTEGER) AS hamming
+            FROM p WHERE hamming <= 3""",
         # pure-arithmetic dHash replay (no codec): the generated cell
         # values, the 64-bit MSB-first hash, the signed conversion,
         # the 4x16-bit band join and bit_count hamming — all in SQL

@@ -2594,3 +2594,40 @@ def test_image_dhash_neardup_pairs(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         multimodal.image_neardup_dhash(df, max_hamming=10)
+
+
+def test_audio_energy_hash_neardup(spark):
+    """Audio fingerprint: an exact WAV copy pairs at hamming 0, a
+    re-gained-in-one-frame copy stays within the banding budget, a
+    different envelope and a non-WAV payload produce no pairs, and
+    the hash is batch-independent (the Int64 float-rounding trap)."""
+    from mondrian_rest_spark.operators import media_codec, multimodal
+    import math
+    base = [int(900 * math.sin(j / 7.0)) + (j % 13) * 40
+            for j in range(65 * 4)]
+    pert = list(base)
+    for j in range(4):                       # louden one frame only
+        pert[j] = min(pert[j] + 350, 32767)
+    other = [((j * 911) % 1900) - 950 for j in range(65 * 4)]
+    rows = [
+        (1, "audio", media_codec.wav_encode(base), "audio/wav"),
+        (2, "audio", media_codec.wav_encode(base), "audio/wav"),
+        (3, "audio", media_codec.wav_encode(pert), "audio/wav"),
+        (4, "audio", media_codec.wav_encode(other), "audio/wav"),
+        (5, "video", b"\x00notwav", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    hashes = {r.media_id: r.ahash
+              for r in multimodal.audio_energy_hash(df).collect()}
+    assert hashes[1] == hashes[2]
+    assert hashes[5] is None
+    assert hashes[1] != hashes[4]
+    solo = {r.media_id: r.ahash for r in multimodal.audio_energy_hash(
+        df.filter(F.col("media_id") == 4)).collect()}
+    assert solo[4] == hashes[4]              # batch independence
+    out = multimodal.audio_neardup_hash(df, max_hamming=3)
+    pairs = {(r.a_id, r.b_id): r.hamming for r in out.collect()}
+    dedup.unpersist_request_frames(out)
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert not any(4 in p or 5 in p for p in pairs)

@@ -972,3 +972,40 @@ def test_streaming_image_dedup_ingest(spark, tmp_path):
     # the index now holds seed + the one accepted image hash
     ix = spark.read.parquet(f"{ixp}/hashes")
     assert sorted(r.media_id for r in ix.collect()) == [1, 12]
+
+
+def test_streaming_image_dedup_replay_idempotent(spark, tmp_path):
+    """Crash-replay contract for the image index: re-driving a batch
+    with the SAME batch_id leaves index row counts unchanged and
+    re-accepts the same survivors (own-partition exclusion + partition
+    overwrite, like the text near-dup index)."""
+    from mondrian_rest_spark.operators import media_codec, multimodal
+    from mondrian_rest_spark.streaming.events import (
+        init_image_index, streaming_image_dedup_ingest)
+
+    w, h = 32, 24
+    base = bytes(((x * 8 + y * 3) % 256)
+                 for y in range(h) for x in range(w) for _ in range(3))
+    novel = bytes(((x * 37 + y * 91 + (x * y) % 7 * 40) % 256)
+                  for y in range(h) for x in range(w) for _ in range(3))
+    seed = spark.createDataFrame(
+        [(1, "image", media_codec.png_encode(base, w, h, 3),
+          "image/png")], multimodal.MEDIA_SCHEMA)
+    ixp = str(tmp_path / "img_ix_replay")
+    init_image_index(spark, ixp, seed)
+    batch = spark.createDataFrame(
+        [(10, "image", media_codec.png_encode(base, w, h, 3), "x"),
+         (12, "image", media_codec.png_encode(novel, w, h, 3), "x")],
+        multimodal.MEDIA_SCHEMA)
+    survived: list = []
+    process = _capture_process(
+        streaming_image_dedup_ingest, spark, ixp,
+        on_batch=lambda df, _b: survived.extend(
+            r.media_id for r in df.collect()))
+    process(batch, 7)
+    first = spark.read.parquet(f"{ixp}/hashes").count()
+    assert survived == [12] and first == 2      # seed + novel
+    survived.clear()
+    process(batch, 7)                            # crash replay
+    assert spark.read.parquet(f"{ixp}/hashes").count() == first
+    assert survived == [12]
