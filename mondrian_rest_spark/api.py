@@ -487,6 +487,23 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         finally:
             dedup.unpersist_request_frames(df)
 
+    @app.get("/corpus/contamination")
+    def corpus_contamination():
+        # which benchmark leaked (d17): span-level contamination
+        # attributed per eval source; eval_sources is a comma list
+        from .operators import dedup
+        raw = request.args.get("eval_sources")
+        if not raw:
+            raise ParseError("eval_sources required (comma-separated)")
+        sources = [s for s in raw.split(",") if s]
+        docs = load_table(get_spark(), sf_dir, "documents")
+        n = _int(request.args, "n")
+        df = dedup.contamination_by_benchmark(
+            docs.filter(~F.col("source").isin(sources)),
+            docs.filter(F.col("source").isin(sources)),
+            n=5 if n is None else n)
+        return _frame_json(df, _corpus_limit(request.args))
+
     @app.get("/events/funnel")
     def events_funnel():
         # ordered-sequence funnel over the events table; timing=true

@@ -1565,3 +1565,16 @@ def test_corpus_event_routes_param_fuzz_never_500s(client):
             assert "error" in r.get_json(), qs
         seen.add(r.status_code)
     assert 200 in seen and 400 in seen
+
+
+def test_corpus_contamination_route(client):
+    r = client.get("/corpus/contamination?eval_sources=src0,src1"
+                   "&limit=10")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["columns"] == ["benchmark", "n_train_docs", "n_spans",
+                               "contaminated_tokens"]
+    assert {row[0] for row in body["data"]} <= {"src0", "src1"}
+    assert client.get("/corpus/contamination").status_code == 400
+    assert client.get(
+        "/corpus/contamination?eval_sources=src0&n=abc").status_code == 400
