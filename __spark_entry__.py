@@ -1554,6 +1554,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["w11_session_stats"] = lambda s, d: windows.session_stats(
         load_table(s, d, "events"), "30 minutes")
 
+    # volume-anomaly flags: per-type daily counts z-scored against
+    # the trailing week (integer-exact rolling variance)
+    q["w12_daily_anomalies"] = lambda s, d: windows.daily_count_anomalies(
+        load_table(s, d, "events"), window_days=7)
+
     # ---- dedup suite ----
     q["d01_exact_dups"] = lambda s, d: dedup.exact_duplicate_groups(
         load_table(s, d, "documents"))
@@ -4427,6 +4432,38 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN s sa ON p.a_id = sa.doc_id
                    JOIN s sb ON p.b_id = sb.doc_id
             GROUP BY 1, 2""",
+
+        # integer rolling sums -> exact variance numerator; the only
+        # float ops are the final divide/sqrt, rounded to 6
+        "w12_daily_anomalies": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT event_type, day, n,
+                     COUNT(n) OVER w AS k, SUM(n) OVER w AS s,
+                     SUM(n * n) OVER w AS q
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, day, n,
+                   ROUND(s * 1.0 / k, 6) AS mean_prev,
+                   ROUND(CASE WHEN k >= 3
+                              AND (k * q - s * s) * 1.0
+                                  / (k * (k - 1)) > 0
+                         THEN (n - s * 1.0 / k)
+                              / sqrt((k * q - s * s) * 1.0
+                                     / (k * (k - 1))) END, 6) AS z,
+                   CASE WHEN k >= 3 AND (k * q - s * s) * 1.0
+                             / (k * (k - 1)) > 0
+                        THEN abs(ROUND((n - s * 1.0 / k)
+                             / sqrt((k * q - s * s) * 1.0
+                                    / (k * (k - 1))), 6)) > 3.0
+                        WHEN k >= 3 AND k * q = s * s
+                        THEN n * k <> s
+                        END AS is_anomaly
+            FROM r""",
 
         # same gap-islands session replay as w03; durations in integer
         # µs with one division at the end (funnel_timing's contract)

@@ -385,3 +385,46 @@ def session_stats(df: DataFrame, gap: str = "30 minutes",
         F.round(F.sum(F.when(F.col("n_events") == 1, F.lit(1))
                       .otherwise(F.lit(0)))
                 / F.count(F.lit(1)), 6).alias("bounce_rate")))
+
+
+def daily_count_anomalies(df: DataFrame, window_days: int = 7,
+                          z_threshold: float = 3.0,
+                          ts_col: str = "ts",
+                          type_col: str = "event_type") -> DataFrame:
+    """Volume-anomaly flags for event monitoring: per event type and
+    day, the z-score of the day's count against the TRAILING
+    ``window_days`` observed days (frame excludes the current day, so
+    an anomaly can't suppress itself).
+
+    The variance is computed from integer rolling sums —
+    var = (k·Σx² − (Σx)²) / (k·(k−1)) — so everything is exact until
+    the final divide/sqrt (IEEE-correctly-rounded on any engine),
+    and the flags replay bit-for-bit; days with fewer than 3 prior
+    observations emit null z (not-enough-history, not "normal"), and
+    a ZERO-variance history (perfectly flat baseline) flags ANY
+    deviation — z is undefined there but the spike is the most
+    obvious kind, not un-scorable.
+    One date-truncated hash-agg (the only corpus-sized pass), then
+    the window runs over |types| x |days| tiny rows.  Returns
+    ``(event_type, day, n, mean_prev, z, is_anomaly)``."""
+    from pyspark.sql import Window
+    daily = (df.groupBy(F.col(type_col),
+                        F.date_trunc("day", F.col(ts_col)).alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy(type_col).orderBy("day")
+         .rowsBetween(-window_days, -1))
+    k = F.count("n").over(w)
+    s = F.sum("n").over(w)
+    q = F.sum(F.col("n") * F.col("n")).over(w)
+    var = (k * q - s * s) / (k * (k - F.lit(1)))
+    z = F.when((k >= 3) & (var > 0),
+               (F.col("n") - s / k) / F.sqrt(var))
+    return (daily
+            .withColumn("mean_prev", F.round(s / k, 6))
+            .withColumn("z", F.round(z, 6))
+            .withColumn("is_anomaly",
+                        F.when(F.col("z").isNotNull(),
+                               F.abs("z") > F.lit(z_threshold))
+                        .when((k >= 3) & (k * q == s * s),
+                              F.col("n") * k != s))
+            .orderBy(type_col, "day"))

@@ -86,7 +86,7 @@ AUDIT = ["q02_region_revenue", "q03_crossjoin_3d", "q04_cut_member",
          "t18_ccnet_lm_score", "w08_event_transitions",
          "w09_funnel_timing", "w10_props_stats", "x11_gopher_rules",
          "x12_perplexity_filter", "d16_cross_source_matrix",
-         "w11_session_stats", "d17_contamination_by_benchmark", "t19_vocab_coverage", "m05_image_phash_pairs", "m06_audio_ahash_pairs"]
+         "w11_session_stats", "d17_contamination_by_benchmark", "t19_vocab_coverage", "m05_image_phash_pairs", "m06_audio_ahash_pairs", "w12_daily_anomalies"]
 
 # per-query caveats the static plan can't show (r12, VERDICT r11 #2)
 NOTES = {

@@ -2631,3 +2631,34 @@ def test_audio_energy_hash_neardup(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_daily_anomalies_spike_flags(spark):
+    """A varying baseline then a 10x spike: the spike day flags with a
+    computed z; a FLAT baseline (variance 0) still flags any deviation
+    (z null, is_anomaly true); matching-the-flat-mean days are False;
+    the first days (insufficient history) stay null/null."""
+    from datetime import datetime, timedelta
+    rows, eid = [], 0
+    t0 = datetime(2024, 1, 1)
+    view = [48, 50, 52, 48, 50, 52, 48, 50, 500]   # varying + spike
+    click = [30, 30, 30, 30, 30, 30, 30, 30, 31]   # flat + tiny bump
+    for day, (nv, nc) in enumerate(zip(view, click)):
+        for typ, n in (("view", nv), ("click", nc)):
+            for j in range(n):
+                eid += 1
+                rows.append((eid, t0 + timedelta(days=day, seconds=j),
+                             j % 5, typ))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {(r.event_type, r.day.day): r for r in
+           windows.daily_count_anomalies(df, window_days=7).collect()}
+    spike = out[("view", 9)]
+    assert spike.is_anomaly and spike.z > 3
+    flat_bump = out[("click", 9)]
+    assert flat_bump.is_anomaly and flat_bump.z is None
+    assert out[("click", 8)].is_anomaly is False   # matches flat mean
+    for d in (1, 2, 3):                            # <3 prior days
+        for typ in ("view", "click"):
+            r = out[(typ, d)]
+            assert r.z is None and r.is_anomaly is None, (typ, d)
