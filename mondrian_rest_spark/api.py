@@ -532,6 +532,21 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         return _frame_json(windows.event_transitions(ev),
                            _corpus_limit(request.args))
 
+    @app.get("/events/anomalies")
+    def events_anomalies():
+        # daily volume anomaly flags (w12)
+        from .operators import windows
+        wd = _int(request.args, "window_days")
+        z = _float(request.args, "z", 3.0)
+        if z <= 0:
+            raise ParseError(f"z must be > 0, got {z}")
+        ev = load_table(get_spark(), sf_dir, "events")
+        return _frame_json(
+            windows.daily_count_anomalies(
+                ev, window_days=7 if wd is None else wd,
+                z_threshold=z),
+            _corpus_limit(request.args))
+
     @app.get("/events/sessions")
     def events_sessions():
         # per-session frame (w03) or the distribution summary (w11);

@@ -1578,3 +1578,14 @@ def test_corpus_contamination_route(client):
     assert client.get("/corpus/contamination").status_code == 400
     assert client.get(
         "/corpus/contamination?eval_sources=src0&n=abc").status_code == 400
+
+
+def test_events_anomalies_route(client):
+    r = client.get("/events/anomalies?window_days=7&limit=200")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["columns"] == ["event_type", "day", "n", "mean_prev",
+                               "z", "is_anomaly"]
+    assert body["returned"] > 0
+    assert client.get("/events/anomalies?z=-1").status_code == 400
+    assert client.get("/events/anomalies?window_days=x").status_code == 400
