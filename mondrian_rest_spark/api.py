@@ -541,11 +541,12 @@ def create_app(cat: Catalog, sf_dir: str, spark=None,
         if z <= 0:
             raise ParseError(f"z must be > 0, got {z}")
         ev = load_table(get_spark(), sf_dir, "events")
-        return _frame_json(
-            windows.daily_count_anomalies(
-                ev, window_days=7 if wd is None else wd,
-                z_threshold=z),
-            _corpus_limit(request.args))
+        try:
+            df = windows.daily_count_anomalies(
+                ev, window_days=7 if wd is None else wd, z_threshold=z)
+        except ValueError as e:
+            raise ParseError(str(e))
+        return _frame_json(df, _corpus_limit(request.args))
 
     @app.get("/events/sessions")
     def events_sessions():

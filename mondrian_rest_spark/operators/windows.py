@@ -408,6 +408,9 @@ def daily_count_anomalies(df: DataFrame, window_days: int = 7,
     the window runs over |types| x |days| tiny rows.  Returns
     ``(event_type, day, n, mean_prev, z, is_anomaly)``."""
     from pyspark.sql import Window
+    if window_days < 1:
+        raise ValueError(
+            f"window_days must be >= 1, got {window_days}")
     daily = (df.groupBy(F.col(type_col),
                         F.date_trunc("day", F.col(ts_col)).alias("day"))
              .agg(F.count(F.lit(1)).alias("n")))

@@ -1555,6 +1555,13 @@ def test_corpus_event_routes_param_fuzz_never_500s(client):
         "/corpus/mixture?by=lang&alpha=0",
         "/corpus/decontaminate?eval_source=",
         "/corpus/decontaminate?eval_source=src0&mode=bogus",
+        "/corpus/contamination",
+        "/corpus/contamination?eval_sources=src0&n=0",
+        "/corpus/contamination?eval_sources=,,&limit=5",
+        "/events/anomalies?z=0",
+        "/events/anomalies?z=abc",
+        "/events/anomalies?window_days=-3",
+        "/events/anomalies?window_days=7&limit=zzz",
     ]
     seen = set()
     for qs in cases:
