@@ -2662,3 +2662,102 @@ def test_daily_anomalies_spike_flags(spark):
         for typ in ("view", "click"):
             r = out[(typ, d)]
             assert r.z is None and r.is_anomaly is None, (typ, d)
+
+
+@_settings(max_examples=10, deadline=None,
+           suppress_health_check=[_HC.function_scoped_fixture,
+                                  _HC.too_slow])
+@_given(evs=_event_seqs)
+def test_funnel_first_touch_property_fuzz(spark, evs):
+    """Random event sets: funnel() step counts AND funnel_timing()
+    latencies both equal an independent pure-Python first-touch walk
+    (earliest step-1 anchor; each later step the earliest strictly
+    after the previous, within the global deadline)."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+    steps = ("view", "click", "buy")
+    rows = [(i, datetime(2024, 1, 1, 0, 0, sec), u, t)
+            for i, (u, sec, t) in enumerate(evs)]
+    per_user = defaultdict(list)
+    for eid, ts, u, t in rows:
+        per_user[u].append((ts, t))
+    walks = {}
+    for u, seq in per_user.items():
+        s1 = [ts for ts, t in seq if t == steps[0]]
+        if not s1:
+            continue
+        t1 = min(s1)
+        walk = [t1]
+        deadline = t1 + timedelta(days=7)
+        prev = t1
+        for st in steps[1:]:
+            nxt = [ts for ts, t in seq
+                   if t == st and prev < ts <= deadline]
+            if not nxt:
+                break
+            prev = min(nxt)
+            walk.append(prev)
+        walks[u] = walk
+    exp_counts = [sum(1 for w in walks.values() if len(w) > k)
+                  for k in range(3)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {r.step_idx: r.users for r in
+           windows.funnel(df, steps, within="7 days").collect()}
+    assert [got[1], got[2], got[3]] == exp_counts
+    # timing: mean/median of the per-user step latencies, in seconds
+    timing = {r.step_idx: r for r in
+              windows.funnel_timing(df, steps, within="7 days").collect()}
+    for k in (2, 3):
+        lats = sorted((w[k - 1] - w[k - 2]).total_seconds()
+                      for w in walks.values() if len(w) >= k)
+        t = timing[k]
+        assert t.users == len(lats)
+        if not lats:
+            assert t.avg_seconds is None and t.p50_seconds is None
+            continue
+        assert t.avg_seconds == round(sum(lats) / len(lats), 6)
+        n = len(lats)
+        if n % 2:
+            med = lats[n // 2]
+        else:
+            med = (lats[n // 2 - 1] + lats[n // 2]) / 2
+        assert t.p50_seconds == round(med, 6)
+
+
+@_settings(max_examples=10, deadline=None,
+           suppress_health_check=[_HC.function_scoped_fixture,
+                                  _HC.too_slow])
+@_given(corpus=_corpus)
+def test_gopher_rules_property_fuzz(spark, corpus):
+    """Random corpora: every audit column and the kept conjunction
+    equal a pure-Python replay of the rule battery."""
+    import re
+    rows = [(i, s) for i, s in enumerate(corpus)]
+    sw = set(textstats.STOPWORDS["en"])
+    expect = {}
+    for i, s in rows:
+        toks = re.split(r"\s+", s.strip())
+        nt = len(toks)
+        d = max(nt, 1)
+        mean_wl = round(sum(len(t) for t in toks) / d, 6)
+        sym = round((s.count("#")
+                     + (len(s) - len(s.replace("...", ""))) / 3 / 1) / d, 6)
+        alpha = round(sum(1 for t in toks
+                          if re.search("[A-Za-z]", t)) / d, 6)
+        hits = len(set(toks) & sw)
+        r = (3 <= nt <= 100, 2.0 <= mean_wl <= 8.0, sym <= 0.1,
+             alpha >= 0.5, hits >= 1)
+        expect[i] = (nt, mean_wl, sym, alpha, hits, *r, all(r))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_tokens, r.mean_word_len, r.symbol_ratio,
+                      r.alpha_word_ratio, r.stopword_hits,
+                      r.r_word_count, r.r_mean_word_len,
+                      r.r_symbol_ratio, r.r_alpha_words, r.r_stopwords,
+                      r.kept)
+           for r in textstats.gopher_rules(
+               df, min_tokens=3, max_tokens=100,
+               min_mean_word_len=2.0, max_mean_word_len=8.0,
+               max_symbol_ratio=0.1, min_alpha_word_ratio=0.5,
+               min_stopword_hits=1).collect()}
+    assert got == expect
