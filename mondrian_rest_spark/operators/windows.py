@@ -407,13 +407,24 @@ def daily_count_anomalies(df: DataFrame, window_days: int = 7,
     One date-truncated hash-agg (the only corpus-sized pass), then
     the window runs over |types| x |days| tiny rows.  Returns
     ``(event_type, day, n, mean_prev, z, is_anomaly)``."""
-    from pyspark.sql import Window
     if window_days < 1:
         raise ValueError(
             f"window_days must be >= 1, got {window_days}")
     daily = (df.groupBy(F.col(type_col),
                         F.date_trunc("day", F.col(ts_col)).alias("day"))
              .agg(F.count(F.lit(1)).alias("n")))
+    return anomaly_flags_from_daily(daily, window_days, z_threshold,
+                                    type_col)
+
+
+def anomaly_flags_from_daily(daily: DataFrame, window_days: int = 7,
+                             z_threshold: float = 3.0,
+                             type_col: str = "event_type") -> DataFrame:
+    """The flag stage of ``daily_count_anomalies``, split out so the
+    streaming monitor (which maintains the (type, day, n) state
+    incrementally) reuses the EXACT batch semantics over its state
+    table.  Input: one row per (type, day) with count ``n``."""
+    from pyspark.sql import Window
     w = (Window.partitionBy(type_col).orderBy("day")
          .rowsBetween(-window_days, -1))
     k = F.count("n").over(w)

@@ -750,3 +750,43 @@ def streaming_image_dedup_ingest(stream: DataFrame, spark,
             .foreachBatch(_process)
             .trigger(availableNow=True)
             .start())
+
+
+def streaming_anomaly_monitor(stream: DataFrame, spark, state_path: str,
+                              window_days: int = 7,
+                              z_threshold: float = 3.0,
+                              on_batch=None):
+    """Incremental volume-anomaly monitor: each micro-batch folds its
+    per-(type, day) event counts into a parquet state table (one
+    ``batch=bN`` partition per batch — the rollup-ingest discipline,
+    so a crash replay overwrites its own partition and the state's
+    totals are replay-idempotent), then recomputes
+    ``anomaly_flags_from_daily`` over the SUMMED state — the exact
+    batch semantics (w12) at a cost proportional to |types| x |days|,
+    not to history.  ``on_batch`` receives the full current flag
+    frame; in production that frame is the alert feed.
+
+    Late events are handled by construction: a late row lands in its
+    TRUE day's count on the next fold, and the flags recompute from
+    totals — no watermark-bounded state to age out (the state table
+    IS the aggregate, parquet-persisted)."""
+    from ..operators.windows import anomaly_flags_from_daily
+
+    def _process(batch_df, batch_id):
+        own = f"b{batch_id}"
+        (batch_df.groupBy(F.col("event_type"),
+                          F.date_trunc("day", F.col("ts")).alias("day"))
+         .agg(F.count(F.lit(1)).alias("n"))
+         .write.mode("overwrite")
+         .parquet(f"{state_path}/daily/batch={own}"))
+        daily = (spark.read.parquet(f"{state_path}/daily")
+                 .groupBy("event_type", "day")
+                 .agg(F.sum("n").alias("n")))
+        flags = anomaly_flags_from_daily(daily, window_days, z_threshold)
+        if on_batch is not None:
+            on_batch(flags, batch_id)
+
+    return (stream.writeStream
+            .foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start())

@@ -1009,3 +1009,79 @@ def test_streaming_image_dedup_replay_idempotent(spark, tmp_path):
     process(batch, 7)                            # crash replay
     assert spark.read.parquet(f"{ixp}/hashes").count() == first
     assert survived == [12]
+
+
+def test_streaming_anomaly_monitor_matches_batch(spark, tmp_path):
+    """The incremental monitor's flags after draining all batches
+    equal the batch w12 operator over the union of events, a late
+    event folds into its TRUE day, and a crash replay of a batch
+    leaves the state totals unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    from mondrian_rest_spark.streaming.events import (
+        streaming_anomaly_monitor)
+
+    t0 = datetime(2024, 1, 1)
+    view = [48, 50, 52, 48, 50, 52, 48, 50, 500]
+    rows, eid = [], 0
+    for day, n in enumerate(view):
+        for j in range(n):
+            eid += 1
+            rows.append((eid, t0 + timedelta(days=day, seconds=j),
+                         j % 5, "view", 1.0, "{}"))
+    # batch 0: all but 60 events; batch 1: the rest, including LATE
+    # events for earlier days
+    cut = len(rows) - 60
+    d = tmp_path / "anomaly_arrivals"
+    d.mkdir()
+    for bi, chunk in enumerate((rows[:cut], rows[cut:])):
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in chunk], pa.int64()),
+            "ts": pa.array([r[1] for r in chunk],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in chunk], pa.int64()),
+            "event_type": pa.array([r[3] for r in chunk], pa.string()),
+            "value": pa.array([r[4] for r in chunk], pa.float64()),
+            "props": pa.array([r[5] for r in chunk], pa.string())}),
+            str(d / f"f{bi}.parquet"))
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    got: dict = {}
+    sp = str(tmp_path / "anomaly_state")
+    q = streaming_anomaly_monitor(
+        stream, spark, sp,
+        on_batch=lambda df, bid: got.update({bid: df.collect()}))
+    q.awaitTermination(240)
+    batch_df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3]) for r in rows],
+        ["event_id", "ts", "user_id", "event_type"])
+    expect = windows.daily_count_anomalies(batch_df, 7).collect()
+    final = {(r.event_type, r.day): (r.n, r.mean_prev, r.z,
+                                     r.is_anomaly) for r in got[1]}
+    assert final == {(r.event_type, r.day): (r.n, r.mean_prev, r.z,
+                                             r.is_anomaly)
+                     for r in expect}
+    spike_day = t0 + timedelta(days=8)
+    assert final[("view", spike_day)][3] is True
+    # replay idempotence: re-drive batch 1 with the same id
+    from mondrian_rest_spark.operators import windows as _w
+    before = (spark.read.parquet(f"{sp}/daily")
+              .agg(F.sum("n")).collect()[0][0])
+    replay: dict = {}
+    process = _capture_process(
+        streaming_anomaly_monitor, spark, sp,
+        on_batch=lambda df, bid: replay.update({bid: df.collect()}))
+    chunk = rows[cut:]
+    bdf = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in chunk],
+        schema)
+    process(bdf, 1)
+    after = (spark.read.parquet(f"{sp}/daily")
+             .agg(F.sum("n")).collect()[0][0])
+    assert after == before
+    assert {(r.event_type, r.day): r.is_anomaly for r in replay[1]} == \
+           {(r.event_type, r.day): r.is_anomaly for r in expect}
