@@ -371,6 +371,7 @@ def _validate_cut_members(spark: SparkSession, sf_dir: str, cube: Cube,
 
 _TABLE_COLS_CACHE: dict = {}
 _TABLE_BYTES_CACHE: dict = {}
+_PARQUET_ROWS_CACHE: dict = {}
 
 
 def _disk_bytes(path: str) -> int:
@@ -381,6 +382,91 @@ def _disk_bytes(path: str) -> int:
         for f in files:
             total += os.path.getsize(os.path.join(root, f))
     return total
+
+
+def _parquet_rows(sf_dir: str, table: str) -> int | None:
+    """Row count of a table's parquet layout from footer metadata only
+    (no Spark job).  None when the table isn't served from local
+    parquet (csv/json fallback, bucketed-db routing) or the footer is
+    unreadable.  Memoized by (path, mtime)."""
+    if os.environ.get("MRS_BUCKETED_DB"):
+        return None   # layout routing may serve a different copy
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if not os.path.exists(path):
+        return None
+    key = (os.path.realpath(path), os.stat(path).st_mtime_ns)
+    hit = _PARQUET_ROWS_CACHE.get(key)
+    if hit is None:
+        try:
+            import pyarrow.parquet as pq
+            if os.path.isfile(path):
+                hit = pq.ParquetFile(path).metadata.num_rows
+            else:
+                hit = 0
+                for root, _, files in os.walk(path):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            hit += pq.ParquetFile(
+                                os.path.join(root, f)).metadata.num_rows
+        except Exception:
+            hit = -1
+        _PARQUET_ROWS_CACHE[key] = hit
+    return None if hit == -1 else hit
+
+
+def _axis_upper_bound(spark: SparkSession, sf_dir: str, cube: Cube,
+                      rd: ResolvedDrill, vc_cubes=None) -> int | None:
+    """Statistics-only upper bound on a dense axis member frame's rows,
+    from parquet footers (guide §1: don't run a job to learn what
+    metadata already proves).  Sound because the member frame is a
+    DISTINCT projection of a denormalized frame whose rows never exceed
+    (a) the head (or fact) table's rows and (b) the product over group
+    levels of the rows of the single chain table each level's key
+    expression reads.  Restrict cuts and property filters only shrink
+    the frame, so the bound stays valid.  None = can't bound without a
+    job (non-parquet layout)."""
+    dim = rd.dimension
+    if dim.parent_child is not None:
+        total = 0
+        for src in dim.parent_child.sources:
+            r = _parquet_rows(sf_dir, src.table)
+            if r is None:
+                return None
+            total += r
+        return total
+    if dim.is_degenerate:
+        facts = [cube.fact]
+        if vc_cubes is not None:
+            owners = _vc_owners(vc_cubes[1], vc_cubes[0].name, dim.name)
+            if len(owners) > 1:
+                facts = [c.fact for c in owners]
+        total = 0
+        for fact in facts:
+            r = _parquet_rows(sf_dir, fact)
+            if r is None:
+                return None
+            total += r
+        return total
+    head_rows = _parquet_rows(sf_dir, dim.tables[0][0])
+    if head_rows is None:
+        return None
+    prod = 1
+    for lv in rd.group_levels:
+        cands = []
+        for table, _, _ in dim.tables:
+            cols = _table_columns(spark, sf_dir, table)
+            pat = re.compile(
+                r"\b(" + "|".join(map(re.escape, cols)) + r")\b")
+            if pat.search(lv.key):
+                cands.append(table)
+        if len(cands) == 1:
+            r = _parquet_rows(sf_dir, cands[0])
+            if r is None:
+                return None
+        else:
+            r = head_rows   # multi-table expr: head FK-bounds the frame
+        prod *= max(r, 1)
+    return min(head_rows, prod)
 
 
 def _broadcast_threshold(spark: SparkSession) -> int:
@@ -464,12 +550,32 @@ def _dim_frame(spark: SparkSession, sf_dir: str, dim: Dimension,
     return df
 
 
+#: memoized dim-select PLANS (never data): the same (dim, levels,
+#: props, captions) projection is rebuilt by every query touching the
+#: dimension — each build is ~10 py4j round trips plus a JVM analysis
+#: pass (~50-100 ms).  The value re-checks the Dimension object's
+#: identity to guard id() reuse; keyed by applicationId so entries
+#: from stopped sessions never resurface.  clear_named_set_cache()
+#: (the /flush path) drops it.
+_DIM_SELECT_PLANS: dict = {}
+
+
 def _dim_select(spark: SparkSession, sf_dir: str, dim: Dimension,
                 levels: list[Level], props: list | None = None,
                 caption_overrides: dict | None = None) -> DataFrame:
     """Project the denormalized dim frame down to pk + aliased level
-    columns, pre-pruned so only needed columns cross the join."""
+    columns, pre-pruned so only needed columns cross the join.
+    Returns a memoized immutable plan object when the same projection
+    was already built this session."""
     caption_overrides = caption_overrides or {}
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir),
+           id(dim), tuple(lv.name for lv in levels),
+           tuple(p.alias for p in props or []),
+           tuple(sorted((d, l, c) for (d, l), c
+                        in caption_overrides.items())))
+    hit = _DIM_SELECT_PLANS.get(key)
+    if hit is not None and hit[0] is dim:
+        return hit[1]
     exprs = {dim.dim_pk: dim.dim_pk}
     for lv in levels:
         exprs[lv.key_alias] = lv.key
@@ -479,7 +585,9 @@ def _dim_select(spark: SparkSession, sf_dir: str, dim: Dimension,
     for p in props or []:
         exprs[p.alias] = p.column
     frame = _dim_frame(spark, sf_dir, dim, needed_exprs=list(exprs.values()))
-    return frame.select(*[F.expr(e).alias(a) for a, e in exprs.items()])
+    out = frame.select(*[F.expr(e).alias(a) for a, e in exprs.items()])
+    _DIM_SELECT_PLANS[key] = (dim, out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -3008,20 +3116,33 @@ def _densify(spark, sf_dir, cube, drills, pred_cuts, ns_cuts, needed_props,
     # dim-sized, so counting them is cheap relative to the query.
     # Applies to a single large axis too (an uncut leaf-level drill
     # with nonempty=false is just as unbounded as a crossjoin).
-    # one guard job, not one .count() action per axis: union the
-    # single-row count aggregates so all axis cardinalities come back
-    # in a single collect (the branches scan dim-sized frames in
-    # parallel)
-    counts = reduce(lambda a, b: a.unionAll(b),
-                    [mf.agg(F.count(F.lit(1)).alias("__c"))
-                     for mf in axis_frames]).collect()
-    cells = 1
-    for r in counts:
-        cells *= r["__c"]
-        if cells > MAX_DENSE_CELLS:
-            raise ParseError(
-                f"dense axes would materialize >{MAX_DENSE_CELLS:,} "
-                "cells; add cuts or use nonempty=true")
+    # metadata shortcut (r14 optimization, guide §1): when parquet
+    # footer row counts prove the cell product cannot exceed the cap
+    # (true counts ≤ the sound upper bounds), skip the guard job
+    # entirely — for a degenerate axis that job scans the FACT.  The
+    # refusal path still uses exact counts, so 400 behavior is
+    # unchanged.
+    bounds = [_axis_upper_bound(spark, sf_dir, cube, rd,
+                                vc_cubes=vc_cubes) for rd in drills]
+    cells_bound = 1
+    for b in bounds:
+        cells_bound *= b if b is not None else MAX_DENSE_CELLS + 1
+    cells = cells_bound
+    if cells_bound > MAX_DENSE_CELLS:
+        # one guard job, not one .count() action per axis: union the
+        # single-row count aggregates so all axis cardinalities come
+        # back in a single collect (the branches scan dim-sized frames
+        # in parallel)
+        counts = reduce(lambda a, b: a.unionAll(b),
+                        [mf.agg(F.count(F.lit(1)).alias("__c"))
+                         for mf in axis_frames]).collect()
+        cells = 1
+        for r in counts:
+            cells *= r["__c"]
+            if cells > MAX_DENSE_CELLS:
+                raise ParseError(
+                    f"dense axes would materialize >{MAX_DENSE_CELLS:,} "
+                    "cells; add cuts or use nonempty=true")
     dense = reduce(lambda a, b: a.crossJoin(b), axis_frames)
     agg_slim = agg.select(*join_keys, *measure_aliases)
     if cells <= DENSE_BROADCAST_ROWS:
@@ -3087,28 +3208,49 @@ def _densify_gs(spark, sf_dir, cube, drills, ddl_axes, gs_markers, agg,
             if subset_rc is not None:
                 mf = mf.filter(_cut_predicate(subset_rc))
         full[di] = mf
-    # cell-count guard: ONE collect for every frame, cap on the union
-    frames_for_count = list(full.items()) + \
-        [(-1 - k, f) for k, f in parent_only.items()]
-    counts = reduce(lambda a, b: a.unionAll(b),
-                    [f.agg(F.count(F.lit(1)).alias("__c"))
-                     for _, f in frames_for_count]).collect()
-    n_by_key = {k: r["__c"] for (k, _), r in zip(frames_for_count,
-                                                 counts)}
+    # cell-count guard.  Metadata shortcut first (r14 optimization,
+    # guide §1, same contract as _densify's): parquet footer row
+    # counts bound every frame — parent_only is a projection of full,
+    # so the full-frame bound covers both — and when the SUM over
+    # grouping sets of bound products stays under the cap, the guard
+    # job (which scans the fact for degenerate axes) is provably
+    # unnecessary.  Refusals still use exact counts.
     masks = list(_iproduct((0, 1), repeat=len(ddl_axes)))
-    total = 0
+    bounds = {di: _axis_upper_bound(spark, sf_dir, cube, rd,
+                                    vc_cubes=vc_cubes)
+              for di, rd in enumerate(drills)}
+    total_bound = 0
     for mask in masks:
         cells = 1
         for di in range(len(drills)):
-            if di in gs_idx and mask[gs_idx[di]] == 0:
-                cells *= n_by_key[-1 - di]
-            else:
-                cells *= n_by_key[di]
-        total += cells
-    if total > MAX_DENSE_CELLS:
-        raise ParseError(
-            f"dense axes would materialize >{MAX_DENSE_CELLS:,} "
-            "cells; add cuts or use nonempty=true")
+            b = bounds[di]
+            cells *= b if b is not None else MAX_DENSE_CELLS + 1
+        total_bound += cells
+        if total_bound > MAX_DENSE_CELLS:
+            break
+    total = total_bound
+    if total_bound > MAX_DENSE_CELLS:
+        # ONE collect for every frame, cap on the union
+        frames_for_count = list(full.items()) + \
+            [(-1 - k, f) for k, f in parent_only.items()]
+        counts = reduce(lambda a, b: a.unionAll(b),
+                        [f.agg(F.count(F.lit(1)).alias("__c"))
+                         for _, f in frames_for_count]).collect()
+        n_by_key = {k: r["__c"] for (k, _), r in zip(frames_for_count,
+                                                     counts)}
+        total = 0
+        for mask in masks:
+            cells = 1
+            for di in range(len(drills)):
+                if di in gs_idx and mask[gs_idx[di]] == 0:
+                    cells *= n_by_key[-1 - di]
+                else:
+                    cells *= n_by_key[di]
+            total += cells
+        if total > MAX_DENSE_CELLS:
+            raise ParseError(
+                f"dense axes would materialize >{MAX_DENSE_CELLS:,} "
+                "cells; add cuts or use nonempty=true")
     # union the per-set dense frames FIRST (excluded child columns as
     # typed NULLs, plus each set's marker values as literals), then ONE
     # null-safe equi-join against the single Expand aggregate — the agg
@@ -3185,12 +3327,16 @@ _NS_ROUTERS: dict = {}
 
 
 def clear_named_set_cache() -> None:
+    from .sources.registry import clear_table_plans
     _NAMED_SET_KEYS.clear()
     _LASTPERIODS_KEYS.clear()
     _LEVEL_REPEATS.clear()
     _TABLE_BYTES_CACHE.clear()
+    _PARQUET_ROWS_CACHE.clear()
+    _DIM_SELECT_PLANS.clear()
     _MEMBER_EXISTS.clear()
     _DEGENERATE_MEMBERS.clear()
+    clear_table_plans()
     clear_pc_closures()
 
 

@@ -19,6 +19,22 @@ from pyspark.sql import DataFrame, SparkSession
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
+#: memoized table PLANS (never data): (applicationId, realpath,
+#: mtime_ns) -> DataFrame.  Building a parquet DataFrame costs a JVM
+#: schema-inference footer read plus several py4j round trips
+#: (~100-200 ms); a query touches 2-8 tables and the engine re-loads
+#: them per plan-time lookup, so the constant cost dominated sf0.1
+#: query wall time (r14 optimization round §"plan-build overhead").
+#: The memo returns the SAME immutable plan object — execution still
+#: scans parquet on every action, so no result is ever cached.  The
+#: mtime key drops stale entries when a table file is rewritten; the
+#: applicationId key drops entries from stopped sessions.
+_TABLE_PLANS: dict = {}
+
+
+def clear_table_plans() -> None:
+    _TABLE_PLANS.clear()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table.  Parquet is the primary format
@@ -46,15 +62,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             if os.path.exists(alt):
                 return reader(spark, alt)
         raise FileNotFoundError(f"no table file for {name!r} in {sf_dir}")
-    nano_cols = _nano_timestamp_cols(path)
-    if not nano_cols:
-        return _ntz_to_ltz(spark.read.parquet(path))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in nano_cols:
-        # integer division: nano values exceed double precision (2^53)
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-    return _ntz_to_ltz(df)
+    key = (spark.sparkContext.applicationId, os.path.realpath(path),
+           os.stat(path).st_mtime_ns)
+    df = _TABLE_PLANS.get(key)
+    if df is None:
+        nano_cols = _nano_timestamp_cols(path)
+        if not nano_cols:
+            df = _ntz_to_ltz(spark.read.parquet(path))
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            # integer division: nano values exceed double precision (2^53)
+            df = df.withColumns(
+                {c: F.expr(f"timestamp_micros({c} div 1000)")
+                 for c in nano_cols})
+            df = _ntz_to_ltz(df)
+        _TABLE_PLANS[key] = df
+    return df
 
 
 def _ntz_to_ltz(df: DataFrame) -> DataFrame:
@@ -65,10 +89,12 @@ def _ntz_to_ltz(df: DataFrame) -> DataFrame:
     both paths.  The cast reinterprets the wall clock in the session
     timezone — build_session pins that to UTC, making the conversion
     value-preserving and deterministic."""
-    for c, t in df.dtypes:
-        if t == "timestamp_ntz":
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
-    return df
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz:
+        return df
+    # one withColumns call, not one withColumn per column: each
+    # withColumn is a py4j round trip + a fresh analysis barrier
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 def _read_csv(spark: SparkSession, path: str) -> DataFrame:

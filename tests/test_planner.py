@@ -571,3 +571,45 @@ def test_virtual_cut_member_validates_against_union(spark, sf_dir):
             measures=["Revenue", "Total Price"],
             drilldown=["Customer.Region"],
             cut=["[Time].[Day].[&1876-01-01]"])
+
+
+def test_dense_guard_metadata_shortcut_runs_no_job(spark, sf_dir):
+    """r14 optimization (guide §1): when parquet footer row counts
+    prove the dense cell product is under MAX_DENSE_CELLS, building
+    the dense plan runs NO guard job at all — previously the guard
+    collect scanned the FACT for a degenerate axis.  Zero Spark jobs
+    during aggregate() == the plan-time fact scan is gone."""
+    from mondrian_rest_spark import tpch
+    from mondrian_rest_spark.planner import aggregate
+    from mondrian_rest_spark.query import QueryModel
+
+    qm = QueryModel(cube="Orders", measures=["Total Price", "Order Count"],
+                    drilldown=["Customer.Region", "Order Status"],
+                    nonempty=False)
+    aggregate(spark, sf_dir, tpch.CATALOG, qm)   # warm plan-time memos
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup(None) or [])
+    df = aggregate(spark, sf_dir, tpch.CATALOG, qm)
+    after = set(st.getJobIdsForGroup(None) or [])
+    assert after == before, "dense guard ran a Spark job despite bounds"
+    assert df.count() == 15   # 5 regions x 3 statuses, dense
+
+
+def test_dense_guard_shortcut_matches_exact_count_path(
+        spark, sf_dir, monkeypatch):
+    """Row-identity between the metadata-bound path and the exact
+    guard-count path (forced by making footer stats unavailable)."""
+    from mondrian_rest_spark import planner, tpch
+    from mondrian_rest_spark.planner import aggregate
+    from mondrian_rest_spark.query import QueryModel
+
+    qm = QueryModel(cube="Orders", measures=["Total Price", "Order Count"],
+                    drilldown=["Customer.Region", "Order Status"],
+                    nonempty=False)
+    fast = sorted(map(tuple, aggregate(
+        spark, sf_dir, tpch.CATALOG, qm).collect()))
+    monkeypatch.setattr(planner, "_parquet_rows",
+                        lambda *a, **k: None)
+    slow = sorted(map(tuple, aggregate(
+        spark, sf_dir, tpch.CATALOG, qm).collect()))
+    assert fast == slow

@@ -65,3 +65,29 @@ def test_engine_runs_on_csv_tables(spark, tmp_path_factory):
     exp = {r.cust_region: r.order_count
            for r in aggregate(spark, src, tpch.CATALOG, qm).collect()}
     assert got == exp
+
+
+def test_load_table_memoizes_plan_object(spark):
+    """Repeated loads of an unchanged parquet table return the SAME
+    immutable plan object (r14 optimization: building a parquet
+    DataFrame costs a JVM schema-inference pass per call, and the
+    engine loads 2-8 tables per query)."""
+    sf = "/root/testdata/sf0.001"
+    assert load_table(spark, sf, "region") is load_table(spark, sf, "region")
+
+
+def test_load_table_memo_invalidates_on_rewrite(spark, tmp_path_factory):
+    """The memo keys on file mtime: rewriting a table drops the stale
+    plan, so a changed lake is never served from a dead plan."""
+    d = tmp_path_factory.mktemp("memo_inval")
+    p = str(d / "t.parquet")
+    spark.createDataFrame([(1,), (2,)], ["x"]).write.parquet(p)
+    assert load_table(spark, str(d), "t").count() == 2
+    import os
+    import time
+
+    time.sleep(0.01)
+    spark.createDataFrame([(1,), (2,), (3,)], ["x"]).write.mode(
+        "overwrite").parquet(p)
+    os.utime(p)   # ensure a visible mtime bump on coarse filesystems
+    assert load_table(spark, str(d), "t").count() == 3
