@@ -32,6 +32,26 @@ from mondrian_rest_spark.sources.registry import load_table
 
 CAT = tpch.CATALOG
 
+
+def _lt(s: SparkSession, d: str, name: str) -> DataFrame:
+    """Rebalanced load for the jaccard-prefix dedup family ONLY
+    (guide §2.5 "input skew: one huge unsplittable file"): spreads
+    the shingle explode + candidate-join work across cores when the
+    parquet layout has fewer row groups than the session has cores
+    AND the input is small enough that the one-pass shuffle is cheap
+    — a no-op on production-scale layouts (see
+    sources.registry.maybe_rebalance).  Scoped to d09/d10/d11 by
+    measurement, not taste: an entry-wide rollout was interleave-A/B'd
+    in the r14 optimization round and LOST everywhere else (OLAP set
+    14.0 s rebalanced vs 11.2 s plain; d03 1.29 vs 0.86, d04 1.80 vs
+    1.56, t12 1.39 vs 0.87; d10 the decisive winner at 10.4 vs
+    17.5 s) — the extra full-input exchange outweighs the map-side
+    parallelism for every aggregation-shaped operator, because those
+    already shuffle at their first groupBy anyway."""
+    from mondrian_rest_spark.sources.registry import maybe_rebalance
+    return maybe_rebalance(s, d, name, load_table(s, d, name))
+
+
 # --- ragged-hierarchy catalog over the TPC-H tables (r11, VERDICT r10
 # #2; reference foodmart.xml:565-603 Sales Ragged): a customer-geo
 # hierarchy where every 5th nation presents a BLANK caption
@@ -1569,9 +1589,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact n-gram Jaccard via prefix filtering (PPJoin family): the
     # scale path for EXACT near-dup — same output as d02, no cross
     # join (rarest-first prefixes + length filter bound the candidate
-    # equi-join; exact verify on candidates only)
+    # equi-join; exact verify on candidates only).  The jaccard-prefix
+    # family (d09/d10/d11) is the ONE operator family that the r14
+    # layout-adaptive rebalance helps (interleaved A/B: d10 10.4 s
+    # rebalanced vs 17.5 s plain at sf0.1) — its shingle explode +
+    # 3-way candidate joins are pure per-row compute that a
+    # single-row-group scan serializes on one core; everything else
+    # measured neutral-to-worse and stays on the plain scan.
     q["d09_neardup_jaccard_prefix"] = lambda s, d: dedup.neardup_jaccard_prefix(
-        load_table(s, d, "documents"), threshold=0.5)
+        _lt(s, d, "documents"), threshold=0.5)
 
     # degraded-mode spill (r11, VERDICT r10 #4): with an artificially
     # low prefix-bucket cap, docs carrying hot prefix shingles route
@@ -1582,7 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # positives; LSH recall on this corpus is total, as d03 pins)
     q["d11_neardup_jaccard_spill"] = lambda s, d: \
         dedup.neardup_jaccard_spill_minhash(
-            load_table(s, d, "documents"), threshold=0.5,
+            _lt(s, d, "documents"), threshold=0.5,
             max_candidates_per_prefix=2)
 
     # ingest-time EXACT dedup: new batch (doc_id % 10 == 0) vs a
@@ -1590,10 +1616,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of the MinHash ingest index (d08's machinery); prefix order is
     # frozen at build, which affects pruning power, never recall
     def _d10(s, d):
-        docs = load_table(s, d, "documents")
+        docs = _lt(s, d, "documents")
         corpus = docs.filter("doc_id % 10 != 0")
         new = docs.filter("doc_id % 10 = 0")
         pre, sh, freq = dedup.build_jaccard_index(corpus, threshold=0.5)
+        # measured, not persisted (r14 optimization round): pinning
+        # the three index frames here was tried and is a net LOSS at
+        # sf0.1 (interleaved A/B 3x: 17-24 s unpinned vs 23-27 s
+        # pinned) — caching the wide shingle arrays costs more than
+        # the recompute it saves; in a deployment these frames are
+        # parquet tables (the docstring contract), which is the real
+        # fix at scale.
         return dedup.neardup_pairs_against_jaccard_index(
             new, pre, sh, freq, threshold=0.5, index_threshold=0.5)
     q["d10_neardup_jaccard_index"] = _d10

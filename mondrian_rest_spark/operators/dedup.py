@@ -154,13 +154,20 @@ def minhash_signature_frames(df: DataFrame, text_col: str = "text",
     collide across them."""
     rows = num_hashes // bands
     ex = shingle_hash_rows(df, text_col, id_col, n)
+    # SQL-string expressions, one py4j round trip each, instead of
+    # nested Column constructors (~4 round trips per minhash): the
+    # num_hashes=32 aggregate was ~0.4 s of pure plan-build latency
+    # per query (r14 optimization round).  Literal salts stay INT in
+    # both forms, so xxhash64 output is bit-identical (pinned by the
+    # d03 oracle and test_minhash_lsh_*).
     stats = ex.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__sz"),
-        *[F.min(F.xxhash64("__h", F.lit(j))).alias(f"mh{j}")
+        *[F.expr(f"min(xxhash64(__h, {j}))").alias(f"mh{j}")
           for j in range(num_hashes)])
-    band_sigs = F.array(*[
-        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)], F.lit(b))
-        for b in range(bands)])
+    band_sigs = F.expr("array(" + ", ".join(
+        "xxhash64({}, {})".format(
+            ", ".join(f"mh{b * rows + r}" for r in range(rows)), b)
+        for b in range(bands)) + ")")
     bands_df = stats.select(
         F.col(id_col),
         F.posexplode(band_sigs).alias("band_idx", "band_sig"))
@@ -459,9 +466,17 @@ def neardup_clusters(df: DataFrame, pairs: DataFrame,
     per round and convergence is detected with a single checksum
     aggregate, so lineage and state stay O(1) across rounds.
     """
+    # persist the edge list: every propagation round joins it, and
+    # without the pin each round re-executed the ENTIRE pair pipeline
+    # upstream (for LSH pairs that is the candidate self-join + the
+    # exact-verify shingle joins — measured 26 s for c01_clean_corpus
+    # at sf0.1, dominated by 3-4 redundant verify passes; 9 s after).
+    # Request-scoped like every other pin here: tagged on the result
+    # so the consumer frees it once materialized.
     edges = (pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
              .unionByName(pairs.select(F.col("b_id").alias("src"),
-                                       F.col("a_id").alias("dst"))))
+                                       F.col("a_id").alias("dst")))
+             .persist())
     labels = df.select(F.col(id_col).alias("id"),
                        F.col(id_col).alias("cluster")).persist()
     prev_sum = None
@@ -479,7 +494,8 @@ def neardup_clusters(df: DataFrame, pairs: DataFrame,
             break
         prev_sum = chk
     return _tag_persisted(
-        labels.select(F.col("id").alias(id_col), "cluster"), labels)
+        labels.select(F.col("id").alias(id_col), "cluster"),
+        labels, edges)
 
 
 def deduplicate_neardup(df: DataFrame, threshold: float = 0.5,

@@ -684,8 +684,17 @@ def _pc_select(spark: SparkSession, sf_dir: str, dim: Dimension,
     out to its ancestor chain (bounded by tree depth — the same cost
     Mondrian's closure-table SQL pays), so groupBy(member key)
     aggregates whole subtrees (a supervisor's cell = their own facts
-    plus all transitive reports')."""
+    plus all transitive reports').  The projected plan is memoized
+    like _dim_select's (the closure frame already was; the member ⋈
+    closure join + projection was rebuilt per query)."""
     lv = levels[0]
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir),
+           id(dim), lv.name,
+           tuple(sorted((d, l, c) for (d, l), c
+                        in (caption_overrides or {}).items())))
+    hit = _DIM_SELECT_PLANS.get(key)
+    if hit is not None and hit[0] is dim:
+        return hit[1]
     members = pc_member_frame(spark, sf_dir, dim)
     cl = pc_closure_frame(spark, sf_dir, dim)
     joined = cl.join(members, cl["ancestor_id"] == members["node_id"],
@@ -695,7 +704,9 @@ def _pc_select(spark: SparkSession, sf_dir: str, dim: Dimension,
     if lv.caption and lv.caption_alias and lv.caption_alias != lv.key_alias:
         cap = (caption_overrides or {}).get((dim.name, lv.name), lv.caption)
         cols.append(F.expr(cap).alias(lv.caption_alias))
-    return joined.select(*cols)
+    out = joined.select(*cols)
+    _DIM_SELECT_PLANS[key] = (dim, out)
+    return out
 
 
 def clear_pc_closures() -> None:
@@ -1995,6 +2006,13 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
             bridge_names.add(m.bridge)
 
     # --- build base frame: fact ⋈ bridges ⋈ dims ---
+    # NOT rebalanced (r14 optimization round, measured): repartitioning
+    # the fact to beat the single-row-group test layout was tried and
+    # lost on 9 of 10 OLAP headline queries (interleaved A/B total
+    # 14.0 s rebalanced vs 11.2 s plain) — the extra full-fact exchange
+    # costs more than the map-side parallelism buys everywhere except
+    # the widest aggregate (q01).  See maybe_rebalance for the one
+    # family where it decisively wins (jaccard prefix indexing).
     base = fact_df if fact_df is not None else load_table(spark, sf_dir, cube.fact)
     for bname in sorted(bridge_names):
         b = cube.bridge(bname)

@@ -36,6 +36,70 @@ def clear_table_plans() -> None:
     _TABLE_PLANS.clear()
 
 
+#: memoized parquet layout facts per (realpath, mtime_ns):
+#: (total_bytes, total_rows, total_row_groups) — footer metadata only,
+#: no Spark job.  None value = not plain local parquet.
+_SCAN_LAYOUTS: dict = {}
+
+
+def _scan_layout(path: str):
+    key = (os.path.realpath(path), os.stat(path).st_mtime_ns)
+    if key not in _SCAN_LAYOUTS:
+        try:
+            import pyarrow.parquet as pq
+            files = ([path] if os.path.isfile(path) else
+                     [os.path.join(r, f) for r, _, fs in os.walk(path)
+                      for f in fs if f.endswith(".parquet")])
+            b = r_ = g = 0
+            for f in files:
+                m = pq.ParquetFile(f).metadata
+                b += os.path.getsize(f)
+                r_ += m.num_rows
+                g += m.num_row_groups
+            _SCAN_LAYOUTS[key] = (b, r_, g)
+        except Exception:
+            _SCAN_LAYOUTS[key] = None
+    return _SCAN_LAYOUTS[key]
+
+
+#: rebalance only inputs whose shuffle is provably cheap: past this
+#: size the scan has (or will soon have) enough native splits that a
+#: full-row shuffle is pure waste — and at 100 TB the condition is
+#: never met, so the production plan is untouched.
+_REBALANCE_MAX_BYTES = 512 * 1024 * 1024
+
+
+def maybe_rebalance(spark: SparkSession, sf_dir: str, name: str,
+                    df: DataFrame) -> DataFrame:
+    """Layout-adaptive scan parallelism (optimization guide §2.5
+    "input skew: one huge unsplittable file ... repartition
+    immediately after the read"): a parquet layout with fewer ROW
+    GROUPS than the cluster has cores caps the scan stage's
+    parallelism at the row-group count — the test data's single-row-
+    group files run every scan-side stage on ONE core.  When (a) the
+    layout's row groups < defaultParallelism, and (b) the whole input
+    is small enough that a one-pass shuffle is cheap (<= 512 MB),
+    round-robin repartition to defaultParallelism so the per-row work
+    (decimal aggregation, shingling, tokenizing) spreads across the
+    executor cores.  Deterministic under retries (Spark sorts before
+    round-robin partitioning, SPARK-23207) and order-safe here: every
+    engine aggregate is order-independent by the determinism
+    conventions.  Callers opt in per scan — fact/corpus scans feeding
+    heavy per-row compute; never broadcast-bound dim lookups."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.environ.get("MRS_BUCKETED_DB") or not os.path.exists(path):
+        return df
+    meta = _scan_layout(path)
+    if meta is None:
+        return df
+    total_bytes, total_rows, row_groups = meta
+    par = spark.sparkContext.defaultParallelism
+    if row_groups >= par or total_bytes > _REBALANCE_MAX_BYTES \
+            or total_rows < 1000:
+        return df
+    return df.repartition(par)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table.  Parquet is the primary format
     (single file or partitioned directory); `{name}.csv`, `{name}.json`
