@@ -44,30 +44,61 @@ def token_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def with_quality_columns(df: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """APPEND the quality-heuristic columns (n_tokens, punct_ratio,
+    stopword_ratio, mean_word_len, quality) to ``df`` — the
+    composable per-row form (r14 optimization round): pipelines that
+    need quality AND other per-row signals stack these with_* helpers
+    on ONE frame instead of joining each operator's select back by id
+    (each such join re-executes the whole upstream lineage and adds a
+    shuffle — clean_corpus paid the dedup pipeline 3x that way)."""
+    d = with_tokens(df, text_col)
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    d = d.withColumns({
+        "n_tokens": F.size("__tokens"),
+        "punct_ratio": F.round(
+            F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", "")) /
+            F.greatest(F.length(text_col), F.lit(1)), 6),
+        "stopword_ratio": F.round(
+            F.expr(f"size(filter(__tokens, t -> t in ({en})))") /
+            F.greatest(F.size("__tokens"), F.lit(1)), 6),
+        "mean_word_len": F.round(
+            F.expr("aggregate(__tokens, 0L, (acc, t) -> acc + length(t))") /
+            F.greatest(F.size("__tokens"), F.lit(1)), 6)})
+    score = (F.when(F.col("n_tokens") >= 10, F.lit(0.25)).otherwise(F.lit(0.0)) +
+             F.when(F.col("punct_ratio") <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0)) +
+             F.when(F.col("mean_word_len").between(3, 12), F.lit(0.25)).otherwise(F.lit(0.0)) +
+             F.when(F.col("stopword_ratio") >= 0.02, F.lit(0.25)).otherwise(F.lit(0.0)))
+    return d.withColumn("quality", F.round(score, 2))
+
+
 def quality_score(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Composite quality heuristics: length, punctuation density,
     stopword ratio, mean word length — the classic cheap pre-filters in
     a training-data pipeline."""
+    return with_quality_columns(df, text_col).select(
+        id_col, "n_tokens", "punct_ratio", "stopword_ratio",
+        "mean_word_len", "quality")
+
+
+def with_language_columns(df: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    """APPEND the language-ID columns ({lang}_hits, predicted_lang) —
+    see with_quality_columns for why the appending form exists."""
     d = with_tokens(df, text_col)
-    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    d = (d
-         .withColumn("n_tokens", F.size("__tokens"))
-         .withColumn("punct_ratio", F.round(
-             F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", "")) /
-             F.greatest(F.length(text_col), F.lit(1)), 6))
-         .withColumn("stopword_ratio", F.round(
-             F.expr(f"size(filter(__tokens, t -> t in ({en})))") /
-             F.greatest(F.size("__tokens"), F.lit(1)), 6))
-         .withColumn("mean_word_len", F.round(
-             F.expr("aggregate(__tokens, 0L, (acc, t) -> acc + length(t))") /
-             F.greatest(F.size("__tokens"), F.lit(1)), 6)))
-    score = (F.when(F.col("n_tokens") >= 10, F.lit(0.25)).otherwise(F.lit(0.0)) +
-             F.when(F.col("punct_ratio") <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0)) +
-             F.when(F.col("mean_word_len").between(3, 12), F.lit(0.25)).otherwise(F.lit(0.0)) +
-             F.when(F.col("stopword_ratio") >= 0.02, F.lit(0.25)).otherwise(F.lit(0.0)))
-    return d.select(id_col, "n_tokens", "punct_ratio", "stopword_ratio",
-                    "mean_word_len", F.round(score, 2).alias("quality"))
+    hits = {}
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        hits[f"{lang}_hits"] = F.expr(
+            f"size(array_intersect(__tokens, array({lst})))")
+    d = d.withColumns(hits)
+    best = F.greatest(*[F.col(f"{l}_hits") for l in STOPWORDS])
+    pred = (F.when(best == 0, F.lit("unknown")))
+    for lang in STOPWORDS:  # fixed priority order resolves ties
+        pred = pred.when(F.col(f"{lang}_hits") == best, F.lit(lang))
+    return d.withColumn("predicted_lang", pred)
 
 
 def language_id(df: DataFrame, text_col: str = "text",
@@ -76,17 +107,8 @@ def language_id(df: DataFrame, text_col: str = "text",
     argmax with a fixed priority order (en > de > fr > es > unknown).
     Deterministic and SQL-replicable; a real pipeline would swap in a
     fastText-style model behind the same column contract."""
-    d = with_tokens(df, text_col)
-    for lang, words in STOPWORDS.items():
-        lst = ", ".join(f"'{w}'" for w in words)
-        d = d.withColumn(f"{lang}_hits", F.expr(
-            f"size(array_intersect(__tokens, array({lst})))"))
-    best = F.greatest(*[F.col(f"{l}_hits") for l in STOPWORDS])
-    pred = (F.when(best == 0, F.lit("unknown")))
-    for lang in STOPWORDS:  # fixed priority order resolves ties
-        pred = pred.when(F.col(f"{lang}_hits") == best, F.lit(lang))
-    return d.select(id_col, *[f"{l}_hits" for l in STOPWORDS],
-                    pred.alias("predicted_lang"))
+    return with_language_columns(df, text_col).select(
+        id_col, *[f"{l}_hits" for l in STOPWORDS], "predicted_lang")
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",
@@ -133,10 +155,10 @@ def source_stats(df: DataFrame, text_col: str = "text",
     """Per-source corpus report: doc count, token volume, mean quality
     — the table that decides which sources to up/down-weight in a mix.
     One quality pass joined to the source column, one hash-agg."""
-    qs = quality_score(df, text_col, id_col).select(
-        id_col, "n_tokens", "quality")
-    src = df.select(id_col, source_col)
-    return (qs.join(src, id_col)
+    # one scan: quality columns stack on the frame that already holds
+    # the source column (r14; the id re-join form scanned twice)
+    qs = with_quality_columns(df, text_col)
+    return (qs
             .groupBy(source_col)
             .agg(F.count(id_col).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens"),
@@ -153,10 +175,10 @@ def language_confusion(df: DataFrame, text_col: str = "text",
     heuristic language classifier against the table's ground-truth
     column — the evaluation every heuristic gate needs before it is
     trusted to filter a corpus."""
-    pred = language_id(df, text_col, id_col).select(
-        id_col, "predicted_lang")
-    truth = df.select(id_col, F.col(truth_col).alias("true_lang"))
-    return (truth.join(pred, id_col)
+    # one scan: predicted_lang stacks beside the ground-truth column
+    # (r14; the id re-join form scanned twice)
+    return (with_language_columns(df, text_col)
+            .withColumn("true_lang", F.col(truth_col))
             .groupBy("true_lang", "predicted_lang")
             .agg(F.count(id_col).alias("n_docs"))
             .orderBy("true_lang", "predicted_lang"))
@@ -168,15 +190,13 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
     pipeline runs after every ingest): document count, total token
     count, mean quality and per-language document counts.
 
-    Two scans of the (id, text) projection — quality_score already
-    carries n_tokens so the token_stats pass is skipped — joined on the
-    id, then a single partial+final global aggregate.  The quality mean
-    goes through DECIMAL so it is partition-order independent
+    ONE scan of the (id, text) projection (r14: quality and language
+    are per-row projections stacked on the same frame — the previous
+    two-scan + id-join shape paid a shuffle for nothing), then a
+    single partial+final global aggregate.  The quality mean goes
+    through DECIMAL so it is partition-order independent
     (hash-matches the DuckDB oracle)."""
-    qs = quality_score(df, text_col, id_col).select(
-        id_col, "n_tokens", "quality")
-    ls = language_id(df, text_col, id_col).select(id_col, "predicted_lang")
-    j = qs.join(ls, id_col)
+    j = with_language_columns(with_quality_columns(df, text_col), text_col)
     return j.agg(
         F.count(id_col).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

@@ -551,6 +551,44 @@ def test_quality_score_components(spark):
     assert r.quality == 1.0
 
 
+def test_stacked_columns_match_join_form(spark, docs):
+    # r14 optimization: composers stack with_quality_columns /
+    # with_language_columns on ONE frame instead of joining each
+    # operator's (id, score) select back by id.  Pin row-identity of
+    # the stacked form against the old join shape.
+    joined = (textstats.quality_score(docs)
+              .join(textstats.language_id(docs).select(
+                  "doc_id", "predicted_lang"), "doc_id"))
+    stacked = textstats.with_language_columns(
+        textstats.with_quality_columns(docs, "text"), "text")
+    cols = ["doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+            "mean_word_len", "quality", "predicted_lang"]
+    a = sorted(map(tuple, joined.select(cols).collect()))
+    b = sorted(map(tuple, stacked.select(cols).collect()))
+    assert a == b
+
+
+def test_train_pq_matches_per_subspace_training(spark, sf_dir):
+    # r14 optimization: train_pq fuses all m subspace k-means into one
+    # job per iteration.  The codebooks must be BIT-identical to
+    # training each subspace independently via train_ivf_centroids
+    # (the pre-r14 shape), because pq_encode/pq_topk goldens depend on
+    # them.
+    from mondrian_rest_spark.sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, ks, iters, dim = 4, 8, 2, 64
+    sub = dim // m
+    fused = similarity.train_pq(emb, m=m, ks=ks, iters=iters)
+    for j in range(m):
+        proj = emb.select(F.col("vec_id"),
+                          F.slice(F.col("embedding"), j * sub + 1, sub)
+                           .alias("__sub"))
+        cents = similarity.train_ivf_centroids(
+            proj, n_cells=ks, iters=iters, id_col="vec_id",
+            vec_col="__sub", dim=sub)
+        assert [vec for _, vec in sorted(cents)] == fused[j], f"subspace {j}"
+
+
 def test_fingerprint_normalizes_whitespace(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "other")],
