@@ -1117,6 +1117,59 @@ def _agg_expr(m: Measure):
     return col.alias(m.alias)
 
 
+#: outer (merge) aggregator per fine-grain aggregator for the
+#: two-phase grouping-sets path: partial counts merge by SUM, the
+#: rest by themselves.  Only these four are mergeable — avg, the
+#: distinct counts, medians and sketches fall back to the one-phase
+#: Expand aggregate.
+_GS_MERGE_FNS = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def _gs_two_phase(base: DataFrame, sets: list, group_cols: list,
+                  agg_specs: list, marker_cols: list) -> DataFrame | None:
+    """Two-phase grouping-sets aggregate (r14 optimization round,
+    guide §2.3 "aggregate before you shuffle"): ``Expand`` replicates
+    every FACT row once per grouping set before the partial
+    aggregation, so a k-dim mixed-depth axis pays 2^k hash-agg probes
+    per fact row and shuffles 2^k partial states.  When every measure
+    is mergeable (sum/count/min/max, including the conditional
+    fact-side set aggregates), aggregating at the finest grain FIRST
+    and running the grouping sets over that axis-sized aggregate is
+    algebraically identical: the grouping sets partition the fine
+    groups exactly as they partition the facts, and sum/min/max are
+    associative while count merges by sum.  ``grouping()`` markers are
+    computed on the outer aggregate, where the same key columns roll
+    up.
+
+    Exactness guard: a fine-grain SUM whose result type is not
+    decimal or integral (i.e. a raw float sum) is order-dependent, so
+    those fall back to the one-phase form (``None``), as does any
+    non-mergeable aggregator.  Result casts apply on the OUTER
+    aggregate only; an uncast sum is cast back to the fine column's
+    own sum type so the output schema is bit-identical to the
+    one-phase plan.
+
+    At 100 TB: the fact is scanned and partially aggregated ONCE (not
+    2^k times), the big exchange carries one partial state per fine
+    group, and the Expand multiplies only the axis-sized aggregate.
+
+    ``agg_specs``: [(alias, fine_fn_name, fine_col, result_cast)]."""
+    from pyspark.sql.types import DecimalType, IntegralType
+    for _, fn, _, _ in agg_specs:
+        if fn not in _GS_MERGE_FNS:
+            return None
+    fine = base.groupBy(*group_cols).agg(*[s[2] for s in agg_specs])
+    merges = []
+    for alias, fn, _, cast in agg_specs:
+        dt = fine.schema[alias].dataType
+        if fn == "sum" and not isinstance(dt, (DecimalType, IntegralType)):
+            return None   # float sum: order-dependent, keep one-phase
+        col = _GS_MERGE_FNS[fn](F.col(alias))
+        merges.append(col.cast(cast or dt).alias(alias))
+    return (fine.groupingSets(sets, *group_cols)
+                .agg(*merges, *marker_cols))
+
+
 def _set_agg_col(c, rc: "ResolvedCut", m: Measure):
     """Fact-side WITH MEMBER set aggregate -> a conditional aggregate
     column in the SAME groupBy as the other measures: fn(CASE WHEN
@@ -2172,8 +2225,29 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
                 f"{c.set_fn!r}")
     aggs = [_agg_expr(m) for m in base_measures]
     aggs += [_set_agg_col(c, rc, m) for c, rc, m in fs_set_aggs]
+    # (alias, fine aggregator, UNCAST fine column, outer cast) specs
+    # for the two-phase grouping-sets path (_gs_two_phase): the fine
+    # column must stay uncast so decimal sums merge exactly; the cast
+    # moves to the outer aggregate
+    gs_specs = [(m.alias, m.agg,
+                 _AGG_FNS[m.agg](F.expr(m.expr)).alias(m.alias),
+                 m.result_cast)
+                for m in base_measures]
+    gs_specs += [(c.alias,
+                  (m.agg if c.set_fn == "aggregate" else c.set_fn),
+                  _AGG_FNS[m.agg if c.set_fn == "aggregate" else c.set_fn](
+                      F.when(_cut_predicate(rc), F.expr(m.expr))
+                  ).alias(c.alias),
+                  (m.result_cast if m.result_cast
+                   and (m.agg if c.set_fn == "aggregate" else c.set_fn)
+                   in ("sum", "min", "max", "avg") else None))
+                 for c, rc, m in fs_set_aggs]
     if not aggs:  # pure axis enumeration still needs an aggregate context
-        aggs = [_agg_expr(cube.default_measure)]
+        dm = cube.default_measure
+        aggs = [_agg_expr(dm)]
+        gs_specs = [(dm.alias, dm.agg,
+                     _AGG_FNS[dm.agg](F.expr(dm.expr)).alias(dm.alias),
+                     dm.result_cast)]
     kept_markers: list[str] = []
     if ddl_axes:
         # mixed-depth axes: k grouping-sets dims -> 2^k sets in ONE
@@ -2210,8 +2284,11 @@ def _aggregate_cube(spark: SparkSession, sf_dir: str, cube: Cube,
         gs_markers = [f"__gs_subtotal_{i}__" for i in range(len(ddl_axes))]
         marker_cols = [F.grouping(cl.key_alias).alias(m)
                        for (_, cl, _), m in zip(ddl_axes, gs_markers)]
-        out = (base.groupingSets(sets, *group_cols)
-                   .agg(*aggs, *marker_cols))
+        out = _gs_two_phase(base, sets, group_cols, gs_specs,
+                            marker_cols)
+        if out is None:   # non-mergeable measure: one-phase Expand
+            out = (base.groupingSets(sets, *group_cols)
+                       .agg(*aggs, *marker_cols))
         for (_, _, subset_rc), m in zip(ddl_axes, gs_markers):
             if subset_rc is not None:
                 # DRILLDOWNMEMBER: child rows only under the listed

@@ -100,6 +100,36 @@ def maybe_rebalance(spark: SparkSession, sf_dir: str, name: str,
     return df.repartition(par)
 
 
+def maybe_spread_compute(frame: DataFrame, source: DataFrame) -> DataFrame:
+    """Spread a CPU-DENSE mid-plan stage (candidate verify, per-pair
+    scoring) across the cluster when the SOURCE corpus layout is
+    provably small (r14 optimization round, guide §2.5/§2.6): AQE
+    sizes post-shuffle partitions by BYTES, but candidate-pair frames
+    are a few bytes per row with tens of µs of verify work per row, so
+    on a small corpus the coalesced width starves the cores (d06's
+    exact-cosine verify ran 8-wide on local[32]).  Same guard as
+    :func:`maybe_rebalance`, derived from ``source.inputFiles()``
+    footer metadata — no Spark job; at production scale the byte
+    check fails and the plan is untouched (the pair frame then has
+    enough bytes that AQE's own sizing is right)."""
+    try:
+        files = [f[len("file:"):] if f.startswith("file:") else f
+                 for f in source.inputFiles()]
+    except Exception:
+        return frame
+    if not files or os.environ.get("MRS_BUCKETED_DB"):
+        return frame
+    metas = [_scan_layout(f) for f in files if f.endswith(".parquet")]
+    if len(metas) != len(files) or any(m is None for m in metas):
+        return frame
+    total_bytes = sum(m[0] for m in metas)
+    total_rows = sum(m[1] for m in metas)
+    par = frame.sparkSession.sparkContext.defaultParallelism
+    if total_bytes > _REBALANCE_MAX_BYTES or total_rows < 1000:
+        return frame
+    return frame.repartition(par)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table.  Parquet is the primary format
     (single file or partitioned directory); `{name}.csv`, `{name}.json`

@@ -3343,6 +3343,42 @@ def test_mdx_drilldownlevel_mixed_depth_axis(spark, sf_dir):
             if r["cust_nation_key"] is not None} == {2}
 
 
+def test_drilldownlevel_two_phase_plan_and_fallback(spark, sf_dir):
+    """r14 optimization: with only mergeable measures (sum/count/min/
+    max) the grouping-sets Expand runs over the FINEST-GRAIN aggregate,
+    not the fact — the fact is scanned and partially aggregated once.
+    A non-mergeable measure (count_distinct) falls back to the
+    one-phase Expand over the fact.  Values are oracle-pinned
+    (q74/q80/q100/q109...); this pins the plan shapes."""
+    def plan(mdx):
+        return execute_mdx(spark, sf_dir, tpch.CATALOG, mdx) \
+            ._jdf.queryExecution().executedPlan().toString()
+
+    p = plan("SELECT {[Measures].[Revenue]} ON COLUMNS, "
+             "NON EMPTY DRILLDOWNLEVEL([Customer].[Region].Members) "
+             "ON ROWS FROM [Sales]")
+    # two-phase: Expand sits ABOVE a HashAggregate subtree (the fine
+    # aggregate), i.e. some aggregate appears BELOW the Expand node
+    below_expand = p.split("Expand", 1)[1]
+    assert "Expand" in p
+    assert "HashAggregate" in below_expand, p
+    # fallback guard: a non-mergeable aggregator refuses the two-phase
+    # form outright
+    import pyspark.sql.functions as F
+    from mondrian_rest_spark.planner import _gs_two_phase
+    from mondrian_rest_spark.sources.registry import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    assert _gs_two_phase(
+        li, [["l_returnflag"], []], ["l_returnflag"],
+        [("med", "median", F.median("l_quantity").alias("med"), None)],
+        []) is None
+    # ...and a raw float sum (order-dependent) refuses it too
+    assert _gs_two_phase(
+        li, [["l_returnflag"], []], ["l_returnflag"],
+        [("s", "sum", F.sum("l_quantity").alias("s"), None)],
+        []) is None
+
+
 def test_mdx_drilldownlevel_rejections(spark, sf_dir):
     for mdx, msg in [
         ("SELECT {[Measures].[Revenue]} ON COLUMNS, "
