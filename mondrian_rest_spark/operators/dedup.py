@@ -54,6 +54,27 @@ def unpersist_request_frames(df: DataFrame) -> None:
     df._mrs_request_persisted = []
 
 
+def has_min_tokens(text_col: str, n: int):
+    """Raw-text predicate equivalent to ``size(shingles) > 0`` after
+    :func:`with_shingles` (r14 optimization round, guide §7.2
+    "duplicated subtrees"): a filter on the DERIVED shingles column
+    gets pushed by Catalyst below any exchange as a copy of the whole
+    tokenize+shingle+distinct expression — on the rebalanced scans
+    that copy ran per-row on ONE core (measured 8.5 s per corpus pass
+    at sf0.1, twice in d10).  ``size(split(text, '\\s+', -1)) >= n``
+    is the same row set (split size = whitespace-run count + 1;
+    shingles are empty iff token count < n; array_distinct never
+    empties a non-empty array), and ``rlike`` expresses it as one
+    regex scan of the raw column, so the pushed-down filter is cheap
+    and nothing is recomputed above the exchange.  NULL text drops
+    under both forms."""
+    if n <= 1:
+        return F.col(text_col).isNotNull()
+    # >= n-1 whitespace runs: '\s+' then (n-2) x ('[^\s]+\s+') —
+    # consecutive maximal runs always have non-space between them
+    return F.col(text_col).rlike(r"\s+" + r"[^\s]+\s+" * (n - 2))
+
+
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
                   out_col: str = "shingles") -> DataFrame:
     """Distinct word n-gram shingles per document (JVM-side).
@@ -101,8 +122,8 @@ def neardup_bruteforce(df: DataFrame, threshold: float = 0.5,
                        n: int = 3) -> DataFrame:
     """O(n^2) shingle-jaccard pairs — the correctness oracle for the LSH
     path.  Quadratic: never use beyond ~10^4 docs."""
-    sh = with_shingles(df, text_col, n).select(
-        F.col(id_col), F.col("shingles")).filter(F.size("shingles") > 0)
+    sh = with_shingles(df.filter(has_min_tokens(text_col, n)),
+                       text_col, n).select(F.col(id_col), F.col("shingles"))
     a = sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("sa"))
     b = sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("sb"))
     pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
@@ -606,9 +627,9 @@ def _jaccard_prefix_frame(df: DataFrame, threshold: float,
                           text_col: str, id_col: str, n: int) -> DataFrame:
     """Shared prefix construction for neardup_jaccard_prefix and its
     telemetry: per (doc, prefix shingle) rows with __g/__sz/__rn."""
-    sh = (with_shingles(df, text_col, n)
-          .select(F.col(id_col), F.col("shingles"))
-          .filter(F.size("shingles") > 0))
+    sh = (with_shingles(df.filter(has_min_tokens(text_col, n)),
+                        text_col, n)
+          .select(F.col(id_col), F.col("shingles")))
     ex = sh.select(F.col(id_col), F.explode("shingles").alias("__g"))
     freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     w_doc = Window.partitionBy(id_col)
@@ -667,9 +688,9 @@ def neardup_jaccard_prefix(df: DataFrame, threshold: float = 0.5,
     # persist the narrow frames instead of paying the document-
     # frequency join + per-doc window (prefix) and the shingle build
     # (sh) twice (r10, same fix as d03/d04; bit-identical output)
-    sh = (with_shingles(df, text_col, n)
-          .select(F.col(id_col), F.col("shingles"))
-          .filter(F.size("shingles") > 0)).persist()
+    sh = (with_shingles(df.filter(has_min_tokens(text_col, n)),
+                        text_col, n)
+          .select(F.col(id_col), F.col("shingles"))).persist()
     prefix = _jaccard_prefix_frame(df, threshold, text_col, id_col,
                                    n).persist()
     if max_candidates_per_prefix is not None:
@@ -789,9 +810,9 @@ def neardup_jaccard_spill_minhash(df: DataFrame, threshold: float = 0.5,
     finer bands, r<=2)."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = (with_shingles(df, text_col, n)
-          .select(F.col(id_col), F.col("shingles"))
-          .filter(F.size("shingles") > 0)).persist()
+    sh = (with_shingles(df.filter(has_min_tokens(text_col, n)),
+                        text_col, n)
+          .select(F.col(id_col), F.col("shingles"))).persist()
     prefix = _jaccard_prefix_frame(df, threshold, text_col, id_col,
                                    n).persist()
     # hot shingles stay a DATAFRAME (ADVICE r11): a driver-side
@@ -855,9 +876,9 @@ def build_jaccard_index(df: DataFrame, threshold: float = 0.5,
     against a stale index stay exact."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = (with_shingles(df, text_col, n)
-          .select(F.col(id_col), F.col("shingles"))
-          .filter(F.size("shingles") > 0))
+    sh = (with_shingles(df.filter(has_min_tokens(text_col, n)),
+                        text_col, n)
+          .select(F.col(id_col), F.col("shingles")))
     ex = sh.select(F.col(id_col), F.explode("shingles").alias("__g"))
     freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     w_doc = Window.partitionBy(id_col)
@@ -906,9 +927,9 @@ def neardup_pairs_against_jaccard_index(
             "short to guarantee recall — rebuild the index")
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh_new = (with_shingles(new_docs, text_col, n)
-              .select(F.col(id_col), F.col("shingles"))
-              .filter(F.size("shingles") > 0))
+    sh_new = (with_shingles(new_docs.filter(has_min_tokens(text_col, n)),
+                          text_col, n)
+              .select(F.col(id_col), F.col("shingles")))
     prefix_new = jaccard_prefix_rows(sh_new, index_freq, threshold, id_col)
     if max_candidates_per_prefix is not None:
         hot = (index_freq
@@ -1031,7 +1052,14 @@ def duplicate_spans(df: DataFrame, n: int = 5, min_docs: int = 2,
     aggregate per doc for a duplication-fraction quality signal."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    pos = _gram_positions(df, n, text_col, id_col)
+    # the gram-position frame feeds BOTH the frequency aggregate and
+    # the duplicated-position join-back, and Spark re-runs the whole
+    # tokenize+md5-gram pass per consumer (r14 optimization round,
+    # guide §5: reused + expensive to recompute) — persist the narrow
+    # (id, pos, gram-key) frame request-scoped, tagged on the result
+    # like every dedup pin.  At 100 TB this is the paper's own
+    # materialize-the-gram-table step; storage-evictable either way.
+    pos = _gram_positions(df, n, text_col, id_col).persist()
     freq = (pos.groupBy("__g")
                .agg(F.countDistinct(id_col).alias("__nd"),
                     F.count(F.lit(1)).alias("__no")))
@@ -1042,7 +1070,7 @@ def duplicate_spans(df: DataFrame, n: int = 5, min_docs: int = 2,
     occ = (pos.join(dup, "__g")
               .select(id_col, F.col("__pos").alias("__start"),
                       (F.col("__pos") + F.lit(n - 1)).alias("__end")))
-    return _merge_islands(occ, id_col)
+    return _tag_persisted(_merge_islands(occ, id_col), pos)
 
 
 def _gram_positions(df: DataFrame, n: int, text_col: str,
@@ -1153,11 +1181,12 @@ def duplication_profile(df: DataFrame, n: int = 5, min_docs: int = 2,
                             text_col=text_col, id_col=id_col)
     per_doc = (spans.groupBy(id_col)
                .agg(F.sum("span_tokens").alias("__dup")))
+    _carry = getattr(spans, "_mrs_request_persisted", [])
     base = (df.select(F.col(id_col), F.col(group_col),
                       F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
                        .cast("long").alias("__nt"))
             .join(per_doc, id_col, "left"))
-    return (base.groupBy(group_col)
+    return _tag_persisted((base.groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.when(F.col("__dup").isNotNull(), 1)
                         .otherwise(0).cast("long")).alias("docs_with_dups"),
@@ -1170,7 +1199,7 @@ def duplication_profile(df: DataFrame, n: int = 5, min_docs: int = 2,
                     F.round(F.coalesce("duplicated_tokens",
                                        F.lit(0).cast("long")) /
                             F.greatest("total_tokens", F.lit(1)), 6)
-                     .alias("dup_token_fraction")))
+                     .alias("dup_token_fraction"))), *_carry)
 
 
 def cross_source_matrix(df: DataFrame, text_col: str = "text",

@@ -180,9 +180,14 @@ def chunk_token_windows(docs: DataFrame, window: int = 64,
         f"as chunk_text, "
         f"size(slice(__pieces, i * {stride} + 1, {window})) "
         f"as n_tokens))")
+    # raw-column predicate instead of size(__pieces) > 0 (r14; see
+    # dedup.has_min_tokens): pieces are non-alnum-split runs, so the
+    # row set is exactly "text has at least one alphanumeric char" —
+    # the derived-column form made Catalyst push a full copy of the
+    # split+filter expression into the scan-stage filter
     return (docs
+            .filter(F.col(text_col).rlike("[A-Za-z0-9]"))
             .withColumn("__pieces", pieces)
-            .filter(F.size("__pieces") > 0)
             .select(F.col(id_col), F.posexplode(chunks)
                     .alias("chunk_idx", "__c"))
             .select(id_col, "chunk_idx",
@@ -215,7 +220,9 @@ def trim_duplicate_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
     spans = dedup.duplicate_spans(docs, n=n, min_docs=min_docs,
                                   min_occurrences=min_occurrences,
                                   text_col=text_col, id_col=id_col)
-    return _trim_spans(docs, spans, text_col, id_col)
+    return dedup._tag_persisted(
+        _trim_spans(docs, spans, text_col, id_col),
+        *getattr(spans, "_mrs_request_persisted", []))
 
 
 def _trim_spans(docs: DataFrame, spans: DataFrame, text_col: str,

@@ -261,6 +261,20 @@ def build_session(app_name: str = "mondrian-rest-spark",
          # process) — getOrCreate ignores it afterwards, harmlessly.
          .config("spark.driver.memory",
                  os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+         # InferFiltersFromGenerate synthesizes `size(col) > 0` below
+         # every explode and pushes it through exchanges — for derived
+         # arrays that copies the WHOLE generating expression into the
+         # scan-stage filter (r14 optimization round, guide §7.2
+         # "duplicated subtrees": each corpus pass of the shingle
+         # operators re-ran tokenize+shingle+distinct per row inside
+         # the scan, measured 7-8.5 s per pass at sf0.1, at any scale
+         # a 2x per-row cost on the fact's widest column).  The
+         # explode itself already skips empty arrays; the cheap
+         # early-prune the rule was providing is restored explicitly
+         # on the raw column (dedup.has_min_tokens and friends).
+         .config("spark.sql.optimizer.excludedRules",
+                 "org.apache.spark.sql.catalyst.optimizer."
+                 "InferFiltersFromGenerate")
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions)))
     if master:
         b = b.master(master)

@@ -454,6 +454,7 @@ def streaming_jaccard_ingest_incremental(stream: DataFrame, spark,
     overwrites exactly those partitions, and survivors are pinned via
     a staged write before their prefix/shingle rows are appended."""
     from ..operators.dedup import (deduplicate_jaccard_exact,
+                                   has_min_tokens,
                                    jaccard_prefix_rows,
                                    neardup_pairs_against_jaccard_index,
                                    with_shingles)
@@ -480,9 +481,10 @@ def streaming_jaccard_ingest_incremental(stream: DataFrame, spark,
         staging = f"{index_path}/staging/batch={own}"
         keep.write.mode("overwrite").parquet(staging)
         keep = spark.read.schema(batch_df.schema).parquet(staging)
-        sh_new = (with_shingles(keep, text_col, n)
-                  .select(F.col(id_col), F.col("shingles"))
-                  .filter(F.size("shingles") > 0))
+        sh_new = (with_shingles(
+                      keep.filter(has_min_tokens(text_col, n)),
+                      text_col, n)
+                  .select(F.col(id_col), F.col("shingles")))
         jaccard_prefix_rows(sh_new, freq, threshold, id_col).write.mode(
             "overwrite").parquet(f"{index_path}/prefixes/batch={own}")
         sh_new.write.mode("overwrite").parquet(
