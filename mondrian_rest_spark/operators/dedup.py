@@ -549,7 +549,13 @@ def neardup_simhash(df: DataFrame, max_hamming: int = 3,
     15.0s -> 8.4s for identical pairs).  The cached frame is
     O(docs) x 16 bytes and storage-evictable, so pinning it is the
     right trade at any corpus size."""
-    sh = with_simhash(df, text_col, id_col).persist()
+    # layout-adaptive spread (r14 optimization round, guide §2.5): the
+    # signature build (token explode + 15-lane vote aggregate) is
+    # per-row compute that otherwise runs at the scan's row-group
+    # parallelism; no-op at scale (maybe_spread_compute's byte guard)
+    from ..sources.registry import maybe_spread_compute
+    sh = with_simhash(maybe_spread_compute(df, df),
+                      text_col, id_col).persist()
     chunks = sh.select(
         F.col(id_col), F.col("simhash"),
         F.posexplode(F.expr(

@@ -161,12 +161,21 @@ def dsir_scores(df: DataFrame, target_filter: str, dim: int = 128,
         f"i -> array_join(slice(__tokens, i, {n}), ' ')) end")
     bucket = (F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10)
               .cast("long") % dim)
+    # the bucketed gram frame feeds THREE aggregates (raw buckets,
+    # target buckets, per-doc buckets) and Spark re-runs the whole
+    # tokenize+gram+md5 pass per consumer (r14 optimization round,
+    # guide §5) — persist the narrow (id, tgt, bucket) projection
+    # request-scoped (tagged; the API layer frees it after
+    # materialization).  The gram STRING is dropped before the pin:
+    # only its md5 bucket survives.
+    from .dedup import _tag_persisted
     grams = (df.withColumn("__tokens",
                            F.split(F.trim(F.col(text_col)), r"\s+"))
                .withColumn("__tgt", F.expr(f"({target_filter})"))
                .select(F.col(id_col), "__tgt",
                        F.explode(F.expr(gram_expr)).alias("__g"))
-               .withColumn("__b", bucket))
+               .withColumn("__b", bucket)
+               .select(F.col(id_col), "__tgt", "__b")).persist()
     raw_b = grams.groupBy("__b").agg(F.count(F.lit(1)).alias("__nr"))
     tgt_b = (grams.filter(F.col("__tgt"))
              .groupBy("__b").agg(F.count(F.lit(1)).alias("__nt")))
@@ -181,7 +190,8 @@ def dsir_scores(df: DataFrame, target_filter: str, dim: int = 128,
                .groupBy(id_col)
                .agg(F.sum("__c").alias("n_grams"),
                     F.sum(F.col("__c") * F.col("__w")).alias("raw_score")))
-    return (df.select(id_col)
+    return _tag_persisted(
+        (df.select(id_col)
             .join(per_doc, id_col, "left")
             .select(
                 F.col(id_col),
@@ -192,7 +202,8 @@ def dsir_scores(df: DataFrame, target_filter: str, dim: int = 128,
                 F.round(F.coalesce("raw_score", F.lit(0).cast("long")) /
                         F.greatest(F.coalesce("n_grams",
                                               F.lit(0).cast("long")),
-                                   F.lit(1)), 6).alias("mean_weight")))
+                                   F.lit(1)), 6).alias("mean_weight"))),
+        grams)
 
 
 def dsir_sample(df: DataFrame, target_filter: str, frac: float = 0.25,
@@ -205,11 +216,13 @@ def dsir_sample(df: DataFrame, target_filter: str, frac: float = 0.25,
     what production pipelines run anyway when they want
     reproducibility).  ``orderBy + limit`` plans as a TakeOrdered —
     no global sort at scale."""
+    from .dedup import _tag_persisted
     k = int(frac * df.count())
     scores = dsir_scores(df, target_filter, dim=dim, n=n,
                          text_col=text_col, id_col=id_col)
-    return (scores.orderBy(F.desc("mean_weight"), F.asc(id_col))
-                  .limit(k))
+    return _tag_persisted(
+        scores.orderBy(F.desc("mean_weight"), F.asc(id_col)).limit(k),
+        *getattr(scores, "_mrs_request_persisted", []))
 
 
 def mixture_weights_temperature(df: DataFrame, alpha: float = 0.5,

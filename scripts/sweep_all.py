@@ -45,8 +45,15 @@ def main() -> None:
         try:
             for _ in range(runs):
                 t0 = time.time()
-                rows = qs[name](spark, sf_dir).collect()
+                df = qs[name](spark, sf_dir)
+                rows = df.collect()
                 ts.append(round(time.time() - t0, 3))
+                # free request-scoped pins like the API layer does —
+                # otherwise 200 queries of tagged persists accumulate
+                # in one session and skew later timings
+                from mondrian_rest_spark.operators.dedup import \
+                    unpersist_request_frames
+                unpersist_request_frames(df)
             rec = {"query": name, "samples": ts, "rows": len(rows)}
         except Exception as e:  # record, keep sweeping
             rec = {"query": name, "samples": ts,
