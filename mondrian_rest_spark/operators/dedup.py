@@ -106,10 +106,23 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
 def deduplicate_exact(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Keep one row per distinct content (min id wins): semi-join the
-    keeper set back — no wide row shuffles beyond the group keys."""
-    keep = exact_duplicate_groups(df, text_col, id_col).select(
-        F.col("keep_id").alias(id_col))
-    return df.join(keep, on=id_col, how="left_semi")
+    keeper set back — no wide row shuffles beyond the group keys.
+
+    The keeper-ID frame is persisted request-scoped (r14 optimization
+    round, guide §5): the survivor set feeds several downstream passes
+    in every composer (clean_corpus: the minhash signature build, the
+    shingle verify frames, the cluster-label init, the final keep
+    join), and without the pin EACH pass re-ran the md5-of-full-text
+    groupBy — the most expensive per-row hash in the pipeline —
+    measured ~3.4 s per extra pass at sf0.1.  The pin is the NARROW
+    (id) projection, never the corpus: at 100 TB it is O(docs) ids,
+    storage-evictable, and each consumer pays one corpus scan + a
+    semi-join against materialized ids instead of re-hashing every
+    byte of text."""
+    keep = (exact_duplicate_groups(df, text_col, id_col)
+            .select(F.col("keep_id").alias(id_col)).persist())
+    return _tag_persisted(df.join(keep, on=id_col, how="left_semi"),
+                          keep)
 
 
 def _jaccard(a: str, b: str):
@@ -531,9 +544,13 @@ def deduplicate_neardup(df: DataFrame, threshold: float = 0.5,
     # can be freed now (ADVICE r10); the labels frame carries forward
     unpersist_request_frames(pairs)
     keep = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
+    # carry the INPUT frame's request pins too (r14): deduplicate_exact
+    # now tags its keeper-ID pin on the frame composers hand us, and
+    # dropping it here would leak the pin on the composed paths
     return _tag_persisted(
         df.join(keep, on=id_col, how="left_semi"),
-        *getattr(clusters, "_mrs_request_persisted", []))
+        *getattr(clusters, "_mrs_request_persisted", []),
+        *getattr(df, "_mrs_request_persisted", []))
 
 
 def neardup_simhash(df: DataFrame, max_hamming: int = 3,
@@ -1012,8 +1029,16 @@ def deduplicate_jaccard_exact(df: DataFrame, threshold: float = 0.5,
     — the exact counterpart of :func:`deduplicate_neardup`."""
     pairs = neardup_jaccard_prefix(df, threshold, text_col, id_col, n)
     clusters = neardup_clusters(df, pairs, id_col)
+    # label propagation materialized the pair lineage into the pinned
+    # labels frame, so the PPJoin pins (sh/prefix) can be freed now and
+    # the rest ride the returned handle — this path used to drop every
+    # tag and leak all four pins per request (r14 optimization round)
+    unpersist_request_frames(pairs)
     keep = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
-    return df.join(keep, on=id_col, how="left_semi")
+    return _tag_persisted(
+        df.join(keep, on=id_col, how="left_semi"),
+        *getattr(clusters, "_mrs_request_persisted", []),
+        *getattr(df, "_mrs_request_persisted", []))
 
 
 # ---------------------------------------------------------------------------

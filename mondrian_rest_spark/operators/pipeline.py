@@ -100,10 +100,16 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     # Row set and values are identical (same expressions, same filter).
     enriched = textstats.with_language_columns(
         textstats.with_quality_columns(kept, text_col), text_col)
-    return (enriched
-            .filter((F.col("quality") >= min_quality) &
-                    F.col("predicted_lang").isin(list(languages)))
-            .select(id_col, "quality", "predicted_lang"))
+    # re-tag the request pins on the RETURNED handle (r14): the tag
+    # lives on the exact Python DataFrame object, so deriving
+    # filter/select off `kept` silently dropped the cluster-label and
+    # keeper-ID pins — every c01 request leaked its cached blocks
+    return dedup._tag_persisted(
+        enriched
+        .filter((F.col("quality") >= min_quality) &
+                F.col("predicted_lang").isin(list(languages)))
+        .select(id_col, "quality", "predicted_lang"),
+        *getattr(kept, "_mrs_request_persisted", []))
 
 
 def chunk_windows(docs: DataFrame, window: int = 64, stride: int = 48,

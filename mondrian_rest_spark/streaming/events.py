@@ -280,7 +280,8 @@ def streaming_neardup_ingest_incremental(stream: DataFrame, spark,
     """
     from ..operators.dedup import (deduplicate_neardup,
                                    minhash_signature_frames,
-                                   neardup_pairs_against)
+                                   neardup_pairs_against,
+                                   unpersist_request_frames)
 
     def _read_ix(component: str, own: str):
         # partition column `batch` (string) is discovery-only metadata;
@@ -306,6 +307,11 @@ def streaming_neardup_ingest_incremental(stream: DataFrame, spark,
         # same directory instead of duplicating
         staging = f"{index_path}/staging/batch={own}"
         keep.write.mode("overwrite").parquet(staging)
+        # the write materialized the survivors, so the request pins
+        # deduplicate_neardup tagged (cluster labels, edges, keeper
+        # ids) can be freed — a long-lived stream otherwise pins one
+        # label frame per micro-batch (r14 optimization round)
+        unpersist_request_frames(keep)
         keep = spark.read.schema(batch_df.schema).parquet(staging)
         ex, stats, bands_df = minhash_signature_frames(
             keep, text_col, id_col, n, num_hashes, bands)
@@ -457,6 +463,7 @@ def streaming_jaccard_ingest_incremental(stream: DataFrame, spark,
                                    has_min_tokens,
                                    jaccard_prefix_rows,
                                    neardup_pairs_against_jaccard_index,
+                                   unpersist_request_frames,
                                    with_shingles)
 
     def _read_ix(component: str, own: str):
@@ -480,6 +487,10 @@ def streaming_jaccard_ingest_incremental(stream: DataFrame, spark,
                                              id_col, n)
         staging = f"{index_path}/staging/batch={own}"
         keep.write.mode("overwrite").parquet(staging)
+        # free the within-batch dedup pins once the write materialized
+        # the survivors (r14 optimization round; same hygiene as the
+        # minhash ingest above)
+        unpersist_request_frames(keep)
         keep = spark.read.schema(batch_df.schema).parquet(staging)
         sh_new = (with_shingles(
                       keep.filter(has_min_tokens(text_col, n)),

@@ -267,6 +267,42 @@ def test_clean_corpus_pipeline(spark):
     assert all(q >= 0.75 and lang == "en" for q, lang in kept.values())
 
 
+def test_clean_corpus_frees_all_request_pins(spark):
+    """r14 optimization round: deduplicate_exact pins its keeper-ID
+    frame (so composers stop re-running the md5-of-full-text groupBy
+    per consumer) and clean_corpus re-tags every request pin on the
+    handle it RETURNS — deriving filter/select off the tagged frame
+    used to drop the tag, so each c01 request leaked its cluster-label
+    and edge pins for the session lifetime.  Contract: materialize +
+    unpersist_request_frames leaves ZERO new persistent RDDs."""
+    from mondrian_rest_spark.operators import pipeline
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with plenty of distinct english "
+             f"words to pass the shingle floor {i}") for i in range(30)],
+        ["doc_id", "text"])
+    before = {rdd_id for rdd_id in
+              spark.sparkContext._jsc.getPersistentRDDs().keySet()
+              .toArray()}
+    # deduplicate_exact alone: result carries the keeper pin
+    kept_exact = dedup.deduplicate_exact(docs)
+    assert getattr(kept_exact, "_mrs_request_persisted", []), \
+        "deduplicate_exact must tag its keeper-ID pin"
+    kept_exact.collect()
+    dedup.unpersist_request_frames(kept_exact)
+    # the composed pipeline: pins propagate through deduplicate_neardup
+    # and clean_corpus to the returned handle, and freeing them leaves
+    # no residue
+    out = pipeline.clean_corpus(docs)
+    assert getattr(out, "_mrs_request_persisted", []), \
+        "clean_corpus must carry its request pins to the returned frame"
+    out.collect()
+    dedup.unpersist_request_frames(out)
+    after = {rdd_id for rdd_id in
+             spark.sparkContext._jsc.getPersistentRDDs().keySet()
+             .toArray()}
+    assert after <= before, "clean_corpus leaked persisted frames"
+
+
 def test_cosine_topk(spark):
     rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]),
             (2, [0.0, 1.0, 0.0]), (3, [0.8, 0.6, 0.0]),
