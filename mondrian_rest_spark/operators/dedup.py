@@ -527,6 +527,13 @@ def neardup_clusters(df: DataFrame, pairs: DataFrame,
         if chk == prev_sum:
             break
         prev_sum = chk
+    # the propagation rounds materialized the pair pipeline's lineage
+    # into the pinned labels frame, so the PAIR frames' request pins
+    # (LSH signature frames, PPJoin sh/prefix) are dead weight from
+    # here — free them INSIDE the operator so every composer
+    # (deduplicate_neardup, deduplicate_jaccard_exact, the d07 thunk)
+    # inherits the hygiene instead of re-implementing it (r14)
+    unpersist_request_frames(pairs)
     return _tag_persisted(
         labels.select(F.col("id").alias(id_col), "cluster"),
         labels, edges)
@@ -538,11 +545,10 @@ def deduplicate_neardup(df: DataFrame, threshold: float = 0.5,
     """Keep one document per near-duplicate cluster (min id wins):
     MinHash-LSH pairs -> connected components -> left-semi keep set."""
     pairs = neardup_minhash_lsh(df, threshold, text_col, id_col, n)
+    # neardup_clusters frees the LSH pins once the propagation rounds
+    # have materialized them (ADVICE r10, centralized r14); the labels
+    # frame carries forward on the returned handle
     clusters = neardup_clusters(df, pairs, id_col)
-    # the label-propagation rounds materialized the pair lineage and
-    # the final labels frame is itself persisted, so the LSH frames
-    # can be freed now (ADVICE r10); the labels frame carries forward
-    unpersist_request_frames(pairs)
     keep = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
     # carry the INPUT frame's request pins too (r14): deduplicate_exact
     # now tags its keeper-ID pin on the frame composers hand us, and
@@ -1028,12 +1034,11 @@ def deduplicate_jaccard_exact(df: DataFrame, threshold: float = 0.5,
     prefix-filter pairs -> connected components -> left-semi keep set
     — the exact counterpart of :func:`deduplicate_neardup`."""
     pairs = neardup_jaccard_prefix(df, threshold, text_col, id_col, n)
+    # neardup_clusters frees the PPJoin pins (sh/prefix) once the
+    # propagation rounds have materialized them; the rest ride the
+    # returned handle — this path used to drop every tag and leak all
+    # four pins per request (r14 optimization round)
     clusters = neardup_clusters(df, pairs, id_col)
-    # label propagation materialized the pair lineage into the pinned
-    # labels frame, so the PPJoin pins (sh/prefix) can be freed now and
-    # the rest ride the returned handle — this path used to drop every
-    # tag and leak all four pins per request (r14 optimization round)
-    unpersist_request_frames(pairs)
     keep = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
     return _tag_persisted(
         df.join(keep, on=id_col, how="left_semi"),

@@ -297,10 +297,18 @@ def test_clean_corpus_frees_all_request_pins(spark):
         "clean_corpus must carry its request pins to the returned frame"
     out.collect()
     dedup.unpersist_request_frames(out)
+    # the d07 composition: neardup_clusters itself frees the pair
+    # pipeline's pins once the propagation rounds materialized them
+    pairs = dedup.neardup_minhash_lsh(docs, threshold=0.5)
+    clusters = dedup.neardup_clusters(docs, pairs, "doc_id")
+    assert not getattr(pairs, "_mrs_request_persisted", []), \
+        "neardup_clusters must free the pair pipeline's pins"
+    clusters.collect()
+    dedup.unpersist_request_frames(clusters)
     after = {rdd_id for rdd_id in
              spark.sparkContext._jsc.getPersistentRDDs().keySet()
              .toArray()}
-    assert after <= before, "clean_corpus leaked persisted frames"
+    assert after <= before, "composed dedup paths leaked persisted frames"
 
 
 def test_cosine_topk(spark):
