@@ -137,7 +137,16 @@ def neardup_bruteforce(df: DataFrame, threshold: float = 0.5,
     path.  Quadratic: never use beyond ~10^4 docs."""
     sh = with_shingles(df.filter(has_min_tokens(text_col, n)),
                        text_col, n).select(F.col(id_col), F.col("shingles"))
-    a = sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("sa"))
+    # spread the STREAM side of the nested-loop join (r14 optimization
+    # round, guide §2.5): the broadcast cross join streams the left
+    # side at scan parallelism, so on a single-row-group layout ALL
+    # n²/2 jaccard evaluations ran on ONE core (measured 425 s at
+    # sf0.1 vs 28 s spread).  Same layout guard as every other
+    # spread — no-op off the small-layout case, and the brute lane is
+    # documented never to run beyond ~10^4 docs anyway.
+    from ..sources.registry import maybe_spread_compute
+    a = maybe_spread_compute(sh, df).select(
+        F.col(id_col).alias("a_id"), F.col("shingles").alias("sa"))
     b = sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("sb"))
     pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
     return (pairs
