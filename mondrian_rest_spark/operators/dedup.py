@@ -495,33 +495,38 @@ def with_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return votes.select(F.col(id_col), F.expr(packed).alias(out_col))
 
 
-def neardup_clusters(df: DataFrame, pairs: DataFrame,
-                     id_col: str = "doc_id") -> DataFrame:
-    """Connected components over a near-dup pair graph -> (id, cluster)
-    where cluster = the minimum id reachable from the node (singletons
-    label themselves).  This is the keep/drop decision a dedup pipeline
-    actually needs: keep ``id == cluster``, drop the rest.
+def _propagate_labels(pairs: DataFrame) -> tuple:
+    """Min-label propagation over the pair graph's INDUCED SUBGRAPH
+    (r14 optimization round, guide §2.3 "shuffle fewer bytes"): a node
+    outside every pair can never change its label (min of itself), so
+    the old corpus-wide loop paid R full groupBy shuffles for rows
+    that were constant by construction — at 100 TB that is R passes
+    over 10^12 ids to relabel the ~10^9 that touch a pair.  Returns
+    (labels, edges), both persisted request-scoped: labels holds
+    (id, cluster) for PAIR NODES ONLY and the callers compose the
+    singleton identity rows in one corpus pass.
 
-    Min-label propagation: each round every node takes the min of its
-    own label and its neighbors'; rounds needed = component diameter
-    (near-dup clusters are dense, almost always <= 3).  Each round is
-    one join + one groupBy shuffle on the node id; labels are persisted
-    per round and convergence is detected with a single checksum
-    aggregate, so lineage and state stay O(1) across rounds.
-    """
+    Each round every node takes the min of its own label and its
+    neighbors'; rounds needed = component diameter (near-dup clusters
+    are dense, almost always <= 3).  Labels are persisted per round
+    and convergence is detected with a single checksum aggregate, so
+    lineage and state stay O(1) across rounds.  Frees the PAIR
+    frames' request pins once the rounds have materialized them, so
+    every composer inherits the hygiene."""
     # persist the edge list: every propagation round joins it, and
     # without the pin each round re-executed the ENTIRE pair pipeline
     # upstream (for LSH pairs that is the candidate self-join + the
     # exact-verify shingle joins — measured 26 s for c01_clean_corpus
     # at sf0.1, dominated by 3-4 redundant verify passes; 9 s after).
-    # Request-scoped like every other pin here: tagged on the result
-    # so the consumer frees it once materialized.
     edges = (pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
              .unionByName(pairs.select(F.col("b_id").alias("src"),
                                        F.col("a_id").alias("dst")))
              .persist())
-    labels = df.select(F.col(id_col).alias("id"),
-                       F.col(id_col).alias("cluster")).persist()
+    # both edge directions are present, so the src column alone
+    # enumerates every node that can ever change label
+    labels = (edges.select("src").distinct()
+              .select(F.col("src").alias("id"),
+                      F.col("src").alias("cluster")).persist())
     prev_sum = None
     for _ in range(32):  # diameter guard; real clusters converge in <5
         neigh = (labels.join(edges, labels.id == edges.src)
@@ -539,32 +544,51 @@ def neardup_clusters(df: DataFrame, pairs: DataFrame,
     # the propagation rounds materialized the pair pipeline's lineage
     # into the pinned labels frame, so the PAIR frames' request pins
     # (LSH signature frames, PPJoin sh/prefix) are dead weight from
-    # here — free them INSIDE the operator so every composer
-    # (deduplicate_neardup, deduplicate_jaccard_exact, the d07 thunk)
-    # inherits the hygiene instead of re-implementing it (r14)
+    # here (r14)
     unpersist_request_frames(pairs)
-    return _tag_persisted(
-        labels.select(F.col("id").alias(id_col), "cluster"),
-        labels, edges)
+    return labels, edges
+
+
+def neardup_clusters(df: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Connected components over a near-dup pair graph -> (id, cluster)
+    where cluster = the minimum id reachable from the node (singletons
+    label themselves).  This is the keep/drop decision a dedup pipeline
+    actually needs: keep ``id == cluster``, drop the rest.
+
+    The propagation loop runs over the pair nodes only
+    (:func:`_propagate_labels`); singletons join back in ONE final
+    pass — left join + coalesce on the distinct corpus ids, the same
+    dedup-by-id the old per-round groupBy applied — so the output
+    frame is row-identical to the corpus-wide loop."""
+    labels, edges = _propagate_labels(pairs)
+    out = (df.select(F.col(id_col).alias("id")).distinct()
+           .join(labels.select("id", F.col("cluster").alias("__cl")),
+                 on="id", how="left")
+           .select(F.col("id").alias(id_col),
+                   F.coalesce("__cl", F.col("id")).alias("cluster")))
+    return _tag_persisted(out, labels, edges)
 
 
 def deduplicate_neardup(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3) -> DataFrame:
     """Keep one document per near-duplicate cluster (min id wins):
-    MinHash-LSH pairs -> connected components -> left-semi keep set."""
+    MinHash-LSH pairs -> connected components -> anti-join the drop
+    set (pair nodes whose cluster label is another id) back onto the
+    corpus: everything else keeps itself, so the row set is identical
+    to the old keep-semi-join over corpus-wide labels while touching
+    the corpus exactly once (r14 optimization round)."""
     pairs = neardup_minhash_lsh(df, threshold, text_col, id_col, n)
-    # neardup_clusters frees the LSH pins once the propagation rounds
-    # have materialized them (ADVICE r10, centralized r14); the labels
-    # frame carries forward on the returned handle
-    clusters = neardup_clusters(df, pairs, id_col)
-    keep = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
+    labels, edges = _propagate_labels(pairs)
+    drop = (labels.filter(F.col("id") != F.col("cluster"))
+            .select(F.col("id").alias(id_col)))
     # carry the INPUT frame's request pins too (r14): deduplicate_exact
     # now tags its keeper-ID pin on the frame composers hand us, and
     # dropping it here would leak the pin on the composed paths
     return _tag_persisted(
-        df.join(keep, on=id_col, how="left_semi"),
-        *getattr(clusters, "_mrs_request_persisted", []),
+        df.join(drop, on=id_col, how="left_anti"),
+        labels, edges,
         *getattr(df, "_mrs_request_persisted", []))
 
 
@@ -1040,18 +1064,17 @@ def deduplicate_jaccard_exact(df: DataFrame, threshold: float = 0.5,
                               text_col: str = "text",
                               id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Keep one document per EXACT near-dup cluster (min id wins):
-    prefix-filter pairs -> connected components -> left-semi keep set
-    — the exact counterpart of :func:`deduplicate_neardup`."""
+    prefix-filter pairs -> connected components -> anti-join the drop
+    set — the exact counterpart of :func:`deduplicate_neardup` (one
+    corpus pass, pair-node-only propagation; same row set as the old
+    keep-semi-join, r14 optimization round)."""
     pairs = neardup_jaccard_prefix(df, threshold, text_col, id_col, n)
-    # neardup_clusters frees the PPJoin pins (sh/prefix) once the
-    # propagation rounds have materialized them; the rest ride the
-    # returned handle — this path used to drop every tag and leak all
-    # four pins per request (r14 optimization round)
-    clusters = neardup_clusters(df, pairs, id_col)
-    keep = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
+    labels, edges = _propagate_labels(pairs)
+    drop = (labels.filter(F.col("id") != F.col("cluster"))
+            .select(F.col("id").alias(id_col)))
     return _tag_persisted(
-        df.join(keep, on=id_col, how="left_semi"),
-        *getattr(clusters, "_mrs_request_persisted", []),
+        df.join(drop, on=id_col, how="left_anti"),
+        labels, edges,
         *getattr(df, "_mrs_request_persisted", []))
 
 

@@ -275,6 +275,17 @@ def build_session(app_name: str = "mondrian-rest-spark",
          .config("spark.sql.optimizer.excludedRules",
                  "org.apache.spark.sql.catalyst.optimizer."
                  "InferFiltersFromGenerate")
+         # PySpark 4 wraps EVERY DataFrame API call with a user-code
+         # stack walk + an extra JVM round trip (PySparkCurrentOrigin)
+         # so error messages can cite the user's call site.  This
+         # engine builds large plans programmatically (hundreds of API
+         # calls per query), where the overhead is pure driver latency
+         # on every plan build at ANY cluster size — measured 25-30%
+         # of plan-build wall at sf0.1 (minhash pipeline: 0.80 s ->
+         # 0.61 s steady, 2.9 s -> 2.1 s first touch).  Errors keep
+         # their class + message; only the call-site enrichment in
+         # DataFrameQueryContext is dropped (r14 optimization round).
+         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions)))
     if master:
         b = b.master(master)

@@ -39,10 +39,22 @@ def main() -> None:
         df = qs[n](spark, sf_dir)
         txt = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
+        # iterative operators (label propagation) nest one
+        # InMemoryRelation per round and the explain printer expands
+        # every cached subtree recursively — megabytes of repeats of
+        # the same pipeline.  The plan-shape evidence lives in the
+        # head; cap the file with an explicit marker.
+        lines = txt.splitlines()
+        if len(lines) > 4000:
+            lines = lines[:4000] + [
+                f"[... truncated {len(lines) - 4000} lines: nested "
+                "InMemoryRelation lineage repeats the cached subtree "
+                "per propagation round ...]"]
+            txt = "\n".join(lines) + "\n"
         path = os.path.join(outdir, f"{n}_{tag}.txt")
         with open(path, "w") as f:
             f.write(txt)
-        print(f"wrote {path} ({len(txt.splitlines())} lines)")
+        print(f"wrote {path} ({len(lines)} lines)")
 
 
 if __name__ == "__main__":
