@@ -33,7 +33,8 @@ def main() -> None:
                           shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
-    outdir = os.path.join(REPO, "plans", "r14")
+    outdir = os.path.join(REPO, "plans",
+                          os.environ.get("MRS_PLANS_ROUND", "r14"))
     os.makedirs(outdir, exist_ok=True)
     for n in names:
         df = qs[n](spark, sf_dir)

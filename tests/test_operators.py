@@ -63,9 +63,16 @@ def test_brute_lanes_spread_stream_side(docs, spark, sf_dir):
         return key, saved
 
     emb = load_table(spark, sf_dir, "embeddings")
-    kd, sd = _qualify(corpus)
-    ke, se = _qualify(emb)
+    # both _qualify calls inside the try (ADVICE r14): if the second
+    # raises, the first's patched layout entry must still be restored
+    # — a leaked fake record silently enables spreads in every later
+    # test of the session
+    patched: list = []
     try:
+        kd, sd = _qualify(corpus)
+        patched.append((kd, sd))
+        ke, se = _qualify(emb)
+        patched.append((ke, se))
         spread = dedup.neardup_bruteforce(corpus, 0.5)
         assert "RoundRobinPartitioning" in spread._jdf.queryExecution() \
             .executedPlan().toString()
@@ -83,8 +90,8 @@ def test_brute_lanes_spread_stream_side(docs, spark, sf_dir):
         assert ({(r.a_id, r.b_id, r.cosine) for r in es.collect()}
                 == {(r.a_id, r.b_id, r.cosine) for r in ep.collect()})
     finally:
-        registry._SCAN_LAYOUTS[kd] = sd
-        registry._SCAN_LAYOUTS[ke] = se
+        for k, v in patched:
+            registry._SCAN_LAYOUTS[k] = v
 
 
 def test_neardup_jaccard_prefix_matches_bruteforce(docs, spark, sf_dir):
